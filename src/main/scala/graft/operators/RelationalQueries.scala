@@ -1,0 +1,371 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Core relational operator surface (SURVEY.md §2.2–§2.8), expressed
+  * Spark-first over the synthetic testdata tables, each with a DuckDB
+  * oracle (`oracle`) the driver hash-compares at sf0.01.
+  *
+  * Parity conventions (see SURVEY.md §7.4 risk 5):
+  *  - integer outputs are BIGINT on both sides (DuckDB sum(int) is
+  *    HUGEINT, year() is BIGINT → explicit casts in the SQL; Spark
+  *    int-typed exprs are cast to long);
+  *  - doubles are `round(x, n)` in BOTH engines — rounding to the same
+  *    decimal yields bit-identical doubles, removing summation-order
+  *    noise;
+  *  - `events.ts` is INT64 nanoseconds on both sides (Spark via
+  *    spark.sql.legacy.parquet.nanosAsLong, DuckDB via epoch_ns).
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01: full-scan grouped aggregation (TPC-H Q1 shape): map-side
+    * partial agg + single shuffle on the (low-cardinality) group keys.
+    * At 100 TB this is the canonical partial/final hash-agg pattern —
+    * no repartition needed, AQE coalesces the tiny post-shuffle stage.
+    */
+  val q01PricingSummary: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-02"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 6).as("avg_qty"),
+        round(avg($"l_extendedprice"), 6).as("avg_price"),
+        round(avg($"l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** q02: selective filter + narrow projection (TPC-H Q6 shape).
+    * Predicates and the 3-column read schema push into the parquet
+    * scan (PushedFilters / ReadSchema) — at 100 TB the scan reads a
+    * fraction of the bytes. */
+  val q02FilterPushdown: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .filter($"l_shipdate" >= lit("1995-01-01") && $"l_shipdate" < lit("1996-01-01") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(
+        round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q03: multiway join (TPC-H Q5 shape). Dims (region/nation/
+    * supplier/customer) are broadcast — no shuffle of the fact side
+    * for those edges; the only big shuffle is lineitem⋈orders on
+    * orderkey, which AQE sizes. */
+  val q03JoinMultiway: Q = (s, d) => {
+    import s.implicits._
+    val li = t(s, d, "lineitem")
+    val o = t(s, d, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1998-01-01"))
+    val c = t(s, d, "customer")
+    val su = t(s, d, "supplier")
+    val n = t(s, d, "nation")
+    val r = t(s, d, "region").filter($"r_name" === "ASIA")
+    li.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(su), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q04: global top-k — Catalyst plans TakeOrderedAndProject
+    * (per-partition heap + driver merge of k rows), never a full sort
+    * of 100 TB. */
+  val q04TopK: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "orders")
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("price"))
+      .orderBy($"price".desc, $"o_orderkey".asc)
+      .limit(10)
+  }
+
+  /** q05: set operations — INTERSECT/EXCEPT/UNION (distinct
+    * semantics), each a hash-partitioned distinct under the hood. */
+  val q05SetOps: Q = (s, d) => {
+    import s.implicits._
+    val o = t(s, d, "orders")
+    val open = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+    val fin = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+    val big = o.filter($"o_totalprice" > 400000.0).select($"o_custkey")
+    val extra = s.range(1).select(lit(-1L).as("o_custkey"))
+    open.intersect(fin).except(big).union(extra).distinct()
+  }
+
+  /** q06: exact distinct aggregation (expand + two-phase agg). */
+  val q06DistinctAgg: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("n_parts"),
+        countDistinct($"l_suppkey").as("n_supps"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** q07: window functions — ranking, lag, running sum in one pass
+    * over a single hash-partition-by-customer sort. */
+  val q07Window: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    t(s, d, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_price", lag(round($"o_totalprice", 2), 1).over(w))
+      .withColumn("running", round(sum($"o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"rn", $"prev_price", $"running")
+  }
+
+  /** q08: scalar string functions incl. the reference's value+unit
+    * extraction (SURVEY F1, fox_hfm_parser.py:29-33) and parenthesized
+    * qualifier stripping (F12, netzsch_sta_parser.py:352-355). */
+  val q08StringFuncs: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "part")
+      .withColumn("dim", concat($"p_size".cast("string"), lit("mm")))
+      .select(
+        $"p_partkey",
+        lower($"p_name").as("name_lc"),
+        upper($"p_brand").as("brand_uc"),
+        substring($"p_type", 1, 5).as("type5"),
+        element_at(split($"p_type", " "), 1).as("type_head"),
+        length($"p_name").cast("long").as("name_len"),
+        concat_ws("-", $"p_brand", $"p_size".cast("string")).as("tag"),
+        regexp_extract($"dim", "([0-9]+)", 1).cast("long").as("dim_value"),
+        regexp_extract($"dim", "([a-z]+)$", 1).as("dim_unit"),
+        regexp_replace($"p_name", "\\([^)]*\\)", "").as("name_noparen"))
+  }
+
+  /** q09: typed coercion chain (SURVEY F2: try int → fall back),
+    * exercising try_cast/coalesce over heterogeneous strings. */
+  val q09Coercion: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .withColumn("s",
+        when($"event_id" % 3 === 0, ($"event_id" % 1000).cast("string"))
+          .when($"event_id" % 3 === 1, concat(lit("x"), $"event_id".cast("string")))
+          .otherwise($"event_type"))
+      .selectExpr(
+        "event_id",
+        "coalesce(try_cast(s AS bigint), CAST(-1 AS bigint)) AS coerced_int",
+        "coalesce(try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS bigint), CAST(-1 AS bigint)) AS k_val")
+  }
+
+  /** q10: date/time functions over INT64-nanosecond event timestamps
+    * (UTC calendar fields from epoch seconds). */
+  val q10DateFuncs: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .withColumn("ts_s", expr("ts div 1000000000"))
+      .withColumn("t", timestamp_seconds($"ts_s"))
+      .groupBy(
+        $"event_type",
+        year($"t").cast("long").as("yr"),
+        month($"t").cast("long").as("mo"),
+        dayofmonth($"t").cast("long").as("dy"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+  }
+
+  /** q11: CASE-based key mapping (SURVEY F7/F11 dict-lookup rename
+    * generalized to a categorical recode + aggregate). */
+  val q11CaseMap: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .withColumn("category",
+        when($"event_type".isin("click", "view"), "engagement")
+          .when($"event_type" === "purchase", "revenue")
+          .otherwise("ops"))
+      .groupBy($"category")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+  }
+
+  /** q12: pivot (SURVEY R1 transpose generalized): groupBy(user)
+    * pivot(event_type) — fixed pivot values so no extra distinct
+    * pass; single shuffle on user_id. */
+  val q12Pivot: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(round(sum($"value"), 2))
+  }
+
+  /** q13: rollup (hierarchical grouping sets). */
+  val q13Rollup: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("rf"),
+        coalesce($"l_linestatus", lit("ALL")).as("ls"),
+        $"n", $"sum_qty")
+  }
+
+  /** q14: anti join (NOT EXISTS) — broadcast/shuffled-hash anti:
+    * customers who never placed a large order. */
+  val q14AntiJoin: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "customer")
+      .join(t(s, d, "orders").filter($"o_totalprice" > 300000.0),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+  }
+
+  /** q15: semi join (EXISTS) with a pushed filter on the probe side. */
+  val q15SemiJoin: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "supplier")
+      .join(
+        t(s, d, "lineitem").filter($"l_shipdate" > lit("1998-01-01")),
+        $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_pushdown" -> q02FilterPushdown,
+    "q03_join_multiway" -> q03JoinMultiway,
+    "q04_topk" -> q04TopK,
+    "q05_setops" -> q05SetOps,
+    "q06_distinct_agg" -> q06DistinctAgg,
+    "q07_window" -> q07Window,
+    "q08_string_funcs" -> q08StringFuncs,
+    "q09_coercion" -> q09Coercion,
+    "q10_date_funcs" -> q10DateFuncs,
+    "q11_case_map" -> q11CaseMap,
+    "q12_pivot" -> q12Pivot,
+    "q13_rollup" -> q13Rollup,
+    "q14_anti_join" -> q14AntiJoin,
+    "q15_semi_join" -> q15SemiJoin)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),6) AS avg_qty,
+        | round(avg(l_extendedprice),6) AS avg_price,
+        | round(avg(l_discount),6) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_pushdown" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q03_join_multiway" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1.0-l_discount)),2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q04_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q05_setops" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
+        |UNION
+        |SELECT CAST(-1 AS BIGINT) AS o_custkey""".stripMargin,
+    "q06_distinct_agg" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q07_window" ->
+      """SELECT o_custkey, o_orderkey, rn, prev_price, running FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(round(o_totalprice,2)) OVER w AS prev_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |) WHERE rn <= 3""".stripMargin,
+    "q08_string_funcs" ->
+      """SELECT p_partkey,
+        | lower(p_name) AS name_lc,
+        | upper(p_brand) AS brand_uc,
+        | substring(p_type,1,5) AS type5,
+        | split_part(p_type,' ',1) AS type_head,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | concat_ws('-', p_brand, CAST(p_size AS VARCHAR)) AS tag,
+        | CAST(regexp_extract(CAST(p_size AS VARCHAR) || 'mm', '([0-9]+)', 1) AS BIGINT) AS dim_value,
+        | regexp_extract(CAST(p_size AS VARCHAR) || 'mm', '([a-z]+)$', 1) AS dim_unit,
+        | regexp_replace(p_name, '\([^)]*\)', '', 'g') AS name_noparen
+        |FROM part""".stripMargin,
+    "q09_coercion" ->
+      """WITH e AS (
+        | SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN CAST(event_id % 1000 AS VARCHAR)
+        |       WHEN event_id % 3 = 1 THEN 'x' || CAST(event_id AS VARCHAR)
+        |       ELSE event_type END AS s,
+        |  props
+        | FROM events)
+        |SELECT event_id,
+        | coalesce(TRY_CAST(s AS BIGINT), -1) AS coerced_int,
+        | coalesce(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT), -1) AS k_val
+        |FROM e""".stripMargin,
+    "q10_date_funcs" ->
+      """WITH e AS (SELECT *, make_timestamp((epoch_ns(ts) // 1000000000) * 1000000) AS t FROM events)
+        |SELECT event_type,
+        | CAST(year(t) AS BIGINT) AS yr,
+        | CAST(month(t) AS BIGINT) AS mo,
+        | CAST(day(t) AS BIGINT) AS dy,
+        | count(*) AS n, round(sum(value),2) AS total
+        |FROM e GROUP BY event_type, yr, mo, dy""".stripMargin,
+    "q11_case_map" ->
+      """SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+        |            WHEN event_type = 'purchase' THEN 'revenue'
+        |            ELSE 'ops' END AS category,
+        | count(*) AS n, round(sum(value),2) AS total
+        |FROM events GROUP BY category""".stripMargin,
+    "q12_pivot" ->
+      """SELECT user_id,
+        | round(sum(value) FILTER (WHERE event_type='click'),2)    AS click,
+        | round(sum(value) FILTER (WHERE event_type='error'),2)    AS error,
+        | round(sum(value) FILTER (WHERE event_type='purchase'),2) AS purchase,
+        | round(sum(value) FILTER (WHERE event_type='signup'),2)   AS signup,
+        | round(sum(value) FILTER (WHERE event_type='view'),2)     AS view
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        | count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q14_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin,
+    "q15_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_shipdate > TIMESTAMP '1998-01-01')""".stripMargin)
+}
