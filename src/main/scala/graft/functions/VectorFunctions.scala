@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, built from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no
+  * UDFs, so the whole similarity pipeline stays inside whole-stage
+  * codegen and scales linearly with row count.
+  *
+  * All accumulation is left-to-right in index order in DOUBLE, which
+  * keeps results bit-comparable with the DuckDB oracle's
+  * `list_sum(list_transform(...))` form.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double precision, index order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** ‖a‖₂ in double precision. */
+  def norm2(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity of two equal-length float vectors. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Sign-bit LSH bucket key from the first `bits` vector components:
+    * vectors whose leading components agree in sign land in the same
+    * bucket. A deterministic, shuffle-friendly partition key — the
+    * scale path for ANN (bucket-join instead of cross-join), with
+    * far fewer candidate pairs than brute force. */
+  def signBucket(a: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+}

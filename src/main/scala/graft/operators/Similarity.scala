@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Brute force is the correctness baseline: broadcast the (small)
+  * query set against the full corpus — one pass, no shuffle of the
+  * corpus side, O(|corpus|·|queries|) cosines inside codegen.
+  *
+  * The scale path is sign-bit LSH bucketing: an 8-bit bucket key
+  * partitions the corpus ~256 ways; the self-join shuffles on the
+  * bucket key only, and candidate pairs are in-bucket only. At 100 TB
+  * the same shape holds with more bits (buckets sized to executor
+  * memory) or an IVF coarse quantizer as the bucket assignment.
+  */
+object Similarity {
+
+  /** Top-k neighbors per query by brute-force cosine.
+    * Ranking uses the 4-decimal-rounded cosine with id tie-break so
+    * results are reproducible across engines/summation orders. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** All in-bucket pairs with cosine ≥ threshold (sign-bit LSH).
+    * Output: (id_a, id_b, cos) with id_a < id_b. */
+  def lshSimilarPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      bits: Int, threshold: Double): DataFrame = {
+    val withBucket = corpus.select(col(idCol), col(vecCol),
+      signBucket(col(vecCol), bits).as("bucket"))
+    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

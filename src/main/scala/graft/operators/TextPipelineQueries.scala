@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** LLM-training-data pipeline operators as oracle-checked queries over
+  * the `documents` and `embeddings` tables: dedup (exact / MinHash+LSH
+  * / n-gram Jaccard / SimHash), similarity search (brute-force top-k /
+  * sign-LSH), and text analysis (lang-ID scoring, quality features,
+  * token counting, fingerprinting).
+  *
+  * Every hash used is salted md5 — identical in Spark and DuckDB — so
+  * even the sketch-based operators are exactly oracle-checkable.
+  */
+object TextPipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = t(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
+
+  val queries: Map[String, Q] = Map(
+    "q16_dedup_exact" -> ((s, d) =>
+      Dedup.exactDupGroups(docs(s, d), "doc_id", "text")),
+    "q17_minhash_signatures" -> ((s, d) =>
+      Dedup.minhashSignatures(docs(s, d), "doc_id", "text")),
+    "q18_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(docs(s, d), "doc_id", "text"), "doc_id")),
+    "q19_ngram_jaccard" -> ((s, d) => {
+      val dd = docs(s, d)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.minhashSignatures(dd, "doc_id", "text"), "doc_id")
+      Dedup.ngramJaccard(dd, pairs, "doc_id", "text")
+    }),
+    "q20_simhash" -> ((s, d) =>
+      Dedup.simhash(docs(s, d), "doc_id", "text")),
+    "q21_text_langid" -> ((s, d) => {
+      val en = Seq("the", "a", "of"); val fr = Seq("le", "la", "de"); val es = Seq("el", "los", "que")
+      docs(s, d).select(
+        col("doc_id"),
+        markerCount(col("text"), en).as("n_en"),
+        markerCount(col("text"), fr).as("n_fr"),
+        markerCount(col("text"), es).as("n_es"))
+        .withColumn("pred",
+          when(col("n_en") >= col("n_fr") && col("n_en") >= col("n_es"), "en")
+            .when(col("n_fr") >= col("n_es"), "fr")
+            .otherwise("es"))
+    }),
+    "q22_text_quality" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+        .withColumn("n_stop", markerCount(col("text"), StopWords))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("len_chars"),
+          col("n_tokens"),
+          round(length(regexp_replace(col("text"), " ", "")) / col("n_tokens"), 4)
+            .as("avg_tok_len"),
+          round(col("n_stop") / col("n_tokens"), 4).as("stop_ratio"),
+          round(least(lit(1.0), col("n_tokens") / 100.0)
+            - lit(0.5) * (col("n_stop") / col("n_tokens")), 4).as("quality"))),
+    "q23_token_count" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        bpeishCount(col("text")).as("n_bpeish_tokens"))),
+    "q24_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+    "q25_sim_bruteforce_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    }),
+    "q26_sim_lsh_pairs" -> ((s, d) =>
+      Similarity.lshSimilarPairs(emb(s, d), "vec_id", "embedding", 8, 0.25)))
+
+  // ---- oracle SQL (DuckDB dialect) ----
+
+  /** Shared CTE fragments for the shingle/minhash pipeline. */
+  private val shCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id,
+      |       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingle
+      |       FROM toks)""".stripMargin
+
+  private val mhCte =
+    """mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
+      |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) GROUP BY doc_id, j),
+      |sig AS (SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,
+      |        (min(h) FILTER (WHERE j % 2 = 0)) || '|' || (min(h) FILTER (WHERE j % 2 = 1)) AS sig
+      |        FROM mh GROUP BY doc_id, j // 2)""".stripMargin
+
+  private val pairsCte =
+    """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
+      |         WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  private def cosSql(a: String, b: String) =
+    s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a)+1)]) /
+       | (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a)+1)])) *
+       |  sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($b)+1)]))))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q16_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q17_minhash_signatures" ->
+      s"""WITH $shCte,
+         |$mhCte
+         |SELECT doc_id, band, sig FROM sig""".stripMargin,
+    "q18_dedup_minhash_lsh" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte
+         |SELECT id_a, id_b FROM cand""".stripMargin,
+    "q19_ngram_jaccard" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ds AS (SELECT DISTINCT doc_id AS sid, shingle FROM sh),
+         |sizes AS (SELECT sid, count(*) AS n_sh FROM ds GROUP BY sid),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |          FROM cand c
+         |          JOIN ds sa ON c.id_a = sa.sid
+         |          JOIN ds sb ON c.id_b = sb.sid AND sa.shingle = sb.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |       round(i.inter / (na.n_sh + nb.n_sh - i.inter), 4) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON i.id_a = na.sid
+         |JOIN sizes nb ON i.id_b = nb.sid""".stripMargin,
+    "q20_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |votes AS (SELECT doc_id, b,
+        |          sum(CASE WHEN substr(md5(CAST(b AS VARCHAR) || '|' || w), 1, 1) >= '8'
+        |                   THEN 1 ELSE -1 END) AS s
+        |          FROM tok CROSS JOIN (SELECT unnest(range(16)) AS b)
+        |          GROUP BY doc_id, b)
+        |SELECT doc_id,
+        |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id""".stripMargin,
+    "q21_text_langid" ->
+      """WITH m AS (SELECT doc_id,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS BIGINT) AS n_en,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('le','la','de'))) AS BIGINT) AS n_fr,
+        | CAST(len(list_filter(string_split(text,' '), w -> w IN ('el','los','que'))) AS BIGINT) AS n_es
+        |FROM documents)
+        |SELECT doc_id, n_en, n_fr, n_es,
+        | CASE WHEN n_en >= n_fr AND n_en >= n_es THEN 'en'
+        |      WHEN n_fr >= n_es THEN 'fr' ELSE 'es' END AS pred
+        |FROM m""".stripMargin,
+    "q22_text_quality" ->
+      """WITH f AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+        | FROM documents)
+        |SELECT doc_id, len_chars, n_tokens,
+        | round(length(replace(text, ' ', '')) / n_tokens, 4) AS avg_tok_len,
+        | round(n_stop / n_tokens, 4) AS stop_ratio,
+        | round(least(1.0, n_tokens / 100.0) - 0.5 * (n_stop / n_tokens), 4) AS quality
+        |FROM f""".stripMargin,
+    "q23_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
+        |FROM documents""".stripMargin,
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        | substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
+        |FROM documents""".stripMargin,
+    "q25_sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
+         |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
+         |      FROM p)
+         |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q26_sim_lsh_pairs" ->
+      s"""WITH wb AS (SELECT vec_id, embedding,
+         |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
+         |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.25""".stripMargin)
+}

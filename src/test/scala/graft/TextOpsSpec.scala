@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, Similarity}
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "completely different content about spark engines at scale"),
+    (3L, "the quick brown fox jumps over the lazy dog")  // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-grams, count = tokens - n + 1; short docs give empty") {
+    val out = docs.select(TextFunctions.shingles($"text", 3).as("sh"))
+      .select(size($"sh")).as[Int].collect()
+    assert(out.toSeq == Seq(7, 7, 6, 7))
+    val short = Seq("a b").toDF("text")
+      .select(size(TextFunctions.shingles($"text", 3))).as[Int].head()
+    assert(short == 0)
+  }
+
+  test("exact dedup groups find the planted duplicate") {
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("minhash LSH pairs the near-dup and exact-dup, not the unrelated doc") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    assert(sigs.count() == 4 * 4) // 4 docs x 4 bands
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 3L))) // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near-dup high, ordered pairs") {
+    val pairs = Seq((0L, 1L), (0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
+    val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((0L, 3L)) == 1.0)
+    assert(j((0L, 1L)) > 0.5 && j((0L, 1L)) < 1.0)
+    assert(!j.contains((0L, 2L))) // zero intersection drops out
+  }
+
+  test("simhash: identical docs equal, near-dups close in hamming") {
+    val h = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(0L) == h(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) <= ham(h(0L), h(2L)))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("cosine: orthogonal = 0, identical = 1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 2f), Array(1f, 2f)),
+      (Array(1f, 0f), Array(-1f, 0f))
+    ).toDF("a", "b")
+    val cos = df.select(round(VectorFunctions.cosine($"a", $"b"), 9)).as[Double].collect()
+    assert(cos.toSeq == Seq(0.0, 1.0, -1.0))
+  }
+
+  test("brute force topk returns k rows per query, ranked desc") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0.8f, 0.2f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy($"rk").collect()
+    assert(top.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 3L))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq("Hello  World", "hello world").toDF("text")
+      .select(TextFunctions.fingerprint($"text").as("fp"))
+    assert(df.distinct().count() == 1)
+  }
+}
