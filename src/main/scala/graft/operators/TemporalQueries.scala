@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Temporal operators over the events table: as-of join, linear
+  * interpolation (SURVEY.md §2.5 J1), and the batch-equivalent of the
+  * streaming tumbling-window aggregation (§2.9). */
+object TemporalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // For each click, the user's most recent purchase at or before it.
+    "q27_asof_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_event_id"))
+      AsOfJoin.asOf(clicks, "user_id", "ts", purchases, "user_id", "ts",
+        Seq("purchase_event_id"))
+        .select(col("event_id"), col("purchase_event_id"))
+    }),
+    // Interpolate each user's purchase `value` series at click times.
+    "q28_interpolate" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+      Interpolate.linear(clicks, "user_id", "ts", purchases, "user_id", "ts", "value")
+        .select(col("event_id"), round(col("value_interp"), 4).as("value_interp"))
+    }),
+    // Batch-equivalent of the streaming 10-minute tumbling window agg.
+    "q29_window_agg" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(expr("ts div 600000000000").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))))
+
+  val oracle: Map[String, String] = Map(
+    "q27_asof_join" ->
+      """SELECT c.event_id, p.event_id AS purchase_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
+    "q28_interpolate" ->
+      """WITH cp AS (SELECT * FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT event_id, event_type, epoch_ns(ts) AS t,
+        |  last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+        |    OVER back AS v0,
+        |  last_value(CASE WHEN event_type='purchase' THEN epoch_ns(ts) END IGNORE NULLS)
+        |    OVER back AS t0,
+        |  first_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+        |    OVER fwd AS v1,
+        |  first_value(CASE WHEN event_type='purchase' THEN epoch_ns(ts) END IGNORE NULLS)
+        |    OVER fwd AS t1
+        | FROM cp
+        | WINDOW back AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |        fwd AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id,
+        | round(CASE WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+        |            THEN v0 + (v1 - v0) * ((t - t0) / (t1 - t0))
+        |            WHEN v0 IS NOT NULL THEN v0 ELSE v1 END, 4) AS value_interp
+        |FROM w WHERE event_type = 'click'""".stripMargin,
+    "q29_window_agg" ->
+      """SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingest path (an extension beyond the batch
+  * reference — SURVEY.md §2.9): a landing-directory stream of event
+  * files → watermarked tumbling-window aggregates.
+  *
+  * The same transformation works identically on a batch DataFrame
+  * (Structured Streaming's unified semantics); `Verify` checks the
+  * batch-equivalent bucket aggregation against DuckDB, while the
+  * streaming execution itself (incremental state, watermark-based
+  * state eviction) is exercised in EventStreamingSpec.
+  */
+object EventStreaming {
+
+  /** events schema as landed by the synthetic generator (ts read as
+    * INT64 nanos — see graft.Tables). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open a file-landing stream over a directory of event parquet
+    * files. New files are discovered incrementally; at scale, set
+    * maxFilesPerTrigger to bound micro-batch size. */
+  def readLanding(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventSchema).parquet(dir)
+  }
+
+  /** Tumbling-window counts/sums per event type with a watermark for
+    * late file arrivals. Works on both streaming and batch frames.
+    * Input needs `ts` as INT64 nanos; windowing is on the derived
+    * microsecond timestamp. */
+  def tumblingAgg(events: DataFrame, windowDur: String, watermark: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+}

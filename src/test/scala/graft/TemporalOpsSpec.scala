@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, Interpolate}
+import graft.streaming.EventStreaming
+
+class TemporalOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asOf: latest right row at or before left time, per key") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 50L, "c"), (3L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 200L, 20.0), (2L, 60L, 30.0))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.asOf(left, "k", "t", right, "k", "t", Seq("v"))
+      .collect().map(r => (r.getAs[String]("tag"), Option(r.getAs[Any]("v")))).toMap
+    assert(out("a").contains(10.0)) // inclusive: right at exactly t matches
+    assert(out("b").contains(20.0)) // latest of the two
+    assert(out("c").isEmpty)        // right row is later than left
+    assert(out("d").isEmpty)        // key has no right rows
+  }
+
+  test("interpolate: linear between samples, clamped at edges") {
+    val grid = Seq((1L, 0L, 15L), (2L, 5L, 15L), (3L, 20L, 15L), (4L, 30L, 15L))
+      .toDF("gid", "t", "k")
+    val samples = Seq((15L, 10L, 100.0), (15L, 20L, 200.0))
+      .toDF("k", "t", "value")
+    val out = Interpolate.linear(grid, "k", "t", samples, "k", "t", "value")
+      .collect().map(r => r.getAs[Long]("gid") -> r.getAs[Double]("value_interp")).toMap
+    assert(out(1L) == 100.0) // before first sample: clamp
+    assert(out(2L) == 100.0) // still before
+    assert(out(3L) == 200.0) // exactly at a sample
+    assert(out(4L) == 200.0) // after last: clamp
+    val mid = Interpolate.linear(
+      Seq((9L, 15L, 15L)).toDF("gid", "t", "k"), "k", "t",
+      samples, "k", "t", "value")
+      .collect().head.getAs[Double]("value_interp")
+    assert(mid == 150.0) // halfway
+  }
+
+  test("streaming tumbling agg matches batch over incremental micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreaming.tumblingAgg(streamDf, "10 minutes", "10 minutes")
+      .writeStream.outputMode("complete").format("memory").queryName("agg_out").start()
+    val min10 = 600L * 1000 * 1000 * 1000
+    // two micro-batches landing in two different windows
+    mem.addData((1L, min10 / 2, 1L, "click", 1.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((2L, min10 / 3, 1L, "click", 2.0, "{}"),
+      (3L, min10 + min10 / 2, 2L, "view", 5.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("agg_out").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("total")))
+    q.stop()
+    assert(rows.toSet == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("file-landing stream over a landing dir aggregates all events") {
+    val dir = java.nio.file.Files.createTempDirectory("landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val landed = EventStreaming.readLanding(spark, dir.toString)
+    val q = EventStreaming.tumblingAgg(landed, "1 hour", "1 minute")
+      .writeStream.outputMode("complete").format("memory").queryName("land_out").start()
+    q.processAllAvailable()
+    val total = spark.table("land_out").agg(sum($"n")).as[Long].head()
+    q.stop()
+    assert(total == 1000L)
+  }
+}
