@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.{LabTable, MccSource, StaSource}
+
+/** Public ingest API, mirroring the reference's entry points
+  * (SURVEY.md §0: each `path → table-with-metadata`). Formats land as
+  * [[graft.sources.LabTable]] — a DataFrame with per-column unit
+  * metadata plus table-level file_metadata/type JSON. */
+object LabEtl {
+
+  /** Netzsch STA text export (netzsch_sta_parser.py:30). */
+  def loadStaData(spark: SparkSession, path: String): LabTable =
+    StaSource.load(spark, path)
+
+  /** FAA Micro Combustion Calorimeter text (faa_mcc_parser.py:12). */
+  def loadMccData(spark: SparkSession, path: String): LabTable =
+    MccSource.load(spark, path)
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Blake2b, JStr}
+import graft.sources._
+
+/** Golden tests against the reference fixture corpus — expected
+  * values captured from the reference's OBSERVED behavior (running
+  * labetl on the same fixtures), including the full file_metadata
+  * JSON byte-for-byte. */
+class LabSourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val staVal = "/root/reference/tests/test_files/STA/DF_FILED_VAL_STA_N2_10K_240211_R1.csv"
+  private val staDes = "/root/reference/tests/test_files/STA/DF_FILED_DES_STA_N2_10K_231028_R1.csv"
+  private val mcc = "/root/reference/tests/test_files/MCC/Hemp_Sheet_MCC_30K_min_220112_R1.txt"
+  private val hfm = "/root/reference/tests/test_files/HFM/Black_PMMA_HFM_Dry_conductivity_211115_R1.tst"
+
+  private def golden(name: String): String = {
+    val in = getClass.getResourceAsStream(s"/golden/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  test("blake2b matches RFC 7693 vectors") {
+    assert(Blake2b.hex("abc".getBytes) ==
+      "ba80a53f981c4d0d6a2797b69f12f6e94c212f14685ac4b74b12bb6fdbffa2d17d87c5392aab792dc252d5de4533cc9518d38aa8dbf1925ab92386edd4009923")
+    assert(Blake2b.hex(Array.emptyByteArray) ==
+      "786a02f742015903c6c6fd852552d272912f4740e15847618a86e217f71f5419d25e1031afee585313896444934eb04b903a685b1448b755d56f701afe9be2ce")
+    // >128-byte input exercises the multi-block path
+    assert(Blake2b.hex(("a" * 300).getBytes).length == 128)
+  }
+
+  test("blake2b matches the reference's golden fixture digests") {
+    assert(Blake2b.hexOfFile(mcc) ==
+      "894746aebd128d33e8f24b068795787762ef0ef2cb0edcceb8eeb75a059ba9daf989ffd14de6297aa32b9957f0c3a671f316003c1bc2fa8359318d173ff9d828")
+    assert(Blake2b.hexOfFile(staVal) ==
+      "8051974aee0fe044cd9c2f1f29f9ae24c05caf184aeb115aa8964c8ee598e19b1700c661586d84b5ec791f684a93a80ab6dce38d492b2ca4bc669137f44c6f37")
+  }
+
+  test("encoding detection matches libmagic labels on fixtures") {
+    assert(Encoding.detectFile(staVal) == "iso-8859-1")
+    assert(Encoding.detectFile(mcc) == "us-ascii")
+    assert(Encoding.detectFile(hfm) == "utf-16le")
+  }
+
+  test("STA VAL: golden shape, dtypes, units") {
+    val t = LabEtl.loadStaData(spark, staVal)
+    assert(t.df.columns.toSeq == Seq(
+      "temperature", "time", "mass", "dsc", "dtg", "sensitivity", "segment"))
+    assert(t.df.count() == 1094)
+    val types = t.df.schema.fields.map(_.dataType.simpleString).toSeq
+    assert(types == Seq("double", "double", "double", "double", "double", "double", "bigint"))
+    assert(t.unitOf("temperature").contains("°C"))
+    assert(t.unitOf("time").contains("min"))
+    assert(t.unitOf("mass").contains("%"))
+    assert(t.unitOf("dsc").contains("mW/mg"))
+    assert(t.unitOf("dtg").contains("%/min"))
+    assert(t.unitOf("sensitivity").contains("uV/mW"))
+    assert(t.unitOf("segment").isEmpty)
+    assert(t.typeTag.contains("STA"))
+  }
+
+  test("STA VAL: file_metadata JSON is byte-identical to the reference") {
+    val t = LabEtl.loadStaData(spark, staVal)
+    assert(t.fileMetadata.get.render == golden("sta_val_file_metadata.json"))
+  }
+
+  test("STA DES: 6 columns, (subtr.2) qualifiers stripped, byte-identical metadata") {
+    val t = LabEtl.loadStaData(spark, staDes)
+    assert(t.df.columns.toSeq == Seq(
+      "temperature", "time", "dsc", "mass", "dtg", "sensitivity"))
+    assert(t.df.count() == 6733)
+    assert(t.fileMetadata.get.render == golden("sta_des_file_metadata.json"))
+  }
+
+  test("MCC: golden shape, units, byte-identical metadata") {
+    val t = LabEtl.loadMccData(spark, mcc)
+    assert(t.df.columns.toSeq == Seq(
+      "time", "temperature", "n2_flow_rate", "o2_flow_rate",
+      "flow_rate", "oxygen", "hrr", "heating_rate"))
+    assert(t.df.count() == 2584)
+    assert(t.df.schema.fields.forall(_.dataType.simpleString == "double"))
+    assert(t.unitOf("time").contains("s"))
+    assert(t.unitOf("temperature").contains("°C"))
+    assert(t.unitOf("n2_flow_rate").contains("ml/min"))
+    assert(t.unitOf("oxygen").contains("%"))
+    assert(t.unitOf("hrr").contains("W/g"))
+    assert(t.unitOf("heating_rate").contains("°C/s"))
+    assert(t.fileMetadata.get.render == golden("mcc_file_metadata.json"))
+    assert(t.typeTag.contains("MCC"))
+  }
+
+  test("parquet sink round-trips data, units, and table metadata") {
+    val t = LabEtl.loadMccData(spark, mcc)
+    val out = java.nio.file.Files.createTempDirectory("labtbl").toString + "/mcc"
+    t.write(out)
+    val back = LabTable.read(spark, out)
+    assert(back.df.count() == 2584)
+    assert(back.unitOf("temperature").contains("°C"))
+    assert(back.tableMeta.get("type").contains(JStr("MCC")))
+    assert(back.fileMetadata.get.render == t.fileMetadata.get.render)
+  }
+
+  test("STA first/last data values parse correctly") {
+    val t = LabEtl.loadStaData(spark, staVal)
+    val first = t.df.orderBy(org.apache.spark.sql.functions.col("time")).head()
+    assert(first.getAs[Double]("temperature") == 26.207)
+    assert(first.getAs[Long]("segment") == 1L)
+  }
+}
