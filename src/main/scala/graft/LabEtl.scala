@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{LabTable, MccSource, StaSource}
+import graft.sources.{HfmSource, LabTable, MccSource, StaSource}
 
 /** Public ingest API, mirroring the reference's entry points
   * (SURVEY.md §0: each `path → table-with-metadata`). Formats land as
@@ -16,4 +16,8 @@ object LabEtl {
   /** FAA Micro Combustion Calorimeter text (faa_mcc_parser.py:12). */
   def loadMccData(spark: SparkSession, path: String): LabTable =
     MccSource.load(spark, path)
+
+  /** TA/Waters Heat Flow Meter report (fox_hfm_parser.py:12). */
+  def loadHfmData(spark: SparkSession, path: String): LabTable =
+    HfmSource.load(spark, path)
 }

@@ -101,6 +101,32 @@ class LabSourcesSpec extends AnyFunSuite {
     assert(back.fileMetadata.get.render == t.fileMetadata.get.render)
   }
 
+  test("HFM conductivity: golden table + byte-identical metadata") {
+    val t = LabEtl.loadHfmData(spark, hfm)
+    assert(t.df.columns.toSeq == Seq("setpoint", "upper_temperature",
+      "lower_temperature", "upper_thermal_conductivity", "lower_thermal_conductivity"))
+    val rows = t.df.orderBy(org.apache.spark.sql.functions.col("setpoint")).collect()
+    assert(rows.length == 6)
+    assert(rows.map(_.getAs[Int]("setpoint")).toSeq == (1 to 6))
+    assert(rows.head.getAs[Double]("upper_temperature") == 5.0)
+    assert(rows.head.getAs[Double]("lower_thermal_conductivity") == 0.1494)
+    assert(t.df.schema("upper_temperature").metadata.getString("units") == "°C")
+    assert(t.df.schema("upper_thermal_conductivity").metadata.getString("units") == "W/mK")
+    assert(t.fileMetadata.get.render == golden("hfm_conductivity_file_metadata.json"))
+  }
+
+  test("HFM heat capacity: golden table + byte-identical metadata") {
+    val t = LabEtl.loadHfmData(spark,
+      "/root/reference/tests/test_files/HFM/Black_PMMA_HFM_Dry_heatcapacity_211117_R3.tst")
+    assert(t.df.columns.toSeq == Seq("setpoint", "average_temperature", "volumetric_heat_capacity"))
+    val rows = t.df.orderBy(org.apache.spark.sql.functions.col("setpoint")).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getAs[Double]("volumetric_heat_capacity")).toSeq ==
+      Seq(1576159.0, 1642666.0, 1651533.0, 1752361.0))
+    assert(t.df.schema("volumetric_heat_capacity").metadata.getString("units") == "J/(m³K)")
+    assert(t.fileMetadata.get.render == golden("hfm_heatcapacity_file_metadata.json"))
+  }
+
   test("STA first/last data values parse correctly") {
     val t = LabEtl.loadStaData(spark, staVal)
     val first = t.df.orderBy(org.apache.spark.sql.functions.col("time")).head()
