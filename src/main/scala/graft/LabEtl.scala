@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{HfmSource, LabTable, MccSource, StaSource}
+import graft.sources.{ConeSource, HfmSource, LabTable, MccSource, StaSource}
 
 /** Public ingest API, mirroring the reference's entry points
   * (SURVEY.md §0: each `path → table-with-metadata`). Formats land as
@@ -20,4 +20,8 @@ object LabEtl {
   /** TA/Waters Heat Flow Meter report (fox_hfm_parser.py:12). */
   def loadHfmData(spark: SparkSession, path: String): LabTable =
     HfmSource.load(spark, path)
+
+  /** Deatak cone calorimeter XLSM workbook (deatak_cone_parser.py:10). */
+  def loadConeData(spark: SparkSession, path: String): LabTable =
+    ConeSource.load(spark, path)
 }

@@ -127,6 +127,39 @@ class LabSourcesSpec extends AnyFunSuite {
     assert(t.fileMetadata.get.render == golden("hfm_heatcapacity_file_metadata.json"))
   }
 
+  test("Cone XLSM: scan data shape, renames, units, metadata merge") {
+    val t = LabEtl.loadConeData(spark,
+      "/root/reference/tests/test_files/Cone/Asphalt_Shingle_Cone_HF25_220415_R1.XLSM")
+    assert(t.df.columns.toSeq == Seq(
+      "time", "stack_temperature", "smoke_temperature", "exhaust_pressure",
+      "smoke_laser_compensation", "smoke_laser_measurement", "co_meter",
+      "co2_meter", "o2_meter", "sample_mass", "start_test", "flame_verification"))
+    assert(t.df.count() == 2057)
+    assert(t.unitOf("time").contains("s"))
+    assert(t.unitOf("stack_temperature").contains("°C"))
+    assert(t.unitOf("exhaust_pressure").contains("Pa"))
+    assert(t.unitOf("sample_mass").contains("g"))
+    assert(t.unitOf("start_test").isEmpty) // no unit in row 5
+    val fm = t.fileMetadata.get.asInstanceOf[graft.functions.JObj]
+    assert(fm.get("test_id").contains(graft.functions.JStr("Shingles_HF25_1")))
+    assert(fm.get("heat_flux").contains(graft.functions.JInt(25)))
+    assert(fm.get("comment").exists(_.isInstanceOf[graft.functions.JArr])) // PRE+POST merged
+    assert(fm.get("sample_mass").exists {
+      case graft.functions.JDbl(d) => math.abs(d - 35.86000061035156) < 1e-9
+      case _ => false
+    })
+    val lastRow = t.df.orderBy(org.apache.spark.sql.functions.desc("time")).head()
+    assert(lastRow.getAs[Double]("time") == 513.75)
+    assert(t.typeTag.contains("Cone"))
+  }
+
+  test("Cone XLSM: second fixture loads") {
+    val t = LabEtl.loadConeData(spark,
+      "/root/reference/tests/test_files/Cone/181031_LaGrange_5-1.XLSM")
+    assert(t.df.count() > 0)
+    assert(t.df.columns.nonEmpty)
+  }
+
   test("STA first/last data values parse correctly") {
     val t = LabEtl.loadStaData(spark, staVal)
     val first = t.df.orderBy(org.apache.spark.sql.functions.col("time")).head()
