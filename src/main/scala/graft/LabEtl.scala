@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{ConeSource, HfmSource, LabTable, MccSource, StaSource}
+import graft.sources.{ConeSource, HfmSource, LabTable, MccSource, NgbSource, StaSource}
 
 /** Public ingest API, mirroring the reference's entry points
   * (SURVEY.md §0: each `path → table-with-metadata`). Formats land as
@@ -24,4 +24,8 @@ object LabEtl {
   /** Deatak cone calorimeter XLSM workbook (deatak_cone_parser.py:10). */
   def loadConeData(spark: SparkSession, path: String): LabTable =
     ConeSource.load(spark, path)
+
+  /** Netzsch STA proprietary binary (netzsch_sta_ngb_parser.py:37). */
+  def loadNgbData(spark: SparkSession, path: String): LabTable =
+    NgbSource.load(spark, path)
 }

@@ -160,6 +160,51 @@ class LabSourcesSpec extends AnyFunSuite {
     assert(t.df.columns.nonEmpty)
   }
 
+  private val ngbFixtures = Seq(
+    "PT_Deck_Board_3_1",
+    "Ford_3FMT_Carpet_STA_N2_10K_240603_R1",
+    "Hyundai_KM8K_Carpet_STA_N2_10K_240711_R3",
+    "IBHS_Shingle_102-B-5-1_Sample_2_STA_N2_30K_240716_R1")
+
+  test("NGB binary: columns, rows, per-column stats match reference goldens") {
+    import graft.functions._
+    ngbFixtures.foreach { name =>
+      val t = LabEtl.loadNgbData(spark,
+        s"/root/reference/tests/test_files/STA/$name.ngb-ss3")
+      val s = PyJsonParser.parse(golden(s"ngb_${name}_summary.json")).asInstanceOf[JObj]
+      val expCols = s.get("columns").get.asInstanceOf[JArr].items.map(_.asInstanceOf[JStr].s)
+      assert(t.df.columns.toSeq == expCols, s"$name columns")
+      val expRows = s.get("num_rows").get.asInstanceOf[JInt].i
+      assert(t.df.count() == expRows, s"$name rows")
+      val stats = s.get("stats").get.asInstanceOf[JObj]
+      val data = t.df.collect()
+      def num(v: JVal): Double = v match {
+        case JDbl(d) => d
+        case JInt(i) => i.toDouble
+        case other => fail(s"unexpected $other")
+      }
+      expCols.foreach { c =>
+        val st = stats.get(c).get.asInstanceOf[JObj]
+        val vals = data.map(_.getAs[Double](c))
+        val exp3 = st.get("first3").get.asInstanceOf[JArr].items.map(num)
+        assert(vals.take(3).toSeq == exp3, s"$name.$c first3")
+        val last3 = st.get("last3").get.asInstanceOf[JArr].items.map(num)
+        assert(vals.takeRight(3).toSeq == last3, s"$name.$c last3")
+        val expSum = num(st.get("sum").get)
+        assert(vals.foldLeft(0.0)(_ + _) == expSum, s"$name.$c sum")
+      }
+    }
+  }
+
+  test("NGB binary: file_metadata JSON is byte-identical to the reference") {
+    ngbFixtures.foreach { name =>
+      val t = LabEtl.loadNgbData(spark,
+        s"/root/reference/tests/test_files/STA/$name.ngb-ss3")
+      assert(t.fileMetadata.get.render == golden(s"ngb_${name}_file_metadata.json"),
+        s"$name metadata")
+    }
+  }
+
   test("STA first/last data values parse correctly") {
     val t = LabEtl.loadStaData(spark, staVal)
     val first = t.df.orderBy(org.apache.spark.sql.functions.col("time")).head()
