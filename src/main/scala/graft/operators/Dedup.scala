@@ -26,45 +26,66 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash band signatures.
-    * numHashes salted-md5 min-hashes over `shingleN`-gram shingles,
-    * banded `bandSize` at a time into a concatenated signature.
-    * Output: (id, band, sig). */
+  /** Per-document MinHash band signatures: 8 min-hashes over
+    * `shingleN`-gram shingles, banded 2 at a time into 4 concatenated
+    * signatures. Output: (id, band, sig).
+    *
+    * Hash family: hash j is the 8-hex-char slice j%4 of
+    * md5((j/4) + "|" + shingle) — two md5 calls per shingle instead
+    * of eight, no hash-id crossJoin, and all 8 mins fold in ONE
+    * map-side-combined aggregation (a single shuffle on the doc id).
+    * 32-bit hex slices compare lexicographically as unsigned ints,
+    * and md5 is identical in DuckDB, so the oracle stays exact. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 8, bandSize: Int = 2,
                         shingleN: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    val hashIds = spark.range(numHashes).select(col("id").as("j"))
-    val sh = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
-    val mh = sh.crossJoin(broadcast(hashIds))
-      .groupBy(col(idCol), col("j"))
-      .agg(min(saltedMd5(col("j"), col("shingle"))).as("h"))
-    val bandCols = (0 until bandSize).map(k =>
-      min(when(col("j") % bandSize === k, col("h"))).as(s"h$k"))
-    mh.groupBy(col(idCol), expr(s"j div $bandSize").as("band"))
-      .agg(bandCols.head, bandCols.tail: _*)
-      .select(col(idCol), col("band"),
-        concat_ws("|", (0 until bandSize).map(k => col(s"h$k")): _*).as("sig"))
+    val numHashes = 8
+    // Explicit partition count: the salted-hash stage is the compute-
+    // heavy part, and a single-small-file input would otherwise run it
+    // on one task (AQE would coalesce a countless repartition too).
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val sh = df.repartition(par, col(idCol))
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col(idCol),
+        md5(concat(lit("0|"), col("shingle"))).as("md5_0"),
+        md5(concat(lit("1|"), col("shingle"))).as("md5_1"))
+    val minCols = (0 until numHashes).map(j =>
+      min(substring(col(s"md5_${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j"))
+    val mh = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+    val stackExpr = (0 until numHashes / 2).map(b =>
+      s"CAST($b AS BIGINT), concat(h${2 * b}, '|', h${2 * b + 1})").mkString(", ")
+    mh.selectExpr(idCol, s"stack(${numHashes / 2}, $stackExpr) AS (band, sig)")
   }
 
   /** LSH candidate pairs: documents sharing any band signature.
-    * Output: (id_a, id_b) with id_a < id_b, distinct. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
-    val a = sigs.select(col("band"), col("sig"), col(idCol).as("id_a"))
-    val b = sigs.select(col("band"), col("sig"), col(idCol).as("id_b"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * Implemented as bucket-collect + in-bucket pair expansion rather
+    * than a self-join — the signature pipeline is evaluated ONCE, and
+    * only the (band, sig) shuffle remains. Bucket sizes are tiny for
+    * honest signatures; a pathological hot bucket at scale should be
+    * length-capped or salted upstream. */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-  }
 
   /** Exact n-gram Jaccard similarity, computed only for `pairs`
     * (normally LSH candidates): |A∩B| / |A∪B| over distinct shingle
     * sets. Output: (id_a, id_b, jaccard rounded to 4). */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, shingleN: Int = 3): DataFrame = {
-    val ds = df.select(col(idCol).as("sid"),
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // the distinct shingle set is read three times (sa, sb, sizes) —
+    // cache it instead of recomputing the explode+distinct each time
+    val ds = df.repartition(par, col(idCol)).select(col(idCol).as("sid"),
       explode(shingles(col(textCol), shingleN)).as("shingle")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ds.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(ds.as("sa"), col("id_a") === col("sa.sid"))
@@ -85,7 +106,8 @@ object Dedup {
               bits: Int = 16): DataFrame = {
     val spark = df.sparkSession
     val bitIds = spark.range(bits).select(col("id").as("b"))
-    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+    df.repartition(spark.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .crossJoin(broadcast(bitIds))
       .groupBy(col(idCol), col("b"))
       .agg(sum(simhashVote(col("b"), col("w"))).as("s"))

@@ -87,11 +87,21 @@ object TextPipelineQueries {
       |       FROM toks)""".stripMargin
 
   private val mhCte =
-    """mh AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || shingle)) AS h
-      |       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j) GROUP BY doc_id, j),
-      |sig AS (SELECT doc_id, CAST(j // 2 AS BIGINT) AS band,
-      |        (min(h) FILTER (WHERE j % 2 = 0)) || '|' || (min(h) FILTER (WHERE j % 2 = 1)) AS sig
-      |        FROM mh GROUP BY doc_id, j // 2)""".stripMargin
+    """mh AS (SELECT doc_id,
+      |  min(substr(md5('0|' || shingle),  1, 8)) AS h0,
+      |  min(substr(md5('0|' || shingle),  9, 8)) AS h1,
+      |  min(substr(md5('0|' || shingle), 17, 8)) AS h2,
+      |  min(substr(md5('0|' || shingle), 25, 8)) AS h3,
+      |  min(substr(md5('1|' || shingle),  1, 8)) AS h4,
+      |  min(substr(md5('1|' || shingle),  9, 8)) AS h5,
+      |  min(substr(md5('1|' || shingle), 17, 8)) AS h6,
+      |  min(substr(md5('1|' || shingle), 25, 8)) AS h7
+      |  FROM sh GROUP BY doc_id),
+      |sig AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS band, h0 || '|' || h1 AS sig FROM mh
+      |  UNION ALL SELECT doc_id, CAST(1 AS BIGINT), h2 || '|' || h3 FROM mh
+      |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), h4 || '|' || h5 FROM mh
+      |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT), h6 || '|' || h7 FROM mh)""".stripMargin
 
   private val pairsCte =
     """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

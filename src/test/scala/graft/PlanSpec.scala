@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the plans that must hold at 100 TB
+  * — filters/projections reaching the parquet scan, small dims
+  * broadcast, top-k via TakeOrderedAndProject, whole-stage codegen
+  * present — enforced on the real executed plans at sf0.001. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.collect() // finalize the AQE plan in this queryExecution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: predicates and projection push into the parquet scan") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p.take(2000))
+    assert(p.contains("ReadSchema"))
+    // narrow read: only the filter/agg columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q03: dimension joins are broadcast, not shuffled") {
+    val p = plan("q03_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // region/nation/supplier/customer must never shuffle the fact side:
+    // at most one shuffle-based join (lineitem x orders) is acceptable
+    val smj = p.linesIterator.count(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(smj <= 1, s"$smj shuffled joins\n${p.take(3000)}")
+  }
+
+  test("q04: top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q04_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("q01: partial aggregation before the shuffle (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p.take(1500))
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, "partial+final expected")
+  }
+
+  test("q25: query side is broadcast for the similarity cross join") {
+    val p = plan("q25_sim_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("whole-stage codegen covers the scan-filter-agg pipeline") {
+    // in executed-plan toString codegen stages render as "*(n)" prefixes
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(1500))
+  }
+
+  test("asof join plans a single shuffle (union + one window)") {
+    val p = plan("q27_asof_join")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith(":- Exchange")) +
+      p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(p.contains("Window"), p.take(1500))
+    assert(exchanges <= 2, s"$exchanges exchanges\n${p.take(3000)}")
+  }
+}
