@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.sources.{ConeSource, HfmSource, LabTable, MccSource, NgbSource, StaSource}
+import graft.sources.{ConeSource, FtirSource, HfmSource, LabTable, MccSource, NgbSource, StaSource}
 
 /** Public ingest API, mirroring the reference's entry points
   * (SURVEY.md §0: each `path → table-with-metadata`). Formats land as
@@ -28,4 +28,8 @@ object LabEtl {
   /** Netzsch STA proprietary binary (netzsch_sta_ngb_parser.py:37). */
   def loadNgbData(spark: SparkSession, path: String): LabTable =
     NgbSource.load(spark, path)
+
+  /** Bruker OPUS FTIR binary (bruker_ftir_parser.py:12). */
+  def loadFtirData(spark: SparkSession, path: String): LabTable =
+    FtirSource.load(spark, path)
 }

@@ -205,6 +205,46 @@ class LabSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("FTIR OPUS: reflectance file — grid, columns, interp values") {
+    val t = LabEtl.loadFtirData(spark,
+      "/root/reference/tests/test_files/FTIR/Upper_Fiber_Cement_Board_3.0")
+    assert(t.df.columns.toSeq == Seq(
+      "wavelength", "reflectance", "sample_spectrum", "reference_spectrum"))
+    assert(t.df.count() == 2799)
+    assert(t.unitOf("wavelength").contains("µm"))
+    assert(t.unitOf("reflectance").contains("a.u."))
+    val rows = t.df.collect() // row order preserved from driver-side build
+    def c(i: Int, n: String) = rows(i).getAs[Double](n)
+    // spot values computed independently (numpy) from the raw blocks
+    assert(c(0, "wavelength") == 1.6676645598904198)
+    assert(c(0, "reflectance") == 0.39001622796058655)
+    assert(c(0, "sample_spectrum") == 0.0032995743677020073)
+    assert(math.abs(c(0, "reference_spectrum") - 0.008460095152258875) < 1e-15)
+    assert(c(2798, "wavelength") == 16.67128333343831)
+    val sums = t.df.columns.map(n => rows.map(_.getAs[Double](n)).sum)
+    assert(math.abs(sums(0) - 11945.878578669719) < 1e-6)
+    assert(math.abs(sums(1) - 522.1274716705084) < 1e-9)
+    assert(math.abs(sums(3) - 176.15852804388854) < 1e-9)
+    val fm = t.fileMetadata.get.asInstanceOf[graft.functions.JObj]
+    assert(fm.get("data_performed").contains(graft.functions.JStr("2021-06-14T19:37:48.950000")))
+    assert(t.typeTag.contains("FTIR"))
+  }
+
+  test("FTIR OPUS: absorbance (ATR) file with phase spectrum") {
+    val t = LabEtl.loadFtirData(spark,
+      "/root/reference/tests/test_files/FTIR/Bmore_Jacket_CSTM_Stripe_ATR_240517_R2.0")
+    assert(t.df.columns.contains("absorbance"))
+    assert(t.df.columns.contains("sample_phase"))
+    assert(t.df.count() == 4044)
+  }
+
+  test("FTIR OPUS: third fixture loads with a main data key") {
+    val t = LabEtl.loadFtirData(spark,
+      "/root/reference/tests/test_files/FTIR/Natural_Nylon_Sheet_Extruded_0.125_Trans_IS_R1_221212.0")
+    assert(t.df.count() == 3577)
+    assert(t.df.columns.head == "wavelength")
+  }
+
   test("STA first/last data values parse correctly") {
     val t = LabEtl.loadStaData(spark, staVal)
     val first = t.df.orderBy(org.apache.spark.sql.functions.col("time")).head()
