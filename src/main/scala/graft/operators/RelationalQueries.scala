@@ -235,7 +235,58 @@ object RelationalQueries {
       .select($"s_suppkey", $"s_name")
   }
 
+  /** q30: outer join with null-side aggregation — orders with no
+    * high-quantity items keep a 0 count / null sum. */
+  val q30OuterJoin: Q = (s, d) => {
+    import s.implicits._
+    val big = t(s, d, "lineitem").filter($"l_quantity" > 49)
+    t(s, d, "orders")
+      .join(big, $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy($"o_orderkey")
+      .agg(count($"l_orderkey").as("n_big_items"),
+        round(sum($"l_extendedprice"), 2).as("total"))
+  }
+
+  /** q31: cube — all grouping-set combinations in one pass. */
+  val q31Cube: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "events")
+      .withColumn("ub", ($"user_id" % 10).cast("string"))
+      .cube($"event_type", $"ub")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total"))
+      .select(coalesce($"event_type", lit("ALL")).as("et"),
+        coalesce($"ub", lit("ALL")).as("ub"), $"n", $"total")
+  }
+
+  /** q32: statistical aggregates (two-pass-free stddev/corr/covar). */
+  val q32StatsAgg: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+        round(var_samp($"l_quantity"), 4).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("covar_qty_price"))
+  }
+
+  /** q33: exact interpolated percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics). */
+  val q33Percentiles: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q30_outer_join" -> q30OuterJoin,
+    "q31_cube" -> q31Cube,
+    "q32_stats_agg" -> q32StatsAgg,
+    "q33_percentiles" -> q33Percentiles,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_pushdown" -> q02FilterPushdown,
     "q03_join_multiway" -> q03JoinMultiway,
@@ -253,6 +304,30 @@ object RelationalQueries {
     "q15_semi_join" -> q15SemiJoin)
 
   val oracle: Map[String, String] = Map(
+    "q30_outer_join" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_big_items,
+        | round(sum(l_extendedprice), 2) AS total
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 49) li
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+    "q31_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS et,
+        | coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS ub,
+        | count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY CUBE(event_type, CAST(user_id % 10 AS VARCHAR))""".stripMargin,
+    "q32_stats_agg" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q33_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -61,6 +61,25 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(rows.toSet == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("stateful sessionization closes sessions across micro-batches") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessions(mem.toDS().groupByKey(_.user_id), gapNs = 100L)
+      .writeStream.outputMode("append").format("memory").queryName("sess_out").start()
+    // batch 1: two events in one session for user 1
+    mem.addData(Event(1L, 1000L, 1.0), Event(1L, 1050L, 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_out").count() == 0) // session still open
+    // batch 2: a far-future event closes the open session
+    mem.addData(Event(1L, 5000L, 9.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out").as[Session].collect()
+    q.stop()
+    assert(sessions.toSeq == Seq(Session(1L, 1000L, 1050L, 2L, 3.0)))
+  }
+
   test("file-landing stream over a landing dir aggregates all events") {
     val dir = java.nio.file.Files.createTempDirectory("landing")
     java.nio.file.Files.copy(
