@@ -113,4 +113,47 @@ object Blake2b {
     val f = udf((bytes: Array[Byte]) => if (bytes == null) null else hex(bytes))
     c => f(c)
   }
+
+  /** Register the native expression as SQL function `blake2b` —
+    * usable as `expr("blake2b(content)")`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "blake2b", exprs => Blake2bHash(exprs.head), "built-in")
+}
+
+/** Native Catalyst expression for BLAKE2b-512 over a binary column —
+  * preferred over the Scala UDF in hot paths: it participates in
+  * whole-stage codegen (the generated code calls the static digest,
+  * the same shape as Spark's own md5/sha expressions) and avoids the
+  * UDF's encoder round-trip. */
+case class Blake2bHash(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+  import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "blake2b"
+
+  // ExpectsInputTypes' AbstractDataType is private[sql] in Spark 4,
+  // so the binary-input requirement is checked explicitly.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"blake2b requires a binary argument, got ${child.dataType.catalogString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Blake2b.hex(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Blake2b.hex($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): Blake2bHash =
+    copy(child = newChild)
 }

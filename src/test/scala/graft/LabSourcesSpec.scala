@@ -37,6 +37,17 @@ class LabSourcesSpec extends AnyFunSuite {
       "8051974aee0fe044cd9c2f1f29f9ae24c05caf184aeb115aa8964c8ee598e19b1700c661586d84b5ec791f684a93a80ab6dce38d492b2ca4bc669137f44c6f37")
   }
 
+  test("blake2b native expression hashes binaryFile content in SQL") {
+    import org.apache.spark.sql.functions._
+    Blake2b.register(spark)
+    val df = spark.read.format("binaryFile")
+      .load("/root/reference/tests/test_files/MCC")
+      .select(expr("blake2b(content)").as("h"), expr("blake2b(CAST(NULL AS BINARY))").as("n"))
+    val row = df.head()
+    assert(row.getAs[String]("h") == Blake2b.hexOfFile(mcc))
+    assert(row.get(1) == null)
+  }
+
   test("encoding detection matches libmagic labels on fixtures") {
     assert(Encoding.detectFile(staVal) == "iso-8859-1")
     assert(Encoding.detectFile(mcc) == "us-ascii")
@@ -166,11 +177,15 @@ class LabSourcesSpec extends AnyFunSuite {
     "Hyundai_KM8K_Carpet_STA_N2_10K_240711_R3",
     "IBHS_Shingle_102-B-5-1_Sample_2_STA_N2_30K_240716_R1")
 
+  private val ngbBs3Fixtures = Seq(
+    "Ford_3FMT_Liner_STA_N2_10K_240606_Correction_R1",
+    "PT_Deck_Board_Correction_3_1")
+
   test("NGB binary: columns, rows, per-column stats match reference goldens") {
     import graft.functions._
-    ngbFixtures.foreach { name =>
+    (ngbFixtures.map((_, "ngb-ss3")) ++ ngbBs3Fixtures.map((_, "ngb-bs3"))).foreach { case (name, ext) =>
       val t = LabEtl.loadNgbData(spark,
-        s"/root/reference/tests/test_files/STA/$name.ngb-ss3")
+        s"/root/reference/tests/test_files/STA/$name.$ext")
       val s = PyJsonParser.parse(golden(s"ngb_${name}_summary.json")).asInstanceOf[JObj]
       val expCols = s.get("columns").get.asInstanceOf[JArr].items.map(_.asInstanceOf[JStr].s)
       assert(t.df.columns.toSeq == expCols, s"$name columns")
@@ -197,9 +212,9 @@ class LabSourcesSpec extends AnyFunSuite {
   }
 
   test("NGB binary: file_metadata JSON is byte-identical to the reference") {
-    ngbFixtures.foreach { name =>
+    (ngbFixtures.map((_, "ngb-ss3")) ++ ngbBs3Fixtures.map((_, "ngb-bs3"))).foreach { case (name, ext) =>
       val t = LabEtl.loadNgbData(spark,
-        s"/root/reference/tests/test_files/STA/$name.ngb-ss3")
+        s"/root/reference/tests/test_files/STA/$name.$ext")
       assert(t.fileMetadata.get.render == golden(s"ngb_${name}_file_metadata.json"),
         s"$name metadata")
     }
