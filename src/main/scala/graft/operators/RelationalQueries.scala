@@ -282,7 +282,24 @@ object RelationalQueries {
         round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
   }
 
+  /** q34: sketch aggregation — HyperLogLog++ approximate distinct.
+    * No DuckDB oracle (approx sketches differ across engines by
+    * design) → the driver records a rows-only check; the exact
+    * distinct rides along so the approximation is inspectable. */
+  val q34ApproxDistinct: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+        countDistinct($"l_partkey").as("exact_parts"))
+  }
+
+  /** Queries intentionally published without an oracle. */
+  val rowsOnly: Set[String] = Set("q34_approx_distinct")
+
   val queries: Map[String, Q] = Map(
+    "q34_approx_distinct" -> q34ApproxDistinct,
     "q30_outer_join" -> q30OuterJoin,
     "q31_cube" -> q31Cube,
     "q32_stats_agg" -> q32StatsAgg,

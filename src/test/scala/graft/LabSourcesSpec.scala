@@ -260,6 +260,23 @@ class LabSourcesSpec extends AnyFunSuite {
     assert(t.df.columns.head == "wavelength")
   }
 
+  test("NGB aligned mode names channels by their own header and keeps the last channel") {
+    val parity = LabEtl.loadNgbData(spark,
+      "/root/reference/tests/test_files/STA/PT_Deck_Board_3_1.ngb-ss3")
+    val aligned = graft.sources.NgbSource.load(spark,
+      "/root/reference/tests/test_files/STA/PT_Deck_Board_3_1.ngb-ss3", aligned = true)
+    // parity mode carries the raw '8c' channel under the name 'time';
+    // aligned mode keeps '8c' as itself and 'time' holds 8d's data
+    assert(parity.df.columns.contains("31"))
+    assert(aligned.df.columns.contains("8c"))
+    assert(aligned.df.columns.contains("time"))
+    val pTime = parity.df.select("time").collect().map(_.getDouble(0))
+    val aTime = aligned.df.select("time").collect().map(_.getDouble(0))
+    val a8c = aligned.df.select("8c").collect().map(_.getDouble(0))
+    assert(pTime.sameElements(a8c)) // parity 'time' is really channel 8c
+    assert(!pTime.sameElements(aTime))
+  }
+
   test("STA first/last data values parse correctly") {
     val t = LabEtl.loadStaData(spark, staVal)
     val first = t.df.orderBy(org.apache.spark.sql.functions.col("time")).head()

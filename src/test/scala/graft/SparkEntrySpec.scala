@@ -24,7 +24,8 @@ class SparkEntrySpec extends AnyFunSuite {
 
   test("every query has an oracle or is explicitly rows-only") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+    assert(noOracle == operators.RelationalQueries.rowsOnly,
+      s"queries missing oracle SQL: $noOracle")
   }
 
   test("all queries run non-empty on sf0.001 (except anti-join which may be empty)") {
