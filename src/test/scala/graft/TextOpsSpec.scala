@@ -79,6 +79,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 3L))
   }
 
+  test("char-ngram language id detects distinct real sentences") {
+    import graft.functions.LangId
+    assert(LangId.detect("the weather is nice today and we should go outside") == "en")
+    assert(LangId.detect("le temps est beau aujourd'hui et nous devrions sortir") == "fr")
+    assert(LangId.detect("el clima está agradable hoy y deberíamos salir afuera") == "es")
+    assert(LangId.detect("das wetter ist heute schön und wir sollten rausgehen") == "de")
+    assert(LangId.detect("") == "und")
+    assert(LangId.detect(null) == "und")
+    // distributed form over a DataFrame column
+    val out = Seq("the dog is here", "le chien est ici").toDF("text")
+      .select(LangId.langIdUdf($"text").as("lang")).as[String].collect()
+    assert(out.toSeq == Seq("en", "fr"))
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq("Hello  World", "hello world").toDF("text")
       .select(TextFunctions.fingerprint($"text").as("fp"))
