@@ -16,6 +16,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Sessionize {
 
   case class Event(user_id: Long, ts: Long, value: Double)
+  case class TsEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
   case class Session(user_id: Long, start: Long, end: Long, n_events: Long,
                      total_value: Double)
@@ -47,4 +48,47 @@ object Sessionize {
         cur.foreach(state.update)
         out.result().iterator
       })
+
+  /** Production variant with event-time timeout: idle sessions are
+    * emitted AND EVICTED once the watermark passes last-event + gap,
+    * so state stays bounded by genuinely-active keys. Input needs an
+    * event-time `ts` with a watermark (set here). */
+  def sessionsWithTimeout(events: org.apache.spark.sql.Dataset[TsEvent],
+                          gapMs: Long, watermark: String)
+                         (implicit enc1: org.apache.spark.sql.Encoder[SessionState],
+                          enc2: org.apache.spark.sql.Encoder[Session]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (userId: Long, it: Iterator[TsEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(_.ts.getTime)
+            val out = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  out += Session(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            out.result().iterator
+          }
+        })
+  }
 }

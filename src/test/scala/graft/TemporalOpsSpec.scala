@@ -80,6 +80,29 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(sessions.toSeq == Seq(Session(1L, 1000L, 1050L, 2L, 3.0)))
   }
 
+  test("event-time timeout evicts idle sessions once the watermark passes") {
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val mem = MemoryStream[TsEvent]
+    val q = Sessionize.sessionsWithTimeout(mem.toDS(), gapMs = 60000, watermark = "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_to").start()
+    // t=0 would equal the initial watermark and be dropped as late
+    mem.addData(TsEvent(1L, ts(100), 1.0), TsEvent(1L, ts(130), 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess_to").count() == 0) // open, not timed out
+    // a different user far in the future advances the watermark…
+    mem.addData(TsEvent(2L, ts(600), 9.0))
+    q.processAllAvailable()
+    // …and the timeout fires on the following trigger
+    mem.addData(TsEvent(2L, ts(601), 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_to").as[Session].collect()
+    q.stop()
+    assert(sessions.toSeq.contains(Session(1L, 100000L, 130000L, 2L, 3.0)))
+  }
+
   test("file-landing stream over a landing dir aggregates all events") {
     val dir = java.nio.file.Files.createTempDirectory("landing")
     java.nio.file.Files.copy(
