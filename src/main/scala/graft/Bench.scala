@@ -24,11 +24,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Median of 3 timed iterations per query: this host shows multi-
+    // second systemwide stalls (VM CPU steal) that made single-shot
+    // numbers vary 3–40s run-to-run; the median discards one bad draw.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
+    }
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+      (1 to iters).map(_ => once(fn))
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
     }
 
     // Warm up every query once at the smallest SF: whole-stage codegen
@@ -39,14 +49,20 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    // Drop warmup-SF cached intermediates so measurement starts clean.
+    graft.operators.TextPipelineQueries.clearCache(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> run(fn)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v)}%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    graft.operators.TextPipelineQueries.clearCache(spark)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"queries":$qs,"queries_iters":$spreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

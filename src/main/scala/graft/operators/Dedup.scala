@@ -26,28 +26,48 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-document MinHash band signatures: 8 min-hashes over
-    * `shingleN`-gram shingles, banded 2 at a time into 4 concatenated
-    * signatures. Output: (id, band, sig).
+  /** The shared shingle-pipeline intermediate: DISTINCT per-document
+    * shingles, carried as hashes only — `(id, md5_0, md5_1, shash)`
+    * where md5_k = md5(k + "|" + shingle) (the MinHash family) and
+    * shash = xxhash64(shingle) (an 8-byte join key for set
+    * intersection — shuffling longs instead of shingle strings
+    * shrinks the Jaccard shuffle ~5×).
     *
-    * Hash family: hash j is the 8-hex-char slice j%4 of
-    * md5((j/4) + "|" + shingle) — two md5 calls per shingle instead
-    * of eight, no hash-id crossJoin, and all 8 mins fold in ONE
-    * map-side-combined aggregation (a single shuffle on the doc id).
-    * 32-bit hex slices compare lexicographically as unsigned ints,
-    * and md5 is identical in DuckDB, so the oracle stays exact. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3): DataFrame = {
-    val numHashes = 8
-    // Explicit partition count: the salted-hash stage is the compute-
+    * One explode + ONE shuffle (the distinct) produces everything the
+    * MinHash signatures, LSH candidates, and exact Jaccard verify all
+    * need — callers materialize this once per corpus instead of
+    * re-deriving the explode per consumer. Distinctness is safe for
+    * MinHash too: min over a set equals min over the multiset.
+    *
+    * (xxhash64 collisions could in principle add a spurious
+    * intersection; at ~2⁻⁶⁴ per shingle pair that is ignorable even
+    * at 100 TB corpus scale.) */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3): DataFrame = {
+    // Explicit partition count: the shingle+hash stage is the compute-
     // heavy part, and a single-small-file input would otherwise run it
     // on one task (AQE would coalesce a countless repartition too).
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val sh = df.repartition(par, col(idCol))
+    df.repartition(par, col(idCol))
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
       .select(col(idCol),
         md5(concat(lit("0|"), col("shingle"))).as("md5_0"),
-        md5(concat(lit("1|"), col("shingle"))).as("md5_1"))
+        md5(concat(lit("1|"), col("shingle"))).as("md5_1"),
+        xxhash64(col("shingle")).as("shash"))
+      .distinct()
+  }
+
+  /** MinHash band signatures from a [[shingleTable]]: 8 min-hashes,
+    * banded 2 at a time into 4 concatenated signatures. Output:
+    * (id, band, sig) — one map-side-combined shuffle on the doc id.
+    *
+    * Hash family: hash j is the 8-hex-char slice j%4 of
+    * md5((j/4) + "|" + shingle) — two md5 calls per shingle instead
+    * of eight, no hash-id crossJoin. 32-bit hex slices compare
+    * lexicographically as unsigned ints, and md5 is identical in
+    * DuckDB, so the oracle stays exact. */
+  def signaturesFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+    val numHashes = 8
     val minCols = (0 until numHashes).map(j =>
       min(substring(col(s"md5_${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j"))
     val mh = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
@@ -55,6 +75,14 @@ object Dedup {
       s"CAST($b AS BIGINT), concat(h${2 * b}, '|', h${2 * b + 1})").mkString(", ")
     mh.selectExpr(idCol, s"stack(${numHashes / 2}, $stackExpr) AS (band, sig)")
   }
+
+  /** Per-document MinHash band signatures straight from text (the
+    * one-shot convenience path; pipelines sharing the shingle set
+    * should materialize [[shingleTable]] and call
+    * [[signaturesFromShingles]]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3): DataFrame =
+    signaturesFromShingles(shingleTable(df, idCol, textCol, shingleN), idCol)
 
   /** LSH candidate pairs: documents sharing any band signature.
     * Output: (id_a, id_b) with id_a < id_b, distinct.
@@ -75,22 +103,19 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 
-  /** Exact n-gram Jaccard similarity, computed only for `pairs`
-    * (normally LSH candidates): |A∩B| / |A∪B| over distinct shingle
-    * sets. Output: (id_a, id_b, jaccard rounded to 4). */
-  def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
-                   textCol: String, shingleN: Int = 3): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    // the distinct shingle set is read three times (sa, sb, sizes) —
-    // cache it instead of recomputing the explode+distinct each time
-    val ds = df.repartition(par, col(idCol)).select(col(idCol).as("sid"),
-      explode(shingles(col(textCol), shingleN)).as("shingle")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  /** Exact n-gram Jaccard similarity from a [[shingleTable]],
+    * computed only for `pairs` (normally LSH candidates):
+    * |A∩B| / |A∪B| over distinct shingle sets. The intersection
+    * joins on the 8-byte `shash` key — never on shingle strings.
+    * Output: (id_a, id_b, jaccard rounded to 4). */
+  def ngramJaccardFromShingles(sh: DataFrame, pairs: DataFrame,
+                               idCol: String): DataFrame = {
+    val ds = sh.select(col(idCol).as("sid"), col("shash"))
     val sizes = ds.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
     val inter = pairs
       .join(ds.as("sa"), col("id_a") === col("sa.sid"))
       .join(ds.as("sb"), col("id_b") === col("sb.sid") &&
-        col("sa.shingle") === col("sb.shingle"))
+        col("sa.shash") === col("sb.shash"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.as("na"), col("id_a") === col("na.sid"))
@@ -99,6 +124,13 @@ object Dedup {
         round(col("inter") / (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
           .as("jaccard"))
   }
+
+  /** One-shot n-gram Jaccard straight from text (convenience path;
+    * pipelines should share a materialized [[shingleTable]]). */
+  def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String, shingleN: Int = 3): DataFrame =
+    ngramJaccardFromShingles(shingleTable(df, idCol, textCol, shingleN),
+      pairs, idCol)
 
   /** Per-document SimHash of `bits` bits (frequency-weighted token
     * votes; deterministic salted-md5 bit hashes). Output: (id, simhash). */

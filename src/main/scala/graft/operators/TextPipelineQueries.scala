@@ -22,16 +22,53 @@ object TextPipelineQueries {
   private def docs(s: SparkSession, d: String) = t(s, d, "documents")
   private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
 
-  /** MinHash signatures are consumed by three queries (q17/q18/q19);
-    * materialize once per (session, dir) — the standard shared-
+  /** The distinct shingle-hash table feeds three queries (q17 minhash
+    * signatures, q18 LSH candidates, q19 exact Jaccard verify);
+    * materialize it ONCE per (session, dir) — the standard shared-
     * intermediate pattern a pipeline would use at scale instead of
-    * re-deriving a sketch per consumer. */
-  private val sigCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
-  private def signatures(s: SparkSession, d: String): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(s), d),
-      Dedup.minhashSignatures(docs(s, d), "doc_id", "text")
+    * re-deriving the explode+distinct per consumer.
+    *
+    * Keyed by `sessionUUID` (stable, unlike an identity hash), with
+    * unpersist-on-replacement and an explicit [[clearCache]] so no
+    * persisted RDD outlives its consumers. */
+  private val shCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** `sessionUUID` is `private[sql]` in the Scala signature but
+    * public bytecode — reflection reaches the stable per-session id
+    * without depending on sql-internal access. */
+  private def sessionKey(s: SparkSession): String =
+    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
+    catch { case _: ReflectiveOperationException =>
+      String.valueOf(System.identityHashCode(s)) }
+
+  private def shingleTab(s: SparkSession, d: String): DataFrame =
+    shCache.getOrElseUpdate((sessionKey(s), d),
+      Dedup.shingleTable(docs(s, d), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** The (id, band, sig) signature table is itself multi-consumer
+    * (q17 output, q18 bucketing, q19's candidate pairs) and tiny —
+    * 4 rows per doc — so it is cached too, derived from the cached
+    * shingle table (one extra map-side-combined shuffle, once). */
+  private val sigCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    sigCache.getOrElseUpdate((sessionKey(s), d),
+      Dedup.signaturesFromShingles(shingleTab(s, d), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Unpersist and drop every cached intermediate belonging to
+    * `s` (call when a pipeline run is finished with a corpus). */
+  def clearCache(s: SparkSession): Unit = {
+    val key = sessionKey(s)
+    Seq(shCache, sigCache).foreach { cache =>
+      cache.keys.filter(_._1 == key).foreach { k =>
+        cache.remove(k).foreach(_.unpersist(blocking = false))
+      }
+    }
+  }
 
   val queries: Map[String, Q] = Map(
     "q16_dedup_exact" -> ((s, d) =>
@@ -40,9 +77,9 @@ object TextPipelineQueries {
     "q18_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.lshCandidatePairs(signatures(s, d), "doc_id")),
     "q19_ngram_jaccard" -> ((s, d) => {
-      val dd = docs(s, d)
+      val sh = shingleTab(s, d)
       val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
-      Dedup.ngramJaccard(dd, pairs, "doc_id", "text")
+      Dedup.ngramJaccardFromShingles(sh, pairs, "doc_id")
     }),
     "q20_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
