@@ -83,7 +83,18 @@ object JVal {
         val mant = if (digits.length == 1) digits else s"${digits.head}.${digits.tail}"
         val sign = if (d < 0) "-" else ""
         f"$sign$mant%se${if (exp >= 0) "+" else "-"}${math.abs(exp)}%02d"
-      } else bd.toPlainString
+      } else {
+        // Python repr parity for the plain-form range: no trailing
+        // zeros in the fraction ("0.0001", not "0.00010") but always
+        // at least one fractional digit ("15000000000.0", not
+        // "15000000000") — BigDecimal expansion loses both.
+        var p = bd.toPlainString
+        if (p.contains('.')) {
+          p = p.reverse.dropWhile(_ == '0').reverse
+          if (p.endsWith(".")) p += "0"
+        } else p += ".0"
+        p
+      }
     }
   }
 

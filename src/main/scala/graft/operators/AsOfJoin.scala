@@ -20,10 +20,14 @@ import org.apache.spark.sql.expressions.Window
 object AsOfJoin {
 
   /** @param rightVals right columns carried to the matched left row
-    *                   (null when no right row precedes the left row).
+    *                   (null when no right row precedes the left row;
+    *                   must be orderable types — they join the sort key).
     * Time columns must be numeric (e.g. epoch nanos); ties at the
     * exact same (key, time) place right rows before left rows
-    * (inclusive semantics) and are otherwise broken arbitrarily.
+    * (inclusive semantics). Among multiple right rows at the same
+    * (key, time) the winner is deterministic: the greatest
+    * `rightVals` struct (field-wise comparison) — window order alone
+    * would pick an arbitrary partition-order-dependent row.
     */
   def asOf(left: DataFrame, leftKey: String, leftTime: String,
            right: DataFrame, rightKey: String, rightTime: String,
@@ -42,7 +46,7 @@ object AsOfJoin {
     val lType = l0.schema("__lrow").dataType
     val u = l0.unionByName(r0.withColumn("__lrow", lit(null).cast(lType)))
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__v").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

@@ -38,11 +38,22 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))))
 
   val oracle: Map[String, String] = Map(
+    // Mirrors AsOfJoin.asOf's union+window shape INCLUDING its
+    // deterministic tie-break (at equal ts: purchases before clicks,
+    // greatest purchase event_id wins) — DuckDB's native ASOF JOIN
+    // leaves the tie choice unspecified, so parity would otherwise
+    // depend on the data having no duplicate (user_id, ts).
     "q27_asof_join" ->
-      """SELECT c.event_id, p.event_id AS purchase_event_id
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
-        |  ON c.user_id = p.user_id AND p.ts <= c.ts""".stripMargin,
+      """WITH cp AS (SELECT * FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT event_id, event_type,
+        |  last_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ns(ts),
+        |                   CASE WHEN event_type='purchase' THEN 0 ELSE 1 END,
+        |                   CASE WHEN event_type='purchase' THEN event_id END
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_event_id
+        | FROM cp)
+        |SELECT event_id, purchase_event_id FROM w WHERE event_type = 'click'""".stripMargin,
     "q28_interpolate" ->
       """WITH cp AS (SELECT * FROM events WHERE event_type IN ('click','purchase')),
         |w AS (SELECT event_id, event_type, epoch_ns(ts) AS t,

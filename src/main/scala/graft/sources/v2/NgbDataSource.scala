@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import graft.sources.NgbSource
+import graft.sources.{NgbSource, PyJsonParser}
 
 /** DataSource V2 for the Netzsch `.ngb` binary format — the scale
   * path for S7 (SURVEY.md §2.1, §4): `spark.read.format("ngb")
@@ -28,17 +28,44 @@ class NgbDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ngb"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = NgbDataSource.listFiles(options.get("path"))
-    require(files.nonEmpty, "ngb: no .ngb-ss3/.ngb-bs3 files under path")
+    val files = NgbDataSource.resolveFiles(
+      Option(options.get("path")), Option(options.get("paths")))
+    // Schema comes from the FIRST file; all listed files must share a
+    // channel layout (one instrument family per load). Readers null-pad
+    // a file whose channel set is narrower, but a file with different
+    // channel NAMES should be loaded separately.
     NgbDataSource.schemaOf(files.head)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new NgbTable(schema, NgbDataSource.listFiles(properties.get("path")))
+    new NgbTable(schema, NgbDataSource.resolveFiles(
+      Option(properties.get("path")), Option(properties.get("paths"))))
 }
 
 object NgbDataSource {
+  /** `load(p)` arrives as option "path"; `load()`/`load(p1, p2, …)`
+    * arrive as option "paths", a JSON string array. The previous
+    * path-only read NPE'd on multi-path loads. */
+  private[v2] def resolveFiles(path: Option[String],
+                               paths: Option[String]): Seq[String] = {
+    val roots: Seq[String] = path.map(Seq(_)).getOrElse {
+      val arr = paths.getOrElse(throw new IllegalArgumentException(
+        "ngb: no path given — use spark.read.format(\"ngb\").load(<fileOrDir>)"))
+      PyJsonParser.parse(arr) match {
+        case graft.functions.JArr(items) => items.collect {
+          case graft.functions.JStr(s) => s }
+        case _ => throw new IllegalArgumentException(
+          s"ngb: unparseable paths option: $arr")
+      }
+    }
+    require(roots.nonEmpty,
+      "ngb: no path given — use spark.read.format(\"ngb\").load(<fileOrDir>)")
+    val files = roots.flatMap(listFiles)
+    require(files.nonEmpty, "ngb: no .ngb-ss3/.ngb-bs3 files under path")
+    files
+  }
+
   private[v2] def listFiles(path: String): Seq[String] = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) {

@@ -85,7 +85,11 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // A timeout at or below the current watermark throws —
+              // possible when this key's state is stale relative to
+              // other keys' event-time progress. Clamp just above.
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.last + gapMs))
             }
             out.result().iterator
           }

@@ -34,6 +34,20 @@ class NgbDataSourceSpec extends AnyFunSuite {
     assert(viaV2.sameElements(viaApi))
   }
 
+  test("multi-path load (Spark passes 'paths', not 'path') unions both") {
+    val other = s"$staDir/Hyundai_KM8K_Carpet_STA_N2_10K_240711_R3.ngb-ss3"
+    val df = spark.read.format("ngb").load(oneFile, other)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.count() ==
+      spark.read.format("ngb").load(oneFile).count() +
+      spark.read.format("ngb").load(other).count())
+  }
+
+  test("pathless load fails with a clear message, not an NPE") {
+    val e = intercept[Exception](spark.read.format("ngb").load())
+    assert(e.getMessage.contains("ngb: no path given"), e.getMessage)
+  }
+
   test("aggregation over the v2 source matches driver-side load") {
     val v2sum = spark.read.format("ngb").load(oneFile)
       .agg(sum("temperature")).head().getDouble(0)

@@ -23,6 +23,18 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(out("d").isEmpty)        // key has no right rows
   }
 
+  test("asOf: ties at the same (key, time) resolve deterministically") {
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "tag")
+    // three right rows at the identical (key, time): greatest val wins
+    val right = Seq((1L, 100L, 7.0), (1L, 100L, 9.0), (1L, 100L, 8.0))
+      .toDF("k", "t", "v")
+    (1 to 3).foreach { _ =>
+      val out = AsOfJoin.asOf(left, "k", "t",
+        right.repartition(4), "k", "t", Seq("v")).collect()
+      assert(out.head.getAs[Double]("v") == 9.0)
+    }
+  }
+
   test("interpolate: linear between samples, clamped at edges") {
     val grid = Seq((1L, 0L, 15L), (2L, 5L, 15L), (3L, 20L, 15L), (4L, 30L, 15L))
       .toDF("gid", "t", "k")

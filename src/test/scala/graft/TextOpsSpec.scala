@@ -50,6 +50,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!j.contains((0L, 2L))) // zero intersection drops out
   }
 
+  test("pipeline cache lifecycle: clearCache leaves no persisted RDDs") {
+    import graft.operators.TextPipelineQueries
+    val d = "/root/testdata/sf0.001"
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("q17_minhash_signatures", "q18_dedup_minhash_lsh", "q19_ngram_jaccard")
+      .foreach(q => TextPipelineQueries.queries(q)(spark, d).collect())
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    TextPipelineQueries.clearCache(spark)
+    // compare against `before`, not empty: other suites share the session
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "clearCache must unpersist every shared intermediate")
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
