@@ -1,0 +1,151 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types._
+import graft.functions.{JObj, JStr}
+
+/** Directory-scale ingest for the text-export instrument formats
+  * (STA §2.1 S1, MCC §2.1 S2): the reference parses one file per call
+  * (netzsch_sta_parser.py:30, faa_mcc_parser.py:12); a fleet of 10⁶
+  * instrument files needs the same parse fanned out across executors.
+  *
+  * Shape: the driver lists paths and parses ONLY the head file to pin
+  * the output schema (exactly the single-file loader's inference, so
+  * the two paths agree); executors then read + parse whole files —
+  * each file is one task, the natural unit for KB–MB instrument
+  * exports — and emit typed rows tagged with `source_file`. Files
+  * whose header differs are reconciled BY COLUMN NAME against the
+  * pinned schema (missing column → null, extra column → dropped), so
+  * the two STA export variants land in one frame.
+  *
+  * I/O goes through the Hadoop FileSystem API, so `dir` may live on
+  * any configured filesystem (local, HDFS, S3A), and bytes are read
+  * inside tasks — the driver never holds file contents. Per-file
+  * table metadata is a separate one-row-per-file frame
+  * ([[metadataTable]]) rather than a per-row duplicate.
+  */
+object LabDirectory {
+
+  /** Parser-independent parsed form of one text-export file. */
+  case class ParsedText(cols: Seq[String], units: Seq[Option[String]],
+                        delim: Char, body: Seq[String], tableMeta: JObj)
+
+  /** (path, bytes) → parsed; must be pure + serializable. */
+  type Parser = (String, Array[Byte]) => ParsedText
+
+  def loadSta(spark: SparkSession, dir: String, glob: String = "*.csv"): DataFrame =
+    load(spark, dir, glob, StaSource.parseBytes)
+
+  def loadMcc(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    load(spark, dir, glob, MccSource.parseBytes)
+
+  def staMetadata(spark: SparkSession, dir: String, glob: String = "*.csv"): DataFrame =
+    metadataTable(spark, dir, glob, StaSource.parseBytes)
+
+  def mccMetadata(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
+    metadataTable(spark, dir, glob, MccSource.parseBytes)
+
+  /** Distributed body ingest: schema = `source_file` + the head
+    * file's single-file-loader schema; one executor task per file. */
+  def load(spark: SparkSession, dir: String, glob: String,
+           parser: Parser): DataFrame = {
+    val paths = list(spark, dir, glob)
+    require(paths.nonEmpty, s"no files matching $glob under $dir")
+    val head = parser(paths.head, readBytes(spark, paths.head))
+    // Pin types with the same CSV inference the single-file path uses.
+    val headDf = LabTable.csvBody(spark, head.body, head.delim, head.cols)
+    val schema = StructType(
+      StructField("source_file", StringType, nullable = false) +:
+        headDf.schema.fields.toSeq)
+    val targets: Seq[(String, DataType)] =
+      headDf.schema.fields.toSeq.map(f => (f.name, f.dataType))
+    val rows = spark.createDataset(paths)(Encoders.STRING)
+      .repartition(paths.size) // round-robin: exactly one file per task
+      .mapPartitions { it: Iterator[String] =>
+        it.flatMap { p =>
+          val parsed = parser(p, readBytesTask(p))
+          val srcIdx = targets.map { case (name, dt) =>
+            (parsed.cols.indexOf(name), dt)
+          }
+          parsed.body.iterator.map { line =>
+            val fields = line.split(parsed.delim.toString, -1)
+            Row.fromSeq(p +: srcIdx.map { case (i, dt) =>
+              if (i < 0 || i >= fields.length) null
+              else convert(fields(i).trim, dt)
+            })
+          }
+        }
+      }(Encoders.row(schema))
+    LabTable.withUnits(rows.toDF(),
+      head.cols.zip(head.units).map { case (c, u) => (c, u) })
+  }
+
+  /** One row per file: (source_file, type, file_metadata JSON) —
+    * the table-level metadata the single-file loader carries on
+    * [[LabTable]], in queryable frame form. */
+  def metadataTable(spark: SparkSession, dir: String, glob: String,
+                    parser: Parser): DataFrame = {
+    val paths = list(spark, dir, glob)
+    require(paths.nonEmpty, s"no files matching $glob under $dir")
+    val schema = StructType(Seq(
+      StructField("source_file", StringType, nullable = false),
+      StructField("type", StringType),
+      StructField("file_metadata", StringType)))
+    spark.createDataset(paths)(Encoders.STRING)
+      .repartition(paths.size)
+      .mapPartitions { it: Iterator[String] =>
+        it.map { p =>
+          val parsed = parser(p, readBytesTask(p))
+          val tpe = parsed.tableMeta.get("type")
+            .collect { case JStr(s) => s }.orNull
+          val fm = parsed.tableMeta.get("file_metadata").map(_.render).orNull
+          Row(p, tpe, fm)
+        }
+      }(Encoders.row(schema))
+      .toDF()
+  }
+
+  /** Numeric conversion matching the pinned CSV-inferred schema;
+    * unparseable cells become null (permissive, as Spark CSV). */
+  private def convert(s: String, dt: DataType): Any =
+    try dt match {
+      case LongType => java.lang.Long.parseLong(s)
+      case DoubleType => java.lang.Double.parseDouble(s)
+      case _ => s
+    } catch { case _: NumberFormatException => null }
+
+  private def list(spark: SparkSession, dir: String, glob: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val found = fs.globStatus(hPath)
+    if (found == null) Seq.empty
+    else found.toSeq.filter(_.isFile).map(_.getPath.toString).sorted
+  }
+
+  private def readBytes(spark: SparkSession, path: String): Array[Byte] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readAll(fs, hPath)
+  }
+
+  /** Executor-side read: tasks build a default Hadoop conf (picks up
+    * core-site.xml on the executor classpath — the standard cluster
+    * distribution mechanism for FS credentials). */
+  private def readBytesTask(path: String): Array[Byte] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    readAll(fs, hPath)
+  }
+
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+}

@@ -74,8 +74,10 @@ object MccSource {
       "file" -> JStr(fileName), "method" -> JStr("BLAKE2b"), "hash" -> JStr(hashHex)))
   }
 
-  def load(spark: SparkSession, path: String): LabTable = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  /** Pure bytes→parsed form (no SparkSession) — runs identically on
+    * the driver (single-file [[load]]) and inside executor tasks
+    * ([[LabDirectory]] fleet ingest). */
+  def parseBytes(path: String, bytes: Array[Byte]): LabDirectory.ParsedText = {
     val enc = Encoding.detect(bytes)
     val lines = Encoding.decode(bytes, enc).split("\n", -1)
     val delim = HeaderSniff.sniffDelimiter(lines)
@@ -85,8 +87,14 @@ object MccSource {
     val (cols, units) = splitHeader(headerFields)
     val meta = metadata(path.split("/").last, Blake2b.hex(bytes), lines, hEnd)
     val body = lines.drop(hEnd + 2).filter(_.trim.nonEmpty).toSeq
-    val df = LabTable.csvBody(spark, body, delim, cols)
-    LabTable(LabTable.withUnits(df, cols.zip(units)),
+    LabDirectory.ParsedText(cols, units, delim, body,
       JVal.obj("file_metadata" -> meta, "type" -> JStr("MCC")))
+  }
+
+  def load(spark: SparkSession, path: String): LabTable = {
+    val p = parseBytes(path,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    val df = LabTable.csvBody(spark, p.body, p.delim, p.cols)
+    LabTable(LabTable.withUnits(df, p.cols.zip(p.units)), p.tableMeta)
   }
 }
