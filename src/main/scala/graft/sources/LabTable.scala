@@ -26,9 +26,32 @@ case class LabTable(df: DataFrame, tableMeta: JObj) {
     else None
   }
 
-  /** Parquet sink, snappy (SURVEY.md §2.11 K1) + metadata sidecar. */
+  /** Parquet sink, snappy (SURVEY.md §2.11 K1). Table-level metadata
+    * lands in BOTH interop slots: the parquet footer key-value
+    * entries `file_metadata`/`type` (byte-matching the reference's
+    * pyarrow footer layout, util.py:56-71 — a footer-key consumer
+    * sees identical JSON) and a `_lab_metadata.json` sidecar (useful
+    * for humans and directory listings). */
   def write(path: String): Unit = {
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    val footerEntries =
+      fileMetadata.map(m => "file_metadata" -> m.render).toSeq ++
+        typeTag.map(t => "type" -> t).toSeq
+    if (footerEntries.nonEmpty) {
+      val parts = new java.io.File(path).listFiles()
+      if (parts != null)
+        parts.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach { f =>
+            ParquetFooter.addKeyValue(f.getPath, footerEntries)
+            // the in-place edit invalidates Hadoop's local-FS .crc
+            // sidecar; drop it so ChecksumFileSystem re-reads cleanly
+            val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+            if (crc.exists()) crc.delete()
+          }
+      // The surgery grows each file; drop Spark's cached FileStatus
+      // (a stale length makes the footer reader seek out of bounds).
+      df.sparkSession.catalog.refreshByPath(path)
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "_lab_metadata.json"), tableMeta.render)
   }
@@ -38,15 +61,35 @@ object LabTable {
 
   def read(spark: SparkSession, path: String): LabTable = {
     val df = spark.read.parquet(path)
+    // Footer keys first (present in our output AND the reference's
+    // pyarrow-written files); sidecar as fallback.
+    val fromFooter: Option[JObj] = {
+      val parts = new java.io.File(path).listFiles()
+      val part = Option(parts).toSeq.flatten
+        .find(f => f.isFile && f.getName.endsWith(".parquet"))
+      part.flatMap { f =>
+        val kv = ParquetFooter.readKeyValue(f.getPath)
+        if (!kv.contains("file_metadata") && !kv.contains("type")) None
+        else Some(JObj(Vector.empty) ++?
+          kv.get("file_metadata").map(s => "file_metadata" -> PyJsonParser.parse(s)) ++?
+          kv.get("type").map(s => "type" -> (JStr(s): JVal)))
+      }
+    }
     val sidecar = java.nio.file.Paths.get(path, "_lab_metadata.json")
-    val meta =
+    val meta = fromFooter.getOrElse {
       if (java.nio.file.Files.exists(sidecar))
         PyJsonParser.parse(java.nio.file.Files.readString(sidecar)) match {
           case o: JObj => o
           case other => JVal.obj("file_metadata" -> other)
         }
       else JObj(Vector.empty)
+    }
     LabTable(df, meta)
+  }
+
+  private implicit class JObjBuild(o: JObj) {
+    def ++?(kv: Option[(String, JVal)]): JObj =
+      kv.map(o + _).getOrElse(o)
   }
 
   /** Attach per-column unit metadata (reference: util.py:37-54; a

@@ -112,6 +112,27 @@ class LabSourcesSpec extends AnyFunSuite {
     assert(back.fileMetadata.get.render == t.fileMetadata.get.render)
   }
 
+  test("parquet footer carries file_metadata/type keys byte-identically") {
+    import graft.sources.ParquetFooter
+    val t = LabEtl.loadMccData(spark, mcc)
+    val out = java.nio.file.Files.createTempDirectory("labftr").toString + "/mcc"
+    t.write(out)
+    val part = new java.io.File(out).listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    val kv = ParquetFooter.readKeyValue(part.getPath)
+    // the footer value is the same byte string pyarrow would persist
+    // from the reference's json.dumps (util.py:56-71)
+    assert(kv("file_metadata") == golden("mcc_file_metadata.json"))
+    assert(kv("type") == "MCC")
+    // spark still reads the data fine after the footer surgery
+    assert(spark.read.parquet(out).count() == 2584)
+    // and LabTable.read restores metadata from the footer alone
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out, "_lab_metadata.json"))
+    val back = LabTable.read(spark, out)
+    assert(back.fileMetadata.get.render == t.fileMetadata.get.render)
+    assert(back.typeTag.contains("MCC"))
+  }
+
   test("HFM conductivity: golden table + byte-identical metadata") {
     val t = LabEtl.loadHfmData(spark, hfm)
     assert(t.df.columns.toSeq == Seq("setpoint", "upper_temperature",
