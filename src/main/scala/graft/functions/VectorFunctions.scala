@@ -37,4 +37,11 @@ object VectorFunctions {
   def signBucket(a: Column, bits: Int): Column =
     concat((1 to bits).map(i =>
       when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Sign-bit bucket over components [start, start+bits) — the
+    * per-band key for multi-band LSH (each band reads a disjoint
+    * slice of the vector). */
+  def signBucketAt(a: Column, start: Int, bits: Int): Column =
+    concat((start + 1 to start + bits).map(i =>
+      when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
 }

@@ -89,17 +89,27 @@ object Dedup {
     *
     * Implemented as bucket-collect + in-bucket pair expansion rather
     * than a self-join — the signature pipeline is evaluated ONCE, and
-    * only the (band, sig) shuffle remains. Bucket sizes are tiny for
-    * honest signatures; a pathological hot bucket at scale should be
-    * length-capped or salted upstream. */
-  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame =
+    * only the (band, sig) shuffle remains.
+    *
+    * Skew guard: a bucket larger than `maxBucketSize` (e.g. thousands
+    * of boilerplate-identical documents at corpus scale) would expand
+    * B²/2 pairs; such buckets fall back to STAR pairing — every member
+    * linked to the bucket's minimum id, B−1 pairs — which preserves
+    * the connected components a dedup clustering consumes while
+    * bounding output linearly. The default keeps exact all-pairs
+    * semantics (and the DuckDB oracle). */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String,
+                        maxBucketSize: Int = Int.MaxValue): DataFrame =
     sigs.groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
+      .select(explode(when(size(col("ids")) <= maxBucketSize, expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"""
-          .stripMargin)).as("p"))
+          .stripMargin))
+        .otherwise(expr(
+          """transform(slice(ids, 2, size(ids)),
+            |  y -> struct(ids[0] AS id_a, y AS id_b))""".stripMargin))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
 

@@ -38,15 +38,70 @@ object Similarity {
   }
 
   /** All in-bucket pairs with cosine ≥ threshold (sign-bit LSH).
-    * Output: (id_a, id_b, cos) with id_a < id_b. */
+    * Output: (id_a, id_b, cos) with id_a < id_b.
+    *
+    * Skew guard: a degenerate bucket (e.g. the all-zeros sign pattern
+    * of sparse vectors) makes the self-join quadratic; buckets larger
+    * than `maxBucketSize` are EXCLUDED from the join (documented
+    * recall loss — the multi-band variant below recovers most such
+    * pairs via other bands). Default keeps exact semantics. */
   def lshSimilarPairs(corpus: DataFrame, idCol: String, vecCol: String,
-                      bits: Int, threshold: Double): DataFrame = {
+                      bits: Int, threshold: Double,
+                      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val withBucket = corpus.select(col(idCol), col(vecCol),
       signBucket(col(vecCol), bits).as("bucket"))
-    val a = withBucket.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = withBucket.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) withBucket
+      else {
+        // one tiny agg (bucket → count), broadcast back as a filter
+        val counts = withBucket.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+        withBucket.join(broadcast(counts.select(col("bucket"))), Seq("bucket"))
+      }
+    val a = guarded.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = guarded.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Multi-band sign-LSH similar pairs: `bands` independent bucket
+    * keys over disjoint vector slices; a pair is a candidate if it
+    * collides in ANY band (higher recall than one wide key), and each
+    * band's buckets are ~2^bitsPerBand-way partitioned — smaller and
+    * more uniform than a single band's, which is what survives skew
+    * at corpus scale. Per-(band, bucket) population is capped at
+    * `maxBucketSize` (degenerate patterns excluded, like
+    * [[lshSimilarPairs]]). Output: (id_a, id_b, cos), id_a < id_b,
+    * each pair once. */
+  def lshSimilarPairsBanded(corpus: DataFrame, idCol: String, vecCol: String,
+                            bitsPerBand: Int, bands: Int, threshold: Double,
+                            maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bandBuckets = array((0 until bands).map(bd =>
+      struct(lit(bd).as("band"),
+        signBucketAt(col(vecCol), bd * bitsPerBand, bitsPerBand).as("bucket"))): _*)
+    val exploded = corpus
+      .select(col(idCol), col(vecCol), explode(bandBuckets).as("bb"))
+      .select(col(idCol), col(vecCol), col("bb.band"), col("bb.bucket"))
+    val guarded =
+      if (maxBucketSize == Int.MaxValue) exploded
+      else {
+        val counts = exploded.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketSize)
+        exploded.join(broadcast(counts.select(col("band"), col("bucket"))),
+          Seq("band", "bucket"))
+      }
+    val a = guarded.select(col("band"), col("bucket"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = guarded.select(col("band"), col("bucket"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
       .select(col("id_a"), col("id_b"),
         round(cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)

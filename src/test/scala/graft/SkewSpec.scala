@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Skew guards: one synthetic hot bucket must not produce quadratic
+  * output (dedup) or a quadratic in-bucket join (similarity). */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("dedup LSH: hot bucket falls back to star pairing, linear output") {
+    // 60 byte-identical docs → one hot (band, sig) bucket per band
+    val docs = ((0 until 60).map(i => (i.toLong, "aa bb cc dd ee ff gg")) ++
+      Seq((100L, "totally different text here right now"),
+          (101L, "another unrelated document entirely today")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val unbounded = Dedup.lshCandidatePairs(sigs, "doc_id")
+    assert(unbounded.count() == 60L * 59 / 2) // quadratic without a guard
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", maxBucketSize = 10)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == 59) // star: every dup linked to the min id
+    assert(pairs.forall(_._1 == 0L)) // canonical = bucket minimum
+    assert(pairs.map(_._2).toSet == (1L until 60L).toSet) // component intact
+  }
+
+  test("similarity LSH: overfull bucket excluded from the self-join") {
+    // 30 vectors in the all-positive sign bucket; 4 in two small ones
+    val hot = (0 until 30).map(i => (i.toLong, Array.fill(8)(1f + i * 0.01f)))
+    val smallA = Seq((100L, Array(-1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+                     (101L, Array(-1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)))
+    val smallB = Seq((200L, Array(1f, -1f, 1f, 1f, 1f, 1f, 1f, 1f)),
+                     (201L, Array(1f, -1f, 1f, 1f, 1f, 1f, 1f, 1f)))
+    val corpus = (hot ++ smallA ++ smallB).toDF("vec_id", "embedding")
+    val capped = Similarity.lshSimilarPairs(
+      corpus, "vec_id", "embedding", 8, 0.5, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L), (200L, 201L))) // hot bucket skipped
+    val unbounded = Similarity.lshSimilarPairs(
+      corpus, "vec_id", "embedding", 8, 0.5)
+    assert(unbounded.count() == 30L * 29 / 2 + 2) // would be quadratic
+  }
+
+  test("multi-band LSH recovers pairs a hot band drops") {
+    // band 0 (dims 1-4): everyone identical → hot, excluded at cap.
+    // band 1 (dims 5-8): 10 groups of 2 by sign pattern → small buckets.
+    def vec(group: Int): Array[Float] = {
+      val signs = (0 until 4).map(b => if (((group >> b) & 1) == 1) 1f else -1f)
+      Array(1f, 1f, 1f, 1f) ++ signs
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i % 10)))
+      .toDF("vec_id", "embedding")
+    val banded = Similarity.lshSimilarPairsBanded(
+      corpus, "vec_id", "embedding", bitsPerBand = 4, bands = 2,
+      threshold = 0.99, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors i and i+10 share band-1 buckets of size 2
+    assert(banded == (0 until 10).map(i => (i.toLong, i + 10L)).toSet)
+  }
+}
