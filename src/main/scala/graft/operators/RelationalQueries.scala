@@ -283,20 +283,24 @@ object RelationalQueries {
   }
 
   /** q34: sketch aggregation — HyperLogLog++ approximate distinct.
-    * No DuckDB oracle (approx sketches differ across engines by
-    * design) → the driver records a rows-only check; the exact
-    * distinct rides along so the approximation is inspectable. */
+    * Raw sketch estimates differ across engines by design, so the
+    * oracle-checked output carries the EXACT distinct (verified
+    * value-for-value) plus `approx_ok`, the in-engine assertion that
+    * the sketch landed within 5% of exact (2% configured error) —
+    * DuckDB's side is the constant `true`, so a drifting sketch
+    * breaks the hash compare. */
   val q34ApproxDistinct: Q = (s, d) => {
     import s.implicits._
     t(s, d, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
-        approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
-        countDistinct($"l_partkey").as("exact_parts"))
+        countDistinct($"l_partkey").as("exact_parts"),
+        (abs(approx_count_distinct($"l_partkey", 0.02) - countDistinct($"l_partkey"))
+          <= countDistinct($"l_partkey") * 0.05).as("approx_ok"))
   }
 
   /** Queries intentionally published without an oracle. */
-  val rowsOnly: Set[String] = Set("q34_approx_distinct")
+  val rowsOnly: Set[String] = Set.empty
 
   val queries: Map[String, Q] = Map(
     "q34_approx_distinct" -> q34ApproxDistinct,
@@ -344,6 +348,14 @@ object RelationalQueries {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         | round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Partial oracle: the exact column is value-checked; approx_ok is
+    // Spark's own sketch-within-5%-of-exact assertion, compared to a
+    // constant true here — drift breaks the hash compare.
+    "q34_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | true AS approx_ok
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

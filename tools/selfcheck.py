@@ -29,6 +29,16 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.columns.tolist(), rows
 
 def main():
+    if "--skip-verify" not in sys.argv:
+        # the docstring always promised this; now it's true — stale
+        # spark dumps silently void the whole compare otherwise
+        import subprocess
+        r = subprocess.run(
+            ["sbt", f"runMain graft.Verify {SF} {OUT}"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            sys.exit(f"graft.Verify failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
