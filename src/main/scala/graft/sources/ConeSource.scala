@@ -57,10 +57,29 @@ object ConeSource {
     }.toMap
   }
 
+  /** Numeric coercion for sheet-1 metadata cells.
+    *
+    * The reference receives cell values as fastexcel/polars-rendered
+    * STRINGS and runs int(s) → float(s) (deatak_cone_parser.py:151-158);
+    * Python's float string form always carries a decimal point, so
+    * int(s) never fires on a numeric cell and integral values stay
+    * floats ("5.0"). Our native mode keeps the typed cell and surfaces
+    * whole doubles as ints ("5") — usually what a consumer wants.
+    * `FloatRoundTrip` reproduces the reference byte layout instead. */
+  sealed trait NumericMode
+  object NumericMode {
+    /** Typed cells; whole doubles become JSON ints. */
+    case object NativeInt extends NumericMode
+    /** Reference-faithful float→string→int round trip: numeric cells
+      * always surface as floats (int() never parses "5.0"). */
+    case object FloatRoundTrip extends NumericMode
+  }
+
   /** Sheet-1 key/value metadata with duplicate-key list merge
     * (deatak_cone_parser.py:110-174). */
   def metadata(fileName: String, hashHex: String,
-               grid: Vector[Map[Int, Cell]]): JObj = {
+               grid: Vector[Map[Int, Cell]],
+               mode: NumericMode = NumericMode.NativeInt): JObj = {
     var m = JObj(Vector.empty)
     grid.foreach { row =>
       (row.get(0), row.get(1)) match {
@@ -73,8 +92,11 @@ object ConeSource {
               PyValues.pyInt(t).map(JInt(_): JVal)
                 .orElse(PyValues.pyFloat(t).map(JDbl(_): JVal))
                 .getOrElse(JStr(t))
-            case NumCell(d) =>
-              if (d.isWhole && math.abs(d) < 1e15) JInt(d.toLong) else JDbl(d)
+            case NumCell(d) => mode match {
+              case NumericMode.NativeInt =>
+                if (d.isWhole && math.abs(d) < 1e15) JInt(d.toLong) else JDbl(d)
+              case NumericMode.FloatRoundTrip => JDbl(d)
+            }
             case BoolCell(b) => JBool(b)
           }
           m.get(key) match {
@@ -89,7 +111,8 @@ object ConeSource {
       "file" -> JStr(fileName), "method" -> JStr("BLAKE2b"), "hash" -> JStr(hashHex)))
   }
 
-  def load(spark: SparkSession, path: String): LabTable = {
+  def load(spark: SparkSession, path: String,
+           mode: NumericMode = NumericMode.NativeInt): LabTable = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val scan = Xlsx.readSheet(path, 2)
     val names = scan(0).collect { case (c, StrCell(s)) => c -> s }.toSeq.sortBy(_._1)
@@ -122,7 +145,8 @@ object ConeSource {
         case None => col(c)
       }
     }.toSeq: _*)
-    val meta = metadata(path.split("/").last, Blake2b.hex(bytes), Xlsx.readSheet(path, 1))
+    val meta = metadata(path.split("/").last, Blake2b.hex(bytes),
+      Xlsx.readSheet(path, 1), mode)
     LabTable(df, JVal.obj("file_metadata" -> meta, "type" -> JStr("Cone")))
   }
 }

@@ -185,6 +185,24 @@ class LabSourcesSpec extends AnyFunSuite {
     assert(t.typeTag.contains("Cone"))
   }
 
+  test("Cone numeric modes: native ints vs reference float round trip") {
+    import graft.sources.ConeSource
+    val p = "/root/reference/tests/test_files/Cone/Asphalt_Shingle_Cone_HF25_220415_R1.XLSM"
+    val native = ConeSource.load(spark, p).fileMetadata.get
+      .asInstanceOf[graft.functions.JObj]
+    val faithful = ConeSource.load(spark, p, ConeSource.NumericMode.FloatRoundTrip)
+      .fileMetadata.get.asInstanceOf[graft.functions.JObj]
+    // integral cell: int natively, float under the reference's
+    // int(str(float)) round trip (int("25.0") never parses)
+    assert(native.get("heat_flux").contains(graft.functions.JInt(25)))
+    assert(faithful.get("heat_flux").contains(graft.functions.JDbl(25.0)))
+    // non-integral cells agree in both modes
+    assert(native.get("sample_mass") == faithful.get("sample_mass"))
+    // and the rendered JSON differs exactly at the integral values
+    assert(native.render.contains("\"heat_flux\": 25"))
+    assert(faithful.render.contains("\"heat_flux\": 25.0"))
+  }
+
   test("Cone XLSM: second fixture loads") {
     val t = LabEtl.loadConeData(spark,
       "/root/reference/tests/test_files/Cone/181031_LaGrange_5-1.XLSM")
