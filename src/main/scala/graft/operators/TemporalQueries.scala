@@ -35,7 +35,19 @@ object TemporalQueries {
     "q29_window_agg" -> ((s, d) =>
       t(s, d, "events")
         .groupBy(expr("ts div 600000000000").as("bucket"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
+    // Same semantics as q27 through the NATIVE as-of operator (custom
+    // logical node + strategy + merge-join exec, graft.plans) — both
+    // run against the same DuckDB oracle.
+    "q35_asof_native" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val clicks = e.filter(col("event_type") === "click")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_event_id"))
+      graft.plans.NativeAsOf.asOf(clicks, "user_id", "ts",
+          purchases, "user_id", "ts", Seq("purchase_event_id"))
+        .select(col("event_id"), col("purchase_event_id"))
+    }))
 
   val oracle: Map[String, String] = Map(
     // Mirrors AsOfJoin.asOf's union+window shape INCLUDING its
@@ -78,5 +90,18 @@ object TemporalQueries {
     "q29_window_agg" ->
       """SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type,
         | count(*) AS n, round(sum(value), 2) AS total
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // q35 = q27 semantics through the native merge operator; the
+    // window-form oracle (same tie-break) applies unchanged.
+    "q35_asof_native" ->
+      """WITH cp AS (SELECT * FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (SELECT event_id, event_type,
+        |  last_value(CASE WHEN event_type='purchase' THEN event_id END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ns(ts),
+        |                   CASE WHEN event_type='purchase' THEN 0 ELSE 1 END,
+        |                   CASE WHEN event_type='purchase' THEN event_id END
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_event_id
+        | FROM cp)
+        |SELECT event_id, purchase_event_id FROM w WHERE event_type = 'click'""".stripMargin)
 }

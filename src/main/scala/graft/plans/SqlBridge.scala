@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into `private[sql]` surface: building a DataFrame
+  * from a hand-constructed logical plan (`Dataset.ofRows`) has no
+  * public equivalent, and custom-operator libraries conventionally
+  * reach it from the `org.apache.spark.sql` package. Nothing else is
+  * accessed; keep it that way. */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

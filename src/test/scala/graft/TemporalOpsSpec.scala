@@ -35,6 +35,41 @@ class TemporalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of operator agrees with the window form, ties included") {
+    import graft.plans.NativeAsOf
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 50L, "c"),
+      (3L, 10L, "d"), (1L, 99L, "e")).toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10.0), (1L, 100L, 30.0), (1L, 100L, 20.0),
+      (1L, 200L, 40.0), (2L, 60L, 50.0)).toDF("k", "t", "v")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("v"))).toMap
+    val native = collect(NativeAsOf.asOf(
+      left, "k", "t", right.repartition(5), "k", "t", Seq("v")))
+    val windowed = collect(graft.operators.AsOfJoin.asOf(
+      left, "k", "t", right, "k", "t", Seq("v")))
+    assert(native == windowed)
+    assert(native("a").contains(30.0)) // tie at t=100: greatest value wins
+    assert(native("e").isEmpty)        // before every right row
+    assert(native("b").contains(40.0))
+    assert(native("c").isEmpty)
+    assert(native("d").isEmpty)
+  }
+
+  test("native as-of plans one exchange per side and a merge exec") {
+    import graft.plans.NativeAsOf
+    val left = Seq((1L, 100L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, 1.0)).toDF("k", "t", "v")
+    val df = NativeAsOf.asOf(left, "k", "t", right, "k", "t", Seq("v"))
+    df.collect() // finalize AQE
+    // count only the FINAL adaptive plan, not the echoed initial one
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan) // Exec suffix is stripped in plan strings
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 shuffles, plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("interpolate: linear between samples, clamped at edges") {
     val grid = Seq((1L, 0L, 15L), (2L, 5L, 15L), (3L, 20L, 15L), (4L, 30L, 15L))
       .toDF("gid", "t", "k")
