@@ -111,18 +111,23 @@ object ConeSource {
       "file" -> JStr(fileName), "method" -> JStr("BLAKE2b"), "hash" -> JStr(hashHex)))
   }
 
-  def load(spark: SparkSession, path: String,
-           mode: NumericMode = NumericMode.NativeInt): LabTable = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    val scan = Xlsx.readSheet(path, 2)
+  /** Parse the workbook at `zipPath` (the OOXML reader needs a
+    * seekable file) into the pre-Spark parsed form; `path`/`bytes`
+    * only feed the file-hash metadata. */
+  private def parsedFrom(path: String, bytes: Array[Byte], zipPath: String,
+                         mode: NumericMode): LabDirectory.ParsedRows = {
+    val scan = Xlsx.readSheet(zipPath, 2)
     val names = scan(0).collect { case (c, StrCell(s)) => c -> s }.toSeq.sortBy(_._1)
     val data = scan.drop(5)
-    // column Spark types: any string cell → string, else double
-    val colTypes: Seq[(Int, String, DataType)] = names.map { case (ci, name) =>
-      val isStr = data.exists(_.get(ci).exists(_.isInstanceOf[StrCell]))
-      (ci, name, if (isStr) StringType else DoubleType)
+    // column Spark types: any string cell → string, else double;
+    // Names and the derivable Ext Coeff are dropped (docs/cone.md:17)
+    val colTypes: Seq[(Int, String, DataType)] = names.collect {
+      case (ci, name) if name != "Names" && name != "Ext Coeff" =>
+        val isStr = data.exists(_.get(ci).exists(_.isInstanceOf[StrCell]))
+        (ci, name, if (isStr) StringType else DoubleType)
     }
-    val schema = StructType(colTypes.map { case (_, n, t) => StructField(n, t) })
+    val schema = StructType(colTypes.map { case (_, n, t) =>
+      StructField(normName(n), t) })
     val rows: Seq[Row] = data.map { r =>
       Row.fromSeq(colTypes.map { case (ci, _, t) =>
         r.get(ci).map[Any] {
@@ -133,20 +138,37 @@ object ConeSource {
         }.orNull
       })
     }
+    val meta = metadata(path.split("/").last, Blake2b.hex(bytes),
+      Xlsx.readSheet(zipPath, 1), mode)
+    LabDirectory.ParsedRows(schema, rows, units(scan),
+      JVal.obj("file_metadata" -> meta, "type" -> JStr("Cone")))
+  }
+
+  /** Pure-ish bytes→parsed form for fleet ingest: the OOXML reader
+    * needs random access, so bytes spill to a task-local temp file
+    * (instrument workbooks are KB–MB; the spill is trivial next to
+    * the parse). */
+  def parseRows(path: String, bytes: Array[Byte],
+                mode: NumericMode = NumericMode.NativeInt): LabDirectory.ParsedRows = {
+    val tmp = java.nio.file.Files.createTempFile("cone", ".xlsm")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      parsedFrom(path, bytes, tmp.toString, mode)
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  def load(spark: SparkSession, path: String,
+           mode: NumericMode = NumericMode.NativeInt): LabTable = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val p = parsedFrom(path, bytes, path, mode)
     import scala.jdk.CollectionConverters._
-    var df = spark.createDataFrame(rows.asJava, schema)
-    if (df.columns.contains("Names")) df = df.drop("Names")
-    if (df.columns.contains("Ext Coeff")) df = df.drop("Ext Coeff")
-    df = df.toDF(df.columns.map(normName).toSeq: _*)
-    val us = units(scan)
+    var df = spark.createDataFrame(p.rows.asJava, p.schema)
     df = df.select(df.columns.map { c =>
-      us.get(c) match {
+      p.units.get(c) match {
         case Some(u) => col(c).as(c, new MetadataBuilder().putString("unit", u).build())
         case None => col(c)
       }
     }.toSeq: _*)
-    val meta = metadata(path.split("/").last, Blake2b.hex(bytes),
-      Xlsx.readSheet(path, 1), mode)
-    LabTable(df, JVal.obj("file_metadata" -> meta, "type" -> JStr("Cone")))
+    LabTable(df, p.tableMeta)
   }
 }

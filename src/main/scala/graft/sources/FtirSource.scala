@@ -189,8 +189,10 @@ object FtirSource {
     case j: JVal => j
   }
 
-  def load(spark: SparkSession, path: String): LabTable = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  /** Pure bytes→parsed form (no SparkSession) — the whole OPUS block
+    * walk is byte-buffer based, so fleet ingest ([[LabDirectory]])
+    * runs it unchanged inside executor tasks. */
+  def parseRows(path: String, bytes: Array[Byte]): LabDirectory.ParsedRows = {
     val blocks = readDirectory(bytes)
     val byType = blocks.groupBy(_.blockType)
 
@@ -230,11 +232,7 @@ object FtirSource {
 
     val schema = StructType(colNames.map(n => StructField(n, DoubleType)))
     val rows: Seq[Row] = main.wl.indices.map(i => Row.fromSeq(colData.map(_(i))))
-    import scala.jdk.CollectionConverters._
     val unitMap = Map("wavelength" -> "µm").withDefaultValue("a.u.")
-    val df0 = spark.createDataFrame(rows.asJava, schema)
-    val df = df0.select(df0.columns.map(c =>
-      col(c).as(c, new MetadataBuilder().putString("unit", unitMap(c)).build())).toSeq: _*)
 
     // parameters: category param blocks; rf variants carry bit 0x8
     def isParamBlock(t: Int): Boolean =
@@ -263,7 +261,19 @@ object FtirSource {
     // reference's own (sic) key name, bruker_ftir_parser.py:143
     parseDatetime(main.params).foreach(dt => meta("data_performed") = dt)
 
-    LabTable(df, JVal.obj("file_metadata" -> toJVal(meta), "type" -> JStr("FTIR")))
+    LabDirectory.ParsedRows(schema, rows,
+      colNames.map(n => n -> unitMap(n)).toMap,
+      JVal.obj("file_metadata" -> toJVal(meta), "type" -> JStr("FTIR")))
+  }
+
+  def load(spark: SparkSession, path: String): LabTable = {
+    val p = parseRows(path,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    import scala.jdk.CollectionConverters._
+    val df0 = spark.createDataFrame(p.rows.asJava, p.schema)
+    val df = df0.select(df0.columns.map(c =>
+      col(c).as(c, new MetadataBuilder().putString("unit", p.units(c)).build())).toSeq: _*)
+    LabTable(df, p.tableMeta)
   }
 
   /** DAT "14/06/2021" + TIM "17:37:35.903 (GMT+0)" → ISO local time. */

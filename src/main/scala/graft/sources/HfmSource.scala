@@ -179,10 +179,34 @@ object HfmSource {
     m
   }
 
+  /** Fleet-frame schema: run_type + the union of both variant
+    * schemas (a mixed directory of conductivity and heat-capacity
+    * runs lands in one frame, absent columns null). */
+  val FleetSchema: StructType = StructType(Seq(
+    StructField("run_type", StringType),
+    StructField("setpoint", IntegerType),
+    StructField("upper_temperature", DoubleType),
+    StructField("lower_temperature", DoubleType),
+    StructField("upper_thermal_conductivity", DoubleType),
+    StructField("lower_thermal_conductivity", DoubleType),
+    StructField("average_temperature", DoubleType),
+    StructField("volumetric_heat_capacity", DoubleType)))
+
+  /** Pure bytes→parsed form for fleet ingest: the variant table with
+    * a leading run_type discriminator column. */
+  def parseRows(path: String, bytes: Array[Byte]): LabDirectory.ParsedRows = {
+    val (schema, rows, colUnits, runType, meta) = variantTable(path, bytes)
+    LabDirectory.ParsedRows(
+      StructType(StructField("run_type", StringType) +: schema.fields.toSeq),
+      rows.map(r => Row.fromSeq(runType +: r.toSeq)),
+      colUnits, JVal.obj("file_metadata" -> toJVal(meta: Any), "type" -> JStr("HFM")),
+      unitKey = "units")
+  }
+
   /** Derive the result table from metadata (fox_hfm_parser.py:407-479):
     * two fixed schema variants chosen by run mode. */
-  def load(spark: SparkSession, path: String): LabTable = {
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+  private def variantTable(path: String, bytes: Array[Byte])
+      : (StructType, Seq[Row], Map[String, String], String, M) = {
     val enc = Encoding.detect(bytes)
     val lines = Encoding.decode(bytes, enc).split("\n", -1)
     val meta = metadata(path.split("/").last, Blake2b.hex(bytes), lines)
@@ -232,6 +256,12 @@ object HfmSource {
         }
         (schema, rows, schema.fieldNames.drop(1).zip(units).toMap)
       }
+    (schema, rows, colUnits, runType, meta)
+  }
+
+  def load(spark: SparkSession, path: String): LabTable = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (schema, rows, colUnits, _, meta) = variantTable(path, bytes)
     import scala.jdk.CollectionConverters._
     val df0 = spark.createDataFrame(rows.asJava, schema)
     val df = df0.select(df0.columns.map { c =>

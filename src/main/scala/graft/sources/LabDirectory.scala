@@ -30,8 +30,16 @@ object LabDirectory {
   case class ParsedText(cols: Seq[String], units: Seq[Option[String]],
                         delim: Char, body: Seq[String], tableMeta: JObj)
 
+  /** Parsed form of one file that yields TYPED rows directly (HFM
+    * setpoint tables, FTIR spectra, Cone scan sheets). `unitKey` is
+    * the column-metadata key the single-file loader uses. */
+  case class ParsedRows(schema: StructType, rows: Seq[Row],
+                        units: Map[String, String], tableMeta: JObj,
+                        unitKey: String = "unit")
+
   /** (path, bytes) → parsed; must be pure + serializable. */
   type Parser = (String, Array[Byte]) => ParsedText
+  type RowParser = (String, Array[Byte]) => ParsedRows
 
   def loadSta(spark: SparkSession, dir: String, glob: String = "*.csv"): DataFrame =
     load(spark, dir, glob, StaSource.parseBytes)
@@ -39,11 +47,35 @@ object LabDirectory {
   def loadMcc(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
     load(spark, dir, glob, MccSource.parseBytes)
 
+  def loadHfm(spark: SparkSession, dir: String, glob: String = "*.tst"): DataFrame =
+    loadTyped(spark, dir, glob, HfmSource.parseRows,
+      fixedSchema = Some(HfmSource.FleetSchema))
+
+  def loadFtir(spark: SparkSession, dir: String, glob: String = "*.[0-9]*"): DataFrame =
+    loadTyped(spark, dir, glob, FtirSource.parseRows)
+
+  def loadCone(spark: SparkSession, dir: String, glob: String = "*.XLSM"): DataFrame =
+    loadTyped(spark, dir, glob, ConeSource.parseRows(_, _))
+
   def staMetadata(spark: SparkSession, dir: String, glob: String = "*.csv"): DataFrame =
-    metadataTable(spark, dir, glob, StaSource.parseBytes)
+    metadataTable(spark, dir, glob,
+      (p, b) => StaSource.parseBytes(p, b).tableMeta)
 
   def mccMetadata(spark: SparkSession, dir: String, glob: String = "*.txt"): DataFrame =
-    metadataTable(spark, dir, glob, MccSource.parseBytes)
+    metadataTable(spark, dir, glob,
+      (p, b) => MccSource.parseBytes(p, b).tableMeta)
+
+  def hfmMetadata(spark: SparkSession, dir: String, glob: String = "*.tst"): DataFrame =
+    metadataTable(spark, dir, glob,
+      (p, b) => HfmSource.parseRows(p, b).tableMeta)
+
+  def ftirMetadata(spark: SparkSession, dir: String, glob: String = "*.[0-9]*"): DataFrame =
+    metadataTable(spark, dir, glob,
+      (p, b) => FtirSource.parseRows(p, b).tableMeta)
+
+  def coneMetadata(spark: SparkSession, dir: String, glob: String = "*.XLSM"): DataFrame =
+    metadataTable(spark, dir, glob,
+      (p, b) => ConeSource.parseRows(p, b).tableMeta)
 
   /** Distributed body ingest: schema = `source_file` + the head
     * file's single-file-loader schema; one executor task per file. */
@@ -80,11 +112,50 @@ object LabDirectory {
       head.cols.zip(head.units).map { case (c, u) => (c, u) })
   }
 
+  /** Distributed typed-rows ingest (formats whose parsers emit typed
+    * rows directly): schema = `source_file` + the head file's schema
+    * (or `fixedSchema`, e.g. a static union of known variants);
+    * reconciliation is by column name, one executor task per file.
+    * Files must agree on the TYPE of any shared column name (one
+    * instrument family per load, like the single-file path). */
+  def loadTyped(spark: SparkSession, dir: String, glob: String,
+                parser: RowParser,
+                fixedSchema: Option[StructType] = None): DataFrame = {
+    val paths = list(spark, dir, glob)
+    require(paths.nonEmpty, s"no files matching $glob under $dir")
+    val head = parser(paths.head, readBytes(spark, paths.head))
+    val target = fixedSchema.getOrElse(head.schema)
+    val schema = StructType(
+      StructField("source_file", StringType, nullable = false) +:
+        target.fields.toSeq)
+    val targetNames = target.fieldNames.toSeq
+    val rows = spark.createDataset(paths)(Encoders.STRING)
+      .repartition(paths.size) // round-robin: exactly one file per task
+      .mapPartitions { it: Iterator[String] =>
+        it.flatMap { p =>
+          val parsed = parser(p, readBytesTask(p))
+          val idx = targetNames.map(n => parsed.schema.fieldNames.indexOf(n))
+          parsed.rows.iterator.map { r =>
+            Row.fromSeq(p +: idx.map(i => if (i < 0) null else r.get(i)))
+          }
+        }
+      }(Encoders.row(schema))
+    val unitMeta = head.units
+    rows.toDF().select(rows.toDF().columns.map { c =>
+      unitMeta.get(c) match {
+        case Some(u) => org.apache.spark.sql.functions.col(c)
+          .as(c, new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(head.unitKey, u).build())
+        case None => org.apache.spark.sql.functions.col(c)
+      }
+    }.toSeq: _*)
+  }
+
   /** One row per file: (source_file, type, file_metadata JSON) —
     * the table-level metadata the single-file loader carries on
     * [[LabTable]], in queryable frame form. */
   def metadataTable(spark: SparkSession, dir: String, glob: String,
-                    parser: Parser): DataFrame = {
+                    parser: (String, Array[Byte]) => JObj): DataFrame = {
     val paths = list(spark, dir, glob)
     require(paths.nonEmpty, s"no files matching $glob under $dir")
     val schema = StructType(Seq(
@@ -95,10 +166,10 @@ object LabDirectory {
       .repartition(paths.size)
       .mapPartitions { it: Iterator[String] =>
         it.map { p =>
-          val parsed = parser(p, readBytesTask(p))
-          val tpe = parsed.tableMeta.get("type")
+          val tableMeta = parser(p, readBytesTask(p))
+          val tpe = tableMeta.get("type")
             .collect { case JStr(s) => s }.orNull
-          val fm = parsed.tableMeta.get("file_metadata").map(_.render).orNull
+          val fm = tableMeta.get("file_metadata").map(_.render).orNull
           Row(p, tpe, fm)
         }
       }(Encoders.row(schema))

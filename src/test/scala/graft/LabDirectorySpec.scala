@@ -84,6 +84,53 @@ class LabDirectorySpec extends AnyFunSuite {
     fleet.foreach(s => assert(math.abs(s - base) < 1e-6, s"$s vs $base"))
   }
 
+  test("HFM directory: both run variants union into the fleet schema") {
+    val dir = "/root/reference/tests/test_files/HFM" // one of each variant
+    val df = LabDirectory.loadHfm(spark, dir)
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.schema.fieldNames.toSeq ==
+      "source_file" +: graft.sources.HfmSource.FleetSchema.fieldNames.toSeq)
+    val byType = df.groupBy("run_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the run-mode strings the reference derives from the report header
+    assert(byType.keySet == Set("conductivity", "volumetric_heat_capacity"))
+    // variant-absent columns are null, never dropped rows
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("run_type") === "conductivity")
+      .filter(col("volumetric_heat_capacity").isNotNull).count() == 0)
+    assert(df.filter(col("run_type") === "volumetric_heat_capacity")
+      .filter(col("average_temperature").isNull).count() == 0)
+  }
+
+  test("FTIR directory ingest matches single-file loads") {
+    val dir = "/root/reference/tests/test_files/FTIR"
+    val df = LabDirectory.loadFtir(spark, dir)
+    assert(df.rdd.getNumPartitions == 3)
+    // rows = sum over single loads that share the head file's columns
+    val singles = new java.io.File(dir).listFiles().map(_.getPath).sorted
+      .map(p => graft.sources.FtirSource.load(spark, p))
+    val headCols = singles.head.df.columns.toSeq
+    assert(df.schema.fieldNames.toSeq == "source_file" +: headCols)
+    assert(df.count() == singles.map(_.df.count()).sum)
+    val mt = LabDirectory.ftirMetadata(spark, dir).collect()
+    assert(mt.length == 3 && mt.forall(_.getAs[String]("type") == "FTIR"))
+  }
+
+  test("Cone directory ingest matches the single-file loader") {
+    val dir = "/root/reference/tests/test_files/Cone"
+    val df = LabDirectory.loadCone(spark, dir)
+    assert(df.rdd.getNumPartitions == 2)
+    val single = graft.sources.ConeSource.load(spark,
+      s"$dir/181031_LaGrange_5-1.XLSM") // head file (sorted order)
+    assert(df.schema.fields.map(f => (f.name, f.dataType)).drop(1).toSeq ==
+      single.df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    import org.apache.spark.sql.functions.col
+    assert(df.filter(col("source_file").endsWith("181031_LaGrange_5-1.XLSM"))
+      .count() == single.df.count())
+    val mt = LabDirectory.coneMetadata(spark, dir).collect()
+    assert(mt.length == 2 && mt.forall(_.getAs[String]("type") == "Cone"))
+  }
+
   test("units survive the fleet path") {
     val src = s"$staDir/DF_FILED_VAL_STA_N2_10K_240211_R1.csv"
     val dir = tempDirWithCopies(src, 1)
