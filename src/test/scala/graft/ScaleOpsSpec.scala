@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{BloomPrune, Bucketing}
+
+/** Scale-path techniques: bucketed co-located joins (zero-exchange)
+  * and Bloom-filter join pruning. */
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed write + same-key join plans with ZERO exchanges") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val ord = Tables.t(spark, sf, "orders")
+    Bucketing.writeBucketed(li.select("l_orderkey", "l_quantity"),
+      "li_bucketed", "l_orderkey", 4)
+    Bucketing.writeBucketed(ord.select("o_orderkey", "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey"),
+      "ord_bucketed", "l_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      val joined = Bucketing.coLocatedJoin(spark, "li_bucketed",
+        "ord_bucketed", "l_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it agrees with the plain join
+      val expected = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      assert(joined.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("bloom-pruned join: fact side shrinks before the shuffle, same result") {
+    val li = Tables.t(spark, sf, "lineitem")
+    val ord = Tables.t(spark, sf, "orders")
+      .filter(col("o_totalprice") > 50000) // selective dim
+      .select("o_orderkey", "o_totalprice")
+    val plain = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    val pruned = BloomPrune.prunedJoin(li, "l_orderkey",
+      ord, "o_orderkey", expectedDimKeys = 10000)
+    assert(pruned.count() == plain.count())
+    // the pruned fact side is strictly smaller than the full fact table
+    val prunedFact = BloomPrune.prune(li, col("l_orderkey"),
+      ord, col("o_orderkey"), 10000, 0.01)
+    assert(prunedFact.count() < li.count())
+    // no false negatives by construction: every joining key survives
+    val joiningKeys = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select("l_orderkey").distinct().count()
+    assert(prunedFact.select("l_orderkey").distinct().count() >= joiningKeys)
+  }
+
+  test("string keys prune too") {
+    import spark.implicits._
+    val fact = Seq("a", "b", "c", "d", "zz").toDF("k")
+    val dim = Seq("a", "c").toDF("k")
+    val pruned = BloomPrune.prune(fact, col("k"), dim, col("k"), 100, 0.01)
+      .as[String].collect().toSet
+    assert(Set("a", "c").subsetOf(pruned))
+    assert(!pruned.contains(null))
+  }
+}
