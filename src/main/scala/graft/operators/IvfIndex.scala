@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** IVF (inverted-file) approximate-nearest-neighbor index: the
+  * coarse-quantizer scale path for similarity search (SURVEY/brief:
+  * "an IVF or LSH-bucketed variant as the scale path").
+  *
+  * Build: k centroids trained by a few deterministic Lloyd
+  * iterations (init = first k vectors in id order, so runs are
+  * reproducible without a seed), then every vector is assigned to its
+  * nearest centroid's list. The corpus is thereby partitioned into k
+  * lists — at 100 TB, lists are the shuffle/bucketing key and a probe
+  * touches `nprobe/k` of the data instead of all of it.
+  *
+  * Query: rank centroids per query (a k-row broadcast cross join),
+  * keep the `nprobe` nearest, and brute-force cosine ONLY within the
+  * probed lists. `nprobe = k` degrades gracefully to exact brute
+  * force (every list probed) — the correctness anchor the spec pins.
+  */
+object IvfIndex {
+
+  /** Centroid-assigned corpus: input columns + `list_id`. Centroids
+    * come back as a small driver-side array (k × dim — the index
+    * metadata a real deployment persists beside the data). */
+  def build(corpus: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int = 3): (Array[Array[Double]], DataFrame) = {
+    val spark = corpus.sparkSession
+    // deterministic init: the first k vectors in id order
+    var centroids: Array[Array[Double]] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters)
+      centroids = step(spark, corpus, vecCol, centroids)
+    (centroids, assign(spark, corpus, vecCol, centroids))
+  }
+
+  /** One Lloyd iteration: assign, then per-list per-dimension mean.
+    * Empty lists keep their previous centroid. */
+  private def step(spark: SparkSession, corpus: DataFrame, vecCol: String,
+                   centroids: Array[Array[Double]]): Array[Array[Double]] = {
+    val assigned = assign(spark, corpus, vecCol, centroids)
+    val means = assigned
+      .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), s -> s.m)")
+        .as("centroid"))
+      .collect()
+      .map(r => r.getAs[Long]("list_id").toInt -> r.getSeq[Double](1).toArray)
+      .toMap
+    centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+  }
+
+  /** Nearest-centroid assignment as a broadcast k-row cross join —
+    * the corpus is never shuffled, only mapped. */
+  private def assign(spark: SparkSession, corpus: DataFrame, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val cDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("list_id", "c_vec")
+    val w = Window.partitionBy(col("__rid")).orderBy(col("__d").desc, col("list_id").asc)
+    corpus.withColumn("__rid", monotonically_increasing_id())
+      .crossJoin(broadcast(cDf))
+      .withColumn("__d", cosineD(col(vecCol), col("c_vec")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("c_vec", "__d", "__rk", "__rid")
+  }
+
+  /** Cosine where one side is already array<double>. */
+  private def cosineD(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
+    val dotDC = aggregate(zip_with(a, c, (x, y) => x.cast("double") * y), lit(0.0), (s, v) => s + v)
+    val nC = sqrt(aggregate(transform(c, x => x * x), lit(0.0), (s, v) => s + v))
+    dotDC / (norm2(a) * nC)
+  }
+
+  /** Top-k neighbors per query, searching only the `nprobe` lists
+    * whose centroids are nearest each query vector. Output:
+    * (q_id, n_id, cos, rk) — the brute-force schema, so results are
+    * directly comparable (and identical when nprobe = k). */
+  def topK(indexed: DataFrame, centroids: Array[Array[Double]],
+           queries: DataFrame, idCol: String, vecCol: String,
+           k: Int, nprobe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val cDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("list_id", "c_vec")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    // probe selection: nprobe nearest centroids per query (k rows each)
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("__d").desc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(cDf))
+      .withColumn("__d", cosineD(col("q_vec"), col("c_vec")))
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("list_id"))
+    // search only the probed lists: join on list_id, then rank
+    val cand = indexed.select(col("list_id"),
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    probes.join(cand, Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("cos"))
+      .dropDuplicates("q_id", "n_id")
+      .withColumn("rk", row_number().over(wTop).cast("long"))
+      .filter(col("rk") <= k)
+  }
+}

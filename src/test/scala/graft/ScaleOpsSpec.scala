@@ -54,6 +54,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(prunedFact.select("l_orderkey").distinct().count() >= joiningKeys)
   }
 
+  test("IVF index: nprobe=k reproduces brute force; partial probe has recall") {
+    import graft.operators.{IvfIndex, Similarity}
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (centroids, indexed) = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    assert(centroids.length == 8)
+    // every vector lands in exactly one list
+    assert(indexed.count() == emb.count())
+    assert(indexed.groupBy("list_id").count().count() <= 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing ALL lists is exact — same pairs as brute force
+    val full = IvfIndex.topK(indexed, centroids, queries, "vec_id", "embedding",
+      k = 5, nprobe = 8)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+    // probing half the lists keeps most of the true neighbors
+    val half = IvfIndex.topK(indexed, centroids, queries, "vec_id", "embedding",
+      k = 5, nprobe = 4)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (half & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 with nprobe=4/8 was $recall")
+  }
+
   test("string keys prune too") {
     import spark.implicits._
     val fact = Seq("a", "b", "c", "d", "zz").toDF("k")
