@@ -115,6 +115,33 @@ object TextPipelineQueries {
         bpeishCount(col("text")).as("n_bpeish_tokens"))),
     "q24_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+    // Corpus-level quality signal: average token surprisal −ln(p(w)),
+    // p from the corpus's own unigram frequencies — the classic cheap
+    // perplexity proxy for filtering gibberish/boilerplate. Two-pass
+    // shape: one shuffle builds the frequency table (vocabulary ≪
+    // corpus at scale), which then joins back to the token stream —
+    // AQE broadcasts it when small.
+    "q36_token_surprisal" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val n = tok.agg(count(lit(1)).cast("double").as("n"))
+      tok.join(tf, Seq("w")).crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(-log(col("c") / col("n"))), 4).as("avg_surprisal"))
+    }),
+    // Within-document repetition: 1 − |distinct shingles|/|shingles|.
+    // High values flag boilerplate/spam — a standard dedup-adjacent
+    // filter. Pure narrow expressions, no shuffle at all.
+    "q37_repetition" -> ((s, d) =>
+      docs(s, d)
+        .withColumn("s", shingles(col("text"), 3))
+        .filter(size(col("s")) > 0)
+        .select(col("doc_id"),
+          size(col("s")).cast("long").as("n_shingles"),
+          size(array_distinct(col("s"))).cast("long").as("n_distinct"),
+          round(lit(1.0) - size(array_distinct(col("s"))) / size(col("s")), 4)
+            .as("rep_ratio"))),
     "q25_sim_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
@@ -228,6 +255,23 @@ object TextPipelineQueries {
       """SELECT doc_id,
         | substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+    "q36_token_surprisal" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok)
+        |SELECT doc_id, round(avg(-ln(c / n)), 4) AS avg_surprisal
+        |FROM tok JOIN tf USING (w) CROSS JOIN n
+        |GROUP BY doc_id""".stripMargin,
+    "q37_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |       [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] AS s
+        |       FROM toks)
+        |SELECT doc_id,
+        | CAST(len(s) AS BIGINT) AS n_shingles,
+        | CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+        | round(1.0 - len(list_distinct(s)) / len(s), 4) AS rep_ratio
+        |FROM sh WHERE len(s) > 0""".stripMargin,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
