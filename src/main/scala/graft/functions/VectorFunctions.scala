@@ -25,8 +25,18 @@ object VectorFunctions {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  /** Cosine similarity of two equal-length float vectors. */
+  /** Cosine similarity of two equal-length float/double vectors —
+    * the native [[CosineSim]] expression (fused loop, whole-stage
+    * codegen, no per-row intermediate arrays). Bit-identical to the
+    * composed `dot/(norm·norm)` form, which [[cosineComposed]] keeps
+    * for reference/fallback. */
   def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(CosineSim(
+      org.apache.spark.sql.GraftSqlBridge.expression(a),
+      org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** The higher-order-function composition (CodegenFallback path). */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
   /** Sign-bit LSH bucket key from the first `bits` vector components:

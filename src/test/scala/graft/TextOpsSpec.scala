@@ -82,6 +82,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(cos.toSeq == Seq(0.0, 1.0, -1.0))
   }
 
+  test("native cosine expression: bit-identical to composed form, null-safe") {
+    val rng = new scala.util.Random(7)
+    val pairs = Seq.fill(50)((Array.fill(16)(rng.nextFloat() * 2 - 1),
+      Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    val df = pairs.toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.cosine($"a", $"b").as("native"),
+      VectorFunctions.cosineComposed($"a", $"b").as("composed")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact ==
+    // null array and length mismatch → null, like zip_with propagation
+    val edge = Seq((Array(1f, 2f), null: Array[Float]),
+      (Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c")).collect()
+    assert(edge.forall(_.isNullAt(0)))
+  }
+
   test("brute force topk returns k rows per query, ranked desc") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
