@@ -51,8 +51,40 @@ object LabDirectory {
     loadTyped(spark, dir, glob, HfmSource.parseRows,
       fixedSchema = Some(HfmSource.FleetSchema))
 
-  def loadFtir(spark: SparkSession, dir: String, glob: String = "*.[0-9]*"): DataFrame =
-    loadTyped(spark, dir, glob, FtirSource.parseRows)
+  /** FTIR column sets vary per instrument configuration; `union=true`
+    * runs a distributed schema survey first so every file's spectra
+    * land (absent columns null) instead of pinning the head file's. */
+  def loadFtir(spark: SparkSession, dir: String, glob: String = "*.[0-9]*",
+               union: Boolean = false): DataFrame =
+    loadTyped(spark, dir, glob, FtirSource.parseRows,
+      fixedSchema = if (union) Some(surveySchema(spark, dir, glob, FtirSource.parseRows))
+      else None)
+
+  /** Distributed schema survey: every file parsed in its own task,
+    * schemas unioned in first-seen column order. Shared column names
+    * must agree on type (it is an error otherwise — that is two
+    * instrument families in one directory). */
+  def surveySchema(spark: SparkSession, dir: String, glob: String,
+                   parser: RowParser): StructType = {
+    val paths = list(spark, dir, glob)
+    require(paths.nonEmpty, s"no files matching $glob under $dir")
+    val ddls = spark.createDataset(paths)(Encoders.STRING)
+      .repartition(paths.size)
+      .map { p: String => parser(p, readBytesTask(p)).schema.json }(Encoders.STRING)
+      .collect()
+    val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    ddls.map(j => DataType.fromJson(j).asInstanceOf[StructType]).foreach(_.fields.foreach { f =>
+      fields.get(f.name) match {
+        case Some(prev) if prev.dataType != f.dataType =>
+          throw new IllegalArgumentException(
+            s"surveySchema: column '${f.name}' has conflicting types " +
+              s"${prev.dataType.catalogString} vs ${f.dataType.catalogString}")
+        case Some(_) => ()
+        case None => fields(f.name) = f
+      }
+    })
+    StructType(fields.values.toSeq)
+  }
 
   def loadCone(spark: SparkSession, dir: String, glob: String = "*.XLSM"): DataFrame =
     loadTyped(spark, dir, glob, ConeSource.parseRows(_, _))

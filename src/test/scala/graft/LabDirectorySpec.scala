@@ -116,6 +116,19 @@ class LabDirectorySpec extends AnyFunSuite {
     assert(mt.length == 3 && mt.forall(_.getAs[String]("type") == "FTIR"))
   }
 
+  test("FTIR union mode surveys all files and keeps every column") {
+    val dir = "/root/reference/tests/test_files/FTIR"
+    val surveyed = LabDirectory.surveySchema(spark, dir, "*.[0-9]*",
+      graft.sources.FtirSource.parseRows)
+    val singles = new java.io.File(dir).listFiles().map(_.getPath).sorted
+      .map(p => graft.sources.FtirSource.load(spark, p))
+    val allCols = singles.flatMap(_.df.columns).distinct.toSet
+    assert(surveyed.fieldNames.toSet == allCols)
+    val df = LabDirectory.loadFtir(spark, dir, union = true)
+    assert(df.schema.fieldNames.toSet == allCols + "source_file")
+    assert(df.count() == singles.map(_.df.count()).sum)
+  }
+
   test("Cone directory ingest matches the single-file loader") {
     val dir = "/root/reference/tests/test_files/Cone"
     val df = LabDirectory.loadCone(spark, dir)

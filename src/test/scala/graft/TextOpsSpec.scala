@@ -122,6 +122,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("en", "fr"))
   }
 
+  test("registered SQL functions: blake2b, cosine_sim, lang_id") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c,
+        |       blake2b(CAST('abc' AS BINARY)) AS h,
+        |       lang_id('the weather is nice today and we should go out') AS l
+        |""".stripMargin).head()
+    assert(r.getAs[Double]("c") == 1.0)
+    // RFC 7693 appendix A digest of "abc"
+    assert(r.getAs[String]("h").startsWith("ba80a53f981c4d0d"))
+    assert(r.getAs[String]("l") == "en")
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq("Hello  World", "hello world").toDF("text")
       .select(TextFunctions.fingerprint($"text").as("fp"))
