@@ -46,4 +46,22 @@ object EventStreaming {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
+
+  /** Streaming exact dedup for at-least-once sources that re-deliver
+    * events: duplicates of `event_id` within the watermark horizon
+    * are dropped, and — unlike a plain dropDuplicates — state is
+    * EVICTED once the watermark passes, so the state store stays
+    * bounded by the horizon instead of growing with the stream. */
+  def dedupStream(events: DataFrame, watermark: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment: join each micro-batch against a slowly
+    * changing dimension frame. The dim side is broadcast per batch —
+    * the standard shape for attaching reference data (user profiles,
+    * instrument calibration) to a live stream without shuffling it. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
 }

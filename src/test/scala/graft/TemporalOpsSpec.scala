@@ -108,6 +108,45 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(rows.toSet == Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreaming.dedupStream(streamDf, "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    val sec = 1000L * 1000 * 1000
+    mem.addData((1L, 10 * sec, 1L, "click", 1.0, "{}"),
+      (1L, 10 * sec, 1L, "click", 1.0, "{}"), // same-batch duplicate
+      (2L, 20 * sec, 1L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((2L, 20 * sec, 1L, "view", 2.0, "{}"), // cross-batch duplicate
+      (3L, 30 * sec, 2L, "click", 3.0, "{}"))
+    q.processAllAvailable()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id"))
+    q.stop()
+    assert(ids.sorted.toSeq == Seq(1L, 2L, 3L)) // each event exactly once
+  }
+
+  test("stream-static enrichment joins the dim without shuffling it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStreaming.enrich(streamDf, dim, "user_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out").start()
+    mem.addData((1L, 1L, 1L, "click", 1.0, "{}"),
+      (2L, 2L, 9L, "view", 2.0, "{}")) // user 9 has no dim row
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[String]("tier"))).toMap
+    q.stop()
+    assert(rows == Map(1L -> Some("gold"), 2L -> None))
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize._
