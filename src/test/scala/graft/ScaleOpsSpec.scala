@@ -78,6 +78,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 with nprobe=4/8 was $recall")
   }
 
+  test("partitioned write: reads prune to the matching partition dirs") {
+    val ev = Tables.t(spark, sf, "events")
+    val out = java.nio.file.Files.createTempDirectory("parted").toString + "/events"
+    // hive-style layout on the natural coarse key — at 100 TB this is
+    // date/type partitioning; a filtered read must touch only its dirs
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val df = spark.read.parquet(out).filter(col("event_type") === "click")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("PartitionFilters"), plan)
+    // the scan's own metric proves pruning: fewer files read than exist
+    // (inputFiles would lie — it lists the relation pre-pruning)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    assert(scan.metrics("numFiles").value < allFiles,
+      s"read ${scan.metrics("numFiles").value} of $allFiles files")
+  }
+
   test("string keys prune too") {
     import spark.implicits._
     val fact = Seq("a", "b", "c", "d", "zz").toDF("k")
