@@ -15,11 +15,21 @@ object TextFunctions {
     * separated; `\\s+` keeps it robust to real text.) */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Contiguous word n-grams ("shingles") as an array column.
-    * Empty array when the document has fewer than `n` tokens —
-    * guarded explicitly because Spark's `sequence(0, negative)`
-    * would otherwise generate a DESCENDING range. */
-  def shingles(text: Column, n: Int): Column = {
+  /** Contiguous word n-grams ("shingles") as an array column — the
+    * native [[ShinglesExpr]] (one split per document, codegen'd).
+    * The composed higher-order-function form is kept as
+    * [[shinglesComposed]]; Catalyst inlines its `split` into every
+    * `element_at`, re-splitting the document per shingle (quadratic —
+    * it alone accounted for most of the minhash family's runtime). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(ShinglesExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
+  /** Composed reference form; empty array when the document has
+    * fewer than `n` tokens — guarded explicitly because Spark's
+    * `sequence(0, negative)` would otherwise generate a DESCENDING
+    * range. */
+  def shinglesComposed(text: Column, n: Int): Column = {
     val w = tokens(text)
     when(size(w) >= n,
       transform(sequence(lit(0), size(w) - n), i =>

@@ -132,15 +132,20 @@ object TextPipelineQueries {
     }),
     // Within-document repetition: 1 − |distinct shingles|/|shingles|.
     // High values flag boilerplate/spam — a standard dedup-adjacent
-    // filter. Pure narrow expressions, no shuffle at all.
+    // filter. Explode-then-aggregate so the shingle array is built
+    // ONCE per document — the array-expression form (size +
+    // array_distinct over a shared column) gets inlined by Catalyst
+    // into four separate evaluations per row and ran 10× slower.
+    // (At corpus scale, countDistinct over xxhash64(sh) would shrink
+    // the shuffle; strings kept here for exact oracle parity.)
     "q37_repetition" -> ((s, d) =>
       docs(s, d)
-        .withColumn("s", shingles(col("text"), 3))
-        .filter(size(col("s")) > 0)
-        .select(col("doc_id"),
-          size(col("s")).cast("long").as("n_shingles"),
-          size(array_distinct(col("s"))).cast("long").as("n_distinct"),
-          round(lit(1.0) - size(array_distinct(col("s"))) / size(col("s")), 4)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          countDistinct(col("sh")).as("n_distinct"))
+        .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+          round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4)
             .as("rep_ratio"))),
     "q25_sim_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)

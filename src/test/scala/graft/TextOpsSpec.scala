@@ -25,6 +25,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(short == 0)
   }
 
+  test("native shingles expression matches the composed form exactly") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing  spaces   collapse  ",
+      "tab\tand\nnewline separated tokens here",
+      "two words", "one", "", "a b c")
+    val df = texts.toDF("text")
+    val both = df.select(
+      TextFunctions.shingles($"text", 3).as("native"),
+      TextFunctions.shinglesComposed($"text", 3).as("composed")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r)
+    }
+  }
+
   test("exact dedup groups find the planted duplicate") {
     val groups = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
     assert(groups.length == 3)
