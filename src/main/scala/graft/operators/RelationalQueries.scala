@@ -291,12 +291,19 @@ object RelationalQueries {
     * breaks the hash compare. */
   val q34ApproxDistinct: Q = (s, d) => {
     import s.implicits._
+    // Two-phase: dedup (flag, partkey) first, then plain counts.
+    // countDistinct in one pass would plan an Expand (row duplication
+    // per distinct spec — a multiplier on the 100 TB scan); the HLL
+    // sketch is duplicate-invariant, so running it over the dedupped
+    // rows yields the identical estimate with map-side-combined
+    // shuffles only.
     t(s, d, "lineitem")
+      .groupBy($"l_returnflag", $"l_partkey").agg(count(lit(1)).as("__n"))
       .groupBy($"l_returnflag")
       .agg(
-        countDistinct($"l_partkey").as("exact_parts"),
-        (abs(approx_count_distinct($"l_partkey", 0.02) - countDistinct($"l_partkey"))
-          <= countDistinct($"l_partkey") * 0.05).as("approx_ok"))
+        count(lit(1)).as("exact_parts"),
+        (abs(approx_count_distinct($"l_partkey", 0.02) - count(lit(1)))
+          <= count(lit(1)) * 0.05).as("approx_ok"))
   }
 
   /** Queries intentionally published without an oracle. */
