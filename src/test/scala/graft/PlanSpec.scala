@@ -58,6 +58,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(1500))
   }
 
+  test("q34: sketch query plans WITHOUT Expand (dedup-then-count)") {
+    val p = plan("q34_approx_distinct")
+    assert(!p.contains("Expand"),
+      s"distinct agg must not multiply scan rows:\n${p.take(2000)}")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(1500))
+  }
+
+  test("q37: repetition query partial-aggregates before its shuffle") {
+    val p = plan("q37_repetition")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p.take(2000))
+    // the shingle explode happens once, scan-side — no quadratic
+    // composed expression (no transform/element_at chain in the plan)
+    assert(p.contains("shingles("), p.take(2000))
+    assert(!p.contains("element_at"), p.take(2000))
+  }
+
   test("asof join plans a single shuffle (union + one window)") {
     val p = plan("q27_asof_join")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
