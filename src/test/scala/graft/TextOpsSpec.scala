@@ -26,11 +26,16 @@ class TextOpsSpec extends AnyFunSuite {
   }
 
   test("native shingles expression matches the composed form exactly") {
+    val rng = new scala.util.Random(3)
+    val randomTexts = Seq.fill(40) {
+      Seq.fill(rng.nextInt(12))(rng.alphanumeric.take(1 + rng.nextInt(6)).mkString)
+        .mkString(if (rng.nextBoolean()) " " else "  ")
+    }
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
       "  leading and trailing  spaces   collapse  ",
       "tab\tand\nnewline separated tokens here",
-      "two words", "one", "", "a b c")
+      "two words", "one", "", "a b c") ++ randomTexts
     val df = texts.toDF("text")
     val both = df.select(
       TextFunctions.shingles($"text", 3).as("native"),
