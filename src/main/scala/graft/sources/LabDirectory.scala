@@ -69,7 +69,7 @@ object LabDirectory {
     val paths = list(spark, dir, glob)
     require(paths.nonEmpty, s"no files matching $glob under $dir")
     val ddls = spark.createDataset(paths)(Encoders.STRING)
-      .repartition(paths.size)
+      .repartition(taskCount(spark, paths.size)) // round-robin files over tasks
       .map { p: String => parser(p, readBytesTask(p)).schema.json }(Encoders.STRING)
       .collect()
     val fields = scala.collection.mutable.LinkedHashMap[String, StructField]()
@@ -109,8 +109,15 @@ object LabDirectory {
     metadataTable(spark, dir, glob,
       (p, b) => ConeSource.parseRows(p, b).tableMeta)
 
+  /** Task count for a fleet of n files: one file per task up to 8×
+    * the cluster's parallelism, then multiple files per task — a
+    * million KB-sized files should not schedule a million tasks. */
+  private def taskCount(spark: SparkSession, nFiles: Int): Int =
+    math.min(nFiles, 8 * spark.sparkContext.defaultParallelism)
+
   /** Distributed body ingest: schema = `source_file` + the head
-    * file's single-file-loader schema; one executor task per file. */
+    * file's single-file-loader schema; one executor task per file
+    * (bounded by [[taskCount]] for very large fleets). */
   def load(spark: SparkSession, dir: String, glob: String,
            parser: Parser): DataFrame = {
     val paths = list(spark, dir, glob)
@@ -124,7 +131,7 @@ object LabDirectory {
     val targets: Seq[(String, DataType)] =
       headDf.schema.fields.toSeq.map(f => (f.name, f.dataType))
     val rows = spark.createDataset(paths)(Encoders.STRING)
-      .repartition(paths.size) // round-robin: exactly one file per task
+      .repartition(taskCount(spark, paths.size)) // round-robin files over tasks
       .mapPartitions { it: Iterator[String] =>
         it.flatMap { p =>
           val parsed = parser(p, readBytesTask(p))
@@ -162,7 +169,7 @@ object LabDirectory {
         target.fields.toSeq)
     val targetNames = target.fieldNames.toSeq
     val rows = spark.createDataset(paths)(Encoders.STRING)
-      .repartition(paths.size) // round-robin: exactly one file per task
+      .repartition(taskCount(spark, paths.size)) // round-robin files over tasks
       .mapPartitions { it: Iterator[String] =>
         it.flatMap { p =>
           val parsed = parser(p, readBytesTask(p))
@@ -195,7 +202,7 @@ object LabDirectory {
       StructField("type", StringType),
       StructField("file_metadata", StringType)))
     spark.createDataset(paths)(Encoders.STRING)
-      .repartition(paths.size)
+      .repartition(taskCount(spark, paths.size)) // round-robin files over tasks
       .mapPartitions { it: Iterator[String] =>
         it.map { p =>
           val tableMeta = parser(p, readBytesTask(p))
