@@ -36,6 +36,55 @@ object TemporalQueries {
       t(s, d, "events")
         .groupBy(expr("ts div 600000000000").as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
+    // Range (interval) join: clicks falling inside [purchase, +10min]
+    // windows of the same user. Spark plans a naive time-inequality
+    // join as BroadcastNestedLoop — quadratic; instead intervals and
+    // points are bucketed by a stride equal to the window length, so
+    // each interval lands in ≤2 buckets, the join is a plain
+    // EQUI-join on (user, bucket), and the exact containment filter
+    // runs on candidates only. The shape that survives 100 TB.
+    "q38_range_join" -> ((s, d) => {
+      // µs timestamps on both sides (DuckDB sees the NANOS column at
+      // µs precision; sub-µs boundary flips would break parity)
+      val winNs = 600L * 1000 * 1000
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_event_id"),
+          expr("ts div 1000").as("p_ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("c_ts"))
+      val pB = purchases.withColumn("bucket",
+        explode(sequence(expr(s"p_ts div $winNs"), expr(s"(p_ts + $winNs) div $winNs"))))
+      val cB = clicks.withColumn("bucket", expr(s"c_ts div $winNs"))
+      val hits = pB.join(cB, Seq("user_id", "bucket"))
+        .filter(col("c_ts") >= col("p_ts") && col("c_ts") <= col("p_ts") + winNs)
+        .groupBy(col("purchase_event_id")).agg(count(lit(1)).as("n_clicks"))
+      purchases.join(hits, Seq("purchase_event_id"), "left")
+        .select(col("purchase_event_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+    }),
+    // Batch sessionization (gaps-and-islands): the oracle-checkable
+    // twin of streaming Sessionize — session boundary where the gap
+    // to the previous event exceeds 30 min, then per-session stats.
+    "q39_sessionize_batch" -> ((s, d) => {
+      // microsecond timestamps on both sides: DuckDB reads the
+      // TIMESTAMP(NANOS) column at µs precision
+      val gapUs = 1800L * 1000 * 1000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t"))
+      t(s, d, "events")
+        .withColumn("t", expr("ts div 1000"))
+        .withColumn("prev_t", lag(col("t"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("t")).as("session_start"), max(col("t")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("total_value"))
+    }),
     // Same semantics as q27 through the NATIVE as-of operator (custom
     // logical node + strategy + merge-join exec, graft.plans) — both
     // run against the same DuckDB oracle.
@@ -91,6 +140,32 @@ object TemporalQueries {
       """SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type,
         | count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // DuckDB handles the time-inequality join directly; the Spark
+    // side reaches the same rows via bucketed equi-join + filter.
+    "q38_range_join" ->
+      """SELECT p.event_id AS purchase_event_id,
+        | CAST(count(c.event_id) AS BIGINT) AS n_clicks
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts)
+        | AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
+        |GROUP BY p.event_id""".stripMargin,
+    "q39_sessionize_batch" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS t, value,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_t
+        | FROM events),
+        |b AS (SELECT user_id, t, value,
+        |  CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+        |       THEN 1 ELSE 0 END AS new_session FROM g),
+        |sid AS (SELECT user_id, t, value,
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        | FROM b)
+        |SELECT user_id, session_id,
+        | min(t) AS session_start, max(t) AS session_end,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM sid GROUP BY user_id, session_id""".stripMargin,
     // q35 = q27 semantics through the native merge operator; the
     // window-form oracle (same tie-break) applies unchanged.
     "q35_asof_native" ->
