@@ -17,11 +17,11 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextPipelineQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ graft.multimodal.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextPipelineQueries.oracle ++
-      TemporalQueries.oracle
+      TemporalQueries.oracle ++ graft.multimodal.MultimodalQueries.oracle
 }

@@ -1,0 +1,47 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Oracle-checkable slice of the multimodal pipeline: media payloads
+  * are synthesized deterministically from the documents table (GRFT
+  * header dimensions derived from doc_id, payload = UTF-8 text
+  * bytes), pushed through the binary encode → typed decode path on
+  * executors, and the decoded metadata is verified value-for-value —
+  * the header math and byte accounting are exactly computable in SQL,
+  * so the codec plumbing itself sits inside the correctness gate
+  * (the GRFT codec stands in for a real image codec; the Spark-side
+  * shapes are what is being proven).
+  */
+object MultimodalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q40_multimodal_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .map { case (id, tx) =>
+          Multimodal.MediaRecord(id, Multimodal.Codec.encode(
+            (id % 64 + 1).toInt, (id % 48 + 1).toInt, 3, tx.getBytes("UTF-8")))
+        }
+      Multimodal.decodeMeta(media)
+        .select($"media_id",
+          $"meta.width".cast("long").as("width"),
+          $"meta.height".cast("long").as("height"),
+          $"meta.channels".cast("long").as("channels"),
+          $"meta.nBytes".as("n_bytes"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+    // header = 4-byte magic + 2 x i32 dims + 1 channel byte = 13 bytes
+    "q40_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+        | CAST(doc_id % 64 + 1 AS BIGINT) AS width,
+        | CAST(doc_id % 48 + 1 AS BIGINT) AS height,
+        | CAST(3 AS BIGINT) AS channels,
+        | CAST(13 + strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin)
+}
