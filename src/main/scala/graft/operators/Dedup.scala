@@ -142,6 +142,44 @@ object Dedup {
     ngramJaccardFromShingles(shingleTable(df, idCol, textCol, shingleN),
       pairs, idCol)
 
+  /** Connected components over a pair list — the final dedup step
+    * that turns verified near-duplicate PAIRS into CLUSTERS with a
+    * canonical keep id (the component minimum).
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * minimum label among itself and its neighbors; converged when no
+    * label changes. Rounds are plain shuffled joins (distributed,
+    * no driver-side graph), and the round count is the component
+    * diameter — for near-dup clusters (dense, tiny) a handful.
+    * Output: (id, keep_id) for every node that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize before the loop re-reads it
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      iter += 1
+    }
+    val out = labels.select(col("id"), col("label").as("keep_id"))
+    out
+  }
+
   /** Per-document SimHash of `bits` bits (frequency-weighted token
     * votes; deterministic salted-md5 bit hashes). Output: (id, simhash). */
   def simhash(df: DataFrame, idCol: String, textCol: String,

@@ -59,11 +59,23 @@ object TextPipelineQueries {
       Dedup.signaturesFromShingles(shingleTab(s, d), "doc_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Connected-components labels are computed by an iterative loop
+    * whose result stays persisted (recomputing it lazily would replay
+    * every iteration uncached) — cached per (session, dir) with the
+    * same lifecycle as the other shared intermediates. */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def dupGroups(s: SparkSession, d: String): DataFrame =
+    ccCache.getOrElseUpdate((sessionKey(s), d),
+      Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(signatures(s, d), "doc_id")))
+
   /** Unpersist and drop every cached intermediate belonging to
     * `s` (call when a pipeline run is finished with a corpus). */
   def clearCache(s: SparkSession): Unit = {
     val key = sessionKey(s)
-    Seq(shCache, sigCache).foreach { cache =>
+    Seq(shCache, sigCache, ccCache).foreach { cache =>
       cache.keys.filter(_._1 == key).foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
@@ -83,6 +95,11 @@ object TextPipelineQueries {
     }),
     "q20_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
+    // LSH candidate pairs → connected components: every clustered doc
+    // with its canonical keep id (the component minimum) — the final
+    // "which docs do I drop" artifact of the dedup pipeline.
+    "q41_dedup_groups" -> ((s, d) =>
+      dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id"))),
     "q21_text_langid" -> ((s, d) => {
       val en = Seq("the", "a", "of"); val fr = Seq("le", "la", "de"); val es = Seq("el", "los", "que")
       docs(s, d).select(
@@ -260,6 +277,21 @@ object TextPipelineQueries {
       """SELECT doc_id,
         | substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
         |FROM documents""".stripMargin,
+    // transitive closure over the candidate pairs (DuckDB recursive
+    // CTE), keep id = least reachable node — mirrors the distributed
+    // min-label propagation exactly.
+    "q41_dedup_groups" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |FROM reach GROUP BY a""".stripMargin,
     "q36_token_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),

@@ -83,6 +83,20 @@ class TextOpsSpec extends AnyFunSuite {
       "clearCache must unpersist every shared intermediate")
   }
 
+  test("connected components: chains collapse to the component minimum") {
+    // a long chain (diameter 7 → several propagation rounds), a small
+    // clique, and a pair; unconnected docs never appear in the output
+    val chain = (20L until 27L).map(i => (i, i + 1))
+    val pairs = (chain ++ Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L)))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (20L to 27L).foreach(i => assert(cc(i) == 20L, s"node $i"))
+    Seq(1L, 2L, 3L).foreach(i => assert(cc(i) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert(!cc.contains(99L))
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
