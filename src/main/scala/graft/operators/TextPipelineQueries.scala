@@ -169,7 +169,16 @@ object TextPipelineQueries {
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
     "q26_sim_lsh_pairs" -> ((s, d) =>
-      Similarity.lshSimilarPairs(emb(s, d), "vec_id", "embedding", 8, 0.25)))
+      Similarity.lshSimilarPairs(emb(s, d), "vec_id", "embedding", 8, 0.25)),
+    // Embedding-space near-duplicate GROUPS: high-cosine in-bucket
+    // pairs collapsed to clusters with a canonical keep id — the
+    // embedding analogue of q41's text dedup groups.
+    "q42_embedding_dup_groups" -> ((s, d) =>
+      ccCache.getOrElseUpdate((sessionKey(s), s"$d#embedding"), {
+        val pairs = Similarity.lshSimilarPairs(emb(s, d), "vec_id", "embedding", 8, 0.3)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs)
+      }).select(col("id").as("vec_id"), col("keep_id"))))
 
   // ---- oracle SQL (DuckDB dialect) ----
 
@@ -318,6 +327,28 @@ object TextPipelineQueries {
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
          |      FROM p)
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q42_embedding_dup_groups" ->
+      s"""WITH RECURSIVE wb AS (SELECT vec_id, embedding,
+         |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END ||
+         |   CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |      WHERE round(${cosSql("a.embedding", "b.embedding")}, 4) >= 0.3),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM p
+         |          UNION SELECT id_b, id_a FROM p),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS vec_id, least(a, min(b)) AS keep_id
+         |FROM reach GROUP BY a""".stripMargin,
     "q26_sim_lsh_pairs" ->
       s"""WITH wb AS (SELECT vec_id, embedding,
          |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
