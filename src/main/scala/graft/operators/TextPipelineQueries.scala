@@ -168,6 +168,17 @@ object TextPipelineQueries {
       val e = emb(s, d)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
     }),
+    // The IVF index through the gate: with nprobe = k (all lists
+    // probed) the index is EXACT, so the brute-force oracle applies
+    // verbatim — proving build + assignment + probe end-to-end. The
+    // approximate regime (nprobe < k) is covered by ScaleOpsSpec's
+    // recall assertions.
+    "q43_ivf_topk_exact" -> ((s, d) => {
+      val e = emb(s, d)
+      val (centroids, indexed) = IvfIndex.build(e, "vec_id", "embedding", k = 8)
+      IvfIndex.topK(indexed, centroids, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+    }),
     "q26_sim_lsh_pairs" -> ((s, d) =>
       Similarity.lshSimilarPairs(emb(s, d), "vec_id", "embedding", 8, 0.25)),
     // Embedding-space near-duplicate GROUPS: high-cosine in-bucket
@@ -319,6 +330,16 @@ object TextPipelineQueries {
         | round(1.0 - len(list_distinct(s)) / len(s), 4) AS rep_ratio
         |FROM sh WHERE len(s) > 0""".stripMargin,
     "q25_sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
+         |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
+         |      FROM p)
+         |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    // nprobe = k makes IVF exact — identical to the brute-force oracle
+    "q43_ivf_topk_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
          |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
