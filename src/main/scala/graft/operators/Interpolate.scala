@@ -38,7 +38,12 @@ object Interpolate {
       lit(null).cast(gType).as("__g"),
       col(valCol).cast("double").as("__v"))
     val u = g0.unionByName(s0)
-    val ord = Window.partitionBy(col("__k")).orderBy(col("__t").asc, col("__side").asc)
+    // __v in the sort key: multiple samples at the identical (key, t)
+    // would otherwise resolve by partition order (cf. AsOfJoin's
+    // deterministic tie-break) — backward pass picks the greatest
+    // value, forward pass the least; both deterministic.
+    val ord = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__v").asc_nulls_first)
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val st = when(col("__side") === 0, col("__t"))
