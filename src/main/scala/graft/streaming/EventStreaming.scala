@@ -64,4 +64,18 @@ object EventStreaming {
     * instrument calibration) to a live stream without shuffling it. */
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming parquet sink: exactly-once file commits through the
+    * checkpointed offset log + `_spark_metadata`, hive-partitioned by
+    * event_type so downstream batch reads partition-prune — the
+    * landing-to-lake leg of the pipeline. */
+  def writeLanding(events: DataFrame, outDir: String,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_type")
+      .outputMode("append")
+      .start()
 }

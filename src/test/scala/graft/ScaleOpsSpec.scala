@@ -104,6 +104,22 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"read ${scan.metrics("numFiles").value} of $allFiles files")
   }
 
+  test("approx_percentile tracks exact percentiles (the 100x scale path)") {
+    // q33 keeps exact percentile because the oracle demands exactness;
+    // at corpus scale the sort-based exact agg gives way to the
+    // sketch-based approx_percentile — this pins how close it stays
+    import org.apache.spark.sql.functions.expr
+    val li = Tables.t(spark, sf, "lineitem")
+    val r = li.groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
+      .collect()
+    r.foreach { row =>
+      val e = row.getDouble(1); val a = row.getDouble(2)
+      assert(math.abs(a - e) / e < 0.01, s"${row.getString(0)}: $a vs $e")
+    }
+  }
+
   test("string keys prune too") {
     import spark.implicits._
     val fact = Seq("a", "b", "c", "d", "zz").toDF("k")

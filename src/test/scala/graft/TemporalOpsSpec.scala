@@ -147,6 +147,27 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(rows == Map(1L -> Some("gold"), 2L -> None))
   }
 
+  test("streaming parquet sink lands partitioned, exactly-once files") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = java.nio.file.Files.createTempDirectory("landing").toString
+    val q = EventStreaming.writeLanding(streamDf, s"$base/out", s"$base/ckpt")
+    mem.addData((1L, 1L, 1L, "click", 1.0, "{}"),
+      (2L, 2L, 2L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((3L, 3L, 1L, "click", 3.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() == 3)
+    // hive partition dirs by event_type, with the exactly-once log
+    assert(new java.io.File(s"$base/out/event_type=click").exists())
+    assert(new java.io.File(s"$base/out/_spark_metadata").exists())
+    assert(back.filter(col("event_type") === "click").count() == 2)
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize._
