@@ -43,6 +43,65 @@ object VectorKernels {
     }
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
+
+  /** Argmax-cosine centroid id for a float vector: one fused pass,
+    * no per-row allocation beyond a dim-sized scratch copy. Ties
+    * break to the LOWER id (strict `>`); a centroid whose length
+    * differs from the vector, or whose cosine is NaN, never wins;
+    * a vector with a null element (or no winnable centroid) lands in
+    * list 0 — mirroring the former crossJoin+window assignment's
+    * `orderBy(cos desc, list_id asc)` with null cosines losing. */
+  def nearestF(a: ArrayData, cs: Array[Array[Double]],
+               norms: Array[Double]): Long = {
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return 0L
+      val x = a.getFloat(i).toDouble
+      v(i) = x; na += x * x
+      i += 1
+    }
+    nearestPrepared(v, math.sqrt(na), cs, norms)
+  }
+
+  /** Double-vector variant of [[nearestF]]. */
+  def nearestD(a: ArrayData, cs: Array[Array[Double]],
+               norms: Array[Double]): Long = {
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var na = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return 0L
+      val x = a.getDouble(i)
+      v(i) = x; na += x * x
+      i += 1
+    }
+    nearestPrepared(v, math.sqrt(na), cs, norms)
+  }
+
+  private def nearestPrepared(v: Array[Double], sna: Double,
+                              cs: Array[Array[Double]],
+                              norms: Array[Double]): Long = {
+    val n = v.length
+    var best = -1
+    var bestD = Double.NegativeInfinity
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      if (c.length == n) {
+        var dot = 0.0
+        var k = 0
+        while (k < n) { dot += v(k) * c(k); k += 1 }
+        val d = dot / (sna * norms(j))
+        if (d > bestD) { bestD = d; best = j }
+      }
+      j += 1
+    }
+    if (best < 0) 0L else best.toLong
+  }
 }
 
 /** Native Catalyst expression for cosine similarity of two

@@ -39,6 +39,13 @@ object VectorFunctions {
   def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Argmax-cosine centroid id over a driver-side k×dim matrix — a
+    * pure per-row projection (no join, no window, no shuffle); the
+    * IVF assignment primitive. */
+  def nearestCentroid(a: Column, centroids: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(NearestCentroid(
+      org.apache.spark.sql.GraftSqlBridge.expression(a), centroids))
+
   /** Sign-bit LSH bucket key from the first `bits` vector components:
     * vectors whose leading components agree in sign land in the same
     * bucket. A deterministic, shuffle-friendly partition key — the

@@ -15,24 +15,27 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Drop `table` AND its warehouse directory. An orphaned
+    * managed-table dir (prior session, in-memory catalog gone) blocks
+    * a later CREATE even after DROP TABLE — and the warehouse need not
+    * be a local filesystem, so the cleanup goes through the Hadoop
+    * `FileSystem` resolved from the warehouse URI (HDFS/S3A/file all
+    * behave; a `java.io.File` delete would silently no-op off-local). */
+  def dropManagedTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Write `df` as a bucketed managed table (sorted within buckets so
     * downstream sort-merge joins also skip the per-partition sort). */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // an orphaned managed-table dir (prior session, in-memory catalog
-    // gone) still blocks CREATE — clear it
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).toSeq.flatten.foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
+    dropManagedTable(spark, table)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)

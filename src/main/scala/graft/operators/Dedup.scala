@@ -42,13 +42,22 @@ object Dedup {
     * (xxhash64 collisions could in principle add a spurious
     * intersection; at ~2⁻⁶⁴ per shingle pair that is ignorable even
     * at 100 TB corpus scale.) */
+  /** Spread a SMALL-FILE input across the cluster before a compute-
+    * heavy narrow stage (a single-small-file scan would otherwise run
+    * on one task, and AQE would coalesce a countless repartition too).
+    * Inputs that already have at least cluster parallelism pass
+    * through untouched — no gratuitous exchange on data that is
+    * already spread (at sf0.1 the repartition cost q20 an extra
+    * exchange for nothing). */
+  private def spread(df: DataFrame, idCol: String): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df
+    else df.repartition(par, col(idCol))
+  }
+
   def shingleTable(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3): DataFrame = {
-    // Explicit partition count: the shingle+hash stage is the compute-
-    // heavy part, and a single-small-file input would otherwise run it
-    // on one task (AQE would coalesce a countless repartition too).
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    df.repartition(par, col(idCol))
+    spread(df, idCol)
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
       .select(col(idCol),
         md5(concat(lit("0|"), col("shingle"))).as("md5_0"),
@@ -153,11 +162,16 @@ object Dedup {
     * diameter — for near-dup clusters (dense, tiny) a handful.
     * Output: (id, keep_id) for every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Persisted ONCE: every propagation round (and the star fallback)
+    // re-reads the edge set — uncached it would replay the whole
+    // upstream lineage (at scale, the LSH bucket-collect) per round.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(mem)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(mem)
     labels.count() // materialize before the loop re-reads it
     var changed = 1L
     var iter = 0
@@ -166,18 +180,90 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val step = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Each round's plan chains the previous round's; localCheckpoint
+      // every few rounds truncates the lineage so plan depth stays
+      // bounded and an executor loss replays at most ~5 rounds, not
+      // the whole chain.
+      val next =
+        if ((iter + 1) % 5 == 0) step.localCheckpoint(true)
+        else step.persist(mem)
       changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
         .filter(col("label") =!= col("old")).count()
       labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
-    val out = labels.select(col("id"), col("label").as("keep_id"))
-    out
+    if (changed == 0) {
+      edges.unpersist(blocking = false)
+      labels.select(col("id"), col("label").as("keep_id"))
+    } else {
+      // Diameter exceeded the propagation budget (min-label rounds =
+      // component diameter — fine for dense near-dup clusters, fatal
+      // for a pathological chain, e.g. crawl-session dedup): fall back
+      // to alternating large-star/small-star contraction, which
+      // converges in O(log² n) rounds regardless of diameter.
+      labels.unpersist(blocking = false)
+      val out = starComponents(edges)
+      edges.unpersist(blocking = false)
+      out
+    }
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond"): each
+    * round rewires every node's larger (large-star) or not-larger
+    * (small-star) neighbors to its minimum neighborhood label. The
+    * edge set contracts toward a star forest — every node directly
+    * linked to its component minimum — in O(log² n) rounds, making it
+    * the deep-graph path where diameter-bound label propagation
+    * cannot converge. `edges` must be symmetric and self-loop-free. */
+  private def starComponents(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+    val allNodes = edges.select(col("src").as("id")).distinct()
+    // per-node minimum over the closed neighborhood Γ(u) ∪ {u}
+    def mins(e: DataFrame): DataFrame =
+      e.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .select(col("src"), least(col("__mn"), col("src")).as("m"))
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val j = e.join(mins(e), Seq("src"))
+      val emitted =
+        if (large) j.filter(col("dst") > col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+        else j.filter(col("dst") < col("src"))
+          .select(col("dst").as("src"), col("m").as("dst"))
+          .union(mins(e).select(col("src"), col("m").as("dst")))
+      sym(emitted)
+    }
+    // cheap set fingerprint for the convergence check: (|E|, ⊕ h(e))
+    // — xor, not sum: ANSI mode makes a BIGINT sum of hashes overflow
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("src"), col("dst")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var cur = edges.localCheckpoint(true)
+    var fp = fingerprint(cur)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // localCheckpoint, not persist: each round's plan builds on the
+      // last — without truncation plan depth grows linearly
+      val next = star(star(cur, large = true), large = false).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      converged = nfp == fp
+      cur = next
+      fp = nfp
+      round += 1
+    }
+    // star forest: every node's closed-neighborhood min IS its root
+    val labels = mins(cur).select(col("src").as("id"), col("m").as("keep_id"))
+    // nodes whose component fully contracted away are their own root
+    allNodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("keep_id"), col("id")).as("keep_id"))
   }
 
   /** Per-document SimHash of `bits` bits (frequency-weighted token
@@ -186,7 +272,7 @@ object Dedup {
               bits: Int = 16): DataFrame = {
     val spark = df.sparkSession
     val bitIds = spark.range(bits).select(col("id").as("b"))
-    df.repartition(spark.sparkContext.defaultParallelism, col(idCol))
+    spread(df, idCol)
       .select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .crossJoin(broadcast(bitIds))
       .groupBy(col(idCol), col("b"))

@@ -25,25 +25,27 @@ object IvfIndex {
 
   /** Centroid-assigned corpus: input columns + `list_id`. Centroids
     * come back as a small driver-side array (k × dim — the index
-    * metadata a real deployment persists beside the data). */
+    * metadata a real deployment persists beside the data; see
+    * [[save]]/[[load]]). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 3): (Array[Array[Double]], DataFrame) = {
-    val spark = corpus.sparkSession
     // deterministic init: the first k vectors in id order
     var centroids: Array[Array[Double]] = corpus
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters)
-      centroids = step(spark, corpus, vecCol, centroids)
-    (centroids, assign(spark, corpus, vecCol, centroids))
+      centroids = step(corpus, vecCol, centroids)
+    (centroids, assign(corpus, vecCol, centroids))
   }
 
   /** One Lloyd iteration: assign, then per-list per-dimension mean.
-    * Empty lists keep their previous centroid. */
-  private def step(spark: SparkSession, corpus: DataFrame, vecCol: String,
+    * Empty lists keep their previous centroid. The only exchange is
+    * the (list_id, pos) mean aggregation — genuinely required, and
+    * map-side combined down to k×dim rows. */
+  private def step(corpus: DataFrame, vecCol: String,
                    centroids: Array[Array[Double]]): Array[Array[Double]] = {
-    val assigned = assign(spark, corpus, vecCol, centroids)
+    val assigned = assign(corpus, vecCol, centroids)
     val means = assigned
       .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("list_id"), col("pos"))
@@ -57,21 +59,15 @@ object IvfIndex {
     centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
   }
 
-  /** Nearest-centroid assignment as a broadcast k-row cross join —
-    * the corpus is never shuffled, only mapped. */
-  private def assign(spark: SparkSession, corpus: DataFrame, vecCol: String,
-                     centroids: Array[Array[Double]]): DataFrame = {
-    import spark.implicits._
-    val cDf = centroids.zipWithIndex
-      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("list_id", "c_vec")
-    val w = Window.partitionBy(col("__rid")).orderBy(col("__d").desc, col("list_id").asc)
-    corpus.withColumn("__rid", monotonically_increasing_id())
-      .crossJoin(broadcast(cDf))
-      .withColumn("__d", cosineD(col(vecCol), col("c_vec")))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .drop("c_vec", "__d", "__rk", "__rid")
-  }
+  /** Nearest-centroid assignment as a PURE PROJECTION: the native
+    * [[graft.functions.NearestCentroid]] expression carries the k×dim
+    * matrix into codegen, so the corpus is mapped in place — no join,
+    * no window, no exchange. (The previous crossJoin + per-row-id
+    * window argmin hash-shuffled k×|corpus| rows per call — at 100 TB
+    * that was ~8 corpus-volumes through the exchange per Lloyd pass.) */
+  private def assign(corpus: DataFrame, vecCol: String,
+                     centroids: Array[Array[Double]]): DataFrame =
+    corpus.withColumn("list_id", nearestCentroid(col(vecCol), centroids))
 
   /** Cosine where one side is already array<double>. */
   private def cosineD(a: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) = {
@@ -110,5 +106,31 @@ object IvfIndex {
       .dropDuplicates("q_id", "n_id")
       .withColumn("rk", row_number().over(wTop).cast("long"))
       .filter(col("rk") <= k)
+  }
+
+  /** Persist the index beside the data: centroids as a tiny managed
+    * parquet table, assigned lists as a table BUCKETED on `list_id`
+    * (so a reloaded index scans and joins per-list with zero
+    * exchanges — the probe join's distribution is pinned at write
+    * time). The build is the expensive step; a deployment builds
+    * once, saves, and every consumer [[load]]s. */
+  def save(spark: SparkSession, name: String,
+           centroids: Array[Array[Double]], indexed: DataFrame,
+           buckets: Int = 8): Unit = {
+    import spark.implicits._
+    val cDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("list_id", "c_vec")
+    Bucketing.dropManagedTable(spark, s"${name}_centroids")
+    cDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${name}_centroids")
+    Bucketing.writeBucketed(indexed, s"${name}_lists", "list_id", buckets)
+  }
+
+  /** Reload a [[save]]d index: (centroids, assigned lists). */
+  def load(spark: SparkSession, name: String): (Array[Array[Double]], DataFrame) = {
+    val centroids = spark.table(s"${name}_centroids")
+      .orderBy(col("list_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    (centroids, spark.table(s"${name}_lists"))
   }
 }

@@ -78,6 +78,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 with nprobe=4/8 was $recall")
   }
 
+  test("IVF assignment is a pure projection: no Exchange, no Window") {
+    import graft.operators.IvfIndex
+    val emb = Tables.t(spark, sf, "embeddings")
+    val (_, indexed) = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    indexed.collect()
+    val plan = indexed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"assignment must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Window"),
+      s"assignment must not rank via a window:\n$plan")
+    // "*(n)" prefixes mark whole-stage-codegen stages in simpleString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("IVF save/load round-trips: reloaded index gives identical topK") {
+    import graft.operators.IvfIndex
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (centroids, indexed) = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    IvfIndex.save(spark, "ivf_test", centroids, indexed, buckets = 4)
+    val (c2, idx2) = IvfIndex.load(spark, "ivf_test")
+    assert(c2.length == centroids.length)
+    c2.zip(centroids).foreach { case (a, b) => assert(a.sameElements(b)) }
+    assert(idx2.count() == emb.count())
+    def res(cs: Array[Array[Double]], idx: org.apache.spark.sql.DataFrame) =
+      IvfIndex.topK(idx, cs, queries, "vec_id", "embedding", k = 5, nprobe = 4)
+        .select("q_id", "n_id", "cos", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(res(c2, idx2) == res(centroids, indexed))
+  }
+
   test("partitioned write: reads prune to the matching partition dirs") {
     val ev = Tables.t(spark, sf, "events")
     val out = java.nio.file.Files.createTempDirectory("parted").toString + "/events"
@@ -118,6 +150,26 @@ class ScaleOpsSpec extends AnyFunSuite {
       val e = row.getDouble(1); val a = row.getDouble(2)
       assert(math.abs(a - e) / e < 0.01, s"${row.getString(0)}: $a vs $e")
     }
+  }
+
+  test("dropManagedTable clears an orphaned warehouse dir via Hadoop FS") {
+    // simulate a prior session's leftover: a dir in the warehouse with
+    // no catalog entry — CREATE would fail if the cleanup missed it
+    val warehouse = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val orphan = new org.apache.hadoop.fs.Path(warehouse, "orphan_tbl")
+    val fs = orphan.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(orphan)
+    fs.create(new org.apache.hadoop.fs.Path(orphan, "junk.parquet")).close()
+    assert(fs.exists(orphan))
+    Bucketing.dropManagedTable(spark, "orphan_tbl")
+    assert(!fs.exists(orphan))
+    // and the subsequent bucketed CREATE under the same name succeeds
+    import spark.implicits._
+    Bucketing.writeBucketed(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      "orphan_tbl", "k", 2)
+    assert(spark.table("orphan_tbl").count() == 2)
+    Bucketing.dropManagedTable(spark, "orphan_tbl")
   }
 
   test("string keys prune too") {

@@ -97,6 +97,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!cc.contains(99L))
   }
 
+  test("connected components: diameter beyond the propagation budget converges (star fallback)") {
+    // a 61-node path (diameter 60) with a tiny propagation budget —
+    // min-label propagation cannot finish in 3 rounds, so the
+    // large-star/small-star contraction must take over and still
+    // label every node with the path minimum
+    val path = (100L until 160L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(path, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 61)
+    (100L to 160L).foreach(i => assert(cc(i) == 100L, s"node $i -> ${cc(i)}"))
+    // and two separate deep chains stay separate components
+    val two = ((200L until 230L).map(i => (i, i + 1)) ++
+      (300L until 330L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val cc2 = Dedup.connectedComponents(two, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (200L to 230L).foreach(i => assert(cc2(i) == 200L))
+    (300L to 330L).foreach(i => assert(cc2(i) == 300L))
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
