@@ -36,9 +36,13 @@ object Multimodal {
     StructField("media_id", LongType),
     StructField("content", BinaryType)))
 
-  /** STUB codec for the synthetic GRFT format:
-    * magic "GRFT" | width i32 LE | height i32 LE | channels u8 | payload.
-    * Deterministic by construction — stands in for a real image codec. */
+  /** Media codec. REAL pure-JVM decoders for BMP (24/32-bit
+    * uncompressed) and binary PPM/PGM — header parse, pixel extract,
+    * nearest-neighbor resize, re-encode — plus the synthetic GRFT
+    * format kept verbatim for deterministic pipeline tests (its byte
+    * accounting anchors the q40 oracle). A jpeg/png decoder (JNI lib
+    * or `java.util.zip.Inflater` for PNG) would slot in behind the
+    * same dispatch. */
   object Codec {
     val Magic: Array[Byte] = "GRFT".getBytes
 
@@ -49,22 +53,216 @@ object Multimodal {
       bb.array()
     }
 
-    def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] = {
-      if (bytes.length < 13 || !bytes.take(4).sameElements(Magic)) return None
-      val bb = java.nio.ByteBuffer.wrap(bytes, 4, 9).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      Some(MediaMeta(bb.getInt, bb.getInt, bb.get & 0xff, bytes.length.toLong, "grft"))
-    }
+    /** Format dispatch on the magic bytes. */
+    def decodeMeta(bytes: Array[Byte]): Option[MediaMeta] =
+      if (bytes.length >= 4 && bytes.take(4).sameElements(Magic)) {
+        if (bytes.length < 13) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(bytes, 4, 9).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          Some(MediaMeta(bb.getInt, bb.getInt, bb.get & 0xff, bytes.length.toLong, "grft"))
+        }
+      }
+      else if (Bmp.isBmp(bytes)) Bmp.meta(bytes)
+      else if (Pnm.isPnm(bytes)) Pnm.meta(bytes)
+      else None
 
-    def payload(bytes: Array[Byte]): Array[Byte] = bytes.drop(13)
+    /** Raw sample bytes: the GRFT payload as-is; for BMP/PPM/PGM the
+      * DECODED pixels — interleaved row-major samples, top-down, no
+      * row padding, BGR reordered to RGB. */
+    def payload(bytes: Array[Byte]): Array[Byte] =
+      if (Bmp.isBmp(bytes)) Bmp.pixels(bytes).getOrElse(Array.empty)
+      else if (Pnm.isPnm(bytes)) Pnm.pixels(bytes).getOrElse(Array.empty)
+      else bytes.drop(13)
 
-    /** STUB "resize": keeps every (factor)-th payload byte and
-      * rewrites the header — placeholder for real resampling. */
+    /** Downscale by an integer factor. GRFT keeps its stub stride-
+      * sampling (deterministic, oracle-anchored); BMP and PPM/PGM get
+      * REAL nearest-neighbor resampling re-encoded in their own
+      * format. */
     def resize(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
-      decodeMeta(bytes).map { m =>
+      if (Bmp.isBmp(bytes) || Pnm.isPnm(bytes))
+        decodeMeta(bytes).flatMap { m =>
+          val px = payload(bytes)
+          if (px.isEmpty) None
+          else {
+            val (w2, h2, out) = nearestNeighbor(px, m.width, m.height, m.channels, factor)
+            if (Bmp.isBmp(bytes)) Bmp.encode24(w2, h2, m.channels, out)
+            else Some(Pnm.encode(w2, h2, m.channels, out))
+          }
+        }
+      else decodeMeta(bytes).map { m => // GRFT stub stride-sample
         val p = payload(bytes)
         encode(math.max(m.width / factor, 1), math.max(m.height / factor, 1),
           m.channels, p.indices.collect { case i if i % factor == 0 => p(i) }.toArray)
       }
+
+    /** Nearest-neighbor downscale of interleaved row-major samples. */
+    private def nearestNeighbor(px: Array[Byte], w: Int, h: Int, ch: Int,
+                                factor: Int): (Int, Int, Array[Byte]) = {
+      val w2 = math.max(w / factor, 1)
+      val h2 = math.max(h / factor, 1)
+      val out = new Array[Byte](w2 * h2 * ch)
+      var y = 0
+      while (y < h2) {
+        val sy = math.min(y * factor, h - 1)
+        var x = 0
+        while (x < w2) {
+          val sx = math.min(x * factor, w - 1)
+          var c = 0
+          while (c < ch) {
+            out((y * w2 + x) * ch + c) = px((sy * w + sx) * ch + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      (w2, h2, out)
+    }
+  }
+
+  /** Real BMP reader/writer: BITMAPINFOHEADER, uncompressed (BI_RGB)
+    * 24/32-bit. Rows are 4-byte padded and stored bottom-up (negative
+    * height = top-down); samples are BGR(A) — all normalized away by
+    * [[pixels]]. */
+  object Bmp {
+    def isBmp(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'B'.toByte && b(1) == 'M'.toByte
+
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def i32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    def meta(b: Array[Byte]): Option[Multimodal.MediaMeta] = {
+      if (b.length < 54 || !isBmp(b)) return None
+      val bits = u16(b, 28)
+      val compression = i32(b, 30)
+      if (compression != 0 || bits % 8 != 0) return None
+      Some(Multimodal.MediaMeta(i32(b, 18), math.abs(i32(b, 22)), bits / 8,
+        b.length.toLong, "bmp"))
+    }
+
+    /** Decoded pixels: top-down row-major RGB(A) without padding.
+      * 24/32-bit only (8-bit needs the palette — not decoded). */
+    def pixels(b: Array[Byte]): Option[Array[Byte]] = meta(b).flatMap { m =>
+      val ch = m.channels
+      val w = m.width; val h = m.height
+      val topDown = i32(b, 22) < 0
+      val off = i32(b, 10)
+      val rowSize = ((ch * 8 * w + 31) / 32) * 4
+      if ((ch != 3 && ch != 4) || off + rowSize.toLong * h > b.length) None
+      else {
+        val out = new Array[Byte](w * h * ch)
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          var x = 0
+          while (x < w) {
+            val s = off + srcRow * rowSize + x * ch
+            val d = (y * w + x) * ch
+            // BGR(A) -> RGB(A)
+            out(d) = b(s + 2); out(d + 1) = b(s + 1); out(d + 2) = b(s)
+            if (ch == 4) out(d + 3) = b(s + 3)
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    }
+
+    /** Minimal 24-bit BI_RGB writer (RGB input, any `ch` collapses to
+      * its first three samples; gray not supported here). */
+    def encode24(w: Int, h: Int, ch: Int, rgb: Array[Byte]): Option[Array[Byte]] = {
+      if (ch < 3) return None
+      val rowSize = ((24 * w + 31) / 32) * 4
+      val dataSize = rowSize * h
+      val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putShort(0).putShort(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      val out = bb.array()
+      var y = 0
+      while (y < h) {
+        val dstRow = 54 + (h - 1 - y) * rowSize // bottom-up
+        var x = 0
+        while (x < w) {
+          val s = (y * w + x) * ch
+          val d = dstRow + x * 3
+          out(d) = rgb(s + 2); out(d + 1) = rgb(s + 1); out(d + 2) = rgb(s)
+          x += 1
+        }
+        y += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Real binary PNM reader/writer: P6 (PPM, rgb) and P5 (PGM, gray),
+    * maxval <= 255, '#' comments in the header. */
+  object Pnm {
+    def isPnm(b: Array[Byte]): Boolean =
+      b.length >= 2 && b(0) == 'P'.toByte &&
+        (b(1) == '5'.toByte || b(1) == '6'.toByte)
+
+    /** Header = magic + 3 whitespace-separated ints with optional
+      * '#'-to-EOL comments; returns (w, h, maxval, dataOffset). */
+    private def header(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (!isPnm(b)) return None
+      var i = 2
+      val vals = new Array[Int](3)
+      var v = 0
+      while (v < 3) {
+        // skip whitespace and comments
+        var moved = true
+        while (moved) {
+          moved = false
+          while (i < b.length && Character.isWhitespace(b(i))) { i += 1; moved = true }
+          if (i < b.length && b(i) == '#'.toByte) {
+            while (i < b.length && b(i) != '\n'.toByte) i += 1
+            moved = true
+          }
+        }
+        var n = -1
+        while (i < b.length && b(i) >= '0'.toByte && b(i) <= '9'.toByte) {
+          n = (if (n < 0) 0 else n) * 10 + (b(i) - '0'.toByte); i += 1
+        }
+        if (n < 0) return None
+        vals(v) = n
+        v += 1
+      }
+      // exactly ONE whitespace byte separates maxval from the raster
+      if (i >= b.length || !Character.isWhitespace(b(i))) return None
+      Some((vals(0), vals(1), vals(2), i + 1))
+    }
+
+    def meta(b: Array[Byte]): Option[Multimodal.MediaMeta] = header(b).map {
+      case (w, h, _, _) =>
+        val ch = if (b(1) == '6'.toByte) 3 else 1
+        Multimodal.MediaMeta(w, h, ch, b.length.toLong,
+          if (ch == 3) "ppm" else "pgm")
+    }
+
+    /** Decoded pixels: the raster verbatim (already top-down unpadded
+      * interleaved). maxval <= 255 only. */
+    def pixels(b: Array[Byte]): Option[Array[Byte]] = header(b).flatMap {
+      case (w, h, maxval, off) =>
+        val ch = if (b(1) == '6'.toByte) 3 else 1
+        val n = w * h * ch
+        if (maxval > 255 || off + n > b.length) None
+        else Some(java.util.Arrays.copyOfRange(b, off, off + n))
+    }
+
+    def encode(w: Int, h: Int, ch: Int, px: Array[Byte]): Array[Byte] = {
+      val head = s"P${if (ch >= 3) 6 else 5}\n$w $h\n255\n".getBytes
+      val out = new Array[Byte](head.length + px.length)
+      System.arraycopy(head, 0, out, 0, head.length)
+      System.arraycopy(px, 0, out, head.length, px.length)
+      out
+    }
   }
 
   /** Open a directory of media files as (path, content) — Spark's

@@ -15,10 +15,18 @@ import org.apache.spark.sql.functions._
   * between shuffling the whole fact table and shuffling the join's
   * actual input.
   *
-  * Spark 3.3+ has an automatic runtime variant
-  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`); this operator
-  * is the explicit form for when the planner's heuristics don't fire
-  * (pre-filtered dims, non-equi pre-conditions, cross-format joins).
+  * The sketch is built by Spark's native `BloomFilterAggregate`
+  * (distributed partial aggregation over `xxhash64(key)`) and probed
+  * by the native `BloomFilterMightContain` expression — the same pair
+  * the optimizer's runtime row-level filtering uses
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), so the prune
+  * filter stays inside whole-stage codegen in exactly the
+  * scan-adjacent stage the operator exists to accelerate. (The first
+  * cut filtered through a per-row `mightContain` UDF, which broke
+  * codegen there; the UDF path survives only as a fallback.) This
+  * operator is the explicit form for when the planner's heuristics
+  * don't fire (pre-filtered dims, non-equi pre-conditions,
+  * cross-format joins).
   */
 object BloomPrune {
 
@@ -33,16 +41,49 @@ object BloomPrune {
   }
 
   /** Just the pruned fact side (for joins composed separately).
-    * Integral and string keys are supported (the sketch hashes
-    * integral keys as longs, strings as bytes). */
+    * Both sides hash the key with `xxhash64`, so any hashable key
+    * type works; a hash collision only adds to the false-positive
+    * rate the Bloom filter already carries. */
   def prune(fact: DataFrame, factKey: Column,
             dim: DataFrame, dimKey: Column,
-            expectedDimKeys: Long, fpp: Double): DataFrame = {
+            expectedDimKeys: Long, fpp: Double): DataFrame =
+    try pruneNative(fact, factKey, dim, dimKey, expectedDimKeys, fpp)
+    catch { case scala.util.control.NonFatal(_) =>
+      pruneUdf(fact, factKey, dim, dimKey, expectedDimKeys, fpp)
+    }
+
+  private def pruneNative(fact: DataFrame, factKey: Column,
+                          dim: DataFrame, dimKey: Column,
+                          expectedDimKeys: Long, fpp: Double): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    // optimal bit count for the target fpp, capped at the engine's own
+    // runtime-filter ceiling (64M bits = 8 MB)
+    val ln2sq = math.log(2) * math.log(2)
+    val numBits = math.min(67108864L,
+      math.max(64L, math.ceil(-expectedDimKeys * math.log(fpp) / ln2sq).toLong))
+    val agg = new BloomFilterAggregate(
+      expression(xxhash64(dimKey)),
+      Literal(expectedDimKeys), Literal(numBits)).toAggregateExpression()
+    // distributed build: partial sketches merge in the final aggregate;
+    // the driver receives only the serialized filter bytes
+    val bytes = dim.select(column(agg).as("bf")).head().getAs[Array[Byte]]("bf")
+    if (bytes == null) fact.filter(lit(false)) // empty dim: nothing can join
+    else fact.filter(column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), expression(xxhash64(factKey)))))
+  }
+
+  /** Fallback: driver-built sketch probed through a UDF (not codegen —
+    * kept only for environments where the internal expression pair is
+    * unavailable; integral and string keys only, like `stat.bloomFilter`). */
+  private def pruneUdf(fact: DataFrame, factKey: Column,
+                       dim: DataFrame, dimKey: Column,
+                       expectedDimKeys: Long, fpp: Double): DataFrame = {
     import org.apache.spark.sql.types._
     val spark = fact.sparkSession
-    // one pass over dim builds the filter on the driver...
     val bf = dim.stat.bloomFilter(dimKey, expectedDimKeys, fpp)
-    // ...and an executor-broadcast ships it once per node, not per task
     val bcast = spark.sparkContext.broadcast(bf)
     val keyType = fact.select(factKey).schema.head.dataType
     val predicate = keyType match {

@@ -84,6 +84,29 @@ object TextPipelineQueries {
       (centroids, cached)
     })
 
+  /** q42's embedding-space dup groups share the CC cache under a
+    * derived key (same lifecycle, cleared by [[clearCache]]). */
+  private def embDupGroups(s: SparkSession, d: String): DataFrame =
+    ccCache.getOrElseUpdate((sessionKey(s), s"$d#embedding"), {
+      val pairs = Similarity.lshSimilarPairs(emb(s, d), "vec_id", "embedding", 8, 0.3)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(pairs)
+    })
+
+  /** Force-materialize every shared cached intermediate for (s, d):
+    * the shingle/signature tables, both connected-components label
+    * sets, and the IVF index. A bench harness calls this ONCE and
+    * reports the build as its own line item, so per-query medians
+    * measure steady-state cost instead of whichever query happened to
+    * pay the one-time build. */
+  def warmCaches(s: SparkSession, d: String): Unit = {
+    shingleTab(s, d).count()
+    signatures(s, d).count()
+    dupGroups(s, d).count()
+    embDupGroups(s, d).count()
+    ivfIndex(s, d)._2.count()
+  }
+
   /** Unpersist and drop every cached intermediate belonging to
     * `s` (call when a pipeline run is finished with a corpus). */
   def clearCache(s: SparkSession): Unit = {
@@ -200,11 +223,7 @@ object TextPipelineQueries {
     // pairs collapsed to clusters with a canonical keep id — the
     // embedding analogue of q41's text dedup groups.
     "q42_embedding_dup_groups" -> ((s, d) =>
-      ccCache.getOrElseUpdate((sessionKey(s), s"$d#embedding"), {
-        val pairs = Similarity.lshSimilarPairs(emb(s, d), "vec_id", "embedding", 8, 0.3)
-          .select(col("id_a"), col("id_b"))
-        Dedup.connectedComponents(pairs)
-      }).select(col("id").as("vec_id"), col("keep_id"))))
+      embDupGroups(s, d).select(col("id").as("vec_id"), col("keep_id"))))
 
   // ---- oracle SQL (DuckDB dialect) ----
 

@@ -65,6 +65,36 @@ object EventStreaming {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream inner join (purchases ⋈ clicks shape): rows of two
+    * live streams matched on `key` when the right event time falls in
+    * `[left time − within, left time]` — e.g. "the click that led to
+    * this purchase, at most 10 minutes earlier".
+    *
+    * Both sides are event-schema streams (`ts` INT64 nanos). Each side
+    * carries its own watermark AND the join condition bounds the two
+    * event times against each other — the combination Structured
+    * Streaming needs to know when buffered rows can never match again,
+    * so per-side join state is EVICTED as the watermark advances.
+    * Without the time bound the state grows with the stream; with it,
+    * state is bounded by (watermark delay + within) per key. Matches
+    * emit eagerly, including across micro-batch boundaries. */
+  def joinWithin(left: DataFrame, right: DataFrame, key: String,
+                 watermark: String, within: String): DataFrame = {
+    val l = left.select(col(key),
+        col("event_id").as("l_event_id"), col("value").as("l_value"),
+        timestamp_micros(expr("ts div 1000")).as("l_time"))
+      .withWatermark("l_time", watermark)
+    val r = right.select(col(key).as("__rk"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"),
+        timestamp_micros(expr("ts div 1000")).as("r_time"))
+      .withWatermark("r_time", watermark)
+    l.join(r,
+      col(key) === col("__rk") &&
+        col("r_time") >= col("l_time") - expr(s"interval $within") &&
+        col("r_time") <= col("l_time"))
+      .drop("__rk")
+  }
+
   /** Streaming parquet sink: exactly-once file commits through the
     * checkpointed offset log + `_spark_metadata`, hive-partitioned by
     * event_type so downstream batch reads partition-prune — the

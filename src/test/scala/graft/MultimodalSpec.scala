@@ -50,6 +50,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Codec.payload(out.content).length == 128)
   }
 
+  // ---- real formats: hand-authored fixtures, decoded by the real
+  // pure-JVM BMP/PNM codecs (not round-tripped through our encoder) ----
+
+  /** 2x2 24-bit BMP authored from the format spec: BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up rows padded to 4 bytes, BGR samples.
+    * Top-down RGB pixels: (255,0,0) (0,255,0) / (0,0,255) (255,255,255). */
+  private def bmpFixture: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(70).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(70).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(2).putInt(2).putShort(1).putShort(24)
+      .putInt(0).putInt(16).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom row first (bottom-up): (0,0,255)->BGR(255,0,0), (255,255,255)
+    bb.put(Array[Byte](-1, 0, 0, -1, -1, -1, 0, 0))
+    // top row: (255,0,0)->BGR(0,0,255), (0,255,0)->BGR(0,-1,0)
+    bb.put(Array[Byte](0, 0, -1, 0, -1, 0, 0, 0))
+    bb.array()
+  }
+
+  /** 2x2 binary PPM (P6) with a header comment; raster is top-down RGB. */
+  private def ppmFixture: Array[Byte] =
+    "P6\n# fixture\n2 2\n255\n".getBytes ++
+      Array[Byte](-1, 0, 0, 0, -1, 0, 0, 0, -1, -1, -1, -1)
+
+  private val expectedRgb = Array[Byte](
+    -1, 0, 0, 0, -1, 0, // (255,0,0) (0,255,0)
+    0, 0, -1, -1, -1, -1) // (0,0,255) (255,255,255)
+
+  test("real BMP decode: header meta and unpadded top-down RGB pixels") {
+    val m = Codec.decodeMeta(bmpFixture).get
+    assert(m == MediaMeta(2, 2, 3, 70, "bmp"))
+    assert(Codec.payload(bmpFixture).sameElements(expectedRgb))
+  }
+
+  test("real PPM decode: comment-tolerant header, raster verbatim") {
+    val m = Codec.decodeMeta(ppmFixture).get
+    assert(m.width == 2 && m.height == 2 && m.channels == 3 && m.format == "ppm")
+    assert(Codec.payload(ppmFixture).sameElements(expectedRgb))
+  }
+
+  test("real resize: nearest-neighbor downscale re-encodes in-format") {
+    for (fixture <- Seq(bmpFixture, ppmFixture)) {
+      val out = Codec.resize(fixture, 2).get
+      val m = Codec.decodeMeta(out).get
+      assert(m.width == 1 && m.height == 1)
+      assert(m.format == Codec.decodeMeta(fixture).get.format)
+      // the surviving pixel is the top-left sample
+      assert(Codec.payload(out).sameElements(Array[Byte](-1, 0, 0)))
+    }
+  }
+
+  test("mixed-format landing dir decodes distributed via the same pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("mixed")
+    java.nio.file.Files.write(dir.resolve("m0.bmp"), bmpFixture)
+    java.nio.file.Files.write(dir.resolve("m1.ppm"), ppmFixture)
+    java.nio.file.Files.write(dir.resolve("m2.grft"),
+      Codec.encode(4, 4, 3, Array.fill(48)(7.toByte)))
+    val ds = Multimodal.readBinaryDir(spark, dir.toString).select(
+      regexp_extract(col("path"), "m(\\d+)\\.", 1).cast("long").as("media_id"),
+      col("content")).as[MediaRecord]
+    val metas = decodeMeta(ds).collect().map(r => r.media_id -> r.meta.format).toMap
+    assert(metas == Map(0L -> "bmp", 1L -> "ppm", 2L -> "grft"))
+  }
+
   test("binaryFile ingest reads a media landing dir on executors") {
     val dir = java.nio.file.Files.createTempDirectory("media")
     corpus(3).collect().foreach { r =>

@@ -52,6 +52,13 @@ class ScaleOpsSpec extends AnyFunSuite {
     val joiningKeys = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select("l_orderkey").distinct().count()
     assert(prunedFact.select("l_orderkey").distinct().count() >= joiningKeys)
+    // the prune filter is the NATIVE might_contain expression inside
+    // whole-stage codegen — no UDF in the scan-adjacent stage
+    prunedFact.collect()
+    val plan = prunedFact.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF"), s"prune filter must not use a UDF:\n$plan")
   }
 
   test("IVF index: nprobe=k reproduces brute force; partial probe has recall") {

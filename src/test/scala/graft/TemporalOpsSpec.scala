@@ -147,6 +147,54 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(rows == Map(1L -> Some("gold"), 2L -> None))
   }
 
+  test("stream-stream join matches across micro-batches and evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val clicks = MemoryStream[(Long, Long, Long, String, Double, String)]
+    def df(m: MemoryStream[(Long, Long, Long, String, Double, String)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val q = EventStreaming.joinWithin(df(purchases), df(clicks),
+      "user_id", watermark = "5 minutes", within = "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssj_out").start()
+    val min = 60L * 1000 * 1000 * 1000 // one minute in nanos
+    def pairs() = spark.table("ssj_out").collect()
+      .map(r => (r.getAs[Long]("l_event_id"), r.getAs[Long]("r_event_id"))).toSet
+
+    // batch 1: a click, then its purchase 4 minutes later — same batch
+    clicks.addData((100L, 1 * min, 1L, "click", 0.0, "{}"))
+    purchases.addData((200L, 5 * min, 1L, "purchase", 9.99, "{}"))
+    q.processAllAvailable()
+    assert(pairs() == Set((200L, 100L)))
+
+    // batch 2: purchase arrives a micro-batch AFTER its click, still
+    // inside the 10-minute bound -> buffered click state matches it;
+    // a different user's click never joins
+    clicks.addData((101L, 7 * min, 2L, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    purchases.addData((201L, 12 * min, 2L, "purchase", 5.0, "{}"))
+    q.processAllAvailable()
+    assert(pairs() == Set((200L, 100L), (201L, 101L)))
+
+    // a click 11 minutes BEFORE the purchase is outside `within`
+    clicks.addData((102L, 1 * min, 3L, "click", 0.0, "{}"))
+    purchases.addData((202L, 12 * min, 3L, "purchase", 1.0, "{}"))
+    q.processAllAvailable()
+    assert(pairs() == Set((200L, 100L), (201L, 101L)))
+
+    // advance BOTH watermarks far ahead (global watermark = min), so
+    // old buffered state is evicted; a too-late click for an old
+    // purchase must be dropped, not matched
+    clicks.addData((103L, 100 * min, 9L, "click", 0.0, "{}"))
+    purchases.addData((203L, 100 * min, 8L, "purchase", 0.0, "{}"))
+    q.processAllAvailable()
+    clicks.addData((104L, 4 * min, 1L, "click", 0.0, "{}")) // would match 200L
+    q.processAllAvailable()
+    assert(pairs() == Set((200L, 100L), (201L, 101L)),
+      "late click beyond the watermark must not revive evicted state")
+    q.stop()
+  }
+
   test("streaming parquet sink lands partitioned, exactly-once files") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
