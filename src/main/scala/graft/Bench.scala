@@ -61,9 +61,13 @@ object Bench {
     catch { case _: Throwable => () }
     val cacheBuild = (System.nanoTime() - tCache0) / 1e9
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> run(fn)
-    }
+    // Optional focus list (comma-separated name substrings) for
+    // adjudicating a single query's spread without its neighbors.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+      .map { case (name, fn) => name -> run(fn) }
     val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v)}%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, v) =>

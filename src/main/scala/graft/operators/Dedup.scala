@@ -267,18 +267,24 @@ object Dedup {
   }
 
   /** Per-document SimHash of `bits` bits (frequency-weighted token
-    * votes; deterministic salted-md5 bit hashes). Output: (id, simhash). */
+    * votes; deterministic salted-md5 bit hashes). Output: (id, simhash).
+    *
+    * All `bits` votes are aggregate COLUMNS over one token stream —
+    * not a crossJoin with a bit table, which multiplied the shuffled
+    * row count by `bits` and needed a second rollup shuffle. One
+    * map-side-combined exchange on the doc id; the per-token hash
+    * work is identical. */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               bits: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    val bitIds = spark.range(bits).select(col("id").as("b"))
+    val votes = (0 until bits).map(b =>
+      sum(simhashVote(lit(b), col("w"))).as(s"s$b"))
+    val packed = (0 until bits).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
     spread(df, idCol)
       .select(col(idCol), explode(tokens(col(textCol))).as("w"))
-      .crossJoin(broadcast(bitIds))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(simhashVote(col("b"), col("w"))).as("s"))
       .groupBy(col(idCol))
-      .agg(sum(expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
   }
 }

@@ -306,10 +306,28 @@ object RelationalQueries {
           <= count(lit(1)) * 0.05).as("approx_ok"))
   }
 
+  /** Bloom-pruned selective join through the correctness gate: the
+    * prune admits false POSITIVES only (they die in the join), never
+    * false negatives — so the pruned join is value-identical to the
+    * plain join and a plain-SQL oracle applies verbatim. The fact
+    * side is filtered by the native `might_contain` expression before
+    * its shuffle (see [[BloomPrune]]). */
+  def q44BloomJoin(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val dim = t(s, d, "orders")
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    BloomPrune.prunedJoin(li, "l_orderkey", dim, "o_orderkey",
+        expectedDimKeys = 100000)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+  }
+
   /** Queries intentionally published without an oracle. */
   val rowsOnly: Set[String] = Set.empty
 
   val queries: Map[String, Q] = Map(
+    "q44_bloom_join" -> q44BloomJoin,
     "q34_approx_distinct" -> q34ApproxDistinct,
     "q30_outer_join" -> q30OuterJoin,
     "q31_cube" -> q31Cube,
@@ -332,6 +350,13 @@ object RelationalQueries {
     "q15_semi_join" -> q15SemiJoin)
 
   val oracle: Map[String, String] = Map(
+    "q44_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        | round(o.o_totalprice, 2) AS o_totalprice
+        |FROM lineitem l
+        |JOIN (SELECT o_orderkey, o_totalprice FROM orders
+        |      WHERE o_totalprice > 400000) o
+        |  ON l.l_orderkey = o.o_orderkey""".stripMargin,
     "q30_outer_join" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_big_items,
         | round(sum(l_extendedprice), 2) AS total

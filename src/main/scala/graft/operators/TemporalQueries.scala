@@ -85,6 +85,21 @@ object TemporalQueries {
           count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
     }),
+    // Batch twin of the streaming stream-stream join (unified
+    // semantics: EventStreaming.joinWithin runs unchanged on batch
+    // frames, the watermark becoming a no-op): each purchase matched
+    // with the same user's clicks at most 10 minutes earlier. The
+    // equi-key keeps Spark on a sort-merge join with the time range
+    // as a post-filter — never a nested-loop.
+    "q45_stream_join_batch" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+      val clicks = e.filter(col("event_type") === "click")
+      graft.streaming.EventStreaming.joinWithin(purchases, clicks,
+          "user_id", watermark = "10 minutes", within = "10 minutes")
+        .select(col("l_event_id").as("purchase_event_id"),
+          col("r_event_id").as("click_event_id"))
+    }),
     // Same semantics as q27 through the NATIVE as-of operator (custom
     // logical node + strategy + merge-join exec, graft.plans) — both
     // run against the same DuckDB oracle.
@@ -166,6 +181,14 @@ object TemporalQueries {
         | min(t) AS session_start, max(t) AS session_end,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM sid GROUP BY user_id, session_id""".stripMargin,
+    // µs precision both sides (see q38's note on the NANOS column)
+    "q45_stream_join_batch" ->
+      """SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
     // q35 = q27 semantics through the native merge operator; the
     // window-form oracle (same tie-break) applies unchanged.
     "q35_asof_native" ->
