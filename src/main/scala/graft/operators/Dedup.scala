@@ -197,8 +197,14 @@ object Dedup {
       iter += 1
     }
     if (changed == 0) {
+      // the RETURNED frame is the persisted one (materialized, then
+      // internals freed): a caller's unpersist releases everything —
+      // internal persists must not outlive the caller's cache lifecycle
+      val out = labels.select(col("id"), col("label").as("keep_id")).persist(mem)
+      out.count()
+      labels.unpersist(blocking = false)
       edges.unpersist(blocking = false)
-      labels.select(col("id"), col("label").as("keep_id"))
+      out
     } else {
       // Diameter exceeded the propagation budget (min-label rounds =
       // component diameter — fine for dense near-dup clusters, fatal
@@ -207,6 +213,8 @@ object Dedup {
       // converges in O(log² n) rounds regardless of diameter.
       labels.unpersist(blocking = false)
       val out = starComponents(edges)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
       edges.unpersist(blocking = false)
       out
     }

@@ -74,7 +74,8 @@ class TextOpsSpec extends AnyFunSuite {
     import graft.operators.TextPipelineQueries
     val d = "/root/testdata/sf0.001"
     val before = spark.sparkContext.getPersistentRDDs.keySet
-    Seq("q17_minhash_signatures", "q18_dedup_minhash_lsh", "q19_ngram_jaccard")
+    Seq("q17_minhash_signatures", "q18_dedup_minhash_lsh", "q19_ngram_jaccard",
+      "q41_dedup_groups", "q42_embedding_dup_groups", "q43_ivf_topk_exact")
       .foreach(q => TextPipelineQueries.queries(q)(spark, d).collect())
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
     TextPipelineQueries.clearCache(spark)
