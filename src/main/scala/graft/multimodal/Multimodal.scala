@@ -64,6 +64,7 @@ object Multimodal {
       }
       else if (Bmp.isBmp(bytes)) Bmp.meta(bytes)
       else if (Pnm.isPnm(bytes)) Pnm.meta(bytes)
+      else if (Png.isPng(bytes)) Png.meta(bytes)
       else None
 
     /** Raw sample bytes: the GRFT payload as-is; for BMP/PPM/PGM the
@@ -72,6 +73,7 @@ object Multimodal {
     def payload(bytes: Array[Byte]): Array[Byte] =
       if (Bmp.isBmp(bytes)) Bmp.pixels(bytes).getOrElse(Array.empty)
       else if (Pnm.isPnm(bytes)) Pnm.pixels(bytes).getOrElse(Array.empty)
+      else if (Png.isPng(bytes)) Png.pixels(bytes).getOrElse(Array.empty)
       else bytes.drop(13)
 
     /** Downscale by an integer factor. GRFT keeps its stub stride-
@@ -79,13 +81,14 @@ object Multimodal {
       * REAL nearest-neighbor resampling re-encoded in their own
       * format. */
     def resize(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
-      if (Bmp.isBmp(bytes) || Pnm.isPnm(bytes))
+      if (Bmp.isBmp(bytes) || Pnm.isPnm(bytes) || Png.isPng(bytes))
         decodeMeta(bytes).flatMap { m =>
           val px = payload(bytes)
           if (px.isEmpty) None
           else {
             val (w2, h2, out) = nearestNeighbor(px, m.width, m.height, m.channels, factor)
             if (Bmp.isBmp(bytes)) Bmp.encode24(w2, h2, m.channels, out)
+            else if (Png.isPng(bytes)) Some(Png.encode(w2, h2, m.channels, out))
             else Some(Pnm.encode(w2, h2, m.channels, out))
           }
         }
@@ -198,6 +201,156 @@ object Multimodal {
         y += 1
       }
       Some(out)
+    }
+  }
+
+  /** Real PNG reader/writer in pure JVM (`java.util.zip` Inflater/
+    * Deflater + CRC32): 8-bit depth, color types 0 (gray), 2 (RGB),
+    * 4 (gray+alpha), 6 (RGBA), non-interlaced. Scanline filters
+    * (None/Sub/Up/Average/Paeth) are fully reversed; palette (type 3)
+    * and Adam7 interlacing report metadata but don't decode. */
+  object Png {
+    private val Sig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    def isPng(b: Array[Byte]): Boolean =
+      b.length >= 8 && (0 until 8).forall(i => b(i) == Sig(i))
+
+    private def u32(b: Array[Byte], off: Int): Int = // big-endian
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    private def chType(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    private def channelsOf(colorType: Int): Int = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => -1
+    }
+
+    def meta(b: Array[Byte]): Option[Multimodal.MediaMeta] = {
+      if (!isPng(b) || b.length < 33 || chType(b, 12) != "IHDR") return None
+      val ch = channelsOf(b(25) & 0xff)
+      if (ch < 0) return None
+      Some(Multimodal.MediaMeta(u32(b, 16), u32(b, 20), ch, b.length.toLong, "png"))
+    }
+
+    /** Concatenated IDAT payload (chunk walk from the first chunk). */
+    private def idat(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var off = 8
+      var done = false
+      while (!done && off + 8 <= b.length) {
+        val len = u32(b, off)
+        val t = chType(b, off + 4)
+        if (t == "IEND" || off + 8 + len > b.length) done = true
+        else {
+          if (t == "IDAT") out.write(b, off + 8, len)
+          off += 12 + len // len + type + data + crc
+        }
+      }
+      out.toByteArray
+    }
+
+    def pixels(b: Array[Byte]): Option[Array[Byte]] = meta(b).flatMap { m =>
+      val depth = b(24) & 0xff
+      val colorType = b(25) & 0xff
+      val interlace = b(28) & 0xff
+      if (depth != 8 || colorType == 3 || interlace != 0) None
+      else {
+        val w = m.width; val h = m.height; val ch = m.channels
+        val stride = w * ch
+        val raw = new Array[Byte]((stride + 1) * h)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat(b))
+        try {
+          var got = 0
+          var truncated = false
+          while (got < raw.length && !inf.finished() && !truncated) {
+            val n = inf.inflate(raw, got, raw.length - got)
+            if (n == 0 && inf.needsInput()) truncated = true // short stream
+            else got += n
+          }
+          if (truncated || got < raw.length) None
+          else Some(unfilter(raw, h, stride, ch))
+        } catch { case _: java.util.zip.DataFormatException => None }
+        finally inf.end()
+      }
+    }
+
+    /** Reverse the per-scanline filters in place into a packed output. */
+    private def unfilter(raw: Array[Byte], h: Int, stride: Int, bpp: Int): Array[Byte] = {
+      val out = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (stride + 1)) & 0xff
+        val src = y * (stride + 1) + 1
+        val dst = y * stride
+        var x = 0
+        while (x < stride) {
+          val a = if (x >= bpp) out(dst + x - bpp) & 0xff else 0 // left
+          val up = if (y > 0) out(dst - stride + x) & 0xff else 0 // above
+          val c = if (x >= bpp && y > 0) out(dst - stride + x - bpp) & 0xff else 0
+          val v = raw(src + x) & 0xff
+          val rec = f match {
+            case 0 => v
+            case 1 => v + a
+            case 2 => v + up
+            case 3 => v + ((a + up) / 2)
+            case 4 => v + paeth(a, up, c)
+            case _ => v
+          }
+          out(dst + x) = (rec & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Minimal writer: filter-0 scanlines, one IDAT, 8-bit depth,
+      * color type from the channel count. */
+    def encode(w: Int, h: Int, ch: Int, px: Array[Byte]): Array[Byte] = {
+      val colorType = ch match { case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6 }
+      val stride = w * ch
+      val raw = new Array[Byte]((stride + 1) * h)
+      var y = 0
+      while (y < h) {
+        System.arraycopy(px, y * stride, raw, y * (stride + 1) + 1, stride)
+        y += 1
+      }
+      val def_ = new java.util.zip.Deflater()
+      def_.setInput(raw); def_.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val zOut = new java.io.ByteArrayOutputStream()
+      while (!def_.finished()) zOut.write(buf, 0, def_.deflate(buf))
+      def_.end()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig, 0, Sig.length)
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      writeChunk(out, "IHDR", ihdr)
+      writeChunk(out, "IDAT", zOut.toByteArray)
+      writeChunk(out, "IEND", Array.empty)
+      out.toByteArray
+    }
+
+    private def writeChunk(out: java.io.ByteArrayOutputStream,
+                           typ: String, data: Array[Byte]): Unit = {
+      val t = typ.getBytes("US-ASCII")
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(data.length).array(), 0, 4)
+      out.write(t, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
     }
   }
 

@@ -274,6 +274,31 @@ object Dedup {
       .select(col("id"), coalesce(col("keep_id"), col("id")).as("keep_id"))
   }
 
+  /** Benchmark decontamination: documents sharing any word n-gram
+    * with a benchmark/test corpus, plus the count of distinct
+    * overlapping n-grams — the standard "did my training data leak
+    * the eval set" filter (13-gram overlap in the GPT-3 lineage;
+    * `shingleN` is the knob). Output: (id, n_hits), contaminated
+    * documents only.
+    *
+    * Scale shape: the BENCHMARK side is reduced to distinct n-grams —
+    * tiny relative to any training corpus — and broadcast, so the
+    * corpus side is never shuffled on strings: explode is narrow, the
+    * broadcast join filters to hit rows only, and the single exchange
+    * is the per-document distinct-count over those hits. */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    shingleN: Int = 3): DataFrame = {
+    val bad = bench
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("sh"))
+      .distinct()
+    spread(df, idCol)
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .join(broadcast(bad), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("sh")).as("n_hits"))
+  }
+
   /** Per-document SimHash of `bits` bits (frequency-weighted token
     * votes; deterministic salted-md5 bit hashes). Output: (id, simhash).
     *

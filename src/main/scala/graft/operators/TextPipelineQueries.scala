@@ -134,6 +134,14 @@ object TextPipelineQueries {
     }),
     "q20_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
+    // Benchmark decontamination: docs sharing any 3-gram with the
+    // stand-in "eval set" (doc_id < 20), with the distinct-overlap
+    // count. Bench side broadcasts; corpus never shuffles strings.
+    "q46_decontaminate" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.contamination(doc.filter(col("doc_id") >= 20), "doc_id", "text",
+        doc.filter(col("doc_id") < 20), "text", 3)
+    }),
     // LSH candidate pairs → connected components: every clustered doc
     // with its canonical keep id (the component minimum) — the final
     // "which docs do I drop" artifact of the dedup pipeline.
@@ -300,6 +308,13 @@ object TextPipelineQueries {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
+    "q46_decontaminate" ->
+      s"""WITH $shCte,
+         |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |hits AS (SELECT s.doc_id, s.shingle FROM sh s
+         |         JOIN bad USING (shingle) WHERE s.doc_id >= 20)
+         |SELECT doc_id, count(DISTINCT shingle) AS n_hits
+         |FROM hits GROUP BY doc_id""".stripMargin,
     "q21_text_langid" ->
       """WITH m AS (SELECT doc_id,
         | CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS BIGINT) AS n_en,

@@ -100,17 +100,68 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  /** 2x2 RGB PNG authored from the spec with its OWN chunk writer
+    * (not our encoder): row 0 uses the Sub filter, row 1 uses Up —
+    * exercising the unfiltering paths a filter-0-only writer never
+    * produces. Same expected pixels as the other fixtures. */
+  private def pngFixture: Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(t).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(2.toByte) // 8-bit RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    // filtered scanlines: Sub(1): [255,0,0] then deltas [1,255,0];
+    // Up(2): deltas vs row 0: [1,0,255], [255,0,255]
+    val raw = Array[Byte](1, -1, 0, 0, 1, -1, 0,
+      2, 1, 0, -1, -1, 0, -1)
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val buf = new Array[Byte](64); val z = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  test("real PNG decode: IHDR meta, inflate, Sub/Up unfiltering") {
+    val m = Codec.decodeMeta(pngFixture).get
+    assert(m.width == 2 && m.height == 2 && m.channels == 3 && m.format == "png")
+    assert(Codec.payload(pngFixture).sameElements(expectedRgb))
+  }
+
+  test("PNG encode/decode round-trips RGB, RGBA and gray") {
+    for (ch <- Seq(1, 3, 4)) {
+      val px = Array.tabulate(5 * 4 * ch)(i => ((i * 37 + 11) % 256).toByte)
+      val png = Multimodal.Png.encode(5, 4, ch, px)
+      val m = Codec.decodeMeta(png).get
+      assert(m.width == 5 && m.height == 4 && m.channels == ch && m.format == "png")
+      assert(Codec.payload(png).sameElements(px))
+    }
+  }
+
+  test("PNG resize: nearest-neighbor, re-encoded as PNG") {
+    val out = Codec.resize(pngFixture, 2).get
+    val m = Codec.decodeMeta(out).get
+    assert(m.width == 1 && m.height == 1 && m.format == "png")
+    assert(Codec.payload(out).sameElements(Array[Byte](-1, 0, 0)))
+  }
+
   test("mixed-format landing dir decodes distributed via the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("mixed")
     java.nio.file.Files.write(dir.resolve("m0.bmp"), bmpFixture)
     java.nio.file.Files.write(dir.resolve("m1.ppm"), ppmFixture)
     java.nio.file.Files.write(dir.resolve("m2.grft"),
       Codec.encode(4, 4, 3, Array.fill(48)(7.toByte)))
+    java.nio.file.Files.write(dir.resolve("m3.png"), pngFixture)
     val ds = Multimodal.readBinaryDir(spark, dir.toString).select(
       regexp_extract(col("path"), "m(\\d+)\\.", 1).cast("long").as("media_id"),
       col("content")).as[MediaRecord]
     val metas = decodeMeta(ds).collect().map(r => r.media_id -> r.meta.format).toMap
-    assert(metas == Map(0L -> "bmp", 1L -> "ppm", 2L -> "grft"))
+    assert(metas == Map(0L -> "bmp", 1L -> "ppm", 2L -> "grft", 3L -> "png"))
   }
 
   test("binaryFile ingest reads a media landing dir on executors") {

@@ -117,6 +117,22 @@ class TextOpsSpec extends AnyFunSuite {
     (300L to 330L).foreach(i => assert(cc2(i) == 300L))
   }
 
+  test("decontamination flags benchmark overlap, broadcasts the bench side") {
+    val bench = docs.filter($"doc_id" === 0L) // "eval set" = doc 0
+    val corpus = docs.filter($"doc_id" > 0L)
+    val out = Dedup.contamination(corpus, "doc_id", "text", bench, "text", 3)
+    val hits = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(3L) == 7L) // exact dup: all 7 shingles overlap
+    assert(hits(1L) == 6L) // near-dup: the changed last word is in 1 shingle
+    assert(!hits.contains(2L)) // unrelated doc absent, not zero
+    // the benchmark n-gram set must broadcast — the corpus side is
+    // never shuffled on shingle strings
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
