@@ -74,6 +74,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("element_at"), p.take(2000))
   }
 
+  test("q45: time-bounded join keeps its equi-key (merge join, no nested loop)") {
+    val p = plan("q45_stream_join_batch")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("NestedLoop"),
+      s"range condition must ride the user_id equi-join, not a nested loop:\n${p.take(2000)}")
+  }
+
   test("asof join plans a single shuffle (union + one window)") {
     val p = plan("q27_asof_join")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +

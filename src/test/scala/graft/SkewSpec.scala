@@ -59,4 +59,30 @@ class SkewSpec extends AnyFunSuite {
     // identical vectors i and i+10 share band-1 buckets of size 2
     assert(banded == (0 until 10).map(i => (i.toLong, i + 10L)).toSet)
   }
+
+  test("salted join spreads a hot key, result identical to the plain join") {
+    import graft.operators.SaltedJoin
+    val salts = 8
+    // 95% of fact rows share one hot key
+    val fact = spark.range(20000)
+      .select(when(col("id") % 20 =!= 0, 1L).otherwise(col("id") % 100)
+        .as("k"), col("id").as("v"))
+    val dim = spark.range(100).select(col("id").as("k"), (col("id") * 10).as("d"))
+    val plain = fact.join(dim, "k")
+    val salted = SaltedJoin.join(fact, dim, "k", salts)
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum(col("v")), sum(col("d"))).head() ==
+      plain.agg(sum(col("v")), sum(col("d"))).head())
+    // the hot key's rows actually spread: hash-distributing on
+    // (k, salt) bounds the biggest reducer near 1/salts of the hot
+    // rows, where (k) alone concentrates them all in one partition
+    val bySalt = fact.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .groupBy("k", "__salt").count()
+      .filter(col("k") === 1L).select("count")
+      .collect().map(_.getLong(0))
+    assert(bySalt.length == salts)
+    assert(bySalt.max < (20000 * 0.95 / salts * 1.5).toLong,
+      s"hot-key rows per salt: ${bySalt.mkString(",")}")
+  }
 }
