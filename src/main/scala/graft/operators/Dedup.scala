@@ -42,16 +42,24 @@ object Dedup {
     * (xxhash64 collisions could in principle add a spurious
     * intersection; at ~2⁻⁶⁴ per shingle pair that is ignorable even
     * at 100 TB corpus scale.) */
-  /** Spread a SMALL-FILE input across the cluster before a compute-
-    * heavy narrow stage (a single-small-file scan would otherwise run
-    * on one task, and AQE would coalesce a countless repartition too).
-    * Inputs that already have at least cluster parallelism pass
-    * through untouched — no gratuitous exchange on data that is
-    * already spread (at sf0.1 the repartition cost q20 an extra
-    * exchange for nothing). */
+  /** Spread a SMALL input across the cluster before a compute-heavy
+    * narrow stage (a single-small-file scan would otherwise run on one
+    * task, and AQE would coalesce a countless repartition too). Inputs
+    * big enough to scan into at least cluster parallelism pass through
+    * untouched — no gratuitous exchange on data that is already spread
+    * (at sf0.1 the unconditional repartition cost q20 an extra
+    * exchange for nothing).
+    *
+    * The check reads the optimizer's SIZE ESTIMATE, not
+    * `rdd.getNumPartitions` — the latter materializes AQE query
+    * stages for non-scan inputs, silently executing upstream shuffles
+    * at plan-build time. */
   private def spread(df: DataFrame, idCol: String): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val maxPart = org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size >= BigInt(maxPart) * par) df
     else df.repartition(par, col(idCol))
   }
 
