@@ -113,17 +113,46 @@ object IvfIndex {
     * (so a reloaded index scans and joins per-list with zero
     * exchanges — the probe join's distribution is pinned at write
     * time). The build is the expensive step; a deployment builds
-    * once, saves, and every consumer [[load]]s. */
+    * once, saves, and every consumer [[load]]s.
+    *
+    * The artifact CARRIES ITS DERIVATION (the reference's provenance
+    * ethos, util.py:83-93): `provenance` plus k/dim land in the
+    * centroid column's StructField metadata, which Spark embeds in the
+    * parquet footer and restores on read — no side table, no sidecar. */
   def save(spark: SparkSession, name: String,
            centroids: Array[Array[Double]], indexed: DataFrame,
-           buckets: Int = 8): Unit = {
+           buckets: Int = 8,
+           provenance: Map[String, String] = Map.empty): Unit = {
     import spark.implicits._
+    import graft.functions.{JStr, JVal}
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("graft.ivf.provenance",
+        JVal.obj(provenance.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> (JStr(v): JVal) }: _*).render)
+      .putLong("graft.ivf.k", centroids.length.toLong)
+      .putLong("graft.ivf.dim",
+        centroids.headOption.map(_.length).getOrElse(0).toLong)
+      .build()
     val cDf = centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("list_id", "c_vec")
+      .select(col("list_id"), col("c_vec").as("c_vec", meta))
     Bucketing.dropManagedTable(spark, s"${name}_centroids")
     cDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${name}_centroids")
     Bucketing.writeBucketed(indexed, s"${name}_lists", "list_id", buckets)
+  }
+
+  /** Provenance of a [[save]]d index, from the centroid column's
+    * restored StructField metadata: the raw JSON string under
+    * "provenance" plus "k"/"dim". */
+  def provenance(spark: SparkSession, name: String): Map[String, String] = {
+    val m = spark.table(s"${name}_centroids").schema("c_vec").metadata
+    Seq("provenance" -> "graft.ivf.provenance").collect {
+      case (k, key) if m.contains(key) => k -> m.getString(key)
+    }.toMap ++
+      Seq("k" -> "graft.ivf.k", "dim" -> "graft.ivf.dim").collect {
+        case (k, key) if m.contains(key) => k -> m.getLong(key).toString
+      }
   }
 
   /** Reload a [[save]]d index: (centroids, assigned lists). */

@@ -105,8 +105,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     val emb = Tables.t(spark, sf, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
     val (centroids, indexed) = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
-    IvfIndex.save(spark, "ivf_test", centroids, indexed, buckets = 4)
+    IvfIndex.save(spark, "ivf_test", centroids, indexed, buckets = 4,
+      provenance = Map("source" -> sf, "iters" -> "3"))
     val (c2, idx2) = IvfIndex.load(spark, "ivf_test")
+    // the artifact carries its derivation through the parquet footer
+    val prov = IvfIndex.provenance(spark, "ivf_test")
+    assert(prov("k") == "8")
+    assert(prov("provenance").contains("\"source\"") &&
+      prov("provenance").contains(sf))
     assert(c2.length == centroids.length)
     c2.zip(centroids).foreach { case (a, b) => assert(a.sameElements(b)) }
     assert(idx2.count() == emb.count())
