@@ -44,6 +44,22 @@ object VectorKernels {
     java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 
+  /** Plain-array cosine for partition-local (non-Catalyst) callers —
+    * same index-order double accumulation as [[cosineF]], so scores
+    * are bit-identical to the expression path. NaN on zero vectors,
+    * like the expression. */
+  def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Argmax-cosine centroid id for a float vector: one fused pass,
     * no per-row allocation beyond a dim-sized scratch copy. Ties
     * break to the LOWER id (strict `>`); a centroid whose length

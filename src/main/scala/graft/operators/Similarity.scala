@@ -37,6 +37,67 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** [[bruteForceTopK]] result, shaped for 100 TB: the window form
+    * above hash-shuffles EVERY scored (corpus × queries) row on q_id
+    * just to rank — with few queries that is both the full cross
+    * product through an exchange and extreme key skew. Here each
+    * corpus partition keeps a bounded per-query heap (mapPartitions —
+    * the one imperative hop; no relational form avoids that shuffle),
+    * so only |partitions| × |queries| × k candidates reach the final
+    * exact rank. Scores round to 4 decimals with HALF_UP before
+    * comparison — bit-identical ordering (and output) to the window
+    * form, id tie-breaks included. */
+  def bruteForceTopKScalable(corpus: DataFrame, queries: DataFrame,
+                             idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs: Array[(Long, Array[Float])] = queries
+      .select(col(idCol), col(vecCol)).as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(qs)
+    // worst candidate at the heap head: lowest cos, then LARGEST id;
+    // java.lang.Double.compare gives Spark's total order (NaN largest)
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val cand = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val queries = bc.value
+        val heaps = queries.map(_ =>
+          new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+        it.foreach { case (nId, vec) =>
+          var i = 0
+          while (i < queries.length) {
+            val (qId, qVec) = queries(i)
+            if (qId != nId) {
+              val raw = graft.functions.VectorKernels.cosineArr(qVec, vec)
+              val c = if (raw.isNaN) raw // BigDecimal.valueOf rejects NaN
+                else java.math.BigDecimal.valueOf(raw)
+                  .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((c, nId))
+              else {
+                val (wc, wid) = h.head
+                val cmp = java.lang.Double.compare(c, wc)
+                if (cmp > 0 || (cmp == 0 && nId < wid)) { h.dequeue(); h.enqueue((c, nId)) }
+              }
+            }
+            i += 1
+          }
+        }
+        queries.iterator.zip(heaps.iterator).flatMap { case ((qId, _), h) =>
+          h.iterator.map { case (c, nId) => (qId, nId, c) }
+        }
+      }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cand.toDF("q_id", "n_id", "cos")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** All in-bucket pairs with cosine ≥ threshold (sign-bit LSH).
     * Output: (id_a, id_b, cos) with id_a < id_b.
     *

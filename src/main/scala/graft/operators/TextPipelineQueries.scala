@@ -211,9 +211,14 @@ object TextPipelineQueries {
         .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
           round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4)
             .as("rep_ratio"))),
+    // The heap-based scale shape (per-partition bounded top-k, only
+    // partitions×queries×k candidates shuffled) through the gate; the
+    // window form stays as the reference implementation, and
+    // ScaleOpsSpec pins their row-identity.
     "q25_sim_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
-      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      Similarity.bruteForceTopKScalable(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
     }),
     // The IVF index through the gate: with nprobe = k (all lists
     // probed) the index is EXACT, so the brute-force oracle applies

@@ -46,10 +46,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, "partial+final expected")
   }
 
-  test("q25: query side is broadcast for the similarity cross join") {
+  test("q25: corpus is never joined or shuffled on q_id — heap candidates only") {
+    // q25 now runs the per-partition bounded-heap shape: no join at
+    // all (queries ride a broadcast variable), and the only exchange
+    // ranks the partitions x queries x k candidate rows
     val p = plan("q25_sim_bruteforce_topk")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(p.contains("MapPartitions"), p.take(2000))
   }
 
   test("whole-stage codegen covers the scan-filter-agg pipeline") {

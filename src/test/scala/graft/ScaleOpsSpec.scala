@@ -165,6 +165,23 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heap-based brute-force topK is row-identical to the window form") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "cos", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val window = rows(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val heap = rows(Similarity.bruteForceTopKScalable(emb, queries, "vec_id", "embedding", 5))
+    assert(heap == window)
+    // and only the candidate set (partitions x queries x k) reaches the
+    // final rank — the corpus itself is never shuffled on q_id
+    val plan = Similarity.bruteForceTopKScalable(emb, queries, "vec_id", "embedding", 5)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("MapPartitions"), plan.take(1500))
+  }
+
   test("dropManagedTable clears an orphaned warehouse dir via Hadoop FS") {
     // simulate a prior session's leftover: a dir in the warehouse with
     // no catalog entry — CREATE would fail if the cleanup missed it
