@@ -95,17 +95,18 @@ object IvfIndex {
       .withColumn("__rk", row_number().over(wProbe))
       .filter(col("__rk") <= nprobe)
       .select(col("q_id"), col("q_vec"), col("list_id"))
-    // search only the probed lists: join on list_id, then rank
+    // search only the probed lists: join on list_id, then take top-k
+    // via partition-local heaps — each vector lives in exactly ONE
+    // list and probes are distinct per (q, list), so (q_id, n_id) is
+    // already unique and only |partitions|×|queries|×k candidates
+    // reach the rank exchange (not every probed-candidate row)
     val cand = indexed.select(col("list_id"),
       col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    probes.join(cand, Seq("list_id"))
+    val scored = probes.join(cand, Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_vec"), col("n_vec")), 4).as("cos"))
-      .dropDuplicates("q_id", "n_id")
-      .withColumn("rk", row_number().over(wTop).cast("long"))
-      .filter(col("rk") <= k)
+    Similarity.topKPerKey(scored, k)
   }
 
   /** Persist the index beside the data: centroids as a tiny managed

@@ -54,14 +54,7 @@ object Similarity {
     val qs: Array[(Long, Array[Float])] = queries
       .select(col(idCol), col(vecCol)).as[(Long, Array[Float])].collect()
     val bc = spark.sparkContext.broadcast(qs)
-    // worst candidate at the heap head: lowest cos, then LARGEST id;
-    // java.lang.Double.compare gives Spark's total order (NaN largest)
-    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
-      def compare(a: (Double, Long), b: (Double, Long)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
-        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-      }
-    }
+    val worstFirst = Similarity.worstFirst
     val cand = corpus.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val queries = bc.value
@@ -89,6 +82,56 @@ object Similarity {
         }
         queries.iterator.zip(heaps.iterator).flatMap { case ((qId, _), h) =>
           h.iterator.map { case (c, nId) => (qId, nId, c) }
+        }
+      }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    cand.toDF("q_id", "n_id", "cos")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Worst candidate at the heap head: lowest score, then LARGEST id.
+    * `java.lang.Double.compare` gives Spark's total order (NaN
+    * largest), so heap eviction agrees exactly with a
+    * `orderBy(cos.desc, id.asc)` window rank. */
+  private[operators] val worstFirst: Ordering[(Double, Long)] =
+    new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+
+  /** Exact top-k rows per key over a pre-scored (q_id, n_id, cos)
+    * frame: partition-local bounded heaps shrink the candidate set to
+    * |partitions| × |keys| × k BEFORE the one rank exchange — the
+    * generic tail of any scored-candidates pipeline (IVF probes, LSH
+    * verification) that would otherwise shuffle every scored row on
+    * q_id just to rank. Ordering matches `orderBy(cos.desc,
+    * n_id.asc)` exactly, ties and NaN included; duplicate (q_id,
+    * n_id) rows must already be impossible upstream (a heap counts
+    * them twice). */
+  def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val cand = scored.select(col("q_id"), col("n_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps = scala.collection.mutable.LongMap
+          .empty[scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        it.foreach { case (q, n, c) =>
+          val h = heaps.getOrElseUpdate(q,
+            new scala.collection.mutable.PriorityQueue[(Double, Long)]()(worstFirst))
+          if (h.size < k) h.enqueue((c, n))
+          else {
+            val (wc, wid) = h.head
+            val cmp = java.lang.Double.compare(c, wc)
+            if (cmp > 0 || (cmp == 0 && n < wid)) { h.dequeue(); h.enqueue((c, n)) }
+          }
+        }
+        heaps.iterator.flatMap { case (q, h) =>
+          h.iterator.map { case (c, n) => (q, n, c) }
         }
       }
     val w = Window.partitionBy(col("q_id"))
