@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing: concatenate documents (in a
+  * deterministic id order) into fixed token-budget sequences — the
+  * standard step between "clean corpus" and "batched training data".
+  * A document belongs to the sequence in which it STARTS (documents
+  * may straddle a boundary), so
+  * `seq_id = exclusive_prefix_sum(n_tokens) div budget`.
+  *
+  * A naive global window (`sum over (order by id)`) computes the
+  * prefix sum on ONE task — the classic scale trap. This is the
+  * two-phase parallel prefix sum instead: ids are bucketed into
+  * `parallelism` DETERMINISTIC contiguous ranges (computed from the
+  * id span — no RangePartitioner sampling, so a recomputed lineage
+  * reproduces identical placement and nothing needs persisting);
+  * per-bucket token totals (a `parallelism`-sized collect — index
+  * metadata) scan into bucket offsets, and a partition-local pass
+  * adds each bucket's offset to its running sum. The corpus shuffles
+  * exactly once.
+  *
+  * Bucket ranges are equal-width in ID space, so parallelism assumes
+  * ids without extreme sparsity skew — true for the dense ids a
+  * pipeline assigns; re-id first if not.
+  */
+object Packing {
+
+  /** Input: any frame with a long-orderable `idCol` and a token count
+    * `tokenCol`. Output: (idCol, n_tokens, seq_id), one row per input
+    * row. */
+  def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
+                   budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(tokenCol).cast("long").as("__tok"))
+    val bounds = base.agg(min(col("__id")), max(col("__id")), count(lit(1))).head()
+    if (bounds.isNullAt(0)) // empty input
+      return base.select(col("__id").as(idCol), col("__tok").as("n_tokens"),
+        col("__tok").as("seq_id")).limit(0)
+    val minId = bounds.getLong(0)
+    val maxId = bounds.getLong(1)
+    val nBuckets = spark.sparkContext.defaultParallelism
+    val span = math.max(1L, (maxId - minId) / nBuckets + 1)
+    val bucketed = base
+      .withColumn("__b", ((col("__id") - minId) / span).cast("long"))
+      .repartition(nBuckets, col("__b"))
+      .sortWithinPartitions(col("__b"), col("__id"))
+    // phase 1: per-bucket totals (≤ nBuckets rows to the driver)
+    val totals = bucketed.groupBy(col("__b")).agg(sum(col("__tok")).as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0L until nBuckets.toLong)
+      .map(b => totals.getOrElse(b, 0L))
+      .scanLeft(0L)(_ + _).toArray // offsets(b) = tokens before bucket b
+    val bc = spark.sparkContext.broadcast(offsets)
+    // phase 2: partition-local running sums, reset at bucket changes
+    // (a partition holds whole buckets; rows arrive bucket-then-id
+    // sorted). Deterministic under lineage replay — same buckets,
+    // same order, same offsets.
+    bucketed.as[(Long, Long, Long)].mapPartitions { it =>
+      var curBucket = -1L
+      var run = 0L
+      val offs = bc.value
+      it.map { case (id, tok, b) =>
+        if (b != curBucket) { curBucket = b; run = offs(b.toInt) }
+        val start = run
+        run += tok
+        (id, tok, start / budget)
+      }
+    }.toDF(idCol, "n_tokens", "seq_id")
+  }
+}

@@ -177,6 +177,15 @@ object TextPipelineQueries {
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
         bpeishCount(col("text")).as("n_bpeish_tokens"))),
+    // Training-sequence packing: docs in id order concatenated into
+    // 512-token sequences via the two-phase distributed prefix sum
+    // (the oracle's single global window IS the scale trap the
+    // operator avoids).
+    "q47_sequence_packing" -> ((s, d) =>
+      Packing.packByBudget(
+        docs(s, d).select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512L)),
     "q24_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
     // Corpus-level quality signal: average token surprisal −ln(p(w)),
@@ -347,6 +356,14 @@ object TextPipelineQueries {
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpeish_tokens
         |FROM documents""".stripMargin,
+    "q47_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(s // 512 AS BIGINT) AS seq_id FROM c""".stripMargin,
     "q24_fingerprint" ->
       """SELECT doc_id,
         | substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp

@@ -133,6 +133,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("sequence packing: distributed prefix sum equals the sequential rule") {
+    import graft.operators.Packing
+    // sparse, unordered ids across many partitions; budget 10
+    val rng = new scala.util.Random(7)
+    val rows = rng.shuffle((0 until 200).map(i => (i * 3L + 7, 1L + rng.nextInt(6))).toList)
+    val df = rows.toDF("doc_id", "n_tokens").repartition(13)
+    val out = Packing.packByBudget(df, "doc_id", "n_tokens", 10L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // sequential reference: exclusive prefix sum in id order
+    var run = 0L
+    rows.sortBy(_._1).foreach { case (id, tok) =>
+      assert(out(id) == ((tok, run / 10L)), s"doc $id")
+      run += tok
+    }
+    assert(out.size == 200)
+    // first sequence starts at 0; seq ids are non-decreasing in id order
+    assert(out(rows.map(_._1).min)._2 == 0L)
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
