@@ -205,11 +205,16 @@ object Dedup {
       iter += 1
     }
     if (changed == 0) {
-      // the RETURNED frame is the persisted one (materialized, then
-      // internals freed): a caller's unpersist releases everything —
-      // internal persists must not outlive the caller's cache lifecycle
-      val out = labels.select(col("id"), col("label").as("keep_id")).persist(mem)
-      out.count()
+      // Materialize the result with its lineage CUT (localCheckpoint,
+      // not persist): unpersisting the internal labels/edges below
+      // triggers CacheManager's dependent-entry recompile, which
+      // silently INVALIDATES a persisted dependent result — every
+      // consumer then replays the whole iterative chain (burned a
+      // bench round on q41: 0.7s → 8s). A checkpointed result has no
+      // CacheManager entry to invalidate; free its blocks with
+      // GraftSqlBridge.unpersistBackingRdds when done.
+      val out = labels.select(col("id"), col("label").as("keep_id"))
+        .localCheckpoint(true)
       labels.unpersist(blocking = false)
       edges.unpersist(blocking = false)
       out
@@ -220,9 +225,7 @@ object Dedup {
       // to alternating large-star/small-star contraction, which
       // converges in O(log² n) rounds regardless of diameter.
       labels.unpersist(blocking = false)
-      val out = starComponents(edges)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      out.count()
+      val out = starComponents(edges).localCheckpoint(true)
       edges.unpersist(blocking = false)
       out
     }

@@ -108,12 +108,18 @@ object TextPipelineQueries {
   }
 
   /** Unpersist and drop every cached intermediate belonging to
-    * `s` (call when a pipeline run is finished with a corpus). */
+    * `s` (call when a pipeline run is finished with a corpus). CC
+    * results are localCheckpoint-backed (see Dedup.connectedComponents),
+    * so their blocks are freed through the backing RDD, not the
+    * no-op Dataset.unpersist. */
   def clearCache(s: SparkSession): Unit = {
     val key = sessionKey(s)
     Seq(shCache, sigCache, ccCache).foreach { cache =>
       cache.keys.filter(_._1 == key).foreach { k =>
-        cache.remove(k).foreach(_.unpersist(blocking = false))
+        cache.remove(k).foreach { df =>
+          df.unpersist(blocking = false)
+          org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(df)
+        }
       }
     }
     ivfCache.keys.filter(_._1 == key).foreach { k =>

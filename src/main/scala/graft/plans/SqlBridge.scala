@@ -16,4 +16,15 @@ object GraftSqlBridge {
 
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Unpersist the RDDs backing a `localCheckpoint`ed Dataset.
+    * `Dataset.unpersist` manages only CacheManager entries; checkpoint
+    * blocks otherwise live until the RDD is GC'd — this frees them
+    * eagerly for explicit cache lifecycles. */
+  def unpersistBackingRdds(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
