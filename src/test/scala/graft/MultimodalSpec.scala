@@ -150,6 +150,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Codec.payload(out).sameElements(Array[Byte](-1, 0, 0)))
   }
 
+  test("PNG palette/interlaced variants report meta but refuse pixel decode") {
+    // flip the IHDR color type to 3 (palette) and re-CRC — meta should
+    // still parse (channels=1 per spec) while pixels return None
+    val palette = pngFixture.clone()
+    palette(8 + 8 + 9) = 3.toByte // IHDR data byte 9 = color type
+    val crc = new java.util.zip.CRC32()
+    crc.update(palette, 12, 4 + 13)
+    val bb = java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    System.arraycopy(bb, 0, palette, 8 + 8 + 13, 4)
+    val m = Codec.decodeMeta(palette).get
+    assert(m.format == "png" && m.channels == 1)
+    assert(Codec.payload(palette).isEmpty)
+    // a bitten-off IDAT stream refuses cleanly rather than throwing
+    // (IEND is 12 bytes; cutting 30 reaches into the deflate data)
+    val truncated = pngFixture.take(pngFixture.length - 30)
+    assert(Multimodal.Png.pixels(truncated).isEmpty)
+  }
+
   test("mixed-format landing dir decodes distributed via the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("mixed")
     java.nio.file.Files.write(dir.resolve("m0.bmp"), bmpFixture)

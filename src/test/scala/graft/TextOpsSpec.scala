@@ -152,6 +152,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(rows.map(_._1).min)._2 == 0L)
   }
 
+  test("sequence packing: empty and single-row inputs") {
+    import graft.operators.Packing
+    val empty = Packing.packByBudget(
+      Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 10L)
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq == Seq("doc_id", "n_tokens", "seq_id"))
+    val one = Packing.packByBudget(
+      Seq((5L, 25L)).toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", 10L)
+      .collect().head
+    assert((one.getLong(0), one.getLong(1), one.getLong(2)) == ((5L, 25L, 0L)))
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
