@@ -41,10 +41,17 @@ object Bench {
       if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
     }
 
-    // Warm up every query once at the smallest SF: whole-stage codegen
-    // compilation (janino) dominates first runs by seconds; measured
-    // numbers should reflect steady-state execution.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // Optional focus list (comma-separated name substrings) for
+    // adjudicating a single query's spread without its neighbors.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
+
+    // Warm up every selected query once at the smallest SF: whole-stage
+    // codegen compilation (janino) dominates first runs by seconds;
+    // measured numbers should reflect steady-state execution.
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -61,13 +68,7 @@ object Bench {
     catch { case _: Throwable => () }
     val cacheBuild = (System.nanoTime() - tCache0) / 1e9
 
-    // Optional focus list (comma-separated name substrings) for
-    // adjudicating a single query's spread without its neighbors.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .map { case (name, fn) => name -> run(fn) }
+    val results = selected.map { case (name, fn) => name -> run(fn) }
     val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v)}%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, v) =>
