@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: PII
+  * redaction, boilerplate line removal, rule-based quality gating
+  * (Gopher-style), deterministic source mixing, and the keep-one
+  * dedup materialization that turns dup GROUPS into a deduplicated
+  * corpus.
+  *
+  * Everything here is designed for the 100 TB regime:
+  *  - redaction and quality gating are pure per-row projections
+  *    (regexp/array expressions, whole-stage codegen, zero shuffles);
+  *  - boilerplate removal shuffles 8-byte line hashes — never line
+  *    text — to build the document-frequency table, and only kept
+  *    lines move in the (unavoidable) output reassembly;
+  *  - mix-sampling decides membership from a deterministic per-row
+  *    hash, so it is reproducible across runs/retries and needs no
+  *    shuffle, no RNG state, and no driver coordination;
+  *  - keep-one materialization anti-joins the corpus against the
+  *    (small) drop set — AQE broadcasts it.
+  */
+object Curation {
+
+  /** Ordered PII scrub rules (pattern → placeholder). Patterns stick
+    * to the regex subset with identical semantics in Java regex and
+    * RE2 (DuckDB), so redaction is exactly oracle-checkable: character
+    * classes, bounded repetition, ASCII word boundaries. Order
+    * matters (emails contain dots; IPs contain digit runs) and is
+    * part of the operator's contract. */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{9,}\\b" -> "<ID>")
+
+  /** Scrubbed text: every rule applied in order. A chain of
+    * `regexp_replace` calls — codegen'd, no UDF, no shuffle. */
+  def redactPii(text: Column): Column =
+    PiiRules.foldLeft(text) { case (c, (p, r)) => regexp_replace(c, p, r) }
+
+  /** Count of placeholders present after [[redactPii]]. */
+  def redactionCount(redacted: Column): Column =
+    regexp_count(redacted, lit("<(EMAIL|PHONE|IP|ID)>")).cast("long")
+
+  /** Remove boilerplate LINES from documents (RefinedWeb/CCNet-style):
+    * a line occurring in at least `minDocs` distinct documents
+    * (navigation, cookie banners, license footers) is dropped from
+    * every document; documents keep their remaining lines in order.
+    * Documents whose lines are all boilerplate disappear.
+    *
+    * Output: (idCol, clean, n_kept) — the reassembled text and its
+    * surviving line count.
+    *
+    * Scale shape: document frequency is aggregated over
+    * `xxhash64(line)` — the corpus shuffles 8-byte hashes, not text
+    * (a 64-bit collision merging two lines' counts is ~2⁻⁶⁴ per line
+    * pair — ignorable at corpus scale). The boilerplate-hash set is
+    * the head of the line-frequency distribution (small), so AQE
+    * broadcasts the anti-join; the only text movement is the output
+    * reassembly itself. */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+                           minDocs: Long): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", xxhash64(col("line")))
+    val boiler = lines
+      .select(col(idCol), col("lh"))
+      .groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("lh"))
+    lines.join(boiler, Seq("lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), '\n')")
+          .as("clean"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    * SQL-expressible core): per-document word count, mean word
+    * length, symbol-to-word ratio, and distinct-stopword presence,
+    * plus the composite pass/fail. Pure projection — every signal is
+    * an array/regexp expression over the token array, evaluated once
+    * per row inside codegen. */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 50, maxWords: Int = 100000,
+                    minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                    maxSymbolRatio: Double = 0.1,
+                    minDistinctStopwords: Int = 2): DataFrame = {
+    import graft.functions.TextFunctions._
+    val t = col(textCol)
+    df.select(
+        col(idCol),
+        size(tokens(t)).cast("long").as("n_words"),
+        round(length(regexp_replace(t, " ", "")) / size(tokens(t)), 4)
+          .as("mean_word_len"),
+        round(regexp_count(t, lit("#|\\.\\.\\.")) / size(tokens(t)), 4)
+          .as("symbol_ratio"),
+        size(array_distinct(filter(tokens(t),
+          w => w.isin(StopWords.map(lit(_)): _*)))).cast("long")
+          .as("n_stop_distinct"))
+      .withColumn("passes",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanLen, maxMeanLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("n_stop_distinct") >= minDistinctStopwords)
+  }
+
+  /** Deterministic per-row sampling decision in [0, 1): the first 4
+    * hex chars of `md5(key || '|' || salt)` compared against the
+    * rate's hex threshold. Reproducible (retries/backfills sample
+    * identically), uniform, shuffle-free — and md5 is identical in
+    * DuckDB, so sampling decisions are exactly oracle-checkable. */
+  def hashFraction(key: Column, salt: String): Column =
+    substring(md5(concat(key.cast("string"), lit("|" + salt))), 1, 4)
+
+  private def hexThreshold(frac: Double): String = {
+    val v = math.max(0, math.min(0x10000, math.round(frac * 0x10000).toInt))
+    f"$v%04x"
+  }
+
+  /** Weighted source mixing — the data-mixture operator of LLM
+    * training (e.g. upsample curated sources, downsample crawl).
+    * `weights` maps a source value to its sampling weight: 0.25 keeps
+    * a quarter of rows, 2.0 emits every row twice, 1.5 emits every
+    * row once plus a second copy for half of them. Unlisted sources
+    * get `defaultWeight`.
+    *
+    * Output: input columns + `copy_idx` (1..copies). Copies come from
+    * `explode(sequence(...))` — a narrow projection; membership is a
+    * deterministic [[hashFraction]] on the id, so the whole operator
+    * is shuffle-free and reproducible. */
+  def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 1.0,
+                  salt: String = "mix"): DataFrame = {
+    def copiesFor(w: Double): Column = {
+      val base = math.floor(w).toLong
+      val frac = w - base
+      lit(base) + when(hashFraction(col(idCol), salt) < hexThreshold(frac), 1L)
+        .otherwise(0L)
+    }
+    val copies = weights.toSeq.sortBy(_._1)
+      .foldRight(copiesFor(defaultWeight)) { case ((src, w), els) =>
+        when(col(sourceCol) === src, copiesFor(w)).otherwise(els)
+      }
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
+  /** Per-vector int8 scalar quantization — the storage/bandwidth
+    * compression step of an embedding pipeline (4× smaller than
+    * float32; recall loss is bounded by the per-vector range). Adds
+    * `vmin` (offset), `scale`, and `qvec` (array<int> in 0..255,
+    * `q = round((v - vmin) / scale)`). Constant vectors quantize to
+    * all-zeros via the `1e-12` scale floor.
+    *
+    * Pure per-row projection (no shuffle); min/scale are materialized
+    * as their own projected columns so the per-element lambda does
+    * not recompute the array scan per element. Dequantization error
+    * is ≤ scale/2 per component ([[dequantInt8]]; spec-asserted). */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__v", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("vmin", array_min(col("__v")))
+      .withColumn("scale",
+        greatest((array_max(col("__v")) - col("vmin")) / 255.0, lit(1e-12)))
+      .withColumn("qvec",
+        transform(col("__v"),
+          x => round((x - col("vmin")) / col("scale"), 0).cast("int")))
+      .drop("__v")
+
+  /** Reconstruct approximate doubles from [[quantizeInt8]] output. */
+  def dequantInt8(qvec: Column, vmin: Column, scale: Column): Column =
+    transform(qvec, x => x.cast("double") * scale + vmin)
+
+  /** Keep-one dedup materialization: given the corpus and its dup
+    * groups ((id, keep_id) from [[Dedup.connectedComponents]]), drop
+    * every clustered document except its group's canonical keeper —
+    * the step that turns dedup ANALYSIS into the deduplicated corpus.
+    *
+    * The drop set (clustered non-keepers) is tiny relative to the
+    * corpus, so the anti-join broadcasts under AQE; the corpus itself
+    * never shuffles. */
+  def keepOne(corpus: DataFrame, idCol: String, groups: DataFrame): DataFrame = {
+    val drop = groups.filter(col("id") =!= col("keep_id"))
+      .select(col("id").as(idCol))
+    corpus.join(drop, Seq(idCol), "left_anti")
+  }
+}

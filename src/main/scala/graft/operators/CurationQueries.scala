@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Corpus-curation operators through the oracle gate (q48–q53): PII
+  * redaction, boilerplate line removal, Gopher-style quality gating,
+  * deterministic source mixing, keep-one dedup materialization, and
+  * int8 embedding quantization.
+  *
+  * The synthetic corpus is single-line digit-free text, so q48/q49
+  * INJECT deterministic PII / line structure in-query (mirrored
+  * exactly in the oracle SQL) — the operators then have real matches
+  * to exercise instead of passing vacuously.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = t(s, d, "documents")
+  private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
+
+  /** Deterministic PII injection: unique email, US-style phone, IPv4,
+    * and a ≥9-digit id per document, all derived from `doc_id`. */
+  private def withPii(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com call 555-"),
+        lpad((col("doc_id") % 100).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 id 90000000"), (col("doc_id") % 100).cast("string"))
+        .as("text"))
+
+  /** Two corpus-wide boilerplate lines + one unique line appended to
+    * every document. */
+  private def withLines(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat(col("text"),
+        lit("\nall rights reserved\npowered by example\ndoc number "),
+        col("doc_id").cast("string")).as("text"))
+
+  /** Mixture weights: source index mod 4 → {0.25, 0.5, 1.0, 2.0} —
+    * downsample, half, keep, duplicate. */
+  private val MixWeights: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> (i % 4 match {
+      case 0 => 0.25
+      case 1 => 0.5
+      case 2 => 1.0
+      case _ => 2.0
+    })).toMap
+
+  val queries: Map[String, Q] = Map(
+    "q48_pii_redact" -> ((s, d) => {
+      val red = withPii(docs(s, d))
+        .select(col("doc_id"), Curation.redactPii(col("text")).as("clean"))
+      red.withColumn("n_redactions", Curation.redactionCount(col("clean")))
+    }),
+    "q49_boilerplate_lines" -> ((s, d) =>
+      Curation.dropBoilerplateLines(withLines(docs(s, d)), "doc_id", "text",
+        minDocs = 3)),
+    "q50_quality_gate" -> ((s, d) =>
+      Curation.gopherQuality(docs(s, d), "doc_id", "text")),
+    "q51_mix_sample" -> ((s, d) =>
+      Curation.mixBySource(docs(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", MixWeights)),
+    "q52_dedup_corpus" -> ((s, d) =>
+      Curation.keepOne(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", TextPipelineQueries.dupGroups(s, d))),
+    "q53_quantize_int8" -> ((s, d) =>
+      Curation.quantizeInt8(emb(s, d).select(col("vec_id"), col("embedding")),
+        "embedding")
+        .select(col("vec_id"),
+          round(col("vmin"), 4).as("qmin"),
+          round(col("scale"), 6).as("qscale"),
+          md5(concat_ws(",", transform(col("qvec"), x => x.cast("string"))))
+            .as("q_digest"))))
+
+  // ---- oracle SQL (DuckDB dialect) ----
+
+  private val injPiiCte =
+    """inj AS (SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |  '@example.com call 555-' ||
+      |  lpad(CAST(doc_id % 100 AS VARCHAR), 3, '0') || '-' ||
+      |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |  ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |  '.7 id 90000000' || CAST(doc_id % 100 AS VARCHAR) AS text
+      |  FROM documents)""".stripMargin
+
+  private val injLinesCte =
+    """inj AS (SELECT doc_id,
+      |  text || chr(10) || 'all rights reserved' || chr(10) ||
+      |  'powered by example' || chr(10) ||
+      |  'doc number ' || CAST(doc_id AS VARCHAR) AS text
+      |  FROM documents)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q48_pii_redact" ->
+      s"""WITH $injPiiCte,
+         |red AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+         |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |    '\\b\\d{9,}\\b', '<ID>', 'g') AS clean
+         |  FROM inj)
+         |SELECT doc_id, clean,
+         |  CAST(len(regexp_extract_all(clean, '<(EMAIL|PHONE|IP|ID)>')) AS BIGINT)
+         |    AS n_redactions
+         |FROM red""".stripMargin,
+    "q49_boilerplate_lines" ->
+      s"""WITH $injLinesCte,
+         |l AS (SELECT doc_id,
+         |  unnest(string_split(text, chr(10))) AS line,
+         |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+         |  FROM inj),
+         |f AS (SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line),
+         |kept AS (SELECT l.doc_id, l.pos, l.line
+         |         FROM l JOIN f USING (line) WHERE f.df < 3)
+         |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean,
+         |       CAST(count(*) AS BIGINT) AS n_kept
+         |FROM kept GROUP BY doc_id""".stripMargin,
+    "q50_quality_gate" ->
+      """WITH g AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4)
+        |    AS mean_word_len,
+        |  round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+        |        / len(string_split(text, ' ')), 4) AS symbol_ratio,
+        |  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |    x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT)
+        |    AS n_stop_distinct
+        |  FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, n_stop_distinct,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |    AND symbol_ratio <= 0.1 AND n_stop_distinct >= 2 AS passes
+        |FROM g""".stripMargin,
+    "q51_mix_sample" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CAST(substr(source, 4) AS INT) % 4 AS m,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 4) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  (CASE WHEN m = 3 THEN 2 WHEN m = 2 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN (m = 0 AND h < '4000') OR (m = 1 AND h < '8000')
+        |        THEN 1 ELSE 0 END) AS copies
+        |  FROM w)
+        |SELECT doc_id, source,
+        |       CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
+        |FROM c WHERE copies > 0""".stripMargin,
+    "q52_dedup_corpus" ->
+      s"""WITH RECURSIVE ${TextPipelineQueries.shCte},
+         |${TextPipelineQueries.mhCte},
+         |${TextPipelineQueries.pairsCte},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS keep_id
+         |      FROM reach GROUP BY a)
+         |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT did FROM g WHERE did <> keep_id)"""
+        .stripMargin,
+    "q53_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v, list_min(v) AS vmin,
+        |  greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale
+        |  FROM e),
+        |q AS (SELECT vec_id, vmin, scale,
+        |  list_transform(v, x ->
+        |    CAST(CAST(round((x - vmin) / scale) AS INT) AS VARCHAR)) AS qs
+        |  FROM s)
+        |SELECT vec_id, round(vmin, 4) AS qmin, round(scale, 6) AS qscale,
+        |       md5(array_to_string(qs, ',')) AS q_digest
+        |FROM q""".stripMargin)
+}

@@ -66,7 +66,7 @@ object TextPipelineQueries {
   private val ccCache =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
-  private def dupGroups(s: SparkSession, d: String): DataFrame =
+  private[operators] def dupGroups(s: SparkSession, d: String): DataFrame =
     ccCache.getOrElseUpdate((sessionKey(s), d),
       Dedup.connectedComponents(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id")))
@@ -255,14 +255,15 @@ object TextPipelineQueries {
 
   // ---- oracle SQL (DuckDB dialect) ----
 
-  /** Shared CTE fragments for the shingle/minhash pipeline. */
-  private val shCte =
+  /** Shared CTE fragments for the shingle/minhash pipeline (also
+    * reused by CurationQueries' q52 oracle). */
+  private[operators] val shCte =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
       |       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingle
       |       FROM toks)""".stripMargin
 
-  private val mhCte =
+  private[operators] val mhCte =
     """mh AS (SELECT doc_id,
       |  min(substr(md5('0|' || shingle),  1, 8)) AS h0,
       |  min(substr(md5('0|' || shingle),  9, 8)) AS h1,
@@ -279,7 +280,7 @@ object TextPipelineQueries {
       |  UNION ALL SELECT doc_id, CAST(2 AS BIGINT), h4 || '|' || h5 FROM mh
       |  UNION ALL SELECT doc_id, CAST(3 AS BIGINT), h6 || '|' || h7 FROM mh)""".stripMargin
 
-  private val pairsCte =
+  private[operators] val pairsCte =
     """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
       |         WHERE a.doc_id < b.doc_id)""".stripMargin

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- PII redaction ----
+
+  test("redactPii scrubs emails, phones, IPs and long ids; leaves short numbers") {
+    val out = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "call 415-555-1234 or 415.555.9876",
+      "host 192.168.0.1 up",
+      "ssn-ish 123456789 and card 4111111111111111",
+      "year 2024 room 101 stays").toDF("text")
+      .select(Curation.redactPii($"text").as("t")).as[String].collect()
+    assert(out(0) == "mail <EMAIL> now")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "host <IP> up")
+    assert(out(3) == "ssn-ish <ID> and card <ID>")
+    assert(out(4) == "year 2024 room 101 stays") // <9 digits untouched
+  }
+
+  test("redaction order: IPs are not half-eaten by the phone or id rules") {
+    val out = Seq("ip 10.0.34.7 phone 555-010-0034 id 9000000034")
+      .toDF("text").select(Curation.redactPii($"text").as("t"))
+      .as[String].head()
+    assert(out == "ip <IP> phone <PHONE> id <ID>", out)
+    val counted = Seq(out).toDF("t")
+      .select(Curation.redactionCount($"t")).as[Long].head()
+    assert(counted == 3L)
+  }
+
+  test("redaction is a pure projection: no exchange in the plan") {
+    val df = Seq("a@b.co").toDF("text").select(Curation.redactPii($"text"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  // ---- boilerplate line removal ----
+
+  private def linedDocs = Seq(
+    (0L, "unique zero\nall rights reserved\nfooter"),
+    (1L, "unique one\nall rights reserved\nfooter"),
+    (2L, "unique two\nall rights reserved\nfooter"),
+    (3L, "all rights reserved\nfooter") // nothing unique -> disappears
+  ).toDF("doc_id", "text")
+
+  test("dropBoilerplateLines drops corpus-wide lines, keeps unique lines in order") {
+    val out = Curation.dropBoilerplateLines(linedDocs, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L)) // doc 3 fully boilerplate
+    assert(out(0L) == ("unique zero", 1L))
+    assert(out(1L) == ("unique one", 1L))
+  }
+
+  test("dropBoilerplateLines preserves multi-line order after the drop") {
+    val df = Seq(
+      (0L, "keep a\ncommon\nkeep b\nkeep c"),
+      (1L, "common\nother one"),
+      (2L, "common\nother two")).toDF("doc_id", "text")
+    val r = Curation.dropBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .filter($"doc_id" === 0L).head()
+    assert(r.getString(1) == "keep a\nkeep b\nkeep c")
+    assert(r.getLong(2) == 3L)
+  }
+
+  test("document-frequency counts distinct docs, not occurrences") {
+    // "rep" appears 3 times but in only ONE doc -> must survive minDocs=3
+    val df = Seq(
+      (0L, "rep\nrep\nrep"),
+      (1L, "solo")).toDF("doc_id", "text")
+    val out = Curation.dropBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "rep\nrep\nrep")
+  }
+
+  // ---- quality gate ----
+
+  test("gopherQuality gates on word count, mean length and stopword diversity") {
+    val long = ("the of and " * 20) + Seq.fill(40)("substance").mkString(" ")
+    val df = Seq(
+      (0L, long),              // 100 words, >=2 distinct stopwords
+      (1L, "too short to pass"),
+      (2L, Seq.fill(60)("nostopwordshere").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.gopherQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(0L)); assert(!out(1L)); assert(!out(2L))
+    // failure reasons are inspectable, not just the composite bit
+    val r2 = Curation.gopherQuality(df, "doc_id", "text")
+      .filter($"doc_id" === 2L).head()
+    assert(r2.getAs[Long]("n_stop_distinct") == 0L)
+    assert(r2.getAs[Long]("n_words") == 60L)
+  }
+
+  // ---- deterministic mixing ----
+
+  private def sourcedDocs = (0L until 400L).map(i => (i, s"src${i % 4}"))
+    .toDF("doc_id", "source")
+
+  test("mixBySource: integer weights duplicate exactly; zero weight drops all") {
+    val out = Curation.mixBySource(sourcedDocs, "doc_id", "source",
+      Map("src0" -> 2.0, "src1" -> 0.0), defaultWeight = 1.0)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") == 200L) // 100 docs x 2 copies
+    assert(!bySrc.contains("src1"))
+    assert(bySrc("src2") == 100L && bySrc("src3") == 100L)
+    // copy_idx enumerates copies
+    val idx = out.filter($"source" === "src0").groupBy("copy_idx").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idx == Map(1L -> 100L, 2L -> 100L))
+  }
+
+  test("mixBySource: fractional weights sample deterministically near the rate") {
+    val run1 = Curation.mixBySource(sourcedDocs, "doc_id", "source",
+      Map("src0" -> 0.25), defaultWeight = 0.0)
+    val n = run1.count()
+    assert(n > 10 && n < 40, s"~25 of 100 expected, got $n")
+    // reproducible: identical membership on a second evaluation
+    val run2 = Curation.mixBySource(sourcedDocs, "doc_id", "source",
+      Map("src0" -> 0.25), defaultWeight = 0.0)
+    assert(run1.select("doc_id", "copy_idx").except(
+      run2.select("doc_id", "copy_idx")).isEmpty)
+    // 1.5 = everyone once, about half twice
+    val w15 = Curation.mixBySource(sourcedDocs.filter($"source" === "src0"),
+      "doc_id", "source", Map("src0" -> 1.5))
+    val c = w15.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(c.forall(x => x == 1L || x == 2L))
+    assert(c.count(_ == 2L) > 25 && c.count(_ == 2L) < 75)
+  }
+
+  test("mixBySource is shuffle-free (pure projection + explode)") {
+    val df = Curation.mixBySource(sourcedDocs, "doc_id", "source",
+      Map("src0" -> 2.0))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  // ---- keep-one materialization ----
+
+  test("keepOne drops exactly the non-canonical group members") {
+    val corpus = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val groups = Seq((0L, 0L), (5L, 0L), (7L, 0L), (3L, 3L), (8L, 3L))
+      .toDF("id", "keep_id")
+    val kept = Curation.keepOne(corpus, "doc_id", groups)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L, 6L, 9L))
+  }
+
+  // ---- int8 quantization ----
+
+  test("quantizeInt8 bounds dequantization error by scale/2 per component") {
+    val df = Seq(
+      (0L, Array(0.1f, -0.5f, 0.9f, 0.0f)),
+      (1L, Array(100f, 200f, 150f, 175f)),
+      (2L, Array(0.42f, 0.42f, 0.42f, 0.42f))). // constant vector
+      toDF("vec_id", "embedding")
+    val q = Curation.quantizeInt8(df, "embedding")
+    val rows = q.withColumn("deq",
+        Curation.dequantInt8($"qvec", $"vmin", $"scale"))
+      .select($"vec_id", $"embedding", $"deq", $"scale", $"qvec").collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1).map(_.toDouble)
+      val deq = r.getSeq[Double](2)
+      val scale = r.getDouble(3)
+      val qs = r.getSeq[Int](4)
+      assert(qs.forall(v => v >= 0 && v <= 255), qs)
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-9,
+          s"vec ${r.getLong(0)}: $o vs $d (scale $scale)")
+      }
+    }
+    // constant vector: scale floors at 1e-12, quantizes to zeros
+    val const = rows.find(_.getLong(0) == 2L).get
+    assert(const.getSeq[Int](4).forall(_ == 0))
+  }
+}
