@@ -79,10 +79,22 @@ object IvfIndex {
   /** Top-k neighbors per query, searching only the `nprobe` lists
     * whose centroids are nearest each query vector. Output:
     * (q_id, n_id, cos, rk) — the brute-force schema, so results are
-    * directly comparable (and identical when nprobe = k). */
+    * directly comparable (and identical when nprobe = k).
+    *
+    * `broadcastProbes` picks the probe-join distribution:
+    *  - `true` (default): the (queries × nprobe)-row probe table is
+    *    BROADCAST — the corpus side never moves at all. Right until
+    *    the query batch itself is huge.
+    *  - `false`: sort-merge on `list_id`. When `indexed` is the
+    *    BUCKETED lists table of a [[save]]d index, its scan already
+    *    reports `HashPartitioning(list_id, buckets)`, so the corpus
+    *    side STILL never moves — only the small probe side shuffles
+    *    into the bucket layout (spec-pinned: exactly one exchange on
+    *    the join, none over the lists scan). The big-query-batch
+    *    scale path. */
   def topK(indexed: DataFrame, centroids: Array[Array[Double]],
            queries: DataFrame, idCol: String, vecCol: String,
-           k: Int, nprobe: Int): DataFrame = {
+           k: Int, nprobe: Int, broadcastProbes: Boolean = true): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
     val cDf = centroids.zipWithIndex
@@ -102,7 +114,9 @@ object IvfIndex {
     // reach the rank exchange (not every probed-candidate row)
     val cand = indexed.select(col("list_id"),
       col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val scored = probes.join(cand, Seq("list_id"))
+    val probeSide =
+      if (broadcastProbes) broadcast(probes) else probes.hint("merge")
+    val scored = probeSide.join(cand, Seq("list_id"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         round(cosine(col("q_vec"), col("n_vec")), 4).as("cos"))
@@ -162,5 +176,15 @@ object IvfIndex {
       .orderBy(col("list_id")).collect()
       .map(_.getSeq[Double](1).toArray)
     (centroids, spark.table(s"${name}_lists"))
+  }
+
+  /** Probe a [[save]]d index by name — the deployment entry point.
+    * Routes through the bucketed lists table so the corpus side joins
+    * with zero exchanges in either probe mode (see [[topK]]). */
+  def topKSaved(spark: SparkSession, name: String, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int, nprobe: Int,
+                broadcastProbes: Boolean = true): DataFrame = {
+    val (centroids, lists) = load(spark, name)
+    topK(lists, centroids, queries, idCol, vecCol, k, nprobe, broadcastProbes)
   }
 }

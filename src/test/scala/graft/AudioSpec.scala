@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Audio
+import graft.multimodal.Audio._
+import graft.multimodal.Multimodal.MediaRecord
+
+class AudioSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("WAV encode/decode round-trips PCM16 exactly") {
+    val pcm = Array.tabulate(800)(i => (math.sin(i * 0.1) * 12000).toShort)
+    val wav = Wav.encode(8000, 1, pcm)
+    val m = Wav.meta(wav).get
+    assert(m == AudioMeta(8000, 1, 16, 800, 100, "wav"))
+    assert(Wav.samples(wav).get.sameElements(pcm))
+  }
+
+  test("chunk walk tolerates extra chunks and honors odd-length padding") {
+    val pcm = Array.tabulate(100)(i => (i * 100).toShort)
+    val base = Wav.encode(4000, 2, pcm)
+    // splice an odd-length LIST chunk (5 bytes + 1 pad) between
+    // "WAVE" and "fmt " — a common provenance/metadata chunk spot
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = base.take(12) ++ extra ++ base.drop(12)
+    // fix the RIFF size field (not validated by our reader, but honest)
+    val m = Wav.meta(spliced).get
+    assert(m.sampleRate == 4000 && m.channels == 2 && m.nSamples == 50)
+    assert(Wav.samples(spliced).get.sameElements(pcm))
+  }
+
+  test("8-bit PCM decodes unsigned-recentered; truncated/non-PCM refuse") {
+    // hand-built 8-bit mono file: samples 128 (silence) and 255/0 (rails)
+    val data = Array[Byte](128.toByte, 255.toByte, 0, 128.toByte)
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + data.length).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb.put("data".getBytes).putInt(data.length).put(data)
+    val wav = bb.array()
+    val s = Wav.samples(wav).get
+    assert(s(0) == 0 && s(3) == 0)
+    assert(s(1) == ((255 - 128) << 8).toShort && s(2) == ((0 - 128) << 8).toShort)
+    // truncated data payload: refuse rather than misdecode
+    assert(Wav.meta(wav.dropRight(2)).isEmpty)
+    // IEEE-float format tag (3) is not PCM: refuse
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(Wav.meta(nonPcm).isEmpty)
+  }
+
+  test("audio features: rms and peak on known signals, distributed") {
+    val half = Array.fill(1000)(16384.toShort) // constant +0.5
+    val silent = Array.fill(500)(0.toShort)
+    val ds = Seq(
+      MediaRecord(0L, Wav.encode(8000, 1, half)),
+      MediaRecord(1L, Wav.encode(8000, 1, silent)),
+      MediaRecord(2L, Array[Byte](9, 9, 9))). // undecodable drops
+      toDS()
+    val out = Audio.extractFeatures(ds).collect().map(r => r.media_id -> r).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(math.abs(out(0L).rms - 0.5) < 1e-9)
+    assert(math.abs(out(0L).peak - 0.5) < 1e-9)
+    assert(out(0L).duration_ms == 125) // 1000 frames @ 8 kHz
+    assert(out(1L).rms == 0.0 && out(1L).peak == 0.0)
+  }
+
+  test("window slicing: fixed-duration segments, stride, trailing partial kept") {
+    // 1.1 s @ 8 kHz mono → 250 ms windows: 4 full + 1 partial
+    val pcm = Array.tabulate(8800)(i => i.toShort)
+    val ds = Seq(MediaRecord(7L, Wav.encode(8000, 1, pcm))).toDS()
+    val wins = Audio.sliceWindows(ds, windowMs = 250).collect().sortBy(_.window_idx)
+    assert(wins.map(_.window_idx).toSeq == Seq(0, 1, 2, 3, 4))
+    val decoded = wins.map(w => Wav.samples(w.window).get)
+    assert(decoded.take(4).forall(_.length == 2000))
+    assert(decoded.last.length == 800) // trailing partial
+    // windows re-concatenate to the original signal exactly
+    assert(decoded.flatten.sameElements(pcm))
+    // stride keeps every 2nd window
+    val strided = Audio.sliceWindows(ds, windowMs = 250, stride = 2).collect()
+    assert(strided.map(_.window_idx).sorted.toSeq == Seq(0, 2, 4))
+    // stereo: windows respect frame (not sample) boundaries
+    val st = Seq(MediaRecord(8L, Wav.encode(4000, 2, Array.tabulate(4000)(_.toShort)))).toDS()
+    val sw = Audio.sliceWindows(st, windowMs = 250).collect()
+    assert(sw.forall(w => Wav.meta(w.window).get.channels == 2))
+    assert(sw.map(w => Wav.samples(w.window).get.length).sum == 4000)
+  }
+}

@@ -123,6 +123,37 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(res(c2, idx2) == res(centroids, indexed))
   }
 
+  test("IVF probe over the bucketed lists table: corpus side joins with zero exchanges") {
+    import graft.operators.IvfIndex
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (centroids, indexed) = IvfIndex.build(emb, "vec_id", "embedding", k = 8)
+    IvfIndex.save(spark, "ivf_colo", centroids, indexed, buckets = 4)
+    // big-query-batch mode: merge join instead of broadcasting probes
+    val bucketed = IvfIndex.topKSaved(spark, "ivf_colo", queries,
+      "vec_id", "embedding", k = 5, nprobe = 8, broadcastProbes = false)
+    bucketed.collect()
+    val plan = bucketed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    // the lists scan is bucketed, so ONLY the probe side shuffles into
+    // the bucket layout: exactly one list_id exchange in the whole plan
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    val listIdExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(list_id"))
+    assert(listIdExchanges == 1,
+      s"$listIdExchanges list_id exchanges (probe side only expected):\n${plan.take(3000)}")
+    // identical results to the broadcast probe path
+    val viaBroadcast = IvfIndex.topKSaved(spark, "ivf_colo", queries,
+      "vec_id", "embedding", k = 5, nprobe = 8)
+      .select("q_id", "n_id", "cos", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val viaMerge = bucketed
+      .select("q_id", "n_id", "cos", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaMerge == viaBroadcast)
+  }
+
   test("partitioned write: reads prune to the matching partition dirs") {
     val ev = Tables.t(spark, sf, "events")
     val out = java.nio.file.Files.createTempDirectory("parted").toString + "/events"
