@@ -61,21 +61,46 @@ object Curation {
     * broadcasts the anti-join; the only text movement is the output
     * reassembly itself. */
   def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
-                           minDocs: Long): DataFrame = {
-    val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", xxhash64(col("line")))
-    val boiler = lines
-      .select(col(idCol), col("lh"))
-      .groupBy(col("lh"))
+                           minDocs: Long): DataFrame =
+    dropRepeatedUnits(df, idCol, textCol, sep = "\n", minDocs, identity)
+
+  /** Remove repeated PARAGRAPHS (RefinedWeb §3's middle dedup grain,
+    * between document-level groups and boilerplate lines): a paragraph
+    * whose CANONICAL form (lowercased, whitespace collapsed) occurs in
+    * at least `minDocs` distinct documents is dropped from every
+    * document — catching templated paragraphs that differ only in
+    * case/spacing, which exact line hashing misses. Same output
+    * contract and scale shape as [[dropBoilerplateLines]]: frequency
+    * counts shuffle 8-byte canonical-paragraph hashes, never text. */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, textCol: String,
+                             minDocs: Long): DataFrame =
+    dropRepeatedUnits(df, idCol, textCol, sep = "\n\n", minDocs,
+      u => trim(regexp_replace(lower(u), "\\s+", " ")))
+
+  /** Shared machinery for line- and paragraph-grain repeated-unit
+    * removal: split on `sep`, hash each unit's `canon` form, count
+    * document frequency over the hashes, anti-join the over-frequent
+    * set (AQE-broadcast — it is the small head of the distribution),
+    * reassemble survivors in original order joined by `sep`. */
+  private def dropRepeatedUnits(df: DataFrame, idCol: String, textCol: String,
+                                sep: String, minDocs: Long,
+                                canon: Column => Column): DataFrame = {
+    val units = df
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "unit")))
+      .withColumn("uh", xxhash64(canon(col("unit"))))
+    val repeated = units
+      .select(col(idCol), col("uh"))
+      .groupBy(col("uh"))
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("lh"))
-    lines.join(boiler, Seq("lh"), "left_anti")
+      .select(col("uh"))
+    units.join(repeated, Seq("uh"), "left_anti")
       .groupBy(col(idCol))
       .agg(
-        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), s -> s.line), '\n')")
-          .as("clean"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+            s => s.getField("unit")),
+          sep).as("clean"),
         count(lit(1)).as("n_kept"))
   }
 
@@ -118,7 +143,11 @@ object Curation {
     substring(md5(concat(key.cast("string"), lit("|" + salt))), 1, 4)
 
   private def hexThreshold(frac: Double): String = {
-    val v = math.max(0, math.min(0x10000, math.round(frac * 0x10000).toInt))
+    // cap at 0xffff, NOT 0x10000: 0x10000 formats as the 5-char string
+    // "10000", and `hashFraction < "10000"` lexicographically matches
+    // only hashes starting with '0' (~6%) instead of ~100%. A frac
+    // rounding up to 1.0 thus keeps 65535/65536 — off by 2^-16, not 94%.
+    val v = math.max(0, math.min(0xffff, math.round(frac * 0x10000).toInt))
     f"$v%04x"
   }
 

@@ -42,6 +42,17 @@ object CurationQueries {
         lit("\nall rights reserved\npowered by example\ndoc number "),
         col("doc_id").cast("string")).as("text"))
 
+  /** Paragraph structure injection: every document gains a templated
+    * paragraph whose case/spacing varies by doc (the near-dup form
+    * paragraph dedup exists to catch) plus a unique closing
+    * paragraph. */
+  private def withParagraphs(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat(col("text"), lit("\n\n"),
+        when(col("doc_id") % 2 === 0, "Subscribe To Our Newsletter")
+          .otherwise("subscribe  to  our newsletter"),
+        lit("\n\nclosing para "), col("doc_id").cast("string")).as("text"))
+
   /** Mixture weights: source index mod 4 → {0.25, 0.5, 1.0, 2.0} —
     * downsample, half, keep, duplicate. */
   private val MixWeights: Map[String, Double] =
@@ -63,6 +74,9 @@ object CurationQueries {
         minDocs = 3)),
     "q50_quality_gate" -> ((s, d) =>
       Curation.gopherQuality(docs(s, d), "doc_id", "text")),
+    "q54_paragraph_dedup" -> ((s, d) =>
+      Curation.dropRepeatedParagraphs(withParagraphs(docs(s, d)), "doc_id",
+        "text", minDocs = 3)),
     "q51_mix_sample" -> ((s, d) =>
       Curation.mixBySource(docs(s, d).select(col("doc_id"), col("source")),
         "doc_id", "source", MixWeights)),
@@ -140,6 +154,26 @@ object CurationQueries {
         |    AND (mean_word_len BETWEEN 3.0 AND 10.0)
         |    AND symbol_ratio <= 0.1 AND n_stop_distinct >= 2 AS passes
         |FROM g""".stripMargin,
+    "q54_paragraph_dedup" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || chr(10) || chr(10) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'Subscribe To Our Newsletter'
+        |        ELSE 'subscribe  to  our newsletter' END) ||
+        |  chr(10) || chr(10) || 'closing para ' || CAST(doc_id AS VARCHAR)
+        |  AS text FROM documents),
+        |p AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10) || chr(10))) AS para,
+        |  unnest(range(1, len(string_split(text, chr(10) || chr(10))) + 1)) AS pos
+        |  FROM inj),
+        |c AS (SELECT doc_id, pos, para,
+        |  trim(regexp_replace(lower(para), '\s+', ' ', 'g')) AS canon FROM p),
+        |f AS (SELECT canon, count(DISTINCT doc_id) AS df FROM c GROUP BY canon),
+        |kept AS (SELECT c.doc_id, c.pos, c.para
+        |         FROM c JOIN f USING (canon) WHERE f.df < 3)
+        |SELECT doc_id,
+        |       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean,
+        |       CAST(count(*) AS BIGINT) AS n_kept
+        |FROM kept GROUP BY doc_id""".stripMargin,
     "q51_mix_sample" ->
       """WITH w AS (SELECT doc_id, source,
         |  CAST(substr(source, 4) AS INT) % 4 AS m,

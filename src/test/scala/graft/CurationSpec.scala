@@ -78,6 +78,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(0L) == "rep\nrep\nrep")
   }
 
+  // ---- paragraph-grain dedup ----
+
+  test("dropRepeatedParagraphs catches case/spacing near-dup paragraphs") {
+    val df = Seq(
+      (0L, "intro zero\n\nSubscribe To Our Newsletter\n\nbody zero"),
+      (1L, "intro one\n\nsubscribe  to  our newsletter\n\nbody one"),
+      (2L, "intro two\n\nSUBSCRIBE TO OUR NEWSLETTER"),
+      (3L, "Subscribe To Our Newsletter") // all-boilerplate -> disappears
+    ).toDF("doc_id", "text")
+    val out = Curation.dropRepeatedParagraphs(df, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    // the three case/spacing variants canonicalize together and drop;
+    // survivors keep their ORIGINAL text and order
+    assert(out(0L) == ("intro zero\n\nbody zero", 2L))
+    assert(out(1L) == ("intro one\n\nbody one", 2L))
+    assert(out(2L) == ("intro two", 1L))
+    // exact line hashing would NOT have merged the variants: each
+    // raw form occurs in only one doc
+    val lineGrain = Curation.dropBoilerplateLines(df, "doc_id", "text", minDocs = 3)
+    assert(lineGrain.agg(sum($"n_kept")).head().getLong(0) >
+      out.values.map(_._2).sum)
+  }
+
   // ---- quality gate ----
 
   test("gopherQuality gates on word count, mean length and stopword diversity") {
@@ -131,6 +155,17 @@ class CurationSpec extends AnyFunSuite {
     val c = w15.groupBy("doc_id").count().collect().map(_.getLong(1))
     assert(c.forall(x => x == 1L || x == 2L))
     assert(c.count(_ == 2L) > 25 && c.count(_ == 2L) < 75)
+  }
+
+  test("mixBySource: fraction rounding to 1.0 keeps ~all extra copies") {
+    // frac = 0.9999999 rounds to 0x10000; the threshold must clamp to
+    // the 4-char "ffff" (not format as "10000", which lexicographically
+    // matches only ~6% of hashes) so ~every row gets its second copy
+    val w2 = Curation.mixBySource(sourcedDocs.filter($"source" === "src0"),
+      "doc_id", "source", Map("src0" -> 1.9999999))
+    val c = w2.groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(c.length == 100)
+    assert(c.count(_ == 2L) >= 99, s"expected ~100 doubled, got ${c.count(_ == 2L)}")
   }
 
   test("mixBySource is shuffle-free (pure projection + explode)") {
