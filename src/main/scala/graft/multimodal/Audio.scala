@@ -44,19 +44,23 @@ object Audio {
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
 
     /** Locate a chunk by 4CC: (dataOffset, dataLength). Chunks are
-      * word-aligned — odd lengths are followed by a pad byte. */
+      * word-aligned — odd lengths are followed by a pad byte. The walk
+      * offset is a Long: a hostile declared length near Int.MaxValue
+      * would overflow an Int offset to negative and crash the task on
+      * a negative array index — here it just walks past the buffer end
+      * and refuses cleanly. */
     private def chunk(b: Array[Byte], id: String): Option[(Int, Int)] = {
       val want = id.getBytes("US-ASCII")
-      var off = 12
+      var off = 12L
       while (off + 8 <= b.length) {
-        val len = u32(b, off + 4)
-        if (len < 0 || len > Int.MaxValue) return None
-        val matches = (0 until 4).forall(i => b(off + i) == want(i))
+        val o = off.toInt
+        val len = u32(b, o + 4) // 0 .. 0xffffffff
+        val matches = (0 until 4).forall(i => b(o + i) == want(i))
         if (matches) {
-          return if (off + 8 + len <= b.length) Some((off + 8, len.toInt))
+          return if (off + 8 + len <= b.length) Some((o + 8, len.toInt))
           else None // truncated payload: refuse, don't misdecode
         }
-        off += 8 + len.toInt + (len.toInt & 1)
+        off += 8 + len + (len & 1)
       }
       None
     }
@@ -75,11 +79,15 @@ object Audio {
         frames * 1000L / rate, "wav")
 
     /** Interleaved samples normalized to 16-bit signed (8-bit PCM is
-      * unsigned per spec — recentered and scaled). */
+      * unsigned per spec — recentered and scaled). Decode length is
+      * truncated to whole frames (`meta.nSamples × channels`) so a
+      * data chunk with a trailing partial frame can't make samples()
+      * disagree with the metadata frame count (or leak a partial frame
+      * into [[sliceWindows]] re-encoding). */
     def samples(b: Array[Byte]): Option[Array[Short]] = meta(b).flatMap { m =>
-      chunk(b, "data").map { case (off, len) =>
+      chunk(b, "data").map { case (off, _) =>
+        val n = (m.nSamples * m.channels).toInt
         if (m.bitsPerSample == 16) {
-          val n = len / 2
           val out = new Array[Short](n)
           var i = 0
           while (i < n) {
@@ -88,9 +96,9 @@ object Audio {
           }
           out
         } else {
-          val out = new Array[Short](len)
+          val out = new Array[Short](n)
           var i = 0
-          while (i < len) {
+          while (i < n) {
             out(i) = (((b(off + i) & 0xff) - 128) << 8).toShort
             i += 1
           }
@@ -114,6 +122,86 @@ object Audio {
       pcm.foreach(bb.putShort)
       bb.array()
     }
+  }
+
+  /** Integer-factor decimation: keep every `factor`-th frame (all
+    * channels of it), sample rate divides by the factor. Only exact
+    * divisions are allowed (8 kHz / 2 → 4 kHz); a non-dividing factor
+    * refuses rather than silently drifting the clip's time base.
+    * (Proper band-limited resampling needs a DSP library; plain
+    * decimation is the standard cheap pass for oversampled speech
+    * corpora headed into a 16 kHz encoder.) */
+  def downsample(b: Array[Byte], factor: Int): Option[Array[Byte]] =
+    if (factor <= 0) None
+    else for {
+      m <- Wav.meta(b)
+      if m.sampleRate % factor == 0
+      s <- Wav.samples(b)
+    } yield {
+      val nFrames = s.length / m.channels
+      val kept = (nFrames + factor - 1) / factor
+      val out = new Array[Short](kept * m.channels)
+      var f = 0
+      while (f < kept) {
+        var c = 0
+        while (c < m.channels) {
+          out(f * m.channels + c) = s(f * factor * m.channels + c)
+          c += 1
+        }
+        f += 1
+      }
+      Wav.encode(m.sampleRate / factor, m.channels, out)
+    }
+
+  /** Trim leading/trailing silence at `windowMs` granularity: windows
+    * whose RMS (on the [-1, 1) scale) is below `threshold` are cut
+    * from both ends; interior silence stays (it is content — pauses).
+    * Window framing matches [[sliceWindows]] exactly, so a trimmed
+    * clip re-slices on the same boundaries. An all-silent clip yields
+    * an empty (0-sample) WAV — [[trimSilenceAll]] drops those. */
+  def trimSilence(b: Array[Byte], windowMs: Int,
+                  threshold: Double): Option[Array[Byte]] =
+    for {
+      m <- Wav.meta(b)
+      s <- Wav.samples(b)
+    } yield {
+      val fpw = math.max((m.sampleRate.toLong * windowMs / 1000L).toInt, 1)
+      val spw = fpw * m.channels
+      val nWin = (s.length + spw - 1) / spw
+      def rms(w: Int): Double = {
+        val start = w * spw
+        val end = math.min(start + spw, s.length)
+        var sum = 0.0
+        var i = start
+        while (i < end) { val v = s(i) / 32768.0; sum += v * v; i += 1 }
+        if (end == start) 0.0 else math.sqrt(sum / (end - start))
+      }
+      val loud = (0 until nWin).filter(rms(_) >= threshold)
+      if (loud.isEmpty) Wav.encode(m.sampleRate, m.channels, Array.empty)
+      else Wav.encode(m.sampleRate, m.channels,
+        java.util.Arrays.copyOfRange(s, loud.head * spw,
+          math.min((loud.last + 1) * spw, s.length)))
+    }
+
+  /** Distributed decimation; non-dividing factors and undecodable
+    * payloads drop. */
+  def resampleAll(ds: Dataset[Multimodal.MediaRecord],
+                  factor: Int): Dataset[Multimodal.MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      downsample(r.content, factor).map(Multimodal.MediaRecord(r.media_id, _))))
+  }
+
+  /** Distributed edge-silence trimming; clips that trim to nothing
+    * (all-silence) drop — the curation filter this operator exists
+    * for. */
+  def trimSilenceAll(ds: Dataset[Multimodal.MediaRecord], windowMs: Int,
+                     threshold: Double): Dataset[Multimodal.MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      trimSilence(r.content, windowMs, threshold)
+        .filter(out => Wav.meta(out).exists(_.nSamples > 0))
+        .map(Multimodal.MediaRecord(r.media_id, _))))
   }
 
   /** Decode typed audio metadata, partition-wise; undecodable

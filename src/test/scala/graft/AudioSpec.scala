@@ -51,6 +51,28 @@ class AudioSpec extends AnyFunSuite {
     assert(Wav.meta(nonPcm).isEmpty)
   }
 
+  test("hostile chunk lengths refuse cleanly; partial trailing frame truncates") {
+    val pcm = Array.tabulate(10)(_.toShort)
+    val base = Wav.encode(8000, 1, pcm)
+    // splice a JUNK chunk declaring a near-Int.MaxValue length: the
+    // walk must refuse (None), not overflow to a negative array index
+    for (lenBytes <- Seq(
+        Array[Byte](0xfc.toByte, 0xff.toByte, 0xff.toByte, 0x7f), // 0x7ffffffc
+        Array.fill[Byte](4)(0xff.toByte))) {                      // 0xffffffff
+      val spliced = base.take(12) ++ "JUNK".getBytes("US-ASCII") ++
+        lenBytes ++ base.drop(12)
+      assert(Wav.meta(spliced).isEmpty)
+      assert(Wav.samples(spliced).isEmpty)
+    }
+    // stereo data chunk with a trailing PARTIAL frame (7 samples = 3
+    // full frames + 1 stray): meta counts whole frames and samples()
+    // truncates to agree — no partial frame leaks into re-encoding
+    val ragged = Wav.encode(4000, 2, Array.tabulate(7)(_.toShort))
+    val m = Wav.meta(ragged).get
+    assert(m.nSamples == 3)
+    assert(Wav.samples(ragged).get.length == 6)
+  }
+
   test("audio features: rms and peak on known signals, distributed") {
     val half = Array.fill(1000)(16384.toShort) // constant +0.5
     val silent = Array.fill(500)(0.toShort)
@@ -65,6 +87,50 @@ class AudioSpec extends AnyFunSuite {
     assert(math.abs(out(0L).peak - 0.5) < 1e-9)
     assert(out(0L).duration_ms == 125) // 1000 frames @ 8 kHz
     assert(out(1L).rms == 0.0 && out(1L).peak == 0.0)
+  }
+
+  test("downsample decimates frames; non-dividing factors refuse") {
+    val pcm = Array.tabulate(1600)(i => (i * 17).toShort)
+    val wav = Wav.encode(8000, 1, pcm)
+    val down = Audio.downsample(wav, 2).get
+    val m = Wav.meta(down).get
+    assert(m.sampleRate == 4000 && m.nSamples == 800)
+    assert(m.durationMs == Wav.meta(wav).get.durationMs) // time base kept
+    assert(Wav.samples(down).get.sameElements(
+      pcm.indices.collect { case i if i % 2 == 0 => pcm(i) }))
+    // stereo: whole frames survive (both channels of every kept frame)
+    val st = Wav.encode(8000, 2, Array.tabulate(1600)(_.toShort))
+    val std = Audio.downsample(st, 4).get
+    assert(Wav.meta(std).get.channels == 2)
+    assert(Wav.samples(std).get.take(4).toSeq == Seq(0, 1, 8, 9))
+    // 8000 / 3 is not integral: refuse rather than drift the clock
+    assert(Audio.downsample(wav, 3).isEmpty)
+  }
+
+  test("trimSilence cuts edge windows, keeps interior pauses, aligns with slicing") {
+    val rate = 8000
+    val win = 1000 // samples per 125 ms window @ 8 kHz mono
+    val tone = Array.tabulate(win)(i => (math.sin(i * 0.3) * 16000).toShort)
+    val quiet = Array.fill(win)(0.toShort)
+    // [silence, silence, tone, silence(interior), tone, silence]
+    val pcm = quiet ++ quiet ++ tone ++ quiet ++ tone ++ quiet
+    val wav = Wav.encode(rate, 1, pcm)
+    val trimmed = Audio.trimSilence(wav, windowMs = 125, threshold = 0.05).get
+    // edges trimmed, the interior pause preserved
+    assert(Wav.samples(trimmed).get.sameElements(tone ++ quiet ++ tone))
+    // window framing matches sliceWindows: re-slicing the trimmed clip
+    // yields exactly the kept windows of the original slicing
+    import spark.implicits._
+    val ds = Seq(MediaRecord(1L, trimmed)).toDS()
+    val wins = Audio.sliceWindows(ds, windowMs = 125).collect()
+    assert(wins.length == 3)
+    assert(wins.forall(w => Wav.samples(w.window).get.length == win))
+    // an all-silent clip drops from the distributed operator
+    val allQuiet = Seq(MediaRecord(2L, Wav.encode(rate, 1, quiet))).toDS()
+    assert(Audio.trimSilenceAll(allQuiet, 125, 0.05).isEmpty)
+    // and the distributed resample path round-trips
+    val re = Audio.resampleAll(Seq(MediaRecord(3L, wav)).toDS(), 2).collect()
+    assert(re.length == 1 && Wav.meta(re.head.content).get.sampleRate == 4000)
   }
 
   test("window slicing: fixed-duration segments, stride, trailing partial kept") {
