@@ -36,13 +36,12 @@ object Multimodal {
     StructField("media_id", LongType),
     StructField("content", BinaryType)))
 
-  /** Media codec. REAL pure-JVM decoders for BMP (24/32-bit
+  /** Media codec. REAL pure-JVM decoders for PNG, BMP (24/32-bit
     * uncompressed) and binary PPM/PGM — header parse, pixel extract,
-    * nearest-neighbor resize, re-encode — plus the synthetic GRFT
-    * format kept verbatim for deterministic pipeline tests (its byte
-    * accounting anchors the q40 oracle). A jpeg/png decoder (JNI lib
-    * or `java.util.zip.Inflater` for PNG) would slot in behind the
-    * same dispatch. */
+    * nearest-neighbor resize, re-encode — plus JPEG metadata (SOF
+    * marker walk; pixels refuse) and the synthetic GRFT format kept
+    * verbatim for deterministic pipeline tests (its byte accounting
+    * anchors the q40 oracle). */
   object Codec {
     val Magic: Array[Byte] = "GRFT".getBytes
 
@@ -65,15 +64,20 @@ object Multimodal {
       else if (Bmp.isBmp(bytes)) Bmp.meta(bytes)
       else if (Pnm.isPnm(bytes)) Pnm.meta(bytes)
       else if (Png.isPng(bytes)) Png.meta(bytes)
+      else if (Jpeg.isJpeg(bytes)) Jpeg.meta(bytes)
       else None
 
     /** Raw sample bytes: the GRFT payload as-is; for BMP/PPM/PGM the
       * DECODED pixels — interleaved row-major samples, top-down, no
-      * row padding, BGR reordered to RGB. */
+      * row padding, BGR reordered to RGB. JPEG refuses (empty): the
+      * entropy-coded scan needs a full DCT/Huffman decoder — metadata
+      * decode/filtering is real, pixel decode is documented out of
+      * scope offline (like PNG palette images). */
     def payload(bytes: Array[Byte]): Array[Byte] =
       if (Bmp.isBmp(bytes)) Bmp.pixels(bytes).getOrElse(Array.empty)
       else if (Pnm.isPnm(bytes)) Pnm.pixels(bytes).getOrElse(Array.empty)
       else if (Png.isPng(bytes)) Png.pixels(bytes).getOrElse(Array.empty)
+      else if (Jpeg.isJpeg(bytes)) Array.empty
       else bytes.drop(13)
 
     /** Downscale by an integer factor. GRFT keeps its stub stride-
@@ -92,6 +96,7 @@ object Multimodal {
             else Some(Pnm.encode(w2, h2, m.channels, out))
           }
         }
+      else if (Jpeg.isJpeg(bytes)) None // no pixel decode -> no resize
       else decodeMeta(bytes).map { m => // GRFT stub stride-sample
         val p = payload(bytes)
         encode(math.max(m.width / factor, 1), math.max(m.height / factor, 1),
@@ -351,6 +356,63 @@ object Multimodal {
       val crc = new java.util.zip.CRC32()
       crc.update(t); crc.update(data)
       out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    }
+  }
+
+  /** JPEG/JFIF metadata decode: a marker-segment walk to the SOF
+    * (start-of-frame) header — width/height/channels for the
+    * overwhelmingly-JPEG crawl-image case, so dimension/aspect/channel
+    * filtering runs on real crawl payloads. Pixel decode (Huffman +
+    * DCT) is documented out of scope offline — [[Codec.payload]] and
+    * [[Codec.resize]] refuse, the same posture as PNG palette images
+    * (and the reference's delegate-don't-decode precedent for binary
+    * formats it lacks a library for, bruker_ftir_parser.py:7).
+    *
+    * The walk handles all SOFn variants (baseline 0xC0, extended 0xC1,
+    * progressive 0xC2, arithmetic 0xC9...), fill bytes (0xFF padding
+    * before a marker), standalone markers (TEM, RSTn), and refuses on
+    * structural damage: truncated segments, a missing SOF before
+    * start-of-scan, or a non-marker byte where a marker must be. */
+  object Jpeg {
+    def isJpeg(b: Array[Byte]): Boolean =
+      b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+        (b(2) & 0xff) == 0xff
+
+    private def isSof(m: Int): Boolean =
+      m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+
+    def meta(b: Array[Byte]): Option[Multimodal.MediaMeta] = {
+      if (!isJpeg(b)) return None
+      var off = 2L // past SOI; Long walk — a hostile 16-bit length
+                   // can't overflow, but the posture matches Wav.chunk
+      while (off + 4 <= b.length) {
+        val o = off.toInt
+        if ((b(o) & 0xff) != 0xff) return None // marker byte expected
+        var mOff = o + 1
+        while (mOff < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1 // fill bytes
+        if (mOff >= b.length) return None
+        val marker = b(mOff) & 0xff
+        if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS before SOF
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          off = mOff + 1L // standalone marker, no length field
+        } else {
+          if (mOff + 3 >= b.length) return None
+          val len = ((b(mOff + 1) & 0xff) << 8) | (b(mOff + 2) & 0xff)
+          if (len < 2 || mOff + 1 + len > b.length) return None
+          if (isSof(marker)) {
+            if (len < 8) return None
+            // segment: len(2) precision(1) height(2) width(2) nComp(1)
+            val h = ((b(mOff + 4) & 0xff) << 8) | (b(mOff + 5) & 0xff)
+            val w = ((b(mOff + 6) & 0xff) << 8) | (b(mOff + 7) & 0xff)
+            val ch = b(mOff + 8) & 0xff
+            return if (w > 0 && h > 0 && ch > 0)
+              Some(Multimodal.MediaMeta(w, h, ch, b.length.toLong, "jpeg"))
+            else None
+          }
+          off = mOff + 1L + len
+        }
+      }
+      None
     }
   }
 

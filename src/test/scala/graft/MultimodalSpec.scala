@@ -168,6 +168,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.Png.pixels(truncated).isEmpty)
   }
 
+  // minimal JFIF: SOI, APP0, SOF0 (8-bit, 7x5, 3 components)
+  private def jpegFixture(sofMarker: Int = 0xc0): Array[Byte] = {
+    val app0 = Array[Int](0xff, 0xe0, 0x00, 0x10) ++
+      "JFIF".getBytes("US-ASCII").map(_.toInt) ++
+      Array[Int](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val sof = Array[Int](0xff, sofMarker, 0x00, 0x11, // len 17 = 8 + 3*3
+      8, 0, 7, 0, 5, 3, // precision, height 7, width 5, 3 components
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    (Array[Int](0xff, 0xd8) ++ app0 ++ sof ++ Array[Int](0xff, 0xd9))
+      .map(_.toByte)
+  }
+
+  test("JPEG metadata decodes via the SOF marker walk; pixels refuse") {
+    val m = Codec.decodeMeta(jpegFixture()).get
+    assert(m == Multimodal.MediaMeta(5, 7, 3, jpegFixture().length.toLong, "jpeg"))
+    // progressive (SOF2) and arithmetic (SOF9) frames parse identically
+    assert(Codec.decodeMeta(jpegFixture(0xc2)).get.width == 5)
+    assert(Codec.decodeMeta(jpegFixture(0xc9)).get.height == 7)
+    // fill bytes (0xFF padding) before a marker are legal and skipped
+    val fix = jpegFixture()
+    val padded = fix.take(2) ++ Array(0xff.toByte, 0xff.toByte) ++ fix.drop(3)
+    assert(Codec.decodeMeta(padded).get.width == 5)
+    // structural damage refuses: truncated mid-SOF, DHT-only (no SOF),
+    // and a stray non-marker byte where a marker must start
+    assert(Codec.decodeMeta(fix.take(fix.length - 8)).isEmpty)
+    val noSof = fix.take(2 + 18) ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(Codec.decodeMeta(noSof).isEmpty)
+    val stray = fix.clone(); stray(2) = 0x00
+    assert(Codec.decodeMeta(stray).isEmpty)
+    // no pixel decoder offline: payload/resize refuse, documented
+    assert(Codec.payload(fix).isEmpty)
+    assert(Codec.resize(fix, 2).isEmpty)
+  }
+
   test("mixed-format landing dir decodes distributed via the same pipeline") {
     val dir = java.nio.file.Files.createTempDirectory("mixed")
     java.nio.file.Files.write(dir.resolve("m0.bmp"), bmpFixture)
@@ -175,11 +209,13 @@ class MultimodalSpec extends AnyFunSuite {
     java.nio.file.Files.write(dir.resolve("m2.grft"),
       Codec.encode(4, 4, 3, Array.fill(48)(7.toByte)))
     java.nio.file.Files.write(dir.resolve("m3.png"), pngFixture)
+    java.nio.file.Files.write(dir.resolve("m4.jpg"), jpegFixture())
     val ds = Multimodal.readBinaryDir(spark, dir.toString).select(
       regexp_extract(col("path"), "m(\\d+)\\.", 1).cast("long").as("media_id"),
       col("content")).as[MediaRecord]
     val metas = decodeMeta(ds).collect().map(r => r.media_id -> r.meta.format).toMap
-    assert(metas == Map(0L -> "bmp", 1L -> "ppm", 2L -> "grft", 3L -> "png"))
+    assert(metas == Map(0L -> "bmp", 1L -> "ppm", 2L -> "grft", 3L -> "png",
+      4L -> "jpeg"))
   }
 
   test("binaryFile ingest reads a media landing dir on executors") {
