@@ -40,15 +40,25 @@ object BloomPrune {
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Just the pruned fact side (for joins composed separately).
     * Both sides hash the key with `xxhash64`, so any hashable key
     * type works; a hash collision only adds to the false-positive
-    * rate the Bloom filter already carries. */
+    * rate the Bloom filter already carries.
+    *
+    * The native→UDF fallback is LOUD: a regression in the internal
+    * expression pair (e.g. an API move) degrades every prune to a
+    * codegen-breaking UDF, so the throwable is logged at WARN — and
+    * the production plan shape (might_contain present, no UDF) is
+    * pinned in ScaleOpsSpec so a silent degrade fails the suite. */
   def prune(fact: DataFrame, factKey: Column,
             dim: DataFrame, dimKey: Column,
             expectedDimKeys: Long, fpp: Double): DataFrame =
     try pruneNative(fact, factKey, dim, dimKey, expectedDimKeys, fpp)
-    catch { case scala.util.control.NonFatal(_) =>
+    catch { case scala.util.control.NonFatal(e) =>
+      log.warn("BloomPrune: native BloomFilterAggregate/might_contain path " +
+        "failed; falling back to the non-codegen UDF probe", e)
       pruneUdf(fact, factKey, dim, dimKey, expectedDimKeys, fpp)
     }
 

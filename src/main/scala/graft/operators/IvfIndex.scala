@@ -10,8 +10,9 @@ import graft.functions.VectorFunctions._
   * "an IVF or LSH-bucketed variant as the scale path").
   *
   * Build: k centroids trained by a few deterministic Lloyd
-  * iterations (init = first k vectors in id order, so runs are
-  * reproducible without a seed), then every vector is assigned to its
+  * iterations (init = hash-stratified seeding, [[seedStratified]] —
+  * reproducible without a seed, spread across the corpus even when
+  * ids correlate with content), then every vector is assigned to its
   * nearest centroid's list. The corpus is thereby partitioned into k
   * lists — at 100 TB, lists are the shuffle/bucketing key and a probe
   * touches `nprobe/k` of the data instead of all of it.
@@ -29,11 +30,61 @@ object IvfIndex {
     * [[save]]/[[load]]). */
   def build(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int = 3): (Array[Array[Double]], DataFrame) = {
-    // deterministic init: the first k vectors in id order
-    var centroids: Array[Array[Double]] = corpus
-      .orderBy(col(idCol)).limit(k)
+    var centroids = seedStratified(corpus, idCol, vecCol, k)
+    for (_ <- 0 until iters)
+      centroids = step(corpus, vecCol, centroids)
+    (centroids, assign(corpus, vecCol, centroids))
+  }
+
+  /** Deterministic, id-order-independent seeding: each row hashes into
+    * one of k strata (`xxhash64(id) mod k`), and the stratum's seed is
+    * the vector with the minimum hash — a reproducible pseudo-random
+    * sample SPREAD ACROSS the corpus, without a seed, a collect beyond
+    * k×dim, or an extra corpus pass (one map-side-combined `min_by`
+    * aggregation to k rows).
+    *
+    * The first-k-by-id init this replaces was degenerate whenever ids
+    * correlate with content (ingest order, source grouping): all k
+    * seeds landed in one cluster, and at 100 TB every Lloyd iteration
+    * spent recovering from it is a full corpus pass
+    * ([[IvfSeedingSpec]] pins the failure case and the recall win).
+    * Corpora smaller than ~k (some strata empty) top up from the
+    * lowest-hash rows overall, so `build` always gets k seeds when the
+    * corpus has k distinct rows. */
+  private[graft] def seedStratified(corpus: DataFrame, idCol: String,
+                                        vecCol: String, k: Int): Array[Array[Double]] = {
+    val hashed = corpus.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__h", xxhash64(col("__id")))
+    val seeds = hashed
+      .withColumn("__stratum", pmod(col("__h"), lit(k.toLong)))
+      .groupBy(col("__stratum"))
+      .agg(min_by(col("__v"), struct(col("__h"), col("__id"))).as("__v"))
+      .select(col("__v")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    if (seeds.length >= k) seeds
+    else { // tiny corpus: top up deterministically from the global hash order
+      val extra = hashed.orderBy(col("__h"), col("__id"))
+        .limit(k).select(col("__v")).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .filterNot(v => seeds.exists(_.sameElements(v)))
+      seeds ++ extra.take(k - seeds.length)
+    }
+  }
+
+  /** The legacy first-k-by-id init, kept package-private as the
+    * degenerate baseline [[IvfSeedingSpec]] measures against. */
+  private[graft] def seedFirstK(corpus: DataFrame, idCol: String,
+                                    vecCol: String, k: Int): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** [[build]] with caller-chosen seeds (for the seeding comparison
+    * spec and for resuming from persisted centroids). */
+  private[graft] def buildFrom(corpus: DataFrame, vecCol: String,
+                                   seeds: Array[Array[Double]],
+                                   iters: Int): (Array[Array[Double]], DataFrame) = {
+    var centroids = seeds
     for (_ <- 0 until iters)
       centroids = step(corpus, vecCol, centroids)
     (centroids, assign(corpus, vecCol, centroids))

@@ -109,13 +109,25 @@ object Similarity {
     * generic tail of any scored-candidates pipeline (IVF probes, LSH
     * verification) that would otherwise shuffle every scored row on
     * q_id just to rank. Ordering matches `orderBy(cos.desc,
-    * n_id.asc)` exactly, ties and NaN included; duplicate (q_id,
-    * n_id) rows must already be impossible upstream (a heap counts
-    * them twice). */
-  def topKPerKey(scored: DataFrame, k: Int): DataFrame = {
+    * n_id.asc)` exactly, ties and NaN included.
+    *
+    * Duplicate (q_id, n_id) rows would be counted twice by a heap and
+    * silently inflate ranks. Both current callers (IVF probe: one list
+    * per vector; brute force: one score per pair) guarantee uniqueness
+    * for free — a caller that can't (e.g. multi-band LSH candidates)
+    * must pass `dedupCandidates = true`, which collapses duplicates on
+    * (q_id, n_id) before the heaps (one extra exchange over the
+    * candidate set; scores are deterministic per pair, so max(cos) is
+    * the identity on true duplicates). */
+  def topKPerKey(scored: DataFrame, k: Int,
+                 dedupCandidates: Boolean = false): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
-    val cand = scored.select(col("q_id"), col("n_id"), col("cos"))
+    val unique =
+      if (dedupCandidates)
+        scored.groupBy(col("q_id"), col("n_id")).agg(max(col("cos")).as("cos"))
+      else scored
+    val cand = unique.select(col("q_id"), col("n_id"), col("cos"))
       .as[(Long, Long, Double)]
       .mapPartitions { it =>
         val heaps = scala.collection.mutable.LongMap

@@ -213,6 +213,74 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), plan.take(1500))
   }
 
+  test("IVF seeding: hash-stratified init beats first-k-by-id on id-clustered data") {
+    import graft.operators.{IvfIndex, Similarity}
+    import spark.implicits._
+    // the degenerate-init scenario: ids CORRELATE with content — four
+    // angularly separated clusters (axes e0..e3), ids grouped by
+    // cluster, so "first k by id" draws every seed from cluster 0
+    val corpus = (0 until 200).map { i =>
+      val c = i / 50 // cluster = id block
+      val v = new Array[Float](8)
+      v(c) = 1.0f
+      v(4 + (i % 4)) = 0.05f + 0.01f * (i % 10) // deterministic jitter
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") % 50 === 7)
+    val brute = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // recall at nprobe=1 AND how much of the corpus that one probe
+    // scans — recall alone can't expose the degenerate init, because
+    // collapsing everything into one giant list is "exact" by scanning
+    // the whole corpus (precisely what IVF exists to avoid at 100 TB)
+    def stats(seeds: Array[Array[Double]]): (Double, Long) = {
+      val (centroids, indexed) = IvfIndex.buildFrom(corpus, "embedding", seeds, iters = 1)
+      val got = IvfIndex.topK(indexed, centroids, queries, "vec_id", "embedding",
+        k = 5, nprobe = 1)
+        .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val maxList = indexed.groupBy("list_id").count()
+        .agg(max("count")).head().getLong(0)
+      ((got & brute).size.toDouble / brute.size, maxList)
+    }
+
+    val firstK = IvfIndex.seedFirstK(corpus, "vec_id", "embedding", 4)
+    val strat = IvfIndex.seedStratified(corpus, "vec_id", "embedding", 4)
+    // the failure mode, pinned: every first-k seed lives in cluster 0
+    assert(firstK.forall(v => v.indexOf(v.max) == 0))
+    // stratified seeds spread across clusters (deterministic draw)
+    val stratClusters = strat.map(v => v.indexOf(v.max)).toSet
+    assert(stratClusters.size >= 3, s"seeds covered $stratClusters")
+    val (rFirst, maxFirst) = stats(firstK)
+    val (rStrat, maxStrat) = stats(strat)
+    // stratified: high recall from a BOUNDED probe (balanced lists)
+    assert(rStrat >= 0.7, s"stratified recall@nprobe=1 was $rStrat")
+    assert(maxStrat <= 120, s"stratified max list $maxStrat of 200")
+    // first-k: whatever recall it reports, it pays for it in probe
+    // cost — the lists collapse toward one blob
+    assert(maxFirst > maxStrat,
+      s"first-k max list $maxFirst vs stratified $maxStrat (recall $rFirst vs $rStrat)")
+  }
+
+  test("topKPerKey: duplicate candidates inflate ranks; the dedup flag fixes it") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7),
+      (2L, 10L, 0.5), (2L, 11L, 0.6)).toDF("q_id", "n_id", "cos")
+    val dup = scored.union(scored) // e.g. undeduped multi-band LSH candidates
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "n_id", "cos", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val expected = rows(Similarity.topKPerKey(scored, 2))
+    assert(rows(Similarity.topKPerKey(dup, 2, dedupCandidates = true)) == expected)
+    // without the flag the double-count is visible: q1's top-2 is its
+    // best neighbor twice — the documented hazard the flag prevents
+    val inflated = Similarity.topKPerKey(dup, 2)
+      .filter(col("q_id") === 1L).select("n_id").as[Long].collect()
+    assert(inflated.sorted.toSeq == Seq(10L, 10L))
+  }
+
   test("dropManagedTable clears an orphaned warehouse dir via Hadoop FS") {
     // simulate a prior session's leftover: a dir in the warehouse with
     // no catalog entry — CREATE would fail if the cleanup missed it
