@@ -76,7 +76,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2)).filter(_ >= 0).sum
     graft.operators.TextPipelineQueries.clearCache(spark)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"queries":$qs,"queries_iters":$spreads,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"queries":$qs,"queries_iters":$spreads,"sf":"$sfDir"}"""
+    // Also persist the line to a file: the driver captures a stdout
+    // TAIL, and round 4's capture truncated the medians/cache fields.
+    // The file survives regardless of how stdout is clipped.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
+    println(line)
     spark.stop()
   }
 }

@@ -108,4 +108,62 @@ object EventStreaming {
       .partitionBy("event_type")
       .outputMode("append")
       .start()
+
+  /** Continuous bucketed ingestion — the foreachBatch bridge from a
+    * live stream into [[graft.operators.Bucketing]]'s zero-exchange
+    * join layout: each micro-batch appends into a table bucketed on
+    * `key` (created by the first batch), so a consumer can
+    * `coLocatedJoin` against other tables bucketed on the same key
+    * WITHOUT waiting for a nightly rewrite of the whole landing zone.
+    *
+    * Semantics: checkpointed offsets make this at-least-once across
+    * failure-replays of an uncommitted batch (foreachBatch is not a
+    * transactional sink); run [[compactBuckets]] periodically anyway —
+    * it rewrites to one file per bucket, which both restores the
+    * per-bucket sort/file count after many small appends and collapses
+    * any replayed duplicates if the stream carries a dedup key
+    * upstream ([[dedupStream]]). The exactly-once alternative is
+    * [[writeLanding]] + a scheduled [[compactLanding]]. */
+  def bucketedSink(events: DataFrame, table: String, key: String, buckets: Int,
+                   checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val writer = batch.write
+          .mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(buckets, key).sortBy(key)
+          .format("parquet")
+        writer.saveAsTable(table) // first batch creates, rest append
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** One-shot landing → bucketed compaction: read the streaming
+    * parquet sink through its `_spark_metadata` commit log (only
+    * COMMITTED files — exactly-once view even while the stream runs)
+    * and rewrite it as the bucketed join layout. */
+  def compactLanding(spark: SparkSession, landingDir: String,
+                     table: String, key: String, buckets: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.schema(eventSchema).parquet(landingDir)
+    graft.operators.Bucketing.writeBucketed(
+      df.repartition(buckets, col(key)), table, key, buckets)
+  }
+
+  /** Rewrite a bucketed table to exactly one file per bucket —
+    * the periodic compaction that keeps [[bucketedSink]]'s
+    * one-file-per-batch-per-bucket accumulation from degrading scans.
+    * `repartition(buckets, key)` uses the same Murmur3 hash as the
+    * bucket spec, so each shuffle partition holds exactly one bucket.
+    * Staged via a temp table + catalog rename so the data is never
+    * read and dropped at once. */
+  def compactBuckets(spark: SparkSession, table: String, key: String,
+                     buckets: Int): Unit = {
+    val tmp = s"${table}__compact"
+    graft.operators.Bucketing.writeBucketed(
+      spark.table(table).repartition(buckets, col(key)), tmp, key, buckets)
+    graft.operators.Bucketing.dropManagedTable(spark, table)
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 }

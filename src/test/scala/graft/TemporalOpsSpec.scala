@@ -216,6 +216,76 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(back.filter(col("event_type") === "click").count() == 2)
   }
 
+  test("bucketedSink + compaction land the stream in the zero-exchange join layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bucketing
+    Bucketing.dropManagedTable(spark, "ev_bucketed")
+    Bucketing.dropManagedTable(spark, "ev_bucketed__compact")
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ckpt = java.nio.file.Files.createTempDirectory("bsink").toString
+    val q = EventStreaming.bucketedSink(streamDf, "ev_bucketed", "user_id", 4, ckpt)
+    mem.addData((1L, 1L, 1L, "click", 1.0, "{}"),
+      (2L, 2L, 2L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((3L, 3L, 1L, "click", 3.0, "{}"),
+      (4L, 4L, 3L, "view", 4.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("ev_bucketed").count() == 4)
+    Bucketing.writeBucketed(
+      Seq((1L, "gold"), (2L, "basic"), (3L, "basic")).toDF("user_id", "tier"),
+      "user_dim_b", "user_id", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+      def assertNoExchange(): Long = {
+        val j = Bucketing.coLocatedJoin(spark, "ev_bucketed", "user_dim_b", "user_id")
+        j.collect()
+        val plan = j.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(!plan.contains("Exchange"),
+          s"streamed bucketed table must join shuffle-free:\n$plan")
+        j.count()
+      }
+      assert(assertNoExchange() == 4)
+      // per-batch appends accumulate files; compaction rewrites to one
+      // file per bucket with identical rows and the same join shape
+      val filesBefore = spark.table("ev_bucketed").inputFiles.length
+      EventStreaming.compactBuckets(spark, "ev_bucketed", "user_id", 4)
+      assert(spark.table("ev_bucketed").count() == 4)
+      val filesAfter = spark.table("ev_bucketed").inputFiles.length
+      assert(filesAfter <= 4 && filesAfter <= filesBefore,
+        s"$filesBefore -> $filesAfter")
+      assert(assertNoExchange() == 4)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    Bucketing.dropManagedTable(spark, "ev_bucketed")
+    Bucketing.dropManagedTable(spark, "user_dim_b")
+  }
+
+  test("compactLanding lifts the exactly-once landing sink into the bucketed layout") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Bucketing
+    val mem = MemoryStream[(Long, Long, Long, String, Double, String)]
+    val streamDf = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val q = EventStreaming.writeLanding(streamDf, s"$base/out", s"$base/ckpt")
+    mem.addData((1L, 1L, 1L, "click", 1.0, "{}"),
+      (2L, 2L, 2L, "view", 2.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((3L, 3L, 3L, "click", 3.0, "{}"))
+    q.processAllAvailable()
+    q.stop()
+    EventStreaming.compactLanding(spark, s"$base/out", "ev_landing_b", "user_id", 4)
+    val back = spark.table("ev_landing_b")
+    assert(back.count() == 3)
+    assert(back.inputFiles.length <= 4) // one file per non-empty bucket
+    assert(back.select("event_type").distinct().count() == 2) // partition col restored
+    Bucketing.dropManagedTable(spark, "ev_landing_b")
+  }
+
   test("stateful sessionization closes sessions across micro-batches") {
     import graft.streaming.Sessionize
     import graft.streaming.Sessionize._
