@@ -182,6 +182,33 @@ object Curation {
       .drop("__copies")
   }
 
+  /** Deterministic per-source contribution cap (the RefinedWeb-style
+    * "at most N documents per domain" guard against a handful of hosts
+    * dominating the mixture): documents rank within their source by a
+    * salted md5 of the id — a reproducible shuffle-order-independent
+    * pseudo-random draw, identical in DuckDB — and ranks beyond
+    * `maxDocs` drop. Output: input columns + `src_rank`.
+    *
+    * Scale shape: one exchange on the source key (the grouping is the
+    * work); rank is a within-partition sort. A pathologically hot
+    * source makes that partition big — the hash-threshold form
+    * ([[mixBySource]] with weight maxDocs/|source|) is the shuffle-free
+    * approximation when exact N doesn't matter. */
+  def capPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                   maxDocs: Int, salt: String = "cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(hashRank(col(idCol), salt), col(idCol))
+    df.withColumn("src_rank", row_number().over(w).cast("long"))
+      .filter(col("src_rank") <= maxDocs)
+  }
+
+  /** Full-width salted hash for ranking (32 hex chars —
+    * [[hashFraction]]'s 4-char prefix is enough for thresholding but
+    * would tie too often as a sort key). */
+  private def hashRank(key: Column, salt: String): Column =
+    md5(concat(key.cast("string"), lit("|" + salt)))
+
   /** Per-vector int8 scalar quantization — the storage/bandwidth
     * compression step of an embedding pipeline (4× smaller than
     * float32; recall loss is bounded by the per-vector range). Adds

@@ -77,6 +77,9 @@ object CurationQueries {
     "q54_paragraph_dedup" -> ((s, d) =>
       Curation.dropRepeatedParagraphs(withParagraphs(docs(s, d)), "doc_id",
         "text", minDocs = 3)),
+    "q55_cap_per_source" -> ((s, d) =>
+      Curation.capPerSource(docs(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", maxDocs = 20)),
     "q51_mix_sample" -> ((s, d) =>
       Curation.mixBySource(docs(s, d).select(col("doc_id"), col("source")),
         "doc_id", "source", MixWeights)),
@@ -174,6 +177,13 @@ object CurationQueries {
         |       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean,
         |       CAST(count(*) AS BIGINT) AS n_kept
         |FROM kept GROUP BY doc_id""".stripMargin,
+    "q55_cap_per_source" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cap'), doc_id) AS BIGINT)
+        |    AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 20""".stripMargin,
     "q51_mix_sample" ->
       """WITH w AS (SELECT doc_id, source,
         |  CAST(substr(source, 4) AS INT) % 4 AS m,

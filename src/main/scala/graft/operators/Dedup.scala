@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -129,6 +129,32 @@ object Dedup {
             |  y -> struct(ids[0] AS id_a, y AS id_b))""".stripMargin))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
+
+  /** Incremental LSH candidates: pairs involving at least one NEW
+    * document — the batch-ingest shape of minhash dedup. A corpus
+    * deployment persists its signature table once; each arriving batch
+    * computes signatures for ITS documents only and band-joins them
+    * against the full table. Old–old pairs are never recomputed, so
+    * per-batch cost is O(batch × bucket-hit), not O(corpus²) — and the
+    * small new side broadcasts under AQE.
+    *
+    * `isNew` marks the batch (any predicate over the signature rows,
+    * e.g. an ingest-date column or an id watermark). Output matches
+    * [[lshCandidatePairs]]: (id_a, id_b), id_a < id_b, distinct —
+    * restricted to pairs with a new member. The union of these pairs
+    * with the previous corpus's pairs IS the full pair set
+    * (spec-pinned), which is what makes incremental clustering sound. */
+  def lshCandidatePairsIncremental(sigs: DataFrame, idCol: String,
+                                   isNew: Column): DataFrame = {
+    val n = sigs.filter(isNew)
+      .select(col("band"), col("sig"), col(idCol).as("__nid"))
+    val all = sigs.select(col("band"), col("sig"), col(idCol).as("__oid"))
+    n.join(all, Seq("band", "sig"))
+      .filter(col("__nid") =!= col("__oid"))
+      .select(least(col("__nid"), col("__oid")).as("id_a"),
+        greatest(col("__nid"), col("__oid")).as("id_b"))
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard similarity from a [[shingleTable]],
     * computed only for `pairs` (normally LSH candidates):

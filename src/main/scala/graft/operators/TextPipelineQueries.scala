@@ -194,6 +194,30 @@ object TextPipelineQueries {
         "doc_id", "n_tokens", budget = 512L)),
     "q24_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
+    // Incremental dedup: only the "new batch" (doc_id % 5 == 0 as the
+    // stand-in ingest watermark) band-joins the persisted signature
+    // table — old-old pairs never recompute. Union with the prior
+    // corpus's pairs reconstructs the full pair set (TextOpsSpec).
+    "q57_dedup_incremental" -> ((s, d) =>
+      Dedup.lshCandidatePairsIncremental(signatures(s, d), "doc_id",
+        col("doc_id") % 5 === 0)),
+    // Bigram conditional surprisal −ln p(w2 | w1) averaged per doc —
+    // the next perplexity proxy up from q36's unigrams: flags docs
+    // whose word PAIRS are improbable even when each word is common
+    // (shuffled/templated text). Same two-pass shape: bigram and
+    // unigram-context counts (vocabulary², still ≪ corpus), joined
+    // back to the bigram stream — AQE broadcasts when small.
+    "q56_bigram_surprisal" -> ((s, d) => {
+      val bg = docs(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(-log(col("c2") / col("c1"))), 4)
+          .as("avg_bigram_surprisal"))
+    }),
     // Corpus-level quality signal: average token surprisal −ln(p(w)),
     // p from the corpus's own unigram frequencies — the classic cheap
     // perplexity proxy for filtering gibberish/boilerplate. Two-pass
@@ -390,6 +414,26 @@ object TextPipelineQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS keep_id
          |FROM reach GROUP BY a""".stripMargin,
+    "q57_dedup_incremental" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |cand AS (SELECT DISTINCT
+         |           least(n.doc_id, o.doc_id) AS id_a,
+         |           greatest(n.doc_id, o.doc_id) AS id_b
+         |         FROM sig n JOIN sig o ON n.band = o.band AND n.sig = o.sig
+         |         WHERE n.doc_id % 5 = 0 AND n.doc_id <> o.doc_id)
+         |SELECT id_a, id_b FROM cand""".stripMargin,
+    "q56_bigram_surprisal" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |       unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |       FROM toks),
+        |b1 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b1 GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b1 GROUP BY w1)
+        |SELECT doc_id, round(avg(-ln(c2 / c1)), 4) AS avg_bigram_surprisal
+        |FROM b1 JOIN c2 USING (bg) JOIN c1 USING (w1)
+        |GROUP BY doc_id""".stripMargin,
     "q36_token_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),

@@ -174,6 +174,30 @@ class CurationSpec extends AnyFunSuite {
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  // ---- per-source contribution cap ----
+
+  test("capPerSource keeps exactly N per source, deterministically") {
+    val out = Curation.capPerSource(sourcedDocs, "doc_id", "source", maxDocs = 30)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.forall(_ == 30L)) // 100 docs/source capped to 30
+    assert(out.agg(max($"src_rank")).head().getLong(0) == 30L)
+    // reproducible: a second evaluation keeps the identical doc set
+    val again = Curation.capPerSource(sourcedDocs, "doc_id", "source", 30)
+    assert(out.select("doc_id").except(again.select("doc_id")).isEmpty)
+    // a source under the cap survives whole
+    val small = Curation.capPerSource(
+      sourcedDocs.filter($"doc_id" < 10), "doc_id", "source", 30)
+    assert(small.count() == 10)
+    // the hash ranking is a draw, not a prefix: kept ids are not just
+    // the lowest ids of each source
+    val keptSrc0 = out.filter($"source" === "src0")
+      .select("doc_id").as[Long].collect().toSet
+    val lowest30 = sourcedDocs.filter($"source" === "src0")
+      .orderBy("doc_id").limit(30).select("doc_id").as[Long].collect().toSet
+    assert(keptSrc0 != lowest30)
+  }
+
   // ---- keep-one materialization ----
 
   test("keepOne drops exactly the non-canonical group members") {

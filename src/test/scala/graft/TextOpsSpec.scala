@@ -61,6 +61,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("incremental LSH candidates complete the full pair set") {
+    // a larger corpus with dup pairs straddling the old/new boundary
+    val corpus = (0L until 12L).map { i =>
+      val base = if (i % 3 == 0) "the quick brown fox jumps over the lazy dog"
+      else if (i % 3 == 1) "some wholly unrelated document body number " + i
+      else "the quick brown fox jumps over the lazy cat"
+      (i, base)
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = rows(Dedup.lshCandidatePairs(sigs, "doc_id"))
+    val isNew = col("doc_id") >= 8
+    // the incremental batch's pairs plus the prior corpus's own pairs
+    // reconstruct the full pair set exactly — no pair lost or invented
+    val oldOnly = rows(Dedup.lshCandidatePairs(
+      sigs.filter(col("doc_id") < 8), "doc_id"))
+    val incr = rows(Dedup.lshCandidatePairsIncremental(sigs, "doc_id", isNew))
+    assert(incr.forall { case (a, b) => a >= 8 || b >= 8 })
+    assert((oldOnly ++ incr) == full)
+    // degenerate check: everything-new reproduces the full set
+    assert(rows(Dedup.lshCandidatePairsIncremental(sigs, "doc_id", lit(true))) == full)
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dup high, ordered pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text")
