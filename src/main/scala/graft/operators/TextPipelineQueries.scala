@@ -210,13 +210,18 @@ object TextPipelineQueries {
     "q56_bigram_surprisal" -> ((s, d) => {
       val bg = docs(s, d)
         .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
-        .withColumn("w1", split(col("bg"), " ").getItem(0))
       val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      bg.join(c2, Seq("bg")).join(c1, Seq("w1"))
+      // context counts DERIVE from the bigram counts (c1(w1) = Σ c2) —
+      // a vocabulary-sized aggregation, not another corpus pass; the
+      // per-bigram surprisal table is then vocabulary-sized too, and
+      // the corpus joins it ONCE (AQE-broadcast when small)
+      val cond = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      val c1 = cond.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val surp = cond.join(c1, Seq("w1"))
+        .select(col("bg"), (-log(col("c2") / col("c1"))).as("surp"))
+      bg.join(surp, Seq("bg"))
         .groupBy(col("doc_id"))
-        .agg(round(avg(-log(col("c2") / col("c1"))), 4)
-          .as("avg_bigram_surprisal"))
+        .agg(round(avg(col("surp")), 4).as("avg_bigram_surprisal"))
     }),
     // Corpus-level quality signal: average token surprisal −ln(p(w)),
     // p from the corpus's own unigram frequencies — the classic cheap
@@ -228,7 +233,9 @@ object TextPipelineQueries {
       val tok = docs(s, d)
         .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val n = tok.agg(count(lit(1)).cast("double").as("n"))
+      // corpus size derives from the frequency table (Σc, vocab-sized)
+      // instead of a third pass over the exploded token stream
+      val n = tf.agg(sum(col("c")).cast("double").as("n"))
       tok.join(tf, Seq("w")).crossJoin(broadcast(n))
         .groupBy(col("doc_id"))
         .agg(round(avg(-log(col("c") / col("n"))), 4).as("avg_surprisal"))
