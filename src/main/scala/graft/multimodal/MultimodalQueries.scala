@@ -33,6 +33,26 @@ object MultimodalQueries {
           $"meta.height".cast("long").as("height"),
           $"meta.channels".cast("long").as("channels"),
           $"meta.nBytes".as("n_bytes"))
+    }),
+    // The REAL WAV codec through the gate: constant-amplitude PCM16
+    // clips synthesized from doc_id, encoded with Wav.encode on
+    // executors, then decoded + feature-extracted by the distributed
+    // audio operators. For a constant signal the features have exact
+    // closed forms (rms = peak = amp/32768, duration = frames/8 ms at
+    // 8 kHz), all in exact binary fractions — so encode → chunk walk →
+    // sample decode → feature math is value-checked end-to-end.
+    "q58_audio_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val frames = (400 + (id % 5) * 80).toInt
+          val amp = ((id % 8) * 4096).toShort
+          Multimodal.MediaRecord(id,
+            Audio.Wav.encode(8000, 1, Array.fill(frames)(amp)))
+        }
+      Audio.extractFeatures(media)
+        .select($"media_id", $"duration_ms",
+          round($"rms", 6).as("rms"), round($"peak", 6).as("peak"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -43,5 +63,11 @@ object MultimodalQueries {
         | CAST(doc_id % 48 + 1 AS BIGINT) AS height,
         | CAST(3 AS BIGINT) AS channels,
         | CAST(13 + strlen(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    "q58_audio_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST((400 + (doc_id % 5) * 80) // 8 AS BIGINT) AS duration_ms,
+        | round((doc_id % 8) * 4096 / 32768.0, 6) AS rms,
+        | round((doc_id % 8) * 4096 / 32768.0, 6) AS peak
         |FROM documents""".stripMargin)
 }

@@ -198,6 +198,15 @@ class CurationSpec extends AnyFunSuite {
     assert(keptSrc0 != lowest30)
   }
 
+  test("capPerSource plans exactly one exchange (the source grouping)") {
+    val df = Curation.capPerSource(sourcedDocs, "doc_id", "source", 30)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected the single window shuffle:\n$plan")
+  }
+
   // ---- keep-one materialization ----
 
   test("keepOne drops exactly the non-canonical group members") {
