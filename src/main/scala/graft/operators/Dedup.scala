@@ -143,13 +143,30 @@ object Dedup {
     * [[lshCandidatePairs]]: (id_a, id_b), id_a < id_b, distinct —
     * restricted to pairs with a new member. The union of these pairs
     * with the previous corpus's pairs IS the full pair set
-    * (spec-pinned), which is what makes incremental clustering sound. */
+    * (spec-pinned), which is what makes incremental clustering sound.
+    *
+    * Skew guard, mirroring [[lshCandidatePairs]]: a (band, sig) bucket
+    * holding more than `maxBucketHits` corpus rows (boilerplate-
+    * identical documents) would emit that many pairs PER new doc that
+    * lands in it; with the cap, such buckets are excluded (one tiny
+    * bucket-count aggregation, broadcast back as a filter — documented
+    * recall loss, exact by default). */
   def lshCandidatePairsIncremental(sigs: DataFrame, idCol: String,
-                                   isNew: Column): DataFrame = {
+                                   isNew: Column,
+                                   maxBucketHits: Int = Int.MaxValue): DataFrame = {
+    val all = sigs.select(col("band"), col("sig"), col(idCol).as("__oid"))
+    val guarded =
+      if (maxBucketHits == Int.MaxValue) all
+      else {
+        val counts = all.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBucketHits)
+        all.join(broadcast(counts.select(col("band"), col("sig"))),
+          Seq("band", "sig"))
+      }
     val n = sigs.filter(isNew)
       .select(col("band"), col("sig"), col(idCol).as("__nid"))
-    val all = sigs.select(col("band"), col("sig"), col(idCol).as("__oid"))
-    n.join(all, Seq("band", "sig"))
+    n.join(guarded, Seq("band", "sig"))
       .filter(col("__nid") =!= col("__oid"))
       .select(least(col("__nid"), col("__oid")).as("id_a"),
         greatest(col("__nid"), col("__oid")).as("id_b"))

@@ -83,6 +83,12 @@ class TextOpsSpec extends AnyFunSuite {
     assert((oldOnly ++ incr) == full)
     // degenerate check: everything-new reproduces the full set
     assert(rows(Dedup.lshCandidatePairsIncremental(sigs, "doc_id", lit(true))) == full)
+    // skew guard: the dup families form 4-member buckets per band;
+    // capping at 3 excludes them — output shrinks, never grows
+    val capped = rows(Dedup.lshCandidatePairsIncremental(
+      sigs, "doc_id", isNew, maxBucketHits = 3))
+    assert(capped.subsetOf(incr))
+    assert(capped.size < incr.size)
   }
 
   test("ngram jaccard: identical docs = 1.0, near-dup high, ordered pairs") {
