@@ -28,13 +28,38 @@ object Bench {
     // second systemwide stalls (VM CPU steal) that made single-shot
     // numbers vary 3–40s run-to-run; the median discards one bad draw.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+
+    // Host-contention telemetry: this VM shows multi-second CPU-steal
+    // storms (NOTES r2–r5) that forced manual adjudication runs for
+    // every suspicious number. Sampling /proc/stat around each
+    // iteration bakes the adjudication into every run: a slow
+    // iteration with high steal/busy-fraction is a storm, one with a
+    // quiet host is a regression. Fields: aggregate cpu line ticks
+    // (USER_HZ=100) — (steal, busy=total-idle-iowait, total).
+    def cpuTicks(): (Long, Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        finally src.close()
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        val steal = if (f.length > 7) f(7) else 0L
+        (steal, f.sum - idle, f.sum)
+      } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+    // One measured iteration: (seconds, host steal seconds during it,
+    // host busy fraction during it). steal/busy are -1 when /proc/stat
+    // is unavailable or the query errored.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val (s0, b0, t0ticks) = cpuTicks()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      catch { case _: Throwable => return (-1.0, -1.0, -1.0) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val (s1, b1, t1ticks) = cpuTicks()
+      if (s0 < 0 || s1 < 0 || t1ticks <= t0ticks) (sec, -1.0, -1.0)
+      else (sec, (s1 - s0) / 100.0, (b1 - b0).toDouble / (t1ticks - t0ticks))
     }
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[Double] =
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[(Double, Double, Double)] =
       (1 to iters).map(_ => once(fn))
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
@@ -63,28 +88,39 @@ object Bench {
     // CC labels, IVF index) timed as their OWN line item: per-query
     // medians then measure steady-state cost, instead of q17's first
     // iteration silently carrying the build that q18/q19 reuse.
+    val (cs0, _, ct0) = cpuTicks()
     val tCache0 = System.nanoTime()
     try graft.operators.TextPipelineQueries.warmCaches(spark, sfDir)
     catch { case _: Throwable => () }
     val cacheBuild = (System.nanoTime() - tCache0) / 1e9
+    val (cs1, _, _) = cpuTicks()
+    val cacheSteal = if (cs0 < 0 || cs1 < 0) -1.0 else (cs1 - cs0) / 100.0
 
     val results = selected.map { case (name, fn) => name -> run(fn) }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v)}%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v.map(_._1))}%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, v) =>
-      "\"" + k + "\":[" + v.map(x => f"$x%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + v.map(x => f"${x._1}%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    val steals = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(x => f"${x._2}%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val busys = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(x => f"${x._3}%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
     graft.operators.TextPipelineQueries.clearCache(spark)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"queries":$qs,"queries_iters":$spreads,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"sf":"$sfDir"}"""
     // Also persist the line to a file: the driver captures a stdout
     // TAIL, and round 4's capture truncated the medians/cache fields.
     // The file survives regardless of how stdout is clipped.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LAST.json")),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: java.io.IOException => () }
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
+    try java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"WARN: bench result not persisted to $outPath: $e")
+    }
     println(line)
     spark.stop()
   }

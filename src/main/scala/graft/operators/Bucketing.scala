@@ -44,6 +44,22 @@ object Bucketing {
       .saveAsTable(table) // managed: lives in spark.sql.warehouse.dir
   }
 
+  /** The bucket id Spark's writer assigns a row: pmod(murmur3(key),
+    * buckets). Repartitioning on THIS expression (not on the key)
+    * guarantees each bucket's rows sit wholly inside one task, so a
+    * bucketed write emits exactly one file per non-empty bucket.
+    * Repartitioning on the key does NOT guarantee that: when the
+    * input is itself a bucketed scan the planner may drop the
+    * "redundant" exchange, and if the scan then degrades to plain
+    * file-split partitions a bucket spans tasks and the writer emits
+    * one file per (task, bucket) — the compaction spec caught exactly
+    * this. Hashing the bucket id makes the partitioning provably
+    * different from any scan layout, so the shuffle always runs. */
+  def bucketIdExpr(key: String, buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    pmod(hash(col(key)), lit(buckets))
+  }
+
   /** Join two same-key bucketed tables — plans with no Exchange. */
   def coLocatedJoin(spark: SparkSession, leftTable: String,
                     rightTable: String, key: String): DataFrame =

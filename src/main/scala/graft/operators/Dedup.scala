@@ -148,9 +148,12 @@ object Dedup {
     * Skew guard, mirroring [[lshCandidatePairs]]: a (band, sig) bucket
     * holding more than `maxBucketHits` corpus rows (boilerplate-
     * identical documents) would emit that many pairs PER new doc that
-    * lands in it; with the cap, such buckets are excluded (one tiny
-    * bucket-count aggregation, broadcast back as a filter — documented
-    * recall loss, exact by default). */
+    * lands in it; with the cap, such buckets are excluded. Only the
+    * HOT bucket set (count > cap) is broadcast — it is tiny by
+    * construction (each member exceeds the cap), whereas the non-hot
+    * complement is O(corpus × bands) and would OOM the driver if
+    * collected; the exclusion is a broadcast left-anti join. Documented
+    * recall loss, exact by default. */
   def lshCandidatePairsIncremental(sigs: DataFrame, idCol: String,
                                    isNew: Column,
                                    maxBucketHits: Int = Int.MaxValue): DataFrame = {
@@ -158,11 +161,11 @@ object Dedup {
     val guarded =
       if (maxBucketHits == Int.MaxValue) all
       else {
-        val counts = all.groupBy(col("band"), col("sig"))
+        val hot = all.groupBy(col("band"), col("sig"))
           .agg(count(lit(1)).as("__bn"))
-          .filter(col("__bn") <= maxBucketHits)
-        all.join(broadcast(counts.select(col("band"), col("sig"))),
-          Seq("band", "sig"))
+          .filter(col("__bn") > maxBucketHits)
+        all.join(broadcast(hot.select(col("band"), col("sig"))),
+          Seq("band", "sig"), "left_anti")
       }
     val n = sigs.filter(isNew)
       .select(col("band"), col("sig"), col(idCol).as("__nid"))

@@ -47,7 +47,7 @@ object IvfIndex {
     * correlate with content (ingest order, source grouping): all k
     * seeds landed in one cluster, and at 100 TB every Lloyd iteration
     * spent recovering from it is a full corpus pass
-    * ([[IvfSeedingSpec]] pins the failure case and the recall win).
+    * ([[graft.ScaleOpsSpec]] ("IVF seeding" case) pins the failure case and the recall win).
     * Corpora smaller than ~k (some strata empty) top up from the
     * lowest-hash rows overall, so `build` always gets k seeds when the
     * corpus has k distinct rows. */
@@ -72,7 +72,7 @@ object IvfIndex {
   }
 
   /** The legacy first-k-by-id init, kept package-private as the
-    * degenerate baseline [[IvfSeedingSpec]] measures against. */
+    * degenerate baseline [[graft.ScaleOpsSpec]] ("IVF seeding" case) measures against. */
   private[graft] def seedFirstK(corpus: DataFrame, idCol: String,
                                     vecCol: String, k: Int): Array[Array[Double]] =
     corpus.orderBy(col(idCol)).limit(k)

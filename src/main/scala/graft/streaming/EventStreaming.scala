@@ -119,11 +119,16 @@ object EventStreaming {
     * Semantics: checkpointed offsets make this at-least-once across
     * failure-replays of an uncommitted batch (foreachBatch is not a
     * transactional sink); run [[compactBuckets]] periodically anyway —
-    * it rewrites to one file per bucket, which both restores the
-    * per-bucket sort/file count after many small appends and collapses
-    * any replayed duplicates if the stream carries a dedup key
-    * upstream ([[dedupStream]]). The exactly-once alternative is
-    * [[writeLanding]] + a scheduled [[compactLanding]]. */
+    * it rewrites to one file per bucket, which restores the per-bucket
+    * sort/file count after many small appends and — when passed the
+    * stream's natural key as `dedupKeys` — collapses replayed
+    * duplicates (both halves pinned by a spec that deletes the commit
+    * record and restarts from the checkpoint). The exactly-once
+    * alternative is [[writeLanding]] + a scheduled [[compactLanding]].
+    *
+    * Reader staleness: appends happen on the stream's cloned session,
+    * so a session that already resolved the table must
+    * `spark.catalog.refreshTable(table)` to see newer micro-batches. */
   def bucketedSink(events: DataFrame, table: String, key: String, buckets: Int,
                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
@@ -145,25 +150,60 @@ object EventStreaming {
     * and rewrite it as the bucketed join layout. */
   def compactLanding(spark: SparkSession, landingDir: String,
                      table: String, key: String, buckets: Int): Unit = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.schema(eventSchema).parquet(landingDir)
-    graft.operators.Bucketing.writeBucketed(
-      df.repartition(buckets, col(key)), table, key, buckets)
+    // nanosAsLong is needed only for this read; restore the caller's
+    // value so unrelated parquet reads on the shared session keep
+    // their semantics.
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "true")
+    try {
+      val df = spark.read.schema(eventSchema).parquet(landingDir)
+      graft.operators.Bucketing.writeBucketed(
+        df.repartition(buckets, col(key)), table, key, buckets)
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None    => spark.conf.unset(confKey)
+    }
   }
 
   /** Rewrite a bucketed table to exactly one file per bucket —
     * the periodic compaction that keeps [[bucketedSink]]'s
     * one-file-per-batch-per-bucket accumulation from degrading scans.
-    * `repartition(buckets, key)` uses the same Murmur3 hash as the
-    * bucket spec, so each shuffle partition holds exactly one bucket.
-    * Staged via a temp table + catalog rename so the data is never
-    * read and dropped at once. */
+    * Repartitioning on [[graft.operators.Bucketing.bucketIdExpr]]
+    * (the writer's own pmod(murmur3(key), n)) pins each bucket's rows
+    * inside one task even when the input scan claims a matching hash
+    * partitioning, so the rewrite really is one file per bucket.
+    *
+    * Swap protocol — the data is reachable under SOME table name at
+    * every instant: write to `table__compact`, rename live →
+    * `table__old`, rename `table__compact` → live, drop `table__old`.
+    * The only reader-visible window is between the two metadata
+    * renames (no data movement happens there). A crash anywhere is
+    * recovered by re-running: the preamble finishes a half-done swap
+    * (compact exists + live missing → promote compact) and clears
+    * stale staging tables, so a retry converges. */
   def compactBuckets(spark: SparkSession, table: String, key: String,
-                     buckets: Int): Unit = {
+                     buckets: Int, dedupKeys: Seq[String] = Nil): Unit = {
     val tmp = s"${table}__compact"
+    val bak = s"${table}__old"
+    // Crash recovery: a prior run that died between the two renames
+    // left the fresh data under __compact and nothing under the live
+    // name — finish its swap instead of redoing the work.
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    if (spark.catalog.tableExists(bak))
+      graft.operators.Bucketing.dropManagedTable(spark, bak)
+    // With a dedup key the rewrite also collapses [[bucketedSink]]'s
+    // at-least-once replay duplicates (one extra exchange on the
+    // dedup key — only paid when requested).
+    val live = spark.table(table)
+    val input = if (dedupKeys.isEmpty) live else live.dropDuplicates(dedupKeys)
     graft.operators.Bucketing.writeBucketed(
-      spark.table(table).repartition(buckets, col(key)), tmp, key, buckets)
-    graft.operators.Bucketing.dropManagedTable(spark, table)
+      input.repartition(
+        buckets, graft.operators.Bucketing.bucketIdExpr(key, buckets)),
+      tmp, key, buckets)
+    spark.sql(s"ALTER TABLE $table RENAME TO $bak")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    graft.operators.Bucketing.dropManagedTable(spark, bak)
   }
 }

@@ -278,12 +278,97 @@ class TemporalOpsSpec extends AnyFunSuite {
     mem.addData((3L, 3L, 3L, "click", 3.0, "{}"))
     q.processAllAvailable()
     q.stop()
+    val confKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val confBefore = spark.conf.getOption(confKey)
     EventStreaming.compactLanding(spark, s"$base/out", "ev_landing_b", "user_id", 4)
+    // session conf is restored — the nanos override must not leak into
+    // unrelated parquet reads on the shared session
+    assert(spark.conf.getOption(confKey) == confBefore)
     val back = spark.table("ev_landing_b")
     assert(back.count() == 3)
     assert(back.inputFiles.length <= 4) // one file per non-empty bucket
     assert(back.select("event_type").distinct().count() == 2) // partition col restored
     Bucketing.dropManagedTable(spark, "ev_landing_b")
+  }
+
+  test("bucketedSink replay duplicates; compaction with a dedup key collapses them") {
+    import graft.operators.Bucketing
+    for (t <- Seq("ev_replay", "ev_replay__compact", "ev_replay__old"))
+      Bucketing.dropManagedTable(spark, t)
+    val base = java.nio.file.Files.createTempDirectory("replay").toString
+    Seq((1L, 1L, 1L, "click", 1.0, "{}"), (2L, 2L, 2L, "view", 2.0, "{}"),
+      (3L, 3L, 1L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$base/src")
+    def start() = EventStreaming.bucketedSink(
+      spark.readStream.schema(EventStreaming.eventSchema).parquet(s"$base/src"),
+      "ev_replay", "user_id", 4, s"$base/ckpt")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(spark.table("ev_replay").count() == 3)
+    // simulate a crash after the micro-batch wrote but before its
+    // offset committed: delete the commit record and restart from the
+    // checkpoint — the restarted query replays batch 0 into the
+    // non-transactional foreachBatch sink
+    // prune the checkpoint to "batch 0 offsets written, nothing
+    // committed": drop every commit record and any trailing batch's
+    // offsets, so restart re-executes the data batch. The local
+    // checksum FS keeps shadow .crc files; left behind they make the
+    // restarted query's atomic log rename fail as if another query
+    // owned the checkpoint, so they go too.
+    def prune(dir: String, keep: String => Boolean): Unit =
+      new java.io.File(s"$base/ckpt/$dir").listFiles().toSeq
+        .filterNot(f => keep(f.getName.stripPrefix(".").stripSuffix(".crc")))
+        .foreach(f => assert(f.delete(), f.toString))
+    prune("commits", _ => false)
+    prune("offsets", _ == "0")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    // the sink appends through the stream's cloned session; a batch
+    // reader that already resolved the table must refresh to see the
+    // new files (standard Spark staleness, documented on bucketedSink)
+    spark.catalog.refreshTable("ev_replay")
+    // (a) at-least-once, exactly as documented: the batch appended twice
+    assert(spark.table("ev_replay").count() == 6)
+    // (b) compaction keyed on the stream's natural key collapses them
+    EventStreaming.compactBuckets(spark, "ev_replay", "user_id", 4,
+      dedupKeys = Seq("event_id"))
+    assert(spark.table("ev_replay").count() == 3)
+    assert(spark.table("ev_replay").select("event_id").distinct().count() == 3)
+    Bucketing.dropManagedTable(spark, "ev_replay")
+  }
+
+  test("compactBuckets swap keeps data reachable and a retry converges after a crash") {
+    import graft.operators.Bucketing
+    for (t <- Seq("cb_crash", "cb_crash__compact", "cb_crash__old"))
+      Bucketing.dropManagedTable(spark, t)
+    def mk(n: Int) = (1L to n.toLong).map(i => (i, s"v$i")).toDF("user_id", "v")
+    Bucketing.writeBucketed(mk(6), "cb_crash", "user_id", 4)
+
+    // crash state A: died after writing __compact, before any rename —
+    // live table still resolves; a retry just redoes the compact
+    Bucketing.writeBucketed(
+      spark.table("cb_crash").repartition(4, col("user_id")),
+      "cb_crash__compact", "user_id", 4)
+    assert(spark.table("cb_crash").count() == 6)
+    EventStreaming.compactBuckets(spark, "cb_crash", "user_id", 4)
+    assert(spark.table("cb_crash").count() == 6)
+    assert(!spark.catalog.tableExists("cb_crash__compact"))
+    assert(!spark.catalog.tableExists("cb_crash__old"))
+
+    // crash state B: died between the two renames — live name gone,
+    // fresh data stranded under __compact, old under __old. The data
+    // is still reachable (under __compact), and a retry's recovery
+    // preamble promotes it back under the live name.
+    Bucketing.writeBucketed(
+      spark.table("cb_crash").repartition(4, col("user_id")),
+      "cb_crash__compact", "user_id", 4)
+    spark.sql("ALTER TABLE cb_crash RENAME TO cb_crash__old")
+    assert(spark.table("cb_crash__compact").count() == 6) // reachable
+    EventStreaming.compactBuckets(spark, "cb_crash", "user_id", 4)
+    assert(spark.table("cb_crash").count() == 6)
+    assert(spark.table("cb_crash").inputFiles.length <= 4)
+    assert(!spark.catalog.tableExists("cb_crash__compact"))
+    assert(!spark.catalog.tableExists("cb_crash__old"))
+    Bucketing.dropManagedTable(spark, "cb_crash")
   }
 
   test("stateful sessionization closes sessions across micro-batches") {

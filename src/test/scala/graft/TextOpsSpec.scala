@@ -89,6 +89,15 @@ class TextOpsSpec extends AnyFunSuite {
       sigs, "doc_id", isNew, maxBucketHits = 3))
     assert(capped.subsetOf(incr))
     assert(capped.size < incr.size)
+    // scale shape of the guard: the broadcast side must be the HOT
+    // set (count > cap, tiny by construction), removed via an anti
+    // join — broadcasting the non-hot complement is O(corpus × bands)
+    // and OOMs the driver at the scale the cap exists for
+    val plan = Dedup.lshCandidatePairsIncremental(
+      sigs, "doc_id", isNew, maxBucketHits = 3)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"))
+    assert("""__bn#\d+L? > 3""".r.findFirstIn(plan).isDefined)
   }
 
   test("ngram jaccard: identical docs = 1.0, near-dup high, ordered pairs") {
