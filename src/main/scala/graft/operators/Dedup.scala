@@ -277,6 +277,72 @@ object Dedup {
     }
   }
 
+  /** Incremental connected components — the missing half of the
+    * batch-ingest dedup story that [[lshCandidatePairsIncremental]]
+    * opens: given the EXISTING label table (id, keep_id) and the new
+    * batch's candidate pairs, produce the label table of the union
+    * graph WITHOUT re-running CC over all historical pairs.
+    *
+    * Contraction argument: each existing component is connectivity-
+    * equivalent to its root (keep_id = component minimum), so the
+    * union graph's components are exactly the components of the DELTA
+    * graph whose nodes are {roots touched by a new edge} ∪ {new ids},
+    * with new edges mapped endpoint → root. That graph has at most
+    * 2·|newPairs| nodes — batch-sized, NOT corpus-sized — and the full
+    * CC machinery (propagation + star fallback) runs only on it. The
+    * component minimum over old roots and raw new ids IS the union
+    * component's global minimum, so keep-id semantics are preserved.
+    *
+    * Scale shape: `labels` (corpus-sized) is never shuffled — it is
+    * semi-joined against the broadcast batch ids to extract the
+    * touched rows, and re-labeled with one broadcast hash join against
+    * the delta root map; untouched components keep their rows
+    * byte-identical (spec-pinned). Per-batch cost is O(batch), versus
+    * O(corpus) for the from-scratch recompute.
+    *
+    * Output: (id, keep_id) for every id in `labels` plus every id in
+    * `newPairs` — identical (spec + q59 oracle) to running
+    * [[connectedComponents]] over the union of all pairs. */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("keep_id"))
+    val np = newPairs.select(col("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val batchIds = np.select(col("id_a").as("id"))
+      .union(np.select(col("id_b").as("id"))).distinct()
+    // the touched slice of the label table: batch-sized, safe to
+    // broadcast; the big table only streams through one semi-join
+    // scan. Eager localCheckpoint (not persist): consumers reuse the
+    // materialized slice with no CacheManager entry to invalidate.
+    val touched = lab.join(broadcast(batchIds), Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    // contract each endpoint to its current root (itself when unseen)
+    val contracted = np
+      .join(broadcast(touched.select(col("id").as("id_a"), col("keep_id").as("__ra"))),
+        Seq("id_a"), "left")
+      .join(broadcast(touched.select(col("id").as("id_b"), col("keep_id").as("__rb"))),
+        Seq("id_b"), "left")
+      .select(coalesce(col("__ra"), col("id_a")).as("id_a"),
+        coalesce(col("__rb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")) // intra-component edges are no-ops
+    // CC over the batch-sized delta graph only
+    val delta = connectedComponents(contracted)
+    val rootMap = delta
+      .select(col("id").as("__old_root"), col("keep_id").as("__new_root"))
+    // re-label: only components whose root appears in the delta move;
+    // everything else keeps its exact old row
+    val updatedOld = lab
+      .join(broadcast(rootMap), lab("keep_id") === col("__old_root"), "left")
+      .select(lab("id"),
+        coalesce(col("__new_root"), lab("keep_id")).as("keep_id"))
+    // brand-new ids (no old label): their supernode is their own id
+    val newIds = batchIds.join(broadcast(touched.select(col("id"))),
+      Seq("id"), "left_anti")
+    val newLabels = newIds
+      .join(broadcast(rootMap), newIds("id") === col("__old_root"), "left")
+      .select(newIds("id"), coalesce(col("__new_root"), col("id")).as("keep_id"))
+    updatedOld.union(newLabels)
+  }
+
   /** Alternating large-star/small-star connected components (Kiveris
     * et al., "Connected Components in MapReduce and Beyond"): each
     * round rewires every node's larger (large-star) or not-larger

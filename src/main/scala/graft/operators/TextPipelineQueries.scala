@@ -71,6 +71,17 @@ object TextPipelineQueries {
       Dedup.connectedComponents(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id")))
 
+  /** The "prior corpus" label table for the incremental-clustering
+    * query (q59): CC over pairs among old docs only — the artifact a
+    * batch-ingest deployment keeps persisted between batches. Cached
+    * so the bench measures the per-batch incremental update, not a
+    * rebuild of history. */
+  private[operators] def oldBatchLabels(s: SparkSession, d: String): DataFrame =
+    ccCache.getOrElseUpdate((sessionKey(s), s"$d#oldbatch"),
+      Dedup.connectedComponents(
+        Dedup.lshCandidatePairs(
+          signatures(s, d).filter(col("doc_id") % 5 =!= 0), "doc_id")))
+
   /** The IVF index (centroids + assigned lists) is a build-once
     * artifact — cached per (session, dir) like a real deployment
     * persists its index beside the data. */
@@ -104,6 +115,7 @@ object TextPipelineQueries {
     signatures(s, d).count()
     dupGroups(s, d).count()
     embDupGroups(s, d).count()
+    oldBatchLabels(s, d).count()
     ivfIndex(s, d)._2.count()
   }
 
@@ -201,6 +213,17 @@ object TextPipelineQueries {
     "q57_dedup_incremental" -> ((s, d) =>
       Dedup.lshCandidatePairsIncremental(signatures(s, d), "doc_id",
         col("doc_id") % 5 === 0)),
+    // Incremental clustering — q57's other half: fold the new batch's
+    // candidate pairs into the PERSISTED label table via contraction
+    // (delta CC over at most 2·|new pairs| supernodes; history never
+    // recomputes). The oracle is the from-scratch recursive CTE over
+    // the FULL pair set — the invariant IS the query.
+    "q59_dedup_incremental_groups" -> ((s, d) =>
+      Dedup.incrementalComponents(
+        oldBatchLabels(s, d),
+        Dedup.lshCandidatePairsIncremental(signatures(s, d), "doc_id",
+          col("doc_id") % 5 === 0))
+        .select(col("id").as("doc_id"), col("keep_id"))),
     // Bigram conditional surprisal −ln p(w2 | w1) averaged per doc —
     // the next perplexity proxy up from q36's unigrams: flags docs
     // whose word PAIRS are improbable even when each word is common
@@ -410,6 +433,21 @@ object TextPipelineQueries {
     // CTE), keep id = least reachable node — mirrors the distributed
     // min-label propagation exactly.
     "q41_dedup_groups" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |FROM reach GROUP BY a""".stripMargin,
+    // identical to q41's from-scratch transitive closure: the
+    // incremental update's contract is bit-for-bit agreement with a
+    // full recompute over the union pair set
+    "q59_dedup_incremental_groups" ->
       s"""WITH RECURSIVE $shCte,
          |$mhCte,
          |$pairsCte,

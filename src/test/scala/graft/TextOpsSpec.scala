@@ -100,6 +100,46 @@ class TextOpsSpec extends AnyFunSuite {
     assert("""__bn#\d+L? > 3""".r.findFirstIn(plan).isDefined)
   }
 
+  test("incremental components == from-scratch CC over the union; untouched rows stay") {
+    // labels of the prior corpus: {1,2}->1, {10,11}->10, singleton 30
+    val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (30L, 30L))
+      .toDF("id", "keep_id")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch 1: brand-new pair only — old components byte-untouched
+    val b1 = m(Dedup.incrementalComponents(
+      labels, Seq((20L, 21L)).toDF("id_a", "id_b")))
+    assert(b1 == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 30L -> 30L,
+      20L -> 20L, 21L -> 20L))
+    // batch 2: a new doc bridges the two old components through a
+    // NON-root member (11) — both components re-root to the global min
+    val b2 = m(Dedup.incrementalComponents(
+      labels, Seq((2L, 40L), (11L, 40L)).toDF("id_a", "id_b")))
+    assert(b2 == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 40L -> 1L,
+      30L -> 30L))
+    // all-old no-op edges: labels unchanged, nothing added
+    val b3 = m(Dedup.incrementalComponents(
+      labels, Seq((1L, 2L)).toDF("id_a", "id_b")))
+    assert(b3 == m(labels))
+    // invariant on a real corpus: incremental over the batch split ==
+    // from-scratch CC over the full LSH pair set
+    val corpus = (0L until 12L).map { i =>
+      val base = if (i % 3 == 0) "the quick brown fox jumps over the lazy dog"
+      else if (i % 3 == 1) "some wholly unrelated document body number " + i
+      else "the quick brown fox jumps over the lazy cat"
+      (i, base)
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text")
+    val isNew = col("doc_id") >= 8
+    val oldLabels = Dedup.connectedComponents(
+      Dedup.lshCandidatePairs(sigs.filter(!isNew), "doc_id"))
+    val newPairs = Dedup.lshCandidatePairsIncremental(sigs, "doc_id", isNew)
+    val incr = m(Dedup.incrementalComponents(oldLabels, newPairs))
+    val scratch = m(Dedup.connectedComponents(
+      Dedup.lshCandidatePairs(sigs, "doc_id")))
+    assert(incr == scratch)
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dup high, ordered pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text")
