@@ -67,36 +67,37 @@ object Multimodal {
       else if (Jpeg.isJpeg(bytes)) Jpeg.meta(bytes)
       else None
 
-    /** Raw sample bytes: the GRFT payload as-is; for BMP/PPM/PGM the
-      * DECODED pixels — interleaved row-major samples, top-down, no
-      * row padding, BGR reordered to RGB. JPEG refuses (empty): the
-      * entropy-coded scan needs a full DCT/Huffman decoder — metadata
-      * decode/filtering is real, pixel decode is documented out of
-      * scope offline (like PNG palette images). */
+    /** Raw sample bytes: the GRFT payload as-is; for BMP/PPM/PGM/PNG/
+      * JPEG the DECODED pixels — interleaved row-major samples,
+      * top-down, no row padding, RGB order (JPEG baseline sequential
+      * via the native [[JpegDecode]] Huffman+IDCT pipeline; progressive
+      * refuses empty, like PNG palette images). */
     def payload(bytes: Array[Byte]): Array[Byte] =
       if (Bmp.isBmp(bytes)) Bmp.pixels(bytes).getOrElse(Array.empty)
       else if (Pnm.isPnm(bytes)) Pnm.pixels(bytes).getOrElse(Array.empty)
       else if (Png.isPng(bytes)) Png.pixels(bytes).getOrElse(Array.empty)
-      else if (Jpeg.isJpeg(bytes)) Array.empty
+      else if (Jpeg.isJpeg(bytes)) Jpeg.pixels(bytes).getOrElse(Array.empty)
       else bytes.drop(13)
 
     /** Downscale by an integer factor. GRFT keeps its stub stride-
       * sampling (deterministic, oracle-anchored); BMP and PPM/PGM get
       * REAL nearest-neighbor resampling re-encoded in their own
-      * format. */
+      * format. JPEG decodes natively and re-encodes as PNG: there is
+      * no JPEG writer here, and a training pipeline prefers a lossless
+      * re-encode over stacking a second generation of DCT loss. */
     def resize(bytes: Array[Byte], factor: Int): Option[Array[Byte]] =
-      if (Bmp.isBmp(bytes) || Pnm.isPnm(bytes) || Png.isPng(bytes))
+      if (Bmp.isBmp(bytes) || Pnm.isPnm(bytes) || Png.isPng(bytes) ||
+          Jpeg.isJpeg(bytes))
         decodeMeta(bytes).flatMap { m =>
           val px = payload(bytes)
           if (px.isEmpty) None
           else {
             val (w2, h2, out) = nearestNeighbor(px, m.width, m.height, m.channels, factor)
             if (Bmp.isBmp(bytes)) Bmp.encode24(w2, h2, m.channels, out)
-            else if (Png.isPng(bytes)) Some(Png.encode(w2, h2, m.channels, out))
-            else Some(Pnm.encode(w2, h2, m.channels, out))
+            else if (Pnm.isPnm(bytes)) Some(Pnm.encode(w2, h2, m.channels, out))
+            else Some(Png.encode(w2, h2, m.channels, out))
           }
         }
-      else if (Jpeg.isJpeg(bytes)) None // no pixel decode -> no resize
       else decodeMeta(bytes).map { m => // GRFT stub stride-sample
         val p = payload(bytes)
         encode(math.max(m.width / factor, 1), math.max(m.height / factor, 1),
@@ -377,6 +378,12 @@ object Multimodal {
     def isJpeg(b: Array[Byte]): Boolean =
       b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
         (b(2) & 0xff) == 0xff
+
+    /** Decoded samples via the native baseline pipeline ([[JpegDecode]]):
+      * interleaved row-major, gray or RGB. None for progressive/
+      * arithmetic/hostile streams. */
+    def pixels(b: Array[Byte]): Option[Array[Byte]] =
+      JpegDecode.decode(b).map(_._4)
 
     private def isSof(m: Int): Boolean =
       m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc

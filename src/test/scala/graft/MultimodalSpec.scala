@@ -180,7 +180,7 @@ class MultimodalSpec extends AnyFunSuite {
       .map(_.toByte)
   }
 
-  test("JPEG metadata decodes via the SOF marker walk; pixels refuse") {
+  test("JPEG metadata decodes via the SOF marker walk; skeleton refuses pixels") {
     val m = Codec.decodeMeta(jpegFixture()).get
     assert(m == Multimodal.MediaMeta(5, 7, 3, jpegFixture().length.toLong, "jpeg"))
     // progressive (SOF2) and arithmetic (SOF9) frames parse identically
@@ -197,9 +197,129 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Codec.decodeMeta(noSof).isEmpty)
     val stray = fix.clone(); stray(2) = 0x00
     assert(Codec.decodeMeta(stray).isEmpty)
-    // no pixel decoder offline: payload/resize refuse, documented
+    // the metadata-only skeleton has no DQT/DHT/SOS: the pixel
+    // decoder refuses it even though the meta walk succeeds
     assert(Codec.payload(fix).isEmpty)
     assert(Codec.resize(fix, 2).isEmpty)
+  }
+
+  /** JPEG encode via the JDK's ImageIO — an independent reference
+    * implementation living in java.desktop, used here as both fixture
+    * generator and decode oracle for the native decoder. */
+  private def imageioJpeg(img: java.awt.image.BufferedImage, quality: Float,
+                          progressive: Boolean = false): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  test("native JPEG decode matches the JDK decoder: grayscale, edge MCUs") {
+    val (gw, gh) = (23, 17) // not multiples of 8: right/bottom partial MCUs
+    val img = new java.awt.image.BufferedImage(
+      gw, gh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until gh; x <- 0 until gw)
+      img.getRaster.setSample(x, y, 0, (x * 11 + y * 5) % 256)
+    val bytes = imageioJpeg(img, 0.9f)
+    val m = Codec.decodeMeta(bytes).get
+    assert((m.width, m.height, m.channels) == ((gw, gh, 1)))
+    val px = Multimodal.Jpeg.pixels(bytes).get
+    assert(px.length == gw * gh)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val maxDiff = (for (y <- 0 until gh; x <- 0 until gw) yield
+      math.abs((px(y * gw + x) & 0xff) - ref.getRaster.getSample(x, y, 0))).max
+    // same entropy data through two IDCT implementations: ±2
+    assert(maxDiff <= 2, s"max per-pixel diff $maxDiff")
+  }
+
+  test("native JPEG decode matches the JDK decoder: 4:2:0 color") {
+    val (cw, ch) = (37, 29)
+    val img = new java.awt.image.BufferedImage(
+      cw, ch, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until ch; x <- 0 until cw) // smooth, mild chroma slope
+      img.setRGB(x, y, ((100 + x * 2) << 16) | ((100 + y * 2) << 8) | 120)
+    val bytes = imageioJpeg(img, 0.85f)
+    val m = Codec.decodeMeta(bytes).get
+    assert((m.width, m.height, m.channels) == ((cw, ch, 3)))
+    val px = Multimodal.Jpeg.pixels(bytes).get
+    assert(px.length == cw * ch * 3)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val diffs = for (y <- 0 until ch; x <- 0 until cw; c <- 0 until 3) yield {
+      val rgb = ref.getRGB(x, y)
+      val refC = (rgb >> (16 - 8 * c)) & 0xff
+      math.abs((px((y * cw + x) * 3 + c) & 0xff) - refC)
+    }
+    // replicate vs the JDK's triangular chroma upsampling: small but
+    // nonzero disagreement on a smooth gradient
+    assert(diffs.max <= 8, s"max diff ${diffs.max}")
+    assert(diffs.sum.toDouble / diffs.size <= 2.0, s"mean diff ${diffs.sum.toDouble / diffs.size}")
+    // resize decodes natively and re-encodes lossless as PNG
+    val resized = Codec.resize(bytes, 2).get
+    val rm = Codec.decodeMeta(resized).get
+    assert((rm.format, rm.width, rm.height, rm.channels) == (("png", 18, 14, 3)))
+  }
+
+  test("native JPEG refuses progressive and truncated streams") {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, x * 16 + y)
+    val prog = imageioJpeg(img, 0.9f, progressive = true)
+    assert(Codec.decodeMeta(prog).isDefined) // meta still reads SOF2
+    assert(Multimodal.Jpeg.pixels(prog).isEmpty) // pixels refuse
+    val base = imageioJpeg(img, 0.9f)
+    assert(Multimodal.Jpeg.pixels(base).isDefined)
+    assert(Multimodal.Jpeg.pixels(base.take(base.length / 2)).isEmpty)
+  }
+
+  /** Hand-authored minimal 4:4:4 JPEG: own Huffman tables in the DHT
+    * (2-bit DC codes for categories 0 and 6, 1-bit AC EOB), flat
+    * quant 16, DC-only blocks — every decoded sample is exactly
+    * 40·16/8 + 128 = 208 gray. Optionally two MCUs split by a RST0
+    * restart marker with interval 1. */
+  private def miniJpeg444(twoMcusWithRestart: Boolean): Array[Byte] = {
+    val w = if (twoMcusWithRestart) 16 else 8
+    val dqt = Array[Int](0xff, 0xdb, 0x00, 0x43, 0x00) ++ Array.fill(64)(16)
+    val dhtDc = Array[Int](0xff, 0xc4, 0x00, 0x15, 0x00,
+      0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Array[Int](0, 6)
+    val dhtAc = Array[Int](0xff, 0xc4, 0x00, 0x14, 0x10,
+      1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ Array[Int](0x00)
+    val sof = Array[Int](0xff, 0xc0, 0x00, 0x11, 8, 0, 8, 0, w, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0)
+    val dri = if (twoMcusWithRestart)
+      Array[Int](0xff, 0xdd, 0x00, 0x04, 0x00, 0x01) else Array[Int]()
+    val sos = Array[Int](0xff, 0xda, 0x00, 0x0c, 3,
+      1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)
+    // per MCU: Y "01"+101000(40)+EOB"0", Cb "00"+"0", Cr "00"+"0"
+    // = 15 bits, padded with one 1 -> 0x68 0x01
+    val mcu = Array[Int](0x68, 0x01)
+    val scan = if (twoMcusWithRestart) mcu ++ Array[Int](0xff, 0xd0) ++ mcu else mcu
+    (Array[Int](0xff, 0xd8) ++ dqt ++ dhtDc ++ dhtAc ++ sof ++ dri ++ sos ++
+      scan ++ Array[Int](0xff, 0xd9)).map(_.toByte)
+  }
+
+  test("native JPEG decodes hand-authored 4:4:4 exactly, incl. restart markers") {
+    for (restart <- Seq(false, true)) {
+      val bytes = miniJpeg444(restart)
+      val m = Codec.decodeMeta(bytes).get
+      assert((m.width, m.height, m.channels) == ((if (restart) 16 else 8, 8, 3)))
+      val px = Multimodal.Jpeg.pixels(bytes).get
+      assert(px.length == m.width * 8 * 3)
+      assert(px.forall(b => (b & 0xff) == 208),
+        s"restart=$restart: ${px.take(12).map(_ & 0xff).mkString(",")}")
+    }
+    // out-of-order restart marker refuses
+    val bad = miniJpeg444(true)
+    val idx = bad.indexOfSlice(Seq(0xff.toByte, 0xd0.toByte))
+    bad(idx + 1) = 0xd3.toByte
+    assert(Multimodal.Jpeg.pixels(bad).isEmpty)
   }
 
   test("mixed-format landing dir decodes distributed via the same pipeline") {
