@@ -53,6 +53,39 @@ object MultimodalQueries {
       Audio.extractFeatures(media)
         .select($"media_id", $"duration_ms",
           round($"rms", 6).as("rms"), round($"peak", 6).as("peak"))
+    }),
+    // The REAL image codecs through the gate — the q58 pattern applied
+    // to pixels: deterministic fills synthesized from doc_id, encoded
+    // on executors with the real PPM writer (even ids) or the real PNG
+    // writer (odd ids: deflate, filter bytes, CRCs), decoded back
+    // distributed through Codec dispatch, and the decoded pixels
+    // reduced to exact order-pinning scalars (Σv and Σi·v) that SQL
+    // recomputes from the fill's closed form. Any byte the round trip
+    // loses, reorders, or invents moves the sums.
+    "q60_image_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val w = (id % 24 + 1).toInt
+          val h = (id % 16 + 1).toInt
+          val px = Array.tabulate(w * h * 3)(i =>
+            ((id * 31 + i.toLong * 7) % 251).toByte)
+          val bytes =
+            if (id % 2 == 0) Multimodal.Pnm.encode(w, h, 3, px)
+            else Multimodal.Png.encode(w, h, 3, px)
+          Multimodal.MediaRecord(id, bytes)
+        }
+      media.mapPartitions(_.map { r =>
+        val m = Multimodal.Codec.decodeMeta(r.content).get
+        val px = Multimodal.Codec.payload(r.content)
+        var sum = 0L; var dot = 0L; var i = 0
+        while (i < px.length) {
+          val v = px(i) & 0xff; sum += v; dot += i.toLong * v; i += 1
+        }
+        (r.media_id, m.width.toLong, m.height.toLong, m.channels.toLong,
+          m.format, px.length.toLong, sum, dot)
+      }).toDF("media_id", "width", "height", "channels", "fmt",
+        "n_px", "px_sum", "px_dot")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -69,5 +102,21 @@ object MultimodalQueries {
         | CAST((400 + (doc_id % 5) * 80) // 8 AS BIGINT) AS duration_ms,
         | round((doc_id % 8) * 4096 / 32768.0, 6) AS rms,
         | round((doc_id % 8) * 4096 / 32768.0, 6) AS peak
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    "q60_image_roundtrip" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 24 + 1 AS BIGINT) AS width,
+        |         CAST(doc_id % 16 + 1 AS BIGINT) AS height
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, width, height,
+        |         unnest(range(0, width*height*3)) AS i
+        |  FROM dims)
+        |SELECT doc_id AS media_id, width, height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'png' END AS fmt,
+        |  CAST(width*height*3 AS BIGINT) AS n_px,
+        |  CAST(sum((doc_id * 31 + i * 7) % 251) AS BIGINT) AS px_sum,
+        |  CAST(sum(i * ((doc_id * 31 + i * 7) % 251)) AS BIGINT) AS px_dot
+        |FROM px GROUP BY doc_id, width, height""".stripMargin)
 }
