@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.shingles
+
+/** Bigram conditional surprisal with a frequency floor — the
+  * perplexity proxy one step up from unigram surprisal, made safe for
+  * web scale.
+  *
+  * Why the floor exists: unigram vocabulary saturates, but bigram
+  * TYPES keep growing near-linearly with corpus size (Heaps' law) —
+  * most of them singletons. Without a floor the per-bigram surprisal
+  * table is not "vocabulary-sized ≪ corpus": it is corpus-sized, not
+  * broadcastable, and the join back to the token stream becomes a full
+  * string-key shuffle. With `minCount`, only bigrams seen at least
+  * that often keep their conditional estimate −ln(c2/c1); the long
+  * singleton tail BACKS OFF to the unigram surprisal of the second
+  * word, −ln(c(w2)/N) — whose table is vocabulary-sized by
+  * construction. The floored table shrinks toward the (saturating)
+  * frequent-bigram set, restoring broadcastability.
+  *
+  * No extra corpus pass anywhere: the context counts c1(w1) = Σ c2,
+  * the backoff counts c(w2) = Σ c2 over second positions, and the
+  * normalizer N = Σ c2 all derive from the ONE bigram count table
+  * (same derivation trick as the unigram q36 rework).
+  *
+  * `minCount = 1` reproduces the pure conditional form exactly.
+  * Output: (doc_id, avg_bigram_surprisal round 4).
+  */
+object Surprisal {
+
+  /** Intermediates, exposed for the scale spec: (bigram stream with
+    * w2, floored conditional-surprisal table, backoff table). */
+  private[graft] def bigramParts(doc: DataFrame, minCount: Long)
+  : (DataFrame, DataFrame, DataFrame) = {
+    val bg = doc
+      .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val surp = c2.filter(col("c2") >= minCount).join(c1, Seq("w1"))
+      .select(col("bg"), (-log(col("c2") / col("c1"))).as("surp"))
+    val n = c2.agg(sum(col("c2")).cast("double").as("n"))
+    val back = c2.groupBy(col("w2")).agg(sum(col("c2")).as("cw2"))
+      .crossJoin(n) // 1-row normalizer
+      .select(col("w2"), (-log(col("cw2") / col("n"))).as("bsurp"))
+    (bg, surp, back)
+  }
+
+  /** Per-document average bigram surprisal with backoff below the
+    * floor. Two joins back to the bigram stream, both against tables
+    * that are frequent-bigram- resp. vocabulary-sized (AQE broadcasts
+    * them when small). */
+  def bigramSurprisal(doc: DataFrame, minCount: Long = 1L): DataFrame = {
+    val (bg, surp, back) = bigramParts(doc, minCount)
+    bg.join(surp, Seq("bg"), "left")
+      .join(back, Seq("w2"))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(coalesce(col("surp"), col("bsurp"))), 4)
+        .as("avg_bigram_surprisal"))
+  }
+}

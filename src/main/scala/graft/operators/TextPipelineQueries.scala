@@ -227,25 +227,12 @@ object TextPipelineQueries {
     // Bigram conditional surprisal −ln p(w2 | w1) averaged per doc —
     // the next perplexity proxy up from q36's unigrams: flags docs
     // whose word PAIRS are improbable even when each word is common
-    // (shuffled/templated text). Same two-pass shape: bigram and
-    // unigram-context counts (vocabulary², still ≪ corpus), joined
-    // back to the bigram stream — AQE broadcasts when small.
-    "q56_bigram_surprisal" -> ((s, d) => {
-      val bg = docs(s, d)
-        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("bg"))
-      val c2 = bg.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
-      // context counts DERIVE from the bigram counts (c1(w1) = Σ c2) —
-      // a vocabulary-sized aggregation, not another corpus pass; the
-      // per-bigram surprisal table is then vocabulary-sized too, and
-      // the corpus joins it ONCE (AQE-broadcast when small)
-      val cond = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
-      val c1 = cond.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      val surp = cond.join(c1, Seq("w1"))
-        .select(col("bg"), (-log(col("c2") / col("c1"))).as("surp"))
-      bg.join(surp, Seq("bg"))
-        .groupBy(col("doc_id"))
-        .agg(round(avg(col("surp")), 4).as("avg_bigram_surprisal"))
-    }),
+    // (shuffled/templated text). Runs with an ACTIVE frequency floor
+    // (minCount = 2): rare bigrams back off to the unigram surprisal
+    // of their second word — see [[Surprisal]] for the Heaps'-law
+    // rationale that makes the floor a scale requirement, not a knob.
+    "q56_bigram_surprisal" -> ((s, d) =>
+      Surprisal.bigramSurprisal(docs(s, d), minCount = 2L)),
     // Corpus-level quality signal: average token surprisal −ln(p(w)),
     // p from the corpus's own unigram frequencies — the classic cheap
     // perplexity proxy for filtering gibberish/boilerplate. Two-pass
@@ -468,16 +455,24 @@ object TextPipelineQueries {
          |         FROM sig n JOIN sig o ON n.band = o.band AND n.sig = o.sig
          |         WHERE n.doc_id % 5 = 0 AND n.doc_id <> o.doc_id)
          |SELECT id_a, id_b FROM cand""".stripMargin,
+    // floor = 2: frequent bigrams conditional, the singleton tail
+    // backs off to −ln(c(w2)/N) — mirrors Surprisal.bigramSurprisal
     "q56_bigram_surprisal" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |bg AS (SELECT doc_id,
         |       unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
         |       FROM toks),
-        |b1 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bg),
+        |b1 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+        |       string_split(bg, ' ')[2] AS w2 FROM bg),
         |c2 AS (SELECT bg, count(*) AS c2 FROM b1 GROUP BY bg),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM b1 GROUP BY w1)
-        |SELECT doc_id, round(avg(-ln(c2 / c1)), 4) AS avg_bigram_surprisal
-        |FROM b1 JOIN c2 USING (bg) JOIN c1 USING (w1)
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b1 GROUP BY w1),
+        |cw2 AS (SELECT w2, count(*) AS cw2 FROM b1 GROUP BY w2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b1)
+        |SELECT doc_id,
+        |  round(avg(CASE WHEN c2 >= 2 THEN -ln(c2 / c1)
+        |                 ELSE -ln(cw2 / n) END), 4) AS avg_bigram_surprisal
+        |FROM b1 JOIN c2 USING (bg) JOIN c1 USING (w1) JOIN cw2 USING (w2)
+        |CROSS JOIN n
         |GROUP BY doc_id""".stripMargin,
     "q36_token_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -100,6 +100,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert("""__bn#\d+L? > 3""".r.findFirstIn(plan).isDefined)
   }
 
+  test("bigram surprisal floor: Heaps-tail table shrinks; singletons back off") {
+    import graft.operators.Surprisal
+    // heavy tail: one frequent bigram repeated across 50 docs, plus
+    // 100 singleton bigrams — the Heaps'-law regime the floor targets
+    val corpus = ((0L until 50L).map(i => (i, "a b")) ++
+      (50L until 150L).map(i => (i, s"u$i v$i"))).toDF("doc_id", "text")
+    val (_, surp1, _) = Surprisal.bigramParts(corpus, 1L)
+    val (_, surp2, _) = Surprisal.bigramParts(corpus, 2L)
+    assert(surp1.count() == 101) // every bigram type keeps a row
+    assert(surp2.count() == 1)   // the floor drops the singleton tail
+    def m(minCount: Long) = Surprisal.bigramSurprisal(corpus, minCount)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val floored = m(2L)
+    // frequent doc: conditional −ln(c2/c1) = −ln(50/50) = 0
+    assert(floored(0L) == 0.0)
+    // singleton doc: backoff −ln(c(w2)/N) = ln(150), rounded to 4
+    assert(math.abs(floored(60L) - 5.0106) < 1e-9)
+    // minCount = 1 reproduces the pure conditional form: −ln(1/1) = 0
+    assert(m(1L)(60L) == 0.0)
+  }
+
   test("incremental components == from-scratch CC over the union; untouched rows stay") {
     // labels of the prior corpus: {1,2}->1, {10,11}->10, singleton 30
     val labels = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (30L, 30L))
