@@ -247,4 +247,37 @@ object Curation {
       .select(col("id").as(idCol))
     corpus.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** The complete curation delta of one ingest batch — what changed
+    * in keep-one terms when [[Dedup.incrementalComponents]] folded the
+    * batch's pairs into the label table:
+    *
+    *  - `new_keep`: batch docs that entered a group as its keeper
+    *    (their id is the component minimum),
+    *  - `new_drop`: batch docs that joined a group someone else keeps,
+    *  - `displaced`: PRIOR keepers whose crown moved — a batch doc
+    *    with a smaller id joined their component, or the batch bridged
+    *    two old components; these docs were kept yesterday and must be
+    *    dropped today, the delta a naive "only look at new docs" diff
+    *    misses.
+    *
+    * `isNewId` marks batch membership (same predicate the candidate
+    * generation used). Scope is the label universe: a batch doc with
+    * no duplicate pair appears in neither table and is trivially kept.
+    * Both inputs are label tables keyed (id, keep_id); the comparisons
+    * are one join between them — no corpus contact at all, so the
+    * delta costs O(labels), not O(corpus). */
+  def incrementalCurationDelta(oldLabels: DataFrame, newLabels: DataFrame,
+                               isNewId: Column): DataFrame = {
+    val newDocs = newLabels.filter(isNewId)
+    val newKeep = newDocs.filter(col("keep_id") === col("id"))
+      .select(col("id").as("doc_id"), lit("new_keep").as("status"))
+    val newDrop = newDocs.filter(col("keep_id") =!= col("id"))
+      .select(col("id").as("doc_id"), lit("new_drop").as("status"))
+    val displaced = oldLabels.filter(col("keep_id") === col("id")).select(col("id"))
+      .join(newLabels.filter(col("keep_id") =!= col("id")).select(col("id")),
+        Seq("id"))
+      .select(col("id").as("doc_id"), lit("displaced").as("status"))
+    newKeep.union(newDrop).union(displaced)
+  }
 }

@@ -224,6 +224,18 @@ object TextPipelineQueries {
         Dedup.lshCandidatePairsIncremental(signatures(s, d), "doc_id",
           col("doc_id") % 5 === 0))
         .select(col("id").as("doc_id"), col("keep_id"))),
+    // The batch's keep-one DELTA: which batch docs enter as keepers,
+    // which join an existing group and drop, and which PRIOR keepers
+    // are displaced (smaller new id, or two old groups bridged) — the
+    // artifact a daily ingest actually acts on. O(labels), the corpus
+    // is never touched.
+    "q61_incremental_curation_delta" -> ((s, d) => {
+      val oldL = oldBatchLabels(s, d)
+      val newL = Dedup.incrementalComponents(oldL,
+        Dedup.lshCandidatePairsIncremental(signatures(s, d), "doc_id",
+          col("doc_id") % 5 === 0))
+      Curation.incrementalCurationDelta(oldL, newL, col("id") % 5 === 0)
+    }),
     // Bigram conditional surprisal −ln p(w2 | w1) averaged per doc —
     // the next perplexity proxy up from q36's unigrams: flags docs
     // whose word PAIRS are improbable even when each word is common
@@ -431,6 +443,37 @@ object TextPipelineQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS keep_id
          |FROM reach GROUP BY a""".stripMargin,
+    // old-only CC (LSH pairs restricted to old docs — band collisions
+    // are pairwise, so the restriction IS the old corpus's pair set)
+    // vs full CC: keeper transitions computed exactly
+    "q61_incremental_curation_delta" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |full_labels AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |                FROM reach GROUP BY a),
+         |old_edges AS (SELECT a, b FROM edges WHERE a % 5 <> 0 AND b % 5 <> 0),
+         |old_reach(a, b) AS (
+         |  SELECT a, b FROM old_edges
+         |  UNION
+         |  SELECT r.a, e.b FROM old_reach r JOIN old_edges e ON r.b = e.a),
+         |old_labels AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |               FROM old_reach GROUP BY a)
+         |SELECT doc_id, 'new_keep' AS status FROM full_labels
+         |  WHERE doc_id % 5 = 0 AND keep_id = doc_id
+         |UNION ALL
+         |SELECT doc_id, 'new_drop' AS status FROM full_labels
+         |  WHERE doc_id % 5 = 0 AND keep_id <> doc_id
+         |UNION ALL
+         |SELECT o.doc_id, 'displaced' AS status
+         |  FROM old_labels o JOIN full_labels f USING (doc_id)
+         |  WHERE o.keep_id = o.doc_id AND f.keep_id <> f.doc_id""".stripMargin,
     // identical to q41's from-scratch transitive closure: the
     // incremental update's contract is bit-for-bit agreement with a
     // full recompute over the union pair set

@@ -161,6 +161,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(incr == scratch)
   }
 
+  test("incremental curation delta: new keeper displaces, joiner drops") {
+    import graft.operators.Curation
+    val oldL = Seq((5L, 5L), (7L, 5L), (9L, 9L)).toDF("id", "keep_id")
+    // batch {0, 10}: 0 joins {5,7} with a smaller id (displaces keeper
+    // 5); 10 joins {9} and drops
+    val newL = Dedup.incrementalComponents(oldL,
+      Seq((0L, 7L), (9L, 10L)).toDF("id_a", "id_b"))
+    val delta = Curation.incrementalCurationDelta(oldL, newL,
+      col("id") % 5 === 0)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(delta == Map(0L -> "new_keep", 10L -> "new_drop", 5L -> "displaced"))
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dup high, ordered pairs") {
     val pairs = Seq((0L, 1L), (0L, 3L), (0L, 2L)).toDF("id_a", "id_b")
     val j = Dedup.ngramJaccard(docs, pairs, "doc_id", "text")
