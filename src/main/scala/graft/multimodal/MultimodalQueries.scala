@@ -86,6 +86,77 @@ object MultimodalQueries {
           m.format, px.length.toLong, sum, dot)
       }).toDF("media_id", "width", "height", "channels", "fmt",
         "n_px", "px_sum", "px_dot")
+    }),
+    // Perceptual image dedup — dHash over DECODED pixels, riding the
+    // real PNG codec end-to-end: docs share one of 7 visual classes
+    // (fill and dims derived from doc_id % 7), every class member
+    // encodes and decodes independently on executors, and the
+    // difference hash (adjacent-pixel comparisons over the first 48
+    // decoded samples) lands identical within a class. Output is the
+    // dedup artifact: (img_hash, n_docs, keep_id). The oracle
+    // recomputes the hash bits from the fill's closed form — a decode
+    // that flips ANY byte moves the hash and breaks the groups.
+    "q62_image_dhash_groups" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val c = (id % 7).toInt
+          val w = 16 + c; val h = 12 + c
+          val px = Array.tabulate(w * h * 3)(i => ((c * 37 + i * 11) % 241).toByte)
+          Multimodal.MediaRecord(id, Multimodal.Png.encode(w, h, 3, px))
+        }
+      val hashed = media.mapPartitions(_.map { r =>
+        val px = Multimodal.Codec.payload(r.content)
+        var hash = 0L
+        var j = 0
+        while (j < 48) {
+          if ((px(j) & 0xff) > (px(j + 1) & 0xff)) hash |= 1L << j
+          j += 1
+        }
+        (r.media_id, hash)
+      }).toDF("media_id", "img_hash")
+      hashed.groupBy($"img_hash")
+        .agg(count(lit(1)).as("n_docs"), min($"media_id").as("keep_id"))
+    }),
+    // Edge-silence trimming through the gate: clips built as
+    // silence + tone + silence at exact 50 ms window multiples, so the
+    // trimmed clip's duration and features have closed forms
+    // (window framing matches sliceWindows — the spec's alignment
+    // property is what makes this exactly predictable). Every 11th
+    // doc is all-silence and must DROP from the output entirely — the
+    // curation filter the operator exists for.
+    "q63_audio_trim" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val fpw = 400 // 50 ms at 8 kHz
+          val loudW = if (id % 11 == 0) 0 else (2 + id % 4).toInt
+          val amp = ((id % 6 + 1) * 4096).toShort
+          val samples =
+            Array.fill((id % 3).toInt * fpw)(0.toShort) ++
+              Array.fill(loudW * fpw)(amp) ++
+              Array.fill((id % 2).toInt * fpw)(0.toShort)
+          Multimodal.MediaRecord(id, Audio.Wav.encode(8000, 1, samples))
+        }
+      Audio.extractFeatures(
+        Audio.trimSilenceAll(media, windowMs = 50, threshold = 0.01))
+        .select($"media_id", $"duration_ms",
+          round($"rms", 6).as("rms"), round($"peak", 6).as("peak"))
+    }),
+    // Frame sampling for "video" payloads: fixed-size frames, every
+    // 2nd kept — the flatMap shape and byte accounting are exactly
+    // recomputable from the text length.
+    "q64_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select($"doc_id", $"text")
+        .as[(Long, String)]
+        .map { case (id, tx) =>
+          Multimodal.MediaRecord(id, Multimodal.Codec.encode(
+            8, 8, 3, tx.getBytes("UTF-8")))
+        }
+      Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+          length($"frame").cast("long").as("n_bytes"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -118,5 +189,28 @@ object MultimodalQueries {
         |  CAST(width*height*3 AS BIGINT) AS n_px,
         |  CAST(sum((doc_id * 31 + i * 7) % 251) AS BIGINT) AS px_sum,
         |  CAST(sum(i * ((doc_id * 31 + i * 7) % 251)) AS BIGINT) AS px_dot
-        |FROM px GROUP BY doc_id, width, height""".stripMargin)
+        |FROM px GROUP BY doc_id, width, height""".stripMargin,
+    "q62_image_dhash_groups" ->
+      """WITH cls AS (SELECT doc_id, doc_id % 7 AS c FROM documents),
+        |bits AS (SELECT doc_id, c, unnest(range(0, 48)) AS j FROM cls),
+        |h AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN (c*37 + j*11) % 241 > (c*37 + (j+1)*11) % 241
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS img_hash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT img_hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS keep_id
+        |FROM h GROUP BY img_hash""".stripMargin,
+    "q63_audio_trim" ->
+      """SELECT doc_id AS media_id,
+        | CAST((2 + doc_id % 4) * 50 AS BIGINT) AS duration_ms,
+        | round((doc_id % 6 + 1) * 4096 / 32768.0, 6) AS rms,
+        | round((doc_id % 6 + 1) * 4096 / 32768.0, 6) AS peak
+        |FROM documents WHERE doc_id % 11 <> 0""".stripMargin,
+    "q64_video_frames" ->
+      """WITH f AS (SELECT doc_id, strlen(text) AS len,
+        |  unnest(range(0, CAST(ceil(strlen(text) / 32.0) AS BIGINT))) AS i
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(least(32, len - i * 32) AS BIGINT) AS n_bytes
+        |FROM f WHERE i % 2 = 0""".stripMargin)
 }
