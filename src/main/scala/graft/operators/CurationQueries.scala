@@ -87,6 +87,27 @@ object CurationQueries {
       Curation.keepOne(
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
         "doc_id", TextPipelineQueries.dupGroups(s, d))),
+    // The WHOLE curation pipeline as one declarative plan — dedup
+    // keep-one → Gopher quality gate → training-sequence packing →
+    // per-sequence shard stats. Each stage is the already-verified
+    // operator; the composition proves they chain without
+    // materialization barriers, and the oracle recomputes every stage
+    // in one SQL statement. This is the query a user actually ships.
+    "q66_curation_pipeline" -> ((s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val corpus = docs(s, d).select(col("doc_id"), col("text"))
+      val kept = Curation.keepOne(corpus, "doc_id",
+        TextPipelineQueries.dupGroups(s, d))
+      val passedIds = Curation.gopherQuality(kept, "doc_id", "text")
+        .filter(col("passes")).select(col("doc_id"))
+      val passed = kept.join(passedIds, Seq("doc_id"))
+      val packed = Packing.packByBudget(
+        passed.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 512L)
+      packed.groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+    }),
     "q53_quantize_int8" -> ((s, d) =>
       Curation.quantizeInt8(emb(s, d).select(col("vec_id"), col("embedding")),
         "embedding")
@@ -197,6 +218,49 @@ object CurationQueries {
         |SELECT doc_id, source,
         |       CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
         |FROM c WHERE copies > 0""".stripMargin,
+    // every stage of the pipeline recomputed in one statement:
+    // recursive-CTE dedup labels, the q50 quality predicate over the
+    // kept docs, the q47 prefix-sum packing over the survivors
+    "q66_curation_pipeline" ->
+      s"""WITH RECURSIVE ${TextPipelineQueries.shCte},
+         |${TextPipelineQueries.mhCte},
+         |${TextPipelineQueries.pairsCte},
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS did, least(a, min(b)) AS keep_id
+         |        FROM reach GROUP BY a),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d
+         |         WHERE d.doc_id NOT IN
+         |           (SELECT did FROM lab WHERE did <> keep_id)),
+         |g AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+         |  round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4)
+         |    AS mean_word_len,
+         |  round(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+         |        / len(string_split(text, ' ')), 4) AS symbol_ratio,
+         |  CAST(len(list_distinct(list_filter(string_split(text, ' '),
+         |    x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT)
+         |    AS n_stop_distinct
+         |  FROM kept),
+         |pass AS (SELECT k.doc_id,
+         |    CAST(len(string_split(k.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM kept k JOIN g USING (doc_id)
+         |  WHERE (g.n_words BETWEEN 50 AND 100000)
+         |    AND (g.mean_word_len BETWEEN 3.0 AND 10.0)
+         |    AND g.symbol_ratio <= 0.1 AND g.n_stop_distinct >= 2),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM pass),
+         |seqs AS (SELECT doc_id, n_tokens, CAST(s // 512 AS BIGINT) AS seq_id
+         |         FROM c)
+         |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+         |FROM seqs GROUP BY seq_id""".stripMargin,
     "q52_dedup_corpus" ->
       s"""WITH RECURSIVE ${TextPipelineQueries.shCte},
          |${TextPipelineQueries.mhCte},

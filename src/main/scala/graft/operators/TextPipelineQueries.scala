@@ -152,6 +152,21 @@ object TextPipelineQueries {
     }),
     "q20_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
+    // Candidate-quality metrics — the evaluation harness for tuning
+    // bands/rows/threshold: what fraction of LSH candidate pairs
+    // survive exact Jaccard verification at τ = 0.7. One row; the
+    // verify join runs only over candidates (the q19 path), never
+    // all pairs — the metric is as cheap as the pipeline itself.
+    "q65_lsh_precision" -> ((s, d) => {
+      val cand = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+      val j = Dedup.ngramJaccardFromShingles(shingleTab(s, d), cand, "doc_id")
+      val hits = j.agg(coalesce(
+        sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)), lit(0L))
+        .as("n_hits"))
+      cand.agg(count(lit(1)).as("n_cand")).crossJoin(hits)
+        .select(col("n_cand"), col("n_hits"),
+          round(col("n_hits") / col("n_cand"), 4).as("precision_at_07"))
+    }),
     // Benchmark decontamination: docs sharing any 3-gram with the
     // stand-in "eval set" (doc_id < 20), with the distinct-overlap
     // count. Bench side broadcasts; corpus never shuffles strings.
@@ -372,6 +387,27 @@ object TextPipelineQueries {
          |FROM inter i
          |JOIN sizes na ON i.id_a = na.sid
          |JOIN sizes nb ON i.id_b = nb.sid""".stripMargin,
+    "q65_lsh_precision" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ds AS (SELECT DISTINCT doc_id AS sid, shingle FROM sh),
+         |sizes AS (SELECT sid, count(*) AS n_sh FROM ds GROUP BY sid),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |          FROM cand c
+         |          JOIN ds sa ON c.id_a = sa.sid
+         |          JOIN ds sb ON c.id_b = sb.sid AND sa.shingle = sb.shingle
+         |          GROUP BY c.id_a, c.id_b),
+         |jac AS (SELECT round(i.inter / (na.n_sh + nb.n_sh - i.inter), 4) AS jaccard
+         |        FROM inter i
+         |        JOIN sizes na ON i.id_a = na.sid
+         |        JOIN sizes nb ON i.id_b = nb.sid)
+         |SELECT CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+         |  CAST(coalesce((SELECT sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)
+         |                 FROM jac), 0) AS BIGINT) AS n_hits,
+         |  round(coalesce((SELECT sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)
+         |                  FROM jac), 0) / (SELECT count(*) FROM cand), 4)
+         |    AS precision_at_07""".stripMargin,
     "q20_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |votes AS (SELECT doc_id, b,
