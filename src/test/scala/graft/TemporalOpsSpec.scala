@@ -336,6 +336,39 @@ class TemporalOpsSpec extends AnyFunSuite {
     Bucketing.dropManagedTable(spark, "ev_replay")
   }
 
+  test("streaming incremental dedup: labels match from-scratch CC after 3 batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Bucketing, Dedup}
+    import graft.streaming.StreamingDedup
+    for (t <- Seq("sd_sigs", "sd_labels")) Bucketing.dropManagedTable(spark, t)
+    val corpus = (0L until 12L).map { i =>
+      val txt = if (i % 3 == 0) "the quick brown fox jumps over the lazy dog"
+      else if (i % 3 == 1) "some wholly unrelated document body number " + i
+      else "the quick brown fox jumps over the lazy cat"
+      (i, txt)
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.labelSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", "sd_sigs", "sd_labels",
+      java.nio.file.Files.createTempDirectory("sdl").toString)
+    // dup families straddle all three batch boundaries
+    mem.addData(corpus.slice(0, 5): _*); q.processAllAvailable()
+    mem.addData(corpus.slice(5, 9): _*); q.processAllAvailable()
+    mem.addData(corpus.slice(9, 12): _*); q.processAllAvailable()
+    q.stop()
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamed = m(spark.table("sd_labels").select("id", "keep_id"))
+    val sigs = Dedup.minhashSignatures(
+      corpus.toDF("doc_id", "text"), "doc_id", "text")
+    val scratch = m(Dedup.connectedComponents(
+      Dedup.lshCandidatePairs(sigs, "doc_id")))
+    assert(streamed == scratch)
+    // one signature row per (doc, band): nothing recomputed or re-added
+    assert(spark.table("sd_sigs").count() == 12 * 4)
+    for (t <- Seq("sd_sigs", "sd_labels")) Bucketing.dropManagedTable(spark, t)
+  }
+
   test("compactBuckets swap keeps data reachable and a retry converges after a crash") {
     import graft.operators.Bucketing
     for (t <- Seq("cb_crash", "cb_crash__compact", "cb_crash__old"))
