@@ -198,6 +198,7 @@ object IvfIndex {
       .putLong("graft.ivf.k", centroids.length.toLong)
       .putLong("graft.ivf.dim",
         centroids.headOption.map(_.length).getOrElse(0).toLong)
+      .putLong("graft.ivf.buckets", buckets.toLong)
       .build()
     val cDf = centroids.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("list_id", "c_vec")
@@ -206,6 +207,44 @@ object IvfIndex {
     cDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${name}_centroids")
     Bucketing.writeBucketed(indexed, s"${name}_lists", "list_id", buckets)
+  }
+
+  /** Fold a batch of NEW vectors into a [[save]]d index without a
+    * rebuild — the ANN half of the incremental-ingest story (the text
+    * half is [[Dedup.lshCandidatePairsIncremental]] +
+    * [[Dedup.incrementalComponents]]). The batch is assigned with the
+    * SAVED centroids through the native nearest-centroid projection
+    * (no join, no exchange, no Lloyd pass — the existing corpus is
+    * never touched), and the rows append under the lists table's OWN
+    * bucket spec (count restored from the index metadata), so the
+    * writer routes them into the existing per-list buckets and a
+    * subsequent [[topKSaved]] probe still scans the corpus side with
+    * zero exchanges (spec-pinned after an append).
+    *
+    * Exactness at nprobe = k is unaffected — every list is still
+    * probed. At nprobe < k, recall degrades only as the ingested
+    * distribution drifts from the centroid training slice; the
+    * re-train cadence is the deployment knob every IVF system
+    * carries, and [[provenance]] records what the centroids were
+    * trained on so the drift is auditable. */
+  def appendSaved(spark: SparkSession, name: String, batch: DataFrame,
+                  idCol: String, vecCol: String): Unit = {
+    val meta = spark.table(s"${name}_centroids").schema("c_vec").metadata
+    require(meta.contains("graft.ivf.buckets"),
+      s"index '$name' predates bucket-count metadata; re-save it before appending")
+    val buckets = meta.getLong("graft.ivf.buckets").toInt
+    val centroids = load(spark, name)._1
+    // the batch must carry the same payload columns the index was
+    // built with (it is the same corpus, one batch later); align to
+    // the table's column order for the positional parquet append
+    val cols = spark.table(s"${name}_lists").columns
+    assign(batch, vecCol, centroids)
+      .select(cols.map(col).toIndexedSeq: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "list_id")
+      .sortBy("list_id")
+      .format("parquet")
+      .saveAsTable(s"${name}_lists")
   }
 
   /** Provenance of a [[save]]d index, from the centroid column's

@@ -154,6 +154,36 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaMerge == viaBroadcast)
   }
 
+  test("IVF appendSaved: incremental ingest stays exact and keeps the bucketed probe") {
+    import graft.operators.{IvfIndex, Similarity}
+    val emb = Tables.t(spark, sf, "embeddings")
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val (centroids, indexed) = IvfIndex.build(old, "vec_id", "embedding", k = 8)
+    IvfIndex.save(spark, "ivf_app", centroids, indexed, buckets = 4)
+    IvfIndex.appendSaved(spark, "ivf_app", batch, "vec_id", "embedding")
+    // every vector lands in exactly one list, old rows untouched
+    assert(spark.table("ivf_app_lists").count() == emb.count())
+    // nprobe = k after the append == brute force over the UNION —
+    // the exactness anchor is independent of where centroids came from
+    val probed = IvfIndex.topKSaved(spark, "ivf_app", queries,
+      "vec_id", "embedding", k = 5, nprobe = 8, broadcastProbes = false)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "cos", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rs(probed) == rs(Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", 5)))
+    // the append kept the bucket spec: the lists scan is still
+    // bucketed and only the probe side shuffles into its layout
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning(list_id")) == 1, plan.take(3000))
+  }
+
   test("partitioned write: reads prune to the matching partition dirs") {
     val ev = Tables.t(spark, sf, "events")
     val out = java.nio.file.Files.createTempDirectory("parted").toString + "/events"

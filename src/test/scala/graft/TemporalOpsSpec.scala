@@ -369,6 +369,39 @@ class TemporalOpsSpec extends AnyFunSuite {
     for (t <- Seq("sd_sigs", "sd_labels")) Bucketing.dropManagedTable(spark, t)
   }
 
+  test("streaming ANN ingest: appended index stays exact at nprobe = k") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Bucketing, IvfIndex, Similarity}
+    import graft.streaming.StreamingAnn
+    for (t <- Seq("sann_centroids", "sann_lists"))
+      Bucketing.dropManagedTable(spark, t)
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(4)(j => math.sin(i * 3.7 + j).toFloat)
+    val base = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val (centroids, indexed) = IvfIndex.build(base, "vec_id", "embedding", k = 4)
+    IvfIndex.save(spark, "sann", centroids, indexed, buckets = 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamingAnn.indexSink(mem.toDF().toDF("vec_id", "embedding"),
+      "sann", "vec_id", "embedding",
+      java.nio.file.Files.createTempDirectory("sann").toString)
+    val late = (40L until 60L).map(i => (i, vec(i)))
+    mem.addData(late.take(10): _*); q.processAllAvailable()
+    mem.addData(late.drop(10): _*); q.processAllAvailable()
+    q.stop()
+    val all = (0L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id") < 3)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "cos", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // two streamed batches folded in; nprobe = k == exact over union
+    assert(rs(IvfIndex.topKSaved(spark, "sann", queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)) ==
+      rs(Similarity.bruteForceTopK(all, queries, "vec_id", "embedding", 5)))
+    assert(spark.table("sann_lists").count() == 60)
+    for (t <- Seq("sann_centroids", "sann_lists"))
+      Bucketing.dropManagedTable(spark, t)
+  }
+
   test("compactBuckets swap keeps data reachable and a retry converges after a crash") {
     import graft.operators.Bucketing
     for (t <- Seq("cb_crash", "cb_crash__compact", "cb_crash__old"))
