@@ -191,9 +191,10 @@ object Curation {
     *
     * Scale shape: one exchange on the source key (the grouping is the
     * work); rank is a within-partition sort. A pathologically hot
-    * source makes that partition big — the hash-threshold form
-    * ([[mixBySource]] with weight maxDocs/|source|) is the shuffle-free
-    * approximation when exact N doesn't matter. */
+    * source makes that partition big — [[capPerSourceScalable]] is the
+    * EXACT fix (range-bucketed two-phase rank, prunes the hot source
+    * before sorting); [[mixBySource]] with weight maxDocs/|source| is
+    * the shuffle-free approximation when exact N doesn't matter. */
   def capPerSource(df: DataFrame, idCol: String, sourceCol: String,
                    maxDocs: Int, salt: String = "cap"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -201,6 +202,74 @@ object Curation {
       .orderBy(hashRank(col(idCol), salt), col(idCol))
     df.withColumn("src_rank", row_number().over(w).cast("long"))
       .filter(col("src_rank") <= maxDocs)
+  }
+
+  /** [[capPerSource]] shaped for the pathologically hot source — the
+    * shuffle-feasible EXACT form (same output, spec-pinned), replacing
+    * the approximation [[capPerSource]]'s docs point to. Ranking goes
+    * two-phase over RANGE buckets of the order key (the md5 rank
+    * string's leading two hex chars — lexicographic order aligns with
+    * bucket order by construction, so per-bucket ranks + bucket
+    * offsets reproduce the global rank exactly):
+    *
+    *  1. per-(source, bucket) counts — map-side combined down to at
+    *     most sources×256 rows — cumulated into bucket offsets; a
+    *     bucket whose offset already reaches `maxDocs` is dropped
+    *     THERE, so a hot source prunes to its first ~maxDocs rows of
+    *     sort work no matter how many rows it has;
+    *  2. rank within (source, bucket) — 256-way narrower partitions
+    *     than the window form's one-partition-per-source — plus the
+    *     broadcast offset.
+    */
+  def capPerSourceScalable(df: DataFrame, idCol: String, sourceCol: String,
+                           maxDocs: Int, salt: String = "cap"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.withColumn("__rk", hashRank(col(idCol), salt))
+      .withColumn("__b", substring(col("__rk"), 1, 2))
+    val offsets = withB.groupBy(col(sourceCol), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(
+        sum(col("__n")).over(Window.partitionBy(col(sourceCol))
+          .orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .filter(col("__off") < maxDocs) // later buckets can't rank <= maxDocs
+      .select(col(sourceCol), col("__b"), col("__off"))
+    val w = Window.partitionBy(col(sourceCol), col("__b"))
+      .orderBy(col("__rk"), col(idCol))
+    withB.join(broadcast(offsets), Seq(sourceCol, "__b"))
+      .withColumn("src_rank",
+        (col("__off") + row_number().over(w)).cast("long"))
+      .filter(col("src_rank") <= maxDocs)
+      .drop("__rk", "__b", "__off")
+  }
+
+  /** Deterministic train/validation/test assignment — the holdout
+    * split every training pipeline makes before packing. Membership
+    * is a [[hashFraction]] threshold chain on the id: a pure
+    * projection (shuffle-free, partition-order-independent,
+    * reproducible across runs AND engines — md5 is md5 in DuckDB
+    * too), so a document's split NEVER changes as the corpus grows.
+    * That stability is the point: eval membership decided at first
+    * ingest stays fixed across every later batch, which is what keeps
+    * the held-out sets uncontaminated under incremental ingest.
+    *
+    * `fractions` are (name, mass) in order; they must sum to 1.
+    * Boundaries quantize to 1/65536 (the [[hashFraction]] grain), the
+    * same resolution [[mixBySource]] documents. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)] =
+                    Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                  salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $fractions")
+    val h = hashFraction(col(idCol), salt)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val assigned = fractions.map(_._1).zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((name, c), els) =>
+        when(h < lit(hexThreshold(c)), name).otherwise(els)
+      }
+    df.withColumn("split", assigned)
   }
 
   /** Full-width salted hash for ranking (32 hex chars —

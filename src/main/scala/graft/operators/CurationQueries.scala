@@ -80,6 +80,14 @@ object CurationQueries {
     "q55_cap_per_source" -> ((s, d) =>
       Curation.capPerSource(docs(s, d).select(col("doc_id"), col("source")),
         "doc_id", "source", maxDocs = 20)),
+    // The hot-source-proof exact cap: same semantics (and the same
+    // oracle SQL) as q55, through the range-bucketed two-phase rank —
+    // proving the scale form IS the window form, row for row.
+    "q71_cap_scalable" -> ((s, d) =>
+      Curation.capPerSourceScalable(
+        docs(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", maxDocs = 20)
+        .select(col("doc_id"), col("source"), col("src_rank"))),
     "q51_mix_sample" -> ((s, d) =>
       Curation.mixBySource(docs(s, d).select(col("doc_id"), col("source")),
         "doc_id", "source", MixWeights)),
@@ -108,6 +116,16 @@ object CurationQueries {
       packed.groupBy(col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
     }),
+    // Deterministic holdout split: per-(source, split) doc and char
+    // masses. The 80/10/10 boundaries quantize to the 1/65536 hash
+    // grain; membership is a pure projection, so the aggregation is
+    // the query's only exchange.
+    "q69_split_assign" -> ((s, d) =>
+      Curation.splitAssign(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id")
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))),
     "q53_quantize_int8" -> ((s, d) =>
       Curation.quantizeInt8(emb(s, d).select(col("vec_id"), col("embedding")),
         "embedding")
@@ -205,6 +223,15 @@ object CurationQueries {
         |    AS src_rank
         |  FROM documents)
         |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 20""".stripMargin,
+    // identical semantics to q55 — the scalable form must reproduce
+    // the window form's ranks exactly
+    "q71_cap_scalable" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cap'), doc_id) AS BIGINT)
+        |    AS src_rank
+        |  FROM documents)
+        |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 20""".stripMargin,
     "q51_mix_sample" ->
       """WITH w AS (SELECT doc_id, source,
         |  CAST(substr(source, 4) AS INT) % 4 AS m,
@@ -261,6 +288,20 @@ object CurationQueries {
          |SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
          |FROM seqs GROUP BY seq_id""".stripMargin,
+    // same md5-prefix thresholds: 0.8 → 'cccd', 0.9 → 'e666'
+    // (round(frac * 0x10000) like Curation.hexThreshold)
+    "q69_split_assign" ->
+      """WITH h AS (SELECT doc_id, source, n_chars,
+        |  substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4) AS h
+        |  FROM documents),
+        |a AS (SELECT source, n_chars,
+        |  CASE WHEN h < 'cccd' THEN 'train'
+        |       WHEN h < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM h)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM a GROUP BY source, split""".stripMargin,
     "q52_dedup_corpus" ->
       s"""WITH RECURSIVE ${TextPipelineQueries.shCte},
          |${TextPipelineQueries.mhCte},

@@ -209,6 +209,56 @@ class CurationSpec extends AnyFunSuite {
 
   // ---- keep-one materialization ----
 
+  test("capPerSourceScalable == capPerSource row-for-row on a skewed corpus") {
+    // one pathologically hot source (5000 rows) beside small ones
+    val rows = (0L until 5000L).map(i => (i, "hot")) ++
+      (5000L until 5100L).map(i => (i, "s" + (i % 3)))
+    val df = rows.toDF("doc_id", "source")
+    def m(out: org.apache.spark.sql.DataFrame) =
+      out.select("doc_id", "source", "src_rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val window = m(Curation.capPerSource(df, "doc_id", "source", 20))
+    val scalable = m(Curation.capPerSourceScalable(df, "doc_id", "source", 20))
+    assert(scalable == window)
+    // hot-source pruning is real: replay the offsets math — only the
+    // leading range-buckets survive the __off < maxDocs filter, so a
+    // small multiple of maxDocs rows reaches the sort, not the corpus
+    val counts = df
+      .withColumn("__b", substring(
+        md5(concat(col("doc_id").cast("string"), lit("|cap"))), 1, 2))
+      .filter(col("source") === "hot")
+      .groupBy(col("__b")).count().orderBy(col("__b")).collect()
+    var off = 0L; var ranked = 0L
+    counts.foreach { r =>
+      if (off < 20) ranked += r.getLong(1)
+      off += r.getLong(1)
+    }
+    assert(ranked < 200, s"hot source still ranks $ranked of 5000 rows")
+  }
+
+  test("splitAssign: exhaustive, near-proportional, and stable under corpus growth") {
+    val docs = (0L until 2000L).toDF("doc_id")
+    val full = Curation.splitAssign(docs, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc gets exactly one split, fractions near 80/10/10
+    assert(full.size == 2000)
+    val counts = full.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 80, counts)
+    assert(math.abs(counts("val") - 200) < 50, counts)
+    assert(math.abs(counts("test") - 200) < 50, counts)
+    // THE property: assignment depends only on the id — a doc keeps
+    // its split when the corpus around it grows (held-out sets stay
+    // uncontaminated across incremental ingest batches)
+    val early = Curation.splitAssign(
+      docs.filter(col("doc_id") < 500), "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    early.foreach { case (id, s) => assert(full(id) == s) }
+    // pure projection: no exchange before the caller's own plan
+    val plan = Curation.splitAssign(docs, "doc_id")
+      .queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("keepOne drops exactly the non-canonical group members") {
     val corpus = (0L to 9L).map(i => (i, s"t$i")).toDF("doc_id", "text")
     val groups = Seq((0L, 0L), (5L, 0L), (7L, 0L), (3L, 3L), (8L, 3L))
