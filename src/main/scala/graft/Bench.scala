@@ -36,30 +36,38 @@ object Bench {
     // iteration with high steal/busy-fraction is a storm, one with a
     // quiet host is a regression. Fields: aggregate cpu line ticks
     // (USER_HZ=100) — (steal, busy=total-idle-iowait, total).
-    def cpuTicks(): (Long, Long, Long) =
+    // iowait is reported SEPARATELY from busy: the r6 storm showed
+    // queries crawling at busy≈0.03 with steal≈0 — the host idle but
+    // the disk stalled. A slow iteration classifies as (a) regression
+    // when busy is high and steal/iowait low, (b) CPU storm when
+    // steal is high, (c) I/O storm when iowait is high with busy low.
+    def cpuTicks(): (Long, Long, Long, Long) =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
         val f = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
         finally src.close()
-        val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+        val iowait = if (f.length > 4) f(4) else 0L
+        val idle = f(3) + iowait
         val steal = if (f.length > 7) f(7) else 0L
-        (steal, f.sum - idle, f.sum)
-      } catch { case _: Throwable => (-1L, -1L, -1L) }
+        (steal, f.sum - idle, iowait, f.sum)
+      } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
 
     // One measured iteration: (seconds, host steal seconds during it,
-    // host busy fraction during it). steal/busy are -1 when /proc/stat
-    // is unavailable or the query errored.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
-      val (s0, b0, t0ticks) = cpuTicks()
+    // host busy fraction, host iowait fraction). Telemetry is -1 when
+    // /proc/stat is unavailable or the query errored.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double, Double, Double) = {
+      val (s0, b0, w0, t0ticks) = cpuTicks()
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return (-1.0, -1.0, -1.0) }
+      catch { case _: Throwable => return (-1.0, -1.0, -1.0, -1.0) }
       val sec = (System.nanoTime() - t0) / 1e9
-      val (s1, b1, t1ticks) = cpuTicks()
-      if (s0 < 0 || s1 < 0 || t1ticks <= t0ticks) (sec, -1.0, -1.0)
-      else (sec, (s1 - s0) / 100.0, (b1 - b0).toDouble / (t1ticks - t0ticks))
+      val (s1, b1, w1, t1ticks) = cpuTicks()
+      if (s0 < 0 || s1 < 0 || t1ticks <= t0ticks) (sec, -1.0, -1.0, -1.0)
+      else (sec, (s1 - s0) / 100.0,
+        (b1 - b0).toDouble / (t1ticks - t0ticks),
+        (w1 - w0).toDouble / (t1ticks - t0ticks))
     }
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[(Double, Double, Double)] =
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[(Double, Double, Double, Double)] =
       (1 to iters).map(_ => once(fn))
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
@@ -88,12 +96,12 @@ object Bench {
     // CC labels, IVF index) timed as their OWN line item: per-query
     // medians then measure steady-state cost, instead of q17's first
     // iteration silently carrying the build that q18/q19 reuse.
-    val (cs0, _, ct0) = cpuTicks()
+    val (cs0, _, _, ct0) = cpuTicks()
     val tCache0 = System.nanoTime()
     try graft.operators.TextPipelineQueries.warmCaches(spark, sfDir)
     catch { case _: Throwable => () }
     val cacheBuild = (System.nanoTime() - tCache0) / 1e9
-    val (cs1, _, _) = cpuTicks()
+    val (cs1, _, _, _) = cpuTicks()
     val cacheSteal = if (cs0 < 0 || cs1 < 0) -1.0 else (cs1 - cs0) / 100.0
 
     val results = selected.map { case (name, fn) => name -> run(fn) }
@@ -108,9 +116,12 @@ object Bench {
     val busys = results.map { case (k, v) =>
       "\"" + k + "\":[" + v.map(x => f"${x._3}%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val iowaits = results.map { case (k, v) =>
+      "\"" + k + "\":[" + v.map(x => f"${x._4}%.2f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
     graft.operators.TextPipelineQueries.clearCache(spark)
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
     // Also persist the line to a file: the driver captures a stdout
     // TAIL, and round 4's capture truncated the medians/cache fields.
     // The file survives regardless of how stdout is clipped.
