@@ -402,6 +402,60 @@ class TemporalOpsSpec extends AnyFunSuite {
       Bucketing.dropManagedTable(spark, t)
   }
 
+  test("streaming ANN replay: dup vectors corrupt top-k; dedup compaction restores exactness") {
+    import graft.operators.{Bucketing, IvfIndex, Similarity}
+    import graft.streaming.{EventStreaming, StreamingAnn}
+    for (t <- Seq("rann_centroids", "rann_lists", "rann_lists__compact",
+        "rann_lists__old"))
+      Bucketing.dropManagedTable(spark, t)
+    def vec(i: Long): Array[Float] =
+      Array.tabulate(4)(j => math.cos(i * 2.3 + j).toFloat)
+    val base = (0L until 30L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val (centroids, indexed) = IvfIndex.build(base, "vec_id", "embedding", k = 4)
+    IvfIndex.save(spark, "rann", centroids, indexed, buckets = 2)
+    // file-source stream so a checkpoint crash-replay is simulable
+    val dir = java.nio.file.Files.createTempDirectory("rann").toString
+    val late = (30L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    late.write.parquet(s"$dir/src")
+    def start() = StreamingAnn.indexSink(
+      spark.readStream.schema(late.schema).parquet(s"$dir/src"),
+      "rann", "vec_id", "embedding", s"$dir/ckpt")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    spark.catalog.refreshTable("rann_lists")
+    assert(spark.table("rann_lists").count() == 40)
+    // crash after the append, before the offset commit: drop commit
+    // records (and stray .crc shadows) and restart — batch 0 replays
+    def prune(sub: String, keep: String => Boolean): Unit =
+      new java.io.File(s"$dir/ckpt/$sub").listFiles().toSeq
+        .filterNot(f => keep(f.getName.stripPrefix(".").stripSuffix(".crc")))
+        .foreach(f => assert(f.delete(), f.toString))
+    prune("commits", _ => false)
+    prune("offsets", _ == "0")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    spark.catalog.refreshTable("rann_lists")
+    assert(spark.table("rann_lists").count() == 50) // at-least-once
+    val all = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id") < 3)
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id", "cos", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val exact = rs(Similarity.bruteForceTopK(all, queries, "vec_id", "embedding", 5))
+    // the documented failure window is REAL: replayed vectors consume
+    // top-k slots twice, so the probe result diverges from exact
+    assert(rs(IvfIndex.topKSaved(spark, "rann", queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)) != exact)
+    // dedup compaction on the vector key collapses the replay; the
+    // index is whole again
+    EventStreaming.compactBuckets(spark, "rann_lists", "list_id", 2,
+      dedupKeys = Seq("vec_id"))
+    spark.catalog.refreshTable("rann_lists")
+    assert(spark.table("rann_lists").count() == 40)
+    assert(rs(IvfIndex.topKSaved(spark, "rann", queries,
+      "vec_id", "embedding", k = 5, nprobe = 4)) == exact)
+    for (t <- Seq("rann_centroids", "rann_lists"))
+      Bucketing.dropManagedTable(spark, t)
+  }
+
   test("compactBuckets swap keeps data reachable and a retry converges after a crash") {
     import graft.operators.Bucketing
     for (t <- Seq("cb_crash", "cb_crash__compact", "cb_crash__old"))
