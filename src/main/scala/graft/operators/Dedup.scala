@@ -443,4 +443,69 @@ object Dedup {
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), packed.as("simhash"))
   }
+
+  /** Incremental EXACT dedup — the batch-ingest form of the digest
+    * modality (MinHash has [[lshCandidatePairsIncremental]], ANN has
+    * `IvfIndex.appendSaved`; exact dedup completes the set). The
+    * corpus keeps a digest→canonical-id table (16-byte md5, built
+    * once, extended per batch); an arriving batch hashes ITS text
+    * only and joins on the digest — the corpus text is never
+    * re-hashed, never shuffled, and the batch side broadcasts under
+    * AQE. Output: (idCol, dup_of) for every batch document whose
+    * digest matches a prior corpus document's.
+    *
+    * `key` picks the digest grain: the full text column for strict
+    * byte identity, a canonical form (lower + whitespace collapse,
+    * the q54 canon) for case/spacing-insensitive identity, or a
+    * leading-prefix slice — the cheap crawl-scale first pass that
+    * catches truncated/re-crawled copies of the same page. */
+  def exactIncrementalDups(corpus: DataFrame, batch: DataFrame,
+                           idCol: String, key: Column): DataFrame = {
+    val digests = corpus
+      .select(md5(key).as("__dg"), col(idCol))
+      .groupBy(col("__dg")).agg(min(col(idCol)).as("dup_of"))
+    batch.select(col(idCol), md5(key).as("__dg"))
+      .join(digests, Seq("__dg"))
+      .select(col(idCol), col("dup_of"))
+  }
+
+  /** SimHash near-duplicate pairs — the pairing half [[simhash]] was
+    * missing (MinHash has [[lshCandidatePairs]], embeddings have
+    * sign-LSH; fingerprints stopped at values). The `bits`-wide
+    * fingerprint splits into `bands` equal bit-slices; documents
+    * sharing ANY slice become candidates — literally routed through
+    * [[lshCandidatePairs]] on a (band, sig, id) frame, inheriting its
+    * bucket-collect shape, distinct semantics, and hot-bucket star
+    * cap — then candidates verify by Hamming distance
+    * (`bit_count(xor)`, one codegen'd projection; the fingerprint
+    * table joins back on the 8-byte id, never the text).
+    *
+    * Recall contract (pigeonhole): hamming <= bands−1 is ALWAYS
+    * caught — fewer differing bits than bands leaves some band
+    * untouched. Pairs with hamming in [bands, maxHamming] surface
+    * only when their differing bits cluster inside one band
+    * (spec-pinned, both directions). More bands buy recall with more
+    * bucket volume — the same dial as MinHash banding. */
+  def simhashPairs(sims: DataFrame, idCol: String, simCol: String = "simhash",
+                   bits: Int = 16, bands: Int = 2, maxHamming: Int = 3,
+                   maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bits ($bits) must split evenly into bands ($bands)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sliced = (0 until bands).map { b =>
+      sims.select(col(idCol), lit(b).as("band"),
+        shiftrightunsigned(col(simCol), b * width).bitwiseAND(lit(mask))
+          .as("sig"))
+    }.reduce(_ union _)
+    val cand = lshCandidatePairs(sliced, idCol, maxBucketSize)
+    val sh = sims.select(col(idCol), col(simCol))
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col(simCol).as("__sa")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col(simCol).as("__sb")), Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

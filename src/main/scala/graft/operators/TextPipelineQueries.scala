@@ -178,6 +178,25 @@ object TextPipelineQueries {
     }),
     "q20_simhash" -> ((s, d) =>
       Dedup.simhash(docs(s, d), "doc_id", "text")),
+    // Exact-dedup batch ingest: which arriving docs duplicate a prior
+    // corpus doc at the 100-char prefix-fingerprint grain (this
+    // corpus has no full-text byte dups; the prefix grain is the
+    // crawl-scale first pass and actually fires). Completes the
+    // incremental story across all three dedup modalities
+    // (q57 minhash, q67 ANN, q73 exact).
+    "q73_exact_incremental" -> ((s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("text"))
+      Dedup.exactIncrementalDups(
+        all.filter(col("doc_id") % 5 =!= 0),
+        all.filter(col("doc_id") % 5 === 0), "doc_id",
+        substring(col("text"), 1, 100))
+    }),
+    // SimHash pairing through the gate: band-collision candidates
+    // verified at hamming <= 3 — the third dedup modality's pairs
+    // (MinHash q18, embeddings q26) with the identical banded shape.
+    "q72_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Dedup.simhash(docs(s, d), "doc_id", "text"),
+        "doc_id")),
     // Candidate-quality metrics — the evaluation harness for tuning
     // bands/rows/threshold: what fraction of LSH candidate pairs
     // survive exact Jaccard verification at τ = 0.7. One row; the
@@ -491,6 +510,34 @@ object TextPipelineQueries {
         |SELECT doc_id,
         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         |FROM votes GROUP BY doc_id""".stripMargin,
+    "q73_exact_incremental" ->
+      """WITH c AS (SELECT md5(substr(text, 1, 100)) AS dg, min(doc_id) AS dup_of
+        |           FROM documents WHERE doc_id % 5 <> 0 GROUP BY dg),
+        |b AS (SELECT doc_id, md5(substr(text, 1, 100)) AS dg
+        |      FROM documents WHERE doc_id % 5 = 0)
+        |SELECT b.doc_id, c.dup_of FROM b JOIN c USING (dg)""".stripMargin,
+    // q20's fingerprint CTE + 2×8-bit band join + bit_count verify
+    "q72_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |votes AS (SELECT doc_id, b,
+        |          sum(CASE WHEN substr(md5(CAST(b AS VARCHAR) || '|' || w), 1, 1) >= '8'
+        |                   THEN 1 ELSE -1 END) AS s
+        |          FROM tok CROSS JOIN (SELECT unnest(range(16)) AS b)
+        |          GROUP BY doc_id, b),
+        |sim AS (SELECT doc_id,
+        |        CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM votes GROUP BY doc_id),
+        |sl AS (SELECT doc_id, band, (simhash >> (band * 8)) & 255 AS sig
+        |       FROM sim CROSS JOIN (SELECT unnest(range(2)) AS band)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM sl a JOIN sl b
+        |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+        |FROM cand
+        |JOIN sim sa ON cand.id_a = sa.doc_id
+        |JOIN sim sb ON cand.id_b = sb.doc_id
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
     "q46_decontaminate" ->
       s"""WITH $shCte,
          |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),

@@ -286,6 +286,36 @@ class TextOpsSpec extends AnyFunSuite {
     assert(h.values.forall(v => v >= 0 && v < (1L << 16)))
   }
 
+  test("simhashPairs: banded candidates, hamming verify, honest recall boundary") {
+    val sims = Seq(
+      (1L, 0x00FFL), (2L, 0x00FEL), // share the high byte; hamming 1
+      (3L, 0x0F0FL), (4L, 0x0D0BL), // hamming 2, one bit per band
+      (5L, 0xFF00L), (6L, 0xF800L), // share the low byte; hamming 3
+      (7L, 0x0000L)                 // collides with both groups, hamming 8
+    ).toDF("doc_id", "simhash")
+    def run(bands: Int) =
+      Dedup.simhashPairs(sims, "doc_id", bands = bands).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // bands=2: the pigeonhole guarantee (hamming <= bands-1) holds for
+    // (1,2); (5,6) at hamming 3 surfaces because its bits cluster in
+    // one band; (3,4) at hamming 2 split across BOTH bands is the
+    // documented miss; 7's collisions die in the hamming verify
+    assert(run(2) == Set((1L, 2L, 1L), (5L, 6L, 3L)))
+    // more bands buy the missed pair back: at bands=4, (3,4) leaves
+    // two nibbles untouched and becomes a candidate
+    assert(run(4) == Set((1L, 2L, 1L), (3L, 4L, 2L), (5L, 6L, 3L)))
+  }
+
+  test("exactIncrementalDups: batch joins the corpus digest table, canonical id wins") {
+    val corpus = Seq((3L, "aaa"), (2L, "bbb"), (1L, "aaa")).toDF("doc_id", "text")
+    val batch = Seq((10L, "aaa"), (11L, "ccc")).toDF("doc_id", "text")
+    val out = Dedup.exactIncrementalDups(corpus, batch, "doc_id", col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 10 duplicates the corpus "aaa" group, whose canonical id is the
+    // group MIN (1, not 3); 11 is new text and is absent
+    assert(out == Set((10L, 1L)))
+  }
+
   test("cosine: orthogonal = 0, identical = 1") {
     val df = Seq(
       (Array(1f, 0f), Array(0f, 1f)),
