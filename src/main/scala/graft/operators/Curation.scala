@@ -317,6 +317,103 @@ object Curation {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware keep-one rooting: re-root each dup group at its
+    * BEST-scoring member (ties → smallest id) instead of the
+    * smallest-id default [[Dedup.connectedComponents]] emits. When
+    * near-dups differ — one copy truncated, one ad-injected, one
+    * clean — "keep the first we crawled" throws quality away; this
+    * keeps the copy a score column (token count, quality gate score,
+    * source priority) ranks highest. Input: `groups` (id, keep_id)
+    * label table, `scores` (idCol, score). Output: (id, keep_id) with
+    * keep_id = argmax-score member — drop-in for [[keepOne]].
+    *
+    * Scale shape: one agg over the label table joined with scores
+    * (min_by over a (−score, id) struct — deterministic, map-side
+    * combined), producing a group-count-sized rep table joined back on
+    * the group key; AQE broadcasts it when small. The corpus itself is
+    * never touched — like [[incrementalCurationDelta]], cost is
+    * O(labels). */
+  def keepBest(groups: DataFrame, scores: DataFrame, idCol: String): DataFrame = {
+    val sc = scores.select(col(idCol).as("id"), col("score"))
+    val best = groups.join(sc, Seq("id"))
+      .groupBy(col("keep_id").as("g"))
+      .agg(min_by(col("id"), struct((-col("score")).as("s"), col("id"))).as("best_id"))
+    groups.join(best, groups("keep_id") === best("g"))
+      .select(col("id"), col("best_id").as("keep_id"))
+  }
+
+  /** Fixed-size training windows: split each document's token stream
+    * into chunks of `window` tokens starting every `stride` tokens
+    * (stride < window ⇒ overlapping context windows; stride = window
+    * ⇒ disjoint packing grains). The tail chunk may be short; every
+    * token appears in ≥1 chunk. Output: (id, chunk_idx, n_tokens,
+    * chunk_text), chunk_idx 0-based in token order.
+    *
+    * Scale shape: pure narrow projection + generator — zero
+    * exchanges, whole-stage codegen end-to-end; chunk indices derive
+    * from token positions, not a window function, so no sort and no
+    * per-document state. Output size is ×(window/stride) the corpus —
+    * the caller picks the overlap it can afford. */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window/stride must be positive, got $window/$stride")
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+          start => slice(toks, start + 1, lit(window))))
+        .as(Seq("chunk_idx", "__w")))
+      .select(col(idCol),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("__w")).cast("long").as("n_tokens"),
+        array_join(col("__w"), " ").as("chunk_text"))
+  }
+
+  /** Frequency-ranked vocabulary over the corpus: the `maxSize` most
+    * frequent tokens, ids 0-based by (count desc, token asc) so the
+    * table is reproducible run-to-run with no RNG and no
+    * driver-ordering dependence. Output: (token, id, cnt).
+    *
+    * Scale shape: one map-side-combined count agg, then a DISTRIBUTED
+    * top-maxSize (TakeOrdered — each partition contributes ≤ maxSize
+    * candidates) so the full Heaps-law token-type table is never
+    * globally sorted; only the ≤ maxSize survivors pass through the
+    * single-partition rank window. */
+  def buildVocab(df: DataFrame, textCol: String, maxSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(maxSize)
+      .withColumn("id", (row_number().over(
+        Window.orderBy(col("cnt").desc, col("token").asc)) - 1).cast("long"))
+  }
+
+  /** Tokenize documents against a [[buildVocab]] table: map each token
+    * to its vocabulary id (`oovId` when absent) and reassemble the id
+    * sequence in token order. Output: (id, n_tok, n_oov, ids) with
+    * `ids` the comma-joined id sequence — the corpus-to-token-ids step
+    * a training pipeline runs last, plus the OOV-rate column used to
+    * size the vocabulary.
+    *
+    * Scale shape: the vocabulary is maxSize-bounded and broadcast, so
+    * the corpus never shuffles for the lookup; the one exchange is the
+    * per-document reassembly agg, which carries ids (8 bytes/token),
+    * not text. Order is restored by sorting the collected (pos, id)
+    * structs per document — no global sort, no window function. */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame, oovId: Long = -1L): DataFrame =
+    df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("id"), lit(oovId)).as("id"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("id") === oovId, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x.getField("id").cast("string"))).as("ids"))
+
   /** The complete curation delta of one ingest batch — what changed
     * in keep-one terms when [[Dedup.incrementalComponents]] folded the
     * batch's pairs into the label table:

@@ -95,6 +95,18 @@ object CurationQueries {
       Curation.keepOne(
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
         "doc_id", TextPipelineQueries.dupGroups(s, d))),
+    // Fixed-size training windows: 16-token chunks every 8 tokens
+    // (50% overlap) — zero-exchange generator over the corpus.
+    "q75_chunk_windows" -> ((s, d) =>
+      Curation.chunkDocs(docs(s, d), "doc_id", "text", 16, 8)),
+    // Corpus → token ids against a frequency-ranked 32-token
+    // vocabulary: per doc the id sequence (order-exact), token count,
+    // and OOV count — the last step before a trainer sees the data.
+    "q77_tokenize_ids" -> ((s, d) => {
+      val doc = docs(s, d)
+      Curation.tokenizeToIds(doc, "doc_id", "text",
+        Curation.buildVocab(doc, "text", 32))
+    }),
     // The WHOLE curation pipeline as one declarative plan — dedup
     // keep-one → Gopher quality gate → training-sequence packing →
     // per-sequence shard stats. Each stage is the already-verified
@@ -302,6 +314,33 @@ object CurationQueries {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM a GROUP BY source, split""".stripMargin,
+    "q75_chunk_windows" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, greatest(len(w), 1), 8)) AS start, w
+        |      FROM toks)
+        |SELECT doc_id, CAST(start // 8 AS BIGINT) AS chunk_idx,
+        |       CAST(len(list_slice(w, start + 1, start + 16)) AS BIGINT) AS n_tokens,
+        |       array_to_string(list_slice(w, start + 1, start + 16), ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    "q77_tokenize_ids" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |tk AS (SELECT doc_id,
+        |         unnest([{'p': i, 't': w[i]} for i in range(1, len(w)+1)]) AS s
+        |       FROM toks),
+        |tk2 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM tk),
+        |cnt AS (SELECT token, count(*) AS c FROM tk2 GROUP BY token),
+        |vocab AS (SELECT token,
+        |            CAST(row_number() OVER (ORDER BY c DESC, token ASC) - 1
+        |                 AS BIGINT) AS id
+        |          FROM cnt ORDER BY c DESC, token ASC LIMIT 32),
+        |ids AS (SELECT doc_id, pos, coalesce(v.id, -1) AS id
+        |        FROM tk2 LEFT JOIN vocab v USING (token))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+        |FROM ids GROUP BY doc_id""".stripMargin,
     "q52_dedup_corpus" ->
       s"""WITH RECURSIVE ${TextPipelineQueries.shCte},
          |${TextPipelineQueries.mhCte},

@@ -422,6 +422,74 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_hits"))
   }
 
+  /** Soft decontamination: per-document fraction of its DISTINCT word
+    * n-grams that also occur anywhere in a benchmark corpus — the
+    * graded companion to [[contamination]]'s any-hit filter. A single
+    * shared 13-gram is noise on a long document but damning on a short
+    * one; the fraction supports a tunable cutoff instead of
+    * drop-on-first-hit. Output: (id, n_sh, n_hit, frac) for EVERY
+    * corpus document, zero-hit rows included — a curation gate filters
+    * on `frac` downstream.
+    *
+    * Scale shape: both sides reduce to 8-byte xxhash64 n-gram keys
+    * before any join — n-gram STRINGS never shuffle. The benchmark
+    * side is distinct-hashed and broadcast (tiny vs any training
+    * corpus); the corpus side folds to per-document distinct hashes,
+    * so the one exchange carries (id, hash) pairs and the hit test is
+    * a map-side broadcast probe ahead of the per-document count. */
+  def contaminationFraction(df: DataFrame, idCol: String, textCol: String,
+                            bench: DataFrame, benchTextCol: String,
+                            shingleN: Int = 3): DataFrame = {
+    val bad = bench
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("sh"))
+      .select(xxhash64(col("sh")).as("shh"))
+      .distinct()
+    spread(df, idCol)
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("shh"))
+      .distinct()
+      .join(broadcast(bad.withColumn("hit", lit(1L))), Seq("shh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .withColumn("frac", round(col("n_hit") / col("n_sh"), 4))
+  }
+
+  /** Inter-document repetition: per document, the fraction of its
+    * n-gram OCCURRENCES whose n-gram appears in at least `minDocs`
+    * distinct documents — the memorization-risk / boilerplate-density
+    * metric (high frac ⇒ the document is assembled from corpus-common
+    * phrasing even when no single near-dup partner exists, the case
+    * pairwise dedup can't see). Output: (id, n_occ, n_dup, frac).
+    *
+    * Scale shape: document frequency is computed over 8-byte xxhash64
+    * n-gram keys — strings never shuffle — and occurrences fold to
+    * per-(id, hash) counts BEFORE the frequency join, so join input is
+    * bounded by distinct n-grams per document, not token count. The
+    * frequency side is corpus-vocabulary-sized (Heaps-sublinear); AQE
+    * broadcasts it when small, and past that the join is
+    * hash-partitioned on the 8-byte key. The occurrence subtree feeds
+    * both aggregations — pass a persisted `df` to pay the tokenize
+    * once, as [[TextPipelineQueries]] does with its shingle cache. */
+  def duplicatedNgramFraction(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 3, minDocs: Int = 2): DataFrame = {
+    val occ = spread(df, idCol)
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("shh"))
+      .groupBy(col(idCol), col("shh"))
+      .agg(count(lit(1)).as("n"))
+    // occ is one row per (id, shh), so document frequency is a plain count
+    val dup = occ.groupBy(col("shh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("shh"), lit(1L).as("dup"))
+    occ.join(dup, Seq("shh"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_occ"),
+        coalesce(sum(when(col("dup").isNotNull, col("n"))), lit(0L)).as("n_dup"))
+      .withColumn("frac", round(col("n_dup") / col("n_occ"), 4))
+  }
+
   /** Per-document SimHash of `bits` bits (frequency-weighted token
     * votes; deterministic salted-md5 bit hashes). Output: (id, simhash).
     *

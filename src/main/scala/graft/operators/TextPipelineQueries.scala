@@ -220,11 +220,33 @@ object TextPipelineQueries {
       Dedup.contamination(doc.filter(col("doc_id") >= 20), "doc_id", "text",
         doc.filter(col("doc_id") < 20), "text", 3)
     }),
+    // Soft decontamination: the graded overlap-fraction form of q46 —
+    // every corpus doc with its contaminated-shingle fraction, hashes
+    // on both join sides (oracle joins the strings; counts agree).
+    "q74_contamination_frac" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.contaminationFraction(doc.filter(col("doc_id") >= 20), "doc_id",
+        "text", doc.filter(col("doc_id") < 20), "text", 3)
+    }),
+    // Inter-document repetition: fraction of each doc's 3-gram
+    // occurrences whose 3-gram appears in ≥2 docs — boilerplate
+    // density without needing a near-dup partner.
+    "q76_dup_ngram_frac" -> ((s, d) =>
+      Dedup.duplicatedNgramFraction(docs(s, d), "doc_id", "text", 3, 2)),
     // LSH candidate pairs → connected components: every clustered doc
     // with its canonical keep id (the component minimum) — the final
     // "which docs do I drop" artifact of the dedup pipeline.
     "q41_dedup_groups" -> ((s, d) =>
       dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id"))),
+    // Quality-aware re-rooting of the q41 groups: keep the
+    // longest-in-tokens member (ties → smallest id) instead of the
+    // smallest id — the "keep the best copy" materialization.
+    "q78_keep_best" -> ((s, d) => {
+      val scores = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("score"))
+      Curation.keepBest(dupGroups(s, d), scores, "doc_id")
+        .select(col("id").as("doc_id"), col("keep_id"))
+    }),
     "q21_text_langid" -> ((s, d) => {
       val en = Seq("the", "a", "of"); val fr = Seq("le", "la", "de"); val es = Seq("el", "los", "que")
       docs(s, d).select(
@@ -545,6 +567,52 @@ object TextPipelineQueries {
          |         JOIN bad USING (shingle) WHERE s.doc_id >= 20)
          |SELECT doc_id, count(DISTINCT shingle) AS n_hits
          |FROM hits GROUP BY doc_id""".stripMargin,
+    "q74_contamination_frac" ->
+      s"""WITH $shCte,
+         |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |ds AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id >= 20),
+         |j AS (SELECT ds.doc_id,
+         |        CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM ds LEFT JOIN bad b USING (shingle))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |       CAST(sum(hit) AS BIGINT) AS n_hit,
+         |       round(sum(hit) / count(*), 4) AS frac
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "q76_dup_ngram_frac" ->
+      s"""WITH $shCte,
+         |occ AS (SELECT doc_id, shingle, count(*) AS n
+         |        FROM sh GROUP BY doc_id, shingle),
+         |dup AS (SELECT shingle FROM occ GROUP BY shingle
+         |        HAVING count(*) >= 2),
+         |j AS (SELECT o.doc_id, o.n,
+         |        CASE WHEN d.shingle IS NOT NULL THEN o.n ELSE 0 END AS dn
+         |      FROM occ o LEFT JOIN dup d USING (shingle))
+         |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_occ,
+         |       CAST(sum(dn) AS BIGINT) AS n_dup,
+         |       round(sum(dn) / sum(n), 4) AS frac
+         |FROM j GROUP BY doc_id""".stripMargin,
+    "q78_keep_best" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS did, least(a, min(b)) AS keep_id
+         |        FROM reach GROUP BY a),
+         |sc AS (SELECT doc_id, len(string_split(text, ' ')) AS score
+         |       FROM documents),
+         |m AS (SELECT l.did, l.keep_id, s.score
+         |      FROM lab l JOIN sc s ON l.did = s.doc_id),
+         |r AS (SELECT did, keep_id, row_number() OVER
+         |        (PARTITION BY keep_id ORDER BY score DESC, did ASC) AS rk
+         |      FROM m),
+         |best AS (SELECT keep_id AS g, did AS best_id FROM r WHERE rk = 1)
+         |SELECT l.did AS doc_id, b.best_id AS keep_id
+         |FROM lab l JOIN best b ON l.keep_id = b.g""".stripMargin,
     "q21_text_langid" ->
       """WITH m AS (SELECT doc_id,
         | CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a','of'))) AS BIGINT) AS n_en,

@@ -295,4 +295,81 @@ class CurationSpec extends AnyFunSuite {
     val const = rows.find(_.getLong(0) == 2L).get
     assert(const.getSeq[Int](4).forall(_ == 0))
   }
+
+  // ---- keepBest (quality-aware group rooting) ----
+
+  test("keepBest re-roots every group at its best-scoring member, ties -> min id") {
+    val groups = Seq( // two groups: {1,2,3} rooted at 1, {7,9} rooted at 7
+      (1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (9L, 7L)).toDF("id", "keep_id")
+    val scores = Seq( // 3 longest in group A; tie 7==9 in group B
+      (1L, 5L), (2L, 8L), (3L, 11L), (7L, 4L), (9L, 4L)).toDF("doc_id", "score")
+    val out = Curation.keepBest(groups, scores, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("keepBest composes with keepOne: the kept copy is the best one") {
+    val groups = Seq((1L, 1L), (2L, 1L)).toDF("id", "keep_id")
+    val corpus = Seq((1L, "short"), (2L, "much longer copy"), (5L, "solo"))
+      .toDF("doc_id", "text")
+    val scores = corpus.select($"doc_id", length($"text").cast("long").as("score"))
+    val kept = Curation.keepOne(corpus, "doc_id",
+      Curation.keepBest(groups, scores, "doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L)) // keepOne's min-id default would keep 1
+  }
+
+  // ---- chunkDocs (training windows) ----
+
+  test("chunkDocs: 50% overlap windows cover every token; tail chunk short") {
+    val df = Seq((0L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.chunkDocs(df, "doc_id", "text", window = 4, stride = 2)
+      .orderBy($"chunk_idx")
+      .select($"chunk_idx", $"n_tokens", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 5) // starts 0,2,4,6,8
+    assert(out(0) == (0L, 4L, "t1 t2 t3 t4"))
+    assert(out(1) == (1L, 4L, "t3 t4 t5 t6"))
+    assert(out(4) == (4L, 2L, "t9 t10")) // tail
+    // every token appears in at least one chunk
+    val covered = out.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("chunkDocs is a zero-exchange generator (codegen projection)") {
+    val df = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val plan = Curation.chunkDocs(df, "doc_id", "text", 16, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- vocabulary + tokenize-to-ids ----
+
+  test("buildVocab ranks by count desc then token asc; caps at maxSize") {
+    val df = Seq("b b b a a c c d").toDF("text")
+    val v = Curation.buildVocab(df, "text", 3)
+      .select($"token", $"id", $"cnt").as[(String, Long, Long)].collect().toList
+    // counts: b=3, a=2, c=2, d=1 -> a beats c on the tie; d capped out
+    assert(v == List(("b", 0L, 3L), ("a", 1L, 2L), ("c", 2L, 2L)))
+  }
+
+  test("tokenizeToIds emits the exact in-order id sequence with OOV marking") {
+    val docs = Seq((0L, "b a d c b"), (1L, "d d")).toDF("doc_id", "text")
+    // counts: d=3, b=2, a=1, c=1 -> vocab(3): d=0, b=1, a=2; c is OOV
+    val vocab = Curation.buildVocab(docs, "text", 3)
+    val out = Curation.tokenizeToIds(docs, "doc_id", "text", vocab)
+      .select($"doc_id", $"n_tok", $"n_oov", $"ids")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((5L, 1L, "1,2,0,-1,1")))
+    assert(out(1L) == ((2L, 0L, "0,0")))
+  }
+
+  test("tokenizeToIds broadcasts the vocabulary (corpus never shuffles for lookup)") {
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text")
+    val plan = Curation.tokenizeToIds(docs, "doc_id", "text",
+      Curation.buildVocab(docs, "text", 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

@@ -384,4 +384,37 @@ class TextOpsSpec extends AnyFunSuite {
       .select(TextFunctions.fingerprint($"text").as("fp"))
     assert(df.distinct().count() == 1)
   }
+
+  test("contaminationFraction: graded overlap incl. zero-hit rows; bench side broadcasts") {
+    val bench = Seq((100L, "w x y z")).toDF("doc_id", "text") // shingles: wxy xyz
+    val corpus = Seq(
+      (0L, "w x y z q"),   // shingles wxy xyz yzq -> 2/3 hit
+      (1L, "a b c d"),     // 0/2 hit — must still appear
+      (2L, "w x y")        // 1/1 hit
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationFraction(corpus, "doc_id", "text", bench, "text", 3)
+    val rows = out.select($"doc_id", $"n_sh", $"n_hit", $"frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(rows(0L) == ((0L, 3L, 2L, 0.6667)))
+    assert(rows(1L) == ((1L, 2L, 0L, 0.0)))
+    assert(rows(2L) == ((2L, 1L, 1L, 1.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("duplicatedNgramFraction weights by occurrences, not distinct types") {
+    val corpus = Seq(
+      (0L, "p q r p q r s t u"), // shingles: pqr qrp rpq pqr qrs rst stu -> pqr x2 shared
+      (1L, "p q r z z z"),       // pqr shared; qrz rzz zzz unique
+      (2L, "m n o m n o m n o")  // self-repeated mno x3... but only 1 doc -> df=1
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedNgramFraction(corpus, "doc_id", "text", 3, 2)
+      .select($"doc_id", $"n_occ", $"n_dup", $"frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc0: 7 occurrences, 'p q r' occurs twice and is shared with doc1
+    assert(out(0L)._2 == 7L && out(0L)._3 == 2L)
+    assert(out(1L)._2 == 4L && out(1L)._3 == 1L)
+    // doc2's repeats live in one doc only: df=1 < minDocs -> no dup mass
+    assert(out(2L)._3 == 0L)
+  }
 }
