@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pq
+
+/** Product-quantization pins: the ADC identity (the scan's lookup-table
+  * sum IS the L2² distance to the codeword reconstruction — the
+  * defining equation of PQ), seed self-encoding, the zero-exchange
+  * encode plan, and a recall sanity floor against exact L2. */
+class PqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dim = 8
+  private val m = 4 // sub = 2
+  // 40 deterministic vectors in 4 loose clusters
+  private lazy val vecs = (0L until 40L).map { i =>
+    val c = (i % 4).toInt
+    (i, Array.tabulate(dim)(d =>
+      (c * 10 + ((i * 7 + d * 3) % 5).toInt * 0.1 + d * 0.01).toFloat))
+  }
+  private lazy val df = vecs.toDF("vec_id", "embedding")
+
+  test("m must divide dim") {
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", 4)
+    intercept[IllegalArgumentException] {
+      Pq.encode(df, "vec_id", "embedding", cb, 3)
+    }
+  }
+
+  test("codes are m entries in [0, k); seed vectors encode to themselves") {
+    val k = 8
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, m)
+      .as[(Long, Array[Int])].collect().toMap
+    assert(codes.size == 40 && codes.values.forall(c =>
+      c.length == m && c.forall(x => x >= 0 && x < k)))
+    // find each seed row's id by matching the collected codebook vector
+    val byVec = vecs.map { case (id, v) => v.toSeq -> id }.toMap
+    cb.zipWithIndex.foreach { case (w, c) =>
+      val id = byVec(w.toSeq)
+      assert(codes(id).forall(_ == c) ||
+        // a subspace tie to an identical earlier codeword is the only out
+        codes(id).zipWithIndex.forall { case (got, j) =>
+          got == c || cb(got).slice(j * 2, j * 2 + 2).sameElements(
+            w.slice(j * 2, j * 2 + 2))
+        }, s"seed $c (id $id) got ${codes(id).mkString(",")}")
+    }
+  }
+
+  test("ADC identity: reported dist == round(L2² to the codeword reconstruction, 4)") {
+    val k = 8
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, m)
+    val sub = dim / m
+    val codeMap = codes.as[(Long, Array[Int])].collect().toMap
+    val out = Pq.topK(codes, df.filter($"vec_id" < 5), "vec_id", "embedding",
+      cb, m, 3).as[(Long, Long, Double, Long)].collect()
+    assert(out.length == 15) // 3 per query
+    val byId = vecs.toMap
+    out.foreach { case (qId, nId, dist, _) =>
+      val q = byId(qId)
+      val recon = codeMap(nId).zipWithIndex.flatMap { case (c, j) =>
+        cb(c).slice(j * sub, (j + 1) * sub)
+      }
+      val exact = q.zip(recon).map { case (a, b) =>
+        val d = a.toDouble - b.toDouble; d * d
+      }.sum
+      assert(math.abs(dist - exact) < 1.5e-4, // both rounded at 4 decimals
+        s"q=$qId n=$nId adc=$dist recon=$exact")
+    }
+  }
+
+  test("encode is a zero-exchange projection") {
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", 4)
+    val plan = Pq.encode(df, "vec_id", "embedding", cb, m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("recall sanity: PQ@3 finds most exact-L2 top-3 in a clustered corpus") {
+    val k = 8
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, m)
+    val queries = df.filter($"vec_id" < 10)
+    val pq = Pq.topK(codes, queries, "vec_id", "embedding", cb, m, 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byId = vecs.toMap
+    val exact = (0L until 10L).map { qId =>
+      val q = byId(qId)
+      qId -> vecs.filter(_._1 != qId).map { case (id, v) =>
+        (id, q.zip(v).map { case (a, b) =>
+          val d = a.toDouble - b.toDouble; d * d
+        }.sum)
+      }.sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSet
+    }.toMap
+    // cluster-distances dwarf quantization error, so the same-cluster
+    // top-3 should largely survive: mean recall well above chance
+    val recall = (0L until 10L).map(q =>
+      (pq(q) & exact(q)).size.toDouble / 3).sum / 10
+    assert(recall >= 0.6, s"recall@3 = $recall")
+  }
+}
