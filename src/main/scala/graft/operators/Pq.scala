@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product-quantization ANN (Jégou/Douze/Schmid, "Product Quantization
@@ -64,23 +65,40 @@ object Pq {
       d * d
     }.reduce(_ + _)
 
-  /** Encode each vector as m codes: codes[j] = argmin over codewords
-    * of the subspace-j distance (ties → smallest codeword index, via
-    * (d, c) struct ordering). Pure projection — the corpus never
-    * shuffles to be encoded. */
-  def encode(df: DataFrame, idCol: String, vecCol: String,
-             codebook: Array[Array[Float]], m: Int): DataFrame = {
+  /** The m-code column for a vector column: codes[j] = argmin over
+    * codewords of the subspace-j distance (ties → smallest codeword
+    * index, via (d, c) struct ordering). A pure expression, so callers
+    * can carry extra columns (e.g. an IVF list_id) through encoding. */
+  def codesCol(vec: Column, codebook: Array[Array[Float]], m: Int): Column = {
     val dim = codebook(0).length
     val sub = dim / m
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val codes = array((0 until m).map { j =>
+    array((0 until m).map { j =>
       array_min(array(codebook.indices.map { c =>
-        struct(subL2(col(vecCol), codebook(c), j, sub).as("d"),
-          lit(c).as("c"))
+        struct(subL2(vec, codebook(c), j, sub).as("d"), lit(c).as("c"))
       }: _*)).getField("c")
     }: _*)
-    df.select(col(idCol), codes.as("codes"))
   }
+
+  /** Encode each vector as m codes. Pure projection — the corpus
+    * never shuffles to be encoded. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebook: Array[Array[Float]], m: Int): DataFrame =
+    df.select(col(idCol), codesCol(col(vecCol), codebook, m).as("codes"))
+
+  /** Per-query ADC lookup table: lut[j][c] = subspace-j distance to
+    * codeword c. */
+  private def lutCol(vec: Column, codebook: Array[Array[Float]],
+                     m: Int, sub: Int): Column =
+    array((0 until m).map { j =>
+      array(codebook.indices.map(c => subL2(vec, codebook(c), j, sub)): _*)
+    }: _*)
+
+  /** Σ_j lut[j][codes[j]] — the ADC distance as m array lookups. */
+  private def adcDist(lut: Column, codes: Column, m: Int): Column =
+    (0 until m).map { j =>
+      element_at(element_at(lut, j + 1), element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
 
   /** ADC top-k: each query precomputes lut[j][c] = subspace distance
     * to every codeword (one projection over the query batch), then the
@@ -97,18 +115,62 @@ object Pq {
     val dim = codebook(0).length
     val sub = dim / m
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val lut = array((0 until m).map { j =>
-      array(codebook.indices.map(c =>
-        subL2(col(vecCol), codebook(c), j, sub)): _*)
-    }: _*)
-    val q = queries.select(col(idCol).as("q_id"), lut.as("__lut"))
-    val dist = (0 until m).map { j =>
-      element_at(element_at(col("__lut"), j + 1),
-        element_at(col("codes"), j + 1) + 1)
-    }.reduce(_ + _)
+    val q = queries.select(col(idCol).as("q_id"),
+      lutCol(col(vecCol), codebook, m, sub).as("__lut"))
     val scored = codes.select(col(idCol).as("n_id"), col("codes"))
       .join(broadcast(q), col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), (-round(dist, 4)).as("cos"))
+      .select(col("q_id"), col("n_id"),
+        (-round(adcDist(col("__lut"), col("codes"), m), 4)).as("cos"))
+    Similarity.topKPerKey(scored, k)
+      .select(col("q_id"), col("n_id"), (-col("cos")).as("dist"), col("rk"))
+  }
+
+  /** Squared L2 between two array columns (probe-selection helper —
+    * runs only on queries × centroids rows). */
+  private def l2Cols(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** IVF-PQ: probe the `nprobe` L2-nearest IVF lists per query, then
+    * ADC-scan only the CODES of vectors in those lists — IVF prunes
+    * which vectors are read, PQ shrinks each read to m bytes. With
+    * nprobe = #lists the probe union is the whole corpus and the
+    * result equals [[topK]] exactly (the oracle identity); the
+    * approximate regime is pinned by recall specs.
+    *
+    * `codedLists` is an [[IvfIndex.build]] `indexed` frame projected
+    * through [[codesCol]]: (list_id, id, codes) — the float vectors
+    * are NOT needed at scan time, which is the whole point: the scan
+    * working set is the probed lists' code rows, ~dim×4/m smaller
+    * than the vectors. Probes (with their per-query LUTs) broadcast;
+    * the one exchange pattern matches [[IvfIndex.topK]]. */
+  def topKIvf(codedLists: DataFrame, centroids: Array[Array[Double]],
+              queries: DataFrame, idCol: String, vecCol: String,
+              codebook: Array[Array[Float]], m: Int, k: Int,
+              nprobe: Int): DataFrame = {
+    val spark = codedLists.sparkSession
+    import spark.implicits._
+    val dim = codebook(0).length
+    val sub = dim / m
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cDf = centroids.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("list_id", "c_vec")
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d").asc, col("list_id").asc)
+    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cDf))
+      .withColumn("__d", l2Cols(col("q_vec"), col("c_vec")))
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nprobe)
+      .select(col("q_id"), col("list_id"),
+        lutCol(col("q_vec"), codebook, m, sub).as("__lut"))
+    val scored = broadcast(probes)
+      .join(codedLists.select(col("list_id"), col(idCol).as("n_id"),
+        col("codes")), Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (-round(adcDist(col("__lut"), col("codes"), m), 4)).as("cos"))
     Similarity.topKPerKey(scored, k)
       .select(col("q_id"), col("n_id"), (-col("cos")).as("dist"), col("rk"))
   }

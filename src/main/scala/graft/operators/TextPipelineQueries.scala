@@ -401,6 +401,21 @@ object TextPipelineQueries {
       Pq.topK(codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         cb, 4, 5)
     }),
+    // IVF-PQ composition through the gate: probe ALL lists (so the
+    // probe union is the whole corpus) and the ADC scan over the
+    // per-list codes must reproduce q79's full-scan PQ result exactly
+    // — proving the coded-lists layout, probe selection, and in-list
+    // ADC end-to-end against the same oracle. The pruned regime
+    // (nprobe < #lists) is pinned by PqSpec recall assertions.
+    "q80_ivfpq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val (centroids, indexed) = ivfIndex(s, d)
+      val cb = Pq.seedCodebook(e, "vec_id", "embedding", 16)
+      val coded = indexed.select(col("list_id"), col("vec_id"),
+        Pq.codesCol(col("embedding"), cb, 4).as("codes"))
+      Pq.topKIvf(coded, centroids, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cb, 4, k = 5, nprobe = 8)
+    }),
     // The IVF index through the gate: with nprobe = k (all lists
     // probed) the index is EXACT, so the brute-force oracle applies
     // verbatim — proving build + assignment + probe end-to-end. The
@@ -479,6 +494,42 @@ object TextPipelineQueries {
     """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
       |         WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** PQ ADC top-k recomputed end-to-end in SQL: md5-rank seed
+    * codebook, per-subspace argmin codes, per-query LUT, ranked scan.
+    * Shared by q79 (full-scan PQ) and q80 (IVF-PQ probing every list —
+    * the probe union is the corpus, so the result is identical). */
+  private val pqTopkSql =
+    """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+      |seeds AS (SELECT embedding,
+      |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq') ASC) - 1 AS c
+      |          FROM embeddings
+      |          ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq') ASC LIMIT 16),
+      |exp AS (SELECT v.vec_id, s.c, js.j,
+      |          list_sum([(v.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE) *
+      |                    (v.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE)
+      |                    for i in range(js.j*16 + 1, js.j*16 + 17)]) AS d
+      |        FROM embeddings v CROSS JOIN seeds s CROSS JOIN js),
+      |codes AS (SELECT vec_id, j, c FROM
+      |            (SELECT vec_id, j, c, row_number() OVER
+      |               (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+      |             FROM exp)
+      |          WHERE rn = 1),
+      |lut AS (SELECT q.vec_id AS q_id, s.c, js.j,
+      |          list_sum([(q.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE) *
+      |                    (q.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE)
+      |                    for i in range(js.j*16 + 1, js.j*16 + 17)]) AS d
+      |        FROM embeddings q CROSS JOIN seeds s CROSS JOIN js
+      |        WHERE q.vec_id < 10),
+      |dist AS (SELECT l.q_id, co.vec_id AS n_id, round(sum(l.d), 4) AS dist
+      |         FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
+      |         WHERE l.q_id <> co.vec_id
+      |         GROUP BY l.q_id, co.vec_id),
+      |r AS (SELECT q_id, n_id, dist,
+      |        CAST(row_number() OVER (PARTITION BY q_id
+      |          ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rk
+      |      FROM dist)
+      |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5""".stripMargin
 
   private def cosSql(a: String, b: String) =
     s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a)+1)]) /
@@ -783,37 +834,9 @@ object TextPipelineQueries {
         | CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
         | round(1.0 - len(list_distinct(s)) / len(s), 4) AS rep_ratio
         |FROM sh WHERE len(s) > 0""".stripMargin,
-    "q79_pq_topk" ->
-      """WITH js AS (SELECT unnest(range(0, 4)) AS j),
-        |seeds AS (SELECT embedding,
-        |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq') ASC) - 1 AS c
-        |          FROM embeddings
-        |          ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq') ASC LIMIT 16),
-        |exp AS (SELECT v.vec_id, s.c, js.j,
-        |          list_sum([(v.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE) *
-        |                    (v.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE)
-        |                    for i in range(js.j*16 + 1, js.j*16 + 17)]) AS d
-        |        FROM embeddings v CROSS JOIN seeds s CROSS JOIN js),
-        |codes AS (SELECT vec_id, j, c FROM
-        |            (SELECT vec_id, j, c, row_number() OVER
-        |               (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
-        |             FROM exp)
-        |          WHERE rn = 1),
-        |lut AS (SELECT q.vec_id AS q_id, s.c, js.j,
-        |          list_sum([(q.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE) *
-        |                    (q.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE)
-        |                    for i in range(js.j*16 + 1, js.j*16 + 17)]) AS d
-        |        FROM embeddings q CROSS JOIN seeds s CROSS JOIN js
-        |        WHERE q.vec_id < 10),
-        |dist AS (SELECT l.q_id, co.vec_id AS n_id, round(sum(l.d), 4) AS dist
-        |         FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
-        |         WHERE l.q_id <> co.vec_id
-        |         GROUP BY l.q_id, co.vec_id),
-        |r AS (SELECT q_id, n_id, dist,
-        |        CAST(row_number() OVER (PARTITION BY q_id
-        |          ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rk
-        |      FROM dist)
-        |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q79_pq_topk" -> pqTopkSql,
+    // IVF-PQ with every list probed == full-scan PQ: same oracle
+    "q80_ivfpq_topk" -> pqTopkSql,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),

@@ -79,6 +79,47 @@ class PqSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("IVF-PQ with every list probed equals full-scan PQ exactly") {
+    import graft.operators.IvfIndex
+    val k = 8
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
+    val (centroids, indexed) =
+      IvfIndex.build(df, "vec_id", "embedding", k = 4)
+    val coded = indexed.select(col("list_id"), col("vec_id"),
+      Pq.codesCol(col("embedding"), cb, m).as("codes"))
+    val queries = df.filter($"vec_id" < 5)
+    val full = Pq.topK(Pq.encode(df, "vec_id", "embedding", cb, m),
+      queries, "vec_id", "embedding", cb, m, 3)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    val ivfpq = Pq.topKIvf(coded, centroids, queries, "vec_id", "embedding",
+      cb, m, k = 3, nprobe = 4)
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    assert(ivfpq.sameElements(full))
+    indexed.unpersist()
+  }
+
+  test("IVF-PQ pruned probes: bounded scan keeps most of the full-scan top-3") {
+    import graft.operators.IvfIndex
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", 8)
+    val (centroids, indexed) =
+      IvfIndex.build(df, "vec_id", "embedding", k = 4)
+    val coded = indexed.select(col("list_id"), col("vec_id"),
+      Pq.codesCol(col("embedding"), cb, m).as("codes"))
+    val queries = df.filter($"vec_id" < 10)
+    val full = Pq.topK(Pq.encode(df, "vec_id", "embedding", cb, m),
+      queries, "vec_id", "embedding", cb, m, 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pruned = Pq.topKIvf(coded, centroids, queries, "vec_id", "embedding",
+      cb, m, k = 3, nprobe = 2)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 10L).map(q =>
+      (pruned.getOrElse(q, Set.empty) & full(q)).size.toDouble / 3).sum / 10
+    assert(recall >= 0.5, s"nprobe=2/4 recall vs full PQ = $recall")
+    indexed.unpersist()
+  }
+
   test("recall sanity: PQ@3 finds most exact-L2 top-3 in a clustered corpus") {
     val k = 8
     val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
