@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval over the corpus — the keyword-search complement
+  * to the embedding operators ([[Similarity]], [[IvfIndex]], [[Pq]]):
+  * BM25-ranked top-k documents per query (Robertson/Zaragoza's
+  * Okapi BM25, the Lucene-default scoring function).
+  *
+  * Scale shape — filter FIRST, weigh later: the corpus tokenizes to
+  * per-(doc, term) postings once, the (small) query-term set
+  * broadcasts into the postings scan, and every downstream step —
+  * document frequency, length normalization, scoring, ranking — runs
+  * over the FILTERED postings only, never the full vocabulary:
+  *  - df per term = a count window over the filtered postings
+  *    partitioned by term (df of a term is the same number whether
+  *    counted over all postings or just that term's — so the
+  *    vocabulary-wide frequency table is never built);
+  *  - corpus size and average doc length are one scalar aggregate,
+  *    broadcast via crossJoin;
+  *  - ranking reuses [[Similarity.topKPerKey]]'s partition-local
+  *    heaps — scores are rounded before ranking so ties are
+  *    deterministic (score desc, doc asc).
+  */
+object Retrieval {
+
+  /** BM25 top-k: queries (qIdCol, qTextCol — whitespace terms,
+    * duplicates ignored) against documents (idCol, textCol).
+    * Output: (q_id, doc_id, score, rk), score rounded to 4, rk by
+    * (score desc, doc_id asc). Documents matching no query term are
+    * absent; a query matching nothing yields no rows. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val dl = toks.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val postings = toks
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val qterms = queries.select(col(qIdCol).as("q_id"),
+      explode(array_distinct(split(col(qTextCol), " "))).as("term"))
+    val hits = postings
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+    val scored = broadcast(qterms).join(hits, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+          (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) *
+            (lit(1 - b) + (lit(b) * col("dl")) / col("avgdl")))).as("s"))
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        round(col("s"), 4).as("cos"))
+    Similarity.topKPerKey(scored, k)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("cos").as("score"), col("rk"))
+  }
+}

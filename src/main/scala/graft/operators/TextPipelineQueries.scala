@@ -388,6 +388,17 @@ object TextPipelineQueries {
       Similarity.bruteForceTopKScalable(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", 5)
     }),
+    // BM25 lexical retrieval: keyword queries ranked against the
+    // corpus — the search modality embeddings don't cover. Query
+    // terms broadcast into the postings; df/length-norm/scoring all
+    // run over the filtered postings only.
+    "q81_bm25_topk" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+        queries, "q_id", "q_text", k = 10)
+    }),
     // Product-quantization ANN through the gate: deterministic seed
     // codebooks (md5-rank, oracle-expressible), m=4 subspace codes,
     // ADC lookup-table scan — the memory-compressed counterpart to
@@ -837,6 +848,30 @@ object TextPipelineQueries {
     "q79_pq_topk" -> pqTopkSql,
     // IVF-PQ with every list probed == full-scan PQ: same oracle
     "q80_ivfpq_topk" -> pqTopkSql,
+    "q81_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |postings AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM postings GROUP BY doc_id, term),
+        |q AS (SELECT * FROM (VALUES (0, 'spark join'), (1, 'data merge sort'),
+        |                            (2, 'the slow query')) t(q_id, q_text)),
+        |qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |sc AS (SELECT qt.q_id, tfc.doc_id,
+        |         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+        |           (tfc.tf * 2.2) /
+        |           (tfc.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))), 4) AS score
+        |       FROM qt JOIN tfc USING (term) JOIN dfq USING (term)
+        |            JOIN dl ON tfc.doc_id = dl.doc_id CROSS JOIN stats
+        |       GROUP BY qt.q_id, tfc.doc_id),
+        |r AS (SELECT q_id, doc_id, score,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+        |      FROM sc)
+        |SELECT q_id, doc_id, score, rk FROM r WHERE rk <= 10""".stripMargin,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),

@@ -402,6 +402,39 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bm25: closed-form score, tf saturation and length normalization") {
+    import graft.operators.Retrieval
+    val docs = Seq(
+      (0L, "cat sat"),              // tf=1, dl=2
+      (1L, "cat cat cat cat"),      // tf=4, dl=4
+      (2L, "dog ran far away home") // no match, dl=5
+    ).toDF("doc_id", "text")
+    val queries = Seq((7L, "cat")).toDF("q_id", "q_text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 10)
+      .select($"q_id", $"doc_id", $"score", $"rk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(out.map(_._2).toSeq == Seq(1L, 0L)) // doc2 absent: no match
+    // closed form: n=3, df=2, avgdl=11/3; idf = ln((3-2+0.5)/(2+0.5)+1)
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (11.0 / 3)))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.find(_._2 == 0L).get._3 == r4(s(1, 2)))
+    assert(out.find(_._2 == 1L).get._3 == r4(s(4, 4)))
+    // saturation: 4x the tf is well under 4x the score
+    assert(s(4, 4) < 2.5 * s(1, 4))
+  }
+
+  test("bm25 plan: query terms broadcast; no vocabulary-wide frequency table") {
+    import graft.operators.Retrieval
+    val docs = Seq((0L, "a b"), (1L, "b c")).toDF("doc_id", "text")
+    val queries = Seq((0L, "b")).toDF("q_id", "q_text")
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", 5).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("duplicatedNgramFraction weights by occurrences, not distinct types") {
     val corpus = Seq(
       (0L, "p q r p q r s t u"), // shingles: pqr qrp rpq pqr qrs rst stu -> pqr x2 shared
