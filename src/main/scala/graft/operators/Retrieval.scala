@@ -64,4 +64,30 @@ object Retrieval {
       .select(col("q_id"), col("n_id").as("doc_id"),
         col("cos").as("score"), col("rk"))
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    * ranked lists from heterogeneous retrievers — the standard way to
+    * combine lexical ([[bm25TopK]]) and embedding ([[Similarity]],
+    * [[Pq]]) results without calibrating their incomparable scores:
+    * fused(d) = Σ_lists 1/(c + rank_list(d)). Each input is
+    * (q_id, doc_id, rk); absent-from-a-list contributes nothing.
+    * Output: (q_id, doc_id, rrf, rk) — rrf rounded to 6, rk by
+    * (rrf desc, doc_id asc).
+    *
+    * Scale shape: inputs are already top-k-bounded (k × queries rows
+    * each), so the union + fuse agg is tiny regardless of corpus
+    * size; ranking reuses the partition-local heaps. */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    val pooled = ranked
+      .map(_.select(col("q_id"), col("doc_id"), col("rk")))
+      .reduce(_ unionByName _)
+    val fused = pooled.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(lit(1.0) / (lit(c.toDouble) + col("rk"))).as("s"))
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        round(col("s"), 6).as("cos"))
+    Similarity.topKPerKey(fused, k)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+        col("cos").as("rrf"), col("rk"))
+  }
 }

@@ -399,6 +399,23 @@ object TextPipelineQueries {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         queries, "q_id", "q_text", k = 10)
     }),
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and
+    // the embedding top-k for the same query ids — rank-only fusion,
+    // so the incomparable score scales never meet. Both inputs are
+    // the already-verified operators.
+    "q82_rrf_fusion" -> ((s, d) => {
+      import s.implicits._
+      val tq = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      val bm = Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+        tq, "q_id", "q_text", k = 10)
+        .select(col("q_id"), col("doc_id"), col("rk"))
+      val e = emb(s, d)
+      val ann = Similarity.bruteForceTopKScalable(e,
+        e.filter(col("vec_id") < 3), "vec_id", "embedding", 10)
+        .select(col("q_id"), col("n_id").as("doc_id"), col("rk"))
+      Retrieval.rrfFuse(Seq(bm, ann), k = 10)
+    }),
     // Product-quantization ANN through the gate: deterministic seed
     // codebooks (md5-rank, oracle-expressible), m=4 subspace codes,
     // ADC lookup-table scan — the memory-compressed counterpart to
@@ -848,6 +865,46 @@ object TextPipelineQueries {
     "q79_pq_topk" -> pqTopkSql,
     // IVF-PQ with every list probed == full-scan PQ: same oracle
     "q80_ivfpq_topk" -> pqTopkSql,
+    "q82_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         |postings AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         |tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |        FROM postings GROUP BY doc_id, term),
+         |q AS (SELECT * FROM (VALUES (0, 'spark join'), (1, 'data merge sort'),
+         |                            (2, 'the slow query')) t(q_id, q_text)),
+         |qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q),
+         |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc
+         |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |sc AS (SELECT qt.q_id, tfc.doc_id,
+         |         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+         |           (tfc.tf * 2.2) /
+         |           (tfc.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))), 4) AS score
+         |       FROM qt JOIN tfc USING (term) JOIN dfq USING (term)
+         |            JOIN dl ON tfc.doc_id = dl.doc_id CROSS JOIN stats
+         |       GROUP BY qt.q_id, tfc.doc_id),
+         |rbm AS (SELECT q_id, doc_id,
+         |          CAST(row_number() OVER (PARTITION BY q_id
+         |            ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+         |        FROM sc),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+         |cv AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
+         |      FROM cv CROSS JOIN qv WHERE q_id <> n_id),
+         |ram AS (SELECT q_id, n_id AS doc_id,
+         |          CAST(row_number() OVER (PARTITION BY q_id
+         |            ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
+         |        FROM p),
+         |u AS (SELECT q_id, doc_id, rk FROM rbm WHERE rk <= 10
+         |      UNION ALL SELECT q_id, doc_id, rk FROM ram WHERE rk <= 10),
+         |f AS (SELECT q_id, doc_id, round(sum(1.0 / (60.0 + rk)), 6) AS rrf
+         |      FROM u GROUP BY q_id, doc_id),
+         |r AS (SELECT q_id, doc_id, rrf,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
+         |      FROM f)
+         |SELECT q_id, doc_id, rrf, rk FROM r WHERE rk <= 10""".stripMargin,
     "q81_bm25_topk" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),

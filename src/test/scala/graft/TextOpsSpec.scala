@@ -435,6 +435,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("rrfFuse: both-list docs outrank single-list docs; exact scores; ties by id") {
+    import graft.operators.Retrieval
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("q_id", "doc_id", "rk")
+    val b = Seq((0L, 10L, 2L), (0L, 12L, 1L)).toDF("q_id", "doc_id", "rk")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 10)
+      .select($"doc_id", $"rrf", $"rk")
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0) == ((10L, r6(1.0 / 61 + 1.0 / 62), 1L))) // in both lists
+    // 11 (rank 2 in a) and 12 (rank 1 in b): 1/61 > 1/62
+    assert(out(1) == ((12L, r6(1.0 / 61), 2L)))
+    assert(out(2) == ((11L, r6(1.0 / 62), 3L)))
+  }
+
   test("duplicatedNgramFraction weights by occurrences, not distinct types") {
     val corpus = Seq(
       (0L, "p q r p q r s t u"), // shingles: pqr qrp rpq pqr qrs rst stu -> pqr x2 shared
