@@ -317,6 +317,63 @@ object Curation {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Intra-document repetition removal: within each document, keep
+    * only the FIRST occurrence of each (canonicalized) unit — the
+    * de-looping pass for scraped pages whose template repeats a
+    * paragraph, and for generation artifacts that loop. Cross-doc
+    * boilerplate is [[dropRepeatedParagraphs]]' job; this one needs no
+    * document-frequency table at all. Output: (id, clean, n_kept,
+    * n_dropped).
+    *
+    * Scale shape: one exchange (the per-document group) carrying
+    * (id, pos, unit, hash); first-occurrence selection is min(pos)
+    * per (id, hash) folded map-side — no window function — and
+    * reassembly sorts each document's kept units locally. */
+  def dedupUnitsWithin(df: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n\n",
+                       canon: Column => Column =
+                         u => trim(regexp_replace(lower(u), "\\s+", " ")))
+  : DataFrame = {
+    val units = df
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "unit")))
+      .withColumn("uh", xxhash64(canon(col("unit"))))
+    val firsts = units
+      .groupBy(col(idCol), col("uh"))
+      .agg(min(col("pos")).as("pos"), min_by(col("unit"), col("pos")).as("unit"),
+        count(lit(1)).as("n_occ"))
+    firsts.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+            s => s.getField("unit")),
+          sep).as("clean"),
+        count(lit(1)).as("n_kept"),
+        (sum(col("n_occ")) - count(lit(1))).as("n_dropped"))
+  }
+
+  /** Corpus-relative outlier gate: z-score each row's metric against
+    * the corpus mean/sample-stddev and flag rows within `maxAbsZ` —
+    * the distribution-aware form of a fixed-threshold quality gate
+    * (perplexity filtering in the CCNet/Gopher lineage: docs that are
+    * "too surprising" are noise, "too predictable" are boilerplate —
+    * both tails cut relative to THIS corpus, not absolute constants
+    * that rot as the corpus drifts).
+    *
+    * Output: (idCol, valueCol, z rounded 4, pass). Scale shape: one
+    * scalar aggregate broadcast back via crossJoin — no second pass,
+    * no sort, and the gate itself is a pure projection. */
+  def zScoreGate(df: DataFrame, idCol: String, valueCol: String,
+                 maxAbsZ: Double = 2.0): DataFrame = {
+    val st = df.agg(avg(col(valueCol)).as("__mu"),
+      stddev(col(valueCol)).as("__sd"))
+    df.crossJoin(broadcast(st))
+      .select(col(idCol), col(valueCol),
+        // + 0.0 canonicalizes IEEE -0.0 (a just-below-mean value
+        // rounding to zero) to +0.0
+        (round((col(valueCol) - col("__mu")) / col("__sd"), 4) + lit(0.0)).as("z"))
+      .withColumn("pass", abs(col("z")) <= lit(maxAbsZ))
+  }
+
   /** Quality-aware keep-one rooting: re-root each dup group at its
     * BEST-scoring member (ties → smallest id) instead of the
     * smallest-id default [[Dedup.connectedComponents]] emits. When
@@ -380,10 +437,30 @@ object Curation {
     * candidates) so the full Heaps-law token-type table is never
     * globally sorted; only the ≤ maxSize survivors pass through the
     * single-partition rank window. */
-  def buildVocab(df: DataFrame, textCol: String, maxSize: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def buildVocab(df: DataFrame, textCol: String, maxSize: Int): DataFrame =
+    vocabFromCounts(tokenCounts(df, textCol), maxSize)
+
+  /** The corpus token-frequency table: (token, cnt) — one map-side-
+    * combined agg. The unit of incremental vocabulary maintenance:
+    * counts from disjoint corpus slices ADD ([[mergeTokenCounts]]),
+    * so a batch ingest never re-tokenizes history. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Fold a new batch's token counts into the standing table: union +
+    * sum on the token key. Counts over disjoint doc sets are additive,
+    * so merged counts == from-scratch counts exactly (the q86
+    * invariant) — and therefore the RANKING is identical too. */
+  def mergeTokenCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Rank a (token, cnt) table into the id-assigned vocabulary —
+    * distributed top-maxSize first (TakeOrdered), then the bounded
+    * rank window (see [[buildVocab]]'s scaladoc). */
+  def vocabFromCounts(counts: DataFrame, maxSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    counts
       .orderBy(col("cnt").desc, col("token").asc).limit(maxSize)
       .withColumn("id", (row_number().over(
         Window.orderBy(col("cnt").desc, col("token").asc)) - 1).cast("long"))

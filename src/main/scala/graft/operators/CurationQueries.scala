@@ -53,6 +53,16 @@ object CurationQueries {
           .otherwise("subscribe  to  our newsletter"),
         lit("\n\nclosing para "), col("doc_id").cast("string")).as("text"))
 
+  /** Intra-document repetition injection: a paragraph repeated WITHIN
+    * each document as a case/spacing variant (the de-looping target),
+    * plus unique middle and closing paragraphs. */
+  private def withIntraRepeats(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat(col("text"),
+        lit("\n\nRepeated  Para\n\nmiddle bit "), col("doc_id").cast("string"),
+        lit("\n\nrepeated para\n\nclosing "), col("doc_id").cast("string"))
+        .as("text"))
+
   /** Mixture weights: source index mod 4 → {0.25, 0.5, 1.0, 2.0} —
     * downsample, half, keep, duplicate. */
   private val MixWeights: Map[String, Double] =
@@ -95,6 +105,26 @@ object CurationQueries {
       Curation.keepOne(
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
         "doc_id", TextPipelineQueries.dupGroups(s, d))),
+    // Intra-document de-looping: the injected case-variant repeat
+    // drops, first occurrences and unique paragraphs survive in
+    // order. No document-frequency table — repetition is judged
+    // within each document alone.
+    "q85_intradoc_dedup" -> ((s, d) =>
+      Curation.dedupUnitsWithin(
+        withIntraRepeats(docs(s, d).select(col("doc_id"), col("text"))),
+        "doc_id", "text")),
+    // Incremental vocabulary: counts from the historical slice and
+    // the arriving batch MERGE (counts over disjoint doc sets add),
+    // so the batch never re-tokenizes history — and the merged
+    // ranking equals the from-scratch vocabulary, which is exactly
+    // what the oracle recomputes.
+    "q86_vocab_incremental" -> ((s, d) => {
+      val doc = docs(s, d)
+      val old = Curation.tokenCounts(doc.filter(col("doc_id") % 5 =!= 0), "text")
+      val batch = Curation.tokenCounts(doc.filter(col("doc_id") % 5 === 0), "text")
+      Curation.vocabFromCounts(Curation.mergeTokenCounts(old, batch), 32)
+        .select(col("token"), col("id"), col("cnt"))
+    }),
     // Fixed-size training windows: 16-token chunks every 8 tokens
     // (50% overlap) — zero-exchange generator over the corpus.
     "q75_chunk_windows" -> ((s, d) =>
@@ -314,6 +344,34 @@ object CurationQueries {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM a GROUP BY source, split""".stripMargin,
+    "q85_intradoc_dedup" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || chr(10) || chr(10) || 'Repeated  Para' ||
+        |  chr(10) || chr(10) || 'middle bit ' || CAST(doc_id AS VARCHAR) ||
+        |  chr(10) || chr(10) || 'repeated para' ||
+        |  chr(10) || chr(10) || 'closing ' || CAST(doc_id AS VARCHAR)
+        |  AS text FROM documents),
+        |p AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10) || chr(10))) AS unit,
+        |  unnest(range(1, len(string_split(text, chr(10) || chr(10))) + 1)) AS pos
+        |  FROM inj),
+        |c AS (SELECT doc_id, pos, unit,
+        |  trim(regexp_replace(lower(unit), '\s+', ' ', 'g')) AS canon FROM p),
+        |f AS (SELECT doc_id, canon, min(pos) AS pos,
+        |        min_by(unit, pos) AS unit, count(*) AS n_occ
+        |      FROM c GROUP BY doc_id, canon)
+        |SELECT doc_id,
+        |       string_agg(unit, chr(10) || chr(10) ORDER BY pos) AS clean,
+        |       CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_occ) - count(*) AS BIGINT) AS n_dropped
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "q86_vocab_incremental" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |cnt AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+        |SELECT token,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS BIGINT) AS id,
+        |       cnt
+        |FROM cnt ORDER BY cnt DESC, token ASC LIMIT 32""".stripMargin,
     "q75_chunk_windows" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |              FROM documents),

@@ -436,19 +436,27 @@ object Dedup {
     * side is distinct-hashed and broadcast (tiny vs any training
     * corpus); the corpus side folds to per-document distinct hashes,
     * so the one exchange carries (id, hash) pairs and the hit test is
-    * a map-side broadcast probe ahead of the per-document count. */
+    * a map-side broadcast probe ahead of the per-document count.
+    *
+    * `broadcastBench = false` drops the broadcast hint for reference
+    * sets that are NOT small — e.g. a train-vs-test leakage audit,
+    * where the "benchmark" is the train split: the join still runs on
+    * 8-byte hashes, AQE picks the strategy, and at true web scale the
+    * pre-filter of choice is a Bloom filter over the train hashes. */
   def contaminationFraction(df: DataFrame, idCol: String, textCol: String,
                             bench: DataFrame, benchTextCol: String,
-                            shingleN: Int = 3): DataFrame = {
+                            shingleN: Int = 3,
+                            broadcastBench: Boolean = true): DataFrame = {
     val bad = bench
       .select(explode(shingles(col(benchTextCol), shingleN)).as("sh"))
       .select(xxhash64(col("sh")).as("shh"))
       .distinct()
+      .withColumn("hit", lit(1L))
     spread(df, idCol)
       .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
       .select(col(idCol), xxhash64(col("sh")).as("shh"))
       .distinct()
-      .join(broadcast(bad.withColumn("hit", lit(1L))), Seq("shh"), "left")
+      .join(if (broadcastBench) broadcast(bad) else bad, Seq("shh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_sh"),
         coalesce(sum(col("hit")), lit(0L)).as("n_hit"))

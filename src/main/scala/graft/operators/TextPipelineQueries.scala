@@ -22,6 +22,19 @@ object TextPipelineQueries {
   private def docs(s: SparkSession, d: String) = t(s, d, "documents")
   private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
 
+  /** q36's per-document average unigram surprisal (also the q83
+    * input). Corpus size derives from the frequency table (Σc,
+    * vocab-sized) instead of a third pass over the token stream. */
+  private def docSurprisal(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = tf.agg(sum(col("c")).cast("double").as("n"))
+    tok.join(tf, Seq("w")).crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(col("c") / col("n"))), 4).as("avg_surprisal"))
+  }
+
   /** The distinct shingle-hash table feeds three queries (q17 minhash
     * signatures, q18 LSH candidates, q19 exact Jaccard verify);
     * materialize it ONCE per (session, dir) — the standard shared-
@@ -220,6 +233,22 @@ object TextPipelineQueries {
       Dedup.contamination(doc.filter(col("doc_id") >= 20), "doc_id", "text",
         doc.filter(col("doc_id") < 20), "text", 3)
     }),
+    // Split-leakage audit: after the deterministic holdout split
+    // (q69's md5 thresholds), how much of each TEST document is
+    // 3-gram-shared with the TRAIN side — the check a pipeline runs
+    // before trusting its eval numbers. Composes splitAssign with the
+    // graded contamination operator; scale caveat: the train side's
+    // distinct-shingle set is corpus-sized, so at 100 TB this audit
+    // joins on hashes (as here) or drops to a Bloom pre-filter — it
+    // does NOT broadcast (contaminationFraction only broadcasts when
+    // the bench side is small; AQE decides here).
+    "q84_split_leakage" -> ((s, d) => {
+      val sp = Curation.splitAssign(docs(s, d), "doc_id")
+      Dedup.contaminationFraction(
+        sp.filter(col("split") === "test"), "doc_id", "text",
+        sp.filter(col("split") === "train"), "text", 3,
+        broadcastBench = false)
+    }),
     // Soft decontamination: the graded overlap-fraction form of q46 —
     // every corpus doc with its contaminated-shingle fraction, hashes
     // on both join sides (oracle joins the strings; counts agree).
@@ -351,17 +380,14 @@ object TextPipelineQueries {
     // shape: one shuffle builds the frequency table (vocabulary ≪
     // corpus at scale), which then joins back to the token stream —
     // AQE broadcasts it when small.
-    "q36_token_surprisal" -> ((s, d) => {
-      val tok = docs(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      val tf = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      // corpus size derives from the frequency table (Σc, vocab-sized)
-      // instead of a third pass over the exploded token stream
-      val n = tf.agg(sum(col("c")).cast("double").as("n"))
-      tok.join(tf, Seq("w")).crossJoin(broadcast(n))
-        .groupBy(col("doc_id"))
-        .agg(round(avg(-log(col("c") / col("n"))), 4).as("avg_surprisal"))
-    }),
+    "q36_token_surprisal" -> ((s, d) => docSurprisal(s, d)),
+    // Perplexity gate: q36's per-doc surprisal z-scored against the
+    // corpus distribution — both tails cut (too-random noise, too-
+    // templated boilerplate) relative to THIS corpus. The stats are
+    // computed over the ROUNDED q36 values so the gate is exactly
+    // reproducible.
+    "q83_perplexity_gate" -> ((s, d) =>
+      Curation.zScoreGate(docSurprisal(s, d), "doc_id", "avg_surprisal")),
     // Within-document repetition: 1 − |distinct shingles|/|shingles|.
     // High values flag boilerplate/spam — a standard dedup-adjacent
     // filter. Explode-then-aggregate so the shingle array is built
@@ -659,6 +685,24 @@ object TextPipelineQueries {
          |         JOIN bad USING (shingle) WHERE s.doc_id >= 20)
          |SELECT doc_id, count(DISTINCT shingle) AS n_hits
          |FROM hits GROUP BY doc_id""".stripMargin,
+    "q84_split_leakage" ->
+      s"""WITH $shCte,
+         |spl AS (SELECT doc_id,
+         |          CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4) < 'cccd' THEN 'train'
+         |               WHEN substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4) < 'e666' THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM documents),
+         |bad AS (SELECT DISTINCT s.shingle FROM sh s
+         |        JOIN spl USING (doc_id) WHERE spl.split = 'train'),
+         |ds AS (SELECT DISTINCT s.doc_id, s.shingle FROM sh s
+         |       JOIN spl USING (doc_id) WHERE spl.split = 'test'),
+         |j AS (SELECT ds.doc_id,
+         |        CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |      FROM ds LEFT JOIN bad b USING (shingle))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |       CAST(sum(hit) AS BIGINT) AS n_hit,
+         |       round(sum(hit) / count(*), 4) AS frac
+         |FROM j GROUP BY doc_id""".stripMargin,
     "q74_contamination_frac" ->
       s"""WITH $shCte,
          |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
@@ -852,6 +896,18 @@ object TextPipelineQueries {
         |SELECT doc_id, round(avg(-ln(c / n)), 4) AS avg_surprisal
         |FROM tok JOIN tf USING (w) CROSS JOIN n
         |GROUP BY doc_id""".stripMargin,
+    "q83_perplexity_gate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tok),
+        |ds AS (SELECT doc_id, round(avg(-ln(c / n)), 4) AS avg_surprisal
+        |       FROM tok JOIN tf USING (w) CROSS JOIN n
+        |       GROUP BY doc_id),
+        |st AS (SELECT avg(avg_surprisal) AS mu, stddev_samp(avg_surprisal) AS sd FROM ds)
+        |SELECT doc_id, avg_surprisal,
+        |       round((avg_surprisal - mu) / sd, 4) + 0.0 AS z,
+        |       (abs(round((avg_surprisal - mu) / sd, 4) + 0.0) <= 2.0) AS pass
+        |FROM ds CROSS JOIN st""".stripMargin,
     "q37_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,

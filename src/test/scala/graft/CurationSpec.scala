@@ -296,6 +296,63 @@ class CurationSpec extends AnyFunSuite {
     assert(const.getSeq[Int](4).forall(_ == 0))
   }
 
+  // ---- dedupUnitsWithin (intra-document de-looping) ----
+
+  test("dedupUnitsWithin keeps first occurrences in order; canon merges variants") {
+    val df = Seq(
+      (0L, "alpha\n\nBeta  Two\n\nbeta two\n\nalpha\n\ngamma"),
+      (1L, "solo para")).toDF("doc_id", "text")
+    val out = Curation.dedupUnitsWithin(df, "doc_id", "text")
+      .select($"doc_id", $"clean", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // 'beta two' is a case/spacing variant of 'Beta  Two'; second 'alpha' repeats
+    assert(out(0L) == ((0L, "alpha\n\nBeta  Two\n\ngamma", 3L, 2L)))
+    assert(out(1L) == ((1L, "solo para", 1L, 0L)))
+  }
+
+  test("dedupUnitsWithin is per-document: cross-doc repeats survive") {
+    val df = Seq(
+      (0L, "same para\n\nown zero"),
+      (1L, "same para\n\nown one")).toDF("doc_id", "text")
+    val out = Curation.dedupUnitsWithin(df, "doc_id", "text")
+      .agg(sum($"n_dropped")).as[Long].head()
+    assert(out == 0L) // repetition judged within each doc alone
+  }
+
+  // ---- incremental vocabulary ----
+
+  test("mergeTokenCounts: merged slice counts == from-scratch; ranking identical") {
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "a c c d")).toDF("doc_id", "text")
+    val full = Curation.buildVocab(docs, "text", 3)
+      .select($"token", $"id", $"cnt").as[(String, Long, Long)].collect().toSet
+    val old = Curation.tokenCounts(docs.filter($"doc_id" < 2), "text")
+    val batch = Curation.tokenCounts(docs.filter($"doc_id" === 2L), "text")
+    val merged = Curation.vocabFromCounts(
+      Curation.mergeTokenCounts(old, batch), 3)
+      .select($"token", $"id", $"cnt").as[(String, Long, Long)].collect().toSet
+    assert(merged == full)
+  }
+
+  // ---- zScoreGate (corpus-relative outlier gate) ----
+
+  test("zScoreGate: both tails cut, interior passes, z values exact") {
+    // values: mean 10, sample sd = sqrt(34) ≈ 5.831: the tails sit at
+    // |z| ≈ 1.372, the interior at ≤ 0.343 — gate at 1.0
+    val df = Seq((0L, 2.0), (1L, 8.0), (2L, 10.0), (3L, 12.0), (4L, 18.0))
+      .toDF("doc_id", "v")
+    val out = Curation.zScoreGate(df, "doc_id", "v", maxAbsZ = 1.0)
+      .select($"doc_id", $"z", $"pass")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val mu = 10.0
+    val sd = math.sqrt(Seq(2.0, 8.0, 10.0, 12.0, 18.0)
+      .map(x => (x - mu) * (x - mu)).sum / 4) // sample stddev
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) == ((r4((2.0 - mu) / sd), false)))  // low tail
+    assert(out(4L) == ((r4((18.0 - mu) / sd), false))) // high tail
+    assert(out(2L) == ((0.0, true)))
+    assert(out(1L)._2 && out(3L)._2)
+  }
+
   // ---- keepBest (quality-aware group rooting) ----
 
   test("keepBest re-roots every group at its best-scoring member, ties -> min id") {
