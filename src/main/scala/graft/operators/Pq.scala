@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shapes:
   *  - codebook: k×dim floats collected on the driver (k ≤ 256 —
-  *    bounded, like IVF centroids) and unrolled into literal
-  *    expressions, so encode/LUT are pure whole-stage-codegen
-  *    projections — zero exchanges, no UDFs;
+  *    bounded, like IVF centroids) and carried as a reference object
+  *    in native kernel expressions ([[graft.functions.PqEncodeExpr]] /
+  *    [[graft.functions.PqLutExpr]]), so encode/LUT stay whole-stage
+  *    codegen at any codebook size — zero exchanges, no UDFs;
   *  - encode: narrow projection corpus → (id, codes[m]);
   *  - topK: queries carry their precomputed LUT (m×k doubles) through
   *    a broadcast, the corpus side reads only codes, and
@@ -67,9 +68,26 @@ object Pq {
 
   /** The m-code column for a vector column: codes[j] = argmin over
     * codewords of the subspace-j distance (ties → smallest codeword
-    * index, via (d, c) struct ordering). A pure expression, so callers
-    * can carry extra columns (e.g. an IVF list_id) through encoding. */
+    * index). A pure expression, so callers can carry extra columns
+    * (e.g. an IVF list_id) through encoding.
+    *
+    * Backed by the native [[graft.functions.PqEncodeExpr]] kernel:
+    * the unrolled composition ([[codesColComposed]], kept for the
+    * bit-equality spec) is k·dim arithmetic nodes and blows janino's
+    * generated-method limits at real codebook sizes, knocking the
+    * whole stage out of codegen; the kernel is one node at any k. */
   def codesCol(vec: Column, codebook: Array[Array[Float]], m: Int): Column = {
+    val dim = codebook(0).length
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.PqEncodeExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(vec), codebook, m))
+  }
+
+  /** The unrolled element_at composition of [[codesCol]] — identical
+    * arithmetic in identical order; spec-only. */
+  private[graft] def codesColComposed(vec: Column,
+                                      codebook: Array[Array[Float]],
+                                      m: Int): Column = {
     val dim = codebook(0).length
     val sub = dim / m
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
@@ -87,9 +105,16 @@ object Pq {
     df.select(col(idCol), codesCol(col(vecCol), codebook, m).as("codes"))
 
   /** Per-query ADC lookup table: lut[j][c] = subspace-j distance to
-    * codeword c. */
-  private def lutCol(vec: Column, codebook: Array[Array[Float]],
+    * codeword c (native kernel — see [[codesCol]] on why). */
+  private[graft] def lutCol(vec: Column, codebook: Array[Array[Float]],
                      m: Int, sub: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(graft.functions.PqLutExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(vec), codebook, m))
+
+  /** Unrolled composition of [[lutCol]]; spec-only. */
+  private[graft] def lutColComposed(vec: Column,
+                                    codebook: Array[Array[Float]],
+                                    m: Int, sub: Int): Column =
     array((0 until m).map { j =>
       array(codebook.indices.map(c => subL2(vec, codebook(c), j, sub)): _*)
     }: _*)

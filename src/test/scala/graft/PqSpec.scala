@@ -72,6 +72,28 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("native PQ kernels are bit-identical to the unrolled composition") {
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", 8)
+    val nat = df.select($"vec_id", Pq.codesCol($"embedding", cb, m).as("c"))
+      .as[(Long, Array[Int])].collect().toMap
+    val comp = df.select($"vec_id",
+        Pq.codesColComposed($"embedding", cb, m).as("c"))
+      .as[(Long, Array[Int])].collect().toMap
+    assert(nat.size == 40)
+    nat.foreach { case (k, v) => assert(v.sameElements(comp(k)), s"codes @$k") }
+    val lutN = df.filter($"vec_id" < 3)
+      .select($"vec_id", Pq.lutCol($"embedding", cb, m, dim / m).as("l"))
+      .as[(Long, Array[Array[Double]])].collect().toMap
+    val lutC = df.filter($"vec_id" < 3)
+      .select($"vec_id", Pq.lutColComposed($"embedding", cb, m, dim / m).as("l"))
+      .as[(Long, Array[Array[Double]])].collect().toMap
+    lutN.foreach { case (k, v) =>
+      v.zip(lutC(k)).foreach { case (a, b) =>
+        assert(a.sameElements(b), s"lut @$k") // bit-identical doubles
+      }
+    }
+  }
+
   test("encode is a zero-exchange projection") {
     val cb = Pq.seedCodebook(df, "vec_id", "embedding", 4)
     val plan = Pq.encode(df, "vec_id", "embedding", cb, m)
