@@ -150,6 +150,36 @@ object Pq {
       .select(col("q_id"), col("n_id"), (-col("cos")).as("dist"), col("rk"))
   }
 
+  /** Two-stage retrieval: ADC shortlist, exact re-rank — the standard
+    * PQ serving pattern. Stage 1 ([[topK]]) scans only m-byte codes to
+    * produce `shortlist` candidates per query; stage 2 computes exact
+    * cosine on just those shortlist vectors (queries × shortlist rows
+    * — the 99%-pruned remainder of the exact work) and re-ranks to k.
+    * Quantization error then costs RECALL only (a true neighbor missing
+    * from the shortlist), never ordering among returned results.
+    * Output: (q_id, n_id, cos, rk) — the [[Similarity
+    * .bruteForceTopKScalable]] shape, rk by (cos desc, n_id asc).
+    *
+    * Scale shape: the shortlist (queries × shortlist ids) joins the
+    * query vectors and broadcasts into ONE corpus scan — the corpus
+    * never shuffles for the re-rank. */
+  def topKRerank(codes: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String,
+                 codebook: Array[Array[Float]], m: Int, k: Int,
+                 shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist=$shortlist must be >= k=$k")
+    val short = topK(codes, queries, idCol, vecCol, codebook, m, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val scored = broadcast(short.join(qv, Seq("q_id")))
+      .join(corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(graft.functions.VectorFunctions.cosine(
+          col("q_vec"), col("n_vec")), 4).as("cos"))
+    Similarity.topKPerKey(scored, k)
+  }
+
   /** Squared L2 between two array columns (probe-selection helper —
     * runs only on queries × centroids rows). */
   private def l2Cols(a: Column, b: Column): Column =

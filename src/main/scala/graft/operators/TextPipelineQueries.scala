@@ -455,6 +455,17 @@ object TextPipelineQueries {
       Pq.topK(codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         cb, 4, 5)
     }),
+    // Two-stage retrieval through the gate: ADC shortlist of 20,
+    // exact-cosine re-rank to 5 — quantization error costs recall
+    // only, never ordering among returned results. The exact pass
+    // touches 20 vectors per query instead of the corpus.
+    "q87_pq_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Pq.seedCodebook(e, "vec_id", "embedding", 16)
+      Pq.topKRerank(Pq.encode(e, "vec_id", "embedding", cb, 4),
+        e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        cb, 4, k = 5, shortlist = 20)
+    }),
     // IVF-PQ composition through the gate: probe ALL lists (so the
     // probe union is the whole corpus) and the ADC scan over the
     // per-list codes must reproduce q79's full-scan PQ result exactly
@@ -549,12 +560,11 @@ object TextPipelineQueries {
       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
       |         WHERE a.doc_id < b.doc_id)""".stripMargin
 
-  /** PQ ADC top-k recomputed end-to-end in SQL: md5-rank seed
-    * codebook, per-subspace argmin codes, per-query LUT, ranked scan.
-    * Shared by q79 (full-scan PQ) and q80 (IVF-PQ probing every list —
-    * the probe union is the corpus, so the result is identical). */
-  private val pqTopkSql =
-    """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+  /** PQ ADC CTEs shared by q79/q80/q87: md5-rank seed codebook,
+    * per-subspace argmin codes, per-query LUT, and the ADC distance
+    * table `dist` — each oracle attaches its own ranking tail. */
+  private val pqCoreCtes =
+    """js AS (SELECT unnest(range(0, 4)) AS j),
       |seeds AS (SELECT embedding,
       |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq') ASC) - 1 AS c
       |          FROM embeddings
@@ -578,12 +588,18 @@ object TextPipelineQueries {
       |dist AS (SELECT l.q_id, co.vec_id AS n_id, round(sum(l.d), 4) AS dist
       |         FROM codes co JOIN lut l ON l.j = co.j AND l.c = co.c
       |         WHERE l.q_id <> co.vec_id
-      |         GROUP BY l.q_id, co.vec_id),
-      |r AS (SELECT q_id, n_id, dist,
-      |        CAST(row_number() OVER (PARTITION BY q_id
-      |          ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rk
-      |      FROM dist)
-      |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5""".stripMargin
+      |         GROUP BY l.q_id, co.vec_id)""".stripMargin
+
+  /** PQ ADC top-k end-to-end in SQL. Shared by q79 (full-scan PQ) and
+    * q80 (IVF-PQ probing every list — the probe union is the corpus,
+    * so the result is identical). */
+  private val pqTopkSql =
+    s"""WITH $pqCoreCtes,
+       |r AS (SELECT q_id, n_id, dist,
+       |        CAST(row_number() OVER (PARTITION BY q_id
+       |          ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rk
+       |      FROM dist)
+       |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5""".stripMargin
 
   private def cosSql(a: String, b: String) =
     s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a)+1)]) /
@@ -921,6 +937,23 @@ object TextPipelineQueries {
     "q79_pq_topk" -> pqTopkSql,
     // IVF-PQ with every list probed == full-scan PQ: same oracle
     "q80_ivfpq_topk" -> pqTopkSql,
+    "q87_pq_rerank" ->
+      s"""WITH $pqCoreCtes,
+         |shortr AS (SELECT q_id, n_id,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY dist ASC, n_id ASC) AS srk
+         |           FROM dist),
+         |shortl AS (SELECT q_id, n_id FROM shortr WHERE srk <= 20),
+         |ex AS (SELECT s.q_id, s.n_id,
+         |         round(${cosSql("q.embedding", "c.embedding")}, 4) AS cos
+         |       FROM shortl s
+         |       JOIN embeddings q ON s.q_id = q.vec_id
+         |       JOIN embeddings c ON s.n_id = c.vec_id),
+         |rr AS (SELECT q_id, n_id, cos,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
+         |       FROM ex)
+         |SELECT q_id, n_id, cos, rk FROM rr WHERE rk <= 5""".stripMargin,
     "q82_rrf_fusion" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),

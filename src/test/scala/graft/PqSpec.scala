@@ -142,6 +142,37 @@ class PqSpec extends AnyFunSuite {
     indexed.unpersist()
   }
 
+  test("rerank: scores are exact cosines; recall@3 >= raw PQ against exact top-3") {
+    import graft.functions.VectorKernels
+    val k = 8
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
+    val codes = Pq.encode(df, "vec_id", "embedding", cb, m)
+    val queries = df.filter($"vec_id" < 10)
+    val byId = vecs.toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rer = Pq.topKRerank(codes, queries, df, "vec_id", "embedding",
+      cb, m, k = 3, shortlist = 8).as[(Long, Long, Double, Long)].collect()
+    rer.foreach { case (q, n, cos, _) =>
+      assert(cos == r4(VectorKernels.cosineArr(byId(q), byId(n))),
+        s"rerank cos for ($q,$n) is not the exact cosine")
+    }
+    // exact cosine top-3 per query (the ground truth)
+    val exact = (0L until 10L).map { q =>
+      q -> vecs.filter(_._1 != q).map { case (id, v) =>
+        (id, r4(VectorKernels.cosineArr(byId(q), v)))
+      }.sortBy { case (id, c) => (-c, id) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(res: Map[Long, Set[Long]]) =
+      (0L until 10L).map(q => (res.getOrElse(q, Set.empty) & exact(q)).size).sum / 30.0
+    val rerBy = rer.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // raw PQ ranks by quantized L2; compare its cosine-truth recall
+    val pqBy = Pq.topK(codes, queries, "vec_id", "embedding", cb, m, 3)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(recall(rerBy) >= recall(pqBy),
+      s"rerank ${recall(rerBy)} < raw PQ ${recall(pqBy)}")
+  }
+
   test("recall sanity: PQ@3 finds most exact-L2 top-3 in a clustered corpus") {
     val k = 8
     val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
