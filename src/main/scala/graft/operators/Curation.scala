@@ -317,6 +317,30 @@ object Curation {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Temperature-flattened source weights (the α-sampling rule of the
+    * multilingual/mixture lineage — mBERT/XLM-R/PaLM): target share of
+    * source s is p_s ∝ (n_s/N)^α, so α = 1 reproduces the natural
+    * distribution, α = 0 equalizes all sources, and 0 < α < 1
+    * upsamples small sources / downsamples dominant ones. Returns the
+    * per-source replication weight w_s = p_s·N / (Z·n_s) in
+    * [[mixBySource]]'s expected-copies form (Σ n_s·w_s = N: the
+    * flattening reshapes, not grows, the corpus).
+    *
+    * The per-source count table is #sources-sized and collects on the
+    * driver — bounded metadata, like IVF centroids; sums run in
+    * sorted-source order so the weights are reproducible. */
+  def temperatureWeights(df: DataFrame, sourceCol: String,
+                         alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .sortBy(_._1)
+    val tot = counts.map(_._2).sum
+    val ps = counts.map { case (s, n) => s -> math.pow(n / tot, alpha) }
+    val z = ps.map(_._2).sum
+    ps.zip(counts).map { case ((s, p), (_, n)) => s -> p / z * tot / n }.toMap
+  }
+
   /** Intra-document repetition removal: within each document, keep
     * only the FIRST occurrence of each (canonicalized) unit — the
     * de-looping pass for scraped pages whose template repeats a

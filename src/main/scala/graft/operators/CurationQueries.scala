@@ -101,6 +101,17 @@ object CurationQueries {
     "q51_mix_sample" -> ((s, d) =>
       Curation.mixBySource(docs(s, d).select(col("doc_id"), col("source")),
         "doc_id", "source", MixWeights)),
+    // α-temperature mixture: weights DERIVED from the corpus's own
+    // source distribution (α=0.5 flattening over a deterministically
+    // skewed subset — doc_id % 40 < 25 doubles sources 0-4's share),
+    // then the same md5-replication machinery as q51. The oracle
+    // recomputes pow-weights, the 16-bit threshold, and replication.
+    "q88_temperature_mix" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") % 40 < 25)
+        .select(col("doc_id"), col("source"))
+      Curation.mixBySource(base, "doc_id", "source",
+        Curation.temperatureWeights(base, "source", 0.5))
+    }),
     "q52_dedup_corpus" -> ((s, d) =>
       Curation.keepOne(
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
@@ -274,6 +285,23 @@ object CurationQueries {
         |    AS src_rank
         |  FROM documents)
         |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 20""".stripMargin,
+    "q88_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 40 < 25),
+        |c AS (SELECT source, count(*)::DOUBLE AS n FROM d GROUP BY source),
+        |t AS (SELECT sum(n) AS tot FROM c),
+        |p AS (SELECT source, n, pow(n / tot, 0.5) AS ps FROM c CROSS JOIN t),
+        |z AS (SELECT sum(ps) AS z FROM p),
+        |w AS (SELECT source, ps / z * (SELECT tot FROM t) / n AS w
+        |      FROM p CROSS JOIN z),
+        |cc AS (SELECT d.doc_id, d.source,
+        |         CAST(floor(w.w) AS BIGINT) +
+        |         (CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix'), 1, 4) <
+        |             lower(lpad(to_hex(LEAST(CAST(round((w.w - floor(w.w)) * 65536) AS BIGINT),
+        |                                     65535)), 4, '0'))
+        |           THEN 1 ELSE 0 END) AS copies
+        |       FROM d JOIN w USING (source))
+        |SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
+        |FROM cc WHERE copies > 0""".stripMargin,
     "q51_mix_sample" ->
       """WITH w AS (SELECT doc_id, source,
         |  CAST(substr(source, 4) AS INT) % 4 AS m,

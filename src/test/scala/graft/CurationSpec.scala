@@ -296,6 +296,27 @@ class CurationSpec extends AnyFunSuite {
     assert(const.getSeq[Int](4).forall(_ == 0))
   }
 
+  // ---- temperature mixing ----
+
+  test("temperatureWeights: alpha=1 is identity, alpha=0 equalizes, mass conserved") {
+    val df = (Seq.fill(60)("big") ++ Seq.fill(20)("mid") ++ Seq.fill(20)("small"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "src")
+    val w1 = Curation.temperatureWeights(df, "src", 1.0)
+    assert(w1.values.forall(w => math.abs(w - 1.0) < 1e-12), w1)
+    val w0 = Curation.temperatureWeights(df, "src", 0.0)
+    // equal share: each source targets 100/3 docs
+    assert(math.abs(w0("big") - 100.0 / 3 / 60) < 1e-12)
+    assert(math.abs(w0("small") - 100.0 / 3 / 20) < 1e-12)
+    val wh = Curation.temperatureWeights(df, "src", 0.5)
+    // flattening: dominant source down, small sources up
+    assert(wh("big") < 1.0 && wh("small") > 1.0, wh)
+    // expected mass conserved at every alpha: sum n_s * w_s == N
+    Seq(w0, wh, w1).foreach { w =>
+      val mass = 60 * w("big") + 20 * w("mid") + 20 * w("small")
+      assert(math.abs(mass - 100.0) < 1e-9, s"mass $mass for $w")
+    }
+  }
+
   // ---- dedupUnitsWithin (intra-document de-looping) ----
 
   test("dedupUnitsWithin keeps first occurrences in order; canon merges variants") {
