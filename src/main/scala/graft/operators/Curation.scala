@@ -317,6 +317,27 @@ object Curation {
     corpus.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Hashing-trick featurization (Weinberger et al., ICML 2009): token
+    * → bucket = md5-prefix mod `dim`, counted per document — sparse
+    * bag-of-words features with NO vocabulary table, no OOV, and no
+    * training pass; the standard corpus-scale featurizer for linear
+    * quality classifiers. Output: (id, bucket, cnt), absent buckets
+    * are implicit zeros.
+    *
+    * Scale shape: a pure hash projection plus one (id, bucket) agg —
+    * map-side combined, nothing corpus-wide; contrast [[buildVocab]],
+    * whose id assignment needs the global frequency rank. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+      .select(col(idCol),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim)
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Temperature-flattened source weights (the α-sampling rule of the
     * multilingual/mixture lineage — mBERT/XLM-R/PaLM): target share of
     * source s is p_s ∝ (n_s/N)^α, so α = 1 reproduces the natural

@@ -101,6 +101,11 @@ object CurationQueries {
     "q51_mix_sample" -> ((s, d) =>
       Curation.mixBySource(docs(s, d).select(col("doc_id"), col("source")),
         "doc_id", "source", MixWeights)),
+    // Hashing-trick features: vocabulary-free sparse bag-of-words
+    // over 64 md5 buckets — the featurizer a corpus-scale quality
+    // classifier trains on.
+    "q89_hashed_features" -> ((s, d) =>
+      Curation.hashedFeatures(docs(s, d), "doc_id", "text", 64)),
     // α-temperature mixture: weights DERIVED from the corpus's own
     // source distribution (α=0.5 flattening over a deterministically
     // skewed subset — doc_id % 40 < 25 doubles sources 0-4's share),
@@ -285,6 +290,13 @@ object CurationQueries {
         |    AS src_rank
         |  FROM documents)
         |SELECT doc_id, source, src_rank FROM r WHERE src_rank <= 20""".stripMargin,
+    "q89_hashed_features" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |SELECT doc_id,
+        |       CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+        |       count(*) AS cnt
+        |FROM tok GROUP BY doc_id, bucket""".stripMargin,
     "q88_temperature_mix" ->
       """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 40 < 25),
         |c AS (SELECT source, count(*)::DOUBLE AS n FROM d GROUP BY source),

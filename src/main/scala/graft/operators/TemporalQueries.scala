@@ -103,6 +103,34 @@ object TemporalQueries {
     // Same semantics as q27 through the NATIVE as-of operator (custom
     // logical node + strategy + merge-join exec, graft.plans) — both
     // run against the same DuckDB oracle.
+    // Behavioral sequence mining: each user's event-type stream in
+    // event order, shingled into trigrams, counted corpus-wide — the
+    // "what do journeys look like" query, built from the SAME shingle
+    // machinery as the text pipeline. One exchange per stage (user
+    // reassembly, trigram count), both map-side combined; sequences
+    // are event-type tokens, never payloads.
+    "q90_event_trigrams" -> ((s, d) => {
+      import graft.functions.TextFunctions.shingles
+      val seqs = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+          x => x.getField("event_type"))).as("seq"))
+      seqs.select(explode(shingles(col("seq"), 3)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    }),
+    // Schema-on-read JSON props: extract a typed field from the
+    // string-JSON payload column and aggregate per event type —
+    // the everyday "the interesting field is inside a JSON blob"
+    // query; extraction is a codegen projection, no UDF.
+    "q91_props_extract" -> ((s, d) =>
+      t(s, d, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          round(avg(col("k")), 4).as("avg_k"))),
     "q35_asof_native" -> ((s, d) => {
       val e = t(s, d, "events")
       val clicks = e.filter(col("event_type") === "click")
@@ -191,6 +219,21 @@ object TemporalQueries {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
     // q35 = q27 semantics through the native merge operator; the
     // window-form oracle (same tie-break) applies unchanged.
+    "q90_event_trigrams" ->
+      """WITH seqs AS (SELECT user_id,
+        |                string_agg(event_type, ' ' ORDER BY event_id) AS seq
+        |              FROM events GROUP BY user_id),
+        |toks AS (SELECT user_id, string_split(seq, ' ') AS w FROM seqs),
+        |g AS (SELECT unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w) - 1)]) AS gram
+        |      FROM toks)
+        |SELECT gram, count(*) AS n FROM g GROUP BY gram""".stripMargin,
+    "q91_props_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |       min(json_extract(props, '$.k')::BIGINT) AS min_k,
+        |       max(json_extract(props, '$.k')::BIGINT) AS max_k,
+        |       round(avg(json_extract(props, '$.k')::BIGINT), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q35_asof_native" ->
       """WITH cp AS (SELECT * FROM events WHERE event_type IN ('click','purchase')),
         |w AS (SELECT event_id, event_type,

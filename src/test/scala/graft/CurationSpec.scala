@@ -296,6 +296,22 @@ class CurationSpec extends AnyFunSuite {
     assert(const.getSeq[Int](4).forall(_ == 0))
   }
 
+  // ---- hashed features ----
+
+  test("hashedFeatures: buckets in range, counts conserve tokens, same token same bucket") {
+    val df = Seq((0L, "a b a c"), (1L, "a d")).toDF("doc_id", "text")
+    val out = Curation.hashedFeatures(df, "doc_id", "text", 8)
+      .select($"doc_id", $"bucket", $"cnt")
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(out.filter(_._1 == 0L).map(_._3).sum == 4) // token mass conserved
+    assert(out.filter(_._1 == 1L).map(_._3).sum == 2)
+    // 'a' hashes to one bucket: both docs share it
+    val aBuckets = out.filter(r => r._3 >= 2 && r._1 == 0L).map(_._2)
+    assert(aBuckets.length == 1 &&
+      out.exists(r => r._1 == 1L && r._2 == aBuckets.head))
+  }
+
   // ---- temperature mixing ----
 
   test("temperatureWeights: alpha=1 is identity, alpha=0 equalizes, mass conserved") {
