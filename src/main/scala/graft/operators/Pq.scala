@@ -150,6 +150,39 @@ object Pq {
       .select(col("q_id"), col("n_id"), (-col("cos")).as("dist"), col("rk"))
   }
 
+  /** Persist a codebook as a managed table — the index artifact a
+    * nightly batch encodes against ([[encodeSaved]]): codes stay
+    * comparable across batches only if every batch uses the SAME
+    * codebook, so it must live beside the data, not be re-derived. */
+  def saveCodebook(spark: org.apache.spark.sql.SparkSession, name: String,
+                   codebook: Array[Array[Float]]): Unit = {
+    import spark.implicits._
+    Bucketing.dropManagedTable(spark, name)
+    codebook.zipWithIndex.map { case (w, c) => (c.toLong, w.toSeq) }
+      .toSeq.toDF("c", "w")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(name)
+  }
+
+  /** Load a [[saveCodebook]] table back into codeword order. */
+  def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+                   name: String): Array[Array[Float]] = {
+    import spark.implicits._
+    spark.table(name).orderBy(col("c").asc)
+      .select(col("w")).as[Array[Float]].collect()
+  }
+
+  /** Encode an arriving batch against the SAVED codebook — a pure
+    * projection, no training pass, no corpus contact: the incremental
+    * form of [[encode]], and by determinism of the argmin, batch codes
+    * == the codes a from-scratch encode of the union would give (the
+    * q93 invariant — same shape as incremental CC / exact dedup /
+    * vocab merge). */
+  def encodeSaved(spark: org.apache.spark.sql.SparkSession, name: String,
+                  batch: DataFrame, idCol: String, vecCol: String,
+                  m: Int): DataFrame =
+    encode(batch, idCol, vecCol, loadCodebook(spark, name), m)
+
   /** Two-stage retrieval: ADC shortlist, exact re-rank — the standard
     * PQ serving pattern. Stage 1 ([[topK]]) scans only m-byte codes to
     * produce `shortlist` candidates per query; stage 2 computes exact

@@ -267,6 +267,22 @@ object TextPipelineQueries {
     // "which docs do I drop" artifact of the dedup pipeline.
     "q41_dedup_groups" -> ((s, d) =>
       dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id"))),
+    // Pipeline-health dashboard: per-source dedup audit — how many
+    // docs, how many sit in a dup group, how many would drop under
+    // keep-one, and the drop rate. The query an operator looks at
+    // before and after every ingest; label table is tiny relative to
+    // the corpus, AQE broadcasts it into the per-source rollup.
+    "q92_dedup_audit" -> ((s, d) => {
+      val labels = dupGroups(s, d)
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep_id").isNotNull, 1L).otherwise(0L)).as("n_grouped"),
+          sum(when(col("keep_id").isNotNull && col("keep_id") =!= col("doc_id"),
+            1L).otherwise(0L)).as("n_dropped"))
+        .withColumn("drop_rate", round(col("n_dropped") / col("n_docs"), 4))
+    }),
     // Quality-aware re-rooting of the q41 groups: keep the
     // longest-in-tokens member (ties → smallest id) instead of the
     // smallest id — the "keep the best copy" materialization.
@@ -454,6 +470,23 @@ object TextPipelineQueries {
       val codes = Pq.encode(e, "vec_id", "embedding", cb, 4)
       Pq.topK(codes, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         cb, 4, 5)
+    }),
+    // Incremental PQ ingest: the codebook persists as a managed table
+    // (codes are only comparable across batches under ONE codebook),
+    // and an arriving batch encodes against it — pure projection, no
+    // training pass, no corpus contact. Codes equal what a
+    // from-scratch encode would give (argmin determinism), which is
+    // exactly what the oracle recomputes.
+    "q93_pq_encode_incremental" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Pq.seedCodebook(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", 16)
+      Pq.saveCodebook(s, "g_pq_cb", cb)
+      Pq.encodeSaved(s, "g_pq_cb", e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", 4)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("codes"), c => c.cast("string")))
+            .as("codes"))
     }),
     // Two-stage retrieval through the gate: ADC shortlist of 20,
     // exact-cosine re-rank to 5 — quantization error costs recall
@@ -743,6 +776,27 @@ object TextPipelineQueries {
          |       CAST(sum(dn) AS BIGINT) AS n_dup,
          |       round(sum(dn) / sum(n), 4) AS frac
          |FROM j GROUP BY doc_id""".stripMargin,
+    "q92_dedup_audit" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |lab AS (SELECT a AS did, least(a, min(b)) AS keep_id
+         |        FROM reach GROUP BY a),
+         |j AS (SELECT d.source, d.doc_id, l.keep_id
+         |      FROM documents d LEFT JOIN lab l ON d.doc_id = l.did)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN keep_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_grouped,
+         |       CAST(sum(CASE WHEN keep_id IS NOT NULL AND keep_id <> doc_id
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       round(sum(CASE WHEN keep_id IS NOT NULL AND keep_id <> doc_id
+         |                      THEN 1 ELSE 0 END) / count(*), 4) AS drop_rate
+         |FROM j GROUP BY source""".stripMargin,
     "q78_keep_best" ->
       s"""WITH RECURSIVE $shCte,
          |$mhCte,
@@ -937,6 +991,25 @@ object TextPipelineQueries {
     "q79_pq_topk" -> pqTopkSql,
     // IVF-PQ with every list probed == full-scan PQ: same oracle
     "q80_ivfpq_topk" -> pqTopkSql,
+    "q93_pq_encode_incremental" ->
+      """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+        |seeds AS (SELECT embedding,
+        |            row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq') ASC) - 1 AS c
+        |          FROM embeddings WHERE vec_id % 5 <> 0
+        |          ORDER BY md5(CAST(vec_id AS VARCHAR) || '|pq') ASC LIMIT 16),
+        |exp AS (SELECT v.vec_id, s.c, js.j,
+        |          list_sum([(v.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE) *
+        |                    (v.embedding[i]::DOUBLE - s.embedding[i]::DOUBLE)
+        |                    for i in range(js.j*16 + 1, js.j*16 + 17)]) AS d
+        |        FROM embeddings v CROSS JOIN seeds s CROSS JOIN js
+        |        WHERE v.vec_id % 5 = 0),
+        |codes AS (SELECT vec_id, j, c FROM
+        |            (SELECT vec_id, j, c, row_number() OVER
+        |               (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+        |             FROM exp)
+        |          WHERE rn = 1)
+        |SELECT vec_id, string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS codes
+        |FROM codes GROUP BY vec_id""".stripMargin,
     "q87_pq_rerank" ->
       s"""WITH $pqCoreCtes,
          |shortr AS (SELECT q_id, n_id,

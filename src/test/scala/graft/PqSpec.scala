@@ -173,6 +173,23 @@ class PqSpec extends AnyFunSuite {
       s"rerank ${recall(rerBy)} < raw PQ ${recall(pqBy)}")
   }
 
+  test("encodeSaved: batch codes through the persisted codebook == direct encode") {
+    val cb = Pq.seedCodebook(df.filter($"vec_id" < 30), "vec_id", "embedding", 8)
+    Pq.saveCodebook(spark, "g_pq_cb_spec", cb)
+    try {
+      val batch = df.filter($"vec_id" >= 30)
+      val saved = Pq.encodeSaved(spark, "g_pq_cb_spec", batch,
+        "vec_id", "embedding", m).as[(Long, Array[Int])].collect().toMap
+      val direct = Pq.encode(batch, "vec_id", "embedding", cb, m)
+        .as[(Long, Array[Int])].collect().toMap
+      assert(saved.size == 10)
+      saved.foreach { case (k, v) => assert(v.sameElements(direct(k)), s"@$k") }
+      // round-trip preserves the codebook bit-for-bit (codes stay comparable)
+      val loaded = Pq.loadCodebook(spark, "g_pq_cb_spec")
+      cb.zip(loaded).foreach { case (a, b) => assert(a.sameElements(b)) }
+    } finally graft.operators.Bucketing.dropManagedTable(spark, "g_pq_cb_spec")
+  }
+
   test("recall sanity: PQ@3 finds most exact-L2 top-3 in a clustered corpus") {
     val k = 8
     val cb = Pq.seedCodebook(df, "vec_id", "embedding", k)
