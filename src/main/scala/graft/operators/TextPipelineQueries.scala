@@ -60,6 +60,18 @@ object TextPipelineQueries {
       Dedup.shingleTable(docs(s, d), "doc_id", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** The per-document simhash feeds q20 (output) and q72 (banding
+    * plus TWO hamming-verify join-backs) — uncached, q72 re-runs the
+    * 16-vote token aggregation three times, which was its entire ~10s
+    * bench floor. Same lifecycle as [[shCache]]. */
+  private val simhashCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def simhashTab(s: SparkSession, d: String): DataFrame =
+    simhashCache.getOrElseUpdate((sessionKey(s), d),
+      Dedup.simhash(docs(s, d), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** The (id, band, sig) signature table is itself multi-consumer
     * (q17 output, q18 bucketing, q19's candidate pairs) and tiny —
     * 4 rows per doc — so it is cached too, derived from the cached
@@ -164,7 +176,7 @@ object TextPipelineQueries {
     * no-op Dataset.unpersist. */
   def clearCache(s: SparkSession): Unit = {
     val key = sessionKey(s)
-    Seq(shCache, sigCache, ccCache).foreach { cache =>
+    Seq(shCache, sigCache, simhashCache, ccCache).foreach { cache =>
       cache.keys.filter(_._1 == key).foreach { k =>
         cache.remove(k).foreach { df =>
           df.unpersist(blocking = false)
@@ -189,8 +201,7 @@ object TextPipelineQueries {
       val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
       Dedup.ngramJaccardFromShingles(sh, pairs, "doc_id")
     }),
-    "q20_simhash" -> ((s, d) =>
-      Dedup.simhash(docs(s, d), "doc_id", "text")),
+    "q20_simhash" -> ((s, d) => simhashTab(s, d)),
     // Exact-dedup batch ingest: which arriving docs duplicate a prior
     // corpus doc at the 100-char prefix-fingerprint grain (this
     // corpus has no full-text byte dups; the prefix grain is the
@@ -208,8 +219,7 @@ object TextPipelineQueries {
     // verified at hamming <= 3 — the third dedup modality's pairs
     // (MinHash q18, embeddings q26) with the identical banded shape.
     "q72_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Dedup.simhash(docs(s, d), "doc_id", "text"),
-        "doc_id")),
+      Dedup.simhashPairs(simhashTab(s, d), "doc_id")),
     // Candidate-quality metrics — the evaluation harness for tuning
     // bands/rows/threshold: what fraction of LSH candidate pairs
     // survive exact Jaccard verification at τ = 0.7. One row; the
