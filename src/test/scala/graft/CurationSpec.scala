@@ -296,6 +296,36 @@ class CurationSpec extends AnyFunSuite {
     assert(const.getSeq[Int](4).forall(_ == 0))
   }
 
+  // ---- streaming twins of the stateless curation transforms ----
+
+  test("chunkDocs and hashedFeatures run unchanged on a stream (stream == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq((0L, "a b c d e"), (1L, "x y z"))
+    val mem = MemoryStream[(Long, String)]
+    val streamDf = mem.toDF().toDF("doc_id", "text")
+    // stateless projections/generators compose on a stream verbatim —
+    // no watermark, no state store, append mode
+    val q = Curation.hashedFeatures(
+      Curation.chunkDocs(streamDf, "doc_id", "text", 3, 3)
+        .withColumnRenamed("chunk_text", "text")
+        .withColumn("doc_id", concat(col("doc_id"), lit("#"), col("chunk_idx"))),
+      "doc_id", "text", 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("chunk_feat_out").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("chunk_feat_out")
+      .as[(String, Long, Long)].collect().toSet
+    q.stop()
+    val batch = Curation.hashedFeatures(
+      Curation.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text", 3, 3)
+        .withColumnRenamed("chunk_text", "text")
+        .withColumn("doc_id", concat(col("doc_id"), lit("#"), col("chunk_idx"))),
+      "doc_id", "text", 16).as[(String, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   // ---- hashed features ----
 
   test("hashedFeatures: buckets in range, counts conserve tokens, same token same bucket") {
