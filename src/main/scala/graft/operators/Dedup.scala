@@ -83,14 +83,49 @@ object Dedup {
     * of eight, no hash-id crossJoin. 32-bit hex slices compare
     * lexicographically as unsigned ints, and md5 is identical in
     * DuckDB, so the oracle stays exact. */
-  def signaturesFromShingles(sh: DataFrame, idCol: String): DataFrame = {
-    val numHashes = 8
-    val minCols = (0 until numHashes).map(j =>
+  private val NumHashes = 8
+
+  /** The per-document 8-min-hash vector (id, h0..h7) from a
+    * [[shingleTable]] — the raw sketch behind both the banded
+    * signatures and the similarity estimator. */
+  private def minhashVector(sh: DataFrame, idCol: String): DataFrame = {
+    val minCols = (0 until NumHashes).map(j =>
       min(substring(col(s"md5_${j / 4}"), 1 + 8 * (j % 4), 8)).as(s"h$j"))
-    val mh = sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
-    val stackExpr = (0 until numHashes / 2).map(b =>
+    sh.groupBy(col(idCol)).agg(minCols.head, minCols.tail: _*)
+  }
+
+  def signaturesFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+    val mh = minhashVector(sh, idCol)
+    val stackExpr = (0 until NumHashes / 2).map(b =>
       s"CAST($b AS BIGINT), concat(h${2 * b}, '|', h${2 * b + 1})").mkString(", ")
-    mh.selectExpr(idCol, s"stack(${numHashes / 2}, $stackExpr) AS (band, sig)")
+    mh.selectExpr(idCol, s"stack(${NumHashes / 2}, $stackExpr) AS (band, sig)")
+  }
+
+  /** Estimator calibration: for each candidate pair, the MinHash
+    * Jaccard ESTIMATE (matching min-hashes / 8) next to the exact
+    * Jaccard and their absolute error — the "can I trust the sketch"
+    * audit run before a threshold is chosen. The estimator's variance
+    * is √(J(1−J)/k), so with k = 8 errors up to ~0.35 are EXPECTED —
+    * the spec pins the aggregate, not per-pair, behavior.
+    *
+    * Output: (id_a, id_b, est, jaccard, abs_err). Cost: the exact
+    * verify is the q19 join (candidates only); the estimate side joins
+    * the 8-column sketch — both bounded by the candidate set. */
+  def minhashCalibration(sh: DataFrame, pairs: DataFrame,
+                         idCol: String): DataFrame = {
+    val mh = minhashVector(sh, idCol)
+    val ha = mh.select(col(idCol).as("id_a") +:
+      (0 until NumHashes).map(j => col(s"h$j").as(s"__ha$j")): _*)
+    val hb = mh.select(col(idCol).as("id_b") +:
+      (0 until NumHashes).map(j => col(s"h$j").as(s"__hb$j")): _*)
+    val matches = (0 until NumHashes).map(j =>
+      when(col(s"__ha$j") === col(s"__hb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = pairs.join(ha, Seq("id_a")).join(hb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / NumHashes).as("est"))
+    est.join(ngramJaccardFromShingles(sh, pairs, idCol), Seq("id_a", "id_b"))
+      .withColumn("abs_err", round(abs(col("est") - col("jaccard")), 4))
   }
 
   /** Per-document MinHash band signatures straight from text (the

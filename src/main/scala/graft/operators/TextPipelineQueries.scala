@@ -220,6 +220,11 @@ object TextPipelineQueries {
     // (MinHash q18, embeddings q26) with the identical banded shape.
     "q72_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(simhashTab(s, d), "doc_id")),
+    // Sketch calibration: MinHash estimate vs exact Jaccard per
+    // candidate pair — the audit that justifies the dedup threshold.
+    "q94_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(shingleTab(s, d),
+        Dedup.lshCandidatePairs(signatures(s, d), "doc_id"), "doc_id")),
     // Candidate-quality metrics — the evaluation harness for tuning
     // bands/rows/threshold: what fraction of LSH candidate pairs
     // survive exact Jaccard verification at τ = 0.7. One row; the
@@ -662,6 +667,37 @@ object TextPipelineQueries {
          |$mhCte,
          |$pairsCte
          |SELECT id_a, id_b FROM cand""".stripMargin,
+    "q94_minhash_calibration" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ds AS (SELECT DISTINCT doc_id AS sid, shingle FROM sh),
+         |sizes AS (SELECT sid, count(*) AS n_sh FROM ds GROUP BY sid),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |          FROM cand c
+         |          JOIN ds sa ON c.id_a = sa.sid
+         |          JOIN ds sb ON c.id_b = sb.sid AND sa.shingle = sb.shingle
+         |          GROUP BY c.id_a, c.id_b),
+         |jj AS (SELECT i.id_a, i.id_b,
+         |         round(i.inter / (na.n_sh + nb.n_sh - i.inter), 4) AS jaccard
+         |       FROM inter i
+         |       JOIN sizes na ON i.id_a = na.sid
+         |       JOIN sizes nb ON i.id_b = nb.sid),
+         |e AS (SELECT c.id_a, c.id_b,
+         |        ((CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END) +
+         |         (CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END)) / 8.0 AS est
+         |      FROM cand c
+         |      JOIN mh a ON c.id_a = a.doc_id
+         |      JOIN mh b ON c.id_b = b.doc_id)
+         |SELECT e.id_a, e.id_b, e.est, jj.jaccard,
+         |       round(abs(e.est - jj.jaccard), 4) AS abs_err
+         |FROM e JOIN jj ON e.id_a = jj.id_a AND e.id_b = jj.id_b""".stripMargin,
     "q19_ngram_jaccard" ->
       s"""WITH $shCte,
          |$mhCte,

@@ -435,6 +435,25 @@ class TextOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("minhashCalibration: exact dup estimates 1.0; errors bounded by sketch variance") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i % 5 == 0) s"x$i" else s"w$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, base), (2L, near)).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.signaturesFromShingles(sh, "doc_id"), "doc_id")
+    val out = Dedup.minhashCalibration(sh, pairs, "doc_id")
+      .select($"id_a", $"id_b", $"est", $"jaccard", $"abs_err")
+      .as[(Long, Long, Double, Double, Double)].collect()
+    val exactDup = out.find(r => r._1 == 0L && r._2 == 1L).get
+    assert(exactDup._3 == 1.0 && exactDup._4 == 1.0 && exactDup._5 == 0.0)
+    // estimates are quarters of 1/8 and live in [0,1]
+    assert(out.forall(r => r._3 >= 0 && r._3 <= 1 &&
+      math.abs(r._3 * 8 - math.round(r._3 * 8)) < 1e-9))
+    // k=8 sketch: per-pair error can reach ~2σ = 2·√(J(1−J)/8) ≈ 0.35
+    assert(out.forall(_._5 <= 0.5), out.mkString(","))
+  }
+
   test("rrfFuse: both-list docs outrank single-list docs; exact scores; ties by id") {
     import graft.operators.Retrieval
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("q_id", "doc_id", "rk")
