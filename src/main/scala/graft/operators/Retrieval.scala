@@ -33,16 +33,34 @@ object Retrieval {
     * absent; a query matching nothing yields no rows. */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("w"))
-    val dl = toks.select(col("doc_id"), size(col("w")).cast("double").as("dl"))
-    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl")).as("avgdl"))
-    val postings = toks
-      .select(col("doc_id"), explode(col("w")).as("term"))
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25FromPostings(buildPostings(df, idCol, textCol),
+      queries, qIdCol, qTextCol, k, k1, b)
+
+  /** The persistent piece of a BM25 index: per-(doc, term) postings
+    * with term frequencies. Everything else — document length
+    * (Σ tf), corpus size, average length, document frequency —
+    * DERIVES from this one table, and postings are strictly
+    * per-document, so a batch ingest tokenizes only its own docs and
+    * appends: no global state is maintained, and scoring over the
+    * appended table equals a from-scratch build (the q95 invariant,
+    * same shape as incremental CC / exact dedup / vocab merge). */
+  def buildPostings(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+
+  /** BM25 over a [[buildPostings]] table (see [[bm25TopK]] for the
+    * query-side semantics and scale shape). */
+  def bm25FromPostings(postings: DataFrame,
+                       queries: DataFrame, qIdCol: String, qTextCol: String,
+                       k: Int, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val dl = postings.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
     val qterms = queries.select(col(qIdCol).as("q_id"),
       explode(array_distinct(split(col(qTextCol), " "))).as("term"))
     val hits = postings

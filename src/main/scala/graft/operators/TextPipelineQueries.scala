@@ -456,6 +456,22 @@ object TextPipelineQueries {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         queries, "q_id", "q_text", k = 10)
     }),
+    // Incremental retrieval index: postings built per-slice and
+    // appended (per-document state only — df/dl/stats derive), scored
+    // identically to the from-scratch q81 build, which is exactly
+    // what the oracle recomputes.
+    "q95_bm25_incremental" -> ((s, d) => {
+      import s.implicits._
+      val doc = docs(s, d)
+      val old = Retrieval.buildPostings(
+        doc.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+      val batch = Retrieval.buildPostings(
+        doc.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      val tq = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      Retrieval.bm25FromPostings(old.unionByName(batch),
+        tq, "q_id", "q_text", k = 10)
+    }),
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 list and
     // the embedding top-k for the same query ids — rank-only fusion,
     // so the incomparable score scales never meet. Both inputs are
@@ -607,6 +623,34 @@ object TextPipelineQueries {
     """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
       |         WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** BM25 end-to-end in SQL. Shared by q81 (direct build) and q95
+    * (postings appended per batch — per-document state, so the
+    * scored output is identical by construction). */
+  private val bm25Sql =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+        |postings AS (SELECT doc_id, unnest(w) AS term FROM toks),
+        |tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |        FROM postings GROUP BY doc_id, term),
+        |q AS (SELECT * FROM (VALUES (0, 'spark join'), (1, 'data merge sort'),
+        |                            (2, 'the slow query')) t(q_id, q_text)),
+        |qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q),
+        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc
+        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+        |sc AS (SELECT qt.q_id, tfc.doc_id,
+        |         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+        |           (tfc.tf * 2.2) /
+        |           (tfc.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))), 4) AS score
+        |       FROM qt JOIN tfc USING (term) JOIN dfq USING (term)
+        |            JOIN dl ON tfc.doc_id = dl.doc_id CROSS JOIN stats
+        |       GROUP BY qt.q_id, tfc.doc_id),
+        |r AS (SELECT q_id, doc_id, score,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+        |      FROM sc)
+        |SELECT q_id, doc_id, score, rk FROM r WHERE rk <= 10""".stripMargin
 
   /** PQ ADC CTEs shared by q79/q80/q87: md5-rank seed codebook,
     * per-subspace argmin codes, per-query LUT, and the ADC distance
@@ -1113,30 +1157,9 @@ object TextPipelineQueries {
          |          ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
          |      FROM f)
          |SELECT q_id, doc_id, rrf, rk FROM r WHERE rk <= 10""".stripMargin,
-    "q81_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
-        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
-        |postings AS (SELECT doc_id, unnest(w) AS term FROM toks),
-        |tfc AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
-        |        FROM postings GROUP BY doc_id, term),
-        |q AS (SELECT * FROM (VALUES (0, 'spark join'), (1, 'data merge sort'),
-        |                            (2, 'the slow query')) t(q_id, q_text)),
-        |qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q),
-        |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc
-        |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
-        |sc AS (SELECT qt.q_id, tfc.doc_id,
-        |         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
-        |           (tfc.tf * 2.2) /
-        |           (tfc.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))), 4) AS score
-        |       FROM qt JOIN tfc USING (term) JOIN dfq USING (term)
-        |            JOIN dl ON tfc.doc_id = dl.doc_id CROSS JOIN stats
-        |       GROUP BY qt.q_id, tfc.doc_id),
-        |r AS (SELECT q_id, doc_id, score,
-        |        CAST(row_number() OVER (PARTITION BY q_id
-        |          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
-        |      FROM sc)
-        |SELECT q_id, doc_id, score, rk FROM r WHERE rk <= 10""".stripMargin,
+    "q81_bm25_topk" -> bm25Sql,
+    // incremental postings == from-scratch build: same oracle
+    "q95_bm25_incremental" -> bm25Sql,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
