@@ -362,6 +362,24 @@ object Curation {
     ps.zip(counts).map { case ((s, p), (_, n)) => s -> p / z * tot / n }.toMap
   }
 
+  /** Per-key [[zScoreGate]]: the metric is z-scored against ITS KEY's
+    * distribution (each event type / source / language has its own
+    * baseline rate — a global gate would flag every row of a rare key).
+    * Output: (keyCol, idCol, valueCol, z, pass).
+    *
+    * Scale shape: the stats table is key-count-sized (one exchange,
+    * map-side combined) and joins back AQE-broadcast; everything else
+    * is projection. */
+  def zScoreGatePerKey(df: DataFrame, keyCol: String, idCol: String,
+                       valueCol: String, maxAbsZ: Double = 2.0): DataFrame = {
+    val st = df.groupBy(col(keyCol))
+      .agg(avg(col(valueCol)).as("__mu"), stddev(col(valueCol)).as("__sd"))
+    df.join(st, Seq(keyCol))
+      .select(col(keyCol), col(idCol), col(valueCol),
+        (round((col(valueCol) - col("__mu")) / col("__sd"), 4) + lit(0.0)).as("z"))
+      .withColumn("pass", abs(col("z")) <= lit(maxAbsZ))
+  }
+
   /** Intra-document repetition removal: within each document, keep
     * only the FIRST occurrence of each (canonicalized) unit — the
     * de-looping pass for scraped pages whose template repeats a

@@ -103,6 +103,18 @@ object TemporalQueries {
     // Same semantics as q27 through the NATIVE as-of operator (custom
     // logical node + strategy + merge-join exec, graft.plans) — both
     // run against the same DuckDB oracle.
+    // Windowed anomaly detection: per-(event_type, 10-min window)
+    // counts z-scored against THAT event type's own window
+    // distribution — the "did the error rate spike" query. Composes
+    // the tumbling-window agg with the per-key outlier gate; windows
+    // whose count sits >3σ from their type's mean fail.
+    "q96_window_anomaly" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy(expr("ts div 600000000000").as("bucket"), col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      Curation.zScoreGatePerKey(counts, "event_type", "bucket", "n",
+        maxAbsZ = 3.0)
+    }),
     // Behavioral sequence mining: each user's event-type stream in
     // event order, shingled into trigrams, counted corpus-wide — the
     // "what do journeys look like" query, built from the SAME shingle
@@ -219,6 +231,16 @@ object TemporalQueries {
         | AND epoch_us(c.ts) <= epoch_us(p.ts)""".stripMargin,
     // q35 = q27 semantics through the native merge operator; the
     // window-form oracle (same tie-break) applies unchanged.
+    "q96_window_anomaly" ->
+      """WITH c AS (SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type,
+        |             CAST(count(*) AS DOUBLE) AS n
+        |           FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        |       FROM c GROUP BY event_type)
+        |SELECT c.event_type, c.bucket, c.n,
+        |       round((c.n - st.mu) / st.sd, 4) + 0.0 AS z,
+        |       (abs(round((c.n - st.mu) / st.sd, 4) + 0.0) <= 3.0) AS pass
+        |FROM c JOIN st USING (event_type)""".stripMargin,
     "q90_event_trigrams" ->
       """WITH seqs AS (SELECT user_id,
         |                string_agg(event_type, ' ' ORDER BY event_id) AS seq

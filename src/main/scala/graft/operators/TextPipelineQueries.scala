@@ -220,6 +220,19 @@ object TextPipelineQueries {
     // (MinHash q18, embeddings q26) with the identical banded shape.
     "q72_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(simhashTab(s, d), "doc_id")),
+    // Per-source vocabulary profile: each source's five most frequent
+    // tokens — the at-a-glance "what is this source made of" rollup.
+    // The rank window partitions on the source key (never global),
+    // over the already-aggregated (source, token) counts.
+    "q97_top_terms_per_source" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("token").asc)).cast("long"))
+        .filter(col("rk") <= 5)
+    }),
     // Sketch calibration: MinHash estimate vs exact Jaccard per
     // candidate pair — the audit that justifies the dedup threshold.
     "q94_minhash_calibration" -> ((s, d) =>
@@ -711,6 +724,16 @@ object TextPipelineQueries {
          |$mhCte,
          |$pairsCte
          |SELECT id_a, id_b FROM cand""".stripMargin,
+    "q97_top_terms_per_source" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT source, token, count(*) AS cnt
+        |      FROM tok GROUP BY source, token),
+        |r AS (SELECT source, token, cnt,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY cnt DESC, token ASC) AS BIGINT) AS rk
+        |      FROM c)
+        |SELECT source, token, cnt, rk FROM r WHERE rk <= 5""".stripMargin,
     "q94_minhash_calibration" ->
       s"""WITH $shCte,
          |$mhCte,

@@ -363,6 +363,23 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("zScoreGatePerKey: the same value is normal for one key, anomalous for another") {
+    // key 'a' baseline ~100, key 'b' baseline ~5; value 40 is a dip
+    // for 'a' (z << -2) and a spike for 'b' (z >> 2)
+    val df = (Seq((0L, "a", 100.0), (1L, "a", 102.0), (2L, "a", 98.0),
+      (3L, "a", 101.0), (4L, "a", 40.0),
+      (5L, "b", 5.0), (6L, "b", 6.0), (7L, "b", 4.0), (8L, "b", 5.0),
+      (9L, "b", 40.0))).toDF("id", "k", "v")
+    // the outlier inflates its own key's sample sd, so |z| tops out
+    // near 1.79 here — gate at 1.5
+    val out = Curation.zScoreGatePerKey(df, "k", "id", "v", maxAbsZ = 1.5)
+      .select($"id", $"z", $"pass").as[(Long, Double, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(!out(4L)._2 && out(4L)._1 < -1.7) // dip vs a's baseline
+    assert(!out(9L)._2 && out(9L)._1 > 1.7)  // spike vs b's baseline
+    assert(Seq(0L, 1L, 2L, 3L, 5L, 6L, 7L, 8L).forall(out(_)._2))
+  }
+
   // ---- dedupUnitsWithin (intra-document de-looping) ----
 
   test("dedupUnitsWithin keeps first occurrences in order; canon merges variants") {
