@@ -414,6 +414,34 @@ object Curation {
         (sum(col("n_occ")) - count(lit(1))).as("n_dropped"))
   }
 
+  /** Collapse CONSECUTIVE duplicate units (run-length dedup): `a a a
+    * b a` → `a b a`. The cleanup for stuttered crawl/log/chat text —
+    * position-aware, so the later reappearance of a unit survives,
+    * which set-grain ([[dedupUnitsWithin]]) would merge. Output:
+    * (id, clean, n_kept, n_dropped).
+    *
+    * Scale shape: the lag window and the reassembly both partition on
+    * the document id — per-document work, one exchange, no global
+    * sort. */
+  def collapseRuns(df: DataFrame, idCol: String, textCol: String,
+                   sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val units = df
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "unit")))
+      .withColumn("__prev", lag(col("unit"), 1).over(w))
+      .withColumn("__keep", col("__prev").isNull || col("__prev") =!= col("unit"))
+    units.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(
+            when(col("__keep"), struct(col("pos"), col("unit"))))),
+            s => s.getField("unit")),
+          sep).as("clean"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Corpus-relative outlier gate: z-score each row's metric against
     * the corpus mean/sample-stddev and flag rows within `maxAbsZ` —
     * the distribution-aware form of a fixed-threshold quality gate

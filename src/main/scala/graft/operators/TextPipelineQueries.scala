@@ -220,6 +220,30 @@ object TextPipelineQueries {
     // (MinHash q18, embeddings q26) with the identical banded shape.
     "q72_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(simhashTab(s, d), "doc_id")),
+    // Corpus forensics: which source PAIRS share near-dup candidates
+    // — the "who copies from whom" matrix over the LSH pairs. The
+    // label side is candidate-bounded; sources join in broadcast.
+    "q98_source_overlap" -> ((s, d) => {
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+          Seq("id_a"))
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+          Seq("id_b"))
+        .select(least(col("src_a"), col("src_b")).as("source_lo"),
+          greatest(col("src_a"), col("src_b")).as("source_hi"))
+        .groupBy(col("source_lo"), col("source_hi"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+    // Run-length line collapse over injected stuttered lines: the
+    // repeated run folds to one line, later reappearances survive —
+    // position-aware cleanup set-grain dedup can't express.
+    "q99_collapse_runs" -> ((s, d) =>
+      Curation.collapseRuns(
+        docs(s, d).select(col("doc_id"),
+          concat(col("text"), lit("\nsame line\nsame line\nsame line\ntail "),
+            col("doc_id").cast("string"), lit("\nsame line")).as("text")),
+        "doc_id", "text")),
     // Per-source vocabulary profile: each source's five most frequent
     // tokens — the at-a-glance "what is this source made of" rollup.
     // The rank window partitions on the source key (never global),
@@ -724,6 +748,38 @@ object TextPipelineQueries {
          |$mhCte,
          |$pairsCte
          |SELECT id_a, id_b FROM cand""".stripMargin,
+    "q98_source_overlap" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |j AS (SELECT least(da.source, db.source) AS source_lo,
+         |             greatest(da.source, db.source) AS source_hi
+         |      FROM cand c
+         |      JOIN documents da ON c.id_a = da.doc_id
+         |      JOIN documents db ON c.id_b = db.doc_id)
+         |SELECT source_lo, source_hi, count(*) AS n_pairs
+         |FROM j GROUP BY source_lo, source_hi""".stripMargin,
+    "q99_collapse_runs" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || chr(10) || 'same line' || chr(10) || 'same line' ||
+        |  chr(10) || 'same line' || chr(10) || 'tail ' ||
+        |  CAST(doc_id AS VARCHAR) || chr(10) || 'same line' AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10))) AS unit,
+        |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM inj),
+        |k AS (SELECT doc_id, pos, unit,
+        |        (lag(unit) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |         OR lag(unit) OVER (PARTITION BY doc_id ORDER BY pos) <> unit)
+        |          AS keep
+        |      FROM p)
+        |SELECT doc_id,
+        |       string_agg(CASE WHEN keep THEN unit END, chr(10) ORDER BY pos)
+        |         AS clean,
+        |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id""".stripMargin,
     "q97_top_terms_per_source" ->
       """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
         |             FROM documents),

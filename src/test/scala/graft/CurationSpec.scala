@@ -417,6 +417,19 @@ class CurationSpec extends AnyFunSuite {
     assert(merged == full)
   }
 
+  test("collapseRuns folds consecutive repeats only; reappearances survive") {
+    val df = Seq(
+      (0L, "a\na\na\nb\na"),  // run of 3 'a', then b, then a AGAIN
+      (1L, "x\ny"),
+      (2L, "z\nz")).toDF("doc_id", "text")
+    val out = Curation.collapseRuns(df, "doc_id", "text")
+      .select($"doc_id", $"clean", $"n_kept", $"n_dropped")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) == ((0L, "a\nb\na", 3L, 2L))) // set-grain would kill the last 'a'
+    assert(out(1L) == ((1L, "x\ny", 2L, 0L)))
+    assert(out(2L) == ((2L, "z", 1L, 1L)))
+  }
+
   // ---- zScoreGate (corpus-relative outlier gate) ----
 
   test("zScoreGate: both tails cut, interior passes, z values exact") {
