@@ -141,6 +141,28 @@ object CurationQueries {
       Curation.vocabFromCounts(Curation.mergeTokenCounts(old, batch), 32)
         .select(col("token"), col("id"), col("cnt"))
     }),
+    // The round's cleanup operators chained as ONE declarative plan:
+    // stutter injection → run-length collapse → quality gate over the
+    // CLEANED text → per-source scorecard. Every stage is the
+    // already-verified operator; the composition proves they pipeline
+    // without materialization barriers (collapse reassembly is the
+    // only per-doc exchange; the gate is a projection; the scorecard
+    // is one rollup).
+    "q100_curation_v2" -> ((s, d) => {
+      val injected = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\nsame line\nsame line\nsame line\ntail "),
+          col("doc_id").cast("string")).as("text"))
+      val cleaned = Curation.collapseRuns(injected, "doc_id", "text")
+        .select(col("doc_id"), translate(col("clean"), "\n", " ").as("text"))
+      val gated = Curation.gopherQuality(cleaned, "doc_id", "text")
+        .select(col("doc_id"), col("n_words"), col("passes"))
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(gated, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("n_words")).as("total_tokens"))
+    }),
     // Fixed-size training windows: 16-token chunks every 8 tokens
     // (50% overlap) — zero-exchange generator over the corpus.
     "q75_chunk_windows" -> ((s, d) =>
@@ -384,6 +406,43 @@ object CurationQueries {
         |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM a GROUP BY source, split""".stripMargin,
+    "q100_curation_v2" ->
+      """WITH inj AS (SELECT doc_id,
+        |  text || chr(10) || 'same line' || chr(10) || 'same line' ||
+        |  chr(10) || 'same line' || chr(10) || 'tail ' ||
+        |  CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  unnest(string_split(text, chr(10))) AS unit,
+        |  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM inj),
+        |k AS (SELECT doc_id, pos, unit,
+        |        (lag(unit) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |         OR lag(unit) OVER (PARTITION BY doc_id ORDER BY pos) <> unit)
+        |          AS keep
+        |      FROM p),
+        |cl AS (SELECT doc_id,
+        |         replace(string_agg(CASE WHEN keep THEN unit END, chr(10)
+        |                            ORDER BY pos), chr(10), ' ') AS text
+        |       FROM k GROUP BY doc_id),
+        |g AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |        round(length(replace(text, ' ', '')) / len(string_split(text, ' ')), 4)
+        |          AS mean_word_len,
+        |        round(len(regexp_extract_all(text, '#|\.\.\.'))
+        |              / len(string_split(text, ' ')), 4) AS symbol_ratio,
+        |        CAST(len(list_distinct(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the','a','of','and','to','in','is')))) AS BIGINT)
+        |          AS n_stop
+        |      FROM cl)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN g.n_words BETWEEN 50 AND 100000
+        |                      AND g.mean_word_len BETWEEN 3.0 AND 10.0
+        |                      AND g.symbol_ratio <= 0.1 AND g.n_stop >= 2
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |       CAST(sum(g.n_words) AS BIGINT) AS total_tokens
+        |FROM g JOIN documents d USING (doc_id)
+        |GROUP BY d.source""".stripMargin,
     "q85_intradoc_dedup" ->
       """WITH inj AS (SELECT doc_id,
         |  text || chr(10) || chr(10) || 'Repeated  Para' ||
