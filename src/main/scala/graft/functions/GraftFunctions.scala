@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   *
   *  - `blake2b(binary) → string` — provenance hashing (native expr)
   *  - `cosine_sim(array, array) → double` — fused-loop cosine
+  *  - `nfc_normalize(string) → string` — Unicode canonical composition
   *  - `lang_id(string) → string` — char-trigram language ID
   *
   * Also wired through [[graft.plans.GraftSparkExtensions]] so
@@ -19,6 +20,8 @@ object GraftFunctions {
     Blake2b.register(spark)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
     spark.udf.register("lang_id", (s: String) => LangId.detect(s))
   }
 }

@@ -25,6 +25,16 @@ object TextFunctions {
     org.apache.spark.sql.GraftSqlBridge.column(ShinglesExpr(
       org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
+  /** Unicode NFC normalization — the native [[NfcNormalize]]
+    * expression (codegen projection; already-normalized text, i.e.
+    * nearly all of a web corpus, passes through allocation-free).
+    * Run it BEFORE any hashing/dedup/vocab stage: composed and
+    * decomposed spellings of the same grapheme are byte-unequal
+    * until normalized. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(NfcNormalize(
+      org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
   /** Composed reference form; empty array when the document has
     * fewer than `n` tokens — guarded explicitly because Spark's
     * `sequence(0, negative)` would otherwise generate a DESCENDING

@@ -465,6 +465,57 @@ object Curation {
       .withColumn("pass", abs(col("z")) <= lit(maxAbsZ))
   }
 
+  /** Quality-classifier INFERENCE over the hashing-trick features:
+    * linear score = Σ cnt_b · w_b over [[hashedFeatures]] buckets,
+    * gated at `threshold` — the serving half of the fastText-style
+    * corpus quality classifier whose training half eats q89's
+    * feature table. Weights here are a deterministic integer
+    * stand-in derived from the bucket id ((b mod 7) − 3 ∈ [−3,3]),
+    * which keeps the whole dot product in exact integer arithmetic
+    * (sum order can never flip a bit, so the gate is reproducible
+    * across engines and partitionings); production swaps in a
+    * learned float weight array broadcast by bucket id — the shape
+    * is identical.
+    *
+    * Scale shape: one exchange (the per-(doc,bucket) count, map-side
+    * combined), then a per-doc fold — the weight "join" is pure
+    * arithmetic on the bucket id, so nothing joins at all. Output:
+    * (idCol, score, pass). */
+  def linearScoreGate(df: DataFrame, idCol: String, textCol: String,
+                      dim: Int, threshold: Long = 0L): DataFrame =
+    hashedFeatures(df, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * (col("bucket") % 7 - 3)).as("score"))
+      .withColumn("pass", col("score") >= threshold)
+
+  /** Robust per-key outlier gate: deviation from the key's MEDIAN,
+    * measured in MADs (median absolute deviations) — the gate that
+    * survives its own outliers. [[zScoreGatePerKey]]'s mean/stddev
+    * baseline is dragged toward the very anomalies it is hunting
+    * (one 1000× spike inflates σ enough to hide ten 10× spikes);
+    * median and MAD have 50% breakdown, so the baseline stands
+    * still (spec-pinned head-to-head in CurationSpec).
+    *
+    * Scale shape: two key-sized aggregation passes (median, then the
+    * MAD over deviations) joined back AQE-broadcast; the exact
+    * `percentile` is the oracle-parity choice — at true scale swap
+    * `approx_percentile`, the same pinned substitute q33 documents.
+    * Output: (keyCol, idCol, valueCol, dev rounded 4, pass). */
+  def madGatePerKey(df: DataFrame, keyCol: String, idCol: String,
+                    valueCol: String, nMads: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
+    val withMed = df.join(med, Seq(keyCol))
+    val mad = withMed
+      .groupBy(col(keyCol))
+      .agg(expr(s"percentile(abs($valueCol - __med), 0.5D)").as("__mad"))
+    withMed.join(mad, Seq(keyCol))
+      .select(col(keyCol), col(idCol), col(valueCol),
+        (round(abs(col(valueCol) - col("__med")), 4) + lit(0.0)).as("dev"),
+        (abs(col(valueCol) - col("__med")) <= lit(nMads) * col("__mad"))
+          .as("pass"))
+  }
+
   /** Quality-aware keep-one rooting: re-root each dup group at its
     * BEST-scoring member (ties → smallest id) instead of the
     * smallest-id default [[Dedup.connectedComponents]] emits. When

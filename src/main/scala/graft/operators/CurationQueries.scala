@@ -106,6 +106,24 @@ object CurationQueries {
     // classifier trains on.
     "q89_hashed_features" -> ((s, d) =>
       Curation.hashedFeatures(docs(s, d), "doc_id", "text", 64)),
+    // Classifier inference over those features: integer-weight linear
+    // score + gate (exact arithmetic — reproducible across engines
+    // and partitionings; see linearScoreGate's scaladoc).
+    "q102_classifier_gate" -> ((s, d) =>
+      Curation.linearScoreGate(docs(s, d), "doc_id", "text", 64,
+        threshold = 0L)),
+    // Unicode NFC through the native expression, value-checked against
+    // DuckDB's nfc_normalize: a decomposed "e"+U+0301 is appended to
+    // every document so composition provably RUNS (the md5 matches
+    // only if both engines compose it to "é"; `shrunk` counts the
+    // composed-away codepoint).
+    "q104_normalize_nfc" -> ((s, d) => {
+      import graft.functions.TextFunctions
+      val raw = concat(col("text"), lit("e\u0301"))
+      docs(s, d).select(col("doc_id"),
+        md5(TextFunctions.nfc(raw)).as("norm_hash"),
+        (length(raw) - length(TextFunctions.nfc(raw))).cast("long").as("shrunk"))
+    }),
     // α-temperature mixture: weights DERIVED from the corpus's own
     // source distribution (α=0.5 flattening over a deterministically
     // skewed subset — doc_id % 40 < 25 doubles sources 0-4's share),
@@ -319,6 +337,22 @@ object CurationQueries {
         |       CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
         |       count(*) AS cnt
         |FROM tok GROUP BY doc_id, bucket""".stripMargin,
+    "q102_classifier_gate" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |f AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+        |        count(*) AS cnt
+        |      FROM tok GROUP BY doc_id, bucket)
+        |SELECT doc_id, CAST(sum(cnt * (bucket % 7 - 3)) AS BIGINT) AS score,
+        |       (CAST(sum(cnt * (bucket % 7 - 3)) AS BIGINT) >= 0) AS pass
+        |FROM f GROUP BY doc_id""".stripMargin,
+    "q104_normalize_nfc" ->
+      """SELECT doc_id,
+        |  md5(nfc_normalize(text || chr(101) || chr(769))) AS norm_hash,
+        |  length(text || chr(101) || chr(769)) -
+        |    length(nfc_normalize(text || chr(101) || chr(769))) AS shrunk
+        |FROM documents""".stripMargin,
     "q88_temperature_mix" ->
       """WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id % 40 < 25),
         |c AS (SELECT source, count(*)::DOUBLE AS n FROM d GROUP BY source),

@@ -619,4 +619,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Semantic (embedding-space) dedup, SemDeDup-style: coarse-cluster
+    * the embedding space, then inside each cluster drop every vector
+    * that has an EARLIER-id near-duplicate (cosine ≥ `minCos`). The
+    * clusters only BOUND the pair search — a cross-cluster near-dup
+    * is missed by construction (that recall/cost dial is `k`, exactly
+    * the SemDeDup paper's design), so seed quality trades recall,
+    * never correctness of what IS reported.
+    *
+    * Seeds are md5-rank picks from the corpus itself (train-free,
+    * seedless-reproducible, the [[Pq.seedCodebook]] idiom); swap in
+    * `IvfIndex.buildFrom` centroids when cluster balance matters —
+    * the downstream shape is identical.
+    *
+    * Scale shape: assignment is the native `nearest_centroid`
+    * projection (no join, no window, stays in whole-stage codegen);
+    * the pair search shuffles once on `cluster_id` and is quadratic
+    * only WITHIN a cluster — `k` scales with corpus size to hold
+    * cluster population at the all-pairs budget (the paper runs
+    * k≈10⁵ at web scale). Output: (idCol, cluster_id, kept).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, minCos: Double = 0.3): DataFrame = {
+    import graft.functions.VectorFunctions
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seeds: Array[Array[Double]] =
+      df.select(col(vecCol).as("v"),
+          md5(concat(col(idCol).cast("string"), lit("|sem"))).as("__h"))
+        .orderBy(col("__h").asc).limit(k)
+        .select(col("v")).as[Array[Float]].collect()
+        .map(_.map(_.toDouble))
+    val assigned = df.select(col(idCol), col(vecCol),
+      VectorFunctions.nearestCentroid(col(vecCol), seeds).as("cluster_id"))
+    val a = assigned.select(col("cluster_id"), col(idCol).as("__aid"),
+      col(vecCol).as("__avec"))
+    val b = assigned.select(col("cluster_id"), col(idCol).as("__bid"),
+      col(vecCol).as("__bvec"))
+    val drops = a.join(b, Seq("cluster_id"))
+      .filter(col("__aid") < col("__bid") &&
+        round(VectorFunctions.cosine(col("__avec"), col("__bvec")), 4) >= minCos)
+      .select(col("__bid").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cluster_id"))
+      .join(drops.withColumn("__dropped", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        coalesce(!col("__dropped"), lit(true)).as("kept"))
+  }
 }

@@ -115,6 +115,15 @@ object TemporalQueries {
       Curation.zScoreGatePerKey(counts, "event_type", "bucket", "n",
         maxAbsZ = 3.0)
     }),
+    // Robust outlier detection: per-event-type median/MAD gate — the
+    // z-score gate's 50%-breakdown sibling (the anomalies can't drag
+    // the baseline). Pass/fail compares full-precision doubles on
+    // both sides; the min |dev − 3·MAD| margin on this data is 0.02,
+    // nine orders above any interpolation-formula ulp drift.
+    "q103_mad_outliers" -> ((s, d) =>
+      Curation.madGatePerKey(
+        t(s, d, "events").select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "event_id", "value", nMads = 3.0)),
     // Behavioral sequence mining: each user's event-type stream in
     // event order, shingled into trigrams, counted corpus-wide — the
     // "what do journeys look like" query, built from the SAME shingle
@@ -241,6 +250,18 @@ object TemporalQueries {
         |       round((c.n - st.mu) / st.sd, 4) + 0.0 AS z,
         |       (abs(round((c.n - st.mu) / st.sd, 4) + 0.0) <= 3.0) AS pass
         |FROM c JOIN st USING (event_type)""".stripMargin,
+    "q103_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY event_type),
+        |wm AS (SELECT e.event_type, e.event_id, e.value,
+        |         abs(e.value - m.med) AS rawdev
+        |       FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(rawdev, 0.5) AS mad
+        |        FROM wm GROUP BY event_type)
+        |SELECT wm.event_type, wm.event_id, wm.value,
+        |       round(wm.rawdev, 4) + 0.0 AS dev,
+        |       (wm.rawdev <= 3.0 * mad.mad) AS pass
+        |FROM wm JOIN mad USING (event_type)""".stripMargin,
     "q90_event_trigrams" ->
       """WITH seqs AS (SELECT user_id,
         |                string_agg(event_type, ' ' ORDER BY event_id) AS seq

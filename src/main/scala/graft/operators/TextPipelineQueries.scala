@@ -627,7 +627,18 @@ object TextPipelineQueries {
     // pairs collapsed to clusters with a canonical keep id — the
     // embedding analogue of q41's text dedup groups.
     "q42_embedding_dup_groups" -> ((s, d) =>
-      embDupGroups(s, d).select(col("id").as("vec_id"), col("keep_id"))))
+      embDupGroups(s, d).select(col("id").as("vec_id"), col("keep_id"))),
+    // SemDeDup: cluster-bounded semantic dedup — assignment is the
+    // native nearest_centroid projection over md5-rank seeds, the
+    // pair search runs within clusters only. The oracle recomputes
+    // seeds, assignment (argmax cosine, seed-index tie-break — the
+    // kernel's first-wins comparison), in-cluster pairs, and the
+    // earlier-id drop rule. Assignment margins were measured before
+    // trusting cross-engine argmax parity: min best-vs-second gap is
+    // 5e-4 at sf0.01 / 6e-5 at sf0.1 — nine orders above ulp noise.
+    "q101_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(emb(s, d), "vec_id", "embedding",
+        k = 8, minCos = 0.3)))
 
   // ---- oracle SQL (DuckDB dialect) ----
 
@@ -1320,5 +1331,24 @@ object TextPipelineQueries {
          |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |      round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
          |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.25""".stripMargin)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.25""".stripMargin,
+    "q101_semantic_dedup" ->
+      s"""WITH h AS (SELECT vec_id, embedding,
+         |           md5(CAST(vec_id AS VARCHAR) || '|sem') AS hh FROM embeddings),
+         |seeds AS (SELECT embedding AS c_vec,
+         |          CAST(row_number() OVER (ORDER BY hh) - 1 AS BIGINT) AS c_id
+         |          FROM (SELECT * FROM h ORDER BY hh LIMIT 8)),
+         |d AS (SELECT v.vec_id, v.embedding, s.c_id,
+         |      ${cosSql("v.embedding", "s.c_vec")} AS cos
+         |      FROM embeddings v CROSS JOIN seeds s),
+         |asg AS (SELECT vec_id, embedding, c_id FROM (
+         |        SELECT vec_id, embedding, c_id,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, c_id ASC) AS rk
+         |        FROM d) WHERE rk = 1),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |      round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
+         |      FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
+         |drops AS (SELECT DISTINCT b_id FROM p WHERE cos >= 0.3)
+         |SELECT asg.vec_id, asg.c_id AS cluster_id, (drops.b_id IS NULL) AS kept
+         |FROM asg LEFT JOIN drops ON asg.vec_id = drops.b_id""".stripMargin)
 }

@@ -526,4 +526,73 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  // ---- classifier-gate inference ----
+
+  test("linearScoreGate: score is the integer dot over hashedFeatures; gate obeys threshold") {
+    val docs = Seq((0L, "alpha beta beta"), (1L, "gamma delta epsilon zeta"),
+      (2L, "alpha")).toDF("doc_id", "text")
+    val feats = Curation.hashedFeatures(docs, "doc_id", "text", 16)
+      .as[(Long, Long, Long)].collect()
+    val expected = feats.groupBy(_._1).view
+      .mapValues(_.map { case (_, b, c) => c * (b % 7 - 3) }.sum).toMap
+    val thr = expected.values.max // exactly one doc passes (the argmax)
+    val out = Curation.linearScoreGate(docs, "doc_id", "text", 16, thr)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 3)
+    out.foreach { case (id, score, pass) =>
+      assert(score == expected(id), s"doc $id")
+      assert(pass == (score >= thr), s"doc $id")
+    }
+  }
+
+  // ---- robust (median/MAD) outlier gate ----
+
+  test("madGatePerKey: the spike can't hide itself (head-to-head vs mean/stddev)") {
+    // One key: ~20 values near 10, one 1000x anomaly, one genuine 3x
+    // shift. The z-gate's stddev is inflated by the 1000 until the 30
+    // sails through; median/MAD (50% breakdown) flags both.
+    val rows = (0 until 20).map(i => ("k", i.toLong, 10.0 + (i % 3 - 1))) ++
+      Seq(("k", 100L, 1000.0), ("k", 101L, 30.0))
+    val df = rows.toDF("key", "id", "value")
+    val madFail = Curation.madGatePerKey(df, "key", "id", "value", 3.0)
+      .filter(!$"pass").select($"id").as[Long].collect().toSet
+    assert(madFail == Set(100L, 101L))
+    val zFail = Curation.zScoreGatePerKey(df, "key", "id", "value", 3.0)
+      .filter(!$"pass").select($"id").as[Long].collect().toSet
+    assert(zFail == Set(100L))
+  }
+
+  test("madGatePerKey: each key has its own baseline") {
+    val rows = Seq(("a", 0L, 1.0), ("a", 1L, 1.1), ("a", 2L, 0.9),
+      ("a", 3L, 1.0), ("a", 4L, 50.0),
+      ("b", 5L, 50.0), ("b", 6L, 51.0), ("b", 7L, 49.0), ("b", 8L, 50.5))
+    val out = Curation.madGatePerKey(rows.toDF("key", "id", "value"),
+      "key", "id", "value", 3.0)
+    val fail = out.filter(!$"pass").select($"id").as[Long].collect().toSet
+    assert(fail == Set(4L)) // 50.0 is an outlier for key a, normal for key b
+  }
+
+  // ---- Unicode NFC normalization ----
+
+  test("nfc composes decomposed sequences, is idempotent, and stays a pure projection") {
+    import graft.functions.TextFunctions.nfc
+    val df = Seq("e\u0301", "\u00e9", "plain ascii", "a\u030a x o\u0308")
+      .toDF("s")
+    val out = df.select(nfc($"s").as("n")).as[String].collect()
+    assert(out(0) == "\u00e9") // e + combining acute composes
+    assert(out(1) == "\u00e9") // already composed: unchanged
+    assert(out(2) == "plain ascii")
+    assert(out(3) == "\u00e5 x \u00f6") // a+ring, o+diaeresis
+    val twice = df.select(nfc(nfc($"s")).as("n")).as[String].collect()
+    assert(twice.sameElements(out))
+    val plan = df.select(nfc($"s")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("nfc_normalize is SQL-registered") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT nfc_normalize('e\u0301') AS n").as[String].head()
+    assert(r == "\u00e9")
+  }
 }

@@ -340,4 +340,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(Set("a", "c").subsetOf(pruned))
     assert(!pruned.contains(null))
   }
+
+  test("semanticDedup: copies drop behind their original; dissimilar vectors survive") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val dim = 8
+    def unit(i: Int): Array[Float] = Array.tabulate(dim)(j => if (j == i) 1f else 0f)
+    // six orthogonal originals (pairwise cos 0 — below any threshold),
+    // three exact copies with LATER ids; identical vectors always get
+    // the same argmax cluster, so the copies must drop whatever the
+    // md5 seeding picked.
+    val rows = (0 until 6).map(i => (i.toLong, unit(i))) ++
+      Seq((10L, unit(0)), (11L, unit(3)), (12L, unit(0)))
+    val out = Dedup.semanticDedup(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 3, minCos = 0.9)
+    val kept = out.filter($"kept").select($"vec_id").as[Long].collect().toSet
+    val dropped = out.filter(!$"kept").select($"vec_id").as[Long].collect().toSet
+    assert(dropped == Set(10L, 11L, 12L))
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // cluster ids come from the k seeds
+    val clusters = out.select($"cluster_id").distinct().as[Long].collect()
+    assert(clusters.forall(c => c >= 0 && c < 3), clusters.mkString(","))
+    // the pair search is an equi-join on cluster_id — never a cross
+    // product over the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("semanticDedup recall is cluster-bounded by design (cross-cluster dups survive)") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // k = 1: everything co-clusters, so even with one cluster the
+    // earlier-id rule keeps exactly the first of each dup set —
+    // the exhaustive-recall limit of the operator.
+    val rows = Seq((0L, Array(1f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(0.999f, 0.001f)))
+    val out = Dedup.semanticDedup(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1, minCos = 0.9)
+    val kept = out.filter($"kept").select($"vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L)) // 1 is an exact copy, 3 a near-copy of 0
+  }
 }
