@@ -72,4 +72,17 @@ object Packing {
       }
     }.toDF(idCol, "n_tokens", "seq_id")
   }
+
+  /** Dense 0-based global row ids in key order — distributed
+    * zipWithIndex. `row_number() over (ORDER BY key)` plans a
+    * single-partition sort (the whole corpus through one task); this
+    * is the identity-rank special case of [[packByBudget]]'s
+    * two-phase prefix sum instead: with every row weighing 1 token
+    * and budget 1, `seq_id` IS the exclusive prefix count, i.e. the
+    * 0-based global rank. Same contract as packByBudget (unique
+    * orderable ids, dense-ish for bucket balance — re-id first if
+    * not). Output: (idCol, row_id). */
+  def stableIds(df: DataFrame, idCol: String): DataFrame =
+    packByBudget(df.withColumn("__one", lit(1L)), idCol, "__one", 1L)
+      .select(col(idCol), col("seq_id").as("row_id"))
 }

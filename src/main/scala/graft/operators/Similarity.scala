@@ -193,6 +193,37 @@ object Similarity {
     * `maxBucketSize` (degenerate patterns excluded, like
     * [[lshSimilarPairs]]). Output: (id_a, id_b, cos), id_a < id_b,
     * each pair once. */
+  /** Per-label mean embedding ("domain centroid"): the semantic
+    * profile of a source/topic/label slice, the input to
+    * [[centroidSimilarity]]'s "which domains are close" matrix and to
+    * centroid-seeded clustering.
+    *
+    * Scale shape: posexplode → one (label, pos)-keyed agg (map-side
+    * combined — the exchange carries label-count × dim rows, not the
+    * corpus) → per-label reassembly in pos order. The corpus never
+    * collects; centroid count = label count. */
+  def labelCentroids(df: DataFrame, labelCol: String,
+                     vecCol: String): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+
+  /** Pairwise cosine between label centroids — the label-count²
+    * similarity matrix (tiny: labels, not rows). Output:
+    * (label_a, label_b, cos rounded 4), upper triangle only. */
+  def centroidSimilarity(centroids: DataFrame, labelCol: String): DataFrame = {
+    val a = centroids.select(col(labelCol).as("label_a"),
+      col("centroid").as("__ca"))
+    val b = centroids.select(col(labelCol).as("label_b"),
+      col("centroid").as("__cb"))
+    a.crossJoin(b).filter(col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(cosine(col("__ca"), col("__cb")), 4).as("cos"))
+  }
+
   def lshSimilarPairsBanded(corpus: DataFrame, idCol: String, vecCol: String,
                             bitsPerBand: Int, bands: Int, threshold: Double,
                             maxBucketSize: Int = Int.MaxValue): DataFrame = {

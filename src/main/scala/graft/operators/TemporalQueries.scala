@@ -124,6 +124,27 @@ object TemporalQueries {
       Curation.madGatePerKey(
         t(s, d, "events").select(col("event_type"), col("event_id"), col("value")),
         "event_type", "event_id", "value", nMads = 3.0)),
+    // Rate-trend detection: least-squares slope of each event type's
+    // per-10-min-window count over the window index — "is this
+    // signal's rate drifting?". Exact integer moments after per-key
+    // centering (see Trend.slopePerKey for why regr_slope on raw
+    // epochs is numerically unusable), so both engines compute the
+    // identical division.
+    "q105_rate_trend" -> ((s, d) => {
+      val counts = t(s, d, "events")
+        .groupBy(col("event_type"), expr("ts div 600000000000").as("bucket"))
+        .agg(count(lit(1)).as("n_events"))
+      Trend.slopePerKey(counts, "event_type", "bucket", "n_events")
+    }),
+    // ONLINE anomaly detection: each event z-scored against its
+    // type's EXCLUSIVE prefix (everything before it in event order) —
+    // the streaming-deployable form of q96's full-corpus baseline;
+    // RunningAnomaly.scored is the same fold as per-key streaming
+    // state, spec-pinned equal to this window form.
+    "q108_running_anomaly" -> ((s, d) =>
+      graft.streaming.RunningAnomaly.batch(
+        t(s, d, "events").select(col("event_type"), col("event_id"), col("value")),
+        "event_type", "event_id", "value", maxAbsZ = 3.0, minPrior = 5L)),
     // Behavioral sequence mining: each user's event-type stream in
     // event order, shingled into trigrams, counted corpus-wide — the
     // "what do journeys look like" query, built from the SAME shingle
@@ -262,6 +283,37 @@ object TemporalQueries {
         |       round(wm.rawdev, 4) + 0.0 AS dev,
         |       (wm.rawdev <= 3.0 * mad.mad) AS pass
         |FROM wm JOIN mad USING (event_type)""".stripMargin,
+    "q108_running_anomaly" ->
+      """WITH p AS (SELECT event_type, event_id, value,
+        |  count(value) OVER w AS n,
+        |  sum(value) OVER w AS s,
+        |  sum(value * value) OVER w AS ss
+        | FROM events
+        | WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT event_type, event_id, value, COALESCE(n, 0) AS n,
+        |  CASE WHEN COALESCE(n, 0) >= 5
+        |        AND (ss - s * s / n) / (n - 1) > 0
+        |       THEN round((value - s / n) / sqrt((ss - s * s / n) / (n - 1)), 4) + 0.0
+        |  END AS z
+        | FROM p)
+        |SELECT event_type, event_id, value, n, z,
+        |       COALESCE(abs(z) > 3.0, false) AS flag
+        |FROM z""".stripMargin,
+    "q105_rate_trend" ->
+      """WITH c AS (SELECT event_type, epoch_ns(ts) // 600000000000 AS bucket,
+        |             count(*) AS y
+        |           FROM events GROUP BY 1, 2),
+        |x0 AS (SELECT event_type, min(bucket) AS x0 FROM c GROUP BY event_type),
+        |m AS (SELECT c.event_type, count(*) AS n,
+        |        sum(bucket - x0) AS sx, sum(y) AS sy,
+        |        sum((bucket - x0) * y) AS sxy,
+        |        sum((bucket - x0) * (bucket - x0)) AS sxx
+        |      FROM c JOIN x0 USING (event_type) GROUP BY c.event_type)
+        |SELECT event_type, n,
+        |       round((n * sxy - sx * sy)::DOUBLE /
+        |             (n * sxx - sx * sx)::DOUBLE, 4) + 0.0 AS slope
+        |FROM m WHERE n * sxx - sx * sx <> 0""".stripMargin,
     "q90_event_trigrams" ->
       """WITH seqs AS (SELECT user_id,
         |                string_agg(event_type, ' ' ORDER BY event_id) AS seq

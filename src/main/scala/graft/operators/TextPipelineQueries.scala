@@ -401,6 +401,14 @@ object TextPipelineQueries {
         docs(s, d).select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = 512L)),
+    // Distributed zipWithIndex through the gate: dense 0-based ids in
+    // key order over a GAPPY id set (2/3 of docs — so row_id != any
+    // arithmetic function of doc_id and the prefix counts are really
+    // exercised), vs the oracle's single global window.
+    "q107_stable_ids" -> ((s, d) =>
+      Packing.stableIds(
+        docs(s, d).filter(col("doc_id") % 3 =!= 1).select(col("doc_id")),
+        "doc_id")),
     "q24_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))),
     // Incremental dedup: only the "new batch" (doc_id % 5 == 0 as the
@@ -638,7 +646,17 @@ object TextPipelineQueries {
     // 5e-4 at sf0.01 / 6e-5 at sf0.1 — nine orders above ulp noise.
     "q101_semantic_dedup" -> ((s, d) =>
       Dedup.semanticDedup(emb(s, d), "vec_id", "embedding",
-        k = 8, minCos = 0.3)))
+        k = 8, minCos = 0.3)),
+    // Domain profiling: per-label mean embedding, then the pairwise
+    // label-similarity matrix — "which slices of the corpus are
+    // semantically close" (mixture design / redundancy auditing).
+    "q106_label_centroid_sim" -> ((s, d) => {
+      val cents = Similarity.labelCentroids(
+        emb(s, d).select(col("label").cast("long").as("label"),
+          col("embedding")),
+        "label", "embedding")
+      Similarity.centroidSimilarity(cents, "label")
+    }))
 
   // ---- oracle SQL (DuckDB dialect) ----
 
@@ -1046,6 +1064,10 @@ object TextPipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
         |  FROM t)
         |SELECT doc_id, n_tokens, CAST(s // 512 AS BIGINT) AS seq_id FROM c""".stripMargin,
+    "q107_stable_ids" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+        |FROM documents WHERE doc_id % 3 <> 1""".stripMargin,
     "q24_fingerprint" ->
       """SELECT doc_id,
         | substr(md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16) AS fp
@@ -1350,5 +1372,17 @@ object TextPipelineQueries {
          |      FROM asg a JOIN asg b ON a.c_id = b.c_id AND a.vec_id < b.vec_id),
          |drops AS (SELECT DISTINCT b_id FROM p WHERE cos >= 0.3)
          |SELECT asg.vec_id, asg.c_id AS cluster_id, (drops.b_id IS NULL) AS kept
-         |FROM asg LEFT JOIN drops ON asg.vec_id = drops.b_id""".stripMargin)
+         |FROM asg LEFT JOIN drops ON asg.vec_id = drops.b_id""".stripMargin,
+    "q106_label_centroid_sim" ->
+      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+         |              unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |m AS (SELECT label, pos, avg(x::DOUBLE) AS m
+         |      FROM ex GROUP BY label, pos),
+         |c AS (SELECT label, list(m ORDER BY pos) AS centroid
+         |      FROM m GROUP BY label)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |       round(${cosSql("a.centroid", "b.centroid")}, 4) AS cos
+         |FROM c a JOIN c b ON a.label < b.label""".stripMargin)
 }

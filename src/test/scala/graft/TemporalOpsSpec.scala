@@ -546,4 +546,66 @@ class TemporalOpsSpec extends AnyFunSuite {
     q.stop()
     assert(total == 1000L)
   }
+
+  test("Trend.slopePerKey: exact slope on clean lines, per key, degenerate keys drop") {
+    import graft.operators.Trend
+    val rows = (0L until 50L).map(x => ("up", 1000000L + x, 2 * x + 1)) ++
+      (0L until 50L).map(x => ("down", 2000000L + x, 500 - 3 * x)) ++
+      Seq(("flat1", 7L, 9L)) // single point: slope undefined -> drops
+    val out = Trend.slopePerKey(rows.toDF("k", "x", "y"), "k", "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("up") == ((50L, 2.0)))   // exact, not approximately
+    assert(out("down") == ((50L, -3.0)))
+    assert(!out.contains("flat1"))
+  }
+
+  test("labelCentroids + centroidSimilarity: means per dimension, cosine of profiles") {
+    import graft.operators.Similarity
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f)), (0L, Array(3f, 0f, 0f)), // label 0 -> (2,0,0)
+      (1L, Array(0f, 2f, 0f)),                          // label 1 -> (0,2,0)
+      (2L, Array(4f, 0f, 0f))                           // label 2 -> (4,0,0)
+    ).toDF("label", "embedding")
+    val cents = Similarity.labelCentroids(rows, "label", "embedding")
+    val c = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(c(0L) == List(2.0, 0.0, 0.0))
+    assert(c(1L) == List(0.0, 2.0, 0.0))
+    val sim = Similarity.centroidSimilarity(cents, "label")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(sim((0L, 2L)) == 1.0) // same direction, different magnitude
+    assert(sim((0L, 1L)) == 0.0) // orthogonal profiles
+    assert(!sim.contains((1L, 0L))) // upper triangle only
+  }
+
+  test("RunningAnomaly: streamed state fold == batch window form across micro-batches") {
+    import graft.streaming.RunningAnomaly
+    import graft.streaming.RunningAnomaly.{Point, Scored}
+    val rng = new scala.util.Random(3)
+    val pts = (0 until 60).map(i =>
+      Point(if (i % 2 == 0) "a" else "b", i.toLong,
+        10.0 + rng.nextInt(5) + (if (i == 40) 500.0 else 0.0)))
+    val batchOut = RunningAnomaly.batch(
+        pts.toDF("key", "ord", "value"), "key", "ord", "value", 3.0, 5L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(3), Option(r.getAs[Any]("z")), r.getBoolean(5)))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Point]
+    val q = RunningAnomaly.scored(mem.toDS(), 3.0, 5L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ra_out").start()
+    val (first, second) = pts.partition(_.ord < 30)
+    mem.addData(first: _*); q.processAllAvailable()
+    mem.addData(second: _*); q.processAllAvailable()
+    val streamed = spark.table("ra_out").as[Scored].collect()
+    q.stop()
+    assert(streamed.length == 60)
+    streamed.foreach { s =>
+      val b = batchOut((s.key, s.ord))
+      assert((s.n, s.z, s.flag) == ((b._1, b._2, b._3)), s"at (${s.key},${s.ord})")
+    }
+    // the 500.0 spike is flagged once warmup has passed
+    assert(streamed.find(s => s.ord == 40L).exists(_.flag))
+  }
 }

@@ -265,6 +265,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out(rows.map(_._1).min)._2 == 0L)
   }
 
+  test("stableIds: dense 0-based rank in key order on gappy shuffled ids") {
+    import graft.operators.Packing
+    val rng = new scala.util.Random(11)
+    val ids = rng.shuffle((0 until 300).map(i => i * 7L + 3).toList)
+    val out = Packing.stableIds(ids.toDF("doc_id").repartition(9), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.sorted.zipWithIndex.foreach { case (id, i) =>
+      assert(out(id) == i.toLong, s"id $id")
+    }
+    assert(out.size == 300)
+  }
+
   test("sequence packing: empty and single-row inputs") {
     import graft.operators.Packing
     val empty = Packing.packByBudget(
