@@ -233,6 +233,35 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /** Asymmetric set CONTAINMENT over the same shingle machinery:
+    * |A∩B|/|A| and |A∩B|/|B| per candidate pair. Catches SUBSET
+    * duplicates — a truncated re-crawl of B, a page quoted whole
+    * inside a larger one — whose symmetric Jaccard is diluted below
+    * any sane threshold by the size imbalance (A⊂B gives
+    * J = |A|/|B| → 0 as B grows, while containment_a stays 1.0).
+    * The standard companion metric to [[ngramJaccardFromShingles]]
+    * in crawl dedup; same scale shape (joins only LSH candidates,
+    * on 8-byte hashes). Output: (id_a, id_b, contain_a, contain_b,
+    * jaccard) — all three metrics from one intersection pass. */
+  def containmentFromShingles(sh: DataFrame, pairs: DataFrame,
+                              idCol: String): DataFrame = {
+    val ds = sh.select(col(idCol).as("sid"), col("shash"))
+    val sizes = ds.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(ds.as("sa"), col("id_a") === col("sa.sid"))
+      .join(ds.as("sb"), col("id_b") === col("sb.sid") &&
+        col("sa.shash") === col("sb.shash"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("na"), col("id_a") === col("na.sid"))
+      .join(sizes.as("nb"), col("id_b") === col("nb.sid"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("na.n_sh"), 4).as("contain_a"),
+        round(col("inter") / col("nb.n_sh"), 4).as("contain_b"),
+        round(col("inter") / (col("na.n_sh") + col("nb.n_sh") - col("inter")), 4)
+          .as("jaccard"))
+  }
+
   /** One-shot n-gram Jaccard straight from text (convenience path;
     * pipelines should share a materialized [[shingleTable]]). */
   def ngramJaccard(df: DataFrame, pairs: DataFrame, idCol: String,

@@ -204,11 +204,30 @@ object Similarity {
     * collects; centroid count = label count. */
   def labelCentroids(df: DataFrame, labelCol: String,
                      vecCol: String): DataFrame =
+    centroidsFromSums(centroidSums(df, labelCol, vecCol), labelCol)
+
+  /** The mergeable half of [[labelCentroids]]: per-(label, dimension)
+    * component sums and counts. Sums over DISJOINT row sets add, so a
+    * batch ingest never rescans history — the tokenCounts/q86
+    * incremental pattern applied to embedding profiles (and the
+    * per-micro-batch fold for a streaming domain monitor). */
+  def centroidSums(df: DataFrame, labelCol: String,
+                   vecCol: String): DataFrame =
     df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col(labelCol), col("pos"))
-      .agg(avg(col("x").cast("double")).as("m"))
-      .groupBy(col(labelCol))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+      .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+
+  /** Add two sum tables (disjoint underlying rows). */
+  def mergeCentroidSums(a: DataFrame, b: DataFrame,
+                        labelCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(labelCol), col("pos"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+
+  /** Finalize: mean per dimension, reassembled in pos order. */
+  def centroidsFromSums(sums: DataFrame, labelCol: String): DataFrame =
+    sums.groupBy(col(labelCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        (col("s") / col("n")).as("m")))),
         s => s.getField("m")).as("centroid"))
 
   /** Pairwise cosine between label centroids — the label-count²

@@ -54,6 +54,32 @@ object Surprisal {
     * floor. Two joins back to the bigram stream, both against tables
     * that are frequent-bigram- resp. vocabulary-sized (AQE broadcasts
     * them when small). */
+  /** Per-key token-distribution Shannon entropy (nats) — the corpus
+    * health metric behind "did this source collapse into boilerplate"
+    * and "is the mixture diverse enough": low entropy = a few tokens
+    * dominate (template/spam), high = diffuse vocabulary. Computed as
+    * H = ln N − (Σ c·ln c)/N, which needs ONE float pass over the
+    * count table (no per-row p=c/N materialization).
+    *
+    * Scale shape: two key-grained aggs (the (key, token) count —
+    * map-side combined — and the per-key fold); the totals table is
+    * key-sized and joins back AQE-broadcast. Output: (keyCol, vocab,
+    * n, entropy rounded 4). */
+  def tokenEntropyPerKey(df: DataFrame, keyCol: String,
+                         textCol: String): DataFrame = {
+    val c = df.select(col(keyCol), explode(split(col(textCol), " ")).as("__t"))
+      .groupBy(col(keyCol), col("__t")).agg(count(lit(1)).as("__c"))
+    val n = c.groupBy(col(keyCol))
+      .agg(sum(col("__c")).as("n"), count(lit(1)).as("vocab"))
+    c.join(n, Seq(keyCol))
+      .groupBy(col(keyCol), col("n"), col("vocab"))
+      .agg(sum(col("__c").cast("double") * log(col("__c").cast("double")))
+        .as("__sclc"))
+      .select(col(keyCol), col("vocab"), col("n"),
+        (round(log(col("n").cast("double")) - col("__sclc") / col("n"), 4)
+          + lit(0.0)).as("entropy"))
+  }
+
   def bigramSurprisal(doc: DataFrame, minCount: Long = 1L): DataFrame = {
     val (bg, surp, back) = bigramParts(doc, minCount)
     bg.join(surp, Seq("bg"), "left")

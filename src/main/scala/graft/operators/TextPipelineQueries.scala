@@ -201,6 +201,14 @@ object TextPipelineQueries {
       val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
       Dedup.ngramJaccardFromShingles(sh, pairs, "doc_id")
     }),
+    // Asymmetric containment on the same candidates: the
+    // subset-duplicate detector (truncated re-crawls, quoted-whole
+    // pages) that symmetric Jaccard structurally misses.
+    "q109_containment" -> ((s, d) => {
+      val sh = shingleTab(s, d)
+      val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+      Dedup.containmentFromShingles(sh, pairs, "doc_id")
+    }),
     "q20_simhash" -> ((s, d) => simhashTab(s, d)),
     // Exact-dedup batch ingest: which arriving docs duplicate a prior
     // corpus doc at the 100-char prefix-fingerprint grain (this
@@ -501,6 +509,24 @@ object TextPipelineQueries {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         queries, "q_id", "q_text", k = 10)
     }),
+    // The eval harness closed over retrieval: precision/recall/MRR@10
+    // of the q81 ranking against conjunctive (all-terms-present)
+    // judgments — rank-and-count arithmetic, exact on both engines.
+    "q111_retrieval_eval" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      val ranked = Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+        queries, "q_id", "q_text", k = 10)
+      val judged = Retrieval.conjunctiveJudgments(docs(s, d), "doc_id",
+        "text", queries, "q_id", "q_text")
+      Retrieval.evalRanked(ranked, judged, k = 10)
+    }),
+    // Corpus-health: per-source token-distribution entropy (template
+    // collapse shows up as a low-entropy source long before a human
+    // reads a sample).
+    "q112_source_entropy" -> ((s, d) =>
+      Surprisal.tokenEntropyPerKey(docs(s, d), "source", "text")),
     // Incremental retrieval index: postings built per-slice and
     // appended (per-document state only — df/dl/stats derive), scored
     // identically to the from-scratch q81 build, which is exactly
@@ -656,6 +682,22 @@ object TextPipelineQueries {
           col("embedding")),
         "label", "embedding")
       Similarity.centroidSimilarity(cents, "label")
+    }),
+    // Incremental domain profiles: centroid sums from an 80% history
+    // slice and a 20% batch MERGE (sums over disjoint rows add — the
+    // q86 pattern), and the resulting similarity matrix must
+    // reproduce q106's from-scratch oracle verbatim (shared SQL).
+    "q110_centroid_incremental" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"), col("embedding"))
+      val sums = Similarity.mergeCentroidSums(
+        Similarity.centroidSums(e.filter(col("vec_id") % 5 =!= 0),
+          "label", "embedding"),
+        Similarity.centroidSums(e.filter(col("vec_id") % 5 === 0),
+          "label", "embedding"),
+        "label")
+      Similarity.centroidSimilarity(
+        Similarity.centroidsFromSums(sums, "label"), "label")
     }))
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -693,7 +735,9 @@ object TextPipelineQueries {
   /** BM25 end-to-end in SQL. Shared by q81 (direct build) and q95
     * (postings appended per batch — per-document state, so the
     * scored output is identical by construction). */
-  private val bm25Sql =
+  /** BM25 scoring CTEs (through the ranked list `r`) shared by
+    * q81/q95 (top-k tail) and q111 (eval-metric tail). */
+  private val bm25Ctes =
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |dl AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl FROM toks),
         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
@@ -715,8 +759,11 @@ object TextPipelineQueries {
         |r AS (SELECT q_id, doc_id, score,
         |        CAST(row_number() OVER (PARTITION BY q_id
         |          ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
-        |      FROM sc)
-        |SELECT q_id, doc_id, score, rk FROM r WHERE rk <= 10""".stripMargin
+        |      FROM sc)""".stripMargin
+
+  private val bm25Sql =
+    s"""$bm25Ctes
+       |SELECT q_id, doc_id, score, rk FROM r WHERE rk <= 10""".stripMargin
 
   /** PQ ADC CTEs shared by q79/q80/q87: md5-rank seed codebook,
     * per-subspace argmin codes, per-query LUT, and the ADC distance
@@ -862,6 +909,24 @@ object TextPipelineQueries {
          |          JOIN ds sb ON c.id_b = sb.sid AND sa.shingle = sb.shingle
          |          GROUP BY c.id_a, c.id_b)
          |SELECT i.id_a, i.id_b,
+         |       round(i.inter / (na.n_sh + nb.n_sh - i.inter), 4) AS jaccard
+         |FROM inter i
+         |JOIN sizes na ON i.id_a = na.sid
+         |JOIN sizes nb ON i.id_b = nb.sid""".stripMargin,
+    "q109_containment" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ds AS (SELECT DISTINCT doc_id AS sid, shingle FROM sh),
+         |sizes AS (SELECT sid, count(*) AS n_sh FROM ds GROUP BY sid),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |          FROM cand c
+         |          JOIN ds sa ON c.id_a = sa.sid
+         |          JOIN ds sb ON c.id_b = sb.sid AND sa.shingle = sb.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT i.id_a, i.id_b,
+         |       round(i.inter / na.n_sh, 4) AS contain_a,
+         |       round(i.inter / nb.n_sh, 4) AS contain_b,
          |       round(i.inter / (na.n_sh + nb.n_sh - i.inter), 4) AS jaccard
          |FROM inter i
          |JOIN sizes na ON i.id_a = na.sid
@@ -1270,6 +1335,40 @@ object TextPipelineQueries {
          |      FROM f)
          |SELECT q_id, doc_id, rrf, rk FROM r WHERE rk <= 10""".stripMargin,
     "q81_bm25_topk" -> bm25Sql,
+    "q111_retrieval_eval" ->
+      s"""$bm25Ctes,
+         |nq AS (SELECT q_id, count(*) AS n_terms FROM qt GROUP BY q_id),
+         |dterm AS (SELECT DISTINCT doc_id, term FROM postings),
+         |jm AS (SELECT qt.q_id, dterm.doc_id
+         |       FROM qt JOIN dterm USING (term) JOIN nq USING (q_id)
+         |       GROUP BY qt.q_id, dterm.doc_id, nq.n_terms
+         |       HAVING count(*) = nq.n_terms),
+         |nrel AS (SELECT q_id, count(*) AS n_rel FROM jm GROUP BY q_id),
+         |h AS (SELECT r.q_id, r.rk, (jm.doc_id IS NOT NULL) AS rel
+         |      FROM r LEFT JOIN jm ON r.q_id = jm.q_id AND r.doc_id = jm.doc_id
+         |      WHERE r.rk <= 10),
+         |agg AS (SELECT q_id,
+         |          CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |          min(CASE WHEN rel THEN rk END) AS first_hit
+         |        FROM h GROUP BY q_id)
+         |SELECT agg.q_id, agg.n_hits,
+         |  CAST(coalesce(nrel.n_rel, 0) AS BIGINT) AS n_rel,
+         |  round(agg.n_hits / 10.0, 4) AS precision_at_k,
+         |  round(CASE WHEN coalesce(nrel.n_rel, 0) > 0
+         |             THEN agg.n_hits::DOUBLE / nrel.n_rel ELSE 0.0 END, 4)
+         |    AS recall_at_k,
+         |  round(coalesce(1.0 / agg.first_hit, 0.0), 4) AS mrr
+         |FROM agg LEFT JOIN nrel USING (q_id)""".stripMargin,
+    "q112_source_entropy" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |             FROM documents),
+        |c AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |        count(*) AS vocab FROM c GROUP BY source)
+        |SELECT c.source, n.vocab, n.n,
+        |  round(ln(n.n) - sum(c.c::DOUBLE * ln(c.c::DOUBLE)) / n.n, 4) + 0.0
+        |    AS entropy
+        |FROM c JOIN n USING (source) GROUP BY c.source, n.vocab, n.n""".stripMargin,
     // incremental postings == from-scratch build: same oracle
     "q95_bm25_incremental" -> bm25Sql,
     "q25_sim_bruteforce_topk" ->
@@ -1373,16 +1472,21 @@ object TextPipelineQueries {
          |drops AS (SELECT DISTINCT b_id FROM p WHERE cos >= 0.3)
          |SELECT asg.vec_id, asg.c_id AS cluster_id, (drops.b_id IS NULL) AS kept
          |FROM asg LEFT JOIN drops ON asg.vec_id = drops.b_id""".stripMargin,
-    "q106_label_centroid_sim" ->
-      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
-         |              unnest(embedding) AS x,
-         |              unnest(range(1, len(embedding) + 1)) AS pos
-         |            FROM embeddings),
-         |m AS (SELECT label, pos, avg(x::DOUBLE) AS m
-         |      FROM ex GROUP BY label, pos),
-         |c AS (SELECT label, list(m ORDER BY pos) AS centroid
-         |      FROM m GROUP BY label)
-         |SELECT a.label AS label_a, b.label AS label_b,
-         |       round(${cosSql("a.centroid", "b.centroid")}, 4) AS cos
-         |FROM c a JOIN c b ON a.label < b.label""".stripMargin)
+    "q106_label_centroid_sim" -> centroidSimSql,
+    // q110 is the incremental (merged-sums) form of the SAME result:
+    // the from-scratch oracle applies verbatim (the q80/q79 pattern).
+    "q110_centroid_incremental" -> centroidSimSql)
+
+  private lazy val centroidSimSql =
+    s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+       |              unnest(embedding) AS x,
+       |              unnest(range(1, len(embedding) + 1)) AS pos
+       |            FROM embeddings),
+       |m AS (SELECT label, pos, avg(x::DOUBLE) AS m
+       |      FROM ex GROUP BY label, pos),
+       |c AS (SELECT label, list(m ORDER BY pos) AS centroid
+       |      FROM m GROUP BY label)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       round(${cosSql("a.centroid", "b.centroid")}, 4) AS cos
+       |FROM c a JOIN c b ON a.label < b.label""".stripMargin
 }

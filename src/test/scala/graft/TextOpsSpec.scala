@@ -495,4 +495,76 @@ class TextOpsSpec extends AnyFunSuite {
     // doc2's repeats live in one doc only: df=1 < minDocs -> no dup mass
     assert(out(2L)._3 == 0L)
   }
+
+  test("containment: a truncated subset scores 1.0 where Jaccard is diluted") {
+    // doc 1 is the first half of doc 0 (a truncated re-crawl): every
+    // shingle of 1 appears in 0, so contain_a(1 in pair (1,?)) ...
+    // pairs are (id_a < id_b) so (0,1): contain_b = |A∩B|/|B| = 1.0
+    val big = (0 until 40).map(i => s"w$i").mkString(" ")
+    val small = (0 until 20).map(i => s"w$i").mkString(" ")
+    val df = Seq((0L, big), (1L, small)).toDF("doc_id", "text")
+    val sh = Dedup.shingleTable(df, "doc_id", "text", 3)
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentFromShingles(sh, pairs, "doc_id").head()
+    // shingles: big has 38, small 18, all of small's are in big
+    assert(r.getAs[Double]("contain_b") == 1.0)
+    assert(r.getAs[Double]("contain_a") == math.rint(18.0 / 38.0 * 10000) / 10000)
+    assert(r.getAs[Double]("jaccard") == math.rint(18.0 / 38.0 * 10000) / 10000)
+    // symmetric Jaccard alone would read ~0.47 ("not a dup") for a
+    // pair where one side is literally contained in the other
+    assert(r.getAs[Double]("jaccard") < 0.5 && r.getAs[Double]("contain_b") >= 1.0)
+  }
+
+  test("tokenEntropyPerKey: uniform = ln(vocab), constant = 0, per key") {
+    import graft.operators.Surprisal
+    val df = Seq(
+      ("uni", "a b c d"),          // 4 tokens once each -> ln 4
+      ("mono", "x x x x x"),       // one token -> 0
+      ("skew", "y y y z")          // H = ln4 - (3 ln3)/4
+    ).toDF("source", "text")
+    val out = Surprisal.tokenEntropyPerKey(df, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("uni") == ((4L, 4L, math.rint(math.log(4) * 10000) / 10000)))
+    assert(out("mono") == ((1L, 5L, 0.0)))
+    val hSkew = math.log(4) - 3 * math.log(3) / 4
+    assert(out("skew") == ((2L, 4L, math.rint(hSkew * 10000) / 10000)))
+  }
+
+  test("evalRanked: known precision/recall/MRR, no-relevant and no-hit edges") {
+    import graft.operators.Retrieval
+    val ranked = Seq(
+      // q0: relevant doc first -> MRR 1.0; 2 of 3 judged docs in top-3
+      (0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      // q1: first hit at rank 2
+      (1L, 20L, 1L), (1L, 21L, 2L),
+      // q2: no relevant docs at all
+      (2L, 30L, 1L)).toDF("q_id", "doc_id", "rk")
+    val judged = Seq((0L, 10L), (0L, 12L), (0L, 99L),
+      (1L, 21L)).toDF("q_id", "doc_id")
+    val out = Retrieval.evalRanked(ranked, judged, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out(0L) == ((2L, 3L, 0.6667, 0.6667, 1.0)))
+    assert(out(1L) == ((1L, 1L, 0.3333, 1.0, 0.5)))
+    assert(out(2L) == ((0L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("centroid sums merge: incremental == from-scratch on exact-integer data") {
+    val rows = Seq((0L, 0L, Array(1f, 2f)), (1L, 0L, Array(3f, 6f)),
+      (2L, 1L, Array(2f, 0f)), (3L, 1L, Array(0f, 2f)))
+      .toDF("vec_id", "label", "embedding")
+    val scratch = Similarity.labelCentroids(rows, "label", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val merged = Similarity.centroidsFromSums(
+      Similarity.mergeCentroidSums(
+        Similarity.centroidSums(rows.filter($"vec_id" % 2 === 0), "label", "embedding"),
+        Similarity.centroidSums(rows.filter($"vec_id" % 2 =!= 0), "label", "embedding"),
+        "label"), "label")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(merged == scratch)
+    assert(scratch(0L) == List(2.0, 4.0))
+    assert(scratch(1L) == List(1.0, 1.0))
+  }
 }
