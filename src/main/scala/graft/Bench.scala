@@ -49,7 +49,11 @@ object Bench {
         val iowait = if (f.length > 4) f(4) else 0L
         val idle = f(3) + iowait
         val steal = if (f.length > 7) f(7) else 0L
-        (steal, f.sum - idle, iowait, f.sum)
+        // Only user..steal (first 8 fields): guest/guest_nice are
+        // already folded into user, so a full sum double-counts them
+        // on hosts running nested guests.
+        val total = f.take(8).sum
+        (steal, total - idle, iowait, total)
       } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
 
     // One measured iteration: (seconds, host steal seconds during it,

@@ -557,6 +557,9 @@ object Curation {
                 window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0,
       s"window/stride must be positive, got $window/$stride")
+    require(stride <= window,
+      s"stride ($stride) > window ($window) would drop the tokens between " +
+        "them from every chunk, breaking the every-token-covered contract")
     val toks = split(col(textCol), " ")
     df.select(col(idCol), posexplode(
         transform(

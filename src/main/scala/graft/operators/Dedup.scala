@@ -667,24 +667,48 @@ object Dedup {
     * the pair search shuffles once on `cluster_id` and is quadratic
     * only WITHIN a cluster — `k` scales with corpus size to hold
     * cluster population at the all-pairs budget (the paper runs
-    * k≈10⁵ at web scale). Output: (idCol, cluster_id, kept).
+    * k≈10⁵ at web scale). `k` is a dial, not a guard: md5-rank seeds
+    * carry no balance guarantee, so a dense embedding mode can
+    * collapse most rows into one cluster regardless of `k`.
+    * `maxClusterPop` is the guard — clusters whose population exceeds
+    * it are EXCLUDED from the pair search (their members are reported
+    * `kept = true`), the same broadcast-left-anti idiom as
+    * [[lshCandidatePairs]]' hot-bucket cap: only the overfull cluster
+    * ids are broadcast (tiny by construction — each holds > cap
+    * rows). Documented recall loss, exact by default.
+    *
+    * `centroids`, when supplied (e.g. `IvfIndex.buildFrom` output),
+    * replaces the md5-rank seed draw — balanced centroids keep
+    * populations under the cap instead of tripping it.
+    * Output: (idCol, cluster_id, kept).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int = 8, minCos: Double = 0.3): DataFrame = {
+                    k: Int = 8, minCos: Double = 0.3,
+                    maxClusterPop: Int = Int.MaxValue,
+                    centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     import graft.functions.VectorFunctions
     val spark = df.sparkSession
     import spark.implicits._
-    val seeds: Array[Array[Double]] =
+    val seeds: Array[Array[Double]] = centroids.getOrElse(
       df.select(col(vecCol).as("v"),
           md5(concat(col(idCol).cast("string"), lit("|sem"))).as("__h"))
         .orderBy(col("__h").asc).limit(k)
         .select(col("v")).as[Array[Float]].collect()
-        .map(_.map(_.toDouble))
+        .map(_.map(_.toDouble)))
     val assigned = df.select(col(idCol), col(vecCol),
       VectorFunctions.nearestCentroid(col(vecCol), seeds).as("cluster_id"))
-    val a = assigned.select(col("cluster_id"), col(idCol).as("__aid"),
+    val searched =
+      if (maxClusterPop == Int.MaxValue) assigned
+      else {
+        val hot = assigned.groupBy(col("cluster_id"))
+          .agg(count(lit(1)).as("__cn"))
+          .filter(col("__cn") > maxClusterPop)
+        assigned.join(broadcast(hot.select(col("cluster_id"))),
+          Seq("cluster_id"), "left_anti")
+      }
+    val a = searched.select(col("cluster_id"), col(idCol).as("__aid"),
       col(vecCol).as("__avec"))
-    val b = assigned.select(col("cluster_id"), col(idCol).as("__bid"),
+    val b = searched.select(col("cluster_id"), col(idCol).as("__bid"),
       col(vecCol).as("__bvec"))
     val drops = a.join(b, Seq("cluster_id"))
       .filter(col("__aid") < col("__bid") &&

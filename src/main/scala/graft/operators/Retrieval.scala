@@ -83,18 +83,6 @@ object Retrieval {
         col("cos").as("score"), col("rk"))
   }
 
-  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
-    * ranked lists from heterogeneous retrievers — the standard way to
-    * combine lexical ([[bm25TopK]]) and embedding ([[Similarity]],
-    * [[Pq]]) results without calibrating their incomparable scores:
-    * fused(d) = Σ_lists 1/(c + rank_list(d)). Each input is
-    * (q_id, doc_id, rk); absent-from-a-list contributes nothing.
-    * Output: (q_id, doc_id, rrf, rk) — rrf rounded to 6, rk by
-    * (rrf desc, doc_id asc).
-    *
-    * Scale shape: inputs are already top-k-bounded (k × queries rows
-    * each), so the union + fuse agg is tiny regardless of corpus
-    * size; ranking reuses the partition-local heaps. */
   /** Boolean-AND relevance judgments: a document is relevant to a
     * query iff it contains EVERY query term — the deterministic
     * stand-in for human judgments that makes the eval harness
@@ -145,6 +133,18 @@ object Retrieval {
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 4).as("mrr"))
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    * ranked lists from heterogeneous retrievers — the standard way to
+    * combine lexical ([[bm25TopK]]) and embedding ([[Similarity]],
+    * [[Pq]]) results without calibrating their incomparable scores:
+    * fused(d) = Σ_lists 1/(c + rank_list(d)). Each input is
+    * (q_id, doc_id, rk); absent-from-a-list contributes nothing.
+    * Output: (q_id, doc_id, rrf, rk) — rrf rounded to 6, rk by
+    * (rrf desc, doc_id asc).
+    *
+    * Scale shape: inputs are already top-k-bounded (k × queries rows
+    * each), so the union + fuse agg is tiny regardless of corpus
+    * size; ranking reuses the partition-local heaps. */
   def rrfFuse(ranked: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
     val pooled = ranked

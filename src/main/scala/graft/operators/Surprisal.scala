@@ -50,10 +50,6 @@ object Surprisal {
     (bg, surp, back)
   }
 
-  /** Per-document average bigram surprisal with backoff below the
-    * floor. Two joins back to the bigram stream, both against tables
-    * that are frequent-bigram- resp. vocabulary-sized (AQE broadcasts
-    * them when small). */
   /** Per-key token-distribution Shannon entropy (nats) — the corpus
     * health metric behind "did this source collapse into boilerplate"
     * and "is the mixture diverse enough": low entropy = a few tokens
@@ -80,6 +76,10 @@ object Surprisal {
           + lit(0.0)).as("entropy"))
   }
 
+  /** Per-document average bigram surprisal with backoff below the
+    * floor. Two joins back to the bigram stream, both against tables
+    * that are frequent-bigram- resp. vocabulary-sized (AQE broadcasts
+    * them when small). */
   def bigramSurprisal(doc: DataFrame, minCount: Long = 1L): DataFrame = {
     val (bg, surp, back) = bigramParts(doc, minCount)
     bg.join(surp, Seq("bg"), "left")

@@ -85,4 +85,34 @@ class SkewSpec extends AnyFunSuite {
     assert(bySalt.max < (20000 * 0.95 / salts * 1.5).toLong,
       s"hot-key rows per salt: ${bySalt.mkString(",")}")
   }
+
+  test("semanticDedup: degenerate embedding mode prunes, never explodes") {
+    // 30 vectors collapse into one dense mode (one cluster regardless
+    // of k); 3 more sit in a second direction, two of them near-dups.
+    // Fixed centroids make assignment deterministic for the assert.
+    val dense = (0 until 30).map(i =>
+      (i.toLong, Array.fill(8)(1f + i * 0.001f)))
+    val small = Seq(
+      (100L, Array(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -1f)),
+      (101L, Array(-1f, -1f, -1f, -1f, -1f, -1f, -1f, -1.01f)),
+      (102L, Array(-1f, -1f, -1f, -1f, 1f, 1f, -1f, -1f)))
+    val corpus = (dense ++ small).toDF("vec_id", "embedding")
+    val cents = Some(Array(Array.fill(8)(1.0), Array.fill(8)(-1.0)))
+
+    // Unbounded: the dense mode's 30 rows keep only their min id.
+    val unbounded = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      k = 2, minCos = 0.9, centroids = cents)
+    assert(unbounded.filter(col("kept")).select("vec_id")
+      .as[Long].collect().toSet == Set(0L, 100L, 102L))
+
+    // Capped: the overfull cluster is EXCLUDED from the pair search —
+    // its members all report kept=true (documented recall loss) while
+    // the small cluster still dedups (101 drops behind 100).
+    val capped = Dedup.semanticDedup(corpus, "vec_id", "embedding",
+      k = 2, minCos = 0.9, maxClusterPop = 10, centroids = cents)
+    val keptSet = capped.filter(col("kept")).select("vec_id")
+      .as[Long].collect().toSet
+    assert(keptSet == (0L until 30L).toSet ++ Set(100L, 102L))
+    assert(capped.count() == 33) // every input row still reported
+  }
 }
