@@ -291,28 +291,51 @@ object Dedup {
       .withColumn("label", col("id"))
       .persist(mem)
     labels.count() // materialize before the loop re-reads it
+    // One lazy propagation round: each node takes the min label over
+    // itself and its neighbors; monotone (labels only decrease).
+    def propagate(l: DataFrame): DataFrame = {
+      val neighborMin = edges
+        .join(l.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      l.select(col("id"), col("label")).join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+    }
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // TWO lazy rounds per materialized action: on batch-sized delta
+      // graphs the per-job round trip dominates the round's compute,
+      // and near-dup components are shallow, so paying a full job per
+      // round for the convergence bit doubles the wall clock. The
+      // block's own last two states carry the bit — propagation is
+      // monotone, so "round k changed nothing" IS the fixed point,
+      // and comparing the block's final round against its predecessor
+      // (a projection inside the same plan, not a join back to the
+      // previous action's result) detects it with zero extra jobs.
+      val rounds = math.min(2, maxIter - iter)
+      val prev = (1 until rounds).foldLeft(labels.select(col("id"), col("label")))(
+        (l, _) => propagate(l))
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(prev.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
-      val step = labels.join(neighborMin, Seq("id"), "left")
+      val step = prev.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // Each round's plan chains the previous round's; localCheckpoint
-      // every few rounds truncates the lineage so plan depth stays
-      // bounded and an executor loss replays at most ~5 rounds, not
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("__chg"))
+      // Each block's plan chains the previous block's; localCheckpoint
+      // every few blocks truncates the lineage so plan depth stays
+      // bounded and an executor loss replays a bounded suffix, not
       // the whole chain.
       val next =
-        if ((iter + 1) % 5 == 0) step.localCheckpoint(true)
+        if ((iter / 2 + 1) % 3 == 0) step.localCheckpoint(true)
         else step.persist(mem)
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).count()
+      changed = next.filter(col("__chg")).count()
       labels.unpersist(blocking = false)
       labels = next
-      iter += 1
+      iter += rounds
     }
     if (changed == 0) {
       // Materialize the result with its lineage CUT (localCheckpoint,
@@ -369,8 +392,12 @@ object Dedup {
     * [[connectedComponents]] over the union of all pairs. */
   def incrementalComponents(labels: DataFrame, newPairs: DataFrame): DataFrame = {
     val lab = labels.select(col("id"), col("keep_id"))
+    // Materialized ONCE (batch-sized): batchIds, the contraction join,
+    // and the delta CC's edge set all re-read the new pairs — lazy,
+    // each would replay the upstream LSH candidate lineage.
     val np = newPairs.select(col("id_a"), col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
+      .localCheckpoint(true)
     val batchIds = np.select(col("id_a").as("id"))
       .union(np.select(col("id_b").as("id"))).distinct()
     // the touched slice of the label table: batch-sized, safe to
