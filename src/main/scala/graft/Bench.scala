@@ -95,6 +95,7 @@ object Bench {
     }
     // Drop warmup-SF cached intermediates so measurement starts clean.
     graft.operators.TextPipelineQueries.clearCache(spark)
+    graft.operators.BpeQueries.clearCache()
 
     // One-time shared-intermediate builds (shingle/signature tables,
     // CC labels, IVF index) timed as their OWN line item: per-query
@@ -125,6 +126,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
     graft.operators.TextPipelineQueries.clearCache(spark)
+    graft.operators.BpeQueries.clearCache()
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
     // Also persist the line to a file: the driver captures a stdout
     // TAIL, and round 4's capture truncated the medians/cache fields.

@@ -78,6 +78,15 @@ object TextFunctions {
   def bpeishCount(text: Column): Column =
     regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
 
+  /** Flat BPE token sequence for a document via the learned merge
+    * list — a single kernel expression node at any vocabulary size
+    * (see [[BpeEncodeExpr]]; [[graft.operators.Bpe.encodeComposed]]
+    * is the oracle-expressible composed twin). */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(BpeEncodeExpr(
+      org.apache.spark.sql.GraftSqlBridge.expression(text),
+      merges.map(m => Array(m._1, m._2)).toArray))
+
   /** English-y stopwords used for quality scoring. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
 }

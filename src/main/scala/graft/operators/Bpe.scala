@@ -1,0 +1,137 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding subword tokenization (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") —
+  * the tokenizer an LLM data pipeline actually runs, completing the
+  * word-level vocabulary family ([[Curation.buildVocab]]) with the
+  * subword path that q47's packing and q75's chunking meter real
+  * token budgets against.
+  *
+  * Scale shape: training NEVER iterates over the corpus. One
+  * map-side-combined shuffle builds the word-frequency TYPE table
+  * (Heaps' law: types grow ~√corpus, so the table is tiny relative
+  * to any training corpus), and every merge round is a narrow
+  * explode + aggregate over that table with a single-row TakeOrdered
+  * — per-round cost is bounded by the type table, independent of
+  * corpus size. Encoding is one corpus-parallel projection with the
+  * merge list broadcast ([[graft.functions.TextFunctions.bpeEncode]]
+  * keeps it a single codegen-friendly kernel call at any vocabulary
+  * size; [[encodeComposed]] is the oracle-expressible composed twin).
+  *
+  * Symbol representation: a word is ONE string with each symbol
+  * wrapped in spaces — `regexp_replace(w, "([^ ])", " \$1 ")` turns
+  * `"ab"` into `" a  b "` (double space between symbols, triple at
+  * word boundaries when applied to whole documents). A merge (a, b)
+  * is then plain string `replace(" a  b " -> " ab ")`, which has
+  * exactly the reference BPE's greedy left-to-right non-overlapping
+  * application semantics IN BOTH Spark and DuckDB — the trick that
+  * makes training oracle-checkable round by round. Characters are
+  * UTF-16 units (fine for the BMP text this corpus holds; byte-level
+  * BPE would swap [[spaced]] for a byte expansion, nothing else).
+  */
+object Bpe {
+  private val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** `"ab"` → `" a  b "`: every non-space char becomes ` c `. */
+  def spaced(c: Column): Column = regexp_replace(c, "([^ ])", " $1 ")
+
+  private[graft] def mergePattern(a: String, b: String): (String, String) =
+    (s" $a  $b ", s" $a$b ")
+
+  /** The word-frequency type table in spaced form: (w, freq). The one
+    * corpus-sized pass of training. */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(spaced(col("word")).as("w"), col("freq"))
+
+  /** Frequency-weighted adjacent-symbol-pair counts over a spaced
+    * type table — overlapping occurrences count individually, the
+    * reference get_stats semantics. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.select(split(trim(col("w")), "  ").as("syms"), col("freq"))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms)-2), " +
+          "i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("cnt"))
+
+  /** Learn up to `numMerges` merges: each round takes the globally
+    * most frequent pair (ties broken (a asc, b asc) — deterministic
+    * across engines) and applies it to the type table lazily; the
+    * replace chain is locally checkpointed every 8 rounds so lineage
+    * depth stays bounded at any merge count. The returned list is
+    * driver-side by design — it IS the tokenizer artifact (bounded by
+    * `numMerges`, the IVF-centroid precedent), broadcast into the
+    * encode kernel. Stops early when no pair repeats. */
+  def learnMerges(df: DataFrame, textCol: String,
+                  numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var base = wordTable(df, textCol).persist(mem)
+    base.count()
+    var words: DataFrame = base
+    var pending = 0
+    val merges = ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val top = pairCounts(words)
+        .filter(col("cnt") >= 2) // a pair seen once is not a vocabulary unit
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val (pat, rep) = mergePattern(a, b)
+        words = words.select(replace(col("w"), lit(pat), lit(rep)).as("w"),
+          col("freq"))
+        pending += 1
+        if (pending == 8) {
+          val mat = words.localCheckpoint(true)
+          base.unpersist(blocking = false)
+          base = mat
+          words = mat
+          pending = 0
+        }
+      }
+    }
+    base.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** The learned merges as a frame: (rank, lhs, rhs). */
+  def mergeTable(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    learnMerges(df, textCol, numMerges).zipWithIndex
+      .map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "lhs", "rhs")
+  }
+
+  /** Composed encode: the whole document as one spaced string through
+    * the merge chain in rank order, then split back to the flat token
+    * sequence (word boundaries are triple spaces, so no merge crosses
+    * a word). Sequential rank-order application equals the reference
+    * priority-iterative encode as long as no merge's output string
+    * duplicates an existing symbol (a consumed pair cannot otherwise
+    * re-form — BpeSpec pins kernel == composed on the corpus).
+    * Oracle-expressible, but the plan carries one `replace` node per
+    * merge — the real-vocabulary path is the kernel expression
+    * ([[graft.functions.TextFunctions.bpeEncode]]), one node at any
+    * merge count. */
+  def encodeComposed(c: Column, merges: Seq[(String, String)]): Column = {
+    val enc = merges.foldLeft(spaced(c)) { case (e, (a, b)) =>
+      val (pat, rep) = mergePattern(a, b)
+      replace(e, lit(pat), lit(rep))
+    }
+    when(length(trim(enc)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(enc), " {2,}"))
+  }
+}
