@@ -746,4 +746,74 @@ object Dedup {
       .select(col(idCol), col("cluster_id"),
         coalesce(!col("__dropped"), lit(true)).as("kept"))
   }
+
+  /** Positioned token n-gram table: (idCol, pos, nh) — one row per
+    * 0-based token position, nh = the first 16 md5 hex chars of the
+    * space-joined n-gram. The md5 slice (not xxhash64) keeps hash
+    * semantics — including collisions — identical to the DuckDB
+    * oracle; a production swap to xxhash64 changes one line. */
+  def positionedNgrams(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    df.select(col(idCol), split(col(textCol), " ").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(__w) - $n), i -> struct(i AS pos, " +
+          s"substring(md5(concat_ws(' ', slice(__w, i + 1, $n))), 1, 16) AS nh))"))
+        .as("g"))
+      .select(col(idCol), col("g.pos").as("pos"), col("g.nh").as("nh"))
+  }
+
+  /** Cross-document EXACT substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): the
+    * modality fuzzy dedup cannot express — a ≥ `minLen`-token span
+    * shared verbatim by two documents, even when the documents are
+    * otherwise unrelated (quotations, licence headers, syndicated
+    * paragraphs). A shared L-token span is exactly a run of
+    * L − n + 1 consecutive matching n-grams at a constant position
+    * offset, so maximal spans fall out of a gaps-and-islands pass
+    * over the matching n-gram pairs.
+    *
+    * Scale shape: ONE shuffle joins the positioned n-gram table to
+    * itself on the 8-byte-equivalent hash — never on text — and the
+    * `maxOccurrences` guard excludes corpus-common n-grams before the
+    * join (broadcast left-anti, the LSH hot-bucket idiom), bounding
+    * per-key fanout at cap². Corpus-common means boilerplate — the
+    * documented pre-filter for boilerplate-heavy corpora is
+    * [[Curation.dropBoilerplateLines]]; what the cap drops is recall on
+    * spans every document shares, which exact-dedup pipelines prune
+    * anyway. The island window partitions by (doc_a, doc_b, offset) —
+    * pair-local, no global sort.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, len) per maximal shared
+    * span, doc_a < doc_b, positions 0-based in tokens. */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int = 5, minLen: Int = 8,
+                          maxOccurrences: Int = 50): DataFrame = {
+    require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
+    val ng = positionedNgrams(df, idCol, textCol, n)
+    // The cap rides the nh shuffle the self-join needs anyway: a
+    // count window over nh partitions adds no exchange (vs a separate
+    // agg + anti-join, which re-derived the n-gram table a third
+    // time), and the identical a/b branches share one reused exchange.
+    val occ = org.apache.spark.sql.expressions.Window.partitionBy(col("nh"))
+    val cool = ng.withColumn("__cn", count(lit(1)).over(occ))
+      .filter(col("__cn") <= maxOccurrences)
+    val a = cool.select(col("nh"), col(idCol).as("doc_a"), col("pos").as("pos_a"))
+    val b = cool.select(col("nh"), col(idCol).as("doc_b"), col("pos").as("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("__delta"))
+      .orderBy(col("pos_a"))
+    a.join(b, Seq("nh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("__delta", col("pos_b") - col("pos_a"))
+      .withColumn("__isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("__delta"), col("__isl"))
+      .agg(min(col("pos_a")).as("__sa"), count(lit(1)).as("__c"))
+      .filter(col("__c") + (n - 1) >= minLen)
+      .select(col("doc_a"), col("doc_b"),
+        col("__sa").cast("long").as("start_a"),
+        (col("__sa") + col("__delta")).cast("long").as("start_b"),
+        (col("__c") + (n - 1)).cast("long").as("len"))
+  }
 }

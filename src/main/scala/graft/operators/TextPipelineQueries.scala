@@ -698,6 +698,24 @@ object TextPipelineQueries {
         "label")
       Similarity.centroidSimilarity(
         Similarity.centroidsFromSums(sums, "label"), "label")
+    }),
+    // Cross-document EXACT substring spans (Lee et al. 2022) — the
+    // modality fuzzy dedup can't express. The synthetic corpus shares
+    // no long verbatim runs, so three deterministic 10-token phrases
+    // are injected (docs with doc_id % 7 == 0, variant by doc_id % 3;
+    // mirrored exactly in the oracle — the CurationQueries withPii
+    // precedent), giving the operator real maximal spans to find with
+    // populations bounded under the hot-n-gram cap.
+    "q116_exact_substring_spans" -> ((s, d) => {
+      val phrase = element_at(array(
+        lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        lit(" lambda mu nu xi omicron pi rho sigma tau upsilon"),
+        lit(" phi chi psi omega aleph beth gimel daleth he waw")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val aug = docs(s, d).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), phrase))
+          .otherwise(col("text")).as("text"))
+      Dedup.exactSubstringSpans(aug, "doc_id", "text")
     }))
 
   // ---- oracle SQL (DuckDB dialect) ----
@@ -1475,7 +1493,33 @@ object TextPipelineQueries {
     "q106_label_centroid_sim" -> centroidSimSql,
     // q110 is the incremental (merged-sums) form of the SAME result:
     // the from-scratch oracle applies verbatim (the q80/q79 pattern).
-    "q110_centroid_incremental" -> centroidSimSql)
+    "q110_centroid_incremental" -> centroidSimSql,
+    // same algorithm shape as the distributed plan: positioned
+    // n-grams (md5-slice hash — identical collision semantics), hot
+    // cap, self-join, gaps-and-islands maximal runs.
+    "q116_exact_substring_spans" ->
+      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
+        |    CASE (doc_id % 3) WHEN 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+        |                      WHEN 1 THEN ' lambda mu nu xi omicron pi rho sigma tau upsilon'
+        |                      ELSE ' phi chi psi omega aleph beth gimel daleth he waw' END
+        |    ELSE text END AS text FROM documents),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+        |ng AS (SELECT doc_id, i - 1 AS pos,
+        |       substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS nh
+        |       FROM tk, UNNEST(generate_series(1, len(w) - 4)) AS u(i)),
+        |cool AS (SELECT * FROM ng WHERE nh NOT IN
+        |         (SELECT nh FROM ng GROUP BY nh HAVING count(*) > 50)),
+        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             a.pos AS pos_a, b.pos AS pos_b
+        |      FROM cool a JOIN cool b USING (nh) WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT doc_a, doc_b, pos_b - pos_a AS delta, pos_a,
+        |      pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_b - pos_a
+        |        ORDER BY pos_a) AS isl FROM m)
+        |SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+        |       CAST(min(pos_a) + delta AS BIGINT) AS start_b,
+        |       CAST(count(*) + 4 AS BIGINT) AS len
+        |FROM r GROUP BY doc_a, doc_b, delta, isl
+        |HAVING count(*) + 4 >= 8""".stripMargin)
 
   private lazy val centroidSimSql =
     s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,

@@ -567,4 +567,50 @@ class TextOpsSpec extends AnyFunSuite {
     assert(scratch(0L) == List(2.0, 4.0))
     assert(scratch(1L) == List(1.0, 1.0))
   }
+
+  test("exactSubstringSpans: planted span found, maximal, correctly placed") {
+    // docs 0 and 1 share tokens 3..11 of doc 0 (= positions 2..10 of
+    // doc 1): a 9-token verbatim run; doc 2 is unrelated.
+    val shared = "one two three four five six seven eight nine"
+    val d = Seq(
+      (0L, s"aa bb cc $shared zz"),
+      (1L, s"xx yy $shared qq rr"),
+      (2L, "totally different words in this document here right now ok"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(d, "doc_id", "text",
+      n = 5, minLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((0L, 1L, 3L, 2L, 9L)))
+  }
+
+  test("exactSubstringSpans: below minLen is silent; within-doc repeats don't pair") {
+    val d = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "z z a b c d e f z z")) // shares only 6 tokens (< minLen 8)
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(d, "doc_id", "text", n = 5, minLen = 8)
+    assert(spans.count() == 0)
+    // lower the bar and the 6-token span appears with exact bounds
+    val found = Dedup.exactSubstringSpans(d, "doc_id", "text", n = 5, minLen = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(found.toSeq == Seq((0L, 1L, 0L, 2L, 6L)))
+  }
+
+  test("exactSubstringSpans: hot n-gram cap prunes boilerplate instead of exploding") {
+    // 30 docs share one boilerplate sentence; 2 docs share a rare one.
+    val boiler = "this page is generated automatically do not edit it"
+    val rare = "only these two documents share this exact phrase here"
+    val d = ((0 until 30).map(i => (i.toLong, s"filler$i $boiler")) ++
+      Seq((100L, s"aa $rare"), (101L, s"bb $rare")))
+      .toDF("doc_id", "text")
+    val unbounded = Dedup.exactSubstringSpans(d, "doc_id", "text",
+      n = 5, minLen = 8, maxOccurrences = Int.MaxValue)
+    assert(unbounded.count() == 30L * 29 / 2 + 1) // quadratic without the cap
+    val capped = Dedup.exactSubstringSpans(d, "doc_id", "text",
+      n = 5, minLen = 8, maxOccurrences = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(capped.toSeq == Seq((100L, 101L, 9L))) // rare span survives
+  }
 }
