@@ -608,4 +608,50 @@ class TemporalOpsSpec extends AnyFunSuite {
     // the 500.0 spike is flagged once warmup has passed
     assert(streamed.find(s => s.ord == 40L).exists(_.flag))
   }
+
+  test("RunningTrend: streamed slope == batch slopePerKey after every micro-batch") {
+    import graft.operators.Trend
+    import graft.streaming.RunningTrend
+    import graft.streaming.RunningTrend.{TPoint, TrendOut}
+    val rng = new scala.util.Random(7)
+    // key a trends up, key b trends down, key c is degenerate (one x)
+    val pts = (0 until 40).map { i =>
+      val k = if (i % 2 == 0) "a" else "b"
+      val x = (i / 2).toLong
+      val y = if (k == "a") 3 * x + rng.nextInt(3) else 90 - 2 * x + rng.nextInt(3)
+      TPoint(k, x, y)
+    } :+ TPoint("c", 5L, 11L) :+ TPoint("c", 5L, 13L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TPoint]
+    val q = RunningTrend.slopes(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rt_out").start()
+    val batches = pts.grouped(15).toSeq
+    var seen = Seq.empty[TPoint]
+    batches.foreach { b =>
+      val before = spark.table("rt_out").count()
+      mem.addData(b: _*); q.processAllAvailable()
+      seen = seen ++ b
+      // latest snapshot per key this batch == batch operator on prefix
+      val snap = spark.table("rt_out").as[TrendOut].collect()
+        .drop(before.toInt).map(t => t.key -> ((t.n, t.slope))).toMap
+      val expect = Trend.slopePerKey(
+          seen.toDF("key", "x", "y"), "key", "x", "y")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      snap.foreach { case (k, (n, slopeOpt)) =>
+        assert(n == seen.count(_.key == k).toLong, s"n at $k")
+        (expect.get(k), slopeOpt) match {
+          case (Some((en, es)), Some(s)) =>
+            assert(en == n && es == s, s"slope at $k: batch $es streamed $s")
+          case (None, None) => () // degenerate key dropped by batch, None here
+          case other => fail(s"mismatched presence at $k: $other")
+        }
+      }
+    }
+    q.stop()
+    // the degenerate key really exercised the None branch
+    val cRows = spark.table("rt_out").as[TrendOut].collect().filter(_.key == "c")
+    assert(cRows.nonEmpty && cRows.forall(_.slope.isEmpty))
+  }
 }
