@@ -243,6 +243,24 @@ object Similarity {
         round(cosine(col("__ca"), col("__cb")), 4).as("cos"))
   }
 
+  /** Per-label centroid DRIFT across two snapshots — the standard
+    * corpus-monitoring readout after a batch ingest: cos(centroid_t,
+    * centroid_{t-1}) per label, where centroid_t comes from the
+    * incrementally merged sums ([[mergeCentroidSums]]) so history is
+    * never rescanned. Labels present in only one snapshot drop (an
+    * inner join — drift is undefined for them; a brand-new label is
+    * its own alert, surfaced by the label-count diff, not a cosine).
+    * Output: (labelCol, drift rounded 4). Cost: label-count-sized
+    * join, tiny by construction. */
+  def centroidDrift(prev: DataFrame, cur: DataFrame,
+                    labelCol: String): DataFrame = {
+    val a = prev.select(col(labelCol), col("centroid").as("__cp"))
+    val b = cur.select(col(labelCol), col("centroid").as("__cc"))
+    a.join(b, Seq(labelCol))
+      .select(col(labelCol),
+        round(cosine(col("__cp"), col("__cc")), 4).as("drift"))
+  }
+
   def lshSimilarPairsBanded(corpus: DataFrame, idCol: String, vecCol: String,
                             bitsPerBand: Int, bands: Int, threshold: Double,
                             maxBucketSize: Int = Int.MaxValue): DataFrame = {

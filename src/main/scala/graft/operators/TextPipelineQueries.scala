@@ -706,6 +706,22 @@ object TextPipelineQueries {
     // mirrored exactly in the oracle — the CurationQueries withPii
     // precedent), giving the operator real maximal spans to find with
     // populations bounded under the hot-n-gram cap.
+    // Per-label centroid drift across a batch ingest — q110's merged
+    // sums composed with q106's cosine: how far did each label's
+    // embedding profile move when the new batch landed?
+    "q117_centroid_drift" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"), col("embedding"))
+      val oldSums = Similarity.centroidSums(
+        e.filter(col("vec_id") % 5 =!= 0), "label", "embedding")
+      val curSums = Similarity.mergeCentroidSums(oldSums,
+        Similarity.centroidSums(e.filter(col("vec_id") % 5 === 0),
+          "label", "embedding"),
+        "label")
+      Similarity.centroidDrift(
+        Similarity.centroidsFromSums(oldSums, "label"),
+        Similarity.centroidsFromSums(curSums, "label"), "label")
+    }),
     "q116_exact_substring_spans" -> ((s, d) => {
       val phrase = element_at(array(
         lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa"),
@@ -1494,6 +1510,24 @@ object TextPipelineQueries {
     // q110 is the incremental (merged-sums) form of the SAME result:
     // the from-scratch oracle applies verbatim (the q80/q79 pattern).
     "q110_centroid_incremental" -> centroidSimSql,
+    // old centroid = pre-batch rows only; current = all rows (what
+    // the merged sums reconstruct); drift = their per-label cosine.
+    "q117_centroid_drift" ->
+      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label, vec_id,
+         |              unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |mo AS (SELECT label, pos, avg(x::DOUBLE) AS m
+         |       FROM ex WHERE vec_id % 5 <> 0 GROUP BY label, pos),
+         |co AS (SELECT label, list(m ORDER BY pos) AS centroid
+         |       FROM mo GROUP BY label),
+         |mc AS (SELECT label, pos, avg(x::DOUBLE) AS m
+         |       FROM ex GROUP BY label, pos),
+         |cc AS (SELECT label, list(m ORDER BY pos) AS centroid
+         |       FROM mc GROUP BY label)
+         |SELECT a.label AS label,
+         |       round(${cosSql("a.centroid", "b.centroid")}, 4) AS drift
+         |FROM co a JOIN cc b USING (label)""".stripMargin,
     // same algorithm shape as the distributed plan: positioned
     // n-grams (md5-slice hash — identical collision semantics), hot
     // cap, self-join, gaps-and-islands maximal runs.

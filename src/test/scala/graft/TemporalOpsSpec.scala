@@ -578,6 +578,24 @@ class TemporalOpsSpec extends AnyFunSuite {
     assert(!sim.contains((1L, 0L))) // upper triangle only
   }
 
+  test("centroidDrift: moved label scores < 1, stable label 1, unmatched drops") {
+    import graft.operators.Similarity
+    val prev = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 2f)))
+      .toDF("label", "embedding")
+    val cur = Seq(
+      (0L, Array(1f, 0f)), (0L, Array(0f, 1f)), // label 0 rotates 45°
+      (1L, Array(0f, 5f)),                      // label 1 same direction
+      (9L, Array(3f, 3f)))                      // brand-new label
+      .toDF("label", "embedding")
+    val drift = Similarity.centroidDrift(
+        Similarity.labelCentroids(prev, "label", "embedding"),
+        Similarity.labelCentroids(cur, "label", "embedding"), "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(drift(1L) == 1.0)
+    assert(drift(0L) == 0.7071) // cos 45°
+    assert(!drift.contains(9L)) // new label: no prior centroid, drops
+  }
+
   test("RunningAnomaly: streamed state fold == batch window form across micro-batches") {
     import graft.streaming.RunningAnomaly
     import graft.streaming.RunningAnomaly.{Point, Scored}
