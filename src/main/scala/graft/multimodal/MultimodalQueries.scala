@@ -157,7 +157,59 @@ object MultimodalQueries {
       Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
         .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
           length($"frame").cast("long").as("n_bytes"))
+    }),
+    // REAL video end to end: per-doc MJPEG AVIs muxed on executors
+    // from ImageIO-encoded JPEG frames (the JDK reference codec, the
+    // JpegDecodeSpec anchor), demuxed by the RIFF walker, every
+    // second frame pixel-decoded by the NATIVE JPEG decoder. The
+    // oracle pins the closed-form fields — frame count, sampled
+    // indices, SOF dimensions, decoded pixel-buffer size (which is
+    // only right when the Huffman+IDCT pipeline actually ran) —
+    // while pixel VALUES, unpredictable in SQL for a lossy codec,
+    // are cross-checked against ImageIO in MultimodalSpec.
+    "q118_video_mjpeg" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val w = (id % 16 + 8).toInt
+          val h = (id % 12 + 8).toInt
+          val n = (id % 3 + 2).toInt
+          val frames = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            for (y <- 0 until h; x <- 0 until w)
+              img.setRGB(x, y, (((x * 7 + f * 29) % 256) << 16) |
+                (((y * 11 + id % 97) % 256).toInt << 8) | ((x + y + f) % 256))
+            jpegBytes(img)
+          }
+          Multimodal.MediaRecord(id, Avi.encodeMjpeg(w, h, 10, frames))
+        }
+      media.flatMap { r =>
+        Avi.frames(r.content).zipWithIndex.collect {
+          case (jpeg, idx) if idx % 2 == 0 =>
+            val (w, h, _, px) = JpegDecode.decode(jpeg)
+              .getOrElse(throw new IllegalStateException(
+                s"frame $idx of ${r.media_id} did not decode"))
+            (r.media_id, idx.toLong, w.toLong, h.toLong, px.length.toLong)
+        }
+      }.toDF("media_id", "frame_idx", "width", "height", "n_px")
     }))
+
+  /** Baseline JPEG via the JDK's ImageIO (java.desktop — present in
+    * any full JDK, headless-safe), the same reference encoder the
+    * decode specs anchor against. */
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
 
   val oracle: Map[String, String] = Map(
     // header = 4-byte magic + 2 x i32 dims + 1 channel byte = 13 bytes
@@ -212,5 +264,16 @@ object MultimodalQueries {
         |  FROM documents)
         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(least(32, len - i * 32) AS BIGINT) AS n_bytes
+        |FROM f WHERE i % 2 = 0""".stripMargin,
+    // n_px = decoded pixel-buffer length: right only when the RIFF
+    // walk found every frame AND the native JPEG decode produced a
+    // full w*h*3 interleaved buffer for each sampled one.
+    "q118_video_mjpeg" ->
+      """WITH f AS (SELECT doc_id,
+        |  unnest(range(0, doc_id % 3 + 2)) AS i FROM documents)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(doc_id % 16 + 8 AS BIGINT) AS width,
+        |  CAST(doc_id % 12 + 8 AS BIGINT) AS height,
+        |  CAST((doc_id % 16 + 8) * (doc_id % 12 + 8) * 3 AS BIGINT) AS n_px
         |FROM f WHERE i % 2 = 0""".stripMargin)
 }

@@ -350,4 +350,69 @@ class MultimodalSpec extends AnyFunSuite {
       col("content")).as[MediaRecord]
     assert(decodeMeta(ds).count() == 3)
   }
+
+  // ---- MJPEG-in-AVI container ----
+
+  private def testFrames(w: Int, h: Int, n: Int): Seq[Array[Byte]] =
+    (0 until n).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 5 + f * 40) << 16) | ((y * 9) << 8) | (x + y))
+      imageioJpeg(img, 0.9f)
+    }
+
+  test("AVI mux/demux round-trips JPEG frames byte-identically") {
+    val frames = testFrames(16, 12, 3)
+    val avi = graft.multimodal.Avi.encodeMjpeg(16, 12, 10, frames)
+    val back = graft.multimodal.Avi.frames(avi)
+    assert(back.length == 3)
+    back.zip(frames).foreach { case (b, f) =>
+      assert(java.util.Arrays.equals(b, f)) // mux adds nothing, loses nothing
+    }
+    // odd-sized payloads exercise the RIFF word-alignment padding:
+    // the pad byte must not leak into the next frame or its payload
+    val odd = Seq(Array[Byte](1, 2, 3), Array[Byte](4), Array[Byte](5, 6))
+    val oddBack = graft.multimodal.Avi.frames(
+      graft.multimodal.Avi.encodeMjpeg(2, 2, 10, odd))
+    assert(oddBack.map(_.toSeq) == odd.map(_.toSeq))
+  }
+
+  test("walked frames pixel-decode natively and match the JDK decoder") {
+    val frames = testFrames(21, 13, 2) // partial MCUs at both edges
+    val avi = graft.multimodal.Avi.encodeMjpeg(21, 13, 10, frames)
+    graft.multimodal.Avi.frames(avi).foreach { jpeg =>
+      val m = Codec.decodeMeta(jpeg).get
+      assert((m.width, m.height, m.channels) == ((21, 13, 3)))
+      val px = Multimodal.Jpeg.pixels(jpeg).get
+      val (w, h) = (21, 13)
+      assert(px.length == w * h * 3)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      val diffs = for (y <- 0 until h; x <- 0 until w; ch <- 0 until 3) yield {
+        val refC = (ref.getRGB(x, y) >> (16 - 8 * ch)) & 0xff
+        math.abs((px((y * w + x) * 3 + ch) & 0xff) - refC)
+      }
+      assert(diffs.max <= 8, s"max per-pixel diff ${diffs.max}")
+    }
+  }
+
+  test("AVI walker skips junk, survives truncation, rejects non-AVI") {
+    import graft.multimodal.Avi
+    val frames = testFrames(16, 12, 2)
+    val avi = Avi.encodeMjpeg(16, 12, 10, frames)
+    // splice a JUNK chunk between RIFF header and the first list
+    val junkBody = Array.fill[Byte](10)(0x55)
+    val junk = "JUNK".getBytes("US-ASCII") ++
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10).array() ++ junkBody
+    val spliced = avi.take(12) ++ junk ++ avi.drop(12)
+    // outer RIFF size is now stale-short; the walker reads to the
+    // buffer end, so both frames still surface
+    assert(Avi.frames(spliced).length == 2)
+    // truncation mid-movi: no partial frame emitted, no crash
+    val cut = avi.take(avi.length - frames.last.length / 2)
+    assert(Avi.frames(cut).length <= 1)
+    assert(Avi.frames("RIFFxxxxWAVE".getBytes("US-ASCII")) == Nil)
+    assert(Avi.frames(Array[Byte](1, 2, 3)) == Nil)
+  }
 }
