@@ -63,6 +63,15 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** Add two word tables over DISJOINT row sets — the incremental
+    * half of training (the tokenCounts/q86 pattern): per-slice tables
+    * merge by summed frequency, so a batch ingest extends the type
+    * table without rescanning history, and training over the merged
+    * table reproduces the from-scratch merges verbatim (q119 shares
+    * q113's oracle). */
+  def mergeWordTables(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("w")).agg(sum(col("freq")).as("freq"))
+
   /** Learn up to `numMerges` merges: each round takes the globally
     * most frequent pair (ties broken (a asc, b asc) — deterministic
     * across engines) and applies it to the type table lazily; the
@@ -72,9 +81,15 @@ object Bpe {
     * `numMerges`, the IVF-centroid precedent), broadcast into the
     * encode kernel. Stops early when no pair repeats. */
   def learnMerges(df: DataFrame, textCol: String,
-                  numMerges: Int): Seq[(String, String)] = {
+                  numMerges: Int): Seq[(String, String)] =
+    learnMergesFromWords(wordTable(df, textCol), numMerges)
+
+  /** [[learnMerges]] over a prebuilt (possibly incrementally merged)
+    * word table. */
+  def learnMergesFromWords(wordTab: DataFrame,
+                           numMerges: Int): Seq[(String, String)] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
-    var base = wordTable(df, textCol).persist(mem)
+    var base = wordTab.persist(mem)
     base.count()
     var words: DataFrame = base
     var pending = 0
@@ -114,6 +129,27 @@ object Bpe {
       .map { case ((a, b), r) => (r.toLong, a, b) }
       .toDF("rank", "lhs", "rhs")
   }
+
+  /** Persist the tokenizer artifact as a managed table (rank, lhs,
+    * rhs) — the deployment shape where the trained tokenizer lives
+    * beside the data and every consumer loads it instead of
+    * retraining (the [[Pq.saveCodebook]] lifecycle). */
+  def saveMerges(spark: org.apache.spark.sql.SparkSession, name: String,
+                 merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    Bucketing.dropManagedTable(spark, name)
+    merges.zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+      .toDF("rank", "lhs", "rhs")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(name)
+  }
+
+  /** Load a [[saveMerges]] table back into rank order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+                 name: String): Seq[(String, String)] =
+    spark.table(name).orderBy(col("rank"))
+      .select(col("lhs"), col("rhs"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
   /** Composed encode: the whole document as one spaced string through
     * the merge chain in rank order, then split back to the flat token

@@ -64,7 +64,33 @@ object BpeQueries {
         docs(s, d).select(col("doc_id"),
           size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
             .cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", budget = PackBudget)))
+        "doc_id", "n_tokens", budget = PackBudget)),
+    // Incremental training: per-slice word tables merge by summed
+    // frequency, training over the merged table — must reproduce the
+    // from-scratch merges verbatim (SHARES q113's oracle SQL, the
+    // q110/q80 invariant pattern). History is never re-tokenized.
+    "q119_bpe_incremental" -> ((s, d) => {
+      import s.implicits._
+      val doc = docs(s, d)
+      Bpe.learnMergesFromWords(
+          Bpe.mergeWordTables(
+            Bpe.wordTable(doc.filter(col("doc_id") % 5 =!= 0), "text"),
+            Bpe.wordTable(doc.filter(col("doc_id") % 5 === 0), "text")),
+          NumMerges)
+        .zipWithIndex.map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "lhs", "rhs")
+    }),
+    // Saved-artifact lifecycle: the tokenizer persisted as a managed
+    // table, loaded back, and used to encode — must match the
+    // in-session encode exactly (SHARES q114's oracle SQL).
+    "q120_bpe_encode_saved" -> ((s, d) => {
+      val name = s"graft_bpe_merges_${math.abs(d.hashCode.toLong)}"
+      Bpe.saveMerges(s, name, merges(s, d))
+      val toks = TextFunctions.bpeEncode(col("text"), Bpe.loadMerges(s, name))
+      docs(s, d).select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        array_join(toks, " ").as("toks"))
+    }))
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -103,20 +129,29 @@ object BpeQueries {
     s"regexp_split_to_array(trim($chain), ' {2,}')"
   }
 
+  private lazy val mergesSql =
+    s"""WITH ${trainingCtes(NumMerges)}
+       |SELECT * FROM (
+       |${(0 until NumMerges).map(r =>
+           s"  SELECT ${r}::BIGINT AS rank, a AS lhs, b AS rhs FROM b$r")
+           .mkString("  UNION ALL\n")}
+       |) ORDER BY rank""".stripMargin
+
+  private lazy val encodeSql =
+    s"""WITH ${trainingCtes(NumMerges)},
+       |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents)
+       |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |       array_to_string(toks, ' ') AS toks
+       |FROM enc""".stripMargin
+
   def oracle: Map[String, String] = Map(
-    "q113_bpe_merges" ->
-      s"""WITH ${trainingCtes(NumMerges)}
-         |SELECT * FROM (
-         |${(0 until NumMerges).map(r =>
-             s"  SELECT ${r}::BIGINT AS rank, a AS lhs, b AS rhs FROM b$r")
-             .mkString("  UNION ALL\n")}
-         |) ORDER BY rank""".stripMargin,
-    "q114_bpe_encode" ->
-      s"""WITH ${trainingCtes(NumMerges)},
-         |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents)
-         |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
-         |       array_to_string(toks, ' ') AS toks
-         |FROM enc""".stripMargin,
+    "q113_bpe_merges" -> mergesSql,
+    // q119 is the incrementally-trained form of the SAME merges; q120
+    // the saved-then-loaded form of the SAME encode — the from-scratch
+    // oracles apply verbatim (the q110/q80 invariant pattern).
+    "q119_bpe_incremental" -> mergesSql,
+    "q114_bpe_encode" -> encodeSql,
+    "q120_bpe_encode_saved" -> encodeSql,
     "q115_bpe_packing" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |tc AS (SELECT doc_id,

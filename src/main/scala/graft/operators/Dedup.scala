@@ -816,4 +816,35 @@ object Dedup {
         (col("__sa") + col("__delta")).cast("long").as("start_b"),
         (col("__c") + (n - 1)).cast("long").as("len"))
   }
+
+  /** Per-document duplicated-SPAN coverage: the fraction of a
+    * document's tokens lying inside at least one cross-document
+    * shared span ([[exactSubstringSpans]] output) — the curation
+    * signal that ranks "mostly syndicated" documents for removal,
+    * where the pairwise span list only says WHO shares. Overlapping
+    * spans count positions once (explode + distinct, not summed
+    * lengths). Output: (idCol, n_tokens, dup_frac rounded 4), one row
+    * per input document, 0.0 for span-free documents.
+    *
+    * Scale shape: span rows are the operator's bounded output (cap²
+    * per n-gram), the position explode is bounded by span length, and
+    * the per-doc distinct + count is one exchange keyed by the doc
+    * id. */
+  def spanCoverage(df: DataFrame, idCol: String, textCol: String,
+                   spans: DataFrame): DataFrame = {
+    val covered = spans
+      .select(col("doc_a").as(idCol), col("start_a").as("__s"), col("len"))
+      .union(spans
+        .select(col("doc_b").as(idCol), col("start_b").as("__s"), col("len")))
+      .select(col(idCol),
+        explode(sequence(col("__s"), col("__s") + col("len") - 1)).as("__p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__ncov"))
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(coalesce(col("__ncov"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 4).as("dup_frac"))
+  }
 }

@@ -722,17 +722,32 @@ object TextPipelineQueries {
         Similarity.centroidsFromSums(oldSums, "label"),
         Similarity.centroidsFromSums(curSums, "label"), "label")
     }),
-    "q116_exact_substring_spans" -> ((s, d) => {
-      val phrase = element_at(array(
-        lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa"),
-        lit(" lambda mu nu xi omicron pi rho sigma tau upsilon"),
-        lit(" phi chi psi omega aleph beth gimel daleth he waw")),
-        (col("doc_id") % 3 + 1).cast("int"))
-      val aug = docs(s, d).select(col("doc_id"),
-        when(col("doc_id") % 7 === 0, concat(col("text"), phrase))
-          .otherwise(col("text")).as("text"))
-      Dedup.exactSubstringSpans(aug, "doc_id", "text")
+    "q116_exact_substring_spans" -> ((s, d) =>
+      Dedup.exactSubstringSpans(augSpanDocs(s, d), "doc_id", "text")),
+    // The curation readout over the same spans: what FRACTION of each
+    // document is covered by verbatim cross-document material — the
+    // rank key for "mostly syndicated" removal; pairwise spans only
+    // say who shares.
+    "q121_span_coverage" -> ((s, d) => {
+      val aug = augSpanDocs(s, d)
+      Dedup.spanCoverage(aug, "doc_id", "text",
+        Dedup.exactSubstringSpans(aug, "doc_id", "text"))
     }))
+
+  /** The q116/q121 corpus: three deterministic 10-token phrases
+    * injected so the synthetic corpus (which shares no long verbatim
+    * runs naturally) gives the exact-substring family real spans —
+    * mirrored verbatim in the oracle's `aug` CTE. */
+  private def augSpanDocs(s: SparkSession, d: String): DataFrame = {
+    val phrase = element_at(array(
+      lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      lit(" lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      lit(" phi chi psi omega aleph beth gimel daleth he waw")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    docs(s, d).select(col("doc_id"),
+      when(col("doc_id") % 7 === 0, concat(col("text"), phrase))
+        .otherwise(col("text")).as("text"))
+  }
 
   // ---- oracle SQL (DuckDB dialect) ----
 
@@ -1532,28 +1547,50 @@ object TextPipelineQueries {
     // n-grams (md5-slice hash — identical collision semantics), hot
     // cap, self-join, gaps-and-islands maximal runs.
     "q116_exact_substring_spans" ->
-      """WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
-        |    CASE (doc_id % 3) WHEN 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
-        |                      WHEN 1 THEN ' lambda mu nu xi omicron pi rho sigma tau upsilon'
-        |                      ELSE ' phi chi psi omega aleph beth gimel daleth he waw' END
-        |    ELSE text END AS text FROM documents),
-        |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
-        |ng AS (SELECT doc_id, i - 1 AS pos,
-        |       substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS nh
-        |       FROM tk, UNNEST(generate_series(1, len(w) - 4)) AS u(i)),
-        |cool AS (SELECT * FROM ng WHERE nh NOT IN
-        |         (SELECT nh FROM ng GROUP BY nh HAVING count(*) > 50)),
-        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |             a.pos AS pos_a, b.pos AS pos_b
-        |      FROM cool a JOIN cool b USING (nh) WHERE a.doc_id < b.doc_id),
-        |r AS (SELECT doc_a, doc_b, pos_b - pos_a AS delta, pos_a,
-        |      pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_b - pos_a
-        |        ORDER BY pos_a) AS isl FROM m)
-        |SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
-        |       CAST(min(pos_a) + delta AS BIGINT) AS start_b,
-        |       CAST(count(*) + 4 AS BIGINT) AS len
-        |FROM r GROUP BY doc_a, doc_b, delta, isl
-        |HAVING count(*) + 4 >= 8""".stripMargin)
+      s"""WITH $spanCtes
+        |SELECT doc_a, doc_b, start_a, start_b, len FROM spans""".stripMargin,
+    // overlapping spans cover a position once (GROUP BY = distinct);
+    // span-free documents report 0.0 via the left join.
+    "q121_span_coverage" ->
+      s"""WITH $spanCtes,
+        |cv AS (SELECT doc, pos FROM (
+        |    SELECT doc_a AS doc, start_a AS s, len FROM spans
+        |    UNION ALL SELECT doc_b, start_b, len FROM spans) t,
+        |    UNNEST(generate_series(s, s + len - 1)) AS u(pos)
+        |  GROUP BY doc, pos),
+        |nc AS (SELECT doc, count(*)::BIGINT AS ncov FROM cv GROUP BY doc),
+        |tc AS (SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM aug)
+        |SELECT doc_id, n_tokens,
+        |       round(coalesce(ncov, 0)::DOUBLE / n_tokens::DOUBLE, 4) AS dup_frac
+        |FROM tc LEFT JOIN nc ON tc.doc_id = nc.doc""".stripMargin)
+
+  /** Shared CTE chain for the exact-substring family (q116 spans,
+    * q121 coverage): augmented corpus → positioned n-grams → hot cap
+    * → matches → islands → maximal spans. */
+  private lazy val spanCtes =
+    """aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
+      |    CASE (doc_id % 3) WHEN 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+      |                      WHEN 1 THEN ' lambda mu nu xi omicron pi rho sigma tau upsilon'
+      |                      ELSE ' phi chi psi omega aleph beth gimel daleth he waw' END
+      |    ELSE text END AS text FROM documents),
+      |tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM aug),
+      |ng AS (SELECT doc_id, i - 1 AS pos,
+      |       substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS nh
+      |       FROM tk, UNNEST(generate_series(1, len(w) - 4)) AS u(i)),
+      |cool AS (SELECT * FROM ng WHERE nh NOT IN
+      |         (SELECT nh FROM ng GROUP BY nh HAVING count(*) > 50)),
+      |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |             a.pos AS pos_a, b.pos AS pos_b
+      |      FROM cool a JOIN cool b USING (nh) WHERE a.doc_id < b.doc_id),
+      |r AS (SELECT doc_a, doc_b, pos_b - pos_a AS delta, pos_a,
+      |      pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_b - pos_a
+      |        ORDER BY pos_a) AS isl FROM m),
+      |spans AS (SELECT doc_a, doc_b, CAST(min(pos_a) AS BIGINT) AS start_a,
+      |       CAST(min(pos_a) + delta AS BIGINT) AS start_b,
+      |       CAST(count(*) + 4 AS BIGINT) AS len
+      |       FROM r GROUP BY doc_a, doc_b, delta, isl
+      |       HAVING count(*) + 4 >= 8)""".stripMargin
 
   private lazy val centroidSimSql =
     s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,

@@ -59,6 +59,46 @@ class BpeSpec extends AnyFunSuite {
     assert(composed == Seq("aa", "a"))
   }
 
+  test("incremental word tables: merged slices train the from-scratch merges") {
+    val df = Seq((0L, "abab abc abab"), (1L, "abab abc"), (2L, "abc cc abab"))
+      .toDF("doc_id", "text")
+    val scratch = Bpe.learnMerges(df, "text", 4)
+    val merged = Bpe.learnMergesFromWords(
+      Bpe.mergeWordTables(
+        Bpe.wordTable(df.filter($"doc_id" < 2), "text"),
+        Bpe.wordTable(df.filter($"doc_id" === 2), "text")), 4)
+    assert(merged == scratch)
+  }
+
+  test("saveMerges/loadMerges round-trips the artifact in rank order") {
+    val merges = Seq(("a", "b"), ("ab", "ab"), ("ab", "c"))
+    Bpe.saveMerges(spark, "graft_test_bpe_merges", merges)
+    assert(Bpe.loadMerges(spark, "graft_test_bpe_merges") == merges)
+    // overwrite, don't append
+    Bpe.saveMerges(spark, "graft_test_bpe_merges", merges.take(1))
+    assert(Bpe.loadMerges(spark, "graft_test_bpe_merges") == merges.take(1))
+  }
+
+  test("encode runs unchanged on a stream (stream == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val rows = Seq((0L, "abab xy"), (1L, "ababab b"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.bpeEncode($"text", merges).as("toks"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bpe_stream").start()
+    mem.addData(rows: _*); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("bpe_stream")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val batch = rows.toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.bpeEncode($"text", merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(streamed == batch)
+    assert(batch(0L) == List("abab", "x", "y"))
+  }
+
   test("encode is a zero-exchange codegen projection") {
     val merges = Seq(("a", "b"))
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -598,6 +598,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(found.toSeq == Seq((0L, 1L, 0L, 2L, 6L)))
   }
 
+  test("spanCoverage: overlapping spans count positions once; span-free docs 0.0") {
+    // doc 0 (10 tokens) carries two overlapping spans covering
+    // positions 0..5 and 3..8 -> 9 distinct covered positions, not 12
+    val d = Seq((0L, "a b c d e f g h i j"), (1L, "k l m n o"))
+      .toDF("doc_id", "text")
+    val spans = Seq((0L, 9L, 0L, 0L, 6L), (0L, 9L, 3L, 2L, 6L))
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "len")
+    val byId = Dedup.spanCoverage(d, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(byId(0L) == ((10L, 0.9)))
+    assert(byId(1L) == ((5L, 0.0))) // doc 9 absent from input df: ignored
+  }
+
   test("exactSubstringSpans: hot n-gram cap prunes boilerplate instead of exploding") {
     // 30 docs share one boilerplate sentence; 2 docs share a rare one.
     val boiler = "this page is generated automatically do not edit it"
