@@ -90,6 +90,39 @@ object BpeQueries {
       docs(s, d).select(col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         array_join(toks, " ").as("toks"))
+    }),
+    // The last step before a trainer, at SUBWORD grain: per-doc id
+    // sequences against a frequency-ranked 64-entry BPE-token
+    // vocabulary with OOV accounting — q77's shape re-based from
+    // words onto the learned subword units (encode is the kernel
+    // projection; the id machinery is the shared word-level code).
+    "q122_bpe_ids" -> ((s, d) => {
+      val bpeText = docs(s, d).select(col("doc_id"),
+        array_join(TextFunctions.bpeEncode(col("text"), merges(s, d)), " ")
+          .as("text"))
+      Curation.tokenizeToIds(bpeText, "doc_id", "text",
+        Curation.buildVocab(bpeText, "text", 64))
+    }),
+    // Curation scorecard v3 — the round's new families composed into
+    // one per-source readout a pipeline owner actually acts on: how
+    // many documents are syndicated (≥5% of tokens inside verbatim
+    // cross-document spans) and what the source costs in real subword
+    // tokens. One plan: span detection + coverage + kernel encode +
+    // a source-keyed rollup.
+    "q123_curation_v3" -> ((s, d) => {
+      val aug = TextPipelineQueries.augSpanDocs(s, d)
+      val cov = Dedup.spanCoverage(aug, "doc_id", "text",
+        Dedup.exactSubstringSpans(aug, "doc_id", "text"))
+      val bpe = aug.select(col("doc_id"),
+        size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
+          .cast("long").as("n_bpe"))
+      docs(s, d).select(col("doc_id"), col("source"))
+        .join(cov.select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+        .join(bpe, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_frac") >= 0.05, 1L).otherwise(0L)).as("n_syndicated"),
+          sum(col("n_bpe")).as("total_bpe_tokens"))
     }))
 
   // ---- oracle SQL ----------------------------------------------------
@@ -152,6 +185,48 @@ object BpeQueries {
     "q119_bpe_incremental" -> mergesSql,
     "q114_bpe_encode" -> encodeSql,
     "q120_bpe_encode_saved" -> encodeSql,
+    "q122_bpe_ids" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
+         |tk2 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s
+         |         FROM enc) q),
+         |cnt AS (SELECT token, count(*) AS c FROM tk2 GROUP BY token),
+         |vocab AS (SELECT token,
+         |            CAST(row_number() OVER (ORDER BY c DESC, token ASC) - 1
+         |                 AS BIGINT) AS id
+         |          FROM cnt ORDER BY c DESC, token ASC LIMIT 64),
+         |ids AS (SELECT doc_id, pos, coalesce(v.id, -1) AS id
+         |        FROM tk2 LEFT JOIN vocab v USING (token))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+         |FROM ids GROUP BY doc_id""".stripMargin,
+    // merges learn on the raw corpus; spans and the encode run over
+    // the augmented one — exactly what the Spark plan composes.
+    "q123_curation_v3" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${TextPipelineQueries.spanCtes},
+         |cv AS (SELECT doc, pos FROM (
+         |    SELECT doc_a AS doc, start_a AS s, len FROM spans
+         |    UNION ALL SELECT doc_b, start_b, len FROM spans) t,
+         |    UNNEST(generate_series(s, s + len - 1)) AS u(pos)
+         |  GROUP BY doc, pos),
+         |nc AS (SELECT doc, count(*)::BIGINT AS ncov FROM cv GROUP BY doc),
+         |dfr AS (SELECT doc_id,
+         |    round(coalesce(ncov, 0)::DOUBLE /
+         |          len(string_split(text, ' '))::DOUBLE, 4) AS dup_frac
+         |  FROM aug LEFT JOIN nc ON aug.doc_id = nc.doc),
+         |bpe AS (SELECT doc_id, len(${encodeExpr(NumMerges)})::BIGINT AS n_bpe
+         |        FROM aug)
+         |SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN dup_frac >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_syndicated,
+         |       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens
+         |FROM documents d
+         |JOIN dfr USING (doc_id) JOIN bpe USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
     "q115_bpe_packing" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |tc AS (SELECT doc_id,

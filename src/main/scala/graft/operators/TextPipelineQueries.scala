@@ -738,7 +738,7 @@ object TextPipelineQueries {
     * injected so the synthetic corpus (which shares no long verbatim
     * runs naturally) gives the exact-substring family real spans —
     * mirrored verbatim in the oracle's `aug` CTE. */
-  private def augSpanDocs(s: SparkSession, d: String): DataFrame = {
+  private[operators] def augSpanDocs(s: SparkSession, d: String): DataFrame = {
     val phrase = element_at(array(
       lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa"),
       lit(" lambda mu nu xi omicron pi rho sigma tau upsilon"),
@@ -1568,7 +1568,7 @@ object TextPipelineQueries {
   /** Shared CTE chain for the exact-substring family (q116 spans,
     * q121 coverage): augmented corpus → positioned n-grams → hot cap
     * → matches → islands → maximal spans. */
-  private lazy val spanCtes =
+  private[operators] lazy val spanCtes =
     """aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
       |    CASE (doc_id % 3) WHEN 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
       |                      WHEN 1 THEN ' lambda mu nu xi omicron pi rho sigma tau upsilon'
