@@ -13,11 +13,24 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events")
-      // events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark has no
-      // nanosecond TimestampType, so read it as raw INT64 nanoseconds
-      // (exact parity with DuckDB's epoch_ns on the oracle side).
+    if (name == "events") {
+      // The engine-wide contract is `ts: BIGINT` epoch nanoseconds
+      // (exact parity with DuckDB's epoch_ns on the oracle side),
+      // independent of how the driver generated the parquet:
+      //  - TIMESTAMP(NANOS): Spark has no nanosecond TimestampType, so
+      //    `nanosAsLong` reads the raw INT64 — already nanos.
+      //  - TIMESTAMP(MICROS, NTZ): arrives as TimestampNTZType; the
+      //    NTZ→TZ cast is the identity on the stored micros under the
+      //    UTC session zone every entry point pins, and unix_micros
+      //    then recovers them losslessly (×1000 → nanos).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => raw
+        case _ => raw.withColumn("ts",
+          org.apache.spark.sql.functions.unix_micros(
+            org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+      }
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }
