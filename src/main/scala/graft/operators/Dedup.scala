@@ -792,13 +792,25 @@ object Dedup {
                           maxOccurrences: Int = 50): DataFrame = {
     require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
     val ng = positionedNgrams(df, idCol, textCol, n)
-    // The cap rides the nh shuffle the self-join needs anyway: a
-    // count window over nh partitions adds no exchange (vs a separate
-    // agg + anti-join, which re-derived the n-gram table a third
-    // time), and the identical a/b branches share one reused exchange.
-    val occ = org.apache.spark.sql.expressions.Window.partitionBy(col("nh"))
-    val cool = ng.withColumn("__cn", count(lit(1)).over(occ))
-      .filter(col("__cn") <= maxOccurrences)
+    // The hot-n-gram guard engages BEFORE the nh shuffle it exists to
+    // protect. A count window over nh would physically route every
+    // occurrence of a hot n-gram to one reducer partition first and
+    // only then drop it — the guard riding the very skew it guards
+    // against. Instead the hot SET (count > cap) is derived with a
+    // groupBy count, where map-side partial aggregation means reducers
+    // see per-partition counts, never rows, and excluded with a
+    // broadcast left-anti join, so hot occurrences die map-side with
+    // no exchange at all. The hot set is tiny by construction (each
+    // member exceeds the cap, so |hot| <= total n-grams / cap) — the
+    // same bound that makes the LSH hot-bucket broadcast sound
+    // ([[lshCandidatePairsIncremental]]). The extra scan of the
+    // n-gram table is map-side-combined and cheap next to the join it
+    // de-skews; callers sharing `ng` across passes should cache it
+    // (the [[shingleTable]] lifecycle).
+    val hot = ng.groupBy(col("nh")).agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxOccurrences)
+      .select(col("nh"))
+    val cool = ng.join(broadcast(hot), Seq("nh"), "left_anti")
     val a = cool.select(col("nh"), col(idCol).as("doc_a"), col("pos").as("pos_a"))
     val b = cool.select(col("nh"), col(idCol).as("doc_b"), col("pos").as("pos_b"))
     val w = org.apache.spark.sql.expressions.Window

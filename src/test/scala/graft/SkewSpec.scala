@@ -86,6 +86,41 @@ class SkewSpec extends AnyFunSuite {
       s"hot-key rows per salt: ${bySalt.mkString(",")}")
   }
 
+  test("exactSubstringSpans: hot n-gram pruned BEFORE the self-join shuffle") {
+    // 60 docs all opening with the same 10-token boilerplate phrase
+    // (each of its 5-grams occurs 60 times, over the cap of 50) plus
+    // unique filler; docs 100/101 share a 12-token span that is
+    // unique to them. The cap must kill the boilerplate spans while
+    // the legitimate span survives.
+    val boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+      Seq((100L, s"x0 x1 x2 $shared x3 x4 x5"),
+          (101L, s"y0 $shared y1 y2 y3")))
+      .toDF("doc_id", "text")
+
+    // Unguarded (cap above the boilerplate population): quadratic —
+    // every boilerplate pair reports a span.
+    val unbounded = Dedup.exactSubstringSpans(docs, "doc_id", "text",
+      maxOccurrences = 10000)
+    assert(unbounded.count() == 60L * 59 / 2 + 1)
+
+    val capped = Dedup.exactSubstringSpans(docs, "doc_id", "text")
+    // The guard engages AHEAD of the join: the hot set is excluded
+    // via a broadcast left-anti join (map-side drop), not a
+    // post-shuffle count window — pinned on the physical plan.
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"), plan.take(2000))
+    val rows = capped.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (100L, 101L, 3L, 1L, 12L))
+  }
+
   test("semanticDedup: degenerate embedding mode prunes, never explodes") {
     // 30 vectors collapse into one dense mode (one cluster regardless
     // of k); 3 more sit in a second direction, two of them near-dups.
