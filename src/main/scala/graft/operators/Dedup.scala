@@ -859,4 +859,53 @@ object Dedup {
         round(coalesce(col("__ncov"), lit(0L)).cast("double") /
           col("n_tokens").cast("double"), 4).as("dup_frac"))
   }
+
+  /** Exact-substring span REMOVAL — the output Lee et al. 2022
+    * actually ship: the corpus rewritten with non-canonical span
+    * occurrences cut. For every span row the doc_a occurrence is the
+    * canonical copy (doc_a < doc_b always, so the globally smallest
+    * sharing document keeps its text) and doc_b's tokens
+    * [start_b, start_b + len) are deleted; a document hit by several
+    * partners loses the UNION of its cut ranges (positions counted
+    * once). Documents untouched by any span pass through verbatim; a
+    * document wholly contained in another can come out empty (kept as
+    * an empty-text row — downstream length gates drop it, matching
+    * Lee et al.'s keep-then-filter shape).
+    *
+    * Scale shape: only documents that actually lose tokens are
+    * re-assembled — a left-semi join restricts the posexplode +
+    * anti-join + per-doc rebuild to the span-hit subset (bounded by
+    * the span table, itself cap²-bounded per n-gram); the untouched
+    * remainder of the corpus is never exploded or shuffled. The
+    * rebuild is one exchange keyed by the doc id.
+    *
+    * Output: (idCol, text_clean, tokens_removed), one row per input
+    * document. */
+  def removeSpans(df: DataFrame, idCol: String, textCol: String,
+                  spans: DataFrame): DataFrame = {
+    val cut = spans
+      .select(col("doc_b").as(idCol),
+        explode(sequence(col("start_b"),
+          col("start_b") + col("len") - 1)).as("__p"))
+      .distinct()
+    val nRemoved = cut.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nrem"))
+    val rebuilt = df
+      .join(cut.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("__p", "__t")))
+      .join(cut, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__p"), col("__t"))).as("__pt"))
+      .select(col(idCol),
+        array_join(transform(array_sort(col("__pt")), s => s("__t")), " ")
+          .as("__clean"))
+    df.select(col(idCol), col(textCol))
+      .join(nRemoved, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__nrem").isNull, col(textCol))
+          .otherwise(coalesce(col("__clean"), lit(""))).as("text_clean"),
+        coalesce(col("__nrem"), lit(0L)).cast("long").as("tokens_removed"))
+  }
 }

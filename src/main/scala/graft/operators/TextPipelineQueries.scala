@@ -732,6 +732,14 @@ object TextPipelineQueries {
       val aug = augSpanDocs(s, d)
       Dedup.spanCoverage(aug, "doc_id", "text",
         Dedup.exactSubstringSpans(aug, "doc_id", "text"))
+    }),
+    // The act on q116's detect: corpus rewritten with non-canonical
+    // span occurrences cut (Lee et al.'s shipped output) — the last
+    // detect-but-not-act gap in the dedup stack.
+    "q124_span_removal" -> ((s, d) => {
+      val aug = augSpanDocs(s, d)
+      Dedup.removeSpans(aug, "doc_id", "text",
+        Dedup.exactSubstringSpans(aug, "doc_id", "text"))
     }))
 
   /** The q116/q121 corpus: three deterministic 10-token phrases
@@ -1563,7 +1571,29 @@ object TextPipelineQueries {
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM aug)
         |SELECT doc_id, n_tokens,
         |       round(coalesce(ncov, 0)::DOUBLE / n_tokens::DOUBLE, 4) AS dup_frac
-        |FROM tc LEFT JOIN nc ON tc.doc_id = nc.doc""".stripMargin)
+        |FROM tc LEFT JOIN nc ON tc.doc_id = nc.doc""".stripMargin,
+    // doc_b loses the union of its cut ranges (positions counted
+    // once); untouched docs pass through verbatim via the CASE, and a
+    // wholly-cut doc comes out as the empty string (coalesce).
+    "q124_span_removal" ->
+      s"""WITH $spanCtes,
+        |cutp AS (SELECT DISTINCT doc_b AS doc, u.p
+        |  FROM spans, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
+        |nrem AS (SELECT doc, count(*)::BIGINT AS tokens_removed
+        |  FROM cutp GROUP BY doc),
+        |tk2 AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
+        |  FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)),
+        |kept AS (SELECT tk2.doc_id,
+        |    coalesce(string_agg(CASE WHEN c.doc IS NULL THEN t END, ' '
+        |      ORDER BY pos), '') AS clean
+        |  FROM tk2 JOIN nrem ON tk2.doc_id = nrem.doc
+        |  LEFT JOIN cutp c ON tk2.doc_id = c.doc AND tk2.pos = c.p
+        |  GROUP BY tk2.doc_id)
+        |SELECT a.doc_id,
+        |  CASE WHEN n.doc IS NULL THEN a.text ELSE k.clean END AS text_clean,
+        |  coalesce(n.tokens_removed, 0)::BIGINT AS tokens_removed
+        |FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
+        |LEFT JOIN kept k ON a.doc_id = k.doc_id""".stripMargin)
 
   /** Shared CTE chain for the exact-substring family (q116 spans,
     * q121 coverage): augmented corpus → positioned n-grams → hot cap

@@ -626,4 +626,46 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
     assert(capped.toSeq == Seq((100L, 101L, 9L))) // rare span survives
   }
+
+  test("removeSpans: canonical copy kept, others cut; re-detection finds nothing") {
+    // three docs share a 9-token phrase (min doc 0 keeps it), doc 3
+    // is untouched, doc 4 is wholly contained in doc 0.
+    val shared = "one two three four five six seven eight nine"
+    val d = Seq(
+      (0L, s"aa bb $shared zz"),
+      (1L, s"xx $shared yy"),
+      (2L, s"$shared qq rr ss"),
+      (3L, "totally different words in this document here right now ok"),
+      (4L, s"bb $shared zz")) // == doc 0 positions 1..11
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(d, "doc_id", "text",
+      n = 5, minLen = 8)
+    val cleaned = Dedup.removeSpans(d, "doc_id", "text", spans)
+    val byId = cleaned.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(0L) == ((s"aa bb $shared zz", 0L))) // global min: canonical
+    assert(byId(1L) == (("xx yy", 9L)))
+    assert(byId(2L) == (("qq rr ss", 9L)))
+    assert(byId(3L) == (("totally different words in this document here right now ok", 0L)))
+    assert(byId(4L) == (("", 11L))) // wholly contained -> empty, kept as a row
+    // the shipped guarantee: span detection over the cleaned corpus is silent
+    assert(Dedup.exactSubstringSpans(
+      cleaned.select(col("doc_id"), col("text_clean").as("text")),
+      "doc_id", "text", n = 5, minLen = 8).count() == 0)
+  }
+
+  test("removeSpans: overlapping cut ranges union, positions counted once") {
+    // doc 1 loses [0,6) to doc 0 and [3,9) to a second span: 9
+    // distinct positions cut, one survivor token.
+    val d = Seq(
+      (0L, "a b c d e f g h i j"),
+      (1L, "a b c d e f g h i k"))
+      .toDF("doc_id", "text")
+    val spans = Seq((0L, 1L, 0L, 0L, 6L), (0L, 1L, 3L, 3L, 6L))
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "len")
+    val byId = Dedup.removeSpans(d, "doc_id", "text", spans).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(0L) == (("a b c d e f g h i j", 0L)))
+    assert(byId(1L) == (("k", 9L)))
+  }
 }
