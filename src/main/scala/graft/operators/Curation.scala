@@ -488,6 +488,80 @@ object Curation {
       .agg(sum(col("cnt") * (col("bucket") % 7 - 3)).as("score"))
       .withColumn("pass", col("score") >= threshold)
 
+  /** Multinomial Naive-Bayes TRAINING over the hashing-trick features
+    * — the training half [[linearScoreGate]]'s scaladoc promised: a
+    * labeled seed set in, a per-bucket weight table out, which
+    * [[nbGate]] then serves exactly like the fixed-weight gate. This
+    * closes the train → gate → eval loop a real curation pipeline
+    * runs (fastText-style quality classifiers are trained exactly
+    * so: count aggregates plus a log transform — nothing iterative).
+    *
+    * `labels` holds (idCol, y ∈ {0, 1}) for the seed documents only.
+    * Per class c the trainer needs just Σ cnt over each bucket and
+    * the class totals; with add-one smoothing the per-bucket
+    * log-likelihood ratio is
+    * w_b = ln((c1_b + 1)/(T1 + dim)) − ln((c0_b + 1)/(T0 + dim)),
+    * and the class-prior log-odds ln(n1/n0) is emitted as the
+    * `bucket = -1` bias row. Weights are QUANTIZED to fixed-point
+    * integers (round(10⁴·w)) so downstream scoring is exact integer
+    * arithmetic — sum order can never flip a bit, the property that
+    * makes the gate reproducible across engines and partitionings
+    * (the [[linearScoreGate]] contract, now with learned weights).
+    *
+    * Scale shape: one (bucket, class) aggregation over the seed
+    * features — map-side combined, dim·2 result rows — plus two
+    * scalar totals; the dense 0..dim−1 grid comes from a range, not
+    * the corpus. Nothing here scales with corpus size except the one
+    * seed-set feature pass. Output: (bucket, w), dim + 1 rows. */
+  def nbTrain(df: DataFrame, idCol: String, textCol: String,
+              labels: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val spark = df.sparkSession
+    val lab = labels.select(col(idCol), col("y").cast("int").as("__y"))
+    val f = hashedFeatures(df, idCol, textCol, dim).join(lab, Seq(idCol))
+    val perBucket = f.groupBy(col("bucket")).agg(
+      sum(when(col("__y") === 1, col("cnt")).otherwise(0L)).as("__c1"),
+      sum(when(col("__y") === 0, col("cnt")).otherwise(0L)).as("__c0"))
+    val dense = spark.range(dim).select(col("id").as("bucket"))
+      .join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("__c1"), lit(0L)).as("__c1"),
+        coalesce(col("__c0"), lit(0L)).as("__c0"))
+    val tot = dense.agg(sum(col("__c1")).as("__t1"), sum(col("__c0")).as("__t0"))
+    val prior = lab.agg(sum(col("__y")).cast("double").as("__n1"),
+      (count(lit(1)) - sum(col("__y"))).cast("double").as("__n0"))
+    dense.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(lit(10000) * (
+          log((col("__c1") + 1.0) / (col("__t1") + dim)) -
+          log((col("__c0") + 1.0) / (col("__t0") + dim))), 0)
+          .cast("long").as("w"))
+      .unionAll(prior.select(lit(-1L).as("bucket"),
+        round(lit(10000) * log(col("__n1") / col("__n0")), 0)
+          .cast("long").as("w")))
+  }
+
+  /** Naive-Bayes gate: score every document with a [[nbTrain]] weight
+    * table — score = bias + Σ cnt_b · w_b, pred = score ≥ 0 (the
+    * binary NB decision function; absent buckets contribute nothing
+    * on either class, so present-bucket terms are the whole
+    * difference). Exact integer arithmetic end to end.
+    *
+    * Scale shape: the weight table is dim + 1 rows and broadcasts;
+    * the per-doc fold is [[linearScoreGate]]'s one exchange. Output:
+    * (idCol, score, pred). */
+  def nbGate(df: DataFrame, idCol: String, textCol: String,
+             weights: DataFrame, dim: Int): DataFrame = {
+    val w = weights.filter(col("bucket") >= 0)
+    val bias = weights.filter(col("bucket") === -1)
+      .select(col("w").as("__bias"))
+    hashedFeatures(df, idCol, textCol, dim)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol)).agg(sum(col("cnt") * col("w")).as("__s"))
+      .crossJoin(broadcast(bias))
+      .select(col(idCol), (col("__s") + col("__bias")).as("score"),
+        (col("__s") + col("__bias") >= 0L).as("pred"))
+  }
+
   /** Robust per-key outlier gate: deviation from the key's MEDIAN,
     * measured in MADs (median absolute deviations) — the gate that
     * survives its own outliers. [[zScoreGatePerKey]]'s mean/stddev

@@ -65,6 +65,12 @@ object CurationQueries {
 
   /** Mixture weights: source index mod 4 → {0.25, 0.5, 1.0, 2.0} —
     * downsample, half, keep, duplicate. */
+  /** The q125-q127 seed set: every third document, labeled
+    * en-vs-other — mirrored verbatim in the oracle's `lab` CTE. */
+  private def nbSeedLabels(dd: DataFrame): DataFrame =
+    dd.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), (col("lang") === "en").cast("int").as("y"))
+
   private val MixWeights: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> (i % 4 match {
       case 0 => 0.25
@@ -112,6 +118,32 @@ object CurationQueries {
     "q102_classifier_gate" -> ((s, d) =>
       Curation.linearScoreGate(docs(s, d), "doc_id", "text", 64,
         threshold = 0L)),
+    // The training half q102's scaladoc promised: Naive-Bayes weights
+    // learned from labeled seeds (docs with doc_id % 3 == 0, labeled
+    // en-vs-other), quantized to fixed-point integers so the gate
+    // stays exact-arithmetic reproducible.
+    "q125_nb_train" -> ((s, d) => {
+      val dd = docs(s, d)
+      Curation.nbTrain(dd, "doc_id", "text", nbSeedLabels(dd), 64)
+    }),
+    // Serve the learned weights over the WHOLE corpus — train → gate.
+    "q126_nb_gate" -> ((s, d) => {
+      val dd = docs(s, d)
+      Curation.nbGate(dd, "doc_id", "text",
+        Curation.nbTrain(dd, "doc_id", "text", nbSeedLabels(dd), 64), 64)
+    }),
+    // Close the loop: confusion matrix of the learned gate against
+    // truth on the HELD-OUT docs (doc_id % 3 != 0) — train → gate →
+    // eval, the full cycle a real curation pipeline runs.
+    "q127_nb_eval" -> ((s, d) => {
+      val dd = docs(s, d)
+      val gate = Curation.nbGate(dd, "doc_id", "text",
+        Curation.nbTrain(dd, "doc_id", "text", nbSeedLabels(dd), 64), 64)
+      gate.join(dd.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("label")), Seq("doc_id"))
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+    }),
     // Unicode NFC through the native expression, value-checked against
     // DuckDB's nfc_normalize: a decomposed "e"+U+0301 is appended to
     // every document so composition provably RUNS (the md5 matches
@@ -235,6 +267,36 @@ object CurationQueries {
 
   // ---- oracle SQL (DuckDB dialect) ----
 
+  /** Shared CTE chain for the Naive-Bayes family (q125 train, q126
+    * gate, q127 eval): seed labels → hashed features → per-(bucket,
+    * class) counts → dense grid → quantized log-odds weight table. */
+  private val nbCtes =
+    """lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |        FROM documents WHERE doc_id % 3 = 0),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents),
+      |f AS (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+      |        count(*) AS cnt
+      |      FROM tok GROUP BY doc_id, bucket),
+      |fy AS (SELECT f.bucket, f.cnt, lab.y FROM f JOIN lab USING (doc_id)),
+      |bc AS (SELECT bucket, sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS c1,
+      |               sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS c0
+      |       FROM fy GROUP BY bucket),
+      |g AS (SELECT u.b AS bucket, coalesce(c1, 0) AS c1, coalesce(c0, 0) AS c0
+      |      FROM UNNEST(generate_series(0, 63)) AS u(b)
+      |      LEFT JOIN bc ON bc.bucket = u.b),
+      |tt AS (SELECT sum(c1) AS t1, sum(c0) AS t0 FROM g),
+      |pr AS (SELECT sum(y)::DOUBLE AS n1, (count(*) - sum(y))::DOUBLE AS n0
+      |       FROM lab),
+      |wt AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+      |         CAST(round(10000 * (ln((c1 + 1.0) / (t1 + 64)) -
+      |                             ln((c0 + 1.0) / (t0 + 64)))) AS BIGINT) AS w
+      |       FROM g CROSS JOIN tt
+      |       UNION ALL
+      |       SELECT CAST(-1 AS BIGINT),
+      |         CAST(round(10000 * ln(n1 / n0)) AS BIGINT) FROM pr)""".stripMargin
+
   private val injPiiCte =
     """inj AS (SELECT doc_id,
       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -347,6 +409,29 @@ object CurationQueries {
         |SELECT doc_id, CAST(sum(cnt * (bucket % 7 - 3)) AS BIGINT) AS score,
         |       (CAST(sum(cnt * (bucket % 7 - 3)) AS BIGINT) >= 0) AS pass
         |FROM f GROUP BY doc_id""".stripMargin,
+    // add-one-smoothed per-bucket log-likelihood ratios over the seed
+    // set, quantized round(1e4·w) — identical fixed-point contract on
+    // both engines; bias (class-prior log-odds) rides as bucket -1.
+    "q125_nb_train" ->
+      s"""WITH $nbCtes
+        |SELECT bucket, w FROM wt""".stripMargin,
+    "q126_nb_gate" ->
+      s"""WITH $nbCtes,
+        |sc AS (SELECT f.doc_id,
+        |    sum(f.cnt * wt.w) + (SELECT w FROM wt WHERE bucket = -1) AS score
+        |  FROM f JOIN wt ON f.bucket = wt.bucket GROUP BY f.doc_id)
+        |SELECT doc_id, CAST(score AS BIGINT) AS score, score >= 0 AS pred
+        |FROM sc""".stripMargin,
+    "q127_nb_eval" ->
+      s"""WITH $nbCtes,
+        |sc AS (SELECT f.doc_id,
+        |    sum(f.cnt * wt.w) + (SELECT w FROM wt WHERE bucket = -1) AS score
+        |  FROM f JOIN wt ON f.bucket = wt.bucket GROUP BY f.doc_id)
+        |SELECT CAST(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS label,
+        |       sc.score >= 0 AS pred, count(*) AS n
+        |FROM sc JOIN documents d USING (doc_id)
+        |WHERE d.doc_id % 3 <> 0
+        |GROUP BY 1, 2""".stripMargin,
     "q104_normalize_nfc" ->
       """SELECT doc_id,
         |  md5(nfc_normalize(text || chr(101) || chr(769))) AS norm_hash,

@@ -546,6 +546,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("nbTrain/nbGate: closed-form weights; disjoint vocab separates perfectly") {
+    // Two classes with disjoint vocab: class 1 says "good", class 0
+    // says "bad". Weights come out positive for good's bucket,
+    // negative for bad's, and the gate separates the seeds exactly.
+    val dim = 64
+    val docs = Seq(
+      (0L, "good good good"), (1L, "good good"),
+      (2L, "bad bad"), (3L, "bad bad bad bad"),
+      (10L, "good bad good")) // held-out, majority-good
+      .toDF("doc_id", "text")
+    val labels = Seq((0L, 1), (1L, 1), (2L, 0), (3L, 0)).toDF("doc_id", "y")
+    val wts = Curation.nbTrain(docs, "doc_id", "text", labels, dim)
+    val wMap = wts.as[(Long, Long)].collect().toMap
+    assert(wMap.size == dim + 1)
+    // bucket assignment reproduced via the operator's own featurizer
+    val bOf = Curation.hashedFeatures(docs, "doc_id", "text", dim)
+      .filter(col("doc_id") === 0L || col("doc_id") === 2L)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._2).toMap
+    val (bGood, bBad) = (bOf(0L), bOf(2L))
+    // closed form: c1_good=5, c0_good=0, c1_bad=0, c0_bad=6, T1=5, T0=6
+    def w(c1: Long, c0: Long) = math.round(10000 *
+      (math.log((c1 + 1.0) / (5 + dim)) - math.log((c0 + 1.0) / (6 + dim))))
+    assert(wMap(bGood) == w(5, 0))
+    assert(wMap(bBad) == w(0, 6))
+    assert(wMap(-1L) == 0L) // balanced priors: ln(2/2) = 0
+    assert(bGood != bBad) // the closed form assumes no bucket collision
+    val gate = Curation.nbGate(docs, "doc_id", "text", wts, dim)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(gate(0L)._3 && gate(1L)._3 && !gate(2L)._3 && !gate(3L)._3)
+    assert(gate(0L)._2 == 3 * wMap(bGood)) // score IS the integer dot
+    assert(gate(10L)._3) // 2 good vs 1 bad: positive wins
+    assert(gate(10L)._2 == 2 * wMap(bGood) + wMap(bBad))
+  }
+
   // ---- robust (median/MAD) outlier gate ----
 
   test("madGatePerKey: the spike can't hide itself (head-to-head vs mean/stddev)") {
