@@ -24,12 +24,21 @@ object Tables {
       //    UTC session zone every entry point pins, and unix_micros
       //    then recovers them losslessly (×1000 → nanos).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ→TZ cast below is the identity ONLY under a UTC
+      // session zone; every entry point pins it, but an externally
+      // built session must not silently shift ts by a zone offset.
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
       raw.schema("ts").dataType match {
         case org.apache.spark.sql.types.LongType => raw
-        case _ => raw.withColumn("ts",
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => raw.withColumn("ts",
           org.apache.spark.sql.functions.unix_micros(
             org.apache.spark.sql.functions.col("ts").cast("timestamp")) * 1000L)
+        case other => throw new IllegalStateException(
+          s"events.ts must be INT64 nanos or a timestamp type, got $other — " +
+            "a DOUBLE or STRING ts would be silently misinterpreted " +
+            "against the epoch-nanos contract")
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
