@@ -82,10 +82,13 @@ object TextFunctions {
     * list — a single kernel expression node at any vocabulary size
     * (see [[BpeEncodeExpr]]; [[graft.operators.Bpe.encodeComposed]]
     * is the oracle-expressible composed twin). */
-  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+  def bpeEncode(text: Column, merges: Seq[(String, String)],
+                byteLevel: Boolean = false,
+                specials: Seq[String] = Nil): Column =
     org.apache.spark.sql.GraftSqlBridge.column(BpeEncodeExpr(
       org.apache.spark.sql.GraftSqlBridge.expression(text),
-      merges.map(m => Array(m._1, m._2)).toArray))
+      merges.map(m => Array(m._1, m._2)).toArray, byteLevel,
+      specials.toArray))
 
   /** English-y stopwords used for quality scoring. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -40,6 +40,14 @@ object Bpe {
   /** `"ab"` → `" a  b "`: every non-space char becomes ` c `. */
   def spaced(c: Column): Column = regexp_replace(c, "([^ ])", " $1 ")
 
+  /** BYTE-LEVEL symbol expansion of one word: every UTF-8 byte
+    * becomes its 2-hex-digit uppercase name, spaced like [[spaced]]
+    * (`"ab"` → `" 61  62 "`). `hex()` is the byte expansion both
+    * engines share — it plays the role of GPT-2's bytes-to-unicode
+    * table, making bytes printable merge-able string symbols, so the
+    * whole training/encode machinery runs unchanged on top. */
+  def byteSpaced(c: Column): Column = regexp_replace(hex(c), "(..)", " $1 ")
+
   private[graft] def mergePattern(a: String, b: String): (String, String) =
     (s" $a  $b ", s" $a$b ")
 
@@ -50,6 +58,16 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(spaced(col("word")).as("w"), col("freq"))
+
+  /** [[wordTable]] in byte-level form: the same type table with
+    * [[byteSpaced]] symbols, so [[learnMergesFromWords]] trains
+    * byte-level merges with zero further changes — the swap the
+    * char-mode scaladoc promised. */
+  def wordTableBytes(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(byteSpaced(col("word")).as("w"), col("freq"))
 
   /** Frequency-weighted adjacent-symbol-pair counts over a spaced
     * type table — overlapping occurrences count individually, the
@@ -166,6 +184,33 @@ object Bpe {
     val enc = merges.foldLeft(spaced(c)) { case (e, (a, b)) =>
       val (pat, rep) = mergePattern(a, b)
       replace(e, lit(pat), lit(rep))
+    }
+    when(length(trim(enc)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(enc), " {2,}"))
+  }
+
+  /** [[encodeComposed]]'s byte-level twin, with SPECIAL-token
+    * passthrough: each whitespace word either IS a special (emitted
+    * verbatim as one never-decomposed symbol) or expands to its
+    * [[byteSpaced]] hex symbols; word boundaries are triple spaces
+    * exactly like the char path, so the same merge-chain replaces
+    * apply. Oracle-expressible (hex + per-word CASE in DuckDB); the
+    * real-vocabulary path is the kernel
+    * ([[graft.functions.TextFunctions.bpeEncode]] with
+    * `byteLevel = true`), which also handles specials GLUED to text —
+    * the composed twin only honors whole-word specials, the shape the
+    * oracle corpus uses. */
+  def encodeComposedBytes(c: Column, merges: Seq[(String, String)],
+                          specials: Seq[String] = Nil): Column = {
+    val words = filter(split(c, " "), w => length(w) > 0)
+    val sym: Column => Column =
+      if (specials.isEmpty) byteSpaced
+      else w => when(w.isin(specials: _*),
+        concat(lit(" "), w, lit(" "))).otherwise(byteSpaced(w))
+    val enc = merges.foldLeft(array_join(transform(words, sym), " ")) {
+      case (e, (a, b)) =>
+        val (pat, rep) = mergePattern(a, b)
+        replace(e, lit(pat), lit(rep))
     }
     when(length(trim(enc)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(enc), " {2,}"))

@@ -39,6 +39,11 @@ object BpeQueries {
     mergeCache.getOrElseUpdate((sessionKey(s), d),
       Bpe.learnMerges(docs(s, d), "text", NumMerges))
 
+  private def bytesMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    mergeCache.getOrElseUpdate((sessionKey(s), d + "#bytes"),
+      Bpe.learnMergesFromWords(Bpe.wordTableBytes(docs(s, d), "text"),
+        NumMerges))
+
   def queries: Map[String, Q] = Map(
     // The learned merge table itself — rank order IS the tokenizer.
     "q113_bpe_merges" -> ((s, d) => {
@@ -103,6 +108,31 @@ object BpeQueries {
       Curation.tokenizeToIds(bpeText, "doc_id", "text",
         Curation.buildVocab(bpeText, "text", 64))
     }),
+    // BYTE-LEVEL training (the GPT-2/Llama-family norm): the same
+    // merge machinery over 2-hex-digit UTF-8 byte symbols — the swap
+    // the char-mode scaladoc promised, now exercised through the
+    // oracle gate.
+    "q128_bpe_bytes_merges" -> ((s, d) => {
+      import s.implicits._
+      bytesMerges(s, d).zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "lhs", "rhs")
+    }),
+    // Byte-level corpus encode with a SPECIAL control token: every
+    // document is prefixed with '<|doc|>', which must pass through
+    // the kernel verbatim while everything else decomposes to byte
+    // symbols. The oracle encodes with the composed per-word CASE
+    // chain, so this also pins kernel == composed in byte mode with
+    // specials on the full corpus.
+    "q129_bpe_bytes_encode" -> ((s, d) => {
+      val aug = docs(s, d).select(col("doc_id"),
+        concat(lit("<|doc|> "), col("text")).as("text"))
+      val toks = TextFunctions.bpeEncode(col("text"), bytesMerges(s, d),
+        byteLevel = true, specials = Seq("<|doc|>"))
+      aug.select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        array_join(toks, " ").as("toks"))
+    }),
     // Curation scorecard v3 — the round's new families composed into
     // one per-source readout a pipeline owner actually acts on: how
     // many documents are syndicated (≥5% of tokens inside verbatim
@@ -127,12 +157,20 @@ object BpeQueries {
 
   // ---- oracle SQL ----------------------------------------------------
 
+  /** The two spaced-symbol expansions of one word, as DuckDB SQL:
+    * char mode (UTF-16 units) and byte mode (2-hex-digit UTF-8 byte
+    * names via `hex()` — see [[Bpe.byteSpaced]]). */
+  private val charWordSql = """regexp_replace(word, '([^ ])', ' \1 ', 'g')"""
+  private val bytesWordSql = """regexp_replace(hex(word), '(..)', ' \1 ', 'g')"""
+
   /** Training rounds as chained CTEs: words0 is the spaced type
-    * table; round r picks best{r} and rewrites words{r+1}. */
-  private def trainingCtes(rounds: Int): String = {
+    * table (char or byte symbols per `wordSql`); round r picks
+    * best{r} and rewrites words{r+1}. */
+  private def trainingCtes(rounds: Int,
+                           wordSql: String = charWordSql): String = {
     val head =
-      """words0 AS MATERIALIZED (
-        |  SELECT regexp_replace(word, '([^ ])', ' \1 ', 'g') AS w,
+      s"""words0 AS MATERIALIZED (
+        |  SELECT $wordSql AS w,
         |         count(*)::BIGINT AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE len(word) > 0 GROUP BY 1)""".stripMargin
@@ -162,13 +200,32 @@ object BpeQueries {
     s"regexp_split_to_array(trim($chain), ' {2,}')"
   }
 
-  private lazy val mergesSql =
-    s"""WITH ${trainingCtes(NumMerges)}
-       |SELECT * FROM (
-       |${(0 until NumMerges).map(r =>
+  /** Byte-mode composed encode with whole-word special passthrough:
+    * each word is either a special (one verbatim symbol) or its hex
+    * byte symbols, then the same merge-chain replaces. */
+  private def encodeExprBytes(rounds: Int, special: String): String = {
+    val spacedDoc =
+      s"""array_to_string([CASE WHEN w = '$special' THEN ' ' || w || ' '
+         |  ELSE regexp_replace(hex(w), '(..)', ' \\1 ', 'g') END
+         |  FOR w IN string_split(text, ' ') IF len(w) > 0], ' ')"""
+        .stripMargin.replace("\n", " ")
+    val chain = (0 until rounds).foldLeft(spacedDoc) { (e, r) =>
+      s"replace($e, ' '||(SELECT a FROM b$r)||'  '||(SELECT b FROM b$r)||' ', " +
+        s"' '||(SELECT a||b FROM b$r)||' ')"
+    }
+    s"regexp_split_to_array(trim($chain), ' {2,}')"
+  }
+
+  private def mergesUnionSql(rounds: Int): String =
+    s"""SELECT * FROM (
+       |${(0 until rounds).map(r =>
            s"  SELECT ${r}::BIGINT AS rank, a AS lhs, b AS rhs FROM b$r")
            .mkString("  UNION ALL\n")}
        |) ORDER BY rank""".stripMargin
+
+  private lazy val mergesSql =
+    s"""WITH ${trainingCtes(NumMerges)}
+       |${mergesUnionSql(NumMerges)}""".stripMargin
 
   private lazy val encodeSql =
     s"""WITH ${trainingCtes(NumMerges)},
@@ -179,6 +236,17 @@ object BpeQueries {
 
   def oracle: Map[String, String] = Map(
     "q113_bpe_merges" -> mergesSql,
+    "q128_bpe_bytes_merges" ->
+      s"""WITH ${trainingCtes(NumMerges, bytesWordSql)}
+         |${mergesUnionSql(NumMerges)}""".stripMargin,
+    "q129_bpe_bytes_encode" ->
+      s"""WITH ${trainingCtes(NumMerges, bytesWordSql)},
+         |augb AS (SELECT doc_id, '<|doc|> ' || text AS text FROM documents),
+         |enc AS (SELECT doc_id,
+         |  ${encodeExprBytes(NumMerges, "<|doc|>")} AS toks FROM augb)
+         |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |       array_to_string(toks, ' ') AS toks
+         |FROM enc""".stripMargin,
     // q119 is the incrementally-trained form of the SAME merges; q120
     // the saved-then-loaded form of the SAME encode — the from-scratch
     // oracles apply verbatim (the q110/q80 invariant pattern).

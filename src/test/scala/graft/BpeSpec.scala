@@ -35,6 +35,87 @@ class BpeSpec extends AnyFunSuite {
     assert(one == Seq("abab", "c"))
   }
 
+  test("byte mode: kernel == composed on the corpus; tokens are hex byte runs") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnMergesFromWords(
+      Bpe.wordTableBytes(d, "text"), numMerges = 8)
+    assert(merges.length == 8)
+    assert(merges.forall { case (a, b) =>
+      (a + b).matches("[0-9A-F]+") && (a + b).length % 2 == 0 })
+    val both = d.select(
+      TextFunctions.bpeEncode(col("text"), merges, byteLevel = true).as("kernel"),
+      Bpe.encodeComposedBytes(col("text"), merges).as("composed"))
+    assert(both.filter(not(col("kernel") === col("composed"))).count() == 0)
+    // lossless at the byte level: unhexed glued tokens == text sans spaces
+    val bad = d.select(
+        unhex(array_join(TextFunctions.bpeEncode(col("text"), merges,
+          byteLevel = true), "")).cast("string").as("glued"),
+        regexp_replace(col("text"), " ", "").as("orig"))
+      .filter(col("glued") =!= col("orig"))
+    assert(bad.count() == 0)
+  }
+
+  test("special tokens pass through verbatim — whole-word AND glued") {
+    val merges = Seq(("61", "62")) // 'a','b' -> 'ab'
+    val special = Seq("<|eot|>")
+    // whole-word special: kernel == composed (the oracle shape)
+    val df = Seq("ab <|eot|> ab", "<|eot|>", "ab").toDF("text")
+    val both = df.select(
+      TextFunctions.bpeEncode(col("text"), merges, byteLevel = true,
+        specials = special).as("kernel"),
+      Bpe.encodeComposedBytes(col("text"), merges, special).as("composed"))
+    assert(both.filter(not(col("kernel") === col("composed"))).count() == 0)
+    val one = df.filter(col("text") === "ab <|eot|> ab")
+      .select(TextFunctions.bpeEncode(col("text"), merges, byteLevel = true,
+        specials = special)).as[Seq[String]].head()
+    assert(one == Seq("6162", "<|eot|>", "6162"))
+    // glued special: the kernel splits around it; bytes never leak in
+    val glued = Seq("ab<|eot|>ab").toDF("text")
+      .select(TextFunctions.bpeEncode(col("text"), merges, byteLevel = true,
+        specials = special)).as[Seq[String]].head()
+    assert(glued == Seq("6162", "<|eot|>", "6162"))
+    // leftmost-longest: a special that is a prefix of another
+    val two = Seq("x<|eot|><|eot|>x").toDF("text")
+      .select(TextFunctions.bpeEncode(col("text"), merges, byteLevel = true,
+        specials = Seq("<|eot|>", "<|eot|><|eot|>")))
+      .as[Seq[String]].head()
+    assert(two == Seq("78", "<|eot|><|eot|>", "78"))
+  }
+
+  test("training scales past the toy regime: 300 merges, lineage bounded") {
+    // The oracle bound is NumMerges=10 (CTE-chain depth) and the
+    // driver corpus's 31-word vocabulary saturates at ~90 merges, so
+    // the depth demonstration needs a richer (seeded, deterministic)
+    // vocabulary: 1500 word types, each repeated so every pair is a
+    // candidate. Runs the SAME training loop to 300 merges — the
+    // checkpoint cadence keeps lineage bounded at any depth — and
+    // pins the artifact's internal consistency: every merge's
+    // operands are primitive chars or earlier merge outputs.
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val words = (0 until 1500).map { _ =>
+      (0 until (4 + rnd.nextInt(8)))
+        .map(_ => alpha(rnd.nextInt(26))).mkString }
+    val d = (words ++ words).grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val merges = Bpe.learnMerges(d, "text", numMerges = 300)
+    assert(merges.length == 300, s"stopped early at ${merges.length}")
+    assert(merges.distinct.length == 300) // no pair learned twice
+    val known = scala.collection.mutable.Set[String]()
+    merges.foreach { case (a, b) =>
+      assert(a.length == 1 || known.contains(a), s"lhs $a unseen")
+      assert(b.length == 1 || known.contains(b), s"rhs $b unseen")
+      known += a + b
+    }
+    // the 300-merge tokenizer still encodes losslessly
+    val bad = d.select(
+        array_join(TextFunctions.bpeEncode(col("text"), merges), "").as("glued"),
+        regexp_replace(col("text"), " ", "").as("orig"))
+      .filter(col("glued") =!= col("orig"))
+    assert(bad.count() == 0)
+  }
+
   test("encode round-trips: concatenated tokens reproduce the text") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val merges = Bpe.learnMerges(d, "text", numMerges = 6)
