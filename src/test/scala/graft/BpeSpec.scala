@@ -180,6 +180,66 @@ class BpeSpec extends AnyFunSuite {
     assert(batch(0L) == List("abab", "x", "y"))
   }
 
+  // Streaming-twin boundary note (the replay-safety contract for the
+  // tokenizer family, and the explicit NON-goal beside it): the
+  // encode sink below streams because encoding is a pure per-document
+  // projection — no corpus-global state, so batch and stream are the
+  // same expression. The exact-substring span family (q116/q121/q124)
+  // deliberately has NO streaming twin: a shared span is a property
+  // of a PAIR of documents anywhere in the corpus, so detecting it on
+  // arrival would need the full positioned-n-gram index of everything
+  // ever seen as mutable streaming state — corpus-sized, not
+  // key-sized, which is the line every other twin here respects
+  // (RunningTrend keeps five integers per key; this would keep the
+  // corpus). The deployment contract is batch-periodic instead:
+  // spans/removal run as a scheduled batch pass over landed data
+  // (exactly how Lee et al. run it), with the incremental LSH/digest
+  // families covering the between-passes window for near- and exact-
+  // whole-document duplicates.
+  test("streaming encode sink: saved artifact, stream == batch, replay-safe by key") {
+    import graft.operators.Bucketing
+    import graft.streaming.StreamingBpe
+    for (t <- Seq("graft_bpe_sink_merges", "bpe_enc_out"))
+      Bucketing.dropManagedTable(spark, t)
+    val base = java.nio.file.Files.createTempDirectory("bpesink").toString
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    Bpe.saveMerges(spark, "graft_bpe_sink_merges", merges)
+    val rows = Seq((0L, "abab xy"), (1L, "ababab b"), (2L, "abc"))
+    rows.toDF("doc_id", "text").write.parquet(s"$base/src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamingBpe.encodeSink(
+      spark.readStream.schema(schema).parquet(s"$base/src"),
+      "graft_bpe_sink_merges", "bpe_enc_out", "doc_id", "text", s"$base/ckpt")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    val batch = rows.toDF("doc_id", "text").select($"doc_id",
+        size(TextFunctions.bpeEncode($"text", merges)).cast("long"),
+        array_join(TextFunctions.bpeEncode($"text", merges), " "))
+      .as[(Long, Long, String)].collect().toSet
+    def table() = spark.table("bpe_enc_out")
+      .as[(Long, Long, String)].collect()
+    assert(table().toSet == batch) // stream == batch, byte for byte
+    // crash drill: batch 0 wrote but its offset never committed —
+    // prune the checkpoint and restart; the sink re-appends batch 0
+    def prune(dir: String, keep: String => Boolean): Unit =
+      new java.io.File(s"$base/ckpt/$dir").listFiles().toSeq
+        .filterNot(f => keep(f.getName.stripPrefix(".").stripSuffix(".crc")))
+        .foreach(f => assert(f.delete(), f.toString))
+    prune("commits", _ => false)
+    prune("offsets", _ == "0")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    spark.catalog.refreshTable("bpe_enc_out")
+    val replayed = table()
+    assert(replayed.length == 6) // at-least-once, as documented
+    // determinism makes replays EXACT duplicates: keyed dedup is lossless
+    assert(replayed.toSet == batch)
+    for (t <- Seq("graft_bpe_sink_merges", "bpe_enc_out"))
+      Bucketing.dropManagedTable(spark, t)
+  }
+
   test("encode is a zero-exchange codegen projection") {
     val merges = Seq(("a", "b"))
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
