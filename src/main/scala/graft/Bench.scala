@@ -95,6 +95,7 @@ object Bench {
     }
     // Drop warmup-SF cached intermediates so measurement starts clean.
     graft.operators.TextPipelineQueries.clearCache(spark)
+    graft.multimodal.MultimodalQueries.clearCache(spark)
     graft.operators.BpeQueries.clearCache()
 
     // One-time shared-intermediate builds (shingle/signature tables,
@@ -103,8 +104,10 @@ object Bench {
     // iteration silently carrying the build that q18/q19 reuse.
     val (cs0, _, _, ct0) = cpuTicks()
     val tCache0 = System.nanoTime()
-    try graft.operators.TextPipelineQueries.warmCaches(spark, sfDir)
-    catch { case _: Throwable => () }
+    try {
+      graft.operators.TextPipelineQueries.warmCaches(spark, sfDir)
+      graft.multimodal.MultimodalQueries.warmCaches(spark, sfDir)
+    } catch { case _: Throwable => () }
     val cacheBuild = (System.nanoTime() - tCache0) / 1e9
     val (cs1, _, _, _) = cpuTicks()
     val cacheSteal = if (cs0 < 0 || cs1 < 0) -1.0 else (cs1 - cs0) / 100.0
@@ -126,6 +129,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
     graft.operators.TextPipelineQueries.clearCache(spark)
+    graft.multimodal.MultimodalQueries.clearCache(spark)
     graft.operators.BpeQueries.clearCache()
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
     // Also persist the line to a file: the driver captures a stdout

@@ -45,6 +45,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.operators.TextPipelineQueries.clearCache(spark)
+    graft.multimodal.MultimodalQueries.clearCache(spark)
     graft.operators.BpeQueries.clearCache()
     spark.stop()
   }

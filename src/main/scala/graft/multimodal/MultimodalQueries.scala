@@ -18,6 +18,55 @@ object MultimodalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** The muxed per-doc AVI corpus feeding q118: synthesized once per
+    * (session, dir) and persisted, the [[graft.operators
+    * .TextPipelineQueries]] shared-intermediate lifecycle. The mux is
+    * FIXTURE construction (ImageIO-encoding ~2.5 JPEG frames per doc
+    * plus the RIFF wrap); without the cache every bench iteration
+    * re-paid it and the q118 number measured the fixture, not the
+    * demux+decode operator under test. */
+  private val aviCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def sessionKey(s: SparkSession): String =
+    try s.getClass.getMethod("sessionUUID").invoke(s).asInstanceOf[String]
+    catch { case _: ReflectiveOperationException =>
+      String.valueOf(System.identityHashCode(s)) }
+
+  private def aviTab(s: SparkSession, d: String): DataFrame =
+    aviCache.getOrElseUpdate((sessionKey(s), d), {
+      import s.implicits._
+      t(s, d, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val w = (id % 16 + 8).toInt
+          val h = (id % 12 + 8).toInt
+          val n = (id % 3 + 2).toInt
+          val frames = (0 until n).map { f =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+            for (y <- 0 until h; x <- 0 until w)
+              img.setRGB(x, y, (((x * 7 + f * 29) % 256) << 16) |
+                (((y * 11 + id % 97) % 256).toInt << 8) | ((x + y + f) % 256))
+            jpegBytes(img)
+          }
+          Multimodal.MediaRecord(id, Avi.encodeMjpeg(w, h, 10, frames))
+        }.toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Force-materialize the shared AVI fixture corpus (bench harness
+    * calls this once, reported inside its cache-build line item). */
+  def warmCaches(s: SparkSession, d: String): Unit =
+    aviTab(s, d).count()
+
+  /** Unpersist and drop this session's cached AVI corpus. */
+  def clearCache(s: SparkSession): Unit = {
+    val key = sessionKey(s)
+    aviCache.keys.filter(_._1 == key).foreach { k =>
+      aviCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_multimodal_decode" -> ((s, d) => {
       import s.implicits._
@@ -169,22 +218,7 @@ object MultimodalQueries {
     // are cross-checked against ImageIO in MultimodalSpec.
     "q118_video_mjpeg" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val w = (id % 16 + 8).toInt
-          val h = (id % 12 + 8).toInt
-          val n = (id % 3 + 2).toInt
-          val frames = (0 until n).map { f =>
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-            for (y <- 0 until h; x <- 0 until w)
-              img.setRGB(x, y, (((x * 7 + f * 29) % 256) << 16) |
-                (((y * 11 + id % 97) % 256).toInt << 8) | ((x + y + f) % 256))
-            jpegBytes(img)
-          }
-          Multimodal.MediaRecord(id, Avi.encodeMjpeg(w, h, 10, frames))
-        }
-      media.flatMap { r =>
+      aviTab(s, d).as[Multimodal.MediaRecord].flatMap { r =>
         Avi.frames(r.content).zipWithIndex.collect {
           case (jpeg, idx) if idx % 2 == 0 =>
             val (w, h, _, px) = JpegDecode.decode(jpeg)
