@@ -142,7 +142,7 @@ object BpeQueries {
     "q123_curation_v3" -> ((s, d) => {
       val aug = TextPipelineQueries.augSpanDocs(s, d)
       val cov = Dedup.spanCoverage(aug, "doc_id", "text",
-        Dedup.exactSubstringSpans(aug, "doc_id", "text"))
+        TextPipelineQueries.spanTab(s, d))
       val bpe = aug.select(col("doc_id"),
         size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
           .cast("long").as("n_bpe"))

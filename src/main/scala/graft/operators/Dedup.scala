@@ -789,9 +789,21 @@ object Dedup {
     * span, doc_a < doc_b, positions 0-based in tokens. */
   def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
                           n: Int = 5, minLen: Int = 8,
-                          maxOccurrences: Int = 50): DataFrame = {
+                          maxOccurrences: Int = 50): DataFrame =
+    spansFromNgrams(positionedNgrams(df, idCol, textCol, n), idCol,
+      n, minLen, maxOccurrences)
+
+  /** [[exactSubstringSpans]] over a prebuilt (ideally persisted)
+    * [[positionedNgrams]] table — the shape multi-consumer pipelines
+    * use: the n-gram table is the operator's one corpus-sized
+    * intermediate and this plan reads it THREE times (hot-set count,
+    * both self-join sides), so a caller sharing it across the span /
+    * coverage / removal family caches it once (the
+    * [[shingleTable]] lifecycle) instead of re-deriving it per read. */
+  def spansFromNgrams(ng: DataFrame, idCol: String,
+                      n: Int = 5, minLen: Int = 8,
+                      maxOccurrences: Int = 50): DataFrame = {
     require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
-    val ng = positionedNgrams(df, idCol, textCol, n)
     // The hot-n-gram guard engages BEFORE the nh shuffle it exists to
     // protect. A count window over nh would physically route every
     // occurrence of a hot n-gram to one reducer partition first and
