@@ -841,6 +841,61 @@ object Dedup {
         (col("__c") + (n - 1)).cast("long").as("len"))
   }
 
+  /** Incremental exact-substring spans: maximal shared spans with at
+    * least one NEW document — the batch-ingest shape of the span
+    * family, completing the incremental symmetry the other dedup
+    * modalities already have ([[exactIncrementalDups]],
+    * [[lshCandidatePairsIncremental]], [[incrementalComponents]]).
+    * A corpus deployment keeps its positioned-n-gram table current;
+    * each arriving batch joins ITS n-grams against the table —
+    * old–old pairs are never recomputed, so per-batch cost is
+    * O(batch × n-gram-hit), not O(corpus²). The union of these spans
+    * with the previous corpus's old-only spans IS the full span set
+    * (spec-pinned — what makes incremental span bookkeeping sound).
+    *
+    * `isNew` marks batch rows (any predicate over the n-gram rows).
+    * The hot-n-gram cap is computed over the FULL table — corpus
+    * statistics, not batch statistics — and excluded pre-join exactly
+    * as in [[spansFromNgrams]]. Each qualifying pair is generated
+    * once: (new doc_a × any doc_b) covers pairs whose smaller id is
+    * new; (old doc_a × new doc_b) covers the rest — disjoint by
+    * construction. Output matches [[exactSubstringSpans]]. */
+  def spansIncrementalFromNgrams(ng: DataFrame, idCol: String,
+                                 isNew: Column, n: Int = 5,
+                                 minLen: Int = 8,
+                                 maxOccurrences: Int = 50): DataFrame = {
+    require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
+    val hot = ng.groupBy(col("nh")).agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxOccurrences)
+      .select(col("nh"))
+    val cool = ng.join(broadcast(hot), Seq("nh"), "left_anti")
+      .withColumn("__new", isNew)
+    def side(df: DataFrame, suffix: String) =
+      df.select(col("nh"), col(idCol).as(s"doc_$suffix"),
+        col("pos").as(s"pos_$suffix"))
+    // Two disjoint joins, each with the (small) batch side as one
+    // input, so old×old rows never materialize: (new a × any b)
+    // covers pairs whose smaller id is new; (old a × new b) the rest.
+    val m = side(cool.filter(col("__new")), "a")
+        .join(side(cool, "b"), Seq("nh"))
+        .filter(col("doc_a") < col("doc_b"))
+      .unionAll(side(cool.filter(!col("__new")), "a")
+        .join(side(cool.filter(col("__new")), "b"), Seq("nh"))
+        .filter(col("doc_a") < col("doc_b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("__delta"))
+      .orderBy(col("pos_a"))
+    m.withColumn("__delta", col("pos_b") - col("pos_a"))
+      .withColumn("__isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("__delta"), col("__isl"))
+      .agg(min(col("pos_a")).as("__sa"), count(lit(1)).as("__c"))
+      .filter(col("__c") + (n - 1) >= minLen)
+      .select(col("doc_a"), col("doc_b"),
+        col("__sa").cast("long").as("start_a"),
+        (col("__sa") + col("__delta")).cast("long").as("start_b"),
+        (col("__c") + (n - 1)).cast("long").as("len"))
+  }
+
   /** Per-document duplicated-SPAN coverage: the fraction of a
     * document's tokens lying inside at least one cross-document
     * shared span ([[exactSubstringSpans]] output) — the curation

@@ -758,7 +758,15 @@ object TextPipelineQueries {
     // span occurrences cut (Lee et al.'s shipped output) — the last
     // detect-but-not-act gap in the dedup stack.
     "q124_span_removal" -> ((s, d) =>
-      Dedup.removeSpans(augSpanDocs(s, d), "doc_id", "text", spanTab(s, d))))
+      Dedup.removeSpans(augSpanDocs(s, d), "doc_id", "text", spanTab(s, d))),
+    // Batch-ingest spans: only pairs with a NEW member (doc_id%5==0
+    // plays the arriving batch) — the incremental form the other
+    // dedup modalities already have, completing the span family's
+    // batch-periodic contract (old-old pairs never recomputed).
+    "q130_spans_incremental" -> ((s, d) =>
+      Dedup.spansIncrementalFromNgrams(
+        Dedup.positionedNgrams(augSpanDocs(s, d), "doc_id", "text", 5),
+        "doc_id", col("doc_id") % 5 === 0)))
 
   /** The q116/q121 corpus: three deterministic 10-token phrases
     * injected so the synthetic corpus (which shares no long verbatim
@@ -1575,6 +1583,12 @@ object TextPipelineQueries {
     "q116_exact_substring_spans" ->
       s"""WITH $spanCtes
         |SELECT doc_a, doc_b, start_a, start_b, len FROM spans""".stripMargin,
+    // the incremental set IS the full set restricted to pairs with a
+    // new member (the lshCandidatePairsIncremental oracle pattern)
+    "q130_spans_incremental" ->
+      s"""WITH $spanCtes
+        |SELECT doc_a, doc_b, start_a, start_b, len FROM spans
+        |WHERE doc_a % 5 = 0 OR doc_b % 5 = 0""".stripMargin,
     // overlapping spans cover a position once (GROUP BY = distinct);
     // span-free documents report 0.0 via the left join.
     "q121_span_coverage" ->

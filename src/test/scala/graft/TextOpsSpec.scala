@@ -627,6 +627,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(capped.toSeq == Seq((100L, 101L, 9L))) // rare span survives
   }
 
+  test("incremental spans complete the full span set; old-old pairs excluded") {
+    // docs 0,1 (old) and 5 (new) share a 9-token phrase; doc 2 is
+    // unrelated. Incremental must report exactly the new-member pairs
+    // and union with the old corpus's own spans to the full set.
+    val shared = "one two three four five six seven eight nine"
+    val d = Seq(
+      (0L, s"aa bb $shared zz"),
+      (1L, s"xx $shared yy"),
+      (2L, "totally different words in this document here right now ok"),
+      (5L, s"$shared qq rr ss"))
+      .toDF("doc_id", "text")
+    val ng = Dedup.positionedNgrams(d, "doc_id", "text", 5)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val inc = Dedup.spansIncrementalFromNgrams(ng, "doc_id",
+      col("doc_id") >= 5L).collect().map(key).toSet
+    assert(inc.map(p => (p._1, p._2)) == Set((0L, 5L), (1L, 5L))) // no (0,1)
+    val oldOnly = Dedup.exactSubstringSpans(
+      d.filter(col("doc_id") < 5L), "doc_id", "text").collect().map(key).toSet
+    assert(oldOnly.map(p => (p._1, p._2)) == Set((0L, 1L)))
+    val full = Dedup.exactSubstringSpans(d, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(inc ++ oldOnly == full) // the invariant that makes it sound
+  }
+
   test("removeSpans: canonical copy kept, others cut; re-detection finds nothing") {
     // three docs share a 9-token phrase (min doc 0 keeps it), doc 3
     // is untouched, doc 4 is wholly contained in doc 0.
