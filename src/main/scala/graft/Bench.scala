@@ -112,6 +112,17 @@ object Bench {
     val (cs1, _, _, _) = cpuTicks()
     val cacheSteal = if (cs0 < 0 || cs1 < 0) -1.0 else (cs1 - cs0) / 100.0
 
+    // Host-speed canary: a fixed CPU-bound, I/O-free workload (median
+    // of 3). Round-over-round comparisons divide per-query medians by
+    // the canary ratio before calling anything a regression — the r8
+    // lesson, where every query read ~1.6-2x slower on a drifted host
+    // with steal=0 and nothing in any plan changed.
+    val canarySec = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
+
     val results = selected.map { case (name, fn) => name -> run(fn) }
     val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v.map(_._1))}%.3f" }
       .mkString("{", ",", "}")
@@ -131,7 +142,7 @@ object Bench {
     graft.operators.TextPipelineQueries.clearCache(spark)
     graft.multimodal.MultimodalQueries.clearCache(spark)
     graft.operators.BpeQueries.clearCache()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"canary_sec":$canarySec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
     // Also persist the line to a file: the driver captures a stdout
     // TAIL, and round 4's capture truncated the medians/cache fields.
     // The file survives regardless of how stdout is clipped.

@@ -132,6 +132,35 @@ object CurationQueries {
       Curation.nbGate(dd, "doc_id", "text",
         Curation.nbTrain(dd, "doc_id", "text", nbSeedLabels(dd), 64), 64)
     }),
+    // Operating-point selection: precision/recall of the learned gate
+    // at a sweep of fixed-point score thresholds over the held-out
+    // split — how a pipeline owner actually picks the cut, instead of
+    // assuming score >= 0. Exact integer counts; ratios rounded.
+    "q131_nb_threshold_sweep" -> ((s, d) => {
+      val dd = docs(s, d)
+      val gate = Curation.nbGate(dd, "doc_id", "text",
+        Curation.nbTrain(dd, "doc_id", "text", nbSeedLabels(dd), 64), 64)
+      val held = gate.join(dd.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), (col("lang") === "en").cast("int").as("__y")),
+        Seq("doc_id"))
+      val thrs = s.range(-2L, 3L)
+        .select((col("id") * 10000L).as("thr"))
+      held.crossJoin(broadcast(thrs))
+        .groupBy(col("thr")).agg(
+          sum(when(col("score") >= col("thr") && col("__y") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("score") >= col("thr") && col("__y") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("score") < col("thr") && col("__y") === 1, 1L)
+            .otherwise(0L)).as("fn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") === 0L, lit(null))
+            .otherwise(round(col("tp") / (col("tp") + col("fp")), 4))
+            .as("precision"),
+          when(col("tp") + col("fn") === 0L, lit(null))
+            .otherwise(round(col("tp") / (col("tp") + col("fn")), 4))
+            .as("recall"))
+    }),
     // Close the loop: confusion matrix of the learned gate against
     // truth on the HELD-OUT docs (doc_id % 3 != 0) — train → gate →
     // eval, the full cycle a real curation pipeline runs.
@@ -422,6 +451,28 @@ object CurationQueries {
         |  FROM f JOIN wt ON f.bucket = wt.bucket GROUP BY f.doc_id)
         |SELECT doc_id, CAST(score AS BIGINT) AS score, score >= 0 AS pred
         |FROM sc""".stripMargin,
+    "q131_nb_threshold_sweep" ->
+      s"""WITH $nbCtes,
+        |sc AS (SELECT f.doc_id,
+        |    sum(f.cnt * wt.w) + (SELECT w FROM wt WHERE bucket = -1) AS score
+        |  FROM f JOIN wt ON f.bucket = wt.bucket GROUP BY f.doc_id),
+        |held AS (SELECT sc.doc_id, sc.score,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc JOIN documents d USING (doc_id) WHERE d.doc_id % 3 <> 0),
+        |ct AS (SELECT t.thr,
+        |    sum(CASE WHEN score >= t.thr AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+        |    sum(CASE WHEN score >= t.thr AND y = 0 THEN 1 ELSE 0 END)::BIGINT AS fp,
+        |    sum(CASE WHEN score < t.thr AND y = 1 THEN 1 ELSE 0 END)::BIGINT AS fn
+        |  FROM held CROSS JOIN
+        |    (SELECT u.i * 10000 AS thr
+        |     FROM UNNEST(generate_series(-2, 2)) AS u(i)) t
+        |  GROUP BY t.thr)
+        |SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE round(tp::DOUBLE / (tp + fp), 4) END AS precision,
+        |  CASE WHEN tp + fn = 0 THEN NULL
+        |       ELSE round(tp::DOUBLE / (tp + fn), 4) END AS recall
+        |FROM ct""".stripMargin,
     "q127_nb_eval" ->
       s"""WITH $nbCtes,
         |sc AS (SELECT f.doc_id,
