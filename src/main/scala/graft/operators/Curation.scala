@@ -523,7 +523,7 @@ object Curation {
       sum(when(col("__y") === 1, col("cnt")).otherwise(0L)).as("__c1"),
       sum(when(col("__y") === 0, col("cnt")).otherwise(0L)).as("__c0"))
     val dense = spark.range(dim).select(col("id").as("bucket"))
-      .join(perBucket, Seq("bucket"), "left")
+      .join(broadcast(perBucket), Seq("bucket"), "left")
       .select(col("bucket"), coalesce(col("__c1"), lit(0L)).as("__c1"),
         coalesce(col("__c0"), lit(0L)).as("__c0"))
     val tot = dense.agg(sum(col("__c1")).as("__t1"), sum(col("__c0")).as("__t0"))

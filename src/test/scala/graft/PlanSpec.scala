@@ -85,6 +85,30 @@ class PlanSpec extends AnyFunSuite {
       s"range condition must ride the user_id equi-join, not a nested loop:\n${p.take(2000)}")
   }
 
+  test("q126: learned weights broadcast into the feature fold, never shuffled") {
+    val p = plan("q126_nb_gate")
+    // the dim+1-row weight table must reach the (doc, bucket) counts
+    // as a broadcast — a shuffled join here would exchange the whole
+    // feature table on bucket, a 64-value skew key at corpus scale
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2500)) // the 1-row bias attach
+    val smjOnBucket = p.linesIterator.count(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("bucket"))
+    assert(smjOnBucket == 0, s"weights shuffled on bucket\n${p.take(3000)}")
+  }
+
+  test("q124: only span-hit documents are exploded and rebuilt") {
+    val p = plan("q124_span_removal")
+    // the untouched corpus joins the rebuilt subset by id; the
+    // left-semi restriction must appear so the posexplode branch is
+    // fed by span-hit docs, not the whole corpus
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("Generate posexplode") || p.contains("posexplode"),
+      p.take(3000))
+  }
+
   test("asof join plans a single shuffle (union + one window)") {
     val p = plan("q27_asof_join")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
