@@ -166,16 +166,19 @@ object TextPipelineQueries {
   private val spanCache =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
+  /** The corpus positioned-n-gram table itself stays persisted too —
+    * it is what "the deployment keeps current" between batch-periodic
+    * span passes, and the incremental form (q130) probes it directly
+    * (its own scale contract: batch n-grams join the LIVE table). */
+  private[operators] def spanNgTab(s: SparkSession, d: String): DataFrame =
+    spanCache.getOrElseUpdate((sessionKey(s), s"$d#ng"),
+      Dedup.positionedNgrams(augSpanDocs(s, d), "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   private[operators] def spanTab(s: SparkSession, d: String): DataFrame =
-    spanCache.getOrElseUpdate((sessionKey(s), d), {
-      val ng = Dedup.positionedNgrams(augSpanDocs(s, d), "doc_id", "text", 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val spans = Dedup.spansFromNgrams(ng, "doc_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      spans.count() // materialize before the n-gram table is released
-      ng.unpersist(blocking = false)
-      spans
-    })
+    spanCache.getOrElseUpdate((sessionKey(s), d),
+      Dedup.spansFromNgrams(spanNgTab(s, d), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Force-materialize every shared cached intermediate for (s, d):
     * the shingle/signature tables, both connected-components label
@@ -191,7 +194,8 @@ object TextPipelineQueries {
     oldBatchLabels(s, d).count()
     ivfIndex(s, d)._2.count()
     ivfAppended(s, d)
-    spanTab(s, d)
+    spanNgTab(s, d).count()
+    spanTab(s, d).count()
   }
 
   /** Unpersist and drop every cached intermediate belonging to
@@ -764,8 +768,7 @@ object TextPipelineQueries {
     // dedup modalities already have, completing the span family's
     // batch-periodic contract (old-old pairs never recomputed).
     "q130_spans_incremental" -> ((s, d) =>
-      Dedup.spansIncrementalFromNgrams(
-        Dedup.positionedNgrams(augSpanDocs(s, d), "doc_id", "text", 5),
+      Dedup.spansIncrementalFromNgrams(spanNgTab(s, d),
         "doc_id", col("doc_id") % 5 === 0)))
 
   /** The q116/q121 corpus: three deterministic 10-token phrases
