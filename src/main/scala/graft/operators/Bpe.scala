@@ -148,6 +148,39 @@ object Bpe {
       .toDF("rank", "lhs", "rhs")
   }
 
+  /** The TRUE BPE vocabulary: the id space a trainer consumes. Base
+    * symbols (every initial symbol occurring in the type table,
+    * sorted) take ids 0..k−1; merge OUTPUTS take k..k+numMerges−1 in
+    * rank order — the GPT-2 vocab-file layout, and closed over any
+    * encode of the training corpus by construction (every emitted
+    * token is either an initial symbol or a merge output), so
+    * id-mapping has NO OOV path (q133 pins n_oov = 0 corpus-wide).
+    * Works identically for char and byte mode (feed [[wordTable]] or
+    * [[wordTableBytes]]).
+    *
+    * The global row_number window is vocab-sized (base symbols +
+    * numMerges — the IVF-centroid class of bounded smallness), not
+    * corpus-sized; `base.count()` is the same bounded collect every
+    * artifact here does. Two merges CAN emit the same string (e.g.
+    * (a,bc) and (ab,c)); consumers resolve by MIN id
+    * ([[graft.operators.Curation.tokenizeToIds]] callers group
+    * first), mirrored in the oracle. Output: (token, id). */
+  def vocabTable(wordTab: DataFrame,
+                 merges: Seq[(String, String)]): DataFrame = {
+    val spark = wordTab.sparkSession
+    import spark.implicits._
+    val base = wordTab
+      .select(explode(split(trim(col("w")), " {2,}")).as("token"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("token"))
+    val nBase = base.count()
+    base.select(col("token"),
+        (row_number().over(w) - 1).cast("long").as("id"))
+      .unionByName(merges.zipWithIndex
+        .map { case ((a, b), r) => (a + b, nBase + r) }
+        .toDF("token", "id"))
+  }
+
   /** Persist the tokenizer artifact as a managed table (rank, lhs,
     * rhs) — the deployment shape where the trained tokenizer lives
     * beside the data and every consumer loads it instead of

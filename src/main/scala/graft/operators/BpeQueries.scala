@@ -133,6 +133,23 @@ object BpeQueries {
         size(toks).cast("long").as("n_tokens"),
         array_join(toks, " ").as("toks"))
     }),
+    // The TRUE BPE id space — base symbols then merge outputs in rank
+    // order (the GPT-2 vocab-file layout), vs q122's corpus-frequency
+    // vocab. This is the artifact a trainer's embedding table indexes.
+    "q132_bpe_vocab" -> ((s, d) =>
+      Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), merges(s, d))),
+    // Encode-to-ids against that vocabulary: closed by construction,
+    // so n_oov must be 0 for EVERY document — the no-OOV guarantee is
+    // part of the oracle-checked output, not just a spec.
+    "q133_bpe_token_ids" -> ((s, d) => {
+      val bpeText = docs(s, d).select(col("doc_id"),
+        array_join(TextFunctions.bpeEncode(col("text"), merges(s, d)), " ")
+          .as("text"))
+      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"),
+        merges(s, d))
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
+    }),
     // Curation scorecard v3 — the round's new families composed into
     // one per-source readout a pipeline owner actually acts on: how
     // many documents are syndicated (≥5% of tokens inside verbatim
@@ -227,6 +244,21 @@ object BpeQueries {
     s"""WITH ${trainingCtes(NumMerges)}
        |${mergesUnionSql(NumMerges)}""".stripMargin
 
+  /** The true-vocab CTEs: distinct initial symbols of the type table
+    * (ids 0..k−1 in token order), then merge outputs at k+rank. */
+  private def vocabCtes(rounds: Int): String =
+    s"""sym AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(w), ' {2,}')) AS token
+       |        FROM words0),
+       |vbase AS (SELECT token,
+       |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
+       |  FROM sym),
+       |nb AS (SELECT count(*)::BIGINT AS n FROM vbase),
+       |vmo AS (${(0 until rounds).map(r =>
+           s"SELECT a || b AS token, ${r}::BIGINT AS rank FROM b$r")
+           .mkString("\n  UNION ALL ")}),
+       |vocab AS (SELECT token, id FROM vbase
+       |  UNION ALL SELECT token, n + rank FROM vmo CROSS JOIN nb)""".stripMargin
+
   private lazy val encodeSql =
     s"""WITH ${trainingCtes(NumMerges)},
        |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents)
@@ -253,6 +285,27 @@ object BpeQueries {
     "q119_bpe_incremental" -> mergesSql,
     "q114_bpe_encode" -> encodeSql,
     "q120_bpe_encode_saved" -> encodeSql,
+    "q132_bpe_vocab" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)}
+         |SELECT token, id FROM vocab""".stripMargin,
+    // same tail as q122, but ids come from the TRUE vocabulary
+    // (min-id on duplicate merge outputs) — n_oov provably 0
+    "q133_bpe_token_ids" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |vmin AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
+         |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
+         |tk2 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s
+         |         FROM enc) q),
+         |ids AS (SELECT doc_id, pos, coalesce(v.id, -1) AS id
+         |        FROM tk2 LEFT JOIN vmin v USING (token))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+         |FROM ids GROUP BY doc_id""".stripMargin,
     "q122_bpe_ids" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),

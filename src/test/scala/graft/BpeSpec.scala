@@ -116,6 +116,26 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("true vocab closes over the corpus: zero OOV, id roundtrip lossless") {
+    import graft.operators.Curation
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val merges = Bpe.learnMerges(d, "text", numMerges = 6)
+    val vocab = Bpe.vocabTable(Bpe.wordTable(d, "text"), merges)
+      .groupBy($"token").agg(min($"id").as("id"))
+    val bpeText = d.select($"doc_id",
+      array_join(TextFunctions.bpeEncode($"text", merges), " ").as("text"))
+    val ids = Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
+    assert(ids.filter($"n_oov" =!= 0L).count() == 0) // closure, not luck
+    // ids -> tokens -> glued text reproduces the original sans spaces
+    val rev = vocab.collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val decoded = ids.select($"doc_id", $"ids").as[(Long, String)].collect()
+      .map { case (id, s) =>
+        id -> s.split(",").map(x => rev(x.toLong)).mkString }.toMap
+    val orig = d.select($"doc_id", regexp_replace($"text", " ", ""))
+      .as[(Long, String)].collect().toMap
+    assert(decoded == orig)
+  }
+
   test("encode round-trips: concatenated tokens reproduce the text") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val merges = Bpe.learnMerges(d, "text", numMerges = 6)
