@@ -150,6 +150,33 @@ object BpeQueries {
         .groupBy(col("token")).agg(min(col("id")).as("id"))
       Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
     }),
+    // Curation pipeline v4 — the round-8 families chained as ONE
+    // declarative plan, the last mile before a trainer: span REMOVAL
+    // rewrites the corpus (q124), the LEARNED NB gate filters the
+    // cleaned text (q125/q126's weights, trained on raw seeds),
+    // survivors are encoded to real subwords by the kernel (q113's
+    // merges), and training sequences are packed in subword budget
+    // (q115's two-phase prefix sum). Four families, one plan, one
+    // oracle — composability is the claim being checked.
+    "q134_curation_v4" -> ((s, d) => {
+      val dd = docs(s, d)
+      val cleaned = Dedup.removeSpans(
+          TextPipelineQueries.augSpanDocs(s, d), "doc_id", "text",
+          TextPipelineQueries.spanTab(s, d))
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val weights = Curation.nbTrain(dd, "doc_id", "text",
+        dd.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
+        64)
+      val kept = Curation.nbGate(cleaned, "doc_id", "text", weights, 64)
+        .filter(col("pred")).select(col("doc_id"))
+      Packing.packByBudget(
+        cleaned.join(kept, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
+              .cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
+    }),
     // Curation scorecard v3 — the round's new families composed into
     // one per-source readout a pipeline owner actually acts on: how
     // many documents are syndicated (≥5% of tokens inside verbatim
@@ -324,6 +351,52 @@ object BpeQueries {
          |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
          |FROM ids GROUP BY doc_id""".stripMargin,
+    // v4: removal CTEs (q124's), the NB weight table trained on raw
+    // seeds (q125's), gate features over the CLEANED text, survivors
+    // encoded by the composed chain, packed by the q115 window. The
+    // empty-text guard covers wholly-cut documents that pass the gate
+    // (Spark's encode of "" is an empty array; DuckDB's split of ''
+    // is ['']).
+    "q134_curation_v4" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${TextPipelineQueries.spanCtes},
+         |${CurationQueries.nbCtes},
+         |cutp AS (SELECT DISTINCT doc_b AS doc, u.p
+         |  FROM spans, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
+         |nrem AS (SELECT doc, count(*)::BIGINT AS tokens_removed
+         |  FROM cutp GROUP BY doc),
+         |tk2 AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
+         |  FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |kept AS (SELECT tk2.doc_id,
+         |    coalesce(string_agg(CASE WHEN c.doc IS NULL THEN t END, ' '
+         |      ORDER BY pos), '') AS clean
+         |  FROM tk2 JOIN nrem ON tk2.doc_id = nrem.doc
+         |  LEFT JOIN cutp c ON tk2.doc_id = c.doc AND tk2.pos = c.p
+         |  GROUP BY tk2.doc_id),
+         |cleaned AS (SELECT a.doc_id,
+         |    CASE WHEN n.doc IS NULL THEN a.text ELSE k.clean END AS text
+         |  FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
+         |  LEFT JOIN kept k ON a.doc_id = k.doc_id),
+         |f2 AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+         |    count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |        FROM cleaned) GROUP BY doc_id, bucket),
+         |sc2 AS (SELECT f2.doc_id,
+         |    sum(f2.cnt * wt.w) + (SELECT w FROM wt WHERE bucket = -1) AS score
+         |  FROM f2 JOIN wt ON f2.bucket = wt.bucket GROUP BY f2.doc_id),
+         |kc AS (SELECT c.doc_id, c.text FROM cleaned c
+         |  JOIN sc2 ON c.doc_id = sc2.doc_id WHERE sc2.score >= 0),
+         |tc4 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
+         |    THEN CAST(0 AS BIGINT)
+         |    ELSE len(${encodeExpr(NumMerges)})::BIGINT END AS n_tokens
+         |  FROM kc),
+         |cp4 AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM tc4)
+         |SELECT doc_id, n_tokens, CAST(s // $PackBudget AS BIGINT) AS seq_id
+         |FROM cp4""".stripMargin,
     // merges learn on the raw corpus; spans and the encode run over
     // the augmented one — exactly what the Spark plan composes.
     "q123_curation_v3" ->

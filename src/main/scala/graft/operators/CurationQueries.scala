@@ -297,9 +297,10 @@ object CurationQueries {
   // ---- oracle SQL (DuckDB dialect) ----
 
   /** Shared CTE chain for the Naive-Bayes family (q125 train, q126
-    * gate, q127 eval): seed labels → hashed features → per-(bucket,
-    * class) counts → dense grid → quantized log-odds weight table. */
-  private val nbCtes =
+    * gate, q127 eval; also q134's gate stage): seed labels → hashed
+    * features → per-(bucket, class) counts → dense grid → quantized
+    * log-odds weight table. */
+  private[operators] val nbCtes =
     """lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
       |        FROM documents WHERE doc_id % 3 = 0),
       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
