@@ -540,6 +540,63 @@ object Curation {
           .cast("long").as("w")))
   }
 
+  /** MULTICLASS [[nbTrain]]: one weight row per (bucket, class) plus
+    * per-class prior rows at bucket = −1 — the trained language-ID
+    * shape (fastText's actual job), generalizing the binary gate to
+    * argmax over any label set. Same fixed-point quantization, so
+    * prediction is exact integer arithmetic; per-class weights are
+    * log P(bucket|class), priors log P(class) (softmax-monotone, and
+    * only the argmax is consumed). `labels`: (idCol, y: String).
+    *
+    * Scale shape: one (bucket, class) aggregation over seed features;
+    * the dense grid is range(dim) × the class table (both bounded);
+    * output dim·|classes| + |classes| rows — broadcast-sized. */
+  def nbTrainMulti(df: DataFrame, idCol: String, textCol: String,
+                   labels: DataFrame, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val spark = df.sparkSession
+    val lab = labels.select(col(idCol), col("y").cast("string").as("y"))
+    val f = hashedFeatures(df, idCol, textCol, dim).join(lab, Seq(idCol))
+    val perBC = f.groupBy(col("bucket"), col("y"))
+      .agg(sum(col("cnt")).as("__c"))
+    val dense = spark.range(dim).select(col("id").as("bucket"))
+      .crossJoin(lab.select(col("y")).distinct())
+      .join(broadcast(perBC), Seq("bucket", "y"), "left")
+      .select(col("bucket"), col("y"),
+        coalesce(col("__c"), lit(0L)).as("__c"))
+    val tot = dense.groupBy(col("y")).agg(sum(col("__c")).as("__t"))
+    val prior = lab.groupBy(col("y")).agg(count(lit(1)).as("__n"))
+      .crossJoin(broadcast(lab.agg(count(lit(1)).as("__all"))))
+    dense.join(broadcast(tot), Seq("y"))
+      .select(col("bucket"), col("y"),
+        round(lit(10000) * log((col("__c") + 1.0) / (col("__t") + dim)), 0)
+          .cast("long").as("w"))
+      .unionByName(prior.select(lit(-1L).as("bucket"), col("y"),
+        round(lit(10000) * log(col("__n") / col("__all").cast("double")), 0)
+          .cast("long").as("w")))
+  }
+
+  /** Multiclass prediction: argmax over per-class integer scores,
+    * ties to the lexicographically smallest class (min over
+    * (−score, y) structs — deterministic across engines and
+    * partitionings). Output: (idCol, pred, score). */
+  def nbPredictMulti(df: DataFrame, idCol: String, textCol: String,
+                     weights: DataFrame, dim: Int): DataFrame = {
+    val w = weights.filter(col("bucket") >= 0)
+    val pri = weights.filter(col("bucket") === -1)
+      .select(col("y"), col("w").as("__bias"))
+    hashedFeatures(df, idCol, textCol, dim)
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol), col("y"))
+      .agg(sum(col("cnt") * col("w")).as("__s"))
+      .join(broadcast(pri), Seq("y"))
+      .select(col(idCol), col("y"), (col("__s") + col("__bias")).as("__sc"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__sc")).as("ns"), col("y"))).as("__m"))
+      .select(col(idCol), col("__m").getField("y").as("pred"),
+        (-col("__m").getField("ns")).as("score"))
+  }
+
   /** Naive-Bayes gate: score every document with a [[nbTrain]] weight
     * table — score = bias + Σ cnt_b · w_b, pred = score ≥ 0 (the
     * binary NB decision function; absent buckets contribute nothing

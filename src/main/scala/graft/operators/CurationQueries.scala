@@ -161,6 +161,26 @@ object CurationQueries {
             .otherwise(round(col("tp") / (col("tp") + col("fn")), 4))
             .as("recall"))
     }),
+    // MULTICLASS NB: trained language ID (fastText's actual job) —
+    // the weight table per (bucket, lang) with per-class priors.
+    "q135_langid_train" -> ((s, d) => {
+      val dd = docs(s, d)
+      Curation.nbTrainMulti(dd, "doc_id", "text",
+        dd.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang").as("y")), 64)
+    }),
+    // Predict + confusion against true lang on held-out: argmax over
+    // exact integer scores, ties to the smallest class name.
+    "q136_langid_eval" -> ((s, d) => {
+      val dd = docs(s, d)
+      val wts = Curation.nbTrainMulti(dd, "doc_id", "text",
+        dd.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("lang").as("y")), 64)
+      Curation.nbPredictMulti(dd, "doc_id", "text", wts, 64)
+        .join(dd.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("lang").as("label")), Seq("doc_id"))
+        .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("n"))
+    }),
     // Close the loop: confusion matrix of the learned gate against
     // truth on the HELD-OUT docs (doc_id % 3 != 0) — train → gate →
     // eval, the full cycle a real curation pipeline runs.
@@ -327,6 +347,33 @@ object CurationQueries {
       |       SELECT CAST(-1 AS BIGINT),
       |         CAST(round(10000 * ln(n1 / n0)) AS BIGINT) FROM pr)""".stripMargin
 
+  /** Multiclass (language-ID) NB CTEs: per-(bucket, lang) counts →
+    * dense grid → quantized per-class log-likelihoods + priors. */
+  private val nbMultiCtes =
+    """labm AS (SELECT doc_id, lang AS y FROM documents WHERE doc_id % 3 = 0),
+      |tokm AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |         FROM documents),
+      |fm AS (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+      |        count(*) AS cnt
+      |      FROM tokm GROUP BY doc_id, bucket),
+      |fym AS (SELECT fm.bucket, fm.cnt, labm.y FROM fm JOIN labm USING (doc_id)),
+      |bcm AS (SELECT bucket, y, sum(cnt)::BIGINT AS c FROM fym GROUP BY bucket, y),
+      |clsm AS (SELECT DISTINCT y FROM labm),
+      |gm AS (SELECT u.b AS bucket, clsm.y, coalesce(c, 0) AS c
+      |      FROM UNNEST(generate_series(0, 63)) AS u(b) CROSS JOIN clsm
+      |      LEFT JOIN bcm ON bcm.bucket = u.b AND bcm.y = clsm.y),
+      |tmm AS (SELECT y, sum(c) AS t FROM gm GROUP BY y),
+      |prm AS (SELECT y, count(*)::DOUBLE AS n FROM labm GROUP BY y),
+      |alln AS (SELECT count(*)::DOUBLE AS a FROM labm),
+      |wtm AS (SELECT bucket, gm.y,
+      |         CAST(round(10000 * ln((c + 1.0) / (t + 64))) AS BIGINT) AS w
+      |       FROM gm JOIN tmm ON gm.y = tmm.y
+      |       UNION ALL
+      |       SELECT CAST(-1 AS BIGINT), y,
+      |         CAST(round(10000 * ln(n / a)) AS BIGINT) FROM prm CROSS JOIN alln)"""
+      .stripMargin
+
   private val injPiiCte =
     """inj AS (SELECT doc_id,
       |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
@@ -474,6 +521,26 @@ object CurationQueries {
         |  CASE WHEN tp + fn = 0 THEN NULL
         |       ELSE round(tp::DOUBLE / (tp + fn), 4) END AS recall
         |FROM ct""".stripMargin,
+    "q135_langid_train" ->
+      s"""WITH $nbMultiCtes
+        |SELECT bucket, y, w FROM wtm""".stripMargin,
+    "q136_langid_eval" ->
+      s"""WITH $nbMultiCtes,
+        |bim AS (SELECT y, w AS bias FROM wtm WHERE bucket = -1),
+        |scm AS (SELECT fm.doc_id, w.y, sum(fm.cnt * w.w) AS s
+        |  FROM fm JOIN (SELECT * FROM wtm WHERE bucket >= 0) w
+        |    ON fm.bucket = w.bucket
+        |  GROUP BY fm.doc_id, w.y),
+        |sc3 AS (SELECT scm.doc_id, scm.y, s + bias AS score
+        |  FROM scm JOIN bim USING (y)),
+        |pr3 AS (SELECT doc_id, y AS pred,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, y ASC) AS rn
+        |  FROM sc3)
+        |SELECT d.lang AS label, pr3.pred, count(*) AS n
+        |FROM pr3 JOIN documents d USING (doc_id)
+        |WHERE rn = 1 AND d.doc_id % 3 <> 0
+        |GROUP BY 1, 2""".stripMargin,
     "q127_nb_eval" ->
       s"""WITH $nbCtes,
         |sc AS (SELECT f.doc_id,

@@ -580,6 +580,25 @@ class CurationSpec extends AnyFunSuite {
     assert(gate(10L)._2 == 2 * wMap(bGood) + wMap(bBad))
   }
 
+  test("nbTrainMulti/nbPredictMulti: separable classes exact; ties to smallest class") {
+    val dim = 64
+    val docs = Seq((0L, "aa aa"), (1L, "bb bb"), (2L, "cc cc"),
+      (10L, "zz")).toDF("doc_id", "text")
+    val labels = Seq((0L, "de"), (1L, "en"), (2L, "fr")).toDF("doc_id", "y")
+    // distinct buckets keep the closed-form reasoning honest
+    val buckets = Curation.hashedFeatures(docs, "doc_id", "text", dim)
+      .select("bucket").distinct().count()
+    assert(buckets == 4)
+    val wts = Curation.nbTrainMulti(docs, "doc_id", "text", labels, dim)
+    assert(wts.count() == dim * 3 + 3)
+    val pred = Curation.nbPredictMulti(docs, "doc_id", "text", wts, dim)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(0L) == "de" && pred(1L) == "en" && pred(2L) == "fr")
+    // "zz" is unseen: equal class sizes and totals make every class
+    // score identical — the tie must break to the smallest class name
+    assert(pred(10L) == "de")
+  }
+
   // ---- robust (median/MAD) outlier gate ----
 
   test("madGatePerKey: the spike can't hide itself (head-to-head vs mean/stddev)") {
