@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Curation
+
+/** Streaming classification sink over a SAVED Naive-Bayes weight
+  * table — the deployment shape of the classifier family, twinning
+  * [[StreamingBpe]] for the tokenizer: train once (q125/q135), save
+  * the weight table beside the data, then batch-classify the corpus
+  * OR stream-classify arrivals with the same exact-integer argmax —
+  * identical predictions (spec-pinned).
+  *
+  * The weight table is (bucket, y, w) with priors at bucket = −1
+  * ([[Curation.nbTrainMulti]]'s output written with `saveAsTable`).
+  * It is re-resolved per micro-batch from the batch's own session —
+  * a vocab-sized scan, and the robust choice across the stream's
+  * cloned sessions; prediction itself is [[Curation.nbPredictMulti]],
+  * pure integer arithmetic, so replayed micro-batches are EXACT
+  * duplicates keyed by `idCol` (the at-least-once + keyed-dedup
+  * contract every foreachBatch sink here documents).
+  *
+  * Retraining is a NEW weight table and a NEW sink — predictions
+  * from different models must not mix in one output table (the
+  * [[StreamingBpe]] stance).
+  */
+object StreamingClassify {
+
+  /** Start the classify sink: (idCol, textCol) stream → (idCol,
+    * pred, score) appended to `outTable`. */
+  def predictSink(docs: DataFrame, weightsTable: String, outTable: String,
+                  idCol: String, textCol: String, dim: Int,
+                  checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          Curation.nbPredictMulti(batch, idCol, textCol,
+              batch.sparkSession.table(weightsTable), dim)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(outTable)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+}

@@ -599,6 +599,40 @@ class CurationSpec extends AnyFunSuite {
     assert(pred(10L) == "de")
   }
 
+  test("streaming classify sink: saved weights, stream == batch predictions") {
+    import graft.operators.Bucketing
+    import graft.streaming.StreamingClassify
+    for (t <- Seq("nb_weights_sink", "nb_pred_out"))
+      Bucketing.dropManagedTable(spark, t)
+    val base = java.nio.file.Files.createTempDirectory("nbsink").toString
+    val train = Seq((0L, "aa aa"), (1L, "bb bb"), (2L, "cc cc"))
+      .toDF("doc_id", "text")
+    val labels = Seq((0L, "de"), (1L, "en"), (2L, "fr")).toDF("doc_id", "y")
+    Curation.nbTrainMulti(train, "doc_id", "text", labels, 64)
+      .write.mode("overwrite").format("parquet").saveAsTable("nb_weights_sink")
+    val arrivals = Seq((10L, "aa zz"), (11L, "bb"), (12L, "cc cc aa"))
+    arrivals.toDF("doc_id", "text").write.parquet(s"$base/src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val q = StreamingClassify.predictSink(
+      spark.readStream.schema(schema).parquet(s"$base/src"),
+      "nb_weights_sink", "nb_pred_out", "doc_id", "text", 64, s"$base/ckpt")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("nb_pred_out")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = Curation.nbPredictMulti(arrivals.toDF("doc_id", "text"),
+        "doc_id", "text", spark.table("nb_weights_sink"), 64)
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(batch.map(t => t._1 -> t._2).toMap ==
+      Map(10L -> "de", 11L -> "en", 12L -> "fr"))
+    for (t <- Seq("nb_weights_sink", "nb_pred_out"))
+      Bucketing.dropManagedTable(spark, t)
+  }
+
   // ---- robust (median/MAD) outlier gate ----
 
   test("madGatePerKey: the spike can't hide itself (head-to-head vs mean/stddev)") {

@@ -121,6 +121,29 @@ class SkewSpec extends AnyFunSuite {
       r.getLong(4)) == (100L, 101L, 3L, 1L, 12L))
   }
 
+  test("incremental spans: hot cap is a corpus statistic, pruned pre-join") {
+    // Same corpus as the batch test: boilerplate in 60 OLD docs, one
+    // legitimate span between old doc 100 and NEW doc 101. The hot
+    // set must come from the FULL table (old+new), and the batch
+    // probe must not resurrect boilerplate pairs even though each
+    // new-side n-gram occurrence is itself rare.
+    val boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val shared = "s0 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11"
+    val docs = ((0 until 60).map(i =>
+        (i.toLong, s"$boiler u${i}a u${i}b u${i}c u${i}d u${i}e")) ++
+      Seq((100L, s"x0 x1 x2 $shared x3 x4 x5"),
+          (101L, s"y0 $shared y1 y2 y3 $boiler")))
+      .toDF("doc_id", "text")
+    val ng = Dedup.positionedNgrams(docs, "doc_id", "text", 5)
+    val rows = Dedup.spansIncrementalFromNgrams(ng, "doc_id",
+      col("doc_id") === 101L).collect()
+    // doc 101 carries the boilerplate too (61st occurrence set) — the
+    // corpus-wide cap kills it; only the legitimate span survives
+    assert(rows.length == 1)
+    val r = rows.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(4)) == (100L, 101L, 12L))
+  }
+
   test("semanticDedup: degenerate embedding mode prunes, never explodes") {
     // 30 vectors collapse into one dense mode (one cluster regardless
     // of k); 3 more sit in a second direction, two of them near-dups.
