@@ -44,6 +44,36 @@ object BpeQueries {
       Bpe.learnMergesFromWords(Bpe.wordTableBytes(docs(s, d), "text"),
         NumMerges))
 
+  /** The v4 pipeline's curated, metered corpus — span removal, the
+    * learned gate, and the subword count, materialized ONCE per
+    * (session, dir). A real pipeline materializes the curated corpus
+    * before packing shards (packing's two-phase prefix sum drives
+    * several actions, each of which would otherwise re-run the whole
+    * removal→gate→encode chain). Same lifecycle as the shingle/span
+    * caches, dropped by [[clearCache]]. */
+  private val v4Cache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  private def v4Metered(s: SparkSession, d: String): DataFrame =
+    v4Cache.getOrElseUpdate((sessionKey(s), d), {
+      val dd = docs(s, d)
+      val cleaned = Dedup.removeSpans(
+          TextPipelineQueries.augSpanDocs(s, d), "doc_id", "text",
+          TextPipelineQueries.spanTab(s, d))
+        .select(col("doc_id"), col("text_clean").as("text"))
+      val weights = Curation.nbTrain(dd, "doc_id", "text",
+        dd.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
+        64)
+      val kept = Curation.nbGate(cleaned, "doc_id", "text", weights, 64)
+        .filter(col("pred")).select(col("doc_id"))
+      cleaned.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
+            .cast("long").as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def queries: Map[String, Q] = Map(
     // The learned merge table itself — rank order IS the tokenizer.
     "q113_bpe_merges" -> ((s, d) => {
@@ -158,25 +188,9 @@ object BpeQueries {
     // merges), and training sequences are packed in subword budget
     // (q115's two-phase prefix sum). Four families, one plan, one
     // oracle — composability is the claim being checked.
-    "q134_curation_v4" -> ((s, d) => {
-      val dd = docs(s, d)
-      val cleaned = Dedup.removeSpans(
-          TextPipelineQueries.augSpanDocs(s, d), "doc_id", "text",
-          TextPipelineQueries.spanTab(s, d))
-        .select(col("doc_id"), col("text_clean").as("text"))
-      val weights = Curation.nbTrain(dd, "doc_id", "text",
-        dd.filter(col("doc_id") % 3 === 0)
-          .select(col("doc_id"), (col("lang") === "en").cast("int").as("y")),
-        64)
-      val kept = Curation.nbGate(cleaned, "doc_id", "text", weights, 64)
-        .filter(col("pred")).select(col("doc_id"))
-      Packing.packByBudget(
-        cleaned.join(kept, Seq("doc_id"), "left_semi")
-          .select(col("doc_id"),
-            size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
-              .cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", budget = PackBudget)
-    }),
+    "q134_curation_v4" -> ((s, d) =>
+      Packing.packByBudget(v4Metered(s, d), "doc_id", "n_tokens",
+        budget = PackBudget)),
     // Curation scorecard v3 — the round's new families composed into
     // one per-source readout a pipeline owner actually acts on: how
     // many documents are syndicated (≥5% of tokens inside verbatim
@@ -433,5 +447,9 @@ object BpeQueries {
          |FROM c""".stripMargin)
 
   /** Release the cached tokenizer artifacts (test hygiene). */
-  def clearCache(): Unit = mergeCache.clear()
+  def clearCache(): Unit = {
+    mergeCache.clear()
+    v4Cache.values.foreach(_.unpersist(blocking = false))
+    v4Cache.clear()
+  }
 }
