@@ -55,6 +55,32 @@ class BpeSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("byte mode on multibyte UTF-8: 2/3-byte chars split, merges rejoin, lossless") {
+    // "é" is C3A9 (2 bytes), "日" E697A5 (3 bytes): byte symbols must
+    // split them, a learned merge must be able to rejoin them, and
+    // unhex of the glued tokens must reproduce the exact UTF-8 text.
+    val d = Seq((0L, "café café 日本 x"), (1L, "café 日本 日本")).toDF("doc_id", "text")
+    val merges = Bpe.learnMergesFromWords(
+      Bpe.wordTableBytes(d, "text"), numMerges = 12)
+    assert(merges.nonEmpty)
+    val both = d.select(
+      TextFunctions.bpeEncode(col("text"), merges, byteLevel = true).as("kernel"),
+      Bpe.encodeComposedBytes(col("text"), merges).as("composed"))
+    assert(both.filter(not(col("kernel") === col("composed"))).count() == 0)
+    val bad = d.select(
+        unhex(array_join(TextFunctions.bpeEncode(col("text"), merges,
+          byteLevel = true), "")).cast("string").as("glued"),
+        regexp_replace(col("text"), " ", "").as("orig"))
+      .filter(col("glued") =!= col("orig"))
+    assert(bad.count() == 0) // byte-exact round trip through hex symbols
+    // the top merge rejoins a split multibyte char: "café" and "日本"
+    // repeat, so some learned token must span a full char's bytes
+    val toks = d.select(explode(TextFunctions.bpeEncode(col("text"), merges,
+      byteLevel = true)).as("t")).distinct().as[String].collect().toSet
+    assert(toks.exists(t => t.length >= 4 && t.matches("[0-9A-F]+")),
+      toks.mkString(","))
+  }
+
   test("special tokens pass through verbatim — whole-word AND glued") {
     val merges = Seq(("61", "62")) // 'a','b' -> 'ab'
     val special = Seq("<|eot|>")
