@@ -175,6 +175,10 @@ object BpeQueries {
       val bpeText = docs(s, d).select(col("doc_id"),
         array_join(TextFunctions.bpeEncode(col("text"), merges(s, d)), " ")
           .as("text"))
+      // greedy training CAN emit a merge output equal to an existing
+      // symbol (e.g. (a,bc) after (ab,c), or a byte-mode collision
+      // with a base symbol) — duplicate token strings resolve to the
+      // SMALLEST id, mirrored in the oracle's vmin CTE
       val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"),
         merges(s, d))
         .groupBy(col("token")).agg(min(col("id")).as("id"))

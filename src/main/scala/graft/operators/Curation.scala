@@ -579,13 +579,17 @@ object Curation {
   /** Multiclass prediction: argmax over per-class integer scores,
     * ties to the lexicographically smallest class (min over
     * (−score, y) structs — deterministic across engines and
-    * partitionings). Output: (idCol, pred, score). */
+    * partitionings). NULL text coalesces to "" before featurizing, so
+    * every input document gets exactly one output row — a null-text
+    * doc scores as the single empty token plus the class bias.
+    * Output: (idCol, pred, score). */
   def nbPredictMulti(df: DataFrame, idCol: String, textCol: String,
                      weights: DataFrame, dim: Int): DataFrame = {
     val w = weights.filter(col("bucket") >= 0)
     val pri = weights.filter(col("bucket") === -1)
       .select(col("y"), col("w").as("__bias"))
-    hashedFeatures(df, idCol, textCol, dim)
+    hashedFeatures(df.withColumn(textCol, coalesce(col(textCol), lit(""))),
+        idCol, textCol, dim)
       .join(broadcast(w), Seq("bucket"))
       .groupBy(col(idCol), col("y"))
       .agg(sum(col("cnt") * col("w")).as("__s"))
@@ -601,7 +605,10 @@ object Curation {
     * table — score = bias + Σ cnt_b · w_b, pred = score ≥ 0 (the
     * binary NB decision function; absent buckets contribute nothing
     * on either class, so present-bucket terms are the whole
-    * difference). Exact integer arithmetic end to end.
+    * difference). Exact integer arithmetic end to end. NULL text
+    * coalesces to "" before featurizing, so "score every document"
+    * holds literally — a null-text doc scores as the single empty
+    * token plus the bias instead of vanishing from the output.
     *
     * Scale shape: the weight table is dim + 1 rows and broadcasts;
     * the per-doc fold is [[linearScoreGate]]'s one exchange. Output:
@@ -611,7 +618,8 @@ object Curation {
     val w = weights.filter(col("bucket") >= 0)
     val bias = weights.filter(col("bucket") === -1)
       .select(col("w").as("__bias"))
-    hashedFeatures(df, idCol, textCol, dim)
+    hashedFeatures(df.withColumn(textCol, coalesce(col(textCol), lit(""))),
+        idCol, textCol, dim)
       .join(broadcast(w), Seq("bucket"))
       .groupBy(col(idCol)).agg(sum(col("cnt") * col("w")).as("__s"))
       .crossJoin(broadcast(bias))

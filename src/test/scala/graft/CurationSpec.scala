@@ -622,6 +622,7 @@ class CurationSpec extends AnyFunSuite {
       "nb_weights_sink", "nb_pred_out", "doc_id", "text", 64, s"$base/ckpt")
     q.processAllAvailable(); q.stop()
     val streamed = spark.table("nb_pred_out")
+      .select($"doc_id", $"pred", $"score")
       .as[(Long, String, Long)].collect().toSet
     val batch = Curation.nbPredictMulti(arrivals.toDF("doc_id", "text"),
         "doc_id", "text", spark.table("nb_weights_sink"), 64)
@@ -629,6 +630,18 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.map(t => t._1 -> t._2).toMap ==
       Map(10L -> "de", 11L -> "en", 12L -> "fr"))
+    // every output row records WHICH model scored it: one fingerprint
+    // across the batch, equal to the weight table's own, and sensitive
+    // to any weight change (the model-mixing audit column)
+    val fps = spark.table("nb_pred_out").select($"model_fp")
+      .as[Long].collect().toSet
+    val wfp = StreamingClassify.weightFingerprint(
+      spark.table("nb_weights_sink")).as[Long].head()
+    assert(fps == Set(wfp))
+    val bumped = StreamingClassify.weightFingerprint(
+      spark.table("nb_weights_sink")
+        .withColumn("w", $"w" + 1L)).as[Long].head()
+    assert(bumped != wfp)
     for (t <- Seq("nb_weights_sink", "nb_pred_out"))
       Bucketing.dropManagedTable(spark, t)
   }

@@ -91,8 +91,12 @@ class PlanSpec extends AnyFunSuite {
     // as a broadcast — a shuffled join here would exchange the whole
     // feature table on bucket, a 64-value skew key at corpus scale
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
-    assert(p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastExchange"), p.take(2500)) // the 1-row bias attach
+    // the 1-row bias attach is a keyless cross join and must plan as a
+    // broadcast nested loop, never a cartesian shuffle (the former
+    // BroadcastExchange clause here was implied by the hash-join
+    // assert above and could never fail independently)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
     val smjOnBucket = p.linesIterator.count(l =>
       (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
         l.contains("bucket"))
