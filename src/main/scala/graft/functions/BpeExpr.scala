@@ -141,9 +141,20 @@ object BpeKernels {
   }
 
   /** Whitespace-split the document, BPE-encode each word, return the
-    * flat token sequence in order. */
+    * flat token sequence in order.
+    *
+    * `preserveSpaces` (byte mode only): every space character emits
+    * its own standalone `"20"` token, so the token stream captures
+    * word boundaries — including runs of spaces — and
+    * `unhex(concat(tokens))` reproduces the document byte-exactly
+    * ([[graft.operators.Bpe.decodeBytes]]). Equivalent to
+    * byte-expanding the WHOLE document through the merge chain,
+    * because merges trained on per-word tables never contain the
+    * space byte, so no merge can absorb a `"20"` — the equivalence
+    * the oracle's composed form relies on. */
   def encode(doc: UTF8String, ranks: java.util.HashMap[String, Integer],
-             byteLevel: Boolean, specials: Array[String]): ArrayData = {
+             byteLevel: Boolean, specials: Array[String],
+             preserveSpaces: Boolean): ArrayData = {
     val text = doc.toString
     val out = new ArrayBuffer[Any]()
     var start = 0
@@ -155,6 +166,8 @@ object BpeKernels {
           if (specials.length == 0) encodeWord(w, ranks, byteLevel, out)
           else encodeSegmented(w, ranks, byteLevel, specials, out)
         }
+        if (preserveSpaces && i < text.length)
+          out += UTF8String.fromString("20")
         start = i + 1
       }
       i += 1
@@ -170,8 +183,12 @@ object BpeKernels {
   * as verbatim single tokens, never decomposed. */
 case class BpeEncodeExpr(child: Expression, merges: Array[Array[String]],
                          byteLevel: Boolean = false,
-                         specials: Array[String] = Array.empty)
+                         specials: Array[String] = Array.empty,
+                         preserveSpaces: Boolean = false)
   extends UnaryExpression {
+
+  require(!preserveSpaces || byteLevel,
+    "preserveSpaces emits the space BYTE as a token and is only defined in byte mode")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
@@ -185,13 +202,14 @@ case class BpeEncodeExpr(child: Expression, merges: Array[Array[String]],
   @transient private lazy val ranks = BpeKernels.buildRanks(merges)
 
   override protected def nullSafeEval(input: Any): Any =
-    BpeKernels.encode(input.asInstanceOf[UTF8String], ranks, byteLevel, specials)
+    BpeKernels.encode(input.asInstanceOf[UTF8String], ranks, byteLevel, specials,
+      preserveSpaces)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val rRef = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
     val sRef = ctx.addReferenceObj("bpeSpecials", specials, "java.lang.String[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.BpeKernels.encode($c, $rRef, $byteLevel, $sRef)")
+      s"graft.functions.BpeKernels.encode($c, $rRef, $byteLevel, $sRef, $preserveSpaces)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =

@@ -84,11 +84,12 @@ object TextFunctions {
     * is the oracle-expressible composed twin). */
   def bpeEncode(text: Column, merges: Seq[(String, String)],
                 byteLevel: Boolean = false,
-                specials: Seq[String] = Nil): Column =
+                specials: Seq[String] = Nil,
+                preserveSpaces: Boolean = false): Column =
     org.apache.spark.sql.GraftSqlBridge.column(BpeEncodeExpr(
       org.apache.spark.sql.GraftSqlBridge.expression(text),
       merges.map(m => Array(m._1, m._2)).toArray, byteLevel,
-      specials.toArray))
+      specials.toArray, preserveSpaces))
 
   /** English-y stopwords used for quality scoring. */
   val StopWords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")

@@ -222,6 +222,26 @@ object Bpe {
       .otherwise(split(trim(enc), " {2,}"))
   }
 
+  /** Byte-mode DECODE: tokens → the original text. Tokens are hex
+    * byte runs (specials pass through verbatim), so decode is
+    * `unhex(concat(tokens))` — specials are first hex-expanded so one
+    * unhex covers the whole stream, which is exactly their UTF-8
+    * bytes, i.e. the text the special stood for. A pure projection
+    * (no shuffle, no state): detok for eval dumps costs one map pass
+    * at any corpus size.
+    *
+    * Byte-exact inverse of [[graft.functions.TextFunctions.bpeEncode]]
+    * with `preserveSpaces = true` (spaces ride as "20" tokens); under
+    * plain byte mode it reproduces the text with spaces elided (the
+    * [[graft.BpeSpec]] glued contract). */
+  def decodeBytes(toks: Column, specials: Seq[String] = Nil): Column = {
+    val hexed =
+      if (specials.isEmpty) toks
+      else transform(toks, t =>
+        when(t.isin(specials: _*), hex(t)).otherwise(t))
+    unhex(array_join(hexed, "")).cast("string")
+  }
+
   /** [[encodeComposed]]'s byte-level twin, with SPECIAL-token
     * passthrough: each whitespace word either IS a special (emitted
     * verbatim as one never-decomposed symbol) or expands to its

@@ -184,6 +184,60 @@ object BpeQueries {
         .groupBy(col("token")).agg(min(col("id")).as("id"))
       Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
     }),
+    // DECODE, the missing half of the tokenizer loop: byte-mode
+    // encode with PRESERVED SPACES (each space rides as its own "20"
+    // token, so word boundaries survive the flat stream), then
+    // decode = unhex(concat(tokens)) — with the special token
+    // passing through BOTH directions. The oracle computes its own
+    // decode, so `decoded` and the corpus-wide `ok` flag go through
+    // the hash gate: decode(encode(corpus)) == corpus for every
+    // document, not just a spec fixture.
+    "q137_bpe_decode_roundtrip" -> ((s, d) => {
+      val aug = docs(s, d).select(col("doc_id"),
+        concat(lit("<|doc|> "), col("text")).as("text"))
+      val toks = TextFunctions.bpeEncode(col("text"), bytesMerges(s, d),
+        byteLevel = true, specials = Seq("<|doc|>"), preserveSpaces = true)
+      aug.withColumn("toks", toks)
+        .withColumn("decoded", Bpe.decodeBytes(col("toks"), Seq("<|doc|>")))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          col("decoded"), (col("decoded") === col("text")).as("ok"))
+    }),
+    // CHAR-mode decode from token IDS — the eval-dump path: text is
+    // marked with the sentencepiece-style ▁ word-boundary symbol
+    // (spaces → standalone ▁ words, so boundaries survive as real
+    // vocabulary entries), encoded to ids against the q132-layout
+    // vocabulary of the MARKED corpus, then decoded ids → tokens →
+    // text by inverting the vocab join. Merges are q113's unchanged:
+    // the ▁ word is a single symbol and contributes no pairs, so
+    // training on raw and marked corpora provably coincide. Output
+    // pins the id sequence AND the round-trip equality per document.
+    "q138_bpe_decode_ids" -> ((s, d) => {
+      val m = merges(s, d)
+      val marked = docs(s, d).select(col("doc_id"), col("text"),
+        regexp_replace(col("text"), " ", " ▁ ").as("mtext"))
+      val vocab = Bpe.vocabTable(
+        Bpe.wordTable(marked.select(col("mtext").as("text")), "text"), m)
+      val vmin = vocab.groupBy(col("token")).agg(min(col("id")).as("id"))
+      val enc = marked.select(col("doc_id"), col("text"),
+        posexplode(TextFunctions.bpeEncode(col("mtext"), m))
+          .as(Seq("pos", "token")))
+      enc.join(broadcast(vmin), Seq("token"))
+        .select(col("doc_id"), col("text"), col("pos"), col("id"))
+        .join(broadcast(vocab), Seq("id"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("text")).as("__text"),
+          count(lit(1)).cast("long").as("n_ids"),
+          concat_ws(",", transform(
+            array_sort(collect_list(struct(col("pos"), col("id")))),
+            x => x.getField("id").cast("string"))).as("ids"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")), "").as("__raw"))
+        .select(col("doc_id"), col("n_ids"), col("ids"),
+          replace(col("__raw"), lit("▁"), lit(" ")).as("decoded"),
+          (replace(col("__raw"), lit("▁"), lit(" ")) === col("__text"))
+            .as("ok"))
+    }),
     // Curation pipeline v4 — the round-8 families chained as ONE
     // declarative plan, the last mile before a trainer: span REMOVAL
     // rewrites the corpus (q124), the LEARNED NB gate filters the
@@ -251,10 +305,11 @@ object BpeQueries {
     (head +: steps).mkString(",\n")
   }
 
-  /** The composed encode of `documents.text` after `rounds` merges,
-    * as a SQL expression yielding the token list. */
-  private def encodeExpr(rounds: Int): String = {
-    val spacedDoc = "regexp_replace(text, '([^ ])', ' \\1 ', 'g')"
+  /** The composed encode of `documents.text` (or another text-typed
+    * column) after `rounds` merges, as a SQL expression yielding the
+    * token list. */
+  private def encodeExpr(rounds: Int, textCol: String = "text"): String = {
+    val spacedDoc = s"regexp_replace($textCol, '([^ ])', ' \\1 ', 'g')"
     val chain = (0 until rounds).foldLeft(spacedDoc) { (e, r) =>
       s"replace($e, ' '||(SELECT a FROM b$r)||'  '||(SELECT b FROM b$r)||' ', " +
         s"' '||(SELECT a||b FROM b$r)||' ')"
@@ -270,6 +325,27 @@ object BpeQueries {
       s"""array_to_string([CASE WHEN w = '$special' THEN ' ' || w || ' '
          |  ELSE regexp_replace(hex(w), '(..)', ' \\1 ', 'g') END
          |  FOR w IN string_split(text, ' ') IF len(w) > 0], ' ')"""
+        .stripMargin.replace("\n", " ")
+    val chain = (0 until rounds).foldLeft(spacedDoc) { (e, r) =>
+      s"replace($e, ' '||(SELECT a FROM b$r)||'  '||(SELECT b FROM b$r)||' ', " +
+        s"' '||(SELECT a||b FROM b$r)||' ')"
+    }
+    s"regexp_split_to_array(trim($chain), ' {2,}')"
+  }
+
+  /** [[encodeExprBytes]] with PRESERVED SPACES: word groups join with
+    * the space byte as its own symbol (`' 20 '` — single-space-framed,
+    * so adjacent symbols stay double-space separated), making the
+    * token stream a byte-exact encoding of the whole document. No
+    * merge can straddle a boundary: merges train on per-word tables
+    * and therefore never contain the `20` symbol. The empty-word
+    * filter is dropped deliberately — every source space must emit
+    * its `20`. */
+  private def encodeExprBytesSpaced(rounds: Int, special: String): String = {
+    val spacedDoc =
+      s"""array_to_string([CASE WHEN w = '$special' THEN ' ' || w || ' '
+         |  ELSE regexp_replace(hex(w), '(..)', ' \\1 ', 'g') END
+         |  FOR w IN string_split(text, ' ')], ' 20 ')"""
         .stripMargin.replace("\n", " ")
     val chain = (0 until rounds).foldLeft(spacedDoc) { (e, r) =>
       s"replace($e, ' '||(SELECT a FROM b$r)||'  '||(SELECT b FROM b$r)||' ', " +
@@ -369,6 +445,54 @@ object BpeQueries {
          |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
          |FROM ids GROUP BY doc_id""".stripMargin,
+    "q137_bpe_decode_roundtrip" ->
+      s"""WITH ${trainingCtes(NumMerges, bytesWordSql)},
+         |augb AS (SELECT doc_id, '<|doc|> ' || text AS text FROM documents),
+         |enc AS (SELECT doc_id, text,
+         |  ${encodeExprBytesSpaced(NumMerges, "<|doc|>")} AS toks FROM augb),
+         |dec AS (SELECT doc_id, text, len(toks)::BIGINT AS n_tokens,
+         |  decode(unhex(array_to_string(
+         |    [CASE WHEN t = '<|doc|>' THEN hex(t) ELSE t END FOR t IN toks],
+         |    ''))) AS decoded
+         |  FROM enc)
+         |SELECT doc_id, n_tokens, decoded, decoded = text AS ok FROM dec"""
+        .stripMargin,
+    "q138_bpe_decode_ids" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |mk AS (SELECT doc_id, text, replace(text, ' ', ' ▁ ') AS mtext
+         |       FROM documents),
+         |w0m AS (SELECT regexp_replace(word, '([^ ])', ' \\1 ', 'g') AS w,
+         |         count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest(string_split(mtext, ' ')) AS word FROM mk)
+         |  WHERE len(word) > 0 GROUP BY 1),
+         |symm AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(w), ' {2,}')) AS token
+         |         FROM w0m),
+         |vbasem AS (SELECT token,
+         |    CAST(row_number() OVER (ORDER BY token) - 1 AS BIGINT) AS id
+         |  FROM symm),
+         |nbm AS (SELECT count(*)::BIGINT AS n FROM vbasem),
+         |vmom AS (${(0 until NumMerges).map(r =>
+             s"SELECT a || b AS token, ${r}::BIGINT AS rank FROM b$r")
+             .mkString("\n  UNION ALL ")}),
+         |vocabm AS (SELECT token, id FROM vbasem
+         |  UNION ALL SELECT token, n + rank FROM vmom CROSS JOIN nbm),
+         |vminm AS (SELECT token, min(id) AS id FROM vocabm GROUP BY token),
+         |encm AS (SELECT doc_id, text, ${encodeExpr(NumMerges, "mtext")} AS toks
+         |         FROM mk),
+         |tkm AS (SELECT doc_id, text, s.p AS pos, s.t AS token FROM
+         |        (SELECT doc_id, text,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s
+         |         FROM encm) q),
+         |idm AS (SELECT doc_id, text, pos, v.id FROM tkm
+         |        JOIN vminm v USING (token)),
+         |decm AS (SELECT i.doc_id, min(i.text) AS text,
+         |    CAST(count(*) AS BIGINT) AS n_ids,
+         |    string_agg(CAST(i.id AS VARCHAR), ',' ORDER BY i.pos) AS ids,
+         |    replace(string_agg(v2.token, '' ORDER BY i.pos), '▁', ' ') AS decoded
+         |  FROM idm i JOIN vocabm v2 ON i.id = v2.id
+         |  GROUP BY i.doc_id)
+         |SELECT doc_id, n_ids, ids, decoded, decoded = text AS ok FROM decm"""
+        .stripMargin,
     // v4: removal CTEs (q124's), the NB weight table trained on raw
     // seeds (q125's), gate features over the CLEANED text, survivors
     // encoded by the composed chain, packed by the q115 window. The

@@ -162,6 +162,34 @@ class BpeSpec extends AnyFunSuite {
     assert(decoded == orig)
   }
 
+  test("preserveSpaces decode: byte-exact on spacing the oracle corpus can't reach") {
+    // q137 pins decode(encode(x)) == x through the DuckDB gate on the
+    // single-spaced corpus; this pins the kernel contract where the
+    // oracle can't follow: runs of spaces, leading/trailing spaces,
+    // multibyte UTF-8, and a special GLUED to text — every space char
+    // must ride as its own "20" token and unhex must reproduce the
+    // document byte for byte.
+    val texts = Seq("a  b", " leading", "trailing ", "café  日本",
+      "x<|eot|> y", "<|eot|>", "", "   ")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val merges = Seq(("61", "62")) // 'ab'
+    val toks = TextFunctions.bpeEncode($"text", merges, byteLevel = true,
+      specials = Seq("<|eot|>"), preserveSpaces = true)
+    val out = d.select($"doc_id", $"text", toks.as("toks"),
+        Bpe.decodeBytes(toks, Seq("<|eot|>")).as("decoded"))
+    assert(out.filter($"decoded" =!= $"text").count() == 0)
+    // the space tokens are literal and counted: "a  b" = ab-merge? no —
+    // 'a','b' separated by spaces stay single bytes around two 20s
+    val spaced = out.filter($"doc_id" === 0L)
+      .select($"toks").as[Seq[String]].head()
+    assert(spaced == Seq("61", "20", "20", "62"))
+    // glued special: bytes -> special -> space -> bytes, all preserved
+    val glued = out.filter($"doc_id" === 4L)
+      .select($"toks").as[Seq[String]].head()
+    assert(glued == Seq("78", "<|eot|>", "20", "79"))
+  }
+
   test("encode round-trips: concatenated tokens reproduce the text") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val merges = Bpe.learnMerges(d, "text", numMerges = 6)
