@@ -249,6 +249,38 @@ object BpeQueries {
     "q134_curation_v4" -> ((s, d) =>
       Packing.packByBudget(v4Metered(s, d), "doc_id", "n_tokens",
         budget = PackBudget)),
+    // The training-shard WRITER — the last physical step before a
+    // trainer, closing the one remaining compute-but-not-materialize
+    // gap: the q115/q134 packed layout plus each document's token-id
+    // sequence (q133's closed vocab) lands as sized, stably-ordered
+    // parquet shard files (seq_id div seqsPerShard), and the result
+    // row set is the per-shard MANIFEST computed from the READ-BACK
+    // files — doc counts, sequence counts, token sums, and a content
+    // digest the oracle derives independently from the layout, so a
+    // dropped/duplicated/mangled row in any shard fails the gate.
+    // Byte-identical re-runs and intra-shard ordering are spec-pinned
+    // (PackingSpec).
+    "q139_shard_manifest" -> ((s, d) => {
+      val m = merges(s, d)
+      val bpeText = docs(s, d).select(col("doc_id"),
+        array_join(TextFunctions.bpeEncode(col("text"), m), " ").as("text"))
+      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      val ids = Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          col("ids"))
+      val layout = Packing.packByBudget(
+        ids.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
+      val packed = layout.join(ids.select(col("doc_id"), col("ids")),
+        Seq("doc_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+        math.abs(d.hashCode.toLong)
+      Packing.writeShards(packed, "doc_id", path, seqsPerShard = 4L)
+      Packing.shardManifest(s.read.parquet(path),
+        concat_ws("|", col("doc_id"), col("n_tokens"), col("seq_id"),
+          col("ids")))
+    }),
     // Curation scorecard v3 — the round's new families composed into
     // one per-source readout a pipeline owner actually acts on: how
     // many documents are syndicated (≥5% of tokens inside verbatim
@@ -427,6 +459,35 @@ object BpeQueries {
          |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
          |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
          |FROM ids GROUP BY doc_id""".stripMargin,
+    // q133's id chain + q115's packing window + the shard grouping and
+    // digest — the oracle computes the manifest straight from the
+    // layout, so it matches the Spark side ONLY if the written files
+    // round-tripped every row of every shard exactly.
+    "q139_shard_manifest" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |vmin AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
+         |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
+         |tk2 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s
+         |         FROM enc) q),
+         |idt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
+         |        FROM tk2 LEFT JOIN vmin v USING (token) GROUP BY doc_id),
+         |cp AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM idt),
+         |sh AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp)
+         |SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+         |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
+         |FROM sh GROUP BY 1""".stripMargin,
     "q122_bpe_ids" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),

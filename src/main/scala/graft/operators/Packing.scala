@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Training-sequence packing: concatenate documents (in a
@@ -72,6 +72,55 @@ object Packing {
       }
     }.toDF(idCol, "n_tokens", "seq_id")
   }
+
+  /** Materialize a packed corpus as deterministic training SHARDS —
+    * the physical artifact a trainer actually reads, and the last
+    * step after [[packByBudget]] computes the layout. Input: the
+    * packed frame (idCol, n_tokens, seq_id, payload columns such as
+    * the token-id sequence). Every sequence belongs to exactly one
+    * shard (`shard_id = seq_id div seqsPerShard`), so a shard holds
+    * `seqsPerShard × budget` tokens (the last one less) — sized by
+    * construction, no sampling, no skew.
+    *
+    * Write shape: ONE shuffle keyed on shard_id, rows sorted
+    * (shard_id, id) within each task, one parquet data file per
+    * shard directory (`partitionBy`). Everything is deterministic —
+    * hash placement, sort order, snappy — so re-running the writer
+    * reproduces every shard BYTE-identically (spec-pinned), and
+    * `Overwrite` makes the whole operation idempotent. At 100 TB the
+    * shard count is tokens/(budget·seqsPerShard); tasks write whole
+    * shards sequentially and no task ever holds more than its
+    * sorted slice. */
+  def writeShards(packed: DataFrame, idCol: String, path: String,
+                  seqsPerShard: Long): Unit = {
+    require(seqsPerShard >= 1, s"seqsPerShard must be >= 1, got $seqsPerShard")
+    packed
+      .withColumn("shard_id", (col("seq_id") / seqsPerShard).cast("long"))
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id")
+      .parquet(path)
+  }
+
+  /** Per-shard manifest over a [[writeShards]] output (pass the
+    * READ-BACK frame — computing the manifest from the files is what
+    * proves the materialization): row counts, distinct sequences,
+    * token sums, and an order-independent content digest (XOR of a
+    * 60-bit md5 prefix of each row's `contentCol` rendering — both
+    * engines can derive it, so the digest goes through the oracle
+    * gate; row ORDER inside a shard is pinned separately by the
+    * byte-identity spec). One agg, shard-count output rows. */
+  def shardManifest(shards: DataFrame, contentCol: Column): DataFrame =
+    shards
+      .withColumn("__h",
+        conv(substring(md5(contentCol.cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col("seq_id")).cast("long").as("n_seqs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        expr("bit_xor(__h)").as("digest"))
 
   /** Dense 0-based global row ids in key order — distributed
     * zipWithIndex. `row_number() over (ORDER BY key)` plans a

@@ -289,6 +289,51 @@ class TextOpsSpec extends AnyFunSuite {
     assert((one.getLong(0), one.getLong(1), one.getLong(2)) == ((5L, 25L, 0L)))
   }
 
+  test("shard writer: deterministic bytes, intra-shard order, idempotent overwrite") {
+    import graft.operators.Packing
+    // packed layout with a payload column, sparse shuffled ids
+    val rng = new scala.util.Random(3)
+    val rows = rng.shuffle((0 until 120).map(i =>
+      (i * 5L + 2, 1L + rng.nextInt(9), s"payload-${i * 5L + 2}")).toList)
+    val packed = Packing.packByBudget(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 20L)
+      .join(rows.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id"))
+    val base = java.nio.file.Files.createTempDirectory("shards").toString
+    Packing.writeShards(packed, "doc_id", s"$base/a", seqsPerShard = 3L)
+    Packing.writeShards(packed, "doc_id", s"$base/b", seqsPerShard = 3L)
+    // idempotent overwrite: third write lands on a's path again
+    Packing.writeShards(packed, "doc_id", s"$base/a", seqsPerShard = 3L)
+    def shardFiles(root: String): Map[String, java.io.File] = {
+      val dirs = new java.io.File(root).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      dirs.map { d =>
+        val data = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(data.length == 1, s"${d.getName}: one data file per shard")
+        d.getName -> data.head
+      }.toMap
+    }
+    val (fa, fb) = (shardFiles(s"$base/a"), shardFiles(s"$base/b"))
+    assert(fa.keySet == fb.keySet && fa.nonEmpty)
+    // byte-identical across independent runs (and across the overwrite)
+    fa.foreach { case (shard, f) =>
+      val (ba, bb) = (java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fb(shard).toPath))
+      assert(java.util.Arrays.equals(ba, bb), s"$shard bytes differ")
+    }
+    // intra-shard row order: ascending doc_id inside every data file
+    fa.foreach { case (shard, f) =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select($"doc_id").as[Long].collect()
+      assert(ids.toSeq == ids.sorted.toSeq, s"$shard rows out of order")
+    }
+    // nothing lost, nothing duplicated; sequences land whole
+    val back = spark.read.parquet(s"$base/a")
+    assert(back.count() == 120)
+    assert(back.select($"seq_id", $"shard_id").distinct()
+      .collect().forall(r => r.getLong(0) / 3L == r.getAs[Number](1).longValue()))
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
