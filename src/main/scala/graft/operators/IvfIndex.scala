@@ -189,6 +189,15 @@ object IvfIndex {
            centroids: Array[Array[Double]], indexed: DataFrame,
            buckets: Int = 8,
            provenance: Map[String, String] = Map.empty): Unit = {
+    saveCentroids(spark, name, centroids, buckets, provenance)
+    Bucketing.writeBucketed(indexed, s"${name}_lists", "list_id", buckets)
+  }
+
+  /** The centroid half of [[save]] (also reused by [[rebuild]], which
+    * swaps the lists table separately via stage-and-rename). */
+  private def saveCentroids(spark: SparkSession, name: String,
+                            centroids: Array[Array[Double]], buckets: Int,
+                            provenance: Map[String, String]): Unit = {
     import spark.implicits._
     import graft.functions.{JStr, JVal}
     val meta = new org.apache.spark.sql.types.MetadataBuilder()
@@ -206,7 +215,6 @@ object IvfIndex {
     Bucketing.dropManagedTable(spark, s"${name}_centroids")
     cDf.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet").saveAsTable(s"${name}_centroids")
-    Bucketing.writeBucketed(indexed, s"${name}_lists", "list_id", buckets)
   }
 
   /** Fold a batch of NEW vectors into a [[save]]d index without a
@@ -245,6 +253,87 @@ object IvfIndex {
       .sortBy("list_id")
       .format("parquet")
       .saveAsTable(s"${name}_lists")
+  }
+
+  /** Per-list drift signal of a [[save]]d index: cosine between each
+    * saved centroid and the CURRENT mean of the vectors assigned to
+    * its list — the index-level twin of the label-level monitor
+    * (q117). After [[appendSaved]] batches accumulate, a list whose
+    * population has moved away from the centroid that routes probes
+    * to it reads drift < 1; the re-train cadence every IVF deployment
+    * carries becomes a measurable trigger ([[rebuildIfDrifted]])
+    * instead of a calendar guess.
+    *
+    * Cost shape: one map-side-combined (list_id, pos) mean over the
+    * bucketed lists table (no join reaches the corpus — the k×dim
+    * saved centroids attach to the k-row result). Lists that lost
+    * every vector are absent (nothing to compare). Output:
+    * (list_id, n_vecs, drift rounded 4). */
+  def indexDrift(spark: SparkSession, name: String,
+                 vecCol: String): DataFrame = {
+    import spark.implicits._
+    val (centroids, lists) = load(spark, name)
+    val cDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("list_id", "__c_saved")
+    val cur = lists
+      .select(col("list_id"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("__c_cur"))
+    val n = lists.groupBy(col("list_id")).agg(count(lit(1)).as("n_vecs"))
+    cur.join(n, Seq("list_id")).join(broadcast(cDf), Seq("list_id"))
+      .select(col("list_id"), col("n_vecs"),
+        round(cosine(col("__c_saved"), col("__c_cur")), 4).as("drift"))
+  }
+
+  /** Re-train a [[save]]d index in place: Lloyd iterations over the
+    * CURRENT lists table seeded from the SAVED centroids (warm start —
+    * the drifted centroids are still the best available description
+    * of the data), then re-assign every vector and swap the new lists
+    * table in. The act on [[indexDrift]]'s monitor.
+    *
+    * The new lists are written to a STAGING table and renamed over
+    * the old one — an overwrite would delete the very files the
+    * re-assignment plan is still reading, and at 100 TB the
+    * stage-and-swap is also what keeps the index readable until the
+    * rebuild commits. Bucketing (and therefore the zero-exchange
+    * probe property) survives the rename; the centroid table records
+    * the rebuild in its provenance. */
+  def rebuild(spark: SparkSession, name: String, vecCol: String,
+              iters: Int = 3): Unit = {
+    val meta = spark.table(s"${name}_centroids").schema("c_vec").metadata
+    val buckets =
+      if (meta.contains("graft.ivf.buckets")) meta.getLong("graft.ivf.buckets").toInt
+      else 8
+    val prev = provenance(spark, name)
+    val (centroids, lists) = load(spark, name)
+    val (c2, assigned) = buildFrom(lists.drop("list_id"), vecCol, centroids, iters)
+    val stage = s"${name}_lists_stage"
+    Bucketing.dropManagedTable(spark, stage)
+    Bucketing.writeBucketed(assigned, stage, "list_id", buckets)
+    Bucketing.dropManagedTable(spark, s"${name}_lists")
+    spark.sql(s"ALTER TABLE $stage RENAME TO ${name}_lists")
+    saveCentroids(spark, name, c2, buckets,
+      Map("rebuilt" -> s"lloyd iters=$iters") ++
+        prev.get("provenance").map("prev" -> _))
+  }
+
+  /** [[rebuild]] gated on the [[indexDrift]] monitor: retrain only
+    * when some list's drift fell below `minCos`. Returns whether the
+    * rebuild ran — below the threshold the saved tables are untouched
+    * (spec-pinned), so a deployment can call this after every append
+    * batch and pay the rebuild only when the index has actually
+    * decayed. */
+  def rebuildIfDrifted(spark: SparkSession, name: String, vecCol: String,
+                       minCos: Double, iters: Int = 3): Boolean = {
+    val worst = indexDrift(spark, name, vecCol)
+      .agg(min(col("drift"))).head()
+    val triggered = !worst.isNullAt(0) && worst.getDouble(0) < minCos
+    if (triggered) rebuild(spark, name, vecCol, iters)
+    triggered
   }
 
   /** Provenance of a [[save]]d index, from the centroid column's

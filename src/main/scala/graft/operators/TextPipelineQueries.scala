@@ -144,6 +144,41 @@ object TextPipelineQueries {
       name
     })
 
+  /** A saved index whose centroids predate a batch ingest — the DRIFT
+    * scenario the q140/q141 monitor→act pair runs on. Seeding is the
+    * OLD slice's per-label means (a SQL-derivable seeding, so the
+    * oracle reproduces the centroids exactly; list_id = rank in label
+    * order), iters = 0 so the saved centroids ARE those means; the
+    * batch (vec_id % 5 == 0) then appends under the stale centroids
+    * exactly as a nightly ingest would. Not cached: q141 must rebuild
+    * from the DRIFTED state deterministically on every invocation. */
+  private def buildDriftedIvf(s: SparkSession, d: String,
+                              name: String): Unit = {
+    Seq(s"${name}_centroids", s"${name}_lists", s"${name}_lists_stage")
+      .foreach(t => Bucketing.dropManagedTable(s, t))
+    val e = emb(s, d)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val seeds = Similarity.labelCentroids(
+        old.select(col("label").cast("long").as("label"), col("embedding")),
+        "label", "embedding")
+      .orderBy(col("label")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val (c0, assigned) = IvfIndex.buildFrom(old, "embedding", seeds, iters = 0)
+    IvfIndex.save(s, name, c0, assigned, buckets = 4,
+      provenance = Map("trained_on" -> "label means of vec_id % 5 <> 0"))
+    IvfIndex.appendSaved(s, name, e.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding")
+  }
+
+  /** The read-only drifted index for q140's monitor, built once per
+    * (session, dir) like every other saved-index artifact. */
+  private def ivfDrifted(s: SparkSession, d: String): String =
+    ivfSavedCache.getOrElseUpdate((sessionKey(s), d + "#drift"), {
+      val name = "g_ivf_drift"
+      buildDriftedIvf(s, d, name)
+      name
+    })
+
   /** q42's embedding-space dup groups share the CC cache under a
     * derived key (same lifecycle, cleared by [[clearCache]]). */
   private def embDupGroups(s: SparkSession, d: String): DataFrame =
@@ -194,6 +229,7 @@ object TextPipelineQueries {
     oldBatchLabels(s, d).count()
     ivfIndex(s, d)._2.count()
     ivfAppended(s, d)
+    ivfDrifted(s, d)
     spanNgTab(s, d).count()
     spanTab(s, d).count()
   }
@@ -769,7 +805,28 @@ object TextPipelineQueries {
     // batch-periodic contract (old-old pairs never recomputed).
     "q130_spans_incremental" -> ((s, d) =>
       Dedup.spansIncrementalFromNgrams(spanNgTab(s, d),
-        "doc_id", col("doc_id") % 5 === 0)))
+        "doc_id", col("doc_id") % 5 === 0)),
+    // The ANN index's OWN drift monitor (q117 watched label profiles;
+    // this watches the quantizer): per-list cosine between each saved
+    // centroid and the current mean of its assigned list, after a
+    // batch appended under stale centroids. The measurable trigger
+    // for the retrain cadence every IVF deployment carries.
+    "q140_ivf_drift" -> ((s, d) =>
+      IvfIndex.indexDrift(s, ivfDrifted(s, d), "embedding")),
+    // The ACT on that monitor — the q124-for-q116 move applied to the
+    // ANN family: Lloyd re-trained from the saved (stale) centroids
+    // over the full lists table, every vector re-assigned, the lists
+    // table swapped in via stage-and-rename (an overwrite would
+    // delete the plan's own input). Rebuilds from the drifted state
+    // fresh each invocation; the full rebuilt assignment goes through
+    // the oracle gate. Trigger semantics + recall parity are
+    // spec-pinned (ScaleOpsSpec).
+    "q141_ivf_rebuild" -> ((s, d) => {
+      val name = "g_ivf_drift_rb"
+      buildDriftedIvf(s, d, name)
+      IvfIndex.rebuild(s, name, "embedding", iters = 1)
+      s.table(s"${name}_lists").select(col("vec_id"), col("list_id"))
+    }))
 
   /** The q116/q121 corpus: three deterministic 10-token phrases
     * injected so the synthetic corpus (which shares no long verbatim
@@ -891,6 +948,31 @@ object TextPipelineQueries {
        |          ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rk
        |      FROM dist)
        |SELECT q_id, n_id, dist, rk FROM r WHERE rk <= 5""".stripMargin
+
+  /** The q140/q141 drifted-index scenario as CTEs: exploded vectors,
+    * stale centroids (old-slice label means ranked by label — exactly
+    * [[buildDriftedIvf]]'s seeding), and the stale argmax-cosine
+    * assignment of EVERY vector (old rows assigned at save time, the
+    * batch by appendSaved — same centroids, one rule). */
+  private lazy val driftIvfCtes =
+    s"""ex AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |         unnest(embedding) AS x,
+       |         unnest(range(1, len(embedding) + 1)) AS pos
+       |       FROM embeddings),
+       |mo AS (SELECT label, pos, avg(x::DOUBLE) AS m
+       |       FROM ex WHERE vec_id % 5 <> 0 GROUP BY label, pos),
+       |co0 AS (SELECT label, list(m ORDER BY pos) AS centroid
+       |        FROM mo GROUP BY label),
+       |co AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT)
+       |         AS list_id, centroid FROM co0),
+       |d AS (SELECT v.vec_id, c.list_id,
+       |      ${cosSql("v.embedding", "c.centroid")} AS cos
+       |      FROM embeddings v CROSS JOIN co c),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |        SELECT vec_id, list_id,
+       |        row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY cos DESC, list_id ASC) AS rk
+       |        FROM d) WHERE rk = 1)""".stripMargin
 
   private def cosSql(a: String, b: String) =
     s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a)+1)]) /
@@ -1580,6 +1662,44 @@ object TextPipelineQueries {
          |SELECT a.label AS label,
          |       round(${cosSql("a.centroid", "b.centroid")}, 4) AS drift
          |FROM co a JOIN cc b USING (label)""".stripMargin,
+    // stale centroids = old-slice label means (list_id = label rank);
+    // every vector assigns argmax-cosine (tie → smaller list, the
+    // kernel's contract); drift = cos(saved centroid, assigned-list
+    // mean) — exactly what indexDrift reads off the saved tables.
+    "q140_ivf_drift" ->
+      s"""WITH $driftIvfCtes,
+         |cm0 AS (SELECT a.list_id, e.pos, avg(e.x::DOUBLE) AS m
+         |        FROM asg a JOIN ex e USING (vec_id)
+         |        GROUP BY a.list_id, e.pos),
+         |cm AS (SELECT list_id, list(m ORDER BY pos) AS centroid
+         |       FROM cm0 GROUP BY list_id),
+         |n AS (SELECT list_id, count(*)::BIGINT AS n_vecs
+         |      FROM asg GROUP BY list_id)
+         |SELECT co.list_id, n.n_vecs,
+         |       round(${cosSql("co.centroid", "cm.centroid")}, 4) AS drift
+         |FROM co JOIN cm USING (list_id) JOIN n USING (list_id)"""
+        .stripMargin,
+    // one Lloyd round from the stale centroids (means of the stale
+    // assignment, empty lists keeping their old centroid — the step()
+    // contract), then the final re-assignment of every vector.
+    "q141_ivf_rebuild" ->
+      s"""WITH $driftIvfCtes,
+         |cm0 AS (SELECT a.list_id, e.pos, avg(e.x::DOUBLE) AS m
+         |        FROM asg a JOIN ex e USING (vec_id)
+         |        GROUP BY a.list_id, e.pos),
+         |cm AS (SELECT list_id, list(m ORDER BY pos) AS centroid
+         |       FROM cm0 GROUP BY list_id),
+         |cc1 AS (SELECT co.list_id, coalesce(cm.centroid, co.centroid) AS centroid
+         |        FROM co LEFT JOIN cm USING (list_id)),
+         |d2 AS (SELECT v.vec_id, c.list_id,
+         |       ${cosSql("v.embedding", "c.centroid")} AS cos
+         |       FROM embeddings v CROSS JOIN cc1 c),
+         |asg2 AS (SELECT vec_id, list_id FROM (
+         |        SELECT vec_id, list_id,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, list_id ASC) AS rk
+         |        FROM d2) WHERE rk = 1)
+         |SELECT vec_id, list_id FROM asg2""".stripMargin,
     // same algorithm shape as the distributed plan: positioned
     // n-grams (md5-slice hash — identical collision semantics), hot
     // cap, self-join, gaps-and-islands maximal runs.

@@ -184,6 +184,108 @@ class ScaleOpsSpec extends AnyFunSuite {
       .count(_.contains("Exchange hashpartitioning(list_id")) == 1, plan.take(3000))
   }
 
+  test("IVF rebuild: staged swap == direct build; exactness, bucketing, provenance survive") {
+    import graft.operators.{IvfIndex, Similarity}
+    val emb = Tables.t(spark, sf, "embeddings")
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val queries = emb.filter(col("vec_id") < 5)
+    val (centroids, indexed) = IvfIndex.build(old, "vec_id", "embedding", k = 6)
+    IvfIndex.save(spark, "ivf_rb", centroids, indexed, buckets = 4,
+      provenance = Map("trained_on" -> "old slice"))
+    IvfIndex.appendSaved(spark, "ivf_rb", batch, "vec_id", "embedding")
+    // from-scratch reference: the same Lloyd rounds from the same
+    // (stale) seeds over the same full corpus, no table lifecycle
+    val (cDirect, aDirect) = IvfIndex.buildFrom(emb, "embedding", centroids, 2)
+    IvfIndex.rebuild(spark, "ivf_rb", "embedding", iters = 2)
+    val (cReb, lists) = IvfIndex.load(spark, "ivf_rb")
+    // rebuilt-through-saved-tables == from-scratch, centroid for
+    // centroid and assignment for assignment — so any probe (and
+    // therefore any recall number at any nprobe) is identical too
+    cReb.zip(cDirect).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val asgReb = lists.select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val asgDirect = aDirect.select(col("vec_id"), col("list_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(asgReb == asgDirect)
+    // exactness anchor still holds on the rebuilt index
+    def rs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probed = IvfIndex.topKSaved(spark, "ivf_rb", queries,
+      "vec_id", "embedding", k = 5, nprobe = 6, broadcastProbes = false)
+    assert(rs(probed) == rs(Similarity.bruteForceTopK(
+      emb, queries, "vec_id", "embedding", 5)))
+    // the stage-and-rename preserved the bucket spec: lists scan still
+    // bucketed, only the probe side shuffles into its layout
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning(list_id")) == 1, plan.take(3000))
+    // the artifact records the rebuild and keeps its ancestry
+    val prov = IvfIndex.provenance(spark, "ivf_rb")("provenance")
+    assert(prov.contains("rebuilt") && prov.contains("old slice"), prov)
+  }
+
+  test("IVF drift monitor -> rebuild: trigger fires, quantization improves, converges") {
+    import graft.operators.IvfIndex
+    import spark.implicits._
+    // constructed drift: old corpus = clusters at 0° and 90° with the
+    // saved centroids exactly on them; a batch lands at 30°, pulling
+    // list 0's population mean to ~10° while the centroid stays at 0°
+    def pt(id: Long, deg: Double) = {
+      val r = math.toRadians(deg)
+      (id, Array(math.cos(r).toFloat, math.sin(r).toFloat))
+    }
+    val a = (0 until 100).map(i => pt(i.toLong, (i % 5 - 2) * 0.1))
+    val b = (0 until 100).map(i => pt(100L + i, 90 + (i % 5 - 2) * 0.1))
+    val c = (0 until 50).map(i => pt(200L + i, 30 + (i % 5 - 2) * 0.1))
+    val oldDf = (a ++ b).toDF("vec_id", "embedding")
+    val seeds = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val (c0, assigned) = IvfIndex.buildFrom(oldDf, "embedding", seeds, iters = 0)
+    IvfIndex.save(spark, "ivf_drift2d", c0, assigned, buckets = 2)
+    IvfIndex.appendSaved(spark, "ivf_drift2d", c.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    // the monitor sees it: list 0 drifted (cos(0°,10°) ≈ 0.985),
+    // list 1 did not
+    val drift = IvfIndex.indexDrift(spark, "ivf_drift2d", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(drift(0L) < 0.99, s"list 0 should read drifted: $drift")
+    assert(drift(1L) > 0.999, s"list 1 should read stable: $drift")
+    def quantization(): Double = {
+      val (cs, lists) = IvfIndex.load(spark, "ivf_drift2d")
+      val rows = lists.select(col("list_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble)))
+      rows.map { case (l, v) =>
+        val cv = cs(l)
+        val dot = v.zip(cv).map { case (x, y) => x * y }.sum
+        dot / (math.sqrt(v.map(x => x * x).sum) *
+          math.sqrt(cv.map(x => x * x).sum))
+      }.sum / rows.length
+    }
+    val qBefore = quantization()
+    // below-threshold call is a NO-OP: tables untouched
+    assert(!IvfIndex.rebuildIfDrifted(spark, "ivf_drift2d", "embedding",
+      minCos = 0.9, iters = 2))
+    val (cUntouched, _) = IvfIndex.load(spark, "ivf_drift2d")
+    cUntouched.zip(c0).foreach { case (x, y) => assert(x.sameElements(y)) }
+    // above threshold it fires, and the centroids move to the data
+    assert(IvfIndex.rebuildIfDrifted(spark, "ivf_drift2d", "embedding",
+      minCos = 0.999, iters = 2))
+    val qAfter = quantization()
+    assert(qAfter > qBefore + 0.005,
+      s"rebuild should tighten quantization: $qBefore -> $qAfter")
+    // converged: centroids now sit on their list means, drift reads
+    // clean, and the same trigger no longer fires
+    val drift2 = IvfIndex.indexDrift(spark, "ivf_drift2d", "embedding")
+      .agg(org.apache.spark.sql.functions.min(col("drift"))).head().getDouble(0)
+    assert(drift2 >= 0.9999, s"post-rebuild drift $drift2")
+    assert(!IvfIndex.rebuildIfDrifted(spark, "ivf_drift2d", "embedding",
+      minCos = 0.999, iters = 2))
+  }
+
   test("partitioned write: reads prune to the matching partition dirs") {
     val ev = Tables.t(spark, sf, "events")
     val out = java.nio.file.Files.createTempDirectory("parted").toString + "/events"
