@@ -82,7 +82,40 @@ object Bench {
     // adjudicating a single query's spread without its neighbors.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    // Bench-only extra: the kernel encode at a REALISTIC ranks-map
+    // size. The driver corpus's 31-word vocabulary saturates training
+    // at ~90 merges, so the artifact is corpus merges to saturation
+    // plus never-matching padding pairs up to 300 entries — the
+    // padding exercises map SIZE (the x-vs-q114 comparison pins that
+    // lookup cost is flat in vocabulary), the saturated merges
+    // exercise full cascade depth. Trained once here (driver-side
+    // artifact, like every tokenizer build — ~90 rounds, reported as
+    // its own field) and skipped entirely when a focus list excludes
+    // the x-line; the x-line itself measures encode only.
+    val wantFull = only.forall(_.exists("x90_bpe_encode_fullvocab".contains))
+    val tBpe0 = System.nanoTime()
+    val fullMerges =
+      if (!wantFull) Seq.empty
+      else {
+        val real = graft.operators.Bpe.learnMerges(
+          graft.Tables.t(spark, sfDir, "documents"), "text", 400)
+        val pad = (real.length until 300).map(i => (s"Z_$i", "Z_pad"))
+        real ++ pad
+      }
+    val bpeTrainSec = if (wantFull) (System.nanoTime() - tBpe0) / 1e9 else -1.0
+    val extra: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (!wantFull) Seq.empty
+      else Seq(
+        "x90_bpe_encode_fullvocab" -> ((s: SparkSession, d: String) => {
+          import org.apache.spark.sql.functions._
+          val toks = graft.functions.TextFunctions.bpeEncode(col("text"), fullMerges)
+          graft.Tables.t(s, d, "documents").select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            array_join(toks, " ").as("toks"))
+        }))
+
+    def selected = (SparkEntry.queries.toSeq ++ extra).sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
 
     // Warm up every selected query once at the smallest SF: whole-stage
@@ -123,6 +156,21 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     })
 
+    // I/O-side canary: a fixed ~11 MB parquet scan (sf0.1 lineitem,
+    // OS-cached after the first touch on a healthy host). The CPU
+    // canary is blind to storage stalls — the r6 iowait storm and the
+    // r8 "invisible stall" (busy≈0.04, steal 0) both slowed reads
+    // while range()+sum stayed fast. Two canaries bound both axes:
+    // slow queries + fast canaries = regression; slow CPU canary =
+    // compute storm; slow IO canary = storage storm.
+    val canaryIoSec = median((1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .selectExpr("bit_xor(xxhash64(l_orderkey, l_partkey, l_returnflag, " +
+          "l_shipdate, l_extendedprice))", "sum(l_quantity)").collect()
+      (System.nanoTime() - t0) / 1e9
+    })
+
     val results = selected.map { case (name, fn) => name -> run(fn) }
     val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v.map(_._1))}%.3f" }
       .mkString("{", ",", "}")
@@ -142,18 +190,24 @@ object Bench {
     graft.operators.TextPipelineQueries.clearCache(spark)
     graft.multimodal.MultimodalQueries.clearCache(spark)
     graft.operators.BpeQueries.clearCache()
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"canary_sec":$canarySec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
-    // Also persist the line to a file: the driver captures a stdout
-    // TAIL, and round 4's capture truncated the medians/cache fields.
-    // The file survives regardless of how stdout is clipped.
+    // Two renderings of the same run, split by audience. stdout gets
+    // ONLY the compact medians line (the driver contract): rounds 5-8
+    // all came back `parsed: null` because the driver's stdout-tail
+    // capture truncated the full line once the four per-iteration
+    // telemetry maps pushed it past ~20 KB. The full line — telemetry
+    // included — goes to the SPARK_GRAFT_BENCH_OUT file only, where
+    // adjudication reads it.
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"bpe_full_train_sec":$bpeTrainSec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs"""
+    val compact = s"""{$head,"sf":"$sfDir"}"""
+    val full = s"""{$head,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
-    try java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    try java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
     catch {
       case e: java.io.IOException =>
-        System.err.println(s"WARN: bench result not persisted to $outPath: $e")
+        System.err.println(s"WARN: bench telemetry not persisted to $outPath: $e")
     }
-    println(line)
+    println(compact)
     spark.stop()
   }
 }
