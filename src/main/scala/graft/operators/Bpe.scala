@@ -202,6 +202,23 @@ object Bpe {
       .select(col("lhs"), col("rhs"))
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
 
+  /** Persist a [[vocabTable]] as a managed table (token, id) — the
+    * other half of the tokenizer artifact ([[saveMerges]] carries the
+    * ENCODER's merge rules; this carries the id space an embedding
+    * table and any DECODER need). Same lifecycle: write once per
+    * training run, every consumer loads. */
+  def saveVocab(spark: org.apache.spark.sql.SparkSession, name: String,
+                vocab: DataFrame): Unit = {
+    Bucketing.dropManagedTable(spark, name)
+    vocab.select(col("token"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(name)
+  }
+
+  /** Reload a [[saveVocab]] table: (token, id). */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession,
+                name: String): DataFrame = spark.table(name)
+
   /** Composed encode: the whole document as one spaced string through
     * the merge chain in rank order, then split back to the flat token
     * sequence (word boundaries are triple spaces, so no merge crosses

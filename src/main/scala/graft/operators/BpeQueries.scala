@@ -54,8 +54,11 @@ object BpeQueries {
   private val v4Cache =
     scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
 
-  private def v4Metered(s: SparkSession, d: String): DataFrame =
-    v4Cache.getOrElseUpdate((sessionKey(s), d), {
+  /** The cleaned-and-gated v4 CORPUS itself (doc_id, text) — span
+    * removal + learned NB gate, materialized once; [[v4Metered]] and
+    * the v5 shard terminal (q143) both read it. */
+  private def v4Corpus(s: SparkSession, d: String): DataFrame =
+    v4Cache.getOrElseUpdate((sessionKey(s), d + "#corpus"), {
       val dd = docs(s, d)
       val cleaned = Dedup.removeSpans(
           TextPipelineQueries.augSpanDocs(s, d), "doc_id", "text",
@@ -68,11 +71,34 @@ object BpeQueries {
       val kept = Curation.nbGate(cleaned, "doc_id", "text", weights, 64)
         .filter(col("pred")).select(col("doc_id"))
       cleaned.join(kept, Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def v4Metered(s: SparkSession, d: String): DataFrame =
+    v4Cache.getOrElseUpdate((sessionKey(s), d),
+      v4Corpus(s, d)
         .select(col("doc_id"),
           size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
             .cast("long").as("n_tokens"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** q133's per-document token-id table (doc_id, n_tokens, ids) —
+    * the shard writer's payload, shared by q139/q144. */
+  private def idsTable(s: SparkSession, d: String) = {
+    val m = merges(s, d)
+    val bpeText = docs(s, d).select(col("doc_id"),
+      array_join(TextFunctions.bpeEncode(col("text"), m), " ").as("text"))
+    val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
+      .groupBy(col("token")).agg(min(col("id")).as("id"))
+    Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+        col("ids"))
+  }
+
+  /** The digest input rendering shared by the shard-manifest rows and
+    * both engines: every payload field of the row, pipe-joined. */
+  private def shardRowContent =
+    concat_ws("|", col("doc_id"), col("n_tokens"), col("seq_id"), col("ids"))
 
   def queries: Map[String, Q] = Map(
     // The learned merge table itself — rank order IS the tokenizer.
@@ -261,14 +287,7 @@ object BpeQueries {
     // Byte-identical re-runs and intra-shard ordering are spec-pinned
     // (PackingSpec).
     "q139_shard_manifest" -> ((s, d) => {
-      val m = merges(s, d)
-      val bpeText = docs(s, d).select(col("doc_id"),
-        array_join(TextFunctions.bpeEncode(col("text"), m), " ").as("text"))
-      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
-        .groupBy(col("token")).agg(min(col("id")).as("id"))
-      val ids = Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
-        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
-          col("ids"))
+      val ids = idsTable(s, d)
       val layout = Packing.packByBudget(
         ids.select(col("doc_id"), col("n_tokens")),
         "doc_id", "n_tokens", budget = PackBudget)
@@ -277,9 +296,64 @@ object BpeQueries {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
         math.abs(d.hashCode.toLong)
       Packing.writeShards(packed, "doc_id", path, seqsPerShard = 4L)
-      Packing.shardManifest(s.read.parquet(path),
-        concat_ws("|", col("doc_id"), col("n_tokens"), col("seq_id"),
-          col("ids")))
+      Packing.shardManifest(s.read.parquet(path), shardRowContent)
+    }),
+    // INCREMENTAL shard maintenance: the corpus is sharded from its
+    // first 80% of ids, then the remaining batch folds in with
+    // appendShards — prefix sums of existing docs can't change under
+    // append-only ingest, so only the last existing shard (whose
+    // final sequence the first batch doc may join) plus the new
+    // shards are rewritten; everything earlier stays byte-identical
+    // on disk (mtime-pinned in the spec). The read-back manifest must
+    // equal the from-scratch layout's — q139's oracle applies
+    // VERBATIM (the q119/q120/q110 invariant pattern, now for the
+    // physical artifact).
+    "q144_shards_incremental" -> ((s, d) => {
+      val ids = idsTable(s, d)
+      val maxId = ids.agg(max(col("doc_id"))).head().getLong(0)
+      val thresh = maxId * 4 / 5
+      val old = ids.filter(col("doc_id") <= thresh)
+      val batch = ids.filter(col("doc_id") > thresh)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_incr_" +
+        math.abs(d.hashCode.toLong)
+      Packing.writeShards(
+        Packing.packByBudget(old.select(col("doc_id"), col("n_tokens")),
+            "doc_id", "n_tokens", budget = PackBudget)
+          .join(old.select(col("doc_id"), col("ids")), Seq("doc_id")),
+        "doc_id", path, seqsPerShard = 4L)
+      Packing.appendShards(batch, "doc_id", "n_tokens", path,
+        budget = PackBudget, seqsPerShard = 4L)
+      Packing.shardManifest(s.read.parquet(path), shardRowContent)
+    }),
+    // Curation v5 — v4's chain driven one step further, to the END of
+    // the pipeline: span removal → learned NB gate → encode to token
+    // IDS against the q132-layout vocabulary → pack → WRITE the shard
+    // files → read them back and manifest them. The whole curation
+    // story now terminates in the physical artifact a trainer mounts,
+    // and the oracle recomputes the manifest from the layout alone —
+    // the files must round-trip every surviving document exactly.
+    // Wholly-cut documents that still pass the gate carry zero tokens
+    // and are dropped before sharding (both engines filter
+    // length(trim(text)) > 0 — an empty doc has no place in a shard).
+    "q143_curation_v5" -> ((s, d) => {
+      val m = merges(s, d)
+      val corpus = v4Corpus(s, d).filter(length(trim(col("text"))) > 0)
+      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      val bpeText = corpus.select(col("doc_id"),
+        array_join(TextFunctions.bpeEncode(col("text"), m), " ").as("text"))
+      val ids = Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          col("ids"))
+      val layout = Packing.packByBudget(
+        ids.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_v5_" +
+        math.abs(d.hashCode.toLong)
+      Packing.writeShards(
+        layout.join(ids.select(col("doc_id"), col("ids")), Seq("doc_id")),
+        "doc_id", path, seqsPerShard = 4L)
+      Packing.shardManifest(s.read.parquet(path), shardRowContent)
     }),
     // Curation scorecard v3 — the round's new families composed into
     // one per-source readout a pipeline owner actually acts on: how
@@ -419,6 +493,70 @@ object BpeQueries {
        |       array_to_string(toks, ' ') AS toks
        |FROM enc""".stripMargin
 
+  /** The v4/v5 removal + learned-gate chain (consumes `spans`/`tk`
+    * from spanCtes, `wt` from nbCtes; yields `kc` = the cleaned,
+    * gated corpus): span positions are cut from doc_b, the NB gate
+    * scores the CLEANED text with weights trained on raw seeds, and
+    * survivors keep their rewritten text. */
+  private lazy val v4GateCtes =
+    """cutp AS (SELECT DISTINCT doc_b AS doc, u.p
+      |  FROM spans, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
+      |nrem AS (SELECT doc, count(*)::BIGINT AS tokens_removed
+      |  FROM cutp GROUP BY doc),
+      |tk2 AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
+      |  FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)),
+      |kept AS (SELECT tk2.doc_id,
+      |    coalesce(string_agg(CASE WHEN c.doc IS NULL THEN t END, ' '
+      |      ORDER BY pos), '') AS clean
+      |  FROM tk2 JOIN nrem ON tk2.doc_id = nrem.doc
+      |  LEFT JOIN cutp c ON tk2.doc_id = c.doc AND tk2.pos = c.p
+      |  GROUP BY tk2.doc_id),
+      |cleaned AS (SELECT a.doc_id,
+      |    CASE WHEN n.doc IS NULL THEN a.text ELSE k.clean END AS text
+      |  FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
+      |  LEFT JOIN kept k ON a.doc_id = k.doc_id),
+      |f2 AS (SELECT doc_id,
+      |    CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+      |    count(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM cleaned) GROUP BY doc_id, bucket),
+      |sc2 AS (SELECT f2.doc_id,
+      |    sum(f2.cnt * wt.w) + (SELECT w FROM wt WHERE bucket = -1) AS score
+      |  FROM f2 JOIN wt ON f2.bucket = wt.bucket GROUP BY f2.doc_id),
+      |kc AS (SELECT c.doc_id, c.text FROM cleaned c
+      |  JOIN sc2 ON c.doc_id = sc2.doc_id WHERE sc2.score >= 0)""".stripMargin
+
+  /** The shard-manifest oracle: q133's id chain, q115's packing
+    * window, then the shard grouping and the 60-bit-md5-prefix XOR
+    * digest. Shared verbatim by q139 (from-scratch writer) and q144
+    * (incremental append) — the append must land at the from-scratch
+    * layout. */
+  private lazy val shardManifestSql =
+    s"""WITH ${trainingCtes(NumMerges)},
+       |${vocabCtes(NumMerges)},
+       |vmin AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
+       |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
+       |tk2 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM
+       |        (SELECT doc_id,
+       |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s
+       |         FROM enc) q),
+       |idt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
+       |        FROM tk2 LEFT JOIN vmin v USING (token) GROUP BY doc_id),
+       |cp AS (SELECT doc_id, n_tokens, ids,
+       |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+       |  FROM idt),
+       |sh AS (SELECT doc_id, n_tokens, ids,
+       |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp)
+       |SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+       |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
+       |FROM sh GROUP BY 1""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q113_bpe_merges" -> mergesSql,
     "q128_bpe_bytes_merges" ->
@@ -463,31 +601,10 @@ object BpeQueries {
     // digest — the oracle computes the manifest straight from the
     // layout, so it matches the Spark side ONLY if the written files
     // round-tripped every row of every shard exactly.
-    "q139_shard_manifest" ->
-      s"""WITH ${trainingCtes(NumMerges)},
-         |${vocabCtes(NumMerges)},
-         |vmin AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
-         |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
-         |tk2 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM
-         |        (SELECT doc_id,
-         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s
-         |         FROM enc) q),
-         |idt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
-         |        FROM tk2 LEFT JOIN vmin v USING (token) GROUP BY doc_id),
-         |cp AS (SELECT doc_id, n_tokens, ids,
-         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
-         |  FROM idt),
-         |sh AS (SELECT doc_id, n_tokens, ids,
-         |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp)
-         |SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
-         |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
-         |FROM sh GROUP BY 1""".stripMargin,
+    "q139_shard_manifest" -> shardManifestSql,
+    // the incremental append must land at the from-scratch layout —
+    // the invariant oracle applies verbatim
+    "q144_shards_incremental" -> shardManifestSql,
     "q122_bpe_ids" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
@@ -564,32 +681,7 @@ object BpeQueries {
       s"""WITH ${trainingCtes(NumMerges)},
          |${TextPipelineQueries.spanCtes},
          |${CurationQueries.nbCtes},
-         |cutp AS (SELECT DISTINCT doc_b AS doc, u.p
-         |  FROM spans, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
-         |nrem AS (SELECT doc, count(*)::BIGINT AS tokens_removed
-         |  FROM cutp GROUP BY doc),
-         |tk2 AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
-         |  FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)),
-         |kept AS (SELECT tk2.doc_id,
-         |    coalesce(string_agg(CASE WHEN c.doc IS NULL THEN t END, ' '
-         |      ORDER BY pos), '') AS clean
-         |  FROM tk2 JOIN nrem ON tk2.doc_id = nrem.doc
-         |  LEFT JOIN cutp c ON tk2.doc_id = c.doc AND tk2.pos = c.p
-         |  GROUP BY tk2.doc_id),
-         |cleaned AS (SELECT a.doc_id,
-         |    CASE WHEN n.doc IS NULL THEN a.text ELSE k.clean END AS text
-         |  FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
-         |  LEFT JOIN kept k ON a.doc_id = k.doc_id),
-         |f2 AS (SELECT doc_id,
-         |    CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
-         |    count(*) AS cnt
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |        FROM cleaned) GROUP BY doc_id, bucket),
-         |sc2 AS (SELECT f2.doc_id,
-         |    sum(f2.cnt * wt.w) + (SELECT w FROM wt WHERE bucket = -1) AS score
-         |  FROM f2 JOIN wt ON f2.bucket = wt.bucket GROUP BY f2.doc_id),
-         |kc AS (SELECT c.doc_id, c.text FROM cleaned c
-         |  JOIN sc2 ON c.doc_id = sc2.doc_id WHERE sc2.score >= 0),
+         |$v4GateCtes,
          |tc4 AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0
          |    THEN CAST(0 AS BIGINT)
          |    ELSE len(${encodeExpr(NumMerges)})::BIGINT END AS n_tokens
@@ -600,6 +692,40 @@ object BpeQueries {
          |  FROM tc4)
          |SELECT doc_id, n_tokens, CAST(s // $PackBudget AS BIGINT) AS seq_id
          |FROM cp4""".stripMargin,
+    // v5: the same removal+gate chain, then encode-to-ids against the
+    // q132 vocabulary, the packing window, and the SHARD manifest —
+    // computed from the layout here, from the written files on the
+    // Spark side. Zero-token survivors are filtered before sharding
+    // in both engines.
+    "q143_curation_v5" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${TextPipelineQueries.spanCtes},
+         |${CurationQueries.nbCtes},
+         |$v4GateCtes,
+         |${vocabCtes(NumMerges)},
+         |vmin AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
+         |kc2 AS (SELECT doc_id, text FROM kc WHERE length(trim(text)) > 0),
+         |enc5 AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM kc2),
+         |tk5 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s
+         |         FROM enc5) q),
+         |idt5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
+         |        FROM tk5 LEFT JOIN vmin v USING (token) GROUP BY doc_id),
+         |cp5 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM idt5),
+         |sh5 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp5)
+         |SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+         |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
+         |FROM sh5 GROUP BY 1""".stripMargin,
     // merges learn on the raw corpus; spans and the encode run over
     // the augmented one — exactly what the Spark plan composes.
     "q123_curation_v3" ->

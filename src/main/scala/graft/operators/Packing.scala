@@ -29,9 +29,13 @@ object Packing {
 
   /** Input: any frame with a long-orderable `idCol` and a token count
     * `tokenCol`. Output: (idCol, n_tokens, seq_id), one row per input
-    * row. */
+    * row. `tokenOffset` starts the prefix sum at a nonzero total —
+    * the incremental hook ([[appendShards]]): a batch whose ids all
+    * follow the existing corpus packs exactly as the from-scratch
+    * layout would place it, because earlier rows cannot change its
+    * prefix sums. */
   def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
-                   budget: Long): DataFrame = {
+                   budget: Long, tokenOffset: Long = 0L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val spark = df.sparkSession
     import spark.implicits._
@@ -54,7 +58,7 @@ object Packing {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets = (0L until nBuckets.toLong)
       .map(b => totals.getOrElse(b, 0L))
-      .scanLeft(0L)(_ + _).toArray // offsets(b) = tokens before bucket b
+      .scanLeft(tokenOffset)(_ + _).toArray // offsets(b) = tokens before bucket b
     val bc = spark.sparkContext.broadcast(offsets)
     // phase 2: partition-local running sums, reset at bucket changes
     // (a partition holds whole buckets; rows arrive bucket-then-id
@@ -91,14 +95,87 @@ object Packing {
     * shard count is tokens/(budget·seqsPerShard); tasks write whole
     * shards sequentially and no task ever holds more than its
     * sorted slice. */
+  /** Force every column nullable (a no-op on the data): a frame built
+    * from literals carries non-null schema flags while a parquet
+    * read-back is always nullable, and the flag lands in the file
+    * footer — without normalization a from-scratch write and an
+    * [[appendShards]] rewrite of the same rows would differ by those
+    * footer bytes alone, breaking the byte-identity contract.
+    * Catalyst's `KnownNullable` tagging expression is the one wrapper
+    * the optimizer is contractually not allowed to strip (a plain
+    * `when(isNotNull, c)` gets constant-folded right back to
+    * non-null); it is codegen-transparent, so the write plan is
+    * unchanged beyond the schema flag. */
+  private def asNullable(df: DataFrame): DataFrame =
+    df.select(df.columns.map { c =>
+      org.apache.spark.sql.GraftSqlBridge.column(
+        org.apache.spark.sql.catalyst.expressions.KnownNullable(
+          org.apache.spark.sql.GraftSqlBridge.expression(col(c)))).as(c)
+    }.toIndexedSeq: _*)
+
   def writeShards(packed: DataFrame, idCol: String, path: String,
                   seqsPerShard: Long): Unit = {
     require(seqsPerShard >= 1, s"seqsPerShard must be >= 1, got $seqsPerShard")
-    packed
+    asNullable(packed)
       .withColumn("shard_id", (col("seq_id") / seqsPerShard).cast("long"))
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col(idCol))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard_id")
+      .parquet(path)
+  }
+
+  /** Fold a NEW batch into a [[writeShards]] output without touching
+    * shards that cannot change — the incremental half of the shard
+    * writer. Contract: every batch id follows every existing id
+    * (append-only ingest — enforced), so existing rows' prefix sums
+    * are unchanged and the batch packs from the saved corpus's total
+    * token count onward ([[packByBudget]]'s `tokenOffset`). The only
+    * shards whose content changes are the ones the batch lands in —
+    * at most the LAST existing shard (whose final sequence the first
+    * batch doc may join) plus new ones. Those directories are
+    * rewritten via dynamic partition overwrite; every earlier shard
+    * file is left untouched on disk, and the result is byte-identical
+    * to a from-scratch [[writeShards]] of the full corpus
+    * (spec-pinned). Work ∝ batch, not corpus — the q57/q73/q130
+    * incremental contract applied to the physical artifact. */
+  def appendShards(batch: DataFrame, idCol: String, tokenCol: String,
+                   path: String, budget: Long, seqsPerShard: Long): Unit = {
+    require(budget >= 1 && seqsPerShard >= 1,
+      s"budget/seqsPerShard must be >= 1, got $budget/$seqsPerShard")
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    // the files always store the count as n_tokens (packByBudget's
+    // output contract, what writeShards persisted)
+    val old = spark.read.parquet(path)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    val st = old.agg(sum(col("n_tokens")).cast("long"),
+      max(col(idCol)).cast("long")).head()
+    val (oldTokens, maxOldId) = (st.getLong(0), st.getLong(1))
+    val minNew = batch.agg(min(col(idCol)).cast("long")).head().getLong(0)
+    require(minNew > maxOldId,
+      s"appendShards is append-only: batch min id $minNew must follow " +
+        s"existing max id $maxOldId (re-shard from scratch otherwise)")
+    val layout = packByBudget(batch.select(col(idCol), col(tokenCol)),
+      idCol, tokenCol, budget, tokenOffset = oldTokens)
+    val packed = layout
+      .join(batch.drop(tokenCol), Seq(idCol))
+      .withColumn("shard_id", (col("seq_id") / seqsPerShard).cast("long"))
+    val touched = packed.select(col("shard_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    // Materialize the rewrite set (≤ one existing shard + the batch —
+    // bounded by shard size, never the corpus) BEFORE writing: the
+    // dynamic-overwrite job must not scan the very directories it is
+    // replacing.
+    val rewrite = asNullable(old
+        .filter(col("shard_id").isin(touched.toSeq: _*))
+        .unionByName(packed.select(old.columns.map(col).toIndexedSeq: _*)))
+      .localCheckpoint(true)
+    rewrite
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("shard_id")
       .parquet(path)
   }

@@ -55,4 +55,56 @@ object StreamingBpe {
       .outputMode("append")
       .start()
   }
+
+  /** Streaming DECODE sink — the detok half of the deployment loop
+    * (eval dumps, sample inspection, serving): token-ID sequences
+    * land on a stream, the saved vocabulary snapshot loads ONCE
+    * ([[Bpe.loadVocab]] collected driver-side — vocab-sized, and the
+    * artifact is immutable between retrains exactly like the merge
+    * table), and each micro-batch inverts ids → tokens → text with
+    * the q138/q137 semantics: char-mode tokens concatenate with the
+    * ▁ word-boundary symbol restored to spaces; byte-mode tokens
+    * unhex ([[Bpe.decodeBytes]]), specials passing through verbatim
+    * in both. Decoding is deterministic, so replayed micro-batches
+    * are exact duplicates keyed by `idCol` (the shared foreachBatch
+    * contract above). Rows whose id sequence is empty are skipped —
+    * there is nothing to decode.
+    *
+    * Output: (idCol, n_ids, text) appended to `outTable`. */
+  def decodeSink(docs: DataFrame, vocabTable: String, outTable: String,
+                 idCol: String, idsCol: String, checkpointDir: String,
+                 byteLevel: Boolean = false, specials: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val snap = Bpe.loadVocab(docs.sparkSession, vocabTable)
+      .select(col("id").cast("long"), col("token"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          import s.implicits._
+          val vdf = snap.toDF("id", "token")
+          val toks = batch
+            .filter(length(col(idsCol)) > 0)
+            .select(col(idCol),
+              posexplode(split(col(idsCol), ",")).as(Seq("pos", "id")))
+            .select(col(idCol), col("pos"), col("id").cast("long").as("id"))
+            .join(broadcast(vdf), Seq("id"))
+            .groupBy(col(idCol))
+            .agg(count(lit(1)).cast("long").as("n_ids"),
+              transform(
+                array_sort(collect_list(struct(col("pos"), col("token")))),
+                x => x.getField("token")).as("__toks"))
+          val text =
+            if (byteLevel) Bpe.decodeBytes(col("__toks"), specials)
+            else replace(array_join(col("__toks"), ""), lit("▁"), lit(" "))
+          toks.select(col(idCol), col("n_ids"), text.as("text"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .format("parquet").saveAsTable(outTable)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+  }
 }

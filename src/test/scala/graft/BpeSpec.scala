@@ -314,6 +314,46 @@ class BpeSpec extends AnyFunSuite {
       Bucketing.dropManagedTable(spark, t)
   }
 
+  test("streaming decode sink: saved vocab, round-trips the encode sink's ids") {
+    import graft.operators.{Bucketing, Curation}
+    import graft.streaming.StreamingBpe
+    for (t <- Seq("graft_bpe_dec_vocab", "bpe_dec_out"))
+      Bucketing.dropManagedTable(spark, t)
+    val base = java.nio.file.Files.createTempDirectory("bpedec").toString
+    // char-mode corpus with ▁ word-boundary marking (q138 semantics):
+    // encode to ids against the marked vocab, save the vocab, stream
+    // the id sequences through the decode sink, get the text back
+    val rows = Seq((0L, "abab xy ab"), (1L, "b a"), (2L, "abc abc"))
+    val docs = rows.toDF("doc_id", "text")
+    val marked = docs.select($"doc_id", $"text",
+      regexp_replace($"text", " ", " ▁ ").as("mtext"))
+    val merges = Seq(("a", "b"), ("ab", "ab"))
+    val vocab = Bpe.vocabTable(
+        Bpe.wordTable(marked.select($"mtext".as("text")), "text"), merges)
+      .groupBy($"token").agg(min($"id").as("id"))
+    Bpe.saveVocab(spark, "graft_bpe_dec_vocab", vocab)
+    val ids = Curation.tokenizeToIds(
+      marked.select($"doc_id",
+        array_join(TextFunctions.bpeEncode($"mtext", merges), " ").as("text")),
+      "doc_id", "text", vocab)
+    assert(ids.filter($"n_oov" =!= 0L).count() == 0)
+    ids.select($"doc_id", $"ids").write.parquet(s"$base/src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ids",
+        org.apache.spark.sql.types.StringType)))
+    val q = StreamingBpe.decodeSink(
+      spark.readStream.schema(schema).parquet(s"$base/src"),
+      "graft_bpe_dec_vocab", "bpe_dec_out", "doc_id", "ids", s"$base/ckpt")
+    q.processAllAvailable(); q.stop()
+    val decoded = spark.table("bpe_dec_out")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(decoded == rows.toMap) // stream detok == original corpus
+    for (t <- Seq("graft_bpe_dec_vocab", "bpe_dec_out"))
+      Bucketing.dropManagedTable(spark, t)
+  }
+
   test("encode is a zero-exchange codegen projection") {
     val merges = Seq(("a", "b"))
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

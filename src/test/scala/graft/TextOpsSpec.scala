@@ -334,6 +334,54 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().forall(r => r.getLong(0) / 3L == r.getAs[Number](1).longValue()))
   }
 
+  test("appendShards: lands at the from-scratch layout, rewrites only touched shards") {
+    import graft.operators.Packing
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 150).map(i =>
+      (i * 3L + 1, 1L + rng.nextInt(9), s"p-${i * 3L + 1}"))
+    def packedOf(rs: Seq[(Long, Long, String)], offset: Long = 0L) =
+      Packing.packByBudget(rs.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", 25L, tokenOffset = offset)
+        .join(rs.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id"))
+    val base = java.nio.file.Files.createTempDirectory("shinc").toString
+    // reference: the whole corpus written from scratch
+    Packing.writeShards(packedOf(rows), "doc_id", s"$base/full", 3L)
+    // incremental: first 120 docs, then the id-suffix batch appended
+    val (old, batch) = rows.splitAt(120)
+    Packing.writeShards(packedOf(old), "doc_id", s"$base/incr", 3L)
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head).toMap
+    val preMtimes = files(s"$base/incr")
+      .map { case (s, f) => s -> f.lastModified() }
+    Packing.appendShards(
+      batch.map(r => (r._1, r._2, r._3)).toDF("doc_id", "n_tokens", "ids"),
+      "doc_id", "n_tokens", s"$base/incr", 25L, 3L)
+    val (ff, fi) = (files(s"$base/full"), files(s"$base/incr"))
+    assert(ff.keySet == fi.keySet)
+    // byte-identical to from-scratch, shard for shard
+    ff.foreach { case (shard, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fi(shard).toPath)),
+        s"$shard differs from from-scratch")
+    }
+    // untouched shards were not rewritten: same file, same mtime
+    // (only the LAST old shard and the new ones may change)
+    val lastOld = preMtimes.keys.map(_.stripPrefix("shard_id=").toLong).max
+    preMtimes.foreach { case (shard, t) =>
+      if (shard.stripPrefix("shard_id=").toLong < lastOld)
+        assert(fi(shard).lastModified() == t, s"$shard was rewritten")
+    }
+    // append-only contract is enforced, not assumed
+    intercept[IllegalArgumentException] {
+      Packing.appendShards(Seq((old.head._1, 3L, "x"))
+          .toDF("doc_id", "n_tokens", "ids"),
+        "doc_id", "n_tokens", s"$base/incr", 25L, 3L)
+    }
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
