@@ -948,6 +948,54 @@ object Dedup {
     *
     * Output: (idCol, text_clean, tokens_removed), one row per input
     * document. */
+  /** Exact-substring spans AGAINST A REFERENCE SET — the span form of
+    * benchmark decontamination (the GPT-3/PaLM appendix procedure:
+    * training documents lose the verbatim spans they share with an
+    * eval set, instead of being dropped whole the way [[contamination]]
+    * flags them). Input is ONE positioned-n-gram table over
+    * corpus ∪ reference ([[positionedNgrams]] — a deployment keeps it
+    * current anyway, see [[spansIncrementalFromNgrams]]); `isRef`
+    * marks reference rows. The join is reference × corpus only —
+    * corpus×corpus pairs (the dedup problem, [[spansFromNgrams]]) and
+    * reference×reference pairs never materialize, so per-batch cost is
+    * O(reference n-gram hits), with the reference side typically tiny
+    * (an eval suite) next to the corpus.
+    *
+    * The hot-n-gram cap stays a statistic of the FULL table — corpus-
+    * common boilerplate is excluded pre-join exactly as in
+    * [[spansFromNgrams]], with the same broadcast-left-anti shape.
+    *
+    * Output: (ref_id, doc_id, start_ref, start, len) per maximal
+    * shared span, positions 0-based in tokens — feed it to
+    * [[removeSpans]] (doc_b := doc_id) to cut the corpus side. */
+  def spansAgainstReference(ng: DataFrame, idCol: String, isRef: Column,
+                            n: Int = 5, minLen: Int = 8,
+                            maxOccurrences: Int = 50): DataFrame = {
+    require(minLen >= n, s"minLen ($minLen) must be >= n ($n)")
+    val hot = ng.groupBy(col("nh")).agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxOccurrences)
+      .select(col("nh"))
+    val cool = ng.join(broadcast(hot), Seq("nh"), "left_anti")
+      .withColumn("__ref", isRef)
+    val a = cool.filter(col("__ref"))
+      .select(col("nh"), col(idCol).as("ref_id"), col("pos").as("pos_a"))
+    val b = cool.filter(!col("__ref"))
+      .select(col("nh"), col(idCol).as("doc_id"), col("pos").as("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ref_id"), col("doc_id"), col("__delta"))
+      .orderBy(col("pos_a"))
+    a.join(b, Seq("nh"))
+      .withColumn("__delta", col("pos_b") - col("pos_a"))
+      .withColumn("__isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("ref_id"), col("doc_id"), col("__delta"), col("__isl"))
+      .agg(min(col("pos_a")).as("__sa"), count(lit(1)).as("__c"))
+      .filter(col("__c") + (n - 1) >= minLen)
+      .select(col("ref_id"), col("doc_id"),
+        col("__sa").cast("long").as("start_ref"),
+        (col("__sa") + col("__delta")).cast("long").as("start"),
+        (col("__c") + (n - 1)).cast("long").as("len"))
+  }
+
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
                   spans: DataFrame): DataFrame = {
     val cut = spans

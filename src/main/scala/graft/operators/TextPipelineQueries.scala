@@ -799,6 +799,22 @@ object TextPipelineQueries {
     // detect-but-not-act gap in the dedup stack.
     "q124_span_removal" -> ((s, d) =>
       Dedup.removeSpans(augSpanDocs(s, d), "doc_id", "text", spanTab(s, d))),
+    // Span-level benchmark DECONTAMINATION (the GPT-3/PaLM appendix
+    // procedure): corpus documents lose the verbatim spans they share
+    // with the eval set (doc_id < 20, the q46 stand-in) instead of
+    // being dropped whole. Reference×corpus joins only — the eval
+    // side is tiny; corpus×corpus overlap (q124's dedup problem) is
+    // deliberately NOT cut here. Reads the same persisted positioned-
+    // n-gram table as the whole span family.
+    "q142_decontaminate_spans" -> ((s, d) => {
+      val spans = Dedup.spansAgainstReference(spanNgTab(s, d), "doc_id",
+        col("doc_id") < 20)
+      Dedup.removeSpans(augSpanDocs(s, d).filter(col("doc_id") >= 20),
+        "doc_id", "text",
+        spans.select(col("ref_id").as("doc_a"), col("doc_id").as("doc_b"),
+          col("start_ref").as("start_a"), col("start").as("start_b"),
+          col("len")))
+    }),
     // Batch-ingest spans: only pairs with a NEW member (doc_id%5==0
     // plays the arriving batch) — the incremental form the other
     // dedup modalities already have, completing the span family's
@@ -1748,12 +1764,48 @@ object TextPipelineQueries {
         |  CASE WHEN n.doc IS NULL THEN a.text ELSE k.clean END AS text_clean,
         |  coalesce(n.tokens_removed, 0)::BIGINT AS tokens_removed
         |FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
-        |LEFT JOIN kept k ON a.doc_id = k.doc_id""".stripMargin)
+        |LEFT JOIN kept k ON a.doc_id = k.doc_id""".stripMargin,
+    // reference (doc_id < 20) × corpus (>= 20) matches only; the
+    // corpus side loses the union of its ref-shared span positions —
+    // same islands + cut + rebuild algebra as q124, different pairing.
+    "q142_decontaminate_spans" ->
+      s"""WITH $spanBaseCtes,
+        |mx AS (SELECT a.doc_id AS ref_id, b.doc_id AS doc_id,
+        |             a.pos AS pos_a, b.pos AS pos_b
+        |      FROM cool a JOIN cool b USING (nh)
+        |      WHERE a.doc_id < 20 AND b.doc_id >= 20),
+        |rx AS (SELECT ref_id, doc_id, pos_b - pos_a AS delta, pos_a,
+        |      pos_a - row_number() OVER (PARTITION BY ref_id, doc_id, pos_b - pos_a
+        |        ORDER BY pos_a) AS isl FROM mx),
+        |spansx AS (SELECT ref_id, doc_id,
+        |       CAST(min(pos_a) + delta AS BIGINT) AS start_b,
+        |       CAST(count(*) + 4 AS BIGINT) AS len
+        |       FROM rx GROUP BY ref_id, doc_id, delta, isl
+        |       HAVING count(*) + 4 >= 8),
+        |cutp AS (SELECT DISTINCT doc_id AS doc, u.p
+        |  FROM spansx, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
+        |nrem AS (SELECT doc, count(*)::BIGINT AS tokens_removed
+        |  FROM cutp GROUP BY doc),
+        |tk2 AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
+        |  FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)
+        |  WHERE doc_id >= 20),
+        |kept AS (SELECT tk2.doc_id,
+        |    coalesce(string_agg(CASE WHEN c.doc IS NULL THEN t END, ' '
+        |      ORDER BY pos), '') AS clean
+        |  FROM tk2 JOIN nrem ON tk2.doc_id = nrem.doc
+        |  LEFT JOIN cutp c ON tk2.doc_id = c.doc AND tk2.pos = c.p
+        |  GROUP BY tk2.doc_id)
+        |SELECT a.doc_id,
+        |  CASE WHEN n.doc IS NULL THEN a.text ELSE k.clean END AS text_clean,
+        |  coalesce(n.tokens_removed, 0)::BIGINT AS tokens_removed
+        |FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
+        |LEFT JOIN kept k ON a.doc_id = k.doc_id
+        |WHERE a.doc_id >= 20""".stripMargin)
 
-  /** Shared CTE chain for the exact-substring family (q116 spans,
-    * q121 coverage): augmented corpus → positioned n-grams → hot cap
-    * → matches → islands → maximal spans. */
-  private[operators] lazy val spanCtes =
+  /** The corpus → positioned-n-gram → hot-cap prefix of the exact-
+    * substring family's oracle, shared by the self-join (dedup) and
+    * reference-join (decontamination) forms. */
+  private[operators] lazy val spanBaseCtes =
     """aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ||
       |    CASE (doc_id % 3) WHEN 0 THEN ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
       |                      WHEN 1 THEN ' lambda mu nu xi omicron pi rho sigma tau upsilon'
@@ -1764,7 +1816,13 @@ object TextPipelineQueries {
       |       substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS nh
       |       FROM tk, UNNEST(generate_series(1, len(w) - 4)) AS u(i)),
       |cool AS (SELECT * FROM ng WHERE nh NOT IN
-      |         (SELECT nh FROM ng GROUP BY nh HAVING count(*) > 50)),
+      |         (SELECT nh FROM ng GROUP BY nh HAVING count(*) > 50))""".stripMargin
+
+  /** Shared CTE chain for the exact-substring family (q116 spans,
+    * q121 coverage): augmented corpus → positioned n-grams → hot cap
+    * → matches → islands → maximal spans. */
+  private[operators] lazy val spanCtes =
+    s"""$spanBaseCtes,
       |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |             a.pos AS pos_a, b.pos AS pos_b
       |      FROM cool a JOIN cool b USING (nh) WHERE a.doc_id < b.doc_id),

@@ -772,6 +772,46 @@ class TextOpsSpec extends AnyFunSuite {
       "doc_id", "text", n = 5, minLen = 8).count() == 0)
   }
 
+  test("spansAgainstReference: ref×corpus only; corpus-corpus overlap survives") {
+    // ref doc 0 shares `bench` with corpus docs 20/21; corpus docs
+    // 20/22 also share `dup` with EACH OTHER only — decontamination
+    // must cut `bench` from the corpus and leave `dup` alone (that
+    // overlap is q124's dedup problem, not contamination).
+    val bench = "b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    val dup = "d1 d2 d3 d4 d5 d6 d7 d8 d9"
+    val d = Seq(
+      (0L, s"ref head $bench ref tail"),
+      (1L, "other eval doc with its own words entirely here now"),
+      (20L, s"aa $bench zz $dup"),
+      (21L, s"$bench qq rr ss"),
+      (22L, s"xx yy $dup ww"))
+      .toDF("doc_id", "text")
+    val ng = Dedup.positionedNgrams(d, "doc_id", "text", 5)
+    val spans = Dedup.spansAgainstReference(ng, "doc_id", col("doc_id") < 20L)
+    val pairs = spans.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 20L), (0L, 21L))) // no ref-ref, no corpus-corpus
+    val cleaned = Dedup.removeSpans(d.filter(col("doc_id") >= 20L),
+      "doc_id", "text",
+      spans.select(col("ref_id").as("doc_a"), col("doc_id").as("doc_b"),
+        col("start_ref").as("start_a"), col("start").as("start_b"),
+        col("len")))
+    val byId = cleaned.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId.keySet == Set(20L, 21L, 22L)) // ref docs never rewritten
+    assert(byId(20L) == ((s"aa zz $dup", 9L))) // bench cut, dup kept
+    assert(byId(21L) == (("qq rr ss", 9L)))
+    assert(byId(22L) == ((s"xx yy $dup ww", 0L))) // untouched passthrough
+    // shipped guarantee: re-probing the cleaned corpus against the
+    // reference is silent
+    val ng2 = Dedup.positionedNgrams(
+      d.filter(col("doc_id") < 20L).unionAll(
+        cleaned.select(col("doc_id"), col("text_clean").as("text"))),
+      "doc_id", "text", 5)
+    assert(Dedup.spansAgainstReference(ng2, "doc_id",
+      col("doc_id") < 20L).count() == 0)
+  }
+
   test("removeSpans: overlapping cut ranges union, positions counted once") {
     // doc 1 loses [0,6) to doc 0 and [3,9) to a second span: 9
     // distinct positions cut, one survivor token.
