@@ -118,6 +118,24 @@ object BpeQueries {
         size(toks).cast("long").as("n_tokens"),
         array_join(toks, " ").as("toks"))
     }),
+    // Tokenizer fertility — the per-language health metric every
+    // tokenizer review reads (tokens/word, tokens/char): a vocabulary
+    // trained lopsidedly shows immediately as high fertility on the
+    // under-served language. One encode pass, one #langs-sized agg.
+    "q147_tokenizer_fertility" -> ((s, d) => {
+      val nt = size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
+        .cast("long")
+      docs(s, d).select(col("lang"), nt.as("__nt"),
+          size(split(col("text"), " ")).cast("long").as("__nw"),
+          length(col("text")).cast("long").as("__nb"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).cast("long").as("n_tokens"),
+          round(sum(col("__nt")).cast("double") / sum(col("__nw")), 4)
+            .as("tokens_per_word"),
+          round(sum(col("__nt")).cast("double") / sum(col("__nb")), 4)
+            .as("tokens_per_char"))
+    }),
     // q47's packing re-metered in subword tokens — the budget now
     // means what a trainer means by it.
     "q115_bpe_packing" -> ((s, d) =>
@@ -559,6 +577,18 @@ object BpeQueries {
 
   def oracle: Map[String, String] = Map(
     "q113_bpe_merges" -> mergesSql,
+    "q147_tokenizer_fertility" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
+         |j AS (SELECT d.lang, len(e.toks)::BIGINT AS nt,
+         |        len(string_split(d.text, ' '))::BIGINT AS nw,
+         |        len(d.text)::BIGINT AS nb
+         |      FROM documents d JOIN enc e USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(nt)::BIGINT AS n_tokens,
+         |       round(sum(nt)::DOUBLE / sum(nw), 4) AS tokens_per_word,
+         |       round(sum(nt)::DOUBLE / sum(nb), 4) AS tokens_per_char
+         |FROM j GROUP BY lang""".stripMargin,
     "q128_bpe_bytes_merges" ->
       s"""WITH ${trainingCtes(NumMerges, bytesWordSql)}
          |${mergesUnionSql(NumMerges)}""".stripMargin,

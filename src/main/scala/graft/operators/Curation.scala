@@ -807,4 +807,110 @@ object Curation {
       .select(col("id").as("doc_id"), lit("displaced").as("status"))
     newKeep.union(newDrop).union(displaced)
   }
+
+  /** Deterministic epoch shuffle — the training-order permutation a
+    * data loader consumes: for each epoch, every key gets a
+    * pseudorandom-but-reproducible global rank (salted md5 order, the
+    * [[hashFraction]] determinism idiom), so "shuffle each epoch
+    * differently" is a pure function of (key, epoch) with no RNG
+    * state, identical across engines, partitionings and reruns.
+    *
+    * Scale shape: a naive `row_number() OVER (PARTITION BY epoch)`
+    * would sort each epoch's ENTIRE corpus on one reducer. Instead the
+    * rank is two-phase (the [[capPerSourceScalable]] /
+    * [[Packing.packByBudget]] prefix-sum idiom): the leading md5 byte
+    * range-buckets each epoch into 256 uniform buckets (a hash prefix
+    * preserves hash order), per-(epoch, bucket) counts — a tiny
+    * aggregate — prefix-sum into bucket offsets, and the global rank
+    * is offset + local rank within the (epoch, bucket) partition. The
+    * corpus-sized sort is 256-way parallel per epoch; the offset
+    * table (epochs × 256 rows) broadcasts.
+    *
+    * Output: (epoch, ord, idCol) — ord is 1-based and dense within
+    * each epoch. */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int,
+                   salt: String = "ep"): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val keyed = df.select(col(idCol)).distinct()
+      .select(col(idCol),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("__hk", md5(concat_ws("|",
+        col(idCol).cast("string"), lit(salt), col("epoch").cast("string"))))
+      .withColumn("__b", conv(substring(col("__hk"), 1, 2), 16, 10)
+        .cast("long"))
+    val offsets = keyed.groupBy(col("epoch"), col("__b"))
+      .agg(count(lit(1)).as("__cn"))
+      .withColumn("__off", coalesce(sum(col("__cn")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("epoch"))
+          .orderBy(col("__b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("epoch"), col("__b"), col("__off"))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("__b"))
+      .orderBy(col("__hk"), col(idCol))
+    keyed.join(broadcast(offsets), Seq("epoch", "__b"))
+      .select(col("epoch"),
+        (col("__off") + row_number().over(wLocal)).cast("long").as("ord"),
+        col(idCol))
+  }
+
+  /** Token-budget mixture planner — the table a pipeline operator
+    * reads before launching a training run: given a total token
+    * budget and a sampling temperature `alpha` (Raffel et al. 2020 /
+    * multilingual-LM mixing: sample source s with probability
+    * ∝ p_s^alpha, alpha = 1 natural, alpha = 0 uniform), the
+    * per-source epoch factor budget·q_s / tokens_s — how many times
+    * the source is traversed — and its expected token contribution.
+    * The epochs column is exactly what [[mixBySource]] consumes as a
+    * weight to materialize the plan.
+    *
+    * Fully declarative (no driver-side collect, unlike
+    * [[temperatureWeights]]' bounded map): totals are broadcast
+    * one-row aggregates, so the whole plan is one #sources-sized
+    * aggregate plus projections.
+    *
+    * Output: (sourceCol, n_docs, n_tokens, q, epochs, est_tokens),
+    * q = normalized sampling probability rounded 4. */
+  def tokenBudgetPlan(df: DataFrame, textCol: String, sourceCol: String,
+                      budget: Long, alpha: Double): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val src = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " "))).cast("long").as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).cast("double").as("__tot"))
+    val pa = src.crossJoin(broadcast(tot))
+      .withColumn("__pa", pow(col("n_tokens") / col("__tot"), alpha))
+    val z = pa.agg(sum(col("__pa")).as("__z"))
+    pa.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        round(col("__pa") / col("__z"), 4).as("q"),
+        round(lit(budget) * col("__pa") / col("__z") / col("n_tokens"), 4)
+          .as("epochs"),
+        round(lit(budget) * col("__pa") / col("__z"), 0).cast("long")
+          .as("est_tokens"))
+  }
+
+  /** C4-style line filtering (Raffel et al. 2020 §2.2): keep only
+    * lines that end in terminal punctuation, have at least `minWords`
+    * words, and contain no code-ish `{` — the sentence-level cleanup
+    * pass that runs before any document-level gate. Output:
+    * (idCol, clean, n_kept, n_dropped); a document whose every line
+    * fails comes out with empty `clean` (the keep-then-filter shape —
+    * downstream length gates drop it).
+    *
+    * Scale shape: pure per-row projection over the line array
+    * (higher-order `filter`, codegen, no explode, no shuffle). */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 5): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keep = (l: Column) =>
+      size(split(l, " ")) >= minWords && l.rlike("[.!?]$") &&
+        !l.contains("{")
+    val kept = filter(lines, keep)
+    df.select(col(idCol),
+      array_join(kept, "\n").as("clean"),
+      size(kept).cast("long").as("n_kept"),
+      (size(lines) - size(kept)).cast("long").as("n_dropped"))
+  }
 }

@@ -63,6 +63,20 @@ object CurationQueries {
         lit("\n\nrepeated para\n\nclosing "), col("doc_id").cast("string"))
         .as("text"))
 
+  /** C4-rule line injection: the original text line gains terminal
+    * punctuation on even docs only (so the main line's fate varies),
+    * plus one line per failure mode — too short, code-ish brace, no
+    * terminal punctuation — and one clean keeper. */
+  private def withC4Lines(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0, ".").otherwise(""),
+        lit("\nGood injected line one two three four five six."),
+        lit("\nshort one two."),
+        lit("\ncurly { line with plenty of words right here today."),
+        lit("\nno terminal punctuation with plenty of words here"))
+        .as("text"))
+
   /** Mixture weights: source index mod 4 → {0.25, 0.5, 1.0, 2.0} —
     * downsample, half, keep, duplicate. */
   /** The q125-q127 seed set: every third document, labeled
@@ -216,6 +230,23 @@ object CurationQueries {
       Curation.mixBySource(base, "doc_id", "source",
         Curation.temperatureWeights(base, "source", 0.5))
     }),
+    // Deterministic per-epoch training order: the data-loader
+    // permutation as a pure function of (doc, epoch) — salted-md5
+    // global rank via the two-phase bucketed form (a naive
+    // per-epoch window would sort the whole corpus on one reducer).
+    "q145_epoch_shuffle" -> ((s, d) =>
+      Curation.epochShuffle(docs(s, d), "doc_id", epochs = 2)),
+    // Token-budget mixture planner: per-source epoch factors for a
+    // 100k-token run at temperature 0.5 — what the trainer's sampler
+    // is configured with; q88 materializes this kind of plan.
+    "q146_token_budget_mix" -> ((s, d) =>
+      Curation.tokenBudgetPlan(docs(s, d), "text", "source",
+        budget = 100000L, alpha = 0.5)),
+    // C4-style line filtering over injected line structure: terminal
+    // punctuation, >= 5 words, no code-ish brace — the sentence-level
+    // cleanup that runs before any document gate.
+    "q148_c4_line_filter" -> ((s, d) =>
+      Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
     "q52_dedup_corpus" -> ((s, d) =>
       Curation.keepOne(
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
@@ -574,6 +605,49 @@ object CurationQueries {
         |       FROM d JOIN w USING (source))
         |SELECT doc_id, source, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
         |FROM cc WHERE copies > 0""".stripMargin,
+    // the two-phase bucketed rank must equal the plain per-epoch
+    // row_number (the md5 prefix preserves md5 order)
+    "q145_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest(range(2)) AS epoch),
+        |h AS (SELECT epoch, doc_id,
+        |        md5(CAST(doc_id AS VARCHAR) || '|ep|' || CAST(epoch AS VARCHAR)) AS hk
+        |      FROM documents CROSS JOIN e)
+        |SELECT CAST(epoch AS BIGINT) AS epoch,
+        |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, doc_id)
+        |            AS BIGINT) AS ord,
+        |       doc_id
+        |FROM h""".stripMargin,
+    "q146_token_budget_mix" ->
+      """WITH src AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |        sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |      FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_tokens)::DOUBLE AS tot FROM src),
+        |p AS (SELECT src.*, pow(n_tokens / tot, 0.5) AS pa FROM src CROSS JOIN t),
+        |z AS (SELECT sum(pa) AS z FROM p)
+        |SELECT source, n_docs, n_tokens,
+        |       round(pa / z, 4) AS q,
+        |       round(100000 * pa / z / n_tokens, 4) AS epochs,
+        |       CAST(round(100000 * pa / z, 0) AS BIGINT) AS est_tokens
+        |FROM p CROSS JOIN z""".stripMargin,
+    "q148_c4_line_filter" ->
+      """WITH aug AS (SELECT doc_id,
+        |        text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||
+        |        chr(10) || 'Good injected line one two three four five six.' ||
+        |        chr(10) || 'short one two.' ||
+        |        chr(10) || 'curly { line with plenty of words right here today.' ||
+        |        chr(10) || 'no terminal punctuation with plenty of words here'
+        |          AS text
+        |      FROM documents),
+        |f AS (SELECT doc_id, string_split(text, chr(10)) AS lines,
+        |        [l FOR l IN string_split(text, chr(10))
+        |         IF len(string_split(l, ' ')) >= 5
+        |            AND regexp_matches(l, '[.!?]$')
+        |            AND NOT contains(l, '{')] AS kept
+        |      FROM aug)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS clean,
+        |       len(kept)::BIGINT AS n_kept,
+        |       (len(lines) - len(kept))::BIGINT AS n_dropped
+        |FROM f""".stripMargin,
     "q51_mix_sample" ->
       """WITH w AS (SELECT doc_id, source,
         |  CAST(substr(source, 4) AS INT) % 4 AS m,

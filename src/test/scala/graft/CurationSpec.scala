@@ -695,4 +695,78 @@ class CurationSpec extends AnyFunSuite {
     val r = spark.sql("SELECT nfc_normalize('e\u0301') AS n").as[String].head()
     assert(r == "\u00e9")
   }
+
+  // ---- epoch shuffle ----
+
+  test("epochShuffle: dense per-epoch permutation, epochs differ, " +
+    "rank independent of input partitioning") {
+    val ids = (0L until 300L).toDF("doc_id")
+    val out = Curation.epochShuffle(ids, "doc_id", epochs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 900)
+    (0L until 3L).foreach { e =>
+      val ords = out.filter(_._1 == e).map(_._2).sorted
+      assert(ords.sameElements(1L to 300L), s"epoch $e not a dense permutation")
+    }
+    // different epochs order the same keys differently
+    val byEpoch = out.groupBy(_._1)
+      .map { case (e, rs) => e -> rs.sortBy(_._2).map(_._3).toSeq }
+    assert(byEpoch(0L) != byEpoch(1L) && byEpoch(1L) != byEpoch(2L))
+    // two-phase bucketed rank is partitioning-invariant
+    val again = Curation.epochShuffle(ids.repartition(7), "doc_id", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == out.toSet)
+  }
+
+  test("epochShuffle: no single-reducer epoch sort; offsets broadcast") {
+    val plan = Curation.epochShuffle((0L until 50L).toDF("doc_id"),
+      "doc_id", 2).queryExecution.executedPlan.toString
+    // the corpus-sized window partitions by (epoch, bucket), never by
+    // epoch alone \u2014 a lone-epoch partition would be the 1-reducer sort
+    assert(plan.contains("__b"), plan)
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastQueryStage"), plan)
+  }
+
+  // ---- token-budget planner ----
+
+  test("tokenBudgetPlan: alpha=1 reproduces natural epochs=B/total; " +
+    "alpha=0 splits the budget evenly across sources") {
+    val df = Seq(
+      (1L, "a b c d", "big"), (2L, "e f g h", "big"), (3L, "i j", "big"),
+      (4L, "k l", "small"))
+      .toDF("doc_id", "text", "source")
+    val nat = Curation.tokenBudgetPlan(df, "text", "source", 1200L, 1.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(4), r.getLong(5)))).toMap
+    // natural sampling: every source traversed the same number of times
+    assert(nat("big") == ((10L, 100.0, 1000L)))
+    assert(nat("small") == ((2L, 100.0, 200L)))
+    val uni = Curation.tokenBudgetPlan(df, "text", "source", 1200L, 0.0)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    // uniform sampling: equal token contribution per source
+    assert(uni("big") == 600L && uni("small") == 600L)
+  }
+
+  // ---- C4 line filter ----
+
+  test("c4LineFilter: punct/min-words/brace rules; all-fail doc keeps " +
+    "empty clean; plan is exchange-free") {
+    val d = Seq(
+      (1L, "This line has the five words needed.\nshort one.\n" +
+        "brace { line with plenty of words here.\n" +
+        "no terminal punctuation despite many words here\n" +
+        "Ends with a bang indeed it does!"),
+      (2L, "tiny.\nnope"))
+      .toDF("doc_id", "text")
+    val out = Curation.c4LineFilter(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("This line has the five words needed.\n" +
+      "Ends with a bang indeed it does!", 2L, 3L)))
+    assert(out(2L) == (("", 0L, 2L)))
+    val plan = Curation.c4LineFilter(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
