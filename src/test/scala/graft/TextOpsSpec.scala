@@ -382,6 +382,75 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming shard sink: batches land at the from-scratch layout; " +
+    "replayed batch skipped, shard bytes exactly once") {
+    import graft.operators.Packing
+    import graft.streaming.StreamingShards
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 90).map(i =>
+      (i * 2L + 1, 1L + rng.nextInt(9), s"p-${i * 2L + 1}"))
+    val base = java.nio.file.Files.createTempDirectory("shsink").toString
+    // reference: whole corpus written from scratch
+    val ref = Packing.packByBudget(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 25L)
+      .join(rows.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id"))
+    Packing.writeShards(ref, "doc_id", s"$base/full", 3L)
+    // stream the same rows in two ordered batches — ONE file each
+    // (the sink's append-only contract requires in-id-order arrival;
+    // the file source orders same-mtime files by name, so multi-file
+    // writes would interleave)
+    val (b1, b2) = rows.splitAt(60)
+    b1.toDF("doc_id", "n_tokens", "ids").coalesce(1)
+      .write.parquet(s"$base/src")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ids",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamingShards.shardSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+      s"$base/incr", "doc_id", "n_tokens", 25L, 3L, s"$base/ckpt")
+    val q1 = start(); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, q1.exception); q1.stop()
+    b2.toDF("doc_id", "n_tokens", "ids").coalesce(1).write.mode("append")
+      .parquet(s"$base/src")
+    val q2 = start(); q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception); q2.stop()
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head).toMap
+    val (ff, fi) = (files(s"$base/full"), files(s"$base/incr"))
+    assert(ff.keySet == fi.keySet && ff.nonEmpty)
+    ff.foreach { case (shard, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fi(shard).toPath)),
+        s"$shard differs from from-scratch")
+    }
+    // crash drill: wipe commits so the LAST batch replays on restart —
+    // the id watermark must skip it and leave every shard byte alone
+    def prune(dir: String, keep: String => Boolean): Unit =
+      new java.io.File(s"$base/ckpt/$dir").listFiles().toSeq
+        .filterNot(f => keep(f.getName.stripPrefix(".").stripSuffix(".crc")))
+        .foreach(f => assert(f.delete(), f.toString))
+    prune("commits", _ == "0")
+    val pre = files(s"$base/incr")
+      .map { case (s, f) => s -> f.lastModified() }
+    val q3 = start(); q3.processAllAvailable()
+    assert(q3.exception.isEmpty, q3.exception); q3.stop()
+    val post = files(s"$base/incr")
+    assert(post.keySet == ff.keySet)
+    pre.foreach { case (shard, t) =>
+      assert(post(shard).lastModified() == t, s"$shard rewritten on replay")
+    }
+    assert(spark.read.parquet(s"$base/incr").count() == 90)
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
