@@ -316,6 +316,32 @@ object BpeQueries {
       Packing.writeShards(packed, "doc_id", path, seqsPerShard = 4L)
       Packing.shardManifest(s.read.parquet(path), shardRowContent)
     }),
+    // Shard-balance audit — the one-row summary an operator reads
+    // after every re-shard: shard/sequence counts, the token spread
+    // across shards, and the packing fill fraction (how much of the
+    // budget×seqs capacity the layout actually uses). Pure layout
+    // math, no file I/O — the audit runs before committing a write.
+    "q150_shard_balance" -> ((s, d) => {
+      val ids = idsTable(s, d)
+      val layout = Packing.packByBudget(
+        ids.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
+      val perShard = layout
+        .withColumn("shard_id", (col("seq_id") / 4).cast("long"))
+        .groupBy(col("shard_id"))
+        .agg(sum(col("n_tokens")).as("__st"),
+          countDistinct(col("seq_id")).as("__ns"))
+      perShard.agg(
+        count(lit(1)).cast("long").as("n_shards"),
+        sum(col("__ns")).cast("long").as("n_seqs"),
+        sum(col("__st")).cast("long").as("total_tokens"),
+        min(col("__st")).cast("long").as("min_shard_tokens"),
+        max(col("__st")).cast("long").as("max_shard_tokens"))
+        .select(col("n_shards"), col("n_seqs"), col("total_tokens"),
+          col("min_shard_tokens"), col("max_shard_tokens"),
+          round(col("total_tokens") / (col("n_seqs") * lit(PackBudget)), 4)
+            .as("fill_frac"))
+    }),
     // INCREMENTAL shard maintenance: the corpus is sharded from its
     // first 80% of ids, then the remaining batch folds in with
     // appendShards — prefix sums of existing docs can't change under
@@ -549,10 +575,12 @@ object BpeQueries {
     * digest. Shared verbatim by q139 (from-scratch writer) and q144
     * (incremental append) — the append must land at the from-scratch
     * layout. */
-  private lazy val shardManifestSql =
-    s"""WITH ${trainingCtes(NumMerges)},
-       |${vocabCtes(NumMerges)},
-       |vmin AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
+  /** The id-chain → packing-window → seq_id layout CTEs (consumes
+    * trainingCtes + vocabCtes; yields `sh` = one row per doc with its
+    * seq_id), shared by the manifest (q139/q144) and the balance
+    * audit (q150). */
+  private lazy val shardLayoutCtes =
+    s"""vmin AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
        |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),
        |tk2 AS (SELECT doc_id, s.p AS pos, s.t AS token FROM
        |        (SELECT doc_id,
@@ -566,7 +594,12 @@ object BpeQueries {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
        |  FROM idt),
        |sh AS (SELECT doc_id, n_tokens, ids,
-       |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp)
+       |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp)""".stripMargin
+
+  private lazy val shardManifestSql =
+    s"""WITH ${trainingCtes(NumMerges)},
+       |${vocabCtes(NumMerges)},
+       |$shardLayoutCtes
        |SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
        |  CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
@@ -632,6 +665,21 @@ object BpeQueries {
     // layout, so it matches the Spark side ONLY if the written files
     // round-tripped every row of every shard exactly.
     "q139_shard_manifest" -> shardManifestSql,
+    "q150_shard_balance" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |$shardLayoutCtes,
+         |ps AS (SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
+         |         sum(n_tokens)::BIGINT AS st,
+         |         count(DISTINCT seq_id)::BIGINT AS ns
+         |       FROM sh GROUP BY 1)
+         |SELECT count(*)::BIGINT AS n_shards,
+         |       sum(ns)::BIGINT AS n_seqs,
+         |       sum(st)::BIGINT AS total_tokens,
+         |       min(st)::BIGINT AS min_shard_tokens,
+         |       max(st)::BIGINT AS max_shard_tokens,
+         |       round(sum(st)::DOUBLE / (sum(ns) * $PackBudget), 4) AS fill_frac
+         |FROM ps""".stripMargin,
     // the incremental append must land at the from-scratch layout —
     // the invariant oracle applies verbatim
     "q144_shards_incremental" -> shardManifestSql,

@@ -392,6 +392,18 @@ object TextPipelineQueries {
     // "which docs do I drop" artifact of the dedup pipeline.
     "q41_dedup_groups" -> ((s, d) =>
       dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id"))),
+    // Duplicate-cluster size distribution — the first chart of every
+    // dedup postmortem (a heavy tail here means boilerplate or a
+    // mirrored source, not organic duplication). One agg over the
+    // cached CC labels; output is #distinct-sizes rows.
+    "q151_dup_cluster_sizes" -> ((s, d) =>
+      dupGroups(s, d).groupBy(col("keep_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).cast("long")
+            .as("n_docs"))),
     // Pipeline-health dashboard: per-source dedup audit — how many
     // docs, how many sit in a dup group, how many would drop under
     // keep-one, and the drop rate. The query an operator looks at
@@ -822,6 +834,34 @@ object TextPipelineQueries {
     "q130_spans_incremental" -> ((s, d) =>
       Dedup.spansIncrementalFromNgrams(spanNgTab(s, d),
         "doc_id", col("doc_id") % 5 === 0)),
+    // The ANN tuning curve every deployment reads before picking
+    // nprobe: recall@5 of the IVF probe against brute-force truth at
+    // nprobe 1/2/4/10 (10 lists = exact, so the curve provably ends
+    // at 1.0). Index is the SQL-derivable label-mean construction
+    // (the q140/q141 seeding) so the oracle rebuilds it exactly; the
+    // probe joins only the probed lists and the truth join is
+    // top-5-pair semi-join — the whole sweep shares one index build.
+    "q149_ivf_recall_curve" -> ((s, d) => {
+      val e = emb(s, d)
+      val seeds = Similarity.labelCentroids(
+          e.select(col("label").cast("long").as("label"), col("embedding")),
+          "label", "embedding")
+        .orderBy(col("label")).collect().map(_.getSeq[Double](1).toArray)
+      val (c0, indexed) = IvfIndex.buildFrom(e, "embedding", seeds, iters = 0)
+      val q = e.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+        .select(col("q_id"), col("n_id"))
+      Seq(1, 2, 4, 10).map(np =>
+          IvfIndex.topK(indexed, c0, q, "vec_id", "embedding",
+            k = 5, nprobe = np)
+            .select(lit(np.toLong).as("nprobe"), col("q_id"), col("n_id")))
+        .reduce(_ unionAll _)
+        .join(bf, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("nprobe"), col("n_hits"),
+          round(col("n_hits") / lit(50.0), 4).as("recall"))
+    }),
     // The ANN index's OWN drift monitor (q117 watched label profiles;
     // this watches the quantizer): per-list cosine between each saved
     // centroid and the current mean of its assigned list, after a
@@ -1336,6 +1376,23 @@ object TextPipelineQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS keep_id
          |FROM reach GROUP BY a""".stripMargin,
+    "q151_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |           FROM reach GROUP BY a),
+         |g AS (SELECT keep_id, count(*)::BIGINT AS cluster_size
+         |      FROM labels GROUP BY keep_id)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+         |       (cluster_size * count(*))::BIGINT AS n_docs
+         |FROM g GROUP BY cluster_size""".stripMargin,
     // old-only CC (LSH pairs restricted to old docs — band collisions
     // are pairwise, so the restriction IS the old corpus's pair set)
     // vs full CC: keeper transitions computed exactly
@@ -1600,6 +1657,57 @@ object TextPipelineQueries {
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
          |      FROM p)
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    // index = label-mean seeds (rank in label order = list_id),
+    // iters 0; probe ranking on UNROUNDED centroid cosine, candidate
+    // ranking on the rounded cosine with n_id tie-break — the exact
+    // topK semantics the q43 gate already pins at nprobe = all.
+    "q149_ivf_recall_curve" ->
+      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+         |              unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |m AS (SELECT label, pos, avg(x::DOUBLE) AS m FROM ex GROUP BY label, pos),
+         |ctr0 AS (SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label),
+         |ctr AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS list_id,
+         |               centroid FROM ctr0),
+         |da AS (SELECT v.vec_id, c.list_id,
+         |       ${cosSql("v.embedding", "c.centroid")} AS cos
+         |       FROM embeddings v CROSS JOIN ctr c),
+         |asg AS (SELECT vec_id, list_id FROM (
+         |        SELECT vec_id, list_id,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, list_id ASC) AS rk FROM da) WHERE rk = 1),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |       WHERE vec_id < 10),
+         |pr AS (SELECT q_id, c.list_id,
+         |       row_number() OVER (PARTITION BY q_id
+         |         ORDER BY ${cosSql("q_vec", "c.centroid")} DESC, c.list_id ASC)
+         |         AS crk
+         |       FROM qv CROSS JOIN ctr c),
+         |np AS (SELECT unnest([1, 2, 4, 10]) AS nprobe),
+         |cand AS (SELECT np.nprobe, pr.q_id, a.vec_id AS n_id,
+         |        round(${cosSql("q.q_vec", "v.embedding")}, 4) AS cos
+         |        FROM np CROSS JOIN pr
+         |        JOIN asg a ON a.list_id = pr.list_id
+         |        JOIN qv q ON q.q_id = pr.q_id
+         |        JOIN embeddings v ON v.vec_id = a.vec_id
+         |        WHERE pr.crk <= np.nprobe AND a.vec_id <> pr.q_id),
+         |itop AS (SELECT nprobe, q_id, n_id FROM (
+         |        SELECT nprobe, q_id, n_id,
+         |        row_number() OVER (PARTITION BY nprobe, q_id
+         |          ORDER BY cos DESC, n_id ASC) AS rk FROM cand) WHERE rk <= 5),
+         |bp AS (SELECT q.q_id, v.vec_id AS n_id,
+         |       round(${cosSql("q.q_vec", "v.embedding")}, 4) AS cos
+         |       FROM embeddings v CROSS JOIN qv q WHERE q.q_id <> v.vec_id),
+         |bf AS (SELECT q_id, n_id FROM (
+         |       SELECT q_id, n_id,
+         |       row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, n_id ASC) AS rk FROM bp) WHERE rk <= 5)
+         |SELECT CAST(nprobe AS BIGINT) AS nprobe,
+         |       count(*)::BIGINT AS n_hits,
+         |       round(count(*) / 50.0, 4) AS recall
+         |FROM itop JOIN bf USING (q_id, n_id)
+         |GROUP BY nprobe""".stripMargin,
     "q42_embedding_dup_groups" ->
       s"""WITH RECURSIVE wb AS (SELECT vec_id, embedding,
          |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END ||
