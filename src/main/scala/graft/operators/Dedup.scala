@@ -996,6 +996,46 @@ object Dedup {
         (col("__c") + (n - 1)).cast("long").as("len"))
   }
 
+  /** Longest repeated substring WITHIN each document, in tokens —
+    * the model-generation-loop signal ([[duplicatedNgramFraction]]
+    * measures how MUCH of a doc repeats; this measures the longest
+    * single loop, which is what distinguishes a templated page from
+    * a decoder stuck repeating a paragraph). Same islands algebra as
+    * [[spansFromNgrams]], but the n-gram self-join is constrained to
+    * the SAME document (pos_a < pos_b), so the join key is
+    * (doc, nh) — per-document fanout only, and the per-doc hot cap
+    * bounds a token repeated hundreds of times within one document
+    * (the degenerate "aaaa…" doc) before the quadratic pairing.
+    *
+    * Output: (idCol, longest_repeat) — 0 for documents with no
+    * ≥ n-token internal repeat. */
+  def longestIntraRepeat(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5, maxOccurrences: Int = 50): DataFrame = {
+    val ng = positionedNgrams(df, idCol, textCol, n)
+    val hot = ng.groupBy(col(idCol), col("nh"))
+      .agg(count(lit(1)).as("__cn"))
+      .filter(col("__cn") > maxOccurrences)
+      .select(col(idCol), col("nh"))
+    val cool = ng.join(broadcast(hot), Seq(idCol, "nh"), "left_anti")
+    val m = cool.select(col(idCol), col("nh"), col("pos").as("pos_a"))
+      .join(cool.select(col(idCol), col("nh"), col("pos").as("pos_b")),
+        Seq(idCol, "nh"))
+      .filter(col("pos_a") < col("pos_b"))
+      .withColumn("__delta", col("pos_b") - col("pos_a"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("__delta")).orderBy(col("pos_a"))
+    val per = m
+      .withColumn("__isl", col("pos_a") - row_number().over(w))
+      .groupBy(col(idCol), col("__delta"), col("__isl"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c") + (n - 1)).cast("long").as("__lr"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__lr"), lit(0L)).as("longest_repeat"))
+  }
+
   def removeSpans(df: DataFrame, idCol: String, textCol: String,
                   spans: DataFrame): DataFrame = {
     val cut = spans

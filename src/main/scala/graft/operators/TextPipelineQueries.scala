@@ -392,6 +392,21 @@ object TextPipelineQueries {
     // "which docs do I drop" artifact of the dedup pipeline.
     "q41_dedup_groups" -> ((s, d) =>
       dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id"))),
+    // Longest internal repeat per document — the decoder-stuck-in-a-
+    // loop signal (q76 measures how much repeats; this measures the
+    // longest single loop). Injected 6- and 9-token repeats on two
+    // doc strata exercise both island lengths; the rest report their
+    // natural (usually zero) repeats.
+    "q152_longest_intra_repeat" -> ((s, d) => {
+      val aug = docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 1,
+            " r1 r2 r3 r4 r5 r6 mid r1 r2 r3 r4 r5 r6")
+            .when(col("doc_id") % 4 === 3,
+              " s1 s2 s3 s4 s5 s6 s7 s8 s9 mid s1 s2 s3 s4 s5 s6 s7 s8 s9")
+            .otherwise("")).as("text"))
+      Dedup.longestIntraRepeat(aug, "doc_id", "text")
+    }),
     // Duplicate-cluster size distribution — the first chart of every
     // dedup postmortem (a heavy tail here means boilerplate or a
     // mirrored source, not organic duplication). One agg over the
@@ -827,6 +842,20 @@ object TextPipelineQueries {
           col("start_ref").as("start_a"), col("start").as("start_b"),
           col("len")))
     }),
+    // Per-benchmark-doc leak report — the forensics view of q142's
+    // detection: for each eval doc, how many corpus docs share a
+    // verbatim span with it and how many tokens leak. The table an
+    // eval owner reads to decide which benchmark items to RETIRE
+    // (decontaminating the corpus can't fix an eval answer that's
+    // already memorized in N places).
+    "q153_contamination_report" -> ((s, d) =>
+      Dedup.spansAgainstReference(spanNgTab(s, d), "doc_id",
+          col("doc_id") < 20)
+        .groupBy(col("ref_id"))
+        .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+          count(lit(1)).cast("long").as("n_spans"),
+          sum(col("len")).cast("long").as("leaked_tokens"),
+          max(col("len")).cast("long").as("max_span"))),
     // Batch-ingest spans: only pairs with a NEW member (doc_id%5==0
     // plays the arriving batch) — the incremental form the other
     // dedup modalities already have, completing the span family's
@@ -1376,6 +1405,33 @@ object TextPipelineQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS keep_id
          |FROM reach GROUP BY a""".stripMargin,
+    // same islands algebra as the span family, self-join constrained
+    // to the same document; per-doc hot cap mirrors the operator
+    "q152_longest_intra_repeat" ->
+      """WITH a2 AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ' r1 r2 r3 r4 r5 r6 mid r1 r2 r3 r4 r5 r6'
+        |         WHEN doc_id % 4 = 3 THEN ' s1 s2 s3 s4 s5 s6 s7 s8 s9 mid s1 s2 s3 s4 s5 s6 s7 s8 s9'
+        |         ELSE '' END AS text FROM documents),
+        |tkq AS (SELECT doc_id, string_split(text, ' ') AS w FROM a2),
+        |ngq AS (SELECT doc_id, i - 1 AS pos,
+        |        substr(md5(array_to_string(w[i:i+4], ' ')), 1, 16) AS nh
+        |        FROM tkq, UNNEST(generate_series(1, len(w) - 4)) AS u(i)),
+        |hotq AS (SELECT doc_id, nh FROM ngq GROUP BY doc_id, nh
+        |         HAVING count(*) > 50),
+        |coolq AS (SELECT n.* FROM ngq n ANTI JOIN hotq h
+        |          ON n.doc_id = h.doc_id AND n.nh = h.nh),
+        |mq AS (SELECT a.doc_id, a.pos AS pos_a, b.pos - a.pos AS delta
+        |       FROM coolq a JOIN coolq b
+        |         ON a.doc_id = b.doc_id AND a.nh = b.nh AND a.pos < b.pos),
+        |rq AS (SELECT doc_id, delta, pos_a,
+        |       pos_a - row_number() OVER (PARTITION BY doc_id, delta
+        |         ORDER BY pos_a) AS isl FROM mq),
+        |runs AS (SELECT doc_id, count(*) + 4 AS len
+        |         FROM rq GROUP BY doc_id, delta, isl),
+        |per AS (SELECT doc_id, CAST(max(len) AS BIGINT) AS lr
+        |        FROM runs GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(per.lr, 0)::BIGINT AS longest_repeat
+        |FROM a2 d LEFT JOIN per USING (doc_id)""".stripMargin,
     "q151_dup_cluster_sizes" ->
       s"""WITH RECURSIVE $shCte,
          |$mhCte,
@@ -1876,20 +1932,17 @@ object TextPipelineQueries {
     // reference (doc_id < 20) × corpus (>= 20) matches only; the
     // corpus side loses the union of its ref-shared span positions —
     // same islands + cut + rebuild algebra as q124, different pairing.
+    "q153_contamination_report" ->
+      s"""WITH $spanBaseCtes,
+        |$refSpanCtes
+        |SELECT ref_id, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |       count(*)::BIGINT AS n_spans,
+        |       sum(len)::BIGINT AS leaked_tokens,
+        |       max(len)::BIGINT AS max_span
+        |FROM spansx GROUP BY ref_id""".stripMargin,
     "q142_decontaminate_spans" ->
       s"""WITH $spanBaseCtes,
-        |mx AS (SELECT a.doc_id AS ref_id, b.doc_id AS doc_id,
-        |             a.pos AS pos_a, b.pos AS pos_b
-        |      FROM cool a JOIN cool b USING (nh)
-        |      WHERE a.doc_id < 20 AND b.doc_id >= 20),
-        |rx AS (SELECT ref_id, doc_id, pos_b - pos_a AS delta, pos_a,
-        |      pos_a - row_number() OVER (PARTITION BY ref_id, doc_id, pos_b - pos_a
-        |        ORDER BY pos_a) AS isl FROM mx),
-        |spansx AS (SELECT ref_id, doc_id,
-        |       CAST(min(pos_a) + delta AS BIGINT) AS start_b,
-        |       CAST(count(*) + 4 AS BIGINT) AS len
-        |       FROM rx GROUP BY ref_id, doc_id, delta, isl
-        |       HAVING count(*) + 4 >= 8),
+        |$refSpanCtes,
         |cutp AS (SELECT DISTINCT doc_id AS doc, u.p
         |  FROM spansx, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
         |nrem AS (SELECT doc, count(*)::BIGINT AS tokens_removed
@@ -1909,6 +1962,24 @@ object TextPipelineQueries {
         |FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
         |LEFT JOIN kept k ON a.doc_id = k.doc_id
         |WHERE a.doc_id >= 20""".stripMargin)
+
+  /** The reference (doc_id < 20) × corpus (≥ 20) span CTEs — q142's
+    * decontamination pairing (consumes `cool` from [[spanBaseCtes]];
+    * yields `spansx`), shared with the q153 per-benchmark-doc leak
+    * report. */
+  private[operators] lazy val refSpanCtes =
+    """mx AS (SELECT a.doc_id AS ref_id, b.doc_id AS doc_id,
+      |             a.pos AS pos_a, b.pos AS pos_b
+      |      FROM cool a JOIN cool b USING (nh)
+      |      WHERE a.doc_id < 20 AND b.doc_id >= 20),
+      |rx AS (SELECT ref_id, doc_id, pos_b - pos_a AS delta, pos_a,
+      |      pos_a - row_number() OVER (PARTITION BY ref_id, doc_id, pos_b - pos_a
+      |        ORDER BY pos_a) AS isl FROM mx),
+      |spansx AS (SELECT ref_id, doc_id,
+      |       CAST(min(pos_a) + delta AS BIGINT) AS start_b,
+      |       CAST(count(*) + 4 AS BIGINT) AS len
+      |       FROM rx GROUP BY ref_id, doc_id, delta, isl
+      |       HAVING count(*) + 4 >= 8)""".stripMargin
 
   /** The corpus → positioned-n-gram → hot-cap prefix of the exact-
     * substring family's oracle, shared by the self-join (dedup) and

@@ -881,6 +881,22 @@ class TextOpsSpec extends AnyFunSuite {
       col("doc_id") < 20L).count() == 0)
   }
 
+  test("longestIntraRepeat: loop length found; hot cap kills the degenerate doc") {
+    val loop = "l1 l2 l3 l4 l5 l6 l7"
+    val d = Seq(
+      (0L, s"head $loop middle bit $loop tail words here"),
+      (1L, "no internal repetition in this document at all today ok"),
+      (2L, Seq.fill(80)("a").mkString(" "))) // degenerate: one token x80
+      .toDF("doc_id", "text")
+    val out = Dedup.longestIntraRepeat(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 7L) // the injected 7-token loop
+    assert(out(1L) == 0L)
+    // the single 5-gram of doc 2 occurs 76 times > cap: excluded
+    // BEFORE the quadratic within-doc pairing — reported 0, by design
+    assert(out(2L) == 0L)
+  }
+
   test("removeSpans: overlapping cut ranges union, positions counted once") {
     // doc 1 loses [0,6) to doc 0 and [3,9) to a second span: 9
     // distinct positions cut, one survivor token.
