@@ -392,6 +392,26 @@ object TextPipelineQueries {
     // "which docs do I drop" artifact of the dedup pipeline.
     "q41_dedup_groups" -> ((s, d) =>
       dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id"))),
+    // Vocabulary-growth (Heaps-law) curve: cumulative distinct
+    // 3-grams after each tenth of the corpus (by doc id) — the
+    // saturation chart that tells an ingest owner whether new data
+    // still brings new content or just re-crawls. One first-seen agg
+    // over the cached shingle table; deciles assigned by exact
+    // integer ceil-division (no 10x row blowup — the per-bucket
+    // counts cumulate over a 10-row broadcast).
+    "q154_vocab_growth" -> ((s, d) => {
+      val mx = docs(s, d).agg(max(col("doc_id")).cast("long").as("__mx"))
+      val per = shingleTab(s, d)
+        .groupBy(col("md5_0")).agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(mx))
+        .select(greatest(lit(1L),
+          expr("div(first_doc * 10 + __mx - 1, __mx)")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("__c"))
+      s.range(1, 11).select(col("id").as("decile"))
+        .join(broadcast(per), col("b") <= col("decile"))
+        .groupBy(col("decile"))
+        .agg(sum(col("__c")).cast("long").as("n_shingles"))
+    }),
     // Longest internal repeat per document — the decoder-stuck-in-a-
     // loop signal (q76 measures how much repeats; this measures the
     // longest single loop). Injected 6- and 9-token repeats on two
@@ -1405,6 +1425,21 @@ object TextPipelineQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS keep_id
          |FROM reach GROUP BY a""".stripMargin,
+    // shingle identity = the md5('0|'...) hash both engines share;
+    // decile by integer ceil-division, cumulated over the bucket rows
+    "q154_vocab_growth" ->
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, md5('0|' || shingle) AS h FROM sh),
+         |fs AS (SELECT h, min(doc_id) AS first_doc FROM hs GROUP BY h),
+         |mx AS (SELECT max(doc_id)::BIGINT AS m FROM documents),
+         |per AS (SELECT greatest(1, (first_doc * 10 + m - 1) // m) AS b,
+         |               count(*)::BIGINT AS c
+         |        FROM fs CROSS JOIN mx GROUP BY 1),
+         |dec AS (SELECT unnest(range(1, 11)) AS decile)
+         |SELECT CAST(decile AS BIGINT) AS decile,
+         |       sum(c)::BIGINT AS n_shingles
+         |FROM dec JOIN per ON per.b <= dec.decile
+         |GROUP BY decile""".stripMargin,
     // same islands algebra as the span family, self-join constrained
     // to the same document; per-doc hot cap mirrors the operator
     "q152_longest_intra_repeat" ->
