@@ -83,17 +83,24 @@ object BpeQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** q133's per-document token-id table (doc_id, n_tokens, ids) —
-    * the shard writer's payload, shared by q139/q144. */
-  private def idsTable(s: SparkSession, d: String) = {
-    val m = merges(s, d)
-    val bpeText = docs(s, d).select(col("doc_id"),
-      array_join(TextFunctions.bpeEncode(col("text"), m), " ").as("text"))
-    val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
-      .groupBy(col("token")).agg(min(col("id")).as("id"))
-    Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
-      .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
-        col("ids"))
-  }
+    * the shard writer's payload, shared by q139/q144/q150 (and
+    * q143's sibling chain). Materialized ONCE per (session, dir): a
+    * real pipeline persists the encoded-id corpus before sharding —
+    * the pack/write/audit family drives several actions, each of
+    * which would otherwise re-run the whole encode→vocab→ids chain
+    * (the [[v4Corpus]] argument applied to the id artifact). */
+  private def idsTable(s: SparkSession, d: String): DataFrame =
+    v4Cache.getOrElseUpdate((sessionKey(s), d + "#ids"), {
+      val m = merges(s, d)
+      val bpeText = docs(s, d).select(col("doc_id"),
+        array_join(TextFunctions.bpeEncode(col("text"), m), " ").as("text"))
+      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          col("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** The digest input rendering shared by the shard-manifest rows and
     * both engines: every payload field of the row, pipe-joined. */
