@@ -891,6 +891,56 @@ object Curation {
           .as("est_tokens"))
   }
 
+  /** Jensen–Shannon divergence between the hashed-token distributions
+    * of two corpus slices (old vs `isNew`) — the domain-shift monitor
+    * an ingest owner reads after every batch: JS ≈ 0 means the new
+    * data speaks the corpus's language; a jump means a new domain (or
+    * a scraper gone wrong) arrived. Features are the [[hashedFeatures]]
+    * md5 buckets, so the distribution is `dim`-dimensional regardless
+    * of vocabulary size.
+    *
+    * Determinism: each bucket's JS contribution is quantized to a
+    * 1e-6 fixed-point integer BEFORE summing (the [[nbTrain]] idiom),
+    * so the cross-partition sum is exact integer arithmetic — no
+    * float-addition-order sensitivity — and the expression tree
+    * (0.5·p·ln(p/m), left to right) matches the oracle's shape
+    * operation for operation.
+    *
+    * Scale shape: one token-explode pass folded map-side into dim
+    * rows; everything after is arithmetic over the tiny bucket table
+    * with broadcast one-row totals.
+    *
+    * Output: one row (n_old, n_new, js). */
+  def tokenJsDivergence(df: DataFrame, textCol: String, isNew: Column,
+                        dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val counts = df
+      .select(explode(split(col(textCol), " ")).as("token"),
+        isNew.cast("int").as("__nw"))
+      .select(
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim)
+          .as("bucket"), col("__nw"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__nw") === 0, 1L).otherwise(0L)).as("c_old"),
+        sum(col("__nw").cast("long")).as("c_new"))
+    val tot = counts.agg(sum(col("c_old")).cast("double").as("t_old"),
+      sum(col("c_new")).cast("double").as("t_new"))
+    val p = col("c_old") / col("t_old")
+    val q = col("c_new") / col("t_new")
+    val m = (col("c_old") / col("t_old") + col("c_new") / col("t_new")) / 2
+    counts.crossJoin(broadcast(tot))
+      .select(col("t_old"), col("t_new"),
+        round(lit(1000000) * (
+          when(col("c_old") > 0, lit(0.5) * p * log(p / m)).otherwise(0.0) +
+          when(col("c_new") > 0, lit(0.5) * q * log(q / m)).otherwise(0.0)))
+          .cast("long").as("__term"))
+      .groupBy(col("t_old"), col("t_new"))
+      .agg(sum(col("__term")).as("__js"))
+      .select(col("t_old").cast("long").as("n_old"),
+        col("t_new").cast("long").as("n_new"),
+        round(col("__js") / 1000000.0, 4).as("js"))
+  }
+
   /** C4-style line filtering (Raffel et al. 2020 §2.2): keep only
     * lines that end in terminal punctuation, have at least `minWords`
     * words, and contain no code-ish `{` — the sentence-level cleanup

@@ -21,6 +21,14 @@ object CurationQueries {
   private def docs(s: SparkSession, d: String) = t(s, d, "documents")
   private def emb(s: SparkSession, d: String) = t(s, d, "embeddings")
 
+  /** Index-order double cosine, the oracle twin of
+    * [[graft.functions.VectorFunctions.cosine]] (same shape as
+    * TextPipelineQueries' cosSql). */
+  private def embCosSql(a: String, b: String) =
+    s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a)+1)]) /
+       | (sqrt(list_sum([$a[i]::DOUBLE * $a[i]::DOUBLE for i in range(1, len($a)+1)])) *
+       |  sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($b)+1)]))))""".stripMargin
+
   /** Deterministic PII injection: unique email, US-style phone, IPv4,
     * and a ≥9-digit id per document, all derived from `doc_id`. */
   private def withPii(df: DataFrame): DataFrame =
@@ -247,6 +255,30 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // Embedding-space mislabel detector: each vector's cosine to ITS
+    // label's centroid, z-scored against that label's own
+    // distribution — a vector far below its class baseline is a
+    // labeling error or an off-domain sample. Centroids broadcast;
+    // the z stats are one #labels-sized agg.
+    "q155_embedding_outliers" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"), col("embedding"))
+      val cents = Similarity.labelCentroids(e, "label", "embedding")
+      val scored = e.join(broadcast(cents), Seq("label"))
+        .select(col("label"), col("vec_id"),
+          (round(graft.functions.VectorFunctions.cosine(
+            col("embedding").cast("array<double>"), col("centroid")), 4)
+            + lit(0.0)).as("cos"))
+      Curation.zScoreGatePerKey(scored, "label", "vec_id", "cos",
+        maxAbsZ = 2.0)
+    }),
+    // Domain-shift monitor: JS divergence between the hashed-token
+    // distributions of the standing corpus and the arriving batch
+    // (doc_id % 5 == 0 plays the batch) — near 0 when the batch
+    // speaks the corpus's language.
+    "q156_token_shift_js" -> ((s, d) =>
+      Curation.tokenJsDivergence(docs(s, d), "text",
+        col("doc_id") % 5 === 0, 64)),
     "q52_dedup_corpus" -> ((s, d) =>
       Curation.keepOne(
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
@@ -629,6 +661,48 @@ object CurationQueries {
         |       round(100000 * pa / z / n_tokens, 4) AS epochs,
         |       CAST(round(100000 * pa / z, 0) AS BIGINT) AS est_tokens
         |FROM p CROSS JOIN z""".stripMargin,
+    // centroid = per-(label, dim) avg; cos rounded to 4 BEFORE the z
+    // stats so both engines z-score identical inputs (q96's idiom)
+    "q155_embedding_outliers" ->
+      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+         |              unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |m AS (SELECT label, pos, avg(x::DOUBLE) AS m FROM ex GROUP BY label, pos),
+         |c AS (SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label),
+         |sc AS (SELECT CAST(v.label AS BIGINT) AS label, v.vec_id,
+         |         round(${embCosSql("v.embedding", "c.centroid")}, 4) + 0.0 AS cos
+         |       FROM embeddings v JOIN c ON CAST(v.label AS BIGINT) = c.label),
+         |st AS (SELECT label, avg(cos) AS mu, stddev_samp(cos) AS sd
+         |       FROM sc GROUP BY label)
+         |SELECT sc.label, sc.vec_id, sc.cos,
+         |       round((sc.cos - st.mu) / st.sd, 4) + 0.0 AS z,
+         |       (abs(round((sc.cos - st.mu) / st.sd, 4) + 0.0) <= 2.0) AS pass
+         |FROM sc JOIN st USING (label)""".stripMargin,
+    // per-bucket JS contribution quantized to 1e-6 fixed point BEFORE
+    // the sum (exact integer addition; the nbTrain idiom); expression
+    // tree mirrors the operator left to right
+    "q156_token_shift_js" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token,
+        |              CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS nw
+        |            FROM documents),
+        |bc AS (SELECT CAST(('0x' || substr(md5(token), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+        |         sum(CASE WHEN nw = 0 THEN 1 ELSE 0 END)::BIGINT AS c_old,
+        |         sum(nw)::BIGINT AS c_new
+        |       FROM tk GROUP BY bucket),
+        |t AS (SELECT sum(c_old)::DOUBLE AS t_old, sum(c_new)::DOUBLE AS t_new FROM bc),
+        |terms AS (SELECT t_old, t_new,
+        |    CAST(round(1000000 * (
+        |      (CASE WHEN c_old > 0 THEN 0.5 * (c_old / t_old) *
+        |         ln((c_old / t_old) / (((c_old / t_old) + (c_new / t_new)) / 2))
+        |       ELSE 0.0 END) +
+        |      (CASE WHEN c_new > 0 THEN 0.5 * (c_new / t_new) *
+        |         ln((c_new / t_new) / (((c_old / t_old) + (c_new / t_new)) / 2))
+        |       ELSE 0.0 END))) AS BIGINT) AS term
+        |  FROM bc CROSS JOIN t)
+        |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
+        |       round(sum(term) / 1000000.0, 4) AS js
+        |FROM terms GROUP BY t_old, t_new""".stripMargin,
     "q148_c4_line_filter" ->
       """WITH aug AS (SELECT doc_id,
         |        text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||
