@@ -621,6 +621,33 @@ object TextPipelineQueries {
       Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
         queries, "q_id", "q_text", k = 10)
     }),
+    // Passage-level retrieval with max-passage doc aggregation — the
+    // RAG shape: long docs chunk into q75's windows, BM25 ranks the
+    // CHUNKS (length normalization now means passage length, so one
+    // relevant paragraph in a long doc isn't drowned), and each doc
+    // scores as its best chunk. Chunk ids pack as doc*1000+idx; the
+    // top-50 chunk cut is part of the contract (mirrored in the
+    // oracle), then docs re-rank at 10.
+    "q157_chunk_retrieval" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      val ch = Curation.chunkDocs(docs(s, d), "doc_id", "text", 16, 8)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk_text"))
+      val top = Retrieval.bm25TopK(ch, "chunk_id", "chunk_text",
+        queries, "q_id", "q_text", k = 50)
+      val ds = top
+        .select(col("q_id"), expr("div(doc_id, 1000)").as("doc_id"),
+          col("score"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(max(col("score")).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+      ds.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 10)
+    }),
     // The eval harness closed over retrieval: precision/recall/MRR@10
     // of the q81 ranking against conjunctive (all-terms-present)
     // judgments — rank-and-count arithmetic, exact on both engines.
@@ -1012,6 +1039,44 @@ object TextPipelineQueries {
   private val bm25Sql =
     s"""$bm25Ctes
        |SELECT q_id, doc_id, score, rk FROM r WHERE rk <= 10""".stripMargin
+
+  /** q157: the bm25 chain re-based onto q75's chunk windows, top-50
+    * chunk cut, then max-passage doc aggregation re-ranked at 10. */
+  private val chunkBm25Sql =
+    """WITH toksd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |cw AS (SELECT doc_id, unnest(range(0, greatest(len(w), 1), 8)) AS start, w
+      |       FROM toksd),
+      |ch AS (SELECT doc_id * 1000 + start // 8 AS cid,
+      |         array_to_string(list_slice(w, start + 1, start + 16), ' ') AS ctext
+      |       FROM cw),
+      |toks AS (SELECT cid, string_split(ctext, ' ') AS w FROM ch),
+      |dl AS (SELECT cid, CAST(len(w) AS DOUBLE) AS dl FROM toks),
+      |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+      |postings AS (SELECT cid, unnest(w) AS term FROM toks),
+      |tfc AS (SELECT cid, term, CAST(count(*) AS DOUBLE) AS tf
+      |        FROM postings GROUP BY cid, term),
+      |q AS (SELECT * FROM (VALUES (0, 'spark join'), (1, 'data merge sort'),
+      |                            (2, 'the slow query')) t(q_id, q_text)),
+      |qt AS (SELECT DISTINCT q_id, unnest(string_split(q_text, ' ')) AS term FROM q),
+      |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfc
+      |        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |sc AS (SELECT qt.q_id, tfc.cid,
+      |         round(sum(ln((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1) *
+      |           (tfc.tf * 2.2) /
+      |           (tfc.tf + 1.2 * (0.25 + (0.75 * dl.dl) / stats.avgdl))), 4) AS score
+      |       FROM qt JOIN tfc USING (term) JOIN dfq USING (term)
+      |            JOIN dl ON tfc.cid = dl.cid CROSS JOIN stats
+      |       GROUP BY qt.q_id, tfc.cid),
+      |r AS (SELECT q_id, cid, score,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY score DESC, cid ASC) AS crk FROM sc),
+      |ds AS (SELECT q_id, cid // 1000 AS doc_id, max(score) AS score
+      |       FROM r WHERE crk <= 50 GROUP BY 1, 2)
+      |SELECT q_id, doc_id, score, rk FROM (
+      |  SELECT q_id, doc_id, score,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rk
+      |  FROM ds) WHERE rk <= 10""".stripMargin
 
   /** PQ ADC CTEs shared by q79/q80/q87: md5-rank seed codebook,
     * per-subspace argmin codes, per-query LUT, and the ADC distance
@@ -1667,6 +1732,7 @@ object TextPipelineQueries {
          |      FROM f)
          |SELECT q_id, doc_id, rrf, rk FROM r WHERE rk <= 10""".stripMargin,
     "q81_bm25_topk" -> bm25Sql,
+    "q157_chunk_retrieval" -> chunkBm25Sql,
     "q111_retrieval_eval" ->
       s"""$bm25Ctes,
          |nq AS (SELECT q_id, count(*) AS n_terms FROM qt GROUP BY q_id),
