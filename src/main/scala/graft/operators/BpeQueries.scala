@@ -349,6 +349,19 @@ object BpeQueries {
           round(col("total_tokens") / (col("n_seqs") * lit(PackBudget)), 4)
             .as("fill_frac"))
     }),
+    // The data-loader's read plan: a deterministic per-epoch
+    // permutation of the PACKED SEQUENCES with their shard homes —
+    // what a trainer's loader actually consumes (q145's shuffle
+    // applied to the physical layout instead of raw docs). Composes
+    // the cached id table's layout with the two-phase bucketed rank.
+    "q158_epoch_read_order" -> ((s, d) => {
+      val layout = Packing.packByBudget(
+        idsTable(s, d).select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
+      Curation.epochShuffle(layout.select(col("seq_id")).distinct(),
+          "seq_id", epochs = 2, salt = "ro")
+        .withColumn("shard_id", (col("seq_id") / 4).cast("long"))
+    }),
     // INCREMENTAL shard maintenance: the corpus is sharded from its
     // first 80% of ids, then the remaining batch folds in with
     // appendShards — prefix sums of existing docs can't change under
@@ -672,6 +685,21 @@ object BpeQueries {
     // layout, so it matches the Spark side ONLY if the written files
     // round-tripped every row of every shard exactly.
     "q139_shard_manifest" -> shardManifestSql,
+    "q158_epoch_read_order" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |$shardLayoutCtes,
+         |sq AS (SELECT DISTINCT seq_id FROM sh),
+         |e AS (SELECT unnest(range(2)) AS epoch),
+         |h AS (SELECT epoch, seq_id,
+         |        md5(CAST(seq_id AS VARCHAR) || '|ro|' || CAST(epoch AS VARCHAR)) AS hk
+         |      FROM sq CROSS JOIN e)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, seq_id)
+         |            AS BIGINT) AS ord,
+         |       seq_id,
+         |       CAST(seq_id // 4 AS BIGINT) AS shard_id
+         |FROM h""".stripMargin,
     "q150_shard_balance" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |${vocabCtes(NumMerges)},
