@@ -326,6 +326,32 @@ class CurationSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("c4LineFilter + redactPii run unchanged on a stream (stream == batch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (0L, "Good line one two three four five.\nshort.\nmail a@b.co today ok fine."),
+      (1L, "curly { words words words words words.\nAnother keeper line right here."))
+    val mem = MemoryStream[(Long, String)]
+    def clean(df: org.apache.spark.sql.DataFrame) =
+      Curation.c4LineFilter(df, "doc_id", "text")
+        .select($"doc_id", Curation.redactPii($"clean").as("clean"),
+          $"n_kept", $"n_dropped")
+    val q = clean(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("c4_clean_out").start()
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, q.exception)
+    val streamed = spark.table("c4_clean_out")
+      .as[(Long, String, Long, Long)].collect().toSet
+    q.stop()
+    val batch = clean(docs.toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.find(_._1 == 0L).get._2.contains("<EMAIL>")) // PII scrubbed
+  }
+
   // ---- hashed features ----
 
   test("hashedFeatures: buckets in range, counts conserve tokens, same token same bucket") {
