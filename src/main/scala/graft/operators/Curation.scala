@@ -923,6 +923,37 @@ object Curation {
       .groupBy(col("bucket"))
       .agg(sum(when(col("__nw") === 0, 1L).otherwise(0L)).as("c_old"),
         sum(col("__nw").cast("long")).as("c_new"))
+    jsTail(counts)
+  }
+
+  /** The hashed-bucket token profile of a corpus slice: (bucket, cnt),
+    * `dim` rows — the mergeable, savable artifact a deployment
+    * freezes as its reference distribution (counts over disjoint row
+    * sets add, the [[Similarity.centroidSums]] idiom). */
+  def bucketProfile(df: DataFrame, textCol: String, dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    df.select(explode(split(col(textCol), " ")).as("token"))
+      .select(
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dim)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[tokenJsDivergence]] between two prebuilt [[bucketProfile]]s —
+    * the form a streaming monitor uses: the reference profile is a
+    * frozen artifact, each arriving batch profiles itself and
+    * compares. Buckets absent from one side contribute their
+    * one-sided term (full outer join, zero fill). */
+  def jsShift(ref: DataFrame, cur: DataFrame): DataFrame =
+    jsTail(ref.select(col("bucket"), col("cnt").as("c_old"))
+      .join(cur.select(col("bucket"), col("cnt").as("c_new")),
+        Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("c_old", "c_new")))
+
+  /** The fixed-point JS arithmetic over a (bucket, c_old, c_new)
+    * table — see [[tokenJsDivergence]] for the determinism contract. */
+  private def jsTail(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("c_old")).cast("double").as("t_old"),
       sum(col("c_new")).cast("double").as("t_new"))
     val p = col("c_old") / col("t_old")

@@ -352,6 +352,47 @@ class CurationSpec extends AnyFunSuite {
     assert(batch.find(_._1 == 0L).get._2.contains("<EMAIL>")) // PII scrubbed
   }
 
+  test("jsShift over profiles == one-pass tokenJsDivergence; " +
+    "streaming shift sink twins the batch form and flags a shifted batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val oldDocs = (0L until 40L).map(i => (i, s"alpha beta gamma delta tok$i"))
+    val sameish = (100L until 120L).map(i => (i, s"alpha beta gamma delta tok$i"))
+    val shifted = (200L until 220L).map(i => (i, s"ZZZ QQQ WWW XXX other$i"))
+    // form equivalence: profiles + full-outer tail == the one-pass op
+    val union = (oldDocs ++ sameish).toDF("doc_id", "text")
+    val onePass = Curation.tokenJsDivergence(union, "text",
+      $"doc_id" >= 100L, 64).as[(Long, Long, Double)].head()
+    val viaProfiles = Curation.jsShift(
+      Curation.bucketProfile(oldDocs.toDF("doc_id", "text"), "text", 64),
+      Curation.bucketProfile(sameish.toDF("doc_id", "text"), "text", 64))
+      .as[(Long, Long, Double)].head()
+    assert(onePass == viaProfiles)
+    // the sink over a frozen reference profile
+    import graft.operators.Bucketing
+    import graft.streaming.StreamingShift
+    for (t <- Seq("graft_shift_ref", "shift_out"))
+      Bucketing.dropManagedTable(spark, t)
+    Curation.bucketProfile(oldDocs.toDF("doc_id", "text"), "text", 64)
+      .write.format("parquet").saveAsTable("graft_shift_ref")
+    val base = java.nio.file.Files.createTempDirectory("shift").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingShift.shiftSink(mem.toDF().toDF("doc_id", "text"),
+      "graft_shift_ref", "shift_out", "text", 64, s"$base/ckpt")
+    mem.addData(sameish: _*); q.processAllAvailable()
+    mem.addData(shifted: _*); q.processAllAvailable()
+    assert(q.exception.isEmpty, q.exception); q.stop()
+    val out = spark.table("shift_out")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(0L) == ((viaProfiles._1, viaProfiles._2, viaProfiles._3)))
+    // a same-language batch sits near zero; a shifted one jumps
+    assert(out(0L)._3 < 0.1, out(0L).toString)
+    assert(out(1L)._3 > 0.5, out(1L).toString) // disjoint vocabulary
+    for (t <- Seq("graft_shift_ref", "shift_out"))
+      Bucketing.dropManagedTable(spark, t)
+  }
+
   // ---- hashed features ----
 
   test("hashedFeatures: buckets in range, counts conserve tokens, same token same bucket") {
