@@ -427,6 +427,38 @@ object TextPipelineQueries {
             .otherwise("")).as("text"))
       Dedup.longestIntraRepeat(aug, "doc_id", "text")
     }),
+    // Int8-quantization recall audit: top-5 over the DEQUANTIZED
+    // embeddings vs exact float truth — the number that says whether
+    // the 4x-smaller int8 table (q53) is safe to serve ANN from.
+    "q159_int8_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val dq = Curation.quantizeInt8(e, "embedding")
+        .select(col("vec_id"),
+          Curation.dequantInt8(col("qvec"), col("vmin"), col("scale"))
+            .as("dvec"))
+      val approx = Similarity.bruteForceTopK(dq,
+          dq.filter(col("vec_id") < 10), "vec_id", "dvec", 5)
+        .select(col("q_id"), col("n_id"))
+      val exact = Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select(col("q_id"), col("n_id"))
+      approx.join(exact, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(10L).as("n_queries"), col("n_hits"),
+          round(col("n_hits") / lit(50.0), 4).as("recall"))
+    }),
+    // Leakage-proof holdout: split by the DUP CLUSTER's canonical id,
+    // not the doc id — two near-identical documents must never land
+    // on opposite sides of a train/test cut (the subtle eval-leak
+    // q84 audits after the fact; this prevents it by construction).
+    "q160_cluster_split" -> ((s, d) => {
+      val grouped = docs(s, d).select(col("doc_id"))
+        .join(dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("keep_id"), col("doc_id")).as("grp"))
+      Curation.splitAssign(grouped, "grp")
+    }),
     // Duplicate-cluster size distribution — the first chart of every
     // dedup postmortem (a heavy tail here means boilerplate or a
     // mirrored source, not organic duplication). One agg over the
@@ -1532,6 +1564,59 @@ object TextPipelineQueries {
         |        FROM runs GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(per.lr, 0)::BIGINT AS longest_repeat
         |FROM a2 d LEFT JOIN per USING (doc_id)""".stripMargin,
+    // dequant = int8 code * scale + vmin (q53's exact formula); both
+    // rankings round cos to 4 with n_id tie-break
+    "q159_int8_recall" ->
+      s"""WITH e AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |s AS (SELECT vec_id, v, list_min(v) AS vmin,
+         |  greatest((list_max(v) - list_min(v)) / 255.0, 1e-12) AS scale
+         |  FROM e),
+         |dq AS (SELECT vec_id,
+         |  list_transform(v, x ->
+         |    CAST(CAST(round((x - vmin) / scale) AS INT) AS DOUBLE) * scale + vmin)
+         |    AS dvec
+         |  FROM s),
+         |qa AS (SELECT vec_id AS q_id, dvec AS q_vec FROM dq WHERE vec_id < 10),
+         |pa AS (SELECT q_id, d.vec_id AS n_id,
+         |       round(${cosSql("q_vec", "d.dvec")}, 4) AS cos
+         |       FROM dq d CROSS JOIN qa WHERE q_id <> d.vec_id),
+         |ta AS (SELECT q_id, n_id FROM (
+         |       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, n_id ASC) AS rk FROM pa) WHERE rk <= 5),
+         |qe AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |       WHERE vec_id < 10),
+         |pe AS (SELECT q_id, v.vec_id AS n_id,
+         |       round(${cosSql("q_vec", "v.embedding")}, 4) AS cos
+         |       FROM embeddings v CROSS JOIN qe WHERE q_id <> v.vec_id),
+         |te AS (SELECT q_id, n_id FROM (
+         |       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, n_id ASC) AS rk FROM pe) WHERE rk <= 5)
+         |SELECT 10::BIGINT AS n_queries, count(*)::BIGINT AS n_hits,
+         |       round(count(*) / 50.0, 4) AS recall
+         |FROM ta JOIN te USING (q_id, n_id)""".stripMargin,
+    // split on the CC keeper id (the q41 labels), singletons on their
+    // own id; thresholds are q69's md5 hex cuts
+    "q160_cluster_split" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |labels AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+         |           FROM reach GROUP BY a),
+         |g AS (SELECT d.doc_id, coalesce(l.keep_id, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN labels l USING (doc_id))
+         |SELECT doc_id, grp,
+         |  CASE WHEN substr(md5(CAST(grp AS VARCHAR) || '|split'), 1, 4) < 'cccd' THEN 'train'
+         |       WHEN substr(md5(CAST(grp AS VARCHAR) || '|split'), 1, 4) < 'e666' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM g""".stripMargin,
     "q151_dup_cluster_sizes" ->
       s"""WITH RECURSIVE $shCte,
          |$mhCte,
