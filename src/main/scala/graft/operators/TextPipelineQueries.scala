@@ -633,6 +633,39 @@ object TextPipelineQueries {
         .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
           round(lit(1.0) - col("n_distinct") / col("n_shingles"), 4)
             .as("rep_ratio"))),
+    // The CHARACTER-weighted Gopher repetition rules (Rae et al. 2021
+    // §A1.1) that q37's occurrence ratio doesn't capture: the char
+    // fraction claimed by the single most common 2-gram, and the char
+    // fraction inside duplicated 5-grams — both relative to the
+    // document's total characters. Two narrow per-doc aggs, top pick
+    // by (count desc, gram asc).
+    "q161_gopher_repetition" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+      val g2 = base
+        .select(col("doc_id"), explode(shingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("c").desc, col("g").asc)
+      val top2 = g2.withColumn("__rk", row_number().over(w2))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), (col("c") * length(col("g"))).as("__t2"))
+      val dup5 = base
+        .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * length(col("g"))).as("__d5"))
+      base.select(col("doc_id"), col("n_chars"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          round(coalesce(col("__t2"), lit(0L)) / col("n_chars"), 4)
+            .as("top2_char_frac"),
+          round(coalesce(col("__d5"), lit(0L)) / col("n_chars"), 4)
+            .as("dup5_char_frac"))
+    }),
     // The heap-based scale shape (per-partition bounded top-k, only
     // partitions×queries×k candidates shuffled) through the gate; the
     // window form stays as the reference implementation, and
@@ -1737,6 +1770,27 @@ object TextPipelineQueries {
         | CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
         | round(1.0 - len(list_distinct(s)) / len(s), 4) AS rep_ratio
         |FROM sh WHERE len(s) > 0""".stripMargin,
+    // char-weighted forms: top-2-gram pick by (count desc, gram asc);
+    // duplicated-5-gram chars sum count*len; both over len(text)
+    "q161_gopher_repetition" ->
+      """WITH toks AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |              string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |         for i in range(1, len(w))]) AS g FROM toks),
+        |c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, c * len(g) AS t2 FROM (
+        |       SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, g ASC) AS rk FROM c2) WHERE rk = 1),
+        |g5 AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+        |         for i in range(1, len(w) - 3)]) AS g FROM toks),
+        |c5 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g5 GROUP BY doc_id, g),
+        |d5 AS (SELECT doc_id, sum(c * len(g))::BIGINT AS d5 FROM c5
+        |       WHERE c >= 2 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chars,
+        |       round(coalesce(t2.t2, 0) / t.n_chars, 4) AS top2_char_frac,
+        |       round(coalesce(d5.d5, 0) / t.n_chars, 4) AS dup5_char_frac
+        |FROM toks t LEFT JOIN t2 USING (doc_id)
+        |LEFT JOIN d5 USING (doc_id)""".stripMargin,
     "q79_pq_topk" -> pqTopkSql,
     // IVF-PQ with every list probed == full-scan PQ: same oracle
     "q80_ivfpq_topk" -> pqTopkSql,
