@@ -113,6 +113,36 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("q142: decontamination inherits the span-family discipline — " +
+    "hot cap broadcast anti, rebuild restricted by semi join") {
+    val p = plan("q142_decontaminate_spans")
+    assert(p.contains("LeftAnti"), p.take(3000)) // hot n-grams die pre-join
+    assert(p.contains("LeftSemi"), p.take(3000)) // only span-hit docs rebuilt
+    assert(p.contains("posexplode"), p.take(3000))
+  }
+
+  test("q157: query terms broadcast into the chunk postings — the " +
+    "corpus-sized side never shuffles on term") {
+    val p = plan("q157_chunk_retrieval")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    val smjOnTerm = p.linesIterator.count(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("term"))
+    assert(smjOnTerm == 0, s"postings shuffled on term\n${p.take(3000)}")
+  }
+
+  test("q154: decile fan-out is a broadcast over the bucket counts, " +
+    "never a shingle-table blowup") {
+    val p = plan("q154_vocab_growth")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastQueryStage"),
+      p.take(3000))
+    // the 10-way decile join must not be a shuffled join over the
+    // first-seen (shingle-distinct-sized) table
+    val smj = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(smj == 0, s"$smj shuffled joins\n${p.take(3000)}")
+  }
+
   test("asof join plans a single shuffle (union + one window)") {
     val p = plan("q27_asof_join")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
