@@ -335,6 +335,28 @@ object TextPipelineQueries {
     "q94_minhash_calibration" -> ((s, d) =>
       Dedup.minhashCalibration(shingleTab(s, d),
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"), "doc_id")),
+    // Threshold-tuning curve: pairs and affected documents surviving
+    // exact-Jaccard verification at each candidate τ — the table a
+    // dedup owner reads before committing to a threshold ("0.8 drops
+    // how much?"). Verification runs ONCE over LSH candidates; the
+    // τ grid is a 5-row broadcast fan-out of the verified pairs.
+    "q162_dedup_threshold_curve" -> ((s, d) => {
+      val j = Dedup.ngramJaccardFromShingles(shingleTab(s, d),
+        Dedup.lshCandidatePairs(signatures(s, d), "doc_id"), "doc_id")
+      val thr = s.range(5, 10).select((col("id") / lit(10.0)).as("thr"))
+      val hit = j.crossJoin(broadcast(thr))
+        .filter(col("jaccard") >= col("thr"))
+      val pairsAgg = hit.groupBy(col("thr"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val docsAgg = hit
+        .select(col("thr"),
+          explode(array(col("id_a"), col("id_b"))).as("doc"))
+        .groupBy(col("thr"))
+        .agg(countDistinct(col("doc")).cast("long").as("n_docs"))
+      pairsAgg.join(docsAgg, Seq("thr"))
+        .select(round(col("thr"), 1).as("thr"), col("n_pairs"),
+          col("n_docs"))
+    }),
     // Candidate-quality metrics — the evaluation harness for tuning
     // bands/rows/threshold: what fraction of LSH candidate pairs
     // survive exact Jaccard verification at τ = 0.7. One row; the
@@ -1316,6 +1338,33 @@ object TextPipelineQueries {
          |FROM inter i
          |JOIN sizes na ON i.id_a = na.sid
          |JOIN sizes nb ON i.id_b = nb.sid""".stripMargin,
+    // the τ grid joins the ONE verified pair set; thresholds k/10
+    // are exactly representable doubles, so >= is exact both sides
+    "q162_dedup_threshold_curve" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ds AS (SELECT DISTINCT doc_id AS sid, shingle FROM sh),
+         |sizes AS (SELECT sid, count(*) AS n_sh FROM ds GROUP BY sid),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+         |          FROM cand c
+         |          JOIN ds sa ON c.id_a = sa.sid
+         |          JOIN ds sb ON c.id_b = sb.sid AND sa.shingle = sb.shingle
+         |          GROUP BY c.id_a, c.id_b),
+         |jc AS (SELECT i.id_a, i.id_b,
+         |       round(i.inter / (na.n_sh + nb.n_sh - i.inter), 4) AS jaccard
+         |       FROM inter i
+         |       JOIN sizes na ON i.id_a = na.sid
+         |       JOIN sizes nb ON i.id_b = nb.sid),
+         |tg AS (SELECT unnest(range(5, 10)) / 10.0 AS thr),
+         |hit AS (SELECT tg.thr, jc.id_a, jc.id_b FROM jc CROSS JOIN tg
+         |        WHERE jc.jaccard >= tg.thr),
+         |pa AS (SELECT thr, count(*)::BIGINT AS n_pairs FROM hit GROUP BY thr),
+         |da AS (SELECT thr, count(DISTINCT doc)::BIGINT AS n_docs FROM (
+         |       SELECT thr, id_a AS doc FROM hit
+         |       UNION ALL SELECT thr, id_b FROM hit) GROUP BY thr)
+         |SELECT round(pa.thr, 1) AS thr, pa.n_pairs, da.n_docs
+         |FROM pa JOIN da USING (thr)""".stripMargin,
     "q109_containment" ->
       s"""WITH $shCte,
          |$mhCte,
