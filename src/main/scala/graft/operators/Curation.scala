@@ -891,6 +891,24 @@ object Curation {
           .as("est_tokens"))
   }
 
+  /** First URL host in the text ('' when none) — the key every
+    * crawl-pipeline domain rule (blocklists, per-domain caps, domain
+    * mixing) operates on. */
+  def extractDomain(text: Column): Column =
+    regexp_extract(text, "https?://([^/ ]+)", 1)
+
+  /** Domain blocklist filter: each document with its extracted
+    * domain and its blocklist verdict — the URL-level cut every
+    * crawl pipeline applies before any content rule runs (the
+    * blocklist is curated metadata, tiny, effectively broadcast
+    * as a literal predicate). Output: (idCol, domain, blocked). */
+  def domainFilter(df: DataFrame, idCol: String, textCol: String,
+                   blocked: Seq[String]): DataFrame =
+    df.select(col(idCol), extractDomain(col(textCol)).as("domain"))
+      .withColumn("blocked",
+        if (blocked.isEmpty) lit(false)
+        else col("domain").isin(blocked.map(lit(_)): _*))
+
   /** Jensen–Shannon divergence between the hashed-token distributions
     * of two corpus slices (old vs `isNew`) — the domain-shift monitor
     * an ingest owner reads after every batch: JS ≈ 0 means the new

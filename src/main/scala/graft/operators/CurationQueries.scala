@@ -279,6 +279,20 @@ object CurationQueries {
     "q156_token_shift_js" -> ((s, d) =>
       Curation.tokenJsDivergence(docs(s, d), "text",
         col("doc_id") % 5 === 0, 64)),
+    // Domain blocklist filter over injected source URLs — the
+    // URL-level cut a crawl pipeline applies before any content rule:
+    // per-domain doc counts with the blocklist verdict (sites 3 and
+    // 7 of the 10 injected hosts are blocked).
+    "q163_domain_filter" -> ((s, d) => {
+      val withUrl = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" via https://site"),
+          (col("doc_id") % 10).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("text"))
+      Curation.domainFilter(withUrl, "doc_id", "text",
+          Seq("site3.example.com", "site7.example.com"))
+        .groupBy(col("domain"), col("blocked"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "q52_dedup_corpus" -> ((s, d) =>
       Curation.keepOne(
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
@@ -679,6 +693,18 @@ object CurationQueries {
          |       round((sc.cos - st.mu) / st.sd, 4) + 0.0 AS z,
          |       (abs(round((sc.cos - st.mu) / st.sd, 4) + 0.0) <= 2.0) AS pass
          |FROM sc JOIN st USING (label)""".stripMargin,
+    "q163_domain_filter" ->
+      """WITH u AS (SELECT doc_id,
+        |    text || ' via https://site' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    '.example.com/p/' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents),
+        |x AS (SELECT doc_id,
+        |    regexp_extract(text, 'https?://([^/ ]+)', 1) AS domain
+        |  FROM u)
+        |SELECT domain,
+        |       domain IN ('site3.example.com', 'site7.example.com') AS blocked,
+        |       count(*)::BIGINT AS n_docs
+        |FROM x GROUP BY domain""".stripMargin,
     // per-bucket JS contribution quantized to 1e-6 fixed point BEFORE
     // the sum (exact integer addition; the nbTrain idiom); expression
     // tree mirrors the operator left to right
