@@ -67,6 +67,30 @@ object MultimodalQueries {
     }
   }
 
+  /** The q62 fixture corpus decoded and difference-hashed —
+    * (media_id, img_hash), real PNG encode/decode per row. Shared by
+    * the group view (q62) and the keep-one materialization (q164). */
+  private def dhashedMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, d, "documents").select($"doc_id").as[Long]
+      .map { id =>
+        val c = (id % 7).toInt
+        val w = 16 + c; val h = 12 + c
+        val px = Array.tabulate(w * h * 3)(i => ((c * 37 + i * 11) % 241).toByte)
+        Multimodal.MediaRecord(id, Multimodal.Png.encode(w, h, 3, px))
+      }
+    media.mapPartitions(_.map { r =>
+      val px = Multimodal.Codec.payload(r.content)
+      var hash = 0L
+      var j = 0
+      while (j < 48) {
+        if ((px(j) & 0xff) > (px(j + 1) & 0xff)) hash |= 1L << j
+        j += 1
+      }
+      (r.media_id, hash)
+    }).toDF("media_id", "img_hash")
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_multimodal_decode" -> ((s, d) => {
       import s.implicits._
@@ -145,27 +169,20 @@ object MultimodalQueries {
     // dedup artifact: (img_hash, n_docs, keep_id). The oracle
     // recomputes the hash bits from the fill's closed form — a decode
     // that flips ANY byte moves the hash and breaks the groups.
-    "q62_image_dhash_groups" -> ((s, d) => {
-      import s.implicits._
-      val media = t(s, d, "documents").select($"doc_id").as[Long]
-        .map { id =>
-          val c = (id % 7).toInt
-          val w = 16 + c; val h = 12 + c
-          val px = Array.tabulate(w * h * 3)(i => ((c * 37 + i * 11) % 241).toByte)
-          Multimodal.MediaRecord(id, Multimodal.Png.encode(w, h, 3, px))
-        }
-      val hashed = media.mapPartitions(_.map { r =>
-        val px = Multimodal.Codec.payload(r.content)
-        var hash = 0L
-        var j = 0
-        while (j < 48) {
-          if ((px(j) & 0xff) > (px(j + 1) & 0xff)) hash |= 1L << j
-          j += 1
-        }
-        (r.media_id, hash)
-      }).toDF("media_id", "img_hash")
-      hashed.groupBy($"img_hash")
-        .agg(count(lit(1)).as("n_docs"), min($"media_id").as("keep_id"))
+    "q62_image_dhash_groups" -> ((s, d) =>
+      dhashedMedia(s, d).groupBy(col("img_hash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("media_id")).as("keep_id"))),
+    // The ACT on q62's detect, extending keep-one materialization
+    // (q52) to the image modality: every media row with its group's
+    // canonical keeper and its own verdict — the table the physical
+    // delete/copy step consumes. Same decode, one extra
+    // group-min join.
+    "q164_image_keep_one" -> ((s, d) => {
+      val hashed = dhashedMedia(s, d)
+      hashed.join(hashed.groupBy(col("img_hash"))
+          .agg(min(col("media_id")).as("keep_id")), Seq("img_hash"))
+        .select(col("media_id"), col("img_hash"), col("keep_id"),
+          (col("media_id") === col("keep_id")).as("is_keeper"))
     }),
     // Edge-silence trimming through the gate: clips built as
     // silence + tone + silence at exact 50 ms window multiples, so the
@@ -286,6 +303,18 @@ object MultimodalQueries {
         |SELECT img_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id
         |FROM h GROUP BY img_hash""".stripMargin,
+    "q164_image_keep_one" ->
+      """WITH cls AS (SELECT doc_id, doc_id % 7 AS c FROM documents),
+        |bits AS (SELECT doc_id, c, unnest(range(0, 48)) AS j FROM cls),
+        |h AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN (c*37 + j*11) % 241 > (c*37 + (j+1)*11) % 241
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS img_hash
+        |  FROM bits GROUP BY doc_id),
+        |g AS (SELECT img_hash, CAST(min(doc_id) AS BIGINT) AS keep_id
+        |      FROM h GROUP BY img_hash)
+        |SELECT h.doc_id AS media_id, h.img_hash, g.keep_id,
+        |       h.doc_id = g.keep_id AS is_keeper
+        |FROM h JOIN g USING (img_hash)""".stripMargin,
     "q63_audio_trim" ->
       """SELECT doc_id AS media_id,
         | CAST((2 + doc_id % 4) * 50 AS BIGINT) AS duration_ms,
