@@ -349,6 +349,26 @@ object BpeQueries {
           round(col("total_tokens") / (col("n_seqs") * lit(PackBudget)), 4)
             .as("fill_frac"))
     }),
+    // Shard quarantine list: which shards hold documents flagged by
+    // span-level benchmark decontamination (q142) — the operational
+    // re-write list after an eval-set refresh ("which of my thousands
+    // of shard files actually need regenerating"). Composes the
+    // reference-span detection with the shard layout; only flagged
+    // doc ids (span-table-bounded) touch the layout join.
+    "q165_shard_quarantine" -> ((s, d) => {
+      val flagged = Dedup.spansAgainstReference(
+          TextPipelineQueries.spanNgTab(s, d), "doc_id",
+          col("doc_id") < 20)
+        .select(col("doc_id")).distinct()
+      val layout = Packing.packByBudget(
+        idsTable(s, d).select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
+      layout
+        .withColumn("shard_id", (col("seq_id") / 4).cast("long"))
+        .join(broadcast(flagged), Seq("doc_id"), "left_semi")
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_flagged"))
+    }),
     // The data-loader's read plan: a deterministic per-epoch
     // permutation of the PACKED SEQUENCES with their shard homes —
     // what a trainer's loader actually consumes (q145's shuffle
@@ -685,6 +705,19 @@ object BpeQueries {
     // layout, so it matches the Spark side ONLY if the written files
     // round-tripped every row of every shard exactly.
     "q139_shard_manifest" -> shardManifestSql,
+    // shard layout CTEs compose with the reference-span CTEs (no name
+    // collisions: aug/tk/ng/cool vs vmin/enc/tk2/idt/cp/sh)
+    "q165_shard_quarantine" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |$shardLayoutCtes,
+         |${TextPipelineQueries.spanBaseCtes},
+         |${TextPipelineQueries.refSpanCtes},
+         |fl AS (SELECT DISTINCT doc_id FROM spansx)
+         |SELECT CAST(sh.seq_id // 4 AS BIGINT) AS shard_id,
+         |       count(*)::BIGINT AS n_flagged
+         |FROM sh JOIN fl USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "q158_epoch_read_order" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |${vocabCtes(NumMerges)},
