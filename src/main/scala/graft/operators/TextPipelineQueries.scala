@@ -414,6 +414,23 @@ object TextPipelineQueries {
     // "which docs do I drop" artifact of the dedup pipeline.
     "q41_dedup_groups" -> ((s, d) =>
       dupGroups(s, d).select(col("id").as("doc_id"), col("keep_id"))),
+    // Batch novelty: what fraction of the arriving batch's distinct
+    // 3-grams the standing corpus has never seen — q154's growth
+    // curve focused on one ingest decision ("is this crawl bringing
+    // new content or re-crawling"), the per-batch complement of
+    // q156's distribution-shift number.
+    "q166_batch_novelty" -> ((s, d) => {
+      val sh = shingleTab(s, d)
+      val old = sh.filter(col("doc_id") % 5 =!= 0)
+        .select(col("md5_0")).distinct()
+      val nw = sh.filter(col("doc_id") % 5 === 0)
+        .select(col("md5_0")).distinct()
+      nw.agg(count(lit(1)).as("n_batch"))
+        .crossJoin(nw.join(old, Seq("md5_0"), "left_anti")
+          .agg(count(lit(1)).as("n_novel")))
+        .select(col("n_batch"), col("n_novel"),
+          round(col("n_novel") / col("n_batch"), 4).as("novelty_frac"))
+    }),
     // Vocabulary-growth (Heaps-law) curve: cumulative distinct
     // 3-grams after each tenth of the corpus (by doc id) — the
     // saturation chart that tells an ingest owner whether new data
@@ -1604,6 +1621,17 @@ object TextPipelineQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, least(a, min(b)) AS keep_id
          |FROM reach GROUP BY a""".stripMargin,
+    "q166_batch_novelty" ->
+      s"""WITH $shCte,
+         |hs AS (SELECT doc_id, md5('0|' || shingle) AS h FROM sh),
+         |old AS (SELECT DISTINCT h FROM hs WHERE doc_id % 5 <> 0),
+         |nw AS (SELECT DISTINCT h FROM hs WHERE doc_id % 5 = 0),
+         |nv AS (SELECT n.h FROM nw n ANTI JOIN old o ON n.h = o.h)
+         |SELECT (SELECT count(*)::BIGINT FROM nw) AS n_batch,
+         |       count(*)::BIGINT AS n_novel,
+         |       round(count(*) / (SELECT count(*)::DOUBLE FROM nw), 4)
+         |         AS novelty_frac
+         |FROM nv""".stripMargin,
     // shingle identity = the md5('0|'...) hash both engines share;
     // decile by integer ceil-division, cumulated over the bucket rows
     "q154_vocab_growth" ->
