@@ -349,6 +349,58 @@ object BpeQueries {
           round(col("total_tokens") / (col("n_seqs") * lit(PackBudget)), 4)
             .as("fill_frac"))
     }),
+    // Quarantine REPAIR manifest — what the shard set looks like
+    // AFTER acting on q165's list: reference spans cut (q142),
+    // wholly-cut docs dropped, survivors re-encoded with the FROZEN
+    // tokenizer, re-packed, and the new manifest diffed against the
+    // old — `changed` marks exactly the shards whose bytes a repair
+    // job must rewrite (removal shifts every later prefix sum, so
+    // the changed set starts at the first flagged doc's shard and
+    // runs to the end — the honest cost of span repair, vs q144's
+    // append-only case where history is immutable).
+    "q167_repair_manifest" -> ((s, d) => {
+      val m = merges(s, d)
+      val spans = Dedup.spansAgainstReference(
+        TextPipelineQueries.spanNgTab(s, d), "doc_id", col("doc_id") < 20)
+      val cleaned = Dedup.removeSpans(TextPipelineQueries.augSpanDocs(s, d),
+          "doc_id", "text",
+          spans.select(col("ref_id").as("doc_a"), col("doc_id").as("doc_b"),
+            col("start_ref").as("start_a"), col("start").as("start_b"),
+            col("len")))
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .filter(length(col("text")) > 0)
+      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      val ids2 = Curation.tokenizeToIds(
+          cleaned.select(col("doc_id"),
+            array_join(TextFunctions.bpeEncode(col("text"), m), " ")
+              .as("text")),
+          "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          col("ids"))
+      // the PRE-repair baseline is the same (augmented) corpus the
+      // decontamination ran on, so `changed` isolates the removal
+      val augIds = Curation.tokenizeToIds(
+          TextPipelineQueries.augSpanDocs(s, d).select(col("doc_id"),
+            array_join(TextFunctions.bpeEncode(col("text"), m), " ")
+              .as("text")),
+          "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          col("ids"))
+      def manifestOf(ids: DataFrame) = Packing.shardManifest(
+        Packing.packByBudget(ids.select(col("doc_id"), col("n_tokens")),
+            "doc_id", "n_tokens", budget = PackBudget)
+          .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
+          .withColumn("shard_id", (col("seq_id") / 4).cast("long")),
+        shardRowContent)
+      manifestOf(ids2)
+        .join(manifestOf(augIds)
+            .select(col("shard_id"), col("digest").as("__od")),
+          Seq("shard_id"), "left")
+        .select(col("shard_id"), col("n_docs"), col("n_seqs"),
+          col("n_tokens"), col("digest"),
+          coalesce(col("digest") =!= col("__od"), lit(true)).as("changed"))
+    }),
     // Shard quarantine list: which shards hold documents flagged by
     // span-level benchmark decontamination (q142) — the operational
     // re-write list after an eval-set refresh ("which of my thousands
@@ -705,6 +757,73 @@ object BpeQueries {
     // layout, so it matches the Spark side ONLY if the written files
     // round-tripped every row of every shard exactly.
     "q139_shard_manifest" -> shardManifestSql,
+    // both manifests derive from the AUG corpus (the one the spans
+    // ran on): old = aug encoded verbatim, new = aug with reference
+    // spans cut, empties dropped, same frozen merges + vocab
+    "q167_repair_manifest" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |${TextPipelineQueries.spanBaseCtes},
+         |${TextPipelineQueries.refSpanCtes},
+         |vmin2 AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
+         |cutp AS (SELECT DISTINCT doc_id AS doc, u.p
+         |  FROM spansx, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
+         |nrem AS (SELECT doc, count(*) AS nr FROM cutp GROUP BY doc),
+         |ctk AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
+         |  FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |ckept AS (SELECT ctk.doc_id,
+         |    coalesce(string_agg(CASE WHEN c.doc IS NULL THEN t END, ' '
+         |      ORDER BY pos), '') AS clean
+         |  FROM ctk JOIN nrem ON ctk.doc_id = nrem.doc
+         |  LEFT JOIN cutp c ON ctk.doc_id = c.doc AND ctk.pos = c.p
+         |  GROUP BY ctk.doc_id),
+         |cl AS (SELECT a.doc_id,
+         |    CASE WHEN n.doc IS NULL THEN a.text ELSE k.clean END AS text
+         |  FROM aug a LEFT JOIN nrem n ON a.doc_id = n.doc
+         |  LEFT JOIN ckept k ON a.doc_id = k.doc_id),
+         |cl2 AS (SELECT doc_id, text FROM cl WHERE len(text) > 0),
+         |enc2 AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM cl2),
+         |tk2b AS (SELECT doc_id, s2.p AS pos, s2.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s2
+         |         FROM enc2) q2),
+         |idt2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
+         |        FROM tk2b LEFT JOIN vmin2 v USING (token) GROUP BY doc_id),
+         |cp2 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM idt2),
+         |sh2 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp2),
+         |enc3 AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM aug),
+         |tk2c AS (SELECT doc_id, s3.p AS pos, s3.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s3
+         |         FROM enc3) q3),
+         |idt3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
+         |        FROM tk2c LEFT JOIN vmin2 v USING (token) GROUP BY doc_id),
+         |cp3 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM idt3),
+         |sh3 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp3),
+         |m2 AS (SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+         |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
+         |  FROM sh2 GROUP BY 1),
+         |m1 AS (SELECT CAST(seq_id // 4 AS BIGINT) AS shard_id,
+         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+         |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
+         |  FROM sh3 GROUP BY 1)
+         |SELECT m2.shard_id, m2.n_docs, m2.n_seqs, m2.n_tokens, m2.digest,
+         |  coalesce(m2.digest <> m1.digest, TRUE) AS changed
+         |FROM m2 LEFT JOIN m1 USING (shard_id)""".stripMargin,
     // shard layout CTEs compose with the reference-span CTEs (no name
     // collisions: aug/tk/ng/cool vs vmin/enc/tk2/idt/cp/sh)
     "q165_shard_quarantine" ->
