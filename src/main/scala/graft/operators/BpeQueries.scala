@@ -379,14 +379,18 @@ object BpeQueries {
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
           col("ids"))
       // the PRE-repair baseline is the same (augmented) corpus the
-      // decontamination ran on, so `changed` isolates the removal
-      val augIds = Curation.tokenizeToIds(
-          TextPipelineQueries.augSpanDocs(s, d).select(col("doc_id"),
-            array_join(TextFunctions.bpeEncode(col("text"), m), " ")
-              .as("text")),
-          "doc_id", "text", vocab)
-        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
-          col("ids"))
+      // decontamination ran on, so `changed` isolates the removal;
+      // it is an immutable derivation, so it materializes once per
+      // (session, dir) like the raw-corpus id table
+      val augIds = v4Cache.getOrElseUpdate((sessionKey(s), d + "#augids"),
+        Curation.tokenizeToIds(
+            TextPipelineQueries.augSpanDocs(s, d).select(col("doc_id"),
+              array_join(TextFunctions.bpeEncode(col("text"), m), " ")
+                .as("text")),
+            "doc_id", "text", vocab)
+          .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+            col("ids"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       def manifestOf(ids: DataFrame) = Packing.shardManifest(
         Packing.packByBudget(ids.select(col("doc_id"), col("n_tokens")),
             "doc_id", "n_tokens", budget = PackBudget)
