@@ -200,6 +200,14 @@ object Bench {
     val head = f""""metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"bpe_full_train_sec":$bpeTrainSec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs"""
     val compact = s"""{$head,"sf":"$sfDir"}"""
     val full = s"""{$head,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
+    // A ≤200-byte summary object with the headline numbers only —
+    // printed FIRST and LAST so it survives the driver's stdout
+    // capture whichever end gets clipped (rounds 5-9 all came back
+    // `parsed: null` because the ~6 KB per-query medians line
+    // outgrew the capture window; the full renderings still follow
+    // for anyone reading the whole log, and the complete telemetry
+    // goes to the SPARK_GRAFT_BENCH_OUT file).
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
     try java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
@@ -207,7 +215,9 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"WARN: bench telemetry not persisted to $outPath: $e")
     }
+    println(summary)
     println(compact)
+    println(summary)
     spark.stop()
   }
 }

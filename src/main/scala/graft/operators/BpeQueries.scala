@@ -397,10 +397,15 @@ object BpeQueries {
           .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
           .withColumn("shard_id", (col("seq_id") / 4).cast("long")),
         shardRowContent)
+      // FULL outer: removal SHRINKS the corpus, so trailing shards can
+      // exist only in the old layout — a repair job must know to
+      // DELETE those stale files, so they are emitted as changed=true
+      // rows with null stats (new-side columns absent) rather than
+      // silently dropped (a left join's failure mode).
       manifestOf(ids2)
         .join(manifestOf(augIds)
             .select(col("shard_id"), col("digest").as("__od")),
-          Seq("shard_id"), "left")
+          Seq("shard_id"), "full_outer")
         .select(col("shard_id"), col("n_docs"), col("n_seqs"),
           col("n_tokens"), col("digest"),
           coalesce(col("digest") =!= col("__od"), lit(true)).as("changed"))
@@ -825,9 +830,10 @@ object BpeQueries {
          |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
          |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
          |  FROM sh3 GROUP BY 1)
-         |SELECT m2.shard_id, m2.n_docs, m2.n_seqs, m2.n_tokens, m2.digest,
+         |SELECT coalesce(m2.shard_id, m1.shard_id) AS shard_id,
+         |  m2.n_docs, m2.n_seqs, m2.n_tokens, m2.digest,
          |  coalesce(m2.digest <> m1.digest, TRUE) AS changed
-         |FROM m2 LEFT JOIN m1 USING (shard_id)""".stripMargin,
+         |FROM m2 FULL JOIN m1 ON m2.shard_id = m1.shard_id""".stripMargin,
     // shard layout CTEs compose with the reference-span CTEs (no name
     // collisions: aug/tk/ng/cool vs vmin/enc/tk2/idt/cp/sh)
     "q165_shard_quarantine" ->

@@ -970,13 +970,25 @@ object Curation {
       .na.fill(0L, Seq("c_old", "c_new")))
 
   /** The fixed-point JS arithmetic over a (bucket, c_old, c_new)
-    * table — see [[tokenJsDivergence]] for the determinism contract. */
+    * table — see [[tokenJsDivergence]] for the determinism contract.
+    * A degenerate profile (either side's total is zero — an empty
+    * reference artifact, or a batch whose tokens all hash to the
+    * other side) has no JS divergence; dividing through would yield a
+    * silent null `js` that a downstream `js > τ` alert never fires
+    * on, so the guard fails LOUDLY instead (`raise_error` on the
+    * result row — declarative, fires only when the bad row would
+    * actually be produced). */
   private def jsTail(counts: DataFrame): DataFrame = {
     val tot = counts.agg(sum(col("c_old")).cast("double").as("t_old"),
       sum(col("c_new")).cast("double").as("t_new"))
-    val p = col("c_old") / col("t_old")
-    val q = col("c_new") / col("t_new")
-    val m = (col("c_old") / col("t_old") + col("c_new") / col("t_new")) / 2
+    // zero-total-safe divisions: on a healthy profile the `when`
+    // resolves to the identical division (oracle arithmetic parity
+    // intact); on a degenerate one they keep ANSI mode from throwing
+    // a bare DIVIDE_BY_ZERO out of the term math so the row reaches
+    // the labelled raise_error below.
+    val p = when(col("t_old") > 0, col("c_old") / col("t_old")).otherwise(0.0)
+    val q = when(col("t_new") > 0, col("c_new") / col("t_new")).otherwise(0.0)
+    val m = (p + q) / 2
     counts.crossJoin(broadcast(tot))
       .select(col("t_old"), col("t_new"),
         round(lit(1000000) * (
@@ -987,7 +999,13 @@ object Curation {
       .agg(sum(col("__term")).as("__js"))
       .select(col("t_old").cast("long").as("n_old"),
         col("t_new").cast("long").as("n_new"),
-        round(col("__js") / 1000000.0, 4).as("js"))
+        when(col("t_old") <= 0.0 || col("t_new") <= 0.0 ||
+            isnull(col("t_old")) || isnull(col("t_new")),
+          raise_error(concat(lit("degenerate JS profile: t_old="),
+            col("t_old").cast("string"), lit(", t_new="),
+            col("t_new").cast("string"),
+            lit(" (both sides need tokens)"))).cast("double"))
+          .otherwise(round(col("__js") / 1000000.0, 4)).as("js"))
   }
 
   /** C4-style line filtering (Raffel et al. 2020 §2.2): keep only

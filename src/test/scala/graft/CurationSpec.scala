@@ -393,6 +393,23 @@ class CurationSpec extends AnyFunSuite {
       Bucketing.dropManagedTable(spark, t)
   }
 
+  test("jsShift fails LOUDLY on a degenerate profile (zero-total side) " +
+    "instead of emitting a silent null js") {
+    // an empty reference profile: every bucket count lands on the new
+    // side, t_old = 0 — the downstream `js > τ` alert would never see
+    // a null, so the op must throw, not return it
+    val ref = Seq.empty[(Long, Long)].toDF("bucket", "cnt")
+    val cur = Curation.bucketProfile(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), "text", 64)
+    val e = intercept[Exception] { Curation.jsShift(ref, cur).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("degenerate JS profile")), e.toString)
+    // and the healthy path still returns a real number
+    val ok = Curation.jsShift(cur, cur).as[(Long, Long, Double)].head()
+    assert(ok._3 == 0.0)
+  }
+
   // ---- hashed features ----
 
   test("hashedFeatures: buckets in range, counts conserve tokens, same token same bucket") {
