@@ -107,6 +107,31 @@ object BpeQueries {
   private def shardRowContent =
     concat_ws("|", col("doc_id"), col("n_tokens"), col("seq_id"), col("ids"))
 
+  /** The sealed-layout rendering: sequence identity is hierarchical
+    * (shard_id, seq_in_shard), so both fields enter the digest. */
+  private def sealedRowContent =
+    concat_ws("|", col("doc_id"), col("n_tokens"),
+      col("shard_id").cast("long"), col("seq_in_shard"), col("ids"))
+
+  /** [[idsTable]]'s chain over the span-AUGMENTED corpus — the
+    * pre-repair baseline both q167 and the sealed-repair family
+    * derive from. Immutable per (session, dir), so it materializes
+    * once like the raw-corpus id table. */
+  private def augIdsTable(s: SparkSession, d: String): DataFrame =
+    v4Cache.getOrElseUpdate((sessionKey(s), d + "#augids"), {
+      val m = merges(s, d)
+      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      Curation.tokenizeToIds(
+          TextPipelineQueries.augSpanDocs(s, d).select(col("doc_id"),
+            array_join(TextFunctions.bpeEncode(col("text"), m), " ")
+              .as("text")),
+          "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          col("ids"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   def queries: Map[String, Q] = Map(
     // The learned merge table itself — rank order IS the tokenizer.
     "q113_bpe_merges" -> ((s, d) => {
@@ -379,18 +404,8 @@ object BpeQueries {
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
           col("ids"))
       // the PRE-repair baseline is the same (augmented) corpus the
-      // decontamination ran on, so `changed` isolates the removal;
-      // it is an immutable derivation, so it materializes once per
-      // (session, dir) like the raw-corpus id table
-      val augIds = v4Cache.getOrElseUpdate((sessionKey(s), d + "#augids"),
-        Curation.tokenizeToIds(
-            TextPipelineQueries.augSpanDocs(s, d).select(col("doc_id"),
-              array_join(TextFunctions.bpeEncode(col("text"), m), " ")
-                .as("text")),
-            "doc_id", "text", vocab)
-          .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
-            col("ids"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // decontamination ran on, so `changed` isolates the removal
+      val augIds = augIdsTable(s, d)
       def manifestOf(ids: DataFrame) = Packing.shardManifest(
         Packing.packByBudget(ids.select(col("doc_id"), col("n_tokens")),
             "doc_id", "n_tokens", budget = PackBudget)
@@ -409,6 +424,91 @@ object BpeQueries {
         .select(col("shard_id"), col("n_docs"), col("n_seqs"),
           col("n_tokens"), col("digest"),
           coalesce(col("digest") =!= col("__od"), lit(true)).as("changed"))
+    }),
+    // SEALED-shard manifest — the layout whose repair is local (see
+    // packSealed): documents sealed into ~4·budget-token shards by
+    // where they start, sequence numbering restarting inside each
+    // shard. Written to files, read back, manifested — the oracle
+    // recomputes shard assignment (global prefix sum div capacity)
+    // and the within-shard layout (local prefix sum from the shard's
+    // first doc) straight from the corpus, so the files must
+    // round-trip every row AND the two-level layout math must agree
+    // engine for engine.
+    "q168_sealed_manifest" -> ((s, d) => {
+      val ids = idsTable(s, d)
+      val packed = Packing.packSealed(
+          ids.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+        .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealed_" +
+        math.abs(d.hashCode.toLong)
+      Packing.writeByShardColumn(packed, "doc_id", path)
+      Packing.shardManifest(s.read.parquet(path), sealedRowContent,
+        seqCol = "seq_in_shard")
+    }),
+    // TARGETED quarantine repair over the sealed layout — the fix for
+    // q167's honest O(corpus) finding: shard membership is frozen in
+    // the files, so cutting reference spans from flagged docs and
+    // re-laying-out ONLY their shards leaves every other shard's
+    // bytes untouched. Output is the post-repair read-back manifest
+    // diffed against the pre-repair one, with the quarantine verdict
+    // alongside: `changed` must equal `flagged` row for row — repair
+    // cost ∝ flagged shards, proven in the gated output itself (and
+    // file-identity/mtime-pinned in the spec).
+    "q169_sealed_repair" -> ((s, d) => {
+      val m = merges(s, d)
+      val aug = augIdsTable(s, d)
+      val sealedLayout = Packing.packSealed(
+        aug.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+      val packed = sealedLayout
+        .join(aug.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealrep_" +
+        math.abs(d.hashCode.toLong)
+      Packing.writeByShardColumn(packed, "doc_id", path)
+      // freeze the pre-repair manifest BEFORE the files change
+      val before = Packing.shardManifest(s.read.parquet(path),
+          sealedRowContent, seqCol = "seq_in_shard")
+        .localCheckpoint(true)
+      val spans = Dedup.spansAgainstReference(
+        TextPipelineQueries.spanNgTab(s, d), "doc_id", col("doc_id") < 20)
+      val flagged = spans.select(col("doc_id")).distinct()
+      // repaired payloads: spans cut from FLAGGED docs only (work ∝
+      // flagged), survivors re-encoded with the frozen tokenizer
+      val cleaned = Dedup.removeSpans(
+          TextPipelineQueries.augSpanDocs(s, d)
+            .join(broadcast(flagged), Seq("doc_id"), "left_semi"),
+          "doc_id", "text",
+          spans.select(col("ref_id").as("doc_a"), col("doc_id").as("doc_b"),
+            col("start_ref").as("start_a"), col("start").as("start_b"),
+            col("len")))
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .filter(length(col("text")) > 0)
+      val vocab = Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), m)
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      val repaired = Curation.tokenizeToIds(
+          cleaned.select(col("doc_id"),
+            array_join(TextFunctions.bpeEncode(col("text"), m), " ")
+              .as("text")),
+          "doc_id", "text", vocab)
+        .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
+          col("ids"))
+      Packing.repairSealedShards(s, path, flagged, repaired, "doc_id",
+        budget = PackBudget)
+      val after = Packing.shardManifest(s.read.parquet(path),
+        sealedRowContent, seqCol = "seq_in_shard")
+      val flaggedShards = packed
+        .join(broadcast(flagged), Seq("doc_id"), "left_semi")
+        .select(col("shard_id").cast("long").as("shard_id")).distinct()
+        .withColumn("__fl", lit(true))
+      after
+        .join(before.select(col("shard_id"), col("digest").as("__od")),
+          Seq("shard_id"), "full_outer")
+        .join(flaggedShards, Seq("shard_id"), "left")
+        .select(col("shard_id"), col("n_docs"), col("n_seqs"),
+          col("n_tokens"), col("digest"),
+          coalesce(col("digest") =!= col("__od"), lit(true)).as("changed"),
+          coalesce(col("__fl"), lit(false)).as("flagged"))
     }),
     // Shard quarantine list: which shards hold documents flagged by
     // span-level benchmark decontamination (q142) — the operational
@@ -766,6 +866,121 @@ object BpeQueries {
     // layout, so it matches the Spark side ONLY if the written files
     // round-tripped every row of every shard exactly.
     "q139_shard_manifest" -> shardManifestSql,
+    // sealed layout math recomputed from the corpus: shard by global
+    // prefix sum div capacity, then the within-shard sequence layout
+    // from each shard's own first-doc offset
+    "q168_sealed_manifest" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |$shardLayoutCtes,
+         |so AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(s // ${PackBudget * 4} AS BIGINT) AS shard_id, s FROM cp),
+         |sl AS (SELECT doc_id, n_tokens, ids, shard_id,
+         |  CAST((s - min(s) OVER (PARTITION BY shard_id)) // $PackBudget
+         |       AS BIGINT) AS seq_in_shard
+         |  FROM so)
+         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT seq_in_shard) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+         |    shard_id || '|' || seq_in_shard || '|' || ids), 1, 15))
+         |    ::UBIGINT::BIGINT) AS digest
+         |FROM sl GROUP BY 1""".stripMargin,
+    // the targeted-repair contract, recomputed end to end: the OLD
+    // sealed layout over the aug corpus, flagged docs from the
+    // reference-span join, repaired payloads (spans cut + re-encode,
+    // FLAGGED docs only), frozen shard membership, within-shard
+    // re-layout for flagged shards alone, manifest diff + the
+    // flagged verdict — `changed` must equal `flagged` or an engine
+    // disagrees about which bytes a repair touches.
+    "q169_sealed_repair" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |${TextPipelineQueries.spanBaseCtes},
+         |${TextPipelineQueries.refSpanCtes},
+         |vmin2 AS (SELECT token, min(id) AS id FROM vocab GROUP BY token),
+         |enc3 AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM aug),
+         |tk2c AS (SELECT doc_id, s3.p AS pos, s3.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s3
+         |         FROM enc3) q3),
+         |idt3 AS MATERIALIZED (SELECT doc_id,
+         |        CAST(count(*) AS BIGINT) AS n_tokens,
+         |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
+         |        FROM tk2c LEFT JOIN vmin2 v USING (token) GROUP BY doc_id),
+         |cp3 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM idt3),
+         |so3 AS (SELECT doc_id, n_tokens, ids,
+         |  CAST(s // ${PackBudget * 4} AS BIGINT) AS shard_id, s FROM cp3),
+         |sl3 AS MATERIALIZED (SELECT doc_id, n_tokens, ids, shard_id,
+         |  CAST((s - min(s) OVER (PARTITION BY shard_id)) // $PackBudget
+         |       AS BIGINT) AS seq_in_shard
+         |  FROM so3),
+         |m1 AS (SELECT shard_id,
+         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+         |    shard_id || '|' || seq_in_shard || '|' || ids), 1, 15))
+         |    ::UBIGINT::BIGINT) AS digest
+         |  FROM sl3 GROUP BY 1),
+         |fl AS (SELECT DISTINCT doc_id FROM spansx),
+         |fsh AS MATERIALIZED (SELECT DISTINCT shard_id
+         |       FROM sl3 JOIN fl USING (doc_id)),
+         |cutp AS (SELECT DISTINCT doc_id AS doc, u.p
+         |  FROM spansx, UNNEST(generate_series(start_b, start_b + len - 1)) AS u(p)),
+         |nrem AS (SELECT doc, count(*) AS nr FROM cutp GROUP BY doc),
+         |ctk AS (SELECT doc_id, i - 1 AS pos, w[i] AS t
+         |  FROM tk, UNNEST(generate_series(1, len(w))) AS u(i)),
+         |ckept AS (SELECT ctk.doc_id,
+         |    coalesce(string_agg(CASE WHEN c.doc IS NULL THEN t END, ' '
+         |      ORDER BY pos), '') AS clean
+         |  FROM ctk JOIN nrem ON ctk.doc_id = nrem.doc
+         |  LEFT JOIN cutp c ON ctk.doc_id = c.doc AND ctk.pos = c.p
+         |  GROUP BY ctk.doc_id),
+         |cl2 AS (SELECT doc_id, clean AS text FROM ckept WHERE len(clean) > 0),
+         |enc2 AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM cl2),
+         |tk2b AS (SELECT doc_id, s2.p AS pos, s2.t AS token FROM
+         |        (SELECT doc_id,
+         |           unnest([{'p': i, 't': toks[i]} for i in range(1, len(toks)+1)]) AS s2
+         |         FROM enc2) q2),
+         |idt2 AS MATERIALIZED (SELECT doc_id,
+         |        CAST(count(*) AS BIGINT) AS n_tokens,
+         |        string_agg(CAST(coalesce(v.id, -1) AS VARCHAR), ',' ORDER BY pos) AS ids
+         |        FROM tk2b LEFT JOIN vmin2 v USING (token) GROUP BY doc_id),
+         |nw0 AS MATERIALIZED (
+         |  SELECT s.doc_id, s.n_tokens, s.ids, s.shard_id
+         |  FROM sl3 s JOIN fsh USING (shard_id)
+         |  ANTI JOIN fl ON s.doc_id = fl.doc_id
+         |  UNION ALL
+         |  SELECT s.doc_id, r.n_tokens, r.ids, s.shard_id
+         |  FROM sl3 s JOIN fsh USING (shard_id)
+         |  JOIN fl ON s.doc_id = fl.doc_id
+         |  JOIN idt2 r ON s.doc_id = r.doc_id),
+         |nw AS (SELECT doc_id, n_tokens, ids, shard_id,
+         |  CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard_id
+         |    ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    // $PackBudget AS BIGINT) AS seq_in_shard
+         |  FROM nw0),
+         |allrows AS (
+         |  SELECT doc_id, n_tokens, ids, shard_id, seq_in_shard FROM sl3
+         |  WHERE shard_id NOT IN (SELECT shard_id FROM fsh)
+         |  UNION ALL
+         |  SELECT doc_id, n_tokens, ids, shard_id, seq_in_shard FROM nw),
+         |m2 AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT seq_in_shard) AS BIGINT) AS n_seqs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+         |    shard_id || '|' || seq_in_shard || '|' || ids), 1, 15))
+         |    ::UBIGINT::BIGINT) AS digest
+         |  FROM allrows GROUP BY 1)
+         |SELECT coalesce(m2.shard_id, m1.shard_id) AS shard_id,
+         |  m2.n_docs, m2.n_seqs, m2.n_tokens, m2.digest,
+         |  coalesce(m2.digest <> m1.digest, TRUE) AS changed,
+         |  coalesce(f.fl2, FALSE) AS flagged
+         |FROM m2 FULL JOIN m1 ON m2.shard_id = m1.shard_id
+         |LEFT JOIN (SELECT shard_id, TRUE AS fl2 FROM fsh) f
+         |  ON coalesce(m2.shard_id, m1.shard_id) = f.shard_id""".stripMargin,
     // both manifests derive from the AUG corpus (the one the spans
     // ran on): old = aug encoded verbatim, new = aug with reference
     // spans cut, empties dropped, same frozen merges + vocab

@@ -37,6 +37,17 @@ object Packing {
   def packByBudget(df: DataFrame, idCol: String, tokenCol: String,
                    budget: Long, tokenOffset: Long = 0L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    prefixSums(df, idCol, tokenCol, tokenOffset)
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__start div ${budget}L").as("seq_id"))
+  }
+
+  /** The two-phase exclusive prefix sum itself — the shared core of
+    * [[packByBudget]] and [[packSealed]]. Output: (idCol, n_tokens,
+    * __start) where __start is the total token count of all
+    * earlier-id rows plus `tokenOffset`. */
+  private def prefixSums(df: DataFrame, idCol: String, tokenCol: String,
+                         tokenOffset: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("__id"),
@@ -44,7 +55,7 @@ object Packing {
     val bounds = base.agg(min(col("__id")), max(col("__id")), count(lit(1))).head()
     if (bounds.isNullAt(0)) // empty input
       return base.select(col("__id").as(idCol), col("__tok").as("n_tokens"),
-        col("__tok").as("seq_id")).limit(0)
+        col("__tok").as("__start")).limit(0)
     val minId = bounds.getLong(0)
     val maxId = bounds.getLong(1)
     val nBuckets = spark.sparkContext.defaultParallelism
@@ -72,9 +83,48 @@ object Packing {
         if (b != curBucket) { curBucket = b; run = offs(b.toInt) }
         val start = run
         run += tok
-        (id, tok, start / budget)
+        (id, tok, start)
       }
-    }.toDF(idCol, "n_tokens", "seq_id")
+    }.toDF(idCol, "n_tokens", "__start")
+  }
+
+  /** SEALED packing — the layout whose repair cost is ∝ flagged
+    * shards, not the corpus (the WebDataset/Megatron property).
+    * [[packByBudget]]'s single global prefix sum means removing one
+    * token from doc 0 shifts every later sequence boundary: span
+    * repair rewrites everything after the first flagged doc (q167's
+    * honest finding). Here each shard is SEALED: documents are
+    * assigned to shards by where they START in the global token
+    * stream (`shard_id = prefix_sum div (budget·seqsPerShard)` — a
+    * one-pass, deterministic greedy fill), and the sequence layout
+    * restarts from zero INSIDE each shard (`seq_in_shard =
+    * local_prefix_sum div budget`). Sequence identity is hierarchical
+    * — (shard_id, seq_in_shard) — exactly the `shard-00042/seq-003`
+    * naming real training layouts use, so nothing downstream depends
+    * on a global sequence number that repair would shift.
+    *
+    * Because a document lands wholly in the shard where it starts, a
+    * shard holds ~capacity tokens with tail slack (the straddling
+    * last document overflows its shard rather than splitting — the
+    * slack is bounded by one document). After [[repairSealedShards]]
+    * cuts tokens from a shard, its local layout recomputes from ITS
+    * OWN rows alone; no other shard's bytes can change.
+    *
+    * Output: (idCol, n_tokens, shard_id, seq_in_shard). Scale shape:
+    * the global pass is the same two-phase prefix sum; the
+    * within-shard pass is a window whose partitions are single
+    * shards (≈capacity tokens each) — bounded, never a global sort. */
+  def packSealed(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long, seqsPerShard: Long): DataFrame = {
+    require(budget >= 1 && seqsPerShard >= 1,
+      s"budget/seqsPerShard must be >= 1, got $budget/$seqsPerShard")
+    val cap = budget * seqsPerShard
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard_id"))
+    prefixSums(df, idCol, tokenCol, 0L)
+      .withColumn("shard_id", expr(s"__start div ${cap}L"))
+      .withColumn("__s0", min(col("__start")).over(w))
+      .select(col(idCol), col("n_tokens"), col("shard_id"),
+        expr(s"(__start - __s0) div ${budget}L").as("seq_in_shard"))
   }
 
   /** Materialize a packed corpus as deterministic training SHARDS —
@@ -116,14 +166,23 @@ object Packing {
   def writeShards(packed: DataFrame, idCol: String, path: String,
                   seqsPerShard: Long): Unit = {
     require(seqsPerShard >= 1, s"seqsPerShard must be >= 1, got $seqsPerShard")
+    writeByShardColumn(
+      packed.withColumn("shard_id", (col("seq_id") / seqsPerShard).cast("long")),
+      idCol, path)
+  }
+
+  /** [[writeShards]]' write shape for a frame that already carries its
+    * `shard_id` (the [[packSealed]] output): one shuffle keyed on
+    * shard_id, rows sorted (shard_id, id) within each task, one
+    * deterministic snappy data file per shard directory. */
+  def writeByShardColumn(packed: DataFrame, idCol: String,
+                         path: String): Unit =
     asNullable(packed)
-      .withColumn("shard_id", (col("seq_id") / seqsPerShard).cast("long"))
       .repartition(col("shard_id"))
       .sortWithinPartitions(col("shard_id"), col(idCol))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("shard_id")
       .parquet(path)
-  }
 
   /** Fold a NEW batch into a [[writeShards]] output without touching
     * shards that cannot change — the incremental half of the shard
@@ -188,16 +247,91 @@ object Packing {
     * engines can derive it, so the digest goes through the oracle
     * gate; row ORDER inside a shard is pinned separately by the
     * byte-identity spec). One agg, shard-count output rows. */
-  def shardManifest(shards: DataFrame, contentCol: Column): DataFrame =
+  def shardManifest(shards: DataFrame, contentCol: Column,
+                    seqCol: String = "seq_id"): DataFrame =
     shards
       .withColumn("__h",
         conv(substring(md5(contentCol.cast("binary")), 1, 15), 16, 10)
           .cast("long"))
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
-        countDistinct(col("seq_id")).cast("long").as("n_seqs"),
+        countDistinct(col(seqCol)).cast("long").as("n_seqs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"),
         expr("bit_xor(__h)").as("digest"))
+
+  /** TARGETED repair of a [[packSealed]]+[[writeByShardColumn]]
+    * layout — the act on a quarantine list whose cost is ∝ flagged
+    * shards (vs q167's global-layout repair, which honestly rewrites
+    * everything after the first flagged doc). Shard membership is
+    * FROZEN from the files: a repaired document stays in the shard
+    * where it was sealed; only its payload changes. For every shard
+    * holding a flagged document, the shard's surviving rows (unflagged
+    * rows verbatim; flagged rows swapped for their entry in
+    * `repaired`, a flagged row absent from `repaired` — wholly cut —
+    * dropped) are re-laid-out by a WITHIN-shard prefix sum restarting
+    * at zero, and only those shard directories are rewritten (dynamic
+    * partition overwrite). Every unflagged shard's file is untouched
+    * on disk — byte-identical, mtime-pinned (spec). A shard whose
+    * every document was cut is deleted outright (dynamic overwrite
+    * cannot clear a partition it writes no rows to).
+    *
+    * `flagged`: one id column (`idCol`) — the quarantine list.
+    * `repaired`: (idCol, n_tokens, ids) — the post-repair payloads of
+    * surviving flagged documents.
+    * Work: read+rewrite of flagged shard files plus a broadcast
+    * semi-join of the flagged ids against the layout — never the
+    * corpus. */
+  def repairSealedShards(spark: org.apache.spark.sql.SparkSession,
+                         path: String, flagged: DataFrame,
+                         repaired: DataFrame, idCol: String,
+                         budget: Long): Unit = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val old = spark.read.parquet(path)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    val flagIds = flagged.select(col(idCol))
+    val flaggedShards = old
+      .join(broadcast(flagIds), Seq(idCol), "left_semi")
+      .select(col("shard_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (flaggedShards.isEmpty) return
+    val members = old.filter(col("shard_id").isin(flaggedShards.toSeq: _*))
+    val keepOld = members
+      .join(broadcast(flagIds), Seq(idCol), "left_anti")
+      .select(col(idCol), col("n_tokens"), col("ids"), col("shard_id"))
+    val swapped = members
+      .join(broadcast(flagIds), Seq(idCol), "left_semi")
+      .select(col(idCol), col("shard_id")) // membership frozen, payload new
+      .join(repaired.select(col(idCol), col("n_tokens"), col("ids")),
+        Seq(idCol)) // inner: wholly-cut docs vanish
+      .select(col(idCol), col("n_tokens"), col("ids"), col("shard_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // Materialize BEFORE the overwrite (the job must not scan the very
+    // directories it replaces); bounded by the flagged shard set.
+    val packed = keepOld.unionByName(swapped)
+      .withColumn("__ls", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__ls div ${budget}L").as("seq_in_shard"),
+        col("ids"), col("shard_id"))
+      .localCheckpoint(true)
+    asNullable(packed)
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id")
+      .parquet(path)
+    val emptied = flaggedShards --
+      packed.select(col("shard_id")).distinct().collect().map(_.getLong(0))
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { sid =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"shard_id=$sid"), true)
+      }
+    }
+  }
 
   /** Dense 0-based global row ids in key order — distributed
     * zipWithIndex. `row_number() over (ORDER BY key)` plans a

@@ -334,6 +334,102 @@ class TextOpsSpec extends AnyFunSuite {
       .collect().forall(r => r.getLong(0) / 3L == r.getAs[Number](1).longValue()))
   }
 
+  test("packSealed: greedy-by-start shard fill, per-shard sequence restart") {
+    import graft.operators.Packing
+    val rng = new scala.util.Random(13)
+    val rows = rng.shuffle((0 until 180).map(i =>
+      (i * 4L + 3, 1L + rng.nextInt(8))).toList)
+    // budget 10, 3 seqs/shard -> capacity 30 tokens
+    val out = Packing.packSealed(rows.toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = 10L, seqsPerShard = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // sequential reference: global prefix sum places the shard; the
+    // sequence number restarts from the shard's own first doc
+    var run = 0L
+    var shardStart = Map.empty[Long, Long]
+    rows.sortBy(_._1).foreach { case (id, tok) =>
+      val shard = run / 30L
+      val s0 = shardStart.getOrElse(shard, run)
+      shardStart += shard -> s0
+      assert(out(id) == ((shard, (run - s0) / 10L)), s"doc $id")
+      run += tok
+    }
+    assert(out.size == 180)
+    // every shard's sequences start at 0 — the sealed property
+    val firstSeqs = out.values.groupBy(_._1).map { case (_, v) => v.map(_._2).min }
+    assert(firstSeqs.forall(_ == 0L))
+  }
+
+  test("repairSealedShards: rewrites ONLY flagged shards; unflagged " +
+    "bytes and mtimes pinned; emptied shard deleted") {
+    import graft.operators.Packing
+    val rng = new scala.util.Random(17)
+    // dense-ish corpus: ~20 shards at capacity 30
+    val rows = (0 until 120).map(i =>
+      (i * 2L + 1, 3L + rng.nextInt(5), s"pay-${i * 2L + 1}"))
+    val packed = Packing.packSealed(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", budget = 10L, seqsPerShard = 3L)
+      .join(rows.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id"))
+    val base = java.nio.file.Files.createTempDirectory("sealrep").toString
+    Packing.writeByShardColumn(packed, "doc_id", s"$base/s")
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head).toMap
+    val pre = files(s"$base/s")
+    val preBytes = pre.map { case (sdir, f) =>
+      sdir -> java.nio.file.Files.readAllBytes(f.toPath) }
+    val preMtimes = pre.map { case (s, f) => s -> f.lastModified() }
+    // flag two docs of ONE mid shard (one shrinks, one wholly cut),
+    // plus EVERY doc of the last shard (wholly cut -> dir must go)
+    val layout = packed.select($"doc_id", $"shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val midShard = 5L
+    val lastShard = layout.values.max
+    val midDocs = layout.filter(_._2 == midShard).keys.toSeq.sorted.take(2)
+    val lastDocs = layout.filter(_._2 == lastShard).keys.toSeq
+    val flagged = (midDocs ++ lastDocs).toDF("doc_id")
+    // repaired: first mid doc shrinks to 1 token; everything else cut
+    val repaired = Seq((midDocs.head, 1L, "repaired"))
+      .toDF("doc_id", "n_tokens", "ids")
+    Packing.repairSealedShards(spark, s"$base/s", flagged, repaired,
+      "doc_id", budget = 10L)
+    val post = files(s"$base/s")
+    // the emptied last shard is GONE; the flagged mid shard remains
+    assert(!post.contains(s"shard_id=$lastShard"))
+    assert(post.contains(s"shard_id=$midShard"))
+    assert(post.keySet == pre.keySet - s"shard_id=$lastShard")
+    // unflagged shards: byte-identical AND mtime-pinned (never rewritten)
+    post.foreach { case (sdir, f) =>
+      if (sdir != s"shard_id=$midShard") {
+        assert(java.util.Arrays.equals(
+          java.nio.file.Files.readAllBytes(f.toPath), preBytes(sdir)),
+          s"$sdir bytes changed")
+        assert(f.lastModified() == preMtimes(sdir), s"$sdir was rewritten")
+      }
+    }
+    // the repaired shard: membership frozen (minus the cut doc),
+    // payload swapped, sequence layout recomputed from zero
+    val back = spark.read.parquet(s"$base/s")
+      .filter($"shard_id" === midShard)
+      .select($"doc_id", $"n_tokens", $"seq_in_shard", $"ids")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).sortBy(_._1)
+    val expectedMembers = layout.filter(_._2 == midShard).keys.toSeq.sorted
+      .filterNot(_ == midDocs(1)) // wholly-cut doc gone
+    assert(back.map(_._1).toSeq == expectedMembers)
+    assert(back.find(_._1 == midDocs.head).get._4 == "repaired")
+    var run = 0L
+    back.foreach { case (id, tok, seq, _) =>
+      assert(seq == run / 10L, s"doc $id seq")
+      run += tok
+    }
+    // and a repair with an empty flag set is a no-op
+    Packing.repairSealedShards(spark, s"$base/s",
+      Seq.empty[Long].toDF("doc_id"), repaired, "doc_id", 10L)
+  }
+
   test("appendShards: lands at the from-scratch layout, rewrites only touched shards") {
     import graft.operators.Packing
     val rng = new scala.util.Random(5)
