@@ -54,10 +54,44 @@ object MultimodalQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
-  /** Force-materialize the shared AVI fixture corpus (bench harness
+  /** The q170/q171 video-dedup fixture: per-doc AVIs muxing LOSSLESS
+    * (PNG) frames whose pixel fills are closed-form in
+    * (class, frame-content), so every per-frame dHash — and therefore
+    * the whole near-dup group structure — is exactly recomputable in
+    * SQL. Videos share one of 6 content classes (`doc_id % 6`,
+    * class+2 frames each); every 31st doc appends one EXTRA frame
+    * (content id 99) — the "same clip with an outro card"
+    * near-duplicate that hash-set containment must still score 1.0.
+    * (The lossy-JPEG robustness half of the operator is exercised in
+    * MultimodalSpec with real ImageIO re-encodes, where no SQL oracle
+    * can predict pixels.) Cached like the MJPEG corpus: the mux is
+    * fixture construction, not the operator under test. */
+  private def pngAviTab(s: SparkSession, d: String): DataFrame =
+    aviCache.getOrElseUpdate((sessionKey(s), d + "#png"), {
+      import s.implicits._
+      t(s, d, "documents").select($"doc_id").as[Long]
+        .map { id =>
+          val c = (id % 6).toInt
+          val w = 16 + c
+          val h = 12 + c
+          val contents = (0 until c + 2) ++
+            (if (id % 31 == 0) Seq(99) else Nil)
+          val frames = contents.map { fc =>
+            val px = Array.tabulate(w * h * 3)(i =>
+              ((c * 37 + fc * 13 + i * 11) % 241).toByte)
+            Multimodal.Png.encode(w, h, 3, px)
+          }
+          Multimodal.MediaRecord(id, Avi.encodeMjpeg(w, h, 10, frames))
+        }.toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Force-materialize the shared AVI fixture corpora (bench harness
     * calls this once, reported inside its cache-build line item). */
-  def warmCaches(s: SparkSession, d: String): Unit =
+  def warmCaches(s: SparkSession, d: String): Unit = {
     aviTab(s, d).count()
+    pngAviTab(s, d).count()
+  }
 
   /** Unpersist and drop this session's cached AVI corpus. */
   def clearCache(s: SparkSession): Unit = {
@@ -244,6 +278,26 @@ object MultimodalQueries {
             (r.media_id, idx.toLong, w.toLong, h.toLong, px.length.toLong)
         }
       }.toDF("media_id", "frame_idx", "width", "height", "n_px")
+    }),
+    // The per-frame perceptual signature table — demux (RIFF walk) +
+    // real PNG pixel decode + dHash, the substrate of video dedup.
+    // The oracle recomputes every hash bit from the fill's closed
+    // form: a decode that drops, reorders, or perturbs ANY frame
+    // byte moves some hash and fails the gate.
+    "q170_video_framesig" -> ((s, d) => {
+      import s.implicits._
+      VideoDedup.frameSignatures(pngAviTab(s, d).as[Multimodal.MediaRecord])
+    }),
+    // Video NEAR-dup groups — the q62/q164 detect+act contract for
+    // the video modality: banded frame-hash candidates, exact-hamming
+    // verify, hash-set containment (an extra outro frame still scores
+    // 1.0), connected components, keep-one. The oracle rebuilds the
+    // same candidate/verify/closure chain in SQL, so both the
+    // grouping topology AND the keeper choice go through the gate.
+    "q171_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      VideoDedup.nearDupGroups(
+        VideoDedup.frameSignatures(pngAviTab(s, d).as[Multimodal.MediaRecord]))
     }))
 
   /** Baseline JPEG via the JDK's ImageIO (java.desktop — present in
@@ -328,6 +382,66 @@ object MultimodalQueries {
         |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(least(32, len - i * 32) AS BIGINT) AS n_bytes
         |FROM f WHERE i % 2 = 0""".stripMargin,
+    // closed-form dHash per (class, frame-content): px[i] =
+    // (c*37 + fc*13 + i*11) % 241, bit j set iff px[j] > px[j+1]
+    "q170_video_framesig" ->
+      """WITH v AS (SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c FROM documents),
+        |fr AS (SELECT doc_id, c, unnest(range(0, c + 2 +
+        |         CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END)) AS fi FROM v),
+        |ff AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       CASE WHEN doc_id % 31 = 0 AND fi = c + 2 THEN 99 ELSE fi END AS fc,
+        |       c FROM fr),
+        |bits AS (SELECT doc_id, frame_idx, fc, c, unnest(range(0, 48)) AS j FROM ff)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  CAST(sum(CASE WHEN (c*37 + fc*13 + j*11) % 241 >
+        |                     (c*37 + fc*13 + (j+1)*11) % 241
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fhash
+        |FROM bits GROUP BY doc_id, frame_idx""".stripMargin,
+    // the same banded-candidate / hamming-verify / containment /
+    // transitive-closure chain, engine for engine (q41's recursive
+    // reach pattern for the CC half)
+    "q171_video_neardup" ->
+      """WITH RECURSIVE v AS (SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c
+        |       FROM documents),
+        |fr AS (SELECT doc_id, c, unnest(range(0, c + 2 +
+        |         CASE WHEN doc_id % 31 = 0 THEN 1 ELSE 0 END)) AS fi FROM v),
+        |ff AS (SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       CASE WHEN doc_id % 31 = 0 AND fi = c + 2 THEN 99 ELSE fi END AS fc,
+        |       c FROM fr),
+        |bits AS (SELECT doc_id, frame_idx, fc, c, unnest(range(0, 48)) AS j FROM ff),
+        |h AS MATERIALIZED (SELECT doc_id, frame_idx,
+        |  CAST(sum(CASE WHEN (c*37 + fc*13 + j*11) % 241 >
+        |                     (c*37 + fc*13 + (j+1)*11) % 241
+        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fhash
+        |  FROM bits GROUP BY doc_id, frame_idx),
+        |vh AS MATERIALIZED (SELECT DISTINCT doc_id, fhash FROM h),
+        |nh AS (SELECT doc_id, count(*)::BIGINT AS nh FROM vh GROUP BY doc_id),
+        |nf AS (SELECT doc_id, count(*)::BIGINT AS n_frames FROM h GROUP BY doc_id),
+        |bnd AS MATERIALIZED (SELECT doc_id, fhash, b.band,
+        |         (fhash >> (b.band * 12)) & 4095 AS bv
+        |       FROM vh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |cnd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |              x.fhash AS ha, y.fhash AS hb
+        |        FROM bnd x JOIN bnd y
+        |          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+        |mt AS (SELECT a, b, ha, hb FROM cnd WHERE bit_count(xor(ha, hb)) <= 3),
+        |pp AS (SELECT a, b, count(DISTINCT ha)::BIGINT AS ma,
+        |              count(DISTINCT hb)::BIGINT AS mb FROM mt GROUP BY a, b),
+        |pr AS MATERIALIZED (SELECT a, b FROM pp
+        |       JOIN nh na ON pp.a = na.doc_id
+        |       JOIN nh nb ON pp.b = nb.doc_id
+        |       WHERE round(greatest(ma, mb) / least(na.nh, nb.nh), 4) >= 0.6),
+        |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+        |       FROM reach GROUP BY a)
+        |SELECT nf.doc_id AS media_id, nf.n_frames,
+        |  coalesce(cc.keep_id, nf.doc_id) AS keep_id,
+        |  nf.doc_id = coalesce(cc.keep_id, nf.doc_id) AS is_keeper
+        |FROM nf LEFT JOIN cc ON nf.doc_id = cc.doc_id""".stripMargin,
     // n_px = decoded pixel-buffer length: right only when the RIFF
     // walk found every frame AND the native JPEG decode produced a
     // full w*h*3 interleaved buffer for each sampled one.

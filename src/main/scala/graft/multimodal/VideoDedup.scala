@@ -1,0 +1,133 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Video near-duplicate detection — the video analogue of the image
+  * dHash family (q62/q164), closing the one modality that had decode
+  * (q64/q118 frame extraction) but no dedup. A video's identity for
+  * dedup purposes is its set of per-frame perceptual hashes: container
+  * remuxes, metadata edits, and mild re-encodes leave the frame
+  * hashes (nearly) unchanged, so two uploads of the same clip collide
+  * even when their bytes share nothing.
+  *
+  * Pipeline shape — never all-pairs, the LSH discipline the text
+  * dedup family established:
+  *   1. [[frameSignatures]]: demux (RIFF walk) → per-frame pixel
+  *      decode (Codec dispatch: PNG/JPEG/…) → dHash. One
+  *      mapPartitions pass, embarrassingly parallel.
+  *   2. [[nearDupPairs]]: frame hashes are banded (pigeonhole: two
+  *      hashes within hamming `bandBits·nBands/nBands − 1` share at
+  *      least one exact band); candidate FRAME pairs come from band
+  *      equality, are verified by exact hamming distance, and roll up
+  *      to video-pair containment = |matched hashes| / min(|A|,|B|) —
+  *      the asymmetric measure that still scores 1.0 when one upload
+  *      has an extra trailing frame (outro card, re-encode padding).
+  *   3. [[nearDupGroups]]: connected components over verified pairs
+  *      (shared [[graft.operators.Dedup.connectedComponents]]
+  *      machinery), keep id = component minimum, singletons keep
+  *      themselves — the q62/q164 output contract.
+  *
+  * Scale: the band join's bucket fan-out is the only superlinear
+  * risk (a constant black frame shared by millions of videos);
+  * `bucketCap` drops band buckets above the cap as a FULL-TABLE
+  * statistic before pairing — the q72/q142 hot-cap idiom. Dedup is
+  * conservative under the cap (a dropped bucket only loses candidate
+  * pairs, never invents them).
+  */
+object VideoDedup {
+
+  /** Per-frame perceptual signatures: (media_id, frame_idx, fhash).
+    * The hash is the q62 difference hash — adjacent-byte comparisons
+    * over the first `bits` decoded samples (bit j set iff
+    * px[j] > px[j+1]) — computed on DECODED pixels, so it is stable
+    * across lossless container/codec changes and (with a hamming
+    * tolerance downstream) across mild lossy re-encodes. */
+  def frameSignatures(media: Dataset[Multimodal.MediaRecord],
+                      bits: Int = 48): DataFrame = {
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      Avi.frames(r.content).zipWithIndex.map { case (frame, idx) =>
+        val px = Multimodal.Codec.payload(frame)
+        var hash = 0L
+        var j = 0
+        while (j < bits && j + 1 < px.length) {
+          if ((px(j) & 0xff) > (px(j + 1) & 0xff)) hash |= 1L << j
+          j += 1
+        }
+        (r.media_id, idx.toLong, hash)
+      }
+    }).toDF("media_id", "frame_idx", "fhash")
+  }
+
+  /** Verified near-duplicate video pairs over a [[frameSignatures]]
+    * table: (id_a, id_b, sim) with sim = hash-set containment ≥
+    * `simMin`. Frames match when their hashes are within `hammingMax`
+    * bits; candidates come from band equality only (pigeonhole
+    * guarantee holds while hammingMax < nBands), verified exactly —
+    * the corpus is never self-joined on raw hashes. */
+  def nearDupPairs(sigs: DataFrame, bandBits: Int = 12, nBands: Int = 4,
+                   hammingMax: Int = 3, simMin: Double = 0.6,
+                   bucketCap: Option[Int] = None): DataFrame = {
+    require(bandBits * nBands <= 63, "bands must cover <= 63 bits")
+    val mask = (1L << bandBits) - 1
+    // a frame repeated inside one video is one identity unit
+    val vh = sigs.select(col("media_id"), col("fhash")).distinct()
+    val nh = vh.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("nh"))
+    val bands = vh.select(col("media_id"), col("fhash"),
+        explode(sequence(lit(0), lit(nBands - 1))).as("band"))
+      .withColumn("band_val",
+        expr(s"(fhash >> (band * $bandBits)) & ${mask}L"))
+    val cool = bucketCap match {
+      case Some(cap) =>
+        val hot = bands.groupBy(col("band"), col("band_val"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > cap)
+          .select(col("band"), col("band_val"))
+        bands.join(hot, Seq("band", "band_val"), "left_anti")
+      case None => bands
+    }
+    val cand = cool.as("x").join(cool.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.fhash").as("ha"), col("y.fhash").as("hb"))
+      .distinct() // two bands agreeing must not double-count a match
+      .filter(expr(s"bit_count(ha ^ hb) <= $hammingMax"))
+    cand.groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("ha")).cast("long").as("__ma"),
+        countDistinct(col("hb")).cast("long").as("__mb"))
+      .join(nh.select(col("media_id").as("id_a"), col("nh").as("__na")),
+        Seq("id_a"))
+      .join(nh.select(col("media_id").as("id_b"), col("nh").as("__nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(greatest(col("__ma"), col("__mb")).cast("double") /
+          least(col("__na"), col("__nb")), 4).as("sim"))
+      .filter(col("sim") >= simMin)
+  }
+
+  /** The dedup artifact: every video with its group's canonical
+    * keeper (component minimum over the verified-pair graph;
+    * singletons keep themselves) and its frame count — the table the
+    * physical delete/copy step consumes, mirroring q164's image
+    * keep-one contract. Output: (media_id, n_frames, keep_id,
+    * is_keeper). */
+  def nearDupGroups(sigs: DataFrame, bandBits: Int = 12, nBands: Int = 4,
+                    hammingMax: Int = 3, simMin: Double = 0.6,
+                    bucketCap: Option[Int] = None): DataFrame = {
+    val pairs = nearDupPairs(sigs, bandBits, nBands, hammingMax, simMin,
+      bucketCap)
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .select(col("id").as("media_id"), col("keep_id"))
+    sigs.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"))
+      .join(cc, Seq("media_id"), "left")
+      .select(col("media_id"), col("n_frames"),
+        coalesce(col("keep_id"), col("media_id")).as("keep_id"))
+      .withColumn("is_keeper", col("media_id") === col("keep_id"))
+  }
+}

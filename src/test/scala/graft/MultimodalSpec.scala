@@ -396,6 +396,58 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("video near-dup: a real JPEG re-encode (generation loss + extra " +
+    "outro frame) groups with its original; distinct content stays apart") {
+    import graft.multimodal.{Avi, VideoDedup}
+    // Frame content = a 4-bit block pattern (binary of fc, 4-pixel
+    // blocks across the dHash window) rendered with channel gaps
+    // ≥95 — far above JPEG quantization error, so the hash survives a
+    // quality-0.7 re-encode; distinct patterns differ in ≥8 hash bits,
+    // far above the hamming tolerance.
+    def frame(fc: Int, q: Float): Array[Byte] = {
+      val (w, h) = (16, 12)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = (fc >> (x / 4)) & 1
+        val r = if (bit == 1) 235 else 25
+        val b = if (bit == 1) 10 else 220
+        img.setRGB(x, y, (r << 16) | (125 << 8) | b)
+      }
+      imageioJpeg(img, q)
+    }
+    val aF = Seq(1, 2, 3).map(frame(_, 0.9f))
+    // B: A's frames DECODED and RE-ENCODED at a lower quality
+    // (generation loss — different bytes, same perceptual content),
+    // plus an extra outro frame: containment must still score it 1.0
+    val bF = aF.map { j =>
+      imageioJpeg(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(j)), 0.7f)
+    } :+ frame(9, 0.7f)
+    val cF = Seq(12, 13, 14).map(frame(_, 0.9f))
+    val media = Seq(
+      MediaRecord(1L, Avi.encodeMjpeg(16, 12, 10, aF)),
+      MediaRecord(2L, Avi.encodeMjpeg(16, 12, 10, bF)),
+      MediaRecord(3L, Avi.encodeMjpeg(16, 12, 10, cF))).toDS()
+    val sigs = VideoDedup.frameSignatures(media)
+    // per-frame robustness: each re-encoded frame within hamming 6 of
+    // its original (the JPEG decode ran — this is pixel-level, not
+    // byte-level, identity)
+    val h = sigs.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0 until 3).foreach { f =>
+      val d = java.lang.Long.bitCount(h((1L, f.toLong)) ^ h((2L, f.toLong)))
+      assert(d <= 6, s"frame $f drifted $d bits under re-encode")
+    }
+    val groups = VideoDedup.nearDupGroups(sigs, hammingMax = 6)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(groups(1L) == ((3L, 1L, true)))
+    assert(groups(2L)._1 == 4L && groups(2L)._2 == 1L && !groups(2L)._3,
+      groups(2L).toString) // the re-encode deduped against its original
+    assert(groups(3L) == ((3L, 3L, true))) // distinct content is a keeper
+  }
+
   test("AVI walker skips junk, survives truncation, rejects non-AVI") {
     import graft.multimodal.Avi
     val frames = testFrames(16, 12, 2)
