@@ -255,6 +255,60 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // Per-source health scorecard — the table an ingest review
+    // actually reads, composing the individual monitors (q112
+    // entropy, q148 C4 drop rate, q161 Gopher repetition, exact-dup
+    // share) into ONE source-keyed readout: volume, duplication,
+    // line-quality, repetition, and distributional collapse side by
+    // side. Every branch is a per-doc projection folded into a
+    // #sources-sized agg; the final joins are #sources × #sources —
+    // broadcast by construction.
+    "q172_source_health" -> ((s, d) => {
+      val dd = docs(s, d)
+      val src = dd.select(col("doc_id"), col("source"))
+      val base = dd.groupBy(col("source")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        (count(lit(1)) - countDistinct(substring(md5(trim(
+          regexp_replace(lower(col("text")), "\\s+", " "))), 1, 16)))
+          .cast("long").as("n_exact_dups"))
+      val ent = Surprisal.tokenEntropyPerKey(dd, "source", "text")
+        .select(col("source"), col("entropy"))
+      val c4 = Curation.c4LineFilter(withC4Lines(dd), "doc_id", "text")
+        .join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(round(sum(col("n_dropped")).cast("double") /
+          sum(col("n_kept") + col("n_dropped")), 4).as("c4_drop_frac"))
+      // q161's per-doc char-weighted repetition, averaged per source
+      val gbase = dd.select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+      val g2 = gbase.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g").asc)
+      val top2 = g2.withColumn("__rk", row_number().over(w2))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), (col("c") * length(col("g"))).as("__t2"))
+      val dup5 = gbase.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 5)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c") * length(col("g"))).as("__d5"))
+      val gopher = gbase.select(col("doc_id"), col("n_chars"))
+        .join(top2, Seq("doc_id"), "left")
+        .join(dup5, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("__t2"), lit(0L)) / col("n_chars"), 4).as("__tf"),
+          round(coalesce(col("__d5"), lit(0L)) / col("n_chars"), 4).as("__df"))
+        .join(src, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(round(avg(col("__tf")), 4).as("top2_char_frac"),
+          round(avg(col("__df")), 4).as("dup5_char_frac"))
+      base.join(ent, Seq("source")).join(c4, Seq("source"))
+        .join(gopher, Seq("source"))
+    }),
     // Embedding-space mislabel detector: each vector's cosine to ITS
     // label's centroid, z-scored against that label's own
     // distribution — a vector far below its class baseline is a
@@ -729,6 +783,68 @@ object CurationQueries {
         |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
         |       round(sum(term) / 1000000.0, 4) AS js
         |FROM terms GROUP BY t_old, t_new""".stripMargin,
+    // every branch mirrors its parent query's fragment (q112 entropy,
+    // q148 aug+filter, q161 repetition, q24 fingerprint), rolled up
+    // per source
+    "q172_source_health" ->
+      """WITH base AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    (count(*) - count(DISTINCT substr(md5(trim(
+        |       regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)))::BIGINT
+        |      AS n_exact_dups
+        |  FROM documents GROUP BY source),
+        |tok AS (SELECT source, unnest(string_split(text, ' ')) AS t
+        |        FROM documents),
+        |ec AS (SELECT source, t, count(*) AS c FROM tok GROUP BY source, t),
+        |en AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM ec GROUP BY source),
+        |ent AS (SELECT ec.source,
+        |    round(ln(en.n) - sum(ec.c::DOUBLE * ln(ec.c::DOUBLE)) / en.n, 4) + 0.0
+        |      AS entropy
+        |  FROM ec JOIN en USING (source) GROUP BY ec.source, en.n),
+        |aug AS (SELECT doc_id,
+        |        text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||
+        |        chr(10) || 'Good injected line one two three four five six.' ||
+        |        chr(10) || 'short one two.' ||
+        |        chr(10) || 'curly { line with plenty of words right here today.' ||
+        |        chr(10) || 'no terminal punctuation with plenty of words here'
+        |          AS text
+        |      FROM documents),
+        |c4 AS (SELECT doc_id,
+        |        len(string_split(text, chr(10)))::BIGINT AS n_lines,
+        |        len([l FOR l IN string_split(text, chr(10))
+        |         IF len(string_split(l, ' ')) >= 5
+        |            AND regexp_matches(l, '[.!?]$')
+        |            AND NOT contains(l, '{')])::BIGINT AS n_kept
+        |      FROM aug),
+        |c4s AS (SELECT d.source,
+        |    round(sum(c4.n_lines - c4.n_kept)::DOUBLE / sum(c4.n_lines), 4)
+        |      AS c4_drop_frac
+        |  FROM c4 JOIN documents d USING (doc_id) GROUP BY d.source),
+        |gt AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+        |       string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |         for i in range(1, len(w))]) AS g FROM gt),
+        |c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, c * len(g) AS t2 FROM (
+        |       SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, g ASC) AS rk FROM c2) WHERE rk = 1),
+        |g5 AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+        |         for i in range(1, len(w) - 3)]) AS g FROM gt),
+        |c5 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g5 GROUP BY doc_id, g),
+        |d5 AS (SELECT doc_id, sum(c * len(g))::BIGINT AS d5 FROM c5
+        |       WHERE c >= 2 GROUP BY doc_id),
+        |gd AS (SELECT t.doc_id,
+        |       round(coalesce(t2.t2, 0) / t.n_chars, 4) AS tf,
+        |       round(coalesce(d5.d5, 0) / t.n_chars, 4) AS df
+        |  FROM gt t LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)),
+        |gs AS (SELECT d.source, round(avg(tf), 4) AS top2_char_frac,
+        |       round(avg(df), 4) AS dup5_char_frac
+        |  FROM gd JOIN documents d USING (doc_id) GROUP BY d.source)
+        |SELECT b.source, b.n_docs, b.n_tokens, b.n_exact_dups, ent.entropy,
+        |       c4s.c4_drop_frac, gs.top2_char_frac, gs.dup5_char_frac
+        |FROM base b JOIN ent ON b.source = ent.source
+        |JOIN c4s ON b.source = c4s.source
+        |JOIN gs ON b.source = gs.source""".stripMargin,
     "q148_c4_line_filter" ->
       """WITH aug AS (SELECT doc_id,
         |        text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||

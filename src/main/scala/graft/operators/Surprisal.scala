@@ -67,7 +67,10 @@ object Surprisal {
       .groupBy(col(keyCol), col("__t")).agg(count(lit(1)).as("__c"))
     val n = c.groupBy(col(keyCol))
       .agg(sum(col("__c")).as("n"), count(lit(1)).as("vocab"))
-    c.join(n, Seq(keyCol))
+    // n is #keys-sized; joining the vocab-sized count table on a
+    // low-cardinality key by shuffle would funnel the corpus into
+    // #keys partitions — broadcast the totals instead
+    c.join(broadcast(n), Seq(keyCol))
       .groupBy(col(keyCol), col("n"), col("vocab"))
       .agg(sum(col("__c").cast("double") * log(col("__c").cast("double")))
         .as("__sclc"))

@@ -143,6 +143,22 @@ class PlanSpec extends AnyFunSuite {
     assert(smj == 0, s"$smj shuffled joins\n${p.take(3000)}")
   }
 
+  test("q172: the health-composite's scorecard joins broadcast — " +
+    "#sources-sized aggregates never shuffle against each other") {
+    // judge the FINAL AQE plan (the initial plan may still spell the
+    // tiny joins as sort-merge before runtime stats arrive)
+    val p = plan("q172_source_health").split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastQueryStage"),
+      p.take(3000))
+    // the four signal branches each end in a #sources-sized agg; the
+    // final composition must not sort-merge those tiny tables
+    val smjOnSource = p.linesIterator.filter(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+        l.contains("source")).toSeq
+    assert(smjOnSource.isEmpty,
+      s"scorecard joined by shuffle:\n${smjOnSource.mkString("\n")}")
+  }
+
   test("asof join plans a single shuffle (union + one window)") {
     val p = plan("q27_asof_join")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
