@@ -198,8 +198,14 @@ object Packing {
     * to a from-scratch [[writeShards]] of the full corpus
     * (spec-pinned). Work ∝ batch, not corpus — the q57/q73/q130
     * incremental contract applied to the physical artifact. */
+  /** `knownTotals` — (total landed tokens, max landed id) supplied by
+    * a caller that already tracks them (the streaming sink's sidecar):
+    * skips the full-layout aggregation scan, making the append's read
+    * cost ∝ touched shards alone. Omitted, the totals are computed
+    * from the files (the batch-job path, one scan). */
   def appendShards(batch: DataFrame, idCol: String, tokenCol: String,
-                   path: String, budget: Long, seqsPerShard: Long): Unit = {
+                   path: String, budget: Long, seqsPerShard: Long,
+                   knownTotals: Option[(Long, Long)] = None): Unit = {
     require(budget >= 1 && seqsPerShard >= 1,
       s"budget/seqsPerShard must be >= 1, got $budget/$seqsPerShard")
     val spark = batch.sparkSession
@@ -208,9 +214,11 @@ object Packing {
     // output contract, what writeShards persisted)
     val old = spark.read.parquet(path)
       .withColumn("shard_id", col("shard_id").cast("long"))
-    val st = old.agg(sum(col("n_tokens")).cast("long"),
-      max(col(idCol)).cast("long")).head()
-    val (oldTokens, maxOldId) = (st.getLong(0), st.getLong(1))
+    val (oldTokens, maxOldId) = knownTotals.getOrElse {
+      val st = old.agg(sum(col("n_tokens")).cast("long"),
+        max(col(idCol)).cast("long")).head()
+      (st.getLong(0), st.getLong(1))
+    }
     val minNew = batch.agg(min(col(idCol)).cast("long")).head().getLong(0)
     require(minNew > maxOldId,
       s"appendShards is append-only: batch min id $minNew must follow " +

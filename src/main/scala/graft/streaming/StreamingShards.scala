@@ -24,16 +24,95 @@ import graft.operators.Packing
   * files out of id order, and a watermark would silently drop a
   * fresh out-of-order batch as if it were a replay — data loss. Here
   * a fresh batch always reaches appendShards, whose append-only
-  * guard fails FAST on disorder; a batch that only partially
-  * overlaps the landed ids is neither replay nor append and throws
-  * here. Net: exactly-once shard bytes over an at-least-once
-  * channel, no dedup read-view needed, and every contract violation
-  * is loud.
+  * guard fails FAST on disorder.
+  *
+  * The membership probe is BOUNDED: a `_graft_landed` sidecar beside
+  * the shard dirs records each shard's (min_id, max_id, n_docs), and
+  * only shards whose range can intersect the batch — plus the last
+  * shard and any dir the sidecar has not seen (the two places a
+  * crashed append can leave untracked rows) — are actually read.
+  * Per-batch probe cost is ∝ the batch's id span, not the corpus
+  * (the r9 sink re-read every landed id every batch). A missing
+  * sidecar (pre-existing layout, or deleted) heals by one full scan.
+  *
+  * Crash recovery: an append that died between landing some shard
+  * directories and committing the checkpoint re-arrives as a batch
+  * that PARTIALLY overlaps the landed ids. That state is
+  * reconstructible — dynamic partition overwrite lands whole
+  * directories, and the batch's ids are an id-suffix — so the sink
+  * repairs it instead of wedging: the batch's already-landed rows are
+  * stripped from their shards (restoring the exact pre-append state),
+  * and the full batch re-appends, landing byte-identical to an
+  * uncrashed run. A partial overlap that is NOT a crashed suffix
+  * (producer re-sent genuinely old ids) still dies loudly on
+  * appendShards' append-only guard after the strip.
   *
   * `budget`/`seqsPerShard` are frozen for the sink's lifetime (they
   * define the layout — changing them means a re-shard, a new sink).
   */
 object StreamingShards {
+
+  private val SidecarName = "_graft_landed" // _-prefixed: parquet readers skip it
+
+  /** (shard_id -> (min_id, max_id, n_docs, n_tokens)); None when
+    * absent. */
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem, path: String)
+      : Option[Map[Long, (Long, Long, Long, Long)]] = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val txt = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        Some(txt.linesIterator.filter(_.nonEmpty).map { l =>
+          val Array(s, mn, mx, n, t) = l.split(",")
+          s.toLong -> ((mn.toLong, mx.toLong, n.toLong, t.toLong))
+        }.toMap)
+      } finally in.close()
+    }
+  }
+
+  private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           stats: Map[Long, (Long, Long, Long, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, SidecarName)
+    val out = fs.create(p, true)
+    try out.write(stats.toSeq.sortBy(_._1)
+      .map { case (s, (mn, mx, n, t)) => s"$s,$mn,$mx,$n,$t" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Recompute sidecar entries for `shards` only (bounded rescan);
+    * entries for vanished dirs are dropped. Returns the new stats. */
+  private def refreshSidecar(spark: org.apache.spark.sql.SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem, path: String,
+                             idCol: String,
+                             prior: Map[Long, (Long, Long, Long, Long)],
+                             shards: Set[Long])
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val present = listShards(fs, path)
+    val toScan = shards & present
+    val scanned =
+      if (toScan.isEmpty) Map.empty[Long, (Long, Long, Long, Long)]
+      else spark.read.option("basePath", path)
+        .parquet(toScan.toSeq.map(s => s"$path/shard_id=$s"): _*)
+        .groupBy(col("shard_id").cast("long").as("__s"))
+        .agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"),
+          count(lit(1)), sum(col("n_tokens")).cast("long"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+    val next = prior.filter(kv => present.contains(kv._1)) -- toScan ++ scanned
+    writeSidecar(fs, path, next)
+    next
+  }
+
+  private def listShards(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String): Set[Long] =
+    fs.globStatus(new org.apache.hadoop.fs.Path(path, "shard_id=*"))
+      .map(_.getPath.getName.stripPrefix("shard_id=").toLong).toSet
 
   /** Start the shard sink: (idCol, tokenCol, payload...) stream →
     * sized shard files under `path` (see [[Packing.writeShards]] for
@@ -48,32 +127,131 @@ object StreamingShards {
           val spark = batch.sparkSession
           val hp = new org.apache.hadoop.fs.Path(path)
           val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val landed = fs.exists(hp) &&
-            fs.globStatus(new org.apache.hadoop.fs.Path(path, "shard_id=*"))
-              .nonEmpty
-          if (!landed) {
+          val shardsOnDisk = if (fs.exists(hp)) listShards(fs, path)
+            else Set.empty[Long]
+          if (shardsOnDisk.isEmpty) {
             val packed = Packing.packByBudget(
                 batch.select(col(idCol), col(tokenCol)),
                 idCol, tokenCol, budget)
               .join(batch.drop(tokenCol), Seq(idCol))
             Packing.writeShards(packed, idCol, path, seqsPerShard)
+            refreshSidecar(spark, fs, path, idCol, Map.empty,
+              listShards(fs, path))
           } else {
-            val landed = spark.read.parquet(path).select(col(idCol))
+            // heal a missing sidecar with one full scan, then probe
+            // only the shards a batch id could possibly live in
+            val stats = readSidecar(fs, path).getOrElse {
+              refreshSidecar(spark, fs, path, idCol, Map.empty, shardsOnDisk)
+              readSidecar(fs, path).get
+            }
             val ids = batch.select(col(idCol)).distinct()
-            val nBatch = ids.count()
-            val nFresh = ids.join(landed, Seq(idCol), "left_anti").count()
-            if (nFresh == 0L) {
+              .localCheckpoint(true)
+            val b = ids.agg(min(col(idCol)).cast("long"), count(lit(1))).head()
+            val (bMin, nBatch) = (b.getLong(0), b.getLong(1))
+            val lastShard =
+              if (stats.nonEmpty) stats.maxBy(_._2._2)._1 else -1L
+            val probeShards = (shardsOnDisk -- stats.keySet) ++
+              stats.filter(_._2._2 >= bMin).keySet ++
+              (if (stats.nonEmpty) Set(lastShard) else Set.empty[Long])
+            val hit =
+              if (probeShards.isEmpty) ids.limit(0)
+                .withColumn("shard_id", lit(0L))
+              else spark.read.option("basePath", path)
+                .parquet(probeShards.toSeq.map(s => s"$path/shard_id=$s"): _*)
+                .select(col(idCol), col("shard_id").cast("long").as("shard_id"))
+                .join(ids, Seq(idCol), "left_semi")
+                .localCheckpoint(true)
+            val nHit = hit.count()
+            if (nHit == nBatch) {
               // every id already landed: a replayed micro-batch —
               // its bytes are on disk, skip
             } else {
-              require(nFresh == nBatch,
-                s"batch partially overlaps landed ids ($nFresh of " +
-                  s"$nBatch fresh): neither a replay nor an append")
-              Packing.appendShards(batch, idCol, tokenCol, path,
-                budget, seqsPerShard)
+              val current = if (nHit > 0L) {
+                // Partial overlap. Before touching ANY file, prove it
+                // is a crashed append suffix (every batch id follows
+                // every landed NON-batch id): a producer re-sending
+                // genuinely old ids must die loudly here, not after a
+                // destructive strip. Unprobed shards hold only ids
+                // < bMin (that is why they were skipped), so the
+                // check needs one bounded scan of the probed dirs.
+                val probedNonBatch = spark.read.option("basePath", path)
+                  .parquet(probeShards.toSeq.map(s => s"$path/shard_id=$s"): _*)
+                  .join(ids, Seq(idCol), "left_anti")
+                  .agg(max(col(idCol)).cast("long")).head()
+                val unprobedMax = (stats -- probeShards).values
+                  .map(_._2).maxOption.getOrElse(Long.MinValue)
+                val maxNonBatch = math.max(unprobedMax,
+                  if (probedNonBatch.isNullAt(0)) Long.MinValue
+                  else probedNonBatch.getLong(0))
+                require(bMin > maxNonBatch,
+                  s"batch partially overlaps landed ids ($nHit of $nBatch " +
+                    s"landed) but is NOT an id-suffix (batch min $bMin <= " +
+                    s"landed non-batch max $maxNonBatch): neither a replay " +
+                    "nor a crashed append — refusing to repair")
+                // crashed mid-append: strip the batch's landed rows
+                // from their shards (restores the pre-append state —
+                // overwrite lands whole dirs, ids are append-only),
+                // then fall through to a clean re-append
+                val dirty = hit.select(col("shard_id")).distinct()
+                  .collect().map(_.getLong(0))
+                val survivors = spark.read.option("basePath", path)
+                  .parquet(dirty.toSeq.map(s => s"$path/shard_id=$s"): _*)
+                  .join(ids, Seq(idCol), "left_anti")
+                  .withColumn("shard_id", col("shard_id").cast("long"))
+                  .localCheckpoint(true)
+                val keep = survivors.select(col("shard_id")).distinct()
+                  .collect().map(_.getLong(0)).toSet
+                if (keep.nonEmpty)
+                  survivors
+                    .repartition(col("shard_id"))
+                    .sortWithinPartitions(col("shard_id"), col(idCol))
+                    .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("shard_id")
+                    .parquet(path)
+                (dirty.toSet -- keep).foreach { s =>
+                  fs.delete(
+                    new org.apache.hadoop.fs.Path(path, s"shard_id=$s"), true)
+                }
+                // the strip (and the crash before it) invalidated the
+                // sidecar for exactly the probed/dirty shards — a
+                // bounded refresh makes the totals below exact
+                refreshSidecar(spark, fs, path, idCol, stats,
+                  probeShards ++ dirty)
+              } else stats
+              if (current.isEmpty) {
+                // the strip emptied the whole layout (the crashed
+                // batch WAS the corpus): recreate from scratch
+                val packed = Packing.packByBudget(
+                    batch.select(col(idCol), col(tokenCol)),
+                    idCol, tokenCol, budget)
+                  .join(batch.drop(tokenCol), Seq(idCol))
+                Packing.writeShards(packed, idCol, path, seqsPerShard)
+                refreshSidecar(spark, fs, path, idCol, Map.empty,
+                  listShards(fs, path))
+              } else {
+                // landed totals from the sidecar — appendShards skips
+                // its full-layout scan, so append cost is ∝ touched
+                // shards, not the corpus
+                val totals = Some((current.values.map(_._4).sum,
+                  current.values.map(_._2).max))
+                Packing.appendShards(batch, idCol, tokenCol, path,
+                  budget, seqsPerShard, knownTotals = totals)
+                // bounded refresh: new dirs + everything the batch's
+                // id span can have touched + the last pre-append
+                // shard (the one existing dir an append rewrites —
+                // skipping it leaves a stale range that would make the
+                // NEXT replay probe miss those landed ids)
+                val after = listShards(fs, path)
+                refreshSidecar(spark, fs, path, idCol, current,
+                  (after -- current.keySet) ++
+                    current.filter(_._2._2 >= bMin).keySet ++
+                    Set(current.maxBy(_._2._2)._1))
+              }
             }
           }
         }
+        () // foreachBatch wants Unit; refreshSidecar returns the stats
       }
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")

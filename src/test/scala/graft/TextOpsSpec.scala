@@ -547,6 +547,99 @@ class TextOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/incr").count() == 90)
   }
 
+  test("streaming shard sink: crash recovery — a partially-landed batch " +
+    "is repaired to the from-scratch bytes; a non-suffix overlap refuses " +
+    "loudly without mutating files") {
+    import graft.operators.Packing
+    import graft.streaming.StreamingShards
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 90).map(i =>
+      (i * 2L + 1, 1L + rng.nextInt(9), s"p-${i * 2L + 1}"))
+    val base = java.nio.file.Files.createTempDirectory("shcrash").toString
+    val ref = Packing.packByBudget(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 25L)
+      .join(rows.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id"))
+    Packing.writeShards(ref, "doc_id", s"$base/full", 3L)
+    val (b1, b2) = rows.splitAt(60)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ids",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamingShards.shardSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+      s"$base/incr", "doc_id", "n_tokens", 25L, 3L, s"$base/ckpt")
+    b1.toDF("doc_id", "n_tokens", "ids").coalesce(1)
+      .write.parquet(s"$base/src")
+    val q1 = start(); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, q1.exception); q1.stop()
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head).toMap
+    // SIMULATED CRASH: half of b2 lands on disk via a direct append
+    // (no checkpoint commit, no sidecar update — exactly the state a
+    // mid-append failure leaves), then the FULL batch arrives on the
+    // stream. The sink must classify it as a crashed suffix, strip
+    // the landed half, and re-append the whole batch.
+    val (b2a, _) = b2.splitAt(15)
+    Packing.appendShards(b2a.toDF("doc_id", "n_tokens", "ids"),
+      "doc_id", "n_tokens", s"$base/incr", 25L, 3L)
+    val preMtimes = files(s"$base/incr")
+      .map { case (s, f) => s -> f.lastModified() }
+    b2.toDF("doc_id", "n_tokens", "ids").coalesce(1).write.mode("append")
+      .parquet(s"$base/src")
+    val q2 = start(); q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception); q2.stop()
+    val (ff, fi) = (files(s"$base/full"), files(s"$base/incr"))
+    assert(ff.keySet == fi.keySet && ff.nonEmpty)
+    ff.foreach { case (shard, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fi(shard).toPath)),
+        s"$shard differs from from-scratch after crash recovery")
+    }
+    // shards the crash could not have touched were never rewritten
+    val b1MaxId = b1.map(_._1).max
+    val untouchable = preMtimes.keys
+      .map(_.stripPrefix("shard_id=").toLong)
+      .filter { s =>
+        val ids = spark.read.parquet(s"$base/incr/shard_id=$s")
+          .select($"doc_id").as[Long].collect()
+        ids.max < b1MaxId && s < preMtimes.size - 2
+      }
+    untouchable.foreach { s =>
+      assert(fi(s"shard_id=$s").lastModified() == preMtimes(s"shard_id=$s"),
+        s"shard $s rewritten during recovery")
+    }
+    assert(spark.read.parquet(s"$base/incr").count() == 90)
+    // a NON-suffix partial overlap (one genuinely old id re-sent among
+    // fresh ones) refuses loudly and leaves every byte alone
+    val preBytes = files(s"$base/incr").map { case (s, f) =>
+      s -> java.nio.file.Files.readAllBytes(f.toPath) }
+    val bad = Seq((b1.head._1, 3L, "x"),
+      (rows.map(_._1).max + 2, 3L, "y"))
+    bad.toDF("doc_id", "n_tokens", "ids").coalesce(1).write.mode("append")
+      .parquet(s"$base/src")
+    val q3 = start()
+    val thrown = try { q3.processAllAvailable(); None }
+      catch { case e: Exception => Some(e) }
+    val msg = q3.exception.map(_.toString)
+      .orElse(thrown.map(_.toString)).getOrElse("")
+    assert(msg.contains("NOT an id-suffix"),
+      s"non-suffix overlap must fail loudly; got: ${msg.take(500)}")
+    q3.stop()
+    files(s"$base/incr").foreach { case (s, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath), preBytes(s)),
+        s"$s mutated by a refused repair")
+    }
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
