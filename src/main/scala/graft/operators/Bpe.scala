@@ -53,6 +53,14 @@ object Bpe {
 
   /** The word-frequency type table in spaced form: (w, freq). The one
     * corpus-sized pass of training. */
+  /** The unspaced word table (word, freq) — the [[Unigram]] family's
+    * substrate, which segments raw words rather than spaced symbol
+    * strings. */
+  def wordTableRaw(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
   def wordTable(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)

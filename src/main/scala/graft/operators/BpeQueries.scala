@@ -102,6 +102,18 @@ object BpeQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The trained unigram vocabulary (seed → one hard-EM round →
+    * prune), learn-once per (session, dir) like the merge table. */
+  private val UniMaxLen = 4
+  private val UniTopK = 64
+
+  private def uniVocab(s: SparkSession, d: String): DataFrame =
+    v4Cache.getOrElseUpdate((sessionKey(s), d + "#univocab"), {
+      val words = Bpe.wordTableRaw(docs(s, d), "text")
+      Unigram.refit(words, Unigram.seedVocab(words, UniMaxLen, UniTopK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** The digest input rendering shared by the shard-manifest rows and
     * both engines: every payload field of the row, pipe-joined. */
   private def shardRowContent =
@@ -314,6 +326,19 @@ object BpeQueries {
           (replace(col("__raw"), lit("▁"), lit(" ")) === col("__text"))
             .as("ok"))
     }),
+    // The SECOND tokenizer family (Kudo 2018 unigram, hard-EM
+    // integer-order variant — see Unigram's scaladoc): substring-
+    // seeded vocabulary carved down by one Viterbi-EM round. The
+    // oracle re-derives the seed, enumerates EVERY segmentation of
+    // every word by recursive CTE, applies the same (n, -Σfreq,
+    // rendering) order, and recounts — the whole trainer inside the
+    // gate, not an epsilon-compare.
+    "q173_unigram_vocab" -> ((s, d) => uniVocab(s, d)),
+    // Per-document encode under the trained vocabulary: a SECOND
+    // Viterbi pass with the refit scores (EM round-2's E-step), words
+    // reassembled in document order. Shares the q114 output contract.
+    "q174_unigram_encode" -> ((s, d) =>
+      Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))),
     // Curation pipeline v4 — the round-8 families chained as ONE
     // declarative plan, the last mile before a trainer: span REMOVAL
     // rewrites the corpus (q124), the LEARNED NB gate filters the
@@ -809,7 +834,77 @@ object BpeQueries {
        |    seq_id || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
        |FROM sh GROUP BY 1""".stripMargin
 
+  /** Unigram CTEs: unspaced word table → substring counts → seed
+    * vocab (top-K ∪ single chars) → round-1 Viterbi (exhaustive
+    * recursive-CTE enumeration under the (n asc, Σfreq desc,
+    * rendering asc) order — the DP-free mirror of
+    * [[Unigram.viterbi]]) → usage-count refit (`uni`, the final
+    * vocabulary). */
+  private lazy val unigramCtes =
+    s"""uw AS MATERIALIZED (SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |sub AS MATERIALIZED (SELECT substr(word, i, l) AS token,
+       |    sum(freq)::BIGINT AS cnt
+       |  FROM uw,
+       |       UNNEST(generate_series(1, len(word))) AS u(i),
+       |       UNNEST(generate_series(1, $UniMaxLen)) AS v(l)
+       |  WHERE i + l - 1 <= len(word)
+       |  GROUP BY 1),
+       |topk AS (SELECT token, cnt FROM sub
+       |         ORDER BY cnt DESC, token ASC LIMIT $UniTopK),
+       |seedv AS MATERIALIZED (SELECT token, max(cnt) AS cnt FROM (
+       |  SELECT token, cnt FROM topk
+       |  UNION ALL SELECT token, cnt FROM sub WHERE len(token) = 1)
+       |  GROUP BY token),
+       |paths1(word, pos, toks, n, fs) AS (
+       |  SELECT word, 0, '', 0, CAST(0 AS BIGINT) FROM uw
+       |  UNION ALL
+       |  SELECT p.word, p.pos + len(v.token),
+       |         p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || v.token,
+       |         p.n + 1, p.fs + v.cnt
+       |  FROM paths1 p JOIN seedv v
+       |    ON substr(p.word, p.pos + 1, len(v.token)) = v.token
+       |  WHERE p.pos < len(p.word)),
+       |seg1 AS MATERIALIZED (SELECT word, toks FROM (
+       |  SELECT word, toks, row_number() OVER (PARTITION BY word
+       |    ORDER BY n ASC, fs DESC, toks ASC) AS rk
+       |  FROM paths1 WHERE pos = len(word)) WHERE rk = 1),
+       |uni AS MATERIALIZED (SELECT t.tok AS token,
+       |    sum(uw.freq)::BIGINT AS cnt
+       |  FROM seg1 JOIN uw USING (word),
+       |       UNNEST(string_split(seg1.toks, ' ')) AS t(tok)
+       |  GROUP BY 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q173_unigram_vocab" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT token, cnt FROM uni""".stripMargin,
+    // round-2 Viterbi under the refit scores, reassembled per doc
+    "q174_unigram_encode" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |paths2(word, pos, toks, n, fs) AS (
+         |  SELECT word, 0, '', 0, CAST(0 AS BIGINT) FROM uw
+         |  UNION ALL
+         |  SELECT p.word, p.pos + len(v.token),
+         |         p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || v.token,
+         |         p.n + 1, p.fs + v.cnt
+         |  FROM paths2 p JOIN uni v
+         |    ON substr(p.word, p.pos + 1, len(v.token)) = v.token
+         |  WHERE p.pos < len(p.word)),
+         |seg2 AS MATERIALIZED (SELECT word, toks,
+         |  len(string_split(toks, ' '))::BIGINT AS nt FROM (
+         |  SELECT word, toks, row_number() OVER (PARTITION BY word
+         |    ORDER BY n ASC, fs DESC, toks ASC) AS rk
+         |  FROM paths2 WHERE pos = len(word)) WHERE rk = 1),
+         |dw AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) q,
+         |       UNNEST(generate_series(1, len(w))) AS u(i)
+         |  WHERE len(w[i]) > 0)
+         |SELECT doc_id, sum(seg2.nt)::BIGINT AS n_tokens,
+         |       string_agg(seg2.toks, ' ' ORDER BY pos) AS toks
+         |FROM dw JOIN seg2 USING (word)
+         |GROUP BY doc_id""".stripMargin,
     "q113_bpe_merges" -> mergesSql,
     "q147_tokenizer_fertility" ->
       s"""WITH ${trainingCtes(NumMerges)},

@@ -354,6 +354,52 @@ class BpeSpec extends AnyFunSuite {
       Bucketing.dropManagedTable(spark, t)
   }
 
+  test("unigram viterbi: integer order (fewest, then highest freq, " +
+    "then smallest rendering); single-char floor always covers") {
+    import graft.operators.Unigram
+    // "abcd": {abcd} beats any split; without it, {ab,cd} vs {abc,d}
+    // both n=2 — frequency decides; frequency tie -> rendering
+    assert(Unigram.viterbi("abcd",
+      Map("abcd" -> 1L, "ab" -> 99L, "cd" -> 99L), 4).get == Seq("abcd"))
+    assert(Unigram.viterbi("abcd",
+      Map("ab" -> 5L, "cd" -> 5L, "abc" -> 9L, "d" -> 2L), 4).get
+      == Seq("abc", "d")) // 11 > 10
+    assert(Unigram.viterbi("abcd",
+      Map("ab" -> 5L, "cd" -> 5L, "a" -> 1L, "bcd" -> 9L), 4).get
+      == Seq("a", "bcd")) // tie at 10 -> "a bcd" < "ab cd"
+    // uncovered word: None (segmentWords turns this into a loud error)
+    assert(Unigram.viterbi("xyz", Map("x" -> 1L, "z" -> 1L), 4).isEmpty)
+    // char floor: any word covered by its alphabet
+    assert(Unigram.viterbi("zzz", Map("z" -> 1L), 4).get
+      == Seq("z", "z", "z"))
+  }
+
+  test("unigram hard-EM: seed covers, refit prunes unused tokens, " +
+    "encode round-trips the corpus") {
+    import graft.operators.{Bpe, Unigram}
+    val corpus = Seq((0L, "lower lower newest newest newest widest"),
+      (1L, "lower widest widest")).toDF("doc_id", "text")
+    val words = Bpe.wordTableRaw(corpus, "text")
+    val seed = Unigram.seedVocab(words, 4, 16)
+    // the seed's single-char floor: every corpus char present
+    val seedToks = seed.select($"token").as[String].collect().toSet
+    "lowernewst".foreach(c => assert(seedToks.contains(c.toString), c))
+    val vocab = Unigram.refit(words, seed)
+    val vocabToks = vocab.select($"token").as[String].collect().toSet
+    // carve-down: refit only keeps tokens the segmentation used
+    assert(vocabToks.subsetOf(seedToks) && vocabToks.size < seedToks.size)
+    // usage counts conserve mass: Σ cnt·len(token) == Σ freq·len(word)
+    val lhs = vocab.select(sum($"cnt" * length($"token"))).as[Long].head()
+    val rhs = words.select(sum($"freq" * length($"word"))).as[Long].head()
+    assert(lhs == rhs)
+    // encode: concatenating each doc's tokens reproduces its text
+    val enc = Unigram.encode(corpus, "doc_id", "text", vocab)
+      .select($"doc_id", $"toks").as[(Long, String)].collect().toMap
+    corpus.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(enc(id).replace(" ", "") == text.replace(" ", ""), s"doc $id")
+    }
+  }
+
   test("encode is a zero-exchange codegen projection") {
     val merges = Seq(("a", "b"))
     val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
