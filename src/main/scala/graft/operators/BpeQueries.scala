@@ -339,6 +339,59 @@ object BpeQueries {
     // reassembled in document order. Shares the q114 output contract.
     "q174_unigram_encode" -> ((s, d) =>
       Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))),
+    // Tokenizer bake-off: BPE vs unigram fertility per language over
+    // the SAME corpus — the table that decides which family a
+    // pipeline ships. One encode pass per family, one #langs agg.
+    "q176_tokenizer_compare" -> ((s, d) => {
+      val bpe = docs(s, d).select(col("doc_id"), col("lang"),
+        size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
+          .cast("long").as("bpe_nt"),
+        size(split(col("text"), " ")).cast("long").as("nw"))
+      val uni = Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))
+        .select(col("doc_id"), col("n_tokens").as("uni_nt"))
+      bpe.join(uni, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_nt")).cast("long").as("bpe_tokens"),
+          sum(col("uni_nt")).cast("long").as("uni_tokens"),
+          round(sum(col("bpe_nt")).cast("double") / sum(col("nw")), 4)
+            .as("bpe_per_word"),
+          round(sum(col("uni_nt")).cast("double") / sum(col("nw")), 4)
+            .as("uni_per_word"))
+    }),
+    // q115's layout plus each document's token offset INSIDE its
+    // sequence — the attention-boundary metadata a trainer's packed
+    // batches need to mask cross-document attention. Same two-phase
+    // prefix sum; the offset is a free projection of it.
+    "q175_pack_boundaries" -> ((s, d) =>
+      Packing.packWithOffsets(
+        docs(s, d).select(col("doc_id"),
+          size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
+            .cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)),
+    // INCREMENTAL sealed maintenance — q144's contract for the sealed
+    // family: the batch folds in touching only the LAST landed shard
+    // (whose capacity span its first docs may start inside) plus new
+    // shards; the read-back manifest must equal the from-scratch
+    // sealed layout's (q168's oracle verbatim).
+    "q177_sealed_append" -> ((s, d) => {
+      val ids = idsTable(s, d)
+      val maxId = ids.agg(max(col("doc_id"))).head().getLong(0)
+      val thresh = maxId * 4 / 5
+      val old = ids.filter(col("doc_id") <= thresh)
+      val batch = ids.filter(col("doc_id") > thresh)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealinc_" +
+        math.abs(d.hashCode.toLong)
+      Packing.writeByShardColumn(
+        Packing.packSealed(old.select(col("doc_id"), col("n_tokens")),
+            "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+          .join(old.select(col("doc_id"), col("ids")), Seq("doc_id")),
+        "doc_id", path)
+      Packing.appendSealedShards(batch, "doc_id", "n_tokens", path,
+        budget = PackBudget, seqsPerShard = 4L)
+      Packing.shardManifest(s.read.parquet(path), sealedRowContent,
+        seqCol = "seq_in_shard")
+    }),
     // Curation pipeline v4 — the round-8 families chained as ONE
     // declarative plan, the last mile before a trainer: span REMOVAL
     // rewrites the corpus (q124), the LEARNED NB gate filters the
@@ -822,6 +875,27 @@ object BpeQueries {
        |sh AS (SELECT doc_id, n_tokens, ids,
        |  CAST(s // $PackBudget AS BIGINT) AS seq_id FROM cp)""".stripMargin
 
+  /** The sealed-layout manifest oracle (q168), shared verbatim by the
+    * sealed APPEND (q177) — the incremental path must land at the
+    * from-scratch sealed layout. */
+  private lazy val sealedManifestSql =
+    s"""WITH ${trainingCtes(NumMerges)},
+       |${vocabCtes(NumMerges)},
+       |$shardLayoutCtes,
+       |so AS (SELECT doc_id, n_tokens, ids,
+       |  CAST(s // ${PackBudget * 4} AS BIGINT) AS shard_id, s FROM cp),
+       |sl AS (SELECT doc_id, n_tokens, ids, shard_id,
+       |  CAST((s - min(s) OVER (PARTITION BY shard_id)) // $PackBudget
+       |       AS BIGINT) AS seq_in_shard
+       |  FROM so)
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT seq_in_shard) AS BIGINT) AS n_seqs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
+       |    shard_id || '|' || seq_in_shard || '|' || ids), 1, 15))
+       |    ::UBIGINT::BIGINT) AS digest
+       |FROM sl GROUP BY 1""".stripMargin
+
   private lazy val shardManifestSql =
     s"""WITH ${trainingCtes(NumMerges)},
        |${vocabCtes(NumMerges)},
@@ -876,6 +950,29 @@ object BpeQueries {
        |       UNNEST(string_split(seg1.toks, ' ')) AS t(tok)
        |  GROUP BY 1)""".stripMargin
 
+  /** Round-2 Viterbi (encode) under the refit scores: yields `seg2`
+    * (word, toks, nt) and `dw` (doc_id, pos, word) — shared by the
+    * per-doc encode (q174) and the tokenizer comparison (q176). */
+  private lazy val unigramEncCtes =
+    """paths2(word, pos, toks, n, fs) AS (
+      |  SELECT word, 0, '', 0, CAST(0 AS BIGINT) FROM uw
+      |  UNION ALL
+      |  SELECT p.word, p.pos + len(v.token),
+      |         p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || v.token,
+      |         p.n + 1, p.fs + v.cnt
+      |  FROM paths2 p JOIN uni v
+      |    ON substr(p.word, p.pos + 1, len(v.token)) = v.token
+      |  WHERE p.pos < len(p.word)),
+      |seg2 AS MATERIALIZED (SELECT word, toks,
+      |  len(string_split(toks, ' '))::BIGINT AS nt FROM (
+      |  SELECT word, toks, row_number() OVER (PARTITION BY word
+      |    ORDER BY n ASC, fs DESC, toks ASC) AS rk
+      |  FROM paths2 WHERE pos = len(word)) WHERE rk = 1),
+      |dw AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) q,
+      |       UNNEST(generate_series(1, len(w))) AS u(i)
+      |  WHERE len(w[i]) > 0)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q173_unigram_vocab" ->
       s"""WITH RECURSIVE $unigramCtes
@@ -883,28 +980,43 @@ object BpeQueries {
     // round-2 Viterbi under the refit scores, reassembled per doc
     "q174_unigram_encode" ->
       s"""WITH RECURSIVE $unigramCtes,
-         |paths2(word, pos, toks, n, fs) AS (
-         |  SELECT word, 0, '', 0, CAST(0 AS BIGINT) FROM uw
-         |  UNION ALL
-         |  SELECT p.word, p.pos + len(v.token),
-         |         p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || v.token,
-         |         p.n + 1, p.fs + v.cnt
-         |  FROM paths2 p JOIN uni v
-         |    ON substr(p.word, p.pos + 1, len(v.token)) = v.token
-         |  WHERE p.pos < len(p.word)),
-         |seg2 AS MATERIALIZED (SELECT word, toks,
-         |  len(string_split(toks, ' '))::BIGINT AS nt FROM (
-         |  SELECT word, toks, row_number() OVER (PARTITION BY word
-         |    ORDER BY n ASC, fs DESC, toks ASC) AS rk
-         |  FROM paths2 WHERE pos = len(word)) WHERE rk = 1),
-         |dw AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) q,
-         |       UNNEST(generate_series(1, len(w))) AS u(i)
-         |  WHERE len(w[i]) > 0)
+         |$unigramEncCtes
          |SELECT doc_id, sum(seg2.nt)::BIGINT AS n_tokens,
          |       string_agg(seg2.toks, ' ' ORDER BY pos) AS toks
          |FROM dw JOIN seg2 USING (word)
          |GROUP BY doc_id""".stripMargin,
+    // the two tokenizer families side by side, per language: the
+    // comparison a tokenizer review reads before choosing one
+    "q176_tokenizer_compare" ->
+      s"""WITH RECURSIVE ${trainingCtes(NumMerges)},
+         |$unigramCtes,
+         |$unigramEncCtes,
+         |un AS (SELECT doc_id, sum(seg2.nt)::BIGINT AS uni_nt
+         |       FROM dw JOIN seg2 USING (word) GROUP BY doc_id),
+         |bp AS (SELECT doc_id,
+         |       len(${encodeExpr(NumMerges)})::BIGINT AS bpe_nt FROM documents),
+         |j AS (SELECT d.lang, bp.bpe_nt, un.uni_nt,
+         |        len(string_split(d.text, ' '))::BIGINT AS nw
+         |      FROM documents d JOIN bp USING (doc_id) JOIN un USING (doc_id))
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |       sum(bpe_nt)::BIGINT AS bpe_tokens,
+         |       sum(uni_nt)::BIGINT AS uni_tokens,
+         |       round(sum(bpe_nt)::DOUBLE / sum(nw), 4) AS bpe_per_word,
+         |       round(sum(uni_nt)::DOUBLE / sum(nw), 4) AS uni_per_word
+         |FROM j GROUP BY lang""".stripMargin,
+    // q115's packing window plus the in-sequence offset — the
+    // attention-boundary metadata
+    "q175_pack_boundaries" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |tc AS (SELECT doc_id,
+         |  len(${encodeExpr(NumMerges)})::BIGINT AS n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+         |  FROM tc)
+         |SELECT doc_id, n_tokens, CAST(s // $PackBudget AS BIGINT) AS seq_id,
+         |       CAST(s % $PackBudget AS BIGINT) AS offset
+         |FROM c""".stripMargin,
     "q113_bpe_merges" -> mergesSql,
     "q147_tokenizer_fertility" ->
       s"""WITH ${trainingCtes(NumMerges)},
@@ -964,23 +1076,10 @@ object BpeQueries {
     // sealed layout math recomputed from the corpus: shard by global
     // prefix sum div capacity, then the within-shard sequence layout
     // from each shard's own first-doc offset
-    "q168_sealed_manifest" ->
-      s"""WITH ${trainingCtes(NumMerges)},
-         |${vocabCtes(NumMerges)},
-         |$shardLayoutCtes,
-         |so AS (SELECT doc_id, n_tokens, ids,
-         |  CAST(s // ${PackBudget * 4} AS BIGINT) AS shard_id, s FROM cp),
-         |sl AS (SELECT doc_id, n_tokens, ids, shard_id,
-         |  CAST((s - min(s) OVER (PARTITION BY shard_id)) // $PackBudget
-         |       AS BIGINT) AS seq_in_shard
-         |  FROM so)
-         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(count(DISTINCT seq_in_shard) AS BIGINT) AS n_seqs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens || '|' ||
-         |    shard_id || '|' || seq_in_shard || '|' || ids), 1, 15))
-         |    ::UBIGINT::BIGINT) AS digest
-         |FROM sl GROUP BY 1""".stripMargin,
+    "q168_sealed_manifest" -> sealedManifestSql,
+    // the sealed append must land at the from-scratch sealed layout —
+    // the q144 invariant pattern applied to the sealed family
+    "q177_sealed_append" -> sealedManifestSql,
     // the targeted-repair contract, recomputed end to end: the OLD
     // sealed layout over the aug corpus, flagged docs from the
     // reference-span join, repaired payloads (spans cut + re-encode,

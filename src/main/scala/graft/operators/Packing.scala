@@ -88,6 +88,22 @@ object Packing {
     }.toDF(idCol, "n_tokens", "__start")
   }
 
+  /** [[packByBudget]] plus each document's token OFFSET inside its
+    * sequence (`prefix_sum mod budget`) — the attention-boundary
+    * metadata a trainer needs to mask cross-document attention inside
+    * a packed sequence: (idCol, n_tokens, seq_id, offset) says
+    * exactly where document `id` starts in sequence `seq_id`. Same
+    * single two-phase pass; the offset is a projection of the prefix
+    * sum the packing already computes. */
+  def packWithOffsets(df: DataFrame, idCol: String, tokenCol: String,
+                      budget: Long, tokenOffset: Long = 0L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    prefixSums(df, idCol, tokenCol, tokenOffset)
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__start div ${budget}L").as("seq_id"),
+        expr(s"__start % ${budget}L").as("offset"))
+  }
+
   /** SEALED packing — the layout whose repair cost is ∝ flagged
     * shards, not the corpus (the WebDataset/Megatron property).
     * [[packByBudget]]'s single global prefix sum means removing one
@@ -266,6 +282,65 @@ object Packing {
         countDistinct(col(seqCol)).cast("long").as("n_seqs"),
         sum(col("n_tokens")).cast("long").as("n_tokens"),
         expr("bit_xor(__h)").as("digest"))
+
+  /** Incremental append for the SEALED layout — [[appendShards]]'
+    * contract with [[packSealed]] semantics. Under append-only ingest
+    * the batch's global prefix sums start at the landed token total,
+    * so its shard assignments (`start div capacity`) are final and
+    * ≥ the last landed shard; the only existing shard that can change
+    * is that LAST one (the batch's first docs may start inside its
+    * capacity span). Touched shards re-derive their within-shard
+    * layout from their own rows alone (ordered running sum — for a
+    * sealed shard that IS the from-scratch `s − s_first`), land
+    * byte-identical to a from-scratch [[packSealed]] of the full
+    * corpus (spec-pinned), and every earlier shard file is untouched.
+    * Work ∝ batch. */
+  def appendSealedShards(batch: DataFrame, idCol: String, tokenCol: String,
+                         path: String, budget: Long,
+                         seqsPerShard: Long): Unit = {
+    require(budget >= 1 && seqsPerShard >= 1,
+      s"budget/seqsPerShard must be >= 1, got $budget/$seqsPerShard")
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val cap = budget * seqsPerShard
+    val old = spark.read.parquet(path)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+    val st = old.agg(sum(col("n_tokens")).cast("long"),
+      max(col(idCol)).cast("long")).head()
+    val (oldTokens, maxOldId) = (st.getLong(0), st.getLong(1))
+    val minNew = batch.agg(min(col(idCol)).cast("long")).head().getLong(0)
+    require(minNew > maxOldId,
+      s"appendSealedShards is append-only: batch min id $minNew must " +
+        s"follow existing max id $maxOldId (re-shard from scratch otherwise)")
+    val placed = prefixSums(batch.select(col(idCol), col(tokenCol)),
+        idCol, tokenCol, oldTokens)
+      .withColumn("shard_id", expr(s"__start div ${cap}L"))
+      .select(col(idCol), col("n_tokens"), col("shard_id"))
+      .join(batch.drop(tokenCol), Seq(idCol))
+    val touched = placed.select(col("shard_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rewrite = old
+      .filter(col("shard_id").isin(touched.toSeq: _*))
+      .select(col(idCol), col("n_tokens"), col("ids"), col("shard_id"))
+      .unionByName(placed.select(col(idCol), col("n_tokens"), col("ids"),
+        col("shard_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard_id")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val packed = rewrite
+      .withColumn("__ls", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("n_tokens"),
+        expr(s"__ls div ${budget}L").as("seq_in_shard"),
+        col("ids"), col("shard_id"))
+      .localCheckpoint(true) // must not scan the dirs it overwrites
+    asNullable(packed)
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard_id")
+      .parquet(path)
+  }
 
   /** TARGETED repair of a [[packSealed]]+[[writeByShardColumn]]
     * layout — the act on a quarantine list whose cost is ∝ flagged

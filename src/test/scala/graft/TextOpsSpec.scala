@@ -430,6 +430,51 @@ class TextOpsSpec extends AnyFunSuite {
       Seq.empty[Long].toDF("doc_id"), repaired, "doc_id", 10L)
   }
 
+  test("appendSealedShards: lands at the from-scratch sealed layout, " +
+    "rewrites only the last landed shard plus new ones") {
+    import graft.operators.Packing
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 150).map(i =>
+      (i * 3L + 1, 1L + rng.nextInt(9), s"p-${i * 3L + 1}"))
+    def sealedOf(rs: Seq[(Long, Long, String)]) =
+      Packing.packSealed(rs.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", budget = 10L, seqsPerShard = 3L)
+        .join(rs.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id"))
+    val base = java.nio.file.Files.createTempDirectory("sealinc").toString
+    Packing.writeByShardColumn(sealedOf(rows), "doc_id", s"$base/full")
+    val (old, batch) = rows.splitAt(120)
+    Packing.writeByShardColumn(sealedOf(old), "doc_id", s"$base/incr")
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head).toMap
+    val preMtimes = files(s"$base/incr")
+      .map { case (s, f) => s -> f.lastModified() }
+    Packing.appendSealedShards(
+      batch.map(r => (r._1, r._2, r._3)).toDF("doc_id", "n_tokens", "ids"),
+      "doc_id", "n_tokens", s"$base/incr", 10L, 3L)
+    val (ff, fi) = (files(s"$base/full"), files(s"$base/incr"))
+    assert(ff.keySet == fi.keySet && ff.nonEmpty)
+    ff.foreach { case (shard, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fi(shard).toPath)),
+        s"$shard differs from from-scratch")
+    }
+    // only the LAST pre-append shard may be rewritten
+    val lastOld = preMtimes.keys.map(_.stripPrefix("shard_id=").toLong).max
+    preMtimes.foreach { case (shard, t) =>
+      if (shard.stripPrefix("shard_id=").toLong < lastOld)
+        assert(fi(shard).lastModified() == t, s"$shard was rewritten")
+    }
+    // append-only contract enforced
+    intercept[IllegalArgumentException] {
+      Packing.appendSealedShards(Seq((old.head._1, 3L, "x"))
+          .toDF("doc_id", "n_tokens", "ids"),
+        "doc_id", "n_tokens", s"$base/incr", 10L, 3L)
+    }
+  }
+
   test("appendShards: lands at the from-scratch layout, rewrites only touched shards") {
     import graft.operators.Packing
     val rng = new scala.util.Random(5)
