@@ -339,6 +339,20 @@ object BpeQueries {
     // reassembled in document order. Shares the q114 output contract.
     "q174_unigram_encode" -> ((s, d) =>
       Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))),
+    // Unigram encode-to-ids against the trained vocabulary's id
+    // space (rank by count desc, token asc — the artifact a trainer's
+    // embedding table indexes). The vocabulary is closed over its own
+    // segmentation, so n_oov must be 0 for EVERY document — checked
+    // in the gated output, the q133 contract for the second family.
+    "q178_unigram_ids" -> ((s, d) => {
+      val enc = Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))
+        .select(col("doc_id"), col("toks").as("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("token").asc)
+      val vocab = uniVocab(s, d).select(col("token"),
+        (row_number().over(w) - 1).cast("long").as("id"))
+      Curation.tokenizeToIds(enc, "doc_id", "text", vocab)
+    }),
     // Tokenizer bake-off: BPE vs unigram fertility per language over
     // the SAME corpus — the table that decides which family a
     // pipeline ships. One encode pass per family, one #langs agg.
@@ -985,6 +999,25 @@ object BpeQueries {
          |       string_agg(seg2.toks, ' ' ORDER BY pos) AS toks
          |FROM dw JOIN seg2 USING (word)
          |GROUP BY doc_id""".stripMargin,
+    // rank ids over the refit vocab; the token stream orders by
+    // (word position, within-word sub-position)
+    "q178_unigram_ids" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |$unigramEncCtes,
+         |vid AS (SELECT token,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1
+         |         AS BIGINT) AS id
+         |  FROM uni),
+         |tt AS (SELECT doc_id, pos, j, t[j] AS token FROM
+         |  (SELECT doc_id, pos, string_split(seg2.toks, ' ') AS t
+         |   FROM dw JOIN seg2 USING (word)) q,
+         |  UNNEST(generate_series(1, len(t))) AS u(j)),
+         |idt AS (SELECT doc_id, pos, j, coalesce(v.id, -1) AS id
+         |        FROM tt LEFT JOIN vid v USING (token))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |       CAST(sum(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos, j) AS ids
+         |FROM idt GROUP BY doc_id""".stripMargin,
     // the two tokenizer families side by side, per language: the
     // comparison a tokenizer review reads before choosing one
     "q176_tokenizer_compare" ->

@@ -255,6 +255,41 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // Embedding-space benchmark decontamination — q142's ref×corpus
+    // discipline in SEMANTIC space: n-gram spans miss a paraphrased
+    // or re-embedded leak, cosine against the benchmark's vectors
+    // catches it. The benchmark table is synthesized in-query (the
+    // withPii/withC4Lines injection pattern): every 37th corpus
+    // vector, blend-perturbed (0.9·v + 0.1·shift(v) — cosine ≈ 0.99
+    // to its source, < 0.5 to everything else), so the detector must
+    // flag exactly the planted sources THROUGH the perturbation, best
+    // benchmark match attached. Scale shape: the benchmark side is
+    // small by nature and broadcasts; the corpus is scanned once and
+    // never shuffled — the only cross table is corpus × |benchmark|.
+    "q179_semantic_decontam" -> ((s, d) => {
+      val e = emb(s, d)
+      val shifted = expr(
+        "concat(slice(embedding, 2, size(embedding) - 1), " +
+          "slice(embedding, 1, 1))")
+      val ref = e.filter(col("vec_id") % 37 === 0)
+        .select(col("vec_id").as("ref_id"),
+          zip_with(col("embedding").cast("array<double>"),
+            shifted.cast("array<double>"),
+            (x, y) => x * 0.9 + y * 0.1).as("ref_vec"))
+      val scored = e.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(ref))
+        .select(col("vec_id"), col("ref_id"),
+          round(graft.functions.VectorFunctions.cosine(
+            col("embedding").cast("array<double>"), col("ref_vec")), 4)
+            .as("cos"))
+        .filter(col("cos") >= 0.8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("ref_id").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("vec_id"), col("ref_id"), col("cos"))
+    }),
     // Per-source health scorecard — the table an ingest review
     // actually reads, composing the individual monitors (q112
     // entropy, q148 C4 drop rate, q161 Gopher repetition, exact-dup
@@ -783,6 +818,22 @@ object CurationQueries {
         |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
         |       round(sum(term) / 1000000.0, 4) AS js
         |FROM terms GROUP BY t_old, t_new""".stripMargin,
+    // the same blend construction, scan, threshold and best-match
+    "q179_semantic_decontam" ->
+      s"""WITH r AS (SELECT vec_id AS ref_id,
+         |    [embedding[i]::DOUBLE * 0.9 +
+         |     embedding[CASE WHEN i < len(embedding) THEN i + 1 ELSE 1 END]::DOUBLE * 0.1
+         |     for i in range(1, len(embedding) + 1)] AS rv
+         |  FROM embeddings WHERE vec_id % 37 = 0),
+         |c AS (SELECT vec_id, embedding AS cv FROM embeddings),
+         |p AS (SELECT c.vec_id, r.ref_id,
+         |        round(${embCosSql("cv", "rv")}, 4) AS cos
+         |      FROM c CROSS JOIN r),
+         |f AS (SELECT vec_id, ref_id, cos FROM p WHERE cos >= 0.8),
+         |b AS (SELECT vec_id, ref_id, cos, row_number() OVER
+         |        (PARTITION BY vec_id ORDER BY cos DESC, ref_id ASC) AS rk
+         |      FROM f)
+         |SELECT vec_id, ref_id, cos FROM b WHERE rk = 1""".stripMargin,
     // every branch mirrors its parent query's fragment (q112 entropy,
     // q148 aug+filter, q161 repetition, q24 fingerprint), rolled up
     // per source
