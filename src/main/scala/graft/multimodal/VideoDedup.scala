@@ -115,19 +115,48 @@ object VideoDedup {
     * singletons keep themselves) and its frame count — the table the
     * physical delete/copy step consumes, mirroring q164's image
     * keep-one contract. Output: (media_id, n_frames, keep_id,
-    * is_keeper). */
+    * is_keeper).
+    *
+    * Runs as an exact-first CASCADE: pair similarity is a function of
+    * the distinct-hash SET alone, so videos with identical sets are
+    * interchangeable — they collapse to one representative (the
+    * set-minimum id) BEFORE the banded join, and the near-dup
+    * machinery runs over representatives only. On a re-upload-heavy
+    * corpus the exact tier absorbs the quadratic mass (every pair
+    * inside an identical-set class is a near-dup — the pair graph is
+    * a clique per class) and the banding/CC tier sees one node per
+    * distinct signature. The output partition — and therefore every
+    * keep_id — is provably the all-pairs answer: members of one
+    * signature are pairwise connected at sim 1.0, and any cross-
+    * signature member pair induces the same-sim representative pair
+    * (sim depends only on the two sets). The component minimum over
+    * representatives IS the member minimum, because each
+    * representative is already its class's minimum. */
   def nearDupGroups(sigs: DataFrame, bandBits: Int = 12, nBands: Int = 4,
                     hammingMax: Int = 3, simMin: Double = 0.6,
                     bucketCap: Option[Int] = None): DataFrame = {
-    val pairs = nearDupPairs(sigs, bandBits, nBands, hammingMax, simMin,
+    val vh = sigs.select(col("media_id"), col("fhash")).distinct()
+    val sig = vh.groupBy(col("media_id"))
+      .agg(md5(concat_ws(",",
+        array_sort(collect_list(col("fhash").cast("string"))))).as("__sig"))
+    val rep = sig.groupBy(col("__sig")).agg(min(col("media_id")).as("__rep"))
+    val members = sig.join(rep, Seq("__sig"))
+      .select(col("media_id"), col("__rep"))
+    val repSigs = sigs.join(
+      members.filter(col("media_id") === col("__rep"))
+        .select(col("media_id")),
+      Seq("media_id"), "left_semi")
+    val pairs = nearDupPairs(repSigs, bandBits, nBands, hammingMax, simMin,
       bucketCap)
     val cc = graft.operators.Dedup.connectedComponents(pairs)
-      .select(col("id").as("media_id"), col("keep_id"))
+      .select(col("id").as("__rep"), col("keep_id").as("__comp"))
+    val labeled = members.join(cc, Seq("__rep"), "left")
+      .select(col("media_id"),
+        coalesce(col("__comp"), col("__rep")).as("keep_id"))
     sigs.groupBy(col("media_id"))
       .agg(count(lit(1)).cast("long").as("n_frames"))
-      .join(cc, Seq("media_id"), "left")
-      .select(col("media_id"), col("n_frames"),
-        coalesce(col("keep_id"), col("media_id")).as("keep_id"))
+      .join(labeled, Seq("media_id"))
+      .select(col("media_id"), col("n_frames"), col("keep_id"))
       .withColumn("is_keeper", col("media_id") === col("keep_id"))
   }
 }

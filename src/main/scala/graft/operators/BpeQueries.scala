@@ -339,6 +339,18 @@ object BpeQueries {
     // reassembled in document order. Shares the q114 output contract.
     "q174_unigram_encode" -> ((s, d) =>
       Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))),
+    // Saved-artifact lifecycle for the unigram family: the trained
+    // vocabulary persisted as a managed table, loaded back, and used
+    // to encode — must match the in-session encode exactly (SHARES
+    // q174's oracle; the q120 pattern for the second family).
+    "q181_unigram_saved" -> ((s, d) => {
+      val name = s"graft_uni_vocab_${math.abs(d.hashCode.toLong)}"
+      Bucketing.dropManagedTable(s, name)
+      uniVocab(s, d)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .format("parquet").saveAsTable(name)
+      Unigram.encode(docs(s, d), "doc_id", "text", s.table(name))
+    }),
     // Unigram encode-to-ids against the trained vocabulary's id
     // space (rank by count desc, token asc — the artifact a trainer's
     // embedding table indexes). The vocabulary is closed over its own
@@ -987,18 +999,23 @@ object BpeQueries {
       |       UNNEST(generate_series(1, len(w))) AS u(i)
       |  WHERE len(w[i]) > 0)""".stripMargin
 
+  /** Round-2 Viterbi encode reassembled per doc — q174, shared
+    * verbatim by the saved-artifact lifecycle (q181). */
+  private lazy val unigramEncodeSql =
+    s"""WITH RECURSIVE $unigramCtes,
+       |$unigramEncCtes
+       |SELECT doc_id, sum(seg2.nt)::BIGINT AS n_tokens,
+       |       string_agg(seg2.toks, ' ' ORDER BY pos) AS toks
+       |FROM dw JOIN seg2 USING (word)
+       |GROUP BY doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q173_unigram_vocab" ->
       s"""WITH RECURSIVE $unigramCtes
          |SELECT token, cnt FROM uni""".stripMargin,
-    // round-2 Viterbi under the refit scores, reassembled per doc
-    "q174_unigram_encode" ->
-      s"""WITH RECURSIVE $unigramCtes,
-         |$unigramEncCtes
-         |SELECT doc_id, sum(seg2.nt)::BIGINT AS n_tokens,
-         |       string_agg(seg2.toks, ' ' ORDER BY pos) AS toks
-         |FROM dw JOIN seg2 USING (word)
-         |GROUP BY doc_id""".stripMargin,
+    "q174_unigram_encode" -> unigramEncodeSql,
+    // save → load → encode must equal the in-session encode
+    "q181_unigram_saved" -> unigramEncodeSql,
     // rank ids over the refit vocab; the token stream orders by
     // (word position, within-word sub-position)
     "q178_unigram_ids" ->

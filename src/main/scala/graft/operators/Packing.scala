@@ -296,8 +296,8 @@ object Packing {
     * corpus (spec-pinned), and every earlier shard file is untouched.
     * Work ∝ batch. */
   def appendSealedShards(batch: DataFrame, idCol: String, tokenCol: String,
-                         path: String, budget: Long,
-                         seqsPerShard: Long): Unit = {
+                         path: String, budget: Long, seqsPerShard: Long,
+                         knownTotals: Option[(Long, Long)] = None): Unit = {
     require(budget >= 1 && seqsPerShard >= 1,
       s"budget/seqsPerShard must be >= 1, got $budget/$seqsPerShard")
     val spark = batch.sparkSession
@@ -305,9 +305,11 @@ object Packing {
     val cap = budget * seqsPerShard
     val old = spark.read.parquet(path)
       .withColumn("shard_id", col("shard_id").cast("long"))
-    val st = old.agg(sum(col("n_tokens")).cast("long"),
-      max(col(idCol)).cast("long")).head()
-    val (oldTokens, maxOldId) = (st.getLong(0), st.getLong(1))
+    val (oldTokens, maxOldId) = knownTotals.getOrElse {
+      val st = old.agg(sum(col("n_tokens")).cast("long"),
+        max(col(idCol)).cast("long")).head()
+      (st.getLong(0), st.getLong(1))
+    }
     val minNew = batch.agg(min(col(idCol)).cast("long")).head().getLong(0)
     require(minNew > maxOldId,
       s"appendSealedShards is append-only: batch min id $minNew must " +

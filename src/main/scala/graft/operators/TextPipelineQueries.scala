@@ -1021,6 +1021,49 @@ object TextPipelineQueries {
     // (the q140/q141 seeding) so the oracle rebuilds it exactly; the
     // probe joins only the probed lists and the truth join is
     // top-5-pair semi-join — the whole sweep shares one index build.
+    // q179's semantic decontamination on the IVF SCALE PATH: when the
+    // benchmark embedding set is too large to broadcast-cross against
+    // the corpus, the corpus is IVF-indexed once and each benchmark
+    // vector probes only its nprobe nearest lists — candidate volume
+    // is probed-lists-sized, never |corpus|×|benchmark|. Same planted
+    // blend-perturbed benchmark (every 37th vector, ids remapped out
+    // of the corpus id space so the self-pair filter cannot hide the
+    // plant); the flag set must come out identical to the brute path
+    // wherever the probes reach — at nprobe 2 on this corpus that is
+    // exactly the full planted set (the blend lands in its source's
+    // list). Index construction is the SQL-derivable q149 one, so the
+    // oracle rebuilds it exactly.
+    "q180_decontam_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val seeds = Similarity.labelCentroids(
+          e.select(col("label").cast("long").as("label"), col("embedding")),
+          "label", "embedding")
+        .orderBy(col("label")).collect().map(_.getSeq[Double](1).toArray)
+      val (c0, indexed) = IvfIndex.buildFrom(e, "embedding", seeds, iters = 0)
+      val shifted = expr(
+        "concat(slice(embedding, 2, size(embedding) - 1), " +
+          "slice(embedding, 1, 1))")
+      // topK keys both sides by one id column — the remap (+1e6) both
+      // moves the refs out of the corpus id space (so the self-pair
+      // filter cannot hide a plant) and disambiguates the two roles
+      val ref = e.filter(col("vec_id") % 37 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          zip_with(col("embedding").cast("array<double>"),
+            shifted.cast("array<double>"),
+            (x, y) => x * 0.9 + y * 0.1).as("embedding"))
+      // the kernel cosine needs matching element types: float→double
+      // is exact, so the cast changes no value the oracle computes
+      val hits = IvfIndex.topK(
+          indexed.withColumn("embedding", col("embedding").cast("array<double>")),
+          c0, ref, "vec_id", "embedding", k = 3, nprobe = 2)
+        .filter(col("cos") >= 0.8)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_id")).orderBy(col("cos").desc, col("q_id").asc)
+      hits.withColumn("__r2", row_number().over(w))
+        .filter(col("__r2") === 1)
+        .select(col("n_id").as("vec_id"),
+          (col("q_id") - 1000000L).as("ref_id"), col("cos"))
+    }),
     "q149_ivf_recall_curve" -> ((s, d) => {
       val e = emb(s, d)
       val seeds = Similarity.labelCentroids(
@@ -2030,6 +2073,50 @@ object TextPipelineQueries {
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
          |      FROM p)
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    // the q149 index construction + blend refs probing 2 lists each;
+    // k=3 per-ref cut, threshold, then best-ref per corpus vector
+    "q180_decontam_ivf" ->
+      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+         |              unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |m AS (SELECT label, pos, avg(x::DOUBLE) AS m FROM ex GROUP BY label, pos),
+         |ctr0 AS (SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label),
+         |ctr AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS list_id,
+         |               centroid FROM ctr0),
+         |da AS (SELECT v.vec_id, c.list_id,
+         |       ${cosSql("v.embedding", "c.centroid")} AS cos
+         |       FROM embeddings v CROSS JOIN ctr c),
+         |asg AS (SELECT vec_id, list_id FROM (
+         |        SELECT vec_id, list_id,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, list_id ASC) AS rk FROM da) WHERE rk = 1),
+         |rq AS (SELECT vec_id + 1000000 AS q_id,
+         |    [embedding[i]::DOUBLE * 0.9 +
+         |     embedding[CASE WHEN i < len(embedding) THEN i + 1 ELSE 1 END]::DOUBLE * 0.1
+         |     for i in range(1, len(embedding) + 1)] AS q_vec
+         |  FROM embeddings WHERE vec_id % 37 = 0),
+         |pd AS (SELECT q.q_id, c.list_id,
+         |       ${cosSql("q.q_vec", "c.centroid")} AS cd
+         |       FROM rq q CROSS JOIN ctr c),
+         |pr AS (SELECT q_id, list_id FROM (
+         |       SELECT q_id, list_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cd DESC, list_id ASC) AS crk FROM pd) WHERE crk <= 2),
+         |cand AS (SELECT q.q_id, a.vec_id AS n_id,
+         |        round(${cosSql("q.q_vec", "v.embedding")}, 4) AS cos
+         |        FROM pr
+         |        JOIN asg a ON a.list_id = pr.list_id
+         |        JOIN rq q ON q.q_id = pr.q_id
+         |        JOIN embeddings v ON v.vec_id = a.vec_id
+         |        WHERE a.vec_id <> pr.q_id),
+         |top AS (SELECT q_id, n_id, cos FROM (
+         |        SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, n_id ASC) AS rk FROM cand) WHERE rk <= 3),
+         |f AS (SELECT q_id, n_id, cos FROM top WHERE cos >= 0.8),
+         |b AS (SELECT n_id, q_id, cos, row_number() OVER (PARTITION BY n_id
+         |        ORDER BY cos DESC, q_id ASC) AS r2 FROM f)
+         |SELECT n_id AS vec_id, q_id - 1000000 AS ref_id, cos
+         |FROM b WHERE r2 = 1""".stripMargin,
     // index = label-mean seeds (rank in label order = list_id),
     // iters 0; probe ranking on UNROUNDED centroid cosine, candidate
     // ranking on the rounded cosine with n_id tie-break — the exact

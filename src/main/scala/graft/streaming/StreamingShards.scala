@@ -121,6 +121,48 @@ object StreamingShards {
                 tokenCol: String, budget: Long, seqsPerShard: Long,
                 checkpointDir: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    sink(docs, path, idCol, checkpointDir,
+      writeFull = batch => {
+        val packed = Packing.packByBudget(
+            batch.select(col(idCol), col(tokenCol)),
+            idCol, tokenCol, budget)
+          .join(batch.drop(tokenCol), Seq(idCol))
+        Packing.writeShards(packed, idCol, path, seqsPerShard)
+      },
+      append = (batch, totals) =>
+        Packing.appendShards(batch, idCol, tokenCol, path,
+          budget, seqsPerShard, knownTotals = totals))
+
+  /** [[shardSink]] for the SEALED layout ([[Packing.packSealed]]):
+    * the same exactly-once contract, bounded sidecar probe, and
+    * crash recovery, landing [[Packing.appendSealedShards]]' files —
+    * the deployment shape a sealed (repair-local) shard set stays
+    * current through. */
+  def sealedShardSink(docs: DataFrame, path: String, idCol: String,
+                      tokenCol: String, budget: Long, seqsPerShard: Long,
+                      checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sink(docs, path, idCol, checkpointDir,
+      writeFull = batch =>
+        Packing.writeByShardColumn(
+          Packing.packSealed(batch.select(col(idCol), col(tokenCol)),
+              idCol, tokenCol, budget, seqsPerShard)
+            .join(batch.drop(tokenCol), Seq(idCol)),
+          idCol, path),
+      append = (batch, totals) =>
+        Packing.appendSealedShards(batch, idCol, tokenCol, path,
+          budget, seqsPerShard, knownTotals = totals))
+
+  /** The layout-agnostic sink loop: classification (fresh / replay /
+    * crashed-partial / refused), the bounded sidecar probe, recovery,
+    * and sidecar maintenance. `writeFull` materializes a from-scratch
+    * layout for a batch; `append` folds a batch in, given the landed
+    * (token total, max id) from the sidecar. */
+  private def sink(docs: DataFrame, path: String, idCol: String,
+                   checkpointDir: String,
+                   writeFull: DataFrame => Unit,
+                   append: (DataFrame, Option[(Long, Long)]) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
@@ -130,11 +172,7 @@ object StreamingShards {
           val shardsOnDisk = if (fs.exists(hp)) listShards(fs, path)
             else Set.empty[Long]
           if (shardsOnDisk.isEmpty) {
-            val packed = Packing.packByBudget(
-                batch.select(col(idCol), col(tokenCol)),
-                idCol, tokenCol, budget)
-              .join(batch.drop(tokenCol), Seq(idCol))
-            Packing.writeShards(packed, idCol, path, seqsPerShard)
+            writeFull(batch)
             refreshSidecar(spark, fs, path, idCol, Map.empty,
               listShards(fs, path))
           } else {
@@ -222,21 +260,16 @@ object StreamingShards {
               if (current.isEmpty) {
                 // the strip emptied the whole layout (the crashed
                 // batch WAS the corpus): recreate from scratch
-                val packed = Packing.packByBudget(
-                    batch.select(col(idCol), col(tokenCol)),
-                    idCol, tokenCol, budget)
-                  .join(batch.drop(tokenCol), Seq(idCol))
-                Packing.writeShards(packed, idCol, path, seqsPerShard)
+                writeFull(batch)
                 refreshSidecar(spark, fs, path, idCol, Map.empty,
                   listShards(fs, path))
               } else {
-                // landed totals from the sidecar — appendShards skips
+                // landed totals from the sidecar — the append skips
                 // its full-layout scan, so append cost is ∝ touched
                 // shards, not the corpus
                 val totals = Some((current.values.map(_._4).sum,
                   current.values.map(_._2).max))
-                Packing.appendShards(batch, idCol, tokenCol, path,
-                  budget, seqsPerShard, knownTotals = totals)
+                append(batch, totals)
                 // bounded refresh: new dirs + everything the batch's
                 // id span can have touched + the last pre-append
                 // shard (the one existing dir an append rewrites —

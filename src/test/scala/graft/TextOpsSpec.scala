@@ -592,6 +592,65 @@ class TextOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/incr").count() == 90)
   }
 
+  test("sealed streaming shard sink: batches land at the from-scratch " +
+    "sealed layout; replayed batch skipped, bytes exactly once") {
+    import graft.operators.Packing
+    import graft.streaming.StreamingShards
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 90).map(i =>
+      (i * 2L + 1, 1L + rng.nextInt(9), s"p-${i * 2L + 1}"))
+    val base = java.nio.file.Files.createTempDirectory("shsinkseal").toString
+    Packing.writeByShardColumn(
+      Packing.packSealed(rows.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", 25L, 3L)
+        .join(rows.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id")),
+      "doc_id", s"$base/full")
+    val (b1, b2) = rows.splitAt(60)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ids",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamingShards.sealedShardSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+      s"$base/incr", "doc_id", "n_tokens", 25L, 3L, s"$base/ckpt")
+    b1.toDF("doc_id", "n_tokens", "ids").coalesce(1)
+      .write.parquet(s"$base/src")
+    val q1 = start(); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, q1.exception); q1.stop()
+    b2.toDF("doc_id", "n_tokens", "ids").coalesce(1).write.mode("append")
+      .parquet(s"$base/src")
+    val q2 = start(); q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception); q2.stop()
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head).toMap
+    val (ff, fi) = (files(s"$base/full"), files(s"$base/incr"))
+    assert(ff.keySet == fi.keySet && ff.nonEmpty)
+    ff.foreach { case (shard, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fi(shard).toPath)),
+        s"$shard differs from from-scratch sealed layout")
+    }
+    // replay drill: wipe the second commit; the sink must skip the
+    // replayed batch and leave every shard byte and mtime alone
+    new java.io.File(s"$base/ckpt/commits").listFiles().toSeq
+      .filterNot(_.getName.stripPrefix(".").stripSuffix(".crc") == "0")
+      .foreach(f => assert(f.delete(), f.toString))
+    val pre = files(s"$base/incr").map { case (s, f) => s -> f.lastModified() }
+    val q3 = start(); q3.processAllAvailable()
+    assert(q3.exception.isEmpty, q3.exception); q3.stop()
+    files(s"$base/incr").foreach { case (s, f) =>
+      assert(f.lastModified() == pre(s), s"$s rewritten on replay")
+    }
+    assert(spark.read.parquet(s"$base/incr").count() == 90)
+  }
+
   test("streaming shard sink: crash recovery — a partially-landed batch " +
     "is repaired to the from-scratch bytes; a non-suffix overlap refuses " +
     "loudly without mutating files") {
