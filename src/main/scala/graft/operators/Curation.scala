@@ -1018,6 +1018,108 @@ object Curation {
     *
     * Scale shape: pure per-row projection over the line array
     * (higher-order `filter`, codegen, no explode, no shuffle). */
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, PSM
+    * mode): each document splits at two DETERMINISTIC points (hashed
+    * from the id — reproducible across runs and engines, no RNG) into
+    * prefix/middle/suffix, re-emitted as
+    * `<PRE> prefix <SUF> suffix <MID> middle` so an autoregressive
+    * model learns infilling from plain next-token prediction. The
+    * split points are uniform over word boundaries; empty segments
+    * are legal (the edge cases a FIM loader must tolerate).
+    *
+    * Scale shape: a pure per-row projection — codegen, no explode, no
+    * shuffle. Output: (idCol, n_prefix, n_middle, n_suffix, fim). */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = split(col(textCol), " ")
+    val n = size(w)
+    def cut(salt: String) =
+      (conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))),
+        1, 8), 16, 10).cast("long") % (n + 1).cast("long")).cast("int")
+    val lo = least(cut("|fim1"), cut("|fim2"))
+    val hi = greatest(cut("|fim1"), cut("|fim2"))
+    df.select(col(idCol),
+      lo.cast("long").as("n_prefix"),
+      (hi - lo).cast("long").as("n_middle"),
+      (n - hi).cast("long").as("n_suffix"),
+      concat_ws(" ", concat(
+        array(lit("<PRE>")), slice(w, lit(1), lo),
+        array(lit("<SUF>")), slice(w, hi + 1, n - hi),
+        array(lit("<MID>")), slice(w, lo + 1, hi - lo))).as("fim"))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): word
+    * positions are grouped into fixed windows (`window` — the mean
+    * corrupted-span length) and each window masks with probability
+    * `pct`/100, decided by a DETERMINISTIC hash of (id, window) —
+    * reproducible, engine-portable, and self-contained per row.
+    * Adjacent masked windows merge into one span; span k is replaced
+    * by the sentinel `<X{k}>` in the inputs and introduces its
+    * original words in the targets — the (inputs, targets) pair a
+    * denoising trainer consumes.
+    *
+    * Scale shape: one explode to word grain, windows/islands as
+    * per-document window functions (bounded partitions), one
+    * per-document fold back. Output: (idCol, n_masked, inputs,
+    * targets). */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  window: Int = 3, pct: Int = 15): DataFrame = {
+    require(window >= 1 && pct >= 0 && pct <= 100,
+      s"window must be >= 1 and pct in [0,100], got $window/$pct")
+    val words = df.select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .withColumn("__win", (col("pos") / window).cast("long"))
+      .withColumn("__masked",
+        conv(substring(md5(concat(col(idCol).cast("string"), lit("|sc|"),
+          col("__win"))), 1, 8), 16, 10).cast("long") % 100 < pct)
+    // masked islands: consecutive masked WINDOWS merge into one span;
+    // span index k = rank of the island within the document
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__win"))
+    val spans = words.filter(col("__masked"))
+      .select(col(idCol), col("__win")).distinct()
+      .withColumn("__isl", col("__win") - row_number().over(wWin))
+    val islands = spans.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__win")).as("__w0"))
+      .withColumn("__k", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col(idCol)).orderBy(col("__w0"))) - 1)
+      .select(col(idCol), col("__isl"), col("__k"))
+    val tagged = words
+      .join(spans.select(col(idCol), col("__win"), col("__isl")),
+        Seq(idCol, "__win"), "left")
+      .join(islands, Seq(idCol, "__isl"), "left")
+      .withColumn("__p0", min(when(col("__masked"), col("pos")))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("__isl"))))
+      .withColumn("__spanStart", col("__masked") && col("pos") === col("__p0"))
+    // inputs: unmasked words verbatim; the FIRST word of a masked
+    // span becomes its sentinel; other masked words drop
+    val inputs = tagged
+      .filter(!col("__masked") || col("__spanStart"))
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"),
+          when(col("__masked"), concat(lit("<X"), col("__k"), lit(">")))
+            .otherwise(col("w")).as("t")))),
+        x => x.getField("t"))).as("inputs"))
+    // targets: each span's sentinel followed by its original words
+    val targets = tagged.filter(col("__masked"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_masked"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"),
+            when(col("__spanStart"),
+              concat(lit("<X"), col("__k"), lit("> "), col("w")))
+              .otherwise(col("w")).as("t")))),
+          x => x.getField("t"))).as("targets"))
+    df.select(col(idCol))
+      .join(inputs, Seq(idCol), "left")
+      .join(targets, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("inputs"), lit("")).as("inputs"),
+        coalesce(col("targets"), lit("")).as("targets"))
+  }
+
   def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
                    minWords: Int = 5): DataFrame = {
     val lines = split(col(textCol), "\n")

@@ -255,6 +255,16 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // Fill-in-the-middle training transform (PSM): deterministic
+    // hashed split points, prefix/suffix/middle re-assembled with
+    // control tokens — the objective-data-prep step for infilling
+    // models, as a pure codegen projection.
+    "q182_fim_transform" -> ((s, d) =>
+      Curation.fimTransform(docs(s, d), "doc_id", "text")),
+    // T5 span corruption: hashed window masking, adjacent windows
+    // merged into sentinel spans, (inputs, targets) denoising pair.
+    "q183_span_corruption" -> ((s, d) =>
+      Curation.spanCorrupt(docs(s, d), "doc_id", "text")),
     // Embedding-space benchmark decontamination — q142's ref×corpus
     // discipline in SEMANTIC space: n-gram spans miss a paraphrased
     // or re-embedded leak, cosine against the benchmark's vectors
@@ -818,6 +828,59 @@ object CurationQueries {
         |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
         |       round(sum(term) / 1000000.0, 4) AS js
         |FROM terms GROUP BY t_old, t_new""".stripMargin,
+    // same hashed cuts, same PSM assembly (1-based list slices)
+    "q182_fim_transform" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |            len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |  ('0x' || substr(md5(doc_id || '|fim1'), 1, 8))::UBIGINT % (n + 1) AS h1,
+        |  ('0x' || substr(md5(doc_id || '|fim2'), 1, 8))::UBIGINT % (n + 1) AS h2
+        |  FROM t),
+        |s AS (SELECT doc_id, w, n,
+        |        CAST(least(h1, h2) AS BIGINT) AS lo,
+        |        CAST(greatest(h1, h2) AS BIGINT) AS hi FROM c)
+        |SELECT doc_id, lo AS n_prefix, hi - lo AS n_middle,
+        |       CAST(n - hi AS BIGINT) AS n_suffix,
+        |       array_to_string(['<PRE>'] || w[1:lo] || ['<SUF>'] ||
+        |         w[hi+1:n] || ['<MID>'] || w[lo+1:hi], ' ') AS fim
+        |FROM s""".stripMargin,
+    // same windows, islands, sentinel ranks, and fold order
+    "q183_span_corruption" ->
+      """WITH t AS (SELECT doc_id, i - 1 AS pos, w[i] AS word FROM
+        |   (SELECT doc_id, string_split(text, ' ') AS w FROM documents) q,
+        |   UNNEST(generate_series(1, len(w))) AS u(i)),
+        |m AS (SELECT doc_id, pos, word, pos // 3 AS win,
+        |   ('0x' || substr(md5(doc_id || '|sc|' || CAST(pos // 3 AS VARCHAR)),
+        |     1, 8))::UBIGINT % 100 < 15 AS masked FROM t),
+        |sw AS (SELECT DISTINCT doc_id, win FROM m WHERE masked),
+        |isl AS (SELECT doc_id, win,
+        |        win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS g
+        |        FROM sw),
+        |ks AS (SELECT doc_id, g, min(win) AS w0 FROM isl GROUP BY doc_id, g),
+        |kk AS (SELECT doc_id, g,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY w0) - 1 AS k
+        |       FROM ks),
+        |mm AS (SELECT m.doc_id, m.pos, m.word, m.masked, isl.g, kk.k
+        |       FROM m LEFT JOIN isl ON m.doc_id = isl.doc_id AND m.win = isl.win
+        |       LEFT JOIN kk ON m.doc_id = kk.doc_id AND isl.g = kk.g),
+        |p0 AS (SELECT doc_id, g, min(pos) AS p0 FROM mm WHERE masked
+        |       GROUP BY doc_id, g),
+        |tg AS (SELECT mm.doc_id, mm.pos, mm.word, mm.masked, mm.k,
+        |       (mm.masked AND mm.pos = p0.p0) AS sstart
+        |       FROM mm LEFT JOIN p0 ON mm.doc_id = p0.doc_id AND mm.g = p0.g),
+        |inp AS (SELECT doc_id, string_agg(
+        |          CASE WHEN masked THEN '<X' || k || '>' ELSE word END,
+        |          ' ' ORDER BY pos) AS inputs
+        |        FROM tg WHERE NOT masked OR sstart GROUP BY doc_id),
+        |tgt AS (SELECT doc_id, count(*)::BIGINT AS n_masked,
+        |        string_agg(CASE WHEN sstart THEN '<X' || k || '> ' || word
+        |                        ELSE word END, ' ' ORDER BY pos) AS targets
+        |        FROM tg WHERE masked GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(tgt.n_masked, 0)::BIGINT AS n_masked,
+        |       coalesce(inp.inputs, '') AS inputs,
+        |       coalesce(tgt.targets, '') AS targets
+        |FROM documents d LEFT JOIN inp USING (doc_id)
+        |LEFT JOIN tgt USING (doc_id)""".stripMargin,
     // the same blend construction, scan, threshold and best-match
     "q179_semantic_decontam" ->
       s"""WITH r AS (SELECT vec_id AS ref_id,

@@ -410,6 +410,59 @@ class CurationSpec extends AnyFunSuite {
     assert(ok._3 == 0.0)
   }
 
+  test("objective data prep: FIM segments partition the doc; span-" +
+    "corruption sentinel interleave reconstructs the original exactly") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+      (2L, "one two three"),
+      (3L, "solo")).toDF("doc_id", "text")
+    // FIM: <PRE> p <SUF> s <MID> m with p ++ m ++ s == original
+    Curation.fimTransform(docs, "doc_id", "text")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val orig = docs.filter($"doc_id" === id)
+          .select($"text").as[String].head()
+        val fim = r.getString(4)
+        val segs = scala.collection.mutable.Map(
+          "<PRE>" -> Vector.empty[String], "<SUF>" -> Vector.empty[String],
+          "<MID>" -> Vector.empty[String])
+        var cur = "<PRE>"
+        fim.split(" ").filter(_.nonEmpty).foreach { t =>
+          if (segs.contains(t)) cur = t else segs(cur) = segs(cur) :+ t
+        }
+        val rebuilt =
+          (segs("<PRE>") ++ segs("<MID>") ++ segs("<SUF>")).mkString(" ")
+        assert(rebuilt == orig, s"doc $id: $fim")
+        assert(r.getLong(1) + r.getLong(2) + r.getLong(3)
+          == orig.split(" ").length.toLong)
+      }
+    // span corruption: substituting each <Xk> in inputs with span k's
+    // words from targets MUST reproduce the document verbatim
+    Curation.spanCorrupt(docs, "doc_id", "text")
+      .collect().foreach { r =>
+        val id = r.getLong(0)
+        val orig = docs.filter($"doc_id" === id)
+          .select($"text").as[String].head()
+        val (nMasked, inputs, targets) =
+          (r.getLong(1), r.getString(2), r.getString(3))
+        val spans = scala.collection.mutable.Map.empty[String, List[String]]
+        var cur: String = null
+        targets.split(" ").filter(_.nonEmpty).foreach { t =>
+          if (t.startsWith("<X")) { cur = t; spans(cur) = Nil }
+          else spans(cur) = spans(cur) :+ t
+        }
+        assert(spans.values.map(_.size).sum.toLong == nMasked)
+        val rebuilt = inputs.split(" ").filter(_.nonEmpty).flatMap { t =>
+          if (t.startsWith("<X")) spans(t) else Seq(t)
+        }.mkString(" ")
+        assert(rebuilt == orig, s"doc $id\n in: $inputs\ntgt: $targets")
+        // sentinels appear in document order: <X0>, <X1>, ...
+        val ks = inputs.split(" ").filter(_.startsWith("<X"))
+          .map(_.stripPrefix("<X").stripSuffix(">").toInt)
+        assert(ks.toSeq == ks.indices.toSeq)
+      }
+  }
+
   // ---- hashed features ----
 
   test("hashedFeatures: buckets in range, counts conserve tokens, same token same bucket") {
