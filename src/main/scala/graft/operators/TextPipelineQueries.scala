@@ -1064,6 +1064,48 @@ object TextPipelineQueries {
         .select(col("n_id").as("vec_id"),
           (col("q_id") - 1000000L).as("ref_id"), col("cos"))
     }),
+    // In-context (semantic) packing — Shi et al. 2023: packing
+    // RELATED documents into the same training sequence improves
+    // long-context use, so the pack order becomes (cluster, id)
+    // instead of raw id. Order = distributed two-phase rank over the
+    // composite key (label ≪ 40 | doc_id) — stableIds' prefix-sum
+    // machinery, never a single-partition sort — then the standard
+    // budget packing over that rank. Output carries the cluster so
+    // the locality claim is checkable: consecutive sequences hold
+    // same-label runs.
+    "q184_semantic_packing" -> ((s, d) => {
+      val j = docs(s, d).select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(emb(s, d).select(col("vec_id").as("doc_id"),
+          col("label").cast("long").as("label")), Seq("doc_id"))
+      val keyed = j.withColumn("__key",
+        col("label") * lit(1L << 40) + col("doc_id"))
+      val ranked = Packing.stableIds(keyed.select(col("__key")), "__key")
+      val withOrd = keyed.join(ranked, Seq("__key"))
+      Packing.packByBudget(
+          withOrd.select(col("row_id"), col("n_tokens")),
+          "row_id", "n_tokens", budget = 512L)
+        .join(withOrd.select(col("row_id"), col("doc_id"), col("label")),
+          Seq("row_id"))
+        .select(col("doc_id"), col("label"), col("row_id").as("ord"),
+          col("n_tokens"), col("seq_id"))
+    }),
+    // Curriculum ordering: documents ranked easy→hard by the q56
+    // bigram-surprisal difficulty proxy (ties by id) — the training
+    // order a curriculum loader consumes. The rank is the same
+    // distributed two-phase prefix count over a monotonic integer
+    // key (difficulty×10⁴ ≪ 40 | doc_id); no global sort anywhere.
+    "q185_curriculum_order" -> ((s, d) => {
+      val sur = Surprisal.bigramSurprisal(docs(s, d), minCount = 2L)
+      val keyed = sur.withColumn("__key",
+        round(col("avg_bigram_surprisal") * 10000, 0).cast("long") *
+          lit(1L << 40) + col("doc_id"))
+      val ranked = Packing.stableIds(keyed.select(col("__key")), "__key")
+      keyed.join(ranked, Seq("__key"))
+        .select(col("doc_id"),
+          col("avg_bigram_surprisal").as("difficulty"),
+          col("row_id").as("ord"))
+    }),
     "q149_ivf_recall_curve" -> ((s, d) => {
       val e = emb(s, d)
       val seeds = Similarity.labelCentroids(
@@ -2073,6 +2115,45 @@ object TextPipelineQueries {
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
          |      FROM p)
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    // pack order (label, doc_id); the oracle's one window mirrors the
+    // two-phase rank + prefix sum exactly
+    "q184_semantic_packing" ->
+      """WITH j AS (SELECT d.doc_id, CAST(e.label AS BIGINT) AS label,
+        |       len(string_split(d.text, ' '))::BIGINT AS n_tokens
+        |       FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |r AS (SELECT doc_id, label, n_tokens,
+        |      CAST(row_number() OVER (ORDER BY label, doc_id) - 1 AS BIGINT)
+        |        AS ord FROM j),
+        |c AS (SELECT doc_id, label, n_tokens, ord,
+        |      CAST(COALESCE(sum(n_tokens) OVER (ORDER BY ord
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS s FROM r)
+        |SELECT doc_id, label, ord, n_tokens,
+        |       CAST(s // 512 AS BIGINT) AS seq_id
+        |FROM c""".stripMargin,
+    // q56's difficulty, then a plain rank — identical doubles on both
+    // sides, so ordering by the value equals ordering by the key
+    "q185_curriculum_order" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT doc_id,
+        |       unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |       FROM toks),
+        |b1 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+        |       string_split(bg, ' ')[2] AS w2 FROM bg),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM b1 GROUP BY bg),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b1 GROUP BY w1),
+        |cw2 AS (SELECT w2, count(*) AS cw2 FROM b1 GROUP BY w2),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b1),
+        |ds AS (SELECT doc_id,
+        |  round(avg(CASE WHEN c2 >= 2 THEN -ln(c2 / c1)
+        |                 ELSE -ln(cw2 / n) END), 4) AS difficulty
+        |  FROM b1 JOIN c2 USING (bg) JOIN c1 USING (w1) JOIN cw2 USING (w2)
+        |  CROSS JOIN n
+        |  GROUP BY doc_id)
+        |SELECT doc_id, difficulty,
+        |  CAST(row_number() OVER (ORDER BY difficulty, doc_id) - 1 AS BIGINT)
+        |    AS ord
+        |FROM ds""".stripMargin,
     // the q149 index construction + blend refs probing 2 lists each;
     // k=3 per-ref cut, threshold, then best-ref per corpus vector
     "q180_decontam_ivf" ->
