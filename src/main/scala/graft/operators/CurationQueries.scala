@@ -255,6 +255,78 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // Filter LEDGER — the explainability table a curation pipeline
+    // keeps beside its keep/drop decision: per document, WHICH rules
+    // fired (fixed order), how many, and the verdict. Auditing "why
+    // did we lose 40% of source X" reads this, not the boolean.
+    // Rules: too short, dominant-2-gram repetition, duplicated-5-gram
+    // repetition (Gopher char-weighted forms, q161's math), non-
+    // English. Pure per-doc projections + the q161 aggs.
+    "q186_filter_ledger" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        length(col("text")).cast("long").as("nc"), col("text"))
+      val g2 = base.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val top2 = g2.withColumn("__rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), (col("c") * length(col("g"))).as("__t2"))
+      val d5 = base.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 5)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .groupBy(col("doc_id")).agg(sum(col("c") * length(col("g"))).as("__d5"))
+      val fired = array(
+        when(col("nw") < 20, lit("short")),
+        when(round(coalesce(col("__t2"), lit(0L)) / col("nc"), 4) > 0.1,
+          lit("top2_repeat")),
+        when(round(coalesce(col("__d5"), lit(0L)) / col("nc"), 4) > 0.2,
+          lit("dup5_repeat")),
+        when(col("lang") =!= "en", lit("non_en")))
+      base.join(top2, Seq("doc_id"), "left").join(d5, Seq("doc_id"), "left")
+        .withColumn("__fired", filter(fired, x => x.isNotNull))
+        .select(col("doc_id"),
+          size(col("__fired")).cast("long").as("n_rules"),
+          concat_ws(",", col("__fired")).as("rules"),
+          (size(col("__fired")) === 0).as("keep"))
+    }),
+    // Paragraph-grain exact dedup (the RefinedWeb line-dedup pass):
+    // every line keeps only its FIRST corpus occurrence (min
+    // (doc_id, line_idx) per line hash) — repeated boilerplate
+    // vanishes from every later document; documents are rebuilt from
+    // their surviving lines. Line structure is the q148 injection
+    // (four identical boilerplate lines per doc), so the op has real
+    // repeats to kill: doc 0 keeps them, everyone else loses them.
+    // Scale shape: explode to line grain, ONE hash-keyed argmin agg
+    // (no per-hash window — a hot boilerplate line would be a
+    // mega-partition), join back, per-doc fold.
+    "q187_paragraph_dedup" -> ((s, d) => {
+      val lines = withC4Lines(docs(s, d)).select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+        .withColumn("__h", md5(col("line")))
+      val firsts = lines.groupBy(col("__h"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("__first"))
+      val kept = lines.join(firsts, Seq("__h"))
+        .filter(col("doc_id") === col("__first.doc_id") &&
+          col("idx") === col("__first.idx"))
+      val tot = lines.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("__n"))
+      val keptAgg = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          concat_ws("\n", transform(
+            array_sort(collect_list(struct(col("idx"), col("line")))),
+            x => x.getField("line"))).as("clean"))
+      // a doc whose EVERY line was someone else's first still emits a
+      // row (0 kept, empty clean) — the keep-then-filter shape
+      tot.join(keptAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          (col("__n") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+          coalesce(col("clean"), lit("")).as("clean"))
+    }),
     // Fill-in-the-middle training transform (PSM): deterministic
     // hashed split points, prefix/suffix/middle re-assembled with
     // control tokens — the objective-data-prep step for infilling
@@ -828,6 +900,64 @@ object CurationQueries {
         |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
         |       round(sum(term) / 1000000.0, 4) AS js
         |FROM terms GROUP BY t_old, t_new""".stripMargin,
+    // q161's repetition math, the same fixed rule order and rounded
+    // thresholds
+    "q186_filter_ledger" ->
+      """WITH base AS (SELECT doc_id, lang,
+        |       len(string_split(text, ' '))::BIGINT AS nw,
+        |       CAST(len(text) AS BIGINT) AS nc,
+        |       string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |         for i in range(1, len(w))]) AS g FROM base),
+        |c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, c * len(g) AS t2 FROM (
+        |       SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, g ASC) AS rk FROM c2) WHERE rk = 1),
+        |g5 AS (SELECT doc_id, unnest([array_to_string(w[i:i+4], ' ')
+        |         for i in range(1, len(w) - 3)]) AS g FROM base),
+        |c5 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g5 GROUP BY doc_id, g),
+        |d5 AS (SELECT doc_id, sum(c * len(g))::BIGINT AS d5 FROM c5
+        |       WHERE c >= 2 GROUP BY doc_id),
+        |f AS (SELECT b.doc_id,
+        |   [r FOR r IN [
+        |     CASE WHEN b.nw < 20 THEN 'short' END,
+        |     CASE WHEN round(coalesce(t2.t2, 0) / b.nc, 4) > 0.1
+        |          THEN 'top2_repeat' END,
+        |     CASE WHEN round(coalesce(d5.d5, 0) / b.nc, 4) > 0.2
+        |          THEN 'dup5_repeat' END,
+        |     CASE WHEN b.lang <> 'en' THEN 'non_en' END] IF r IS NOT NULL]
+        |     AS fired
+        |  FROM base b LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id))
+        |SELECT doc_id, len(fired)::BIGINT AS n_rules,
+        |       coalesce(array_to_string(fired, ','), '') AS rules,
+        |       len(fired) = 0 AS keep
+        |FROM f""".stripMargin,
+    // first-occurrence-wins at line grain, q148's injected structure
+    "q187_paragraph_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+        |        text || (CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END) ||
+        |        chr(10) || 'Good injected line one two three four five six.' ||
+        |        chr(10) || 'short one two.' ||
+        |        chr(10) || 'curly { line with plenty of words right here today.' ||
+        |        chr(10) || 'no terminal punctuation with plenty of words here'
+        |          AS text
+        |      FROM documents),
+        |l AS (SELECT doc_id, i - 1 AS idx, ln[i] AS line FROM
+        |   (SELECT doc_id, string_split(text, chr(10)) AS ln FROM aug) q,
+        |   UNNEST(generate_series(1, len(ln))) AS u(i)),
+        |h AS (SELECT doc_id, idx, line, md5(line) AS h FROM l),
+        |k AS (SELECT doc_id, idx, line FROM (
+        |  SELECT doc_id, idx, line,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rk
+        |  FROM h) WHERE rk = 1),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n FROM l GROUP BY 1),
+        |ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |       string_agg(line, chr(10) ORDER BY idx) AS clean
+        |       FROM k GROUP BY 1)
+        |SELECT t.doc_id, coalesce(ka.n_kept, 0)::BIGINT AS n_kept,
+        |       (t.n - coalesce(ka.n_kept, 0))::BIGINT AS n_dropped,
+        |       coalesce(ka.clean, '') AS clean
+        |FROM tot t LEFT JOIN ka USING (doc_id)""".stripMargin,
     // same hashed cuts, same PSM assembly (1-based list slices)
     "q182_fim_transform" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
