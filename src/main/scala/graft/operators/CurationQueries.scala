@@ -255,6 +255,31 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // Context-window chunking: long documents split into overlapping
+    // fixed-width windows (32 words, stride 24 — 25% overlap keeps
+    // boundary context on both sides), the prep step for a trainer
+    // whose context is shorter than its documents. Deterministic
+    // chunk count (1 + ceil(max(0, n−W)/S), non-negative before the
+    // division so both engines' integer semantics agree); a doc
+    // shorter than the window emits itself once. Pure per-row explode
+    // — no shuffle.
+    "q188_context_chunks" -> ((s, d) => {
+      val (win, stride) = (32, 24)
+      val w = split(col("text"), " ")
+      val n = size(w)
+      val nChunks = lit(1) +
+        expr(s"(greatest(0, size(split(text, ' ')) - $win) + ${stride - 1}) " +
+          s"div $stride").cast("int")
+      docs(s, d).select(col("doc_id"), col("text"))
+        .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+        .withColumn("chunk_id", col("chunk_id").cast("long"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(w, col("chunk_id").cast("int") * stride + 1, lit(win))
+            .as("__c"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("__c")).cast("long").as("n_tokens"),
+          concat_ws(" ", col("__c")).as("chunk"))
+    }),
     // Filter LEDGER — the explainability table a curation pipeline
     // keeps beside its keep/drop decision: per document, WHICH rules
     // fired (fixed order), how many, and the verdict. Auditing "why
@@ -900,6 +925,17 @@ object CurationQueries {
         |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
         |       round(sum(term) / 1000000.0, 4) AS js
         |FROM terms GROUP BY t_old, t_new""".stripMargin,
+    // same windows, 1-based list slices clamped at the tail
+    "q188_context_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |            len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |      1 + (greatest(0, n - 32) + 23) // 24 AS nc FROM t),
+        |e AS (SELECT doc_id, w, n, unnest(range(0, nc)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(len(w[i*24 + 1 : least(i*24 + 32, n)]) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[i*24 + 1 : least(i*24 + 32, n)], ' ') AS chunk
+        |FROM e""".stripMargin,
     // q161's repetition math, the same fixed rule order and rounded
     // thresholds
     "q186_filter_ledger" ->

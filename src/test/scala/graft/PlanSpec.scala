@@ -159,6 +159,27 @@ class PlanSpec extends AnyFunSuite {
       s"scorecard joined by shuffle:\n${smjOnSource.mkString("\n")}")
   }
 
+  test("q182: the FIM transform is a pure exchange-free projection") {
+    val p = plan("q182_fim_transform")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(p.contains("Project"), p.take(2000))
+  }
+
+  test("q184/q185: distributed rank — no GLOBAL sort anywhere in the " +
+    "ordering path (the two-phase prefix rank, not a one-task sort)") {
+    Seq("q184_semantic_packing", "q185_curriculum_order").foreach { q =>
+      val p = plan(q)
+      // a global Sort prints as `Sort [key ...], true, 0`; the rank
+      // must come from the bucketed prefix count instead. (A one-row
+      // Exchange SinglePartition under a scalar aggregate is fine —
+      // only sorting the corpus on one task is the scale hazard.)
+      val globalSorts = p.linesIterator.filter(l =>
+        l.contains("Sort [") && l.contains("], true,")).toSeq
+      assert(globalSorts.isEmpty,
+        s"$q sorts globally:\n${globalSorts.mkString("\n")}")
+    }
+  }
+
   test("asof join plans a single shuffle (union + one window)") {
     val p = plan("q27_asof_join")
     val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange")) +
