@@ -62,15 +62,12 @@ object VideoDedup {
     }).toDF("media_id", "frame_idx", "fhash")
   }
 
-  /** Verified near-duplicate video pairs over a [[frameSignatures]]
-    * table: (id_a, id_b, sim) with sim = hash-set containment ≥
-    * `simMin`. Frames match when their hashes are within `hammingMax`
-    * bits; candidates come from band equality only (pigeonhole
-    * guarantee holds while hammingMax < nBands), verified exactly —
-    * the corpus is never self-joined on raw hashes. */
-  def nearDupPairs(sigs: DataFrame, bandBits: Int = 12, nBands: Int = 4,
-                   hammingMax: Int = 3, simMin: Double = 0.6,
-                   bucketCap: Option[Int] = None): DataFrame = {
+  /** The distinct-hash-per-video view, its per-video set sizes, and
+    * the band table — shared by the self-join (batch) and
+    * batch-touching (incremental) pair generators. */
+  private def bandTables(sigs: DataFrame, bandBits: Int, nBands: Int,
+                         bucketCap: Option[Int])
+      : (DataFrame, DataFrame) = {
     require(bandBits * nBands <= 63, "bands must cover <= 63 bits")
     val mask = (1L << bandBits) - 1
     // a frame repeated inside one video is one identity unit
@@ -89,15 +86,16 @@ object VideoDedup {
         bands.join(hot, Seq("band", "band_val"), "left_anti")
       case None => bands
     }
-    val cand = cool.as("x").join(cool.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.media_id") < col("y.media_id"))
-      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        col("x.fhash").as("ha"), col("y.fhash").as("hb"))
+    (cool, nh)
+  }
+
+  /** Hamming-verified candidates → containment-scored video pairs. */
+  private def containmentPairs(cand: DataFrame, nh: DataFrame,
+                               hammingMax: Int, simMin: Double): DataFrame =
+    cand
       .distinct() // two bands agreeing must not double-count a match
       .filter(expr(s"bit_count(ha ^ hb) <= $hammingMax"))
-    cand.groupBy(col("id_a"), col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(countDistinct(col("ha")).cast("long").as("__ma"),
         countDistinct(col("hb")).cast("long").as("__mb"))
       .join(nh.select(col("media_id").as("id_a"), col("nh").as("__na")),
@@ -108,7 +106,63 @@ object VideoDedup {
         round(greatest(col("__ma"), col("__mb")).cast("double") /
           least(col("__na"), col("__nb")), 4).as("sim"))
       .filter(col("sim") >= simMin)
+
+  /** Verified near-duplicate video pairs over a [[frameSignatures]]
+    * table: (id_a, id_b, sim) with sim = hash-set containment ≥
+    * `simMin`. Frames match when their hashes are within `hammingMax`
+    * bits; candidates come from band equality only (pigeonhole
+    * guarantee holds while hammingMax < nBands), verified exactly —
+    * the corpus is never self-joined on raw hashes. */
+  def nearDupPairs(sigs: DataFrame, bandBits: Int = 12, nBands: Int = 4,
+                   hammingMax: Int = 3, simMin: Double = 0.6,
+                   bucketCap: Option[Int] = None): DataFrame = {
+    val (cool, nh) = bandTables(sigs, bandBits, nBands, bucketCap)
+    val cand = cool.as("x").join(cool.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.fhash").as("ha"), col("y.fhash").as("hb"))
+    containmentPairs(cand, nh, hammingMax, simMin)
   }
+
+  /** [[nearDupPairs]] restricted to pairs TOUCHING `batchIds` (one
+    * id column `media_id`) — the incremental form: the band join is
+    * batch×all instead of all×all, so candidate volume is ∝ batch.
+    * Pairs are normalized (id_a < id_b) with the hash columns kept on
+    * their owning side; scoring is identical. */
+  def nearDupPairsTouching(sigs: DataFrame, batchIds: DataFrame,
+                           bandBits: Int = 12, nBands: Int = 4,
+                           hammingMax: Int = 3, simMin: Double = 0.6,
+                           bucketCap: Option[Int] = None): DataFrame = {
+    val (cool, nh) = bandTables(sigs, bandBits, nBands, bucketCap)
+    val bBands = cool.join(broadcast(batchIds.select(col("media_id"))),
+      Seq("media_id"), "left_semi")
+    val cand = cool.as("x").join(bBands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.media_id") =!= col("y.media_id"))
+      .select(
+        least(col("x.media_id"), col("y.media_id")).as("id_a"),
+        greatest(col("x.media_id"), col("y.media_id")).as("id_b"),
+        when(col("x.media_id") < col("y.media_id"), col("x.fhash"))
+          .otherwise(col("y.fhash")).as("ha"),
+        when(col("x.media_id") < col("y.media_id"), col("y.fhash"))
+          .otherwise(col("x.fhash")).as("hb"))
+    containmentPairs(cand, nh, hammingMax, simMin)
+  }
+
+  /** Each video's exact SET signature: md5 of its sorted distinct
+    * frame hashes — the identity under which videos are
+    * interchangeable for near-dup purposes (pair similarity is a
+    * function of the two hash sets alone). Output:
+    * (media_id, set_sig). */
+  def setSignatures(sigs: DataFrame): DataFrame =
+    sigs.select(col("media_id"), col("fhash")).distinct()
+      .groupBy(col("media_id"))
+      .agg(md5(concat_ws(",",
+        array_sort(collect_list(col("fhash").cast("string")))))
+        .as("set_sig"))
 
   /** The dedup artifact: every video with its group's canonical
     * keeper (component minimum over the verified-pair graph;
@@ -135,10 +189,7 @@ object VideoDedup {
   def nearDupGroups(sigs: DataFrame, bandBits: Int = 12, nBands: Int = 4,
                     hammingMax: Int = 3, simMin: Double = 0.6,
                     bucketCap: Option[Int] = None): DataFrame = {
-    val vh = sigs.select(col("media_id"), col("fhash")).distinct()
-    val sig = vh.groupBy(col("media_id"))
-      .agg(md5(concat_ws(",",
-        array_sort(collect_list(col("fhash").cast("string"))))).as("__sig"))
+    val sig = setSignatures(sigs).withColumnRenamed("set_sig", "__sig")
     val rep = sig.groupBy(col("__sig")).agg(min(col("media_id")).as("__rep"))
     val members = sig.join(rep, Seq("__sig"))
       .select(col("media_id"), col("__rep"))
