@@ -114,6 +114,21 @@ object BpeQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Byte-mode twin: the word table rendered as uppercase hex (2
+    * chars = 1 byte = 1 unit), trained with unit = 2 so every token
+    * is byte-aligned by construction. */
+  private def hexWords(s: SparkSession, d: String): DataFrame =
+    Bpe.wordTableRaw(docs(s, d), "text")
+      .select(hex(col("word")).as("word"), col("freq"))
+
+  private def uniBytesVocab(s: SparkSession, d: String): DataFrame =
+    v4Cache.getOrElseUpdate((sessionKey(s), d + "#unibytes"), {
+      val words = hexWords(s, d)
+      Unigram.refit(words,
+          Unigram.seedVocab(words, UniMaxLen, UniTopK, unit = 2))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   /** The digest input rendering shared by the shard-manifest rows and
     * both engines: every payload field of the row, pipe-joined. */
   private def shardRowContent =
@@ -339,6 +354,37 @@ object BpeQueries {
     // reassembled in document order. Shares the q114 output contract.
     "q174_unigram_encode" -> ((s, d) =>
       Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))),
+    // BYTE-LEVEL unigram training (the q128 move for the second
+    // family): the same seed → Viterbi-EM → prune machinery over
+    // hex-rendered words with 2-char (one-byte) units — every token
+    // byte-aligned by construction, so the vocabulary is a true
+    // byte-level subword inventory.
+    "q190_unigram_bytes_vocab" -> ((s, d) => uniBytesVocab(s, d)),
+    // Byte-mode DECODE round-trip through the gate (q137's contract
+    // for the second family): every word segmented under the trained
+    // byte vocabulary, tokens concatenated and unhexed back to text —
+    // decode(encode(corpus)) must equal the corpus document for
+    // document, with the per-doc ok flag hash-compared.
+    "q191_unigram_bytes_roundtrip" -> ((s, d) => {
+      val seg = Unigram.segmentWords(hexWords(s, d), uniBytesVocab(s, d))
+        .select(col("word").as("__hx"), col("toks"),
+          size(split(col("toks"), " ")).cast("long").as("__nt"),
+          decode(unhex(regexp_replace(col("toks"), " ", "")), "UTF-8")
+            .as("__dec"))
+      docs(s, d).select(col("doc_id"), col("text"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0)
+        .withColumn("__hx", hex(col("w")))
+        .join(seg, Seq("__hx"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("text")).as("__text"),
+          sum(col("__nt")).as("n_tokens"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("__dec")))),
+            x => x.getField("__dec"))).as("decoded"))
+        .select(col("doc_id"), col("n_tokens"), col("decoded"),
+          (col("decoded") === col("__text")).as("ok"))
+    }),
     // Saved-artifact lifecycle for the unigram family: the trained
     // vocabulary persisted as a managed table, loaded back, and used
     // to encode — must match the in-session encode exactly (SHARES
@@ -395,6 +441,25 @@ object BpeQueries {
           size(TextFunctions.bpeEncode(col("text"), merges(s, d)))
             .cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budget = PackBudget)),
+    // The sealed loader's read plan — q158 for the hierarchical
+    // (shard_id, seq_in_shard) identity: deterministic per-epoch
+    // permutation via the same two-phase bucketed rank over a
+    // composite sequence key. What a trainer mounted on the sealed
+    // layout actually consumes.
+    "q192_sealed_read_order" -> ((s, d) => {
+      val layout = Packing.packSealed(
+        idsTable(s, d).select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+      val seqs = layout.select(
+          (col("shard_id") * 100000L + col("seq_in_shard")).as("gseq"),
+          col("shard_id"), col("seq_in_shard"))
+        .distinct()
+      Curation.epochShuffle(seqs.select(col("gseq")), "gseq",
+          epochs = 2, salt = "ro2")
+        .join(seqs, Seq("gseq"))
+        .select(col("epoch"), col("ord"), col("shard_id"),
+          col("seq_in_shard"))
+    }),
     // INCREMENTAL sealed maintenance — q144's contract for the sealed
     // family: the batch folds in touching only the LAST landed shard
     // (whose capacity span its first docs may start inside) plus new
@@ -904,16 +969,22 @@ object BpeQueries {
   /** The sealed-layout manifest oracle (q168), shared verbatim by the
     * sealed APPEND (q177) — the incremental path must land at the
     * from-scratch sealed layout. */
-  private lazy val sealedManifestSql =
-    s"""WITH ${trainingCtes(NumMerges)},
-       |${vocabCtes(NumMerges)},
-       |$shardLayoutCtes,
-       |so AS (SELECT doc_id, n_tokens, ids,
+  /** The sealed-layout CTEs (consumes `cp`; yields `sl` = one row per
+    * doc with shard_id + seq_in_shard) — shared by the manifest
+    * family and the sealed read-order. */
+  private lazy val sealedLayoutCtes =
+    s"""so AS (SELECT doc_id, n_tokens, ids,
        |  CAST(s // ${PackBudget * 4} AS BIGINT) AS shard_id, s FROM cp),
        |sl AS (SELECT doc_id, n_tokens, ids, shard_id,
        |  CAST((s - min(s) OVER (PARTITION BY shard_id)) // $PackBudget
        |       AS BIGINT) AS seq_in_shard
-       |  FROM so)
+       |  FROM so)""".stripMargin
+
+  private lazy val sealedManifestSql =
+    s"""WITH ${trainingCtes(NumMerges)},
+       |${vocabCtes(NumMerges)},
+       |$shardLayoutCtes,
+       |$sealedLayoutCtes
        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
        |  CAST(count(DISTINCT seq_in_shard) AS BIGINT) AS n_seqs,
        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
@@ -1009,7 +1080,78 @@ object BpeQueries {
        |FROM dw JOIN seg2 USING (word)
        |GROUP BY doc_id""".stripMargin
 
+  /** Byte-mode unigram CTEs: hex word table (2 chars = 1 byte = 1
+    * unit), byte-aligned substring seed, round-1 Viterbi, refit —
+    * [[unigramCtes]] with the alignment arithmetic. */
+  private lazy val unigramBytesCtes =
+    s"""uwb AS MATERIALIZED (SELECT hex(word) AS word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |subb AS MATERIALIZED (SELECT substr(word, (i-1)*2 + 1, l*2) AS token,
+       |    sum(freq)::BIGINT AS cnt
+       |  FROM uwb,
+       |       UNNEST(generate_series(1, len(word) // 2)) AS u(i),
+       |       UNNEST(generate_series(1, $UniMaxLen)) AS v(l)
+       |  WHERE i + l - 1 <= len(word) // 2
+       |  GROUP BY 1),
+       |topkb AS (SELECT token, cnt FROM subb
+       |          ORDER BY cnt DESC, token ASC LIMIT $UniTopK),
+       |seedb AS MATERIALIZED (SELECT token, max(cnt) AS cnt FROM (
+       |  SELECT token, cnt FROM topkb
+       |  UNION ALL SELECT token, cnt FROM subb WHERE len(token) = 2)
+       |  GROUP BY token),
+       |paths1b(word, pos, toks, n, fs) AS (
+       |  SELECT word, 0, '', 0, CAST(0 AS BIGINT) FROM uwb
+       |  UNION ALL
+       |  SELECT p.word, p.pos + len(v.token),
+       |         p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || v.token,
+       |         p.n + 1, p.fs + v.cnt
+       |  FROM paths1b p JOIN seedb v
+       |    ON substr(p.word, p.pos + 1, len(v.token)) = v.token
+       |  WHERE p.pos < len(p.word)),
+       |seg1b AS MATERIALIZED (SELECT word, toks FROM (
+       |  SELECT word, toks, row_number() OVER (PARTITION BY word
+       |    ORDER BY n ASC, fs DESC, toks ASC) AS rk
+       |  FROM paths1b WHERE pos = len(word)) WHERE rk = 1),
+       |unib AS MATERIALIZED (SELECT t.tok AS token,
+       |    sum(uwb.freq)::BIGINT AS cnt
+       |  FROM seg1b JOIN uwb USING (word),
+       |       UNNEST(string_split(seg1b.toks, ' ')) AS t(tok)
+       |  GROUP BY 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q190_unigram_bytes_vocab" ->
+      s"""WITH RECURSIVE $unigramBytesCtes
+         |SELECT token, cnt FROM unib""".stripMargin,
+    // round-2 Viterbi under the refit byte vocab, decode = unhex of
+    // the concatenated tokens, reassembled per doc in word order
+    "q191_unigram_bytes_roundtrip" ->
+      s"""WITH RECURSIVE $unigramBytesCtes,
+         |paths2b(word, pos, toks, n, fs) AS (
+         |  SELECT word, 0, '', 0, CAST(0 AS BIGINT) FROM uwb
+         |  UNION ALL
+         |  SELECT p.word, p.pos + len(v.token),
+         |         p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || v.token,
+         |         p.n + 1, p.fs + v.cnt
+         |  FROM paths2b p JOIN unib v
+         |    ON substr(p.word, p.pos + 1, len(v.token)) = v.token
+         |  WHERE p.pos < len(p.word)),
+         |seg2b AS MATERIALIZED (SELECT word, toks,
+         |  len(string_split(toks, ' '))::BIGINT AS nt,
+         |  decode(unhex(replace(toks, ' ', ''))) AS dec FROM (
+         |  SELECT word, toks, row_number() OVER (PARTITION BY word
+         |    ORDER BY n ASC, fs DESC, toks ASC) AS rk
+         |  FROM paths2b WHERE pos = len(word)) WHERE rk = 1),
+         |dwb AS (SELECT doc_id, text, i - 1 AS pos, hex(w[i]) AS word
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+         |        FROM documents) q,
+         |       UNNEST(generate_series(1, len(w))) AS u(i)
+         |  WHERE len(w[i]) > 0),
+         |g AS (SELECT doc_id, min(text) AS t,
+         |      sum(seg2b.nt)::BIGINT AS n_tokens,
+         |      string_agg(seg2b.dec, ' ' ORDER BY pos) AS decoded
+         |      FROM dwb JOIN seg2b USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, decoded, decoded = t AS ok FROM g""".stripMargin,
     "q173_unigram_vocab" ->
       s"""WITH RECURSIVE $unigramCtes
          |SELECT token, cnt FROM uni""".stripMargin,
@@ -1339,6 +1481,24 @@ object BpeQueries {
     // the incremental append must land at the from-scratch layout —
     // the invariant oracle applies verbatim
     "q144_shards_incremental" -> shardManifestSql,
+    // q158's permutation shape over the composite sealed sequence key
+    "q192_sealed_read_order" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |$shardLayoutCtes,
+         |$sealedLayoutCtes,
+         |sq AS (SELECT DISTINCT shard_id, seq_in_shard,
+         |       shard_id * 100000 + seq_in_shard AS gseq FROM sl),
+         |e AS (SELECT unnest(range(2)) AS epoch),
+         |h AS (SELECT epoch, gseq, shard_id, seq_in_shard,
+         |        md5(CAST(gseq AS VARCHAR) || '|ro2|' ||
+         |            CAST(epoch AS VARCHAR)) AS hk
+         |      FROM sq CROSS JOIN e)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, gseq)
+         |            AS BIGINT) AS ord,
+         |       shard_id, seq_in_shard
+         |FROM h""".stripMargin,
     "q122_bpe_ids" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),

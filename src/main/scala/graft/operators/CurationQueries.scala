@@ -255,6 +255,44 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // Per-source health TREND — q172's scorecard broken down by
+    // ingest wave (doc_id % 3 plays the arrival batches): the table
+    // that shows a source DRIFTING — volume, duplication, and
+    // repetition wave over wave — before the aggregate scorecard
+    // would move. Same per-doc projections, a (source, wave)-keyed
+    // rollup.
+    "q193_health_trend" -> ((s, d) => {
+      val dd = docs(s, d).withColumn("wave", (col("doc_id") % 3).cast("long"))
+      val base = dd.groupBy(col("source"), col("wave")).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        (count(lit(1)) - countDistinct(substring(md5(trim(
+          regexp_replace(lower(col("text")), "\\s+", " "))), 1, 16)))
+          .cast("long").as("n_exact_dups"))
+      val gbase = dd.select(col("doc_id"), col("source"), col("wave"),
+        length(col("text")).cast("long").as("n_chars"), col("text"))
+      val top2 = gbase.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(col("text"), 2)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("doc_id"), (col("c") * length(col("g"))).as("__t2"))
+      val rep = gbase.select(col("doc_id"), col("source"), col("wave"),
+          col("n_chars"))
+        .join(top2, Seq("doc_id"), "left")
+        // exact averaging: per-doc fracs quantize to 1e-4 fixed point
+        // BEFORE summing, so the cross-partition sum is integer and
+        // the mean cannot straddle a rounding tie differently per
+        // engine (the jsTail idiom — a bare avg(double) flaked here)
+        .withColumn("__q", round(round(coalesce(col("__t2"), lit(0L)) /
+          col("n_chars"), 4) * 10000, 0).cast("long"))
+        .groupBy(col("source"), col("wave"))
+        .agg(round(sum(col("__q")).cast("double") /
+          (count(lit(1)) * 10000), 4).as("top2_char_frac"))
+      base.join(rep, Seq("source", "wave"))
+    }),
     // Context-window chunking: long documents split into overlapping
     // fixed-width windows (32 words, stride 24 — 25% overlap keeps
     // boundary context on both sides), the prep step for a trainer
@@ -445,9 +483,15 @@ object CurationQueries {
           round(coalesce(col("__t2"), lit(0L)) / col("n_chars"), 4).as("__tf"),
           round(coalesce(col("__d5"), lit(0L)) / col("n_chars"), 4).as("__df"))
         .join(src, Seq("doc_id"))
+        // fixed-point means — see q193's comment (avg(double) is
+        // cross-partition-order sensitive at rounding ties)
+        .withColumn("__qtf", round(col("__tf") * 10000, 0).cast("long"))
+        .withColumn("__qdf", round(col("__df") * 10000, 0).cast("long"))
         .groupBy(col("source"))
-        .agg(round(avg(col("__tf")), 4).as("top2_char_frac"),
-          round(avg(col("__df")), 4).as("dup5_char_frac"))
+        .agg(round(sum(col("__qtf")).cast("double") /
+            (count(lit(1)) * 10000), 4).as("top2_char_frac"),
+          round(sum(col("__qdf")).cast("double") /
+            (count(lit(1)) * 10000), 4).as("dup5_char_frac"))
       base.join(ent, Seq("source")).join(c4, Seq("source"))
         .join(gopher, Seq("source"))
     }),
@@ -925,6 +969,34 @@ object CurationQueries {
         |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
         |       round(sum(term) / 1000000.0, 4) AS js
         |FROM terms GROUP BY t_old, t_new""".stripMargin,
+    // q172's fragments keyed by (source, wave)
+    "q193_health_trend" ->
+      """WITH dd AS (SELECT doc_id, source, CAST(doc_id % 3 AS BIGINT) AS wave,
+        |            text FROM documents),
+        |base AS (SELECT source, wave, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    (count(*) - count(DISTINCT substr(md5(trim(
+        |       regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)))::BIGINT
+        |      AS n_exact_dups
+        |  FROM dd GROUP BY source, wave),
+        |gt AS (SELECT doc_id, source, wave,
+        |       CAST(len(text) AS BIGINT) AS n_chars,
+        |       string_split(text, ' ') AS w FROM dd),
+        |g2 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |         for i in range(1, len(w))]) AS g FROM gt),
+        |c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, c * len(g) AS t2 FROM (
+        |       SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id
+        |         ORDER BY c DESC, g ASC) AS rk FROM c2) WHERE rk = 1),
+        |rep AS (SELECT gt.source, gt.wave,
+        |    round(sum(CAST(round(round(coalesce(t2.t2, 0) / gt.n_chars, 4)
+        |          * 10000, 0) AS BIGINT))::DOUBLE / (count(*) * 10000), 4)
+        |      AS top2_char_frac
+        |  FROM gt LEFT JOIN t2 USING (doc_id) GROUP BY gt.source, gt.wave)
+        |SELECT b.source, b.wave, b.n_docs, b.n_tokens, b.n_exact_dups,
+        |       rep.top2_char_frac
+        |FROM base b JOIN rep ON b.source = rep.source AND b.wave = rep.wave"""
+        .stripMargin,
     // same windows, 1-based list slices clamped at the tail
     "q188_context_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
@@ -1117,8 +1189,11 @@ object CurationQueries {
         |       round(coalesce(t2.t2, 0) / t.n_chars, 4) AS tf,
         |       round(coalesce(d5.d5, 0) / t.n_chars, 4) AS df
         |  FROM gt t LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)),
-        |gs AS (SELECT d.source, round(avg(tf), 4) AS top2_char_frac,
-        |       round(avg(df), 4) AS dup5_char_frac
+        |gs AS (SELECT d.source,
+        |       round(sum(CAST(round(tf * 10000, 0) AS BIGINT))::DOUBLE /
+        |             (count(*) * 10000), 4) AS top2_char_frac,
+        |       round(sum(CAST(round(df * 10000, 0) AS BIGINT))::DOUBLE /
+        |             (count(*) * 10000), 4) AS dup5_char_frac
         |  FROM gd JOIN documents d USING (doc_id) GROUP BY d.source)
         |SELECT b.source, b.n_docs, b.n_tokens, b.n_exact_dups, ent.entropy,
         |       c4s.c4_drop_frac, gs.top2_char_frac, gs.dup5_char_frac

@@ -29,22 +29,29 @@ import org.apache.spark.sql.functions._
   */
 object Unigram {
 
-  /** All substrings of length 1..`maxLen` of every word, weighted by
-    * word frequency (every occurrence position counts — a substring
-    * appearing twice in one word contributes twice). Output:
-    * (token, cnt). Word-table-sized × maxLen fanout, never the
-    * corpus. */
-  def substringCounts(words: DataFrame, maxLen: Int): DataFrame = {
-    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+  /** All substrings of length 1..`maxLen` UNITS of every word,
+    * weighted by word frequency (every occurrence position counts — a
+    * substring appearing twice in one word contributes twice).
+    * `unit` is the atomic symbol width in characters: 1 for char
+    * mode; 2 for byte mode over hex-rendered words, where substrings
+    * are taken only at byte-aligned positions with byte-multiple
+    * lengths (a half-byte token could match mid-byte and make decode
+    * garbage). Output: (token, cnt). Word-table-sized × maxLen
+    * fanout, never the corpus. */
+  def substringCounts(words: DataFrame, maxLen: Int,
+                      unit: Int = 1): DataFrame = {
+    require(maxLen >= 1 && unit >= 1,
+      s"maxLen/unit must be >= 1, got $maxLen/$unit")
     val spark = words.sparkSession
     import spark.implicits._
     words.select(col("word"), col("freq").cast("long").as("freq"))
       .as[(String, Long)]
       .flatMap { case (w, f) =>
+        val units = w.length / unit
         for {
-          i <- 0 until w.length
-          l <- 1 to math.min(maxLen, w.length - i)
-        } yield (w.substring(i, i + l), f)
+          i <- 0 until units
+          l <- 1 to math.min(maxLen, units - i)
+        } yield (w.substring(i * unit, (i + l) * unit), f)
       }
       .toDF("token", "freq")
       .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
@@ -52,12 +59,16 @@ object Unigram {
 
   /** The seed vocabulary: the `topK` highest-count substrings
     * (count desc, token asc — deterministic at the boundary) UNION
-    * every single character (so Viterbi always has a complete cover),
-    * deduplicated. Output: (token, cnt). */
-  def seedVocab(words: DataFrame, maxLen: Int, topK: Int): DataFrame = {
-    val counts = substringCounts(words, maxLen)
+    * every single unit (so Viterbi always has a complete cover),
+    * deduplicated. Output: (token, cnt). With every vocabulary token
+    * a whole number of units and Viterbi starting at position zero,
+    * all reachable positions stay unit-aligned — byte-mode alignment
+    * holds by construction. */
+  def seedVocab(words: DataFrame, maxLen: Int, topK: Int,
+                unit: Int = 1): DataFrame = {
+    val counts = substringCounts(words, maxLen, unit)
     val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(topK)
-    val chars = counts.filter(length(col("token")) === 1)
+    val chars = counts.filter(length(col("token")) === unit)
     top.unionByName(chars).groupBy(col("token"))
       .agg(max(col("cnt")).as("cnt")) // same source rows — max == the value
   }
