@@ -255,6 +255,23 @@ object CurationQueries {
     // cleanup that runs before any document gate.
     "q148_c4_line_filter" -> ((s, d) =>
       Curation.c4LineFilter(withC4Lines(docs(s, d)), "doc_id", "text")),
+    // The DATASET CARD — the one-row datasheet every released corpus
+    // ships (volume, diversity, duplication, length distribution):
+    // one aggregation pass, exact interpolated percentiles (the q33
+    // parity), all engine-exact.
+    "q194_dataset_card" -> ((s, d) =>
+      docs(s, d).agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        countDistinct(col("source")).cast("long").as("n_sources"),
+        countDistinct(col("lang")).cast("long").as("n_langs"),
+        (count(lit(1)) - countDistinct(substring(md5(trim(
+          regexp_replace(lower(col("text")), "\\s+", " "))), 1, 16)))
+          .cast("long").as("n_exact_dups"),
+        round(expr("percentile(size(split(text, ' ')), 0.5)"), 4)
+          .as("p50_len"),
+        round(expr("percentile(size(split(text, ' ')), 0.9)"), 4)
+          .as("p90_len"))),
     // Per-source health TREND — q172's scorecard broken down by
     // ingest wave (doc_id % 3 plays the arrival batches): the table
     // that shows a source DRIFTING — volume, duplication, and
@@ -969,6 +986,17 @@ object CurationQueries {
         |SELECT CAST(t_old AS BIGINT) AS n_old, CAST(t_new AS BIGINT) AS n_new,
         |       round(sum(term) / 1000000.0, 4) AS js
         |FROM terms GROUP BY t_old, t_new""".stripMargin,
+    "q194_dataset_card" ->
+      """SELECT count(*)::BIGINT AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        | count(DISTINCT source)::BIGINT AS n_sources,
+        | count(DISTINCT lang)::BIGINT AS n_langs,
+        | (count(*) - count(DISTINCT substr(md5(trim(
+        |    regexp_replace(lower(text), '\s+', ' ', 'g'))), 1, 16)))::BIGINT
+        |   AS n_exact_dups,
+        | round(quantile_cont(len(string_split(text, ' ')), 0.5), 4) AS p50_len,
+        | round(quantile_cont(len(string_split(text, ' ')), 0.9), 4) AS p90_len
+        |FROM documents""".stripMargin,
     // q172's fragments keyed by (source, wave)
     "q193_health_trend" ->
       """WITH dd AS (SELECT doc_id, source, CAST(doc_id % 3 AS BIGINT) AS wave,
