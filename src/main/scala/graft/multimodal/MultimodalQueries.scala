@@ -86,6 +86,29 @@ object MultimodalQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The q195/q196 audio-dedup fixture: per-doc WAV clips of
+    * constant-amplitude 400-frame segments, amplitudes closed-form in
+    * (class = doc_id % 5, segment); every 41st doc appends one outro
+    * segment. Constant segments make each 400-frame window's RMS and
+    * peak EXACT (amp/32768, an exact binary fraction), so the
+    * quantized window hash is engine-computable: 520·((c·7+k·11)%8).
+    * Built per call — WAV synthesis is cheap next to the AVI mux. */
+  private def audioDupTab(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRecord] = {
+    import s.implicits._
+    t(s, d, "documents").select($"doc_id").as[Long]
+      .map { id =>
+        val c = (id % 5).toInt
+        val segs = (0 until c % 3 + 3) ++
+          (if (id % 41 == 0) Seq(99) else Nil)
+        val pcm = segs.toArray.flatMap { k =>
+          val amp = (((c * 7 + k * 11) % 8) * 4096).toShort
+          Array.fill(400)(amp)
+        }
+        Multimodal.MediaRecord(id, Audio.Wav.encode(8000, 1, pcm))
+      }
+  }
+
   /** Force-materialize the shared AVI fixture corpora (bench harness
     * calls this once, reported inside its cache-build line item). */
   def warmCaches(s: SparkSession, d: String): Unit = {
@@ -299,6 +322,29 @@ object MultimodalQueries {
       VideoDedup.nearDupGroups(
         VideoDedup.frameSignatures(pngAviTab(s, d).as[Multimodal.MediaRecord]))
     }),
+    // The audio-dedup substrate through the gate: real WAV encode on
+    // executors, RIFF walk + PCM decode, fixed 400-frame windows,
+    // quantized (RMS, peak) hashes. Clips share one of 5 acoustic
+    // classes (doc_id % 5; constant-amplitude 400-frame segments make
+    // every window level an exact closed form) and every 41st doc
+    // appends an outro segment — the audio fixture mirroring the
+    // video one.
+    "q195_audio_window_sig" -> ((s, d) => {
+      import s.implicits._
+      AudioDedup.windowSignatures(audioDupTab(s, d))
+    }),
+    // Audio NEAR-dup groups — the detect+act contract for the last
+    // modality without one, run on the SAME modality-agnostic
+    // machinery as video (nBands=1/bandBits=12/hammingMax=0: one
+    // exact band IS the small quantized hash, so candidates are
+    // equal-window pairs only); hash-set containment still scores the
+    // outro-extended clip 1.0 against its class.
+    "q196_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      VideoDedup.nearDupGroups(
+        AudioDedup.windowSignatures(audioDupTab(s, d)),
+        bandBits = 12, nBands = 1, hammingMax = 0)
+    }),
     // INCREMENTAL video dedup — the q57/q59/q130 contract for the
     // newest modality: the first 80% of videos are the standing
     // corpus (signature classes + component labels over their
@@ -440,6 +486,55 @@ object MultimodalQueries {
         |                     (c*37 + fc*13 + (j+1)*11) % 241
         |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS fhash
         |FROM bits GROUP BY doc_id, frame_idx""".stripMargin,
+    // closed-form window hashes: constant segments make
+    // rms = peak = m·4096/32768 = m/8 exact → hash = 8m·64 + 8m
+    "q195_audio_window_sig" ->
+      """WITH v AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c FROM documents),
+        |f AS (SELECT doc_id, c, unnest(range(0, c % 3 + 3 +
+        |        CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END)) AS k FROM v),
+        |sg AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |       CASE WHEN doc_id % 41 = 0 AND k = c % 3 + 3 THEN 99 ELSE k END
+        |         AS seg, c FROM f)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  CAST(520 * ((c*7 + seg*11) % 8) AS BIGINT) AS fhash
+        |FROM sg""".stripMargin,
+    // equal-hash candidates (one exact band IS the small hash),
+    // containment, recursive closure — the video chain over the
+    // audio substrate
+    "q196_audio_neardup" ->
+      """WITH RECURSIVE v AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c
+        |       FROM documents),
+        |f AS (SELECT doc_id, c, unnest(range(0, c % 3 + 3 +
+        |        CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END)) AS k FROM v),
+        |sg AS (SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+        |       CASE WHEN doc_id % 41 = 0 AND k = c % 3 + 3 THEN 99 ELSE k END
+        |         AS seg, c FROM f),
+        |h AS MATERIALIZED (SELECT doc_id, frame_idx,
+        |  CAST(520 * ((c*7 + seg*11) % 8) AS BIGINT) AS fhash FROM sg),
+        |vh AS MATERIALIZED (SELECT DISTINCT doc_id, fhash FROM h),
+        |nh AS (SELECT doc_id, count(*)::BIGINT AS nh FROM vh GROUP BY doc_id),
+        |nf AS (SELECT doc_id, count(*)::BIGINT AS n_frames FROM h GROUP BY doc_id),
+        |cnd AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |              x.fhash AS ha, y.fhash AS hb
+        |        FROM vh x JOIN vh y
+        |          ON x.fhash = y.fhash AND x.doc_id < y.doc_id),
+        |pp AS (SELECT a, b, count(DISTINCT ha)::BIGINT AS ma,
+        |              count(DISTINCT hb)::BIGINT AS mb FROM cnd GROUP BY a, b),
+        |pr AS MATERIALIZED (SELECT a, b FROM pp
+        |       JOIN nh na ON pp.a = na.doc_id
+        |       JOIN nh nb ON pp.b = nb.doc_id
+        |       WHERE round(greatest(ma, mb) / least(na.nh, nb.nh), 4) >= 0.6),
+        |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cc AS (SELECT a AS doc_id, least(a, min(b)) AS keep_id
+        |       FROM reach GROUP BY a)
+        |SELECT nf.doc_id AS media_id, nf.n_frames,
+        |  coalesce(cc.keep_id, nf.doc_id) AS keep_id,
+        |  nf.doc_id = coalesce(cc.keep_id, nf.doc_id) AS is_keeper
+        |FROM nf LEFT JOIN cc ON nf.doc_id = cc.doc_id""".stripMargin,
     // the same banded-candidate / hamming-verify / containment /
     // transitive-closure chain, engine for engine (q41's recursive
     // reach pattern for the CC half)
