@@ -153,4 +153,24 @@ class AudioSpec extends AnyFunSuite {
     assert(sw.forall(w => Wav.meta(w.window).get.channels == 2))
     assert(sw.map(w => Wav.samples(w.window).get.length).sum == 4000)
   }
+
+  test("audio window signatures: exact levels for constant segments, " +
+    "tail window fingerprints, non-WAV contributes nothing") {
+    import graft.multimodal.AudioDedup
+    // 400-frame constant segments at amp 3*4096 and 5*4096, plus a
+    // 100-frame truncated outro at 2*4096
+    val pcm = Array.fill(400)((3 * 4096).toShort) ++
+      Array.fill(400)((5 * 4096).toShort) ++
+      Array.fill(100)((2 * 4096).toShort)
+    val ds = Seq(
+      MediaRecord(1L, Wav.encode(8000, 1, pcm)),
+      MediaRecord(2L, Array[Byte](1, 2, 3, 4))).toDS() // not a WAV
+    val sig = AudioDedup.windowSignatures(ds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // constant amp m*4096 -> rms = peak = m/8 -> hash = 8m*64 + 8m
+    assert(sig((1L, 0L)) == 520L * 3)
+    assert(sig((1L, 1L)) == 520L * 5)
+    assert(sig((1L, 2L)) == 520L * 2) // the partial tail still hashes
+    assert(sig.size == 3) // the non-WAV payload emitted no rows
+  }
 }
