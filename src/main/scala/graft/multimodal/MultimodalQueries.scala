@@ -361,32 +361,20 @@ object MultimodalQueries {
           pngAviTab(s, d).as[Multimodal.MediaRecord])
         .localCheckpoint(true)
       val maxId = sigs.agg(max(col("media_id"))).head().getLong(0)
-      val thresh = maxId * 4 / 5
-      val sig = VideoDedup.setSignatures(sigs)
-      val rep = sig.groupBy(col("set_sig"))
-        .agg(min(col("media_id")).as("__rep"))
-      val members = sig.join(rep, Seq("set_sig"))
-        .select(col("media_id"), col("__rep"))
-      val repIds = rep.select(col("__rep").as("media_id"))
-      val repSigs = sigs.join(repIds, Seq("media_id"), "left_semi")
-      // standing state: labels over OLD-corpus representatives
-      val oldLabels = graft.operators.Dedup.connectedComponents(
-        VideoDedup.nearDupPairs(
-          repSigs.filter(col("media_id") <= thresh)))
-      // the batch's new signature classes (reps that are batch ids)
-      val newReps = repIds.filter(col("media_id") > thresh)
-      val deltaPairs = VideoDedup.nearDupPairsTouching(repSigs, newReps)
-      val labels = graft.operators.Dedup.incrementalComponents(
-          oldLabels, deltaPairs)
-        .select(col("id").as("__rep"), col("keep_id").as("__comp"))
-      val labeled = members.join(labels, Seq("__rep"), "left")
-        .select(col("media_id"),
-          coalesce(col("__comp"), col("__rep")).as("keep_id"))
-      sigs.groupBy(col("media_id"))
-        .agg(count(lit(1)).cast("long").as("n_frames"))
-        .join(labeled, Seq("media_id"))
-        .select(col("media_id"), col("n_frames"), col("keep_id"))
-        .withColumn("is_keeper", col("media_id") === col("keep_id"))
+      VideoDedup.incrementalGroups(sigs, thresh = maxId * 4 / 5)
+    }),
+    // The cross-modality reuse made concrete: the SAME incremental
+    // fold (signature classes, batch×all banding, delta CC) over the
+    // AUDIO substrate — one line of modality-specific code (the
+    // window-hash extractor), everything else shared. Invariant
+    // oracle: q196's from-scratch grouping verbatim.
+    "q197_audio_incremental" -> ((s, d) => {
+      import s.implicits._
+      val sigs = AudioDedup.windowSignatures(audioDupTab(s, d))
+        .localCheckpoint(true)
+      val maxId = sigs.agg(max(col("media_id"))).head().getLong(0)
+      VideoDedup.incrementalGroups(sigs, thresh = maxId * 4 / 5,
+        bandBits = 12, nBands = 1, hammingMax = 0)
     }))
 
   /** Baseline JPEG via the JDK's ImageIO (java.desktop — present in
@@ -501,8 +489,29 @@ object MultimodalQueries {
     // equal-hash candidates (one exact band IS the small hash),
     // containment, recursive closure — the video chain over the
     // audio substrate
-    "q196_audio_neardup" ->
-      """WITH RECURSIVE v AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c
+    "q196_audio_neardup" -> audioNearDupSql,
+    // the same banded-candidate / hamming-verify / containment /
+    // transitive-closure chain, engine for engine (q41's recursive
+    // reach pattern for the CC half)
+    "q171_video_neardup" -> videoNearDupSql,
+    // the incremental fold must land at the from-scratch grouping —
+    // the invariant oracle applies verbatim
+    "q189_video_incremental" -> videoNearDupSql,
+    "q197_audio_incremental" -> audioNearDupSql,
+    // n_px = decoded pixel-buffer length: right only when the RIFF
+    // walk found every frame AND the native JPEG decode produced a
+    // full w*h*3 interleaved buffer for each sampled one.
+    "q118_video_mjpeg" ->
+      """WITH f AS (SELECT doc_id,
+        |  unnest(range(0, doc_id % 3 + 2)) AS i FROM documents)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(doc_id % 16 + 8 AS BIGINT) AS width,
+        |  CAST(doc_id % 12 + 8 AS BIGINT) AS height,
+        |  CAST((doc_id % 16 + 8) * (doc_id % 12 + 8) * 3 AS BIGINT) AS n_px
+        |FROM f WHERE i % 2 = 0""".stripMargin)
+
+  private lazy val audioNearDupSql =
+    """WITH RECURSIVE v AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) AS c
         |       FROM documents),
         |f AS (SELECT doc_id, c, unnest(range(0, c % 3 + 3 +
         |        CASE WHEN doc_id % 41 = 0 THEN 1 ELSE 0 END)) AS k FROM v),
@@ -534,25 +543,7 @@ object MultimodalQueries {
         |SELECT nf.doc_id AS media_id, nf.n_frames,
         |  coalesce(cc.keep_id, nf.doc_id) AS keep_id,
         |  nf.doc_id = coalesce(cc.keep_id, nf.doc_id) AS is_keeper
-        |FROM nf LEFT JOIN cc ON nf.doc_id = cc.doc_id""".stripMargin,
-    // the same banded-candidate / hamming-verify / containment /
-    // transitive-closure chain, engine for engine (q41's recursive
-    // reach pattern for the CC half)
-    "q171_video_neardup" -> videoNearDupSql,
-    // the incremental fold must land at the from-scratch grouping —
-    // the invariant oracle applies verbatim
-    "q189_video_incremental" -> videoNearDupSql,
-    // n_px = decoded pixel-buffer length: right only when the RIFF
-    // walk found every frame AND the native JPEG decode produced a
-    // full w*h*3 interleaved buffer for each sampled one.
-    "q118_video_mjpeg" ->
-      """WITH f AS (SELECT doc_id,
-        |  unnest(range(0, doc_id % 3 + 2)) AS i FROM documents)
-        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS frame_idx,
-        |  CAST(doc_id % 16 + 8 AS BIGINT) AS width,
-        |  CAST(doc_id % 12 + 8 AS BIGINT) AS height,
-        |  CAST((doc_id % 16 + 8) * (doc_id % 12 + 8) * 3 AS BIGINT) AS n_px
-        |FROM f WHERE i % 2 = 0""".stripMargin)
+        |FROM nf LEFT JOIN cc ON nf.doc_id = cc.doc_id""".stripMargin
 
   private lazy val videoNearDupSql =
       """WITH RECURSIVE v AS (SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS c

@@ -164,6 +164,47 @@ object VideoDedup {
         array_sort(collect_list(col("fhash").cast("string")))))
         .as("set_sig"))
 
+  /** INCREMENTAL near-dup maintenance over a signature table whose
+    * ids split at `thresh` (old ≤ thresh < batch — append-only
+    * ingest, so a signature class's representative never moves):
+    * standing state = signature classes + component labels over the
+    * OLD representatives; the batch's unseen classes pair against the
+    * standing representatives via [[nearDupPairsTouching]] (batch×all
+    * banding) and fold through
+    * [[graft.operators.Dedup.incrementalComponents]]. Reproduces the
+    * from-scratch [[nearDupGroups]] verbatim (invariant-pinned by the
+    * q171/q196 oracles). Modality-agnostic: any (media_id, frame_idx,
+    * fhash) substrate — video frame hashes, audio window hashes —
+    * gets the incremental form for free. */
+  def incrementalGroups(sigs: DataFrame, thresh: Long,
+                        bandBits: Int = 12, nBands: Int = 4,
+                        hammingMax: Int = 3,
+                        simMin: Double = 0.6): DataFrame = {
+    val sig = setSignatures(sigs).withColumnRenamed("set_sig", "__sig")
+    val rep = sig.groupBy(col("__sig")).agg(min(col("media_id")).as("__rep"))
+    val members = sig.join(rep, Seq("__sig"))
+      .select(col("media_id"), col("__rep"))
+    val repIds = rep.select(col("__rep").as("media_id"))
+    val repSigs = sigs.join(repIds, Seq("media_id"), "left_semi")
+    val oldLabels = graft.operators.Dedup.connectedComponents(
+      nearDupPairs(repSigs.filter(col("media_id") <= thresh),
+        bandBits, nBands, hammingMax, simMin))
+    val newReps = repIds.filter(col("media_id") > thresh)
+    val deltaPairs = nearDupPairsTouching(repSigs, newReps,
+      bandBits, nBands, hammingMax, simMin)
+    val labels = graft.operators.Dedup.incrementalComponents(
+        oldLabels, deltaPairs)
+      .select(col("id").as("__rep"), col("keep_id").as("__comp"))
+    val labeled = members.join(labels, Seq("__rep"), "left")
+      .select(col("media_id"),
+        coalesce(col("__comp"), col("__rep")).as("keep_id"))
+    sigs.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"))
+      .join(labeled, Seq("media_id"))
+      .select(col("media_id"), col("n_frames"), col("keep_id"))
+      .withColumn("is_keeper", col("media_id") === col("keep_id"))
+  }
+
   /** The dedup artifact: every video with its group's canonical
     * keeper (component minimum over the verified-pair graph;
     * singletons keep themselves) and its frame count — the table the
