@@ -1064,6 +1064,85 @@ object TextPipelineQueries {
         .select(col("n_id").as("vec_id"),
           (col("q_id") - 1000000L).as("ref_id"), col("cos"))
     }),
+    // TWO-LEVEL (hierarchical) IVF — the >10⁹-vector scale path: a
+    // flat IVF needs ~√N lists and every query scans every centroid;
+    // two levels (k1 coarse cells × k2 fine cells each) give k1·k2
+    // effective lists while a query scores only k1 + nprobe1·k2
+    // centroids. Construction is SQL-derivable end to end so the
+    // oracle rebuilds it exactly: coarse = the q149 label-mean cells;
+    // fine seeds = each cell's 4 lowest-md5 member VECTORS (the q93
+    // seed idiom, iters 0); fine assignment = nearest own-cell seed
+    // on unrounded cosine (fine_id tie-break). Output: recall@5 vs
+    // brute force over a (nprobe1, nprobe2) grid — the
+    // accuracy/latency dial a deployment actually tunes.
+    "q198_ivf2_recall" -> ((s, d) => {
+      import s.implicits._
+      val e = emb(s, d)
+      val seeds = Similarity.labelCentroids(
+          e.select(col("label").cast("long").as("label"), col("embedding")),
+          "label", "embedding")
+        .orderBy(col("label")).collect().map(_.getSeq[Double](1).toArray)
+      val (c0, coarse) = IvfIndex.buildFrom(e, "embedding", seeds, iters = 0)
+      val cos2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+        graft.functions.VectorFunctions.cosine(a, b)
+      val wSeed = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("list_id"))
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit("|ivf2"))).asc,
+          col("vec_id").asc)
+      val fineSeeds = coarse.withColumn("__rk", row_number().over(wSeed))
+        .filter(col("__rk") <= 4)
+        .select(col("list_id"), (col("__rk") - 1).cast("long").as("fine_id"),
+          col("embedding").cast("array<double>").as("f_vec"))
+        .localCheckpoint(true) // k1×k2 rows — a driver-bounded artifact
+      val wAsg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(col("__c").desc, col("fine_id").asc)
+      val lists = coarse.join(broadcast(fineSeeds), Seq("list_id"))
+        .withColumn("__c",
+          cos2(col("embedding").cast("array<double>"), col("f_vec")))
+        .withColumn("__r", row_number().over(wAsg)).filter(col("__r") === 1)
+        .select(col("vec_id"), col("list_id"), col("fine_id"),
+          col("embedding"))
+      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("q_vec"))
+      val bf = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .select(col("q_id"), col("n_id"))
+      val c0df = c0.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toSeq.toDF("list_id", "c_vec")
+      Seq((1, 1), (2, 2), (3, 4)).map { case (p1, p2) =>
+        val wp1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("__d").desc, col("list_id").asc)
+        val probeC = q.crossJoin(broadcast(c0df))
+          .withColumn("__d", cos2(col("q_vec"), col("c_vec")))
+          .withColumn("__k1", row_number().over(wp1))
+          .filter(col("__k1") <= p1)
+          .select(col("q_id"), col("q_vec"), col("list_id"))
+        val wp2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id"), col("list_id"))
+          .orderBy(col("__d2").desc, col("fine_id").asc)
+        val probeF = probeC.join(broadcast(fineSeeds), Seq("list_id"))
+          .withColumn("__d2", cos2(col("q_vec"), col("f_vec")))
+          .withColumn("__k2", row_number().over(wp2))
+          .filter(col("__k2") <= p2)
+          .select(col("q_id"), col("q_vec"), col("list_id"), col("fine_id"))
+        val w5 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+        broadcast(probeF).join(lists, Seq("list_id", "fine_id"))
+          .filter(col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            round(cos2(col("q_vec"), col("embedding").cast("array<double>")), 4)
+              .as("cos"))
+          .withColumn("__r5", row_number().over(w5)).filter(col("__r5") <= 5)
+          .select(lit(p1.toLong).as("nprobe1"), lit(p2.toLong).as("nprobe2"),
+            col("q_id"), col("n_id"))
+      }.reduce(_ unionAll _)
+        .join(bf, Seq("q_id", "n_id"), "left_semi")
+        .groupBy(col("nprobe1"), col("nprobe2"))
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+        .select(col("nprobe1"), col("nprobe2"), col("n_hits"),
+          round(col("n_hits") / lit(50.0), 4).as("recall"))
+    }),
     // In-context (semantic) packing — Shi et al. 2023: packing
     // RELATED documents into the same training sequence improves
     // long-context use, so the pack order becomes (cluster, id)
@@ -2115,6 +2194,81 @@ object TextPipelineQueries {
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
          |      FROM p)
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    // both levels rebuilt in SQL: q149's coarse cells, per-cell
+    // md5-ordered seed vectors, nearest-own-seed fine assignment
+    // (unrounded), the (p1, p2) probe grid, k=5 cut, brute recall
+    "q198_ivf2_recall" ->
+      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+         |              unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |m AS (SELECT label, pos, avg(x::DOUBLE) AS m FROM ex GROUP BY label, pos),
+         |ctr0 AS (SELECT label, list(m ORDER BY pos) AS centroid FROM m GROUP BY label),
+         |ctr AS (SELECT CAST(row_number() OVER (ORDER BY label) - 1 AS BIGINT) AS list_id,
+         |               centroid FROM ctr0),
+         |da AS (SELECT v.vec_id, c.list_id,
+         |       ${cosSql("v.embedding", "c.centroid")} AS cos
+         |       FROM embeddings v CROSS JOIN ctr c),
+         |asg AS MATERIALIZED (SELECT vec_id, list_id FROM (
+         |        SELECT vec_id, list_id,
+         |        row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY cos DESC, list_id ASC) AS rk FROM da) WHERE rk = 1),
+         |fs AS MATERIALIZED (SELECT list_id,
+         |       CAST(rk - 1 AS BIGINT) AS fine_id, f_vec FROM (
+         |   SELECT a.list_id, v.embedding AS f_vec,
+         |     row_number() OVER (PARTITION BY a.list_id
+         |       ORDER BY md5(CAST(a.vec_id AS VARCHAR) || '|ivf2') ASC,
+         |                a.vec_id ASC) AS rk
+         |   FROM asg a JOIN embeddings v ON v.vec_id = a.vec_id) WHERE rk <= 4),
+         |fa AS MATERIALIZED (SELECT vec_id, list_id, fine_id FROM (
+         |   SELECT a.vec_id, a.list_id, f.fine_id,
+         |     row_number() OVER (PARTITION BY a.vec_id
+         |       ORDER BY ${cosSql("v.embedding", "f.f_vec")} DESC,
+         |                f.fine_id ASC) AS r
+         |   FROM asg a JOIN embeddings v ON v.vec_id = a.vec_id
+         |   JOIN fs f ON f.list_id = a.list_id) WHERE r = 1),
+         |grid AS (SELECT * FROM (VALUES (1, 1), (2, 2), (3, 4)) AS g(p1, p2)),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |       WHERE vec_id < 10),
+         |pcr AS (SELECT q_id, list_id,
+         |        row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cd DESC, list_id ASC) AS crk
+         |        FROM (SELECT q.q_id, c.list_id,
+         |                ${cosSql("q.q_vec", "c.centroid")} AS cd
+         |              FROM qv q CROSS JOIN ctr c)),
+         |pfr AS (SELECT q_id, list_id, fine_id,
+         |        row_number() OVER (PARTITION BY q_id, list_id
+         |          ORDER BY fd DESC, fine_id ASC) AS frk
+         |        FROM (SELECT q.q_id, f.list_id, f.fine_id,
+         |                ${cosSql("q.q_vec", "f.f_vec")} AS fd
+         |              FROM qv q CROSS JOIN fs f)),
+         |cand AS (SELECT g.p1, g.p2, pcr.q_id, fa.vec_id AS n_id,
+         |        round(${cosSql("q.q_vec", "v.embedding")}, 4) AS cos
+         |        FROM grid g
+         |        JOIN pcr ON pcr.crk <= g.p1
+         |        JOIN pfr ON pfr.q_id = pcr.q_id
+         |          AND pfr.list_id = pcr.list_id AND pfr.frk <= g.p2
+         |        JOIN fa ON fa.list_id = pfr.list_id
+         |          AND fa.fine_id = pfr.fine_id
+         |        JOIN embeddings v ON v.vec_id = fa.vec_id
+         |        JOIN qv q ON q.q_id = pcr.q_id
+         |        WHERE fa.vec_id <> pcr.q_id),
+         |itop AS (SELECT p1, p2, q_id, n_id FROM (
+         |        SELECT p1, p2, q_id, n_id,
+         |        row_number() OVER (PARTITION BY p1, p2, q_id
+         |          ORDER BY cos DESC, n_id ASC) AS rk FROM cand) WHERE rk <= 5),
+         |bp AS (SELECT q.q_id, v.vec_id AS n_id,
+         |       round(${cosSql("q.q_vec", "v.embedding")}, 4) AS cos
+         |       FROM embeddings v CROSS JOIN qv q WHERE q.q_id <> v.vec_id),
+         |bf AS (SELECT q_id, n_id FROM (
+         |       SELECT q_id, n_id,
+         |       row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, n_id ASC) AS rk FROM bp) WHERE rk <= 5)
+         |SELECT CAST(p1 AS BIGINT) AS nprobe1, CAST(p2 AS BIGINT) AS nprobe2,
+         |       count(*)::BIGINT AS n_hits,
+         |       round(count(*) / 50.0, 4) AS recall
+         |FROM itop JOIN bf USING (q_id, n_id)
+         |GROUP BY p1, p2""".stripMargin,
     // pack order (label, doc_id); the oracle's one window mirrors the
     // two-phase rank + prefix sum exactly
     "q184_semantic_packing" ->
