@@ -281,12 +281,19 @@ object Dedup {
     * Output: (id, keep_id) for every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // Persisted ONCE: every propagation round (and the star fallback)
-    // re-reads the edge set — uncached it would replay the whole
-    // upstream lineage (at scale, the LSH bucket-collect) per round.
+    // Materialized ONCE with the lineage CUT (eager localCheckpoint,
+    // NOT persist): every propagation round re-reads the edge set.
+    // A persist avoids recompute but keeps the full upstream PLAN
+    // alive — each round's join then re-analyzes/optimizes a plan
+    // tree containing the whole candidate-generation lineage, and on
+    // an iterative operator that driver-side planning cost dominates
+    // end to end (profiled: CC over a 9-pair banded-LSH lineage took
+    // 23s uncached, 47s persisted, 1.5s once the plan was severed —
+    // the rounds were never the cost, the per-round replanning was).
+    // The checkpointed edge set enters every round as a leaf scan.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(mem)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(mem)
@@ -349,7 +356,7 @@ object Dedup {
       val out = labels.select(col("id"), col("label").as("keep_id"))
         .localCheckpoint(true)
       labels.unpersist(blocking = false)
-      edges.unpersist(blocking = false)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(edges)
       out
     } else {
       // Diameter exceeded the propagation budget (min-label rounds =
@@ -359,7 +366,7 @@ object Dedup {
       // converges in O(log² n) rounds regardless of diameter.
       labels.unpersist(blocking = false)
       val out = starComponents(edges).localCheckpoint(true)
-      edges.unpersist(blocking = false)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(edges)
       out
     }
   }
