@@ -33,7 +33,12 @@ import graft.operators.Packing
   * crashed append can leave untracked rows) — are actually read.
   * Per-batch probe cost is ∝ the batch's id span, not the corpus
   * (the r9 sink re-read every landed id every batch). A missing
-  * sidecar (pre-existing layout, or deleted) heals by one full scan.
+  * sidecar (pre-existing layout, or deleted) heals by one full scan;
+  * a torn/empty one (crashed writer) reads as missing and heals the
+  * same way; sidecar publishes are temp-file + rename, and every
+  * batch audits the probed dirs' observed (max_id, n_docs) against
+  * the record so a crash between landing files and refreshing the
+  * sidecar can never feed stale totals into a later append.
   *
   * Crash recovery: an append that died between landing some shard
   * directories and committing the checkpoint re-arrives as a batch
@@ -55,32 +60,47 @@ object StreamingShards {
   private val SidecarName = "_graft_landed" // _-prefixed: parquet readers skip it
 
   /** (shard_id -> (min_id, max_id, n_docs, n_tokens)); None when
-    * absent. */
+    * absent — and also when the file is EMPTY or unparseable. The
+    * sidecar is advisory state over the authoritative shard dirs, and
+    * a crashed writer can leave it truncated; parsing a torn file as
+    * "no shards landed" (or wedging the stream on a MatchError every
+    * batch) would be trusting garbage over the dirs. Missing-shaped
+    * `None` routes every such case into the heal-by-scan path. */
   private def readSidecar(fs: org.apache.hadoop.fs.FileSystem, path: String)
       : Option[Map[Long, (Long, Long, Long, Long)]] = {
     val p = new org.apache.hadoop.fs.Path(path, SidecarName)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try {
-        val txt = new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-        Some(txt.linesIterator.filter(_.nonEmpty).map { l =>
+      val txt = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      scala.util.Try {
+        txt.linesIterator.filter(_.nonEmpty).map { l =>
           val Array(s, mn, mx, n, t) = l.split(",")
           s.toLong -> ((mn.toLong, mx.toLong, n.toLong, t.toLong))
-        }.toMap)
-      } finally in.close()
+        }.toMap
+      }.toOption.filter(_.nonEmpty)
     }
   }
 
+  /** Atomic publish: write to a temp path, then rename over the old
+    * file. A crash mid-write leaves either the prior sidecar intact
+    * or (in the delete→rename window) no sidecar — both states
+    * [[readSidecar]] handles; an in-place truncating write could
+    * leave a torn file that misreports the landed layout. */
   private def writeSidecar(fs: org.apache.hadoop.fs.FileSystem, path: String,
                            stats: Map[Long, (Long, Long, Long, Long)]): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, SidecarName)
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(path, SidecarName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(stats.toSeq.sortBy(_._1)
       .map { case (s, (mn, mx, n, t)) => s"$s,$mn,$mx,$n,$t" }
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"sidecar publish failed: $tmp -> $p")
   }
 
   /** Recompute sidecar entries for `shards` only (bounded rescan);
@@ -176,28 +196,53 @@ object StreamingShards {
             refreshSidecar(spark, fs, path, idCol, Map.empty,
               listShards(fs, path))
           } else {
-            // heal a missing sidecar with one full scan, then probe
-            // only the shards a batch id could possibly live in
-            val stats = readSidecar(fs, path).getOrElse {
-              refreshSidecar(spark, fs, path, idCol, Map.empty, shardsOnDisk)
-              readSidecar(fs, path).get
-            }
+            // heal a missing (or torn — see readSidecar) sidecar with
+            // one full scan, then probe only the shards a batch id
+            // could possibly live in
+            val stats0 = readSidecar(fs, path).getOrElse(
+              refreshSidecar(spark, fs, path, idCol, Map.empty, shardsOnDisk))
             val ids = batch.select(col(idCol)).distinct()
               .localCheckpoint(true)
             val b = ids.agg(min(col(idCol)).cast("long"), count(lit(1))).head()
             val (bMin, nBatch) = (b.getLong(0), b.getLong(1))
             val lastShard =
-              if (stats.nonEmpty) stats.maxBy(_._2._2)._1 else -1L
-            val probeShards = (shardsOnDisk -- stats.keySet) ++
-              stats.filter(_._2._2 >= bMin).keySet ++
-              (if (stats.nonEmpty) Set(lastShard) else Set.empty[Long])
-            val hit =
-              if (probeShards.isEmpty) ids.limit(0)
-                .withColumn("shard_id", lit(0L))
+              if (stats0.nonEmpty) stats0.maxBy(_._2._2)._1 else -1L
+            val probeShards = (shardsOnDisk -- stats0.keySet) ++
+              stats0.filter(_._2._2 >= bMin).keySet ++
+              (if (stats0.nonEmpty) Set(lastShard) else Set.empty[Long])
+            val probed =
+              if (probeShards.isEmpty) null
               else spark.read.option("basePath", path)
                 .parquet(probeShards.toSeq.map(s => s"$path/shard_id=$s"): _*)
                 .select(col(idCol), col("shard_id").cast("long").as("shard_id"))
-                .join(ids, Seq(idCol), "left_semi")
+                .localCheckpoint(true)
+            // Staleness audit before trusting ANY total: an append that
+            // crashed after landing files but before its sidecar refresh
+            // leaves dirs the sidecar has not seen, or a last shard
+            // holding ids past its recorded max. The membership probe
+            // still classifies correctly (untracked dirs and the
+            // recorded-last shard are always probed), but totals derived
+            // from the stale record would place the next append at a
+            // wrong global offset — and the replay-skip path would
+            // otherwise leave the staleness standing forever. Compare
+            // observed (max_id, n_docs) of the probed dirs with the
+            // record and re-scan exactly the disagreeing shards.
+            val stats = {
+              val observed = if (probed == null) Array.empty[(Long, (Long, Long))]
+                else probed.groupBy(col("shard_id"))
+                  .agg(max(col(idCol)).cast("long"), count(lit(1)))
+                  .collect()
+                  .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+              val stale = observed.collect { case (s, (mx, n))
+                if !stats0.get(s).exists(st => st._2 == mx && st._3 == n) => s
+              }.toSet
+              if (stale.isEmpty) stats0
+              else refreshSidecar(spark, fs, path, idCol, stats0, stale)
+            }
+            val hit =
+              if (probed == null) ids.limit(0)
+                .withColumn("shard_id", lit(0L))
+              else probed.join(ids, Seq(idCol), "left_semi")
                 .localCheckpoint(true)
             val nHit = hit.count()
             if (nHit == nBatch) {
@@ -257,7 +302,17 @@ object StreamingShards {
                 refreshSidecar(spark, fs, path, idCol, stats,
                   probeShards ++ dirty)
               } else stats
-              if (current.isEmpty) {
+              // "empty" gates a from-scratch overwrite that deletes
+              // every landed shard — never take a record's word for
+              // it: re-list the dirs, and if any remain (a sidecar
+              // that lost track of a live layout), heal by full
+              // rescan instead of destroying data
+              val remaining0 = if (current.isEmpty) listShards(fs, path)
+                else Set.empty[Long]
+              val healed = if (current.isEmpty && remaining0.nonEmpty)
+                refreshSidecar(spark, fs, path, idCol, Map.empty, remaining0)
+              else current
+              if (healed.isEmpty) {
                 // the strip emptied the whole layout (the crashed
                 // batch WAS the corpus): recreate from scratch
                 writeFull(batch)
@@ -267,8 +322,8 @@ object StreamingShards {
                 // landed totals from the sidecar — the append skips
                 // its full-layout scan, so append cost is ∝ touched
                 // shards, not the corpus
-                val totals = Some((current.values.map(_._4).sum,
-                  current.values.map(_._2).max))
+                val totals = Some((healed.values.map(_._4).sum,
+                  healed.values.map(_._2).max))
                 append(batch, totals)
                 // bounded refresh: new dirs + everything the batch's
                 // id span can have touched + the last pre-append
@@ -276,10 +331,10 @@ object StreamingShards {
                 // skipping it leaves a stale range that would make the
                 // NEXT replay probe miss those landed ids)
                 val after = listShards(fs, path)
-                refreshSidecar(spark, fs, path, idCol, current,
-                  (after -- current.keySet) ++
-                    current.filter(_._2._2 >= bMin).keySet ++
-                    Set(current.maxBy(_._2._2)._1))
+                refreshSidecar(spark, fs, path, idCol, healed,
+                  (after -- healed.keySet) ++
+                    healed.filter(_._2._2 >= bMin).keySet ++
+                    Set(healed.maxBy(_._2._2)._1))
               }
             }
           }

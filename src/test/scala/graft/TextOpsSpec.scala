@@ -744,6 +744,98 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming shard sink: sidecar durability — a crash between " +
+    "landing files and refreshing the sidecar heals on replay (next " +
+    "append lands at the right offsets); a torn sidecar heals by " +
+    "rescan instead of wiping the corpus") {
+    import graft.operators.Packing
+    import graft.streaming.StreamingShards
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 90).map(i =>
+      (i * 2L + 1, 1L + rng.nextInt(9), s"p-${i * 2L + 1}"))
+    val base = java.nio.file.Files.createTempDirectory("shside").toString
+    val ref = Packing.packByBudget(
+        rows.map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 25L)
+      .join(rows.map(r => (r._1, r._3)).toDF("doc_id", "ids"), Seq("doc_id"))
+    Packing.writeShards(ref, "doc_id", s"$base/full", 3L)
+    val (b1, rest) = rows.splitAt(45)
+    val (b2, b3) = rest.splitAt(25)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ids",
+        org.apache.spark.sql.types.StringType)))
+    def start() = StreamingShards.shardSink(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/src"),
+      s"$base/incr", "doc_id", "n_tokens", 25L, 3L, s"$base/ckpt")
+    b1.toDF("doc_id", "n_tokens", "ids").coalesce(1)
+      .write.parquet(s"$base/src")
+    val q1 = start(); q1.processAllAvailable()
+    assert(q1.exception.isEmpty, q1.exception); q1.stop()
+    val sidecar = java.nio.file.Paths.get(s"$base/incr/_graft_landed")
+    // SIMULATED CRASH shape 1: b2's data fully lands (direct append —
+    // what a foreachBatch that died right before refreshSidecar leaves
+    // behind, with the checkpoint uncommitted), sidecar still reads
+    // the PRE-append stats
+    val stale = java.nio.file.Files.readAllBytes(sidecar)
+    Packing.appendShards(b2.toDF("doc_id", "n_tokens", "ids"),
+      "doc_id", "n_tokens", s"$base/incr", 25L, 3L)
+    java.nio.file.Files.write(sidecar, stale)
+    // b2 re-arrives (the replay): every id already landed -> skip,
+    // but the audit must repair the sidecar...
+    b2.toDF("doc_id", "n_tokens", "ids").coalesce(1).write.mode("append")
+      .parquet(s"$base/src")
+    val q2 = start(); q2.processAllAvailable()
+    assert(q2.exception.isEmpty, q2.exception); q2.stop()
+    // ...so the NEXT (fresh) batch appends at the right global offsets
+    b3.toDF("doc_id", "n_tokens", "ids").coalesce(1).write.mode("append")
+      .parquet(s"$base/src")
+    val q3 = start(); q3.processAllAvailable()
+    assert(q3.exception.isEmpty, q3.exception); q3.stop()
+    def files(root: String) = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet")).head).toMap
+    val (ff, fi) = (files(s"$base/full"), files(s"$base/incr"))
+    assert(ff.keySet == fi.keySet && ff.nonEmpty)
+    ff.foreach { case (shard, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fi(shard).toPath)),
+        s"$shard differs from from-scratch after stale-sidecar replay")
+    }
+    // SIMULATED CRASH shape 2: a torn (empty) sidecar — a crashed
+    // in-place writer's worst case. A fresh batch must HEAL by
+    // rescan, not classify the layout as empty and overwrite it.
+    java.nio.file.Files.write(sidecar, Array.empty[Byte])
+    val extra = Seq((rows.map(_._1).max + 2, 4L, "z1"),
+      (rows.map(_._1).max + 4, 5L, "z2"))
+    extra.toDF("doc_id", "n_tokens", "ids").coalesce(1).write.mode("append")
+      .parquet(s"$base/src")
+    val q4 = start(); q4.processAllAvailable()
+    assert(q4.exception.isEmpty, q4.exception); q4.stop()
+    assert(spark.read.parquet(s"$base/incr").count() == 92,
+      "torn sidecar must heal by rescan, not wipe the landed corpus")
+    val refAll = Packing.packByBudget(
+        (rows ++ extra).map(r => (r._1, r._2)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 25L)
+      .join((rows ++ extra).map(r => (r._1, r._3)).toDF("doc_id", "ids"),
+        Seq("doc_id"))
+    Packing.writeShards(refAll, "doc_id", s"$base/full92", 3L)
+    val (f92, fi2) = (files(s"$base/full92"), files(s"$base/incr"))
+    assert(f92.keySet == fi2.keySet)
+    f92.foreach { case (shard, f) =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.file.Files.readAllBytes(fi2(shard).toPath)),
+        s"$shard differs from from-scratch after torn-sidecar heal")
+    }
+  }
+
   test("simhash: identical docs equal, near-dups close in hamming") {
     val h = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
