@@ -13,17 +13,25 @@ import org.apache.spark.sql.functions._
   * A naive global window (`sum over (order by id)`) computes the
   * prefix sum on ONE task — the classic scale trap. This is the
   * two-phase parallel prefix sum instead: ids are bucketed into
-  * `parallelism` DETERMINISTIC contiguous ranges (computed from the
-  * id span — no RangePartitioner sampling, so a recomputed lineage
-  * reproduces identical placement and nothing needs persisting);
-  * per-bucket token totals (a `parallelism`-sized collect — index
-  * metadata) scan into bucket offsets, and a partition-local pass
-  * adds each bucket's offset to its running sum. The corpus shuffles
-  * exactly once.
+  * `parallelism` DETERMINISTIC contiguous ranges; per-bucket token
+  * totals (a `parallelism`-sized collect — index metadata) scan into
+  * bucket offsets, and a partition-local pass adds each bucket's
+  * offset to its running sum. The corpus shuffles exactly once.
   *
-  * Bucket ranges are equal-width in ID space, so parallelism assumes
-  * ids without extreme sparsity skew — true for the dense ids a
-  * pipeline assigns; re-id first if not.
+  * Bucket ranges are equal-width in ID space by default (computed
+  * from the id span — no sampling, so a recomputed lineage
+  * reproduces identical placement and nothing needs persisting).
+  * Equal width collapses parallelism on SPARSE ids — a composite key
+  * like `label·2^40 + id` puts every label's rows in a point-width
+  * cluster, so one bucket carries the dominant label's whole corpus
+  * slice at scale. The pre-shuffle histogram (the same aggregate
+  * that feeds the offsets) detects that shape, and the bucketing
+  * switches to sampled RANGE boundaries: a deterministic md5-hash
+  * row sample (reproducible across reruns — no RNG state) picks
+  * boundary keys at row-count quantiles, so buckets are balanced by
+  * ROWS regardless of key distribution. Any monotonic bucketing
+  * yields the same prefix sums, so the output is bucketing-invariant
+  * — only the parallelism changes.
   */
 object Packing {
 
@@ -48,44 +56,122 @@ object Packing {
     * earlier-id rows plus `tokenOffset`. */
   private def prefixSums(df: DataFrame, idCol: String, tokenCol: String,
                          tokenOffset: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val base = df.select(col(idCol).cast("long").as("__id"),
       col(tokenCol).cast("long").as("__tok"))
     val bounds = base.agg(min(col("__id")), max(col("__id")), count(lit(1))).head()
     if (bounds.isNullAt(0)) // empty input
       return base.select(col("__id").as(idCol), col("__tok").as("n_tokens"),
         col("__tok").as("__start")).limit(0)
-    val minId = bounds.getLong(0)
-    val maxId = bounds.getLong(1)
-    val nBuckets = spark.sparkContext.defaultParallelism
+    val (bCol, nB, eqTotals) = bucketing(base, bounds.getLong(0),
+      bounds.getLong(1), bounds.getLong(2))
+    val offsets = eqTotals.getOrElse {
+      // range path: per-bucket totals over the chosen buckets
+      base.groupBy(bCol.as("__b")).agg(sum(col("__tok")).as("__t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val offArr = (0L until nB.toLong)
+      .map(b => offsets.getOrElse(b, 0L))
+      .scanLeft(tokenOffset)(_ + _).toArray // offArr(b) = tokens before b
+    phase2(base, idCol, bCol, nB, offArr)
+  }
+
+  /** The bucketing decision — shared by [[prefixSums]] and the spec
+    * probe so balance assertions pin the REAL path. Returns (bucket
+    * column, bucket count, per-bucket token totals when the fast-path
+    * histogram already computed them — the range path recomputes over
+    * its own buckets). */
+  private def bucketing(base: DataFrame, minId: Long, maxId: Long, n: Long)
+      : (Column, Int, Option[Map[Long, Long]]) = {
+    val nBuckets = base.sparkSession.sparkContext.defaultParallelism
     val span = math.max(1L, (maxId - minId) / nBuckets + 1)
-    val bucketed = base
-      .withColumn("__b", ((col("__id") - minId) / span).cast("long"))
+    val eqB = ((col("__id") - minId) / span).cast("long")
+    // phase 1: per-bucket (rows, tokens) BEFORE the shuffle — map-side
+    // combined to ≤ nBuckets rows, so this histogram both feeds the
+    // offsets and detects sparsity skew without an extra corpus pass
+    val hist = base.groupBy(eqB.as("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__tok")).as("__t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // gate at 2× the perfect share: dense-ish ids sit well under it,
+    // and a bucket above it means effective parallelism has already
+    // halved — worth the sample pass (4× could never fire at small
+    // bucket counts: max ≤ n = 4·ideal when nBuckets = 4)
+    val ideal = math.max(1L, n / nBuckets)
+    val skewed = nBuckets > 1 && n >= 4L * nBuckets &&
+      hist.valuesIterator.map(_._1).max > 2L * ideal
+    val ranged = if (skewed) sampledBoundaries(base, n, nBuckets) else None
+    ranged match {
+      case Some(bnds) =>
+        // sampled range bucketing: bucket = #boundaries <= key — a
+        // codegen'd higher-order function over a tiny literal array,
+        // monotonic in the key, balanced by ROWS by construction
+        val bArr = array(bnds.map(lit(_)).toSeq: _*)
+        (size(filter(bArr, b => b <= col("__id"))).cast("long"),
+          bnds.length + 1, None)
+      case None =>
+        (eqB, nBuckets, Some(hist.map { case (b, (_, t)) => b -> t }))
+    }
+  }
+
+  /** Spec probe: the (id, bucket) assignment [[prefixSums]] would use
+    * for `df` — lets a test assert bucket balance on skewed keys
+    * against the exact production decision path. */
+  private[graft] def bucketProbe(df: DataFrame, idCol: String): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      lit(1L).as("__tok"))
+    val bounds = base.agg(min(col("__id")), max(col("__id")), count(lit(1))).head()
+    require(!bounds.isNullAt(0), "bucketProbe needs a non-empty frame")
+    val (bCol, _, _) = bucketing(base, bounds.getLong(0),
+      bounds.getLong(1), bounds.getLong(2))
+    base.select(col("__id").as(idCol), bCol.as("bucket"))
+  }
+
+  /** Deterministic boundary keys at row-count quantiles: an md5-hash
+    * row sample (~64·nBuckets rows expected — pseudorandom but a pure
+    * function of the ids, so reruns and lineage replays see the same
+    * boundaries), sorted on the driver, boundary picked every
+    * len/nBuckets-th sample. None when the sample came back too thin
+    * to beat equal-width (never at real scale — the skew gate already
+    * requires n ≥ 4·nBuckets). */
+  private def sampledBoundaries(base: DataFrame, n: Long,
+                                nBuckets: Int): Option[Array[Long]] = {
+    val target = 64L * nBuckets
+    val thresh = math.min(4294967296.0, target.toDouble / n * 4294967296.0)
+    val sampled = base.filter(
+        conv(substring(md5(concat(lit("pfxsum|"), col("__id").cast("string"))),
+          1, 8), 16, 10).cast("long") < lit(thresh.toLong))
+      .select(col("__id")).collect().map(_.getLong(0)).sorted
+    if (sampled.length < 2) None
+    else {
+      val bnds = (1 until nBuckets)
+        .map(i => sampled((i.toLong * sampled.length / nBuckets).toInt))
+        .distinct.toArray
+      if (bnds.isEmpty) None else Some(bnds)
+    }
+  }
+
+  /** Phase 2: one shuffle on the bucket id, then partition-local
+    * running sums, reset at bucket changes (a partition holds whole
+    * buckets; rows arrive bucket-then-id sorted). Deterministic under
+    * lineage replay — same buckets, same order, same offsets. */
+  private def phase2(base: DataFrame, idCol: String, bucketCol: Column,
+                     nBuckets: Int, offsets: Array[Long]): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(offsets)
+    base.withColumn("__b", bucketCol)
       .repartition(nBuckets, col("__b"))
       .sortWithinPartitions(col("__b"), col("__id"))
-    // phase 1: per-bucket totals (≤ nBuckets rows to the driver)
-    val totals = bucketed.groupBy(col("__b")).agg(sum(col("__tok")).as("__t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val offsets = (0L until nBuckets.toLong)
-      .map(b => totals.getOrElse(b, 0L))
-      .scanLeft(tokenOffset)(_ + _).toArray // offsets(b) = tokens before bucket b
-    val bc = spark.sparkContext.broadcast(offsets)
-    // phase 2: partition-local running sums, reset at bucket changes
-    // (a partition holds whole buckets; rows arrive bucket-then-id
-    // sorted). Deterministic under lineage replay — same buckets,
-    // same order, same offsets.
-    bucketed.as[(Long, Long, Long)].mapPartitions { it =>
-      var curBucket = -1L
-      var run = 0L
-      val offs = bc.value
-      it.map { case (id, tok, b) =>
-        if (b != curBucket) { curBucket = b; run = offs(b.toInt) }
-        val start = run
-        run += tok
-        (id, tok, start)
-      }
-    }.toDF(idCol, "n_tokens", "__start")
+      .as[(Long, Long, Long)].mapPartitions { it =>
+        var curBucket = -1L
+        var run = 0L
+        val offs = bc.value
+        it.map { case (id, tok, b) =>
+          if (b != curBucket) { curBucket = b; run = offs(b.toInt) }
+          val start = run
+          run += tok
+          (id, tok, start)
+        }
+      }.toDF(idCol, "n_tokens", "__start")
   }
 
   /** [[packByBudget]] plus each document's token OFFSET inside its
@@ -425,8 +511,9 @@ object Packing {
     * two-phase prefix sum instead: with every row weighing 1 token
     * and budget 1, `seq_id` IS the exclusive prefix count, i.e. the
     * 0-based global rank. Same contract as packByBudget (unique
-    * orderable ids, dense-ish for bucket balance — re-id first if
-    * not). Output: (idCol, row_id). */
+    * orderable ids; sparse/clustered keys are fine — the sampled
+    * range fallback keeps buckets row-balanced). Output: (idCol,
+    * row_id). */
   def stableIds(df: DataFrame, idCol: String): DataFrame =
     packByBudget(df.withColumn("__one", lit(1L)), idCol, "__one", 1L)
       .select(col(idCol), col("seq_id").as("row_id"))

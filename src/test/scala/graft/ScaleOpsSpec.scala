@@ -61,6 +61,42 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), s"prune filter must not use a UDF:\n$plan")
   }
 
+  test("prefix-sum bucketing survives sparse composite keys: sampled " +
+    "range fallback keeps buckets row-balanced; equal-width stays on " +
+    "dense ids; ranks exact either way") {
+    import graft.operators.Packing
+    import spark.implicits._
+    // the q184 shape: label << 40 | doc_id — two point-width clusters
+    // in a 2^40-wide key space, one label dominant. Equal-width
+    // bucketing would put 900 of 1000 rows in ONE bucket.
+    val skewedKeys = ((0 until 900).map(i => 0L * (1L << 40) + i) ++
+      (0 until 100).map(i => 1L * (1L << 40) + i)).toDF("key")
+    val nB = spark.sparkContext.defaultParallelism
+    val probe = Packing.bucketProbe(skewedKeys, "key")
+      .groupBy(col("bucket")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probe.size >= nB,
+      s"sparse keys must spread over >= $nB buckets, got ${probe.size}: $probe")
+    val ideal = 1000.0 / probe.size
+    assert(probe.values.max <= 2 * ideal,
+      s"range buckets must be row-balanced (ideal $ideal): $probe")
+    // dense ids keep the deterministic equal-width fast path: near-
+    // uniform buckets with no sampling involved
+    val dense = (0 until 1000).map(_.toLong * 2 + 1).toDF("key")
+    val dprobe = Packing.bucketProbe(dense, "key")
+      .groupBy(col("bucket")).count()
+      .collect().map(r => r.getLong(1))
+    assert(dprobe.max <= 2 * 1000 / dprobe.length)
+    // and the ranks over the skewed keys are EXACT — identical to the
+    // sorted order — because any monotonic bucketing yields the same
+    // prefix counts
+    val ranked = Packing.stableIds(skewedKeys, "key")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = skewedKeys.as[Long].collect().sorted.zipWithIndex
+      .map { case (k, i) => k -> i.toLong }.toMap
+    assert(ranked == expected)
+  }
+
   test("IVF index: nprobe=k reproduces brute force; partial probe has recall") {
     import graft.operators.{IvfIndex, Similarity}
     val emb = Tables.t(spark, sf, "embeddings")
