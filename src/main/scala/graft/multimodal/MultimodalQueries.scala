@@ -532,7 +532,7 @@ object MultimodalQueries {
         |pr AS MATERIALIZED (SELECT a, b FROM pp
         |       JOIN nh na ON pp.a = na.doc_id
         |       JOIN nh nb ON pp.b = nb.doc_id
-        |       WHERE round(greatest(ma, mb) / least(na.nh, nb.nh), 4) >= 0.6),
+        |       WHERE round(least(greatest(ma, mb), least(na.nh, nb.nh)) / least(na.nh, nb.nh), 4) >= 0.6),
         |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges
@@ -575,7 +575,7 @@ object MultimodalQueries {
         |pr AS MATERIALIZED (SELECT a, b FROM pp
         |       JOIN nh na ON pp.a = na.doc_id
         |       JOIN nh nb ON pp.b = nb.doc_id
-        |       WHERE round(greatest(ma, mb) / least(na.nh, nb.nh), 4) >= 0.6),
+        |       WHERE round(least(greatest(ma, mb), least(na.nh, nb.nh)) / least(na.nh, nb.nh), 4) >= 0.6),
         |edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
         |reach(a, b) AS (
         |  SELECT a, b FROM edges

@@ -103,7 +103,11 @@ object VideoDedup {
       .join(nh.select(col("media_id").as("id_b"), col("nh").as("__nb")),
         Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(greatest(col("__ma"), col("__mb")).cast("double") /
+        // With hammingMax > 0 one hash can match several on the other
+        // side, so the matched count may exceed the smaller set size —
+        // cap the numerator so sim stays true containment in [0, 1].
+        round(least(greatest(col("__ma"), col("__mb")),
+            least(col("__na"), col("__nb"))).cast("double") /
           least(col("__na"), col("__nb")), 4).as("sim"))
       .filter(col("sim") >= simMin)
 
@@ -164,45 +168,119 @@ object VideoDedup {
         array_sort(collect_list(col("fhash").cast("string")))))
         .as("set_sig"))
 
+  /** The STANDING dedup state over a corpus — the artifact an
+    * append-only ingest persists between batches: one row per video,
+    * (media_id, n_frames, set_sig, rep, keep_id). `rep` is the
+    * identical-set class representative (class-minimum id); `keep_id`
+    * is the near-dup component label over representatives (component
+    * minimum; singleton classes keep themselves). [[groupsFromState]]
+    * projects the q171-shaped output; [[foldBatch]] advances the
+    * state by one batch WITHOUT re-running pair generation or CC over
+    * the old corpus. */
+  def dedupState(sigs: DataFrame, bandBits: Int = 12, nBands: Int = 4,
+                 hammingMax: Int = 3, simMin: Double = 0.6,
+                 bucketCap: Option[Int] = None): DataFrame = {
+    val sig = setSignatures(sigs)
+    val rep = sig.groupBy(col("set_sig")).agg(min(col("media_id")).as("rep"))
+    val members = sig.join(rep, Seq("set_sig"))
+    val repSigs = sigs.join(rep.select(col("rep").as("media_id")),
+      Seq("media_id"), "left_semi")
+    val cc = graft.operators.Dedup.connectedComponents(
+        nearDupPairs(repSigs, bandBits, nBands, hammingMax, simMin,
+          bucketCap))
+      .select(col("id").as("rep"), col("keep_id").as("__comp"))
+    sigs.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"))
+      .join(members, Seq("media_id"))
+      .join(cc, Seq("rep"), "left")
+      .select(col("media_id"), col("n_frames"), col("set_sig"),
+        col("rep"), coalesce(col("__comp"), col("rep")).as("keep_id"))
+  }
+
+  /** The representatives' frame signatures — the second standing
+    * artifact (what future batches band against). */
+  def repSignatures(state: DataFrame, sigs: DataFrame): DataFrame =
+    sigs.join(state.filter(col("media_id") === col("rep"))
+      .select(col("media_id")), Seq("media_id"), "left_semi")
+
+  /** Fold one ingest batch into standing state. Trusts the state's
+    * labels outright — the old corpus is never re-paired and never
+    * re-CC'd; it streams through exactly two narrow scans (the class
+    * map the broadcast batch probes, and the batch×all band join of
+    * [[nearDupPairsTouching]]), the same touched-slice discipline as
+    * [[graft.operators.Dedup.incrementalComponents]]. Batch videos
+    * whose hash set matches a known class adopt its representative;
+    * unseen classes elect a batch-minimum representative, band
+    * against the standing representatives, and the verified delta
+    * pairs fold through `incrementalComponents`. Requires append-only
+    * ids (every batch id > every state id), so class representatives
+    * and component minima never move. Returns (state', repSigs'). */
+  def foldBatch(state: DataFrame, repSigs: DataFrame, batchSigs: DataFrame,
+                bandBits: Int = 12, nBands: Int = 4, hammingMax: Int = 3,
+                simMin: Double = 0.6): (DataFrame, DataFrame) = {
+    val bSig = setSignatures(batchSigs)
+    val bFrames = batchSigs.groupBy(col("media_id"))
+      .agg(count(lit(1)).cast("long").as("n_frames"))
+    // known classes: the (set_sig -> rep) map streams once past the
+    // broadcast batch signatures; matching batch videos adopt the rep
+    val classMap = state.select(col("set_sig"), col("rep")).distinct()
+    val known = classMap.join(broadcast(bSig), Seq("set_sig"))
+    // unseen classes: representative = batch-class minimum
+    val fresh = bSig.join(classMap.select(col("set_sig")),
+      Seq("set_sig"), "left_anti")
+    val freshRep = fresh.groupBy(col("set_sig"))
+      .agg(min(col("media_id")).as("rep"))
+    val freshMembers = fresh.join(freshRep, Seq("set_sig"))
+    val newRepIds = freshRep.select(col("rep").as("media_id"))
+    val newRepSigs = batchSigs.join(newRepIds, Seq("media_id"), "left_semi")
+    val allRepSigs = repSigs.unionByName(newRepSigs)
+    val deltaPairs = nearDupPairsTouching(allRepSigs, newRepIds,
+      bandBits, nBands, hammingMax, simMin)
+    val labels = graft.operators.Dedup.incrementalComponents(
+        state.filter(col("media_id") === col("rep"))
+          .select(col("media_id").as("id"), col("keep_id")),
+        deltaPairs)
+      .select(col("id").as("rep"), col("keep_id").as("__comp"))
+    val members = state.select(col("media_id"), col("n_frames"),
+        col("set_sig"), col("rep"))
+      .unionByName(known.join(bFrames, Seq("media_id"))
+        .select(col("media_id"), col("n_frames"), col("set_sig"), col("rep")))
+      .unionByName(freshMembers.join(bFrames, Seq("media_id"))
+        .select(col("media_id"), col("n_frames"), col("set_sig"), col("rep")))
+    val state2 = members.join(labels, Seq("rep"), "left")
+      .select(col("media_id"), col("n_frames"), col("set_sig"),
+        col("rep"), coalesce(col("__comp"), col("rep")).as("keep_id"))
+    (state2, allRepSigs)
+  }
+
+  /** Project the q171-shaped dedup output from standing state. */
+  def groupsFromState(state: DataFrame): DataFrame =
+    state.select(col("media_id"), col("n_frames"), col("keep_id"))
+      .withColumn("is_keeper", col("media_id") === col("keep_id"))
+
   /** INCREMENTAL near-dup maintenance over a signature table whose
     * ids split at `thresh` (old ≤ thresh < batch — append-only
-    * ingest, so a signature class's representative never moves):
-    * standing state = signature classes + component labels over the
-    * OLD representatives; the batch's unseen classes pair against the
-    * standing representatives via [[nearDupPairsTouching]] (batch×all
-    * banding) and fold through
-    * [[graft.operators.Dedup.incrementalComponents]]. Reproduces the
-    * from-scratch [[nearDupGroups]] verbatim (invariant-pinned by the
-    * q171/q196 oracles). Modality-agnostic: any (media_id, frame_idx,
-    * fhash) substrate — video frame hashes, audio window hashes —
-    * gets the incremental form for free. */
+    * ingest): bootstrap [[dedupState]] on the old slice, then
+    * [[foldBatch]] the rest. Reproduces the from-scratch
+    * [[nearDupGroups]] verbatim (invariant-pinned by the q189/q197
+    * oracles, which route through this wrapper — so the gate covers
+    * the fold path itself). Per-batch cost is ∝ batch: the old side
+    * contributes only its persisted labels and streaming scans, never
+    * a re-paired/re-CC'd graph (behavior-pinned by the severed-bridge
+    * spec in MultimodalSpec). Modality-agnostic: any (media_id,
+    * frame_idx, fhash) substrate — video frame hashes, audio window
+    * hashes — gets the incremental form for free. */
   def incrementalGroups(sigs: DataFrame, thresh: Long,
                         bandBits: Int = 12, nBands: Int = 4,
                         hammingMax: Int = 3,
                         simMin: Double = 0.6): DataFrame = {
-    val sig = setSignatures(sigs).withColumnRenamed("set_sig", "__sig")
-    val rep = sig.groupBy(col("__sig")).agg(min(col("media_id")).as("__rep"))
-    val members = sig.join(rep, Seq("__sig"))
-      .select(col("media_id"), col("__rep"))
-    val repIds = rep.select(col("__rep").as("media_id"))
-    val repSigs = sigs.join(repIds, Seq("media_id"), "left_semi")
-    val oldLabels = graft.operators.Dedup.connectedComponents(
-      nearDupPairs(repSigs.filter(col("media_id") <= thresh),
-        bandBits, nBands, hammingMax, simMin))
-    val newReps = repIds.filter(col("media_id") > thresh)
-    val deltaPairs = nearDupPairsTouching(repSigs, newReps,
+    val old = sigs.filter(col("media_id") <= thresh)
+    val batch = sigs.filter(col("media_id") > thresh)
+    val st = dedupState(old, bandBits, nBands, hammingMax, simMin)
+      .localCheckpoint(true) // standing state is a materialized artifact
+    val (st2, _) = foldBatch(st, repSignatures(st, old), batch,
       bandBits, nBands, hammingMax, simMin)
-    val labels = graft.operators.Dedup.incrementalComponents(
-        oldLabels, deltaPairs)
-      .select(col("id").as("__rep"), col("keep_id").as("__comp"))
-    val labeled = members.join(labels, Seq("__rep"), "left")
-      .select(col("media_id"),
-        coalesce(col("__comp"), col("__rep")).as("keep_id"))
-    sigs.groupBy(col("media_id"))
-      .agg(count(lit(1)).cast("long").as("n_frames"))
-      .join(labeled, Seq("media_id"))
-      .select(col("media_id"), col("n_frames"), col("keep_id"))
-      .withColumn("is_keeper", col("media_id") === col("keep_id"))
+    groupsFromState(st2)
   }
 
   /** The dedup artifact: every video with its group's canonical

@@ -51,8 +51,6 @@ object Bpe {
   private[graft] def mergePattern(a: String, b: String): (String, String) =
     (s" $a  $b ", s" $a$b ")
 
-  /** The word-frequency type table in spaced form: (w, freq). The one
-    * corpus-sized pass of training. */
   /** The unspaced word table (word, freq) — the [[Unigram]] family's
     * substrate, which segments raw words rather than spaced symbol
     * strings. */
@@ -61,10 +59,10 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
+  /** The word-frequency type table in spaced form: (w, freq). The one
+    * corpus-sized pass of training. */
   def wordTable(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    wordTableRaw(df, textCol)
       .select(spaced(col("word")).as("w"), col("freq"))
 
   /** [[wordTable]] in byte-level form: the same type table with

@@ -448,6 +448,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(groups(3L) == ((3L, 3L, true))) // distinct content is a keeper
   }
 
+  test("foldBatch trusts standing labels: a component merged by a since-" +
+      "deleted bridge survives the fold — old-side CC is NOT recomputed") {
+    import graft.multimodal.VideoDedup
+    def sigRows(id: Long, hs: Seq[Long]) =
+      hs.zipWithIndex.map { case (h, i) => (id, i.toLong, h) }
+    // videos 1 and 3: disjoint hash sets, pairwise hamming > 3 — no
+    // current pair connects them
+    val hA = Seq(0L, 0x2000L, 0x4000000L)
+    val hB = Seq(0xFFL, 0xFF000L, 0xFF000000L)
+    val oldSigs = (sigRows(1L, hA) ++ sigRows(3L, hB))
+      .toDF("media_id", "frame_idx", "fhash")
+    val st0 = VideoDedup.dedupState(oldSigs)
+    // history: a since-deleted bridge video once merged {1, 3}; the
+    // standing state carries that label even though recomputing CC
+    // over today's pairs could never reproduce it
+    val st = st0.withColumn("keep_id",
+        when(col("media_id") === 3L, 1L).otherwise(col("keep_id")))
+      .localCheckpoint(true)
+    val reps = VideoDedup.repSignatures(st, oldSigs)
+    // batch: 10 = exact re-upload of 3's hash set (known class);
+    // 11 = 1's hashes plus one extra (a NEW class that near-dups 1 —
+    // and whose matched count exceeds min(|A|,|B|), exercising the
+    // containment cap)
+    val batch = (sigRows(10L, hB) ++ sigRows(11L, hA :+ (7L << 36)))
+      .toDF("media_id", "frame_idx", "fhash")
+    val (st2, reps2) = VideoDedup.foldBatch(st, reps, batch)
+    val out = VideoDedup.groupsFromState(st2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, true)))
+    // the severed-bridge label survived: state was trusted, not rebuilt
+    assert(out(3L) == ((1L, false)), out.toString)
+    assert(out(10L) == ((1L, false))) // adopted 3's class -> 3's label
+    assert(out(11L) == ((1L, false))) // fresh class, banded against reps
+    // repSigs' gains the new representative only (10 is a class member)
+    val repIds = reps2.select("media_id").distinct().as[Long].collect().toSet
+    assert(repIds == Set(1L, 3L, 11L))
+  }
+
   test("AVI walker skips junk, survives truncation, rejects non-AVI") {
     import graft.multimodal.Avi
     val frames = testFrames(16, 12, 2)
