@@ -357,6 +357,103 @@ object IvfIndex {
     (centroids, spark.table(s"${name}_lists"))
   }
 
+  /** TWO-LEVEL (hierarchical) IVF build — the >10⁹-vector scale path:
+    * a flat IVF needs ~√N lists and every query scores every
+    * centroid; two levels (k1 coarse cells × k2 fine cells each) give
+    * k1·k2 effective lists while a query scores only
+    * k1 + nprobe1·k2 centroids.
+    *
+    * Coarse = the flat [[build]] (or caller seeds, e.g. label means,
+    * with `coarseIters = 0` — the q198 construction). Fine seeds =
+    * each cell's k2 lowest-md5 member VECTORS (the [[seedStratified]]
+    * determinism idiom: reproducible, id-order independent, no Lloyd
+    * pass — at this depth the cells are already tight). Fine
+    * assignment is a PURE PROJECTION: the k1×k2×dim seed table is a
+    * driver-bounded artifact (exactly like the flat centroid matrix),
+    * embedded as a map literal and argmax'd per row with codegen'd
+    * higher-order functions — the corpus never shuffles during
+    * assignment (the window-argmin alternative would exchange
+    * corpus×k2 rows). Ties break to the lowest fine_id on exact
+    * double equality, matching the q198 oracle's window order.
+    *
+    * Returns (coarse centroids, fineSeeds (list_id, fine_id, f_vec),
+    * lists = corpus columns + list_id + fine_id). */
+  def buildTwoLevel(corpus: DataFrame, idCol: String, vecCol: String,
+                    k1: Int, k2: Int, coarseIters: Int = 3,
+                    coarseSeeds: Option[Array[Array[Double]]] = None)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (c0, coarse) = coarseSeeds match {
+      case Some(s) => buildFrom(corpus, vecCol, s, coarseIters)
+      case None    => build(corpus, idCol, vecCol, k1, coarseIters)
+    }
+    val wSeed = Window.partitionBy(col("list_id"))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit("|ivf2"))).asc,
+        col(idCol).asc)
+    val fineSeeds = coarse.withColumn("__rk", row_number().over(wSeed))
+      .filter(col("__rk") <= k2)
+      .select(col("list_id"), (col("__rk") - 1).cast("long").as("fine_id"),
+        col(vecCol).cast("array<double>").as("f_vec"))
+      .localCheckpoint(true) // k1×k2 rows — a driver-bounded artifact
+    val cellSeeds: Map[Long, Seq[Seq[Double]]] = fineSeeds
+      .orderBy(col("list_id"), col("fine_id")).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getSeq[Double](2)).toSeq)
+      .toMap
+    val cands = element_at(typedLit(cellSeeds), col("list_id"))
+    val scored = transform(cands, (s, i) =>
+      struct(cosine(col(vecCol).cast("array<double>"), s).as("c"),
+        i.cast("long").as("i")))
+    val best = aggregate(scored,
+      struct(lit(Double.NegativeInfinity).as("c"), lit(0L).as("i")),
+      (acc, x) => when(x.getField("c") > acc.getField("c"), x).otherwise(acc))
+    (c0, fineSeeds, coarse.withColumn("fine_id", best.getField("i")))
+  }
+
+  /** Top-k probe of a [[buildTwoLevel]] index: rank coarse cells per
+    * query (k1-row broadcast cross join), keep `nprobe1`; rank each
+    * probed cell's fine seeds (broadcast join), keep `nprobe2`; brute
+    * cosine ONLY within the probed (list, fine) lists. Probes
+    * broadcast, so the corpus side never moves — the [[topK]]
+    * exchange discipline. `nprobe1 = k1, nprobe2 = k2` degrades
+    * gracefully to exact brute force (spec-pinned). Output:
+    * (q_id, n_id, cos, rk) — the flat-probe schema. */
+  def topK2(lists: DataFrame, coarse: Array[Array[Double]],
+            fineSeeds: DataFrame, queries: DataFrame,
+            idCol: String, vecCol: String,
+            k: Int, nprobe1: Int, nprobe2: Int): DataFrame = {
+    val spark = lists.sparkSession
+    import spark.implicits._
+    val cDf = coarse.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("list_id", "c_vec")
+    val q = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"))
+    val wp1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d").desc, col("list_id").asc)
+    val probeC = q.crossJoin(broadcast(cDf))
+      .withColumn("__d", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("__k1", row_number().over(wp1))
+      .filter(col("__k1") <= nprobe1)
+      .select(col("q_id"), col("q_vec"), col("list_id"))
+    val wp2 = Window.partitionBy(col("q_id"), col("list_id"))
+      .orderBy(col("__d2").desc, col("fine_id").asc)
+    val probeF = probeC.join(broadcast(fineSeeds), Seq("list_id"))
+      .withColumn("__d2", cosine(col("q_vec"), col("f_vec")))
+      .withColumn("__k2", row_number().over(wp2))
+      .filter(col("__k2") <= nprobe2)
+      .select(col("q_id"), col("q_vec"), col("list_id"), col("fine_id"))
+    val scored = broadcast(probeF)
+      .join(lists.select(col("list_id"), col("fine_id"),
+        col(idCol).as("n_id"), col(vecCol).as("n_vec")),
+        Seq("list_id", "fine_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec").cast("array<double>")), 4)
+          .as("cos"))
+    Similarity.topKPerKey(scored, k)
+  }
+
   /** Probe a [[save]]d index by name — the deployment entry point.
     * Routes through the bucketed lists table so the corpus side joins
     * with zero exchanges in either probe mode (see [[topK]]). */

@@ -1082,58 +1082,15 @@ object TextPipelineQueries {
           e.select(col("label").cast("long").as("label"), col("embedding")),
           "label", "embedding")
         .orderBy(col("label")).collect().map(_.getSeq[Double](1).toArray)
-      val (c0, coarse) = IvfIndex.buildFrom(e, "embedding", seeds, iters = 0)
-      val cos2 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
-        graft.functions.VectorFunctions.cosine(a, b)
-      val wSeed = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("list_id"))
-        .orderBy(md5(concat(col("vec_id").cast("string"), lit("|ivf2"))).asc,
-          col("vec_id").asc)
-      val fineSeeds = coarse.withColumn("__rk", row_number().over(wSeed))
-        .filter(col("__rk") <= 4)
-        .select(col("list_id"), (col("__rk") - 1).cast("long").as("fine_id"),
-          col("embedding").cast("array<double>").as("f_vec"))
-        .localCheckpoint(true) // k1×k2 rows — a driver-bounded artifact
-      val wAsg = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(col("__c").desc, col("fine_id").asc)
-      val lists = coarse.join(broadcast(fineSeeds), Seq("list_id"))
-        .withColumn("__c",
-          cos2(col("embedding").cast("array<double>"), col("f_vec")))
-        .withColumn("__r", row_number().over(wAsg)).filter(col("__r") === 1)
-        .select(col("vec_id"), col("list_id"), col("fine_id"),
-          col("embedding"))
-      val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
-        col("embedding").cast("array<double>").as("q_vec"))
-      val bf = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", 5)
+      val (c0, fineSeeds, lists) = IvfIndex.buildTwoLevel(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k1 = seeds.length, k2 = 4, coarseIters = 0, coarseSeeds = Some(seeds))
+      val q = e.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5)
         .select(col("q_id"), col("n_id"))
-      val c0df = c0.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-        .toSeq.toDF("list_id", "c_vec")
       Seq((1, 1), (2, 2), (3, 4)).map { case (p1, p2) =>
-        val wp1 = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("__d").desc, col("list_id").asc)
-        val probeC = q.crossJoin(broadcast(c0df))
-          .withColumn("__d", cos2(col("q_vec"), col("c_vec")))
-          .withColumn("__k1", row_number().over(wp1))
-          .filter(col("__k1") <= p1)
-          .select(col("q_id"), col("q_vec"), col("list_id"))
-        val wp2 = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id"), col("list_id"))
-          .orderBy(col("__d2").desc, col("fine_id").asc)
-        val probeF = probeC.join(broadcast(fineSeeds), Seq("list_id"))
-          .withColumn("__d2", cos2(col("q_vec"), col("f_vec")))
-          .withColumn("__k2", row_number().over(wp2))
-          .filter(col("__k2") <= p2)
-          .select(col("q_id"), col("q_vec"), col("list_id"), col("fine_id"))
-        val w5 = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-        broadcast(probeF).join(lists, Seq("list_id", "fine_id"))
-          .filter(col("q_id") =!= col("vec_id"))
-          .select(col("q_id"), col("vec_id").as("n_id"),
-            round(cos2(col("q_vec"), col("embedding").cast("array<double>")), 4)
-              .as("cos"))
-          .withColumn("__r5", row_number().over(w5)).filter(col("__r5") <= 5)
+        IvfIndex.topK2(lists, c0, fineSeeds, q, "vec_id", "embedding",
+            k = 5, nprobe1 = p1, nprobe2 = p2)
           .select(lit(p1.toLong).as("nprobe1"), lit(p2.toLong).as("nprobe2"),
             col("q_id"), col("n_id"))
       }.reduce(_ unionAll _)

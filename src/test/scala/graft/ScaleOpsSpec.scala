@@ -121,6 +121,46 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 with nprobe=4/8 was $recall")
   }
 
+  test("two-level IVF: full probe reproduces brute force; partial probe " +
+      "has recall; fine assignment is a pure projection") {
+    import graft.operators.{IvfIndex, Similarity}
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (coarse, fineSeeds, lists) = IvfIndex.buildTwoLevel(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k1 = 4, k2 = 3, coarseIters = 2)
+    assert(coarse.length == 4)
+    // every vector lands in exactly one (list, fine) cell; fine ids
+    // index into the cell's own seed set
+    assert(lists.count() == emb.count())
+    val fs = fineSeeds.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cells = lists.select("list_id", "fine_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cells.subsetOf(fs), s"assigned cells $cells not in seeds $fs")
+    val brute = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every (coarse, fine) cell is exact — the graceful-
+    // degradation anchor: the hierarchy routes, it never drops rows
+    val full = IvfIndex.topK2(lists, coarse, fineSeeds, queries,
+        "vec_id", "embedding", k = 5, nprobe1 = 4, nprobe2 = 3)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute)
+    // a partial probe keeps a useful share of the true neighbors
+    val part = IvfIndex.topK2(lists, coarse, fineSeeds, queries,
+        "vec_id", "embedding", k = 5, nprobe1 = 2, nprobe2 = 2)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (part & brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 with (2,2)/(4,3) probes was $recall")
+    // fine assignment never shuffles or window-ranks the corpus — the
+    // seed argmax is a codegen'd projection (the flat-IVF discipline)
+    val plan = lists.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"fine assignment must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Window"),
+      s"fine assignment must not rank via a window:\n$plan")
+  }
+
   test("IVF assignment is a pure projection: no Exchange, no Window") {
     import graft.operators.IvfIndex
     val emb = Tables.t(spark, sf, "embeddings")
