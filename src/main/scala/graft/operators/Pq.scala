@@ -262,4 +262,54 @@ object Pq {
     Similarity.topKPerKey(scored, k)
       .select(col("q_id"), col("n_id"), (-col("cos")).as("dist"), col("rk"))
   }
+
+  /** TWO-LEVEL IVF-PQ — the memory-bounded >10⁹-vector composition:
+    * [[IvfIndex.buildTwoLevel]] prunes which (coarse, fine) lists are
+    * read (a query scores k1 + nprobe1·k2 centroids instead of ~√N),
+    * and PQ shrinks every read row to m bytes. `codedLists2` is a
+    * `buildTwoLevel` lists frame projected through [[codesCol]]:
+    * (list_id, fine_id, id, codes) — no float vectors at scan time.
+    * Probe selection is L2 (the PQ family's metric) at both levels;
+    * probes broadcast with their per-query LUTs, so the coded corpus
+    * never moves — [[topKIvf]]'s exchange discipline on the deeper
+    * hierarchy. With every cell probed the result equals [[topK]]
+    * exactly (the q199 oracle identity); the pruned regime is pinned
+    * by PqSpec recall assertions. */
+  def topKIvf2(codedLists2: DataFrame, coarse: Array[Array[Double]],
+               fineSeeds: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String,
+               codebook: Array[Array[Float]], m: Int, k: Int,
+               nprobe1: Int, nprobe2: Int): DataFrame = {
+    val spark = codedLists2.sparkSession
+    import spark.implicits._
+    val dim = codebook(0).length
+    val sub = dim / m
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cDf = coarse.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("list_id", "c_vec")
+    val wp1 = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d").asc, col("list_id").asc)
+    val probeC = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cDf))
+      .withColumn("__d", l2Cols(col("q_vec"), col("c_vec")))
+      .withColumn("__k1", row_number().over(wp1))
+      .filter(col("__k1") <= nprobe1)
+      .select(col("q_id"), col("q_vec"), col("list_id"))
+    val wp2 = Window.partitionBy(col("q_id"), col("list_id"))
+      .orderBy(col("__d2").asc, col("fine_id").asc)
+    val probes = probeC.join(broadcast(fineSeeds), Seq("list_id"))
+      .withColumn("__d2", l2Cols(col("q_vec"), col("f_vec")))
+      .withColumn("__k2", row_number().over(wp2))
+      .filter(col("__k2") <= nprobe2)
+      .select(col("q_id"), col("list_id"), col("fine_id"),
+        lutCol(col("q_vec"), codebook, m, sub).as("__lut"))
+    val scored = broadcast(probes)
+      .join(codedLists2.select(col("list_id"), col("fine_id"),
+        col(idCol).as("n_id"), col("codes")), Seq("list_id", "fine_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (-round(adcDist(col("__lut"), col("codes"), m), 4)).as("cos"))
+    Similarity.topKPerKey(scored, k)
+      .select(col("q_id"), col("n_id"), (-col("cos")).as("dist"), col("rk"))
+  }
 }

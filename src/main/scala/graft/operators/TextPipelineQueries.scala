@@ -859,6 +859,25 @@ object TextPipelineQueries {
       Pq.topKIvf(coded, centroids, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", cb, 4, k = 5, nprobe = 8)
     }),
+    // TWO-LEVEL IVF-PQ through the gate — q198's hierarchy composed
+    // with q80's codes, the memory-bounded >10⁹-vector path: the
+    // hierarchy prunes which (coarse, fine) lists are read, PQ
+    // shrinks every read row to m bytes. Probing EVERY cell makes the
+    // probe union the whole corpus, so the ADC scan must reproduce
+    // q79's full-scan PQ result exactly — a misrouted, dropped, or
+    // duplicated row anywhere in the two-level layout breaks the
+    // hash. The pruned regime is pinned by PqSpec recall assertions.
+    "q199_ivf2pq_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val cb = Pq.seedCodebook(e, "vec_id", "embedding", 16)
+      val (coarse, fineSeeds, lists) = IvfIndex.buildTwoLevel(
+        e.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+        k1 = 4, k2 = 3, coarseIters = 1)
+      val coded = lists.select(col("list_id"), col("fine_id"), col("vec_id"),
+        Pq.codesCol(col("embedding"), cb, 4).as("codes"))
+      Pq.topKIvf2(coded, coarse, fineSeeds, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", cb, 4, k = 5, nprobe1 = 4, nprobe2 = 3)
+    }),
     // The IVF index through the gate: with nprobe = k (all lists
     // probed) the index is EXACT, so the brute-force oracle applies
     // verbatim — proving build + assignment + probe end-to-end. The
@@ -1992,6 +2011,7 @@ object TextPipelineQueries {
     "q79_pq_topk" -> pqTopkSql,
     // IVF-PQ with every list probed == full-scan PQ: same oracle
     "q80_ivfpq_topk" -> pqTopkSql,
+    "q199_ivf2pq_topk" -> pqTopkSql,
     "q93_pq_encode_incremental" ->
       """WITH js AS (SELECT unnest(range(0, 4)) AS j),
         |seeds AS (SELECT embedding,

@@ -142,6 +142,36 @@ class PqSpec extends AnyFunSuite {
     indexed.unpersist()
   }
 
+  test("two-level IVF-PQ: every cell probed equals full-scan PQ; pruned " +
+      "probes keep most of the top-3") {
+    import graft.operators.IvfIndex
+    val cb = Pq.seedCodebook(df, "vec_id", "embedding", 8)
+    val (coarse, fineSeeds, lists) = IvfIndex.buildTwoLevel(
+      df.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k1 = 3, k2 = 2, coarseIters = 1)
+    val coded = lists.select(col("list_id"), col("fine_id"), col("vec_id"),
+      Pq.codesCol(col("embedding"), cb, m).as("codes"))
+    val queries = df.filter($"vec_id" < 10)
+    val full = Pq.topK(Pq.encode(df, "vec_id", "embedding", cb, m),
+      queries, "vec_id", "embedding", cb, m, 3)
+      .as[(Long, Long, Double, Long)].collect()
+    // every (coarse, fine) cell probed: the ADC scan union is the
+    // whole corpus — row-identical to the flat full scan
+    val fullProbe = Pq.topKIvf2(coded, coarse, fineSeeds, queries,
+        "vec_id", "embedding", cb, m, k = 3, nprobe1 = 3, nprobe2 = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(fullProbe.sortBy(r => (r._1, r._4))
+      .sameElements(full.sortBy(r => (r._1, r._4))))
+    val fullBy = full.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val pruned = Pq.topKIvf2(coded, coarse, fineSeeds, queries,
+        "vec_id", "embedding", cb, m, k = 3, nprobe1 = 2, nprobe2 = 1)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = (0L until 10L).map(q =>
+      (pruned.getOrElse(q, Set.empty) & fullBy(q)).size.toDouble / 3).sum / 10
+    assert(recall >= 0.4, s"(2,1)/(3,2) probe recall vs full PQ = $recall")
+  }
+
   test("rerank: scores are exact cosines; recall@3 >= raw PQ against exact top-3") {
     import graft.functions.VectorKernels
     val k = 8
