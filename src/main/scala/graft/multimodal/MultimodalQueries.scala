@@ -375,6 +375,46 @@ object MultimodalQueries {
       val maxId = sigs.agg(max(col("media_id"))).head().getLong(0)
       VideoDedup.incrementalGroups(sigs, thresh = maxId * 4 / 5,
         bandBits = 12, nBands = 1, hammingMax = 0)
+    }),
+    // Keep-one MATERIALIZATION for video — the modality's q143-style
+    // file artifact: the whole corpus lands in a bucketed media store,
+    // the q171 verdict's non-keepers are physically deleted
+    // (bucket-scoped dynamic overwrite, the sealed-shard repair
+    // discipline — only buckets containing a deleted row are
+    // rewritten), and the manifest is computed from the READ-BACK
+    // files. The oracle rebuilds the verdict and the surviving
+    // bucket/digest structure in SQL — a row the delete missed, or
+    // one it wrongly removed, breaks the hash. Byte identity and
+    // mtime-pinning of untouched buckets are spec-pinned
+    // (MultimodalSpec), since parquet bytes are not SQL-derivable.
+    "q200_video_keep_one_store" -> ((s, d) => {
+      import s.implicits._
+      val media = pngAviTab(s, d)
+      val groups = VideoDedup.nearDupGroups(
+        VideoDedup.frameSignatures(media.as[Multimodal.MediaRecord]))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_vid_" +
+        math.abs(d.hashCode.toLong)
+      MediaStore.writeAll(media.toDF(), "media_id", path, buckets = 8)
+      MediaStore.applyKeepOne(s, path,
+        groups.filter(!col("is_keeper")).select(col("media_id")), "media_id")
+      MediaStore.manifest(s.read.parquet(path), "media_id")
+    }),
+    // The same act tier over the AUDIO verdict — one call per
+    // modality into the shared store machinery, mirroring how the
+    // detect tier shares VideoDedup.nearDupGroups.
+    "q201_audio_keep_one_store" -> ((s, d) => {
+      import s.implicits._
+      val media = audioDupTab(s, d).toDF()
+        .localCheckpoint(true) // fixture built per call; freeze once
+      val groups = VideoDedup.nearDupGroups(
+        AudioDedup.windowSignatures(media.as[Multimodal.MediaRecord]),
+        bandBits = 12, nBands = 1, hammingMax = 0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_aud_" +
+        math.abs(d.hashCode.toLong)
+      MediaStore.writeAll(media, "media_id", path, buckets = 8)
+      MediaStore.applyKeepOne(s, path,
+        groups.filter(!col("is_keeper")).select(col("media_id")), "media_id")
+      MediaStore.manifest(s.read.parquet(path), "media_id")
     }))
 
   /** Baseline JPEG via the JDK's ImageIO (java.desktop — present in
@@ -498,6 +538,22 @@ object MultimodalQueries {
     // the invariant oracle applies verbatim
     "q189_video_incremental" -> videoNearDupSql,
     "q197_audio_incremental" -> audioNearDupSql,
+    // the store after the physical delete holds exactly the keepers:
+    // the oracle re-derives the verdict and the per-bucket survivor
+    // structure; computing the Spark side from read-back files is
+    // what proves the delete landed (and spared the right rows)
+    "q200_video_keep_one_store" ->
+      s"""SELECT CAST(media_id % 8 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_media,
+         |  bit_xor(('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 15))
+         |    ::UBIGINT::BIGINT) AS ids_digest
+         |FROM ($videoNearDupSql) g WHERE is_keeper GROUP BY 1""".stripMargin,
+    "q201_audio_keep_one_store" ->
+      s"""SELECT CAST(media_id % 8 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_media,
+         |  bit_xor(('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 15))
+         |    ::UBIGINT::BIGINT) AS ids_digest
+         |FROM ($audioNearDupSql) g WHERE is_keeper GROUP BY 1""".stripMargin,
     // n_px = decoded pixel-buffer length: right only when the RIFF
     // walk found every frame AND the native JPEG decode produced a
     // full w*h*3 interleaved buffer for each sampled one.

@@ -486,6 +486,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(repIds == Set(1L, 3L, 11L))
   }
 
+  test("MediaStore keep-one: only flagged buckets rewritten — untouched " +
+      "buckets byte-identical and mtime-pinned, emptied buckets deleted, " +
+      "survivor bytes exact") {
+    import graft.multimodal.MediaStore
+    val media = Seq.tabulate(12) { i =>
+      (i.toLong, Array.tabulate[Byte](16)(j => ((i * 7 + j) % 127).toByte))
+    }.toDF("media_id", "content")
+    val path = java.nio.file.Files.createTempDirectory("graft_store_spec")
+      .toString + "/store"
+    MediaStore.writeAll(media, "media_id", path, buckets = 4)
+    def snap(b: Int): Map[String, (Long, Long, String)] = {
+      val dir = new java.io.File(s"$path/bucket=$b")
+      dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> ((f.length(), f.lastModified(),
+          java.util.Base64.getEncoder.encodeToString(
+            java.security.MessageDigest.getInstance("MD5").digest(bytes))))
+      }.toMap
+    }
+    val before0 = snap(0); val before3 = snap(3)
+    // delete ALL of bucket 1 (ids 1,5,9) and part of bucket 2 (id 2);
+    // buckets 0 and 3 contain no deleted row and must not be opened
+    MediaStore.applyKeepOne(spark, path,
+      Seq(1L, 5L, 9L, 2L).toDF("media_id"), "media_id")
+    assert(!new java.io.File(s"$path/bucket=1").exists(),
+      "emptied bucket dir must be deleted")
+    assert(snap(0) == before0 && snap(3) == before3,
+      "untouched buckets must keep identical files (bytes AND mtime)")
+    // survivors: exact row set, exact content bytes
+    val back = spark.read.parquet(path)
+      .select(col("media_id"), col("content")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val expect = Set(0L, 3L, 4L, 6L, 7L, 8L, 10L, 11L)
+    assert(back.keySet == expect, back.keySet.toString)
+    expect.foreach { id =>
+      assert(back(id).sameElements(
+        Array.tabulate[Byte](16)(j => ((id * 7 + j) % 127).toByte)),
+        s"content of $id not byte-identical after repair")
+    }
+    // a verdict touching nothing is a no-op (no dirs rewritten)
+    val all0 = snap(0)
+    MediaStore.applyKeepOne(spark, path,
+      Seq(999L).toDF("media_id"), "media_id")
+    assert(snap(0) == all0)
+  }
+
   test("AVI walker skips junk, survives truncation, rejects non-AVI") {
     import graft.multimodal.Avi
     val frames = testFrames(16, 12, 2)
