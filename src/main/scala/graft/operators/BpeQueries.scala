@@ -460,6 +460,36 @@ object BpeQueries {
         .select(col("epoch"), col("ord"), col("shard_id"),
           col("seq_in_shard"))
     }),
+    // INCREMENTAL sealed read-order — the loader-order half of the
+    // append story: sealed append only ADDS (shard, seq_in_shard)
+    // keys (landed shards' layouts are frozen), so the next epoch
+    // permutation derives from the LANDED order plus the batch's new
+    // sequence keys woven in at their from-scratch ranks
+    // (epochShuffleIncremental: old ords shift by a broadcast
+    // projection, never re-rank). Must equal the from-scratch q192
+    // permutation verbatim — its oracle applies UNCHANGED.
+    "q202_sealed_read_order_incr" -> ((s, d) => {
+      val ids = idsTable(s, d)
+      val maxId = ids.agg(max(col("doc_id"))).head().getLong(0)
+      val thresh = maxId * 4 / 5
+      def gseqs(df: org.apache.spark.sql.DataFrame) = Packing.packSealed(
+          df.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+        .select((col("shard_id") * 100000L + col("seq_in_shard")).as("gseq"),
+          col("shard_id"), col("seq_in_shard"))
+        .distinct()
+      val oldSeqs = gseqs(ids.filter(col("doc_id") <= thresh))
+      val allSeqs = gseqs(ids).localCheckpoint(true)
+      val landed = Curation.epochShuffle(oldSeqs.select(col("gseq")),
+        "gseq", epochs = 2, salt = "ro2")
+      val newKeys = allSeqs.select(col("gseq"))
+        .except(oldSeqs.select(col("gseq")))
+      Curation.epochShuffleIncremental(landed, newKeys, "gseq",
+          epochs = 2, salt = "ro2")
+        .join(allSeqs, Seq("gseq"))
+        .select(col("epoch"), col("ord"), col("shard_id"),
+          col("seq_in_shard"))
+    }),
     // INCREMENTAL sealed maintenance — q144's contract for the sealed
     // family: the batch folds in touching only the LAST landed shard
     // (whose capacity span its first docs may start inside) plus new
@@ -993,6 +1023,26 @@ object BpeQueries {
        |    ::UBIGINT::BIGINT) AS digest
        |FROM sl GROUP BY 1""".stripMargin
 
+  /** The sealed per-epoch permutation (q192) — also the invariant
+    * oracle for the incremental weave (q202). */
+  private lazy val sealedReadOrderSql =
+    s"""WITH ${trainingCtes(NumMerges)},
+       |${vocabCtes(NumMerges)},
+       |$shardLayoutCtes,
+       |$sealedLayoutCtes,
+       |sq AS (SELECT DISTINCT shard_id, seq_in_shard,
+       |       shard_id * 100000 + seq_in_shard AS gseq FROM sl),
+       |e AS (SELECT unnest(range(2)) AS epoch),
+       |h AS (SELECT epoch, gseq, shard_id, seq_in_shard,
+       |        md5(CAST(gseq AS VARCHAR) || '|ro2|' ||
+       |            CAST(epoch AS VARCHAR)) AS hk
+       |      FROM sq CROSS JOIN e)
+       |SELECT CAST(epoch AS BIGINT) AS epoch,
+       |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, gseq)
+       |            AS BIGINT) AS ord,
+       |       shard_id, seq_in_shard
+       |FROM h""".stripMargin
+
   private lazy val shardManifestSql =
     s"""WITH ${trainingCtes(NumMerges)},
        |${vocabCtes(NumMerges)},
@@ -1482,23 +1532,10 @@ object BpeQueries {
     // the invariant oracle applies verbatim
     "q144_shards_incremental" -> shardManifestSql,
     // q158's permutation shape over the composite sealed sequence key
-    "q192_sealed_read_order" ->
-      s"""WITH ${trainingCtes(NumMerges)},
-         |${vocabCtes(NumMerges)},
-         |$shardLayoutCtes,
-         |$sealedLayoutCtes,
-         |sq AS (SELECT DISTINCT shard_id, seq_in_shard,
-         |       shard_id * 100000 + seq_in_shard AS gseq FROM sl),
-         |e AS (SELECT unnest(range(2)) AS epoch),
-         |h AS (SELECT epoch, gseq, shard_id, seq_in_shard,
-         |        md5(CAST(gseq AS VARCHAR) || '|ro2|' ||
-         |            CAST(epoch AS VARCHAR)) AS hk
-         |      FROM sq CROSS JOIN e)
-         |SELECT CAST(epoch AS BIGINT) AS epoch,
-         |       CAST(row_number() OVER (PARTITION BY epoch ORDER BY hk, gseq)
-         |            AS BIGINT) AS ord,
-         |       shard_id, seq_in_shard
-         |FROM h""".stripMargin,
+    "q192_sealed_read_order" -> sealedReadOrderSql,
+    // the incremental weave must land at the from-scratch permutation
+    // — the invariant oracle applies verbatim
+    "q202_sealed_read_order_incr" -> sealedReadOrderSql,
     "q122_bpe_ids" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |enc AS (SELECT doc_id, ${encodeExpr(NumMerges)} AS toks FROM documents),

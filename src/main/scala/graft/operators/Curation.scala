@@ -855,6 +855,94 @@ object Curation {
         col(idCol))
   }
 
+  /** INCREMENTAL [[epochShuffle]] maintenance — the loader-order twin
+    * of the append-only ingest story (appendSealedShards only ADDS
+    * (shard, seq) keys, so the landed permutation stays valid and the
+    * batch's keys must be WOVEN IN at exactly the ranks a from-scratch
+    * shuffle would give them). The salted-hash rank decomposes as
+    * bucket offset + within-bucket rank, and a new key only shifts an
+    * old key's rank by the count of new hashes below it — so:
+    *
+    *  - the batch hashes into per-(epoch, bucket) sorted arrays and
+    *    counts (batch-bounded, broadcast);
+    *  - OLD keys update in one broadcast-joined streaming projection:
+    *    ord += new keys in lower buckets + new same-bucket hashes
+    *    below (a filtered-array size over the broadcast batch) — no
+    *    re-rank, no corpus shuffle, no window over the landed table;
+    *  - NEW keys rank as old-below + new-below (the old-below count
+    *    aggregates only over old rows in batch-TOUCHED buckets).
+    *
+    * Work ∝ batch plus streaming scans of the landed table — the
+    * [[graft.operators.Dedup.incrementalComponents]] discipline.
+    * Reproduces `epochShuffle(old ∪ batch)` verbatim (md5 ties across
+    * distinct keys are the only divergence and cannot occur).
+    * `landed` is a prior epochShuffle/incremental output
+    * (epoch, ord, idCol); `batch` is one id column, disjoint from it.
+    * Output: the updated (epoch, ord, idCol). */
+  def epochShuffleIncremental(landed: DataFrame, batch: DataFrame,
+                              idCol: String, epochs: Int,
+                              salt: String = "ep"): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    val spark = landed.sparkSession
+    def hashed(df: DataFrame) = df
+      .withColumn("__hk", md5(concat_ws("|",
+        col(idCol).cast("string"), lit(salt), col("epoch").cast("string"))))
+      .withColumn("__b", conv(substring(col("__hk"), 1, 2), 16, 10)
+        .cast("long"))
+    val oldK = hashed(landed.select(col("epoch"), col("ord"), col(idCol)))
+    val newK = hashed(batch.select(col(idCol)).distinct()
+        .select(col(idCol),
+          explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch")))
+      .localCheckpoint(true) // batch-sized; consumed by several joins
+    val newBuckets = newK.groupBy(col("epoch"), col("__b"))
+      .agg(sort_array(collect_list(col("__hk"))).as("__arr"),
+        count(lit(1)).as("__cn"))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch")).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val slots = spark.range(epochs).toDF("epoch")
+      .crossJoin(spark.range(256).toDF("__b"))
+    val bucketTab = slots.join(newBuckets, Seq("epoch", "__b"), "left")
+      .withColumn("__doff", coalesce(sum(col("__cn")).over(wOff), lit(0L)))
+      .withColumn("__arr",
+        coalesce(col("__arr"), array().cast("array<string>")))
+      .select(col("epoch"), col("__b"), col("__doff"), col("__arr"))
+    val oldOut = oldK.join(broadcast(bucketTab), Seq("epoch", "__b"))
+      .select(col("epoch"),
+        (col("ord") + col("__doff") +
+          size(filter(col("__arr"), x => x < col("__hk"))).cast("long"))
+          .as("ord"),
+        col(idCol))
+    val oldOffTab = slots
+      .join(oldK.groupBy(col("epoch"), col("__b"))
+        .agg(count(lit(1)).as("__ocn")), Seq("epoch", "__b"), "left")
+      .withColumn("__ooff", coalesce(sum(col("__ocn")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("__b"), col("__ooff"))
+    val obib = oldK
+      .join(broadcast(newBuckets.select(col("epoch"), col("__b"))),
+        Seq("epoch", "__b"), "left_semi")
+      .join(broadcast(newK.select(col("epoch"), col("__b"),
+        col(idCol).as("__nid"), col("__hk").as("__nhk"))),
+        Seq("epoch", "__b"))
+      .filter(col("__hk") < col("__nhk"))
+      .groupBy(col("epoch"), col("__nid").as(idCol))
+      .agg(count(lit(1)).as("__obib"))
+    val wNewLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("__b"))
+      .orderBy(col("__hk"), col(idCol))
+    val newOut = newK
+      .join(broadcast(bucketTab.select(col("epoch"), col("__b"),
+        col("__doff"))), Seq("epoch", "__b"))
+      .join(broadcast(oldOffTab), Seq("epoch", "__b"))
+      .withColumn("__nbib", row_number().over(wNewLocal).cast("long") - 1L)
+      .join(obib, Seq("epoch", idCol), "left")
+      .select(col("epoch"),
+        (col("__ooff") + coalesce(col("__obib"), lit(0L)) +
+          col("__doff") + col("__nbib") + 1L).as("ord"),
+        col(idCol))
+    oldOut.unionByName(newOut)
+  }
+
   /** Token-budget mixture planner — the table a pipeline operator
     * reads before launching a training run: given a total token
     * budget and a sampling temperature `alpha` (Raffel et al. 2020 /

@@ -865,6 +865,43 @@ class CurationSpec extends AnyFunSuite {
       plan.contains("BroadcastQueryStage"), plan)
   }
 
+  test("epochShuffleIncremental: chained folds reproduce the from-scratch " +
+    "permutation; landed ords are trusted, never recomputed") {
+    val all = (0L until 240L).toDF("doc_id")
+    val scratch = Curation.epochShuffle(all, "doc_id", epochs = 2,
+        salt = "inc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // fold in two successive batches over a 180-key bootstrap
+    val landed0 = Curation.epochShuffle((0L until 180L).toDF("doc_id"),
+      "doc_id", epochs = 2, salt = "inc")
+    val landed1 = Curation.epochShuffleIncremental(landed0,
+      (180L until 210L).toDF("doc_id"), "doc_id", epochs = 2, salt = "inc")
+    val landed2 = Curation.epochShuffleIncremental(landed1,
+      (210L until 240L).toDF("doc_id"), "doc_id", epochs = 2, salt = "inc")
+    val woven = landed2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(woven == scratch)
+    // the landed ords are TRUSTED, not recomputed (the severed-bridge
+    // proof style): corrupt every landed ord by +1000 and the fold
+    // carries the corruption through — a re-rank of the landed keys
+    // could never reproduce it
+    val corrupted = landed0.withColumn("ord", col("ord") + 1000L)
+    val out = Curation.epochShuffleIncremental(corrupted,
+        (180L until 185L).toDF("doc_id"), "doc_id", epochs = 2,
+        salt = "inc").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val plain = Curation.epochShuffleIncremental(landed0,
+        (180L until 185L).toDF("doc_id"), "doc_id", epochs = 2,
+        salt = "inc").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    (0L until 180L).foreach { k =>
+      (0L until 2L).foreach { e =>
+        assert(out((e, k)) == plain((e, k)) + 1000L,
+          s"landed ord of key $k epoch $e was recomputed, not trusted")
+      }
+    }
+  }
+
   // ---- token-budget planner ----
 
   test("tokenBudgetPlan: alpha=1 reproduces natural epochs=B/total; " +
