@@ -129,6 +129,32 @@ object BpeQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** The byte-mode decode roundtrip under a given byte vocabulary:
+    * every word segmented, tokens concatenated and unhexed back to
+    * text, reassembled in document order — shared by q191 (from-
+    * scratch vocab) and q204 (incrementally-folded vocab). */
+  private def bytesRoundtrip(s: SparkSession, d: String,
+                             vocab: DataFrame): DataFrame = {
+    val seg = Unigram.segmentWords(hexWords(s, d), vocab)
+      .select(col("word").as("__hx"), col("toks"),
+        size(split(col("toks"), " ")).cast("long").as("__nt"),
+        decode(unhex(regexp_replace(col("toks"), " ", "")), "UTF-8")
+          .as("__dec"))
+    docs(s, d).select(col("doc_id"), col("text"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .withColumn("__hx", hex(col("w")))
+      .join(seg, Seq("__hx"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("text")).as("__text"),
+        sum(col("__nt")).as("n_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("__dec")))),
+          x => x.getField("__dec"))).as("decoded"))
+      .select(col("doc_id"), col("n_tokens"), col("decoded"),
+        (col("decoded") === col("__text")).as("ok"))
+  }
+
   /** The digest input rendering shared by the shard-manifest rows and
     * both engines: every payload field of the row, pipe-joined. */
   private def shardRowContent =
@@ -365,25 +391,34 @@ object BpeQueries {
     // byte vocabulary, tokens concatenated and unhexed back to text —
     // decode(encode(corpus)) must equal the corpus document for
     // document, with the per-doc ok flag hash-compared.
-    "q191_unigram_bytes_roundtrip" -> ((s, d) => {
-      val seg = Unigram.segmentWords(hexWords(s, d), uniBytesVocab(s, d))
-        .select(col("word").as("__hx"), col("toks"),
-          size(split(col("toks"), " ")).cast("long").as("__nt"),
-          decode(unhex(regexp_replace(col("toks"), " ", "")), "UTF-8")
-            .as("__dec"))
-      docs(s, d).select(col("doc_id"), col("text"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-        .filter(length(col("w")) > 0)
-        .withColumn("__hx", hex(col("w")))
-        .join(seg, Seq("__hx"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("text")).as("__text"),
-          sum(col("__nt")).as("n_tokens"),
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("pos"), col("__dec")))),
-            x => x.getField("__dec"))).as("decoded"))
-        .select(col("doc_id"), col("n_tokens"), col("decoded"),
-          (col("decoded") === col("__text")).as("ok"))
+    "q191_unigram_bytes_roundtrip" -> ((s, d) =>
+      bytesRoundtrip(s, d, uniBytesVocab(s, d))),
+    // INCREMENTAL unigram training — q119's contract for the second
+    // family: per-slice word tables fold by summed frequency
+    // (Unigram.mergeWordTables — the only state between batches), the
+    // seed → Viterbi-EM carve-down runs over the folded table, and
+    // the result must reproduce the from-scratch vocabulary VERBATIM
+    // (q173's oracle unchanged). History is never re-tokenized.
+    "q203_unigram_incremental" -> ((s, d) => {
+      val doc = docs(s, d)
+      val words = Unigram.mergeWordTables(
+        Bpe.wordTableRaw(doc.filter(col("doc_id") % 5 =!= 0), "text"),
+        Bpe.wordTableRaw(doc.filter(col("doc_id") % 5 === 0), "text"))
+      Unigram.refit(words, Unigram.seedVocab(words, UniMaxLen, UniTopK))
+    }),
+    // The folded-vocab BYTE-mode roundtrip: the incremental update
+    // must leave decode(encode(corpus)) byte-exact — q191's oracle
+    // applies verbatim over the incrementally-trained vocabulary.
+    "q204_unigram_incr_roundtrip" -> ((s, d) => {
+      val doc = docs(s, d)
+      def hw(df: org.apache.spark.sql.DataFrame) =
+        Bpe.wordTableRaw(df, "text")
+          .select(hex(col("word")).as("word"), col("freq"))
+      val words = Unigram.mergeWordTables(
+        hw(doc.filter(col("doc_id") % 5 =!= 0)),
+        hw(doc.filter(col("doc_id") % 5 === 0)))
+      bytesRoundtrip(s, d, Unigram.refit(words,
+        Unigram.seedVocab(words, UniMaxLen, UniTopK, unit = 2)))
     }),
     // Saved-artifact lifecycle for the unigram family: the trained
     // vocabulary persisted as a managed table, loaded back, and used
@@ -1202,7 +1237,39 @@ object BpeQueries {
          |      string_agg(seg2b.dec, ' ' ORDER BY pos) AS decoded
          |      FROM dwb JOIN seg2b USING (word) GROUP BY doc_id)
          |SELECT doc_id, n_tokens, decoded, decoded = t AS ok FROM g""".stripMargin,
+    "q204_unigram_incr_roundtrip" ->
+      s"""WITH RECURSIVE $unigramBytesCtes,
+         |paths2b(word, pos, toks, n, fs) AS (
+         |  SELECT word, 0, '', 0, CAST(0 AS BIGINT) FROM uwb
+         |  UNION ALL
+         |  SELECT p.word, p.pos + len(v.token),
+         |         p.toks || CASE WHEN p.toks = '' THEN '' ELSE ' ' END || v.token,
+         |         p.n + 1, p.fs + v.cnt
+         |  FROM paths2b p JOIN unib v
+         |    ON substr(p.word, p.pos + 1, len(v.token)) = v.token
+         |  WHERE p.pos < len(p.word)),
+         |seg2b AS MATERIALIZED (SELECT word, toks,
+         |  len(string_split(toks, ' '))::BIGINT AS nt,
+         |  decode(unhex(replace(toks, ' ', ''))) AS dec FROM (
+         |  SELECT word, toks, row_number() OVER (PARTITION BY word
+         |    ORDER BY n ASC, fs DESC, toks ASC) AS rk
+         |  FROM paths2b WHERE pos = len(word)) WHERE rk = 1),
+         |dwb AS (SELECT doc_id, text, i - 1 AS pos, hex(w[i]) AS word
+         |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+         |        FROM documents) q,
+         |       UNNEST(generate_series(1, len(w))) AS u(i)
+         |  WHERE len(w[i]) > 0),
+         |g AS (SELECT doc_id, min(text) AS t,
+         |      sum(seg2b.nt)::BIGINT AS n_tokens,
+         |      string_agg(seg2b.dec, ' ' ORDER BY pos) AS decoded
+         |      FROM dwb JOIN seg2b USING (word) GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, decoded, decoded = t AS ok FROM g""".stripMargin,
     "q173_unigram_vocab" ->
+      s"""WITH RECURSIVE $unigramCtes
+         |SELECT token, cnt FROM uni""".stripMargin,
+    // fold-by-word-table training must land at the from-scratch
+    // vocabulary — the invariant oracle applies verbatim
+    "q203_unigram_incremental" ->
       s"""WITH RECURSIVE $unigramCtes
          |SELECT token, cnt FROM uni""".stripMargin,
     "q174_unigram_encode" -> unigramEncodeSql,

@@ -147,6 +147,16 @@ object Unigram {
       .select(col("freq"), explode(split(col("toks"), " ")).as("token"))
       .groupBy(col("token")).agg(sum(col("freq")).as("cnt"))
 
+  /** Fold two word tables — the batch-ingest primitive (the
+    * [[Bpe.mergeWordTables]] contract for the raw-word grain this
+    * family trains on): union by word, frequencies summed. Training
+    * is a pure function of the word table, so seed → EM over the
+    * folded table reproduces from-scratch training verbatim — history
+    * is never re-tokenized, and per-slice word tables are the only
+    * state an ingest pipeline persists between batches. */
+  def mergeWordTables(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+
   /** Per-document encode under a vocabulary: each word replaced by
     * its Viterbi segmentation, document order preserved. The corpus
     * appears exactly once — exploded to positioned words, joined to
