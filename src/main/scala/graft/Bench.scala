@@ -115,7 +115,24 @@ object Bench {
             array_join(toks, " ").as("toks"))
         }))
 
-    def selected = (SparkEntry.queries.toSeq ++ extra).sortBy(_._1)
+    // Write-artifact queries (per-call file/table writes: shard
+    // writers, sealed append/repair, saved-tokenizer/codebook/index
+    // lifecycles, media stores). They run as a SECOND phase after
+    // every compute query has measured: their disk churn (page-cache
+    // eviction, writeback) was the leading confound in round-over-
+    // round compute readings (the r10 q152/q138 in-registry rises
+    // adjudicated to exactly this), so the compute family now
+    // measures before the churn starts. Within each phase the order
+    // stays alphabetical.
+    val writeArtifact = Set(
+      "q93_pq_encode_incremental", "q120_bpe_encode_saved",
+      "q139_shard_manifest", "q141_ivf_rebuild", "q143_curation_v5",
+      "q144_shards_incremental", "q167_repair_manifest",
+      "q168_sealed_manifest", "q169_sealed_repair", "q177_sealed_append",
+      "q181_unigram_saved", "q200_video_keep_one_store",
+      "q201_audio_keep_one_store")
+    def selected = (SparkEntry.queries.toSeq ++ extra)
+      .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
 
     // Warm up every selected query once at the smallest SF: whole-stage
@@ -187,6 +204,11 @@ object Bench {
       "\"" + k + "\":[" + v.map(x => f"${x._4}%.2f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
+    // Phase split: compute-family and write-artifact totals reported
+    // separately so round-over-round compute comparisons stay clean.
+    val writeTotal = results.filter(r => writeArtifact.contains(r._1))
+      .map(r => median(r._2.map(_._1))).filter(_ >= 0).sum
+    val computeTotal = total - writeTotal
     graft.operators.TextPipelineQueries.clearCache(spark)
     graft.multimodal.MultimodalQueries.clearCache(spark)
     graft.operators.BpeQueries.clearCache()
@@ -197,7 +219,7 @@ object Bench {
     // telemetry maps pushed it past ~20 KB. The full line — telemetry
     // included — goes to the SPARK_GRAFT_BENCH_OUT file only, where
     // adjudication reads it.
-    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"bpe_full_train_sec":$bpeTrainSec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs"""
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"bpe_full_train_sec":$bpeTrainSec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs"""
     val compact = s"""{$head,"sf":"$sfDir"}"""
     val full = s"""{$head,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
     // A ≤200-byte summary object with the headline numbers only —
@@ -207,7 +229,7 @@ object Bench {
     // outgrew the capture window; the full renderings still follow
     // for anyone reading the whole log, and the complete telemetry
     // goes to the SPARK_GRAFT_BENCH_OUT file).
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"n_queries":${results.size},"iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
     try java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))
