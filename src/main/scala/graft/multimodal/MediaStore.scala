@@ -37,6 +37,18 @@ object MediaStore {
       .parquet(path)
   }
 
+  /** Append an ingest batch into an existing store: new rows land as
+    * additional part files inside their bucket dirs; no existing file
+    * is opened or rewritten. Work ∝ batch. */
+  def append(media: DataFrame, idCol: String, path: String,
+             buckets: Int): Unit =
+    bucketed(media, idCol, buckets)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(idCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(path)
+
   /** Apply a keep-one delete set to a [[writeAll]] store: every
     * bucket containing a deleted media_id is rewritten without those
     * rows (dynamic overwrite), buckets emptied by the verdict are

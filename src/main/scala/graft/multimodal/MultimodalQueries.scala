@@ -415,6 +415,42 @@ object MultimodalQueries {
       MediaStore.applyKeepOne(s, path,
         groups.filter(!col("is_keeper")).select(col("media_id")), "media_id")
       MediaStore.manifest(s.read.parquet(path), "media_id")
+    }),
+    // The INCREMENTAL store lifecycle — standing-state dedup and the
+    // physical store maintained together, the full act loop an ingest
+    // pipeline runs per batch: bootstrap (store + dedupState + delete)
+    // on the old 80%, then the batch APPENDS (new part files only),
+    // FOLDS through the standing state (old side never re-paired /
+    // re-CC'd), and the verdict's non-keepers are deleted with
+    // bucket-scoped repair. A new video can bridge two standing
+    // components, demoting an old KEEPER — passing state2's full
+    // non-keeper set handles that: applyKeepOne flags only buckets
+    // where a listed id is still physically present. Must equal the
+    // from-scratch keep-one store — q200's oracle VERBATIM.
+    "q205_media_store_incr" -> ((s, d) => {
+      import s.implicits._
+      val media = pngAviTab(s, d)
+      val sigs = VideoDedup.frameSignatures(
+          media.as[Multimodal.MediaRecord])
+        .localCheckpoint(true)
+      val maxId = sigs.agg(max(col("media_id"))).head().getLong(0)
+      val thresh = maxId * 4 / 5
+      val oldSigs = sigs.filter(col("media_id") <= thresh)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_vinc_" +
+        math.abs(d.hashCode.toLong)
+      MediaStore.writeAll(media.toDF().filter(col("media_id") <= thresh),
+        "media_id", path, buckets = 8)
+      val st = VideoDedup.dedupState(oldSigs).localCheckpoint(true)
+      MediaStore.applyKeepOne(s, path, VideoDedup.groupsFromState(st)
+        .filter(!col("is_keeper")).select(col("media_id")), "media_id")
+      MediaStore.append(media.toDF().filter(col("media_id") > thresh),
+        "media_id", path, buckets = 8)
+      val (st2, _) = VideoDedup.foldBatch(st,
+        VideoDedup.repSignatures(st, oldSigs),
+        sigs.filter(col("media_id") > thresh))
+      MediaStore.applyKeepOne(s, path, VideoDedup.groupsFromState(st2)
+        .filter(!col("is_keeper")).select(col("media_id")), "media_id")
+      MediaStore.manifest(s.read.parquet(path), "media_id")
     }))
 
   /** Baseline JPEG via the JDK's ImageIO (java.desktop — present in
@@ -554,6 +590,14 @@ object MultimodalQueries {
          |  bit_xor(('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 15))
          |    ::UBIGINT::BIGINT) AS ids_digest
          |FROM ($audioNearDupSql) g WHERE is_keeper GROUP BY 1""".stripMargin,
+    // the incrementally-maintained store must land at the from-scratch
+    // keep-one store — the invariant oracle applies verbatim
+    "q205_media_store_incr" ->
+      s"""SELECT CAST(media_id % 8 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_media,
+         |  bit_xor(('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 15))
+         |    ::UBIGINT::BIGINT) AS ids_digest
+         |FROM ($videoNearDupSql) g WHERE is_keeper GROUP BY 1""".stripMargin,
     // n_px = decoded pixel-buffer length: right only when the RIFF
     // walk found every frame AND the native JPEG decode produced a
     // full w*h*3 interleaved buffer for each sampled one.
