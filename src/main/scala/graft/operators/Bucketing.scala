@@ -33,13 +33,22 @@ object Bucketing {
   /** Write `df` as a bucketed managed table (sorted within buckets so
     * downstream sort-merge joins also skip the per-partition sort). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit = {
+                    buckets: Int): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets)
+
+  /** [[writeBucketed]] over a COMPOSITE key (e.g. the two-level IVF's
+    * (list_id, fine_id)): the scan reports HashPartitioning over all
+    * key columns, so an equi-join on the full key set still reaches
+    * the table with zero exchanges. */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                        buckets: Int): Unit = {
+    require(keys.nonEmpty, "at least one bucketing key required")
     val spark = df.sparkSession
     dropManagedTable(spark, table)
     df.write
       .mode(SaveMode.Overwrite)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table) // managed: lives in spark.sql.warehouse.dir
   }

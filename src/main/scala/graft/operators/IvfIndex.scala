@@ -422,7 +422,8 @@ object IvfIndex {
   def topK2(lists: DataFrame, coarse: Array[Array[Double]],
             fineSeeds: DataFrame, queries: DataFrame,
             idCol: String, vecCol: String,
-            k: Int, nprobe1: Int, nprobe2: Int): DataFrame = {
+            k: Int, nprobe1: Int, nprobe2: Int,
+            broadcastProbes: Boolean = true): DataFrame = {
     val spark = lists.sparkSession
     import spark.implicits._
     val cDf = coarse.zipWithIndex
@@ -443,7 +444,9 @@ object IvfIndex {
       .withColumn("__k2", row_number().over(wp2))
       .filter(col("__k2") <= nprobe2)
       .select(col("q_id"), col("q_vec"), col("list_id"), col("fine_id"))
-    val scored = broadcast(probeF)
+    val probeSide =
+      if (broadcastProbes) broadcast(probeF) else probeF.hint("merge")
+    val scored = probeSide
       .join(lists.select(col("list_id"), col("fine_id"),
         col(idCol).as("n_id"), col(vecCol).as("n_vec")),
         Seq("list_id", "fine_id"))
@@ -452,6 +455,44 @@ object IvfIndex {
         round(cosine(col("q_vec"), col("n_vec").cast("array<double>")), 4)
           .as("cos"))
     Similarity.topKPerKey(scored, k)
+  }
+
+  /** Persist a [[buildTwoLevel]] index beside the data: centroids and
+    * fine seeds as tiny managed tables, lists BUCKETED on the
+    * composite (list_id, fine_id) — a reloaded probe joins the corpus
+    * side with zero exchanges in merge mode, the [[save]] contract on
+    * the deeper hierarchy. */
+  def saveTwoLevel(spark: SparkSession, name: String,
+                   coarse: Array[Array[Double]], fineSeeds: DataFrame,
+                   lists: DataFrame, buckets: Int = 8,
+                   provenance: Map[String, String] = Map.empty): Unit = {
+    saveCentroids(spark, name, coarse, buckets, provenance)
+    Bucketing.dropManagedTable(spark, s"${name}_fineseeds")
+    fineSeeds.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet").saveAsTable(s"${name}_fineseeds")
+    Bucketing.writeBucketedMulti(lists, s"${name}_lists2",
+      Seq("list_id", "fine_id"), buckets)
+  }
+
+  /** Reload a [[saveTwoLevel]] index: (coarse, fineSeeds, lists). */
+  def loadTwoLevel(spark: SparkSession, name: String)
+      : (Array[Array[Double]], DataFrame, DataFrame) = {
+    val coarse = spark.table(s"${name}_centroids")
+      .orderBy(col("list_id")).collect()
+      .map(_.getSeq[Double](1).toArray)
+    (coarse, spark.table(s"${name}_fineseeds"),
+      spark.table(s"${name}_lists2"))
+  }
+
+  /** Probe a [[saveTwoLevel]] index by name — the deployment entry
+    * point for the hierarchical path. */
+  def topK2Saved(spark: SparkSession, name: String, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int,
+                 nprobe1: Int, nprobe2: Int,
+                 broadcastProbes: Boolean = true): DataFrame = {
+    val (coarse, fineSeeds, lists) = loadTwoLevel(spark, name)
+    topK2(lists, coarse, fineSeeds, queries, idCol, vecCol, k,
+      nprobe1, nprobe2, broadcastProbes)
   }
 
   /** Probe a [[save]]d index by name — the deployment entry point.

@@ -888,6 +888,24 @@ object TextPipelineQueries {
       IvfIndex.topK(indexed, centroids, emb(s, d).filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 8)
     }),
+    // The TWO-LEVEL index's saved-artifact lifecycle through the
+    // gate: build → saveTwoLevel (centroids + fine seeds as managed
+    // tables, lists bucketed on the composite (list_id, fine_id)) →
+    // reload by name → probe every cell in MERGE mode, so the corpus
+    // side reads straight from the bucketed layout. Full probes are
+    // exact — the q43 brute-force oracle applies verbatim; a row the
+    // save/reload dropped, misrouted, or duplicated breaks the hash.
+    "q206_ivf2_saved" -> ((s, d) => {
+      val (coarse, fineSeeds, lists) = IvfIndex.buildTwoLevel(
+        emb(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", k1 = 4, k2 = 3, coarseIters = 1)
+      val name = "g_ivf2_saved"
+      IvfIndex.saveTwoLevel(s, name, coarse, fineSeeds, lists,
+        buckets = 4, provenance = Map("levels" -> "2", "k1" -> "4", "k2" -> "3"))
+      IvfIndex.topK2Saved(s, name,
+        emb(s, d).filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe1 = 4, nprobe2 = 3, broadcastProbes = false)
+    }),
     // Incremental index ingest through the gate: centroids trained on
     // 80% of the corpus, the remaining 20% APPENDED with appendSaved
     // (no rebuild, no Lloyd pass, bucket-aligned write). nprobe = k
@@ -2163,6 +2181,17 @@ object TextPipelineQueries {
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
     // nprobe = k makes IVF exact — identical to the brute-force oracle
     "q43_ivf_topk_exact" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+         |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
+         |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
+         |      FROM p)
+         |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    // every (coarse, fine) cell probed through the reloaded bucketed
+    // layout — exact, so the same brute-force oracle applies
+    "q206_ivf2_saved" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
          |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos

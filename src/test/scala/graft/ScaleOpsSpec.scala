@@ -230,6 +230,41 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(viaMerge == viaBroadcast)
   }
 
+  test("two-level IVF save/load: reloaded probe joins the composite-" +
+      "bucketed lists with zero corpus-side exchanges; results identical") {
+    import graft.operators.IvfIndex
+    val emb = Tables.t(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val (coarse, fineSeeds, lists) = IvfIndex.buildTwoLevel(
+      emb.select(col("vec_id"), col("embedding")), "vec_id", "embedding",
+      k1 = 4, k2 = 3, coarseIters = 1)
+    IvfIndex.saveTwoLevel(spark, "ivf2_colo", coarse, fineSeeds, lists,
+      buckets = 4)
+    val direct = IvfIndex.topK2(lists, coarse, fineSeeds, queries,
+        "vec_id", "embedding", k = 5, nprobe1 = 4, nprobe2 = 3)
+      .select("q_id", "n_id", "cos", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val reloaded = IvfIndex.topK2Saved(spark, "ivf2_colo", queries,
+      "vec_id", "embedding", k = 5, nprobe1 = 4, nprobe2 = 3,
+      broadcastProbes = false)
+    reloaded.collect()
+    val plan = reloaded.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    // the composite-key bucketing means only the probe side shuffles
+    // into the (list_id, fine_id) layout
+    val keyExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(list_id"))
+    assert(keyExchanges == 1,
+      s"$keyExchanges composite-key exchanges (probe side only expected):" +
+        s"\n${plan.take(3000)}")
+    val viaSaved = reloaded
+      .select("q_id", "n_id", "cos", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(viaSaved == direct)
+  }
+
   test("IVF appendSaved: incremental ingest stays exact and keeps the bucketed probe") {
     import graft.operators.{IvfIndex, Similarity}
     val emb = Tables.t(spark, sf, "embeddings")
