@@ -79,6 +79,84 @@ object Surprisal {
           + lit(0.0)).as("entropy"))
   }
 
+  /** BOS-prefixed bigram stream: each document's words with "<s>"
+    * prepended, emitted as (keep..., w1, w2) pairs — so the first real
+    * word conditions on the document boundary, the LM convention. */
+  private def bosBigrams(df: DataFrame, keep: Seq[String],
+                         textCol: String): DataFrame =
+    df.select(keep.map(col) :+
+        split(concat(lit("<s> "), col(textCol)), " ").as("__w"): _*)
+      .select(keep.map(col) ++ Seq(col("__w"),
+        posexplode(col("__w")).as(Seq("__i", "w2"))): _*)
+      .filter(col("__i") > 0 && length(col("w2")) > 0)
+      .select(keep.map(col) ++
+        Seq(element_at(col("__w"), col("__i")).as("w1"), col("w2")): _*)
+
+  /** CCNet-style reference-LM quality scoring (Wenzek et al. 2020
+    * shape): a bigram LM with add-one smoothing is trained on a
+    * REFERENCE slice (the "clean" domain) and scores EVERY document
+    * by mean surprisal under that model. Unlike [[bigramSurprisal]]
+    * — the corpus scored against itself — this is cross-domain: the
+    * model never sees the scored corpus, so boilerplate that
+    * dominates the corpus but not the reference scores badly.
+    *
+    * Determinism discipline: per-token surprisals are quantized to
+    * 1e-4 fixed point and summed as integers (the q172/q193 rule —
+    * never avg(double) through the gate); the per-doc average is one
+    * final division. Add-one smoothing is over the reference's w2
+    * vocabulary plus one OOV slot, so unseen words AND unseen
+    * contexts score finite, identically in both engines.
+    *
+    * Scale shape: the model is reference-sized (the clean slice's
+    * bigram types — bounded by the slice, not the corpus); both model
+    * joins are string-keyed shuffles AQE broadcasts when small; the
+    * vocabulary normalizer is a broadcast one-row aggregate. Output:
+    * (idCol, n_bigrams, avg_nlp round 4). */
+  def refLmScore(docs: DataFrame, idCol: String, textCol: String,
+                 ref: DataFrame, refTextCol: String): DataFrame = {
+    val rb = bosBigrams(ref, Nil, refTextCol)
+    val c2 = rb.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("__c2")).as("__c1"))
+    val v = rb.agg((countDistinct(col("w2")) + 1L).as("__v"))
+    bosBigrams(docs, Seq(idCol), textCol)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__nlp", round(-log(
+        (coalesce(col("__c2"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + col("__v"))) * 10000, 0)
+        .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("__nlp")).as("__s"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__s") / 10000.0 / col("n_bigrams"), 4).as("avg_nlp"))
+  }
+
+  /** [[refLmScore]] partitioned into the CCNet head/middle/tail
+    * terciles by corpus rank of (avg_nlp, id) — the buckets a
+    * pipeline samples from at different rates. Rank is the
+    * distributed two-phase prefix sum ([[Packing.stableIds]]), never
+    * a global sort; the sparse composite rank key is exactly the
+    * shape stableIds' sampled range-bucketing fallback exists for.
+    * Output: scored columns + bucket. */
+  def refLmBuckets(scored: DataFrame, idCol: String): DataFrame = {
+    val keyed = scored.withColumn("__key",
+      round(col("avg_nlp") * 10000, 0).cast("long") * (1L << 40) +
+        col(idCol))
+    val n = keyed.agg(count(lit(1)).as("__n"))
+    Packing.stableIds(keyed.select(col("__key")), "__key")
+      .join(keyed, Seq("__key"))
+      .crossJoin(broadcast(n))
+      .withColumn("__t", expr("(row_id * 3) div __n")) // integer div —
+      // Spark's `/` is double division even on longs
+      .select(col(idCol), col("n_bigrams"), col("avg_nlp"),
+        when(col("__t") === 0, "head")
+          .when(col("__t") === 1, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Per-document average bigram surprisal with backoff below the
     * floor. Two joins back to the bigram stream, both against tables
     * that are frequent-bigram- resp. vocabulary-sized (AQE broadcasts

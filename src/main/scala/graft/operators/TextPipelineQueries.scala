@@ -648,6 +648,21 @@ object TextPipelineQueries {
     // corpus at scale), which then joins back to the token stream —
     // AQE broadcasts it when small.
     "q36_token_surprisal" -> ((s, d) => docSurprisal(s, d)),
+    // CCNet-style reference-LM quality filter (Wenzek et al. 2020):
+    // an add-one-smoothed bigram LM trained on ONE clean source
+    // (src0) scores every document cross-domain; docs rank into
+    // head/middle/tail terciles by mean surprisal — the buckets a
+    // pipeline samples at different rates. Surprisals are 1e-4
+    // fixed-point summands (the q172/q193 rule); the tercile rank is
+    // the two-phase distributed prefix sum over a sparse composite
+    // key (the stableIds sampled-fallback path, through the gate).
+    "q207_ref_lm_quality" -> ((s, d) => {
+      val doc = docs(s, d)
+      Surprisal.refLmBuckets(
+        Surprisal.refLmScore(doc, "doc_id", "text",
+          doc.filter(col("source") === "src0"), "text"),
+        "doc_id")
+    }),
     // Perplexity gate: q36's per-doc surprisal z-scored against the
     // corpus distribution — both tails cut (too-random noise, too-
     // templated boilerplate) relative to THIS corpus. The stats are
@@ -1976,6 +1991,39 @@ object TextPipelineQueries {
         |FROM b1 JOIN c2 USING (bg) JOIN c1 USING (w1) JOIN cw2 USING (w2)
         |CROSS JOIN n
         |GROUP BY doc_id""".stripMargin,
+    // the whole CCNet chain rebuilt in SQL: reference bigram counts,
+    // add-one smoothing over the reference vocabulary (+1 OOV slot),
+    // fixed-point surprisal summands, tercile by (avg, id) rank
+    "q207_ref_lm_quality" ->
+      """WITH rb0 AS (SELECT string_split('<s> ' || text, ' ') AS w
+        |             FROM documents WHERE source = 'src0'),
+        |rb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM rb0,
+        |       UNNEST(generate_series(1, len(w)-1)) AS u(i)
+        |       WHERE len(w[i+1]) > 0),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM rb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2)::BIGINT + 1 AS v FROM rb),
+        |db0 AS (SELECT doc_id, string_split('<s> ' || text, ' ') AS w
+        |        FROM documents),
+        |db AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM db0,
+        |       UNNEST(generate_series(1, len(w)-1)) AS u(i)
+        |       WHERE len(w[i+1]) > 0),
+        |sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |       sum(CAST(round(-ln((coalesce(c2.c2, 0) + 1) /
+        |         CAST(coalesce(c1.c1, 0) + v AS DOUBLE)) * 10000, 0)
+        |         AS BIGINT)) AS s
+        |       FROM db LEFT JOIN c2 USING (w1, w2)
+        |       LEFT JOIN c1 USING (w1) CROSS JOIN v GROUP BY doc_id),
+        |av AS (SELECT doc_id, n_bigrams,
+        |       round(s / 10000.0 / n_bigrams, 4) AS avg_nlp FROM sc),
+        |rk AS (SELECT doc_id, n_bigrams, avg_nlp,
+        |       row_number() OVER (ORDER BY avg_nlp, doc_id) - 1 AS rn,
+        |       count(*) OVER () AS n FROM av)
+        |SELECT doc_id, n_bigrams, avg_nlp,
+        |  CASE WHEN rn * 3 // n = 0 THEN 'head'
+        |       WHEN rn * 3 // n = 1 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM rk""".stripMargin,
     "q36_token_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
