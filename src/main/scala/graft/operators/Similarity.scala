@@ -193,6 +193,43 @@ object Similarity {
     * `maxBucketSize` (degenerate patterns excluded, like
     * [[lshSimilarPairs]]). Output: (id_a, id_b, cos), id_a < id_b,
     * each pair once. */
+  /** HARD-NEGATIVE MINING for contrastive / embedding training
+    * (in-batch-negatives literature, e.g. DPR Karpukhin et al. 2020):
+    * for each anchor, the positive is its nearest SAME-label neighbor
+    * and the hard negatives are the k nearest DIFFERENT-label
+    * neighbors — near-misses the loss learns the most from, versus
+    * random negatives that are trivially far. Output one row per
+    * (anchor, negative): (q_id, pos_id, pos_cos, neg_id, neg_cos, rk)
+    * with rk by (neg_cos desc, neg_id asc). Anchors with no same-label
+    * peer are dropped (no positive to contrast against).
+    *
+    * Scale shape: the anchor batch broadcasts with its vectors; the
+    * corpus streams once through the scored projection; negatives go
+    * through the [[topKPerKey]] partition-local heaps and the positive
+    * is a tie-free max_by struct agg — no corpus-sized window, no
+    * self-join. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_lab"))
+    val scored = corpus.select(col(idCol).as("n_id"),
+        col(vecCol).as("n_vec"), col(labelCol).as("n_lab"))
+      .join(broadcast(q), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_lab"), col("n_id"), col("n_lab"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("cos"))
+    // (cos, -n_id) pairs are unique per q_id, so max_by is tie-free
+    val pos = scored.filter(col("q_lab") === col("n_lab"))
+      .groupBy(col("q_id"))
+      .agg(max_by(struct(col("n_id").as("pos_id"), col("cos").as("pos_cos")),
+        struct(col("cos"), (-col("n_id")).as("__t"))).as("__p"))
+      .select(col("q_id"), col("__p.pos_id"), col("__p.pos_cos"))
+    topKPerKey(scored.filter(col("q_lab") =!= col("n_lab"))
+        .select(col("q_id"), col("n_id"), col("cos")), k)
+      .join(pos, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_cos"),
+        col("n_id").as("neg_id"), col("cos").as("neg_cos"), col("rk"))
+  }
+
   /** Per-label mean embedding ("domain centroid"): the semantic
     * profile of a source/topic/label slice, the input to
     * [[centroidSimilarity]]'s "which domains are close" matrix and to

@@ -931,6 +931,16 @@ object TextPipelineQueries {
       IvfIndex.topKSaved(s, ivfAppended(s, d),
         emb(s, d).filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5, nprobe = 8, broadcastProbes = false)),
+    // Hard-negative mining for contrastive training (the DPR-style
+    // near-miss harvest): per anchor, the nearest same-label positive
+    // and the 5 nearest different-label negatives. The whole triplet
+    // table goes through the gate — positive choice, negative set,
+    // and rank order all hash-compared against the brute-force SQL.
+    "q208_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.hardNegatives(e, e.filter(col("vec_id") < 50),
+        "vec_id", "embedding", "label", k = 5)
+    }),
     // kNN label voting — similarity search put to its eval-harness
     // use (label propagation / pseudo-labeling): majority label among
     // the 5 nearest neighbors, ties to the smaller label. The
@@ -2201,6 +2211,26 @@ object TextPipelineQueries {
          |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
          |      FROM p)
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    // positive = same-label argmax, negatives = different-label top-5
+    "q208_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+         |           CAST(label AS BIGINT) AS q_lab
+         |           FROM embeddings WHERE vec_id < 50),
+         |c AS (SELECT vec_id AS n_id, embedding AS n_vec,
+         |      CAST(label AS BIGINT) AS n_lab FROM embeddings),
+         |p AS (SELECT q_id, q_lab, n_id, n_lab,
+         |      round(${cosSql("q_vec", "n_vec")}, 4) AS cos
+         |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+         |pos AS (SELECT q_id, n_id AS pos_id, cos AS pos_cos FROM (
+         |        SELECT q_id, n_id, cos, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS r
+         |        FROM p WHERE q_lab = n_lab) WHERE r = 1),
+         |neg AS (SELECT q_id, n_id AS neg_id, cos AS neg_cos,
+         |        CAST(row_number() OVER (PARTITION BY q_id
+         |          ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
+         |        FROM p WHERE q_lab <> n_lab)
+         |SELECT q_id, pos_id, pos_cos, neg_id, neg_cos, rk
+         |FROM neg JOIN pos USING (q_id) WHERE rk <= 5""".stripMargin,
     "q68_knn_label_vote" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 50),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec, label FROM embeddings),
