@@ -157,6 +157,44 @@ object Surprisal {
           .otherwise("tail").as("bucket"))
   }
 
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023 shape) on
+    * top of [[refLmScore]]: domains whose documents the reference
+    * model finds HARD (mean surprisal above the corpus mean) get
+    * upweighted in proportion to their excess — the "spend training
+    * on what the model hasn't absorbed" signal, computed from the
+    * proxy scores instead of a proxy-model training run. Domains at
+    * or below the corpus mean get weight 0 (they are already well
+    * covered by the reference).
+    *
+    * All means are 1e-4 fixed-point integer sums divided once; the
+    * weight is one rational `excess / Σexcess` rounded 4 — nothing
+    * cross-engine-fragile. Output: (sourceCol, n_docs, mean_nlp,
+    * excess, weight), weight summing to ~1 across upweighted domains
+    * (all-zero excess → all weights 0, surfaced not hidden).
+    *
+    * Scale shape: one source-grained agg over the scored table plus a
+    * broadcast one-row corpus aggregate — #sources output rows. */
+  def domainReweight(scored: DataFrame, sourceCol: String): DataFrame = {
+    val fixed = scored.withColumn("__f",
+      round(col("avg_nlp") * 10000, 0).cast("long"))
+    val per = fixed.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__f")).as("__sf"))
+      .withColumn("__mean", expr("__sf div n_docs")) // fixed-point mean
+    val glob = fixed.agg(expr("sum(__f) div count(1)").as("__gmean"))
+    val ex = per.crossJoin(broadcast(glob))
+      .withColumn("excess",
+        greatest(col("__mean") - col("__gmean"), lit(0L)))
+    val tot = ex.agg(sum(col("excess")).as("__tot"))
+    ex.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        round(col("__mean") / 10000.0, 4).as("mean_nlp"),
+        round(col("excess") / 10000.0, 4).as("excess"),
+        when(col("__tot") > 0,
+          round(col("excess").cast("double") / col("__tot"), 4))
+          .otherwise(lit(0.0)).as("weight"))
+  }
+
   /** Per-document average bigram surprisal with backoff below the
     * floor. Two joins back to the bigram stream, both against tables
     * that are frequent-bigram- resp. vocabulary-sized (AQE broadcasts

@@ -663,6 +663,19 @@ object TextPipelineQueries {
           doc.filter(col("source") === "src0"), "text"),
         "doc_id")
     }),
+    // DoReMi-flavored domain reweighting on the q207 scores: sources
+    // whose documents the reference LM finds hard (mean surprisal
+    // above the corpus mean) upweight in proportion to their excess —
+    // the mixture planner's "spend training where the model
+    // struggles" input, with every mean a fixed-point integer sum.
+    "q209_domain_reweight" -> ((s, d) => {
+      val doc = docs(s, d)
+      Surprisal.domainReweight(
+        Surprisal.refLmScore(doc, "doc_id", "text",
+            doc.filter(col("source") === "src0"), "text")
+          .join(doc.select(col("doc_id"), col("source")), Seq("doc_id")),
+        "source")
+    }),
     // Perplexity gate: q36's per-doc surprisal z-scored against the
     // corpus distribution — both tails cut (too-random noise, too-
     // templated boilerplate) relative to THIS corpus. The stats are
@@ -2034,6 +2047,44 @@ object TextPipelineQueries {
         |       WHEN rn * 3 // n = 1 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM rk""".stripMargin,
+    // per-source fixed-point means over the q207 scores; weight =
+    // positive excess over the corpus mean, normalized
+    "q209_domain_reweight" ->
+      """WITH rb0 AS (SELECT string_split('<s> ' || text, ' ') AS w
+        |             FROM documents WHERE source = 'src0'),
+        |rb AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM rb0,
+        |       UNNEST(generate_series(1, len(w)-1)) AS u(i)
+        |       WHERE len(w[i+1]) > 0),
+        |c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM rb GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c2)::BIGINT AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2)::BIGINT + 1 AS v FROM rb),
+        |db0 AS (SELECT doc_id, string_split('<s> ' || text, ' ') AS w
+        |        FROM documents),
+        |db AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM db0,
+        |       UNNEST(generate_series(1, len(w)-1)) AS u(i)
+        |       WHERE len(w[i+1]) > 0),
+        |sc AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |       sum(CAST(round(-ln((coalesce(c2.c2, 0) + 1) /
+        |         CAST(coalesce(c1.c1, 0) + v AS DOUBLE)) * 10000, 0)
+        |         AS BIGINT)) AS s
+        |       FROM db LEFT JOIN c2 USING (w1, w2)
+        |       LEFT JOIN c1 USING (w1) CROSS JOIN v GROUP BY doc_id),
+        |av AS (SELECT doc_id, n_bigrams,
+        |       round(s / 10000.0 / n_bigrams, 4) AS avg_nlp FROM sc),
+        |fx AS (SELECT d.source,
+        |       CAST(round(avg_nlp * 10000, 0) AS BIGINT) AS f
+        |       FROM av JOIN documents d USING (doc_id)),
+        |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |        sum(f) // count(*) AS m FROM fx GROUP BY 1),
+        |g AS (SELECT sum(f) // count(*) AS gm FROM fx),
+        |ex AS (SELECT source, n_docs, m, greatest(m - gm, 0) AS excess
+        |       FROM per CROSS JOIN g),
+        |t AS (SELECT sum(excess) AS tot FROM ex)
+        |SELECT source, n_docs, round(m / 10000.0, 4) AS mean_nlp,
+        |  round(excess / 10000.0, 4) AS excess,
+        |  CASE WHEN tot > 0 THEN round(CAST(excess AS DOUBLE) / tot, 4)
+        |       ELSE 0.0 END AS weight
+        |FROM ex CROSS JOIN t""".stripMargin,
     "q36_token_surprisal" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
         |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
