@@ -793,6 +793,22 @@ object TextPipelineQueries {
         "text", queries, "q_id", "q_text")
       Retrieval.evalRanked(ranked, judged, k = 10)
     }),
+    // nDCG@10 of the q81 ranking against GRADED partial-match
+    // judgments (grade = matched query terms) — the rank-position-
+    // discounted metric the q111 harness can't express. DCG terms are
+    // 1e-6 fixed-point summands; the ideal ranking runs through the
+    // topKPerKey heaps, not a per-query window.
+    "q210_retrieval_ndcg" -> ((s, d) => {
+      import s.implicits._
+      val queries = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      Retrieval.evalNdcg(
+        Retrieval.bm25TopK(docs(s, d), "doc_id", "text",
+          queries, "q_id", "q_text", k = 10),
+        Retrieval.gradedJudgments(docs(s, d), "doc_id", "text",
+          queries, "q_id", "q_text"),
+        k = 10)
+    }),
     // Corpus-health: per-source token-distribution entropy (template
     // collapse shows up as a low-entropy source long before a human
     // reads a sample).
@@ -2216,6 +2232,29 @@ object TextPipelineQueries {
          |      FROM f)
          |SELECT q_id, doc_id, rrf, rk FROM r WHERE rk <= 10""".stripMargin,
     "q81_bm25_topk" -> bm25Sql,
+    // graded relevance (matched-term count), fixed-point DCG terms,
+    // heap-identical ideal order (grade desc, doc_id asc)
+    "q210_retrieval_ndcg" ->
+      s"""$bm25Ctes,
+         |dterm AS (SELECT DISTINCT doc_id, term FROM postings),
+         |gj AS (SELECT qt.q_id, dterm.doc_id,
+         |       CAST(count(*) AS BIGINT) AS grade
+         |       FROM qt JOIN dterm USING (term) GROUP BY 1, 2),
+         |dcg AS (SELECT r.q_id,
+         |        sum(CAST(round((pow(2, gj.grade) - 1) / log2(r.rk + 1)
+         |          * 1000000, 0) AS BIGINT)) AS dcg
+         |        FROM r JOIN gj ON r.q_id = gj.q_id AND r.doc_id = gj.doc_id
+         |        WHERE r.rk <= 10 GROUP BY 1),
+         |ig AS (SELECT q_id, grade, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY grade DESC, doc_id ASC) AS irk FROM gj),
+         |idcg AS (SELECT q_id,
+         |         sum(CAST(round((pow(2, grade) - 1) / log2(irk + 1)
+         |           * 1000000, 0) AS BIGINT)) AS idcg
+         |         FROM ig WHERE irk <= 10 GROUP BY 1)
+         |SELECT idcg.q_id, CAST(coalesce(dcg.dcg, 0) AS BIGINT) AS dcg_fp,
+         |  CAST(idcg.idcg AS BIGINT) AS idcg_fp,
+         |  round(coalesce(dcg.dcg, 0) / CAST(idcg.idcg AS DOUBLE), 4) AS ndcg
+         |FROM idcg LEFT JOIN dcg USING (q_id)""".stripMargin,
     "q157_chunk_retrieval" -> chunkBm25Sql,
     "q111_retrieval_eval" ->
       s"""$bm25Ctes,
