@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BpeQueries, CurationQueries, RelationalQueries, TemporalQueries, TextPipelineQueries}
+import graft.operators.{BpeQueries, CurationQueries, RelationalQueries, SketchQueries, TemporalQueries, TextPipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each implemented operator from SURVEY.md §2 appears once in
@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ TextPipelineQueries.queries ++
       TemporalQueries.queries ++ graft.multimodal.MultimodalQueries.queries ++
-      CurationQueries.queries ++ BpeQueries.queries
+      CurationQueries.queries ++ BpeQueries.queries ++
+      SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ TextPipelineQueries.oracle ++
       TemporalQueries.oracle ++ graft.multimodal.MultimodalQueries.oracle ++
-      CurationQueries.oracle ++ BpeQueries.oracle
+      CurationQueries.oracle ++ BpeQueries.oracle ++
+      SketchQueries.oracle
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.TextFunctions.tokens
+
+/** The mergeable-sketch family through the oracle gate (q211–q213):
+  * KMV distinct cardinality, Count-Min frequency, and histogram
+  * quantiles over the `documents` corpus — see [[Sketches]] for the
+  * scale rationale. All integer/md5 arithmetic, so the sketch
+  * ESTIMATES (not just invariants) hash-match DuckDB exactly.
+  */
+object SketchQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String) = t(s, d, "documents")
+
+  private val KmvK = 64
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val HistWidth = 64
+  private val Pcts = Seq(50, 90, 99)
+
+  /** DuckDB mirror of [[Sketches.hash48]]. */
+  private def h48Sql(e: String) =
+    s"('0x' || substr(md5($e), 1, 12))::BIGINT"
+
+  val queries: Map[String, Q] = Map(
+
+    // Per-source distinct-token cardinality by KMV sketch, plus the
+    // '__all__' row built by MERGING the per-source sketches — the
+    // oracle computes that row DIRECTLY from the global stream, so
+    // the gate's hash compare proves KMV merge associativity, not
+    // just per-row arithmetic. exact_distinct is the verification
+    // column (a real vocabulary shuffle) a 100 TB deployment drops,
+    // keeping only the k·sources-bounded sketch path.
+    "q211_kmv_distinct" -> ((s, d) => {
+      val tok = docs(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("w"))
+      val hashed = tok.select(col("source"),
+        Sketches.hash48(col("w")).as("h"))
+      val perSrc = Sketches.kMinPerKey(hashed, "source", "h", KmvK)
+      val global = perSrc.agg(Sketches.kmvMerge(col("hs"), KmvK).as("hs"))
+        .select(lit("__all__").as("source"), col("hs"))
+      val sk = perSrc.unionByName(global)
+      val dist = tok.distinct()
+      val exact = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(dist.select(col("w")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      sk.join(exact, Seq("source"))
+        .select(col("source"), col("exact_distinct"),
+          Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
+    }),
+
+    // Count-Min frequency sketch (4 × 256 cells — bounded state no
+    // matter the vocabulary) probed with the exact top-20 tokens:
+    // the estimate upper-bounds the true count ALWAYS (over_ok), and
+    // both the estimates and the bound are cross-engine exact.
+    "q212_cms_heavy_hitters" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val sketch = Sketches.cmsSketch(tf, "w", "c", CmsDepth, CmsWidth)
+      val cands = tf.orderBy(col("c").desc, col("w").asc).limit(20)
+      Sketches.cmsLookup(sketch, cands, "w", CmsDepth, CmsWidth)
+        .select(col("w"), col("c").as("exact_c"), col("cms_est"),
+          (col("cms_est") >= col("c")).as("over_ok"))
+    }),
+
+    // Histogram quantiles: a width-64 fixed grid over n_chars (cells
+    // merge by sum — the per-partition / per-day rollup state) whose
+    // estimate provably lands within one bucket width ABOVE the
+    // exact type-1 quantile; the exact side is the verification
+    // column. Cumulative windows run over aggregated cells (≤
+    // max/width rows), never data rows.
+    "q213_hist_quantiles" -> ((s, d) => {
+      import s.implicits._
+      val hist = Sketches.histogram(
+        docs(s, d).select(col("n_chars")), "n_chars", HistWidth)
+      val est = Sketches.histQuantiles(hist, HistWidth, Pcts)
+      val vc = docs(s, d).groupBy(col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val wv = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val cum = vc.withColumn("cum", sum(col("cnt")).over(wv))
+      val total = vc.agg(sum(col("cnt")).as("n"))
+      val p = Pcts.map(_.toLong).toDF("pct")
+      val exact = cum.crossJoin(broadcast(total)).crossJoin(broadcast(p))
+        .filter(col("cum") * 100 >= col("pct") * col("n"))
+        .groupBy(col("pct")).agg(min(col("v")).as("exact_v"))
+      est.join(exact, Seq("pct"))
+        .select(col("pct"), col("est_hi"), col("exact_v"),
+          (col("est_hi") - col("exact_v")).as("abs_err"),
+          (col("est_hi") >= col("exact_v") &&
+            col("est_hi") - col("exact_v") < HistWidth).as("within_bound"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "q211_kmv_distinct" ->
+      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+         |hs AS (SELECT DISTINCT source, ${h48Sql("w")} AS h FROM tok),
+         |hg AS (SELECT DISTINCT ${h48Sql("w")} AS h FROM tok),
+         |allh AS (SELECT source, h FROM hs
+         |         UNION ALL SELECT '__all__' AS source, h FROM hg),
+         |rk AS (SELECT source, h,
+         |         row_number() OVER (PARTITION BY source ORDER BY h) AS rk,
+         |         count(*) OVER (PARTITION BY source) AS nh
+         |       FROM allh),
+         |est AS (SELECT source,
+         |          CASE WHEN max(nh) < $KmvK THEN max(nh)
+         |               ELSE ${(KmvK - 1).toLong * Sketches.Hash48Max} //
+         |                    max(CASE WHEN rk = $KmvK THEN h END)
+         |          END AS kmv_est
+         |        FROM rk GROUP BY source),
+         |ex AS (SELECT source, count(DISTINCT w) AS exact_distinct
+         |       FROM tok GROUP BY source
+         |       UNION ALL
+         |       SELECT '__all__' AS source, count(DISTINCT w) FROM tok)
+         |SELECT e.source, ex.exact_distinct, CAST(e.kmv_est AS BIGINT) AS kmv_est
+         |FROM est e JOIN ex USING (source)""".stripMargin,
+
+    "q212_cms_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+         |rs AS (SELECT unnest(range($CmsDepth)) AS r),
+         |cells AS (SELECT r,
+         |            ${h48Sql("r::VARCHAR || '|' || w")} % $CmsWidth AS bucket,
+         |            CAST(sum(c) AS BIGINT) AS cell
+         |          FROM tf CROSS JOIN rs GROUP BY r, bucket),
+         |cand AS (SELECT w, c FROM tf ORDER BY c DESC, w ASC LIMIT 20)
+         |SELECT cand.w, cand.c AS exact_c, min(cells.cell) AS cms_est,
+         |       min(cells.cell) >= cand.c AS over_ok
+         |FROM cand CROSS JOIN rs
+         |JOIN cells ON cells.r = rs.r
+         | AND cells.bucket = ${h48Sql("rs.r::VARCHAR || '|' || cand.w")} % $CmsWidth
+         |GROUP BY cand.w, cand.c""".stripMargin,
+
+    "q213_hist_quantiles" ->
+      s"""WITH hist AS (SELECT n_chars // $HistWidth AS bucket, count(*) AS cnt
+         |             FROM documents GROUP BY bucket),
+         |cumh AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum
+         |         FROM hist),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
+         |est AS (SELECT pct,
+         |          CAST((min(bucket) + 1) * $HistWidth - 1 AS BIGINT) AS est_hi
+         |        FROM cumh CROSS JOIN n CROSS JOIN p
+         |        WHERE cum * 100 >= pct * n GROUP BY pct),
+         |cumv AS (SELECT n_chars AS v, sum(count(*)) OVER (ORDER BY n_chars) AS cum
+         |         FROM documents GROUP BY n_chars),
+         |ex AS (SELECT pct, min(v) AS exact_v
+         |       FROM cumv CROSS JOIN n CROSS JOIN p
+         |       WHERE cum * 100 >= pct * n GROUP BY pct)
+         |SELECT est.pct, est.est_hi, ex.exact_v,
+         |       est.est_hi - ex.exact_v AS abs_err,
+         |       est.est_hi >= ex.exact_v
+         |         AND est.est_hi - ex.exact_v < $HistWidth AS within_bound
+         |FROM est JOIN ex USING (pct)""".stripMargin)
+}

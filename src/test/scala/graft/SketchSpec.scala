@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Sketches
+
+/** Mergeable sketches ([[graft.operators.Sketches]]): KMV k-min
+  * correctness against a naive reference, merge associativity (the
+  * property the q211 '__all__' row turns into a cross-engine check),
+  * Count-Min's overestimate invariant, and the histogram-quantile
+  * error bound. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hash48 matches DuckDB's ('0x'||substr(md5,1,12))::BIGINT") {
+    // duckdb: SELECT ('0x'||substr(md5('a'),1,12))::BIGINT → 14025043329265
+    val got = spark.range(1)
+      .select(Sketches.hash48(lit("a")).as("h")).head.getLong(0)
+    assert(got == 14025043329265L)
+  }
+
+  test("kMinPerKey == naive k smallest distinct hashes, across partitions") {
+    val k = 8
+    // deterministic pseudo-random values with repeats, many partitions
+    val rows = (0 until 2000).map(i => (s"k${i % 3}", s"v${i % 157}"))
+    val df = spark.createDataFrame(rows).toDF("key", "v")
+      .repartition(13)
+      .select(col("key"), Sketches.hash48(col("v")).as("h"))
+    val got = Sketches.kMinPerKey(df, "key", "h", k)
+      .as[(String, Seq[Long])].collect().toMap
+    val naive = rows.groupBy(_._1).map { case (key, vs) =>
+      val hs = vs.map(_._2).distinct
+        .map(v => spark.range(1).select(Sketches.hash48(lit(v))).head.getLong(0))
+        .distinct.sorted.take(k)
+      key -> hs
+    }
+    assert(got.keySet == naive.keySet)
+    naive.foreach { case (key, hs) => assert(got(key) == hs, key) }
+  }
+
+  test("KMV merge is associative: sketch(union) == merge(sketches)") {
+    val k = 16
+    val parts = Seq(
+      (0 until 300).map(i => s"a$i"),
+      (100 until 500).map(i => s"a$i"), // overlapping values
+      (0 until 50).map(i => s"b$i"))
+    def sketch(vs: Seq[String]): Seq[Long] = {
+      val df = vs.toDF("v")
+        .select(lit("x").as("key"), Sketches.hash48(col("v")).as("h"))
+      Sketches.kMinPerKey(df, "key", "h", k)
+        .as[(String, Seq[Long])].head._2
+    }
+    val direct = sketch(parts.flatten)
+    val merged = parts.map(sketch).map(hs => Tuple1(hs)).toDF("hs")
+      .agg(Sketches.kmvMerge(col("hs"), k).as("hs"))
+      .as[Seq[Long]].head
+    assert(merged == direct)
+  }
+
+  test("KMV estimate is exact below k and within 3x sketch stderr above") {
+    val k = 64
+    val n = 1000
+    val df = (0 until n).map(i => s"tok$i").toDF("v")
+      .select(lit("x").as("key"), Sketches.hash48(col("v")).as("h"))
+    val sk = Sketches.kMinPerKey(df, "key", "h", k)
+    val est = sk.select(Sketches.kmvEstimate(col("hs"), k)).head.getLong(0)
+    // KMV stderr ≈ n/sqrt(k-2); 3σ window
+    assert(math.abs(est - n) < 3.0 * n / math.sqrt(k - 2), s"est=$est")
+    val small = (0 until 10).map(i => s"s$i").toDF("v")
+      .select(lit("x").as("key"), Sketches.hash48(col("v")).as("h"))
+    val estSmall = Sketches.kMinPerKey(small, "key", "h", k)
+      .select(Sketches.kmvEstimate(col("hs"), k)).head.getLong(0)
+    assert(estSmall == 10L)
+  }
+
+  test("Count-Min never underestimates; cells conserve total mass per row") {
+    val depth = 4; val width = 32
+    val tf = (0 until 200).map(i => (s"w$i", (i % 7 + 1).toLong))
+      .toDF("w", "c")
+    val sketch = Sketches.cmsSketch(tf, "w", "c", depth, width)
+    val total = tf.agg(sum("c")).head.getLong(0)
+    val perRow = sketch.groupBy("row").agg(sum("cell").as("m"))
+      .as[(Int, Long)].collect()
+    assert(perRow.length == depth && perRow.forall(_._2 == total))
+    val est = Sketches.cmsLookup(sketch, tf, "w", depth, width)
+    assert(est.filter(col("cms_est") < col("c")).count() == 0)
+  }
+
+  test("histogram quantile estimate within [exact, exact + width)") {
+    val width = 10
+    val vals = (0 until 500).map(i => Tuple1((i * i % 997).toLong)).toDF("v")
+    val hist = Sketches.histogram(vals, "v", width)
+    val est = Sketches.histQuantiles(hist, width, Seq(50, 90, 99))
+      .as[(Long, Long)].collect().toMap
+    val sorted = vals.as[Long].collect().sorted
+    Seq(50, 90, 99).foreach { p =>
+      val target = (p * sorted.length + 99) / 100
+      val exact = sorted(target - 1)
+      val e = est(p.toLong)
+      assert(e >= exact && e - exact < width, s"p=$p est=$e exact=$exact")
+    }
+  }
+}
