@@ -61,4 +61,43 @@ object VectorFunctions {
   def signBucketAt(a: Column, start: Int, bits: Int): Column =
     concat((start + 1 to start + bits).map(i =>
       when(element_at(a, i) >= 0f, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix (outDim ×
+    * inDim): entry (j, i) is +1 iff the first hex char of
+    * md5("jl|j|i") is ≥ '8' — a derivation a SQL oracle reproduces
+    * verbatim with `md5(...)` strings, so the projection (unlike a
+    * seeded PRNG matrix) is cross-engine exact. Dense ±1 entries are
+    * Achlioptas's database-friendly JL construction. */
+  def jlSignMatrix(outDim: Int, inDim: Int): Seq[Seq[Long]] =
+    (0 until outDim).map { j =>
+      (0 until inDim).map { i =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl|$j|$i".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 0xf) >= 8) 1L else -1L
+      }
+    }
+
+  /** Fixed-point JL projection: component j = Σᵢ s_ji · ⌊vᵢ·10⁴⌋.
+    * The input is quantized to 1e-4 fixed point FIRST (floor — the
+    * one float→int op, identical in both engines), then everything
+    * is BIGINT, so projected vectors and any ranking over them are
+    * exact cross-engine — the repo's fixed-point-summand rule
+    * applied to dimensionality reduction. The matrix rides along as
+    * a codegen'd nested literal (outDim·inDim longs — bytes, not a
+    * join). */
+  def jlProject(vec: Column, m: Seq[Seq[Long]]): Column = {
+    val s = typedLit(m)
+    val inDim = m.head.length
+    transform(sequence(lit(0), lit(m.length - 1)), j =>
+      aggregate(sequence(lit(0), lit(inDim - 1)), lit(0L),
+        (acc, i) => acc +
+          element_at(element_at(s, (j + lit(1)).cast("int")),
+            (i + lit(1)).cast("int")) *
+          floor(element_at(vec, (i + lit(1)).cast("int")).cast("double")
+            * 10000).cast("long")))
+  }
+
+  /** Σ aᵢ·bᵢ over two equal-length BIGINT arrays — exact. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 }

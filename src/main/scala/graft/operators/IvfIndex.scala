@@ -174,6 +174,45 @@ object IvfIndex {
     Similarity.topKPerKey(scored, k)
   }
 
+  /** FILTERED vector search — [[topK]] with a per-query metadata
+    * constraint: each query row carries a target label and only
+    * candidates whose `labelCol` matches may enter its top-k (the
+    * "search within my tenant / language / shard" shape every vector
+    * store grows). The constraint is applied PRE-ranking, during the
+    * probed-list scan — a post-filter over an unconstrained top-k
+    * would return `< k` rows and lose recall whenever the filter is
+    * selective, the classic filtered-ANN failure mode. Cost shape is
+    * exactly [[topK]]'s (the label equality rides the same probe
+    * join; non-matching candidates die before scoring a cosine), so
+    * selective filters make the query CHEAPER, not weaker.
+    * Queries: (idCol, vecCol, labelCol = target). Output:
+    * (q_id, n_id, cos, rk). */
+  def topKFiltered(indexed: DataFrame, centroids: Array[Array[Double]],
+                   queries: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, k: Int, nprobe: Int): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val cDf = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, c) }.toSeq.toDF("list_id", "c_vec")
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("__qlab"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("__d").desc, col("list_id").asc)
+    val probes = q.crossJoin(broadcast(cDf))
+      .withColumn("__d", cosineD(col("q_vec"), col("c_vec")))
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("__qlab"), col("list_id"))
+    val cand = indexed.select(col("list_id"),
+      col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("__nlab"))
+    val scored = broadcast(probes).join(cand, Seq("list_id"))
+      .filter(col("q_id") =!= col("n_id") && col("__nlab") === col("__qlab"))
+      .select(col("q_id"), col("n_id"),
+        round(cosine(col("q_vec"), col("n_vec")), 4).as("cos"))
+    Similarity.topKPerKey(scored, k)
+  }
+
   /** Persist the index beside the data: centroids as a tiny managed
     * parquet table, assigned lists as a table BUCKETED on `list_id`
     * (so a reloaded index scans and joins per-list with zero

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -326,5 +326,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(cosine(col("vec_a"), col("vec_b")), 4).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  // ---- 1-bit (sign) binary embeddings -------------------------------
+
+  /** 64-bit sign signature: bit j set iff component j+1 > 0 — the
+    * 1-bit quantization of a 64-dim embedding. One BIGINT per vector
+    * (a 32× compression over float32), so a 10⁹-vector corpus's
+    * signature table is 8 GB — scannable by every executor without an
+    * index. Pure sign COMPARISONS of identical float bits, so the
+    * signature (unlike any float arithmetic) is bit-equal across
+    * engines. DuckDB mirror: `list_sum([CASE WHEN embedding[j] > 0
+    * THEN 1::BIGINT << (j-1) ELSE 0 END for j in range(1, 65)])` —
+    * with bit 63 spelled as the min-long literal, since DuckDB
+    * raises on `1 << 63` where Spark's shiftleft wraps to
+    * MIN_VALUE (same bit pattern, so the signatures still agree). */
+  def signSignature64(vecCol: String): Column =
+    expr(s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+            | (acc, j) -> acc + IF(element_at($vecCol, j + 1) > CAST(0 AS FLOAT),
+            |                      shiftleft(CAST(1 AS BIGINT), j),
+            |                      CAST(0 AS BIGINT)))""".stripMargin)
+
+  /** Top-k per query over binary signatures by Hamming distance
+    * (`bit_count(xor)` — two instructions per candidate). Same heap
+    * shape as [[bruteForceTopKScalable]]: the signature scan is
+    * embarrassingly parallel and only |partitions|×|queries|×k
+    * candidates reach the rank. Ties break by n_id ascending.
+    * Input: sigs (n_id, sig), queries (q_id, sig).
+    * Output: (q_id, n_id, hamming, rk). */
+  def hammingTopK(sigs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = sigs.crossJoin(
+        broadcast(queries.select(col("q_id"), col("sig").as("__qsig"))))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        (-bit_count(col("sig").bitwiseXOR(col("__qsig"))).cast("double"))
+          .as("cos"))
+    topKPerKey(scored, k)
+      .select(col("q_id"), col("n_id"),
+        (-col("cos")).cast("long").as("hamming"), col("rk"))
   }
 }
