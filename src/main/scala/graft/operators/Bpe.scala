@@ -276,6 +276,42 @@ object Bpe {
     * `byteLevel = true`), which also handles specials GLUED to text —
     * the composed twin only honors whole-word specials, the shape the
     * oracle corpus uses. */
+  /** WordPiece-style GREEDY longest-match-first encode of one word
+    * against an explicit vocabulary — the third classic encode
+    * algorithm beside merge-order BPE ([[encodeComposed]]) and
+    * unigram Viterbi ([[Unigram]]); BERT's WordPiece runtime is
+    * exactly this loop over its learned vocab. At each position the
+    * LONGEST vocab token matching the remaining suffix is emitted;
+    * characters absent from the vocab fall back to themselves as
+    * single-char tokens (so coverage never fails).
+    *
+    * The vocab rides as a bounded array literal sorted longest-first,
+    * making `filter(vocab, matches)[1]` the longest match — the whole
+    * encode is one codegen'd `aggregate` projection (one fold step
+    * per character position, each scanning the small vocab), with no
+    * join, no shuffle, no UDF. Oracle-expressible as a recursive CTE
+    * with the same longest-first list ([[BpeQueries]] q217). */
+  def greedyEncodeWord(w: Column, vocab: Seq[String]): Column = {
+    val sorted = vocab.distinct.sortBy(v => (-v.length, v))
+    val varr = array(sorted.map(lit): _*)
+    val enc = aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("toks")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        // `get` (not element_at) — ANSI mode throws on index-past-end,
+        // and the filter result IS empty when no vocab token matches
+        val m = coalesce(
+          get(filter(varr, v => w.substr(pos, length(v)) === v), lit(0)),
+          w.substr(pos, lit(1)))
+        when(pos > length(w), st)
+          .otherwise(struct((pos + length(m)).as("pos"),
+            concat(st.getField("toks"), array(m)).as("toks")))
+      },
+      st => st.getField("toks"))
+    when(length(w) === 0, array().cast("array<string>")).otherwise(enc)
+  }
+
   def encodeComposedBytes(c: Column, merges: Seq[(String, String)],
                           specials: Seq[String] = Nil): Column = {
     val words = filter(split(c, " "), w => length(w) > 0)

@@ -44,6 +44,20 @@ object BpeQueries {
       Bpe.learnMergesFromWords(Bpe.wordTableBytes(docs(s, d), "text"),
         NumMerges))
 
+  /** The full vocab (base symbols + merge outputs) as a driver-side
+    * list — the artifact the greedy longest-match encode broadcasts
+    * as an array literal (bounded like the merge list; same
+    * learn-once lifecycle). */
+  private val gvCache =
+    scala.collection.concurrent.TrieMap[(String, String), Seq[String]]()
+
+  private def greedyVocab(s: SparkSession, d: String): Seq[String] =
+    gvCache.getOrElseUpdate((sessionKey(s), d), {
+      import s.implicits._
+      Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), merges(s, d))
+        .select("token").as[String].collect().toSeq
+    })
+
   /** The v4 pipeline's curated, metered corpus — span removal, the
     * learned gate, and the subword count, materialized ONCE per
     * (session, dir). A real pipeline materializes the curated corpus
@@ -186,6 +200,42 @@ object BpeQueries {
     })
 
   def queries: Map[String, Q] = Map(
+    // WordPiece-style greedy longest-match encode over the BPE-learned
+    // vocab (Bpe.greedyEncodeWord) — encoded once per DISTINCT word
+    // (the type-table discipline: vocabulary-sized work, not
+    // corpus-sized), weighted back by freq downstream.
+    "q217_greedy_encode" -> ((s, d) => {
+      val v = greedyVocab(s, d)
+      Bpe.wordTableRaw(docs(s, d), "text")
+        .select(col("word").as("w"), col("freq"),
+          Bpe.greedyEncodeWord(col("word"), v).as("__t"))
+        .select(col("w"), col("freq"),
+          array_join(col("__t"), " ").as("toks"),
+          size(col("__t")).cast("long").as("n_tok"))
+    }),
+    // Same vocab, two encode algorithms: merge-order BPE vs greedy
+    // longest-match, metered in corpus fertility (tokens per word,
+    // basis points). The practical bake-off every tokenizer swap
+    // runs — greedy is one pass per word; merge-order replays the
+    // merge history — and the integer fertility makes the comparison
+    // itself gate-checkable.
+    "q218_tokenizer_bakeoff" -> ((s, d) => {
+      val v = greedyVocab(s, d)
+      val ms = merges(s, d)
+      val wt = Bpe.wordTableRaw(docs(s, d), "text")
+      def total(nt: org.apache.spark.sql.Column, name: String) =
+        wt.select(col("freq"), nt.as("__nt"))
+          .agg(sum(col("freq")).as("n_words"),
+            sum(col("freq") * col("__nt")).as("n_tokens"))
+          .select(lit(name).as("tokenizer"), col("n_words"),
+            col("n_tokens"),
+            expr("n_tokens * 10000 div n_words").as("fertility_bp"))
+      total(size(Bpe.greedyEncodeWord(col("word"), v)).cast("long"),
+          "greedy_longest_match")
+        .unionByName(total(
+          size(Bpe.encodeComposed(col("word"), ms)).cast("long"),
+          "bpe_merge_order"))
+    }),
     // The learned merge table itself — rank order IS the tokenizer.
     "q113_bpe_merges" -> ((s, d) => {
       import s.implicits._
@@ -1205,6 +1255,68 @@ object BpeQueries {
        |  GROUP BY 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // greedy longest-match as a recursive CTE: the longest-first
+    // token list makes list_filter(...)[1] the longest match; char
+    // fallback keeps coverage total
+    "q217_greedy_encode" ->
+      s"""WITH RECURSIVE ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |wr AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |wf AS (SELECT word, count(*)::BIGINT AS freq FROM wr
+         |       WHERE len(word) > 0 GROUP BY word),
+         |vt AS (SELECT DISTINCT token FROM vocab),
+         |vlist AS (SELECT list(token ORDER BY length(token) DESC, token) AS vl
+         |          FROM vt),
+         |st AS (
+         |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM wf
+         |  UNION ALL
+         |  SELECT word, CAST(pos + length(m) AS INT) AS pos,
+         |         list_append(toks, m) AS toks
+         |  FROM (SELECT word, pos, toks,
+         |          coalesce(list_filter(vlist.vl,
+         |                     v -> substr(word, pos, length(v)) = v)[1],
+         |                   substr(word, pos, 1)) AS m
+         |        FROM st, vlist WHERE pos <= length(word)) x),
+         |done AS (SELECT word, toks FROM st WHERE pos > length(word))
+         |SELECT wf.word AS w, wf.freq, array_to_string(d.toks, ' ') AS toks,
+         |       len(d.toks)::BIGINT AS n_tok
+         |FROM wf JOIN done d USING (word)""".stripMargin,
+    // greedy totals from the recursive encode; merge-order totals
+    // straight from the final training type table words{N}
+    "q218_tokenizer_bakeoff" ->
+      s"""WITH RECURSIVE ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |wr AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |wf AS (SELECT word, count(*)::BIGINT AS freq FROM wr
+         |       WHERE len(word) > 0 GROUP BY word),
+         |vt AS (SELECT DISTINCT token FROM vocab),
+         |vlist AS (SELECT list(token ORDER BY length(token) DESC, token) AS vl
+         |          FROM vt),
+         |st AS (
+         |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM wf
+         |  UNION ALL
+         |  SELECT word, CAST(pos + length(m) AS INT) AS pos,
+         |         list_append(toks, m) AS toks
+         |  FROM (SELECT word, pos, toks,
+         |          coalesce(list_filter(vlist.vl,
+         |                     v -> substr(word, pos, length(v)) = v)[1],
+         |                   substr(word, pos, 1)) AS m
+         |        FROM st, vlist WHERE pos <= length(word)) x),
+         |done AS (SELECT word, toks FROM st WHERE pos > length(word)),
+         |g AS (SELECT CAST(sum(wf.freq) AS BIGINT) AS n_words,
+         |             CAST(sum(wf.freq * len(d.toks)) AS BIGINT) AS n_tokens
+         |      FROM wf JOIN done d USING (word)),
+         |b AS (SELECT CAST(sum(freq) AS BIGINT) AS n_words,
+         |             CAST(sum(freq * len(string_split(trim(w), '  ')))
+         |                  AS BIGINT) AS n_tokens
+         |      FROM words$NumMerges)
+         |SELECT 'greedy_longest_match' AS tokenizer, n_words, n_tokens,
+         |       CAST(n_tokens * 10000 // n_words AS BIGINT) AS fertility_bp
+         |FROM g
+         |UNION ALL
+         |SELECT 'bpe_merge_order' AS tokenizer, n_words, n_tokens,
+         |       CAST(n_tokens * 10000 // n_words AS BIGINT) AS fertility_bp
+         |FROM b""".stripMargin,
     "q190_unigram_bytes_vocab" ->
       s"""WITH RECURSIVE $unigramBytesCtes
          |SELECT token, cnt FROM unib""".stripMargin,

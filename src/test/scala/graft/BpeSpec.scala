@@ -408,4 +408,21 @@ class BpeSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"))
     assert(plan.contains("*(1) Project")) // the codegen'd stage prefix
   }
+
+  test("greedy longest-match encode: longest wins, char fallback, " +
+    "zero-exchange projection") {
+    import spark.implicits._
+    val vocab = Seq("t", "a", "b", "l", "e", "s", "ta", "tab", "le", "fast")
+    val got = Seq("tables", "fast", "x", "").toDF("w")
+      .select(col("w"), Bpe.greedyEncodeWord(col("w"), vocab).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("tables") == Seq("tab", "le", "s")) // longest-first, not t+a+b
+    assert(got("fast") == Seq("fast"))             // whole-word token wins
+    assert(got("x") == Seq("x"))                   // not in vocab: char fallback
+    assert(got("") == Seq.empty)
+    val plan = Seq("tables").toDF("w")
+      .select(Bpe.greedyEncodeWord(col("w"), vocab))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
