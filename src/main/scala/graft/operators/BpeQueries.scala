@@ -236,6 +236,41 @@ object BpeQueries {
           size(Bpe.encodeComposed(col("word"), ms)).cast("long"),
           "bpe_merge_order"))
     }),
+    // Distributed-data-loader read plan over the sealed layout: per
+    // epoch, shards are permuted by salted-hash rank and dealt
+    // round-robin to W workers — the PyTorch DistributedSampler
+    // contract (shuffle(shards)[rank::world_size]) as a query, with
+    // per-worker token totals and a balance audit (skew_bp = this
+    // worker's tokens / ideal share, basis points). All ranking runs
+    // over the SHARD CATALOG (metadata-scale — thousands of rows at
+    // 100 TB), never over documents.
+    "q219_loader_plan" -> ((s, d) => {
+      import s.implicits._
+      val W = 4
+      val ids = idsTable(s, d)
+      val shards = Packing.packSealed(
+          ids.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+        .groupBy(col("shard_id").cast("long").as("shard_id"))
+        .agg(countDistinct(col("seq_in_shard")).cast("long").as("n_seqs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+      val epochs = Seq(0L, 1L).toDF("epoch")
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch")).orderBy(col("hk"), col("shard_id"))
+      val planned = shards.crossJoin(broadcast(epochs))
+        .withColumn("hk", md5(concat(col("shard_id").cast("string"),
+          lit("|lp|"), col("epoch").cast("string"))))
+        .withColumn("worker",
+          ((row_number().over(wRank) - 1) % W).cast("long"))
+      val tot = shards.agg(sum(col("n_tokens")).as("tot"))
+      planned.groupBy(col("epoch"), col("worker"))
+        .agg(count(lit(1)).as("n_shards"), sum(col("n_seqs")).as("n_seqs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("epoch"), col("worker"), col("n_shards"),
+          col("n_seqs"), col("n_tokens"),
+          expr(s"n_tokens * $W * 10000 div tot").as("skew_bp"))
+    }),
     // The learned merge table itself — rank order IS the tokenizer.
     "q113_bpe_merges" -> ((s, d) => {
       import s.implicits._
@@ -1255,6 +1290,31 @@ object BpeQueries {
        |  GROUP BY 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // loader plan recomputed from the sealed layout CTEs: hash-rank
+    // permutation per epoch, round-robin deal, balance in bp
+    "q219_loader_plan" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |$shardLayoutCtes,
+         |$sealedLayoutCtes,
+         |shl AS (SELECT shard_id,
+         |         count(DISTINCT seq_in_shard)::BIGINT AS n_seqs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |       FROM sl GROUP BY 1),
+         |e AS (SELECT unnest(range(2)) AS epoch),
+         |r AS (SELECT epoch, shard_id, n_seqs, n_tokens,
+         |        row_number() OVER (PARTITION BY epoch
+         |          ORDER BY md5(CAST(shard_id AS VARCHAR) || '|lp|' ||
+         |                       CAST(epoch AS VARCHAR)), shard_id) AS rk
+         |      FROM shl CROSS JOIN e),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM shl)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         |       CAST((rk - 1) % 4 AS BIGINT) AS worker,
+         |       CAST(count(*) AS BIGINT) AS n_shards,
+         |       CAST(sum(n_seqs) AS BIGINT) AS n_seqs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_tokens) * 4 * 10000 // tot AS BIGINT) AS skew_bp
+         |FROM r CROSS JOIN tot GROUP BY epoch, worker, tot""".stripMargin,
     // greedy longest-match as a recursive CTE: the longest-first
     // token list makes list_filter(...)[1] the longest match; char
     // fallback keeps coverage total
