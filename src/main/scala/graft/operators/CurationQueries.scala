@@ -102,6 +102,41 @@ object CurationQueries {
     })).toMap
 
   val queries: Map[String, Q] = Map(
+    // Corpus snapshot diff — the dataset-versioning primitive: two
+    // releases compared by doc_id + content FINGERPRINT (md5 — never
+    // the text itself crosses the join), classified added / removed /
+    // changed / unchanged with per-source churn in basis points.
+    // Snapshots are deterministic in-query derivations (old drops
+    // doc_id%11==0; new drops %5==0 and rewrites %7==0 — mirrored in
+    // the oracle). At 100 TB both sides reduce to (doc_id, source,
+    // fp) manifests before the one co-partitioned full-outer join.
+    "q220_snapshot_diff" -> ((s, d) => {
+      val base = docs(s, d)
+      val old = base.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), col("source").as("src_old"),
+          md5(col("text")).as("fp_old"))
+      val nw = base.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source").as("src_new"),
+          md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp_new"))
+      val st = old.join(nw, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_old"), col("src_new")).as("source"),
+          when(col("fp_old").isNull, "added")
+            .when(col("fp_new").isNull, "removed")
+            .when(col("fp_old") === col("fp_new"), "unchanged")
+            .otherwise("changed").as("st"))
+      st.groupBy(col("source"))
+        .agg(sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+          sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+          sum(when(col("st") === "unchanged", 1L).otherwise(0L))
+            .as("n_unchanged"),
+          count(lit(1)).as("n_total"))
+        .select(col("source"), col("n_added"), col("n_removed"),
+          col("n_changed"), col("n_unchanged"),
+          expr("(n_added + n_removed + n_changed) * 10000 div n_total")
+            .as("churn_bp"))
+    }),
     "q48_pii_redact" -> ((s, d) => {
       val red = withPii(docs(s, d))
         .select(col("doc_id"), Curation.redactPii(col("text")).as("clean"))
@@ -726,6 +761,30 @@ object CurationQueries {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q220_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, source AS src_old, md5(text) AS fp_old
+        |            FROM documents WHERE doc_id % 11 <> 0),
+        |nw AS (SELECT doc_id, source AS src_new,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+        |                  ELSE text END) AS fp_new
+        |       FROM documents WHERE doc_id % 5 <> 0),
+        |st AS (SELECT coalesce(src_old, src_new) AS source,
+        |         CASE WHEN fp_old IS NULL THEN 'added'
+        |              WHEN fp_new IS NULL THEN 'removed'
+        |              WHEN fp_old = fp_new THEN 'unchanged'
+        |              ELSE 'changed' END AS st
+        |       FROM old FULL OUTER JOIN nw USING (doc_id)),
+        |agg AS (SELECT source,
+        |          CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |          CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |          CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |          CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |          CAST(count(*) AS BIGINT) AS n_total
+        |        FROM st GROUP BY source)
+        |SELECT source, n_added, n_removed, n_changed, n_unchanged,
+        |       CAST((n_added + n_removed + n_changed) * 10000 // n_total
+        |            AS BIGINT) AS churn_bp
+        |FROM agg""".stripMargin,
     "q48_pii_redact" ->
       s"""WITH $injPiiCte,
          |red AS (SELECT doc_id,
