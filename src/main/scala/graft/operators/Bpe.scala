@@ -145,6 +145,60 @@ object Bpe {
     merges.toSeq
   }
 
+  /** WordPiece-objective merge learning: each round merges the pair
+    * maximizing LIKELIHOOD GAIN `count(ab) / (count(a)·count(b))`
+    * (the WordPiece/SentencePiece-BPE scoring, vs plain-BPE's raw
+    * `count(ab)`) — the score prefers pairs that co-occur more than
+    * their parts' popularity predicts, so frequent-but-independent
+    * symbol pairs ("e"+"s" everywhere) lose to genuinely collocated
+    * ones. Mechanics are [[learnMergesFromWords]]'s verbatim (type
+    * table, lazy replace chain, bounded-lineage checkpoints); the one
+    * extra per-round aggregate is the freq-weighted symbol count
+    * table (vocabulary-sized, map-side combined). The score divides
+    * exact integers in DOUBLE — one IEEE division, identical in both
+    * engines — with the (a, b) tie-break preserved. */
+  def learnMergesWordpiece(wordTab: DataFrame,
+                           numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var base = wordTab.persist(mem)
+    base.count()
+    var words: DataFrame = base
+    var pending = 0
+    val merges = ArrayBuffer[(String, String)]()
+    var done = false
+    while (merges.length < numMerges && !done) {
+      val syms = words
+        .select(explode(split(trim(col("w")), "  ")).as("sym"), col("freq"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("sf"))
+      val top = pairCounts(words)
+        .filter(col("cnt") >= 2)
+        .join(syms.select(col("sym").as("a"), col("sf").as("fa")), Seq("a"))
+        .join(syms.select(col("sym").as("b"), col("sf").as("fb")), Seq("b"))
+        .withColumn("score", col("cnt").cast("double") /
+          (col("fa").cast("double") * col("fb").cast("double")))
+        .orderBy(col("score").desc, col("a").asc, col("b").asc)
+        .limit(1).select(col("a"), col("b")).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val (pat, rep) = mergePattern(a, b)
+        words = words.select(replace(col("w"), lit(pat), lit(rep)).as("w"),
+          col("freq"))
+        pending += 1
+        if (pending == 8) {
+          val mat = words.localCheckpoint(true)
+          base.unpersist(blocking = false)
+          base = mat
+          words = mat
+          pending = 0
+        }
+      }
+    }
+    base.unpersist(blocking = false)
+    merges.toSeq
+  }
+
   /** The learned merges as a frame: (rank, lhs, rhs). */
   def mergeTable(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
     val spark = df.sparkSession

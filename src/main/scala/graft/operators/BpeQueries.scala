@@ -58,6 +58,18 @@ object BpeQueries {
         .select("token").as[String].collect().toSeq
     })
 
+  /** WordPiece-objective merges — learn-once like the BPE chain. */
+  private def wpMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    mergeCache.getOrElseUpdate((sessionKey(s), d + "#wp"),
+      Bpe.learnMergesWordpiece(Bpe.wordTable(docs(s, d), "text"), NumMerges))
+
+  private def wpVocab(s: SparkSession, d: String): Seq[String] =
+    gvCache.getOrElseUpdate((sessionKey(s), d + "#wp"), {
+      import s.implicits._
+      Bpe.vocabTable(Bpe.wordTable(docs(s, d), "text"), wpMerges(s, d))
+        .select("token").as[String].collect().toSeq
+    })
+
   /** The v4 pipeline's curated, metered corpus — span removal, the
     * learned gate, and the subword count, materialized ONCE per
     * (session, dir). A real pipeline materializes the curated corpus
@@ -270,6 +282,29 @@ object BpeQueries {
         .select(col("epoch"), col("worker"), col("n_shards"),
           col("n_seqs"), col("n_tokens"),
           expr(s"n_tokens * $W * 10000 div tot").as("skew_bp"))
+    }),
+    // WordPiece-objective training: merges ranked by likelihood gain
+    // cnt/(sf_a·sf_b) instead of raw count — collocation beats bare
+    // frequency (Bpe.learnMergesWordpiece). Completes the tokenizer
+    // TRAINING trio: BPE count-order (q113), unigram EM carve-down
+    // (q173), wordpiece likelihood (here).
+    "q221_wordpiece_merges" -> ((s, d) => {
+      import s.implicits._
+      wpMerges(s, d).zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "lhs", "rhs")
+    }),
+    // The full WordPiece pipeline: likelihood-trained vocab + greedy
+    // longest-match runtime (q217's encoder, different artifact) —
+    // per-distinct-word segmentations under the wp vocab.
+    "q222_wordpiece_encode" -> ((s, d) => {
+      val v = wpVocab(s, d)
+      Bpe.wordTableRaw(docs(s, d), "text")
+        .select(col("word").as("w"), col("freq"),
+          Bpe.greedyEncodeWord(col("word"), v).as("__t"))
+        .select(col("w"), col("freq"),
+          array_join(col("__t"), " ").as("toks"),
+          size(col("__t")).cast("long").as("n_tok"))
     }),
     // The learned merge table itself — rank order IS the tokenizer.
     "q113_bpe_merges" -> ((s, d) => {
@@ -946,6 +981,55 @@ object BpeQueries {
   /** The two spaced-symbol expansions of one word, as DuckDB SQL:
     * char mode (UTF-16 units) and byte mode (2-hex-digit UTF-8 byte
     * names via `hex()` — see [[Bpe.byteSpaced]]). */
+  /** WordPiece-objective training rounds (Bpe.learnMergesWordpiece's
+    * oracle): the b-round selection orders by likelihood gain
+    * `cnt / (sf_a · sf_b)` — one DOUBLE division of exact integers,
+    * IEEE-identical cross-engine — instead of raw cnt; everything
+    * else is trainingCtes verbatim under wp-prefixed names. */
+  private def wpTrainingCtes(rounds: Int): String = {
+    val head =
+      s"""wpwords0 AS MATERIALIZED (
+         |  SELECT $charWordSql AS w,
+         |         count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1)""".stripMargin
+    val steps = (0 until rounds).map { r =>
+      s"""wps$r AS MATERIALIZED (
+         |  SELECT sym, sum(freq)::BIGINT AS sf
+         |  FROM (SELECT unnest(string_split(trim(w), '  ')) AS sym, freq
+         |        FROM wpwords$r) GROUP BY 1),
+         |wpp$r AS MATERIALIZED (
+         |  SELECT syms[i] AS a, syms[i+1] AS b, sum(freq)::BIGINT AS cnt
+         |  FROM (SELECT string_split(trim(w), '  ') AS syms, freq
+         |        FROM wpwords$r),
+         |       UNNEST(generate_series(1, len(syms)-1)) AS u(i)
+         |  GROUP BY 1, 2 HAVING sum(freq) >= 2),
+         |wpb$r AS MATERIALIZED (
+         |  SELECT a, b FROM wpp$r p
+         |  JOIN wps$r sa ON sa.sym = p.a
+         |  JOIN wps$r sb ON sb.sym = p.b
+         |  ORDER BY p.cnt / (sa.sf::DOUBLE * sb.sf::DOUBLE) DESC, a, b
+         |  LIMIT 1),
+         |wpwords${r + 1} AS MATERIALIZED (
+         |  SELECT replace(w,
+         |           ' '||(SELECT a FROM wpb$r)||'  '||(SELECT b FROM wpb$r)||' ',
+         |           ' '||(SELECT a||b FROM wpb$r)||' ') AS w, freq
+         |  FROM wpwords$r)""".stripMargin
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** The wp-chain vocabulary (base symbols + wp merge outputs) —
+    * greedy-encode side input, no ids needed. */
+  private def wpVocabCte(rounds: Int): String =
+    s"""wpvocab AS (
+       |  SELECT DISTINCT unnest(regexp_split_to_array(trim(w), ' {2,}'))
+       |    AS token FROM wpwords0
+       |  UNION
+       |  SELECT a || b AS token FROM (
+       |    ${(0 until rounds).map(r => s"SELECT a, b FROM wpb$r")
+           .mkString("\n    UNION ALL ")}))""".stripMargin
+
   private val charWordSql = """regexp_replace(word, '([^ ])', ' \1 ', 'g')"""
   private val bytesWordSql = """regexp_replace(hex(word), '(..)', ' \1 ', 'g')"""
 
@@ -1290,6 +1374,35 @@ object BpeQueries {
        |  GROUP BY 1)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q221_wordpiece_merges" ->
+      s"""WITH ${wpTrainingCtes(NumMerges)}
+         |SELECT * FROM (
+         |${(0 until NumMerges).map(r =>
+             s"  SELECT ${r}::BIGINT AS rank, a AS lhs, b AS rhs FROM wpb$r")
+             .mkString("  UNION ALL\n")}
+         |)""".stripMargin,
+    "q222_wordpiece_encode" ->
+      s"""WITH RECURSIVE ${wpTrainingCtes(NumMerges)},
+         |${wpVocabCte(NumMerges)},
+         |wr AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |wf AS (SELECT word, count(*)::BIGINT AS freq FROM wr
+         |       WHERE len(word) > 0 GROUP BY word),
+         |vlist AS (SELECT list(token ORDER BY length(token) DESC, token) AS vl
+         |          FROM wpvocab),
+         |st AS (
+         |  SELECT word, 1 AS pos, CAST([] AS VARCHAR[]) AS toks FROM wf
+         |  UNION ALL
+         |  SELECT word, CAST(pos + length(m) AS INT) AS pos,
+         |         list_append(toks, m) AS toks
+         |  FROM (SELECT word, pos, toks,
+         |          coalesce(list_filter(vlist.vl,
+         |                     v -> substr(word, pos, length(v)) = v)[1],
+         |                   substr(word, pos, 1)) AS m
+         |        FROM st, vlist WHERE pos <= length(word)) x),
+         |done AS (SELECT word, toks FROM st WHERE pos > length(word))
+         |SELECT wf.word AS w, wf.freq, array_to_string(d.toks, ' ') AS toks,
+         |       len(d.toks)::BIGINT AS n_tok
+         |FROM wf JOIN done d USING (word)""".stripMargin,
     // loader plan recomputed from the sealed layout CTEs: hash-rank
     // permutation per epoch, round-robin deal, balance in bp
     "q219_loader_plan" ->

@@ -409,6 +409,20 @@ class BpeSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project")) // the codegen'd stage prefix
   }
 
+  test("wordpiece objective: perfectly-collocated rare pair beats " +
+    "frequent-but-independent pair") {
+    import spark.implicits._
+    // "qu" occurs 3x and q NEVER appears without u (score 3/(3*3));
+    // "es" occurs 5x but e and s are everywhere (score diluted).
+    val docs = Seq("ques quest quel es es es es es e e e e s s s s")
+      .toDF("text")
+    val wt = Bpe.wordTable(docs, "text")
+    val wp = Bpe.learnMergesWordpiece(wt, 1)
+    val bpe = Bpe.learnMergesFromWords(wt, 1)
+    assert(wp.head == ("q", "u"), s"wp picked ${wp.head}")
+    assert(bpe.head == ("e", "s"), s"bpe picked ${bpe.head}")
+  }
+
   test("greedy longest-match encode: longest wins, char fallback, " +
     "zero-exchange projection") {
     import spark.implicits._
