@@ -103,6 +103,45 @@ object AnnQueries {
           (col("n_hit") * (10000 / K)).as("recall_bp"))
     }),
 
+    // The two-stage cascade binary embeddings exist FOR: stage 1
+    // scans the 1-bit signature table (8 GB per 10⁹ vectors) for a
+    // Hamming shortlist of m=20, stage 2 reranks ONLY the shortlist
+    // with exact float cosine — per query, 20 float reads instead of
+    // a corpus scan. Output is stage-2's top-5 with its recall vs
+    // the direct exact top-5 (shortlist misses are the price of the
+    // compression; rerank ordering within the shortlist is exact).
+    "q223_binary_rerank" -> ((s, d) => {
+      val m = 20
+      val e = emb(s, d)
+      val sigs = e.select(col("vec_id").as("n_id"),
+        Similarity.signSignature64("embedding").as("sig"))
+      val qs = sigs.filter(col("n_id") < 10)
+        .select(col("n_id").as("q_id"), col("sig"))
+      val shortlist = Similarity.hammingTopK(sigs, qs, m)
+        .select(col("q_id"), col("n_id"))
+      // rerank: exact cosine over shortlist rows only (broadcast-join
+      // the m·|queries| id pairs back to the float table)
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val rer = shortlist
+        .join(e.select(col("vec_id").as("n_id"),
+          col("embedding").as("n_vec")), Seq("n_id"))
+        .join(broadcast(qv), Seq("q_id"))
+        .select(col("q_id"), col("n_id"),
+          round(VectorFunctions.cosine(col("q_vec"), col("n_vec")), 4)
+            .as("cos"))
+      val top = Similarity.topKPerKey(rer, K).select(col("q_id"), col("n_id"))
+      val exact = Similarity.bruteForceTopKScalable(
+          e, e.filter(col("vec_id") < 10), "vec_id", "embedding", K)
+        .select(col("q_id"), col("n_id"))
+      exact.join(top.withColumn("__hit", lit(1L)),
+          Seq("q_id", "n_id"), "left_outer")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .select(col("q_id"), col("n_hit"),
+          (col("n_hit") * (10000 / K)).as("recall_bp"))
+    }),
+
     // Filtered vector search: each query constrains candidates to
     // its own label INSIDE the probed-list scan (IvfIndex
     // .topKFiltered) — not by post-filtering an unconstrained top-k,
@@ -170,6 +209,37 @@ object AnnQueries {
          |       CAST(count(hr.q_id) AS BIGINT) AS n_hit,
          |       CAST(count(hr.q_id) * ${10000 / K} AS BIGINT) AS recall_bp
          |FROM fr LEFT JOIN hr ON fr.q_id = hr.q_id AND fr.n_id = hr.n_id
+         |GROUP BY fr.q_id""".stripMargin,
+
+    "q223_binary_rerank" ->
+      s"""WITH sig AS (SELECT vec_id,
+         |        CAST(list_sum([CASE WHEN embedding[j] <= 0
+         |                       THEN CAST(0 AS BIGINT)
+         |                       WHEN j = 64 THEN (-9223372036854775807 - 1)
+         |                       ELSE (CAST(1 AS BIGINT) << (j - 1)) END
+         |                       for j in range(1, 65)]) AS BIGINT) AS sig
+         |      FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, sig AS q_sig FROM sig WHERE vec_id < 10),
+         |h AS (SELECT q_id, s.vec_id AS n_id,
+         |        CAST(bit_count(xor(q_sig, s.sig)) AS BIGINT) AS hamming
+         |      FROM sig s CROSS JOIN q WHERE s.vec_id <> q_id),
+         |sl AS (SELECT q_id, n_id FROM (
+         |       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY hamming ASC, n_id ASC) AS rk FROM h) WHERE rk <= 20),
+         |qv AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings
+         |       WHERE vec_id < 10),
+         |rr AS (SELECT sl.q_id, sl.n_id,
+         |         round(${cosSql("qv.q_vec", "v.embedding")}, 4) AS cos
+         |       FROM sl JOIN embeddings v ON v.vec_id = sl.n_id
+         |       JOIN qv ON qv.q_id = sl.q_id),
+         |tr AS (SELECT q_id, n_id FROM (
+         |       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |         ORDER BY cos DESC, n_id ASC) AS rk FROM rr) WHERE rk <= $K),
+         |$exactTop5Cte
+         |SELECT fr.q_id,
+         |       CAST(count(tr.q_id) AS BIGINT) AS n_hit,
+         |       CAST(count(tr.q_id) * ${10000 / K} AS BIGINT) AS recall_bp
+         |FROM fr LEFT JOIN tr ON fr.q_id = tr.q_id AND fr.n_id = tr.n_id
          |GROUP BY fr.q_id""".stripMargin,
 
     "q215_jl_projection_recall" ->
