@@ -56,6 +56,38 @@ object SketchQueries {
           Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
     }),
 
+    // Incremental KMV: standing per-source sketches over the old
+    // corpus (doc_id % 5 != 0, the repo's batch convention) FOLDED
+    // with the arriving batch's sketches by kmvMerge — per-batch work
+    // is the batch scan plus a k-sized merge, never a history rescan.
+    // Output == q211 (its oracle VERBATIM): the invariant pattern —
+    // the gate proves fold(old, batch) is indistinguishable from
+    // from-scratch. exact_distinct stays the full-corpus verification
+    // column a production fold drops.
+    "q224_kmv_incremental" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("w"))
+      def sk(part: DataFrame) = Sketches.kMinPerKey(
+        part.select(col("source"), Sketches.hash48(col("w")).as("h")),
+        "source", "h", KmvK)
+      val standing = sk(tok.filter(col("doc_id") % 5 =!= 0))
+      val batch = sk(tok.filter(col("doc_id") % 5 === 0))
+      val perSrc = standing.unionByName(batch)
+        .groupBy(col("source")).agg(Sketches.kmvMerge(col("hs"), KmvK).as("hs"))
+      val global = perSrc.agg(Sketches.kmvMerge(col("hs"), KmvK).as("hs"))
+        .select(lit("__all__").as("source"), col("hs"))
+      val sk2 = perSrc.unionByName(global)
+      val dist = tok.select(col("source"), col("w")).distinct()
+      val exact = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(dist.select(col("w")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      sk2.join(exact, Seq("source"))
+        .select(col("source"), col("exact_distinct"),
+          Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
+    }),
+
     // Count-Min frequency sketch (4 × 256 cells — bounded state no
     // matter the vocabulary) probed with the exact top-20 tokens:
     // the estimate upper-bounds the true count ALWAYS (over_ok), and
@@ -100,10 +132,10 @@ object SketchQueries {
             col("est_hi") - col("exact_v") < HistWidth).as("within_bound"))
     }))
 
-  val oracle: Map[String, String] = Map(
-
-    "q211_kmv_distinct" ->
-      s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+  /** q211's oracle — and q224's VERBATIM (the invariant pattern: the
+    * incremental fold must be indistinguishable from from-scratch). */
+  private lazy val kmvSql: String =
+    s"""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
          |hs AS (SELECT DISTINCT source, ${h48Sql("w")} AS h FROM tok),
          |hg AS (SELECT DISTINCT ${h48Sql("w")} AS h FROM tok),
          |allh AS (SELECT source, h FROM hs
@@ -123,7 +155,12 @@ object SketchQueries {
          |       UNION ALL
          |       SELECT '__all__' AS source, count(DISTINCT w) FROM tok)
          |SELECT e.source, ex.exact_distinct, CAST(e.kmv_est AS BIGINT) AS kmv_est
-         |FROM est e JOIN ex USING (source)""".stripMargin,
+         |FROM est e JOIN ex USING (source)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+
+    "q211_kmv_distinct" -> kmvSql,
+    "q224_kmv_incremental" -> kmvSql,
 
     "q212_cms_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
