@@ -256,6 +256,63 @@ object TextPipelineQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // PMI collocation mining: adjacent bigrams scored by pointwise
+    // mutual information ln(p(ab)/(p(a)p(b))) — q221's wordpiece
+    // objective as a standalone ANALYSIS over words instead of
+    // symbols. Counts are map-side-combined aggs; the rank orders by
+    // the ROUNDED score (4 dp, q36's ln discipline) so cross-engine
+    // ulp noise can't reorder; min-count 5 guards the low-frequency
+    // PMI blowup.
+    "q225_pmi_collocations" -> ((s, d) => {
+      val tok = docs(s, d).select(explode(tokens(col("text"))).as("w"))
+      val uni = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum(col("c")).cast("double").as("nu"))
+      val big = docs(s, d).select(explode(shingles(col("text"), 2)).as("bg"))
+      val nb = big.agg(count(lit(1)).cast("double").as("nb"))
+      val bc = big.groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+        .withColumn("w1", split(col("bg"), " ").getItem(0))
+        .withColumn("w2", split(col("bg"), " ").getItem(1))
+      bc.join(uni.select(col("w").as("w1"), col("c").as("ca")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("cb")), Seq("w2"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          round(log((col("c_ab").cast("double") / col("nb")) /
+            ((col("ca").cast("double") / col("nu")) *
+              (col("cb").cast("double") / col("nu")))), 4).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+        .limit(20)
+    }),
+    // Phrase retrieval: exact multi-word phrase lookup against the
+    // POSITIONAL n-gram index (Dedup.positionedNgrams) — a phrase's
+    // hash is one md5 of its joined words, so each query is a
+    // broadcast hash probe into the (n, nh)-keyed index with ZERO
+    // corpus-side shuffle; per-doc occurrence counts rank through
+    // the topKPerKey heaps. The lexical-search modality BM25's
+    // bag-of-words scoring cannot express.
+    "q226_phrase_retrieval" -> ((s, d) => {
+      import s.implicits._
+      val phrases = Seq((0L, "fast merge"), (1L, "value table part"),
+        (2L, "table window")).toDF("q_id", "phrase")
+        .select(col("q_id"),
+          size(split(col("phrase"), " ")).as("n"),
+          substring(md5(col("phrase")), 1, 16).as("nh"))
+      val index = Seq(2, 3).map(n =>
+          Dedup.positionedNgrams(docs(s, d), "doc_id", "text", n)
+            .withColumn("n", lit(n)))
+        .reduce(_ unionByName _)
+      val hits = index.join(broadcast(phrases), Seq("n", "nh"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occ"), min(col("pos")).cast("long")
+          .as("first_pos"))
+      Similarity.topKPerKey(
+          hits.select(col("q_id"), col("doc_id").as("n_id"),
+            col("n_occ").cast("double").as("cos")), 10)
+        .join(hits.select(col("q_id"), col("doc_id").as("n_id"),
+          col("n_occ"), col("first_pos")), Seq("q_id", "n_id"))
+        .select(col("q_id"), col("n_id").as("doc_id"), col("n_occ"),
+          col("first_pos"), col("rk"))
+    }),
     "q16_dedup_exact" -> ((s, d) =>
       Dedup.exactDupGroups(docs(s, d), "doc_id", "text")),
     "q17_minhash_signatures" -> ((s, d) => signatures(s, d)),
@@ -1466,6 +1523,48 @@ object TextPipelineQueries {
        |  sqrt(list_sum([$b[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($b)+1)]))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q225_pmi_collocations" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+        |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
+        |bgs AS (SELECT arr[i] || ' ' || arr[i+1] AS bg
+        |        FROM (SELECT string_split(text, ' ') AS arr FROM documents),
+        |             UNNEST(generate_series(1, len(arr) - 1)) AS u(i)),
+        |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bgs),
+        |bc AS (SELECT bg, count(*)::BIGINT AS c_ab FROM bgs GROUP BY bg
+        |       HAVING count(*) >= 5),
+        |j AS (SELECT string_split(bg, ' ')[1] AS w1,
+        |             string_split(bg, ' ')[2] AS w2, c_ab FROM bc),
+        |p AS (SELECT w1, w2, c_ab,
+        |        round(ln((c_ab::DOUBLE / nb) /
+        |          ((ca.c::DOUBLE / nu) * (cb.c::DOUBLE / nu))), 4) AS pmi
+        |      FROM j JOIN uni ca ON ca.w = j.w1
+        |             JOIN uni cb ON cb.w = j.w2
+        |      CROSS JOIN nu CROSS JOIN nb)
+        |SELECT w1, w2, c_ab, pmi FROM p
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
+    "q226_phrase_retrieval" ->
+      """WITH ph AS (SELECT * FROM (VALUES (0, 'fast merge'),
+        |            (1, 'value table part'), (2, 'table window'))
+        |            p(q_id, phrase)),
+        |phh AS (SELECT CAST(q_id AS BIGINT) AS q_id,
+        |          len(string_split(phrase, ' ')) AS n,
+        |          substr(md5(phrase), 1, 16) AS nh FROM ph),
+        |ng AS (SELECT doc_id, nn.n, i - 1 AS pos,
+        |         substr(md5(array_to_string(arr[i:i+nn.n-1], ' ')), 1, 16) AS nh
+        |       FROM (SELECT doc_id, string_split(text, ' ') AS arr
+        |             FROM documents) d,
+        |            (SELECT unnest([2, 3]) AS n) nn,
+        |            UNNEST(generate_series(1, len(arr) - nn.n + 1)) AS u(i)
+        |       WHERE len(arr) >= nn.n),
+        |hits AS (SELECT q_id, doc_id, count(*)::BIGINT AS n_occ,
+        |           CAST(min(pos) AS BIGINT) AS first_pos
+        |         FROM ng JOIN phh USING (n, nh) GROUP BY q_id, doc_id),
+        |r AS (SELECT q_id, doc_id, n_occ, first_pos,
+        |        CAST(row_number() OVER (PARTITION BY q_id
+        |          ORDER BY n_occ DESC, doc_id ASC) AS BIGINT) AS rk
+        |      FROM hits)
+        |SELECT q_id, doc_id, n_occ, first_pos, rk FROM r WHERE rk <= 10""".stripMargin,
     "q16_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
