@@ -127,15 +127,37 @@ object MultimodalQueries {
   /** The q62 fixture corpus decoded and difference-hashed —
     * (media_id, img_hash), real PNG encode/decode per row. Shared by
     * the group view (q62) and the keep-one materialization (q164). */
-  private def dhashedMedia(s: SparkSession, d: String): DataFrame = {
+  /** q164's verdict SQL — also the inner query of the q227 store
+    * manifest oracle. */
+  private val imageKeepOneSql: String =
+    """WITH cls AS (SELECT doc_id, doc_id % 7 AS c FROM documents),
+      |bits AS (SELECT doc_id, c, unnest(range(0, 48)) AS j FROM cls),
+      |h AS (SELECT doc_id,
+      |  CAST(sum(CASE WHEN (c*37 + j*11) % 241 > (c*37 + (j+1)*11) % 241
+      |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS img_hash
+      |  FROM bits GROUP BY doc_id),
+      |g AS (SELECT img_hash, CAST(min(doc_id) AS BIGINT) AS keep_id
+      |      FROM h GROUP BY img_hash)
+      |SELECT h.doc_id AS media_id, h.img_hash, g.keep_id,
+      |       h.doc_id = g.keep_id AS is_keeper
+      |FROM h JOIN g USING (img_hash)""".stripMargin
+
+  /** The PNG fixture corpus itself (media_id, content) — shared by
+    * the dhash view and the image keep-one STORE (q227). */
+  private def pngTab(s: SparkSession, d: String) = {
     import s.implicits._
-    val media = t(s, d, "documents").select($"doc_id").as[Long]
+    t(s, d, "documents").select($"doc_id").as[Long]
       .map { id =>
         val c = (id % 7).toInt
         val w = 16 + c; val h = 12 + c
         val px = Array.tabulate(w * h * 3)(i => ((c * 37 + i * 11) % 241).toByte)
         Multimodal.MediaRecord(id, Multimodal.Png.encode(w, h, 3, px))
       }
+  }
+
+  private def dhashedMedia(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = pngTab(s, d)
     media.mapPartitions(_.map { r =>
       val px = Multimodal.Codec.payload(r.content)
       var hash = 0L
@@ -399,6 +421,24 @@ object MultimodalQueries {
         groups.filter(!col("is_keeper")).select(col("media_id")), "media_id")
       MediaStore.manifest(s.read.parquet(path), "media_id")
     }),
+    // The IMAGE act tier — q164's exact-dhash verdict driving the
+    // same MediaStore machinery, completing the keep-one
+    // materialization across all three modalities (image q227,
+    // video q200, audio q201) with one shared store implementation.
+    "q227_image_keep_one_store" -> ((s, d) => {
+      val media = pngTab(s, d).toDF()
+      val hashed = dhashedMedia(s, d)
+      val nonKeepers = hashed.join(
+          hashed.groupBy(col("img_hash"))
+            .agg(min(col("media_id")).as("keep_id")), Seq("img_hash"))
+        .filter(col("media_id") =!= col("keep_id"))
+        .select(col("media_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_img_" +
+        math.abs(d.hashCode.toLong)
+      MediaStore.writeAll(media, "media_id", path, buckets = 8)
+      MediaStore.applyKeepOne(s, path, nonKeepers, "media_id")
+      MediaStore.manifest(s.read.parquet(path), "media_id")
+    }),
     // The same act tier over the AUDIO verdict — one call per
     // modality into the shared store machinery, mirroring how the
     // detect tier shares VideoDedup.nearDupGroups.
@@ -510,18 +550,15 @@ object MultimodalQueries {
         |SELECT img_hash, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(doc_id) AS BIGINT) AS keep_id
         |FROM h GROUP BY img_hash""".stripMargin,
-    "q164_image_keep_one" ->
-      """WITH cls AS (SELECT doc_id, doc_id % 7 AS c FROM documents),
-        |bits AS (SELECT doc_id, c, unnest(range(0, 48)) AS j FROM cls),
-        |h AS (SELECT doc_id,
-        |  CAST(sum(CASE WHEN (c*37 + j*11) % 241 > (c*37 + (j+1)*11) % 241
-        |           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS img_hash
-        |  FROM bits GROUP BY doc_id),
-        |g AS (SELECT img_hash, CAST(min(doc_id) AS BIGINT) AS keep_id
-        |      FROM h GROUP BY img_hash)
-        |SELECT h.doc_id AS media_id, h.img_hash, g.keep_id,
-        |       h.doc_id = g.keep_id AS is_keeper
-        |FROM h JOIN g USING (img_hash)""".stripMargin,
+    "q164_image_keep_one" -> imageKeepOneSql,
+    // surviving image store manifest — keepers of q164's verdict,
+    // bucketed and digested exactly like the video/audio stores
+    "q227_image_keep_one_store" ->
+      s"""SELECT CAST(media_id % 8 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_media,
+         |  bit_xor(('0x' || substr(md5(CAST(media_id AS VARCHAR)), 1, 15))
+         |    ::UBIGINT::BIGINT) AS ids_digest
+         |FROM ($imageKeepOneSql) g WHERE is_keeper GROUP BY 1""".stripMargin,
     "q63_audio_trim" ->
       """SELECT doc_id AS media_id,
         | CAST((2 + doc_id % 4) * 50 AS BIGINT) AS duration_ms,
