@@ -88,6 +88,43 @@ object SketchQueries {
           Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
     }),
 
+    // The STREAMING sketch fold (StreamingSketch.processBatch — the
+    // foreachBatch sink's exact per-batch path) driven over 5
+    // batches PLUS a deliberate replay of batch 2: KMV merge is set
+    // union, so at-least-once redelivery folds to the identical
+    // table, and the final state must equal from-scratch q211 —
+    // its oracle VERBATIM. The standing table never exceeds
+    // |sources| rows of k longs regardless of streamed history.
+    "q228_kmv_stream" -> ((s, d) => {
+      val table = "graft_kmv_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val base = docs(s, d)
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingSketch.processBatch(
+          base.filter(col("doc_id") % 5 === b), "source", "text",
+          KmvK, table)
+      }
+      // at-least-once: batch 2 redelivered
+      graft.streaming.StreamingSketch.processBatch(
+        base.filter(col("doc_id") % 5 === 2), "source", "text",
+        KmvK, table)
+      val perSrc = s.table(table)
+      val global = perSrc.agg(Sketches.kmvMerge(col("hs"), KmvK).as("hs"))
+        .select(lit("__all__").as("source"), col("hs"))
+      val sk2 = perSrc.unionByName(global)
+      val tok = base.select(col("source"),
+        explode(tokens(col("text"))).as("w"))
+      val dist = tok.distinct()
+      val exact = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(dist.select(col("w")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      sk2.join(exact, Seq("source"))
+        .select(col("source"), col("exact_distinct"),
+          Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
+    }),
+
     // Count-Min frequency sketch (4 × 256 cells — bounded state no
     // matter the vocabulary) probed with the exact top-20 tokens:
     // the estimate upper-bounds the true count ALWAYS (over_ok), and
@@ -161,6 +198,7 @@ object SketchQueries {
 
     "q211_kmv_distinct" -> kmvSql,
     "q224_kmv_incremental" -> kmvSql,
+    "q228_kmv_stream" -> kmvSql,
 
     "q212_cms_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.operators.Sketches
+import graft.functions.TextFunctions.tokens
+
+/** Streaming corpus monitoring on the mergeable-sketch substrate: each
+  * micro-batch folds its per-source KMV sketch into a persisted sketch
+  * table via [[Sketches.kmvMerge]] — per-batch work is one batch scan
+  * plus a merge over |sources| k-length arrays, and the standing table
+  * never exceeds |sources| rows no matter how much history has
+  * streamed through. The live "how many distinct tokens has each
+  * source contributed" dashboard at any corpus rate.
+  *
+  * At-least-once is FREE here, not a caveat: KMV merge is set union —
+  * idempotent — so a replayed batch folds to the identical table (the
+  * [[graft.SketchSpec]] replay drill pins this), unlike the
+  * append-shaped sinks that need landed-id sidecars.
+  */
+object StreamingSketch {
+
+  /** Start the sketch-fold sink over a stream of (keyCol, textCol)
+    * documents. */
+  def kmvSink(docs: DataFrame, keyCol: String, textCol: String, k: Int,
+              table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processBatch(batch, keyCol, textCol, k, table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch's fold (factored out for batch-ingest callers
+    * and the gated query): batch sketch → union with the standing
+    * table → kmvMerge per key → overwrite. The table is |keys| rows
+    * of ≤ k longs — rewriting it wholesale per batch IS the bounded
+    * design (localCheckpoint first so the overwrite never scans the
+    * table it replaces). */
+  def processBatch(batch: DataFrame, keyCol: String, textCol: String,
+                   k: Int, table: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val bs = Sketches.kMinPerKey(
+      batch.select(col(keyCol), explode(tokens(col(textCol))).as("__w"))
+        .select(col(keyCol), Sketches.hash48(col("__w")).as("h")),
+      keyCol, "h", k)
+    val merged =
+      if (spark.catalog.tableExists(table))
+        spark.table(table).unionByName(bs)
+          .groupBy(col(keyCol)).agg(Sketches.kmvMerge(col("hs"), k).as("hs"))
+      else bs
+    merged.localCheckpoint(true).write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+  }
+}

@@ -87,6 +87,40 @@ class SketchSpec extends AnyFunSuite {
     assert(est.filter(col("cms_est") < col("c")).count() == 0)
   }
 
+  test("streaming KMV sink: stream == batch, and a replayed batch " +
+    "is a no-op (merge idempotence)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val table = "kmv_stream_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val rows = (0 until 60).map(i => (s"s${i % 3}", s"w${i % 23} w${i % 11}"))
+    val mem = MemoryStream[(String, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("kmv_ckpt").toString
+    val q = StreamingSketch.kmvSink(
+      mem.toDF().toDF("source", "text"), "source", "text", k, table, ckpt)
+    rows.grouped(20).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    def state() = spark.table(table)
+      .as[(String, Seq[Long])].collect().toMap
+    val streamed = state()
+    // batch twin
+    val batch = Sketches.kMinPerKey(
+      rows.toDF("source", "text")
+        .select(col("source"),
+          explode(split(col("text"), " ")).as("w"))
+        .select(col("source"), Sketches.hash48(col("w")).as("h")),
+      "source", "h", k).as[(String, Seq[Long])].collect().toMap
+    assert(streamed == batch)
+    // replay the first 20 rows — set-union merge must change nothing
+    StreamingSketch.processBatch(
+      rows.take(20).toDF("source", "text"), "source", "text", k, table)
+    assert(state() == batch)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("histogram quantile estimate within [exact, exact + width)") {
     val width = 10
     val vals = (0 until 500).map(i => Tuple1((i * i % 997).toLong)).toDF("v")
