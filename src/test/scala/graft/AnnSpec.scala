@@ -80,6 +80,23 @@ class AnnSpec extends AnyFunSuite {
     assert(ivf == exact)
   }
 
+  test("hammingTopK plan: signature scan never shuffles — one " +
+    "broadcast in, one rank exchange out") {
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val sigs = e.select(col("vec_id").as("n_id"),
+      Similarity.signSignature64("embedding").as("sig"))
+    val qs = sigs.filter(col("n_id") < 5)
+      .select(col("n_id").as("q_id"), col("sig"))
+    val plan = Similarity.hammingTopK(sigs, qs, k = 3)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus-side signature scan feeds the broadcast join and the
+    // per-partition heaps directly; the ONLY shuffle in the whole
+    // plan is the final |partitions|·|queries|·k candidate rank
+    val shuffles = "(?<!Broadcast)Exchange".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 shuffle exchange:\n$plan")
+  }
+
   test("pre-filter finds k matches where post-filtering under-fills") {
     val e = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
     val seeds = Similarity.labelCentroids(
