@@ -140,34 +140,99 @@ object SketchQueries {
           (col("cms_est") >= col("c")).as("over_ok"))
     }),
 
+    // Distribution DRIFT measured from sketches alone: old corpus vs
+    // batch token distributions compared per CMS row as an L1 over
+    // bucket masses, cross-multiplied by the opposite side's total so
+    // everything stays exact BIGINT (production divides in doubles;
+    // the gate keeps integers — overflow headroom note in-code). Each
+    // row's bucketed L1 LOWER-BOUNDS the true vocabulary L1
+    // (projection contraction), asserted per row against the exact
+    // distance — drift monitoring with depth·width state, no vocab
+    // shuffle.
+    "q229_cms_drift" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+        explode(tokens(col("text"))).as("w"))
+      def tf(p: DataFrame) = p.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val oldTf = tf(tok.filter(col("doc_id") % 5 =!= 0))
+      val newTf = tf(tok.filter(col("doc_id") % 5 === 0))
+      val no = oldTf.agg(sum(col("c")).as("n_old"))
+      val nn = newTf.agg(sum(col("c")).as("n_new"))
+      // cross-multiplied masses stay < 2^63 while each side holds
+      // under ~3e9 tokens; beyond that, divide first in DOUBLE
+      val cells = Sketches.cmsSketch(oldTf, "w", "c", CmsDepth, CmsWidth)
+        .select(col("row"), col("bucket"), col("cell").as("co"))
+        .join(Sketches.cmsSketch(newTf, "w", "c", CmsDepth, CmsWidth)
+          .select(col("row"), col("bucket"), col("cell").as("cn")),
+          Seq("row", "bucket"), "full_outer")
+        .select(col("row"), coalesce(col("co"), lit(0L)).as("co"),
+          coalesce(col("cn"), lit(0L)).as("cn"))
+      val l1 = cells.crossJoin(broadcast(no)).crossJoin(broadcast(nn))
+        .groupBy(col("row"))
+        .agg(sum(abs(col("co") * col("n_new") - col("cn") * col("n_old")))
+          .as("l1_sketch_x"))
+      val exact = oldTf.select(col("w"), col("c").as("co"))
+        .join(newTf.select(col("w"), col("c").as("cn")), Seq("w"),
+          "full_outer")
+        .select(coalesce(col("co"), lit(0L)).as("co"),
+          coalesce(col("cn"), lit(0L)).as("cn"))
+        .crossJoin(broadcast(no)).crossJoin(broadcast(nn))
+        .agg(sum(abs(col("co") * col("n_new") - col("cn") * col("n_old")))
+          .as("l1_exact_x"))
+      l1.crossJoin(broadcast(exact))
+        .select(col("row").cast("long").as("sk_row"), col("l1_sketch_x"),
+          col("l1_exact_x"),
+          (col("l1_sketch_x") <= col("l1_exact_x")).as("lower_bound_ok"))
+    }),
+
+    // Per-source histogram ROLLUP: source-level histograms merged by
+    // cell-wise sum, then the q213 quantile report over the MERGED
+    // cells — while the oracle computes the report from the global
+    // histogram directly (q213's SQL verbatim), so the gate proves
+    // histogram merge associativity exactly as q211's __all__ row
+    // does for KMV.
+    "q230_hist_rollup" -> ((s, d) => {
+      val merged = docs(s, d)
+        .groupBy(col("source"), expr(s"n_chars div $HistWidth").as("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      histQuantileReport(s, d, merged)
+    }),
+
     // Histogram quantiles: a width-64 fixed grid over n_chars (cells
     // merge by sum — the per-partition / per-day rollup state) whose
     // estimate provably lands within one bucket width ABOVE the
     // exact type-1 quantile; the exact side is the verification
     // column. Cumulative windows run over aggregated cells (≤
     // max/width rows), never data rows.
-    "q213_hist_quantiles" -> ((s, d) => {
-      import s.implicits._
-      val hist = Sketches.histogram(
-        docs(s, d).select(col("n_chars")), "n_chars", HistWidth)
-      val est = Sketches.histQuantiles(hist, HistWidth, Pcts)
-      val vc = docs(s, d).groupBy(col("n_chars").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val wv = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val cum = vc.withColumn("cum", sum(col("cnt")).over(wv))
-      val total = vc.agg(sum(col("cnt")).as("n"))
-      val p = Pcts.map(_.toLong).toDF("pct")
-      val exact = cum.crossJoin(broadcast(total)).crossJoin(broadcast(p))
-        .filter(col("cum") * 100 >= col("pct") * col("n"))
-        .groupBy(col("pct")).agg(min(col("v")).as("exact_v"))
-      est.join(exact, Seq("pct"))
-        .select(col("pct"), col("est_hi"), col("exact_v"),
-          (col("est_hi") - col("exact_v")).as("abs_err"),
-          (col("est_hi") >= col("exact_v") &&
-            col("est_hi") - col("exact_v") < HistWidth).as("within_bound"))
-    }))
+    "q213_hist_quantiles" -> ((s, d) =>
+      histQuantileReport(s, d, Sketches.histogram(
+        docs(s, d).select(col("n_chars")), "n_chars", HistWidth))))
+
+  /** The q213 report tail over ANY n_chars histogram frame (bucket,
+    * cnt): estimates from the cells, exact type-1 quantiles from the
+    * corpus as the verification columns, error-bound flags. Shared by
+    * the direct (q213) and per-source-rollup (q230) paths. */
+  private def histQuantileReport(s: SparkSession, d: String,
+                                 hist: DataFrame): DataFrame = {
+    import s.implicits._
+    val est = Sketches.histQuantiles(hist, HistWidth, Pcts)
+    val vc = docs(s, d).groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = vc.withColumn("cum", sum(col("cnt")).over(wv))
+    val total = vc.agg(sum(col("cnt")).as("n"))
+    val p = Pcts.map(_.toLong).toDF("pct")
+    val exact = cum.crossJoin(broadcast(total)).crossJoin(broadcast(p))
+      .filter(col("cum") * 100 >= col("pct") * col("n"))
+      .groupBy(col("pct")).agg(min(col("v")).as("exact_v"))
+    est.join(exact, Seq("pct"))
+      .select(col("pct"), col("est_hi"), col("exact_v"),
+        (col("est_hi") - col("exact_v")).as("abs_err"),
+        (col("est_hi") >= col("exact_v") &&
+          col("est_hi") - col("exact_v") < HistWidth).as("within_bound"))
+  }
 
   /** q211's oracle — and q224's VERBATIM (the invariant pattern: the
     * incremental fold must be indistinguishable from from-scratch). */
@@ -216,25 +281,62 @@ object SketchQueries {
          | AND cells.bucket = ${h48Sql("rs.r::VARCHAR || '|' || cand.w")} % $CmsWidth
          |GROUP BY cand.w, cand.c""".stripMargin,
 
-    "q213_hist_quantiles" ->
-      s"""WITH hist AS (SELECT n_chars // $HistWidth AS bucket, count(*) AS cnt
-         |             FROM documents GROUP BY bucket),
-         |cumh AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum
-         |         FROM hist),
-         |n AS (SELECT count(*) AS n FROM documents),
-         |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
-         |est AS (SELECT pct,
-         |          CAST((min(bucket) + 1) * $HistWidth - 1 AS BIGINT) AS est_hi
-         |        FROM cumh CROSS JOIN n CROSS JOIN p
-         |        WHERE cum * 100 >= pct * n GROUP BY pct),
-         |cumv AS (SELECT n_chars AS v, sum(count(*)) OVER (ORDER BY n_chars) AS cum
-         |         FROM documents GROUP BY n_chars),
-         |ex AS (SELECT pct, min(v) AS exact_v
-         |       FROM cumv CROSS JOIN n CROSS JOIN p
-         |       WHERE cum * 100 >= pct * n GROUP BY pct)
-         |SELECT est.pct, est.est_hi, ex.exact_v,
-         |       est.est_hi - ex.exact_v AS abs_err,
-         |       est.est_hi >= ex.exact_v
-         |         AND est.est_hi - ex.exact_v < $HistWidth AS within_bound
-         |FROM est JOIN ex USING (pct)""".stripMargin)
+    "q213_hist_quantiles" -> histSql,
+    // the rollup must be indistinguishable from the direct histogram —
+    // merge associativity through the gate, q213's oracle verbatim
+    "q230_hist_rollup" -> histSql,
+
+    "q229_cms_drift" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |otf AS (SELECT w, count(*)::BIGINT AS c FROM tok
+         |        WHERE doc_id % 5 <> 0 GROUP BY w),
+         |ntf AS (SELECT w, count(*)::BIGINT AS c FROM tok
+         |        WHERE doc_id % 5 = 0 GROUP BY w),
+         |no AS (SELECT CAST(sum(c) AS BIGINT) AS n_old FROM otf),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_new FROM ntf),
+         |rs AS (SELECT unnest(range($CmsDepth)) AS r),
+         |oc AS (SELECT r, ${h48Sql("r::VARCHAR || '|' || w")} % $CmsWidth
+         |         AS bucket, CAST(sum(c) AS BIGINT) AS co
+         |       FROM otf CROSS JOIN rs GROUP BY r, bucket),
+         |nc AS (SELECT r, ${h48Sql("r::VARCHAR || '|' || w")} % $CmsWidth
+         |         AS bucket, CAST(sum(c) AS BIGINT) AS cn
+         |       FROM ntf CROSS JOIN rs GROUP BY r, bucket),
+         |cells AS (SELECT coalesce(oc.r, nc.r) AS r,
+         |            coalesce(co, 0) AS co, coalesce(cn, 0) AS cn
+         |          FROM oc FULL OUTER JOIN nc
+         |            ON oc.r = nc.r AND oc.bucket = nc.bucket),
+         |l1 AS (SELECT r, CAST(sum(abs(co * n_new - cn * n_old)) AS BIGINT)
+         |         AS l1_sketch_x
+         |       FROM cells CROSS JOIN no CROSS JOIN nn GROUP BY r),
+         |exv AS (SELECT coalesce(otf.c, 0) AS co, coalesce(ntf.c, 0) AS cn
+         |        FROM otf FULL OUTER JOIN ntf ON otf.w = ntf.w),
+         |ex AS (SELECT CAST(sum(abs(co * n_new - cn * n_old)) AS BIGINT)
+         |         AS l1_exact_x
+         |       FROM exv CROSS JOIN no CROSS JOIN nn)
+         |SELECT CAST(l1.r AS BIGINT) AS sk_row, l1.l1_sketch_x, ex.l1_exact_x,
+         |       l1.l1_sketch_x <= ex.l1_exact_x AS lower_bound_ok
+         |FROM l1 CROSS JOIN ex""".stripMargin)
+
+  private lazy val histSql: String =
+    s"""WITH hist AS (SELECT n_chars // $HistWidth AS bucket, count(*) AS cnt
+       |             FROM documents GROUP BY bucket),
+       |cumh AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum
+       |         FROM hist),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |p AS (SELECT CAST(unnest([50, 90, 99]) AS BIGINT) AS pct),
+       |est AS (SELECT pct,
+       |          CAST((min(bucket) + 1) * $HistWidth - 1 AS BIGINT) AS est_hi
+       |        FROM cumh CROSS JOIN n CROSS JOIN p
+       |        WHERE cum * 100 >= pct * n GROUP BY pct),
+       |cumv AS (SELECT n_chars AS v, sum(count(*)) OVER (ORDER BY n_chars) AS cum
+       |         FROM documents GROUP BY n_chars),
+       |ex AS (SELECT pct, min(v) AS exact_v
+       |       FROM cumv CROSS JOIN n CROSS JOIN p
+       |       WHERE cum * 100 >= pct * n GROUP BY pct)
+       |SELECT est.pct, est.est_hi, ex.exact_v,
+       |       est.est_hi - ex.exact_v AS abs_err,
+       |       est.est_hi >= ex.exact_v
+       |         AND est.est_hi - ex.exact_v < $HistWidth AS within_bound
+       |FROM est JOIN ex USING (pct)""".stripMargin
 }

@@ -51,8 +51,28 @@ object StreamingSketch {
       if (spark.catalog.tableExists(table))
         spark.table(table).unionByName(bs)
           .groupBy(col(keyCol)).agg(Sketches.kmvMerge(col("hs"), k).as("hs"))
-      else bs
+      else {
+        // The session catalog is per-JVM but the warehouse dir is not:
+        // a table written by a previous JVM (or a crash before the
+        // catalog commit) leaves an orphaned location that wedges
+        // saveAsTable forever. Unreachable-via-catalog data carries no
+        // standing state we could merge, so heal by clearing it.
+        clearOrphanedLocation(spark, table)
+        bs
+      }
     merged.localCheckpoint(true).write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(table)
+  }
+
+  /** Delete `<warehouse>/<table>` when the catalog has no entry for
+    * `table` — the dir is unreachable leftover state from another JVM
+    * or a crashed first write, and its presence makes saveAsTable
+    * throw LOCATION_ALREADY_EXISTS on every subsequent batch. */
+  private def clearOrphanedLocation(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
   }
 }
