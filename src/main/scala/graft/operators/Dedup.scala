@@ -520,6 +520,46 @@ object Dedup {
       .agg(countDistinct(col("sh")).as("n_hits"))
   }
 
+  /** [[contamination]] for reference sets too large to broadcast as a
+    * hash relation — the Bloom cascade [[contaminationFraction]]'s
+    * scaladoc points to. A train-vs-everything leakage sweep or a
+    * multi-benchmark union can carry billions of distinct n-grams;
+    * what IS still broadcastable at that size is a Bloom filter over
+    * their hashes (~9.6 bits/key at 1% fpp). The cascade:
+    *
+    *   1. Bloom build over the reference's distinct n-gram hashes
+    *      (distributed partial aggregation, [[BloomPrune]]'s native
+    *      codegen'd path);
+    *   2. scan-side prune of the corpus n-gram stream — ~99% of
+    *      non-contaminated rows die before any exchange;
+    *   3. exact hash-join confirm of the survivors, which removes the
+    *      Bloom's false positives.
+    *
+    * Bloom filters have NO false negatives, so the cascade is
+    * lossless: output == [[contamination]] exactly (q231 runs q46's
+    * oracle verbatim to prove it through the gate). The confirm join
+    * runs on 8-byte xxhash64 keys without a broadcast hint — n-gram
+    * strings never shuffle, and AQE picks the strategy for whatever
+    * survives the prune. */
+  def contaminationBloom(df: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         shingleN: Int = 3,
+                         expectedBenchNgrams: Long = 1000000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val bad = bench
+      .select(explode(shingles(col(benchTextCol), shingleN)).as("sh"))
+      .select(xxhash64(col("sh")).as("shh"))
+      .distinct()
+    val corpusSh = spread(df, idCol)
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col(idCol), xxhash64(col("sh")).as("shh"))
+    BloomPrune.prune(corpusSh, col("shh"), bad, col("shh"),
+        expectedBenchNgrams, fpp)
+      .join(bad, Seq("shh"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shh")).as("n_hits"))
+  }
+
   /** Soft decontamination: per-document fraction of its DISTINCT word
     * n-grams that also occur anywhere in a benchmark corpus — the
     * graded companion to [[contamination]]'s any-hit filter. A single

@@ -125,6 +125,58 @@ object SketchQueries {
           Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
     }),
 
+    // Incremental Count-Min: the standing sketch over the old corpus
+    // FOLDED with the batch's sketch by cell-wise sum — CMS is
+    // LINEAR, so fold(old, batch) must equal the from-scratch sketch
+    // cell-for-cell; the gate proves it by running q212's heavy-
+    // hitter report over the MERGED sketch against q212's oracle
+    // VERBATIM (which sketches the whole corpus directly). Per-batch
+    // work is the batch scan + a depth·width-bounded sum.
+    "q232_cms_incremental" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+        explode(tokens(col("text"))).as("w"))
+      def tf(p: DataFrame) = p.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      def sk(p: DataFrame) =
+        Sketches.cmsSketch(tf(p), "w", "c", CmsDepth, CmsWidth)
+      val merged = Sketches.cmsMergeCells(
+        sk(tok.filter(col("doc_id") % 5 =!= 0)),
+        sk(tok.filter(col("doc_id") % 5 === 0)))
+      val full = tf(tok)
+      val cands = full.orderBy(col("c").desc, col("w").asc).limit(20)
+      Sketches.cmsLookup(merged, cands, "w", CmsDepth, CmsWidth)
+        .select(col("w"), col("c").as("exact_c"), col("cms_est"),
+          (col("cms_est") >= col("c")).as("over_ok"))
+    }),
+
+    // The STREAMING Count-Min fold (StreamingSketch.processCmsBatch)
+    // over 5 batches PLUS a deliberate replay of batch 2. CMS merge
+    // is a SUM — replay would DOUBLE-COUNT, the opposite of q228's
+    // idempotent KMV union — so the sink's landed-batch ledger
+    // (sentinel rows inside the sketch table: one commit carries
+    // state + ledger) must skip the redelivery for the final state to
+    // equal from-scratch q212 — its oracle VERBATIM.
+    "q233_cms_stream" -> ((s, d) => {
+      val table = "graft_cms_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val base = docs(s, d)
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingSketch.processCmsBatch(
+          base.filter(col("doc_id") % 5 === b), "text",
+          CmsDepth, CmsWidth, table, b.toLong)
+      }
+      // at-least-once: batch 2 redelivered — the ledger must skip it
+      graft.streaming.StreamingSketch.processCmsBatch(
+        base.filter(col("doc_id") % 5 === 2), "text",
+        CmsDepth, CmsWidth, table, 2L)
+      val sketch = s.table(table).filter(col("row") >= 0L)
+      val tf = base.select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val cands = tf.orderBy(col("c").desc, col("w").asc).limit(20)
+      Sketches.cmsLookup(sketch, cands, "w", CmsDepth, CmsWidth)
+        .select(col("w"), col("c").as("exact_c"), col("cms_est"),
+          (col("cms_est") >= col("c")).as("over_ok"))
+    }),
+
     // Count-Min frequency sketch (4 × 256 cells — bounded state no
     // matter the vocabulary) probed with the exact top-20 tokens:
     // the estimate upper-bounds the true count ALWAYS (over_ok), and
@@ -259,27 +311,38 @@ object SketchQueries {
          |SELECT e.source, ex.exact_distinct, CAST(e.kmv_est AS BIGINT) AS kmv_est
          |FROM est e JOIN ex USING (source)""".stripMargin
 
+  /** q212's oracle — and q232/q233's VERBATIM (CMS linearity: the
+    * incremental and streamed folds must be indistinguishable from
+    * the from-scratch sketch). */
+  private lazy val cmsSql: String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |rs AS (SELECT unnest(range($CmsDepth)) AS r),
+       |cells AS (SELECT r,
+       |            ${h48Sql("r::VARCHAR || '|' || w")} % $CmsWidth AS bucket,
+       |            CAST(sum(c) AS BIGINT) AS cell
+       |          FROM tf CROSS JOIN rs GROUP BY r, bucket),
+       |cand AS (SELECT w, c FROM tf ORDER BY c DESC, w ASC LIMIT 20)
+       |SELECT cand.w, cand.c AS exact_c, min(cells.cell) AS cms_est,
+       |       min(cells.cell) >= cand.c AS over_ok
+       |FROM cand CROSS JOIN rs
+       |JOIN cells ON cells.r = rs.r
+       | AND cells.bucket = ${h48Sql("rs.r::VARCHAR || '|' || cand.w")} % $CmsWidth
+       |GROUP BY cand.w, cand.c""".stripMargin
+
   val oracle: Map[String, String] = Map(
 
     "q211_kmv_distinct" -> kmvSql,
     "q224_kmv_incremental" -> kmvSql,
     "q228_kmv_stream" -> kmvSql,
 
-    "q212_cms_heavy_hitters" ->
-      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-         |tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-         |rs AS (SELECT unnest(range($CmsDepth)) AS r),
-         |cells AS (SELECT r,
-         |            ${h48Sql("r::VARCHAR || '|' || w")} % $CmsWidth AS bucket,
-         |            CAST(sum(c) AS BIGINT) AS cell
-         |          FROM tf CROSS JOIN rs GROUP BY r, bucket),
-         |cand AS (SELECT w, c FROM tf ORDER BY c DESC, w ASC LIMIT 20)
-         |SELECT cand.w, cand.c AS exact_c, min(cells.cell) AS cms_est,
-         |       min(cells.cell) >= cand.c AS over_ok
-         |FROM cand CROSS JOIN rs
-         |JOIN cells ON cells.r = rs.r
-         | AND cells.bucket = ${h48Sql("rs.r::VARCHAR || '|' || cand.w")} % $CmsWidth
-         |GROUP BY cand.w, cand.c""".stripMargin,
+    "q212_cms_heavy_hitters" -> cmsSql,
+    // fold(old, batch) must be indistinguishable from from-scratch —
+    // CMS linearity through the gate, q212's oracle verbatim
+    "q232_cms_incremental" -> cmsSql,
+    // and the streamed fold with a replayed batch skipped by the
+    // ledger must land on the same table — q212's oracle verbatim
+    "q233_cms_stream" -> cmsSql,
 
     "q213_hist_quantiles" -> histSql,
     // the rollup must be indistinguishable from the direct histogram —

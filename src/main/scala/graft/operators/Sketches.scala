@@ -104,6 +104,19 @@ object Sketches {
       .agg(sum(col("__c")).as("cell"))
   }
 
+  /** Merge CMS sketches by cell-wise sum — Count-Min is LINEAR, so
+    * the sketch of a union of disjoint streams is the sum of their
+    * sketches (the per-partition / per-batch rollup law; q232 proves
+    * it through the gate). Absent cells are zero, so a plain
+    * union+sum needs no outer join. NOTE the linearity flip side:
+    * unlike KMV's idempotent set-union merge, re-adding a batch
+    * DOUBLE-COUNTS — replay safety needs a landed-batch ledger
+    * ([[graft.streaming.StreamingSketch.processCmsBatch]]). */
+  def cmsMergeCells(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cell")).as("cell"))
+
   /** Cell index of `item` in sketch row `row`: salted 48-bit md5
     * mod width (mod of a non-negative BIGINT — portable). */
   def cmsBucket(row: Column, item: Column, width: Int): Column =

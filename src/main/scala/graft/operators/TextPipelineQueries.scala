@@ -437,6 +437,19 @@ object TextPipelineQueries {
       Dedup.contamination(doc.filter(col("doc_id") >= 20), "doc_id", "text",
         doc.filter(col("doc_id") < 20), "text", 3)
     }),
+    // The same decontamination through the Bloom CASCADE — the path a
+    // reference set too big to broadcast takes at 100 TB (multi-
+    // benchmark unions, train-vs-everything sweeps): broadcast Bloom
+    // prune at the scan, exact hash-join confirm on the survivors.
+    // Lossless by construction, so the gate runs q46's oracle
+    // VERBATIM; the native might_contain plan shape is pinned in
+    // ScaleOpsSpec.
+    "q231_decontam_bloom" -> ((s, d) => {
+      val doc = docs(s, d)
+      Dedup.contaminationBloom(doc.filter(col("doc_id") >= 20), "doc_id",
+        "text", doc.filter(col("doc_id") < 20), "text", 3,
+        expectedBenchNgrams = 100000L)
+    }),
     // Split-leakage audit: after the deterministic holdout split
     // (q69's md5 thresholds), how much of each TEST document is
     // 3-gram-shared with the TRAIN side — the check a pipeline runs
@@ -1358,6 +1371,17 @@ object TextPipelineQueries {
       |       unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]) AS shingle
       |       FROM toks)""".stripMargin
 
+  /** q46's oracle — and q231's VERBATIM: the Bloom cascade is
+    * lossless (no false negatives, exact confirm strips the false
+    * positives), so both paths must hash-match the same SQL. */
+  private lazy val decontamSql: String =
+    s"""WITH $shCte,
+       |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+       |hits AS (SELECT s.doc_id, s.shingle FROM sh s
+       |         JOIN bad USING (shingle) WHERE s.doc_id >= 20)
+       |SELECT doc_id, count(DISTINCT shingle) AS n_hits
+       |FROM hits GROUP BY doc_id""".stripMargin
+
   private[operators] val mhCte =
     """mh AS (SELECT doc_id,
       |  min(substr(md5('0|' || shingle),  1, 8)) AS h0,
@@ -1770,13 +1794,10 @@ object TextPipelineQueries {
         |JOIN sim sa ON cand.id_a = sa.doc_id
         |JOIN sim sb ON cand.id_b = sb.doc_id
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin,
-    "q46_decontaminate" ->
-      s"""WITH $shCte,
-         |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
-         |hits AS (SELECT s.doc_id, s.shingle FROM sh s
-         |         JOIN bad USING (shingle) WHERE s.doc_id >= 20)
-         |SELECT doc_id, count(DISTINCT shingle) AS n_hits
-         |FROM hits GROUP BY doc_id""".stripMargin,
+    "q46_decontaminate" -> decontamSql,
+    // the Bloom cascade must be LOSSLESS (no false negatives + exact
+    // confirm) — q46's oracle verbatim proves it through the gate
+    "q231_decontam_bloom" -> decontamSql,
     "q84_split_leakage" ->
       s"""WITH $shCte,
          |spl AS (SELECT doc_id,

@@ -57,22 +57,61 @@ object StreamingSketch {
         // catalog commit) leaves an orphaned location that wedges
         // saveAsTable forever. Unreachable-via-catalog data carries no
         // standing state we could merge, so heal by clearing it.
-        clearOrphanedLocation(spark, table)
+        graft.operators.Bucketing.dropManagedTable(spark, table)
         bs
       }
     merged.localCheckpoint(true).write.mode(SaveMode.Overwrite)
       .format("parquet").saveAsTable(table)
   }
 
-  /** Delete `<warehouse>/<table>` when the catalog has no entry for
-    * `table` — the dir is unreachable leftover state from another JVM
-    * or a crashed first write, and its presence makes saveAsTable
-    * throw LOCATION_ALREADY_EXISTS on every subsequent batch. */
-  private def clearOrphanedLocation(
-      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
+  /** Start the Count-Min fold sink: per-batch token frequencies fold
+    * into a standing depth·width-cell sketch table. */
+  def cmsSink(docs: DataFrame, textCol: String, depth: Int, width: Int,
+              table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCmsBatch(batch, textCol, depth, width, table, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch's Count-Min fold. CMS merge is cell-wise SUM —
+    * linear, NOT idempotent — so unlike [[processBatch]]'s KMV union,
+    * at-least-once redelivery would double-count. Replay safety comes
+    * from a landed-batch ledger stored IN the sketch table itself as
+    * sentinel rows (row = -1, bucket = batch id): state and ledger
+    * commit in ONE table overwrite, so no crash point can separate
+    * "batch folded" from "batch recorded" — the torn-write shape that
+    * a side ledger table would reintroduce. A replayed batch id is
+    * skipped before any work. The ledger grows one 3-long row per
+    * batch; a production sink with monotonic batch ids compacts it to
+    * a high-water mark at fold time. */
+  def processCmsBatch(batch: DataFrame, textCol: String, depth: Int,
+                      width: Int, table: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return // nothing to fold; replaying it is also a no-op
+    val tf = batch
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val bs = Sketches.cmsSketch(tf, "__w", "__c", depth, width)
+    val exists = spark.catalog.tableExists(table)
+    // heal an orphaned warehouse dir (see processBatch) before a CREATE
+    if (!exists) graft.operators.Bucketing.dropManagedTable(spark, table)
+    val merged =
+      if (exists) {
+        val prior = spark.table(table)
+        val landed = !prior
+          .filter(col("row") === -1L && col("bucket") === batchId).isEmpty
+        if (landed) return // replay: already folded — skip, don't re-sum
+        Sketches.cmsMergeCells(prior.filter(col("row") >= 0L), bs)
+          .unionByName(prior.filter(col("row") === -1L))
+      } else bs
+    merged
+      .unionByName(spark.range(1).select(lit(-1L).as("row"),
+        lit(batchId).as("bucket"), lit(1L).as("cell")))
+      .localCheckpoint(true).write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
   }
 }

@@ -61,6 +61,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!plan.contains("UDF"), s"prune filter must not use a UDF:\n$plan")
   }
 
+  test("bloom-cascade decontamination: native might_contain prune, no " +
+    "UDF, and output identical to the broadcast-exact q46 path") {
+    import graft.operators.Dedup
+    val doc = Tables.t(spark, sf, "documents")
+    val corpus = doc.filter(col("doc_id") >= 20)
+    val bench = doc.filter(col("doc_id") < 20)
+    val cascade = Dedup.contaminationBloom(corpus, "doc_id", "text",
+      bench, "text", 3, expectedBenchNgrams = 100000L)
+    val exact = Dedup.contamination(corpus, "doc_id", "text",
+      bench, "text", 3)
+    // lossless: no false negatives (Bloom) + no false positives
+    // (exact confirm) ⇒ set-identical output
+    assert(cascade.exceptAll(exact).isEmpty && exact.exceptAll(cascade).isEmpty)
+    cascade.collect()
+    val plan = cascade.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("UDF"), s"prune filter must not use a UDF:\n$plan")
+  }
+
   test("prefix-sum bucketing survives sparse composite keys: sampled " +
     "range fallback keeps buckets row-balanced; equal-width stays on " +
     "dense ids; ranks exact either way") {

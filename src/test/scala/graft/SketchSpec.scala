@@ -121,6 +121,52 @@ class SketchSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("streaming CMS sink: stream == batch, replayed batch id skipped " +
+    "by the in-table ledger — and WITHOUT the ledger it double-counts " +
+    "(the negative control proving the ledger is load-bearing)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSketch
+    implicit val sqlCtx = spark.sqlContext
+    val (depth, width) = (3, 16)
+    val table = "cms_stream_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val rows = (0 until 60).map(i => Tuple1(s"w${i % 23} w${i % 11}"))
+    val mem = MemoryStream[Tuple1[String]]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("cms_ckpt").toString
+    val q = StreamingSketch.cmsSink(
+      mem.toDF().toDF("text"), "text", depth, width, table, ckpt)
+    rows.grouped(20).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    q.stop()
+    def toCellMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("row").cast("long"), col("bucket").cast("long"),
+        col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cells() = toCellMap(spark.table(table).filter(col("row") >= 0L))
+    def cellsOf(df: org.apache.spark.sql.DataFrame) = {
+      val tf = df.select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      toCellMap(Sketches.cmsSketch(tf, "w", "c", depth, width))
+    }
+    val batchTwin = cellsOf(rows.toDF("text"))
+    assert(cells() == batchTwin)
+    // replay batch id 0 — the ledger must skip the fold entirely
+    StreamingSketch.processCmsBatch(
+      rows.take(20).toDF("text"), "text", depth, width, table, 0L)
+    assert(cells() == batchTwin)
+    // negative control: the same redelivery under a FRESH batch id
+    // double-counts those rows — linear merge has no idempotence to
+    // hide behind, which is exactly why the ledger exists
+    StreamingSketch.processCmsBatch(
+      rows.take(20).toDF("text"), "text", depth, width, table, 99L)
+    val doubled = cells()
+    assert(doubled != batchTwin)
+    val extra = cellsOf(rows.take(20).toDF("text"))
+    assert(doubled == batchTwin.map { case (k, v) =>
+      k -> (v + extra.getOrElse(k, 0L)) }.filter(_._2 > 0))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("histogram quantile estimate within [exact, exact + width)") {
     val width = 10
     val vals = (0 until 500).map(i => Tuple1((i * i % 997).toLong)).toDF("v")
