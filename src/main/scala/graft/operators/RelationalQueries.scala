@@ -326,7 +326,45 @@ object RelationalQueries {
   /** Queries intentionally published without an oracle. */
   val rowsOnly: Set[String] = Set.empty
 
+  /** Token-blocked fuzzy join (record linkage): the part catalog's
+    * distinct names vs a deterministically "dirtied" copy (first
+    * character dropped), each dirty name linked back to its closest
+    * clean name by edit distance. Candidates come from the shared-
+    * token inverted index with a df-32 stop-token cap — never
+    * all-pairs; the oracle mirrors blocking, cap, scoring, and the
+    * (dist, id) argmin exactly. */
+  private def q234FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("nid"))
+    val clean = names.select(col("nid"), col("p_name"))
+    val dirty = names.select(col("nid").as("d_id"),
+      substring(col("p_name"), 2, Int.MaxValue).as("d_name"))
+    FuzzyJoin.tokenBlockedBestMatch(dirty, "d_id", "d_name",
+        clean, "nid", "p_name", maxTokenDf = 32L)
+      .select(col("d_id"), col("d_name"), col("nid").as("match_id"),
+        col("p_name").as("match_name"), col("dist"))
+  }
+
+  /** PageRank over the customer–supplier trade graph (undirected
+    * bipartite: an edge per distinct (customer, supplier) trading
+    * pair via orders⋈lineitem; supplier ids offset into a disjoint
+    * node range). 10 fixed-point power iterations in integer
+    * micro-units, so every rank hash-matches the oracle's unrolled
+    * 10-CTE chain exactly — see [[Graph.pageRankFixed]]. */
+  private def q235PageRank(s: SparkSession, d: String): DataFrame = {
+    val ed = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"),
+        (col("l_suppkey") + lit(10000000L)).as("b"))
+      .distinct()
+    val sym = ed.unionByName(ed.select(col("b").as("a"), col("a").as("b")))
+    Graph.pageRankFixed(sym, "a", "b", iters = 10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q235_pagerank" -> q235PageRank,
+    "q234_fuzzy_join" -> q234FuzzyJoin,
     "q44_bloom_join" -> q44BloomJoin,
     "q34_approx_distinct" -> q34ApproxDistinct,
     "q30_outer_join" -> q30OuterJoin,
@@ -349,7 +387,56 @@ object RelationalQueries {
     "q14_anti_join" -> q14AntiJoin,
     "q15_semi_join" -> q15SemiJoin)
 
+  /** q235's oracle: the 10 power iterations unrolled as a generated
+    * CTE chain — exact because both engines run the identical integer
+    * recurrence (pr div deg contributions, 85%/100 damping, 150000
+    * base in 1e6 micro-units). */
+  private lazy val pagerankSql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""pr$i AS (SELECT n.node,
+         |  CAST(150000 + 85 * coalesce(s.inc, 0) // 100 AS BIGINT) AS pr
+         |FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node, sum(p.pr // d.deg) AS inc
+         |  FROM edges e JOIN pr${i - 1} p ON e.src = p.node
+         |  JOIN deg d ON e.src = d.src GROUP BY e.dst) s USING (node))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT o.o_custkey AS a,
+       |              l.l_suppkey + 10000000 AS b
+       |            FROM orders o JOIN lineitem l
+       |              ON o.o_orderkey = l.l_orderkey),
+       |edges AS (SELECT a AS src, b AS dst FROM ed
+       |          UNION ALL SELECT b, a FROM ed),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+       |$iters
+       |SELECT node, pr FROM pr10""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q235_pagerank" -> pagerankSql,
+    "q234_fuzzy_join" ->
+      """WITH names AS (SELECT min(p_partkey) AS nid, p_name FROM part
+        |               GROUP BY p_name),
+        |dirty AS (SELECT nid AS d_id, substr(p_name, 2) AS d_name FROM names),
+        |ct AS (SELECT DISTINCT nid, unnest(string_split(p_name, ' ')) AS tok
+        |       FROM names),
+        |dt AS (SELECT DISTINCT d_id, unnest(string_split(d_name, ' ')) AS tok
+        |       FROM dirty),
+        |keep AS (SELECT tok FROM ct GROUP BY tok HAVING count(*) <= 32),
+        |cand AS (SELECT DISTINCT d_id, nid
+        |         FROM dt JOIN keep USING (tok) JOIN ct USING (tok)),
+        |sc AS (SELECT d_id, d_name, nid, p_name,
+        |         levenshtein(d_name, p_name) AS dist
+        |       FROM cand JOIN dirty USING (d_id) JOIN names USING (nid)),
+        |best AS (SELECT d_id, d_name, nid AS match_id, p_name AS match_name,
+        |           CAST(dist AS BIGINT) AS dist,
+        |           row_number() OVER (PARTITION BY d_id
+        |             ORDER BY dist, nid) AS rk
+        |         FROM sc)
+        |SELECT d_id, d_name, match_id, match_name, dist
+        |FROM best WHERE rk = 1""".stripMargin,
     "q44_bloom_join" ->
       """SELECT l.l_orderkey, l.l_linenumber,
         | round(o.o_totalprice, 2) AS o_totalprice
