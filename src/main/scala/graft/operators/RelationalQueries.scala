@@ -362,7 +362,65 @@ object RelationalQueries {
     Graph.pageRankFixed(sym, "a", "b", iters = 10)
   }
 
+  /** lineitem projected to the z-order demo grain: a unique row key
+    * plus the two layout dimensions. */
+  private def liKeys(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem").select(
+      (col("l_orderkey") * 16 + col("l_linenumber")).as("k"),
+      col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+
+  private def liMaxes(li: DataFrame): DataFrame =
+    li.agg((max(col("pk")) + 1).as("mx"), (max(col("sk")) + 1).as("my"))
+
+  /** The 2-D box both z-order queries prune against: the
+    * [1/16, 3/16) slice of each dimension's range — data-derived so
+    * the same query is meaningful at every sf. */
+  private val boxNeeded: Column = ZOrder.scanNeeded(
+    expr("mx div 16"), expr("3 * mx div 16"),
+    expr("my div 16"), expr("3 * my div 16"))
+
+  /** Z-order layout manifest over lineitem (l_partkey × l_suppkey):
+    * per-file min/max stats plus whether the file survives pruning
+    * for the box query — the planner-facing artifact of
+    * [[ZOrder.assignFiles]]. */
+  private def q236ZOrderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = liKeys(s, d)
+    val man = ZOrder.manifest(ZOrder.assignFiles(li, "pk", "sk", "k"),
+      "pk", "sk")
+    man.crossJoin(broadcast(liMaxes(li)))
+      .withColumn("scan_needed", boxNeeded)
+      .select(col("file_id"), col("cnt"),
+        col("min_x").as("min_pk"), col("max_x").as("max_pk"),
+        col("min_y").as("min_sk"), col("max_y").as("max_sk"),
+        col("scan_needed"))
+  }
+
+  /** The z-order payoff, measured: the SAME box query pruned against
+    * the z-order manifest vs a manifest for files laid out by
+    * l_partkey alone. Single-column sort prunes one dimension and
+    * nothing else; the Morton interleave prunes both (4 vs 10 of 64
+    * files at sf0.01). */
+  private def q237ZOrderVsLinear(s: SparkSession, d: String): DataFrame = {
+    val li = liKeys(s, d)
+    val m = liMaxes(li)
+    def scanned(man: DataFrame, as: String) =
+      man.crossJoin(broadcast(m))
+        .agg(sum(when(boxNeeded, 1L).otherwise(0L)).as(as),
+          count(lit(1)).as(s"${as}_nf"))
+    val z = scanned(ZOrder.manifest(
+      ZOrder.assignFiles(li, "pk", "sk", "k"), "pk", "sk"), "z_scanned")
+    val lin = scanned(ZOrder.manifest(
+      ZOrder.assignFilesByRank(li, shiftleft(col("pk"), 32) + col("k"), 64),
+      "pk", "sk"), "linear_scanned")
+    z.crossJoin(lin)
+      .select(col("z_scanned_nf").as("n_files"), col("z_scanned"),
+        col("linear_scanned"),
+        (col("z_scanned") < col("linear_scanned")).as("z_better"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q236_zorder_layout" -> q236ZOrderLayout,
+    "q237_zorder_vs_linear" -> q237ZOrderVsLinear,
     "q235_pagerank" -> q235PageRank,
     "q234_fuzzy_join" -> q234FuzzyJoin,
     "q44_bloom_join" -> q44BloomJoin,
@@ -414,7 +472,56 @@ object RelationalQueries {
        |SELECT node, pr FROM pr10""".stripMargin
   }
 
+  /** Shared CTE chain for the z-order oracles: quantize, statically
+    * unrolled Morton interleave (mirrors [[ZOrder.interleaveBits]]'s
+    * term fold), rank, file cut, manifests for both layouts. */
+  private lazy val zorderCtes: String = {
+    val inter = (0 until 10).map(i =>
+      s"(((qx >> $i) & 1) << ${2 * i}) + (((qy >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""m AS (SELECT max(l_partkey) + 1 AS mx, max(l_suppkey) + 1 AS my,
+       |        count(*) AS n FROM lineitem),
+       |base AS (SELECT l_orderkey * 16 + l_linenumber AS k,
+       |           l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+       |q AS (SELECT k, pk, sk, (pk * 1024) // mx AS qx,
+       |        (sk * 1024) // my AS qy, n
+       |      FROM base CROSS JOIN m),
+       |z AS (SELECT *, $inter AS zval FROM q),
+       |rz AS (SELECT pk, sk, (row_number() OVER
+       |         (ORDER BY zval * 4294967296 + k) - 1) // ((n + 63) // 64)
+       |         AS file_id FROM z),
+       |rl AS (SELECT pk, sk, (row_number() OVER
+       |         (ORDER BY pk * 4294967296 + k) - 1) // ((n + 63) // 64)
+       |         AS file_id FROM z),
+       |manz AS (SELECT file_id, count(*) AS cnt,
+       |           min(pk) AS min_pk, max(pk) AS max_pk,
+       |           min(sk) AS min_sk, max(sk) AS max_sk
+       |         FROM rz GROUP BY file_id),
+       |manl AS (SELECT file_id, count(*) AS cnt,
+       |           min(pk) AS min_pk, max(pk) AS max_pk,
+       |           min(sk) AS min_sk, max(sk) AS max_sk
+       |         FROM rl GROUP BY file_id)""".stripMargin
+  }
+
+  private val zorderBox =
+    """NOT (max_pk < mx // 16 OR min_pk > 3 * mx // 16
+      |     OR max_sk < my // 16 OR min_sk > 3 * my // 16)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q236_zorder_layout" ->
+      s"""WITH $zorderCtes
+         |SELECT file_id, cnt, min_pk, max_pk, min_sk, max_sk,
+         |       $zorderBox AS scan_needed
+         |FROM manz CROSS JOIN m""".stripMargin,
+    "q237_zorder_vs_linear" ->
+      s"""WITH $zorderCtes,
+         |agg AS (SELECT
+         |    (SELECT count(*) FROM manz) AS nf,
+         |    (SELECT count(*) FROM manz CROSS JOIN m WHERE $zorderBox) AS zc,
+         |    (SELECT count(*) FROM manl CROSS JOIN m WHERE $zorderBox) AS lc)
+         |SELECT CAST(nf AS BIGINT) AS n_files, CAST(zc AS BIGINT) AS z_scanned,
+         |       CAST(lc AS BIGINT) AS linear_scanned, zc < lc AS z_better
+         |FROM agg""".stripMargin,
     "q235_pagerank" -> pagerankSql,
     "q234_fuzzy_join" ->
       """WITH names AS (SELECT min(p_partkey) AS nid, p_name FROM part
