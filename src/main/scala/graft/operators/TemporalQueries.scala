@@ -12,6 +12,36 @@ object TemporalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // Ordered conversion funnel view → click → purchase with a 1-hour
+    // per-step window: K user-keyed joins against a monotonically
+    // shrinking qualified set — no windows, no per-user sorting.
+    "q238_funnel" -> ((s, d) =>
+      UserJourneys.funnel(t(s, d, "events"), "user_id", "ts",
+        Seq("view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")),
+        windowNs = 3600L * 1000 * 1000 * 1000)),
+    // Cohort retention: users bucketed by first-active day, counted
+    // again on each of the next 7 days they return.
+    "q239_cohort_retention" -> ((s, d) =>
+      UserJourneys.cohortRetention(t(s, d, "events"), "user_id", "ts",
+        dayNs = 86400L * 1000 * 1000 * 1000, maxK = 7)),
+    // Change capture → SCD Type 2: each user's event-type stream
+    // collapsed to its change points with effective [from, to) ranges
+    // (to = null for the current state) — the dimension-history build
+    // a lakehouse MERGE pipeline maintains.
+    "q240_scd2_states" -> ((s, d) =>
+      UserJourneys.scd2States(t(s, d, "events"), "user_id", "ts",
+        "event_type", "event_id")),
+    // k-anonymity audit over the (event_type, value-bucket) quasi-
+    // identifier: groups reaching fewer than 10 distinct users are
+    // re-identification risks a privacy gate must suppress.
+    "q241_k_anonymity" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 5).cast("long").as("vb"))
+        .agg(countDistinct(col("user_id")).as("users"))
+        .withColumn("k_ok", col("users") >= 10)),
     // For each click, the user's most recent purchase at or before it.
     "q27_asof_join" -> ((s, d) => {
       val e = t(s, d, "events")
@@ -184,6 +214,46 @@ object TemporalQueries {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q238_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t
+        |        AND epoch_ns(e.ts) <= v.t + 3600000000000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t
+        |        AND epoch_ns(e.ts) <= c.t + 3600000000000
+        |      GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+        |       count(*) AS users FROM v
+        |UNION ALL SELECT 2, 'click', count(*) FROM c
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
+    "q239_cohort_retention" ->
+      """WITH dg AS (SELECT DISTINCT user_id AS u,
+        |              epoch_ns(ts) // 86400000000000 AS d FROM events),
+        |ch AS (SELECT u, min(d) AS cohort_day FROM dg GROUP BY u)
+        |SELECT cohort_day, d - cohort_day AS k, count(DISTINCT u) AS users
+        |FROM dg JOIN ch USING (u)
+        |WHERE d - cohort_day <= 7 GROUP BY cohort_day, k""".stripMargin,
+    "q240_scd2_states" ->
+      """WITH w AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS prev
+        | FROM events),
+        |ch AS (SELECT user_id, event_type, t, event_id FROM w
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, t AS valid_from,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+        |    AS valid_to
+        |FROM ch""".stripMargin,
+    "q241_k_anonymity" ->
+      """SELECT event_type, CAST(floor(value / 5) AS BIGINT) AS vb,
+        | count(DISTINCT user_id) AS users,
+        | count(DISTINCT user_id) >= 10 AS k_ok
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // Mirrors AsOfJoin.asOf's union+window shape INCLUDING its
     // deterministic tie-break (at equal ts: purchases before clicks,
     // greatest purchase event_id wins) — DuckDB's native ASOF JOIN
