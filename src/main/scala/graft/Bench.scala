@@ -131,7 +131,8 @@ object Bench {
       "q168_sealed_manifest", "q169_sealed_repair", "q177_sealed_append",
       "q181_unigram_saved", "q200_video_keep_one_store",
       "q201_audio_keep_one_store", "q205_media_store_incr",
-      "q206_ivf2_saved")
+      "q206_ivf2_saved", "q227_image_keep_one_store",
+      "q228_kmv_stream", "q233_cms_stream", "q243_hist_stream")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

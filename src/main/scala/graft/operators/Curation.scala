@@ -204,6 +204,33 @@ object Curation {
       .filter(col("src_rank") <= maxDocs)
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+    * priority sampling): every row draws a deterministic exponential
+    * variate e = -ln(u) from its salted hash and the k rows with
+    * smallest e/weight win — equivalent to keeping the k largest
+    * u^(1/w) keys, the classic one-pass weighted reservoir. The
+    * quality-weighted subsampling primitive: "take 1M documents,
+    * proportional to quality score, no duplicates, reproducibly".
+    *
+    * Determinism across engines: u = (hash48+1)/2^48 (exact
+    * power-of-two divide), and e is fixed-pointed at 1e6 BEFORE the
+    * weight divide so libm last-ulp noise cannot reorder priorities;
+    * ties (quantization collisions) break on the id. The selection is
+    * top-k by a computed column — TakeOrderedAndProject, per-partition
+    * heaps, no global sort. Output: input columns + `priority`. */
+  def weightedSample(df: DataFrame, idCol: String, wCol: String, k: Int,
+                     salt: String = "ws"): DataFrame = {
+    require(k >= 1)
+    val u = (Sketches.hash48(concat(col(idCol).cast("string"),
+      lit("|" + salt))) + 1).cast("double") /
+      lit(Sketches.Hash48Max.toDouble)
+    df.withColumn("__efp", round(-log(u) * 1e6).cast("long"))
+      .withColumn("priority", expr(s"__efp * 1000000L div $wCol"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+      .drop("__efp")
+  }
+
   /** [[capPerSource]] shaped for the pathologically hot source — the
     * shuffle-feasible EXACT form (same output, spec-pinned), replacing
     * the approximation [[capPerSource]]'s docs point to. Ranking goes

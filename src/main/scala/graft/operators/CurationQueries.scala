@@ -102,6 +102,14 @@ object CurationQueries {
     })).toMap
 
   val queries: Map[String, Q] = Map(
+    // Weighted sampling without replacement: 100 documents drawn
+    // proportional to n_chars via deterministic Efraimidis–Spirakis
+    // priorities (fixed-point exponential variates — the oracle
+    // reproduces every priority and the exact winning set).
+    "q242_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)),
     // Corpus snapshot diff — the dataset-versioning primitive: two
     // releases compared by doc_id + content FINGERPRINT (md5 — never
     // the text itself crosses the join), classified added / removed /
@@ -761,6 +769,15 @@ object CurationQueries {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q242_weighted_sample" ->
+      """WITH pr AS (SELECT doc_id, source, n_chars,
+        |  CAST(round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 12))::BIGINT + 1)
+        |    / 281474976710656.0) * 1000000) AS BIGINT) AS efp
+        | FROM documents),
+        |sc AS (SELECT doc_id, source, n_chars,
+        |         efp * 1000000 // n_chars AS priority FROM pr)
+        |SELECT doc_id, source, n_chars, priority
+        |FROM sc ORDER BY priority, doc_id LIMIT 100""".stripMargin,
     "q220_snapshot_diff" ->
       """WITH old AS (SELECT doc_id, source AS src_old, md5(text) AS fp_old
         |            FROM documents WHERE doc_id % 11 <> 0),

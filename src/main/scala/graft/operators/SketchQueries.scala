@@ -250,6 +250,26 @@ object SketchQueries {
       histQuantileReport(s, d, merged)
     }),
 
+    // The STREAMING histogram fold (StreamingSketch.processHistBatch)
+    // over 5 batches PLUS a replay of batch 2 — the third linear
+    // sketch on the ledgered-fold sink discipline (data cells at
+    // bucket ≥ 0, ledger sentinels at -1-batchId, one commit). Final
+    // cells feed the q213 quantile report — its oracle VERBATIM.
+    "q243_hist_stream" -> ((s, d) => {
+      val table = "graft_hist_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val base = docs(s, d)
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingSketch.processHistBatch(
+          base.filter(col("doc_id") % 5 === b), "n_chars",
+          HistWidth, table, b.toLong)
+      }
+      graft.streaming.StreamingSketch.processHistBatch(
+        base.filter(col("doc_id") % 5 === 2), "n_chars",
+        HistWidth, table, 2L)
+      histQuantileReport(s, d, s.table(table).filter(col("bucket") >= 0L))
+    }),
+
     // Histogram quantiles: a width-64 fixed grid over n_chars (cells
     // merge by sum — the per-partition / per-day rollup state) whose
     // estimate provably lands within one bucket width ABOVE the
@@ -348,6 +368,9 @@ object SketchQueries {
     // the rollup must be indistinguishable from the direct histogram —
     // merge associativity through the gate, q213's oracle verbatim
     "q230_hist_rollup" -> histSql,
+    // and the streamed fold with a replayed batch skipped by the
+    // ledger — q213's oracle verbatim
+    "q243_hist_stream" -> histSql,
 
     "q229_cms_drift" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -64,6 +64,48 @@ object StreamingSketch {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Start the histogram fold sink: per-batch fixed-grid histograms
+    * fold into a standing cells table (quantile state at any rate). */
+  def histSink(docs: DataFrame, valCol: String, width: Int,
+               table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processHistBatch(batch, valCol, width, table, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch's histogram fold — the same linear-merge shape
+    * as [[processCmsBatch]] (cell-wise sum, replay double-counts), so
+    * the same in-table ledger discipline: data cells keep the
+    * histogram's bucket ≥ 0 contract (non-negative values), and
+    * ledger sentinels live at bucket = -1 - batchId. One table
+    * overwrite commits state + ledger together. */
+  def processHistBatch(batch: DataFrame, valCol: String, width: Int,
+                       table: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val bs = Sketches.histogram(batch.select(col(valCol)), valCol, width)
+    val exists = spark.catalog.tableExists(table)
+    if (!exists) graft.operators.Bucketing.dropManagedTable(spark, table)
+    val merged =
+      if (exists) {
+        val prior = spark.table(table)
+        if (!prior.filter(col("bucket") === -1L - batchId).isEmpty)
+          return // replay: already folded
+        prior.filter(col("bucket") >= 0L).unionByName(bs)
+          .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+          .unionByName(prior.filter(col("bucket") < 0L))
+      } else bs
+    merged
+      .unionByName(spark.range(1).select(lit(-1L - batchId).as("bucket"),
+        lit(1L).as("cnt")))
+      .localCheckpoint(true).write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Start the Count-Min fold sink: per-batch token frequencies fold
     * into a standing depth·width-cell sketch table. */
   def cmsSink(docs: DataFrame, textCol: String, depth: Int, width: Int,

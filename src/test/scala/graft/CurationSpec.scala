@@ -943,4 +943,23 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("weightedSample: selection tracks weight (9:1 weights give ~90% " +
+    "heavy picks), without replacement, deterministic, heap-planned") {
+    val df = (0L until 10000L).map(i => (i, if (i % 2 == 0) 9L else 1L))
+      .toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", 1000)
+    val rows = got.collect()
+    val heavy = rows.count(_.getLong(1) == 9L)
+    // E[heavy fraction] = 9/10 per E-S draw; the fixed hash makes the
+    // realized count a constant — the band just documents the law
+    assert(heavy >= 850 && heavy <= 950, s"heavy=$heavy")
+    assert(rows.map(_.getLong(0)).distinct.length == 1000)
+    // reproducible: same seed, same winners
+    assert(Curation.weightedSample(df, "id", "w", 1000)
+      .collect().map(_.getLong(0)).toSet == rows.map(_.getLong(0)).toSet)
+    // top-k by computed priority plans as TakeOrdered, not a global sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
