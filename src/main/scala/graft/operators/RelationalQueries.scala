@@ -418,7 +418,50 @@ object RelationalQueries {
         (col("z_scanned") < col("linear_scanned")).as("z_better"))
   }
 
+  /** Append-then-reoptimize over the z-order layout — the lakehouse
+    * ingest cycle: a batch lands as its OWN z-run of new files on the
+    * standing grid (quantStats shared, or z-values wouldn't be
+    * comparable), pruning degrades but stays LOSSLESS (covered ==
+    * total box rows, the manifest-bound guarantee), and a re-optimize
+    * at equal file count restores it. One row of evidence. */
+  private def q244ZOrderAppend(s: SparkSession, d: String): DataFrame = {
+    val li = liKeys(s, d)
+    val stats = ZOrder.quantStats(li, "pk", "sk")
+    val old = li.filter(col("k") % 5 =!= 0)
+    val batch = li.filter(col("k") % 5 === 0)
+    val appended = ZOrder.assignFilesWith(old, stats, "pk", "sk", "k",
+        targetFiles = 64)
+      .unionByName(ZOrder.assignFilesWith(batch, stats, "pk", "sk", "k",
+          targetFiles = 16)
+        .withColumn("file_id", col("file_id") + 64))
+    val reopt = ZOrder.assignFilesWith(li, stats, "pk", "sk", "k",
+      targetFiles = 80)
+    val m = liMaxes(li)
+    def needed(man: DataFrame) = man.crossJoin(broadcast(m))
+      .filter(boxNeeded).select(col("file_id"))
+    val manA = ZOrder.manifest(appended, "pk", "sk")
+    val boxRow = col("pk") >= expr("mx div 16") &&
+      col("pk") <= expr("3 * mx div 16") &&
+      col("sk") >= expr("my div 16") && col("sk") <= expr("3 * my div 16")
+    val scannedA = needed(manA).agg(count(lit(1)).as("scanned_appended"))
+    val scannedR = needed(ZOrder.manifest(reopt, "pk", "sk"))
+      .agg(count(lit(1)).as("scanned_reopt"))
+    val boxTotal = li.crossJoin(broadcast(m)).filter(boxRow)
+      .agg(count(lit(1)).as("box_rows"))
+    val covered = appended.join(needed(manA), Seq("file_id"))
+      .crossJoin(broadcast(m)).filter(boxRow)
+      .agg(count(lit(1)).as("covered_rows"))
+    manA.agg(count(lit(1)).as("n_files"))
+      .crossJoin(scannedA).crossJoin(scannedR)
+      .crossJoin(boxTotal).crossJoin(covered)
+      .select(col("n_files"), col("scanned_appended"), col("scanned_reopt"),
+        col("box_rows"), col("covered_rows"),
+        (col("covered_rows") === col("box_rows")).as("covered_ok"),
+        (col("scanned_reopt") <= col("scanned_appended")).as("reopt_no_worse"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q244_zorder_append" -> q244ZOrderAppend,
     "q236_zorder_layout" -> q236ZOrderLayout,
     "q237_zorder_vs_linear" -> q237ZOrderVsLinear,
     "q235_pagerank" -> q235PageRank,
@@ -507,7 +550,51 @@ object RelationalQueries {
     """NOT (max_pk < mx // 16 OR min_pk > 3 * mx // 16
       |     OR max_sk < my // 16 OR min_sk > 3 * my // 16)""".stripMargin
 
+  /** q244's oracle: the appended (standing-64 + batch-16 runs on the
+    * shared grid) and re-optimized (80-file) layouts, their manifests,
+    * and the box-coverage proof. */
+  private lazy val zorderAppendSql: String = {
+    def rank(src: String, files: Int, offset: Int) =
+      s"""SELECT pk, sk, (row_number() OVER
+         |    (ORDER BY zval * 4294967296 + k) - 1)
+         |    // ((count(*) OVER () + ${files - 1}) // $files) + $offset
+         |    AS file_id FROM $src"""
+    def man(src: String) =
+      s"""SELECT file_id, min(pk) AS min_pk, max(pk) AS max_pk,
+         |  min(sk) AS min_sk, max(sk) AS max_sk FROM $src GROUP BY 1"""
+    s"""WITH $zorderCtes,
+       |zo AS (SELECT * FROM z WHERE k % 5 <> 0),
+       |zb AS (SELECT * FROM z WHERE k % 5 = 0),
+       |app AS (${rank("zo", 64, 0)}
+       |        UNION ALL ${rank("zb", 16, 64)}),
+       |rr AS (${rank("z", 80, 0)}),
+       |mana AS (${man("app")}),
+       |manr AS (${man("rr")}),
+       |neda AS (SELECT file_id FROM mana CROSS JOIN m WHERE $zorderBox),
+       |nedr AS (SELECT file_id FROM manr CROSS JOIN m WHERE $zorderBox),
+       |boxr AS (SELECT count(*) AS box_rows FROM z CROSS JOIN m
+       |         WHERE pk >= mx // 16 AND pk <= 3 * mx // 16
+       |           AND sk >= my // 16 AND sk <= 3 * my // 16),
+       |cov AS (SELECT count(*) AS covered_rows
+       |        FROM app JOIN neda USING (file_id) CROSS JOIN m
+       |        WHERE pk >= mx // 16 AND pk <= 3 * mx // 16
+       |          AND sk >= my // 16 AND sk <= 3 * my // 16),
+       |agg AS (SELECT (SELECT count(*) FROM mana) AS nf,
+       |          (SELECT count(*) FROM neda) AS sa,
+       |          (SELECT count(*) FROM nedr) AS sr,
+       |          (SELECT box_rows FROM boxr) AS br,
+       |          (SELECT covered_rows FROM cov) AS cr)
+       |SELECT CAST(nf AS BIGINT) AS n_files,
+       |       CAST(sa AS BIGINT) AS scanned_appended,
+       |       CAST(sr AS BIGINT) AS scanned_reopt,
+       |       CAST(br AS BIGINT) AS box_rows,
+       |       CAST(cr AS BIGINT) AS covered_rows,
+       |       cr = br AS covered_ok, sr <= sa AS reopt_no_worse
+       |FROM agg""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q244_zorder_append" -> zorderAppendSql,
     "q236_zorder_layout" ->
       s"""WITH $zorderCtes
          |SELECT file_id, cnt, min_pk, max_pk, min_sk, max_sk,

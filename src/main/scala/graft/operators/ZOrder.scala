@@ -38,17 +38,30 @@ object ZOrder {
     * input columns + (zval, file_id). */
   def assignFiles(df: DataFrame, xCol: String, yCol: String,
                   keyCol: String, bits: Int = 10,
-                  targetFiles: Int = 64): DataFrame = {
+                  targetFiles: Int = 64): DataFrame =
+    assignFilesWith(df, quantStats(df, xCol, yCol), xCol, yCol, keyCol,
+      bits, targetFiles)
+
+  /** The quantization grid: 1-row (__mx, __my) = (max_x+1, max_y+1).
+    * Compute it ONCE over the standing corpus and pass it to
+    * [[assignFilesWith]] for every subsequent batch — appended rows
+    * must land on the SAME grid or their z-values aren't comparable
+    * with the standing layout's (q244 exercises this contract). */
+  def quantStats(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.agg((max(col(xCol)) + 1).cast("long").as("__mx"),
+      (max(col(yCol)) + 1).cast("long").as("__my"))
+
+  /** [[assignFiles]] against an explicit quantization grid. */
+  def assignFilesWith(df: DataFrame, stats: DataFrame, xCol: String,
+                      yCol: String, keyCol: String, bits: Int = 10,
+                      targetFiles: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 15, s"bits out of range: $bits")
     val scale = 1L << bits
-    val m = df.agg((max(col(xCol)) + 1).cast("long").as("__mx"),
-      (max(col(yCol)) + 1).cast("long").as("__my"),
-      count(lit(1)).as("__n"))
-    val z = df.crossJoin(broadcast(m))
+    val z = df.crossJoin(broadcast(stats))
       .withColumn("__qx", expr(s"$xCol * ${scale}L div __mx"))
       .withColumn("__qy", expr(s"$yCol * ${scale}L div __my"))
       .withColumn("zval", interleaveBits(col("__qx"), col("__qy"), bits))
-      .drop("__qx", "__qy", "__mx", "__my", "__n")
+      .drop("__qx", "__qy", "__mx", "__my")
     assignFilesByRank(z, shiftleft(col("zval"), 32) + col(keyCol),
       targetFiles)
   }
