@@ -75,4 +75,59 @@ object FuzzyJoin {
         col("__b.__rid").as(rightId), col("__b.__rtext").as(rightText),
         col("__b.__dist").cast("long").as("dist"))
   }
+
+  /** EXACT Jaccard-threshold set-similarity self-join via prefix
+    * filtering (the PPJoin candidate rule) — every pair with token-set
+    * Jaccard ≥ `thresholdPct`/100, guaranteed complete, without the
+    * all-pairs join and without MinHash's false negatives.
+    *
+    * The rule: order each set's tokens by global rarity (document
+    * frequency asc, token asc) and keep only the PREFIX of length
+    * n − ⌈t·n⌉ + 1. J(a,b) ≥ t implies |a∩b| ≥ ⌈t·|a|⌉ (the union is
+    * at least |a|), and a pair sharing no prefix token of `a` can
+    * share at most ⌈t·|a|⌉ − 1 tokens — contradiction, so candidates
+    * from a prefix-token equi-join are COMPLETE. Survivors get their
+    * exact overlap counted and the integer-exact test
+    * `ov·100 ≥ un·thresholdPct` — no doubles anywhere.
+    *
+    * Scale shape: the candidate join fans out per token as prefix-df²
+    * — and a globally hot token ranks LAST by rarity, so it falls out
+    * of every large set's prefix; the quadratic mass that kills a
+    * naive shared-token join is excluded by construction rather than
+    * capped (this operator trades the LSH family's hot-bucket cap for
+    * an exactness guarantee). Input: a DISTINCT (id, token) set table.
+    * Output: (id_a, id_b, ov, un), qualifying pairs only. */
+  def jaccardJoinPrefix(tokens: DataFrame, idCol: String, tokCol: String,
+                        thresholdPct: Int): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100)
+    val dt = tokens.select(col(idCol).as("__id"), col(tokCol).as("__tok"))
+    val sizes = dt.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val dfreq = dt.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__df"), col("__tok"))
+    val prefix = dt.join(dfreq, Seq("__tok"))
+      .withColumn("__rk", row_number().over(wRank))
+      .join(sizes, Seq("__id"))
+      .filter(col("__rk") <=
+        col("__n") - expr(s"($thresholdPct * __n + 99) div 100") + 1)
+      .select(col("__tok"), col("__id"))
+    val cand = prefix.select(col("__tok"), col("__id").as("__ia"))
+      .join(prefix.select(col("__tok"), col("__id").as("__ib")),
+        Seq("__tok"))
+      .filter(col("__ia") < col("__ib"))
+      .select(col("__ia"), col("__ib")).distinct()
+    val ov = cand
+      .join(dt.select(col("__id").as("__ia"), col("__tok")), Seq("__ia"))
+      .join(dt.select(col("__id").as("__ib"), col("__tok")),
+        Seq("__ib", "__tok"))
+      .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("ov"))
+    ov.join(sizes.select(col("__id").as("__ia"), col("__n").as("__na")),
+        Seq("__ia"))
+      .join(sizes.select(col("__id").as("__ib"), col("__n").as("__nb")),
+        Seq("__ib"))
+      .withColumn("un", col("__na") + col("__nb") - col("ov"))
+      .filter(col("ov") * 100 >= col("un") * thresholdPct)
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"),
+        col("ov"), col("un"))
+  }
 }

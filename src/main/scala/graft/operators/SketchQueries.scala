@@ -236,6 +236,33 @@ object SketchQueries {
           (col("l1_sketch_x") <= col("l1_exact_x")).as("lower_bound_ok"))
     }),
 
+    // Join-SIZE estimation from sketches alone — the query-optimizer
+    // statistic: |old ⋈ new on token| = Σ_w c_old(w)·c_new(w), and the
+    // CMS inner product Σ_bucket co·cn per row UPPER-BOUNDS it (every
+    // true pair collides into the same cell; hash collisions only
+    // add), so min over rows is the classic estimate. Exact side is
+    // the verification column; both integer-exact through the gate.
+    "q245_cms_join_size" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+        explode(tokens(col("text"))).as("w"))
+      def tf(p: DataFrame) = p.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val oldTf = tf(tok.filter(col("doc_id") % 5 =!= 0))
+      val newTf = tf(tok.filter(col("doc_id") % 5 === 0))
+      def sk(t: DataFrame, as: String) =
+        Sketches.cmsSketch(t, "w", "c", CmsDepth, CmsWidth)
+          .select(col("row"), col("bucket"), col("cell").as(as))
+      val est = sk(oldTf, "co").join(sk(newTf, "cn"), Seq("row", "bucket"))
+        .groupBy(col("row")).agg(sum(col("co") * col("cn")).as("e"))
+        .agg(min(col("e")).as("cms_join_est"))
+      val exact = oldTf.select(col("w"), col("c").as("co"))
+        .join(newTf.select(col("w"), col("c").as("cn")), Seq("w"))
+        .agg(coalesce(sum(col("co") * col("cn")), lit(0L))
+          .as("exact_join_size"))
+      exact.crossJoin(est)
+        .select(col("exact_join_size"), col("cms_join_est"),
+          (col("cms_join_est") >= col("exact_join_size")).as("over_ok"))
+    }),
+
     // Per-source histogram ROLLUP: source-level histograms merged by
     // cell-wise sum, then the q213 quantile report over the MERGED
     // cells — while the oracle computes the report from the global
@@ -371,6 +398,30 @@ object SketchQueries {
     // and the streamed fold with a replayed batch skipped by the
     // ledger — q213's oracle verbatim
     "q243_hist_stream" -> histSql,
+
+    "q245_cms_join_size" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |otf AS (SELECT w, count(*)::BIGINT AS c FROM tok
+         |        WHERE doc_id % 5 <> 0 GROUP BY w),
+         |ntf AS (SELECT w, count(*)::BIGINT AS c FROM tok
+         |        WHERE doc_id % 5 = 0 GROUP BY w),
+         |rs AS (SELECT unnest(range($CmsDepth)) AS r),
+         |oc AS (SELECT r, ${h48Sql("r::VARCHAR || '|' || w")} % $CmsWidth
+         |         AS bucket, CAST(sum(c) AS BIGINT) AS co
+         |       FROM otf CROSS JOIN rs GROUP BY r, bucket),
+         |nc AS (SELECT r, ${h48Sql("r::VARCHAR || '|' || w")} % $CmsWidth
+         |         AS bucket, CAST(sum(c) AS BIGINT) AS cn
+         |       FROM ntf CROSS JOIN rs GROUP BY r, bucket),
+         |est AS (SELECT min(e) AS cms_join_est FROM (
+         |          SELECT r, CAST(sum(co * cn) AS BIGINT) AS e
+         |          FROM oc JOIN nc USING (r, bucket) GROUP BY r)),
+         |ex AS (SELECT CAST(coalesce(sum(otf.c * ntf.c), 0) AS BIGINT)
+         |         AS exact_join_size
+         |       FROM otf JOIN ntf USING (w))
+         |SELECT ex.exact_join_size, est.cms_join_est,
+         |       est.cms_join_est >= ex.exact_join_size AS over_ok
+         |FROM ex CROSS JOIN est""".stripMargin,
 
     "q229_cms_drift" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

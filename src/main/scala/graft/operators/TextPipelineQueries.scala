@@ -437,6 +437,18 @@ object TextPipelineQueries {
       Dedup.contamination(doc.filter(col("doc_id") >= 20), "doc_id", "text",
         doc.filter(col("doc_id") < 20), "text", 3)
     }),
+    // EXACT Jaccard ≥ 0.5 set-similarity self-join over 3-gram
+    // shingle sets via prefix filtering (PPJoin candidate rule):
+    // complete by construction — no MinHash false negatives — with
+    // quadratic hot-token mass excluded because hot tokens rank out
+    // of every prefix. The oracle is the BRUTE-FORCE all-pairs join,
+    // so the gate proves candidate completeness, not just precision.
+    "q246_jaccard_prefix_join" -> ((s, d) => {
+      val sh = docs(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("tok"))
+        .distinct()
+      FuzzyJoin.jaccardJoinPrefix(sh, "doc_id", "tok", 50)
+    }),
     // The same decontamination through the Bloom CASCADE — the path a
     // reference set too big to broadcast takes at 100 TB (multi-
     // benchmark unions, train-vs-everything sweeps): broadcast Bloom
@@ -1798,6 +1810,22 @@ object TextPipelineQueries {
     // the Bloom cascade must be LOSSLESS (no false negatives + exact
     // confirm) — q46's oracle verbatim proves it through the gate
     "q231_decontam_bloom" -> decontamSql,
+    // brute-force all-pairs — equality proves the prefix-filter
+    // candidates were complete
+    "q246_jaccard_prefix_join" ->
+      s"""WITH $shCte,
+         |dt AS (SELECT DISTINCT doc_id, shingle AS tok FROM sh),
+         |n AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY doc_id),
+         |iv AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ov
+         |       FROM dt a JOIN dt b
+         |         ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |j AS (SELECT ia, ib, ov, na.n + nb.n - ov AS un
+         |      FROM iv JOIN n na ON iv.ia = na.doc_id
+         |      JOIN n nb ON iv.ib = nb.doc_id)
+         |SELECT ia AS id_a, ib AS id_b, CAST(ov AS BIGINT) AS ov,
+         |       CAST(un AS BIGINT) AS un
+         |FROM j WHERE ov * 100 >= un * 50""".stripMargin,
     "q84_split_leakage" ->
       s"""WITH $shCte,
          |spl AS (SELECT doc_id,
