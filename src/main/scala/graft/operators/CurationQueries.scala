@@ -102,6 +102,16 @@ object CurationQueries {
     })).toMap
 
   val queries: Map[String, Q] = Map(
+    // Poisson-bootstrap confidence interval for the corpus mean
+    // n_chars: 40 deterministic resamples where each doc's per-replica
+    // multiplicity comes from its hash against the Pois(1) CDF — no
+    // index-lookup resampling join, the bootstrap that works at 10^12
+    // rows. Interval = type-1 p10/p90 of the replica means, all
+    // fixed-point integers through the gate.
+    "q247_bootstrap_ci" -> ((s, d) =>
+      Bootstrap.poissonCi(
+        docs(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars")),
     // Weighted sampling without replacement: 100 documents drawn
     // proportional to n_chars via deterministic Efraimidis–Spirakis
     // priorities (fixed-point exponential variates — the oracle
@@ -769,6 +779,25 @@ object CurationQueries {
       |  FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q247_bootstrap_ci" -> {
+      val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|bs|' || " +
+        "CAST(bb AS VARCHAR)), 1, 12))::BIGINT"
+      s"""WITH b AS (SELECT unnest(range(40)) AS bb),
+         |w AS (SELECT doc_id, n_chars, bb,
+         |        ${Bootstrap.weightSql(h)} AS w
+         |      FROM documents CROSS JOIN b),
+         |m AS (SELECT bb, CAST(sum(w * n_chars) AS BIGINT) * 10000
+         |        // CAST(sum(w) AS BIGINT) AS mean_fp
+         |      FROM w GROUP BY bb),
+         |r AS (SELECT mean_fp, row_number() OVER (ORDER BY mean_fp, bb)
+         |        AS rk FROM m),
+         |p AS (SELECT CAST(sum(n_chars) AS BIGINT) * 10000 // count(*)
+         |        AS point_mean_fp FROM documents)
+         |SELECT p.point_mean_fp,
+         |  (SELECT mean_fp FROM r WHERE rk = 4) AS ci_lo_fp,
+         |  (SELECT mean_fp FROM r WHERE rk = 36) AS ci_hi_fp
+         |FROM p""".stripMargin
+    },
     "q242_weighted_sample" ->
       """WITH pr AS (SELECT doc_id, source, n_chars,
         |  CAST(round(-ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 12))::BIGINT + 1)

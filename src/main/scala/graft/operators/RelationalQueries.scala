@@ -460,7 +460,39 @@ object RelationalQueries {
         (col("scanned_reopt") <= col("scanned_appended")).as("reopt_no_worse"))
   }
 
+  /** Referential-integrity audit across the whole star schema: for
+    * every foreign-key edge, the child row count and the orphan count
+    * (children whose key matches no parent). One left-anti pass per
+    * edge — AQE broadcasts the small parents; at scale the parent key
+    * set is Bloom-prunable exactly like q231's reference side. The
+    * data-quality sweep an ingest pipeline runs before publishing. */
+  private def q248FkAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(fk: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child.agg(count(lit(1)).as("n_child")).crossJoin(orphans)
+        .select(lit(fk).as("fk"), col("n_child"), col("n_orphans"),
+          (col("n_orphans") === 0L).as("ok"))
+    }
+    val li = t(s, d, "lineitem"); val or = t(s, d, "orders")
+    val cu = t(s, d, "customer"); val su = t(s, d, "supplier")
+    val pa = t(s, d, "part"); val na = t(s, d, "nation")
+    val re = t(s, d, "region")
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", or, "o_orderkey"),
+      edge("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"),
+      edge("orders.o_custkey->customer", or, "o_custkey", cu, "c_custkey"),
+      edge("customer.c_nationkey->nation", cu, "c_nationkey", na, "n_nationkey"),
+      edge("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey"),
+      edge("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey"))
+      .reduce(_ unionByName _)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q248_fk_audit" -> q248FkAudit,
     "q244_zorder_append" -> q244ZOrderAppend,
     "q236_zorder_layout" -> q236ZOrderLayout,
     "q237_zorder_vs_linear" -> q237ZOrderVsLinear,
@@ -593,7 +625,36 @@ object RelationalQueries {
        |FROM agg""".stripMargin
   }
 
+  private lazy val fkAuditSql: String = {
+    def edge(fk: String, child: String, ck: String,
+             parent: String, pk: String) =
+      s"""SELECT '$fk' AS fk,
+         |  (SELECT count(*) FROM $child) AS n_child,
+         |  (SELECT count(*) FROM $child c LEFT JOIN $parent p
+         |    ON c.$ck = p.$pk WHERE p.$pk IS NULL) AS n_orphans,
+         |  (SELECT count(*) FROM $child c LEFT JOIN $parent p
+         |    ON c.$ck = p.$pk WHERE p.$pk IS NULL) = 0 AS ok"""
+        .stripMargin
+    Seq(
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q248_fk_audit" -> fkAuditSql,
     "q244_zorder_append" -> zorderAppendSql,
     "q236_zorder_layout" ->
       s"""WITH $zorderCtes
