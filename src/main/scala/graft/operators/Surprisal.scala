@@ -134,6 +134,52 @@ object Surprisal {
         round(col("__s") / 10000.0 / col("n_bigrams"), 4).as("avg_nlp"))
   }
 
+  /** The S×S cross-domain affinity matrix: every source's corpus
+    * scored by mean bigram surprisal under every OTHER source's
+    * add-one-smoothed bigram LM (diagonal = self-affinity, the
+    * natural floor). The artifact that grounds mixture design:
+    * "which domains predict which" picks transfer-friendly pairs,
+    * and a row whose off-diagonal entries all blow up is an island.
+    * Same smoothing, fixed-point, and vocabulary conventions as
+    * [[refLmScore]] — one model per source instead of one.
+    *
+    * Scale shape: eval bigrams AGGREGATE to per-(source, bigram)
+    * counts before scoring (surprisal is linear in counts), so the
+    * scored table is bounded by S × bigram types, not token count;
+    * the S-fold candidate blowup (each eval bigram meets every
+    * train LM) is the honest cost of an S×S matrix and shuffles on
+    * (train, w1, w2). Output: (src_train, src_eval, n_bigrams,
+    * avg_nlp). */
+  def domainAffinity(docs: DataFrame, sourceCol: String, textCol: String,
+                     keepSources: Seq[String]): DataFrame = {
+    val b = bosBigrams(
+      docs.filter(col(sourceCol).isin(keepSources: _*)),
+      Seq(sourceCol), textCol)
+    val c2 = b.groupBy(col(sourceCol).as("src_train"), col("w1"),
+        col("w2"))
+      .agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy(col("src_train"), col("w1"))
+      .agg(sum(col("__c2")).as("__c1"))
+    val v = b.groupBy(col(sourceCol).as("src_train"))
+      .agg((countDistinct(col("w2")) + 1L).as("__v"))
+    val ev = b.groupBy(col(sourceCol).as("src_eval"), col("w1"),
+        col("w2"))
+      .agg(count(lit(1)).as("__ce"))
+    ev.crossJoin(broadcast(v.select(col("src_train"))))
+      .join(c2, Seq("src_train", "w1", "w2"), "left")
+      .join(c1, Seq("src_train", "w1"), "left")
+      .join(broadcast(v), Seq("src_train"))
+      .withColumn("__nlp", round(-log(
+        (coalesce(col("__c2"), lit(0L)) + 1L).cast("double") /
+          (coalesce(col("__c1"), lit(0L)) + col("__v"))) * 10000, 0)
+        .cast("long"))
+      .groupBy(col("src_train"), col("src_eval"))
+      .agg(sum(col("__ce")).cast("long").as("n_bigrams"),
+        sum(col("__ce") * col("__nlp")).as("__s"))
+      .select(col("src_train"), col("src_eval"), col("n_bigrams"),
+        round(col("__s") / 10000.0 / col("n_bigrams"), 4).as("avg_nlp"))
+  }
+
   /** [[refLmScore]] partitioned into the CCNet head/middle/tail
     * terciles by corpus rank of (avg_nlp, id) — the buckets a
     * pipeline samples from at different rates. Rank is the

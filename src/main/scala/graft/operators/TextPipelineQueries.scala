@@ -738,6 +738,13 @@ object TextPipelineQueries {
     // fixed-point summands (the q172/q193 rule); the tercile rank is
     // the two-phase distributed prefix sum over a sparse composite
     // key (the stableIds sampled-fallback path, through the gate).
+    // Cross-domain affinity matrix: src0–src4 each scored under each
+    // other's bigram LM (5×5 rows) — the "which domains predict
+    // which" artifact behind q209's reweighting and any transfer-
+    // aware mixture. Fixed-point summands; oracle mirrors every cell.
+    "q249_domain_affinity" -> ((s, d) =>
+      Surprisal.domainAffinity(docs(s, d), "source", "text",
+        (0 until 5).map(i => s"src$i"))),
     "q207_ref_lm_quality" -> ((s, d) => {
       val doc = docs(s, d)
       Surprisal.refLmBuckets(
@@ -2181,6 +2188,38 @@ object TextPipelineQueries {
     // the whole CCNet chain rebuilt in SQL: reference bigram counts,
     // add-one smoothing over the reference vocabulary (+1 OOV slot),
     // fixed-point surprisal summands, tercile by (avg, id) rank
+    "q249_domain_affinity" ->
+      """WITH bb0 AS (SELECT source, string_split('<s> ' || text, ' ') AS w
+        |             FROM documents
+        |             WHERE source IN ('src0','src1','src2','src3','src4')),
+        |bb AS (SELECT source, w[i] AS w1, w[i+1] AS w2 FROM bb0,
+        |       UNNEST(generate_series(1, len(w)-1)) AS u(i)
+        |       WHERE len(w[i+1]) > 0),
+        |c2 AS (SELECT source AS src_train, w1, w2, count(*)::BIGINT AS c2
+        |       FROM bb GROUP BY 1, 2, 3),
+        |c1 AS (SELECT src_train, w1, sum(c2)::BIGINT AS c1
+        |       FROM c2 GROUP BY 1, 2),
+        |v AS (SELECT source AS src_train,
+        |        count(DISTINCT w2)::BIGINT + 1 AS v FROM bb GROUP BY 1),
+        |ev AS (SELECT source AS src_eval, w1, w2, count(*)::BIGINT AS ce
+        |       FROM bb GROUP BY 1, 2, 3),
+        |cr AS (SELECT t.src_train, ev.* FROM ev
+        |       CROSS JOIN (SELECT src_train FROM v) t),
+        |sc AS (SELECT cr.src_train, cr.src_eval,
+        |         CAST(sum(ce) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(ce * CAST(round(-ln((coalesce(c2.c2, 0) + 1) /
+        |           CAST(coalesce(c1.c1, 0) + v.v AS DOUBLE)) * 10000, 0)
+        |           AS BIGINT)) AS BIGINT) AS s
+        |       FROM cr
+        |       LEFT JOIN c2 ON cr.src_train = c2.src_train
+        |         AND cr.w1 = c2.w1 AND cr.w2 = c2.w2
+        |       LEFT JOIN c1 ON cr.src_train = c1.src_train
+        |         AND cr.w1 = c1.w1
+        |       JOIN v ON cr.src_train = v.src_train
+        |       GROUP BY 1, 2)
+        |SELECT src_train, src_eval, n_bigrams,
+        |       round(s / 10000.0 / n_bigrams, 4) AS avg_nlp
+        |FROM sc""".stripMargin,
     "q207_ref_lm_quality" ->
       """WITH rb0 AS (SELECT string_split('<s> ' || text, ' ') AS w
         |             FROM documents WHERE source = 'src0'),
