@@ -134,6 +134,51 @@ object Surprisal {
         round(col("__s") / 10000.0 / col("n_bigrams"), 4).as("avg_nlp"))
   }
 
+  /** Zipf slope per source: the least-squares slope of ln(freq) vs
+    * ln(rank) over each source's token frequency spectrum — the
+    * one-number "does this source look like natural language"
+    * diagnostic (natural text ≈ −1; templated/boilerplate sources
+    * flatten, key-value noise steepens). Ranks are per-source windows
+    * over the VOCABULARY (Heaps-sublinear in corpus size, so the
+    * window partition stays far smaller than the token stream).
+    *
+    * Determinism discipline: each term's ln is quantized to 1e4 fixed
+    * point FIRST, the regression sums run as exact integers (bounded:
+    * |lnfp| ≤ 2e5, products ≤ 4e10, a 1e6-type vocabulary keeps sums
+    * under 2^62), and only the final slope is computed in doubles
+    * from those exact sums — float summation order can never move
+    * the result. Output: (source, n_types, slope). */
+  def zipfSlope(docs: DataFrame, sourceCol: String,
+                textCol: String): DataFrame = {
+    val tf = docs.select(col(sourceCol),
+        explode(split(col(textCol), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col(sourceCol), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("__c").desc, col("__w"))
+    tf.withColumn("__rk", row_number().over(w))
+      .withColumn("__x", round(log(col("__rk").cast("double")) * 10000, 0)
+        .cast("long"))
+      .withColumn("__y", round(log(col("__c").cast("double")) * 10000, 0)
+        .cast("long"))
+      .groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("source"), col("n_types"),
+        // sums are exact longs; the final combination runs in DOUBLE
+        // (n·Σxy etc. overflow 64 bits at large vocabularies) — a
+        // fixed sequence of 6 float ops, identical in both engines
+        round((col("n_types").cast("double") * col("__sxy").cast("double")
+            - col("__sx").cast("double") * col("__sy").cast("double")) /
+          (col("n_types").cast("double") * col("__sxx").cast("double")
+            - col("__sx").cast("double") * col("__sx").cast("double")),
+          4).as("slope"))
+  }
+
   /** The S×S cross-domain affinity matrix: every source's corpus
     * scored by mean bigram surprisal under every OTHER source's
     * add-one-smoothed bigram LM (diagonal = self-affinity, the

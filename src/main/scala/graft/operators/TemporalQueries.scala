@@ -33,6 +33,50 @@ object TemporalQueries {
     "q240_scd2_states" -> ((s, d) =>
       UserJourneys.scd2States(t(s, d, "events"), "user_id", "ts",
         "event_type", "event_id")),
+    // Incremental cohort retention: the (user, cohort_day, k) grid —
+    // ≤ maxK+1 rows per user, ever — folded with the last days'
+    // activity; replayed days are anti-join no-ops. == from-scratch
+    // q239, its oracle verbatim.
+    "q252_cohort_incremental" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val cut = 1706140800000000000L
+      val day = 86400L * 1000 * 1000 * 1000
+      val grid = UserJourneys.cohortGrid(e.filter(col("ts") < cut),
+        "user_id", "ts", day, 7)
+      UserJourneys.cohortCounts(UserJourneys.cohortFold(grid,
+        e.filter(col("ts") >= cut), "user_id", "ts", day, 7))
+    }),
+    // Incremental funnel: per-user step-time state (K timestamps)
+    // folded with the batch — standing times can never be beaten by
+    // later events, so gaps fill from the batch alone. ==
+    // from-scratch q238, its oracle verbatim.
+    "q253_funnel_incremental" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val cut = 1706140800000000000L
+      val steps = Seq("view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"))
+      val w = 3600L * 1000 * 1000 * 1000
+      val state = UserJourneys.funnelStates(e.filter(col("ts") < cut),
+        "user_id", "ts", steps, w)
+      UserJourneys.funnelCounts(
+        UserJourneys.funnelFold(state, e.filter(col("ts") >= cut),
+          "user_id", "ts", steps, w),
+        "user_id", steps.map(_._1))
+    }),
+    // Incremental SCD2: the standing table (first 24 days) folded
+    // with the last days' events — work ∝ batch + touched users'
+    // change rows; untouched users pass through verbatim (the
+    // trust-not-recompute spec corrupts one to prove it). Output ==
+    // from-scratch q240, its oracle verbatim.
+    "q251_scd2_incremental" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val cut = 1706140800000000000L // 2024-01-25T00:00Z as epoch ns
+      val standing = UserJourneys.scd2States(e.filter(col("ts") < cut),
+        "user_id", "ts", "event_type", "event_id")
+      UserJourneys.scd2Fold(standing, e.filter(col("ts") >= cut),
+        "user_id", "ts", "event_type", "event_id")
+    }),
     // k-anonymity audit over the (event_type, value-bucket) quasi-
     // identifier: groups reaching fewer than 10 distinct users are
     // re-identification risks a privacy gate must suppress.
@@ -213,42 +257,60 @@ object TemporalQueries {
         .select(col("event_id"), col("purchase_event_id"))
     }))
 
+  /** q238's oracle — and q253's VERBATIM. */
+  private lazy val funnelSql: String =
+    """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+      |           WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+      |      FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t
+      |        AND epoch_ns(e.ts) <= v.t + 3600000000000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+      |      FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t
+      |        AND epoch_ns(e.ts) <= c.t + 3600000000000
+      |      GROUP BY e.user_id)
+      |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+      |       count(*) AS users FROM v
+      |UNION ALL SELECT 2, 'click', count(*) FROM c
+      |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin
+
+  /** q239's oracle — and q252's VERBATIM. */
+  private lazy val cohortSql: String =
+    """WITH dg AS (SELECT DISTINCT user_id AS u,
+      |              epoch_ns(ts) // 86400000000000 AS d FROM events),
+      |ch AS (SELECT u, min(d) AS cohort_day FROM dg GROUP BY u)
+      |SELECT cohort_day, d - cohort_day AS k, count(DISTINCT u) AS users
+      |FROM dg JOIN ch USING (u)
+      |WHERE d - cohort_day <= 7 GROUP BY cohort_day, k""".stripMargin
+
+  /** q240's oracle — and q251's VERBATIM (the invariant pattern: the
+    * incremental SCD2 fold must equal the from-scratch build). */
+  private lazy val scd2Sql: String =
+    """WITH w AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
+      |  lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_ns(ts), event_id) AS prev
+      | FROM events),
+      |ch AS (SELECT user_id, event_type, t, event_id FROM w
+      |       WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type, t AS valid_from,
+      |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+      |    AS valid_to, event_id
+      |FROM ch""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "q238_funnel" ->
-      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
-        |           WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
-        |      FROM events e JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND epoch_ns(e.ts) >= v.t
-        |        AND epoch_ns(e.ts) <= v.t + 3600000000000
-        |      GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
-        |      FROM events e JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= c.t
-        |        AND epoch_ns(e.ts) <= c.t + 3600000000000
-        |      GROUP BY e.user_id)
-        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
-        |       count(*) AS users FROM v
-        |UNION ALL SELECT 2, 'click', count(*) FROM c
-        |UNION ALL SELECT 3, 'purchase', count(*) FROM p""".stripMargin,
-    "q239_cohort_retention" ->
-      """WITH dg AS (SELECT DISTINCT user_id AS u,
-        |              epoch_ns(ts) // 86400000000000 AS d FROM events),
-        |ch AS (SELECT u, min(d) AS cohort_day FROM dg GROUP BY u)
-        |SELECT cohort_day, d - cohort_day AS k, count(DISTINCT u) AS users
-        |FROM dg JOIN ch USING (u)
-        |WHERE d - cohort_day <= 7 GROUP BY cohort_day, k""".stripMargin,
-    "q240_scd2_states" ->
-      """WITH w AS (SELECT user_id, event_type, epoch_ns(ts) AS t, event_id,
-        |  lag(event_type) OVER (PARTITION BY user_id
-        |    ORDER BY epoch_ns(ts), event_id) AS prev
-        | FROM events),
-        |ch AS (SELECT user_id, event_type, t, event_id FROM w
-        |       WHERE prev IS NULL OR prev <> event_type)
-        |SELECT user_id, event_type, t AS valid_from,
-        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
-        |    AS valid_to
-        |FROM ch""".stripMargin,
+    "q238_funnel" -> funnelSql,
+    // the per-user-state fold must be indistinguishable from
+    // from-scratch — q238's oracle verbatim
+    "q253_funnel_incremental" -> funnelSql,
+    "q239_cohort_retention" -> cohortSql,
+    // grid fold == from-scratch — q239's oracle verbatim
+    "q252_cohort_incremental" -> cohortSql,
+    "q240_scd2_states" -> scd2Sql,
+    // the fold over (standing change rows ∪ batch) must be
+    // indistinguishable from from-scratch — q240's oracle verbatim
+    "q251_scd2_incremental" -> scd2Sql,
     "q241_k_anonymity" ->
       """SELECT event_type, CAST(floor(value / 5) AS BIGINT) AS vb,
         | count(DISTINCT user_id) AS users,

@@ -738,6 +738,12 @@ object TextPipelineQueries {
     // fixed-point summands (the q172/q193 rule); the tercile rank is
     // the two-phase distributed prefix sum over a sparse composite
     // key (the stableIds sampled-fallback path, through the gate).
+    // Zipf slope per source: least-squares ln(freq)~ln(rank) over each
+    // source's frequency spectrum — the "does this look like natural
+    // language" one-number diagnostic. Fixed-point ln terms, exact
+    // integer sums, final slope a fixed 6-op double sequence.
+    "q250_zipf_slope" -> ((s, d) =>
+      Surprisal.zipfSlope(docs(s, d), "source", "text")),
     // Cross-domain affinity matrix: src0–src4 each scored under each
     // other's bigram LM (5×5 rows) — the "which domains predict
     // which" artifact behind q209's reweighting and any transfer-
@@ -2188,6 +2194,29 @@ object TextPipelineQueries {
     // the whole CCNet chain rebuilt in SQL: reference bigram counts,
     // add-one smoothing over the reference vocabulary (+1 OOV slot),
     // fixed-point surprisal summands, tercile by (avg, id) rank
+    "q250_zipf_slope" ->
+      """WITH tf AS (SELECT source, w, count(*)::BIGINT AS c
+        |            FROM (SELECT source,
+        |                    unnest(string_split(text, ' ')) AS w
+        |                  FROM documents) t
+        |            WHERE len(w) > 0 GROUP BY 1, 2),
+        |rk AS (SELECT source, c,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY c DESC, w) AS rk FROM tf),
+        |q AS (SELECT source,
+        |        CAST(round(ln(rk) * 10000, 0) AS BIGINT) AS x,
+        |        CAST(round(ln(c) * 10000, 0) AS BIGINT) AS y
+        |      FROM rk),
+        |sm AS (SELECT source, count(*)::BIGINT AS n,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |       FROM q GROUP BY 1)
+        |SELECT source, n AS n_types,
+        |  round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) /
+        |        (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 4)
+        |    AS slope
+        |FROM sm""".stripMargin,
     "q249_domain_affinity" ->
       """WITH bb0 AS (SELECT source, string_split('<s> ' || text, ' ') AS w
         |             FROM documents

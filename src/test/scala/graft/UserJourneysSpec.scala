@@ -32,6 +32,8 @@ class UserJourneysSpec extends AnyFunSuite {
     "each user's timeline with no gaps or overlaps") {
     val scd = UserJourneys.scd2States(events, "user_id", "ts",
       "event_type", "event_id")
+      .select(col("user_id"), col("event_type"), col("valid_from"),
+        col("valid_to"))
       .as[(Long, String, Long, Option[Long])].collect()
       .groupBy(_._1).map { case (u, rs) => u -> rs.sortBy(_._3) }
     scd.values.foreach { rs =>
@@ -50,6 +52,36 @@ class UserJourneysSpec extends AnyFunSuite {
       assert(covering.map(_._2).distinct.toSeq == Seq(tpe),
         s"user $u ts $ts: $covering vs $tpe")
     }
+  }
+
+  test("scd2Fold == from-scratch, and untouched users PASS THROUGH " +
+    "rather than being recomputed (a corrupted standing row survives " +
+    "the fold — recomputation could never reproduce it)") {
+    val cut = 1706140800000000000L
+    val standing = UserJourneys.scd2States(
+      events.filter(col("ts") < cut), "user_id", "ts",
+      "event_type", "event_id").localCheckpoint(true)
+    val batch = events.filter(col("ts") >= cut)
+    val folded = UserJourneys.scd2Fold(standing, batch, "user_id", "ts",
+      "event_type", "event_id")
+    val scratch = UserJourneys.scd2States(events, "user_id", "ts",
+      "event_type", "event_id")
+    assert(folded.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(folded).isEmpty)
+    // trust-not-recompute: make one user untouched BY CONSTRUCTION
+    // (drop them from the batch) and corrupt their standing rows
+    val u = standing.select(min(col("user_id"))).as[Long].collect()(0)
+    val batchExcl = batch.filter(col("user_id") =!= u)
+    val corrupted = standing.withColumn("valid_from",
+      when(col("user_id") === u, col("valid_from") + 1000L)
+        .otherwise(col("valid_from")))
+    val refolded = UserJourneys.scd2Fold(corrupted, batchExcl, "user_id",
+      "ts", "event_type", "event_id")
+    val got = refolded.filter(col("user_id") === u)
+      .select(col("valid_from")).as[Long].collect().sorted
+    val want = standing.filter(col("user_id") === u)
+      .select(col("valid_from")).as[Long].collect().map(_ + 1000L).sorted
+    assert(got.toSeq == want.toSeq)
   }
 
   test("cohortRetention: k=0 rows partition the user population") {
