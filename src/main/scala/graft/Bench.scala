@@ -132,7 +132,8 @@ object Bench {
       "q181_unigram_saved", "q200_video_keep_one_store",
       "q201_audio_keep_one_store", "q205_media_store_incr",
       "q206_ivf2_saved", "q227_image_keep_one_store",
-      "q228_kmv_stream", "q233_cms_stream", "q243_hist_stream")
+      "q228_kmv_stream", "q233_cms_stream", "q243_hist_stream",
+      "q254_scd2_stream")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

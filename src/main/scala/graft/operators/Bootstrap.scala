@@ -39,6 +39,45 @@ object Bootstrap {
     * exchange is the per-replica aggregation, map-side combined to
     * `replicas` rows; the percentile step runs over those `replicas`
     * rows only. */
+  /** [[poissonCi]] per group: one (point, interval) row per value of
+    * `groupCol` — the per-source dashboard with error bars. Same
+    * resampling; the percentile window partitions by group over
+    * `replicas` rows each. Output: (groupCol, point_mean_fp,
+    * ci_lo_fp, ci_hi_fp). */
+  def poissonCiByGroup(df: DataFrame, groupCol: String, idCol: String,
+                       valCol: String, replicas: Int = 40,
+                       salt: String = "bs"): DataFrame = {
+    require(replicas >= 10, "too few replicas for a percentile interval")
+    val h = Sketches.hash48(concat(col(idCol).cast("string"),
+      lit(s"|$salt|"), col("__b").cast("string")))
+    val w = PoisCdf48.map(t => when(h >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val means = df
+      .withColumn("__b", explode(array((0 until replicas).map(lit): _*)))
+      .withColumn("__w", w)
+      .groupBy(col(groupCol), col("__b"))
+      .agg(sum(col("__w") * col(valCol)).as("__s"),
+        sum(col("__w")).as("__n"))
+      // a replica that resampled a tiny group to emptiness carries no
+      // mean — dropped on both engines (p ≈ 0.37^|group| per replica,
+      // negligible for groups of ≥ ~10 rows)
+      .filter(col("__n") > 0L)
+      .select(col(groupCol), col("__b"),
+        expr("__s * 10000L div __n").as("__m"))
+    val kLo = math.max(1, math.ceil(0.10 * replicas).toInt)
+    val kHi = math.ceil(0.90 * replicas).toInt
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__m"), col("__b"))
+    val ranked = means.withColumn("__rk", row_number().over(wOrd))
+    val lo = ranked.filter(col("__rk") === kLo)
+      .select(col(groupCol), col("__m").as("ci_lo_fp"))
+    val hi = ranked.filter(col("__rk") === kHi)
+      .select(col(groupCol), col("__m").as("ci_hi_fp"))
+    df.groupBy(col(groupCol))
+      .agg(expr(s"sum($valCol) * 10000L div count(*)").as("point_mean_fp"))
+      .join(lo, Seq(groupCol)).join(hi, Seq(groupCol))
+  }
+
   def poissonCi(df: DataFrame, idCol: String, valCol: String,
                 replicas: Int = 40, salt: String = "bs"): DataFrame = {
     require(replicas >= 10, "too few replicas for a percentile interval")

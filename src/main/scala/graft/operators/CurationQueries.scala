@@ -112,6 +112,13 @@ object CurationQueries {
       Bootstrap.poissonCi(
         docs(s, d).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars")),
+    // Per-source means WITH error bars: the q247 Poisson bootstrap
+    // grouped by source — the dashboard form ("src3 is longer than
+    // src7, and the intervals don't overlap").
+    "q255_bootstrap_by_source" -> ((s, d) =>
+      Bootstrap.poissonCiByGroup(
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", "n_chars")),
     // Weighted sampling without replacement: 100 documents drawn
     // proportional to n_chars via deterministic Efraimidis–Spirakis
     // priorities (fixed-point exponential variates — the oracle
@@ -797,6 +804,28 @@ object CurationQueries {
          |  (SELECT mean_fp FROM r WHERE rk = 4) AS ci_lo_fp,
          |  (SELECT mean_fp FROM r WHERE rk = 36) AS ci_hi_fp
          |FROM p""".stripMargin
+    },
+    "q255_bootstrap_by_source" -> {
+      val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|bs|' || " +
+        "CAST(bb AS VARCHAR)), 1, 12))::BIGINT"
+      s"""WITH b AS (SELECT unnest(range(40)) AS bb),
+         |w AS (SELECT source, doc_id, n_chars, bb,
+         |        ${Bootstrap.weightSql(h)} AS w
+         |      FROM documents CROSS JOIN b),
+         |m AS (SELECT source, bb, CAST(sum(w * n_chars) AS BIGINT) * 10000
+         |        // CAST(sum(w) AS BIGINT) AS mean_fp
+         |      FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+         |r AS (SELECT source, mean_fp, row_number() OVER
+         |        (PARTITION BY source ORDER BY mean_fp, bb) AS rk FROM m),
+         |p AS (SELECT source, CAST(sum(n_chars) AS BIGINT) * 10000
+         |        // count(*) AS point_mean_fp
+         |      FROM documents GROUP BY 1)
+         |SELECT p.source, p.point_mean_fp, lo.mean_fp AS ci_lo_fp,
+         |       hi.mean_fp AS ci_hi_fp
+         |FROM p
+         |JOIN (SELECT source, mean_fp FROM r WHERE rk = 4) lo USING (source)
+         |JOIN (SELECT source, mean_fp FROM r WHERE rk = 36) hi USING (source)"""
+        .stripMargin
     },
     "q242_weighted_sample" ->
       """WITH pr AS (SELECT doc_id, source, n_chars,

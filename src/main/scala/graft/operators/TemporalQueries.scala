@@ -64,6 +64,28 @@ object TemporalQueries {
           "user_id", "ts", steps, w),
         "user_id", steps.map(_._1))
     }),
+    // The STREAMING SCD2 sink (StreamingJourneys.processScd2Batch)
+    // driven over 5 six-day batches PLUS a deliberate replay of batch
+    // 2: the fold is replay-IDEMPOTENT (duplicated change rows and
+    // re-seen non-changes both collapse), so at-least-once needs no
+    // ledger — the KMV contrast to the CMS/hist sinks. Final table ==
+    // from-scratch q240, its oracle verbatim.
+    "q254_scd2_stream" -> ((s, d) => {
+      val table = "graft_scd2_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val e = t(s, d, "events")
+      val t0 = 1704067200000000000L // 2024-01-01T00:00Z as epoch ns
+      val span = 6L * 86400L * 1000 * 1000 * 1000
+      def slice(b: Int) = e.filter(col("ts") >= t0 + b * span &&
+        col("ts") < t0 + (b + 1) * span)
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingJourneys.processScd2Batch(
+          slice(b), "user_id", "ts", "event_type", "event_id", table)
+      }
+      graft.streaming.StreamingJourneys.processScd2Batch(
+        slice(2), "user_id", "ts", "event_type", "event_id", table)
+      s.table(table)
+    }),
     // Incremental SCD2: the standing table (first 24 days) folded
     // with the last days' events — work ∝ batch + touched users'
     // change rows; untouched users pass through verbatim (the
@@ -311,6 +333,9 @@ object TemporalQueries {
     // the fold over (standing change rows ∪ batch) must be
     // indistinguishable from from-scratch — q240's oracle verbatim
     "q251_scd2_incremental" -> scd2Sql,
+    // and the streamed fold with a replayed batch collapsing to a
+    // no-op — q240's oracle verbatim
+    "q254_scd2_stream" -> scd2Sql,
     "q241_k_anonymity" ->
       """SELECT event_type, CAST(floor(value / 5) AS BIGINT) AS vb,
         | count(DISTINCT user_id) AS users,
