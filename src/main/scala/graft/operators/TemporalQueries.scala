@@ -108,6 +108,52 @@ object TemporalQueries {
           floor(col("value") / 5).cast("long").as("vb"))
         .agg(countDistinct(col("user_id")).as("users"))
         .withColumn("k_ok", col("users") >= 10)),
+    // Sensor-dropout detection: per-user gaps between consecutive
+    // events exceeding 2 hours, with bounds and duration — the data-
+    // completeness audit a lab ingest runs per channel. One
+    // user-partitioned lag.
+    "q256_gap_report" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .filter(col("prev_ts").isNotNull &&
+          col("ts") - col("prev_ts") > 7200L * 1000 * 1000 * 1000)
+        .select(col("user_id"), col("prev_ts").as("gap_start"),
+          col("ts").as("gap_end"),
+          (col("ts") - col("prev_ts")).as("gap_ns"))
+    }),
+    // Resample each user's purchase series onto a fixed 6-hour grid
+    // with last-observation-carried-forward — the irregular-to-
+    // regular alignment every downstream time-series consumer wants,
+    // expressed as the existing as-of join against a GENERATED grid
+    // (users × 120 points over the month; null before first sample).
+    "q257_resample_grid" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val t0 = 1704067200000000000L
+      val step = 6L * 3600 * 1000 * 1000 * 1000
+      val grid = e.select(col("user_id")).distinct()
+        .crossJoin(s.range(120).select((lit(t0) + col("id") * step)
+          .as("gts")))
+      AsOfJoin.asOf(grid, "user_id", "gts",
+        e.filter(col("event_type") === "purchase"), "user_id", "ts",
+        Seq("value"))
+    }),
+    // Peak detection over each user's purchase value series: strict
+    // local maxima above an absolute floor — the thermal-analysis
+    // "find the exotherm" shape on the events stand-in. One
+    // user-partitioned lag/lead pass.
+    "q258_peak_detect" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").filter(col("event_type") === "purchase")
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .filter(col("pv").isNotNull && col("nv").isNotNull &&
+          col("value") > col("pv") && col("value") > col("nv") &&
+          col("value") >= 10.0)
+        .select(col("user_id"), col("ts").as("peak_ts"), col("value"))
+    }),
     // For each click, the user's most recent purchase at or before it.
     "q27_asof_join" -> ((s, d) => {
       val e = t(s, d, "events")
@@ -322,6 +368,36 @@ object TemporalQueries {
       |FROM ch""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q256_gap_report" ->
+      """WITH g AS (SELECT user_id, epoch_ns(ts) AS t,
+        |  lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS pt
+        | FROM events)
+        |SELECT user_id, pt AS gap_start, t AS gap_end, t - pt AS gap_ns
+        |FROM g WHERE pt IS NOT NULL AND t - pt > 7200000000000""".stripMargin,
+    "q257_resample_grid" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id,
+        |        1704067200000000000 + i * 21600000000000 AS gts
+        |      FROM u CROSS JOIN (SELECT unnest(range(120)) AS i) r),
+        |p AS (SELECT user_id, epoch_ns(ts) AS t, value FROM events
+        |      WHERE event_type = 'purchase'),
+        |j AS (SELECT g.user_id, g.gts, p.value,
+        |        row_number() OVER (PARTITION BY g.user_id, g.gts
+        |          ORDER BY p.t DESC, p.value DESC) AS rk
+        |      FROM g LEFT JOIN p
+        |        ON g.user_id = p.user_id AND p.t <= g.gts)
+        |SELECT user_id, gts, value FROM j WHERE rk = 1""".stripMargin,
+    "q258_peak_detect" ->
+      """WITH w AS (SELECT user_id, epoch_ns(ts) AS t, value, event_id,
+        |  lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS pv,
+        |  lead(value) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ns(ts), event_id) AS nv
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, t AS peak_ts, value
+        |FROM w WHERE pv IS NOT NULL AND nv IS NOT NULL
+        |  AND value > pv AND value > nv AND value >= 10""".stripMargin,
     "q238_funnel" -> funnelSql,
     // the per-user-state fold must be indistinguishable from
     // from-scratch — q238's oracle verbatim
