@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{shingles, tokens}
 
 /** The mergeable-sketch family through the oracle gate (q211–q213):
   * KMV distinct cardinality, Count-Min frequency, and histogram
@@ -236,6 +236,79 @@ object SketchQueries {
           (col("l1_sketch_x") <= col("l1_exact_x")).as("lower_bound_ok"))
     }),
 
+    // KMV SET ALGEBRA: union, intersection, and Jaccard of every
+    // src0–src4 pair estimated from their k=64 sketches alone (the
+    // theta-sketch combination rule: merge to the union's k smallest,
+    // theta = the k-th, count common hashes below theta), with the
+    // exact values as verification columns. Distinct-count sketches
+    // that also answer OVERLAP turn per-source dedup triage into
+    // sketch lookups — no shingle re-scan per pair. All integer
+    // arithmetic; saturation (union sketch shorter than k) falls back
+    // to exact-by-construction, mirrored in the oracle.
+    "q259_kmv_set_algebra" -> ((s, d) => {
+      val K = KmvK
+      val w = org.apache.spark.sql.expressions.Window
+      val srcs = (0 until 5).map(i => s"src$i")
+      val sh = docs(s, d).filter(col("source").isin(srcs: _*))
+        .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
+        .select(col("source"), Sketches.hash48(col("g")).as("h"))
+        .distinct()
+      val sk = sh.withColumn("rk", row_number().over(
+          w.partitionBy(col("source")).orderBy(col("h"))))
+        .filter(col("rk") <= K).select(col("source"), col("h"))
+      val pairs = sh.select(col("source").as("src_a")).distinct()
+        .crossJoin(sh.select(col("source").as("src_b")).distinct())
+        .filter(col("src_a") < col("src_b"))
+      // union sketch per pair: k smallest of the two sketches' union
+      val u = pairs.join(sk.withColumnRenamed("source", "src_a"),
+          Seq("src_a"))
+        .unionByName(pairs.join(sk.withColumnRenamed("source", "src_b"),
+          Seq("src_b")).select(col("src_a"), col("src_b"), col("h")))
+        .distinct()
+      val ur = u.withColumn("rk", row_number().over(
+        w.partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      val nu = ur.groupBy(col("src_a"), col("src_b"))
+        .agg(max(col("rk")).as("n_u"))
+      val theta = ur.filter(col("rk") === K)
+        .select(col("src_a"), col("src_b"), col("h").as("theta"))
+      // hashes present in BOTH sketches
+      val common = sk.withColumnRenamed("source", "src_a")
+        .join(sk.withColumnRenamed("source", "src_b"), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+      val c = pairs.join(nu, Seq("src_a", "src_b"))
+        .join(theta, Seq("src_a", "src_b"), "left")
+        .join(common, Seq("src_a", "src_b"), "left")
+        .withColumn("__in", col("h").isNotNull &&
+          (col("theta").isNull || col("h") < col("theta")))
+        .groupBy(col("src_a"), col("src_b"), col("n_u"), col("theta"))
+        .agg(sum(when(col("__in"), 1L).otherwise(0L)).as("c"))
+      // exact sides from the FULL hash sets
+      val na = sh.groupBy(col("source").as("src_a"))
+        .agg(count(lit(1)).as("n_a"))
+      val nb = sh.groupBy(col("source").as("src_b"))
+        .agg(count(lit(1)).as("n_b"))
+      val exInt = sh.withColumnRenamed("source", "src_a")
+        .join(sh.withColumnRenamed("source", "src_b"), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("exact_intersect"))
+      c.join(na, Seq("src_a")).join(nb, Seq("src_b"))
+        .join(exInt, Seq("src_a", "src_b"), "left")
+        .withColumn("exact_intersect",
+          coalesce(col("exact_intersect"), lit(0L)))
+        .withColumn("exact_union",
+          col("n_a") + col("n_b") - col("exact_intersect"))
+        .withColumn("denom", least(col("n_u"), lit(K.toLong)))
+        .withColumn("est_union", when(col("theta").isNull, col("n_u"))
+          .otherwise(expr(s"${(K - 1).toLong * Sketches.Hash48Max}L div theta")))
+        .withColumn("est_intersect",
+          expr("c * est_union div denom"))
+        .withColumn("est_jaccard_bp", expr("c * 10000L div denom"))
+        .select(col("src_a"), col("src_b"), col("exact_union"),
+          col("est_union"), col("exact_intersect"), col("est_intersect"),
+          col("est_jaccard_bp"))
+    }),
+
     // Join-SIZE estimation from sketches alone — the query-optimizer
     // statistic: |old ⋈ new on token| = Σ_w c_old(w)·c_new(w), and the
     // CMS inner product Σ_bucket co·cn per row UPPER-BOUNDS it (every
@@ -398,6 +471,70 @@ object SketchQueries {
     // and the streamed fold with a replayed batch skipped by the
     // ledger — q213's oracle verbatim
     "q243_hist_stream" -> histSql,
+
+    "q259_kmv_set_algebra" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
+         |              FROM documents WHERE source IN
+         |                ('src0','src1','src2','src3','src4')),
+         |gsh AS (SELECT source,
+         |          unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                  for i in range(1, len(w)-1)]) AS g
+         |        FROM toks),
+         |sh AS (SELECT DISTINCT source,
+         |         ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM gsh),
+         |sk AS (SELECT source, h FROM (
+         |         SELECT source, h, row_number() OVER
+         |           (PARTITION BY source ORDER BY h) AS rk FROM sh)
+         |       WHERE rk <= $KmvK),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b
+         |       FROM (SELECT DISTINCT source FROM sh) a,
+         |            (SELECT DISTINCT source FROM sh) b
+         |       WHERE a.source < b.source),
+         |u AS (SELECT DISTINCT src_a, src_b, h FROM (
+         |        SELECT pr.src_a, pr.src_b, sk.h FROM pr
+         |        JOIN sk ON sk.source = pr.src_a
+         |        UNION ALL
+         |        SELECT pr.src_a, pr.src_b, sk.h FROM pr
+         |        JOIN sk ON sk.source = pr.src_b) t),
+         |ur AS (SELECT src_a, src_b, h, row_number() OVER
+         |         (PARTITION BY src_a, src_b ORDER BY h) AS rk FROM u),
+         |nu AS (SELECT src_a, src_b, CAST(max(rk) AS BIGINT) AS n_u
+         |       FROM ur GROUP BY 1, 2),
+         |th AS (SELECT src_a, src_b, h AS theta FROM ur WHERE rk = $KmvK),
+         |cm AS (SELECT a.source AS src_a, b.source AS src_b, a.h
+         |       FROM sk a JOIN sk b
+         |         ON a.h = b.h AND a.source < b.source),
+         |cc AS (SELECT pr.src_a, pr.src_b, nu.n_u, th.theta,
+         |         CAST(sum(CASE WHEN cm.h IS NOT NULL AND
+         |             (th.theta IS NULL OR cm.h < th.theta)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |       FROM pr JOIN nu USING (src_a, src_b)
+         |       LEFT JOIN th USING (src_a, src_b)
+         |       LEFT JOIN cm USING (src_a, src_b)
+         |       GROUP BY 1, 2, 3, 4),
+         |na AS (SELECT source AS src_a, count(*)::BIGINT AS n_a
+         |       FROM sh GROUP BY 1),
+         |nb AS (SELECT source AS src_b, count(*)::BIGINT AS n_b
+         |       FROM sh GROUP BY 1),
+         |xi AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         count(*)::BIGINT AS exact_intersect
+         |       FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |fin AS (SELECT cc.src_a, cc.src_b, cc.n_u, cc.theta, cc.c,
+         |          na.n_a, nb.n_b,
+         |          coalesce(xi.exact_intersect, 0) AS exact_intersect,
+         |          CASE WHEN cc.theta IS NULL THEN cc.n_u
+         |               ELSE ${(KmvK - 1).toLong * Sketches.Hash48Max} // cc.theta
+         |          END AS est_u
+         |        FROM cc JOIN na USING (src_a) JOIN nb USING (src_b)
+         |        LEFT JOIN xi USING (src_a, src_b))
+         |SELECT src_a, src_b,
+         |  CAST(n_a + n_b - exact_intersect AS BIGINT) AS exact_union,
+         |  CAST(est_u AS BIGINT) AS est_union,
+         |  CAST(exact_intersect AS BIGINT) AS exact_intersect,
+         |  CAST(c * est_u // least(n_u, $KmvK) AS BIGINT) AS est_intersect,
+         |  CAST(c * 10000 // least(n_u, $KmvK) AS BIGINT) AS est_jaccard_bp
+         |FROM fin""".stripMargin,
 
     "q245_cms_join_size" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
