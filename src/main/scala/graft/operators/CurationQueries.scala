@@ -112,6 +112,31 @@ object CurationQueries {
       Bootstrap.poissonCi(
         docs(s, d).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars")),
+    // Pipeline provenance chain: an order-independent content
+    // fingerprint (xor-fold of per-row id+content hashes — no sort,
+    // no overflow, any partitioning) plus row count for each stage of
+    // a gate→dedup→cap pipeline. Two runs producing the same chain
+    // byte-agree stage by stage; the first differing fp names the
+    // stage that diverged — reproducibility triage without diffing
+    // datasets.
+    "q260_provenance_chain" -> ((s, d) => {
+      val base = docs(s, d).withColumn("h", Sketches.hash48(
+        concat(col("doc_id").cast("string"), lit("|"), md5(col("text")))))
+      val gate = base.filter(col("n_chars") >= 50 && col("n_chars") <= 2000)
+      val keep = gate.groupBy(md5(col("text")).as("tfp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val dedup = gate.join(keep.select(col("doc_id")), Seq("doc_id"))
+      val cap = Curation.capPerSource(dedup, "doc_id", "source", 20)
+      def stage(i: Int, name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("content_fp"))
+          .select(lit(i.toLong).as("stage_id"), lit(name).as("stage"),
+            col("n_rows"), col("content_fp"))
+      stage(1, "ingest", base)
+        .unionByName(stage(2, "quality_gate", gate))
+        .unionByName(stage(3, "exact_dedup", dedup))
+        .unionByName(stage(4, "cap_per_source", cap))
+    }),
     // Per-source means WITH error bars: the q247 Poisson bootstrap
     // grouped by source — the dashboard form ("src3 is longer than
     // src7, and the intervals don't overlap").
@@ -805,6 +830,25 @@ object CurationQueries {
          |  (SELECT mean_fp FROM r WHERE rk = 36) AS ci_hi_fp
          |FROM p""".stripMargin
     },
+    "q260_provenance_chain" ->
+      """WITH base AS (SELECT doc_id, source, n_chars, text,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|'
+        |          || md5(text)), 1, 12))::BIGINT AS h
+        |      FROM documents),
+        |gate AS (SELECT * FROM base WHERE n_chars BETWEEN 50 AND 2000),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(text)),
+        |dedup AS (SELECT g.* FROM gate g JOIN keep USING (doc_id)),
+        |cap AS (SELECT * FROM (
+        |          SELECT d.*, row_number() OVER (PARTITION BY source
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cap'),
+        |              doc_id) AS rk
+        |          FROM dedup d) t WHERE rk <= 20)
+        |SELECT CAST(1 AS BIGINT) AS stage_id, 'ingest' AS stage,
+        |       count(*) AS n_rows, bit_xor(h) AS content_fp FROM base
+        |UNION ALL SELECT 2, 'quality_gate', count(*), bit_xor(h) FROM gate
+        |UNION ALL SELECT 3, 'exact_dedup', count(*), bit_xor(h) FROM dedup
+        |UNION ALL SELECT 4, 'cap_per_source', count(*), bit_xor(h)
+        |          FROM cap""".stripMargin,
     "q255_bootstrap_by_source" -> {
       val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|bs|' || " +
         "CAST(bb AS VARCHAR)), 1, 12))::BIGINT"
