@@ -832,6 +832,97 @@ object TextPipelineQueries {
     // partitions×queries×k candidates shuffled) through the gate; the
     // window form stays as the reference implementation, and
     // ScaleOpsSpec pins their row-identity.
+    // Maximal Marginal Relevance: diversified top-5 per query —
+    // greedy argmax of 7·relevance − 3·max-similarity-to-selected
+    // over a top-20 candidate shortlist, 5 unrolled rounds (the
+    // PageRank treatment: deterministic fixed-point scores, the
+    // oracle mirrors every round). Pairwise sims live only on the
+    // per-query shortlist (k'² per query, bounded), never the corpus.
+    "q261_mmr_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"))
+      val scored = c.crossJoin(broadcast(q))
+        .withColumn("rel_fp", round(VectorFunctions.cosine(col("q_vec"),
+          col("n_vec")) * 10000, 0).cast("long"))
+      val cand = scored
+        .withColumn("rk", row_number().over(w.partitionBy(col("q_id"))
+          .orderBy(col("rel_fp").desc, col("n_id"))))
+        .filter(col("rk") <= 20)
+        .select(col("q_id"), col("n_id"), col("rel_fp"), col("n_vec"))
+        .localCheckpoint(true)
+      val pair = cand.select(col("q_id"), col("n_id").as("i"),
+          col("n_vec").as("vi"))
+        .join(cand.select(col("q_id"), col("n_id").as("j"),
+          col("n_vec").as("vj")), Seq("q_id"))
+        .filter(col("i") =!= col("j"))
+        .withColumn("sim_fp", round(VectorFunctions.cosine(col("vi"),
+          col("vj")) * 10000, 0).cast("long"))
+        .select(col("q_id"), col("i"), col("j"), col("sim_fp"))
+        .localCheckpoint(true)
+      val slim = cand.select(col("q_id"), col("n_id"), col("rel_fp"))
+      var selected: DataFrame = null
+      for (r <- 1 to 5) {
+        val remaining =
+          if (selected == null) slim
+          else slim.join(selected.select(col("q_id"), col("n_id")),
+            Seq("q_id", "n_id"), "left_anti")
+        val ms =
+          if (selected == null) remaining.withColumn("maxsim_fp", lit(0L))
+          else remaining.join(
+            pair.join(selected.select(col("q_id"),
+                col("n_id").as("j")), Seq("q_id", "j"))
+              .groupBy(col("q_id"), col("i"))
+              .agg(max(col("sim_fp")).as("maxsim_fp"))
+              .withColumnRenamed("i", "n_id"),
+            Seq("q_id", "n_id"), "left")
+            .withColumn("maxsim_fp", coalesce(col("maxsim_fp"), lit(0L)))
+        val pick = ms
+          .withColumn("score",
+            lit(7L) * col("rel_fp") - lit(3L) * col("maxsim_fp"))
+          .groupBy(col("q_id"))
+          .agg(max(struct(col("score"), (-col("n_id")).as("negid")))
+            .as("b"))
+          .select(col("q_id"), lit(r.toLong).as("pick_rank"),
+            (-col("b.negid")).as("n_id"), col("b.score").as("score"))
+        selected = (if (selected == null) pick
+          else selected.unionByName(pick)).localCheckpoint(true)
+      }
+      selected
+    }),
+    // Matryoshka truncation audit: top-10 recall when queries run on
+    // a PREFIX of the embedding (16 / 32 of 64 dims) vs the full
+    // vector — the memory/recall dial of prefix-truncatable embedding
+    // families, measured before committing to a truncated index.
+    "q262_matryoshka_recall" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      def topk(dims: Int) = {
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            slice(col("embedding"), 1, dims).as("q_vec"))
+        val c = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"),
+            slice(col("embedding"), 1, dims).as("n_vec"))
+        c.crossJoin(broadcast(q))
+          .withColumn("cos4", round(VectorFunctions.cosine(col("q_vec"),
+            col("n_vec")), 4))
+          .withColumn("rk", row_number().over(w.partitionBy(col("q_id"))
+            .orderBy(col("cos4").desc, col("n_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("n_id"))
+      }
+      val full = topk(64).localCheckpoint(true)
+      Seq(16, 32, 64).map { dims =>
+        topk(dims).join(full, Seq("q_id", "n_id"))
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(dims.toLong).as("dims"),
+            expr("hits * 10000L div 100").as("recall_bp"))
+      }.reduce(_ unionByName _)
+    }),
     "q25_sim_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopKScalable(e, e.filter(col("vec_id") < 10),
@@ -1565,6 +1656,85 @@ object TextPipelineQueries {
        |        row_number() OVER (PARTITION BY vec_id
        |          ORDER BY cos DESC, list_id ASC) AS rk
        |        FROM d) WHERE rk = 1)""".stripMargin
+
+  /** q261's oracle: candidate shortlist + pairwise sims + the 5 MMR
+    * rounds unrolled as generated CTEs (the PageRank treatment). */
+  private lazy val mmrSql: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""sel${r - 1} AS (${(1 until r).map(i => s"SELECT * FROM pick$i")
+          .mkString(" UNION ALL ")}),
+         |pick$r AS (SELECT q_id, CAST($r AS BIGINT) AS pick_rank, n_id,
+         |    score FROM (
+         |  SELECT m.q_id, m.n_id,
+         |    7 * m.rel_fp - 3 * coalesce(x.ms, 0) AS score,
+         |    row_number() OVER (PARTITION BY m.q_id
+         |      ORDER BY 7 * m.rel_fp - 3 * coalesce(x.ms, 0) DESC,
+         |        m.n_id) AS rk
+         |  FROM (SELECT cand.* FROM cand LEFT JOIN sel${r - 1} s
+         |          ON cand.q_id = s.q_id AND cand.n_id = s.n_id
+         |        WHERE s.n_id IS NULL) m
+         |  LEFT JOIN (SELECT pw.q_id, pw.i AS n_id,
+         |               max(pw.sim_fp) AS ms
+         |             FROM pw JOIN sel${r - 1} s
+         |               ON pw.q_id = s.q_id AND pw.j = s.n_id
+         |             GROUP BY 1, 2) x
+         |    ON m.q_id = x.q_id AND m.n_id = x.n_id) t
+         | WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec
+       |      FROM embeddings WHERE vec_id >= 10),
+       |sc AS (SELECT q_id, n_id, n_vec,
+       |         CAST(round(${cosSql("q_vec", "n_vec")} * 10000, 0)
+       |           AS BIGINT) AS rel_fp
+       |       FROM c CROSS JOIN q),
+       |cand AS (SELECT q_id, n_id, rel_fp, n_vec FROM (
+       |           SELECT *, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY rel_fp DESC, n_id) AS rk FROM sc) t
+       |         WHERE rk <= 20),
+       |pw AS (SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+       |         CAST(round(${cosSql("a.n_vec", "b.n_vec")} * 10000, 0)
+       |           AS BIGINT) AS sim_fp
+       |       FROM cand a JOIN cand b
+       |         ON a.q_id = b.q_id AND a.n_id <> b.n_id),
+       |pick1 AS (SELECT q_id, CAST(1 AS BIGINT) AS pick_rank, n_id,
+       |    7 * rel_fp AS score FROM (
+       |  SELECT q_id, n_id, rel_fp, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY 7 * rel_fp DESC, n_id) AS rk
+       |  FROM cand) t WHERE rk = 1),
+       |$rounds,
+       |sel5 AS (${(1 to 5).map(i => s"SELECT * FROM pick$i")
+        .mkString(" UNION ALL ")})
+       |SELECT q_id, pick_rank, n_id, CAST(score AS BIGINT) AS score
+       |FROM sel5""".stripMargin
+  }
+
+  /** q262's oracle: the three prefix widths unrolled. */
+  private lazy val matryoshkaSql: String = {
+    def arm(dims: Int, name: String) =
+      s"""$name AS (SELECT q_id, n_id FROM (
+         |  SELECT q.q_id, c.n_id, row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY round(${cosSql(s"q.q_vec[1:$dims]",
+          s"c.n_vec[1:$dims]")}, 4) DESC, c.n_id) AS rk
+         |  FROM c CROSS JOIN q) t WHERE rk <= 10)""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec
+       |      FROM embeddings WHERE vec_id >= 10),
+       |${arm(64, "full64")},
+       |${arm(16, "t16")},
+       |${arm(32, "t32")}
+       |SELECT CAST(16 AS BIGINT) AS dims,
+       |  (SELECT count(*) FROM t16 JOIN full64 USING (q_id, n_id))
+       |    * 10000 // 100 AS recall_bp
+       |UNION ALL SELECT 32,
+       |  (SELECT count(*) FROM t32 JOIN full64 USING (q_id, n_id))
+       |    * 10000 // 100
+       |UNION ALL SELECT 64,
+       |  (SELECT count(*) FROM full64 f1 JOIN full64 f2
+       |     USING (q_id, n_id)) * 10000 // 100""".stripMargin
+  }
 
   private def cosSql(a: String, b: String) =
     s"""(list_sum([$a[i]::DOUBLE * $b[i]::DOUBLE for i in range(1, len($a)+1)]) /
@@ -2508,6 +2678,8 @@ object TextPipelineQueries {
         |FROM c JOIN n USING (source) GROUP BY c.source, n.vocab, n.n""".stripMargin,
     // incremental postings == from-scratch build: same oracle
     "q95_bm25_incremental" -> bm25Sql,
+    "q261_mmr_topk" -> mmrSql,
+    "q262_matryoshka_recall" -> matryoshkaSql,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
