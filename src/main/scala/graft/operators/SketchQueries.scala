@@ -18,6 +18,8 @@ object SketchQueries {
   private def docs(s: SparkSession, d: String) = t(s, d, "documents")
 
   private val KmvK = 64
+  private val HllP = 6   // m = 64 registers
+  private val HllCap = 30
   private val CmsDepth = 4
   private val CmsWidth = 256
   private val HistWidth = 64
@@ -234,6 +236,71 @@ object SketchQueries {
         .select(col("row").cast("long").as("sk_row"), col("l1_sketch_x"),
           col("l1_exact_x"),
           (col("l1_sketch_x") <= col("l1_exact_x")).as("lower_bound_ok"))
+    }),
+
+    // ROLLING-window distinct from daily sketches: per-day KMV
+    // sketches of active users, each 7-day window answered by MERGING
+    // seven daily sketches — the time-windowed rollup that replaces a
+    // 7-day re-scan with a k·7-row merge (and generalizes to any
+    // window from the same daily state). Exact windowed distinct is
+    // the verification column. Reads the events table: day = epoch-ns
+    // day index (the repo's timestamp convention).
+    "q263_kmv_rolling" -> ((s, d) => {
+      val ev = graft.Tables.t(s, d, "events")
+        .select(expr("ts div 86400000000000").as("day"), col("user_id"))
+      val daily = Sketches.kMinPerKey(
+        ev.select(col("day"),
+          Sketches.hash48(col("user_id").cast("string")).as("h"))
+          .distinct(),
+        "day", "h", KmvK)
+      val days = ev.select(col("day")).distinct()
+      val rolled = daily
+        .withColumn("__off", explode(array((0 until 7).map(lit): _*)))
+        .withColumn("t", col("day") + col("__off"))
+        .join(days.withColumnRenamed("day", "t"), Seq("t"))
+        .groupBy(col("t"))
+        .agg(Sketches.kmvMerge(col("hs"), KmvK).as("hs"))
+      val exact = ev.distinct()
+        .withColumn("__off", explode(array((0 until 7).map(lit): _*)))
+        .withColumn("t", col("day") + col("__off"))
+        .join(days.withColumnRenamed("day", "t"), Seq("t"))
+        .groupBy(col("t"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      rolled.join(exact, Seq("t"))
+        .select(col("t").as("day"), col("exact_distinct"),
+          Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
+    }),
+
+    // HYPERLOGLOG distinct cardinality per source over the 3-shingle
+    // stream, plus the '__all__' row built by MERGING the per-source
+    // register tables — fed in TWICE: register-wise max is idempotent
+    // (KMV's replay-safe class, NOT CMS's ledger-needing linear
+    // class), so the duplicated fold must be invisible. The oracle
+    // computes '__all__' DIRECTLY from the global stream, so the hash
+    // compare proves merge associativity AND idempotence at once.
+    // State is 2^p small ints per key vs KMV's k full hashes; the
+    // stream is never distinct'd — duplicates collapse inside the
+    // map-side-combined register max. exact_distinct is the
+    // verification column (a real shuffle) the 100 TB path drops.
+    "q264_hll_distinct" -> ((s, d) => {
+      val sh = docs(s, d)
+        .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
+      val hashed = sh.select(col("source"),
+        Sketches.hash48(col("g")).as("h"))
+      val perSrc = Sketches.hllRegisters(hashed, "source", "h", HllP, HllCap)
+      def asAll(r: DataFrame) =
+        r.select(lit("__all__").as("source"), col("reg"), col("r"))
+      val allRegs = Sketches.hllMergeRegs(asAll(perSrc), asAll(perSrc))
+      val est = Sketches.hllEstimate(perSrc.unionByName(allRegs),
+        "source", HllP, HllCap)
+      val dist = sh.distinct()
+      val exact = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(dist.select(col("g")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("hll_est"))
     }),
 
     // KMV SET ALGEBRA: union, intersection, and Jaccard of every
@@ -471,6 +538,72 @@ object SketchQueries {
     // and the streamed fold with a replayed batch skipped by the
     // ledger — q213's oracle verbatim
     "q243_hist_stream" -> histSql,
+
+    "q263_kmv_rolling" ->
+      s"""WITH ev AS (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+         |              user_id FROM events),
+         |hs AS (SELECT DISTINCT day,
+         |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+         |           AS h FROM ev),
+         |sk AS (SELECT day, h FROM (
+         |         SELECT day, h, row_number() OVER (PARTITION BY day
+         |           ORDER BY h) AS rk FROM hs) t WHERE rk <= $KmvK),
+         |days AS (SELECT DISTINCT day AS t FROM ev),
+         |win AS (SELECT DISTINCT days.t, sk.h
+         |        FROM days JOIN sk ON sk.day BETWEEN days.t - 6 AND days.t),
+         |wr AS (SELECT t, h, row_number() OVER (PARTITION BY t
+         |         ORDER BY h) AS rk, count(*) OVER (PARTITION BY t) AS nh
+         |       FROM win),
+         |est AS (SELECT t,
+         |          CASE WHEN max(nh) < $KmvK THEN max(nh)
+         |               ELSE ${(KmvK - 1).toLong * Sketches.Hash48Max} //
+         |                    max(CASE WHEN rk = $KmvK THEN h END)
+         |          END AS kmv_est
+         |        FROM wr GROUP BY t),
+         |ex AS (SELECT days.t, count(DISTINCT ev.user_id) AS exact_distinct
+         |       FROM days JOIN ev ON ev.day BETWEEN days.t - 6 AND days.t
+         |       GROUP BY days.t)
+         |SELECT est.t AS day, ex.exact_distinct,
+         |       CAST(est.kmv_est AS BIGINT) AS kmv_est
+         |FROM est JOIN ex USING (t)""".stripMargin,
+
+    // '__all__' computed directly from the global stream (the Spark
+    // side merges per-source register tables twice) — the gate's
+    // proof of register-max associativity + idempotence
+    "q264_hll_distinct" -> {
+      val wDiv = 1L << (48 - HllP)
+      val m = 1L << HllP
+      val num = 709L * m * m * (1L << HllCap)
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
+         |              FROM documents),
+         |gsh AS (SELECT source,
+         |          unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                  for i in range(1, len(w)-1)]) AS g
+         |        FROM toks),
+         |hs AS (SELECT source,
+         |         ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM gsh),
+         |rr AS (SELECT source, h // $wDiv AS reg,
+         |         CASE WHEN h % $wDiv = 0 THEN $HllCap
+         |              ELSE least(${48 - HllP + 1} - length(bin(h % $wDiv)),
+         |                         $HllCap) END AS r
+         |       FROM hs),
+         |regs AS (SELECT source, reg, max(r) AS r FROM rr GROUP BY 1, 2
+         |         UNION ALL
+         |         SELECT '__all__' AS source, reg, max(r) AS r
+         |         FROM rr GROUP BY 2),
+         |z AS (SELECT source,
+         |        sum(1::BIGINT << ($HllCap - r)) +
+         |          ($m - count(*)) * ${1L << HllCap} AS z
+         |      FROM regs GROUP BY 1),
+         |est AS (SELECT source,
+         |          CAST($num // (1000 * z) AS BIGINT) AS hll_est FROM z),
+         |ex AS (SELECT source, count(DISTINCT g)::BIGINT AS exact_distinct
+         |       FROM gsh GROUP BY 1
+         |       UNION ALL
+         |       SELECT '__all__', count(DISTINCT g)::BIGINT FROM gsh)
+         |SELECT est.source, ex.exact_distinct, est.hll_est
+         |FROM est JOIN ex USING (source)""".stripMargin
+    },
 
     "q259_kmv_set_algebra" ->
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w

@@ -140,6 +140,78 @@ object Sketches {
       .agg(min(col("cell")).as("cms_est"))
   }
 
+  /** HyperLogLog register table of a hashed stream: register index =
+    * the hash's top `p` bits, register value = max over the stream of
+    * `rank(w) = (48-p) - floor(log2(w)) + 1` (leading-zero count + 1
+    * of the remaining `48-p` bits, capped at `cap`). One row per
+    * OCCUPIED (key, reg) — at most `2^p` rows per key, the entire
+    * standing state.
+    *
+    * Contrast with the other two sketches: the merge is register-wise
+    * MAX — associative AND IDEMPOTENT like KMV's set union (so replay
+    * folds need no landed-batch ledger, unlike CMS's linear sum), but
+    * the state is `2^p` small ints regardless of `k`-vs-cardinality,
+    * where KMV keeps `k` full hashes. `floor(log2 w)` is spelled
+    * `length(bin(w)) - 1` — `bin` renders minimal-width binary in
+    * BOTH engines, so ranks (hence registers, hence the estimate's
+    * integer arithmetic) are exactly oracle-checkable. The cap bounds
+    * `2^(cap-rank)` terms so the estimator below never leaves BIGINT;
+    * capping only bites past ~`2^cap · 2^p` distincts (document-scale
+    * astronomically safe at cap=30).
+    *
+    * Scale shape: one map-side-combined `groupBy(key, reg) max` —
+    * duplicates collapse in the partial agg; no distinct, no shuffle
+    * of the raw stream beyond `2^p · partitions` partial rows. */
+  def hllRegisters(df: DataFrame, keyCol: String, hCol: String,
+                   p: Int, cap: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    require(cap >= 8 && cap <= 30, s"cap must be in [8,30], got $cap")
+    val wBits = 48 - p
+    val wDiv = 1L << wBits
+    df.select(col(keyCol),
+        expr(s"$hCol div ${wDiv}L").as("reg"),
+        (col(hCol) % wDiv).as("__w"))
+      .withColumn("r",
+        when(col("__w") === 0, lit(cap))
+          .otherwise(least(lit(wBits + 1) - length(bin(col("__w"))),
+            lit(cap))))
+      .groupBy(col(keyCol), col("reg")).agg(max(col("r")).as("r"))
+  }
+
+  /** Merge HLL register tables by register-wise max — idempotent, so
+    * re-folding a batch (at-least-once replay) is a no-op by algebra,
+    * not by ledger. */
+  def hllMergeRegs(regs: DataFrame*): DataFrame = {
+    val keyCols = regs.head.columns.takeWhile(_ != "reg")
+    regs.reduce(_ unionByName _)
+      .groupBy((keyCols :+ "reg").map(col): _*).agg(max(col("r")).as("r"))
+  }
+
+  /** α numerator per register count (Flajolet et al. 2007 Fig. 3
+    * constants as exact rationals over 1000, small-m cases). */
+  private def hllAlphaNum(p: Int): Long = p match {
+    case 4 => 673L; case 5 => 697L; case 6 => 709L
+    case _ => 721L // 0.7213/(1+1.079/m) ≈ 0.721 for m ≥ 128
+  }
+
+  /** Raw HLL estimate per key from a register table, BIGINT end to
+    * end: `E = α·m²·2^cap div Z` with `Z = Σ_j 2^(cap − M_j)`
+    * (absent registers contribute `2^cap`, i.e. `M_j = 0`). No
+    * small/large-range corrections — callers keep an exact
+    * verification column and operate in the raw estimator's regime
+    * (`n ≳ 3m`); `α·m²·2^cap < 2^(10+2p+cap)` must stay under 2^63,
+    * enforced below. Output: (key, hll_est). */
+  def hllEstimate(regs: DataFrame, keyCol: String, p: Int,
+                  cap: Int): DataFrame = {
+    require(2 * p + cap <= 52, s"alpha*m^2*2^cap overflows: p=$p cap=$cap")
+    val m = 1L << p
+    val num = hllAlphaNum(p) * m * m * (1L << cap)
+    regs.groupBy(col(keyCol))
+      .agg((sum(expr(s"shiftleft(1L, $cap - r)"))
+        + (lit(m) - count(lit(1))) * (1L << cap)).as("__z"))
+      .select(col(keyCol), expr(s"${num}L div (1000L * __z)").as("hll_est"))
+  }
+
   /** Fixed-grid histogram of a non-negative integer column: bucket =
     * value div width, count per bucket — the mergeable (cell-wise
     * sum) quantile state. Output: (bucket, cnt). */
