@@ -185,9 +185,51 @@ object AnnQueries {
         .select(col("q_id"), col("q_lab"),
           coalesce(col("n_found"), lit(0L)).as("n_found"), col("n_hit"),
           (col("n_hit") * (10000 / K)).as("recall_bp"))
-    }))
+    }),
+
+    // Cluster-quality audit: simplified (centroid-based) silhouette
+    // per label — the O(n·k) health readout for any clustering this
+    // engine maintains (IVF coarse lists, semantic-dedup cells, label
+    // partitions). A label whose mean silhouette sags toward 0 is
+    // bleeding into a neighbor — the trigger for the q87-style index
+    // rebuild. Distances rounded at 4 decimals and the per-vector
+    // coefficient 1e-4-fixed-pointed BEFORE the sum, so the score
+    // itself hash-matches the oracle.
+    "q265_silhouette" -> ((s, d) =>
+      Similarity.silhouette(
+        emb(s, d).select(col("vec_id"),
+          col("label").cast("long").as("label"), col("embedding")),
+        "vec_id", "label", "embedding")))
 
   val oracle: Map[String, String] = Map(
+
+    "q265_silhouette" ->
+      s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
+         |              unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |m AS (SELECT label, pos, avg(x::DOUBLE) AS m
+         |      FROM ex GROUP BY label, pos),
+         |c AS (SELECT label AS cl, list(m ORDER BY pos) AS centroid
+         |      FROM m GROUP BY label),
+         |d AS (SELECT v.vec_id, CAST(v.label AS BIGINT) AS label, c.cl,
+         |        round(1 - ${cosSql("v.embedding", "c.centroid")}, 4) + 0.0
+         |          AS dd
+         |      FROM embeddings v CROSS JOIN c),
+         |ab AS (SELECT vec_id, label,
+         |         max(CASE WHEN label = cl THEN dd END) AS a,
+         |         min(CASE WHEN label <> cl THEN dd END) AS b
+         |       FROM d GROUP BY vec_id, label),
+         |sv AS (SELECT label,
+         |         CASE WHEN greatest(a, b) = 0 THEN 0
+         |              ELSE CAST(round(10000 * (b - a) / greatest(a, b))
+         |                        AS BIGINT) END AS s
+         |       FROM ab)
+         |SELECT label, count(*)::BIGINT AS n_vecs,
+         |       CAST(sum(s) AS BIGINT) AS sum_sil_fp,
+         |       round(CAST(sum(s) AS BIGINT) /
+         |             (count(*) * 10000.0), 4) + 0.0 AS mean_sil
+         |FROM sv GROUP BY label""".stripMargin,
 
     "q214_binary_hamming_recall" ->
       s"""WITH sig AS (SELECT vec_id,

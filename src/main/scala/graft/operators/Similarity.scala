@@ -280,6 +280,47 @@ object Similarity {
         round(cosine(col("__ca"), col("__cb")), 4).as("cos"))
   }
 
+  /** Simplified (centroid-based) SILHOUETTE per cluster — the O(n·k)
+    * clustering-quality audit that replaces classic silhouette's
+    * O(n²) pairwise pass: `a(i)` = distance to own centroid, `b(i)` =
+    * min distance to any OTHER centroid, `s(i) = (b−a)/max(a,b)` in
+    * [−1, 1] (the simplified-silhouette form — the only variant that
+    * survives a 100 TB corpus, and within a few percent of the exact
+    * coefficient in practice). Distance is 4-decimal-rounded cosine
+    * distance (1 − cos); `s` is quantized to 1e-4 fixed point PER
+    * VECTOR before the per-cluster sum — the repo's cross-engine
+    * determinism rule for anything that would otherwise be an
+    * avg(double).
+    *
+    * Scale shape: one label-count×dim centroid agg, then the k-row
+    * centroid table BROADCAST against the corpus — k codegen'd
+    * cosines per vector, one per-(vector) agg keyed by id (map-side
+    * combined, k rows in per id), one per-label agg. The corpus is
+    * never self-joined. Output: (labelCol, n_vecs, sum_sil_fp,
+    * mean_sil). */
+  def silhouette(df: DataFrame, idCol: String, labelCol: String,
+                 vecCol: String): DataFrame = {
+    val cents = labelCentroids(df, labelCol, vecCol)
+    val d = df.select(col(idCol), col(labelCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .crossJoin(broadcast(cents.select(col(labelCol).as("__cl"),
+        col("centroid"))))
+      .withColumn("__d",
+        round(lit(1.0) - cosine(col("__v"), col("centroid")), 4) + lit(0.0))
+    val ab = d.groupBy(col(idCol), col(labelCol))
+      .agg(max(when(col(labelCol) === col("__cl"), col("__d"))).as("__a"),
+        min(when(col(labelCol) =!= col("__cl"), col("__d"))).as("__b"))
+    val sil = ab.withColumn("__s",
+      when(greatest(col("__a"), col("__b")) === 0.0, lit(0L))
+        .otherwise(round(lit(10000.0) * (col("__b") - col("__a"))
+          / greatest(col("__a"), col("__b"))).cast("long")))
+    sil.groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__s")).as("sum_sil_fp"))
+      .select(col(labelCol), col("n_vecs"), col("sum_sil_fp"),
+        (round(col("sum_sil_fp") / (col("n_vecs") * lit(10000.0)), 4)
+          + lit(0.0)).as("mean_sil"))
+  }
+
   /** Per-label centroid DRIFT across two snapshots — the standard
     * corpus-monitoring readout after a batch ingest: cos(centroid_t,
     * centroid_{t-1}) per label, where centroid_t comes from the
