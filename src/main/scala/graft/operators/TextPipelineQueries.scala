@@ -923,6 +923,53 @@ object TextPipelineQueries {
             expr("hits * 10000L div 100").as("recall_bp"))
       }.reduce(_ unionByName _)
     }),
+    // CLUSTER-AWARE holdout split: the near-dup-safe train/test
+    // assignment. The naive per-doc hash split lets a document and
+    // its near-duplicate straddle train/test — silent eval
+    // contamination no downstream decontam pass can see (the leak is
+    // inside the split, not against an external benchmark). Keying
+    // the SAME hash split by the near-dup component label instead
+    // sends every member of a dup cluster to one split by
+    // construction. Output: per (policy, split) doc counts with the
+    // policy's straddling-candidate-pair count — 'group' must show
+    // leak_pairs = 0, and the naive policy's nonzero count is the
+    // measured contamination. Scale shape: CC labels are the q41
+    // substrate (already banded/bounded); both assignments are pure
+    // md5 projections; the leak audit joins the candidate-pair table
+    // to the assignment twice on its endpoints.
+    "q266_split_cluster_aware" -> ((s, d) => {
+      val groups = dupGroups(s, d)
+      val keyed = docs(s, d).select(col("doc_id"))
+        .join(groups.select(col("id").as("doc_id"),
+          col("keep_id").as("__gl")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__gl"), col("doc_id")).as("gkey"))
+      val assigned = Curation.splitAssign(
+          Curation.splitAssign(keyed, "doc_id")
+            .withColumnRenamed("split", "naive_split"), "gkey")
+        .withColumnRenamed("split", "group_split")
+        .localCheckpoint(true)
+      val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("id_a"),
+          col("naive_split").as("na"), col("group_split").as("ga")), Seq("id_a"))
+        .join(assigned.select(col("doc_id").as("id_b"),
+          col("naive_split").as("nb"), col("group_split").as("gb")), Seq("id_b"))
+        .agg(
+          coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)),
+            lit(0L)).as("naive_leaks"),
+          coalesce(sum(when(col("ga") =!= col("gb"), 1L).otherwise(0L)),
+            lit(0L)).as("group_leaks"))
+      val counts = assigned.select(col("doc_id"),
+          explode(map(lit("naive"), col("naive_split"),
+            lit("group"), col("group_split"))).as(Seq("policy", "split")))
+        .groupBy(col("policy"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+      counts.crossJoin(broadcast(leaks))
+        .select(col("policy"), col("split"), col("n_docs"),
+          when(col("policy") === "naive", col("naive_leaks"))
+            .otherwise(col("group_leaks")).as("leak_pairs"))
+    }),
     "q25_sim_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopKScalable(e, e.filter(col("vec_id") < 10),
@@ -2680,6 +2727,53 @@ object TextPipelineQueries {
     "q95_bm25_incremental" -> bm25Sql,
     "q261_mmr_topk" -> mmrSql,
     "q262_matryoshka_recall" -> matryoshkaSql,
+    // group split key = recursive-CC component min (q52's idiom);
+    // 'cccd'/'e666' are the 0.8/0.9 hashFraction thresholds (q69)
+    "q266_split_cluster_aware" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS label
+         |      FROM reach GROUP BY a),
+         |k AS (SELECT d.doc_id, coalesce(g.label, d.doc_id) AS gkey
+         |      FROM documents d LEFT JOIN g ON g.did = d.doc_id),
+         |hx AS (SELECT doc_id, gkey,
+         |         substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 4)
+         |           AS hn,
+         |         substr(md5(CAST(gkey AS VARCHAR) || '|split'), 1, 4)
+         |           AS hg
+         |       FROM k),
+         |asg AS (SELECT doc_id,
+         |          CASE WHEN hn < 'cccd' THEN 'train'
+         |               WHEN hn < 'e666' THEN 'val'
+         |               ELSE 'test' END AS naive_split,
+         |          CASE WHEN hg < 'cccd' THEN 'train'
+         |               WHEN hg < 'e666' THEN 'val'
+         |               ELSE 'test' END AS group_split
+         |        FROM hx),
+         |lk AS (SELECT
+         |         coalesce(sum(CASE WHEN a1.naive_split <> a2.naive_split
+         |                      THEN 1 ELSE 0 END), 0)::BIGINT AS naive_leaks,
+         |         coalesce(sum(CASE WHEN a1.group_split <> a2.group_split
+         |                      THEN 1 ELSE 0 END), 0)::BIGINT AS group_leaks
+         |       FROM cand
+         |       JOIN asg a1 ON a1.doc_id = cand.id_a
+         |       JOIN asg a2 ON a2.doc_id = cand.id_b),
+         |cn AS (SELECT 'naive' AS policy, naive_split AS split,
+         |         count(*)::BIGINT AS n_docs FROM asg GROUP BY 2
+         |       UNION ALL
+         |       SELECT 'group', group_split, count(*)::BIGINT
+         |       FROM asg GROUP BY 2)
+         |SELECT cn.policy, cn.split, cn.n_docs,
+         |       CASE WHEN cn.policy = 'naive' THEN lk.naive_leaks
+         |            ELSE lk.group_leaks END AS leak_pairs
+         |FROM cn CROSS JOIN lk""".stripMargin,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
