@@ -970,6 +970,34 @@ object TextPipelineQueries {
           when(col("policy") === "naive", col("naive_leaks"))
             .otherwise(col("group_leaks")).as("leak_pairs"))
     }),
+    // CORPUS-WIDE exact-substring dedup (the Lee et al. 2022
+    // "Deduplicating Training Data" grain): any 8-token span that
+    // recurs across >= 2 documents keeps its FIRST occurrence
+    // (min doc, then min position) and is excised everywhere else —
+    // the boilerplate/quotation suppressor that document- and
+    // paragraph-grain dedup both miss. Overlapping removed spans
+    // union position-wise inside removeSpans, so a long shared
+    // passage (a run of overlapping dup 8-grams) excises as one
+    // block. Scale shape: the occurrence table is the one wide
+    // shuffle (corpus token count rows); the per-gram agg is
+    // map-side-combined min-struct + distinct-doc count; span
+    // fan-out is proportional to occurrences actually removed.
+    "q267_substring_dedup" -> ((s, d) => {
+      val n = 8
+      val doc = docs(s, d).select(col("doc_id"), col("text"))
+      val occ = doc.select(col("doc_id"),
+        posexplode(shingles(col("text"), n)).as(Seq("start", "g")))
+      val dup = occ.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("__nd"),
+          min(struct(col("doc_id"), col("start"))).as("__first"))
+        .filter(col("__nd") >= 2)
+      val spans = occ.join(dup.select(col("g"), col("__first")), Seq("g"))
+        .filter(!(col("doc_id") === col("__first.doc_id") &&
+          col("start") === col("__first.start")))
+        .select(col("doc_id").as("doc_b"), col("start").as("start_b"),
+          lit(n.toLong).as("len"))
+      Dedup.removeSpans(doc, "doc_id", "text", spans)
+    }),
     "q25_sim_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopKScalable(e, e.filter(col("vec_id") < 10),
@@ -2774,6 +2802,39 @@ object TextPipelineQueries {
          |       CASE WHEN cn.policy = 'naive' THEN lk.naive_leaks
          |            ELSE lk.group_leaks END AS leak_pairs
          |FROM cn CROSS JOIN lk""".stripMargin,
+    // first occurrence = min (doc, start) per duplicated gram;
+    // removed positions union via DISTINCT before the rebuild
+    "q267_substring_dedup" ->
+      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |              FROM documents),
+        |occ AS (SELECT doc_id, i - 1 AS start,
+        |          list_aggr(w[i:i+7], 'string_agg', ' ') AS g
+        |        FROM toks, unnest(range(1, len(w) - 6)) AS t(i)),
+        |dup AS (SELECT g FROM occ GROUP BY g
+        |        HAVING count(DISTINCT doc_id) >= 2),
+        |frst AS (SELECT occ.g, occ.doc_id AS fd, occ.start AS fs
+        |         FROM occ JOIN dup USING (g)
+        |         QUALIFY row_number() OVER (PARTITION BY g
+        |           ORDER BY doc_id, start) = 1),
+        |cut AS (SELECT DISTINCT o.doc_id, o.start + j AS p
+        |        FROM occ o JOIN frst f USING (g),
+        |             unnest(range(0, 8)) AS u(j)
+        |        WHERE NOT (o.doc_id = f.fd AND o.start = f.fs)),
+        |tok AS (SELECT doc_id, i - 1 AS p, w[i] AS t
+        |        FROM toks, unnest(range(1, len(w) + 1)) AS t2(i)),
+        |kept AS (SELECT tok.doc_id,
+        |           string_agg(tok.t, ' ' ORDER BY tok.p) AS clean
+        |         FROM tok LEFT JOIN cut
+        |           ON cut.doc_id = tok.doc_id AND cut.p = tok.p
+        |         WHERE cut.p IS NULL GROUP BY tok.doc_id),
+        |nr AS (SELECT doc_id, count(*)::BIGINT AS nrem
+        |       FROM cut GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN nr.nrem IS NULL THEN d.text
+        |            ELSE coalesce(k.clean, '') END AS text_clean,
+        |       coalesce(nr.nrem, 0)::BIGINT AS tokens_removed
+        |FROM documents d LEFT JOIN nr USING (doc_id)
+        |LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
