@@ -998,6 +998,67 @@ object TextPipelineQueries {
           lit(n.toLong).as("len"))
       Dedup.removeSpans(doc, "doc_id", "text", spans)
     }),
+    // INCREMENTAL exact-substring dedup: standing state is the old
+    // corpus's per-gram table (distinct-doc count + first
+    // occurrence), its occurrence index, and its finished OUTPUT.
+    // A batch folds in by summed doc counts (batches are
+    // doc-disjoint) and min-struct first; the only old docs
+    // re-cleaned are those containing an AFFECTED gram — one whose
+    // dup status flipped on or whose surviving first occurrence
+    // moved (the retroactive case: a batch doc can both newly-
+    // duplicate an old doc's span AND steal first-occurrence status
+    // from it). Unaffected old docs pass their standing output
+    // through untouched, so per-batch work is batch scan + affected-
+    // gram joins against the standing index — never a history
+    // re-clean. Output == from-scratch q267 (its oracle VERBATIM).
+    "q268_substring_dedup_incremental" -> ((s, d) => {
+      val n = 8
+      val doc = docs(s, d).select(col("doc_id"), col("text"))
+      val oldDoc = doc.filter(col("doc_id") % 5 =!= 0)
+      val batch = doc.filter(col("doc_id") % 5 === 0)
+      def occOf(df: DataFrame) = df.select(col("doc_id"),
+        posexplode(shingles(col("text"), n)).as(Seq("start", "g")))
+      def gramsOf(o: DataFrame) = o.groupBy(col("g"))
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          min(struct(col("doc_id"), col("start"))).as("first"))
+      def cleanOf(docDf: DataFrame, o: DataFrame,
+                  dup: DataFrame): DataFrame =
+        Dedup.removeSpans(docDf, "doc_id", "text",
+          o.join(dup, Seq("g"))
+            .filter(!(col("doc_id") === col("first.doc_id") &&
+              col("start") === col("first.start")))
+            .select(col("doc_id").as("doc_b"), col("start").as("start_b"),
+              lit(n.toLong).as("len")))
+      // standing artifacts a deployment persists between batches
+      val occOld = occOf(oldDoc).localCheckpoint(true)
+      val gOld = gramsOf(occOld).localCheckpoint(true)
+      val outOld = cleanOf(oldDoc, occOld,
+        gOld.filter(col("nd") >= 2).select(col("g"), col("first")))
+        .localCheckpoint(true)
+      // fold the batch
+      val occB = occOf(batch).localCheckpoint(true)
+      val merged = gOld.unionByName(gramsOf(occB))
+        .groupBy(col("g"))
+        .agg(sum(col("nd")).as("nd"), min(col("first")).as("first"))
+      val affectedG = merged.filter(col("nd") >= 2)
+        .join(gOld.select(col("g"), col("nd").as("__nd0"),
+          col("first").as("__f0")), Seq("g"), "left")
+        .filter(col("__nd0").isNull || col("__nd0") < 2 ||
+          col("first") =!= col("__f0"))
+        .select(col("g"))
+      val touchedOld = occOld.join(affectedG, Seq("g"), "left_semi")
+        .select(col("doc_id")).distinct().localCheckpoint(true)
+      val dupM = merged.filter(col("nd") >= 2)
+        .select(col("g"), col("first"))
+      val outTouched = cleanOf(
+        oldDoc.join(touchedOld, Seq("doc_id"), "left_semi")
+          .unionByName(batch),
+        occOld.join(touchedOld, Seq("doc_id"), "left_semi")
+          .unionByName(occB),
+        dupM)
+      outOld.join(touchedOld, Seq("doc_id"), "left_anti")
+        .unionByName(outTouched)
+    }),
     "q25_sim_bruteforce_topk" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.bruteForceTopKScalable(e, e.filter(col("vec_id") < 10),
@@ -1734,6 +1795,42 @@ object TextPipelineQueries {
 
   /** q261's oracle: candidate shortlist + pairwise sims + the 5 MMR
     * rounds unrolled as generated CTEs (the PageRank treatment). */
+  /** q267/q268 shared oracle: corpus-wide exact-substring dedup —
+    * first (doc, start) occurrence of each cross-doc-duplicated
+    * 8-gram survives, every other occurrence's positions union into
+    * the cut set before the rebuild. */
+  private val substrDedupSql: String =
+    """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
+      |              FROM documents),
+      |occ AS (SELECT doc_id, i - 1 AS start,
+      |          list_aggr(w[i:i+7], 'string_agg', ' ') AS g
+      |        FROM toks, unnest(range(1, len(w) - 6)) AS t(i)),
+      |dup AS (SELECT g FROM occ GROUP BY g
+      |        HAVING count(DISTINCT doc_id) >= 2),
+      |frst AS (SELECT occ.g, occ.doc_id AS fd, occ.start AS fs
+      |         FROM occ JOIN dup USING (g)
+      |         QUALIFY row_number() OVER (PARTITION BY g
+      |           ORDER BY doc_id, start) = 1),
+      |cut AS (SELECT DISTINCT o.doc_id, o.start + j AS p
+      |        FROM occ o JOIN frst f USING (g),
+      |             unnest(range(0, 8)) AS u(j)
+      |        WHERE NOT (o.doc_id = f.fd AND o.start = f.fs)),
+      |tok AS (SELECT doc_id, i - 1 AS p, w[i] AS t
+      |        FROM toks, unnest(range(1, len(w) + 1)) AS t2(i)),
+      |kept AS (SELECT tok.doc_id,
+      |           string_agg(tok.t, ' ' ORDER BY tok.p) AS clean
+      |         FROM tok LEFT JOIN cut
+      |           ON cut.doc_id = tok.doc_id AND cut.p = tok.p
+      |         WHERE cut.p IS NULL GROUP BY tok.doc_id),
+      |nr AS (SELECT doc_id, count(*)::BIGINT AS nrem
+      |       FROM cut GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       CASE WHEN nr.nrem IS NULL THEN d.text
+      |            ELSE coalesce(k.clean, '') END AS text_clean,
+      |       coalesce(nr.nrem, 0)::BIGINT AS tokens_removed
+      |FROM documents d LEFT JOIN nr USING (doc_id)
+      |LEFT JOIN kept k USING (doc_id)""".stripMargin
+
   private lazy val mmrSql: String = {
     val rounds = (2 to 5).map { r =>
       s"""sel${r - 1} AS (${(1 until r).map(i => s"SELECT * FROM pick$i")
@@ -2804,37 +2901,12 @@ object TextPipelineQueries {
          |FROM cn CROSS JOIN lk""".stripMargin,
     // first occurrence = min (doc, start) per duplicated gram;
     // removed positions union via DISTINCT before the rebuild
-    "q267_substring_dedup" ->
-      """WITH toks AS (SELECT doc_id, text, string_split(text, ' ') AS w
-        |              FROM documents),
-        |occ AS (SELECT doc_id, i - 1 AS start,
-        |          list_aggr(w[i:i+7], 'string_agg', ' ') AS g
-        |        FROM toks, unnest(range(1, len(w) - 6)) AS t(i)),
-        |dup AS (SELECT g FROM occ GROUP BY g
-        |        HAVING count(DISTINCT doc_id) >= 2),
-        |frst AS (SELECT occ.g, occ.doc_id AS fd, occ.start AS fs
-        |         FROM occ JOIN dup USING (g)
-        |         QUALIFY row_number() OVER (PARTITION BY g
-        |           ORDER BY doc_id, start) = 1),
-        |cut AS (SELECT DISTINCT o.doc_id, o.start + j AS p
-        |        FROM occ o JOIN frst f USING (g),
-        |             unnest(range(0, 8)) AS u(j)
-        |        WHERE NOT (o.doc_id = f.fd AND o.start = f.fs)),
-        |tok AS (SELECT doc_id, i - 1 AS p, w[i] AS t
-        |        FROM toks, unnest(range(1, len(w) + 1)) AS t2(i)),
-        |kept AS (SELECT tok.doc_id,
-        |           string_agg(tok.t, ' ' ORDER BY tok.p) AS clean
-        |         FROM tok LEFT JOIN cut
-        |           ON cut.doc_id = tok.doc_id AND cut.p = tok.p
-        |         WHERE cut.p IS NULL GROUP BY tok.doc_id),
-        |nr AS (SELECT doc_id, count(*)::BIGINT AS nrem
-        |       FROM cut GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |       CASE WHEN nr.nrem IS NULL THEN d.text
-        |            ELSE coalesce(k.clean, '') END AS text_clean,
-        |       coalesce(nr.nrem, 0)::BIGINT AS tokens_removed
-        |FROM documents d LEFT JOIN nr USING (doc_id)
-        |LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q267_substring_dedup" -> substrDedupSql,
+    // fold(old, batch) must be indistinguishable from from-scratch —
+    // q267's oracle VERBATIM (the invariant pattern), including the
+    // retroactive case: a batch doc adding the second occurrence of
+    // an old doc's 8-gram excises it from the OLD doc too
+    "q268_substring_dedup_incremental" -> substrDedupSql,
     "q25_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
