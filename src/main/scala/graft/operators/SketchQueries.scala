@@ -29,6 +29,44 @@ object SketchQueries {
   private def h48Sql(e: String) =
     s"('0x' || substr(md5($e), 1, 12))::BIGINT"
 
+  /** q264/q269 shared oracle: HLL per-source + direct-from-stream
+    * '__all__' (the Spark side merges register tables, so the hash
+    * compare proves merge associativity + idempotence). */
+  private lazy val hllSql: String = {
+    val wDiv = 1L << (48 - HllP)
+    val m = 1L << HllP
+    val num = 709L * m * m * (1L << HllCap)
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
+       |              FROM documents),
+       |gsh AS (SELECT source,
+       |          unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |                  for i in range(1, len(w)-1)]) AS g
+       |        FROM toks),
+       |hs AS (SELECT source,
+       |         ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM gsh),
+       |rr AS (SELECT source, h // $wDiv AS reg,
+       |         CASE WHEN h % $wDiv = 0 THEN $HllCap
+       |              ELSE least(${48 - HllP + 1} - length(bin(h % $wDiv)),
+       |                         $HllCap) END AS r
+       |       FROM hs),
+       |regs AS (SELECT source, reg, max(r) AS r FROM rr GROUP BY 1, 2
+       |         UNION ALL
+       |         SELECT '__all__' AS source, reg, max(r) AS r
+       |         FROM rr GROUP BY 2),
+       |z AS (SELECT source,
+       |        sum(1::BIGINT << ($HllCap - r)) +
+       |          ($m - count(*)) * ${1L << HllCap} AS z
+       |      FROM regs GROUP BY 1),
+       |est AS (SELECT source,
+       |          CAST($num // (1000 * z) AS BIGINT) AS hll_est FROM z),
+       |ex AS (SELECT source, count(DISTINCT g)::BIGINT AS exact_distinct
+       |       FROM gsh GROUP BY 1
+       |       UNION ALL
+       |       SELECT '__all__', count(DISTINCT g)::BIGINT FROM gsh)
+       |SELECT est.source, ex.exact_distinct, est.hll_est
+       |FROM est JOIN ex USING (source)""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
 
     // Per-source distinct-token cardinality by KMV sketch, plus the
@@ -293,6 +331,45 @@ object SketchQueries {
       val allRegs = Sketches.hllMergeRegs(asAll(perSrc), asAll(perSrc))
       val est = Sketches.hllEstimate(perSrc.unionByName(allRegs),
         "source", HllP, HllCap)
+      val dist = sh.distinct()
+      val exact = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(dist.select(col("g")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("hll_est"))
+    }),
+
+    // The STREAMING HLL fold (StreamingSketch.processHllBatch — the
+    // foreachBatch sink's exact per-batch path) driven over 5 batches
+    // PLUS a deliberate replay of batch 2: register-wise max is
+    // idempotent, so at-least-once redelivery folds to the identical
+    // table with NO landed-batch ledger to consult (the q228 KMV
+    // class, not the q233/q243 linear class). Final state must equal
+    // from-scratch q264 — its oracle VERBATIM. Standing table ≤
+    // |sources|·2^p small-int rows regardless of streamed history.
+    "q269_hll_stream" -> ((s, d) => {
+      val table = "graft_hll_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val base = docs(s, d)
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingSketch.processHllBatch(
+          base.filter(col("doc_id") % 5 === b), "source", "text",
+          HllP, HllCap, table)
+      }
+      // at-least-once: batch 2 redelivered
+      graft.streaming.StreamingSketch.processHllBatch(
+        base.filter(col("doc_id") % 5 === 2), "source", "text",
+        HllP, HllCap, table)
+      val perSrc = s.table(table)
+      def asAll(r: DataFrame) =
+        r.select(lit("__all__").as("source"), col("reg"), col("r"))
+      val allRegs = Sketches.hllMergeRegs(asAll(perSrc), asAll(perSrc))
+      val est = Sketches.hllEstimate(perSrc.unionByName(allRegs),
+        "source", HllP, HllCap)
+      val sh = base.select(col("source"),
+        explode(shingles(col("text"), 3)).as("g"))
       val dist = sh.distinct()
       val exact = dist.groupBy(col("source"))
         .agg(count(lit(1)).as("exact_distinct"))
@@ -570,41 +647,11 @@ object SketchQueries {
     // '__all__' computed directly from the global stream (the Spark
     // side merges per-source register tables twice) — the gate's
     // proof of register-max associativity + idempotence
-    "q264_hll_distinct" -> {
-      val wDiv = 1L << (48 - HllP)
-      val m = 1L << HllP
-      val num = 709L * m * m * (1L << HllCap)
-      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
-         |              FROM documents),
-         |gsh AS (SELECT source,
-         |          unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-         |                  for i in range(1, len(w)-1)]) AS g
-         |        FROM toks),
-         |hs AS (SELECT source,
-         |         ('0x' || substr(md5(g), 1, 12))::BIGINT AS h FROM gsh),
-         |rr AS (SELECT source, h // $wDiv AS reg,
-         |         CASE WHEN h % $wDiv = 0 THEN $HllCap
-         |              ELSE least(${48 - HllP + 1} - length(bin(h % $wDiv)),
-         |                         $HllCap) END AS r
-         |       FROM hs),
-         |regs AS (SELECT source, reg, max(r) AS r FROM rr GROUP BY 1, 2
-         |         UNION ALL
-         |         SELECT '__all__' AS source, reg, max(r) AS r
-         |         FROM rr GROUP BY 2),
-         |z AS (SELECT source,
-         |        sum(1::BIGINT << ($HllCap - r)) +
-         |          ($m - count(*)) * ${1L << HllCap} AS z
-         |      FROM regs GROUP BY 1),
-         |est AS (SELECT source,
-         |          CAST($num // (1000 * z) AS BIGINT) AS hll_est FROM z),
-         |ex AS (SELECT source, count(DISTINCT g)::BIGINT AS exact_distinct
-         |       FROM gsh GROUP BY 1
-         |       UNION ALL
-         |       SELECT '__all__', count(DISTINCT g)::BIGINT FROM gsh)
-         |SELECT est.source, ex.exact_distinct, est.hll_est
-         |FROM est JOIN ex USING (source)""".stripMargin
-    },
-
+    "q264_hll_distinct" -> hllSql,
+    // the streaming fold's final table must equal from-scratch q264
+    // even under the deliberate batch-2 redelivery — register max is
+    // idempotent, so no ledger exists to consult
+    "q269_hll_stream" -> hllSql,
     "q259_kmv_set_algebra" ->
       s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
          |              FROM documents WHERE source IN

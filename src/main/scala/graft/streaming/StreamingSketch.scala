@@ -64,6 +64,46 @@ object StreamingSketch {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Start the HLL register-fold sink over a stream of (keyCol,
+    * textCol) documents — 3-shingle grain. */
+  def hllSink(docs: DataFrame, keyCol: String, textCol: String,
+              p: Int, cap: Int, table: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        processHllBatch(batch, keyCol, textCol, p, cap, table)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** One micro-batch's HLL fold: batch register table → register-wise
+    * max with the standing table → overwrite. Same idempotent-merge
+    * class as [[processBatch]]'s KMV union — a replayed batch
+    * re-maxes the same registers into themselves, so at-least-once
+    * needs NO ledger (contrast [[processCmsBatch]]). Standing state:
+    * ≤ 2^p rows per key, ever. */
+  def processHllBatch(batch: DataFrame, keyCol: String, textCol: String,
+                      p: Int, cap: Int, table: String): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val bs = Sketches.hllRegisters(
+      batch.select(col(keyCol),
+          explode(graft.functions.TextFunctions.shingles(col(textCol), 3))
+            .as("__g"))
+        .select(col(keyCol), Sketches.hash48(col("__g")).as("h")),
+      keyCol, "h", p, cap)
+    val merged =
+      if (spark.catalog.tableExists(table))
+        Sketches.hllMergeRegs(spark.table(table), bs)
+      else {
+        graft.operators.Bucketing.dropManagedTable(spark, table)
+        bs
+      }
+    merged.localCheckpoint(true).write.mode(SaveMode.Overwrite)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Start the histogram fold sink: per-batch fixed-grid histograms
     * fold into a standing cells table (quantile state at any rate). */
   def histSink(docs: DataFrame, valCol: String, width: Int,
