@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.t
 import graft.functions.VectorFunctions
@@ -187,6 +187,58 @@ object AnnQueries {
           (col("n_hit") * (10000 / K)).as("recall_bp"))
     }),
 
+    // VARIANCE-RANKED dimension pruning: keep the 16 highest-variance
+    // embedding dimensions (the cheapest index compression — no
+    // projection matrix, just a column mask) and grade its top-10
+    // recall against the full-dim exact ranking, head-to-head with
+    // the untrained first-16 PREFIX cut (q262's matryoshka baseline).
+    // Per-dimension variance is EXACT integer arithmetic —
+    // n·Σx² − (Σx)² over 1e6-fixed-point components — so the
+    // selected mask (hence the approximate ranking itself) is
+    // cross-engine reproducible; the mask is a 64-row agg collected
+    // as bounded driver metadata, exactly like a centroid table.
+    "q270_topvar_dims" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val e = emb(s, d)
+      val topDims = e
+        .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          round(col("x").cast("double") * 1e6).cast("long").as("xf"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("xf")).as("s"),
+          sum(col("xf") * col("xf")).as("s2"))
+        .select(col("pos"), (col("n") * col("s2") - col("s") * col("s"))
+          .as("var_fp"))
+        .orderBy(col("var_fp").desc, col("pos").asc)
+        .limit(16).select(col("pos")).collect().map(_.getInt(0))
+        .sorted
+      def cut(vec: Column, dims: Seq[Int]): Column =
+        array(dims.map(p => element_at(vec, p + 1)): _*)
+      def topk(proj: Column => Column) = {
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), proj(col("embedding")).as("q_vec"))
+        val c = e.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("n_id"), proj(col("embedding")).as("n_vec"))
+        c.crossJoin(broadcast(q))
+          .withColumn("cos4", round(VectorFunctions.cosine(
+            col("q_vec").cast("array<double>"),
+            col("n_vec").cast("array<double>")), 4))
+          .withColumn("rk", row_number().over(w.partitionBy(col("q_id"))
+            .orderBy(col("cos4").desc, col("n_id"))))
+          .filter(col("rk") <= 10)
+          .select(col("q_id"), col("n_id"))
+      }
+      val full = topk(v => v).localCheckpoint(true)
+      Seq("prefix16" -> ((v: Column) => slice(v, 1, 16)),
+          "topvar16" -> ((v: Column) => cut(v, topDims.toSeq)))
+        .map { case (policy, proj) =>
+          topk(proj).join(full, Seq("q_id", "n_id"))
+            .agg(count(lit(1)).as("hits"))
+            .select(lit(policy).as("policy"),
+              expr("hits * 10000L div 100").as("recall_bp"))
+        }.reduce(_ unionByName _)
+    }),
+
     // Cluster-quality audit: simplified (centroid-based) silhouette
     // per label — the O(n·k) health readout for any clustering this
     // engine maintains (IVF coarse lists, semantic-dedup cells, label
@@ -201,7 +253,48 @@ object AnnQueries {
           col("label").cast("long").as("label"), col("embedding")),
         "vec_id", "label", "embedding")))
 
+  /** q270: one top-10 ranking block under a projection of both sides
+    * (4-decimal cosine, id tie-break — q262's contract). */
+  private def top10Sql(qv: String, cv: String) =
+    s"""SELECT q_id, n_id FROM (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(${cosSql(qv, cv)}, 4) DESC, c.vec_id) AS rk
+       |  FROM qs q CROSS JOIN co c${if (qv.contains("ps")) ", sel" else ""})
+       |WHERE rk <= 10""".stripMargin
+
   val oracle: Map[String, String] = Map(
+
+    "q270_topvar_dims" ->
+      s"""WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+         |              unnest(range(1, len(embedding) + 1)) AS pos
+         |            FROM embeddings),
+         |vf AS (SELECT pos,
+         |         CAST(round(x::DOUBLE * 1000000) AS BIGINT) AS xf FROM ex),
+         |vr AS (SELECT pos, count(*)::BIGINT AS n,
+         |         CAST(sum(xf) AS BIGINT) AS s,
+         |         CAST(sum(xf * xf) AS BIGINT) AS s2
+         |       FROM vf GROUP BY pos),
+         |topd AS (SELECT pos FROM
+         |           (SELECT pos, n * s2 - s * s AS var_fp FROM vr)
+         |         QUALIFY row_number() OVER
+         |           (ORDER BY var_fp DESC, pos ASC) <= 16),
+         |sel AS (SELECT list(pos ORDER BY pos) AS ps FROM topd),
+         |qs AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE vec_id < 10),
+         |co AS (SELECT vec_id, embedding FROM embeddings
+         |       WHERE vec_id >= 10),
+         |full10 AS (${top10Sql("q.embedding", "c.embedding")}),
+         |pre10 AS (${top10Sql("q.embedding[1:16]", "c.embedding[1:16]")}),
+         |var10 AS (${top10Sql("[q.embedding[p] for p in ps]",
+                               "[c.embedding[p] for p in ps]")})
+         |SELECT 'prefix16' AS policy,
+         |       (SELECT count(*) FROM pre10 JOIN full10 USING (q_id, n_id))
+         |         * 10000 // 100 AS recall_bp
+         |UNION ALL
+         |SELECT 'topvar16',
+         |       (SELECT count(*) FROM var10 JOIN full10 USING (q_id, n_id))
+         |         * 10000 // 100""".stripMargin,
 
     "q265_silhouette" ->
       s"""WITH ex AS (SELECT CAST(label AS BIGINT) AS label,
