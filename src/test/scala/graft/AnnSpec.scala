@@ -124,4 +124,29 @@ class AnnSpec extends AnyFunSuite {
     assert(nPost < nFiltered,
       s"post-filtering should under-fill ($nPost vs $nFiltered)")
   }
+
+  test("silhouette: separated clusters score near 1, shuffled labels near 0") {
+    // two orthogonal-direction clusters with small deterministic jitter
+    def member(cluster: Int, i: Int): Array[Float] =
+      (0 until 64).map { j =>
+        val base = if (j < 32 == (cluster == 0)) 1.0f else 0.05f
+        base + 0.01f * ((i * 7 + j * 3) % 5)
+      }.toArray
+    val rows = (0 until 40).map(i => (i.toLong, (i % 2).toLong, member(i % 2, i)))
+    val good = Similarity.silhouette(
+        rows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding")
+      .select(col("label"), col("mean_sil")).as[(Long, Double)]
+      .collect().toMap
+    assert(good.size == 2)
+    good.values.foreach(s => assert(s > 0.8, s"separated clusters: $s"))
+    // same vectors, labels decoupled from geometry → no structure
+    val badRows = rows.map { case (id, _, v) => (id, id % 2, v) }
+      .map { case (id, l, v) => (id, if (id < 20) 0L else 1L, v) }
+    val bad = Similarity.silhouette(
+        badRows.toDF("vec_id", "label", "embedding"),
+        "vec_id", "label", "embedding")
+      .select(col("mean_sil")).as[Double].collect()
+    bad.foreach(s => assert(s < 0.2, s"shuffled labels: $s"))
+  }
 }

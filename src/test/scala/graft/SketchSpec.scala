@@ -167,6 +167,52 @@ class SketchSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("HLL register math: index = top p bits, rank = LZC+1, capped") {
+    val p = 6; val cap = 30
+    // crafted raw hashes exercise every branch of the rank formula:
+    //   h = 0            → reg 0, w = 0        → r = cap (the w=0 guard)
+    //   h = 1            → reg 0, w = 1        → 43-1 = 42, capped to 30
+    //   h = 1 << 42      → reg 1, w = 0        → cap
+    //   h = (1<<42) | (1<<41) → reg 1, w = 2^41 → r = 43-42 = 1
+    //   h = 3 << 41      → same cell as above (max collapses them)
+    //   h = (5<<42) | 12345   → reg 5, bin(12345) is 14 wide → r = 29
+    val hs = Seq(0L, 1L, 1L << 42, (1L << 42) | (1L << 41),
+      (5L << 42) | 12345L)
+    val df = hs.map(h => ("k", h)).toDF("key", "h")
+    val regs = Sketches.hllRegisters(df, "key", "h", p, cap)
+      .as[(String, Long, Int)].collect()
+      .map { case (_, reg, r) => reg -> r }.toMap
+    assert(regs == Map(0L -> 30, 1L -> 30, 5L -> 29))
+  }
+
+  test("HLL merge is idempotent and associative; estimate tracks exact") {
+    val p = 6; val cap = 30
+    def regsOf(vs: Seq[String]) = Sketches.hllRegisters(
+      vs.toDF("v").select(lit("x").as("key"),
+        Sketches.hash48(col("v")).as("h")), "key", "h", p, cap)
+    val a = regsOf((0 until 800).map(i => s"a$i"))
+    val b = regsOf((400 until 1200).map(i => s"a$i")) // overlap
+    val direct = regsOf((0 until 1200).map(i => s"a$i"))
+      .as[(String, Long, Int)].collect().sorted.toSeq
+    // merge(a, b) == direct sketch of the union
+    val merged = Sketches.hllMergeRegs(a, b)
+    assert(merged.as[(String, Long, Int)].collect().sorted.toSeq == direct)
+    // re-folding b is invisible (the q269 no-ledger replay contract)
+    val replayed = Sketches.hllMergeRegs(merged, b)
+    assert(replayed.as[(String, Long, Int)].collect().sorted.toSeq == direct)
+    // raw estimator lands within 3σ ≈ 3·1.04/√64 ≈ 39% of exact
+    val est = Sketches.hllEstimate(merged, "key", p, cap)
+      .as[(String, Long)].head._2
+    assert(math.abs(est - 1200.0) / 1200.0 < 0.39, s"est=$est")
+  }
+
+  test("HLL estimator refuses p/cap combinations that overflow BIGINT") {
+    val regs = Seq(("k", 0L, 1)).toDF("key", "reg", "r")
+    intercept[IllegalArgumentException] {
+      Sketches.hllEstimate(regs, "key", p = 16, cap = 30)
+    }
+  }
+
   test("histogram quantile estimate within [exact, exact + width)") {
     val width = 10
     val vals = (0 until 500).map(i => Tuple1((i * i % 997).toLong)).toDF("v")
