@@ -11,6 +11,23 @@ object TemporalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q39/q271 shared oracle: 30-minute-gap sessionization. */
+  private val sessSql: String =
+    """WITH g AS (SELECT user_id, epoch_us(ts) AS t, value,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_t
+      | FROM events),
+      |b AS (SELECT user_id, t, value,
+      |  CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+      |       THEN 1 ELSE 0 END AS new_session FROM g),
+      |sid AS (SELECT user_id, t, value,
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM b)
+      |SELECT user_id, session_id,
+      | min(t) AS session_start, max(t) AS session_end,
+      | count(*) AS n_events, round(sum(value), 2) AS total_value
+      |FROM sid GROUP BY user_id, session_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // Ordered conversion funnel view → click → purchase with a 1-hour
     // per-step window: K user-keyed joins against a monotonically
@@ -226,6 +243,84 @@ object TemporalQueries {
         .agg(min(col("t")).as("session_start"), max(col("t")).as("session_end"),
           count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("total_value"))
+    }),
+    // INCREMENTAL sessionization: standing state is the finished
+    // per-user session table over old events (sums kept unrounded —
+    // the foldable form); a strictly-later batch can only EXTEND each
+    // user's last session or append new ones, never restructure
+    // history, so the fold is: sessionize the batch alone, attach its
+    // first per-user session to the standing last when the boundary
+    // gap allows (start/end/count/sum fold), shift the rest's ids by
+    // the standing max. Per-batch work = batch scan + a touched-user
+    // join against the |users|-bounded last-session slice. Output ==
+    // from-scratch q39 (its oracle VERBATIM).
+    "q271_sessionize_incremental" -> ((s, d) => {
+      val gapUs = 1800L * 1000 * 1000
+      val w = org.apache.spark.sql.expressions.Window
+      val ub = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val ev = t(s, d, "events")
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+      val r = ev.agg(min(col("t")), max(col("t"))).head
+      val q80 = r.getLong(1) - (r.getLong(1) - r.getLong(0)) / 5
+      // place the cut INSIDE a session — the within-gap consecutive
+      // pair nearest the 80% timeline point — so the boundary-merge
+      // branch is provably exercised, not vacuously green (no
+      // ~30-minute gap straddles a round timestamp in this stream)
+      val cut = ev
+        .withColumn("prev_t", lag(col("t"), 1).over(
+          w.partitionBy(col("user_id")).orderBy(col("t"))))
+        .filter(col("prev_t").isNotNull &&
+          col("t") - col("prev_t") <= gapUs && col("t") =!= col("prev_t"))
+        .select(((col("prev_t") + col("t")) / 2).cast("long").as("mid"))
+        .orderBy(abs(col("mid") - q80)).limit(1)
+        .collect().headOption.map(_.getLong(0)).getOrElse(q80)
+      val oldEv = ev.filter(col("t") <= cut)
+      val batch = ev.filter(col("t") > cut)
+      def sess(df: DataFrame) = df
+        .withColumn("prev_t", lag(col("t"), 1).over(
+          w.partitionBy(col("user_id")).orderBy(col("t"))))
+        .withColumn("new_session",
+          when(col("prev_t").isNull || col("t") - col("prev_t") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.partitionBy(col("user_id")).orderBy(col("t"))
+            .rowsBetween(ub, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("t")).as("session_start"),
+          max(col("t")).as("session_end"),
+          count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      val standing = sess(oldEv).localCheckpoint(true)
+      val bs = sess(batch)
+      val last = standing.groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("max_sid"))
+        .join(standing.select(col("user_id"),
+          col("session_id").as("max_sid"),
+          col("session_start").as("l_start"), col("session_end").as("l_end"),
+          col("n_events").as("l_n"), col("sum_value").as("l_sum")),
+          Seq("user_id", "max_sid"))
+      val bj = bs.join(last, Seq("user_id"), "left")
+        .withColumn("merges", col("session_id") === 1L &&
+          col("l_end").isNotNull &&
+          (col("session_start") - col("l_end")) <= gapUs)
+        .withColumn("shift", max(when(col("merges"), 1L).otherwise(0L))
+          .over(w.partitionBy(col("user_id"))))
+        .withColumn("base", coalesce(col("max_sid"), lit(0L)))
+      val mergedRows = bj.filter(col("merges"))
+        .select(col("user_id"), col("max_sid").as("session_id"),
+          col("l_start").as("session_start"), col("session_end"),
+          (col("l_n") + col("n_events")).as("n_events"),
+          (col("l_sum") + col("sum_value")).as("sum_value"))
+      val freshRows = bj.filter(!col("merges"))
+        .select(col("user_id"),
+          (col("base") + col("session_id") - col("shift")).as("session_id"),
+          col("session_start"), col("session_end"), col("n_events"),
+          col("sum_value"))
+      standing.join(mergedRows.select(col("user_id"), col("session_id")),
+          Seq("user_id", "session_id"), "left_anti")
+        .unionByName(mergedRows).unionByName(freshRows)
+        .select(col("user_id"), col("session_id"), col("session_start"),
+          col("session_end"), col("n_events"),
+          round(col("sum_value"), 2).as("total_value"))
     }),
     // Batch twin of the streaming stream-stream join (unified
     // semantics: EventStreaming.joinWithin runs unchanged on batch
@@ -469,21 +564,11 @@ object TemporalQueries {
         | AND epoch_us(c.ts) >= epoch_us(p.ts)
         | AND epoch_us(c.ts) <= epoch_us(p.ts) + 600000000
         |GROUP BY p.event_id""".stripMargin,
-    "q39_sessionize_batch" ->
-      """WITH g AS (SELECT user_id, epoch_us(ts) AS t, value,
-        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_t
-        | FROM events),
-        |b AS (SELECT user_id, t, value,
-        |  CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
-        |       THEN 1 ELSE 0 END AS new_session FROM g),
-        |sid AS (SELECT user_id, t, value,
-        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY t
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        | FROM b)
-        |SELECT user_id, session_id,
-        | min(t) AS session_start, max(t) AS session_end,
-        | count(*) AS n_events, round(sum(value), 2) AS total_value
-        |FROM sid GROUP BY user_id, session_id""".stripMargin,
+    "q39_sessionize_batch" -> sessSql,
+    // fold(standing sessions, batch) == from-scratch sessionization —
+    // q39's oracle VERBATIM, including the boundary merge where the
+    // batch's first per-user session attaches to the standing last
+    "q271_sessionize_incremental" -> sessSql,
     // µs precision both sides (see q38's note on the NANOS column)
     "q45_stream_join_batch" ->
       """SELECT p.event_id AS purchase_event_id, c.event_id AS click_event_id
