@@ -491,7 +491,32 @@ object RelationalQueries {
       .reduce(_ unionByName _)
   }
 
+  /** q272: aggregate-navigation through the [[graft.plans.RollupRewrite]]
+    * Catalyst rule. The query code below is the USER'S original
+    * full-scan aggregation — it never mentions the rollup; the
+    * optimizer rule (installed on the session, scoped to the tagged
+    * scan) decides to serve it from the |sources|·|langs|-row
+    * materialization, folding count(1) → sum(n_docs) and
+    * sum(n_chars) → sum(sum_chars) with a coarser grouping. PlanSpec
+    * pins that the optimized plan reads the rollup parquet and not
+    * the fact table; the oracle aggregates the fact table directly,
+    * so the gate proves the rewrite is exact. */
+  private def q272RollupRewrite(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_" +
+      math.abs(d.hashCode.toLong)
+    t(s, d, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.plans.RollupRewrite.install(s, s.read.parquet(path))
+    s.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$d/documents.parquet")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q272_rollup_rewrite" -> q272RollupRewrite,
     "q248_fk_audit" -> q248FkAudit,
     "q244_zorder_append" -> q244ZOrderAppend,
     "q236_zorder_layout" -> q236ZOrderLayout,
@@ -654,6 +679,12 @@ object RelationalQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // the oracle aggregates the FACT table — the gate proves the
+    // rollup-served plan is exact, not just plausible
+    "q272_rollup_rewrite" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "q248_fk_audit" -> fkAuditSql,
     "q244_zorder_append" -> zorderAppendSql,
     "q236_zorder_layout" ->

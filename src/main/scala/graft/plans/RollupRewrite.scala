@@ -1,0 +1,106 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Materialized-rollup rewrite — the aggregate-navigation feature of
+  * a warehouse engine, expressed as a Catalyst optimizer rule: an
+  * `Aggregate` over the raw fact scan is answered from a tiny
+  * pre-aggregated rollup table instead, when (and only when) the
+  * requested aggregate is DERIVABLE from the rollup's grain —
+  * `count(1)` folds to `sum(n_docs)`, `sum(n_chars)` to
+  * `sum(sum_chars)`, and grouping by a subset of the rollup's keys
+  * re-aggregates the finer-grain rows. At 100 TB this turns a
+  * full-corpus scan into a |sources|·|langs|-row read; the rewrite is
+  * exact because the rollup holds complete additive partials, not
+  * samples.
+  *
+  * Scope control: the rule only fires on scans the caller explicitly
+  * tagged with the reader option `graft.rollupRewrite=true` — on a
+  * shared session (the Verify registry runs hundreds of queries
+  * through one SparkSession) an untagged `documents` scan must never
+  * be served from somebody else's materialization. Output attribute
+  * ids are restored with a projection over the rewritten aggregate,
+  * so parent operators resolve unchanged.
+  *
+  * Registered per-session through
+  * `spark.experimental.extraOptimizations` (the [[NativeAsOf]]
+  * self-registration idiom), deduplicated by class.
+  */
+class RollupRewrite(rollup: LogicalPlan) extends Rule[LogicalPlan] {
+
+  private def rollupAttr(n: String): Option[Attribute] =
+    rollup.output.find(_.name == n)
+
+  /** The fact-table measure each rollup column pre-aggregates. */
+  private val measureOf = Map("n_chars" -> "sum_chars")
+
+  private def tagged(p: LogicalPlan): Boolean = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.options.get("graft.rollupRewrite").contains("true")
+      case _ => false
+    }
+    case Project(_, c) => tagged(c)
+    case _ => false
+  }
+
+  /** Map one output expression of the original aggregate onto the
+    * rollup, or None when it is not derivable. */
+  private def derive(e: NamedExpression,
+                     groupNames: Set[String]): Option[NamedExpression] =
+    e match {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        rollupAttr(a.name)
+      case al @ Alias(AggregateExpression(Count(Seq(Literal(_, _))), _,
+          false, None, _), name) =>
+        rollupAttr("n_docs").map(nd =>
+          Alias(Sum(nd).toAggregateExpression(), name)())
+      case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _,
+          false, None, _), name) =>
+        measureOf.get(a.name).flatMap(rollupAttr).map(m =>
+          Alias(Sum(m).toAggregateExpression(), name)())
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupings, aggExprs, child, _) if tagged(child) =>
+      val groupAttrs = groupings.collect { case a: AttributeReference => a }
+      val groupNames = groupAttrs.map(_.name).toSet
+      val newGroup = groupAttrs.map(a => rollupAttr(a.name))
+      val newAggs = aggExprs.map(derive(_, groupNames))
+      val derivable = groupAttrs.length == groupings.length &&
+        newGroup.forall(_.isDefined) &&
+        groupNames.forall(n => rollupAttr(n).isDefined) &&
+        newAggs.forall(_.isDefined)
+      if (!derivable) agg
+      else {
+        val rewritten = Aggregate(newGroup.map(_.get),
+          newAggs.map(_.get), rollup)
+        // restore the original output attribute ids so parents resolve
+        Project(agg.output.zip(rewritten.output).map { case (o, n) =>
+          Alias(n, o.name)(exprId = o.exprId)
+        }, rewritten)
+      }
+  }
+}
+
+object RollupRewrite {
+
+  /** Install (or replace) the rewrite on an existing session, backed
+    * by `rollup`'s analyzed plan. Idempotent by rule class. */
+  def install(spark: SparkSession, rollup: DataFrame): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[RollupRewrite]) :+
+        new RollupRewrite(rollup.queryExecution.analyzed)
+
+  def uninstall(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations
+        .filterNot(_.isInstanceOf[RollupRewrite])
+}

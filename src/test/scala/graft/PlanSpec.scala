@@ -188,4 +188,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(1500))
     assert(exchanges <= 2, s"$exchanges exchanges\n${p.take(3000)}")
   }
+
+  test("q272: the tagged aggregate is served from the rollup, not the " +
+      "fact scan — and untagged scans on the same session never are") {
+    val p = plan("q272_rollup_rewrite")
+    assert(p.contains("graft_rollup_"),
+      s"rollup scan missing\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      s"fact table still scanned\n${p.take(3000)}")
+    // scope control: with the rule still installed, an UNTAGGED
+    // identical aggregation must scan the fact table
+    val df = graft.Tables.t(spark, sf, "documents")
+      .groupBy(org.apache.spark.sql.functions.col("source"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+    df.collect()
+    val up = df.queryExecution.executedPlan.toString
+    assert(up.contains("documents.parquet"), up.take(2000))
+    assert(!up.contains("graft_rollup_"), up.take(2000))
+  }
 }
