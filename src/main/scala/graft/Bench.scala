@@ -133,7 +133,8 @@ object Bench {
       "q201_audio_keep_one_store", "q205_media_store_incr",
       "q206_ivf2_saved", "q227_image_keep_one_store",
       "q228_kmv_stream", "q233_cms_stream", "q243_hist_stream",
-      "q254_scd2_stream")
+      "q254_scd2_stream", "q269_hll_stream", "q272_rollup_rewrite",
+      "q273_rollup_incremental")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

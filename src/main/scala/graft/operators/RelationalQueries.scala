@@ -515,7 +515,37 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** q273: INCREMENTAL maintenance of the q272 materialization — the
+    * rollup's cells are complete additive partials, so a batch folds
+    * in by cell-wise sum of the standing rollup with the batch's own
+    * partial (work ∝ batch + |rollup| rows; history never rescanned).
+    * The rewritten full-corpus aggregate over the FOLDED rollup must
+    * equal the direct fact-table aggregate — q272's oracle verbatim,
+    * which is exactly the staleness proof a view-maintenance pipeline
+    * needs. */
+  private def q273RollupIncremental(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_incr_" +
+      math.abs(d.hashCode.toLong)
+    val doc = t(s, d, "documents")
+    def part(df: DataFrame) = df.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    part(doc.filter(col("doc_id") % 5 =!= 0)).coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/v1")
+    s.read.parquet(s"$base/v1")
+      .unionByName(part(doc.filter(col("doc_id") % 5 === 0)))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/v2")
+    graft.plans.RollupRewrite.install(s, s.read.parquet(s"$base/v2"))
+    s.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$d/documents.parquet")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q273_rollup_incremental" -> q273RollupIncremental,
     "q272_rollup_rewrite" -> q272RollupRewrite,
     "q248_fk_audit" -> q248FkAudit,
     "q244_zorder_append" -> q244ZOrderAppend,
@@ -678,13 +708,20 @@ object RelationalQueries {
       .mkString("\nUNION ALL\n")
   }
 
+  /** q272/q273 shared oracle: the direct fact-table aggregate the
+    * rollup-served plan must reproduce exactly. */
+  private val rollupSql: String =
+    """SELECT source, count(*)::BIGINT AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the oracle aggregates the FACT table — the gate proves the
     // rollup-served plan is exact, not just plausible
-    "q272_rollup_rewrite" ->
-      """SELECT source, count(*)::BIGINT AS n_docs,
-        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM documents GROUP BY source""".stripMargin,
+    "q272_rollup_rewrite" -> rollupSql,
+    // folded rollup serves the same full-corpus aggregate — q272's
+    // oracle verbatim is the view-maintenance staleness proof
+    "q273_rollup_incremental" -> rollupSql,
     "q248_fk_audit" -> fkAuditSql,
     "q244_zorder_append" -> zorderAppendSql,
     "q236_zorder_layout" ->
