@@ -744,6 +744,30 @@ object TextPipelineQueries {
     // integer sums, final slope a fixed 6-op double sequence.
     "q250_zipf_slope" -> ((s, d) =>
       Surprisal.zipfSlope(docs(s, d), "source", "text")),
+    // Gini coefficient of each source's token-frequency distribution
+    // — the inequality one-number that complements q250's Zipf slope
+    // (a source whose mass concentrates in few tokens is template/
+    // boilerplate-shaped even when its slope looks natural). Pure
+    // integer arithmetic over the ascending (count, token)-ranked
+    // spectrum: G = (2·Σ i·c_i − (n+1)·Σc_i) / (n·Σc_i), scaled to
+    // basis points — the rank window runs over vocab-sized frequency
+    // tables, never the corpus.
+    "q277_token_gini" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+      val tf = docs(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      tf.withColumn("i", row_number().over(
+          w.partitionBy(col("source"))
+            .orderBy(col("c").asc, col("tok").asc)).cast("long"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("c")).as("__tc"),
+          sum(col("i") * col("c")).as("__ic"))
+        .select(col("source"), col("n_tokens"),
+          expr("""(2L * __ic - (n_tokens + 1) * __tc) * 10000L
+                  div (n_tokens * __tc)""").as("gini_bp"))
+    }),
     // Cross-domain affinity matrix: src0–src4 each scored under each
     // other's bigram LM (5×5 rows) — the "which domains predict
     // which" artifact behind q209's reweighting and any transfer-
@@ -997,6 +1021,105 @@ object TextPipelineQueries {
         .select(col("doc_id").as("doc_b"), col("start").as("start_b"),
           lit(n.toLong).as("len"))
       Dedup.removeSpans(doc, "doc_id", "text", spans)
+    }),
+    // TRIANGLE COUNT + global clustering coefficient of the near-dup
+    // candidate graph — the dedup-diagnostics readout that separates
+    // true dup CLIQUES (triangle-rich components, safe to collapse to
+    // one keeper) from hash-collision CHAINS (triangle-free paths,
+    // where transitive keep-one over-deletes). Degree-oriented
+    // counting: each edge points from its lower-(degree, id) endpoint
+    // to the higher, so every wedge is generated at its LOWEST-degree
+    // apex — fan-out bounded by the graph's degeneracy, not its max
+    // degree (the arboricity bound that survives power-law graphs; a
+    // hub of degree 10⁶ generates no wedges at all unless both
+    // neighbors out-rank it). The oracle counts the same triangles by
+    // the naive ordered triple join — orientation-independence is
+    // part of what the hash compare proves.
+    "q274_triangle_count" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+        .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+      val deg = pairs.select(col("id_a").as("n"))
+        .unionByName(pairs.select(col("id_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val ranked = pairs
+        .join(deg.select(col("n").as("id_a"), col("deg").as("__da")),
+          Seq("id_a"))
+        .join(deg.select(col("n").as("id_b"), col("deg").as("__db")),
+          Seq("id_b"))
+      val e = ranked.select(
+          when(struct(col("__da"), col("id_a")) <
+            struct(col("__db"), col("id_b")), col("id_a"))
+            .otherwise(col("id_b")).as("u"),
+          when(struct(col("__da"), col("id_a")) <
+            struct(col("__db"), col("id_b")), col("id_b"))
+            .otherwise(col("id_a")).as("v"))
+        .localCheckpoint(true)
+      val wedges = e.select(col("u"), col("v").as("v1"))
+        .join(e.select(col("u"), col("v").as("v2")), Seq("u"))
+        .filter(col("v1") < col("v2"))
+      val und = e.select(col("u").as("x"), col("v").as("y"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+      val tri = wedges.join(und,
+          col("v1") === col("x") && col("v2") === col("y"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("__n_wedges"))
+      nn.crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+          when(col("__n_wedges") === 0, lit(0L))
+            .otherwise(expr("n_triangles * 3L * 10000L div __n_wedges"))
+            .as("clustering_bp"))
+    }),
+    // Per-COMPONENT triage of the candidate graph — the grain q274's
+    // global coefficient summarizes: density and is-clique per
+    // near-dup component. A clique collapses to one keeper safely; a
+    // low-density chain is hash-collision lint where transitive
+    // keep-one over-deletes — the report a dedup operator reads
+    // before acting. Counts ride the existing CC labels; edges
+    // attribute to components by one label join.
+    "q275_dup_components" -> ((s, d) => {
+      val groups = dupGroups(s, d)
+      val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+      val nodes = groups.groupBy(col("keep_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("keep_id").as("component"), col("n_nodes"))
+      val edges = pairs.join(groups.select(col("id").as("id_a"),
+          col("keep_id")), Seq("id_a"))
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("n_edges"))
+        .select(col("keep_id").as("component"), col("n_edges"))
+      nodes.join(edges, Seq("component"))
+        .select(col("component"), col("n_nodes"), col("n_edges"),
+          expr("n_edges * 2L * 10000L div (n_nodes * (n_nodes - 1))")
+            .as("density_bp"),
+          (col("n_edges") === expr("n_nodes * (n_nodes - 1) div 2"))
+            .as("is_clique"))
+    }),
+    // GOLDEN-RECORD merge (MDM survivorship): each multi-member dup
+    // cluster collapses to one synthesized record by per-attribute
+    // rules — modal lang/source (count desc, value asc tie-break, so
+    // the pick is deterministic cross-engine), max n_chars, min id.
+    // The output is the merged master table a dedup pass hands
+    // downstream instead of an arbitrary surviving row.
+    "q276_golden_record" -> ((s, d) => {
+      val members = docs(s, d)
+        .join(dupGroups(s, d).select(col("id").as("doc_id"),
+          col("keep_id").as("component")), Seq("doc_id"))
+      def modal(c: String) = members
+        .groupBy(col("component"), col(c))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("component"))
+        .agg(min(struct((-col("__cnt")).as("nc"), col(c).as("v")))
+          .as("__m"))
+        .select(col("component"), col("__m.v").as(c))
+      members.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"),
+          min(col("doc_id")).as("rep_id"),
+          max(col("n_chars")).as("max_chars"))
+        .join(modal("lang"), Seq("component"))
+        .join(modal("source"), Seq("component"))
+        .select(col("component"), col("n_members"), col("rep_id"),
+          col("lang"), col("source"), col("max_chars"))
     }),
     // INCREMENTAL exact-substring dedup: standing state is the old
     // corpus's per-gram table (distinct-doc count + first
@@ -2899,6 +3022,97 @@ object TextPipelineQueries {
          |       CASE WHEN cn.policy = 'naive' THEN lk.naive_leaks
          |            ELSE lk.group_leaks END AS leak_pairs
          |FROM cn CROSS JOIN lk""".stripMargin,
+    // naive ordered-triple join — the degree-oriented Spark count
+    // must agree (orientation independence is part of the proof)
+    "q274_triangle_count" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
+         |nodes AS (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed),
+         |deg AS (SELECT n, count(*)::BIGINT AS deg FROM nodes GROUP BY n),
+         |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM ed e1
+         |        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |st AS (SELECT count(*)::BIGINT AS n_nodes,
+         |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+         |       FROM deg),
+         |ne AS (SELECT count(*)::BIGINT AS n_edges FROM ed)
+         |SELECT n_nodes, n_edges, n_triangles,
+         |  CASE WHEN n_wedges = 0 THEN 0
+         |       ELSE n_triangles * 3 * 10000 // n_wedges
+         |  END AS clustering_bp
+         |FROM st, ne, tri""".stripMargin,
+    "q277_token_gini" ->
+      """WITH tf AS (SELECT source, tok, count(*)::BIGINT AS c FROM (
+        |        SELECT source, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents) GROUP BY source, tok),
+        |rk AS (SELECT source, c, CAST(row_number() OVER (
+        |         PARTITION BY source ORDER BY c ASC, tok ASC) AS BIGINT)
+        |         AS i
+        |       FROM tf),
+        |ag AS (SELECT source, count(*)::BIGINT AS n_tokens,
+        |         CAST(sum(c) AS BIGINT) AS tc,
+        |         CAST(sum(i * c) AS BIGINT) AS ic
+        |       FROM rk GROUP BY source)
+        |SELECT source, n_tokens,
+        |       (2 * ic - (n_tokens + 1) * tc) * 10000 // (n_tokens * tc)
+        |         AS gini_bp
+        |FROM ag""".stripMargin,
+    "q275_dup_components" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS label
+         |      FROM reach GROUP BY a),
+         |nn AS (SELECT label AS component, count(*)::BIGINT AS n_nodes
+         |       FROM g GROUP BY label),
+         |ee AS (SELECT g.label AS component, count(*)::BIGINT AS n_edges
+         |       FROM cand JOIN g ON g.did = cand.id_a GROUP BY g.label)
+         |SELECT component, n_nodes, n_edges,
+         |  n_edges * 2 * 10000 // (n_nodes * (n_nodes - 1)) AS density_bp,
+         |  (n_edges = n_nodes * (n_nodes - 1) // 2) AS is_clique
+         |FROM nn JOIN ee USING (component)""".stripMargin,
+    // modal picks tie-break (count desc, value asc) explicitly —
+    // DuckDB's mode() leaves ties unspecified
+    "q276_golden_record" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS component
+         |      FROM reach GROUP BY a),
+         |mem AS (SELECT g.component, d.doc_id, d.lang, d.source,
+         |          d.n_chars
+         |        FROM documents d JOIN g ON g.did = d.doc_id),
+         |ml AS (SELECT component, lang FROM (
+         |         SELECT component, lang, row_number() OVER (
+         |           PARTITION BY component
+         |           ORDER BY count(*) DESC, lang) AS rk
+         |         FROM mem GROUP BY component, lang) WHERE rk = 1),
+         |ms AS (SELECT component, source FROM (
+         |         SELECT component, source, row_number() OVER (
+         |           PARTITION BY component
+         |           ORDER BY count(*) DESC, source) AS rk
+         |         FROM mem GROUP BY component, source) WHERE rk = 1),
+         |ag AS (SELECT component, count(*)::BIGINT AS n_members,
+         |         min(doc_id) AS rep_id, max(n_chars) AS max_chars
+         |       FROM mem GROUP BY component)
+         |SELECT ag.component, ag.n_members, ag.rep_id,
+         |       ml.lang, ms.source, ag.max_chars
+         |FROM ag JOIN ml USING (component) JOIN ms USING (component)"""
+        .stripMargin,
     // first occurrence = min (doc, start) per duplicated gram;
     // removed positions union via DISTINCT before the rebuild
     "q267_substring_dedup" -> substrDedupSql,
