@@ -441,6 +441,48 @@ object Dedup {
     updatedOld.union(newLabels)
   }
 
+  /** DECREMENTAL connected components: the label table after DELETING
+    * a set of nodes — the dedup family's right-to-be-forgotten fold,
+    * the inverse of [[incrementalComponents]]. Deleting nodes can only
+    * SPLIT the components that contained them, so every untouched
+    * component keeps its EXACT old row and the CC recompute is scoped
+    * to the affected components' surviving members: work ∝ the edges
+    * of components containing a deleted node, never the full graph.
+    * (With the edge table bucketed by component label — the standing
+    * artifact a batch-dedup deployment keeps anyway — the edge scan
+    * prunes to affected buckets too.)
+    *
+    * `labels` (id, keep_id) is the standing table; `pairs`
+    * (id_a, id_b) the surviving candidate-pair source. LSH pair
+    * existence depends only on the two endpoint signatures, so
+    * full-graph pairs filtered to survivors ARE the filtered-corpus
+    * pairs — the output equals a from-scratch CC over the remaining
+    * docs (q281's oracle). Survivors whose every partner was deleted
+    * drop out of the table, exactly as a from-scratch build over the
+    * survivors would drop them. */
+  def decrementalComponents(labels: DataFrame, pairs: DataFrame,
+                            deleted: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("keep_id"))
+    val del = deleted.select(col("id")).distinct().localCheckpoint(true)
+    // labels of components that lost a member (bounded by |deleted|)
+    val affected = lab.join(del, Seq("id"), "left_semi")
+      .select(col("keep_id")).distinct().localCheckpoint(true)
+    // surviving members of affected components (∝ affected comps)
+    val survivors = lab.join(affected, Seq("keep_id"), "left_semi")
+      .join(del, Seq("id"), "left_anti")
+      .select(col("id")).localCheckpoint(true)
+    // edges with BOTH endpoints surviving inside an affected
+    // component (edges never cross components, so two semi-joins
+    // against the affected-survivor set scope the scan exactly)
+    val e = pairs.select(col("id_a"), col("id_b"))
+      .join(survivors.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(survivors.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
+    // untouched components: exact old rows, no recompute
+    lab.join(affected, Seq("keep_id"), "left_anti")
+      .select(col("id"), col("keep_id"))
+      .unionByName(connectedComponents(e))
+  }
+
   /** Alternating large-star/small-star connected components (Kiveris
     * et al., "Connected Components in MapReduce and Beyond"): each
     * round rewires every node's larger (large-star) or not-larger

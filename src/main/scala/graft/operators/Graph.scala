@@ -61,4 +61,103 @@ object Graph {
     }
     pr
   }
+
+  /** Triangle count + global clustering coefficient of an undirected
+    * simple graph given as candidate pairs (id_a, id_b; orientation
+    * and duplicates tolerated). Degree-oriented counting: each edge
+    * points from its lower-(degree, id) endpoint to the higher, so
+    * every wedge is generated at its LOWEST-degree apex — fan-out is
+    * bounded by the graph's degeneracy, not its max degree (the
+    * arboricity bound that survives power-law graphs; a hub of degree
+    * 10⁶ generates no wedges at all unless both neighbors out-rank
+    * it). Output: one row (n_nodes, n_edges, n_triangles,
+    * clustering_bp = 3·triangles/wedges in basis points). */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+      .localCheckpoint(true)
+    val deg = p.select(col("id_a").as("n"))
+      .unionByName(p.select(col("id_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val ranked = p
+      .join(deg.select(col("n").as("id_a"), col("deg").as("__da")),
+        Seq("id_a"))
+      .join(deg.select(col("n").as("id_b"), col("deg").as("__db")),
+        Seq("id_b"))
+    val e = ranked.select(
+        when(struct(col("__da"), col("id_a")) <
+          struct(col("__db"), col("id_b")), col("id_a"))
+          .otherwise(col("id_b")).as("u"),
+        when(struct(col("__da"), col("id_a")) <
+          struct(col("__db"), col("id_b")), col("id_b"))
+          .otherwise(col("id_a")).as("v"))
+      .localCheckpoint(true)
+    val wedges = e.select(col("u"), col("v").as("v1"))
+      .join(e.select(col("u"), col("v").as("v2")), Seq("u"))
+      .filter(col("v1") < col("v2"))
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    val tri = wedges.join(und,
+        col("v1") === col("x") && col("v2") === col("y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    // coalesce: sum over an empty degree table is null, not 0
+    val nn = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+        .as("__n_wedges"))
+    nn.crossJoin(p.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        when(col("__n_wedges") === 0, lit(0L))
+          .otherwise(expr("n_triangles * 3L * 10000L div __n_wedges"))
+          .as("clustering_bp"))
+  }
+
+  /** INCREMENTAL triangle count: triangles of old ∪ new without ever
+    * re-pairing the old graph — per-batch work is ∝ |new edges| ×
+    * degree, not |old edges|². `oldTriangles` is the standing count
+    * (one row, `n_triangles`, e.g. a prior [[triangleStats]] run);
+    * `oldE`/`newE` must be DISJOINT undirected edge sets.
+    *
+    * The fold is an exact inclusion–exclusion over how many batch
+    * edges each new triangle contains. For every new edge (u,v),
+    * classify each common neighbor w by the tags of (u,w) and (v,w):
+    * summing over all new edges, both-old wedges count each 1-new-edge
+    * triangle once (S_oo = T1), mixed wedges count each 2-new-edge
+    * triangle twice (S_mix = 2·T2), both-new wedges count each all-new
+    * triangle three times (S_nn = 3·T3) — so the number of NEW
+    * triangles is exactly S_oo + S_mix/2 + S_nn/3, all integer.
+    * Output: one row (n_triangles) for the full graph. */
+  def triangleCountDelta(oldTriangles: DataFrame,
+                         oldE: DataFrame, newE: DataFrame): DataFrame = {
+    def canon(df: DataFrame, tag: Int) =
+      df.select(least(col("id_a"), col("id_b")).as("u"),
+          greatest(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .withColumn("t", lit(tag))
+    val o = canon(oldE, 0)
+    val n = canon(newE, 1).localCheckpoint(true)
+    // both orientations of old ∪ new, tagged
+    val und = o.unionByName(n)
+      .select(col("u").as("x"), col("v").as("y"), col("t"))
+      .unionByName(o.unionByName(n)
+        .select(col("v").as("x"), col("u").as("y"), col("t")))
+      .localCheckpoint(true)
+    val s = n
+      .join(und.select(col("x").as("u"), col("y").as("w"),
+        col("t").as("__t1")), Seq("u"))
+      .join(und.select(col("x").as("v"), col("y").as("w"),
+        col("t").as("__t2")), Seq("v", "w"))
+      .agg(sum(when(col("__t1") === 0 && col("__t2") === 0, 1L)
+          .otherwise(0L)).as("__s_oo"),
+        sum(when(col("__t1") =!= col("__t2"), 1L).otherwise(0L))
+          .as("__s_mix"),
+        sum(when(col("__t1") === 1 && col("__t2") === 1, 1L)
+          .otherwise(0L)).as("__s_nn"))
+      .select((coalesce(col("__s_oo"), lit(0L)) +
+        expr("coalesce(__s_mix, 0L) div 2") +
+        expr("coalesce(__s_nn, 0L) div 3")).as("__delta"))
+    oldTriangles.select(col("n_triangles")).crossJoin(s)
+      .select((col("n_triangles") + col("__delta")).as("n_triangles"))
+  }
 }

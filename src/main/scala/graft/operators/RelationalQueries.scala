@@ -544,7 +544,40 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** q279: DELETE-fold of the q272 materialization — rollup cells
+    * are additive partials, so erasing a slice subtracts its partial
+    * cell-wise (work ∝ deleted slice + |rollup| rows; the retained
+    * corpus is never rescanned) and cells whose count reaches zero
+    * are dropped. The rewrite-served aggregate over the folded rollup
+    * must equal a from-scratch aggregate over the SURVIVING fact rows
+    * — the view-maintenance erasure proof; the oracle computes the
+    * survivors directly, so a rewrite that fails to fire (serving the
+    * unfiltered scan) FAILS the gate, making the rule load-bearing. */
+  private def q279RollupDelete(s: SparkSession, d: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_del_" +
+      math.abs(d.hashCode.toLong)
+    val doc = t(s, d, "documents")
+    def part(df: DataFrame) = df.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    part(doc).coalesce(1).write.mode("overwrite").parquet(s"$base/v1")
+    s.read.parquet(s"$base/v1")
+      .unionByName(part(doc.filter(col("doc_id") % 7 === 3))
+        .select(col("source"), col("lang"), (-col("n_docs")).as("n_docs"),
+          (-col("sum_chars")).as("sum_chars")))
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("sum_chars")).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/v2")
+    graft.plans.RollupRewrite.install(s, s.read.parquet(s"$base/v2"))
+    s.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$d/documents.parquet")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q279_rollup_delete" -> q279RollupDelete,
     "q273_rollup_incremental" -> q273RollupIncremental,
     "q272_rollup_rewrite" -> q272RollupRewrite,
     "q248_fk_audit" -> q248FkAudit,
@@ -719,6 +752,12 @@ object RelationalQueries {
     // the oracle aggregates the FACT table — the gate proves the
     // rollup-served plan is exact, not just plausible
     "q272_rollup_rewrite" -> rollupSql,
+    // the delete-folded rollup serves the SURVIVORS' aggregate — the
+    // oracle recomputes it from the filtered fact rows directly
+    "q279_rollup_delete" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 7 <> 3 GROUP BY source""".stripMargin,
     // folded rollup serves the same full-corpus aggregate — q272's
     // oracle verbatim is the view-maintenance staleness proof
     "q273_rollup_incremental" -> rollupSql,

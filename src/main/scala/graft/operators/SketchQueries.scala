@@ -165,6 +165,30 @@ object SketchQueries {
           Sketches.kmvEstimate(col("hs"), KmvK).as("kmv_est"))
     }),
 
+    // DELETE-fold Count-Min: linearity cuts both ways — subtracting
+    // the deleted slice's sketch cell-wise (zero cells dropped) must
+    // leave cell-for-cell the from-scratch sketch of the SURVIVING
+    // corpus; the gate proves it by running the heavy-hitter report
+    // over the folded sketch against q212's oracle computed on the
+    // filtered table. Right-to-be-forgotten for frequency state at
+    // cost ∝ deleted slice + depth·width — the retained corpus is
+    // never rescanned (contrast KMV/HLL, whose idempotent-max merges
+    // are NOT invertible: erasure there means rebuild).
+    "q282_cms_delete" -> ((s, d) => {
+      val tok = docs(s, d).select(col("doc_id"),
+        explode(tokens(col("text"))).as("w"))
+      def tf(p: DataFrame) = p.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      def sk(p: DataFrame) =
+        Sketches.cmsSketch(tf(p), "w", "c", CmsDepth, CmsWidth)
+      val folded = Sketches.cmsSubtractCells(sk(tok),
+        sk(tok.filter(col("doc_id") % 7 === 3)))
+      val kept = tf(tok.filter(col("doc_id") % 7 =!= 3))
+      val cands = kept.orderBy(col("c").desc, col("w").asc).limit(20)
+      Sketches.cmsLookup(folded, cands, "w", CmsDepth, CmsWidth)
+        .select(col("w"), col("c").as("exact_c"), col("cms_est"),
+          (col("cms_est") >= col("c")).as("over_ok"))
+    }),
+
     // Incremental Count-Min: the standing sketch over the old corpus
     // FOLDED with the batch's sketch by cell-wise sum — CMS is
     // LINEAR, so fold(old, batch) must equal the from-scratch sketch
@@ -604,6 +628,11 @@ object SketchQueries {
     // fold(old, batch) must be indistinguishable from from-scratch —
     // CMS linearity through the gate, q212's oracle verbatim
     "q232_cms_incremental" -> cmsSql,
+    // subtract-fold == from-scratch over survivors: q212's oracle on
+    // the filtered corpus (CTE shadows the view; main. disambiguates)
+    "q282_cms_delete" ->
+      ("WITH documents AS (SELECT * FROM main.documents " +
+        "WHERE doc_id % 7 <> 3),\n" + cmsSql.stripPrefix("WITH ")),
     // and the streamed fold with a replayed batch skipped by the
     // ledger must land on the same table — q212's oracle verbatim
     "q233_cms_stream" -> cmsSql,

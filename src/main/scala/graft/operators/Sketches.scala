@@ -117,6 +117,22 @@ object Sketches {
       .groupBy(col("row"), col("bucket"))
       .agg(sum(col("cell")).as("cell"))
 
+  /** DELETE-fold: linearity cuts both ways — subtracting a deleted
+    * slice's sketch cell-wise leaves exactly the sketch of the
+    * surviving stream (sketch(S) − sketch(D) = sketch(S∖D) for
+    * D ⊆ S), so right-to-be-forgotten erasure never rescans the
+    * retained corpus: per-delete work is the deleted slice's scan
+    * plus a depth·width-bounded sum. Cells that reach zero are
+    * DROPPED, restoring the sparse absent-is-zero representation —
+    * the folded table is cell-for-cell the from-scratch sketch of
+    * the survivors (q282 proves it through the gate). `minuend`
+    * must contain the deleted rows (subtracting counts that were
+    * never added leaves negative cells — a corrupt sketch). */
+  def cmsSubtractCells(minuend: DataFrame, deleted: DataFrame): DataFrame =
+    cmsMergeCells(minuend,
+      deleted.select(col("row"), col("bucket"), (-col("cell")).as("cell")))
+      .filter(col("cell") =!= 0L)
+
   /** Cell index of `item` in sketch row `row`: salted 48-bit md5
     * mod width (mod of a non-negative BIGINT — portable). */
   def cmsBucket(row: Column, item: Column, width: Int): Column =

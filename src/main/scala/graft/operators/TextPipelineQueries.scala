@@ -1035,36 +1035,31 @@ object TextPipelineQueries {
     // neighbors out-rank it). The oracle counts the same triangles by
     // the naive ordered triple join — orientation-independence is
     // part of what the hash compare proves.
-    "q274_triangle_count" -> ((s, d) => {
+    "q274_triangle_count" -> ((s, d) =>
+      Graph.triangleStats(
+        Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // INCREMENTAL triangle count: the standing count over the old
+    // docs' graph folds with the batch's edges by exact inclusion–
+    // exclusion over per-new-edge common-neighbor tags (S_oo +
+    // S_mix/2 + S_nn/3 — Graph.triangleCountDelta) — per-batch work
+    // ∝ batch edges × degree, the old graph is never re-paired. The
+    // node/edge/wedge counts are single-pass degree sums over the
+    // full edge set; q274's oracle VERBATIM is the == from-scratch
+    // proof.
+    "q285_triangle_incremental" -> ((s, d) => {
       val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
         .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val oldE = pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))
+      val newE = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+      val tri = Graph.triangleCountDelta(
+        Graph.triangleStats(oldE).select(col("n_triangles")), oldE, newE)
       val deg = pairs.select(col("id_a").as("n"))
         .unionByName(pairs.select(col("id_b").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      val ranked = pairs
-        .join(deg.select(col("n").as("id_a"), col("deg").as("__da")),
-          Seq("id_a"))
-        .join(deg.select(col("n").as("id_b"), col("deg").as("__db")),
-          Seq("id_b"))
-      val e = ranked.select(
-          when(struct(col("__da"), col("id_a")) <
-            struct(col("__db"), col("id_b")), col("id_a"))
-            .otherwise(col("id_b")).as("u"),
-          when(struct(col("__da"), col("id_a")) <
-            struct(col("__db"), col("id_b")), col("id_b"))
-            .otherwise(col("id_a")).as("v"))
-        .localCheckpoint(true)
-      val wedges = e.select(col("u"), col("v").as("v1"))
-        .join(e.select(col("u"), col("v").as("v2")), Seq("u"))
-        .filter(col("v1") < col("v2"))
-      val und = e.select(col("u").as("x"), col("v").as("y"))
-        .unionByName(e.select(col("v").as("x"), col("u").as("y")))
-      val tri = wedges.join(und,
-          col("v1") === col("x") && col("v2") === col("y"), "left_semi")
-        .agg(count(lit(1)).as("n_triangles"))
-      val nn = deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("deg * (deg - 1) div 2")).as("__n_wedges"))
-      nn.crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+      deg.agg(count(lit(1)).as("n_nodes"),
+          sum(expr("deg * (deg - 1) div 2")).as("__n_wedges"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
         .crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
           when(col("__n_wedges") === 0, lit(0L))
@@ -1120,6 +1115,154 @@ object TextPipelineQueries {
         .join(modal("source"), Seq("component"))
         .select(col("component"), col("n_members"), col("rep_id"),
           col("lang"), col("source"), col("max_chars"))
+    }),
+    // INCREMENTAL golden records: q276's master table maintained as
+    // foldable state — per-(component, attr) count tables plus a
+    // (n, min-id, max-chars) aggregate, all of which fold by
+    // sum/min/max. A batch can MERGE standing components, so the fold
+    // first relabels standing state through the incremental-CC root
+    // map (old root → new label — the same discipline
+    // incrementalComponents applies to its own label table), then
+    // sums. Per-batch work ∝ batch + |state| rows; members are never
+    // rescanned. q276's oracle VERBATIM.
+    "q284_golden_incremental" -> ((s, d) => {
+      val doc = docs(s, d)
+      val oldL = oldBatchLabels(s, d)
+      val newL = Dedup.incrementalComponents(oldL,
+        Dedup.lshCandidatePairsIncremental(signatures(s, d), "doc_id",
+          col("doc_id") % 5 === 0)).localCheckpoint(true)
+      // old component roots → their post-batch label (roots are
+      // themselves labeled old ids, so newL always covers them)
+      val rootMap = newL
+        .select(col("id").as("__old_root"), col("keep_id").as("__new_root"))
+        .join(oldL.select(col("keep_id").as("__old_root")).distinct(),
+          Seq("__old_root"))
+      def relabel(st: DataFrame) = st
+        .join(broadcast(rootMap), st("component") === col("__old_root"),
+          "left")
+        .withColumn("component",
+          coalesce(col("__new_root"), col("component")))
+        .drop("__old_root", "__new_root")
+      val oldMembers = doc.join(oldL.select(col("id").as("doc_id"),
+        col("keep_id").as("component")), Seq("doc_id"))
+      // the batch contribution: every id labeled now but not before —
+      // batch docs AND old docs first pulled into a component by them
+      val batchMembers = doc.join(
+        newL.join(oldL.select(col("id")), Seq("id"), "left_anti")
+          .select(col("id").as("doc_id"), col("keep_id").as("component")),
+        Seq("doc_id"))
+      def cnt(m: DataFrame, c: String) = m
+        .groupBy(col("component"), col(c)).agg(count(lit(1)).as("__cnt"))
+      def modalFold(c: String) = relabel(cnt(oldMembers, c))
+        .unionByName(cnt(batchMembers, c))
+        .groupBy(col("component"), col(c))
+        .agg(sum(col("__cnt")).as("__cnt"))
+        .groupBy(col("component"))
+        .agg(min(struct((-col("__cnt")).as("nc"), col(c).as("v")))
+          .as("__m"))
+        .select(col("component"), col("__m.v").as(c))
+      def agg1(m: DataFrame) = m.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("rep_id"),
+          max(col("n_chars")).as("max_chars"))
+      relabel(agg1(oldMembers)).unionByName(agg1(batchMembers))
+        .groupBy(col("component"))
+        .agg(sum(col("n_members")).as("n_members"),
+          min(col("rep_id")).as("rep_id"),
+          max(col("max_chars")).as("max_chars"))
+        .join(modalFold("lang"), Seq("component"))
+        .join(modalFold("source"), Seq("component"))
+        .select(col("component"), col("n_members"), col("rep_id"),
+          col("lang"), col("source"), col("max_chars"))
+    }),
+    // BM25 UNINDEX — the retrieval family's right-to-be-forgotten
+    // fold. Postings are strictly per-document state, so erasure is
+    // one anti-join on the postings table (work ∝ index size scan,
+    // zero history re-tokenization) and every derived statistic
+    // (df, dl, N, avgdl) re-derives from the surviving rows; scoring
+    // over the folded index must equal a from-scratch build over the
+    // surviving corpus — q81's SQL on the filtered table. The
+    // contrast with q279/q280/q282 is the wave's point: per-row state
+    // deletes by subset, AGGREGATED state needs a subtract-fold.
+    "q278_bm25_unindex" -> ((s, d) => {
+      import s.implicits._
+      val postings = Retrieval.buildPostings(docs(s, d), "doc_id", "text")
+      val kept = postings.join(
+        docs(s, d).filter(col("doc_id") % 7 === 3).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      val tq = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      Retrieval.bm25FromPostings(kept, tq, "q_id", "q_text", k = 10)
+    }),
+    // Centroid DELETE-fold: per-(label, dim) sums and counts are
+    // linear, so subtracting the deleted vectors' sums leaves exactly
+    // the survivors' state — the label-profile monitor forgets a
+    // slice at cost ∝ deleted rows + |labels|·dim, never rescanning
+    // retained history. Labels whose every vector was deleted drop
+    // (n = 0). Oracle: q106's centroid-similarity SQL over the
+    // surviving embeddings — centroids recomputed from scratch.
+    "q280_centroid_delete" -> ((s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        col("label").cast("long").as("label"), col("embedding"))
+      val full = Similarity.centroidSums(e, "label", "embedding")
+      val del = Similarity.centroidSums(e.filter(col("vec_id") % 7 === 3),
+        "label", "embedding")
+      val folded = Similarity.mergeCentroidSums(full,
+        del.select(col("label"), col("pos"), (-col("s")).as("s"),
+          (-col("n")).as("n")), "label")
+        .filter(col("n") > 0)
+      Similarity.centroidSimilarity(
+        Similarity.centroidsFromSums(folded, "label"), "label")
+    }),
+    // DECREMENTAL dedup clustering: the standing label table after a
+    // delete batch — Dedup.decrementalComponents recomputes CC only
+    // inside components that lost a member (deletes can only SPLIT
+    // the component they touch; untouched components keep their
+    // exact old rows), so work ∝ affected components' edges. LSH
+    // pair existence depends only on the two endpoint signatures, so
+    // the result must equal a from-scratch build over the surviving
+    // corpus — q41's oracle on the filtered table.
+    "q281_dedup_delete" -> ((s, d) =>
+      Dedup.decrementalComponents(dupGroups(s, d),
+        Dedup.lshCandidatePairs(signatures(s, d), "doc_id"),
+        docs(s, d).filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("keep_id"))),
+    // FORGET AUDIT: after a delete batch, count the rows still
+    // referencing a deleted doc on every derived surface — under the
+    // NAIVE pipeline that only filters the corpus (postings and
+    // signature stores keep the deleted docs' rows verbatim) and the
+    // half-measure that row-filters the label table (member rows go,
+    // but surviving docs still POINT at a deleted keeper), versus the
+    // PROPAGATED pipeline (anti-join unindex per per-row store,
+    // decrementalComponents for the labels). The propagated column
+    // is computed, not asserted — the gate proves zero residue.
+    "q283_forget_audit" -> ((s, d) => {
+      val doc = docs(s, d)
+      val isDel = (c: org.apache.spark.sql.Column) => c % 7 === 3
+      val delIds = doc.filter(isDel(col("doc_id")))
+        .select(col("doc_id")).localCheckpoint(true)
+      val postings = Retrieval.buildPostings(doc, "doc_id", "text")
+      val sigs = signatures(s, d)
+      val groups = dupGroups(s, d)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      def res1(df: DataFrame, c: String) =
+        df.filter(isDel(col(c))).agg(count(lit(1)).as("n"))
+      def row(surface: String, naive: DataFrame, clean: DataFrame) =
+        naive.crossJoin(clean.withColumnRenamed("n", "m"))
+          .select(lit(surface).as("surface"),
+            col("n").as("naive_residual"), col("m").as("clean_residual"))
+      val cleanPostings = postings.join(delIds, Seq("doc_id"), "left_anti")
+      val cleanSigs = sigs.join(delIds, Seq("doc_id"), "left_anti")
+      val cleanGroups = Dedup.decrementalComponents(groups, pairs,
+        delIds.select(col("doc_id").as("id")))
+      val naiveGroups = groups.filter(!isDel(col("id")))
+      row("postings", res1(postings, "doc_id"), res1(cleanPostings, "doc_id"))
+        .unionByName(row("signatures",
+          res1(sigs, "doc_id"), res1(cleanSigs, "doc_id")))
+        .unionByName(row("dup_groups",
+          res1(naiveGroups, "keep_id"),
+          cleanGroups.filter(isDel(col("id")) || isDel(col("keep_id")))
+            .agg(count(lit(1)).as("n"))))
     }),
     // INCREMENTAL exact-substring dedup: standing state is the old
     // corpus's per-gram table (distinct-doc count + first
@@ -1778,6 +1921,111 @@ object TextPipelineQueries {
     """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig
       |         WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** The delete-wave survivor predicate (docs with doc_id % 7 == 3
+    * are the erased batch), mirrored in every query body. */
+  private val delKeep = "doc_id % 7 <> 3"
+
+  /** Rebase an oracle onto the SURVIVING corpus: shadow the
+    * `documents` view with a filtered CTE (DuckDB resolves the inner
+    * reference via the explicit `main.` schema), so delete-fold
+    * queries reuse the original family oracle VERBATIM — the
+    * "folded state == from-scratch over survivors" proof with zero
+    * duplicated SQL. */
+  private def onSurvivors(sql: String): String = {
+    val cte = s"documents AS (SELECT * FROM main.documents WHERE $delKeep),\n"
+    if (sql.startsWith("WITH RECURSIVE "))
+      "WITH RECURSIVE " + cte + sql.stripPrefix("WITH RECURSIVE ")
+    else if (sql.startsWith("WITH "))
+      "WITH " + cte + sql.stripPrefix("WITH ")
+    else sys.error(s"oracle must start with WITH: ${sql.take(40)}")
+  }
+
+  /** [[onSurvivors]] for the embeddings table (vec_id grain). */
+  private def onSurvivorsEmb(sql: String): String = {
+    val cte =
+      "embeddings AS (SELECT * FROM main.embeddings WHERE vec_id % 7 <> 3),\n"
+    if (sql.startsWith("WITH RECURSIVE "))
+      "WITH RECURSIVE " + cte + sql.stripPrefix("WITH RECURSIVE ")
+    else if (sql.startsWith("WITH "))
+      "WITH " + cte + sql.stripPrefix("WITH ")
+    else sys.error(s"oracle must start with WITH: ${sql.take(40)}")
+  }
+
+  /** q41's oracle — transitive closure over the candidate pairs,
+    * keep id = least reachable node. Shared verbatim by q281 (on the
+    * survivor-filtered corpus). */
+  private lazy val dupGroupsSql =
+    s"""WITH RECURSIVE $shCte,
+       |$mhCte,
+       |$pairsCte,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+       |          UNION SELECT id_b, id_a FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS keep_id
+       |FROM reach GROUP BY a""".stripMargin
+
+  /** q274's oracle — naive ordered-triple triangle join over the
+    * candidate graph. Shared verbatim by q285 (the incremental fold
+    * must land on the same full-graph stats). */
+  private lazy val triangleSql =
+    s"""WITH $shCte,
+       |$mhCte,
+       |$pairsCte,
+       |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
+       |nodes AS (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed),
+       |deg AS (SELECT n, count(*)::BIGINT AS deg FROM nodes GROUP BY n),
+       |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM ed e1
+       |        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+       |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |st AS (SELECT count(*)::BIGINT AS n_nodes,
+       |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+       |       FROM deg),
+       |ne AS (SELECT count(*)::BIGINT AS n_edges FROM ed)
+       |SELECT n_nodes, n_edges, n_triangles,
+       |  CASE WHEN n_wedges = 0 THEN 0
+       |       ELSE n_triangles * 3 * 10000 // n_wedges
+       |  END AS clustering_bp
+       |FROM st, ne, tri""".stripMargin
+
+  /** q276's oracle — golden-record survivorship with explicit
+    * (count desc, value asc) modal tie-breaks. Shared verbatim by
+    * q284 (the relabel-then-sum fold must land on the same table). */
+  private lazy val goldenRecordSql =
+    s"""WITH RECURSIVE $shCte,
+       |$mhCte,
+       |$pairsCte,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+       |          UNION SELECT id_b, id_a FROM cand),
+       |reach(a, b) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |g AS (SELECT a AS did, least(a, min(b)) AS component
+       |      FROM reach GROUP BY a),
+       |mem AS (SELECT g.component, d.doc_id, d.lang, d.source,
+       |          d.n_chars
+       |        FROM documents d JOIN g ON g.did = d.doc_id),
+       |ml AS (SELECT component, lang FROM (
+       |         SELECT component, lang, row_number() OVER (
+       |           PARTITION BY component
+       |           ORDER BY count(*) DESC, lang) AS rk
+       |         FROM mem GROUP BY component, lang) WHERE rk = 1),
+       |ms AS (SELECT component, source FROM (
+       |         SELECT component, source, row_number() OVER (
+       |           PARTITION BY component
+       |           ORDER BY count(*) DESC, source) AS rk
+       |         FROM mem GROUP BY component, source) WHERE rk = 1),
+       |ag AS (SELECT component, count(*)::BIGINT AS n_members,
+       |         min(doc_id) AS rep_id, max(n_chars) AS max_chars
+       |       FROM mem GROUP BY component)
+       |SELECT ag.component, ag.n_members, ag.rep_id,
+       |       ml.lang, ms.source, ag.max_chars
+       |FROM ag JOIN ml USING (component) JOIN ms USING (component)"""
+      .stripMargin
 
   /** BM25 end-to-end in SQL. Shared by q81 (direct build) and q95
     * (postings appended per batch — per-document state, so the
@@ -2447,18 +2695,10 @@ object TextPipelineQueries {
     // transitive closure over the candidate pairs (DuckDB recursive
     // CTE), keep id = least reachable node — mirrors the distributed
     // min-label propagation exactly.
-    "q41_dedup_groups" ->
-      s"""WITH RECURSIVE $shCte,
-         |$mhCte,
-         |$pairsCte,
-         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
-         |          UNION SELECT id_b, id_a FROM cand),
-         |reach(a, b) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-         |SELECT a AS doc_id, least(a, min(b)) AS keep_id
-         |FROM reach GROUP BY a""".stripMargin,
+    "q41_dedup_groups" -> dupGroupsSql,
+    // decremental CC == from-scratch labels over the survivors:
+    // q41's oracle on the filtered corpus
+    "q281_dedup_delete" -> onSurvivors(dupGroupsSql),
     "q166_batch_novelty" ->
       s"""WITH $shCte,
          |hs AS (SELECT doc_id, md5('0|' || shingle) AS h FROM sh),
@@ -3024,25 +3264,10 @@ object TextPipelineQueries {
          |FROM cn CROSS JOIN lk""".stripMargin,
     // naive ordered-triple join — the degree-oriented Spark count
     // must agree (orientation independence is part of the proof)
-    "q274_triangle_count" ->
-      s"""WITH $shCte,
-         |$mhCte,
-         |$pairsCte,
-         |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
-         |nodes AS (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed),
-         |deg AS (SELECT n, count(*)::BIGINT AS deg FROM nodes GROUP BY n),
-         |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM ed e1
-         |        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
-         |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
-         |st AS (SELECT count(*)::BIGINT AS n_nodes,
-         |         CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
-         |       FROM deg),
-         |ne AS (SELECT count(*)::BIGINT AS n_edges FROM ed)
-         |SELECT n_nodes, n_edges, n_triangles,
-         |  CASE WHEN n_wedges = 0 THEN 0
-         |       ELSE n_triangles * 3 * 10000 // n_wedges
-         |  END AS clustering_bp
-         |FROM st, ne, tri""".stripMargin,
+    "q274_triangle_count" -> triangleSql,
+    // the inclusion–exclusion fold must land on the same full-graph
+    // stats — q274's oracle verbatim
+    "q285_triangle_incremental" -> triangleSql,
     "q277_token_gini" ->
       """WITH tf AS (SELECT source, tok, count(*)::BIGINT AS c FROM (
         |        SELECT source, unnest(string_split(text, ' ')) AS tok
@@ -3081,38 +3306,81 @@ object TextPipelineQueries {
          |FROM nn JOIN ee USING (component)""".stripMargin,
     // modal picks tie-break (count desc, value asc) explicitly —
     // DuckDB's mode() leaves ties unspecified
-    "q276_golden_record" ->
+    "q276_golden_record" -> goldenRecordSql,
+    // the relabel-then-sum fold must land on the same master table —
+    // q276's oracle verbatim
+    "q284_golden_incremental" -> goldenRecordSql,
+    // per-document postings subset by anti-join == from-scratch index
+    // over the survivors: q81's BM25 SQL on the filtered corpus
+    "q278_bm25_unindex" -> onSurvivors(bm25Sql),
+    // subtract-folded centroid sums == centroids recomputed over the
+    // surviving vectors: q106's SQL on the filtered embeddings
+    "q280_centroid_delete" -> onSurvivorsEmb(centroidSimSql),
+    // the naive residuals are counted from the UNFILTERED artifacts,
+    // the clean ones recomputed over survivors — both sides computed,
+    // zero asserted by the hash compare
+    "q283_forget_audit" ->
       s"""WITH RECURSIVE $shCte,
          |$mhCte,
          |$pairsCte,
+         |post AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' '))
+         |           AS term FROM documents),
          |edges AS (SELECT id_a AS a, id_b AS b FROM cand
          |          UNION SELECT id_b, id_a FROM cand),
          |reach(a, b) AS (
          |  SELECT a, b FROM edges
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-         |g AS (SELECT a AS did, least(a, min(b)) AS component
+         |g AS (SELECT a AS did, least(a, min(b)) AS keep
          |      FROM reach GROUP BY a),
-         |mem AS (SELECT g.component, d.doc_id, d.lang, d.source,
-         |          d.n_chars
-         |        FROM documents d JOIN g ON g.did = d.doc_id),
-         |ml AS (SELECT component, lang FROM (
-         |         SELECT component, lang, row_number() OVER (
-         |           PARTITION BY component
-         |           ORDER BY count(*) DESC, lang) AS rk
-         |         FROM mem GROUP BY component, lang) WHERE rk = 1),
-         |ms AS (SELECT component, source FROM (
-         |         SELECT component, source, row_number() OVER (
-         |           PARTITION BY component
-         |           ORDER BY count(*) DESC, source) AS rk
-         |         FROM mem GROUP BY component, source) WHERE rk = 1),
-         |ag AS (SELECT component, count(*)::BIGINT AS n_members,
-         |         min(doc_id) AS rep_id, max(n_chars) AS max_chars
-         |       FROM mem GROUP BY component)
-         |SELECT ag.component, ag.n_members, ag.rep_id,
-         |       ml.lang, ms.source, ag.max_chars
-         |FROM ag JOIN ml USING (component) JOIN ms USING (component)"""
-        .stripMargin,
+         |sdocs AS (SELECT * FROM main.documents WHERE $delKeep),
+         |stoks AS (SELECT doc_id, string_split(text, ' ') AS w FROM sdocs),
+         |ssh AS (SELECT doc_id,
+         |        unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+         |                for i in range(1, len(w)-1)]) AS shingle
+         |        FROM stoks),
+         |smh AS (SELECT doc_id,
+         |  min(substr(md5('0|' || shingle),  1, 8)) AS h0,
+         |  min(substr(md5('0|' || shingle),  9, 8)) AS h1,
+         |  min(substr(md5('0|' || shingle), 17, 8)) AS h2,
+         |  min(substr(md5('0|' || shingle), 25, 8)) AS h3,
+         |  min(substr(md5('1|' || shingle),  1, 8)) AS h4,
+         |  min(substr(md5('1|' || shingle),  9, 8)) AS h5,
+         |  min(substr(md5('1|' || shingle), 17, 8)) AS h6,
+         |  min(substr(md5('1|' || shingle), 25, 8)) AS h7
+         |  FROM ssh GROUP BY doc_id),
+         |ssig AS (
+         |  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS sg FROM smh
+         |  UNION ALL SELECT doc_id, 1, h2 || '|' || h3 FROM smh
+         |  UNION ALL SELECT doc_id, 2, h4 || '|' || h5 FROM smh
+         |  UNION ALL SELECT doc_id, 3, h6 || '|' || h7 FROM smh),
+         |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |          FROM ssig a JOIN ssig b
+         |            ON a.band = b.band AND a.sg = b.sg
+         |          WHERE a.doc_id < b.doc_id),
+         |sedges AS (SELECT id_a AS a, id_b AS b FROM scand
+         |           UNION SELECT id_b, id_a FROM scand),
+         |sreach(a, b) AS (
+         |  SELECT a, b FROM sedges
+         |  UNION
+         |  SELECT r.a, e.b FROM sreach r JOIN sedges e ON r.b = e.a),
+         |sg2 AS (SELECT a AS did, least(a, min(b)) AS keep
+         |        FROM sreach GROUP BY a)
+         |SELECT 'postings' AS surface,
+         |  (SELECT count(*)::BIGINT FROM post WHERE doc_id % 7 = 3)
+         |    AS naive_residual,
+         |  (SELECT count(*)::BIGINT FROM post
+         |   WHERE doc_id % 7 = 3 AND $delKeep) AS clean_residual
+         |UNION ALL
+         |SELECT 'signatures',
+         |  (SELECT count(*)::BIGINT FROM sig WHERE doc_id % 7 = 3),
+         |  (SELECT count(*)::BIGINT FROM ssig WHERE doc_id % 7 = 3)
+         |UNION ALL
+         |SELECT 'dup_groups',
+         |  (SELECT count(*)::BIGINT FROM g
+         |   WHERE did % 7 <> 3 AND keep % 7 = 3),
+         |  (SELECT count(*)::BIGINT FROM sg2
+         |   WHERE did % 7 = 3 OR keep % 7 = 3)""".stripMargin,
     // first occurrence = min (doc, start) per duplicated gram;
     // removed positions union via DISTINCT before the rebuild
     "q267_substring_dedup" -> substrDedupSql,

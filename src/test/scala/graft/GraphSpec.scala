@@ -53,4 +53,54 @@ class GraphSpec extends AnyFunSuite {
     assert(spokes.distinct.size == 1)
     assert(got(0L) > spokes.head)
   }
+
+  private def stats(edges: Seq[(Long, Long)]) =
+    Graph.triangleStats(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long, Long, Long)].collect().head
+
+  test("triangleStats: K4 has 4 triangles and clustering 1; a star " +
+    "has none (the hub generates no wedges at the oriented apex — " +
+    "degree orientation, not hub fan-out); a path has none") {
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(stats(k4) == ((4L, 6L, 4L, 10000L)))
+    val star = (1L to 6L).map((0L, _))
+    val (n, e, t, c) = stats(star)
+    assert((n, e, t, c) == ((7L, 6L, 0L, 0L)))
+    assert(stats(Seq((1L, 2L), (2L, 3L), (3L, 4L))) == ((4L, 3L, 0L, 0L)))
+  }
+
+  test("triangleStats tolerates duplicate and reversed input pairs") {
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 1L), (1L, 2L))
+    assert(stats(tri) == ((3L, 3L, 1L, 10000L)))
+  }
+
+  /** The inclusion–exclusion fold must land on the full-graph count
+    * for splits exercising every term: all-new triangles (S_nn/3),
+    * two-new (S_mix/2), one-new (S_oo), mixtures across shared nodes,
+    * and the degenerate all-old / all-new batches. */
+  test("triangleCountDelta == from-scratch across representative " +
+    "old/new splits of a bowtie plus pendant") {
+    // bowtie: triangles (1,2,3) and (3,4,5) sharing node 3; pendant 6
+    val all = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L))
+    val full = stats(all)._3
+    assert(full == 2L)
+    // new-edge index sets: one new edge per triangle term S_oo; two
+    // new (S_mix); a whole triangle new (S_nn); one edge from EACH
+    // triangle; everything new; nothing new
+    val splits = Seq(Set(0), Set(0, 1), Set(0, 1, 2), Set(2, 5),
+      Set(0, 1, 2, 3, 4, 5, 6), Set.empty[Int], Set(3, 4, 5, 6))
+    for (newIdx <- splits) {
+      val (newE, oldE) = all.zipWithIndex.partition { case (_, i) =>
+        newIdx.contains(i)
+      }
+      val oldTri = stats(oldE.map(_._1))._3
+      val got = Graph.triangleCountDelta(
+        Seq(oldTri).toDF("n_triangles"),
+        oldE.map(_._1).toDF("id_a", "id_b"),
+        newE.map(_._1).toDF("id_a", "id_b"))
+        .as[Long].collect().head
+      assert(got == full, s"new=$newIdx old=${oldE.map(_._1)}")
+    }
+  }
 }
