@@ -28,7 +28,65 @@ object TemporalQueries {
       | count(*) AS n_events, round(sum(value), 2) AS total_value
       |FROM sid GROUP BY user_id, session_id""".stripMargin
 
+  /** The CDC change log derived from events: 'error' events are
+    * DELETES of the user's row, everything else upserts the
+    * (event_type, value) payload; (ts, event_id) is the per-key-unique
+    * sequence. Mirrored verbatim in [[cdcSql]]. */
+  private def cdcChanges(e: DataFrame): DataFrame =
+    e.select(col("user_id"), col("ts"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U"))
+        .as("op"),
+      col("event_type"), col("value"))
+
+  private val CdcSeq = Seq("ts", "event_id")
+  private val CdcPayload = Seq("event_type", "value")
+
   val queries: Map[String, Q] = Map(
+    // CDC APPLY: materialize the current per-user snapshot from a
+    // log of upserts and deletes — last op per key in (ts, event_id)
+    // order wins; a last 'error' (delete) leaves no row. One per-key
+    // max, no windows over the log.
+    "q286_cdc_snapshot" -> ((s, d) =>
+      Cdc.readView(Cdc.snapshot(cdcChanges(t(s, d, "events")),
+        "user_id", CdcSeq, "op", CdcPayload))),
+    // INCREMENTAL CDC: standing snapshot (first 24 days, WITH
+    // tombstones) folded with the tail batch, then an OUT-OF-ORDER
+    // redelivery of an early slice — upserts older than standing
+    // deletes must lose the per-key max (tombstone retention) and
+    // duplicates collapse (idempotent max), so the folded view ==
+    // from-scratch apply of the whole log: q286's oracle verbatim.
+    "q287_cdc_incremental" -> ((s, d) => {
+      val ch = cdcChanges(t(s, d, "events"))
+      val cut = 1706140800000000000L // 2024-01-25T00:00Z as epoch ns
+      val t0 = 1704067200000000000L  // 2024-01-01T00:00Z
+      val span = 6L * 86400L * 1000 * 1000 * 1000
+      val standing = Cdc.snapshot(ch.filter(col("ts") < cut),
+        "user_id", CdcSeq, "op", CdcPayload)
+      val folded = Cdc.fold(standing, ch.filter(col("ts") >= cut),
+        "user_id", CdcSeq, "op", CdcPayload)
+      Cdc.readView(Cdc.fold(folded,
+        ch.filter(col("ts") >= t0 + span && col("ts") < t0 + 2 * span),
+        "user_id", CdcSeq, "op", CdcPayload))
+    }),
+    // The STREAMED CDC fold (StreamingCdc.processCdcBatch) over 5
+    // slices plus a replayed slice — idempotent per-key max needs NO
+    // landed-batch ledger (the KMV class). q286's oracle verbatim.
+    "q288_cdc_stream" -> ((s, d) => {
+      val table = "graft_cdc_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val ch = cdcChanges(t(s, d, "events"))
+      val t0 = 1704067200000000000L
+      val span = 6L * 86400L * 1000 * 1000 * 1000
+      def slice(b: Int) = ch.filter(col("ts") >= t0 + b * span &&
+        col("ts") < t0 + (b + 1) * span)
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingCdc.processCdcBatch(
+          slice(b), "user_id", CdcSeq, "op", CdcPayload, table)
+      }
+      graft.streaming.StreamingCdc.processCdcBatch(
+        slice(2), "user_id", CdcSeq, "op", CdcPayload, table)
+      Cdc.readView(s.table(table))
+    }),
     // Ordered conversion funnel view → click → purchase with a 1-hour
     // per-step window: K user-keyed joins against a monotonically
     // shrinking qualified set — no windows, no per-user sorting.
@@ -462,7 +520,24 @@ object TemporalQueries {
       |    AS valid_to, event_id
       |FROM ch""".stripMargin
 
+  /** q286/q287/q288 shared oracle: from-scratch CDC apply — last op
+    * per user in (ts, event_id) order, deletes leave no row. */
+  private val cdcSql: String =
+    """WITH c AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+      |  CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |  event_type, value FROM events),
+      |l AS (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rk FROM c)
+      |SELECT user_id, ts, event_id, event_type, value
+      |FROM l WHERE rk = 1 AND op <> 'D'""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q286_cdc_snapshot" -> cdcSql,
+    // tombstone-retaining fold + out-of-order redelivery must be
+    // indistinguishable from the from-scratch apply — q286's verbatim
+    "q287_cdc_incremental" -> cdcSql,
+    // and the streamed fold with a replayed slice — q286's verbatim
+    "q288_cdc_stream" -> cdcSql,
     "q256_gap_report" ->
       """WITH g AS (SELECT user_id, epoch_ns(ts) AS t,
         |  lag(epoch_ns(ts)) OVER (PARTITION BY user_id

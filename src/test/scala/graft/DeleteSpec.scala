@@ -72,6 +72,33 @@ class DeleteSpec extends AnyFunSuite {
     assert(got == asMap(standing))
   }
 
+  test("Cdc: tombstone retention blocks resurrection by a late " +
+    "out-of-order upsert; dropping the tombstone would not") {
+    import graft.operators.Cdc
+    // key 1: upsert@1, delete@3; the late batch carries upsert@2
+    val standingLog = Seq((1L, 1L, "U", "a"), (1L, 3L, "D", "x"),
+      (2L, 1L, "U", "b"))
+    val late = Seq((1L, 2L, "U", "c"))
+    def df(rows: Seq[(Long, Long, String, String)]) =
+      rows.toDF("k", "seq", "op", "payload")
+    val standing = Cdc.snapshot(df(standingLog), "k", Seq("seq"), "op",
+      Seq("payload"))
+    val folded = Cdc.fold(standing, df(late), "k", Seq("seq"), "op",
+      Seq("payload"))
+    val view = Cdc.readView(folded).as[(Long, Long, String)].collect()
+    assert(view.toSet == Set((2L, 1L, "b"))) // key 1 stays deleted
+    // the buggy fold (tombstones dropped before folding) resurrects
+    val buggy = Cdc.fold(Cdc.readView(standing)
+        .withColumn("op", lit("U")), df(late), "k", Seq("seq"), "op",
+      Seq("payload"))
+    assert(Cdc.readView(buggy).filter(col("k") === 1L).count() == 1L)
+    // replaying the late batch is a no-op (idempotent max)
+    val replayed = Cdc.fold(folded, df(late), "k", Seq("seq"), "op",
+      Seq("payload"))
+    assert(replayed.as[(Long, Long, String, String)].collect().toSet ==
+      folded.as[(Long, Long, String, String)].collect().toSet)
+  }
+
   test("cmsSubtractCells inverts the merge exactly and restores the " +
     "sparse representation (no zero cells)") {
     def sk(rows: Seq[(String, Long)]) =
