@@ -515,7 +515,7 @@ object SketchQueries {
         .groupBy(col("source"), expr(s"n_chars div $HistWidth").as("bucket"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
-      histQuantileReport(s, d, merged)
+      histQuantileReport(s, docs(s, d), merged)
     }),
 
     // The STREAMING histogram fold (StreamingSketch.processHistBatch)
@@ -535,7 +535,24 @@ object SketchQueries {
       graft.streaming.StreamingSketch.processHistBatch(
         base.filter(col("doc_id") % 5 === 2), "n_chars",
         HistWidth, table, 2L)
-      histQuantileReport(s, d, s.table(table).filter(col("bucket") >= 0L))
+      histQuantileReport(s, docs(s, d),
+        s.table(table).filter(col("bucket") >= 0L))
+    }),
+
+    // Histogram DELETE-fold: the standing grid minus the deleted
+    // slice's grid (emptied buckets dropped) feeds the q213 quantile
+    // report with the SURVIVORS as the exact verification side —
+    // q213's oracle on the filtered corpus. Completes the
+    // invertibility taxonomy the delete wave documents: histogram
+    // and CMS cells are linear (subtract-fold), KMV/HLL max-merges
+    // are not (erasure there = rebuild).
+    "q289_hist_delete" -> ((s, d) => {
+      val base = docs(s, d)
+      def h(p: DataFrame) =
+        Sketches.histogram(p.select(col("n_chars")), "n_chars", HistWidth)
+      histQuantileReport(s, base.filter(col("doc_id") % 7 =!= 3),
+        Sketches.histSubtract(h(base),
+          h(base.filter(col("doc_id") % 7 === 3))))
     }),
 
     // Histogram quantiles: a width-64 fixed grid over n_chars (cells
@@ -545,18 +562,18 @@ object SketchQueries {
     // column. Cumulative windows run over aggregated cells (≤
     // max/width rows), never data rows.
     "q213_hist_quantiles" -> ((s, d) =>
-      histQuantileReport(s, d, Sketches.histogram(
+      histQuantileReport(s, docs(s, d), Sketches.histogram(
         docs(s, d).select(col("n_chars")), "n_chars", HistWidth))))
 
   /** The q213 report tail over ANY n_chars histogram frame (bucket,
     * cnt): estimates from the cells, exact type-1 quantiles from the
     * corpus as the verification columns, error-bound flags. Shared by
     * the direct (q213) and per-source-rollup (q230) paths. */
-  private def histQuantileReport(s: SparkSession, d: String,
+  private def histQuantileReport(s: SparkSession, base: DataFrame,
                                  hist: DataFrame): DataFrame = {
     import s.implicits._
     val est = Sketches.histQuantiles(hist, HistWidth, Pcts)
-    val vc = docs(s, d).groupBy(col("n_chars").as("v"))
+    val vc = base.groupBy(col("n_chars").as("v"))
       .agg(count(lit(1)).as("cnt"))
     val wv = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
       .rowsBetween(
@@ -638,6 +655,11 @@ object SketchQueries {
     "q233_cms_stream" -> cmsSql,
 
     "q213_hist_quantiles" -> histSql,
+    // subtract-fold == from-scratch over survivors: q213's oracle on
+    // the filtered corpus
+    "q289_hist_delete" ->
+      ("WITH documents AS (SELECT * FROM main.documents " +
+        "WHERE doc_id % 7 <> 3),\n" + histSql.stripPrefix("WITH ")),
     // the rollup must be indistinguishable from the direct histogram —
     // merge associativity through the gate, q213's oracle verbatim
     "q230_hist_rollup" -> histSql,

@@ -237,6 +237,17 @@ object Sketches {
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** Histogram DELETE-fold: bucket counts are linear like CMS cells
+    * ([[cmsSubtractCells]]), so erasing a slice subtracts its
+    * histogram cell-wise and drops emptied buckets — the folded table
+    * is the from-scratch histogram of the survivors (q289 proves it
+    * through the gate). `minuend` must contain the deleted rows. */
+  def histSubtract(minuend: DataFrame, deleted: DataFrame): DataFrame =
+    minuend.unionByName(
+        deleted.select(col("bucket"), (-col("cnt")).as("cnt")))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0L)
+
   /** Quantile estimates from a histogram: for each percentile p the
     * estimate is the UPPER EDGE of the first bucket whose cumulative
     * count reaches `ceil(p·n/100)` — so `exact ≤ estimate <

@@ -1520,6 +1520,23 @@ object TextPipelineQueries {
       IvfIndex.topK(indexed, centroids, emb(s, d).filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nprobe = 8)
     }),
+    // IVF DELETE: posting lists are per-row state — erasure is one
+    // anti-join on the indexed table (the ANN family's q278) — while
+    // the CENTROIDS deliberately stay STALE: assignment quality after
+    // mass deletion is the drift-trigger's job (q140/q141 rebuild),
+    // and at nprobe = k the probe is exact regardless, so the folded
+    // index must reproduce brute force over the survivors — q43's
+    // oracle on the filtered embeddings (query side filtered too:
+    // queries are corpus rows).
+    "q290_ivf_delete" -> ((s, d) => {
+      val (centroids, indexed) = ivfIndex(s, d)
+      val kept = indexed.join(
+        emb(s, d).filter(col("vec_id") % 7 === 3).select(col("vec_id")),
+        Seq("vec_id"), "left_anti")
+      IvfIndex.topK(kept, centroids,
+        emb(s, d).filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", k = 5, nprobe = 8)
+    }),
     // The TWO-LEVEL index's saved-artifact lifecycle through the
     // gate: build → saveTwoLevel (centroids + fine seeds as managed
     // tables, lists bucketed on the composite (list_id, fine_id)) →
@@ -1967,6 +1984,19 @@ object TextPipelineQueries {
        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
        |SELECT a AS doc_id, least(a, min(b)) AS keep_id
        |FROM reach GROUP BY a""".stripMargin
+
+  /** q43's oracle — brute-force cosine top-k (exact at full probes).
+    * Shared verbatim by q206 (saved two-level lifecycle) and, on the
+    * survivor-filtered embeddings, by q290 (delete-folded lists). */
+  private lazy val ivfExactSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
+       |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
+       |      FROM c CROSS JOIN q WHERE q_id <> n_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
+       |      FROM p)
+       |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin
 
   /** q274's oracle — naive ordered-triple triangle join over the
     * candidate graph. Shared verbatim by q285 (the incremental fold
@@ -3445,26 +3475,13 @@ object TextPipelineQueries {
          |      FROM p)
          |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
     // nprobe = k makes IVF exact — identical to the brute-force oracle
-    "q43_ivf_topk_exact" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
-         |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
-         |      FROM c CROSS JOIN q WHERE q_id <> n_id),
-         |r AS (SELECT q_id, n_id, cos,
-         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
-         |      FROM p)
-         |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q43_ivf_topk_exact" -> ivfExactSql,
+    // delete-folded lists at full probes == brute force over the
+    // survivors: q43's oracle on the filtered embeddings
+    "q290_ivf_delete" -> onSurvivorsEmb(ivfExactSql),
     // every (coarse, fine) cell probed through the reloaded bucketed
     // layout — exact, so the same brute-force oracle applies
-    "q206_ivf2_saved" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings),
-         |p AS (SELECT q_id, n_id, round(${cosSql("q_vec", "n_vec")}, 4) AS cos
-         |      FROM c CROSS JOIN q WHERE q_id <> n_id),
-         |r AS (SELECT q_id, n_id, cos,
-         |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
-         |      FROM p)
-         |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin,
+    "q206_ivf2_saved" -> ivfExactSql,
     // both levels rebuilt in SQL: q149's coarse cells, per-cell
     // md5-ordered seed vectors, nearest-own-seed fine assignment
     // (unrounded), the (p1, p2) probe grid, k=5 cut, brute recall
