@@ -576,7 +576,28 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** q291: declarative data-contract suite over lineitem — four
+    * per-row rules folded into ONE aggregate scan, a key-uniqueness
+    * shuffle, and a broadcastable FK anti-join (see [[Expectations]]
+    * for the pass-count guarantees). The report is the gate artifact
+    * a pipeline blocks a publish on. */
+  private def q291Expectations(s: SparkSession, d: String): DataFrame = {
+    import Expectations._
+    evaluate(t(s, d, "lineitem"), Seq(
+      RowRule("quantity_range",
+        col("l_quantity") < 1 || col("l_quantity") > 50),
+      RowRule("discount_range",
+        col("l_discount") < 0 || col("l_discount") > 0.1),
+      RowRule("returnflag_accepted",
+        !col("l_returnflag").isin("A", "N", "R")),
+      RowRule("ship_not_null", col("l_shipdate").isNull),
+      UniqueRule("pk_unique", Seq("l_orderkey", "l_linenumber")),
+      FkRule("orderkey_fk", Seq("l_orderkey"),
+        t(s, d, "orders"), Seq("o_orderkey"))))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q291_expectations" -> q291Expectations,
     "q279_rollup_delete" -> q279RollupDelete,
     "q273_rollup_incremental" -> q273RollupIncremental,
     "q272_rollup_rewrite" -> q272RollupRewrite,
@@ -752,6 +773,49 @@ object RelationalQueries {
     // the oracle aggregates the FACT table — the gate proves the
     // rollup-served plan is exact, not just plausible
     "q272_rollup_rewrite" -> rollupSql,
+    // every branch mirrors the operator: null predicates count as
+    // violations (COALESCE TRUE), unique checks count rows beyond
+    // the first per key, FK counts orphans
+    "q291_expectations" ->
+      """SELECT 'quantity_range' AS rule, count(*)::BIGINT AS n_checked,
+        |  CAST(sum(CASE WHEN COALESCE(l_quantity < 1 OR l_quantity > 50,
+        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        |  CAST(sum(CASE WHEN COALESCE(l_quantity < 1 OR l_quantity > 50,
+        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0 AS pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'discount_range', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN COALESCE(l_discount < 0 OR l_discount > 0.1,
+        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN COALESCE(l_discount < 0 OR l_discount > 0.1,
+        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'returnflag_accepted', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN COALESCE(l_returnflag NOT IN ('A','N','R'),
+        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN COALESCE(l_returnflag NOT IN ('A','N','R'),
+        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'ship_not_null', count(*)::BIGINT,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'pk_unique', CAST(sum(c) AS BIGINT),
+        |  CAST(sum(c - 1) AS BIGINT), CAST(sum(c - 1) AS BIGINT) = 0
+        |FROM (SELECT count(*) AS c FROM lineitem
+        |      GROUP BY l_orderkey, l_linenumber)
+        |UNION ALL
+        |SELECT 'orderkey_fk',
+        |  (SELECT count(*) FROM lineitem)::BIGINT,
+        |  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey)::BIGINT,
+        |  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey) = 0""".stripMargin,
     // the delete-folded rollup serves the SURVIVORS' aggregate — the
     // oracle recomputes it from the filtered fact rows directly
     "q279_rollup_delete" ->

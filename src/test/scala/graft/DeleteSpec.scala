@@ -65,6 +65,16 @@ class DeleteSpec extends AnyFunSuite {
     assert(got(4L) == 4L && got(6L) == 4L)
   }
 
+  test("trust-not-recompute: a corrupted label on an UNTOUCHED " +
+    "component carries through the decremental fold verbatim — " +
+    "recomputation could never reproduce it") {
+    val standing = labelsOf(pairs).withColumn("keep_id",
+      when(col("id") >= 8L, lit(777L)).otherwise(col("keep_id")))
+    val got = asMap(Dedup.decrementalComponents(standing,
+      pairs.toDF("id_a", "id_b"), Seq(2L).toDF("id")))
+    assert(got(8L) == 777L && got(9L) == 777L && got(10L) == 777L)
+  }
+
   test("empty delete set is the identity") {
     val standing = labelsOf(pairs)
     val got = asMap(Dedup.decrementalComponents(standing,
