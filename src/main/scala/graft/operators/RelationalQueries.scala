@@ -581,9 +581,15 @@ object RelationalQueries {
     * shuffle, and a broadcastable FK anti-join (see [[Expectations]]
     * for the pass-count guarantees). The report is the gate artifact
     * a pipeline blocks a publish on. */
-  private def q291Expectations(s: SparkSession, d: String): DataFrame = {
+  private def q291Expectations(s: SparkSession, d: String): DataFrame =
+    Expectations.evaluate(t(s, d, "lineitem"),
+      contractRules(t(s, d, "orders")))
+
+  /** The q291/q292 shared rule suite (parent df injected so the
+    * incremental form can hand each batch its own parent slice). */
+  private def contractRules(parent: DataFrame): Seq[Expectations.Rule] = {
     import Expectations._
-    evaluate(t(s, d, "lineitem"), Seq(
+    Seq(
       RowRule("quantity_range",
         col("l_quantity") < 1 || col("l_quantity") > 50),
       RowRule("discount_range",
@@ -592,11 +598,35 @@ object RelationalQueries {
         !col("l_returnflag").isin("A", "N", "R")),
       RowRule("ship_not_null", col("l_shipdate").isNull),
       UniqueRule("pk_unique", Seq("l_orderkey", "l_linenumber")),
-      FkRule("orderkey_fk", Seq("l_orderkey"),
-        t(s, d, "orders"), Seq("o_orderkey"))))
+      FkRule("orderkey_fk", Seq("l_orderkey"), parent, Seq("o_orderkey")))
+  }
+
+  /** q292: INCREMENTAL data contract — the q291 report maintained as
+    * foldable state (additive row counters, per-key count table for
+    * uniqueness, orphan/parent key table for the FK). Children and
+    * parents batch by DIFFERENT keys on purpose: old children whose
+    * order arrives only in the batch sit in standing state as real
+    * orphans until the batch's parent keys RESCUE them (the
+    * retroactive repair an additive counter cannot express —
+    * ExpectationsSpec pins it on crafted data). == q291, its oracle
+    * verbatim. */
+  private def q292ExpectationsIncremental(s: SparkSession,
+                                          d: String): DataFrame = {
+    import Expectations._
+    val li = t(s, d, "lineitem")
+    val ord = t(s, d, "orders")
+    val childNew = (col("l_orderkey") + col("l_linenumber")) % 5 === 0
+    val parentNew = col("o_orderkey") % 5 === 0
+    val oldSt = state(li.filter(!childNew),
+      contractRules(ord.filter(!parentNew)))
+    val batchSt = state(li.filter(childNew),
+      contractRules(ord.filter(parentNew)))
+    val all = contractRules(ord)
+    report(foldStates(oldSt, batchSt, all), all)
   }
 
   val queries: Map[String, Q] = Map(
+    "q292_expectations_incremental" -> q292ExpectationsIncremental,
     "q291_expectations" -> q291Expectations,
     "q279_rollup_delete" -> q279RollupDelete,
     "q273_rollup_incremental" -> q273RollupIncremental,
@@ -769,6 +799,51 @@ object RelationalQueries {
       |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  /** q291's oracle — every branch mirrors the operator: null
+    * predicates count as violations (COALESCE TRUE), unique checks
+    * count rows beyond the first per key, FK counts orphans. Shared
+    * verbatim by q292 (the foldable-state report). */
+  private lazy val expectationsSql: String =
+    """SELECT 'quantity_range' AS rule, count(*)::BIGINT AS n_checked,
+      |  CAST(sum(CASE WHEN COALESCE(l_quantity < 1 OR l_quantity > 50,
+      |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |  CAST(sum(CASE WHEN COALESCE(l_quantity < 1 OR l_quantity > 50,
+      |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0 AS pass
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'discount_range', count(*)::BIGINT,
+      |  CAST(sum(CASE WHEN COALESCE(l_discount < 0 OR l_discount > 0.1,
+      |    TRUE) THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN COALESCE(l_discount < 0 OR l_discount > 0.1,
+      |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'returnflag_accepted', count(*)::BIGINT,
+      |  CAST(sum(CASE WHEN COALESCE(l_returnflag NOT IN ('A','N','R'),
+      |    TRUE) THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(sum(CASE WHEN COALESCE(l_returnflag NOT IN ('A','N','R'),
+      |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'ship_not_null', count(*)::BIGINT,
+      |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) = 0
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'pk_unique', CAST(sum(c) AS BIGINT),
+      |  CAST(sum(c - 1) AS BIGINT), CAST(sum(c - 1) AS BIGINT) = 0
+      |FROM (SELECT count(*) AS c FROM lineitem
+      |      GROUP BY l_orderkey, l_linenumber)
+      |UNION ALL
+      |SELECT 'orderkey_fk',
+      |  (SELECT count(*) FROM lineitem)::BIGINT,
+      |  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+      |     ON l.l_orderkey = o.o_orderkey)::BIGINT,
+      |  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
+      |     ON l.l_orderkey = o.o_orderkey) = 0""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the oracle aggregates the FACT table — the gate proves the
     // rollup-served plan is exact, not just plausible
@@ -776,46 +851,10 @@ object RelationalQueries {
     // every branch mirrors the operator: null predicates count as
     // violations (COALESCE TRUE), unique checks count rows beyond
     // the first per key, FK counts orphans
-    "q291_expectations" ->
-      """SELECT 'quantity_range' AS rule, count(*)::BIGINT AS n_checked,
-        |  CAST(sum(CASE WHEN COALESCE(l_quantity < 1 OR l_quantity > 50,
-        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
-        |  CAST(sum(CASE WHEN COALESCE(l_quantity < 1 OR l_quantity > 50,
-        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0 AS pass
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'discount_range', count(*)::BIGINT,
-        |  CAST(sum(CASE WHEN COALESCE(l_discount < 0 OR l_discount > 0.1,
-        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(sum(CASE WHEN COALESCE(l_discount < 0 OR l_discount > 0.1,
-        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'returnflag_accepted', count(*)::BIGINT,
-        |  CAST(sum(CASE WHEN COALESCE(l_returnflag NOT IN ('A','N','R'),
-        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT),
-        |  CAST(sum(CASE WHEN COALESCE(l_returnflag NOT IN ('A','N','R'),
-        |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) = 0
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'ship_not_null', count(*)::BIGINT,
-        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT),
-        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
-        |    AS BIGINT) = 0
-        |FROM lineitem
-        |UNION ALL
-        |SELECT 'pk_unique', CAST(sum(c) AS BIGINT),
-        |  CAST(sum(c - 1) AS BIGINT), CAST(sum(c - 1) AS BIGINT) = 0
-        |FROM (SELECT count(*) AS c FROM lineitem
-        |      GROUP BY l_orderkey, l_linenumber)
-        |UNION ALL
-        |SELECT 'orderkey_fk',
-        |  (SELECT count(*) FROM lineitem)::BIGINT,
-        |  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
-        |     ON l.l_orderkey = o.o_orderkey)::BIGINT,
-        |  (SELECT count(*) FROM lineitem l ANTI JOIN orders o
-        |     ON l.l_orderkey = o.o_orderkey) = 0""".stripMargin,
+    "q291_expectations" -> expectationsSql,
+    // the foldable-state report must be indistinguishable from the
+    // one-shot evaluate — q291's oracle verbatim
+    "q292_expectations_incremental" -> expectationsSql,
     // the delete-folded rollup serves the SURVIVORS' aggregate — the
     // oracle recomputes it from the filtered fact rows directly
     "q279_rollup_delete" ->

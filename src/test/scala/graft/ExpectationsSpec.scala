@@ -43,6 +43,37 @@ class ExpectationsSpec extends AnyFunSuite {
     assert(got("k_fk") == ((4L, 2L, false)))     // both k=2 rows orphan
   }
 
+  test("incremental fold: a batch parent RESCUES a standing orphan " +
+    "even when no batch child shares the key; duplicate keys " +
+    "straddling batches are caught") {
+    val rulesFor = (p: org.apache.spark.sql.DataFrame) => Seq[Rule](
+      RowRule("neg", col("x") < 0),
+      UniqueRule("k_unique", Seq("k")),
+      FkRule("k_fk", Seq("k"), p, Seq("pk")))
+    val oldChild = Seq((1L, 5L), (2L, -1L)).toDF("k", "x")
+    val oldParent = Seq(1L).toDF("pk")          // k=2 is an orphan
+    val batchChild = Seq((1L, 7L), (3L, 2L)).toDF("k", "x")
+    val batchParent = Seq(2L, 3L).toDF("pk")    // rescues k=2
+    val oldSt = Expectations.state(oldChild, rulesFor(oldParent))
+    // standing state really holds the orphan before the fold
+    assert(oldSt("k_fk").filter(!col("matched")).count() == 1L)
+    val folded = Expectations.foldStates(oldSt,
+      Expectations.state(batchChild, rulesFor(batchParent)),
+      rulesFor(oldParent))
+    val got = Expectations.report(folded, rulesFor(oldParent))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("k_fk") == ((4L, 0L, true)))     // orphan rescued
+    assert(got("neg") == ((4L, 1L, false)))
+    assert(got("k_unique") == ((4L, 1L, false))) // k=1 in both batches
+    // and the fold == one-shot evaluate over the union
+    val oneShot = Expectations.evaluate(oldChild.unionByName(batchChild),
+        rulesFor(oldParent.unionByName(batchParent)))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == oneShot)
+  }
+
   test("an all-green suite passes and n_checked covers every row") {
     val got = report(Seq(
       RowRule("k_not_null", col("k").isNull),
