@@ -132,6 +132,7 @@ object BpeQueries {
     * prune), learn-once per (session, dir) like the merge table. */
   private val UniMaxLen = 4
   private val UniTopK = 64
+  private val UniPruneFloor = 1500L
 
   private def uniVocab(s: SparkSession, d: String): DataFrame =
     v4Cache.getOrElseUpdate((sessionKey(s), d + "#univocab"), {
@@ -500,6 +501,26 @@ object BpeQueries {
     // reassembled in document order. Shares the q114 output contract.
     "q174_unigram_encode" -> ((s, d) =>
       Unigram.encode(docs(s, d), "doc_id", "text", uniVocab(s, d))),
+    // VOCAB PRUNE — the tokenizer family's delete: drop tokens whose
+    // corpus count falls below a floor and RE-ENCODE under the shrunk
+    // inventory. Coverage cannot come from the trained table alone: a
+    // character that only ever surfaced inside a now-pruned token has
+    // no row in `uni` (found the hard way — 'join' lost 'j'), so the
+    // SEED single-chars are re-pinned for any char the floor cut
+    // (SentencePiece's required-character discipline, seed counts and
+    // all, mirrored in the oracle). Erasure cost = vocab-sized filter
+    // + one encode pass; no retraining. At the 1500 floor the gate
+    // vocabulary loses about half its multi-char tokens, so
+    // segmentations genuinely change.
+    "q293_unigram_prune" -> ((s, d) => {
+      val kept = uniVocab(s, d).filter(col("cnt") >= UniPruneFloor)
+      val chars = Unigram.seedVocab(
+          Bpe.wordTableRaw(docs(s, d), "text"), UniMaxLen, UniTopK)
+        .filter(length(col("token")) === 1)
+        .join(kept.select(col("token")), Seq("token"), "left_anti")
+      Unigram.encode(docs(s, d), "doc_id", "text",
+        kept.unionByName(chars))
+    }),
     // BYTE-LEVEL unigram training (the q128 move for the second
     // family): the same seed → Viterbi-EM → prune machinery over
     // hex-rendered words with 2-char (one-byte) units — every token
@@ -1558,6 +1579,21 @@ object BpeQueries {
       s"""WITH RECURSIVE $unigramCtes
          |SELECT token, cnt FROM uni""".stripMargin,
     "q174_unigram_encode" -> unigramEncodeSql,
+    // q174's round-2 Viterbi re-run under the pruned table (floor
+    // survivors + seed single-chars re-pinned for coverage)
+    "q293_unigram_prune" ->
+      s"""WITH RECURSIVE $unigramCtes,
+         |unip AS MATERIALIZED (
+         |  SELECT token, cnt FROM uni WHERE cnt >= $UniPruneFloor
+         |  UNION ALL
+         |  SELECT token, cnt FROM seedv WHERE len(token) = 1
+         |    AND token NOT IN (SELECT token FROM uni
+         |                      WHERE cnt >= $UniPruneFloor)),
+         |${unigramEncCtes.replace("JOIN uni v", "JOIN unip v")}
+         |SELECT doc_id, sum(seg2.nt)::BIGINT AS n_tokens,
+         |       string_agg(seg2.toks, ' ' ORDER BY pos) AS toks
+         |FROM dw JOIN seg2 USING (word)
+         |GROUP BY doc_id""".stripMargin,
     // save → load → encode must equal the in-session encode
     "q181_unigram_saved" -> unigramEncodeSql,
     // rank ids over the refit vocab; the token stream orders by
