@@ -42,6 +42,40 @@ object TemporalQueries {
   private val CdcPayload = Seq("event_type", "value")
 
   val queries: Map[String, Q] = Map(
+    // POINT-IN-TIME dimension join: each purchase event joined to the
+    // SCD2 state interval covering its timestamp — the leakage-safe
+    // "feature as of event time" lookup a training pipeline must use
+    // instead of joining today's dimension onto yesterday's facts.
+    // Runs on the AsOfJoin operator (one key-shuffle window, no range
+    // explosion); the oracle joins the intervals directly, so the
+    // hash compare proves as-of == interval containment.
+    "q294_pit_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val dim = UserJourneys.scd2States(e, "user_id", "ts",
+        "event_type", "event_id")
+        .select(col("user_id"), col("valid_from"),
+          col("event_type").as("state_at"))
+      AsOfJoin.asOf(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", dim, "user_id", "valid_from",
+        Seq("state_at", "valid_from"))
+    }),
+    // Leakage-safe trailing features: per event, the user's event
+    // count and fixed-point value sum over the 7 days STRICTLY before
+    // the event (frame ends at −1 ns — the row itself and same-
+    // instant rows never leak in). One range-frame window per user.
+    "q295_pit_features" -> ((s, d) => {
+      val day = 86400L * 1000 * 1000 * 1000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+        .rangeBetween(-7 * day, -1)
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("ts"),
+        count(lit(1)).over(w).as("n_prev_7d"),
+        coalesce(sum(round(col("value") * 100).cast("long")).over(w),
+          lit(0L)).as("sum_value_fp_7d"))
+    }),
     // CDC APPLY: materialize the current per-user snapshot from a
     // log of upserts and deletes — last op per key in (ts, event_id)
     // order wins; a last 'error' (delete) leaves no row. One per-key
@@ -532,6 +566,35 @@ object TemporalQueries {
       |FROM l WHERE rk = 1 AND op <> 'D'""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // interval containment over the SCD2 rows — the as-of window must
+    // land each purchase in exactly its covering state range
+    "q294_pit_join" ->
+      """WITH w AS (SELECT user_id, event_type, epoch_ns(ts) AS t,
+        |    event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT user_id, event_type, t, event_id FROM w
+        |       WHERE prev IS NULL OR prev <> event_type),
+        |iv AS (SELECT user_id, event_type AS state_at, t AS valid_from,
+        |         lead(t) OVER (PARTITION BY user_id ORDER BY t,
+        |           event_id) AS valid_to
+        |       FROM ch),
+        |p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, iv.state_at, iv.valid_from
+        |FROM p JOIN iv ON iv.user_id = p.user_id
+        |  AND iv.valid_from <= p.ts
+        |  AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)""".stripMargin,
+    "q295_pit_features" ->
+      """SELECT event_id, user_id, epoch_ns(ts) AS ts,
+        |  count(*) OVER w AS n_prev_7d,
+        |  CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER w,
+        |    0) AS BIGINT) AS sum_value_fp_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 604800000000000 PRECEDING
+        |            AND 1 PRECEDING)""".stripMargin,
     "q286_cdc_snapshot" -> cdcSql,
     // tombstone-retaining fold + out-of-order redelivery must be
     // indistinguishable from the from-scratch apply — q286's verbatim
