@@ -625,7 +625,37 @@ object RelationalQueries {
     report(foldStates(oldSt, batchSt, all), all)
   }
 
+  /** q296: AGGREGATE NAVIGATION beyond additive folds — the user
+    * query asks count, avg, min, max over the fact table; the
+    * RollupRewrite rule serves count from sum(n_docs), avg from
+    * sum(sum_chars)/sum(n_docs) (exact — integer-valued sums, one
+    * final double division), and min/max from their own idempotent
+    * partials, all from a richer v3 materialization carrying
+    * min_chars/max_chars. The oracle aggregates the fact table
+    * directly, so the gate proves every navigated form. A rollup
+    * WITHOUT the min/max columns (q272's) keeps bouncing such
+    * queries to the fact scan — the rule derives only what the
+    * materialization actually holds. */
+  private def q296RollupAvg(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_v3_" +
+      math.abs(d.hashCode.toLong)
+    t(s, d, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.plans.RollupRewrite.install(s, s.read.parquet(path))
+    s.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$d/documents.parquet")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("n_chars")).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q296_rollup_avg" -> q296RollupAvg,
     "q292_expectations_incremental" -> q292ExpectationsIncremental,
     "q291_expectations" -> q291Expectations,
     "q279_rollup_delete" -> q279RollupDelete,
@@ -855,6 +885,15 @@ object RelationalQueries {
     // the foldable-state report must be indistinguishable from the
     // one-shot evaluate — q291's oracle verbatim
     "q292_expectations_incremental" -> expectationsSql,
+    // the oracle aggregates the fact table directly — count, avg
+    // (double division of exactly-representable integer sums), min,
+    // max must all match the navigated forms
+    "q296_rollup_avg" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       avg(n_chars) AS avg_chars,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
     // the delete-folded rollup serves the SURVIVORS' aggregate — the
     // oracle recomputes it from the filtered fact rows directly
     "q279_rollup_delete" ->

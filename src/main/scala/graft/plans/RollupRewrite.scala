@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** Materialized-rollup rewrite — the aggregate-navigation feature of
   * a warehouse engine, expressed as a Catalyst optimizer rule: an
@@ -36,8 +37,14 @@ class RollupRewrite(rollup: LogicalPlan) extends Rule[LogicalPlan] {
   private def rollupAttr(n: String): Option[Attribute] =
     rollup.output.find(_.name == n)
 
-  /** The fact-table measure each rollup column pre-aggregates. */
-  private val measureOf = Map("n_chars" -> "sum_chars")
+  /** The fact-table measure each rollup column pre-aggregates, per
+    * aggregate class. A rollup that doesn't carry a column simply
+    * fails the `rollupAttr` lookup and the query keeps its fact scan
+    * — so the min/max-less q272/q279 materializations still serve
+    * count/sum but bounce a min() query to the fact table. */
+  private val sumOf = Map("n_chars" -> "sum_chars")
+  private val minOf = Map("n_chars" -> "min_chars")
+  private val maxOf = Map("n_chars" -> "max_chars")
 
   private def tagged(p: LogicalPlan): Boolean = p match {
     case lr: LogicalRelation => lr.relation match {
@@ -62,8 +69,29 @@ class RollupRewrite(rollup: LogicalPlan) extends Rule[LogicalPlan] {
           Alias(Sum(nd).toAggregateExpression(), name)())
       case al @ Alias(AggregateExpression(Sum(a: AttributeReference, _), _,
           false, None, _), name) =>
-        measureOf.get(a.name).flatMap(rollupAttr).map(m =>
+        sumOf.get(a.name).flatMap(rollupAttr).map(m =>
           Alias(Sum(m).toAggregateExpression(), name)())
+      // avg navigates as sum(sum)/sum(count) — EXACT here (not an
+      // approximation) because both sums are integer-valued and well
+      // inside 2^53, so the one double division at the end sees the
+      // same two operands the fact-side Average's double accumulation
+      // arrives at
+      case al @ Alias(AggregateExpression(Average(a: AttributeReference, _),
+          _, false, None, _), name) =>
+        for (m <- sumOf.get(a.name).flatMap(rollupAttr);
+             nd <- rollupAttr("n_docs"))
+          yield Alias(Divide(
+            Cast(Sum(m).toAggregateExpression(), DoubleType),
+            Cast(Sum(nd).toAggregateExpression(), DoubleType)), name)()
+      // min/max re-aggregate their own partials (idempotent folds)
+      case al @ Alias(AggregateExpression(Min(a: AttributeReference), _,
+          false, None, _), name) =>
+        minOf.get(a.name).flatMap(rollupAttr).map(m =>
+          Alias(Min(m).toAggregateExpression(), name)())
+      case al @ Alias(AggregateExpression(Max(a: AttributeReference), _,
+          false, None, _), name) =>
+        maxOf.get(a.name).flatMap(rollupAttr).map(m =>
+          Alias(Max(m).toAggregateExpression(), name)())
       case _ => None
     }
 

@@ -207,4 +207,28 @@ class PlanSpec extends AnyFunSuite {
     assert(up.contains("documents.parquet"), up.take(2000))
     assert(!up.contains("graft_rollup_"), up.take(2000))
   }
+
+  test("q296: count/avg/min/max all navigate to the v3 rollup (no " +
+      "fact scan); a rollup lacking min/max bounces min() queries " +
+      "back to the fact table") {
+    val p = plan("q296_rollup_avg")
+    assert(p.contains("graft_rollup_v3_"),
+      s"v3 rollup scan missing\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      s"fact table still scanned\n${p.take(3000)}")
+    // derivability guard: the q272-shape rollup (count/sum only) is
+    // installed, then a min() aggregate arrives — the rule must NOT
+    // serve it (the rollup has no min partial)
+    import org.apache.spark.sql.functions.{col, min => smin}
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_" +
+      math.abs(sf.hashCode.toLong)
+    graft.plans.RollupRewrite.install(spark, spark.read.parquet(path))
+    val df = spark.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$sf/documents.parquet")
+      .groupBy(col("source")).agg(smin(col("n_chars")).as("m"))
+    df.collect()
+    val up2 = df.queryExecution.executedPlan.toString
+    assert(up2.contains("documents.parquet"), up2.take(2000))
+    assert(!up2.contains("graft_rollup_"), up2.take(2000))
+  }
 }
