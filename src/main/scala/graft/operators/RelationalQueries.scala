@@ -654,7 +654,39 @@ object RelationalQueries {
         max(col("n_chars")).as("max_chars"))
   }
 
+  /** q298: DYNAMIC PARTITION PRUNING end-to-end — facts land
+    * partitioned by event_type (the layout decision), and a join
+    * against a filtered broadcast dim prunes the fact scan to the
+    * surviving partitions AT RUNTIME via the reused broadcast
+    * (PlanSpec pins the `dynamicpruning` subquery in the scan's
+    * PartitionFilters). At 100 TB this is the difference between
+    * scanning two partitions and scanning them all; the oracle
+    * computes the same join statically. */
+  private def q298Dpp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ev_part_" +
+      math.abs(d.hashCode.toLong)
+    t(s, d, "events").write.mode("overwrite")
+      .partitionBy("event_type").parquet(path)
+    // the dim must be a RELATION with a surviving LIKELY-SELECTIVE
+    // Filter: a local Seq constant-folds to a pre-filtered
+    // LocalRelation before the PartitionPruning batch (no Filter, no
+    // DPP), and a bare boolean attribute fails isLikelySelective —
+    // the equality comparison below is what the rule recognizes
+    Seq(("click", "kept"), ("view", "kept"), ("purchase", "dropped"),
+      ("signup", "dropped"), ("error", "dropped"))
+      .toDF("event_type", "status")
+      .write.mode("overwrite").parquet(s"$path.dim")
+    s.read.parquet(path)
+      .join(broadcast(s.read.parquet(s"$path.dim")
+        .filter(col("status") === "kept")), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q298_dpp_join" -> q298Dpp,
     "q296_rollup_avg" -> q296RollupAvg,
     "q292_expectations_incremental" -> q292ExpectationsIncremental,
     "q291_expectations" -> q291Expectations,
@@ -885,6 +917,12 @@ object RelationalQueries {
     // the foldable-state report must be indistinguishable from the
     // one-shot evaluate — q291's oracle verbatim
     "q292_expectations_incremental" -> expectationsSql,
+    // the statically-filtered equivalent of the runtime-pruned join
+    "q298_dpp_join" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |       count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type""".stripMargin,
     // the oracle aggregates the fact table directly — count, avg
     // (double division of exactly-representable integer sums), min,
     // max must all match the navigated forms

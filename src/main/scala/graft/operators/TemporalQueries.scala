@@ -76,6 +76,26 @@ object TemporalQueries {
         coalesce(sum(round(col("value") * 100).cast("long")).over(w),
           lit(0L)).as("sum_value_fp_7d"))
     }),
+    // TRAINING-SET builder: q295's trailing features joined — in the
+    // same pass — with a FORWARD-looking label (did the user purchase
+    // within the next 24 h, frame [+1 ns, +24 h]). The two frames
+    // never overlap the row itself, so the extracted set is
+    // leakage-free by construction: features end strictly before the
+    // event, the label starts strictly after.
+    "q297_training_set" -> ((s, d) => {
+      val day = 86400L * 1000 * 1000 * 1000
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"))
+      val back = w.rangeBetween(-7 * day, -1)
+      val fwd = w.rangeBetween(1, day)
+      t(s, d, "events").select(col("event_id"), col("user_id"),
+        col("ts"),
+        count(lit(1)).over(back).as("n_prev_7d"),
+        coalesce(sum(round(col("value") * 100).cast("long")).over(back),
+          lit(0L)).as("sum_value_fp_7d"),
+        coalesce(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).over(fwd), lit(0L)).as("label_purchase_24h"))
+    }),
     // CDC APPLY: materialize the current per-user snapshot from a
     // log of upserts and deletes — last op per key in (ts, event_id)
     // order wins; a last 'error' (delete) leaves no row. One per-key
@@ -586,6 +606,19 @@ object TemporalQueries {
         |FROM p JOIN iv ON iv.user_id = p.user_id
         |  AND iv.valid_from <= p.ts
         |  AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)""".stripMargin,
+    "q297_training_set" ->
+      """SELECT event_id, user_id, epoch_ns(ts) AS ts,
+        |  count(*) OVER b AS n_prev_7d,
+        |  CAST(COALESCE(sum(CAST(round(value * 100) AS BIGINT)) OVER b,
+        |    0) AS BIGINT) AS sum_value_fp_7d,
+        |  CAST(COALESCE(max(CASE WHEN event_type = 'purchase' THEN 1
+        |    ELSE 0 END) OVER f, 0) AS BIGINT) AS label_purchase_24h
+        |FROM events
+        |WINDOW b AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 604800000000000 PRECEDING AND 1 PRECEDING),
+        |f AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+        |  RANGE BETWEEN 1 FOLLOWING
+        |            AND 86400000000000 FOLLOWING)""".stripMargin,
     "q295_pit_features" ->
       """SELECT event_id, user_id, epoch_ns(ts) AS ts,
         |  count(*) OVER w AS n_prev_7d,

@@ -208,6 +208,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!up.contains("graft_rollup_"), up.take(2000))
   }
 
+  test("q298: the partitioned fact scan carries a dynamicpruning " +
+      "subquery in its partition filters (DPP fired, not a static " +
+      "full scan)") {
+    val p = plan("q298_dpp_join")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic pruning in plan\n${p.take(3000)}")
+  }
+
   test("q296: count/avg/min/max all navigate to the v3 rollup (no " +
       "fact scan); a rollup lacking min/max bounces min() queries " +
       "back to the fact table") {
