@@ -685,7 +685,35 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** q299: the STREAMED contract monitor over 5 child/parent batch
+    * slices plus a replayed slice — counter sums double-count on
+    * replay (the CMS class), so the in-table ledger must skip the
+    * redelivery; the FK matched flag max-folds, so parents arriving
+    * in later batches rescue earlier orphans. Final report ==
+    * one-shot q291, its oracle verbatim. */
+  private def q299ContractStream(s: SparkSession, d: String): DataFrame = {
+    val table = "graft_contract_stream_" + math.abs(d.hashCode.toLong)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val li = t(s, d, "lineitem")
+    val ord = t(s, d, "orders")
+    def slice(b: Int) = (
+      li.filter((col("l_orderkey") + col("l_linenumber")) % 5 === b),
+      ord.filter(col("o_orderkey") % 5 === b))
+    (0 until 5).foreach { b =>
+      val (c, p) = slice(b)
+      graft.streaming.StreamingContract.processContractBatch(
+        c, contractRules(p), table, b.toLong)
+    }
+    // at-least-once: batch 2 redelivered — the ledger must skip it
+    val (c2, p2) = slice(2)
+    graft.streaming.StreamingContract.processContractBatch(
+      c2, contractRules(p2), table, 2L)
+    graft.streaming.StreamingContract.report(s, table,
+      contractRules(ord))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q299_contract_stream" -> q299ContractStream,
     "q298_dpp_join" -> q298Dpp,
     "q296_rollup_avg" -> q296RollupAvg,
     "q292_expectations_incremental" -> q292ExpectationsIncremental,
@@ -917,6 +945,9 @@ object RelationalQueries {
     // the foldable-state report must be indistinguishable from the
     // one-shot evaluate — q291's oracle verbatim
     "q292_expectations_incremental" -> expectationsSql,
+    // the streamed ledgered fold with a replayed slice must land on
+    // the one-shot report — q291's oracle verbatim
+    "q299_contract_stream" -> expectationsSql,
     // the statically-filtered equivalent of the runtime-pruned join
     "q298_dpp_join" ->
       """SELECT event_type, count(*)::BIGINT AS n,
