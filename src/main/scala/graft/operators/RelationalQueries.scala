@@ -587,7 +587,7 @@ object RelationalQueries {
 
   /** The q291/q292 shared rule suite (parent df injected so the
     * incremental form can hand each batch its own parent slice). */
-  private def contractRules(parent: DataFrame): Seq[Expectations.Rule] = {
+  private[operators] def contractRules(parent: DataFrame): Seq[Expectations.Rule] = {
     import Expectations._
     Seq(
       RowRule("quantity_range",
@@ -893,7 +893,7 @@ object RelationalQueries {
     * predicates count as violations (COALESCE TRUE), unique checks
     * count rows beyond the first per key, FK counts orphans. Shared
     * verbatim by q292 (the foldable-state report). */
-  private lazy val expectationsSql: String =
+  private[operators] lazy val expectationsSql: String =
     """SELECT 'quantity_range' AS rule, count(*)::BIGINT AS n_checked,
       |  CAST(sum(CASE WHEN COALESCE(l_quantity < 1 OR l_quantity > 50,
       |    TRUE) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,

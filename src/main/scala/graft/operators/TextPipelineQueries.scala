@@ -1264,6 +1264,42 @@ object TextPipelineQueries {
           cleanGroups.filter(isDel(col("id")) || isDel(col("keep_id")))
             .agg(count(lit(1)).as("n"))))
     }),
+    // RELEASE GATE: the one-artifact readiness report a dataset
+    // publish blocks on — each row is a check with its measured
+    // value, its threshold, and the verdict, composing the round's
+    // verified families (keep-one dup rate, benchmark contamination,
+    // the q291 contract total, corpus size). NON-VACUOUS at gate SF:
+    // dup rate 540 bp > the 500 bp budget, contamination 379 docs
+    // (3-gram overlap over a small synthetic vocabulary is rampant —
+    // exactly what a release gate should surface), and the contract
+    // (pk_unique's 14168 dup rows) all genuinely FAIL; size passes.
+    // The verdicts are inside the hash — the gate catching these is
+    // itself what the oracle pins.
+    "q300_release_gate" -> ((s, d) => {
+      val doc = docs(s, d)
+      val groups = dupGroups(s, d)
+      val dup = groups.agg(count(lit(1)).as("__m"),
+          countDistinct(col("keep_id")).as("__c"))
+        .crossJoin(doc.agg(count(lit(1)).as("__n")))
+        .select(lit("dup_rate_bp").as("check"),
+          expr("(__m - __c) * 10000L div __n").as("value"),
+          lit(500L).as("threshold"))
+      val contam = Dedup.contamination(doc.filter(col("doc_id") >= 20),
+          "doc_id", "text", doc.filter(col("doc_id") < 20), "text", 3)
+        .agg(count(lit(1)).as("value"))
+        .select(lit("contaminated_docs").as("check"), col("value"),
+          lit(50L).as("threshold"))
+      val contract = Expectations.evaluate(t(s, d, "lineitem"),
+          RelationalQueries.contractRules(t(s, d, "orders")))
+        .agg(sum(col("n_violations")).as("value"))
+        .select(lit("contract_violations").as("check"), col("value"),
+          lit(0L).as("threshold"))
+      val size = doc.agg((-count(lit(1))).as("value"))
+        .select(lit("corpus_size_neg").as("check"), col("value"),
+          lit(-400L).as("threshold"))
+      dup.unionByName(contam).unionByName(contract).unionByName(size)
+        .withColumn("pass", col("value") <= col("threshold"))
+    }),
     // INCREMENTAL exact-substring dedup: standing state is the old
     // corpus's per-gram table (distinct-doc count + first
     // occurrence), its occurrence index, and its finished OUTPUT.
@@ -3292,6 +3328,46 @@ object TextPipelineQueries {
          |       CASE WHEN cn.policy = 'naive' THEN lk.naive_leaks
          |            ELSE lk.group_leaks END AS leak_pairs
          |FROM cn CROSS JOIN lk""".stripMargin,
+    // each check recomputed from first principles: the CC drop count,
+    // the shingle-overlap contamination set, the full q291 contract
+    // total as a subquery, and the corpus size — verdicts included in
+    // the hash, so the gate catching the dup-rate and contract
+    // failures is itself pinned
+    "q300_release_gate" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS keep
+         |      FROM reach GROUP BY a),
+         |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |hits AS (SELECT DISTINCT s.doc_id FROM sh s
+         |         JOIN bad USING (shingle) WHERE s.doc_id >= 20),
+         |checks(chk, value, threshold) AS (
+         |  SELECT 'dup_rate_bp',
+         |    ((SELECT count(*) FROM g) -
+         |     (SELECT count(DISTINCT keep) FROM g)) * 10000
+         |      // (SELECT count(*) FROM documents), 500
+         |  UNION ALL
+         |  SELECT 'contaminated_docs', (SELECT count(*) FROM hits), 50
+         |  UNION ALL
+         |  SELECT 'contract_violations',
+         |    (SELECT CAST(sum(n_violations) AS BIGINT) FROM
+         |      (${RelationalQueries.expectationsSql.linesIterator
+                    .mkString("\n         |       ")})),
+         |    0
+         |  UNION ALL
+         |  SELECT 'corpus_size_neg',
+         |    -(SELECT count(*) FROM documents), -400)
+         |SELECT chk AS "check", CAST(value AS BIGINT) AS value,
+         |       CAST(threshold AS BIGINT) AS threshold,
+         |       value <= threshold AS pass
+         |FROM checks""".stripMargin,
     // naive ordered-triple join — the degree-oriented Spark count
     // must agree (orientation independence is part of the proof)
     "q274_triangle_count" -> triangleSql,
