@@ -539,6 +539,21 @@ object SketchQueries {
         s.table(table).filter(col("bucket") >= 0L))
     }),
 
+    // EXACT type-1 quantiles in TWO passes, no global sort
+    // (Quantiles.exactQuantiles): pass 1 locates each percentile's
+    // bucket from the fixed-grid histogram; pass 2 ranks only inside
+    // the wanted buckets. The exact answer q213's single-pass sketch
+    // only brackets (est_hi within one width above) — the two
+    // operators are the speed/precision pair a quantile service
+    // chooses between.
+    "q301_exact_quantiles" -> ((s, d) =>
+      Quantiles.exactQuantiles(docs(s, d), "n_chars", HistWidth, Pcts)),
+    // and per-key: every source's exact quantile grid, the same two
+    // key-scoped passes (cells and pass-2 rows both carry the key).
+    "q302_quantiles_by_source" -> ((s, d) =>
+      Quantiles.exactQuantilesByKey(docs(s, d), "source", "n_chars",
+        HistWidth, Pcts)),
+
     // Histogram DELETE-fold: the standing grid minus the deleted
     // slice's grid (emptied buckets dropped) feeds the q213 quantile
     // report with the SURVIVORS as the exact verification side —
@@ -655,6 +670,30 @@ object SketchQueries {
     "q233_cms_stream" -> cmsSql,
 
     "q213_hist_quantiles" -> histSql,
+    // the exact type-1 definition from first principles: smallest v
+    // whose cumulative count reaches ceil(p·n/100)
+    "q301_exact_quantiles" ->
+      s"""WITH vc AS (SELECT n_chars AS v, count(*) AS cnt
+         |            FROM documents GROUP BY 1),
+         |cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM vc),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |p AS (SELECT unnest([${Pcts.mkString(", ")}]) AS pct)
+         |SELECT pct::BIGINT AS pct, CAST(min(v) AS BIGINT) AS exact_v
+         |FROM cum, tot, p WHERE cum * 100 >= pct * n
+         |GROUP BY 1""".stripMargin,
+    "q302_quantiles_by_source" ->
+      s"""WITH vc AS (SELECT source AS key, n_chars AS v, count(*) AS cnt
+         |            FROM documents GROUP BY 1, 2),
+         |cum AS (SELECT key, v, sum(cnt) OVER (PARTITION BY key
+         |          ORDER BY v) AS cum FROM vc),
+         |tot AS (SELECT source AS key, count(*)::BIGINT AS n
+         |        FROM documents GROUP BY 1),
+         |p AS (SELECT unnest([${Pcts.mkString(", ")}]) AS pct)
+         |SELECT cum.key, pct::BIGINT AS pct,
+         |       CAST(min(v) AS BIGINT) AS exact_v
+         |FROM cum JOIN tot USING (key) CROSS JOIN p
+         |WHERE cum * 100 >= pct * n
+         |GROUP BY 1, 2""".stripMargin,
     // subtract-fold == from-scratch over survivors: q213's oracle on
     // the filtered corpus
     "q289_hist_delete" ->

@@ -213,6 +213,39 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles == sort-based type-1 on adversarial data: " +
+    "bucket boundaries, heavy ties, pct=1 and pct=100") {
+    import graft.operators.Quantiles
+    // values cluster on bucket edges (multiples of width) and repeat
+    val width = 10
+    val raw = Seq.fill(40)(10L) ++ Seq.fill(1)(9L) ++ Seq.fill(30)(20L) ++
+      (0 until 29).map(i => (i * 37 % 97).toLong)
+    val pcts = Seq(1, 50, 90, 100)
+    val got = Quantiles.exactQuantiles(raw.map(Tuple1(_)).toDF("v"),
+        "v", width, pcts)
+      .as[(Long, Long)].collect().toMap
+    val sorted = raw.sorted
+    pcts.foreach { p =>
+      val exact = sorted((p * sorted.length + 99) / 100 - 1)
+      assert(got(p.toLong) == exact, s"p=$p got=${got(p.toLong)} want=$exact")
+    }
+  }
+
+  test("exactQuantilesByKey matches the per-key sort-based answer") {
+    import graft.operators.Quantiles
+    val rows = for (k <- Seq("a", "b"); i <- 0 until 50)
+      yield (k, if (k == "a") (i * i % 89).toLong else (i % 7).toLong)
+    val got = Quantiles.exactQuantilesByKey(rows.toDF("k", "v"), "k", "v",
+        width = 8, pcts = Seq(50, 99))
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (k <- Seq("a", "b"); p <- Seq(50, 99)) {
+      val sorted = rows.filter(_._1 == k).map(_._2).sorted
+      val exact = sorted((p * sorted.length + 99) / 100 - 1)
+      assert(got((k, p.toLong)) == exact, s"k=$k p=$p")
+    }
+  }
+
   test("histogram quantile estimate within [exact, exact + width)") {
     val width = 10
     val vals = (0 until 500).map(i => Tuple1((i * i % 997).toLong)).toDF("v")
