@@ -76,6 +76,29 @@ object TemporalQueries {
         coalesce(sum(round(col("value") * 100).cast("long")).over(w),
           lit(0L)).as("sum_value_fp_7d"))
     }),
+    // LAST-TOUCH attribution: each purchase attributed to the user's
+    // most recent click no older than 24 h — the as-of join composed
+    // with a window-validity filter (a miss or a stale click yields
+    // an explicit unattributed row, not a dropped one: reporting
+    // needs the denominator). Same one-shuffle shape as q294.
+    "q303_attribution" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val day = 86400L * 1000 * 1000 * 1000
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      AsOfJoin.asOf(
+        e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", clicks, "user_id", "click_ts",
+        Seq("click_id", "click_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("click_ts").isNotNull &&
+            col("ts") - col("click_ts") <= day, col("click_id"))
+            .as("attributed_click"),
+          (col("click_ts").isNotNull &&
+            col("ts") - col("click_ts") <= day).as("attributed"))
+    }),
     // TRAINING-SET builder: q295's trailing features joined — in the
     // same pass — with a FORWARD-looking label (did the user purchase
     // within the next 24 h, frame [+1 ns, +24 h]). The two frames
@@ -606,6 +629,25 @@ object TemporalQueries {
         |FROM p JOIN iv ON iv.user_id = p.user_id
         |  AND iv.valid_from <= p.ts
         |  AND (iv.valid_to IS NULL OR p.ts < iv.valid_to)""".stripMargin,
+    "q303_attribution" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_ns(ts) AS click_ts,
+        |        event_id AS click_id
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p.event_id, p.user_id, p.ts, c.click_ts,
+        |        c.click_id,
+        |        row_number() OVER (PARTITION BY p.event_id
+        |          ORDER BY c.click_ts DESC, c.click_id DESC) AS rk
+        |      FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |        AND c.click_ts <= p.ts)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN click_ts IS NOT NULL
+        |        AND ts - click_ts <= 86400000000000
+        |       THEN click_id END AS attributed_click,
+        |  COALESCE(click_ts IS NOT NULL
+        |    AND ts - click_ts <= 86400000000000, FALSE) AS attributed
+        |FROM j WHERE rk = 1""".stripMargin,
     "q297_training_set" ->
       """SELECT event_id, user_id, epoch_ns(ts) AS ts,
         |  count(*) OVER b AS n_prev_7d,
