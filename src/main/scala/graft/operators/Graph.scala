@@ -113,6 +113,54 @@ object Graph {
           .as("clustering_bp"))
   }
 
+  /** Per-node triangle counts and LOCAL clustering coefficients —
+    * q274's global readout at vertex grain (which nodes sit in
+    * cliques vs chains). Same degree-oriented wedge generation; the
+    * confirming semi-join becomes an inner join so each triangle
+    * materializes once as (apex, v1, v2) and explodes to its three
+    * vertices — output size ∝ 3·triangles, bounded by the same
+    * degeneracy argument. Output: (n, deg, n_tri, local_bp) for every
+    * node of the graph (0 rows of triangles ⇒ local_bp 0). */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b")).distinct()
+      .localCheckpoint(true)
+    val deg = p.select(col("id_a").as("n"))
+      .unionByName(p.select(col("id_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val ranked = p
+      .join(deg.select(col("n").as("id_a"), col("deg").as("__da")),
+        Seq("id_a"))
+      .join(deg.select(col("n").as("id_b"), col("deg").as("__db")),
+        Seq("id_b"))
+    val e = ranked.select(
+        when(struct(col("__da"), col("id_a")) <
+          struct(col("__db"), col("id_b")), col("id_a"))
+          .otherwise(col("id_b")).as("u"),
+        when(struct(col("__da"), col("id_a")) <
+          struct(col("__db"), col("id_b")), col("id_b"))
+          .otherwise(col("id_a")).as("v"))
+      .localCheckpoint(true)
+    val und = e.select(col("u").as("x"), col("v").as("y"))
+      .unionByName(e.select(col("v").as("x"), col("u").as("y")))
+    val tris = e.select(col("u"), col("v").as("v1"))
+      .join(e.select(col("u"), col("v").as("v2")), Seq("u"))
+      .filter(col("v1") < col("v2"))
+      .join(und, col("v1") === col("x") && col("v2") === col("y"),
+        "left_semi")
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("local_bp",
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr("n_tri * 2L * 10000L div (deg * (deg - 1))")))
+  }
+
   /** INCREMENTAL triangle count: triangles of old ∪ new without ever
     * re-pairing the old graph — per-batch work is ∝ |new edges| ×
     * degree, not |old edges|². `oldTriangles` is the standing count

@@ -1264,6 +1264,39 @@ object TextPipelineQueries {
           cleanGroups.filter(isDel(col("id")) || isDel(col("keep_id")))
             .agg(count(lit(1)).as("n"))))
     }),
+    // Per-NODE local clustering over the candidate graph — q274's
+    // global coefficient at vertex grain: a doc whose neighborhood is
+    // a clique (local_bp 10000) collapses safely; one sitting on a
+    // triangle-free chain is collision lint. Same degree-oriented
+    // wedges, triangles exploded to their three vertices.
+    "q304_local_clustering" -> ((s, d) =>
+      Graph.localClustering(
+        Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // APPROXIMATE query processing: per-source count/sum estimated
+    // from a deterministic 10% hash sample (md5 bucket 0 of 10) and
+    // scaled by the inverse sampling rate (Horvitz–Thompson), with
+    // the exact values as verification columns and the relative
+    // error in bp — the sampled plan reads 10% of the corpus at
+    // 100 TB; the gate pins both the estimator arithmetic and the
+    // error it actually achieves on this corpus.
+    "q305_aqp_groupby" -> ((s, d) => {
+      val doc = docs(s, d)
+      val sampled = doc.filter(
+        expr("conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10)")
+          .cast("long") % 10 === 0)
+      val est = sampled.groupBy(col("source"))
+        .agg((count(lit(1)) * 10).as("est_docs"),
+          (sum(col("n_chars")) * 10).as("est_chars"))
+      val exact = doc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+      exact.join(est, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          coalesce(col("est_docs"), lit(0L)).as("est_docs"),
+          coalesce(col("est_chars"), lit(0L)).as("est_chars"),
+          expr("abs(coalesce(est_chars, 0L) - sum_chars) * 10000L" +
+            " div sum_chars").as("err_bp"))
+    }),
     // RELEASE GATE: the one-artifact readiness report a dataset
     // publish blocks on — each row is a check with its measured
     // value, its threshold, and the verdict, composing the round's
@@ -3371,6 +3404,43 @@ object TextPipelineQueries {
     // naive ordered-triple join — the degree-oriented Spark count
     // must agree (orientation independence is part of the proof)
     "q274_triangle_count" -> triangleSql,
+    // triangle list from the naive triple join exploded to vertices
+    "q304_local_clustering" ->
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
+         |nodes AS (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed),
+         |deg AS (SELECT n, count(*)::BIGINT AS deg FROM nodes GROUP BY n),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1
+         |        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pn AS (SELECT n, count(*)::BIGINT AS n_tri FROM (
+         |         SELECT x AS n FROM tri
+         |         UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri) GROUP BY n)
+         |SELECT deg.n, deg.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg < 2 THEN 0
+         |       ELSE COALESCE(pn.n_tri, 0) * 2 * 10000
+         |            // (deg.deg * (deg.deg - 1)) END AS local_bp
+         |FROM deg LEFT JOIN pn USING (n)""".stripMargin,
+    // the same Horvitz–Thompson estimator over the same md5 sample
+    "q305_aqp_groupby" ->
+      """WITH s AS (SELECT * FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |          ::BIGINT % 10 = 0),
+        |est AS (SELECT source, count(*)::BIGINT * 10 AS est_docs,
+        |          CAST(sum(n_chars) * 10 AS BIGINT) AS est_chars
+        |        FROM s GROUP BY source),
+        |ex AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |       FROM documents GROUP BY source)
+        |SELECT ex.source, n_docs, sum_chars,
+        |  COALESCE(est_docs, 0) AS est_docs,
+        |  COALESCE(est_chars, 0) AS est_chars,
+        |  abs(COALESCE(est_chars, 0) - sum_chars) * 10000 // sum_chars
+        |    AS err_bp
+        |FROM ex LEFT JOIN est USING (source)""".stripMargin,
     // the inclusion–exclusion fold must land on the same full-graph
     // stats — q274's oracle verbatim
     "q285_triangle_incremental" -> triangleSql,
