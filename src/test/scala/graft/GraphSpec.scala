@@ -74,6 +74,25 @@ class GraphSpec extends AnyFunSuite {
     assert(stats(tri) == ((3L, 3L, 1L, 10000L)))
   }
 
+  test("localClustering: K4 nodes are fully clustered, star nodes " +
+    "all zero, and the bowtie's shared node halves") {
+    def local(edges: Seq[(Long, Long)]) =
+      Graph.localClustering(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(local(k4).values.toSet == Set((3L, 3L, 10000L)))
+    val star = (1L to 5L).map((0L, _))
+    assert(local(star)(0L) == ((5L, 0L, 0L)))
+    assert(local(star)(1L) == ((1L, 0L, 0L)))
+    // bowtie: node 3 sits in both triangles, deg 4 → 2·2/(4·3)
+    val bowtie = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L))
+    val got = local(bowtie)
+    assert(got(3L) == ((4L, 2L, 3333L)))
+    assert(got(1L) == ((2L, 1L, 10000L)))
+  }
+
   /** The inclusion–exclusion fold must land on the full-graph count
     * for splits exercising every term: all-new triangles (S_nn/3),
     * two-new (S_mix/2), one-new (S_oo), mixtures across shared nodes,
