@@ -1264,6 +1264,29 @@ object TextPipelineQueries {
           cleanGroups.filter(isDel(col("id")) || isDel(col("keep_id")))
             .agg(count(lit(1)).as("n"))))
     }),
+    // The STREAMED BM25 indexer (StreamingRetrieval) over 5 slices
+    // plus a replayed slice — replay safety by per-doc UPSERT
+    // (replace-by-key of deterministic re-tokenization), the third
+    // idempotence class after KMV's set union and the CMS ledger;
+    // the same path is the document-update path. Scoring over the
+    // streamed table == q81, its oracle verbatim.
+    "q306_bm25_stream" -> ((s, d) => {
+      import s.implicits._
+      val table = "graft_bm25_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val doc = docs(s, d)
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingRetrieval.processPostingsBatch(
+          doc.filter(col("doc_id") % 5 === b), "doc_id", "text", table)
+      }
+      // at-least-once: slice 2 redelivered — the upsert collapses it
+      graft.streaming.StreamingRetrieval.processPostingsBatch(
+        doc.filter(col("doc_id") % 5 === 2), "doc_id", "text", table)
+      val tq = Seq((0L, "spark join"), (1L, "data merge sort"),
+        (2L, "the slow query")).toDF("q_id", "q_text")
+      Retrieval.bm25FromPostings(s.table(table), tq, "q_id", "q_text",
+        k = 10)
+    }),
     // Per-NODE local clustering over the candidate graph — q274's
     // global coefficient at vertex grain: a doc whose neighborhood is
     // a clique (local_bp 10000) collapses safely; one sitting on a
@@ -3312,6 +3335,9 @@ object TextPipelineQueries {
         |FROM c JOIN n USING (source) GROUP BY c.source, n.vocab, n.n""".stripMargin,
     // incremental postings == from-scratch build: same oracle
     "q95_bm25_incremental" -> bm25Sql,
+    // the streamed upsert index with a replayed slice must score
+    // identically to the one-shot build — q81's oracle verbatim
+    "q306_bm25_stream" -> bm25Sql,
     "q261_mmr_topk" -> mmrSql,
     "q262_matryoshka_recall" -> matryoshkaSql,
     // group split key = recursive-CC component min (q52's idiom);
