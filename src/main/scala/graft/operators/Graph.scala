@@ -161,6 +161,35 @@ object Graph {
           .otherwise(expr("n_tri * 2L * 10000L div (deg * (deg - 1))")))
   }
 
+  /** The NEW triangles a batch of edges creates, materialized as
+    * distinct (a, b, c) vertex triples (a < b < c) — the exact set
+    * [[triangleCountDelta]] counts by inclusion–exclusion without
+    * materializing. Used when the delta must be ATTRIBUTED (per-node
+    * folds, audit trails); costs one dedup shuffle of the candidate
+    * triples, bounded by Σ common-neighbor counts over batch edges —
+    * still ∝ batch × degree, never the old graph re-paired. */
+  def newTriangles(oldE: DataFrame, newE: DataFrame): DataFrame = {
+    def canon(df: DataFrame) =
+      df.select(least(col("id_a"), col("id_b")).as("u"),
+          greatest(col("id_a"), col("id_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    val o = canon(oldE)
+    val n = canon(newE).localCheckpoint(true)
+    val und = o.unionByName(n)
+      .select(col("u").as("x"), col("v").as("y"))
+      .unionByName(o.unionByName(n)
+        .select(col("v").as("x"), col("u").as("y")))
+      .localCheckpoint(true)
+    n.join(und.select(col("x").as("u"), col("y").as("w")), Seq("u"))
+      .join(und.select(col("x").as("v"), col("y").as("w")), Seq("v", "w"))
+      .select(least(col("u"), col("v"), col("w")).as("a"),
+        greatest(col("u"), col("v"), col("w")).as("c"),
+        (col("u") + col("v") + col("w") -
+          least(col("u"), col("v"), col("w")) -
+          greatest(col("u"), col("v"), col("w"))).as("b"))
+      .select(col("a"), col("b"), col("c")).distinct()
+  }
+
   /** INCREMENTAL triangle count: triangles of old ∪ new without ever
     * re-pairing the old graph — per-batch work is ∝ |new edges| ×
     * degree, not |old edges|². `oldTriangles` is the standing count

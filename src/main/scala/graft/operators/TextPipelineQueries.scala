@@ -1295,6 +1295,62 @@ object TextPipelineQueries {
     "q304_local_clustering" -> ((s, d) =>
       Graph.localClustering(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // INCREMENTAL per-node clustering: the standing per-node triangle
+    // counts fold with the batch's NEW triangles — materialized as
+    // distinct vertex triples (Graph.newTriangles, ∝ batch × degree)
+    // precisely because the delta must be ATTRIBUTED to vertices,
+    // which q285's count-only inclusion–exclusion cannot do. Degrees
+    // are a single pass over the full edge set. q304's oracle
+    // VERBATIM.
+    "q307_local_clustering_incr" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+        .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+      val isNew = (c: org.apache.spark.sql.Column) => c % 5 === 0
+      val oldE = pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))
+      val newE = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+      val standing = Graph.localClustering(oldE)
+        .select(col("n"), col("n_tri").as("__old"))
+      val delta = Graph.newTriangles(oldE, newE)
+        .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("__d"))
+      val deg = pairs.select(col("id_a").as("n"))
+        .unionByName(pairs.select(col("id_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      deg.join(standing, Seq("n"), "left")
+        .join(delta, Seq("n"), "left")
+        .select(col("n"), col("deg"),
+          (coalesce(col("__old"), lit(0L)) + coalesce(col("__d"), lit(0L)))
+            .as("n_tri"))
+        .withColumn("local_bp",
+          when(col("deg") < 2, lit(0L))
+            .otherwise(expr("n_tri * 2L * 10000L div (deg * (deg - 1))")))
+    }),
+    // INCREMENTAL AQP sample maintenance: the md5-bucket sample is a
+    // deterministic row predicate, so the standing sample folds with
+    // the batch's sample by plain union (and erasure is an anti-join)
+    // — the estimator over the folded sample must be IDENTICAL to
+    // q305 over the one-shot sample: its oracle verbatim.
+    "q308_aqp_incremental" -> ((s, d) => {
+      val doc = docs(s, d)
+      val inSample = expr(
+        "conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10)")
+        .cast("long") % 10 === 0
+      val standing = doc.filter(col("doc_id") % 5 =!= 0).filter(inSample)
+      val batch = doc.filter(col("doc_id") % 5 === 0).filter(inSample)
+      val sampled = standing.unionByName(batch)
+      val est = sampled.groupBy(col("source"))
+        .agg((count(lit(1)) * 10).as("est_docs"),
+          (sum(col("n_chars")) * 10).as("est_chars"))
+      val exact = doc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+      exact.join(est, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          coalesce(col("est_docs"), lit(0L)).as("est_docs"),
+          coalesce(col("est_chars"), lit(0L)).as("est_chars"),
+          expr("abs(coalesce(est_chars, 0L) - sum_chars) * 10000L" +
+            " div sum_chars").as("err_bp"))
+    }),
     // APPROXIMATE query processing: per-source count/sum estimated
     // from a deterministic 10% hash sample (md5 bucket 0 of 10) and
     // scaled by the inverse sampling rate (Horvitz–Thompson), with
@@ -2089,6 +2145,48 @@ object TextPipelineQueries {
        |      CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS BIGINT) AS rk
        |      FROM p)
        |SELECT q_id, n_id, cos, rk FROM r WHERE rk <= 5""".stripMargin
+
+  /** q305's oracle — the Horvitz–Thompson estimate over the md5
+    * sample with exact verification. Shared verbatim by q308. */
+  private lazy val aqpSql =
+      """WITH s AS (SELECT * FROM documents
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+        |          ::BIGINT % 10 = 0),
+        |est AS (SELECT source, count(*)::BIGINT * 10 AS est_docs,
+        |          CAST(sum(n_chars) * 10 AS BIGINT) AS est_chars
+        |        FROM s GROUP BY source),
+        |ex AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |       FROM documents GROUP BY source)
+        |SELECT ex.source, n_docs, sum_chars,
+        |  COALESCE(est_docs, 0) AS est_docs,
+        |  COALESCE(est_chars, 0) AS est_chars,
+        |  abs(COALESCE(est_chars, 0) - sum_chars) * 10000 // sum_chars
+        |    AS err_bp
+        |FROM ex LEFT JOIN est USING (source)""".stripMargin
+
+  /** q304's oracle — per-node triangle counts from the naive
+    * triple join exploded to vertices. Shared verbatim by q307
+    * (the incremental per-node fold). */
+  private lazy val localClusteringSql =
+      s"""WITH $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
+         |nodes AS (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed),
+         |deg AS (SELECT n, count(*)::BIGINT AS deg FROM nodes GROUP BY n),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1
+         |        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+         |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |pn AS (SELECT n, count(*)::BIGINT AS n_tri FROM (
+         |         SELECT x AS n FROM tri
+         |         UNION ALL SELECT y FROM tri
+         |         UNION ALL SELECT z FROM tri) GROUP BY n)
+         |SELECT deg.n, deg.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+         |  CASE WHEN deg.deg < 2 THEN 0
+         |       ELSE COALESCE(pn.n_tri, 0) * 2 * 10000
+         |            // (deg.deg * (deg.deg - 1)) END AS local_bp
+         |FROM deg LEFT JOIN pn USING (n)""".stripMargin
 
   /** q274's oracle — naive ordered-triple triangle join over the
     * candidate graph. Shared verbatim by q285 (the incremental fold
@@ -3431,42 +3529,15 @@ object TextPipelineQueries {
     // must agree (orientation independence is part of the proof)
     "q274_triangle_count" -> triangleSql,
     // triangle list from the naive triple join exploded to vertices
-    "q304_local_clustering" ->
-      s"""WITH $shCte,
-         |$mhCte,
-         |$pairsCte,
-         |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
-         |nodes AS (SELECT a AS n FROM ed UNION ALL SELECT b FROM ed),
-         |deg AS (SELECT n, count(*)::BIGINT AS deg FROM nodes GROUP BY n),
-         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1
-         |        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
-         |        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
-         |pn AS (SELECT n, count(*)::BIGINT AS n_tri FROM (
-         |         SELECT x AS n FROM tri
-         |         UNION ALL SELECT y FROM tri
-         |         UNION ALL SELECT z FROM tri) GROUP BY n)
-         |SELECT deg.n, deg.deg, COALESCE(pn.n_tri, 0) AS n_tri,
-         |  CASE WHEN deg.deg < 2 THEN 0
-         |       ELSE COALESCE(pn.n_tri, 0) * 2 * 10000
-         |            // (deg.deg * (deg.deg - 1)) END AS local_bp
-         |FROM deg LEFT JOIN pn USING (n)""".stripMargin,
+    "q304_local_clustering" -> localClusteringSql,
+    // the standing-counts + new-triangle fold must land on the same
+    // per-node table — q304's oracle verbatim
+    "q307_local_clustering_incr" -> localClusteringSql,
     // the same Horvitz–Thompson estimator over the same md5 sample
-    "q305_aqp_groupby" ->
-      """WITH s AS (SELECT * FROM documents
-        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-        |          ::BIGINT % 10 = 0),
-        |est AS (SELECT source, count(*)::BIGINT * 10 AS est_docs,
-        |          CAST(sum(n_chars) * 10 AS BIGINT) AS est_chars
-        |        FROM s GROUP BY source),
-        |ex AS (SELECT source, count(*)::BIGINT AS n_docs,
-        |         CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |       FROM documents GROUP BY source)
-        |SELECT ex.source, n_docs, sum_chars,
-        |  COALESCE(est_docs, 0) AS est_docs,
-        |  COALESCE(est_chars, 0) AS est_chars,
-        |  abs(COALESCE(est_chars, 0) - sum_chars) * 10000 // sum_chars
-        |    AS err_bp
-        |FROM ex LEFT JOIN est USING (source)""".stripMargin,
+    "q305_aqp_groupby" -> aqpSql,
+    // the folded sample is the identical deterministic subset — q305's
+    // oracle verbatim
+    "q308_aqp_incremental" -> aqpSql,
     // the inclusion–exclusion fold must land on the same full-graph
     // stats — q274's oracle verbatim
     "q285_triangle_incremental" -> triangleSql,

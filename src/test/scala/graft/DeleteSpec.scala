@@ -109,6 +109,28 @@ class DeleteSpec extends AnyFunSuite {
       folded.as[(Long, Long, String, String)].collect().toSet)
   }
 
+  test("StreamingRetrieval upsert: a replayed batch is a no-op and a " +
+    "CHANGED document's postings replace the stale rows") {
+    import graft.streaming.StreamingRetrieval.processPostingsBatch
+    val table = "graft_test_postings_upsert"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    def tbl() = spark.table(table)
+      .as[(Long, String, Double)].collect().toSet
+    processPostingsBatch(Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text"),
+      "doc_id", "text", table)
+    val first = tbl()
+    assert(first == Set((1L, "a", 2.0), (1L, "b", 1.0), (2L, "c", 1.0)))
+    // replay: identical batch collapses
+    processPostingsBatch(Seq((1L, "a b a"), (2L, "c")).toDF("doc_id", "text"),
+      "doc_id", "text", table)
+    assert(tbl() == first)
+    // update: doc 1's text changed — stale rows must vanish
+    processPostingsBatch(Seq((1L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", table)
+    assert(tbl() == Set((1L, "x", 1.0), (2L, "c", 1.0)))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("cmsSubtractCells inverts the merge exactly and restores the " +
     "sparse representation (no zero cells)") {
     def sk(rows: Seq[(String, Long)]) =

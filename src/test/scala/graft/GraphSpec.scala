@@ -93,6 +93,23 @@ class GraphSpec extends AnyFunSuite {
     assert(got(1L) == ((2L, 1L, 10000L)))
   }
 
+  test("newTriangles materializes exactly the triangles touching a " +
+    "batch edge, once each, across 1/2/3-new-edge classes") {
+    val bowtie = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (3L, 4L), (4L, 5L), (3L, 5L))
+    def tri(newIdx: Set[Int]) = {
+      val (n, o) = bowtie.zipWithIndex.partition(e => newIdx(e._2))
+      Graph.newTriangles(o.map(_._1).toDF("id_a", "id_b"),
+          n.map(_._1).toDF("id_a", "id_b"))
+        .as[(Long, Long, Long)].collect().toSet
+    }
+    assert(tri(Set(0)) == Set((1L, 2L, 3L)))          // one new edge
+    assert(tri(Set(0, 1)) == Set((1L, 2L, 3L)))       // two new edges
+    assert(tri(Set(0, 1, 2)) == Set((1L, 2L, 3L)))    // all three new
+    assert(tri(Set(1, 3)) == Set((1L, 2L, 3L), (3L, 4L, 5L)))
+    assert(tri(Set.empty[Int]).isEmpty)
+  }
+
   /** The inclusion–exclusion fold must land on the full-graph count
     * for splits exercising every term: all-new triangles (S_nn/3),
     * two-new (S_mix/2), one-new (S_oo), mixtures across shared nodes,
