@@ -712,7 +712,38 @@ object RelationalQueries {
       contractRules(ord))
   }
 
+  /** q309: the ranking-window surface q07 leaves out — ntile,
+    * percent_rank, cume_dist, dense_rank, first/last value over a
+    * running frame — one partition-sort pass, fractional outputs
+    * rounded identically in both engines. */
+  private def q309WindowRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drk"),
+        round(percent_rank().over(w), 6).as("prk"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("o_orderkey")).over(w).as("cheapest_key"))
+  }
+
+  /** q310: explicit GROUPING SETS with grouping_id — the exact
+    * aggregation-lattice control q13's ROLLUP and q31's CUBE imply;
+    * one expand + one shuffle. */
+  private def q310GroupingSets(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        grouping_id().as("gid"))
+
   val queries: Map[String, Q] = Map(
+    "q310_grouping_sets" -> q310GroupingSets,
+    "q309_window_ranks" -> q309WindowRanks,
     "q299_contract_stream" -> q299ContractStream,
     "q298_dpp_join" -> q298Dpp,
     "q296_rollup_avg" -> q296RollupAvg,
@@ -948,6 +979,26 @@ object RelationalQueries {
     // the streamed ledgered fold with a replayed slice must land on
     // the one-shot report — q291's oracle verbatim
     "q299_contract_stream" -> expectationsSql,
+    "q309_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+        |  round(percent_rank() OVER w, 6) AS prk,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_orderkey) OVER w AS cheapest_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+    // DuckDB GROUPING SETS; grouping_id = GROUPING(a, b) bitmask,
+    // same bit order as Spark's grouping_id()
+    "q310_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))""".stripMargin,
     // the statically-filtered equivalent of the runtime-pruned join
     "q298_dpp_join" ->
       """SELECT event_type, count(*)::BIGINT AS n,
