@@ -365,6 +365,42 @@ object SketchQueries {
         .select(col("source"), col("exact_distinct"), col("hll_est"))
     }),
 
+    // The NATIVE Catalyst AGGREGATE path (functions.HllRegistersAgg,
+    // a TypedImperativeAggregate): per-group state is a mutable
+    // 2^p-byte register buffer updated row-by-row on the map side,
+    // shipped through serialize/deserialize, and merged register-wise
+    // on the reduce side — the real partial-aggregation machinery,
+    // not a groupBy-max reformulation. Ranks/registers compute the
+    // same arithmetic as Sketches.hllRegisters, so the estimates must
+    // land on q264's oracle VERBATIM — which is exactly the proof the
+    // update/merge/serialize path is correct.
+    "q311_hll_native_agg" -> ((s, d) => {
+      val sh = docs(s, d)
+        .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
+      val hashed = sh.select(col("source"),
+        Sketches.hash48(col("g")).as("h"))
+      def regsOf(key: org.apache.spark.sql.Column) = hashed
+        .groupBy(key.as("source"))
+        .agg(graft.functions.HllAgg.hllRegistersAgg(col("h"),
+          HllP, HllCap).as("__regs"))
+        .select(col("source"),
+          posexplode(col("__regs")).as(Seq("reg", "r")))
+        .filter(col("r") > 0)
+        .select(col("source"), col("reg").cast("long").as("reg"),
+          col("r"))
+      val est = Sketches.hllEstimate(
+        regsOf(col("source")).unionByName(regsOf(lit("__all__"))),
+        "source", HllP, HllCap)
+      val dist = sh.distinct()
+      val exact = dist.groupBy(col("source"))
+        .agg(count(lit(1)).as("exact_distinct"))
+        .unionByName(dist.select(col("g")).distinct()
+          .agg(count(lit(1)).as("exact_distinct"))
+          .select(lit("__all__").as("source"), col("exact_distinct")))
+      est.join(exact, Seq("source"))
+        .select(col("source"), col("exact_distinct"), col("hll_est"))
+    }),
+
     // The STREAMING HLL fold (StreamingSketch.processHllBatch — the
     // foreachBatch sink's exact per-batch path) driven over 5 batches
     // PLUS a deliberate replay of batch 2: register-wise max is
@@ -738,6 +774,9 @@ object SketchQueries {
     // side merges per-source register tables twice) — the gate's
     // proof of register-max associativity + idempotence
     "q264_hll_distinct" -> hllSql,
+    // the native TypedImperativeAggregate's update/merge/serialize
+    // path must land on the same estimates — q264's oracle verbatim
+    "q311_hll_native_agg" -> hllSql,
     // the streaming fold's final table must equal from-scratch q264
     // even under the deliberate batch-2 redelivery — register max is
     // idempotent, so no ledger exists to consult

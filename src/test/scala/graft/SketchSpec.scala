@@ -213,6 +213,28 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HllRegistersAgg (native TypedImperativeAggregate) == the " +
+    "groupBy-max register table under forced partial aggregation") {
+    import graft.functions.HllAgg.hllRegistersAgg
+    val p = 6; val cap = 30
+    val hashed = (0 until 3000)
+      .map(i => (s"k${i % 3}", s"item-${i % 700}"))
+      .toDF("key", "g")
+      .select(col("key"), graft.operators.Sketches.hash48(col("g")).as("h"))
+      .repartition(7) // partials on every path: update → serialize → merge
+    val native = hashed.groupBy(col("key"))
+      .agg(hllRegistersAgg(col("h"), p, cap).as("regs"))
+      .select(col("key"), posexplode(col("regs")).as(Seq("reg", "r")))
+      .filter(col("r") > 0)
+      .select(col("key"), col("reg").cast("long").as("reg"), col("r"))
+      .as[(String, Long, Long)].collect().toSet
+    val reference = graft.operators.Sketches
+      .hllRegisters(hashed, "key", "h", p, cap)
+      .as[(String, Long, Long)].collect().toSet
+    assert(native == reference)
+    assert(native.nonEmpty)
+  }
+
   test("exactQuantiles == sort-based type-1 on adversarial data: " +
     "bucket boundaries, heavy ties, pct=1 and pct=100") {
     import graft.operators.Quantiles
