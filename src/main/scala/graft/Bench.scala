@@ -136,7 +136,8 @@ object Bench {
       "q254_scd2_stream", "q269_hll_stream", "q272_rollup_rewrite",
       "q273_rollup_incremental", "q279_rollup_delete",
       "q288_cdc_stream", "q296_rollup_avg", "q298_dpp_join",
-      "q299_contract_stream", "q306_bm25_stream")
+      "q299_contract_stream", "q306_bm25_stream",
+      "q312_sealed_delete")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

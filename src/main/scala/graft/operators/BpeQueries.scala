@@ -821,6 +821,53 @@ object BpeQueries {
       Packing.shardManifest(s.read.parquet(path), sealedRowContent,
         seqCol = "seq_in_shard")
     }),
+    // SEALED-STORE DELETE (GDPR at the file level): erase a doc-id
+    // list from the landed corpus by rewriting ONLY the shards that
+    // held a deleted doc — repairSealedShards with an EMPTY
+    // replacement payload (the "wholly-cut docs vanish" branch IS
+    // the delete; the machinery needed zero new code). Membership of
+    // untouched shards is frozen in their files, seq_in_shard
+    // re-derives per touched shard from its surviving rows, emptied
+    // shard dirs are removed. Output: post-delete read-back manifest
+    // with changed == touched row for row — erasure cost ∝ shards
+    // containing deleted docs, proven in the gated output (the
+    // stable-position contract: surviving shard assignments do NOT
+    // recompact, so untouched files stay byte-identical — the
+    // recompacting variant is a from-scratch packSealed, q168).
+    "q312_sealed_delete" -> ((s, d) => {
+      val ids = idsTable(s, d)
+      val packed = Packing.packSealed(
+          ids.select(col("doc_id"), col("n_tokens")),
+          "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+        .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealdel_" +
+        math.abs(d.hashCode.toLong)
+      Packing.writeByShardColumn(packed, "doc_id", path)
+      val before = Packing.shardManifest(s.read.parquet(path),
+          sealedRowContent, seqCol = "seq_in_shard")
+        .localCheckpoint(true)
+      // sparse list (~1%) so the ∝-touched-shards claim is visible:
+      // most shards stay untouched/unchanged in the gated output
+      val deleted = ids.filter(col("doc_id") % 101 === 3)
+        .select(col("doc_id"))
+      Packing.repairSealedShards(s, path, deleted,
+        ids.select(col("doc_id"), col("n_tokens"), col("ids")).limit(0),
+        "doc_id", budget = PackBudget)
+      val after = Packing.shardManifest(s.read.parquet(path),
+        sealedRowContent, seqCol = "seq_in_shard")
+      val touched = packed
+        .join(broadcast(deleted), Seq("doc_id"), "left_semi")
+        .select(col("shard_id").cast("long").as("shard_id")).distinct()
+        .withColumn("__t", lit(true))
+      after
+        .join(before.select(col("shard_id"), col("digest").as("__od")),
+          Seq("shard_id"), "left")
+        .join(touched, Seq("shard_id"), "left")
+        .select(col("shard_id"), col("n_docs"), col("n_seqs"),
+          col("n_tokens"), col("digest"),
+          coalesce(col("digest") =!= col("__od"), lit(true)).as("changed"),
+          coalesce(col("__t"), lit(false)).as("touched"))
+    }),
     // TARGETED quarantine repair over the sealed layout — the fix for
     // q167's honest O(corpus) finding: shard membership is frozen in
     // the files, so cutting reference spans from flagged docs and
@@ -1707,6 +1754,41 @@ object BpeQueries {
     // prefix sum div capacity, then the within-shard sequence layout
     // from each shard's own first-doc offset
     "q168_sealed_manifest" -> sealedManifestSql,
+    // survivors of the FULL sealed layout with per-shard seq
+    // re-derived over the remaining rows; changed/touched recomputed
+    // against the full-layout digests — stable-position delete
+    "q312_sealed_delete" ->
+      s"""WITH ${trainingCtes(NumMerges)},
+         |${vocabCtes(NumMerges)},
+         |$shardLayoutCtes,
+         |$sealedLayoutCtes,
+         |surv AS (SELECT doc_id, n_tokens, ids, shard_id FROM sl
+         |         WHERE doc_id % 101 <> 3),
+         |re AS (SELECT doc_id, n_tokens, ids, shard_id,
+         |        COALESCE(sum(n_tokens) OVER (PARTITION BY shard_id
+         |          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS ls
+         |       FROM surv),
+         |am AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT ls // $PackBudget) AS BIGINT)
+         |           AS n_seqs,
+         |         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |         bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens
+         |           || '|' || shard_id || '|' || (ls // $PackBudget)
+         |           || '|' || ids), 1, 15))::UBIGINT::BIGINT) AS digest
+         |       FROM re GROUP BY 1),
+         |bm AS (SELECT shard_id,
+         |         bit_xor(('0x' || substr(md5(doc_id || '|' || n_tokens
+         |           || '|' || shard_id || '|' || seq_in_shard || '|' ||
+         |           ids), 1, 15))::UBIGINT::BIGINT) AS od
+         |       FROM sl GROUP BY 1),
+         |tm AS (SELECT DISTINCT shard_id, TRUE AS t FROM sl
+         |       WHERE doc_id % 101 = 3)
+         |SELECT am.shard_id, n_docs, n_seqs, n_tokens, digest,
+         |  COALESCE(digest <> bm.od, TRUE) AS changed,
+         |  COALESCE(tm.t, FALSE) AS touched
+         |FROM am LEFT JOIN bm USING (shard_id)
+         |LEFT JOIN tm USING (shard_id)""".stripMargin,
     // the sealed append must land at the from-scratch sealed layout —
     // the q144 invariant pattern applied to the sealed family
     "q177_sealed_append" -> sealedManifestSql,
