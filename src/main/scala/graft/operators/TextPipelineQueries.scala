@@ -1295,6 +1295,18 @@ object TextPipelineQueries {
     "q304_local_clustering" -> ((s, d) =>
       Graph.localClustering(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // Native GENERATOR (UDTF) through the gate: per-doc positioned
+    // 3-grams streamed row-by-row via the Generate operator
+    // (functions.PositionedShingles) instead of materializing the
+    // shingle array and exploding it — same ShingleKernel
+    // tokenization, so the rows must be byte-identical to the
+    // composed form; the oracle rebuilds them from string_split.
+    "q313_shingle_generator" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        graft.functions.PositionedShingles
+          .positionedShingles(col("text"), 3).as(Seq("pos", "ngram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("ngram"))),
     // INCREMENTAL per-node clustering: the standing per-node triangle
     // counts fold with the batch's NEW triangles — materialized as
     // distinct vertex triples (Graph.newTriangles, ∝ batch × degree)
@@ -3535,6 +3547,15 @@ object TextPipelineQueries {
     "q307_local_clustering_incr" -> localClusteringSql,
     // the same Horvitz–Thompson estimator over the same md5 sample
     "q305_aqp_groupby" -> aqpSql,
+    // positioned n-grams from first principles — the streamed
+    // Generator rows must match the composed split byte for byte
+    "q313_shingle_generator" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |              FROM documents),
+        |sh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS ngram
+        |       FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i))
+        |SELECT doc_id, pos, ngram FROM sh""".stripMargin,
     // the folded sample is the identical deterministic subset — q305's
     // oracle verbatim
     "q308_aqp_incremental" -> aqpSql,
