@@ -33,6 +33,15 @@ case class HllRegistersAgg(
 
   require(p >= 4 && p <= 14, s"p out of range: $p")
   require(cap >= 1 && cap <= 127, s"cap out of range: $cap")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure("hll_registers_agg requires a BIGINT hash " +
+        s"column, got ${child.dataType.catalogString} (CAST conv(...) " +
+        "results — conv returns STRING)")
   private val m = 1 << p
   private val wBits = 48 - p
 

@@ -938,6 +938,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r.getAs[String]("l") == "en")
   }
 
+  test("registered SQL functions: shingles, positioned_shingles " +
+    "(LATERAL VIEW generator), hll_registers_agg (aggregate)") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq((1L, "a b c d")).toDF("id", "text")
+      .createOrReplaceTempView("g_sql_fn_docs")
+    val sh = spark.sql(
+      "SELECT shingles(text, 3) AS s FROM g_sql_fn_docs")
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val gen = spark.sql(
+      """SELECT id, pos, ngram FROM g_sql_fn_docs
+        |LATERAL VIEW positioned_shingles(text, 2) t AS pos, ngram
+        |""".stripMargin).as[(Long, Int, String)].collect().toSeq
+    assert(gen == Seq((1L, 0, "a b"), (1L, 1, "b c"), (1L, 2, "c d")))
+    // aggregate path through SQL: registers of two distinct hashes
+    val regs = spark.sql(
+      """SELECT hll_registers_agg(h, 6, 30) AS r FROM (
+        |  SELECT CAST(conv(substr(md5(x), 1, 12), 16, 10) AS BIGINT) AS h
+        |  FROM VALUES ('u'), ('v'), ('u') AS t(x))
+        |""".stripMargin).as[Seq[Long]].head()
+    assert(regs.length == 64 && regs.count(_ > 0L) == 2)
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq("Hello  World", "hello world").toDF("text")
       .select(TextFunctions.fingerprint($"text").as("fp"))
