@@ -365,6 +365,44 @@ object SketchQueries {
         .select(col("source"), col("exact_distinct"), col("hll_est"))
     }),
 
+    // The PURE-SQL surface end to end: the same HLL report written as
+    // ONE spark.sql(...) string using the registered function surface
+    // — shingles(text, 3) exploded in a LATERAL VIEW, the native
+    // hll_registers_agg UDAF grouped per source (plus a grouping-sets
+    // '__all__' twin), and the BIGINT estimator as higher-order-
+    // function arithmetic over the register array. A user who only
+    // speaks SQL gets the identical engine — q264's oracle VERBATIM.
+    "q314_sql_surface" -> ((s, d) => {
+      graft.functions.GraftFunctions.registerAll(s)
+      docs(s, d).createOrReplaceTempView("g_sql_docs")
+      val m = 1L << HllP
+      val num = 709L * m * m * (1L << HllCap)
+      s.sql(
+        s"""WITH sh AS (SELECT source, g FROM g_sql_docs
+           |  LATERAL VIEW explode(shingles(text, 3)) t AS g),
+           |hashed AS (SELECT source,
+           |  CAST(conv(substr(md5(g), 1, 12), 16, 10) AS BIGINT) AS h
+           |  FROM sh),
+           |regs AS (
+           |  SELECT source, hll_registers_agg(h, $HllP, $HllCap) AS r
+           |  FROM hashed GROUP BY source
+           |  UNION ALL
+           |  SELECT '__all__', hll_registers_agg(h, $HllP, $HllCap)
+           |  FROM hashed),
+           |est AS (SELECT source,
+           |  $num DIV (1000 * aggregate(r, 0L,
+           |    (acc, x) -> acc + shiftleft(1L, $HllCap - CAST(x AS INT))))
+           |    AS hll_est
+           |  FROM regs),
+           |ex AS (
+           |  SELECT source, count(DISTINCT g) AS exact_distinct FROM sh
+           |  GROUP BY source
+           |  UNION ALL
+           |  SELECT '__all__', count(DISTINCT g) FROM sh)
+           |SELECT est.source, ex.exact_distinct, est.hll_est
+           |FROM est JOIN ex ON est.source = ex.source""".stripMargin)
+    }),
+
     // The NATIVE Catalyst AGGREGATE path (functions.HllRegistersAgg,
     // a TypedImperativeAggregate): per-group state is a mutable
     // 2^p-byte register buffer updated row-by-row on the map side,
@@ -777,6 +815,8 @@ object SketchQueries {
     // the native TypedImperativeAggregate's update/merge/serialize
     // path must land on the same estimates — q264's oracle verbatim
     "q311_hll_native_agg" -> hllSql,
+    // and the pure-spark.sql rendering of the same report — verbatim
+    "q314_sql_surface" -> hllSql,
     // the streaming fold's final table must equal from-scratch q264
     // even under the deliberate batch-2 redelivery — register max is
     // idempotent, so no ledger exists to consult
