@@ -741,7 +741,30 @@ object RelationalQueries {
         round(sum(col("o_totalprice")), 2).as("total"),
         grouping_id().as("gid"))
 
+  /** q315: SLICED aggregate navigation — the user query filters on a
+    * rollup DIMENSION before aggregating; the rule commutes the slice
+    * onto the rollup's cells (complete partials per cell, so
+    * dimension filters re-aggregate exactly) and still serves count +
+    * sum from the materialization. A filter touching a fact MEASURE
+    * is row-grain and must bounce to the fact scan — PlanSpec pins
+    * both directions. */
+  private def q315RollupFiltered(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_f_" +
+      math.abs(d.hashCode.toLong)
+    t(s, d, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.plans.RollupRewrite.install(s, s.read.parquet(path))
+    s.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$d/documents.parquet")
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q315_rollup_filtered" -> q315RollupFiltered,
     "q310_grouping_sets" -> q310GroupingSets,
     "q309_window_ranks" -> q309WindowRanks,
     "q299_contract_stream" -> q299ContractStream,
@@ -999,6 +1022,12 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), (o_orderpriority))""".stripMargin,
+    // the sliced aggregate recomputed from the fact rows directly
+    "q315_rollup_filtered" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY source""".stripMargin,
     // the statically-filtered equivalent of the runtime-pruned join
     "q298_dpp_join" ->
       """SELECT event_type, count(*)::BIGINT AS n,

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -56,6 +56,18 @@ class RollupRewrite(rollup: LogicalPlan) extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Walk down to a tagged scan through pruning Projects (attribute-
+    * only — an aliasing Project could rename columns out from under
+    * the by-name remap) and Filters, collecting every predicate on
+    * the way. None when the subtree isn't a tagged scan chain. */
+  private def peel(p: LogicalPlan): Option[Seq[Expression]] = p match {
+    case lr: LogicalRelation if tagged(lr) => Some(Nil)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      peel(c)
+    case Filter(cond, c) => peel(c).map(cond +: _)
+    case _ => None
+  }
+
   /** Map one output expression of the original aggregate onto the
     * rollup, or None when it is not derivable. */
   private def derive(e: NamedExpression,
@@ -95,20 +107,48 @@ class RollupRewrite(rollup: LogicalPlan) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Dimension columns of the rollup: its output minus every
+    * pre-aggregated measure. A slice predicate may reference ONLY
+    * these — a filter on a fact MEASURE (e.g. `n_chars < 100`) is
+    * row-grain and cannot be answered from aggregated cells. */
+  private val measureNames: Set[String] =
+    (sumOf.values ++ minOf.values ++ maxOf.values).toSet + "n_docs"
+
+  /** Remap a fact-side predicate onto the rollup's attributes when
+    * every referenced column is a rollup dimension. */
+  private def remapCond(cond: Expression): Option[Expression] = {
+    val ok = cond.references.forall(a =>
+      !measureNames.contains(a.name) &&
+        rollupAttr(a.name).exists(_.dataType == a.dataType))
+    if (!ok) None
+    else Some(cond.transform {
+      case a: AttributeReference => rollupAttr(a.name).get
+    })
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(groupings, aggExprs, child, _) if tagged(child) =>
+    // peel optional dimension-only slice predicates: the rollup holds
+    // complete partials PER CELL, so filtering cells on dimension
+    // values commutes with the re-aggregation
+    case agg @ Aggregate(groupings, aggExprs, aggChild, _)
+        if peel(aggChild).isDefined =>
+      val conds = peel(aggChild).get
       val groupAttrs = groupings.collect { case a: AttributeReference => a }
       val groupNames = groupAttrs.map(_.name).toSet
       val newGroup = groupAttrs.map(a => rollupAttr(a.name))
       val newAggs = aggExprs.map(derive(_, groupNames))
+      val newConds = conds.map(remapCond)
       val derivable = groupAttrs.length == groupings.length &&
         newGroup.forall(_.isDefined) &&
         groupNames.forall(n => rollupAttr(n).isDefined) &&
-        newAggs.forall(_.isDefined)
+        newAggs.forall(_.isDefined) &&
+        newConds.forall(_.isDefined)
       if (!derivable) agg
       else {
+        val source = newConds.flatten
+          .foldLeft(rollup)((p, c) => Filter(c, p))
         val rewritten = Aggregate(newGroup.map(_.get),
-          newAggs.map(_.get), rollup)
+          newAggs.map(_.get), source)
         // restore the original output attribute ids so parents resolve
         Project(agg.output.zip(rewritten.output).map { case (o, n) =>
           Alias(n, o.name)(exprId = o.exprId)

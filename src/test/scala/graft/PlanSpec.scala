@@ -216,6 +216,25 @@ class PlanSpec extends AnyFunSuite {
       s"no dynamic pruning in plan\n${p.take(3000)}")
   }
 
+  test("q315: a dimension-sliced aggregate is served from the rollup; " +
+      "a MEASURE-filtered one bounces to the fact scan") {
+    val p = plan("q315_rollup_filtered")
+    assert(p.contains("graft_rollup_f_"),
+      s"rollup scan missing\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      s"fact table still scanned\n${p.take(3000)}")
+    // row-grain filter on a fact measure: cells can't answer it
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val df = spark.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 100)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    df.collect()
+    val up = df.queryExecution.executedPlan.toString
+    assert(up.contains("documents.parquet"), up.take(2000))
+    assert(!up.contains("graft_rollup_"), up.take(2000))
+  }
+
   test("q296: count/avg/min/max all navigate to the v3 rollup (no " +
       "fact scan); a rollup lacking min/max bounces min() queries " +
       "back to the fact table") {
