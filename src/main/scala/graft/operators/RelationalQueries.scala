@@ -763,7 +763,28 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** q316: DISTINCT-dimension navigation — count(DISTINCT lang) per
+    * source re-derives from the cell grid (the rollup holds every
+    * observed (source, lang) combination), alongside the additive
+    * count/sum folds, all from q315's materialization. A distinct
+    * MEASURE stays row-grain and non-derivable. */
+  private def q316RollupDistinct(s: SparkSession, d: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_rollup_f_" +
+      math.abs(d.hashCode.toLong)
+    t(s, d, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    graft.plans.RollupRewrite.install(s, s.read.parquet(path))
+    s.read.option("graft.rollupRewrite", "true")
+      .parquet(s"$d/documents.parquet")
+      .groupBy(col("source"))
+      .agg(countDistinct(col("lang")).as("n_langs"),
+        count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q316_rollup_distinct" -> q316RollupDistinct,
     "q315_rollup_filtered" -> q315RollupFiltered,
     "q310_grouping_sets" -> q310GroupingSets,
     "q309_window_ranks" -> q309WindowRanks,
@@ -1022,6 +1043,12 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         |  (o_orderstatus), (o_orderpriority))""".stripMargin,
+    // the distinct-dimension report recomputed from the fact rows
+    "q316_rollup_distinct" ->
+      """SELECT source, count(DISTINCT lang)::BIGINT AS n_langs,
+        |       count(*)::BIGINT AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source""".stripMargin,
     // the sliced aggregate recomputed from the fact rows directly
     "q315_rollup_filtered" ->
       """SELECT source, count(*)::BIGINT AS n_docs,

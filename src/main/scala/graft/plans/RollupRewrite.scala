@@ -95,6 +95,15 @@ class RollupRewrite(rollup: LogicalPlan) extends Rule[LogicalPlan] {
           yield Alias(Divide(
             Cast(Sum(m).toAggregateExpression(), DoubleType),
             Cast(Sum(nd).toAggregateExpression(), DoubleType)), name)()
+      // count(DISTINCT dim): the cell grid holds every observed
+      // (dims…) combination, so a distinct-count of a DIMENSION
+      // re-derives from the cells; a distinct measure is row-grain
+      // and stays non-derivable
+      case al @ Alias(AggregateExpression(Count(Seq(a: AttributeReference)),
+          _, true, None, _), name) if !measureNames.contains(a.name) =>
+        rollupAttr(a.name).map(d =>
+          Alias(Count(Seq(d)).toAggregateExpression(isDistinct = true),
+            name)())
       // min/max re-aggregate their own partials (idempotent folds)
       case al @ Alias(AggregateExpression(Min(a: AttributeReference), _,
           false, None, _), name) =>

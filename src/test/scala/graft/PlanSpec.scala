@@ -235,6 +235,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!up.contains("graft_rollup_"), up.take(2000))
   }
 
+  test("q316: count(DISTINCT dimension) navigates to the cell grid") {
+    val p = plan("q316_rollup_distinct")
+    assert(p.contains("graft_rollup_f_"),
+      s"rollup scan missing\n${p.take(3000)}")
+    assert(!p.contains("documents.parquet"),
+      s"fact table still scanned\n${p.take(3000)}")
+  }
+
   test("q296: count/avg/min/max all navigate to the v3 rollup (no " +
       "fact scan); a rollup lacking min/max bounces min() queries " +
       "back to the fact table") {
