@@ -137,7 +137,8 @@ object Bench {
       "q273_rollup_incremental", "q279_rollup_delete",
       "q288_cdc_stream", "q296_rollup_avg", "q298_dpp_join",
       "q299_contract_stream", "q306_bm25_stream",
-      "q312_sealed_delete")
+      "q312_sealed_delete", "q315_rollup_filtered",
+      "q316_rollup_distinct")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
