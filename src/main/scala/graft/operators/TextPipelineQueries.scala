@@ -1295,6 +1295,25 @@ object TextPipelineQueries {
     "q304_local_clustering" -> ((s, d) =>
       Graph.localClustering(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // Source COPY-FLOW matrix: for every source pair, how many
+    // near-dup components contain docs from BOTH — the dataset-
+    // forensics artifact ("which feeds mirror each other") behind
+    // cross-source dedup budgeting; q98's token-overlap at component
+    // grain. Rides the standing labels; one label join + one
+    // distinct per (component, source).
+    "q317_copy_flow" -> ((s, d) => {
+      val cs = docs(s, d)
+        .join(dupGroups(s, d).select(col("id").as("doc_id"),
+          col("keep_id").as("component")), Seq("doc_id"))
+        .select(col("component"), col("source")).distinct()
+        .localCheckpoint(true)
+      cs.select(col("component"), col("source").as("source_a"))
+        .join(cs.select(col("component"), col("source").as("source_b")),
+          Seq("component"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared_components"))
+    }),
     // Native GENERATOR (UDTF) through the gate: per-doc positioned
     // 3-grams streamed row-by-row via the Generate operator
     // (functions.PositionedShingles) instead of materializing the
@@ -3547,6 +3566,26 @@ object TextPipelineQueries {
     "q307_local_clustering_incr" -> localClusteringSql,
     // the same Horvitz–Thompson estimator over the same md5 sample
     "q305_aqp_groupby" -> aqpSql,
+    // component × source pairs over the recursive-CC labels
+    "q317_copy_flow" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS component
+         |      FROM reach GROUP BY a),
+         |cs AS (SELECT DISTINCT g.component, d.source
+         |       FROM g JOIN documents d ON d.doc_id = g.did)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |       count(*)::BIGINT AS n_shared_components
+         |FROM cs a JOIN cs b ON a.component = b.component
+         |  AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     // positioned n-grams from first principles — the streamed
     // Generator rows must match the composed split byte for byte
     "q313_shingle_generator" ->
