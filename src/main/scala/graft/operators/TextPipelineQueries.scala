@@ -1295,6 +1295,25 @@ object TextPipelineQueries {
     "q304_local_clustering" -> ((s, d) =>
       Graph.localClustering(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // Dedup ROI: per source, the tokens keep-one actually saves (the
+    // number that justifies the dedup pass's cost at 100 TB) — total
+    // tokens, tokens on dropped docs, and the saving in bp. One label
+    // join over the standing groups; drops = members that are not
+    // their component's keeper.
+    "q318_dedup_roi" -> ((s, d) => {
+      val toks = docs(s, d).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val drops = dupGroups(s, d).filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"), lit(true).as("__drop"))
+      toks.join(drops, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("__drop"), col("n_tok")).otherwise(0L))
+            .as("tokens_saved"))
+        .withColumn("saved_bp",
+          expr("tokens_saved * 10000L div n_tokens"))
+    }),
     // Source COPY-FLOW matrix: for every source pair, how many
     // near-dup components contain docs from BOTH — the dataset-
     // forensics artifact ("which feeds mirror each other") behind
@@ -3566,6 +3585,31 @@ object TextPipelineQueries {
     "q307_local_clustering_incr" -> localClusteringSql,
     // the same Horvitz–Thompson estimator over the same md5 sample
     "q305_aqp_groupby" -> aqpSql,
+    // drops = non-keeper members of the recursive-CC components
+    "q318_dedup_roi" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS component
+         |      FROM reach GROUP BY a),
+         |tok AS (SELECT doc_id, source,
+         |          len(string_split(text, ' '))::BIGINT AS n_tok
+         |        FROM documents),
+         |dr AS (SELECT did FROM g WHERE did <> component)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN dr.did IS NOT NULL THEN n_tok ELSE 0 END)
+         |    AS BIGINT) AS tokens_saved,
+         |  CAST(sum(CASE WHEN dr.did IS NOT NULL THEN n_tok ELSE 0 END)
+         |    * 10000 // sum(n_tok) AS BIGINT) AS saved_bp
+         |FROM tok LEFT JOIN dr ON dr.did = tok.doc_id
+         |GROUP BY source""".stripMargin,
     // component × source pairs over the recursive-CC labels
     "q317_copy_flow" ->
       s"""WITH RECURSIVE $shCte,
