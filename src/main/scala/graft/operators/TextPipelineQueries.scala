@@ -1295,6 +1295,42 @@ object TextPipelineQueries {
     "q304_local_clustering" -> ((s, d) =>
       Graph.localClustering(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // CURATION WATERFALL: the headline funnel every data team ships —
+    // docs/tokens remaining after each successive curation stage
+    // (raw → exact dedup → near-dup keep-one → length gate →
+    // decontamination), each stage the already-verified operator's
+    // predicate nested on the previous survivors. One row per stage,
+    // monotone by construction; the oracle rebuilds the same nest.
+    "q319_curation_waterfall" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("__fp"))
+      // exact survivors: first doc per normalized fingerprint
+      val s2 = base.withColumn("__keep",
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__fp"))))
+        .filter(col("doc_id") === col("__keep")).drop("__keep")
+      // near-dup keep-one: members keep only their component keeper
+      val s3 = s2.join(dupGroups(s, d)
+          .filter(col("id") =!= col("keep_id"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      val s4 = s3.filter(col("n_chars") >= 200)
+      val s5 = s4.join(
+        Dedup.contamination(docs(s, d).filter(col("doc_id") >= 20),
+            "doc_id", "text", docs(s, d).filter(col("doc_id") < 20),
+            "text", 3)
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      def row(stage: String, ord: Int, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .select(lit(ord.toLong).as("stage"), lit(stage).as("name"),
+            col("n_docs"), col("n_tokens"))
+      row("raw", 1, base)
+        .unionByName(row("exact_dedup", 2, s2))
+        .unionByName(row("neardup_keep_one", 3, s3))
+        .unionByName(row("length_gate", 4, s4))
+        .unionByName(row("decontaminated", 5, s5))
+    }),
     // Dedup ROI: per source, the tokens keep-one actually saves (the
     // number that justifies the dedup pass's cost at 100 TB) — total
     // tokens, tokens on dropped docs, and the saving in bp. One label
@@ -3585,6 +3621,46 @@ object TextPipelineQueries {
     "q307_local_clustering_incr" -> localClusteringSql,
     // the same Horvitz–Thompson estimator over the same md5 sample
     "q305_aqp_groupby" -> aqpSql,
+    // the same nested funnel from first principles
+    "q319_curation_waterfall" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS component
+         |      FROM reach GROUP BY a),
+         |base AS (SELECT doc_id, n_chars,
+         |           len(string_split(text, ' '))::BIGINT AS n_tok,
+         |           md5(trim(regexp_replace(lower(text), '\\s+', ' ',
+         |             'g'))) AS fp
+         |         FROM documents),
+         |s2 AS (SELECT * FROM (SELECT *, min(doc_id)
+         |         OVER (PARTITION BY fp) AS kp FROM base)
+         |       WHERE doc_id = kp),
+         |dr AS (SELECT did FROM g WHERE did <> component),
+         |s3 AS (SELECT s2.* FROM s2 ANTI JOIN dr ON dr.did = s2.doc_id),
+         |s4 AS (SELECT * FROM s3 WHERE n_chars >= 200),
+         |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |hits AS (SELECT DISTINCT s.doc_id FROM sh s
+         |         JOIN bad USING (shingle) WHERE s.doc_id >= 20),
+         |s5 AS (SELECT s4.* FROM s4 ANTI JOIN hits
+         |       ON hits.doc_id = s4.doc_id)
+         |SELECT 1::BIGINT AS stage, 'raw' AS name,
+         |  count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM base
+         |UNION ALL SELECT 2, 'exact_dedup', count(*),
+         |  CAST(sum(n_tok) AS BIGINT) FROM s2
+         |UNION ALL SELECT 3, 'neardup_keep_one', count(*),
+         |  CAST(sum(n_tok) AS BIGINT) FROM s3
+         |UNION ALL SELECT 4, 'length_gate', count(*),
+         |  CAST(sum(n_tok) AS BIGINT) FROM s4
+         |UNION ALL SELECT 5, 'decontaminated', count(*),
+         |  CAST(sum(n_tok) AS BIGINT) FROM s5""".stripMargin,
     // drops = non-keeper members of the recursive-CC components
     "q318_dedup_roi" ->
       s"""WITH RECURSIVE $shCte,
