@@ -1295,6 +1295,37 @@ object TextPipelineQueries {
     "q304_local_clustering" -> ((s, d) =>
       Graph.localClustering(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // The waterfall's debugging companion: per stage, the 3 LARGEST
+    // documents that stage dropped (by tokens, doc_id tiebreak) with
+    // the reason — what an operator actually opens when a funnel
+    // step eats more than expected. Bounded output: 3 rows per stage.
+    "q320_drop_samples" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("n_chars"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      val nd = dupGroups(s, d).filter(col("id") =!= col("keep_id"))
+        .select(col("id").as("doc_id"))
+      val s3 = base.join(nd, Seq("doc_id"), "left_anti")
+      val lenDrop = s3.filter(col("n_chars") < 200)
+      val s4 = s3.filter(col("n_chars") >= 200)
+      val contam = Dedup.contamination(
+          docs(s, d).filter(col("doc_id") >= 20), "doc_id", "text",
+          docs(s, d).filter(col("doc_id") < 20), "text", 3)
+        .select(col("doc_id"))
+      val decontamDrop = s4.join(contam, Seq("doc_id"), "left_semi")
+      def top3(df: DataFrame, stage: String, ord: Int) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_tok").desc, col("doc_id").asc)
+        df.select(col("doc_id"), col("n_tok"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(lit(ord.toLong).as("stage"), lit(stage).as("reason"),
+            col("rk"), col("doc_id"), col("n_tok"))
+      }
+      top3(base.join(nd, Seq("doc_id"), "left_semi"),
+          "neardup_keep_one", 3)
+        .unionByName(top3(lenDrop, "length_gate", 4))
+        .unionByName(top3(decontamDrop, "decontaminated", 5))
+    }),
     // CURATION WATERFALL: the headline funnel every data team ships —
     // docs/tokens remaining after each successive curation stage
     // (raw → exact dedup → near-dup keep-one → length gate →
@@ -3621,6 +3652,43 @@ object TextPipelineQueries {
     "q307_local_clustering_incr" -> localClusteringSql,
     // the same Horvitz–Thompson estimator over the same md5 sample
     "q305_aqp_groupby" -> aqpSql,
+    // the same drop sets ranked by size from first principles
+    "q320_drop_samples" ->
+      s"""WITH RECURSIVE $shCte,
+         |$mhCte,
+         |$pairsCte,
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand
+         |          UNION SELECT id_b, id_a FROM cand),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |g AS (SELECT a AS did, least(a, min(b)) AS component
+         |      FROM reach GROUP BY a),
+         |base AS (SELECT doc_id, n_chars,
+         |           len(string_split(text, ' '))::BIGINT AS n_tok
+         |         FROM documents),
+         |nd AS (SELECT did AS doc_id FROM g WHERE did <> component),
+         |s3 AS (SELECT base.* FROM base ANTI JOIN nd USING (doc_id)),
+         |bad AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+         |hits AS (SELECT DISTINCT s.doc_id FROM sh s
+         |         JOIN bad USING (shingle) WHERE s.doc_id >= 20),
+         |dd AS (
+         |  SELECT 3 AS stage, 'neardup_keep_one' AS reason, b.doc_id,
+         |    b.n_tok FROM base b SEMI JOIN nd ON nd.doc_id = b.doc_id
+         |  UNION ALL
+         |  SELECT 4, 'length_gate', doc_id, n_tok FROM s3
+         |  WHERE n_chars < 200
+         |  UNION ALL
+         |  SELECT 5, 'decontaminated', s3.doc_id, s3.n_tok FROM s3
+         |  SEMI JOIN hits ON hits.doc_id = s3.doc_id
+         |  WHERE s3.n_chars >= 200),
+         |rk AS (SELECT stage, reason, doc_id, n_tok,
+         |  CAST(row_number() OVER (PARTITION BY stage
+         |    ORDER BY n_tok DESC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM dd)
+         |SELECT CAST(stage AS BIGINT) AS stage, reason, rk, doc_id,
+         |       n_tok FROM rk WHERE rk <= 3""".stripMargin,
     // the same nested funnel from first principles
     "q319_curation_waterfall" ->
       s"""WITH RECURSIVE $shCte,
