@@ -961,6 +961,19 @@ class TextOpsSpec extends AnyFunSuite {
     assert(regs.length == 64 && regs.count(_ > 0L) == 2)
   }
 
+  test("positioned_shingles generator: short/empty/null inputs yield " +
+    "zero rows, multi-space runs collapse like ShingleKernel") {
+    import graft.functions.PositionedShingles.positionedShingles
+    val df = Seq((1L, "a b"), (2L, ""), (3L, null),
+      (4L, "  x  y z  ")).toDF("id", "text")
+    val out = df.select($"id",
+        positionedShingles($"text", 3).as(Seq("pos", "ngram")))
+      .as[(Long, Int, String)].collect().toSet
+    // ids 1 (too short), 2 (empty), 3 (null) generate nothing;
+    // id 4 trims + collapses runs to (x y z)
+    assert(out == Set((4L, 0, "x y z")))
+  }
+
   test("fingerprint is whitespace/case-insensitive") {
     val df = Seq("Hello  World", "hello world").toDF("text")
       .select(TextFunctions.fingerprint($"text").as("fp"))
