@@ -76,6 +76,40 @@ object TemporalQueries {
         coalesce(sum(round(col("value") * 100).cast("long")).over(w),
           lit(0L)).as("sum_value_fp_7d"))
     }),
+    // RFM SEGMENTATION at scale: recency/frequency/monetary terciles
+    // assigned by comparing each user to the corpus-wide 33/67
+    // type-1 quantile cutoffs computed with Quantiles.exactQuantiles
+    // — the two-pass histogram selection replacing the global
+    // ntile(3) sort that would funnel every user through one task at
+    // 100 TB. Cutoffs are 6 numbers (broadcast); assignment is a
+    // pure projection. segment = 100·r + 10·f + m.
+    "q321_rfm_segments" -> ((s, d) => {
+      val day = 86400L * 1000 * 1000 * 1000
+      val u = t(s, d, "events").groupBy(col("user_id"))
+        .agg(expr(s"max(ts) div ${day}L").as("rec_day"),
+          count(lit(1)).as("freq"),
+          sum(round(col("value") * 100).cast("long")).as("mon_fp"))
+        .localCheckpoint(true)
+      def cuts(c: String, width: Int) =
+        Quantiles.exactQuantiles(u.select(col(c)), c, width, Seq(33, 67))
+          .agg(max(when(col("pct") === 33, col("exact_v"))).as(s"${c}_33"),
+            max(when(col("pct") === 67, col("exact_v"))).as(s"${c}_67"))
+      def tercile(v: org.apache.spark.sql.Column,
+                  c33: org.apache.spark.sql.Column,
+                  c67: org.apache.spark.sql.Column) =
+        when(v <= c33, 1L).when(v <= c67, 2L).otherwise(3L)
+      u.crossJoin(broadcast(cuts("rec_day", 1)))
+        .crossJoin(broadcast(cuts("freq", 1)))
+        .crossJoin(broadcast(cuts("mon_fp", 1000)))
+        .select(col("user_id"),
+          tercile(col("rec_day"), col("rec_day_33"), col("rec_day_67"))
+            .as("r_t"),
+          tercile(col("freq"), col("freq_33"), col("freq_67")).as("f_t"),
+          tercile(col("mon_fp"), col("mon_fp_33"), col("mon_fp_67"))
+            .as("m_t"))
+        .withColumn("segment",
+          col("r_t") * 100 + col("f_t") * 10 + col("m_t"))
+    }),
     // LAST-TOUCH attribution: each purchase attributed to the user's
     // most recent click no older than 24 h — the as-of join composed
     // with a window-validity filter (a miss or a stale click yields
@@ -609,6 +643,49 @@ object TemporalQueries {
       |FROM l WHERE rk = 1 AND op <> 'D'""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // type-1 tercile cutoffs from cumulative counts, then the same
+    // CASE assignment — segmentation from first principles
+    "q321_rfm_segments" ->
+      """WITH u AS (SELECT user_id,
+        |    epoch_ns(max(ts)) // 86400000000000 AS rec_day,
+        |    count(*)::BIGINT AS freq,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS mon_fp
+        |  FROM events GROUP BY user_id),
+        |n AS (SELECT count(*)::BIGINT AS n FROM u),
+        |rc AS (SELECT min(rec_day) FILTER (WHERE c33) AS c33,
+        |         min(rec_day) FILTER (WHERE c67) AS c67 FROM (
+        |  SELECT rec_day,
+        |    sum(cnt) OVER (ORDER BY rec_day) * 100 >= 33 * n AS c33,
+        |    sum(cnt) OVER (ORDER BY rec_day) * 100 >= 67 * n AS c67
+        |  FROM (SELECT rec_day, count(*) AS cnt FROM u GROUP BY 1), n)),
+        |fc AS (SELECT min(freq) FILTER (WHERE c33) AS c33,
+        |         min(freq) FILTER (WHERE c67) AS c67 FROM (
+        |  SELECT freq,
+        |    sum(cnt) OVER (ORDER BY freq) * 100 >= 33 * n AS c33,
+        |    sum(cnt) OVER (ORDER BY freq) * 100 >= 67 * n AS c67
+        |  FROM (SELECT freq, count(*) AS cnt FROM u GROUP BY 1), n)),
+        |mc AS (SELECT min(mon_fp) FILTER (WHERE c33) AS c33,
+        |         min(mon_fp) FILTER (WHERE c67) AS c67 FROM (
+        |  SELECT mon_fp,
+        |    sum(cnt) OVER (ORDER BY mon_fp) * 100 >= 33 * n AS c33,
+        |    sum(cnt) OVER (ORDER BY mon_fp) * 100 >= 67 * n AS c67
+        |  FROM (SELECT mon_fp, count(*) AS cnt FROM u GROUP BY 1), n))
+        |SELECT user_id,
+        |  CASE WHEN rec_day <= rc.c33 THEN 1
+        |       WHEN rec_day <= rc.c67 THEN 2 ELSE 3 END::BIGINT AS r_t,
+        |  CASE WHEN freq <= fc.c33 THEN 1
+        |       WHEN freq <= fc.c67 THEN 2 ELSE 3 END::BIGINT AS f_t,
+        |  CASE WHEN mon_fp <= mc.c33 THEN 1
+        |       WHEN mon_fp <= mc.c67 THEN 2 ELSE 3 END::BIGINT AS m_t,
+        |  (CASE WHEN rec_day <= rc.c33 THEN 1
+        |        WHEN rec_day <= rc.c67 THEN 2 ELSE 3 END * 100 +
+        |   CASE WHEN freq <= fc.c33 THEN 1
+        |        WHEN freq <= fc.c67 THEN 2 ELSE 3 END * 10 +
+        |   CASE WHEN mon_fp <= mc.c33 THEN 1
+        |        WHEN mon_fp <= mc.c67 THEN 2 ELSE 3 END)::BIGINT
+        |    AS segment
+        |FROM u, rc, fc, mc""".stripMargin,
     // interval containment over the SCD2 rows — the as-of window must
     // land each purchase in exactly its covering state range
     "q294_pit_join" ->
