@@ -138,7 +138,8 @@ object Bench {
       "q288_cdc_stream", "q296_rollup_avg", "q298_dpp_join",
       "q299_contract_stream", "q306_bm25_stream",
       "q312_sealed_delete", "q315_rollup_filtered",
-      "q316_rollup_distinct")
+      "q316_rollup_distinct", "q332_jsonl_export", "q333_jsonl_append",
+      "q334_merge_into", "q335_merge_chain")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnnQueries, BpeQueries, CurationQueries, RelationalQueries, SketchQueries, TemporalQueries, TextPipelineQueries}
+import graft.operators.{AnnQueries, BpeQueries, CurationQueries, LakehouseQueries, RelationalQueries, SftQueries, SketchQueries, TemporalQueries, TextPipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Each implemented operator from SURVEY.md §2 appears once in
@@ -19,7 +19,8 @@ object SparkEntry {
     RelationalQueries.queries ++ TextPipelineQueries.queries ++
       TemporalQueries.queries ++ graft.multimodal.MultimodalQueries.queries ++
       CurationQueries.queries ++ BpeQueries.queries ++
-      SketchQueries.queries ++ AnnQueries.queries
+      SketchQueries.queries ++ AnnQueries.queries ++
+      SftQueries.queries ++ LakehouseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     RelationalQueries.oracle ++ TextPipelineQueries.oracle ++
       TemporalQueries.oracle ++ graft.multimodal.MultimodalQueries.oracle ++
       CurationQueries.oracle ++ BpeQueries.oracle ++
-      SketchQueries.oracle ++ AnnQueries.oracle
+      SketchQueries.oracle ++ AnnQueries.oracle ++
+      SftQueries.oracle ++ LakehouseQueries.oracle
 }

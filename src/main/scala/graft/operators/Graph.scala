@@ -237,4 +237,47 @@ object Graph {
     oldTriangles.select(col("n_triangles")).crossJoin(s)
       .select((col("n_triangles") + col("__delta")).as("n_triangles"))
   }
+
+  /** Synchronous label propagation: `iters` supersteps of "adopt the
+    * most frequent label among my neighbors and myself", ties broken
+    * by the SMALLEST label — the deterministic variant of LPA (the
+    * async/random classic is irreproducible by design; a gate needs
+    * the synchronous deterministic form). Including the node's own
+    * current label dampens the 2-cycle oscillation the pure-neighbor
+    * rule exhibits on bipartite structures.
+    *
+    * Each superstep is one join (labels onto the symmetrized
+    * edge+self list) and two key-grained aggs — the Pregel shape;
+    * lineage is severed per step (localCheckpoint — the CC planning
+    * lesson: an iterated join otherwise re-plans the whole chain each
+    * step and CacheManager lookups go quadratic). The argmax is
+    * `min(struct(-count, label))` — exactly the oracle's
+    * `row_number() OVER (ORDER BY c DESC, lab ASC) = 1` total order.
+    * Input: unique undirected pairs (id_a, id_b). Output: (n, lab).
+    */
+  def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .unionByName(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+    val nodes = edges.select(col("a").as("n")).distinct()
+    val nb = edges.unionByName(
+        nodes.select(col("n").as("a"), col("n").as("b")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("n"), col("n").as("lab"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val prev = labels
+      labels = nb
+        .join(labels.select(col("n").as("b"), col("lab")), Seq("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("__c"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("__c")).as("nc"), col("lab").as("lab")))
+          .as("__m"))
+        .select(col("a").as("n"), col("__m.lab").as("lab"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(prev)
+    }
+    labels
+  }
 }

@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical table maintenance the text family's shard writer does not
+  * cover: (a) JSONL shard export — the interchange format training
+  * stacks actually mount — with a byte-budget layout from the same
+  * two-phase prefix sum the token shards use, and (b) a generic keyed
+  * BUCKETED parquet store with MERGE INTO semantics (upsert + delete
+  * in one batch), rewriting ONLY the buckets the batch touches — the
+  * [[graft.multimodal.MediaStore]] delete discipline generalized from
+  * keep-one verdicts to arbitrary keyed mutation.
+  *
+  * Scale shape: shard/bucket assignment is a projection (+ one
+  * two-phase prefix pass for JSONL); every write is partitioned by
+  * the layout column so a shard/bucket is one task's output; merge
+  * I/O is ∝ touched buckets by construction, never the store.
+  */
+object Lakehouse {
+
+  // ---------------------------------------------------------- JSONL
+
+  /** One JSON line per document, built by explicit concatenation so
+    * the bytes are engine-reproducible (to_json's field ordering and
+    * float formatting are not part of any cross-engine contract).
+    * Only quote and backslash need escaping for string fields whose
+    * content is printable (control chars are absent from the corpus
+    * contract; a fuller escaper would extend the regex). n_bytes
+    * counts the line plus its newline — char count == byte count on
+    * this ASCII corpus (octet_length would replace length for UTF-8).
+    * Output: (doc_id, line, n_bytes). */
+  def jsonLines(docs: DataFrame): DataFrame = {
+    val esc = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "([\"\\\\])", "\\\\$1")
+    docs.select(col("doc_id"),
+      concat(lit("{\"doc_id\":"), col("doc_id"),
+        lit(",\"lang\":\""), esc(col("lang")),
+        lit("\",\"source\":\""), esc(col("source")),
+        lit("\",\"text\":\""), esc(col("text")), lit("\"}")).as("line"))
+      .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
+  }
+
+  /** Export documents as JSONL shards under `path/shard=N`, shard =
+    * byte-budget greedy fill by global prefix position (the
+    * [[Packing.packByBudget]] layout — `byteOffset` is the sealed
+    * append hook: a batch of strictly-later ids with the landed byte
+    * total as offset lands exactly where the from-scratch layout
+    * would put it). One text file per shard (hash-repartitioned on
+    * shard, sorted by doc_id inside), `mode` Append for incremental
+    * batches. */
+  def writeJsonl(docs: DataFrame, path: String, budgetBytes: Long,
+                 byteOffset: Long = 0L,
+                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val lines = jsonLines(docs)
+    val sharded = Packing.packByBudget(lines, "doc_id", "n_bytes",
+        budgetBytes, byteOffset)
+      .select(col("doc_id"), col("seq_id").as("shard"))
+      .join(lines, Seq("doc_id"))
+    sharded.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .select(col("shard"), col("line"))
+      .write.mode(mode).partitionBy("shard").text(path)
+  }
+
+  /** Read a [[writeJsonl]] layout back and manifest it per shard:
+    * (shard_id, n_docs, n_bytes, content_md5) where content_md5
+    * hashes the newline-joined lines in doc_id order (ids parsed back
+    * out of the JSON — after an append a shard may span part files,
+    * so file order alone is not the contract; id order is). This is
+    * the gate's evidence that the BYTES ON DISK equal the pure-SQL
+    * reconstruction. */
+  def jsonlManifest(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(col("shard").cast("long").as("shard_id"),
+        get_json_object(col("value"), "$.doc_id").cast("long")
+          .as("doc_id"),
+        col("value"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("value")) + 1L).cast("long").as("n_bytes"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("value")))),
+          x => x.getField("value")), "\n")).as("content_md5"))
+
+  // ----------------------------------------------- keyed merge store
+
+  private def bucketed(df: DataFrame, key: String, buckets: Int) =
+    df.withColumn("bucket", pmod(col(key), lit(buckets.toLong)))
+
+  /** Materialize a keyed table as a bucketed store (`path/bucket=N`,
+    * bucket = key mod buckets) — the layout [[mergeInto]] maintains. */
+  def writeStore(df: DataFrame, key: String, path: String,
+                 buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    bucketed(df, key, buckets)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** MERGE INTO: apply one batch of upserts (`op = 'U'`, full payload
+    * columns) and deletes (`op = 'D'`) to a [[writeStore]] layout.
+    * Only buckets that physically change are rewritten: a bucket is
+    * touched iff it holds an existing row with a batch key (update or
+    * delete) or receives an upsert; deletes of absent keys touch
+    * nothing. Touched buckets rebuild from (survivors ∪ upserts) —
+    * localCheckpointed BEFORE the dynamic partition overwrite so the
+    * write never scans the dirs it replaces — and buckets the merge
+    * emptied are removed outright (the [[Packing.repairSealedShards]]
+    * delete discipline). Returns (touched, rewritten) bucket counts —
+    * equal by construction, emitted separately so gate queries can
+    * pin the `changed == touched` contract with measured values.
+    *
+    * Scale: batch keys flow through joins (left_semi/left_anti);
+    * only the touched-bucket ID SET is collected (≤ buckets — the
+    * layout's own parallelism constant, never data-sized). */
+  def mergeInto(spark: SparkSession, path: String, batch: DataFrame,
+                key: String, buckets: Int): (Long, Long) = {
+    val store = spark.read.parquet(path)
+    val dataCols = store.columns.filter(_ != "bucket").toSeq
+    val b = bucketed(batch, key, buckets)
+    val batchKeys = b.select(col(key)).distinct()
+    val existingTouched = store
+      .join(batchKeys, Seq(key), "left_semi")
+      .select(col("bucket").cast("long")).distinct()
+    val upsertTouched = b.filter(col("op") === "U")
+      .select(col("bucket").cast("long")).distinct()
+    val touched = existingTouched.union(upsertTouched).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return (0L, 0L)
+    val survivors = store
+      .filter(col("bucket").isin(touched.toSeq: _*))
+      .join(batchKeys, Seq(key), "left_anti")
+      .select(("bucket" +: dataCols).map(col): _*)
+    val replacement = survivors.unionByName(
+        b.filter(col("op") === "U")
+          .select(("bucket" +: dataCols).map(col): _*))
+      .localCheckpoint(true)
+    replacement.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.mode(SaveMode.Overwrite)
+      // per-write option, NOT session conf: a session-wide dynamic
+      // mode would silently change every later static Overwrite in
+      // the shared Verify session
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(path)
+    val written = replacement.select(col("bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val emptied = touched -- written
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { bid =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"bucket=$bid"), true)
+      }
+    }
+    (touched.size.toLong, (written.size + emptied.size).toLong)
+  }
+
+  /** Per-bucket content manifest of a store: row count, char mass,
+    * and an order-pinned row hash — the read-back evidence a merge
+    * gate compares against the pure-SQL expected final state. */
+  def storeManifest(store: DataFrame, key: String): DataFrame =
+    store.groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("sum_chars"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col(key).as("k"),
+            concat_ws(":", col(key), md5(col("text")), col("source"),
+              col("lang")).as("s")))),
+          x => x.getField("s")), "\n")).as("rows_md5"))
+}

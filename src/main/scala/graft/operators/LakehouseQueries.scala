@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+
+/** Gate queries for [[Lakehouse]]: JSONL shard export (+ sealed-style
+  * incremental append) and keyed MERGE INTO over a bucketed parquet
+  * store (+ a two-merge chain). Every query MATERIALIZES files and
+  * manifests the READ-BACK — the oracle recomputes the expected
+  * state/bytes in pure SQL, so the hash compare proves the physical
+  * layout, not just the logical plan. */
+object LakehouseQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+
+  private def tmp(prefix: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$prefix" +
+      math.abs(d.hashCode.toLong)
+
+  /** DuckDB mirror of [[Lakehouse.jsonLines]] + the byte-budget shard
+    * layout + the per-shard content hash. Shared verbatim by q333
+    * (append == from-scratch). */
+  private val jsonlSql: String =
+    """WITH l AS (SELECT doc_id,
+      |  '{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+      |  ',"lang":"' || regexp_replace(lang, '(["\\])', '\\\1', 'g') ||
+      |  '","source":"' ||
+      |    regexp_replace(source, '(["\\])', '\\\1', 'g') ||
+      |  '","text":"' || regexp_replace(text, '(["\\])', '\\\1', 'g') ||
+      |  '"}' AS line
+      | FROM documents),
+      |b AS (SELECT doc_id, line,
+      |  CAST(length(line) + 1 AS BIGINT) AS nb FROM l),
+      |pk AS (SELECT doc_id, line, nb,
+      |  CAST(COALESCE(sum(nb) OVER (ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS pstart FROM b)
+      |SELECT CAST(pstart // 8192 AS BIGINT) AS shard_id,
+      |  count(*)::BIGINT AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bytes,
+      |  md5(string_agg(line, chr(10) ORDER BY doc_id)) AS content_md5
+      |FROM pk GROUP BY 1""".stripMargin
+
+  /** The merge batch all three merge queries derive from: deletes =
+    * doc_id % 7 = 3 (the repo-wide delete slice), updates = % 5 = 0
+    * survivors with a payload change, inserts = % 11 = 0 re-keyed
+    * +10000. */
+  private def mergeBatch(base: DataFrame): DataFrame = {
+    val dels = base.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), lit("D").as("op"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val upds = base.filter(col("doc_id") % 5 === 0 &&
+        col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), lit("U").as("op"), col("text"),
+        col("lang"), lit("merged").as("source"), col("n_chars"))
+    val ins = base.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), lit("U").as("op"),
+        col("text"), lit("xx").as("lang"), lit("ingest").as("source"),
+        col("n_chars"))
+    dels.unionByName(upds).unionByName(ins)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // JSONL SHARD EXPORT — the interchange layout trainers mount:
+    // byte-budget shards from the two-phase prefix sum, one text file
+    // per shard, lines in doc_id order. The gated output is the
+    // manifest of the files READ BACK (ids re-parsed from the JSON),
+    // hash-compared against a pure-SQL reconstruction of every byte.
+    "q332_jsonl_export" -> ((s, d) => {
+      val path = tmp("graft_jsonl_", d)
+      Lakehouse.writeJsonl(docs(s, d), path, budgetBytes = 8192L)
+      Lakehouse.jsonlManifest(s, path)
+    }),
+    // INCREMENTAL JSONL append: the landed 80% plus a strictly-later
+    // batch landed with byteOffset = landed byte total must be
+    // byte-identical to the from-scratch export — q332's oracle
+    // VERBATIM. New lines land as ADDITIONAL part files (only the
+    // last landed shard and new shard dirs receive any); the manifest
+    // orders by parsed doc_id, which is the cross-file contract.
+    "q333_jsonl_append" -> ((s, d) => {
+      val path = tmp("graft_jsonl_incr_", d)
+      val base = docs(s, d)
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      val thresh = maxId * 4 / 5
+      val old = base.filter(col("doc_id") <= thresh)
+      Lakehouse.writeJsonl(old, path, budgetBytes = 8192L)
+      val landed = Lakehouse.jsonLines(old)
+        .agg(sum(col("n_bytes"))).head().getLong(0)
+      Lakehouse.writeJsonl(base.filter(col("doc_id") > thresh), path,
+        budgetBytes = 8192L, byteOffset = landed, mode = SaveMode.Append)
+      Lakehouse.jsonlManifest(s, path)
+    }),
+    // MERGE INTO a keyed bucketed store: one batch of deletes +
+    // updates + inserts; only buckets holding a batch key (or
+    // receiving an upsert) rewrite — measured touched/rewritten
+    // counts ride INSIDE the gated output next to the per-bucket
+    // read-back manifest, so `changed == touched` is hash-pinned
+    // against the oracle's SQL-derived touched count.
+    "q334_merge_into" -> ((s, d) => {
+      val path = tmp("graft_mstore_", d)
+      val base = docs(s, d)
+      Lakehouse.writeStore(base, "doc_id", path, buckets = 16)
+      val (touched, rewritten) =
+        Lakehouse.mergeInto(s, path, mergeBatch(base), "doc_id", 16)
+      Lakehouse.storeManifest(s.read.parquet(path), "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(touched).as("touched_buckets"),
+          lit(rewritten).as("rewritten_buckets")))
+    }),
+    // Two sequential merges == the composed final state (update pass
+    // then delete+insert pass) — the chain proof that merge state
+    // needs no history: each merge sees only the store bytes the
+    // previous one left.
+    "q335_merge_chain" -> ((s, d) => {
+      val path = tmp("graft_mchain_", d)
+      val base = docs(s, d)
+      Lakehouse.writeStore(base, "doc_id", path, buckets = 16)
+      val upds1 = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m1").as("source"), col("n_chars"))
+      Lakehouse.mergeInto(s, path, upds1, "doc_id", 16)
+      val dels = base.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      Lakehouse.mergeInto(s, path, dels.unionByName(ins), "doc_id", 16)
+      Lakehouse.storeManifest(s.read.parquet(path), "doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q332_jsonl_export" -> jsonlSql,
+    "q333_jsonl_append" -> jsonlSql,
+    "q334_merge_into" ->
+      """WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
+        |upds AS (SELECT doc_id, text, lang, 'merged' AS source, n_chars
+        |         FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3),
+        |ins AS (SELECT doc_id + 10000 AS doc_id, text, 'xx' AS lang,
+        |          'ingest' AS source, n_chars
+        |        FROM documents WHERE doc_id % 11 = 0),
+        |bk AS (SELECT doc_id FROM dels UNION SELECT doc_id FROM upds
+        |       UNION SELECT doc_id FROM ins),
+        |final AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bk)
+        |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upds
+        |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM ins),
+        |tb AS (SELECT count(DISTINCT b)::BIGINT AS t FROM (
+        |  SELECT doc_id % 16 AS b FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM bk)
+        |  UNION ALL SELECT doc_id % 16 FROM upds
+        |  UNION ALL SELECT doc_id % 16 FROM ins))
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT t FROM tb) AS touched_buckets,
+        |  (SELECT t FROM tb) AS rewritten_buckets
+        |FROM final GROUP BY doc_id % 16""".stripMargin,
+    "q335_merge_chain" ->
+      """WITH final AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'xx', 'ingest', n_chars
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5
+        |FROM final GROUP BY doc_id % 16""".stripMargin)
+}

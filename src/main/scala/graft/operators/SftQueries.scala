@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.DecayedSum.decayedSumFixedOver
+
+/** Gate queries for the post-training data-prep family ([[Sft]]),
+  * plus the engine ops that ride the same events/documents tables:
+  * the padding-efficiency batch plan, PSI drift, and the native
+  * decayed-sum window function. Oracles mirror every construction in
+  * DuckDB SQL over the identical parquet — rendered TEXT is compared
+  * by md5 inside the hash, so the template bytes themselves are
+  * gate-pinned, not just the counts. */
+object SftQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String): DataFrame = t(s, d, "events")
+  private def docs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+
+  /** Shared oracle prefix: events → sessionized role-tagged rows →
+    * merged turns (gaps-and-islands on role) with rendered per-turn
+    * text. Mirrors [[Sft.rawTurns]] + [[Sft.mergedTurns]] exactly —
+    * single-space joins, `<|role|>` tags, (t, event_id) order. */
+  private val turnsCte: String =
+    """raw AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+      |  CASE WHEN event_type IN ('click','view') THEN 'user'
+      |       ELSE 'assistant' END AS role,
+      |  event_type || '#' ||
+      |    CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) AS content,
+      |  CAST(round(value * 100) AS BIGINT) AS value_fp,
+      |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |    ORDER BY epoch_us(ts), event_id) AS prev_t
+      | FROM events),
+      |sid AS (SELECT user_id, t, event_id, role, content, value_fp,
+      |  CAST(sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+      |                THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS session_id FROM raw),
+      |tr AS (SELECT *, CASE WHEN lag(role) OVER
+      |    (PARTITION BY user_id, session_id ORDER BY t, event_id)
+      |    IS DISTINCT FROM role THEN 1 ELSE 0 END AS rc FROM sid),
+      |tid AS (SELECT *, CAST(sum(rc) OVER
+      |    (PARTITION BY user_id, session_id ORDER BY t, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS turn_id FROM tr),
+      |turns AS (SELECT user_id, session_id, turn_id, role,
+      |  count(*)::BIGINT AS n_events,
+      |  CAST(sum(value_fp) AS BIGINT) AS value_fp,
+      |  '<|' || role || '|> ' ||
+      |    string_agg(content, ' ' ORDER BY t, event_id) AS turn_text
+      | FROM tid GROUP BY user_id, session_id, turn_id, role),
+      |cst AS (SELECT user_id, session_id, count(*)::BIGINT AS n_turns,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(sum(value_fp) AS BIGINT) AS sum_value_fp,
+      |  (array_agg(role ORDER BY turn_id))[1] AS first_role,
+      |  (array_agg(role ORDER BY turn_id DESC))[1] AS last_role
+      | FROM turns GROUP BY user_id, session_id),
+      |conv AS (SELECT user_id, session_id, count(*)::BIGINT AS n_turns,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  string_agg(turn_text, ' ' ORDER BY turn_id) AS rendered
+      | FROM turns GROUP BY user_id, session_id)""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // Conversation assembly: sessionize the event log, tag roles,
+    // merge consecutive same-role events into turns — the per-
+    // conversation shape report an SFT pipeline reads before
+    // templating. All counts/sums integer; first/last role via
+    // struct-ordered min/max (turn_id is unique within conversation).
+    "q322_conversations" -> ((s, d) =>
+      Sft.mergedTurns(ev(s, d))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(sum(col("n_events")).cast("long").as("n_events"),
+          count(lit(1)).as("n_turns"),
+          min(struct(col("turn_id"), col("role"))).as("__f"),
+          max(struct(col("turn_id"), col("role"))).as("__l"),
+          sum(col("value_fp")).cast("long").as("sum_value_fp"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("n_turns"), col("__f.role").as("first_role"),
+          col("__l.role").as("last_role"), col("sum_value_fp"))),
+    // Deterministic chat-template render: the exact bytes a trainer
+    // would tokenize, pinned cross-engine by md5 INSIDE the hash
+    // compare. Token count is pure integer arithmetic (single-space
+    // template: n_events + n_turns).
+    "q323_chat_render" -> ((s, d) =>
+      Sft.render(Sft.mergedTurns(ev(s, d)))
+        .select(col("user_id"), col("session_id"),
+          length(col("rendered")).cast("long").as("n_chars"),
+          col("n_tokens"), md5(col("rendered")).as("render_md5"))),
+    // SFT example extraction: kept conversations split into
+    // (prompt = all turns but last, target = final assistant turn);
+    // both sides' rendered bytes pinned by md5, token counts split
+    // by the same integer rule.
+    "q324_sft_examples" -> ((s, d) =>
+      Sft.sftExamples(Sft.mergedTurns(ev(s, d)))),
+    // Curation ledger for conversations — FIRST-FAIL verdict in fixed
+    // rule order (too_short → no_user_start → no_assistant_end →
+    // kept), the conversation twin of the q186 document filter ledger.
+    "q325_sft_ledger" -> ((s, d) =>
+      Sft.ledger(Sft.mergedTurns(ev(s, d)))),
+    // RLHF preference pairs: per conversation with ≥2 assistant
+    // turns, chosen/rejected = max/min fixed-point score with
+    // turn_id tie-breaks (struct min/max == the oracle's row_number
+    // total orders); zero-margin pairs drop.
+    "q326_pref_pairs" -> ((s, d) =>
+      Sft.prefPairs(Sft.mergedTurns(ev(s, d)))),
+    // Loss-mask spans over packed conversations: conversations pack
+    // into 128-token sequences via the two-phase prefix sum (sparse
+    // composite conv key — the sampled range-bucketing path), each
+    // assistant turn emits its loss-active span at its global
+    // in-sequence offset (role-tag token masked out). The oracle
+    // recomputes both prefix-sum layers in SQL windows.
+    "q327_loss_mask_pack" -> ((s, d) =>
+      Sft.lossMaskSpans(Sft.mergedTurns(ev(s, d)),
+        col("user_id") * 1000000L + col("session_id"), budget = 128L)),
+    // Padding-efficiency batch plan: fixed-size batches (B=8) under
+    // arrival order vs length-sorted order, total pad tokens and
+    // pad basis points per policy — the report that justifies
+    // length-bucketed batching. Ranks via the distributed two-phase
+    // prefix rank (stableIds), never row_number's single-partition
+    // sort; the sorted policy's composite key is sparse (len << 40 |
+    // id) — the sampled-fallback path.
+    "q328_padding_plan" -> ((s, d) => {
+      val dd = docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      def plan(keyed: DataFrame, policy: String): DataFrame = {
+        val ids = Packing.stableIds(keyed.select(col("__key")), "__key")
+        val b = keyed.join(ids, Seq("__key"))
+          .select(col("tok"), expr("row_id div 8").as("batch"))
+          .groupBy(col("batch"))
+          .agg(max(col("tok")).as("mx"), sum(col("tok")).as("st"),
+            count(lit(1)).as("c"))
+        b.agg(count(lit(1)).as("n_batches"),
+            sum(col("st")).cast("long").as("total_tokens"),
+            sum(col("mx") * col("c") - col("st")).cast("long")
+              .as("total_pad"),
+            expr("sum(mx * c - st) * 10000 div sum(mx * c)").cast("long")
+              .as("pad_bp"))
+          .select(lit(policy).as("policy"), col("n_batches"),
+            col("total_tokens"), col("total_pad"), col("pad_bp"))
+      }
+      plan(dd.withColumn("__key", col("doc_id")), "arrival")
+        .unionByName(plan(dd.withColumn("__key",
+          col("tok") * 1099511627776L + col("doc_id")), "sorted"))
+    }),
+    // PSI drift between ingest waves, per source: length-bin
+    // distributions with add-one smoothing, each nonnegative PSI term
+    // fixed-pointed at 1e-4 BEFORE the sum (the Surprisal rule —
+    // floats never cross an aggregation). Wave = (doc_id div 20) % 2
+    // — doc_id % 2 would be vacuous here because the synthetic
+    // source column IS doc_id % 20 (every source one wave).
+    "q329_psi_drift" -> ((s, d) => Trend.psiDrift(
+      docs(s, d).select(col("source"),
+        (expr("doc_id div 20") % 2).as("wave"),
+        least(expr("n_chars div 100"), lit(5L)).as("bin")),
+      nBins = 6)),
+    // NATIVE Catalyst WINDOW function (AggregateWindowFunction — the
+    // extension-point class the engine had not yet exercised):
+    // integer fixed-point exponentially-decayed running sum per user,
+    // st = (st·9) div 10 + v. No closed form under per-step
+    // truncation — the oracle replays the exact recurrence with a
+    // recursive CTE.
+    "q331_decayed_window" -> ((s, d) =>
+      ev(s, d).withColumn("t", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"),
+          decayedSumFixedOver(round(col("value") * 100).cast("long"),
+            9L, 10L, Seq(col("user_id")), Seq(col("t"), col("event_id")))
+            .as("decayed_fp"))))
+
+  val oracle: Map[String, String] = Map(
+    "q322_conversations" ->
+      s"""WITH $turnsCte
+         |SELECT user_id, session_id, n_events, n_turns, first_role,
+         |  last_role, sum_value_fp FROM cst""".stripMargin,
+    "q323_chat_render" ->
+      s"""WITH $turnsCte
+         |SELECT user_id, session_id,
+         |  CAST(length(rendered) AS BIGINT) AS n_chars,
+         |  n_events + n_turns AS n_tokens,
+         |  md5(rendered) AS render_md5 FROM conv""".stripMargin,
+    "q324_sft_examples" ->
+      s"""WITH $turnsCte,
+         |k AS (SELECT user_id, session_id, n_turns FROM cst
+         |      WHERE n_turns >= 2 AND first_role = 'user'
+         |        AND last_role = 'assistant')
+         |SELECT t.user_id, t.session_id,
+         |  md5(string_agg(CASE WHEN t.turn_id < k.n_turns
+         |        THEN t.turn_text END, ' ' ORDER BY t.turn_id))
+         |    AS prompt_md5,
+         |  max(CASE WHEN t.turn_id = k.n_turns THEN md5(t.turn_text) END)
+         |    AS target_md5,
+         |  CAST(sum(CASE WHEN t.turn_id < k.n_turns THEN t.n_events + 1
+         |           ELSE 0 END) AS BIGINT) AS prompt_tokens,
+         |  max(CASE WHEN t.turn_id = k.n_turns THEN t.n_events + 1 END)
+         |    AS target_tokens
+         |FROM turns t JOIN k USING (user_id, session_id)
+         |GROUP BY t.user_id, t.session_id""".stripMargin,
+    "q325_sft_ledger" ->
+      s"""WITH $turnsCte
+         |SELECT user_id, session_id, n_turns, first_role, last_role,
+         |  CASE WHEN n_turns < 2 THEN 'too_short'
+         |       WHEN first_role <> 'user' THEN 'no_user_start'
+         |       WHEN last_role <> 'assistant' THEN 'no_assistant_end'
+         |       ELSE 'kept' END AS verdict
+         |FROM cst""".stripMargin,
+    "q326_pref_pairs" ->
+      s"""WITH $turnsCte,
+         |a AS (SELECT user_id, session_id, turn_id, value_fp
+         |      FROM turns WHERE role = 'assistant'),
+         |ch AS (SELECT user_id, session_id, turn_id, value_fp,
+         |  row_number() OVER (PARTITION BY user_id, session_id
+         |    ORDER BY value_fp DESC, turn_id DESC) AS rk,
+         |  count(*) OVER (PARTITION BY user_id, session_id) AS na
+         | FROM a),
+         |rj AS (SELECT user_id, session_id, turn_id, value_fp,
+         |  row_number() OVER (PARTITION BY user_id, session_id
+         |    ORDER BY value_fp ASC, turn_id ASC) AS rk FROM a)
+         |SELECT c.user_id, c.session_id, c.turn_id AS chosen_turn,
+         |  r.turn_id AS rejected_turn, c.value_fp AS chosen_fp,
+         |  r.value_fp AS rejected_fp,
+         |  c.value_fp - r.value_fp AS margin_fp
+         |FROM ch c JOIN rj r USING (user_id, session_id)
+         |WHERE c.rk = 1 AND r.rk = 1 AND c.na >= 2
+         |  AND c.value_fp > r.value_fp""".stripMargin,
+    "q327_loss_mask_pack" ->
+      s"""WITH $turnsCte,
+         |ck AS (SELECT user_id * 1000000 + session_id AS conv_key,
+         |  n_events + n_turns AS n_tokens FROM conv),
+         |pk AS (SELECT conv_key,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY conv_key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM ck),
+         |pos AS (SELECT conv_key, CAST(pstart // 128 AS BIGINT) AS seq_id,
+         |  CAST(pstart % 128 AS BIGINT) AS "offset" FROM pk),
+         |ts2 AS (SELECT user_id * 1000000 + session_id AS conv_key,
+         |  turn_id, role, n_events,
+         |  CAST(COALESCE(sum(n_events + 1) OVER (
+         |    PARTITION BY user_id, session_id ORDER BY turn_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS tstart
+         | FROM turns)
+         |SELECT t.conv_key, t.turn_id, p.seq_id,
+         |  p."offset" + t.tstart + 1 AS span_start,
+         |  t.n_events AS span_len
+         |FROM ts2 t JOIN pos p USING (conv_key)
+         |WHERE t.role = 'assistant'""".stripMargin,
+    "q328_padding_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(length(text) - length(replace(text, ' ', '')) + 1
+        |    AS BIGINT) AS tok FROM documents),
+        |a AS (SELECT tok, CAST((row_number() OVER (ORDER BY doc_id) - 1)
+        |  // 8 AS BIGINT) AS batch FROM d),
+        |b AS (SELECT tok, CAST((row_number() OVER (ORDER BY tok, doc_id)
+        |  - 1) // 8 AS BIGINT) AS batch FROM d),
+        |pa AS (SELECT batch, max(tok) AS mx,
+        |  CAST(sum(tok) AS BIGINT) AS st, count(*)::BIGINT AS c
+        | FROM a GROUP BY batch),
+        |pb AS (SELECT batch, max(tok) AS mx,
+        |  CAST(sum(tok) AS BIGINT) AS st, count(*)::BIGINT AS c
+        | FROM b GROUP BY batch)
+        |SELECT 'arrival' AS policy, count(*)::BIGINT AS n_batches,
+        |  CAST(sum(st) AS BIGINT) AS total_tokens,
+        |  CAST(sum(mx * c - st) AS BIGINT) AS total_pad,
+        |  CAST(sum(mx * c - st) * 10000 // sum(mx * c) AS BIGINT)
+        |    AS pad_bp
+        |FROM pa
+        |UNION ALL
+        |SELECT 'sorted', count(*)::BIGINT, CAST(sum(st) AS BIGINT),
+        |  CAST(sum(mx * c - st) AS BIGINT),
+        |  CAST(sum(mx * c - st) * 10000 // sum(mx * c) AS BIGINT)
+        |FROM pb""".stripMargin,
+    "q329_psi_drift" ->
+      """WITH d AS (SELECT source, (doc_id // 20) % 2 AS wave,
+        |  LEAST(n_chars // 100, 5) AS bin FROM documents),
+        |c AS (SELECT source, wave, bin, count(*)::BIGINT AS c
+        |      FROM d GROUP BY 1, 2, 3),
+        |n AS (SELECT source, wave, CAST(sum(c) AS BIGINT) AS n
+        |      FROM c GROUP BY 1, 2),
+        |bins AS (SELECT s.source, b.bin
+        |  FROM (SELECT DISTINCT source FROM d) s,
+        |       (SELECT unnest(generate_series(0, 5)) AS bin) b),
+        |p AS (SELECT bins.source, bins.bin,
+        |  (COALESCE(c0.c, 0) + 1.0) / (n0.n + 6.0) AS pa,
+        |  (COALESCE(c1.c, 0) + 1.0) / (n1.n + 6.0) AS pb
+        | FROM bins
+        | LEFT JOIN c c0 ON c0.source = bins.source AND c0.wave = 0
+        |   AND c0.bin = bins.bin
+        | LEFT JOIN c c1 ON c1.source = bins.source AND c1.wave = 1
+        |   AND c1.bin = bins.bin
+        | JOIN n n0 ON n0.source = bins.source AND n0.wave = 0
+        | JOIN n n1 ON n1.source = bins.source AND n1.wave = 1),
+        |tm AS (SELECT source,
+        |  CAST(round((pa - pb) * ln(pa / pb) * 10000) AS BIGINT)
+        |    AS term_fp FROM p),
+        |nn AS (SELECT source,
+        |  max(CASE WHEN wave = 0 THEN n END) AS n0,
+        |  max(CASE WHEN wave = 1 THEN n END) AS n1
+        | FROM n GROUP BY source)
+        |SELECT nn.source, nn.n0, nn.n1,
+        |  CAST(sum(tm.term_fp) AS BIGINT) AS psi_fp
+        |FROM nn JOIN tm ON tm.source = nn.source
+        |GROUP BY nn.source, nn.n0, nn.n1""".stripMargin,
+    "q331_decayed_window" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+        |  CAST(round(value * 100) AS BIGINT) AS vfp,
+        |  CAST(row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
+        | FROM events),
+        |dec AS (
+        |  SELECT user_id, event_id, rn, vfp AS st FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn, (d.st * 9) // 10 + e.vfp
+        |  FROM dec d JOIN ev e ON e.user_id = d.user_id
+        |    AND e.rn = d.rn + 1)
+        |SELECT user_id, event_id, CAST(st AS BIGINT) AS decayed_fp
+        |FROM dec""".stripMargin)
+}

@@ -1038,6 +1038,18 @@ object TextPipelineQueries {
     "q274_triangle_count" -> ((s, d) =>
       Graph.triangleStats(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"))),
+    // COMMUNITY DETECTION over the candidate graph — deterministic
+    // synchronous label propagation (4 supersteps, most-frequent
+    // neighbor-or-self label, min-label ties): the coarser grouping
+    // CC cannot give (CC fuses anything connected; LPA keeps weakly
+    // bridged clusters apart). Each superstep is one edge-keyed join
+    // + two aggs (the Pregel shape, lineage severed per step); the
+    // oracle unrolls the same four supersteps as chained CTEs with
+    // row_number argmax — the hash compare proves the sync-update
+    // semantics step for step.
+    "q330_label_prop" -> ((s, d) =>
+      Graph.labelPropagation(
+        Dedup.lshCandidatePairs(signatures(s, d), "doc_id"), iters = 4)),
     // INCREMENTAL triangle count: the standing count over the old
     // docs' graph folds with the batch's edges by exact inclusion–
     // exclusion over per-new-edge common-neighbor tags (S_oo +
@@ -2327,6 +2339,30 @@ object TextPipelineQueries {
        |       ELSE n_triangles * 3 * 10000 // n_wedges
        |  END AS clustering_bp
        |FROM st, ne, tri""".stripMargin
+
+  /** q330's oracle — four UNROLLED synchronous LPA supersteps over
+    * the candidate graph (neighbors + self, most-frequent label,
+    * min-label ties as a row_number total order). */
+  private lazy val labelPropSql: String = {
+    val iters = (1 to 4).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""c$i AS (SELECT x.a AS n, l.lab, count(*)::BIGINT AS c
+         |  FROM nb x JOIN $prev l ON l.n = x.b GROUP BY x.a, l.lab),
+         |l$i AS (SELECT n, lab FROM (SELECT n, lab, row_number() OVER
+         |  (PARTITION BY n ORDER BY c DESC, lab ASC) AS rk FROM c$i)
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shCte,
+       |$mhCte,
+       |$pairsCte,
+       |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
+       |edges AS (SELECT a, b FROM ed UNION SELECT b, a FROM ed),
+       |nodes AS (SELECT DISTINCT a AS n FROM edges),
+       |nb AS (SELECT a, b FROM edges UNION ALL SELECT n, n FROM nodes),
+       |l0 AS (SELECT n, n AS lab FROM nodes),
+       |$iters
+       |SELECT n, lab FROM l4""".stripMargin
+  }
 
   /** q276's oracle — golden-record survivorship with explicit
     * (count desc, value asc) modal tie-breaks. Shared verbatim by
@@ -3645,6 +3681,7 @@ object TextPipelineQueries {
     // naive ordered-triple join — the degree-oriented Spark count
     // must agree (orientation independence is part of the proof)
     "q274_triangle_count" -> triangleSql,
+    "q330_label_prop" -> labelPropSql,
     // triangle list from the naive triple join exploded to vertices
     "q304_local_clustering" -> localClusteringSql,
     // the standing-counts + new-triangle fold must land on the same

@@ -48,4 +48,47 @@ object Trend {
           (col("n") * col("__sxx") - col("__sx") * col("__sx")).cast("double"),
           4) + lit(0.0)).as("slope"))
   }
+
+  /** Population Stability Index between two ingest waves, per key —
+    * the classic distribution-drift monitor: PSI = Σ_bins
+    * (p_a − p_b)·ln(p_a/p_b) with add-one smoothing (so empty bins
+    * contribute finitely). Input: one row per item with (keyCol,
+    * `wave` ∈ {0,1}, `bin` ∈ [0, nBins)). Every PSI term is
+    * nonnegative (both factors share sign) and is fixed-pointed at
+    * 1e-4 BEFORE the per-key sum — the [[Surprisal]] rule: floats
+    * never cross an aggregation, so the estimate hash-matches the
+    * oracle, not just approximates it.
+    *
+    * Scale shape: two key×bin-grained aggs (map-side combined), a
+    * key-sized totals table joined back AQE-broadcast, and a
+    * key×nBins dense grid built by exploding a bounded literal range
+    * — no corpus-sized join anywhere. Output: (key, n0, n1, psi_fp).
+    */
+  def psiDrift(df: DataFrame, nBins: Int,
+               keyCol: String = "source"): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val c = df.groupBy(col(keyCol), col("wave"), col("bin"))
+      .agg(count(lit(1)).as("__c"))
+    val n = c.groupBy(col(keyCol), col("wave"))
+      .agg(sum(col("__c")).cast("long").as("__n"))
+    val grid = df.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(lit((0L until nBins.toLong).toArray)).as("bin"))
+    val side = (w: Int, cn: String, nn: String) => grid
+      .join(c.filter(col("wave") === w).drop("wave"),
+        Seq(keyCol, "bin"), "left")
+      .join(n.filter(col("wave") === w).drop("wave"), Seq(keyCol))
+      .select(col(keyCol), col("bin"),
+        ((coalesce(col("__c"), lit(0L)) + lit(1.0)) /
+          (col("__n") + lit(nBins.toDouble))).as(cn),
+        col("__n").as(nn))
+    side(0, "__pa", "n0").join(side(1, "__pb", "n1"),
+        Seq(keyCol, "bin"))
+      .select(col(keyCol), col("n0"), col("n1"),
+        round((col("__pa") - col("__pb")) *
+          log(col("__pa") / col("__pb")) * 10000).cast("long")
+          .as("__term"))
+      .groupBy(col(keyCol), col("n0"), col("n1"))
+      .agg(sum(col("__term")).cast("long").as("psi_fp"))
+  }
 }

@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Lakehouse}
+
+/** [[Lakehouse]] physical contracts the SQL gate cannot see (bytes
+  * and mtimes on disk), plus [[Graph.labelPropagation]] against the
+  * naive synchronous recurrence. */
+class LakehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Files.delete(p)
+    p.toString
+  }
+
+  private def docsDf(ids: Seq[Long]) =
+    ids.map(i => (i, s"text $i body", "en", s"src${i % 3}", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def partFiles(dir: String): Map[String, Long] = {
+    val base = Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, Long]()
+    Files.walk(base).forEach { p =>
+      if (Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_")
+        && !p.getFileName.toString.startsWith(".")) {
+        out += base.relativize(p).toString ->
+          Files.getLastModifiedTime(p).toMillis
+      }
+    }
+    out.toMap
+  }
+
+  test("mergeInto rewrites exactly the touched buckets: untouched " +
+    "bucket files keep bytes and mtimes; emptied bucket dirs vanish; " +
+    "an absent-key delete touches nothing") {
+    val path = freshDir("graft_mspec")
+    // 8 docs across 4 buckets: bucket = id % 4
+    Lakehouse.writeStore(docsDf(0L until 8L), "doc_id", path, buckets = 4)
+    val before = partFiles(path)
+    // batch: update doc 1 (bucket 1), delete docs 2 and 6 (ALL of
+    // bucket 2 -> emptied), delete key 999 (absent -> no touch)
+    val batch = Seq(
+      (1L, "U", "text 1 v2", "en", "srcX", 111L),
+      (2L, "D", "", "", "", 0L), (6L, "D", "", "", "", 0L),
+      (999L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val (touched, rewritten) =
+      Lakehouse.mergeInto(spark, path, batch, "doc_id", 4)
+    assert(touched == 2L && rewritten == 2L) // buckets 1 and 2
+    val after = partFiles(path)
+    // bucket 2 gone entirely
+    assert(!Files.exists(Paths.get(path, "bucket=2")))
+    // buckets 0 and 3 byte-for-byte untouched (same files, same mtime)
+    val untouched = before.keySet.filter(f =>
+      f.startsWith("bucket=0") || f.startsWith("bucket=3"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { f => assert(after(f) == before(f), f) }
+    // content: doc 1 updated, 2 and 6 gone, rest intact
+    val got = spark.read.parquet(path)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "src0", 1L -> "srcX", 3L -> "src0",
+      4L -> "src1", 5L -> "src2", 7L -> "src1"))
+    // a second merge deleting only an absent key is a no-op
+    val noop = Seq((999L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    assert(Lakehouse.mergeInto(spark, path, noop, "doc_id", 4) ==
+      ((0L, 0L)))
+    val after2 = partFiles(path)
+    assert(after2 == after)
+  }
+
+  test("jsonl append touches only the last landed shard dir (new part " +
+    "file) and creates new dirs; landed part files keep their mtimes") {
+    val path = freshDir("graft_jspec")
+    val all = docsDf(0L until 40L)
+    val old = all.filter(col("doc_id") < 30L)
+    // ~25 bytes/line overhead + text -> pick a budget that yields
+    // multiple shards
+    Lakehouse.writeJsonl(old, path, budgetBytes = 600L)
+    val before = partFiles(path)
+    val landed = Lakehouse.jsonLines(old).agg(sum("n_bytes"))
+      .as[Long].head()
+    val lastShard = before.keys.map(_.split("/")(0))
+      .map(_.stripPrefix("shard=").toLong).max
+    Lakehouse.writeJsonl(all.filter(col("doc_id") >= 30L), path,
+      budgetBytes = 600L, byteOffset = landed,
+      mode = org.apache.spark.sql.SaveMode.Append)
+    val after = partFiles(path)
+    // every pre-existing part file survives bit-identical (same mtime)
+    before.foreach { case (f, m) => assert(after(f) == m, f) }
+    // new files land only in the last landed shard or beyond
+    val newFiles = after.keySet -- before.keySet
+    assert(newFiles.nonEmpty)
+    newFiles.foreach { f =>
+      val sid = f.split("/")(0).stripPrefix("shard=").toLong
+      assert(sid >= lastShard, f)
+    }
+    // and the combined layout equals the from-scratch one, manifest
+    // for manifest
+    val path2 = freshDir("graft_jspec_full")
+    Lakehouse.writeJsonl(all, path2, budgetBytes = 600L)
+    val a = Lakehouse.jsonlManifest(spark, path)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val b = Lakehouse.jsonlManifest(spark, path2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("jsonLines escapes quotes and backslashes; parsed JSON " +
+    "round-trips the raw text") {
+    val tricky = Seq((1L, "say \"hi\" \\ bye", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val line = Lakehouse.jsonLines(tricky).select("line").as[String].head()
+    assert(line.contains("\\\"hi\\\"") && line.contains("\\\\ bye"))
+    val parsed = Seq(line).toDF("value")
+      .select(get_json_object(col("value"), "$.text")).as[String].head()
+    assert(parsed == "say \"hi\" \\ bye")
+  }
+
+  test("labelPropagation == the naive synchronous recurrence; a " +
+    "bridge edge does NOT fuse two triangles (unlike CC)") {
+    // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L))
+    def naive(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val sym = (edges ++ edges.map(_.swap)).distinct
+      val nodes = sym.map(_._1).distinct
+      val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      var lab = nodes.map(n => n -> n).toMap
+      for (_ <- 1 to iters) {
+        lab = nodes.map { n =>
+          val votes = (adj(n) :+ n).map(lab).groupBy(identity)
+            .map { case (l, vs) => (l, vs.size) }
+          n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }.toMap
+      }
+      lab
+    }
+    val got = Graph.labelPropagation(pairs.toDF("id_a", "id_b"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive(pairs, 4))
+    // communities: triangle labels converge within, differ across
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(10L) == got(11L) && got(11L) == got(12L))
+    assert(got(1L) != got(10L))
+  }
+}

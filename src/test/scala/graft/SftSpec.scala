@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sft, Trend}
+import graft.functions.DecayedSum.decayedSumFixedOver
+import graft.functions.DecayedSumFixed
+
+/** The SFT data-prep family ([[Sft]]) on crafted event frames — turn
+  * merging, template bytes, ledger rule order, preference tie-breaks,
+  * mask-span arithmetic — plus the native decayed-sum window function
+  * against the naive recurrence and [[Trend.psiDrift]] invariants. */
+class SftSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** events-shaped frame: (event_id, ts ns, user_id, event_type,
+    * value). Timestamps are seconds here, scaled to ns. */
+  private def events(rows: Seq[(Long, Long, Long, String, Double)]) =
+    rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+      .select(col("event_id"), (col("sec") * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+
+  test("mergedTurns: consecutive same-role events merge, alternation " +
+    "survives, session gap splits conversations") {
+    val ev = events(Seq(
+      // user 1, one session: click,view (user) -> purchase (asst) ->
+      // click (user)
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "view", 2.0),
+      (3L, 20L, 1L, "purchase", 3.0), (4L, 30L, 1L, "click", 4.0),
+      // same user, >30 min later: a fresh session
+      (5L, 4000L, 1L, "error", 5.0)))
+    val turns = Sft.mergedTurns(ev)
+      .select("user_id", "session_id", "turn_id", "role", "n_events",
+        "turn_text")
+      .as[(Long, Long, Long, String, Long, String)].collect().sortBy(t =>
+        (t._2, t._3))
+    assert(turns.map(t => (t._2, t._3, t._4, t._5)).toSeq == Seq(
+      (1L, 1L, "user", 2L), (1L, 2L, "assistant", 1L),
+      (1L, 3L, "user", 1L), (2L, 1L, "assistant", 1L)))
+    assert(turns.head._6 == "<|user|> click#100 view#200")
+    assert(turns(1)._6 == "<|assistant|> purchase#300")
+  }
+
+  test("render: token count is n_events + n_turns; bytes are the " +
+    "space-joined turn texts in order") {
+    val ev = events(Seq(
+      (1L, 0L, 7L, "click", 1.0), (2L, 10L, 7L, "purchase", 2.5)))
+    val r = Sft.render(Sft.mergedTurns(ev))
+      .select("rendered", "n_tokens").as[(String, Long)].head()
+    assert(r._1 == "<|user|> click#100 <|assistant|> purchase#250")
+    assert(r._2 == 4L) // 2 events + 2 turns
+    assert(r._1.split(" ").length == 4)
+  }
+
+  test("ledger: first-fail rule order — too_short beats no_user_start " +
+    "beats no_assistant_end") {
+    val ev = events(Seq(
+      // user 1: single assistant turn — too_short (not no_user_start)
+      (1L, 0L, 1L, "purchase", 1.0),
+      // user 2: assistant then user — starts wrong AND ends wrong;
+      // no_user_start must win
+      (2L, 0L, 2L, "error", 1.0), (3L, 10L, 2L, "click", 1.0),
+      // user 3: user then user-merged then nothing — ends user
+      (4L, 0L, 3L, "click", 1.0), (5L, 10L, 3L, "purchase", 1.0),
+      (6L, 20L, 3L, "view", 1.0),
+      // user 4: kept
+      (7L, 0L, 4L, "click", 1.0), (8L, 10L, 4L, "purchase", 1.0)))
+    val v = Sft.ledger(Sft.mergedTurns(ev))
+      .select("user_id", "verdict").as[(Long, String)].collect().toMap
+    assert(v == Map(1L -> "too_short", 2L -> "no_user_start",
+      3L -> "no_assistant_end", 4L -> "kept"))
+  }
+
+  test("prefPairs: score ties break by turn_id (max side high, min " +
+    "side low); zero-margin conversations drop") {
+    val ev = events(Seq(
+      // user 1: three assistant turns, scores 3, 1, 3 — chosen is the
+      // LATER of the tied max (turn tie-break), rejected the score-1
+      (1L, 0L, 1L, "purchase", 3.0), (2L, 0L, 1L, "click", 0.0),
+      (3L, 10L, 1L, "error", 1.0), (4L, 10L, 1L, "click", 0.0),
+      (5L, 20L, 1L, "purchase", 3.0),
+      // user 2: two assistant turns, equal scores — zero margin, drop
+      (6L, 0L, 2L, "purchase", 2.0), (7L, 0L, 2L, "click", 0.0),
+      (8L, 10L, 2L, "purchase", 2.0)))
+    val got = Sft.prefPairs(Sft.mergedTurns(ev))
+      .select("user_id", "chosen_turn", "rejected_turn", "margin_fp")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 5L, 3L, 200L)))
+  }
+
+  test("lossMaskSpans: spans cover exactly the assistant content " +
+    "tokens, offset by the packed position plus the role tag") {
+    val ev = events(Seq(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "purchase", 2.0),
+      (3L, 20L, 1L, "purchase", 3.0), // merges with previous
+      (4L, 0L, 2L, "error", 4.0)))
+    val turns = Sft.mergedTurns(ev)
+    val spans = Sft.lossMaskSpans(turns, col("user_id"), budget = 5L)
+      .select("conv_key", "seq_id", "span_start", "span_len")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // conv 1: tokens = 3 events + 2 turns = 5, packs at offset 0 of
+    // seq 0; assistant turn starts after the 2-token user turn, +1
+    // for its tag -> span (0, 3, 2). conv 2: starts at global token
+    // 5 -> seq 1 offset 0; its single assistant turn spans (1, 1, 1).
+    assert(spans.toSeq == Seq((1L, 0L, 3L, 2L), (2L, 1L, 1L, 1L)))
+    // mask mass == total assistant content tokens
+    val asst = turns.filter(col("role") === "assistant")
+      .agg(sum("n_events")).as[Long].head()
+    assert(spans.map(_._4).sum == asst)
+  }
+
+  test("DecayedSumFixed == the naive per-step truncating recurrence; " +
+    "partitions are independent") {
+    val rows = Seq((1L, 1L, 17L), (1L, 2L, 100L), (1L, 3L, 3L),
+      (1L, 4L, 55L), (2L, 1L, 9L), (2L, 2L, 9L))
+    val got = rows.toDF("k", "ord", "v")
+      .select(col("k"), col("ord"),
+        decayedSumFixedOver(col("v"), 9L, 10L, Seq(col("k")),
+          Seq(col("ord"))).as("st"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3)
+      .toMap
+    def naive(vs: Seq[Long]): Seq[Long] =
+      vs.scanLeft(0L)((st, v) => st * 9L / 10L + v).tail
+    val exp = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val ordered = rs.sortBy(_._2)
+      ordered.map(_._2).zip(naive(ordered.map(_._3)))
+        .map { case (o, st) => (k, o) -> st }
+    }
+    assert(got == exp)
+    // truncation really happened (not float decay): 17 -> 15 + 100
+    assert(got((1L, 2L)) == 115L)
+    assert(got((1L, 4L)) == ((17L * 9 / 10 + 100L) * 9 / 10 + 3L) * 9 / 10 + 55L)
+  }
+
+  test("DecayedSumFixed rejects decay >= 1 and negative factors") {
+    intercept[IllegalArgumentException] {
+      DecayedSumFixed(org.apache.spark.sql.GraftSqlBridge.expression(lit(1L)), 10L, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      DecayedSumFixed(org.apache.spark.sql.GraftSqlBridge.expression(lit(1L)), -1L, 10L)
+    }
+  }
+
+  test("psiDrift: identical waves give zero PSI; a shifted wave gives " +
+    "strictly positive; totals are per-wave row counts") {
+    val same = (0L until 40L).map(i => ("s", i % 2, (i / 2) % 4))
+      .toDF("source", "wave", "bin")
+    val z = Trend.psiDrift(same, nBins = 4, keyCol = "source")
+      .select("n0", "n1", "psi_fp").as[(Long, Long, Long)].head()
+    assert(z == ((20L, 20L, 0L)))
+    val shifted = ((0L until 20L).map(_ => ("s", 0L, 0L)) ++
+      (0L until 20L).map(_ => ("s", 1L, 3L)))
+      .toDF("source", "wave", "bin")
+    val p = Trend.psiDrift(shifted, nBins = 4, keyCol = "source")
+      .select("psi_fp").as[Long].head()
+    assert(p > 10000L) // a full mass shift is a large PSI
+  }
+}
