@@ -83,6 +83,20 @@ object Lakehouse {
           sort_array(collect_list(struct(col("doc_id"), col("value")))),
           x => x.getField("value")), "\n")).as("content_md5"))
 
+  /** Read a [[writeJsonl]] layout back into a TYPED table — the
+    * import half of the interchange roundtrip (from_json undoes the
+    * escaping [[jsonLines]] applied; n_chars re-derives as the text
+    * length, the corpus contract). */
+  def readJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(from_json(col("value"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id LONG, lang STRING, source STRING, text STRING"))
+        .as("j"))
+      .select(col("j.doc_id").as("doc_id"), col("j.lang").as("lang"),
+        col("j.source").as("source"), col("j.text").as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+
   // ----------------------------------------------- keyed merge store
 
   private def bucketed(df: DataFrame, key: String, buckets: Int) =
@@ -99,6 +113,51 @@ object Lakehouse {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(path)
+  }
+
+  /** Append an ingest batch: new rows land as additional part files
+    * inside their bucket dirs; nothing existing is opened. Work ∝
+    * batch — the small-file debt this creates is what
+    * [[compactStore]] repays. */
+  def appendStore(df: DataFrame, key: String, path: String,
+                  buckets: Int): Unit =
+    bucketed(df, key, buckets)
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.mode(SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(path)
+
+  /** OPTIMIZE: rewrite every bucket that has accumulated more than
+    * one part file (append debt) into a single file; buckets already
+    * compact are not opened, rewritten, or touched — compaction cost
+    * is ∝ fragmented buckets, mirroring the merge discipline. The
+    * fragmented-bucket scan is a directory listing (≤ buckets
+    * entries), not a data read. Content is bit-preserved: the same
+    * rows, re-sorted by key within the bucket. Returns (touched,
+    * rewritten) — equal by construction. */
+  def compactStore(spark: SparkSession, path: String,
+                   key: String): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val multi = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(_.getPath.getName.startsWith("part-")) > 1
+      }
+      .map(_.getPath.getName.stripPrefix("bucket=").toLong).toSet
+    if (multi.isEmpty) return (0L, 0L)
+    val replacement = spark.read.parquet(path)
+      .filter(col("bucket").isin(multi.toSeq: _*))
+      .localCheckpoint(true)
+    replacement.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket")
+      .parquet(path)
+    (multi.size.toLong, multi.size.toLong)
   }
 
   /** MERGE INTO: apply one batch of upserts (`op = 'U'`, full payload

@@ -93,6 +93,38 @@ object LakehouseQueries {
         budgetBytes = 8192L, byteOffset = landed, mode = SaveMode.Append)
       Lakehouse.jsonlManifest(s, path)
     }),
+    // JSONL IMPORT — the roundtrip's other half: the exported shards
+    // parse back (from_json undoing the escaper) into a typed table
+    // that must equal the source rows column for column. Proves the
+    // export is lossless, not just self-consistent.
+    "q338_jsonl_import" -> ((s, d) => {
+      val path = tmp("graft_jsonl_imp_", d)
+      Lakehouse.writeJsonl(docs(s, d), path, budgetBytes = 8192L)
+      Lakehouse.readJsonl(s, path)
+    }),
+    // APPEND + COMPACT (OPTIMIZE): two appends leave multi-file
+    // buckets; compaction rewrites ONLY fragmented buckets into one
+    // file each — content identical (the manifest is the whole-store
+    // hash), compacted==fragmented pinned via the oracle's SQL count
+    // of buckets receiving rows from ≥2 write slices.
+    "q339_store_compact" -> ((s, d) => {
+      val path = tmp("graft_mcompact_", d)
+      val base = docs(s, d)
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      val (t1, t2) = (maxId * 3 / 5, maxId * 4 / 5)
+      Lakehouse.writeStore(base.filter(col("doc_id") <= t1),
+        "doc_id", path, buckets = 16)
+      Lakehouse.appendStore(
+        base.filter(col("doc_id") > t1 && col("doc_id") <= t2),
+        "doc_id", path, buckets = 16)
+      Lakehouse.appendStore(base.filter(col("doc_id") > t2),
+        "doc_id", path, buckets = 16)
+      val (touched, rewritten) = Lakehouse.compactStore(s, path, "doc_id")
+      Lakehouse.storeManifest(s.read.parquet(path), "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(touched).as("compacted_buckets"),
+          lit(rewritten).as("rewritten_buckets")))
+    }),
     // MERGE INTO a keyed bucketed store: one batch of deletes +
     // updates + inserts; only buckets holding a batch key (or
     // receiving an upsert) rewrite — measured touched/rewritten
@@ -136,6 +168,27 @@ object LakehouseQueries {
   val oracle: Map[String, String] = Map(
     "q332_jsonl_export" -> jsonlSql,
     "q333_jsonl_append" -> jsonlSql,
+    "q338_jsonl_import" ->
+      "SELECT doc_id, lang, source, text, n_chars FROM documents",
+    "q339_store_compact" ->
+      """WITH th AS (SELECT max(doc_id) * 3 // 5 AS t1,
+        |  max(doc_id) * 4 // 5 AS t2 FROM documents),
+        |sl AS (SELECT doc_id % 16 AS b,
+        |  CASE WHEN doc_id <= (SELECT t1 FROM th) THEN 0
+        |       WHEN doc_id <= (SELECT t2 FROM th) THEN 1
+        |       ELSE 2 END AS s FROM documents),
+        |frag AS (SELECT b FROM (SELECT b, s FROM sl GROUP BY b, s)
+        |         GROUP BY b HAVING count(*) > 1),
+        |tb AS (SELECT count(*)::BIGINT AS t FROM frag)
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT t FROM tb) AS compacted_buckets,
+        |  (SELECT t FROM tb) AS rewritten_buckets
+        |FROM documents GROUP BY doc_id % 16""".stripMargin,
     "q334_merge_into" ->
       """WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3),
         |upds AS (SELECT doc_id, text, lang, 'merged' AS source, n_chars

@@ -156,6 +156,83 @@ object Sft {
         col("__r.value_fp").as("rejected_fp"),
         (col("__c.value_fp") - col("__r.value_fp")).as("margin_fp"))
 
+  // -------------------------------------------------- incremental
+
+  /** Conversation-tail summary per user: where the user's LAST
+    * conversation currently ends — the only per-user facts a
+    * strictly-later batch needs to weave itself in. `lastT` supplies
+    * the last event TIME per user (not derivable from turns), e.g.
+    * from [[rawTurns]] max(t); it folds across batches by max —
+    * idempotent state. Output: (user_id, last_session, last_turn,
+    * last_role, last_t). */
+  def tailOf(turns: DataFrame, lastT: DataFrame): DataFrame =
+    turns.groupBy(col("user_id"))
+      .agg(max(struct(col("session_id").as("s"), col("turn_id").as("tn"),
+        col("role").as("r"))).as("__x"))
+      .select(col("user_id"), col("__x.s").as("last_session"),
+        col("__x.tn").as("last_turn"), col("__x.r").as("last_role"))
+      .join(lastT, Seq("user_id"))
+
+  /** Standing conversation state: (merged turns, tail). */
+  def turnsState(events: DataFrame): (DataFrame, DataFrame) = {
+    val turns = mergedTurns(events)
+    val lastT = rawTurns(events).groupBy(col("user_id"))
+      .agg(max(col("t")).as("last_t"))
+    (turns, tailOf(turns, lastT))
+  }
+
+  /** Fold a STRICTLY-LATER batch of events into standing turns: the
+    * old events are never re-sessionized or re-windowed — the batch
+    * sessionizes/merges ALONE, then a users-sized tail join decides
+    * per user whether its first session attaches to the standing last
+    * session (gap rule) and whether its first turn extends the
+    * standing last turn (same role → n_events/value_fp add, text
+    * concatenates). Old turns flow through one anti-join; touched
+    * turns are |users|-bounded. Must equal [[mergedTurns]] over the
+    * full event set (the q336 gate pins the RENDERED BYTES — q323's
+    * oracle verbatim — so a text-fold bug cannot hide in counts). */
+  def foldTurns(oldTurns: DataFrame, tail: DataFrame,
+                batch: DataFrame): DataFrame = {
+    val bt = mergedTurns(batch)
+    val first = rawTurns(batch).groupBy(col("user_id"))
+      .agg(min(col("t")).as("first_t"))
+    val r1 = bt.filter(col("session_id") === 1L && col("turn_id") === 1L)
+      .select(col("user_id"), col("role").as("__r1"))
+    val j = bt.join(first, Seq("user_id")).join(r1, Seq("user_id"))
+      .join(tail, Seq("user_id"), "left")
+    val attach = col("last_t").isNotNull &&
+      (col("first_t") - col("last_t") <= GapUs)
+    val roleMatch = attach && (col("__r1") === col("last_role"))
+    val base = coalesce(col("last_session"), lit(0L))
+    val sess = when(attach, base + col("session_id") - 1L)
+      .otherwise(base + col("session_id"))
+    val inS1 = col("session_id") === 1L
+    val turn = when(attach && inS1,
+        when(roleMatch, col("last_turn") + col("turn_id") - 1L)
+          .otherwise(col("last_turn") + col("turn_id")))
+      .otherwise(col("turn_id"))
+    val renum = j.select(col("user_id"), sess.as("session_id"),
+      turn.as("turn_id"), col("role"), col("n_events"), col("value_fp"),
+      col("turn_text"),
+      (roleMatch && inS1 && col("turn_id") === 1L).as("__fold"))
+    val folds = renum.filter(col("__fold"))
+      .select(col("user_id"), col("session_id"), col("turn_id"),
+        col("n_events").as("__bn"), col("value_fp").as("__bv"),
+        // strip the '<|role|> ' prefix (len(role)+5 chars) — the old
+        // turn already carries it
+        expr("substring(turn_text, length(role) + 6)").as("__btext"))
+    val key = Seq("user_id", "session_id", "turn_id")
+    val updated = oldTurns.join(folds, key)
+      .select(col("user_id"), col("session_id"), col("turn_id"),
+        col("role"), (col("n_events") + col("__bn")).as("n_events"),
+        (col("value_fp") + col("__bv")).as("value_fp"),
+        concat(col("turn_text"), lit(" "), col("__btext"))
+          .as("turn_text"))
+    oldTurns.join(folds, key, "left_anti")
+      .unionByName(updated)
+      .unionByName(renum.filter(!col("__fold")).drop("__fold"))
+  }
+
   /** Loss-mask spans for packed conversations: conversations pack
     * into fixed-`budget` token sequences ([[Packing.packWithOffsets]]
     * over the sparse composite conv key — the sampled range-bucketing

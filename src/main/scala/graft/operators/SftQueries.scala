@@ -65,6 +65,34 @@ object SftQueries {
       |  string_agg(turn_text, ' ' ORDER BY turn_id) AS rendered
       | FROM turns GROUP BY user_id, session_id)""".stripMargin
 
+  /** PSI input rows (doc_id kept for the incremental split): wave =
+    * (doc_id div 20) % 2 — doc_id % 2 would be vacuous here because
+    * the synthetic source column IS doc_id % 20 (every source would
+    * see exactly one wave); bin = length centile. */
+  private def psiInput(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), col("source"),
+      (expr("doc_id div 20") % 2).as("wave"),
+      least(expr("n_chars div 100"), lit(5L)).as("bin"))
+
+  /** q323's projection of a rendered-conversations frame — shared by
+    * the from-scratch, incremental, and streaming forms so all three
+    * hash against the same oracle. */
+  private def renderOut(rendered: DataFrame): DataFrame =
+    rendered.select(col("user_id"), col("session_id"),
+      length(col("rendered")).cast("long").as("n_chars"),
+      col("n_tokens"), md5(col("rendered")).as("render_md5"))
+
+  /** The 80/20 time split every events-incremental query uses: all
+    * batch events are strictly later than all old events. */
+  private def timeSplit(e: DataFrame): (DataFrame, DataFrame) = {
+    val withT = e.withColumn("__t", expr("ts div 1000"))
+    val mm = withT.agg(min(col("__t")).as("a"), max(col("__t")).as("b"))
+      .head()
+    val thresh = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4 / 5
+    (withT.filter(col("__t") <= thresh).drop("__t"),
+      withT.filter(col("__t") > thresh).drop("__t"))
+  }
+
   val queries: Map[String, Q] = Map(
     // Conversation assembly: sessionize the event log, tag roles,
     // merge consecutive same-role events into turns — the per-
@@ -87,10 +115,43 @@ object SftQueries {
     // compare. Token count is pure integer arithmetic (single-space
     // template: n_events + n_turns).
     "q323_chat_render" -> ((s, d) =>
-      Sft.render(Sft.mergedTurns(ev(s, d)))
-        .select(col("user_id"), col("session_id"),
-          length(col("rendered")).cast("long").as("n_chars"),
-          col("n_tokens"), md5(col("rendered")).as("render_md5"))),
+      renderOut(Sft.render(Sft.mergedTurns(ev(s, d))))),
+    // INCREMENTAL conversation fold: the standing state is the merged
+    // turns + a users-sized tail; a strictly-later batch sessionizes
+    // ALONE and weaves in via the tail join — old events are never
+    // re-windowed, old turns flow through one anti-join. The gate
+    // pins the RENDERED BYTES (q323's oracle verbatim), so a
+    // text-fold bug cannot hide in counts.
+    "q336_sft_incremental" -> ((s, d) => {
+      val (old, batch) = timeSplit(ev(s, d))
+      val (turns, tail) = Sft.turnsState(old)
+      renderOut(Sft.render(Sft.foldTurns(
+        turns.localCheckpoint(true), tail.localCheckpoint(true), batch)))
+    }),
+    // STREAMING conversation sink: five time-sliced micro-batches
+    // fold through StreamingSft (the LEDGER replay class — the fold
+    // extends turn text, so it is NOT idempotent; landed batch ids
+    // ride as in-table sentinels), with batch 2 REDELIVERED after
+    // batch 4 — the ledger must skip it or the replayed text would
+    // double-append. Final render == from-scratch (q323's oracle
+    // VERBATIM).
+    "q340_sft_stream" -> ((s, d) => {
+      val table = "graft_sft_stream_" + math.abs(d.hashCode.toLong)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val e = ev(s, d).withColumn("__t", expr("ts div 1000"))
+      val mm = e.agg(min(col("__t")).as("a"), max(col("__t")).as("b"))
+        .head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / 5 + 1
+      def slice(b: Int) = e.filter(col("__t") >= lo + b * span &&
+        col("__t") < lo + (b + 1) * span).drop("__t")
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingSft.processSftBatch(slice(b), b, table)
+      }
+      graft.streaming.StreamingSft.processSftBatch(slice(2), 2, table)
+      renderOut(Sft.render(
+        graft.streaming.StreamingSft.readTurns(s.table(table))))
+    }),
     // SFT example extraction: kept conversations split into
     // (prompt = all turns but last, target = final assistant turn);
     // both sides' rendered bytes pinned by md5, token counts split
@@ -153,11 +214,24 @@ object SftQueries {
     // floats never cross an aggregation). Wave = (doc_id div 20) % 2
     // — doc_id % 2 would be vacuous here because the synthetic
     // source column IS doc_id % 20 (every source one wave).
-    "q329_psi_drift" -> ((s, d) => Trend.psiDrift(
-      docs(s, d).select(col("source"),
-        (expr("doc_id div 20") % 2).as("wave"),
-        least(expr("n_chars div 100"), lit(5L)).as("bin")),
-      nBins = 6)),
+    "q329_psi_drift" -> ((s, d) =>
+      Trend.psiDrift(psiInput(s, d).drop("doc_id"), nBins = 6)),
+    // INCREMENTAL PSI: the (source, wave, bin) count table is LINEAR
+    // state (the CMS class) — a batch's counts fold by sum and the
+    // PSI recomputes from the folded table. == from-scratch (q329's
+    // oracle verbatim).
+    "q337_psi_incremental" -> ((s, d) => {
+      val in = psiInput(s, d)
+      val maxId = in.agg(max(col("doc_id"))).head().getLong(0)
+      val thresh = maxId * 4 / 5
+      val oldCounts = Trend.binCounts(
+          in.filter(col("doc_id") <= thresh).drop("doc_id"))
+        .localCheckpoint(true)
+      val batchCounts = Trend.binCounts(
+        in.filter(col("doc_id") > thresh).drop("doc_id"))
+      Trend.psiFromCounts(oldCounts.unionByName(batchCounts),
+        nBins = 6)
+    }),
     // NATIVE Catalyst WINDOW function (AggregateWindowFunction — the
     // extension-point class the engine had not yet exercised):
     // integer fixed-point exponentially-decayed running sum per user,
@@ -171,17 +245,60 @@ object SftQueries {
             9L, 10L, Seq(col("user_id")), Seq(col("t"), col("event_id")))
             .as("decayed_fp"))))
 
+  /** q329's oracle — shared verbatim by q337 (the linear count
+    * fold must land on the same PSI table). */
+  private lazy val psiSql: String =
+      """WITH d AS (SELECT source, (doc_id // 20) % 2 AS wave,
+        |  LEAST(n_chars // 100, 5) AS bin FROM documents),
+        |c AS (SELECT source, wave, bin, count(*)::BIGINT AS c
+        |      FROM d GROUP BY 1, 2, 3),
+        |n AS (SELECT source, wave, CAST(sum(c) AS BIGINT) AS n
+        |      FROM c GROUP BY 1, 2),
+        |bins AS (SELECT s.source, b.bin
+        |  FROM (SELECT DISTINCT source FROM d) s,
+        |       (SELECT unnest(generate_series(0, 5)) AS bin) b),
+        |p AS (SELECT bins.source, bins.bin,
+        |  (COALESCE(c0.c, 0) + 1.0) / (n0.n + 6.0) AS pa,
+        |  (COALESCE(c1.c, 0) + 1.0) / (n1.n + 6.0) AS pb
+        | FROM bins
+        | LEFT JOIN c c0 ON c0.source = bins.source AND c0.wave = 0
+        |   AND c0.bin = bins.bin
+        | LEFT JOIN c c1 ON c1.source = bins.source AND c1.wave = 1
+        |   AND c1.bin = bins.bin
+        | JOIN n n0 ON n0.source = bins.source AND n0.wave = 0
+        | JOIN n n1 ON n1.source = bins.source AND n1.wave = 1),
+        |tm AS (SELECT source,
+        |  CAST(round((pa - pb) * ln(pa / pb) * 10000) AS BIGINT)
+        |    AS term_fp FROM p),
+        |nn AS (SELECT source,
+        |  max(CASE WHEN wave = 0 THEN n END) AS n0,
+        |  max(CASE WHEN wave = 1 THEN n END) AS n1
+        | FROM n GROUP BY source)
+        |SELECT nn.source, nn.n0, nn.n1,
+        |  CAST(sum(tm.term_fp) AS BIGINT) AS psi_fp
+        |FROM nn JOIN tm ON tm.source = nn.source
+        |GROUP BY nn.source, nn.n0, nn.n1""".stripMargin
+
+  /** q323's oracle — shared verbatim by q336 (incremental fold) and
+    * q340 (streaming ledger sink): both must reproduce the EXACT
+    * rendered bytes of the from-scratch template. */
+  private lazy val renderSql: String =
+    s"""WITH $turnsCte
+       |SELECT user_id, session_id,
+       |  CAST(length(rendered) AS BIGINT) AS n_chars,
+       |  n_events + n_turns AS n_tokens,
+       |  md5(rendered) AS render_md5 FROM conv""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q322_conversations" ->
       s"""WITH $turnsCte
          |SELECT user_id, session_id, n_events, n_turns, first_role,
          |  last_role, sum_value_fp FROM cst""".stripMargin,
-    "q323_chat_render" ->
-      s"""WITH $turnsCte
-         |SELECT user_id, session_id,
-         |  CAST(length(rendered) AS BIGINT) AS n_chars,
-         |  n_events + n_turns AS n_tokens,
-         |  md5(rendered) AS render_md5 FROM conv""".stripMargin,
+    "q323_chat_render" -> renderSql,
+    // fold == from-scratch, byte for byte
+    "q336_sft_incremental" -> renderSql,
+    // ledger-skipped replay == from-scratch, byte for byte
+    "q340_sft_stream" -> renderSql,
     "q324_sft_examples" ->
       s"""WITH $turnsCte,
          |k AS (SELECT user_id, session_id, n_turns FROM cst
@@ -273,37 +390,9 @@ object SftQueries {
         |  CAST(sum(mx * c - st) AS BIGINT),
         |  CAST(sum(mx * c - st) * 10000 // sum(mx * c) AS BIGINT)
         |FROM pb""".stripMargin,
-    "q329_psi_drift" ->
-      """WITH d AS (SELECT source, (doc_id // 20) % 2 AS wave,
-        |  LEAST(n_chars // 100, 5) AS bin FROM documents),
-        |c AS (SELECT source, wave, bin, count(*)::BIGINT AS c
-        |      FROM d GROUP BY 1, 2, 3),
-        |n AS (SELECT source, wave, CAST(sum(c) AS BIGINT) AS n
-        |      FROM c GROUP BY 1, 2),
-        |bins AS (SELECT s.source, b.bin
-        |  FROM (SELECT DISTINCT source FROM d) s,
-        |       (SELECT unnest(generate_series(0, 5)) AS bin) b),
-        |p AS (SELECT bins.source, bins.bin,
-        |  (COALESCE(c0.c, 0) + 1.0) / (n0.n + 6.0) AS pa,
-        |  (COALESCE(c1.c, 0) + 1.0) / (n1.n + 6.0) AS pb
-        | FROM bins
-        | LEFT JOIN c c0 ON c0.source = bins.source AND c0.wave = 0
-        |   AND c0.bin = bins.bin
-        | LEFT JOIN c c1 ON c1.source = bins.source AND c1.wave = 1
-        |   AND c1.bin = bins.bin
-        | JOIN n n0 ON n0.source = bins.source AND n0.wave = 0
-        | JOIN n n1 ON n1.source = bins.source AND n1.wave = 1),
-        |tm AS (SELECT source,
-        |  CAST(round((pa - pb) * ln(pa / pb) * 10000) AS BIGINT)
-        |    AS term_fp FROM p),
-        |nn AS (SELECT source,
-        |  max(CASE WHEN wave = 0 THEN n END) AS n0,
-        |  max(CASE WHEN wave = 1 THEN n END) AS n1
-        | FROM n GROUP BY source)
-        |SELECT nn.source, nn.n0, nn.n1,
-        |  CAST(sum(tm.term_fp) AS BIGINT) AS psi_fp
-        |FROM nn JOIN tm ON tm.source = nn.source
-        |GROUP BY nn.source, nn.n0, nn.n1""".stripMargin,
+    "q329_psi_drift" -> psiSql,
+    // linear count fold == from-scratch
+    "q337_psi_incremental" -> psiSql,
     "q331_decayed_window" ->
       """WITH RECURSIVE ev AS (SELECT user_id, event_id,
         |  CAST(round(value * 100) AS BIGINT) AS vfp,

@@ -64,14 +64,27 @@ object Trend {
     * key×nBins dense grid built by exploding a bounded literal range
     * — no corpus-sized join anywhere. Output: (key, n0, n1, psi_fp).
     */
-  def psiDrift(df: DataFrame, nBins: Int,
-               keyCol: String = "source"): DataFrame = {
-    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
-    val c = df.groupBy(col(keyCol), col("wave"), col("bin"))
+  /** The (key, wave, bin) count table — [[psiDrift]]'s only state.
+    * LINEAR (the CMS class): batches fold by summed counts, deletes
+    * by subtraction; [[psiFromCounts]] is a pure function of it. */
+  def binCounts(df: DataFrame, keyCol: String = "source"): DataFrame =
+    df.groupBy(col(keyCol), col("wave"), col("bin"))
       .agg(count(lit(1)).as("__c"))
+
+  def psiDrift(df: DataFrame, nBins: Int,
+               keyCol: String = "source"): DataFrame =
+    psiFromCounts(binCounts(df, keyCol), nBins, keyCol)
+
+  /** PSI from a standing [[binCounts]] table (rows may carry merged
+    * counts — only the sums matter). */
+  def psiFromCounts(counts: DataFrame, nBins: Int,
+                    keyCol: String = "source"): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val c = counts.groupBy(col(keyCol), col("wave"), col("bin"))
+      .agg(sum(col("__c")).as("__c"))
     val n = c.groupBy(col(keyCol), col("wave"))
       .agg(sum(col("__c")).cast("long").as("__n"))
-    val grid = df.select(col(keyCol)).distinct()
+    val grid = c.select(col(keyCol)).distinct()
       .select(col(keyCol),
         explode(lit((0L until nBins.toLong).toArray)).as("bin"))
     val side = (w: Int, cn: String, nn: String) => grid

@@ -122,6 +122,79 @@ class LakehouseSpec extends AnyFunSuite {
     assert(parsed == "say \"hi\" \\ bye")
   }
 
+  test("compactStore rewrites only fragmented buckets: they collapse " +
+    "to one part file, already-compact buckets keep bytes and mtimes, " +
+    "content is preserved; a second compact is a no-op") {
+    val path = freshDir("graft_cspec")
+    // bucket = id % 4; base write covers all buckets, append touches
+    // only buckets 0 and 1 (ids 8, 9) -> exactly those fragment
+    Lakehouse.writeStore(docsDf(0L until 8L), "doc_id", path, buckets = 4)
+    Lakehouse.appendStore(docsDf(Seq(8L, 9L)), "doc_id", path,
+      buckets = 4)
+    val before = partFiles(path)
+    val (touched, rewritten) = Lakehouse.compactStore(spark, path,
+      "doc_id")
+    assert(touched == 2L && rewritten == 2L)
+    val after = partFiles(path)
+    // compacted buckets: exactly one part file each
+    Seq("bucket=0", "bucket=1").foreach { b =>
+      assert(after.keys.count(_.startsWith(b)) == 1, b)
+    }
+    // untouched buckets byte-and-mtime identical
+    before.keys.filter(f => f.startsWith("bucket=2") ||
+      f.startsWith("bucket=3")).foreach { f =>
+      assert(after(f) == before(f), f)
+    }
+    // content preserved
+    val got = spark.read.parquet(path).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (0L to 9L).toSeq)
+    // idempotent: nothing left to compact
+    assert(Lakehouse.compactStore(spark, path, "doc_id") == ((0L, 0L)))
+    assert(partFiles(path) == after)
+  }
+
+  test("readJsonl parses the export back to the exact source rows") {
+    val path = freshDir("graft_rjspec")
+    val src = docsDf(0L until 25L)
+    Lakehouse.writeJsonl(src, path, budgetBytes = 400L)
+    val got = Lakehouse.readJsonl(spark, path)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    val exp = src.withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == exp.toSeq)
+  }
+
+  test("StreamingSft ledger skips a redelivered batch id; the same " +
+    "slice under a FRESH id double-appends (the negative control " +
+    "that proves the ledger is load-bearing)") {
+    import graft.streaming.StreamingSft
+    def ev(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+        .select(col("event_id"), (col("sec") * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    val b0 = ev(Seq((1L, 0L, 1L, "purchase", 1.0)))
+    val b1 = ev(Seq((2L, 10L, 1L, "purchase", 2.0)))
+    def run(table: String, replayId: Long): String = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      StreamingSft.processSftBatch(b0, 0L, table)
+      StreamingSft.processSftBatch(b1, 1L, table)
+      StreamingSft.processSftBatch(b1, replayId, table)
+      StreamingSft.readTurns(spark.table(table))
+        .select("turn_text").as[String].head()
+    }
+    // same id -> ledger skip -> the correct single append
+    assert(run("graft_sft_led_ok", 1L) ==
+      "<|assistant|> purchase#100 purchase#200")
+    // fresh id -> the ledger CANNOT know -> double append (corrupt):
+    // this is exactly the failure an idempotent fold would not have,
+    // and why this sink is ledger-class
+    assert(run("graft_sft_led_bad", 2L) ==
+      "<|assistant|> purchase#100 purchase#200 purchase#200")
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10

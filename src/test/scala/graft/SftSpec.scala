@@ -110,6 +110,48 @@ class SftSpec extends AnyFunSuite {
     assert(spans.map(_._4).sum == asst)
   }
 
+  test("foldTurns: chained folds == from-scratch across every weave " +
+    "shape — turn extension, new turn in attached session, fresh " +
+    "session, brand-new user") {
+    val all = events(Seq(
+      // user 1: old ends with an assistant turn; batch1 starts
+      // assistant within gap -> TURN EXTENSION; batch2 starts user
+      // within gap -> new turn in the same session
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "purchase", 2.0),
+      (3L, 1100L, 1L, "error", 3.0),
+      (4L, 2200L, 1L, "view", 4.0),
+      // user 2: batch1 arrives after a >30min gap -> fresh session
+      (5L, 0L, 2L, "click", 1.0),
+      (6L, 3000L, 2L, "view", 5.0),
+      // user 3 appears only in batch2 -> brand-new user
+      (7L, 2300L, 3L, "signup", 6.0)))
+    def t(e: org.apache.spark.sql.DataFrame) = e.withColumn("__s",
+      expr("ts div 1000000000"))
+    val (b0, b1, b2) = (t(all).filter(col("__s") <= 1000L).drop("__s"),
+      t(all).filter(col("__s") > 1000L && col("__s") <= 2100L).drop("__s"),
+      t(all).filter(col("__s") > 2100L).drop("__s"))
+    val (turns0, tail0) = Sft.turnsState(b0)
+    val f1 = Sft.foldTurns(turns0, tail0, b1)
+    val lastT1 = Sft.rawTurns(b0.unionByName(b1))
+      .groupBy(col("user_id")).agg(max(col("t")).as("last_t"))
+    val f2 = Sft.foldTurns(f1, Sft.tailOf(f1, lastT1), b2)
+    val key = (r: (Long, Long, Long, String, Long, Long, String)) =>
+      (r._1, r._2, r._3)
+    val got = f2.select("user_id", "session_id", "turn_id", "role",
+        "n_events", "value_fp", "turn_text")
+      .as[(Long, Long, Long, String, Long, Long, String)]
+      .collect().sortBy(key).toSeq
+    val exp = Sft.mergedTurns(all).select("user_id", "session_id",
+        "turn_id", "role", "n_events", "value_fp", "turn_text")
+      .as[(Long, Long, Long, String, Long, Long, String)]
+      .collect().sortBy(key).toSeq
+    assert(got == exp)
+    // the extension really happened: user 1 session 1 has an
+    // assistant turn holding BOTH purchase and error events
+    assert(exp.exists(r => r._1 == 1L && r._4 == "assistant" &&
+      r._5 == 2L && r._7.contains("purchase#200 error#300")))
+  }
+
   test("DecayedSumFixed == the naive per-step truncating recurrence; " +
     "partitions are independent") {
     val rows = Seq((1L, 1L, 17L), (1L, 2L, 100L), (1L, 3L, 3L),
