@@ -413,6 +413,29 @@ object BpeQueries {
         size(toks).cast("long").as("n_tokens"),
         array_join(toks, " ").as("toks"))
     }),
+    // THE PIPELINE BRIDGE: conversations → chat render → byte-BPE
+    // with ROLE-TAG SPECIALS → loss-mask packing in REAL token space.
+    // Per-turn token counts come from the byte-level kernel with
+    // '<|user|>'/'<|assistant|>' atomic (1 token each, never
+    // decomposed to bytes; merges trained on documents — the
+    // tokenizer reuse a post-training pipeline actually does), then
+    // the q327 span arithmetic runs on those counts: span = the
+    // assistant turn's CONTENT tokens at its packed offset. The
+    // oracle re-derives every count with the composed per-word CASE
+    // chain over the rendered turn text, plus both prefix-sum layers.
+    "q342_sft_token_pack" -> ((s, d) => {
+      val turns = Sft.mergedTurns(graft.Tables.t(s, d, "events"))
+      val counted = turns.withColumn("n_tok",
+        size(TextFunctions.bpeEncode(col("turn_text"), bytesMerges(s, d),
+          byteLevel = true, specials = Seq("<|user|>", "<|assistant|>")))
+          .cast("long"))
+      // lossMaskSpans treats n_events as "content tokens" (+1 tag):
+      // substitute the BPE content count — identical span arithmetic,
+      // real tokenizer units
+      Sft.lossMaskSpans(
+        counted.withColumn("n_events", col("n_tok") - 1L),
+        col("user_id") * 1000000L + col("session_id"), budget = 256L)
+    }),
     // The TRUE BPE id space — base symbols then merge outputs in rank
     // order (the GPT-2 vocab-file layout), vs q122's corpus-frequency
     // vocab. This is the artifact a trainer's embedding table indexes.
@@ -1155,6 +1178,24 @@ object BpeQueries {
     s"regexp_split_to_array(trim($chain), ' {2,}')"
   }
 
+  /** [[encodeExprBytes]] generalized to a special-token SET (the chat
+    * role tags): any listed word passes through verbatim as one
+    * symbol. */
+  private def encodeExprBytesMulti(rounds: Int, specials: Seq[String],
+                                   textCol: String): String = {
+    val inList = specials.map(sp => s"'$sp'").mkString(", ")
+    val spacedDoc =
+      s"""array_to_string([CASE WHEN w IN ($inList) THEN ' ' || w || ' '
+         |  ELSE regexp_replace(hex(w), '(..)', ' \\1 ', 'g') END
+         |  FOR w IN string_split($textCol, ' ') IF len(w) > 0], ' ')"""
+        .stripMargin.replace("\n", " ")
+    val chain = (0 until rounds).foldLeft(spacedDoc) { (e, r) =>
+      s"replace($e, ' '||(SELECT a FROM b$r)||'  '||(SELECT b FROM b$r)||' ', " +
+        s"' '||(SELECT a||b FROM b$r)||' ')"
+    }
+    s"regexp_split_to_array(trim($chain), ' {2,}')"
+  }
+
   /** [[encodeExprBytes]] with PRESERVED SPACES: word groups join with
     * the space byte as its own symbol (`' 20 '` — single-space-framed,
     * so adjacent symbols stay double-space separated), making the
@@ -1724,6 +1765,38 @@ object BpeQueries {
     "q119_bpe_incremental" -> mergesSql,
     "q114_bpe_encode" -> encodeSql,
     "q120_bpe_encode_saved" -> encodeSql,
+    // conversations rendered (SftQueries' turnsCte), per-turn counts
+    // from the byte-mode composed encode with BOTH role-tag specials,
+    // then the q327 two-layer prefix-sum span arithmetic at budget 256
+    "q342_sft_token_pack" ->
+      s"""WITH ${trainingCtes(NumMerges, bytesWordSql)},
+         |${SftQueries.turnsCte},
+         |tt AS (SELECT user_id, session_id, turn_id, role,
+         |  len(${encodeExprBytesMulti(NumMerges,
+               Seq("<|user|>", "<|assistant|>"), "turn_text")})::BIGINT
+         |    AS n_tok
+         | FROM turns),
+         |ck AS (SELECT user_id * 1000000 + session_id AS conv_key,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tt GROUP BY 1),
+         |pk AS (SELECT conv_key,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY conv_key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM ck),
+         |pos AS (SELECT conv_key, CAST(pstart // 256 AS BIGINT)
+         |    AS seq_id,
+         |  CAST(pstart % 256 AS BIGINT) AS "offset" FROM pk),
+         |ts2 AS (SELECT user_id * 1000000 + session_id AS conv_key,
+         |  turn_id, role, n_tok,
+         |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY user_id,
+         |    session_id ORDER BY turn_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS tstart
+         | FROM tt)
+         |SELECT t.conv_key, t.turn_id, p.seq_id,
+         |  p."offset" + t.tstart + 1 AS span_start,
+         |  t.n_tok - 1 AS span_len
+         |FROM ts2 t JOIN pos p USING (conv_key)
+         |WHERE t.role = 'assistant'""".stripMargin,
     "q132_bpe_vocab" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |${vocabCtes(NumMerges)}

@@ -125,6 +125,28 @@ object LakehouseQueries {
           lit(touched).as("compacted_buckets"),
           lit(rewritten).as("rewritten_buckets")))
     }),
+    // SCHEMA EVOLUTION on append: a later ingest batch carries a NEW
+    // column (quality); mergeSchema reads the union schema with nulls
+    // for pre-evolution rows — the report distinguishes them, so the
+    // gate pins both the widened schema and the null boundary.
+    "q343_schema_evolution" -> ((s, d) => {
+      val path = tmp("graft_mevolve_", d)
+      val base = docs(s, d)
+      val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+      val thresh = maxId * 4 / 5
+      Lakehouse.writeStore(base.filter(col("doc_id") <= thresh),
+        "doc_id", path, buckets = 16)
+      Lakehouse.appendStore(
+        base.filter(col("doc_id") > thresh)
+          .withColumn("quality", col("n_chars") % 5),
+        "doc_id", path, buckets = 16)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          coalesce(sum(col("quality")), lit(0L)).cast("long")
+            .as("sum_quality"))
+    }),
     // MERGE INTO a keyed bucketed store: one batch of deletes +
     // updates + inserts; only buckets holding a batch key (or
     // receiving an upsert) rewrite — measured touched/rewritten
@@ -170,6 +192,14 @@ object LakehouseQueries {
     "q333_jsonl_append" -> jsonlSql,
     "q338_jsonl_import" ->
       "SELECT doc_id, lang, source, text, n_chars FROM documents",
+    "q343_schema_evolution" ->
+      """WITH th AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
+        |q AS (SELECT source, CASE WHEN doc_id > (SELECT t FROM th)
+        |        THEN n_chars % 5 END AS quality FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  count(quality)::BIGINT AS n_with_quality,
+        |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
+        |FROM q GROUP BY source""".stripMargin,
     "q339_store_compact" ->
       """WITH th AS (SELECT max(doc_id) * 3 // 5 AS t1,
         |  max(doc_id) * 4 // 5 AS t2 FROM documents),

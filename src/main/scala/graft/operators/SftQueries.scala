@@ -25,7 +25,7 @@ object SftQueries {
     * merged turns (gaps-and-islands on role) with rendered per-turn
     * text. Mirrors [[Sft.rawTurns]] + [[Sft.mergedTurns]] exactly —
     * single-space joins, `<|role|>` tags, (t, event_id) order. */
-  private val turnsCte: String =
+  private[operators] val turnsCte: String =
     """raw AS (SELECT user_id, epoch_us(ts) AS t, event_id,
       |  CASE WHEN event_type IN ('click','view') THEN 'user'
       |       ELSE 'assistant' END AS role,

@@ -364,6 +364,21 @@ object TemporalQueries {
       t(s, d, "events")
         .groupBy(expr("ts div 600000000000").as("bucket"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))),
+    // SLIDING (hopping) windows — q29's tumbling bucket generalized to
+    // overlap: 10-minute windows every 5 minutes via Spark's native
+    // window() generator (each event fans out to size/slide = 2
+    // windows; epoch-aligned starts). The oracle reproduces the
+    // fan-out as a 2-way shifted-bucket union. Sums in fixed point.
+    "q341_sliding_window" -> ((s, d) =>
+      t(s, d, "events")
+        .withColumn("tm", timestamp_micros(expr("ts div 1000")))
+        .groupBy(window(col("tm"), "10 minutes", "5 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("total_fp"))
+        .select(unix_micros(col("window.start")).as("ws"),
+          unix_micros(col("window.end")).as("we"),
+          col("event_type"), col("n"), col("total_fp"))),
     // Range (interval) join: clicks falling inside [purchase, +10min]
     // windows of the same user. Spark plans a naive time-inequality
     // join as BroadcastNestedLoop — quadratic; instead intervals and
@@ -839,6 +854,19 @@ object TemporalQueries {
         |            THEN v0 + (v1 - v0) * ((t - t0) / (t1 - t0))
         |            WHEN v0 IS NOT NULL THEN v0 ELSE v1 END, 4) AS value_interp
         |FROM w WHERE event_type = 'click'""".stripMargin,
+    "q341_sliding_window" ->
+      """WITH w1 AS (
+        |  SELECT epoch_us(ts) // 300000000 * 300000000 AS ws,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS vfp
+        |  FROM events
+        |  UNION ALL
+        |  SELECT (epoch_us(ts) // 300000000 - 1) * 300000000,
+        |    event_type, CAST(round(value * 100) AS BIGINT)
+        |  FROM events)
+        |SELECT CAST(ws AS BIGINT) AS ws,
+        |  CAST(ws + 600000000 AS BIGINT) AS we, event_type,
+        |  count(*)::BIGINT AS n, CAST(sum(vfp) AS BIGINT) AS total_fp
+        |FROM w1 GROUP BY ws, event_type""".stripMargin,
     "q29_window_agg" ->
       """SELECT epoch_ns(ts) // 600000000000 AS bucket, event_type,
         | count(*) AS n, round(sum(value), 2) AS total

@@ -266,4 +266,38 @@ class PlanSpec extends AnyFunSuite {
     assert(up2.contains("documents.parquet"), up2.take(2000))
     assert(!up2.contains("graft_rollup_"), up2.take(2000))
   }
+
+  test("q328: both batch-plan policies rank via the two-phase prefix " +
+    "count — no global one-task sort of the corpus") {
+    val p = plan("q328_padding_plan")
+    val globalSorts = p.linesIterator.filter(l =>
+      l.contains("Sort [") && l.contains("], true,")).toSeq
+    assert(globalSorts.isEmpty,
+      s"padding plan sorts globally:\n${globalSorts.mkString("\n")}")
+  }
+
+  test("q331: the native decayed-sum window runs as one Window over " +
+    "one key exchange — no join, no extra shuffle") {
+    val p = plan("q331_decayed_window")
+    assert(p.contains("Window"), p.take(2000))
+    assert(p.contains("decayed_sum_fixed"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    // count in the FINAL plan only — AQE's toString repeats the tree
+    // under "== Initial Plan ==", double-counting every exchange
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = finalPlan.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 1, s"$exchanges exchanges\n${finalPlan.take(3000)}")
+  }
+
+  test("q322/q323: conversation assembly is window+agg per user — " +
+    "no global sort, no join in the assembly path") {
+    Seq("q322_conversations", "q323_chat_render").foreach { q =>
+      val p = plan(q)
+      val globalSorts = p.linesIterator.filter(l =>
+        l.contains("Sort [") && l.contains("], true,")).toSeq
+      assert(globalSorts.isEmpty,
+        s"$q sorts globally:\n${globalSorts.mkString("\n")}")
+      assert(!p.contains("Join"), s"$q joins:\n${p.take(2000)}")
+    }
+  }
 }
