@@ -156,6 +156,25 @@ object Sft {
         col("__r.value_fp").as("rejected_fp"),
         (col("__c.value_fp") - col("__r.value_fp")).as("margin_fp"))
 
+  /** Per-turn TIME bounds — (user_id, session_id, turn_id, role, t0 =
+    * first event µs, t1 = last event µs), same windows as
+    * [[mergedTurns]] but kept separate so the text-fold state stays
+    * minimal. Feeds response-latency analytics (assistant t0 minus
+    * the preceding turn's t1). */
+  def turnTimes(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("session_id"))
+      .orderBy(col("t"), col("event_id"))
+    rawTurns(events)
+      .withColumn("__rc",
+        when(lag(col("role"), 1).over(w).isNull ||
+          lag(col("role"), 1).over(w) =!= col("role"), 1L).otherwise(0L))
+      .withColumn("turn_id",
+        sum(col("__rc")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"), col("turn_id"),
+        col("role"))
+      .agg(min(col("t")).as("t0"), max(col("t")).as("t1"))
+  }
+
   // -------------------------------------------------- incremental
 
   /** Conversation-tail summary per user: where the user's LAST

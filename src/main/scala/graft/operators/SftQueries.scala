@@ -51,6 +51,7 @@ object SftQueries {
       |turns AS (SELECT user_id, session_id, turn_id, role,
       |  count(*)::BIGINT AS n_events,
       |  CAST(sum(value_fp) AS BIGINT) AS value_fp,
+      |  CAST(min(t) AS BIGINT) AS t0, CAST(max(t) AS BIGINT) AS t1,
       |  '<|' || role || '|> ' ||
       |    string_agg(content, ' ' ORDER BY t, event_id) AS turn_text
       | FROM tid GROUP BY user_id, session_id, turn_id, role),
@@ -178,6 +179,25 @@ object SftQueries {
     "q327_loss_mask_pack" -> ((s, d) =>
       Sft.lossMaskSpans(Sft.mergedTurns(ev(s, d)),
         col("user_id") * 1000000L + col("session_id"), budget = 128L)),
+    // RESPONSE-LATENCY profile: per conversation, how long the
+    // assistant side took to respond (assistant turn's first event
+    // minus the preceding turn's last event — merged turns alternate,
+    // so the predecessor is always the user side). The dialog-quality
+    // signal timing-based SFT filters cut on. Pure per-conversation
+    // window arithmetic in µs integers.
+    "q344_response_latency" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("turn_id"))
+      Sft.turnTimes(ev(s, d))
+        .withColumn("__pt1", lag(col("t1"), 1).over(w))
+        .filter(col("role") === "assistant" && col("__pt1").isNotNull)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("t0") - col("__pt1")).cast("long")
+            .as("sum_latency_us"),
+          max(col("t0") - col("__pt1")).cast("long")
+            .as("max_latency_us"))
+    }),
     // Padding-efficiency batch plan: fixed-size batches (B=8) under
     // arrival order vs length-sorted order, total pad tokens and
     // pad basis points per policy — the report that justifies
@@ -365,6 +385,16 @@ object SftQueries {
          |  t.n_events AS span_len
          |FROM ts2 t JOIN pos p USING (conv_key)
          |WHERE t.role = 'assistant'""".stripMargin,
+    "q344_response_latency" ->
+      s"""WITH $turnsCte,
+         |lg AS (SELECT user_id, session_id, turn_id, role, t0,
+         |  lag(t1) OVER (PARTITION BY user_id, session_id
+         |    ORDER BY turn_id) AS pt1 FROM turns)
+         |SELECT user_id, session_id, count(*)::BIGINT AS n_pairs,
+         |  CAST(sum(t0 - pt1) AS BIGINT) AS sum_latency_us,
+         |  CAST(max(t0 - pt1) AS BIGINT) AS max_latency_us
+         |FROM lg WHERE role = 'assistant' AND pt1 IS NOT NULL
+         |GROUP BY user_id, session_id""".stripMargin,
     "q328_padding_plan" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(length(text) - length(replace(text, ' ', '')) + 1

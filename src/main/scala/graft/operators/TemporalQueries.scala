@@ -379,6 +379,49 @@ object TemporalQueries {
         .select(unix_micros(col("window.start")).as("ws"),
           unix_micros(col("window.end")).as("we"),
           col("event_type"), col("n"), col("total_fp"))),
+    // LATENESS AUDIT — the watermark design table: under a given
+    // arrival order, how many events would a delay-W watermark drop
+    // (event time behind the max already seen). The synthetic table
+    // is stored in perfect event-time order, so the arrival sequence
+    // is the portable 48-bit hash permutation of event_id (a
+    // deterministic stand-in for network arrival). The running max
+    // over arrival order is TWO-PHASE like the prefix sums: 64
+    // hash-range buckets → per-bucket maxima prefix-maxed on the
+    // bounded side, the corpus-sized window only partitions by
+    // bucket. Never a global single-task sort.
+    "q345_lateness_audit" -> ((s, d) => {
+      val uP = org.apache.spark.sql.expressions.Window.unboundedPreceding
+      val e = t(s, d, "events").select(col("event_id"), col("ts"))
+        .withColumn("h",
+          expr("conv(substr(md5(cast(event_id as string)),1,12),16,10)")
+            .cast("long"))
+        .withColumn("bucket", expr("h div 68719476736")) // 2^36: 4096 buckets
+      val bmax = e.groupBy(col("bucket")).agg(max(col("ts")).as("bm"))
+      val wB = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket")).rowsBetween(uP, -1)
+      val pre = bmax // bounded: <= 4096 rows through the one-task window
+        .withColumn("pm", max(col("bm")).over(wB))
+        .select(col("bucket"), col("pm"))
+      val wIn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("h"), col("event_id"))
+        .rowsBetween(uP, -1)
+      val lat = e.join(broadcast(pre), Seq("bucket"))
+        .withColumn("prev", greatest(coalesce(col("pm"), lit(0L)),
+          coalesce(max(col("ts")).over(wIn), lit(0L))))
+        .withColumn("late_us",
+          greatest(lit(0L), expr("(prev - ts) div 1000")))
+        .localCheckpoint(true) // three threshold scans share one pass
+      val day = 86400L * 1000000
+      Seq(day, 7 * day, 30 * day).map { w0 =>
+        lat.agg(
+            sum(when(col("late_us") > w0, 1L).otherwise(0L))
+              .cast("long").as("n_dropped"),
+            count(lit(1)).as("n_total"))
+          .select(lit(w0).as("w_us"), col("n_dropped"),
+            expr("n_dropped * 10000 div n_total").cast("long")
+              .as("drop_bp"))
+      }.reduce(_ unionByName _)
+    }),
     // Range (interval) join: clicks falling inside [purchase, +10min]
     // windows of the same user. Spark plans a naive time-inequality
     // join as BroadcastNestedLoop — quadratic; instead intervals and
@@ -854,6 +897,27 @@ object TemporalQueries {
         |            THEN v0 + (v1 - v0) * ((t - t0) / (t1 - t0))
         |            WHEN v0 IS NOT NULL THEN v0 ELSE v1 END, 4) AS value_interp
         |FROM w WHERE event_type = 'click'""".stripMargin,
+    "q345_lateness_audit" ->
+      """WITH a AS (SELECT event_id, epoch_us(ts) AS t,
+        |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+        |    ::BIGINT AS h
+        | FROM events),
+        |lm AS (SELECT t, max(t) OVER (ORDER BY h, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        | FROM a),
+        |lt AS (SELECT GREATEST(0, COALESCE(pm - t, 0)) AS late FROM lm),
+        |tot AS (SELECT count(*)::BIGINT AS n FROM lt)
+        |SELECT w_us, n_dropped,
+        |  CAST(n_dropped * 10000 // n AS BIGINT) AS drop_bp
+        |FROM (
+        |  SELECT CAST(86400000000 AS BIGINT) AS w_us,
+        |    count(*) FILTER (WHERE late > 86400000000)::BIGINT
+        |      AS n_dropped FROM lt
+        |  UNION ALL SELECT 604800000000,
+        |    count(*) FILTER (WHERE late > 604800000000) FROM lt
+        |  UNION ALL SELECT 2592000000000,
+        |    count(*) FILTER (WHERE late > 2592000000000) FROM lt) x, tot"""
+        .stripMargin,
     "q341_sliding_window" ->
       """WITH w1 AS (
         |  SELECT epoch_us(ts) // 300000000 * 300000000 AS ws,

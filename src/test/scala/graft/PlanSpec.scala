@@ -289,6 +289,45 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"$exchanges exchanges\n${finalPlan.take(3000)}")
   }
 
+  test("q345: the lateness running max never sorts the corpus " +
+    "globally — the per-bucket window partitions by bucket") {
+    // the gated query localCheckpoints the lateness frame (three
+    // threshold scans share one pass), which hides its stage from the
+    // final plan — pin the UNCHECKPOINTED running-max frame directly
+    import org.apache.spark.sql.functions._
+    val uP = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val e = graft.Tables.t(spark, sf, "events")
+      .select(col("event_id"), col("ts"))
+      .withColumn("h",
+        expr("conv(substr(md5(cast(event_id as string)),1,12),16,10)")
+          .cast("long"))
+      .withColumn("bucket", expr("h div 68719476736"))
+    val bmax = e.groupBy(col("bucket")).agg(max(col("ts")).as("bm"))
+    val pre = bmax.withColumn("pm", max(col("bm")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+          .rowsBetween(uP, -1)))
+      .select(col("bucket"), col("pm"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("h"), col("event_id"))
+      .rowsBetween(uP, -1)
+    val lat = e.join(broadcast(pre), Seq("bucket"))
+      .withColumn("prev", greatest(coalesce(col("pm"), lit(0L)),
+        coalesce(max(col("ts")).over(wIn), lit(0L))))
+    lat.collect()
+    val p = lat.queryExecution.executedPlan.toString
+    val globalSorts = p.linesIterator.filter(l =>
+      l.contains("Sort [") && l.contains("], true,")).toSeq
+    assert(globalSorts.isEmpty,
+      s"running max sorts globally:\n${globalSorts.mkString("\n")}")
+    // the corpus-side window partitions by bucket; the only
+    // SinglePartition exchange feeds the <=4096-row bucket-maxima
+    // window (its input is the per-bucket AGGREGATE, never the corpus)
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val corpusWindow = finalPlan.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("windowspecdefinition(bucket"))
+    assert(corpusWindow, s"per-bucket window missing\n${finalPlan.take(3000)}")
+  }
+
   test("q322/q323: conversation assembly is window+agg per user — " +
     "no global sort, no join in the assembly path") {
     Seq("q322_conversations", "q323_chat_render").foreach { q =>
