@@ -255,6 +255,43 @@ object Graph {
     * `row_number() OVER (ORDER BY c DESC, lab ASC) = 1` total order.
     * Input: unique undirected pairs (id_a, id_b). Output: (n, lab).
     */
+  /** Community-quality report over a labeling: per community its
+    * size, intra-community edge count, degree mass, and the EXACT
+    * integer modularity numerator `4m·L_c − D_c²` (modularity Q =
+    * Σ_c num_c / 4m² — the division never happens, so negative
+    * numerators cannot hit the floor-vs-trunc cross-engine trap; the
+    * `lab = −1` total row carries Σ num_c and the denominator facts
+    * m, 2m). Scale shape: one degree agg, two label joins keyed on
+    * node, one group per side — never an all-pairs anything. */
+  def modularityReport(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val ed = pairs.select(col("id_a").as("a"), col("id_b").as("b"))
+      .distinct().localCheckpoint(true)
+    val m = ed.count()
+    val deg = ed.select(col("a").as("n"))
+      .unionByName(ed.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val dc = labels.join(deg, Seq("n"))
+      .groupBy(col("lab"))
+      .agg(count(lit(1)).as("size"), sum(col("dg")).as("deg_sum"))
+    val la = labels.select(col("n").as("a"), col("lab"))
+    val lb = labels.select(col("n").as("b"), col("lab").as("__lb"))
+    val lc = ed.join(la, Seq("a")).join(lb, Seq("b"))
+      .filter(col("lab") === col("__lb"))
+      .groupBy(col("lab")).agg(count(lit(1)).as("intra"))
+    val per = dc.join(lc, Seq("lab"), "left")
+      .select(col("lab"), col("size"),
+        coalesce(col("intra"), lit(0L)).as("intra_edges"),
+        col("deg_sum").cast("long").as("deg_sum"),
+        (lit(4L * m) * coalesce(col("intra"), lit(0L)) -
+          col("deg_sum") * col("deg_sum")).cast("long").as("num_fp"))
+    per.unionByName(
+      per.agg(sum(col("size")).cast("long").as("size"),
+          sum(col("num_fp")).cast("long").as("num_fp"))
+        .select(lit(-1L).as("lab"), col("size"),
+          lit(m).as("intra_edges"), lit(2L * m).as("deg_sum"),
+          col("num_fp")))
+  }
+
   def labelPropagation(pairs: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val edges = pairs.select(col("id_a").as("a"), col("id_b").as("b"))

@@ -51,14 +51,22 @@ object Lakehouse {
     * batches. */
   def writeJsonl(docs: DataFrame, path: String, budgetBytes: Long,
                  byteOffset: Long = 0L,
+                 mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeLines(jsonLines(docs), "doc_id", path, budgetBytes,
+      byteOffset, mode)
+
+  /** The generic text-shard writer under [[writeJsonl]]: any
+    * (keyCol, line, n_bytes) frame lands as `path/shard=N` text files
+    * with the byte-budget prefix-sum layout, lines in key order. */
+  def writeLines(lines: DataFrame, keyCol: String, path: String,
+                 budgetBytes: Long, byteOffset: Long = 0L,
                  mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val lines = jsonLines(docs)
-    val sharded = Packing.packByBudget(lines, "doc_id", "n_bytes",
+    val sharded = Packing.packByBudget(lines, keyCol, "n_bytes",
         budgetBytes, byteOffset)
-      .select(col("doc_id"), col("seq_id").as("shard"))
-      .join(lines, Seq("doc_id"))
+      .select(col(keyCol), col("seq_id").as("shard"))
+      .join(lines, Seq(keyCol))
     sharded.repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
       .select(col("shard"), col("line"))
       .write.mode(mode).partitionBy("shard").text(path)
   }
@@ -218,6 +226,33 @@ object Lakehouse {
       }
     }
     (touched.size.toLong, (written.size + emptied.size).toLong)
+  }
+
+  /** [[mergeInto]] with an AUDIT CHANGELOG: the batch is classified
+    * against the current store (updates = upsert keys present,
+    * inserts = absent; deletes split into applied and no-op the same
+    * way), the merge applies, and ONE row appends to `logPath` —
+    * (version, n_updates, n_inserts, n_deletes, n_noop_deletes,
+    * touched_buckets). The log is the table's lineage: append-only,
+    * one row per merge, reconstructible from the batch definitions
+    * (which is exactly what the oracle does). */
+  def mergeIntoLogged(spark: SparkSession, path: String, logPath: String,
+                      version: Long, batch: DataFrame, key: String,
+                      buckets: Int): Unit = {
+    val keysInStore = spark.read.parquet(path).select(col(key)).distinct()
+      .localCheckpoint(true) // classify against the PRE-merge store
+    val ups = batch.filter(col("op") === "U").select(col(key)).distinct()
+    val dels = batch.filter(col("op") === "D").select(col(key)).distinct()
+    val nUpd = ups.join(keysInStore, Seq(key), "left_semi").count()
+    val nIns = ups.join(keysInStore, Seq(key), "left_anti").count()
+    val nDel = dels.join(keysInStore, Seq(key), "left_semi").count()
+    val nNoop = dels.join(keysInStore, Seq(key), "left_anti").count()
+    val (touched, _) = mergeInto(spark, path, batch, key, buckets)
+    spark.range(1).select(lit(version).as("version"),
+        lit(nUpd).as("n_updates"), lit(nIns).as("n_inserts"),
+        lit(nDel).as("n_deletes"), lit(nNoop).as("n_noop_deletes"),
+        lit(touched).as("touched_buckets"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(logPath)
   }
 
   /** Per-bucket content manifest of a store: row count, char mass,

@@ -125,6 +125,85 @@ object LakehouseQueries {
           lit(touched).as("compacted_buckets"),
           lit(rewritten).as("rewritten_buckets")))
     }),
+    // SFT TRAINING ARTIFACT: the kept conversations' (prompt, target)
+    // pairs exported as JSONL shards — the physical file a
+    // fine-tuning job mounts. Lines carry the RAW rendered texts
+    // (q324 pins their md5s; here the bytes themselves go to disk),
+    // sharded by the byte-budget prefix sum; the manifest hashes the
+    // read-back files in conversation-key order against a pure-SQL
+    // reconstruction.
+    "q347_sft_export" -> ((s, d) => {
+      val path = tmp("graft_sftexp_", d)
+      val turns = Sft.mergedTurns(t(s, d, "events"))
+      val kept = Sft.ledger(turns).filter(col("verdict") === "kept")
+        .select(col("user_id"), col("session_id"), col("n_turns"))
+      val ex = turns.join(kept, Seq("user_id", "session_id"))
+        .groupBy(col("user_id"), col("session_id"), col("n_turns"))
+        .agg(
+          array_join(transform(
+            sort_array(collect_list(when(col("turn_id") < col("n_turns"),
+              struct(col("turn_id"), col("turn_text"))))),
+            x => x.getField("turn_text")), " ").as("prompt"),
+          max(when(col("turn_id") === col("n_turns"), col("turn_text")))
+            .as("target"))
+      val esc = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(c, "([\"\\\\])", "\\\\$1")
+      val lines = ex.select(
+          (col("user_id") * 1000000L + col("session_id")).as("ck"),
+          concat(lit("{\"uid\":"), col("user_id"),
+            lit(",\"sid\":"), col("session_id"),
+            lit(",\"prompt\":\""), esc(col("prompt")),
+            lit("\",\"target\":\""), esc(col("target")), lit("\"}"))
+            .as("line"))
+        .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
+      Lakehouse.writeLines(lines, "ck", path, budgetBytes = 2048L)
+      s.read.text(path)
+        .select(col("shard").cast("long").as("shard_id"),
+          (get_json_object(col("value"), "$.uid").cast("long") * 1000000L
+            + get_json_object(col("value"), "$.sid").cast("long"))
+            .as("ck"),
+          col("value"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_examples"),
+          sum(length(col("value")) + 1L).cast("long").as("n_bytes"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("ck"), col("value")))),
+            x => x.getField("value")), "\n")).as("content_md5"))
+    }),
+    // MERGE CHANGELOG — the table's lineage: each merge classifies
+    // its batch against the pre-merge store (updates vs inserts,
+    // applied vs no-op deletes) and appends one audit row. Version 2
+    // includes GHOST deletes (+50000 keys, never present) to make the
+    // no-op column non-vacuous. The oracle re-derives every count and
+    // the touched-bucket sets from the batch definitions alone.
+    "q349_merge_changelog" -> ((s, d) => {
+      val path = tmp("graft_mlog_", d)
+      val logPath = tmp("graft_mlogl_", d)
+      val fs = new org.apache.hadoop.fs.Path(logPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(logPath), true)
+      val base = docs(s, d)
+      Lakehouse.writeStore(base, "doc_id", path, buckets = 16)
+      val upds1 = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("v1").as("source"), col("n_chars"))
+      Lakehouse.mergeIntoLogged(s, path, logPath, 1L, upds1,
+        "doc_id", 16)
+      val dels = base.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      val ghosts = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 50000L).as("doc_id"),
+          lit("D").as("op"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      Lakehouse.mergeIntoLogged(s, path, logPath, 2L,
+        dels.unionByName(ins).unionByName(ghosts), "doc_id", 16)
+      s.read.parquet(logPath)
+    }),
     // SCHEMA EVOLUTION on append: a later ingest batch carries a NEW
     // column (quality); mergeSchema reads the union schema with nulls
     // for pre-evolution rows — the report distinguishes them, so the
@@ -192,6 +271,54 @@ object LakehouseQueries {
     "q333_jsonl_append" -> jsonlSql,
     "q338_jsonl_import" ->
       "SELECT doc_id, lang, source, text, n_chars FROM documents",
+    "q347_sft_export" ->
+      s"""WITH ${SftQueries.turnsCte},
+         |k AS (SELECT user_id, session_id, n_turns FROM cst
+         |      WHERE n_turns >= 2 AND first_role = 'user'
+         |        AND last_role = 'assistant'),
+         |ex AS (SELECT t.user_id AS uid, t.session_id AS sid,
+         |  string_agg(CASE WHEN t.turn_id < k.n_turns
+         |    THEN t.turn_text END, ' ' ORDER BY t.turn_id) AS prompt,
+         |  max(CASE WHEN t.turn_id = k.n_turns THEN t.turn_text END)
+         |    AS target
+         | FROM turns t JOIN k USING (user_id, session_id)
+         | GROUP BY t.user_id, t.session_id),
+         |l AS (SELECT uid * 1000000 + sid AS ck,
+         |  '{"uid":' || CAST(uid AS VARCHAR) || ',"sid":' ||
+         |  CAST(sid AS VARCHAR) || ',"prompt":"' ||
+         |  regexp_replace(prompt, '(["\\\\])', '\\\\\\1', 'g') ||
+         |  '","target":"' ||
+         |  regexp_replace(target, '(["\\\\])', '\\\\\\1', 'g') ||
+         |  '"}' AS line
+         | FROM ex),
+         |b AS (SELECT ck, line,
+         |  CAST(length(line) + 1 AS BIGINT) AS nb FROM l),
+         |pk AS (SELECT ck, line, nb,
+         |  CAST(COALESCE(sum(nb) OVER (ORDER BY ck
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM b)
+         |SELECT CAST(pstart // 2048 AS BIGINT) AS shard_id,
+         |  count(*)::BIGINT AS n_examples,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  md5(string_agg(line, chr(10) ORDER BY ck)) AS content_md5
+         |FROM pk GROUP BY 1""".stripMargin,
+    "q349_merge_changelog" ->
+      """WITH v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+        |    ::BIGINT AS n_updates,
+        |  CAST(0 AS BIGINT) AS n_inserts, CAST(0 AS BIGINT) AS n_deletes,
+        |  CAST(0 AS BIGINT) AS n_noop_deletes,
+        |  (SELECT count(DISTINCT doc_id % 16) FROM documents
+        |   WHERE doc_id % 5 = 0)::BIGINT AS touched_buckets),
+        |v2 AS (SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+        |  (SELECT count(*) FROM documents WHERE doc_id % 11 = 0)::BIGINT,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 3)::BIGINT,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 13 = 0)::BIGINT,
+        |  (SELECT count(DISTINCT b) FROM (
+        |     SELECT doc_id % 16 AS b FROM documents WHERE doc_id % 7 = 3
+        |     UNION SELECT (doc_id + 10000) % 16 FROM documents
+        |     WHERE doc_id % 11 = 0))::BIGINT)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
     "q343_schema_evolution" ->
       """WITH th AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
         |q AS (SELECT source, CASE WHEN doc_id > (SELECT t FROM th)

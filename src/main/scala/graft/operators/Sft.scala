@@ -210,8 +210,13 @@ object Sft {
     * turns are |users|-bounded. Must equal [[mergedTurns]] over the
     * full event set (the q336 gate pins the RENDERED BYTES — q323's
     * oracle verbatim — so a text-fold bug cannot hide in counts). */
-  def foldTurns(oldTurns: DataFrame, tail: DataFrame,
-                batch: DataFrame): DataFrame = {
+  /** The fold's three parts: (fold keys+payload, old rows UPDATED by
+    * a text extension, FRESH batch-derived rows). Shared by the
+    * full-table fold ([[foldTurns]]) and the bucket-scoped delta
+    * ([[foldTurnsDelta]]). */
+  private def foldParts(oldTurns: DataFrame, tail: DataFrame,
+                        batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val bt = mergedTurns(batch)
     val first = rawTurns(batch).groupBy(col("user_id"))
       .agg(min(col("t")).as("first_t"))
@@ -240,16 +245,32 @@ object Sft {
         // strip the '<|role|> ' prefix (len(role)+5 chars) — the old
         // turn already carries it
         expr("substring(turn_text, length(role) + 6)").as("__btext"))
-    val key = Seq("user_id", "session_id", "turn_id")
-    val updated = oldTurns.join(folds, key)
+    val updated = oldTurns
+      .join(folds, Seq("user_id", "session_id", "turn_id"))
       .select(col("user_id"), col("session_id"), col("turn_id"),
         col("role"), (col("n_events") + col("__bn")).as("n_events"),
         (col("value_fp") + col("__bv")).as("value_fp"),
         concat(col("turn_text"), lit(" "), col("__btext"))
           .as("turn_text"))
-    oldTurns.join(folds, key, "left_anti")
+    (folds, updated, renum.filter(!col("__fold")).drop("__fold"))
+  }
+
+  def foldTurns(oldTurns: DataFrame, tail: DataFrame,
+                batch: DataFrame): DataFrame = {
+    val (folds, updated, fresh) = foldParts(oldTurns, tail, batch)
+    oldTurns.join(folds, Seq("user_id", "session_id", "turn_id"),
+        "left_anti")
       .unionByName(updated)
-      .unionByName(renum.filter(!col("__fold")).drop("__fold"))
+      .unionByName(fresh)
+  }
+
+  /** ONLY the rows the batch changes — extended old turns plus fresh
+    * batch turns (the upsert set a bucket-scoped state store writes;
+    * untouched turns never flow through anything). */
+  def foldTurnsDelta(oldTurns: DataFrame, tail: DataFrame,
+                     batch: DataFrame): DataFrame = {
+    val (_, updated, fresh) = foldParts(oldTurns, tail, batch)
+    updated.unionByName(fresh)
   }
 
   /** Loss-mask spans for packed conversations: conversations pack

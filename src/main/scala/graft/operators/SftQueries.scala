@@ -198,6 +198,36 @@ object SftQueries {
           max(col("t0") - col("__pt1")).cast("long")
             .as("max_latency_us"))
     }),
+    // BUCKET-SCOPED streaming state — q340's sink with the honest
+    // 100-TB write path: standing turns live in a Lakehouse keyed
+    // store and each batch MERGES only the rows it changes (the
+    // foldTurnsDelta upsert set + batch users' last-t + one ledger
+    // sentinel); untouched buckets keep their files byte-identical
+    // (spec-pinned). Same replay drill (batch 2 redelivered after 4,
+    // ledger skips); same proof: final render == from-scratch,
+    // q323's oracle VERBATIM.
+    "q346_sft_stream_bucketed" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sftb_" +
+        math.abs(d.hashCode.toLong)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val e = ev(s, d).withColumn("__t", expr("ts div 1000"))
+      val mm = e.agg(min(col("__t")).as("a"), max(col("__t")).as("b"))
+        .head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / 5 + 1
+      def slice(b: Int) = e.filter(col("__t") >= lo + b * span &&
+        col("__t") < lo + (b + 1) * span).drop("__t")
+      (0 until 5).foreach { b =>
+        graft.streaming.StreamingSft.processSftBatchBucketed(
+          slice(b), b, path, buckets = 16)
+      }
+      graft.streaming.StreamingSft.processSftBatchBucketed(
+        slice(2), 2, path, buckets = 16)
+      renderOut(Sft.render(
+        graft.streaming.StreamingSft.readTurnsBucketed(s, path)))
+    }),
     // Padding-efficiency batch plan: fixed-size batches (B=8) under
     // arrival order vs length-sorted order, total pad tokens and
     // pad basis points per policy — the report that justifies
@@ -319,6 +349,8 @@ object SftQueries {
     "q336_sft_incremental" -> renderSql,
     // ledger-skipped replay == from-scratch, byte for byte
     "q340_sft_stream" -> renderSql,
+    // bucket-scoped merge state == from-scratch, byte for byte
+    "q346_sft_stream_bucketed" -> renderSql,
     "q324_sft_examples" ->
       s"""WITH $turnsCte,
          |k AS (SELECT user_id, session_id, n_turns FROM cst

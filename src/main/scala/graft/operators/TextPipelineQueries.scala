@@ -1050,6 +1050,17 @@ object TextPipelineQueries {
     "q330_label_prop" -> ((s, d) =>
       Graph.labelPropagation(
         Dedup.lshCandidatePairs(signatures(s, d), "doc_id"), iters = 4)),
+    // COMMUNITY QUALITY over the LPA labeling — per community the
+    // exact-integer modularity numerator 4m·L_c − D_c² (Q = Σ/4m²;
+    // the division never happens, so negative numerators can't hit
+    // the floor-vs-trunc trap) plus a lab=−1 total row. The report a
+    // dedup pipeline reads to decide whether LPA's finer grouping is
+    // trustworthy (high modularity) or the graph is hairball (low).
+    "q348_community_quality" -> ((s, d) => {
+      val pairs = Dedup.lshCandidatePairs(signatures(s, d), "doc_id")
+        .select(col("id_a"), col("id_b")).distinct().localCheckpoint(true)
+      Graph.modularityReport(pairs, Graph.labelPropagation(pairs, 4))
+    }),
     // INCREMENTAL triangle count: the standing count over the old
     // docs' graph folds with the batch's edges by exact inclusion–
     // exclusion over per-new-edge common-neighbor tags (S_oo +
@@ -2343,7 +2354,9 @@ object TextPipelineQueries {
   /** q330's oracle — four UNROLLED synchronous LPA supersteps over
     * the candidate graph (neighbors + self, most-frequent label,
     * min-label ties as a row_number total order). */
-  private lazy val labelPropSql: String = {
+  /** Shared CTE chain for the LPA family: candidate edges + four
+    * unrolled supersteps ending at `l4`. */
+  private lazy val lpaCtes: String = {
     val iters = (1 to 4).map { i =>
       val prev = if (i == 1) "l0" else s"l${i - 1}"
       s"""c$i AS (SELECT x.a AS n, l.lab, count(*)::BIGINT AS c
@@ -2352,7 +2365,7 @@ object TextPipelineQueries {
          |  (PARTITION BY n ORDER BY c DESC, lab ASC) AS rk FROM c$i)
          |  WHERE rk = 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $shCte,
+    s"""$shCte,
        |$mhCte,
        |$pairsCte,
        |ed AS (SELECT DISTINCT id_a AS a, id_b AS b FROM cand),
@@ -2360,9 +2373,38 @@ object TextPipelineQueries {
        |nodes AS (SELECT DISTINCT a AS n FROM edges),
        |nb AS (SELECT a, b FROM edges UNION ALL SELECT n, n FROM nodes),
        |l0 AS (SELECT n, n AS lab FROM nodes),
-       |$iters
-       |SELECT n, lab FROM l4""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private lazy val labelPropSql: String =
+    s"""WITH $lpaCtes
+       |SELECT n, lab FROM l4""".stripMargin
+
+  /** q348's oracle — per-community size / intra edges / degree mass /
+    * exact modularity numerator over the l4 labeling, plus the
+    * lab = −1 total row. */
+  private lazy val modularitySql: String =
+    s"""WITH $lpaCtes,
+       |mm AS (SELECT count(*)::BIGINT AS m FROM ed),
+       |deg AS (SELECT n, count(*)::BIGINT AS dg FROM (
+       |  SELECT a AS n FROM ed UNION ALL SELECT b FROM ed) GROUP BY n),
+       |dc AS (SELECT l.lab, count(*)::BIGINT AS size,
+       |  CAST(sum(deg.dg) AS BIGINT) AS deg_sum
+       | FROM l4 l JOIN deg ON deg.n = l.n GROUP BY l.lab),
+       |lc AS (SELECT la.lab, count(*)::BIGINT AS intra
+       | FROM ed JOIN l4 la ON la.n = ed.a
+       | JOIN l4 lb ON lb.n = ed.b AND lb.lab = la.lab
+       | GROUP BY la.lab),
+       |per AS (SELECT dc.lab, dc.size,
+       |  COALESCE(lc.intra, 0) AS intra_edges, dc.deg_sum,
+       |  CAST(4 * (SELECT m FROM mm) * COALESCE(lc.intra, 0)
+       |    - dc.deg_sum * dc.deg_sum AS BIGINT) AS num_fp
+       | FROM dc LEFT JOIN lc USING (lab))
+       |SELECT lab, size, intra_edges, deg_sum, num_fp FROM per
+       |UNION ALL
+       |SELECT -1, CAST(sum(size) AS BIGINT), (SELECT m FROM mm),
+       |  2 * (SELECT m FROM mm), CAST(sum(num_fp) AS BIGINT)
+       |FROM per""".stripMargin
 
   /** q276's oracle — golden-record survivorship with explicit
     * (count desc, value asc) modal tie-breaks. Shared verbatim by
@@ -3682,6 +3724,7 @@ object TextPipelineQueries {
     // must agree (orientation independence is part of the proof)
     "q274_triangle_count" -> triangleSql,
     "q330_label_prop" -> labelPropSql,
+    "q348_community_quality" -> modularitySql,
     // triangle list from the naive triple join exploded to vertices
     "q304_local_clustering" -> localClusteringSql,
     // the standing-counts + new-triangle fold must land on the same

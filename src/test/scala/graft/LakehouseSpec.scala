@@ -195,6 +195,41 @@ class LakehouseSpec extends AnyFunSuite {
       "<|assistant|> purchase#100 purchase#200 purchase#200")
   }
 
+  test("bucket-scoped StreamingSft: a batch touching one user leaves " +
+    "other users' bucket files byte- and mtime-identical; replay is " +
+    "ledger-skipped") {
+    import graft.streaming.StreamingSft
+    def ev(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+        .select(col("event_id"), (col("sec") * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    val path = freshDir("graft_sftb_spec")
+    // users 1 and 2 land in different buckets (tkey = user*1e12 + …;
+    // buckets = 16 -> bucket = tkey mod 16 differs by user here)
+    val b0 = ev(Seq((1L, 0L, 1L, "purchase", 1.0),
+      (2L, 0L, 2L, "click", 2.0)))
+    StreamingSft.processSftBatchBucketed(b0, 0L, path, buckets = 16)
+    val before = partFiles(path)
+    // batch 1 touches ONLY user 1 (extends its assistant turn)
+    val b1 = ev(Seq((3L, 10L, 1L, "purchase", 3.0)))
+    StreamingSft.processSftBatchBucketed(b1, 1L, path, buckets = 16)
+    val after = partFiles(path)
+    // user 2's turn row key: user sits in the LOW bits, so its
+    // bucket is (1e12 + 1e6 + 2) mod 16 = 2
+    val u2bucket = (1000000000000L + 1000000L + 2L) % 16
+    val u2files = before.keySet.filter(_.startsWith(s"bucket=$u2bucket/"))
+    assert(u2files.nonEmpty)
+    u2files.foreach { f => assert(after(f) == before(f), f) }
+    // the fold itself happened
+    val turns = StreamingSft.readTurnsBucketed(spark, path)
+    assert(turns.filter(col("user_id") === 1L)
+      .select("turn_text").as[String].head() ==
+      "<|assistant|> purchase#100 purchase#300")
+    // replayed batch id: no file in the store changes at all
+    StreamingSft.processSftBatchBucketed(b1, 1L, path, buckets = 16)
+    assert(partFiles(path) == after)
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
