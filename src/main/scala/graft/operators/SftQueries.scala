@@ -179,6 +179,69 @@ object SftQueries {
     "q327_loss_mask_pack" -> ((s, d) =>
       Sft.lossMaskSpans(Sft.mergedTurns(ev(s, d)),
         col("user_id") * 1000000L + col("session_id"), budget = 128L)),
+    // CONVERSATION STRUCTURAL DEDUP — SFT corpora are deduped on the
+    // dialog's ACTION SHAPE, not its literal values: fingerprint =
+    // md5 of the ordered event-type sequence, exact-dup groups with a
+    // deterministic keeper (min conversation key). Values differ per
+    // conversation so byte-level dedup would be vacuous; structure
+    // dedup is what actually fires.
+    "q350_conv_dedup" -> ((s, d) => {
+      val cs = Sft.rawTurns(ev(s, d))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(md5(array_join(transform(
+          sort_array(collect_list(struct(col("t"), col("event_id"),
+            substring_index(col("content"), "#", 1).as("et")))),
+          x => x.getField("et")), " ")).as("sig"))
+      val g = cs.groupBy(col("sig"))
+        .agg(count(lit(1)).as("group_size"),
+          min(col("user_id") * 1000000L + col("session_id")).as("__k"))
+      cs.join(g, Seq("sig"))
+        .select(col("user_id"), col("session_id"), col("sig"),
+          col("group_size"),
+          (col("user_id") * 1000000L + col("session_id") === col("__k"))
+            .as("is_keeper"))
+    }),
+    // The SFT family's PURE-spark.sql SURFACE: q322's conversation
+    // assembly as ONE SQL string (windows, gaps-and-islands,
+    // struct-ordered min/max via named_struct) — the engine's SQL
+    // dialect covers the family, not just the DataFrame API. Same
+    // oracle as q322, verbatim.
+    "q351_sft_sql_surface" -> ((s, d) => {
+      ev(s, d).createOrReplaceTempView("g_sql_events")
+      s.sql(
+        """WITH raw AS (SELECT user_id, ts div 1000 AS t, event_id,
+          |  CASE WHEN event_type IN ('click','view') THEN 'user'
+          |       ELSE 'assistant' END AS role,
+          |  cast(round(value * 100) AS bigint) AS value_fp,
+          |  lag(ts div 1000) OVER (PARTITION BY user_id
+          |    ORDER BY ts div 1000, event_id) AS prev_t
+          | FROM g_sql_events),
+          |sid AS (SELECT user_id, t, event_id, role, value_fp,
+          |  sum(CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+          |           THEN 1L ELSE 0L END)
+          |    OVER (PARTITION BY user_id ORDER BY t, event_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS session_id FROM raw),
+          |tr AS (SELECT *, CASE WHEN lag(role) OVER
+          |    (PARTITION BY user_id, session_id ORDER BY t, event_id)
+          |    <=> role THEN 0L ELSE 1L END AS rc FROM sid),
+          |tid AS (SELECT *, sum(rc) OVER
+          |    (PARTITION BY user_id, session_id ORDER BY t, event_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS turn_id FROM tr),
+          |turns AS (SELECT user_id, session_id, turn_id, role,
+          |  count(*) AS n_events, sum(value_fp) AS value_fp
+          | FROM tid GROUP BY user_id, session_id, turn_id, role)
+          |SELECT user_id, session_id,
+          |  cast(sum(n_events) AS bigint) AS n_events,
+          |  count(*) AS n_turns,
+          |  min(named_struct('turn_id', turn_id, 'role', role)).role
+          |    AS first_role,
+          |  max(named_struct('turn_id', turn_id, 'role', role)).role
+          |    AS last_role,
+          |  cast(sum(value_fp) AS bigint) AS sum_value_fp
+          |FROM turns GROUP BY user_id, session_id""".stripMargin)
+    }),
     // RESPONSE-LATENCY profile: per conversation, how long the
     // assistant side took to respond (assistant turn's first event
     // minus the preceding turn's last event — merged turns alternate,
@@ -295,6 +358,13 @@ object SftQueries {
             9L, 10L, Seq(col("user_id")), Seq(col("t"), col("event_id")))
             .as("decayed_fp"))))
 
+  /** q322's oracle — shared verbatim by q351 (the pure-SQL surface
+    * must assemble the identical conversation table). */
+  private lazy val convStatsSql: String =
+    s"""WITH $turnsCte
+       |SELECT user_id, session_id, n_events, n_turns, first_role,
+       |  last_role, sum_value_fp FROM cst""".stripMargin
+
   /** q329's oracle — shared verbatim by q337 (the linear count
     * fold must land on the same PSI table). */
   private lazy val psiSql: String =
@@ -340,10 +410,21 @@ object SftQueries {
        |  md5(rendered) AS render_md5 FROM conv""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    "q322_conversations" ->
-      s"""WITH $turnsCte
-         |SELECT user_id, session_id, n_events, n_turns, first_role,
-         |  last_role, sum_value_fp FROM cst""".stripMargin,
+    "q322_conversations" -> convStatsSql,
+    // the pure-spark.sql form must land on the same table
+    "q351_sft_sql_surface" -> convStatsSql,
+    "q350_conv_dedup" ->
+      s"""WITH $turnsCte,
+         |cs AS (SELECT user_id, session_id,
+         |  md5(string_agg(split_part(content, '#', 1), ' '
+         |    ORDER BY t, event_id)) AS sig
+         | FROM sid GROUP BY 1, 2),
+         |g AS (SELECT sig, count(*)::BIGINT AS group_size,
+         |  min(user_id * 1000000 + session_id) AS k FROM cs
+         | GROUP BY sig)
+         |SELECT cs.user_id, cs.session_id, cs.sig, g.group_size,
+         |  (cs.user_id * 1000000 + cs.session_id = g.k) AS is_keeper
+         |FROM cs JOIN g USING (sig)""".stripMargin,
     "q323_chat_render" -> renderSql,
     // fold == from-scratch, byte for byte
     "q336_sft_incremental" -> renderSql,
