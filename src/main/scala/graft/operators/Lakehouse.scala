@@ -228,6 +228,98 @@ object Lakehouse {
     (touched.size.toLong, (written.size + emptied.size).toLong)
   }
 
+  // ------------------------------------- versioned (time travel)
+
+  /** Copy-on-write VERSIONED store — the Delta/Iceberg core mechanic
+    * in plain parquet: data files are IMMUTABLE under
+    * `path/v<N>/bucket=K`; a manifest (append-only parquet under
+    * `path/_manifest`) maps each bucket to the version dir holding
+    * its current file. A merge writes only the touched buckets under
+    * a fresh v<N> and appends pointers — nothing is ever rewritten in
+    * place, so EVERY older version stays fully readable (time
+    * travel), and the write cost per merge is ∝ touched buckets.
+    * Manifest rows: (version, bucket, vdir, empty) — `empty` marks a
+    * bucket the merge emptied (a pointer to nothing beats deleting
+    * history). */
+  def writeVersioned(df: DataFrame, key: String, path: String,
+                     buckets: Int): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val b = bucketed(df, key, buckets).localCheckpoint(true)
+    b.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$path/v0")
+    b.select(col("bucket").cast("long")).distinct()
+      .select(lit(0L).as("version"), col("bucket"),
+        lit(0L).as("vdir"), lit(false).as("empty"))
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$path/_manifest")
+  }
+
+  /** Resolve the store AS OF `version`: latest manifest pointer per
+    * bucket (≤ buckets rows collected — the layout constant), then
+    * one partition-pruned read per distinct version dir. */
+  def readVersioned(spark: SparkSession, path: String,
+                    version: Long): DataFrame = {
+    val ptr = spark.read.parquet(s"$path/_manifest")
+      .filter(col("version") <= version)
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
+        col("empty").as("empty"))).as("__m"))
+      .select(col("bucket"), col("__m.vdir").as("vdir"),
+        col("__m.empty").as("empty"))
+      .filter(!col("empty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    ptr.groupBy(_._2).map { case (vd, bks) =>
+      spark.read.parquet(s"$path/v$vd")
+        .filter(col("bucket").isin(bks.map(_._1).toSeq: _*))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Merge a batch as version `version` (must be one past the last):
+    * touched buckets rebuild from the RESOLVED current state and land
+    * under `path/v<version>`; the manifest gains one pointer per
+    * touched bucket. Untouched buckets keep their old pointers — and
+    * their bytes, forever. */
+  def mergeVersioned(spark: SparkSession, path: String, version: Long,
+                     batch: DataFrame, key: String,
+                     buckets: Int): Unit = {
+    val cur = readVersioned(spark, path, version - 1)
+    val dataCols = cur.columns.filter(_ != "bucket").toSeq
+    val b = bucketed(batch, key, buckets)
+    val batchKeys = b.select(col(key)).distinct()
+    val existingTouched = cur.join(batchKeys, Seq(key), "left_semi")
+      .select(col("bucket").cast("long")).distinct()
+    val upsertTouched = b.filter(col("op") === "U")
+      .select(col("bucket").cast("long")).distinct()
+    val touched = existingTouched.union(upsertTouched).distinct()
+      .collect().map(_.getLong(0)).toSet
+    if (touched.isEmpty) return
+    val survivors = cur
+      .filter(col("bucket").isin(touched.toSeq: _*))
+      .join(batchKeys, Seq(key), "left_anti")
+      .select(("bucket" +: dataCols).map(col): _*)
+    val replacement = survivors.unionByName(
+        b.filter(col("op") === "U")
+          .select(("bucket" +: dataCols).map(col): _*))
+      .localCheckpoint(true)
+    replacement.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$path/v$version")
+    val written = replacement.select(col("bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val rows = touched.toSeq.sorted.map { bk =>
+      (version, bk, version, !written.contains(bk))
+    }
+    import spark.implicits._
+    rows.toDF("version", "bucket", "vdir", "empty")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$path/_manifest")
+  }
+
   /** [[mergeInto]] with an AUDIT CHANGELOG: the batch is classified
     * against the current store (updates = upsert keys present,
     * inserts = absent; deletes split into applied and no-op the same

@@ -170,6 +170,40 @@ object LakehouseQueries {
             sort_array(collect_list(struct(col("ck"), col("value")))),
             x => x.getField("value")), "\n")).as("content_md5"))
     }),
+    // TIME TRAVEL — the copy-on-write versioned store: v0 full write,
+    // v1 updates, v2 deletes + inserts; data files are immutable and
+    // the manifest points each bucket at its current version dir, so
+    // ALL THREE versions read back exactly — the gated output is the
+    // per-bucket manifest of every version, each hash-compared
+    // against its SQL-derived historical state. Merge write cost
+    // stays ∝ touched buckets (the mergeInto discipline) while
+    // history costs nothing extra: old files simply persist.
+    "q352_time_travel" -> ((s, d) => {
+      val path = tmp("graft_tt_", d)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16)
+      val upds1 = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m1").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 1L, upds1, "doc_id", 16)
+      val dels = base.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 2L, dels.unionByName(ins),
+        "doc_id", 16)
+      (0L to 2L).map { v =>
+        Lakehouse.storeManifest(Lakehouse.readVersioned(s, path, v),
+            "doc_id")
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+    }),
     // MERGE CHANGELOG — the table's lineage: each merge classifies
     // its batch against the pre-merge store (updates vs inserts,
     // applied vs no-op deletes) and appends one audit row. Version 2
@@ -302,6 +336,27 @@ object LakehouseQueries {
          |  CAST(sum(nb) AS BIGINT) AS n_bytes,
          |  md5(string_agg(line, chr(10) ORDER BY ck)) AS content_md5
          |FROM pk GROUP BY 1""".stripMargin,
+    "q352_time_travel" ->
+      """WITH s0 AS (SELECT 0 AS version, doc_id, text, lang, source,
+        |  n_chars FROM documents),
+        |s1 AS (SELECT 1, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents),
+        |s2 AS (SELECT 2, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT 2, doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |al AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |       UNION ALL SELECT * FROM s2)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5
+        |FROM al GROUP BY version, doc_id % 16""".stripMargin,
     "q349_merge_changelog" ->
       """WITH v1 AS (SELECT CAST(1 AS BIGINT) AS version,
         |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)

@@ -230,6 +230,37 @@ class LakehouseSpec extends AnyFunSuite {
     assert(partFiles(path) == after)
   }
 
+  test("versioned store: merges never touch old version dirs (bytes " +
+    "and mtimes pinned), the new version dir holds ONLY touched " +
+    "buckets, and v0 reads back exactly after two merges") {
+    val path = freshDir("graft_ttspec")
+    val base = docsDf(0L until 8L) // buckets = id % 4
+    Lakehouse.writeVersioned(base, "doc_id", path, buckets = 4)
+    val v0files = partFiles(path + "/v0")
+    // merge 1: update doc 1 only -> touches bucket 1 only
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, m1, "doc_id", 4)
+    // merge 2: delete docs 2 and 6 (all of bucket 2 -> emptied)
+    val m2 = Seq((2L, "D", "", "", "", 0L), (6L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 2L, m2, "doc_id", 4)
+    // v0 untouched byte for byte
+    assert(partFiles(path + "/v0") == v0files)
+    // v1 holds only bucket 1; v2 has NO dirs (bucket 2 was emptied —
+    // its pointer is a tombstone, not a file)
+    val v1buckets = partFiles(path + "/v1").keySet.map(_.split("/")(0))
+    assert(v1buckets == Set("bucket=1"))
+    assert(!Files.exists(Paths.get(path, "v2")) ||
+      partFiles(path + "/v2").isEmpty)
+    // time travel: every version reads back as its historical state
+    def state(v: Long) = Lakehouse.readVersioned(spark, path, v)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    assert(state(0L) == (0L until 8L).map(i => i -> s"src${i % 3}").toMap)
+    assert(state(1L) == state(0L) + (1L -> "srcX"))
+    assert(state(2L) == state(1L) - 2L - 6L)
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
