@@ -142,7 +142,7 @@ object Bench {
       "q334_merge_into", "q335_merge_chain", "q338_jsonl_import",
       "q339_store_compact", "q340_sft_stream", "q343_schema_evolution",
       "q346_sft_stream_bucketed", "q347_sft_export",
-      "q349_merge_changelog", "q352_time_travel")
+      "q349_merge_changelog", "q352_time_travel", "q353_version_vacuum")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

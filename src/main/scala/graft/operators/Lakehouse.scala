@@ -320,6 +320,40 @@ object Lakehouse {
       .parquet(s"$path/_manifest")
   }
 
+  /** Retention GC (VACUUM) for the versioned store: every version
+    * dir that NO as-of view at or above `floor` resolves to is
+    * deleted — time travel below the floor is surrendered, the
+    * retention contract every production table format ships with.
+    * The needed-set scan is per retained version a bounded
+    * pointer-resolution (≤ buckets rows each; versions are bounded
+    * by the retention window). Returns (deleted, retained) vdir
+    * counts. */
+  def vacuumVersions(spark: SparkSession, path: String,
+                     floor: Long): (Long, Long) = {
+    val man = spark.read.parquet(s"$path/_manifest")
+      .localCheckpoint(true)
+    val maxV = man.agg(max(col("version"))).head().getLong(0)
+    val needed = (floor to maxV).flatMap { v =>
+      man.filter(col("version") <= v)
+        .groupBy(col("bucket"))
+        .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
+          col("empty").as("empty"))).as("__m"))
+        .filter(!col("__m.empty"))
+        .select(col("__m.vdir")).distinct()
+        .collect().map(_.getLong(0))
+    }.toSet
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.stripPrefix("v").toLong)
+    val doomed = all.filterNot(needed)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"v$v"), true)
+    }
+    (doomed.length.toLong, needed.size.toLong)
+  }
+
   /** [[mergeInto]] with an AUDIT CHANGELOG: the batch is classified
     * against the current store (updates = upsert keys present,
     * inserts = absent; deletes split into applied and no-op the same

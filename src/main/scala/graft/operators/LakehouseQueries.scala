@@ -204,6 +204,42 @@ object LakehouseQueries {
           .withColumn("version", lit(v))
       }.reduce(_ unionByName _)
     }),
+    // VACUUM — the retention end of the time-travel lifecycle:
+    // version dirs no as-of view ≥ floor resolves to are deleted
+    // (here v0: the v1 update slice touches EVERY bucket — multiples
+    // of 5 cover all residues mod 16 — so nothing still points at
+    // v0). Versions ≥ floor must read back exactly afterwards; the
+    // gated output is their manifests plus the deleted/retained
+    // counts, all SQL-derived.
+    "q353_version_vacuum" -> ((s, d) => {
+      val path = tmp("graft_ttv_", d)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16)
+      val upds1 = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m1").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 1L, upds1, "doc_id", 16)
+      val dels = base.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 2L, dels.unionByName(ins),
+        "doc_id", 16)
+      val (deleted, retained) = Lakehouse.vacuumVersions(s, path, 1L)
+      (1L to 2L).map { v =>
+        Lakehouse.storeManifest(Lakehouse.readVersioned(s, path, v),
+            "doc_id")
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .crossJoin(s.range(1).select(lit(deleted).as("deleted_vdirs"),
+          lit(retained).as("retained_vdirs")))
+    }),
     // MERGE CHANGELOG — the table's lineage: each merge classifies
     // its batch against the pre-merge store (updates vs inserts,
     // applied vs no-op deletes) and appends one audit row. Version 2
@@ -356,6 +392,32 @@ object LakehouseQueries {
         |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
         |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
         |    AS rows_md5
+        |FROM al GROUP BY version, doc_id % 16""".stripMargin,
+    "q353_version_vacuum" ->
+      """WITH s1 AS (SELECT 1 AS version, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents),
+        |s2 AS (SELECT 2, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT 2, doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |al AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |gc AS (SELECT
+        |  CASE WHEN (SELECT count(DISTINCT doc_id % 16) FROM documents
+        |             WHERE doc_id % 5 = 0)
+        |         = (SELECT count(DISTINCT doc_id % 16) FROM documents)
+        |       THEN 1 ELSE 0 END::BIGINT AS deleted)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT deleted FROM gc) AS deleted_vdirs,
+        |  CAST(3 AS BIGINT) - (SELECT deleted FROM gc)
+        |    AS retained_vdirs
         |FROM al GROUP BY version, doc_id % 16""".stripMargin,
     "q349_merge_changelog" ->
       """WITH v1 AS (SELECT CAST(1 AS BIGINT) AS version,

@@ -261,6 +261,38 @@ class LakehouseSpec extends AnyFunSuite {
     assert(state(2L) == state(1L) - 2L - 6L)
   }
 
+  test("vacuumVersions deletes exactly the unreferenced version dirs, " +
+    "keeps retained dirs byte/mtime-identical, and reading below the " +
+    "floor fails while floor-and-above stays exact") {
+    val path = freshDir("graft_ttvac")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", path,
+      buckets = 4)
+    // v1 touches ALL buckets (updates ids 0..3 -> one per bucket), so
+    // v0 becomes unreferenced at floor 1
+    val m1 = (0L until 4L).map(i =>
+      (i, "U", s"text $i v2", "en", "srcX", 100L + i))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, m1, "doc_id", 4)
+    val m2 = Seq((5L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 2L, m2, "doc_id", 4)
+    val keepFiles = partFiles(path + "/v1") ++ partFiles(path + "/v2")
+    assert(Lakehouse.vacuumVersions(spark, path, 1L) == ((1L, 2L)))
+    assert(!Files.exists(Paths.get(path, "v0")))
+    assert(partFiles(path + "/v1") ++ partFiles(path + "/v2") ==
+      keepFiles)
+    // floor and above read exactly
+    val v2 = Lakehouse.readVersioned(spark, path, 2L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(v2 == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L))
+    // below the floor the data is GONE — the surrendered contract
+    intercept[Exception] {
+      Lakehouse.readVersioned(spark, path, 0L).collect()
+    }
+    // a second vacuum is a no-op
+    assert(Lakehouse.vacuumVersions(spark, path, 1L) == ((0L, 2L)))
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
