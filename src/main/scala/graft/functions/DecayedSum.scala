@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
-import org.apache.spark.sql.catalyst.expressions.{Add, AggregateWindowFunction, AttributeReference, Expression, IntegralDivide, Literal, Multiply}
+import org.apache.spark.sql.catalyst.expressions.{Add, AggregateWindowFunction, AttributeReference, Expression, Greatest, IntegralDivide, Literal, Multiply}
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Native Catalyst WINDOW function — the one extension-point class
@@ -19,8 +19,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * point — `st₀ = v₀; stᵢ = (stᵢ₋₁ · num) div den + vᵢ` over the
   * window's ROW order. Integer `div` (truncation) makes the result
   * bit-exact and engine-portable where a float `pow`-based decay
-  * would drift; callers keep inputs non-negative so trunc == floor
-  * across engines (the repo-wide `div` rule).
+  * would drift. The non-negative-input contract is ENFORCED, not
+  * assumed: each input is clamped to `greatest(v, 0)` inside the
+  * update, so the state is provably ≥ 0 and truncation == floor
+  * across engines (DuckDB's `//` floors; on the nonneg domain the
+  * two semantics coincide — the repo-wide `div` rule). Overflow
+  * bound: the state converges below `max_v · den / (den − num)`
+  * (geometric series), so with den = 10, num = 9 a Long overflows
+  * only past max_v ≈ 9.2 · 10¹⁷ — unreachable for ×100 fixed-point
+  * inputs.
   *
   * Why a native window function and not a built-in composition: the
   * recurrence has no closed form under integer truncation — a
@@ -46,8 +53,12 @@ case class DecayedSumFixed(child: Expression, num: Long, den: Long)
   private val st = AttributeReference("st", LongType, nullable = false)()
   override def aggBufferAttributes: Seq[AttributeReference] = Seq(st)
   override val initialValues: Seq[Expression] = Seq(Literal(0L))
+  // greatest(child, 0) enforces the nonneg contract in the update
+  // itself: st stays >= 0, so IntegralDivide (trunc) == floor and
+  // st*num cannot approach Long overflow for fixed-point inputs
   override val updateExpressions: Seq[Expression] = Seq(
-    Add(IntegralDivide(Multiply(st, Literal(num)), Literal(den)), child))
+    Add(IntegralDivide(Multiply(st, Literal(num)), Literal(den)),
+      Greatest(Seq(child, Literal(0L)))))
   override val evaluateExpression: Expression = st
 
   override protected def withNewChildrenInternal(

@@ -15,7 +15,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: shard/bucket assignment is a projection (+ one
   * two-phase prefix pass for JSONL); every write is partitioned by
   * the layout column so a shard/bucket is one task's output; merge
-  * I/O is ∝ touched buckets by construction, never the store.
+  * I/O is ∝ touched buckets by construction, never the store — on
+  * BOTH sides: the write rebuilds only touched buckets, and every
+  * classification READ is partition-pruned to the batch's candidate
+  * buckets ([[candidateBuckets]] — exact, because `bucket =
+  * pmod(key, buckets)` is a pure function of the key, so a batch key
+  * can only live in its own bucket).
   */
 object Lakehouse {
 
@@ -110,6 +115,15 @@ object Lakehouse {
   private def bucketed(df: DataFrame, key: String, buckets: Int) =
     df.withColumn("bucket", pmod(col(key), lit(buckets.toLong)))
 
+  /** The buckets a batch CAN touch, computed from the batch alone:
+    * `bucket = pmod(key, buckets)` is a pure function of the key, so
+    * this set (≤ buckets values — the layout's parallelism constant,
+    * never data-sized) bounds every store read a merge needs. A read
+    * filtered to it is partition-pruned to exactly these dirs. */
+  private def candidateBuckets(b: DataFrame): Set[Long] =
+    b.select(col("bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+
   /** Materialize a keyed table as a bucketed store (`path/bucket=N`,
     * bucket = key mod buckets) — the layout [[mergeInto]] maintains. */
   def writeStore(df: DataFrame, key: String, path: String,
@@ -182,13 +196,22 @@ object Lakehouse {
     * pin the `changed == touched` contract with measured values.
     *
     * Scale: batch keys flow through joins (left_semi/left_anti);
-    * only the touched-bucket ID SET is collected (≤ buckets — the
-    * layout's own parallelism constant, never data-sized). */
+    * only the candidate/touched bucket ID SETS are collected (each ≤
+    * buckets — the layout's own parallelism constant, never
+    * data-sized). The classification read is partition-pruned to the
+    * batch's candidate buckets, so a small batch against a huge
+    * store opens only the dirs its keys could live in. */
   def mergeInto(spark: SparkSession, path: String, batch: DataFrame,
                 key: String, buckets: Int): (Long, Long) = {
-    val store = spark.read.parquet(path)
-    val dataCols = store.columns.filter(_ != "bucket").toSeq
     val b = bucketed(batch, key, buckets)
+    val cand = candidateBuckets(b)
+    if (cand.isEmpty) return (0L, 0L)
+    // partition filter on the layout column: only candidate bucket
+    // dirs are listed/opened anywhere below (schema still resolves
+    // from the unpruned relation's footer discovery)
+    val store = spark.read.parquet(path)
+      .filter(col("bucket").isin(cand.toSeq: _*))
+    val dataCols = store.columns.filter(_ != "bucket").toSeq
     val batchKeys = b.select(col(key)).distinct()
     val existingTouched = store
       .join(batchKeys, Seq(key), "left_semi")
@@ -238,12 +261,23 @@ object Lakehouse {
     * a fresh v<N> and appends pointers — nothing is ever rewritten in
     * place, so EVERY older version stays fully readable (time
     * travel), and the write cost per merge is ∝ touched buckets.
-    * Manifest rows: (version, bucket, vdir, empty) — `empty` marks a
-    * bucket the merge emptied (a pointer to nothing beats deleting
-    * history). */
+    * Manifest rows: (version, bucket, vdir, empty, commit_ts) —
+    * `empty` marks a bucket the merge emptied (a pointer to nothing
+    * beats deleting history); `commit_ts` is the CALLER-SUPPLIED
+    * commit timestamp (the engine never reads a wall clock — the
+    * repo-wide determinism rule) that [[readVersionedAsOf]] resolves
+    * time-travel-by-timestamp against. Fails if the store already
+    * exists (a second full write would append conflicting v0
+    * pointers and corrupt time travel — callers recreate by deleting
+    * the path first). */
   def writeVersioned(df: DataFrame, key: String, path: String,
-                     buckets: Int): Unit = {
+                     buckets: Int, commitTs: Long = 0L): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")),
+      s"versioned store already exists at $path — delete it first " +
+        "(a duplicate v0 write would corrupt the manifest)")
     val b = bucketed(df, key, buckets).localCheckpoint(true)
     b.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
@@ -252,18 +286,35 @@ object Lakehouse {
       .parquet(s"$path/v0")
     b.select(col("bucket").cast("long")).distinct()
       .select(lit(0L).as("version"), col("bucket"),
-        lit(0L).as("vdir"), lit(false).as("empty"))
+        lit(0L).as("vdir"), lit(false).as("empty"),
+        lit(commitTs).as("commit_ts"))
       .coalesce(1).write.mode(SaveMode.Append)
       .parquet(s"$path/_manifest")
   }
 
   /** Resolve the store AS OF `version`: latest manifest pointer per
     * bucket (≤ buckets rows collected — the layout constant), then
-    * one partition-pruned read per distinct version dir. */
-  def readVersioned(spark: SparkSession, path: String,
-                    version: Long): DataFrame = {
-    val ptr = spark.read.parquet(s"$path/_manifest")
-      .filter(col("version") <= version)
+    * one partition-pruned read per distinct version dir.
+    * `bucketSet` restricts resolution to the given buckets — the
+    * merge classification path passes its candidate set so a small
+    * batch against a huge store opens only the dirs its keys could
+    * live in. An empty RESOLVED view (every pointer a tombstone, or
+    * the bucket restriction matches nothing) returns an empty frame
+    * with the store schema; a `version` before the first commit is a
+    * caller error and throws descriptively. */
+  def readVersioned(spark: SparkSession, path: String, version: Long,
+                    bucketSet: Option[Set[Long]] = None): DataFrame = {
+    val man = spark.read.parquet(s"$path/_manifest")
+    val upTo = man.filter(col("version") <= version)
+    if (upTo.limit(1).collect().isEmpty)
+      throw new IllegalArgumentException(
+        s"version $version predates the first commit under $path")
+    val scoped = bucketSet match {
+      case Some(bs) if bs.isEmpty => upTo.filter(lit(false))
+      case Some(bs) => upTo.filter(col("bucket").isin(bs.toSeq: _*))
+      case None => upTo
+    }
+    val ptr = scoped
       .groupBy(col("bucket"))
       .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
         col("empty").as("empty"))).as("__m"))
@@ -271,23 +322,61 @@ object Lakehouse {
         col("__m.empty").as("empty"))
       .filter(!col("empty"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (ptr.isEmpty) {
+      // empty resolved view — surface it as an empty frame with the
+      // store schema (from any non-tombstone pointer's version dir;
+      // the max vdir is the latest commit's, never vacuumed)
+      val anyV = man.filter(!col("empty")).agg(max(col("vdir"))).head()
+      if (anyV.isNullAt(0))
+        throw new IllegalArgumentException(
+          s"versioned store at $path has never held a row")
+      return spark.read.parquet(s"$path/v${anyV.getLong(0)}")
+        .filter(lit(false))
+    }
     ptr.groupBy(_._2).map { case (vd, bks) =>
       spark.read.parquet(s"$path/v$vd")
         .filter(col("bucket").isin(bks.map(_._1).toSeq: _*))
     }.reduce(_ unionByName _)
   }
 
-  /** Merge a batch as version `version` (must be one past the last):
-    * touched buckets rebuild from the RESOLVED current state and land
-    * under `path/v<version>`; the manifest gains one pointer per
-    * touched bucket. Untouched buckets keep their old pointers — and
-    * their bytes, forever. */
+  /** Time travel BY TIMESTAMP: resolve the latest version whose
+    * commit_ts is at or before `ts` (manifest-only scan — bounded by
+    * commits, not data), then read that version. Throws descriptively
+    * when `ts` predates the first commit. */
+  def readVersionedAsOf(spark: SparkSession, path: String,
+                        ts: Long): DataFrame = {
+    val v = spark.read.parquet(s"$path/_manifest")
+      .filter(col("commit_ts") <= ts)
+      .agg(max(col("version"))).head()
+    if (v.isNullAt(0))
+      throw new IllegalArgumentException(
+        s"no commit at or before ts=$ts under $path")
+    readVersioned(spark, path, v.getLong(0))
+  }
+
+  /** Merge a batch as version `version` — REQUIRED to be exactly one
+    * past the manifest's max (checked; an out-of-order or duplicate
+    * version would append conflicting pointers and corrupt time
+    * travel). Touched buckets rebuild from the RESOLVED current state
+    * — resolution and classification both pruned to the batch's
+    * candidate buckets — and land under `path/v<version>`; the
+    * manifest gains one pointer per touched bucket, stamped with
+    * `commitTs` (defaults to the version number). Untouched buckets
+    * keep their old pointers — and their bytes, forever. Returns
+    * (touched, rewritten) like [[mergeInto]]. */
   def mergeVersioned(spark: SparkSession, path: String, version: Long,
-                     batch: DataFrame, key: String,
-                     buckets: Int): Unit = {
-    val cur = readVersioned(spark, path, version - 1)
-    val dataCols = cur.columns.filter(_ != "bucket").toSeq
+                     batch: DataFrame, key: String, buckets: Int,
+                     commitTs: Long = -1L): (Long, Long) = {
+    val cts = if (commitTs == -1L) version else commitTs
+    val maxV = spark.read.parquet(s"$path/_manifest")
+      .agg(max(col("version"))).head().getLong(0)
+    require(version == maxV + 1,
+      s"version must be one past the last ($maxV), got $version")
     val b = bucketed(batch, key, buckets)
+    val cand = candidateBuckets(b)
+    if (cand.isEmpty) return (0L, 0L)
+    val cur = readVersioned(spark, path, version - 1, Some(cand))
+    val dataCols = cur.columns.filter(_ != "bucket").toSeq
     val batchKeys = b.select(col(key)).distinct()
     val existingTouched = cur.join(batchKeys, Seq(key), "left_semi")
       .select(col("bucket").cast("long")).distinct()
@@ -295,7 +384,7 @@ object Lakehouse {
       .select(col("bucket").cast("long")).distinct()
     val touched = existingTouched.union(upsertTouched).distinct()
       .collect().map(_.getLong(0)).toSet
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return (0L, 0L)
     val survivors = cur
       .filter(col("bucket").isin(touched.toSeq: _*))
       .join(batchKeys, Seq(key), "left_anti")
@@ -312,12 +401,14 @@ object Lakehouse {
     val written = replacement.select(col("bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
     val rows = touched.toSeq.sorted.map { bk =>
-      (version, bk, version, !written.contains(bk))
+      (version, bk, version, !written.contains(bk), cts)
     }
     import spark.implicits._
-    rows.toDF("version", "bucket", "vdir", "empty")
+    rows.toDF("version", "bucket", "vdir", "empty", "commit_ts")
       .coalesce(1).write.mode(SaveMode.Append)
       .parquet(s"$path/_manifest")
+    (touched.size.toLong,
+      (written.size + (touched -- written).size).toLong)
   }
 
   /** Retention GC (VACUUM) for the versioned store: every version
@@ -354,6 +445,27 @@ object Lakehouse {
     (doomed.length.toLong, needed.size.toLong)
   }
 
+  /** Classify a merge batch against the pre-merge key set:
+    * (n_updates, n_inserts, n_deletes, n_noop_deletes). Shared by
+    * both changelog writers. */
+  private def classifyBatch(keysInStore: DataFrame, batch: DataFrame,
+                            key: String): (Long, Long, Long, Long) = {
+    val ups = batch.filter(col("op") === "U").select(col(key)).distinct()
+    val dels = batch.filter(col("op") === "D").select(col(key)).distinct()
+    (ups.join(keysInStore, Seq(key), "left_semi").count(),
+      ups.join(keysInStore, Seq(key), "left_anti").count(),
+      dels.join(keysInStore, Seq(key), "left_semi").count(),
+      dels.join(keysInStore, Seq(key), "left_anti").count())
+  }
+
+  private def logRow(spark: SparkSession, logPath: String, version: Long,
+                     c: (Long, Long, Long, Long), touched: Long): Unit =
+    spark.range(1).select(lit(version).as("version"),
+        lit(c._1).as("n_updates"), lit(c._2).as("n_inserts"),
+        lit(c._3).as("n_deletes"), lit(c._4).as("n_noop_deletes"),
+        lit(touched).as("touched_buckets"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(logPath)
+
   /** [[mergeInto]] with an AUDIT CHANGELOG: the batch is classified
     * against the current store (updates = upsert keys present,
     * inserts = absent; deletes split into applied and no-op the same
@@ -361,24 +473,77 @@ object Lakehouse {
     * (version, n_updates, n_inserts, n_deletes, n_noop_deletes,
     * touched_buckets). The log is the table's lineage: append-only,
     * one row per merge, reconstructible from the batch definitions
-    * (which is exactly what the oracle does). */
+    * (which is exactly what the oracle does). The classification
+    * read is pruned to the batch's candidate buckets — membership of
+    * a batch key is decidable inside its own bucket. */
   def mergeIntoLogged(spark: SparkSession, path: String, logPath: String,
                       version: Long, batch: DataFrame, key: String,
                       buckets: Int): Unit = {
-    val keysInStore = spark.read.parquet(path).select(col(key)).distinct()
+    val cand = candidateBuckets(bucketed(batch, key, buckets))
+    val keysInStore = spark.read.parquet(path)
+      .filter(col("bucket").isin(cand.toSeq: _*))
+      .select(col(key)).distinct()
       .localCheckpoint(true) // classify against the PRE-merge store
-    val ups = batch.filter(col("op") === "U").select(col(key)).distinct()
-    val dels = batch.filter(col("op") === "D").select(col(key)).distinct()
-    val nUpd = ups.join(keysInStore, Seq(key), "left_semi").count()
-    val nIns = ups.join(keysInStore, Seq(key), "left_anti").count()
-    val nDel = dels.join(keysInStore, Seq(key), "left_semi").count()
-    val nNoop = dels.join(keysInStore, Seq(key), "left_anti").count()
+    val c = classifyBatch(keysInStore, batch, key)
     val (touched, _) = mergeInto(spark, path, batch, key, buckets)
-    spark.range(1).select(lit(version).as("version"),
-        lit(nUpd).as("n_updates"), lit(nIns).as("n_inserts"),
-        lit(nDel).as("n_deletes"), lit(nNoop).as("n_noop_deletes"),
-        lit(touched).as("touched_buckets"))
-      .coalesce(1).write.mode(SaveMode.Append).parquet(logPath)
+    logRow(spark, logPath, version, c, touched)
+  }
+
+  /** [[mergeVersioned]] routed through the changelog discipline: the
+    * batch classifies against the RESOLVED pre-merge state (pruned to
+    * candidate buckets), the versioned merge applies with `commitTs`
+    * stamped into the manifest, and one audit row appends to
+    * `logPath` — the same lineage schema as [[mergeIntoLogged]], so
+    * one log reader serves both store kinds. */
+  def mergeVersionedLogged(spark: SparkSession, path: String,
+                           logPath: String, version: Long,
+                           batch: DataFrame, key: String, buckets: Int,
+                           commitTs: Long = -1L): Unit = {
+    val cand = candidateBuckets(bucketed(batch, key, buckets))
+    val keysInStore = readVersioned(spark, path, version - 1, Some(cand))
+      .select(col(key)).distinct().localCheckpoint(true)
+    val c = classifyBatch(keysInStore, batch, key)
+    val (touched, _) =
+      mergeVersioned(spark, path, version, batch, key, buckets, commitTs)
+    logRow(spark, logPath, version, c, touched)
+  }
+
+  /** Delta-style manifest CHECKPOINT: every bucket's pointer history
+    * at or below `floor` collapses into its single RESOLVED row (the
+    * true version is kept, so any as-of view ≥ floor — by version or
+    * by timestamp — resolves exactly as before), and the whole
+    * manifest rewrites as ONE parquet file. This repays the
+    * small-file debt of one-file-per-merge appends
+    * ([[mergeVersioned]]'s `coalesce(1).mode(Append)`) without
+    * surrendering any retained history — the natural companion of
+    * [[vacuumVersions]], which drops the data dirs below the same
+    * floor. Returns (rows_before, rows_after, files_before,
+    * files_after = 1). */
+  def checkpointManifest(spark: SparkSession, path: String,
+                         floor: Long): (Long, Long, Long, Long) = {
+    val mpath = s"$path/_manifest"
+    val fs = new org.apache.hadoop.fs.Path(mpath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val filesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(mpath))
+      .count(_.getPath.getName.startsWith("part-")).toLong
+    val man = spark.read.parquet(mpath).localCheckpoint(true)
+    val rowsBefore = man.count()
+    val cols = Seq("version", "bucket", "vdir", "empty", "commit_ts")
+    val collapsed = man.filter(col("version") <= floor)
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("version").as("version"), col("vdir").as("vdir"),
+        col("empty").as("empty"), col("commit_ts").as("commit_ts")))
+        .as("__m"))
+      .select(col("__m.version").as("version"), col("bucket"),
+        col("__m.vdir").as("vdir"), col("__m.empty").as("empty"),
+        col("__m.commit_ts").as("commit_ts"))
+      .select(cols.map(col): _*)
+    val next = collapsed
+      .unionByName(man.filter(col("version") > floor).select(cols.map(col): _*))
+      .localCheckpoint(true)
+    val rowsAfter = next.count()
+    next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(mpath)
+    (rowsBefore, rowsAfter, filesBefore, 1L)
   }
 
   /** Per-bucket content manifest of a store: row count, char mass,

@@ -385,7 +385,7 @@ object TemporalQueries {
     // is stored in perfect event-time order, so the arrival sequence
     // is the portable 48-bit hash permutation of event_id (a
     // deterministic stand-in for network arrival). The running max
-    // over arrival order is TWO-PHASE like the prefix sums: 64
+    // over arrival order is TWO-PHASE like the prefix sums: 4096
     // hash-range buckets → per-bucket maxima prefix-maxed on the
     // bounded side, the corpus-sized window only partitions by
     // bucket. Never a global single-task sort.

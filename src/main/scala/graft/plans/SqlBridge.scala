@@ -17,6 +17,12 @@ object GraftSqlBridge {
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** Flush the listener bus so a test can read listener-accumulated
+    * task metrics deterministically (`listenerBus` is
+    * `private[spark]` — same convention as the other accessors). */
+  def waitListeners(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Unpersist the RDDs backing a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` manages only CacheManager entries; checkpoint
     * blocks otherwise live until the RDD is GC'd — this frees them

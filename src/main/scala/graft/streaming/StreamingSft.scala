@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.Sft
 
@@ -19,6 +19,13 @@ import graft.operators.Sft
   *    last_t (the only tail fact turns cannot re-derive; folds by
   *    max — the rest of the tail is recomputed from turns);
   *  - ledger rows: role `'__ledger__'`, user_id = −1 − batchId.
+  *
+  * Two state layouts share ONE sink loop ([[runSftBatch]]): the
+  * whole-table managed-table layout (the q288-class baseline twin)
+  * and the bucket-scoped Lakehouse store (the 100-TB path — both
+  * its writes AND its reads bounded by the batch's buckets). The
+  * loop owns the empty-guard → init-if-absent → ledger-replay-skip
+  * ordering, so a crash-recovery fix lands once, not twice.
   */
 object StreamingSft {
 
@@ -42,44 +49,86 @@ object StreamingSft {
       lit(0L).as("n_events"), col("last_t").as("value_fp"),
       lit("").as("turn_text"))
 
-  /** One micro-batch's fold (factored out for the gated query). */
-  def processSftBatch(batch: DataFrame, batchId: Long,
-                      table: String): Unit = {
-    val spark = batch.sparkSession
+  // ------------------------------------------------- the one loop
+
+  /** The state-layout strategy a sink plugs into [[runSftBatch]]:
+    * where state lives and how a batch's fold lands are the ONLY
+    * layout-specific parts — the loop owns everything else. */
+  private trait SftStateIO {
+    def exists(): Boolean
+    /** Has this batch id already landed? (the in-state ledger) */
+    def landed(batchId: Long): Boolean
+    /** First batch: materialize fresh state. */
+    def init(turns: DataFrame, batchT: DataFrame, batchId: Long): Unit
+    /** Fold a later batch in and commit atomically. */
+    def fold(batch: DataFrame, batchT: DataFrame, batchId: Long): Unit
+  }
+
+  /** The shared sink loop: empty guard → init-if-absent →
+    * ledger-replay skip → fold+commit. Both layouts run THIS. */
+  private def runSftBatch(batch: DataFrame, batchId: Long,
+                          io: SftStateIO): Unit = {
     if (batch.isEmpty) return
-    val exists = spark.catalog.tableExists(table)
-    if (!exists) graft.operators.Bucketing.dropManagedTable(spark, table)
     val batchT = Sft.rawTurns(batch).groupBy(col("user_id"))
       .agg(max(col("t")).as("last_t"))
-    val (turns2, lastT2) =
-      if (!exists) {
-        (Sft.mergedTurns(batch), batchT)
-      } else {
-        val st = spark.table(table)
-        if (st.filter(col("role") === "__ledger__" &&
-            col("user_id") === -1L - batchId).head(1).nonEmpty)
-          return // replayed batch: the ledger says it already landed
-        val turns = st.filter(!col("role").startsWith("__"))
-        val lastT = st.filter(col("role") === "__t__")
-          .select(col("user_id"), col("value_fp").as("last_t"))
-        val folded = Sft.foldTurns(turns, Sft.tailOf(turns, lastT), batch)
-        val mergedT = lastT.unionByName(batchT)
-          .groupBy(col("user_id")).agg(max(col("last_t")).as("last_t"))
-        (folded, mergedT)
-      }
-    val ledger = spark.range(1).select(
-      lit(-1L - batchId).as("user_id"), lit(0L).as("session_id"),
-      lit(0L).as("turn_id"), lit("__ledger__").as("role"),
-      lit(0L).as("n_events"), lit(0L).as("value_fp"),
-      lit("").as("turn_text"))
-    val oldLedger =
-      if (exists) spark.table(table).filter(col("role") === "__ledger__")
-      else ledger.limit(0)
-    turnRow(turns2).unionByName(tRows(lastT2))
-      .unionByName(oldLedger).unionByName(ledger)
-      .localCheckpoint(true)
-      .write.mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+    if (!io.exists()) {
+      io.init(Sft.mergedTurns(batch), batchT, batchId)
+      return
+    }
+    if (io.landed(batchId)) return
+    io.fold(batch, batchT, batchId)
   }
+
+  // ------------------------------------------- whole-table layout
+
+  /** Managed-table state: every commit overwrites the whole table
+    * (turns + tail + ledger in one atomic swap). Kept deliberately as
+    * the q288-class baseline twin of the bucket-scoped sink. */
+  private final class TableIO(spark: SparkSession, table: String)
+      extends SftStateIO {
+    def exists(): Boolean = spark.catalog.tableExists(table)
+
+    def landed(batchId: Long): Boolean =
+      spark.table(table).filter(col("role") === "__ledger__" &&
+        col("user_id") === -1L - batchId).head(1).nonEmpty
+
+    private def ledgerRow(batchId: Long): DataFrame =
+      spark.range(1).select(
+        lit(-1L - batchId).as("user_id"), lit(0L).as("session_id"),
+        lit(0L).as("turn_id"), lit("__ledger__").as("role"),
+        lit(0L).as("n_events"), lit(0L).as("value_fp"),
+        lit("").as("turn_text"))
+
+    private def commit(turns: DataFrame, lastT: DataFrame,
+                       oldLedger: DataFrame, batchId: Long): Unit =
+      turnRow(turns).unionByName(tRows(lastT))
+        .unionByName(oldLedger).unionByName(ledgerRow(batchId))
+        .localCheckpoint(true)
+        .write.mode(SaveMode.Overwrite).format("parquet")
+        .saveAsTable(table)
+
+    def init(turns: DataFrame, batchT: DataFrame, batchId: Long): Unit = {
+      graft.operators.Bucketing.dropManagedTable(spark, table)
+      commit(turns, batchT, ledgerRow(batchId).limit(0), batchId)
+    }
+
+    def fold(batch: DataFrame, batchT: DataFrame, batchId: Long): Unit = {
+      val st = spark.table(table)
+      val turns = st.filter(!col("role").startsWith("__"))
+      val lastT = st.filter(col("role") === "__t__")
+        .select(col("user_id"), col("value_fp").as("last_t"))
+      val folded = Sft.foldTurns(turns, Sft.tailOf(turns, lastT), batch)
+      val mergedT = lastT.unionByName(batchT)
+        .groupBy(col("user_id")).agg(max(col("last_t")).as("last_t"))
+      commit(folded, mergedT,
+        st.filter(col("role") === "__ledger__"), batchId)
+    }
+  }
+
+  /** One micro-batch's fold (factored out for the gated query). */
+  def processSftBatch(batch: DataFrame, batchId: Long,
+                      table: String): Unit =
+    runSftBatch(batch, batchId, new TableIO(batch.sparkSession, table))
 
   /** Reader view: the turn rows only. */
   def readTurns(state: DataFrame): DataFrame =
@@ -121,52 +170,88 @@ object StreamingSft {
         lit("__ledger__").as("role"), lit(0L).as("n_events"),
         lit(0L).as("value_fp"), lit("").as("turn_text")))
 
-  /** [[processSftBatch]] with BUCKET-SCOPED state I/O: the standing
-    * turns live in a [[graft.operators.Lakehouse]] keyed store
-    * (bucket = tkey mod buckets) and each batch lands as a MERGE of
-    * only the rows it changes — extended/fresh turns
-    * ([[Sft.foldTurnsDelta]]), the batch users' last-t rows, and one
-    * ledger sentinel. Write I/O is ∝ buckets holding touched keys,
-    * never the standing corpus — the honest 100-TB difference from
-    * the whole-table overwrite sink (which this query family keeps
-    * as the q288-class baseline). Replay safety is the same in-table
-    * ledger: a landed batch id short-circuits before any write. */
-  def processSftBatchBucketed(batch: DataFrame, batchId: Long,
-                              path: String, buckets: Int): Unit = {
-    val spark = batch.sparkSession
-    if (batch.isEmpty) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
-    val batchT = Sft.rawTurns(batch).groupBy(col("user_id"))
-      .agg(max(col("t")).as("last_t"))
-    val ledgerId = spark.range(1).select(lit(batchId).as("id"))
-    if (!exists) {
+  /** Lakehouse-store state with BOUNDED I/O on both sides: writes
+    * land as a [[graft.operators.Lakehouse.mergeInto]] of only the
+    * rows the batch changes (the [[Sft.foldTurnsDelta]] upsert set,
+    * the batch users' last-t rows, one ledger sentinel — merge I/O ∝
+    * touched buckets by the store's own contract), and READS are
+    * partition-pruned to the dirs the batch can possibly need: the
+    * tkey layout makes a turn row's bucket ≡ user mod B and a last-t
+    * row's bucket = pmod(TKeyLastT − user, B), both pure functions of
+    * the batch's users, and the replay probe needs exactly the one
+    * bucket its sentinel key hashes to. A 1-user micro-batch against
+    * a 100-TB standing store therefore opens a constant number of
+    * bucket dirs (spec-pinned via task input metrics). */
+  private final class BucketIO(spark: SparkSession, path: String,
+                               buckets: Int) extends SftStateIO {
+    private val B = buckets.toLong
+    private val root = new org.apache.hadoop.fs.Path(path)
+    private val fs =
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    def exists(): Boolean = fs.exists(root)
+
+    private def ledgerBucket(batchId: Long): Long =
+      Math.floorMod(TKeyLedger - batchId, B)
+
+    def landed(batchId: Long): Boolean =
+      spark.read.parquet(path)
+        .filter(col("bucket") === ledgerBucket(batchId) &&
+          col("tkey") === TKeyLedger - batchId)
+        .head(1).nonEmpty
+
+    def init(turns: DataFrame, batchT: DataFrame, batchId: Long): Unit =
       graft.operators.Lakehouse.writeStore(
-        storeRows(Sft.mergedTurns(batch), batchT, ledgerId),
+        storeRows(turns, batchT,
+          spark.range(1).select(lit(batchId).as("id"))),
         "tkey", path, buckets)
-      return
+
+    def fold(batch: DataFrame, batchT: DataFrame, batchId: Long): Unit = {
+      // candidate dirs from the BATCH alone: turn buckets ∪ last-t
+      // buckets of the batch's users (≤ 2·B values, layout-bounded)
+      val cand = batch
+        .select(pmod(col("user_id"), lit(B)).cast("long").as("b"))
+        .union(batch.select(
+          pmod(lit(TKeyLastT) - col("user_id"), lit(B)).cast("long")))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val st = spark.read.parquet(path)
+        .filter(col("bucket").isin(cand.toSeq: _*))
+      // restrict standing rows to the batch's users: the fold's old
+      // side can only match them, and other users sharing a bucket
+      // would only inflate the tail/anti-join shuffles
+      val batchUsers = batch.select(col("user_id")).distinct()
+      val turns = st.filter(col("tkey") >= 0L)
+        .join(batchUsers, Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("session_id"), col("turn_id"),
+          col("role"), col("n_events"), col("value_fp"),
+          col("turn_text"))
+      val lastT = st.filter(col("role") === "__t__")
+        .join(batchUsers, Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("value_fp").as("last_t"))
+      val delta = Sft.foldTurnsDelta(turns, Sft.tailOf(turns, lastT),
+        batch)
+      val mergedT = lastT.unionByName(batchT)
+        .groupBy(col("user_id")).agg(max(col("last_t")).as("last_t"))
+      // materialize the (batch-sized) upsert set ONCE: mergeInto
+      // evaluates its batch several times (candidates, keys, touched,
+      // replacement), and each un-checkpointed evaluation would
+      // re-scan the candidate dirs — one pass, not five
+      val upserts = storeRows(delta, mergedT,
+          spark.range(1).select(lit(batchId).as("id")))
+        .withColumn("op", lit("U"))
+        .localCheckpoint(true)
+      graft.operators.Lakehouse.mergeInto(spark, path, upserts,
+        "tkey", buckets)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(upserts)
     }
-    val st = spark.read.parquet(path)
-    if (st.filter(col("tkey") === TKeyLedger - batchId)
-        .head(1).nonEmpty)
-      return // replayed batch: the in-store ledger says it landed
-    val turns = st.filter(col("tkey") >= 0L)
-      .select(col("user_id"), col("session_id"), col("turn_id"),
-        col("role"), col("n_events"), col("value_fp"), col("turn_text"))
-    val lastT = st.filter(col("role") === "__t__")
-      .select(col("user_id"), col("value_fp").as("last_t"))
-    val delta = Sft.foldTurnsDelta(turns, Sft.tailOf(turns, lastT),
-      batch)
-    val mergedT = lastT
-      .join(batchT.select(col("user_id")), Seq("user_id"), "left_semi")
-      .unionByName(batchT)
-      .groupBy(col("user_id")).agg(max(col("last_t")).as("last_t"))
-    graft.operators.Lakehouse.mergeInto(spark, path,
-      storeRows(delta, mergedT, ledgerId).withColumn("op", lit("U")),
-      "tkey", buckets)
-    ()
   }
+
+  /** [[processSftBatch]] with bucket-scoped state I/O — same sink
+    * loop, the [[BucketIO]] layout. */
+  def processSftBatchBucketed(batch: DataFrame, batchId: Long,
+                              path: String, buckets: Int): Unit =
+    runSftBatch(batch, batchId,
+      new BucketIO(batch.sparkSession, path, buckets))
 
   /** Turn rows of a bucketed store. */
   def readTurnsBucketed(spark: org.apache.spark.sql.SparkSession,

@@ -35,6 +35,42 @@ class LakehouseSpec extends AnyFunSuite {
     out.toMap
   }
 
+  /** Bytes of data files under `dir` matching `prefix` (e.g. a
+    * specific bucket dir) — the denominators of the read-pruning
+    * pins below. */
+  private def dirBytes(dir: String, prefix: String): Long = {
+    val base = Paths.get(dir)
+    var total = 0L
+    Files.walk(base).forEach { p =>
+      if (Files.isRegularFile(p) &&
+        base.relativize(p).toString.startsWith(prefix) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+        total += Files.size(p)
+    }
+    total
+  }
+
+  /** Task-level input bytes read across every Spark job `f` runs —
+    * the measured-I/O side of the candidate-bucket pruning contract.
+    * Tests run sequentially in the forked JVM, so the global listener
+    * sees only `f`'s tasks. */
+  private def bytesReadDuring(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          acc.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      org.apache.spark.sql.GraftSqlBridge.waitListeners(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
   test("mergeInto rewrites exactly the touched buckets: untouched " +
     "bucket files keep bytes and mtimes; emptied bucket dirs vanish; " +
     "an absent-key delete touches nothing") {
@@ -291,6 +327,195 @@ class LakehouseSpec extends AnyFunSuite {
     }
     // a second vacuum is a no-op
     assert(Lakehouse.vacuumVersions(spark, path, 1L) == ((0L, 2L)))
+  }
+
+  /** Fat incompressible payload (seeded alphanumeric — snappy cannot
+    * collapse it), so on-disk bucket sizes dominate footer noise and
+    * the read-pruning pins below have real denominators. */
+  private def fatText(seed: Long, n: Int): String =
+    new scala.util.Random(seed).alphanumeric.take(n).mkString
+
+  test("mergeInto reads ONLY candidate bucket dirs: a 1-key batch " +
+    "against fat non-candidate buckets costs less input than one fat " +
+    "bucket; a batch keyed INTO the fat bucket reads it (negative " +
+    "control)") {
+    val path = freshDir("graft_mprune")
+    // bucket = id % 4; bucket-2 rows carry ~150 KB incompressible text
+    val rows = (0L until 16L).map { i =>
+      (i, if (i % 4 == 2) fatText(i, 150000) else s"text $i",
+        "en", s"src${i % 3}", 10L + i)
+    }
+    Lakehouse.writeStore(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "doc_id", path, buckets = 4)
+    val fatBytes = dirBytes(path, "bucket=2")
+    assert(fatBytes > 300000, s"fat bucket too small: $fatBytes")
+    val b1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val pruned = bytesReadDuring {
+      assert(Lakehouse.mergeInto(spark, path, b1, "doc_id", 4) ==
+        ((1L, 1L)))
+    }
+    assert(pruned < fatBytes / 2,
+      s"classification read is not bucket-pruned: read $pruned bytes " +
+        s"with a $fatBytes-byte non-candidate bucket standing")
+    // negative control: a key that LIVES in the fat bucket must read it
+    val b2 = Seq((2L, "U", "tiny now", "en", "srcX", 8L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val unpruned = bytesReadDuring {
+      Lakehouse.mergeInto(spark, path, b2, "doc_id", 4)
+    }
+    assert(unpruned > fatBytes / 2,
+      s"control should have read the fat bucket: $unpruned vs $fatBytes")
+  }
+
+  test("mergeVersioned + mergeVersionedLogged classify within " +
+    "candidate buckets only (measured input bytes), and the changelog " +
+    "row matches the batch's true classification") {
+    val path = freshDir("graft_vprune")
+    val logPath = freshDir("graft_vprune_log")
+    val rows = (0L until 16L).map { i =>
+      (i, if (i % 4 == 2) fatText(100 + i, 150000) else s"text $i",
+        "en", s"src${i % 3}", 10L + i)
+    }
+    Lakehouse.writeVersioned(
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "doc_id", path, buckets = 4, commitTs = 10L)
+    val fatBytes = dirBytes(path + "/v0", "bucket=2")
+    assert(fatBytes > 300000)
+    // v1: update key 1 (bucket 1) + ghost-delete key 999 (bucket 3)
+    val b1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L),
+      (999L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val pruned = bytesReadDuring {
+      Lakehouse.mergeVersionedLogged(spark, path, logPath, 1L, b1,
+        "doc_id", 4, commitTs = 20L)
+    }
+    assert(pruned < fatBytes / 2,
+      s"versioned classification not pruned: $pruned vs $fatBytes")
+    val log = spark.read.parquet(logPath)
+      .select("version", "n_updates", "n_inserts", "n_deletes",
+        "n_noop_deletes", "touched_buckets")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(log == Seq((1L, 1L, 0L, 0L, 1L, 1L)))
+    // and the merge itself landed: v1 state readable by version AND ts
+    assert(Lakehouse.readVersioned(spark, path, 1L)
+      .filter(col("doc_id") === 1L).select("source").as[String].head()
+      == "srcX")
+    assert(Lakehouse.readVersionedAsOf(spark, path, 25L)
+      .filter(col("doc_id") === 1L).select("source").as[String].head()
+      == "srcX")
+    assert(Lakehouse.readVersionedAsOf(spark, path, 15L)
+      .filter(col("doc_id") === 1L).select("source").as[String].head()
+      == "src1")
+  }
+
+  test("bucket-scoped StreamingSft fold reads only the batch users' " +
+    "bucket dirs: a 1-user batch against another user's fat standing " +
+    "bucket costs less input than that bucket") {
+    import graft.streaming.StreamingSft
+    val path = freshDir("graft_sftprune")
+    // user 2's standing history is fat: 60k events -> one huge merged
+    // turn (~850 KB of semi-random digits); user 1 is tiny.
+    // buckets = 16: u1 turn bucket 1, u2 turn bucket 2; u1 last-t 15,
+    // u2 last-t 14; batch-1 ledger 15 -> candidates {1, 15} only.
+    val u2 = (0 until 60000).map { j =>
+      (1000L + j, j.toLong, 2L, "purchase",
+        ((j * 2654435761L) % 99991L) / 100.0)
+    }
+    val b0rows = Seq((1L, 0L, 1L, "purchase", 1.0)) ++ u2
+    def ev(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.toDF("event_id", "sec", "user_id", "event_type", "value")
+        .select(col("event_id"), (col("sec") * 1000000000L).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+    StreamingSft.processSftBatchBucketed(ev(b0rows), 0L, path,
+      buckets = 16)
+    val fatBytes = dirBytes(path, "bucket=2")
+    assert(fatBytes > 100000, s"fat bucket too small: $fatBytes")
+    val before = partFiles(path)
+    val b1 = ev(Seq((50000L, 100000L, 1L, "purchase", 3.0)))
+    val pruned = bytesReadDuring {
+      StreamingSft.processSftBatchBucketed(b1, 1L, path, buckets = 16)
+    }
+    assert(pruned < fatBytes / 2,
+      s"fold read is not bucket-pruned: $pruned vs $fatBytes")
+    // user 2's standing files untouched byte-for-byte
+    val u2files = before.keySet.filter(_.startsWith("bucket=2/"))
+    assert(u2files.nonEmpty)
+    val after = partFiles(path)
+    u2files.foreach { f => assert(after(f) == before(f), f) }
+    // and the fold is correct: user 1 gained its second session
+    val turns = StreamingSft.readTurnsBucketed(spark, path)
+      .filter(col("user_id") === 1L)
+    assert(turns.count() == 2L)
+  }
+
+  test("checkpointManifest collapses history at or below the floor " +
+    "into one file; every as-of view >= floor (by version and by " +
+    "timestamp) reads back identically") {
+    val path = freshDir("graft_ckpt")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", path,
+      buckets = 4, commitTs = 10L)
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, m1, "doc_id", 4,
+      commitTs = 20L)
+    val m2 = Seq((2L, "D", "", "", "", 0L), (6L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 2L, m2, "doc_id", 4,
+      commitTs = 30L)
+    def snap(v: Long) = Lakehouse.readVersioned(spark, path, v)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    def snapTs(ts: Long) = Lakehouse.readVersionedAsOf(spark, path, ts)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val (s1, s2) = (snap(1L), snap(2L))
+    val (t25, t35) = (snapTs(25L), snapTs(35L))
+    val (rb, ra, fb, fa) = Lakehouse.checkpointManifest(spark, path, 1L)
+    // three appended files -> one; v0's 4 pointers + v1's 1 collapse
+    // to 4 resolved rows (bucket 1's v0 row superseded), v2 rows kept
+    assert(fb == 3L && fa == 1L)
+    assert(rb == 6L && ra == 5L)
+    assert(Files.list(Paths.get(path, "_manifest")).toArray
+      .map(p => Paths.get(p.toString).getFileName.toString)
+      .count(_.startsWith("part-")) == 1)
+    // read-equivalence at and above the floor, both resolution modes
+    assert(snap(1L) == s1 && snap(2L) == s2)
+    assert(snapTs(25L) == t25 && snapTs(35L) == t35)
+  }
+
+  test("versioned-store guards: duplicate full write fails; " +
+    "out-of-order merge version fails; reading before the first " +
+    "commit fails descriptively; a fully-emptied view reads back as " +
+    "an EMPTY frame with the store schema") {
+    val path = freshDir("graft_vguard")
+    val base = docsDf(Seq(0L, 4L)) // one bucket (buckets = 1)
+    Lakehouse.writeVersioned(base, "doc_id", path, buckets = 1)
+    // duplicate full write
+    val e1 = intercept[IllegalArgumentException] {
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 1)
+    }
+    assert(e1.getMessage.contains("already exists"))
+    // out-of-order version (must be 1)
+    val m = Seq((0L, "D", "", "", "", 0L), (4L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val e2 = intercept[IllegalArgumentException] {
+      Lakehouse.mergeVersioned(spark, path, 3L, m, "doc_id", 1)
+    }
+    assert(e2.getMessage.contains("one past the last"))
+    // before the first commit
+    val e3 = intercept[IllegalArgumentException] {
+      Lakehouse.readVersioned(spark, path, -1L)
+    }
+    assert(e3.getMessage.contains("predates the first commit"))
+    // empty a 1-bucket store entirely: the pointer is a tombstone and
+    // the view is EMPTY, not an exception
+    Lakehouse.mergeVersioned(spark, path, 1L, m, "doc_id", 1)
+    val emptied = Lakehouse.readVersioned(spark, path, 1L)
+    assert(emptied.count() == 0L)
+    assert(emptied.columns.contains("doc_id") &&
+      emptied.columns.contains("text"))
+    // v0 still time-travels
+    assert(Lakehouse.readVersioned(spark, path, 0L).count() == 2L)
   }
 
   test("labelPropagation == the naive synchronous recurrence; a " +
