@@ -44,6 +44,43 @@ object LakehouseQueries {
       |  md5(string_agg(line, chr(10) ORDER BY doc_id)) AS content_md5
       |FROM pk GROUP BY 1""".stripMargin
 
+  /** The standard two-wave versioned-merge batches the time-travel
+    * family shares: v1 = % 5 updates (source -> 'm1'), v2 = % 7 = 3
+    * deletes plus % 11 = 0 inserts re-keyed +10000. */
+  private def v1Batch(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), lit("U").as("op"), col("text"),
+        col("lang"), lit("m1").as("source"), col("n_chars"))
+
+  private def v2Batch(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id"), lit("D").as("op"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars")))
+
+  private def rmDir(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Build the shared three-commit versioned store (v0 full write at
+    * ts 100, v1 updates at ts 200, v2 deletes+inserts at ts 300) —
+    * the fixture q354/q357 time-travel evidence reads against. */
+  private def buildVersioned(s: SparkSession, d: String,
+                             path: String): Unit = {
+    rmDir(s, path)
+    val base = docs(s, d)
+    Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16,
+      commitTs = 100L)
+    Lakehouse.mergeVersioned(s, path, 1L, v1Batch(base), "doc_id", 16,
+      commitTs = 200L)
+    Lakehouse.mergeVersioned(s, path, 2L, v2Batch(base), "doc_id", 16,
+      commitTs = 300L)
+  }
+
   /** The merge batch all three merge queries derive from: deletes =
     * doc_id % 7 = 3 (the repo-wide delete slice), updates = % 5 = 0
     * survivors with a payload change, inserts = % 11 = 0 re-keyed
@@ -240,6 +277,75 @@ object LakehouseQueries {
         .crossJoin(s.range(1).select(lit(deleted).as("deleted_vdirs"),
           lit(retained).as("retained_vdirs")))
     }),
+    // TIME TRAVEL BY TIMESTAMP — the as-of form every table format
+    // pairs with version numbers: commits carry a caller-supplied
+    // commit_ts in the manifest (ts 100/200/300 here — the engine
+    // never reads a wall clock), and readVersionedAsOf resolves the
+    // latest commit at or before the queried instant. Reads BETWEEN
+    // commits (150/250/350) must land on the state just before them
+    // — the gated output is each as-of view's per-bucket manifest.
+    "q354_time_travel_asof" -> ((s, d) => {
+      val path = tmp("graft_ttas_", d)
+      buildVersioned(s, d, path)
+      Seq(150L, 250L, 350L).map { ts =>
+        Lakehouse.storeManifest(
+            Lakehouse.readVersionedAsOf(s, path, ts), "doc_id")
+          .withColumn("asof_ts", lit(ts))
+      }.reduce(_ unionByName _)
+    }),
+    // VERSIONED MERGE CHANGELOG — q349's lineage discipline routed
+    // through the copy-on-write store: each versioned merge
+    // classifies its batch against the RESOLVED pre-merge state
+    // (pruned to candidate buckets) and appends one audit row; ghost
+    // deletes (+50000, never present) keep the no-op column
+    // non-vacuous. Same log schema as the in-place store, so one
+    // reader serves both; the oracle re-derives every count from the
+    // batch definitions alone (q349's oracle verbatim).
+    "q355_versioned_changelog" -> ((s, d) => {
+      val path = tmp("graft_vmlog_", d)
+      val logPath = tmp("graft_vmlogl_", d)
+      rmDir(s, path); rmDir(s, logPath)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16,
+        commitTs = 100L)
+      Lakehouse.mergeVersionedLogged(s, path, logPath, 1L,
+        v1Batch(base), "doc_id", 16, commitTs = 200L)
+      val ghosts = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 50000L).as("doc_id"),
+          lit("D").as("op"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      Lakehouse.mergeVersionedLogged(s, path, logPath, 2L,
+        v2Batch(base).unionByName(ghosts), "doc_id", 16,
+        commitTs = 300L)
+      s.read.parquet(logPath)
+    }),
+    // MANIFEST CHECKPOINT — the Delta-style answer to one-manifest-
+    // file-per-merge debt: pointer history at or below the floor
+    // collapses into each bucket's single resolved row and the whole
+    // manifest rewrites as ONE file. Read-equivalence is the gated
+    // evidence: v1/v2 resolved BOTH by version and by timestamp
+    // AFTER the checkpoint, hash-compared against the SQL-derived
+    // historical states, with the measured row/file counts riding in
+    // the output.
+    "q357_manifest_checkpoint" -> ((s, d) => {
+      val path = tmp("graft_mckpt_", d)
+      buildVersioned(s, d, path)
+      val (rb, ra, fb, fa) = Lakehouse.checkpointManifest(s, path, 1L)
+      val byVersion = (1L to 2L).map { v =>
+        Lakehouse.storeManifest(Lakehouse.readVersioned(s, path, v),
+            "doc_id")
+          .withColumn("version", lit(v)).withColumn("mode", lit("v"))
+      }
+      val byTs = Seq(250L -> 1L, 350L -> 2L).map { case (ts, v) =>
+        Lakehouse.storeManifest(Lakehouse.readVersionedAsOf(s, path, ts),
+            "doc_id")
+          .withColumn("version", lit(v)).withColumn("mode", lit("t"))
+      }
+      (byVersion ++ byTs).reduce(_ unionByName _)
+        .crossJoin(s.range(1).select(lit(rb).as("rows_before"),
+          lit(ra).as("rows_after"), lit(fb).as("files_before"),
+          lit(fa).as("files_after")))
+    }),
     // MERGE CHANGELOG — the table's lineage: each merge classifies
     // its batch against the pre-merge store (updates vs inserts,
     // applied vs no-op deletes) and appends one audit row. Version 2
@@ -336,8 +442,86 @@ object LakehouseQueries {
       Lakehouse.storeManifest(s.read.parquet(path), "doc_id")
     }))
 
+  /** q349's oracle — shared verbatim by q355: the versioned merge's
+    * changelog must classify identically to the in-place store's
+    * (same batch definitions, same lineage schema). */
+  private val changelogSql: String =
+    """WITH v1 AS (SELECT CAST(1 AS BIGINT) AS version,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
+      |    ::BIGINT AS n_updates,
+      |  CAST(0 AS BIGINT) AS n_inserts, CAST(0 AS BIGINT) AS n_deletes,
+      |  CAST(0 AS BIGINT) AS n_noop_deletes,
+      |  (SELECT count(DISTINCT doc_id % 16) FROM documents
+      |   WHERE doc_id % 5 = 0)::BIGINT AS touched_buckets),
+      |v2 AS (SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
+      |  (SELECT count(*) FROM documents WHERE doc_id % 11 = 0)::BIGINT,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 3)::BIGINT,
+      |  (SELECT count(*) FROM documents WHERE doc_id % 13 = 0)::BIGINT,
+      |  (SELECT count(DISTINCT b) FROM (
+      |     SELECT doc_id % 16 AS b FROM documents WHERE doc_id % 7 = 3
+      |     UNION SELECT (doc_id + 10000) % 16 FROM documents
+      |     WHERE doc_id % 11 = 0))::BIGINT)
+      |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q332_jsonl_export" -> jsonlSql,
+    "q354_time_travel_asof" ->
+      """WITH s0 AS (SELECT 150 AS asof_ts, doc_id, text, lang, source,
+        |  n_chars FROM documents),
+        |s1 AS (SELECT 250, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents),
+        |s2 AS (SELECT 350, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT 350, doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |al AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |       UNION ALL SELECT * FROM s2)
+        |SELECT CAST(asof_ts AS BIGINT) AS asof_ts,
+        |  CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5
+        |FROM al GROUP BY asof_ts, doc_id % 16""".stripMargin,
+    "q355_versioned_changelog" -> changelogSql,
+    "q357_manifest_checkpoint" ->
+      """WITH st AS (
+        |  SELECT 1 AS version, doc_id, text, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |    n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 2, doc_id, text, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL SELECT 2, doc_id + 10000, text, 'xx', 'ingest',
+        |    n_chars FROM documents WHERE doc_id % 11 = 0),
+        |v2t AS (SELECT count(DISTINCT b)::BIGINT AS t FROM (
+        |   SELECT doc_id % 16 AS b FROM documents WHERE doc_id % 7 = 3
+        |   UNION SELECT (doc_id + 10000) % 16 FROM documents
+        |   WHERE doc_id % 11 = 0)),
+        |b0 AS (SELECT count(DISTINCT doc_id % 16)::BIGINT AS n
+        |       FROM documents),
+        |v1t AS (SELECT count(DISTINCT doc_id % 16)::BIGINT AS n
+        |        FROM documents WHERE doc_id % 5 = 0),
+        |modes AS (SELECT 'v' AS mode UNION ALL SELECT 't')
+        |SELECT CAST(st.version AS BIGINT) AS version, modes.mode AS mode,
+        |  CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT n FROM b0) + (SELECT n FROM v1t) + (SELECT t FROM v2t)
+        |    AS rows_before,
+        |  (SELECT n FROM b0) + (SELECT t FROM v2t) AS rows_after,
+        |  CAST(3 AS BIGINT) AS files_before,
+        |  CAST(1 AS BIGINT) AS files_after
+        |FROM st CROSS JOIN modes
+        |GROUP BY st.version, modes.mode, doc_id % 16""".stripMargin,
     "q333_jsonl_append" -> jsonlSql,
     "q338_jsonl_import" ->
       "SELECT doc_id, lang, source, text, n_chars FROM documents",
@@ -419,23 +603,7 @@ object LakehouseQueries {
         |  CAST(3 AS BIGINT) - (SELECT deleted FROM gc)
         |    AS retained_vdirs
         |FROM al GROUP BY version, doc_id % 16""".stripMargin,
-    "q349_merge_changelog" ->
-      """WITH v1 AS (SELECT CAST(1 AS BIGINT) AS version,
-        |  (SELECT count(*) FROM documents WHERE doc_id % 5 = 0)
-        |    ::BIGINT AS n_updates,
-        |  CAST(0 AS BIGINT) AS n_inserts, CAST(0 AS BIGINT) AS n_deletes,
-        |  CAST(0 AS BIGINT) AS n_noop_deletes,
-        |  (SELECT count(DISTINCT doc_id % 16) FROM documents
-        |   WHERE doc_id % 5 = 0)::BIGINT AS touched_buckets),
-        |v2 AS (SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT),
-        |  (SELECT count(*) FROM documents WHERE doc_id % 11 = 0)::BIGINT,
-        |  (SELECT count(*) FROM documents WHERE doc_id % 7 = 3)::BIGINT,
-        |  (SELECT count(*) FROM documents WHERE doc_id % 13 = 0)::BIGINT,
-        |  (SELECT count(DISTINCT b) FROM (
-        |     SELECT doc_id % 16 AS b FROM documents WHERE doc_id % 7 = 3
-        |     UNION SELECT (doc_id + 10000) % 16 FROM documents
-        |     WHERE doc_id % 11 = 0))::BIGINT)
-        |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin,
+    "q349_merge_changelog" -> changelogSql,
     "q343_schema_evolution" ->
       """WITH th AS (SELECT max(doc_id) * 4 // 5 AS t FROM documents),
         |q AS (SELECT source, CASE WHEN doc_id > (SELECT t FROM th)
