@@ -436,6 +436,84 @@ object BpeQueries {
         counted.withColumn("n_events", col("n_tok") - 1L),
         col("user_id") * 1000000L + col("session_id"), budget = 256L)
     }),
+    // TRAINER-READY PACKED ARTIFACT — the physical file a fine-tuning
+    // job mounts: q342's token-space packing materialized as (seq_id →
+    // token_ids, loss_mask) JSONL shards. Token ids index the GPT-2-
+    // layout byte-level vocabulary (256 base byte symbols, merge
+    // outputs in rank order with duplicates resolved to the min id,
+    // role tags appended); each sequence's ids and mask ride in
+    // global in-sequence order; shards are the byte-budget prefix-sum
+    // layout. The gated output is the manifest of the files READ BACK
+    // (seq ids re-parsed from the JSON), hash-compared against a
+    // pure-SQL reconstruction of every byte — ids, mask, packing, and
+    // shard layout all re-derived by the oracle from the events table
+    // and the merge recurrence alone.
+    "q356_trainer_artifact" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_train_" +
+        math.abs(d.hashCode.toLong)
+      val m = bytesMerges(s, d)
+      val specials = Seq("<|user|>", "<|assistant|>")
+      import s.implicits._
+      val vocab = ((0 until 256).map(n => (f"$n%02X", n.toLong)) ++
+        m.zipWithIndex.map { case ((a, b), r) => (a + b, 256L + r) } ++
+        specials.zipWithIndex.map { case (sp, i) =>
+          (sp, 256L + m.size + i) })
+        .toDF("token", "id")
+        .groupBy(col("token")).agg(min(col("id")).as("id"))
+      val turns = Sft.mergedTurns(t(s, d, "events"))
+        .withColumn("toks", TextFunctions.bpeEncode(col("turn_text"), m,
+          byteLevel = true, specials = specials))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("conv_key",
+          col("user_id") * 1000000L + col("session_id"))
+      val conv = turns.groupBy(col("conv_key"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+      val packed = Packing.packWithOffsets(conv, "conv_key", "n_tokens",
+        256L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("conv_key")).orderBy(col("turn_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val flat = turns
+        .withColumn("tstart",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .join(packed.select(col("conv_key"), col("seq_id"),
+          col("offset")), Seq("conv_key"))
+        .select(col("role"), col("seq_id"),
+          (col("offset") + col("tstart")).as("gstart"),
+          posexplode(col("toks")))
+      val fid = flat
+        .join(broadcast(vocab), flat("col") === vocab("token"))
+        .select(col("seq_id"),
+          (col("gstart") + col("pos")).as("gpos"), col("id"),
+          when(col("role") === "assistant" && col("pos") >= 1, 1L)
+            .otherwise(0L).as("loss"))
+      val lines = fid.groupBy(col("seq_id"))
+        .agg(
+          array_join(transform(sort_array(collect_list(struct(
+            col("gpos"), col("id").cast("string").as("v")))),
+            x => x.getField("v")), " ").as("ids"),
+          array_join(transform(sort_array(collect_list(struct(
+            col("gpos"), col("loss").cast("string").as("v")))),
+            x => x.getField("v")), " ").as("mask"))
+        .select(col("seq_id").as("sid"), // avoid packByBudget's own seq_id
+          concat(lit("{\"seq_id\":"), col("seq_id"),
+            lit(",\"ids\":\""), col("ids"),
+            lit("\",\"mask\":\""), col("mask"), lit("\"}")).as("line"))
+        .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
+      Lakehouse.writeLines(lines, "sid", path, budgetBytes = 4096L)
+      s.read.text(path)
+        .select(col("shard").cast("long").as("shard_id"),
+          get_json_object(col("value"), "$.seq_id").cast("long")
+            .as("seq_id"),
+          col("value"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_seqs"),
+          sum(length(col("value")) + 1L).cast("long").as("n_bytes"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("seq_id"), col("value")))),
+            x => x.getField("value")), "\n")).as("content_md5"))
+    }),
     // The TRUE BPE id space — base symbols then merge outputs in rank
     // order (the GPT-2 vocab-file layout), vs q122's corpus-frequency
     // vocab. This is the artifact a trainer's embedding table indexes.
@@ -1797,6 +1875,71 @@ object BpeQueries {
          |  t.n_tok - 1 AS span_len
          |FROM ts2 t JOIN pos p USING (conv_key)
          |WHERE t.role = 'assistant'""".stripMargin,
+    // every byte of the packed artifact re-derived: vocabulary (256
+    // base byte symbols + merge outputs + role tags, min-id on
+    // duplicates), per-turn encode, conversation packing, in-sequence
+    // token order, loss mask, and the shard layout
+    "q356_trainer_artifact" ->
+      s"""WITH ${trainingCtes(NumMerges, bytesWordSql)},
+         |${SftQueries.turnsCte},
+         |vocab AS (SELECT token, min(id) AS id FROM (
+         |  SELECT lpad(upper(to_hex(n)), 2, '0') AS token,
+         |    CAST(n AS BIGINT) AS id
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS n)
+         |${(0 until NumMerges).map(r =>
+             s"  UNION ALL SELECT (SELECT a||b FROM b$r), " +
+               s"CAST(${256 + r} AS BIGINT)").mkString("\n")}
+         |  UNION ALL SELECT '<|user|>', CAST(${256 + NumMerges} AS BIGINT)
+         |  UNION ALL SELECT '<|assistant|>',
+         |    CAST(${257 + NumMerges} AS BIGINT)
+         |) GROUP BY token),
+         |tt AS (SELECT user_id * 1000000 + session_id AS conv_key,
+         |  turn_id, role,
+         |  ${encodeExprBytesMulti(NumMerges,
+              Seq("<|user|>", "<|assistant|>"), "turn_text")} AS toks
+         | FROM turns),
+         |tn AS (SELECT conv_key, turn_id, role, toks,
+         |  len(toks)::BIGINT AS n_tok FROM tt),
+         |ck AS (SELECT conv_key, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |       FROM tn GROUP BY 1),
+         |pk AS (SELECT conv_key,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY conv_key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM ck),
+         |pos AS (SELECT conv_key, CAST(pstart // 256 AS BIGINT)
+         |    AS seq_id,
+         |  CAST(pstart % 256 AS BIGINT) AS "offset" FROM pk),
+         |ts2 AS (SELECT conv_key, turn_id, role, toks,
+         |  CAST(COALESCE(sum(n_tok) OVER (PARTITION BY conv_key
+         |    ORDER BY turn_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0) AS BIGINT) AS tstart FROM tn),
+         |ts3 AS (SELECT t.conv_key, t.turn_id, t.role, t.toks,
+         |  t.tstart, p.seq_id, p."offset" AS off
+         | FROM ts2 t JOIN pos p USING (conv_key)),
+         |flat AS (SELECT seq_id, off + tstart + u.i - 1 AS gpos,
+         |  toks[u.i] AS tok,
+         |  CASE WHEN role = 'assistant' AND u.i > 1 THEN 1 ELSE 0 END
+         |    AS loss
+         | FROM ts3, UNNEST(generate_series(1, len(toks))) AS u(i)),
+         |fid AS (SELECT f.seq_id, f.gpos, v.id, f.loss
+         |        FROM flat f JOIN vocab v ON v.token = f.tok),
+         |lines AS (SELECT seq_id,
+         |  '{"seq_id":' || CAST(seq_id AS VARCHAR) || ',"ids":"' ||
+         |  string_agg(CAST(id AS VARCHAR), ' ' ORDER BY gpos) ||
+         |  '","mask":"' ||
+         |  string_agg(CAST(loss AS VARCHAR), ' ' ORDER BY gpos) || '"}'
+         |    AS line
+         | FROM fid GROUP BY seq_id),
+         |lb AS (SELECT seq_id, line,
+         |  CAST(length(line) + 1 AS BIGINT) AS nb FROM lines),
+         |pk2 AS (SELECT seq_id, line, nb,
+         |  CAST(COALESCE(sum(nb) OVER (ORDER BY seq_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM lb)
+         |SELECT CAST(pstart // 4096 AS BIGINT) AS shard_id,
+         |  count(*)::BIGINT AS n_seqs, CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  md5(string_agg(line, chr(10) ORDER BY seq_id)) AS content_md5
+         |FROM pk2 GROUP BY 1""".stripMargin,
     "q132_bpe_vocab" ->
       s"""WITH ${trainingCtes(NumMerges)},
          |${vocabCtes(NumMerges)}
