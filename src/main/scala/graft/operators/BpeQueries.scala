@@ -436,6 +436,85 @@ object BpeQueries {
         counted.withColumn("n_events", col("n_tok") - 1L),
         col("user_id") * 1000000L + col("session_id"), budget = 256L)
     }),
+    // SEQUENCE-BOUNDARY FRAGMENTATION REPORT — the attention-mask
+    // quality table for the q342/q356 stream packing: a conversation
+    // may straddle sequence boundaries (it belongs to the sequence it
+    // STARTS in), and every straddle is a fragmented attention span.
+    // Per sequence: conversations starting here, conversations
+    // carrying IN from earlier sequences, and the token mass each
+    // class contributes. Span expansion is explode(sequence(s0, s1))
+    // — fan-out ∝ total_tokens / budget, never quadratic.
+    "q358_seq_fragmentation" -> ((s, d) => {
+      val m = bytesMerges(s, d)
+      val turns = Sft.mergedTurns(t(s, d, "events"))
+        .withColumn("n_tok",
+          size(TextFunctions.bpeEncode(col("turn_text"), m,
+            byteLevel = true,
+            specials = Seq("<|user|>", "<|assistant|>"))).cast("long"))
+        .withColumn("conv_key",
+          col("user_id") * 1000000L + col("session_id"))
+      val conv = turns.groupBy(col("conv_key"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+      val packed = Packing.packWithOffsets(conv, "conv_key", "n_tokens",
+        256L)
+      val spans = packed.select(col("conv_key"), col("seq_id").as("s0"),
+        (col("seq_id") * 256L + col("offset")).as("gstart"),
+        (col("seq_id") * 256L + col("offset") + col("n_tokens") - 1L)
+          .as("gend"))
+        .withColumn("s1", expr("gend div 256"))
+      spans.withColumn("seq_id", explode(sequence(col("s0"), col("s1"))))
+        .select(col("seq_id"), col("s0"),
+          (least(col("gend"), (col("seq_id") + 1L) * 256L - 1L) -
+            greatest(col("gstart"), col("seq_id") * 256L) + 1L)
+            .as("tok_here"))
+        .groupBy(col("seq_id"))
+        .agg(sum(when(col("seq_id") === col("s0"), 1L).otherwise(0L))
+            .cast("long").as("n_starts"),
+          sum(when(col("seq_id") =!= col("s0"), 1L).otherwise(0L))
+            .cast("long").as("n_carry_in"),
+          sum(when(col("seq_id") === col("s0"), col("tok_here"))
+            .otherwise(0L)).cast("long").as("fresh_tokens"),
+          sum(when(col("seq_id") =!= col("s0"), col("tok_here"))
+            .otherwise(0L)).cast("long").as("carry_tokens"))
+    }),
+    // MULTI-EPOCH SHUFFLE PLAN — the deterministic per-epoch read
+    // order a trainer consumes the packed artifact in: rank of each
+    // sequence under the 48-bit md5 permutation keyed by (epoch,
+    // seq_id), computed with the two-phase distributed rank (epoch-
+    // major composite key through Packing.stableIds — never a
+    // single-task global sort; per-epoch rank falls out as row_id
+    // minus the epoch's base). Reshuffling is a PLAN (seq_id → rank),
+    // not a data movement: 100 TB of shards stay where they are.
+    "q359_epoch_shuffle" -> ((s, d) => {
+      val m = bytesMerges(s, d)
+      val turns = Sft.mergedTurns(t(s, d, "events"))
+        .withColumn("n_tok",
+          size(TextFunctions.bpeEncode(col("turn_text"), m,
+            byteLevel = true,
+            specials = Seq("<|user|>", "<|assistant|>"))).cast("long"))
+        .withColumn("conv_key",
+          col("user_id") * 1000000L + col("session_id"))
+      val conv = turns.groupBy(col("conv_key"))
+        .agg(sum(col("n_tok")).as("n_tokens"))
+      val seqs = Packing.packWithOffsets(conv, "conv_key", "n_tokens",
+        256L).select(col("seq_id")).distinct()
+      val nSeqs = seqs.count()
+      val epochs = s.range(3).select(col("id").as("epoch"))
+      // 40-bit hash + 16-bit seq tie-break under an epoch-major
+      // composite: unique and < 2^58. (The tie-break width is a
+      // layout constant — widen alongside the shard count.)
+      val keyed = seqs.crossJoin(broadcast(epochs))
+        .withColumn("h",
+          expr("conv(substr(md5(concat(cast(epoch as string), ':', " +
+            "cast(seq_id as string))), 1, 10), 16, 10)").cast("long"))
+        .withColumn("__key",
+          col("epoch") * 72057594037927936L +
+            col("h") * 65536L + col("seq_id"))
+      Packing.stableIds(keyed.select(col("__key")), "__key")
+        .join(keyed, Seq("__key"))
+        .select(col("epoch"), col("seq_id"),
+          (col("row_id") - col("epoch") * nSeqs).as("rank"))
+    }),
     // TRAINER-READY PACKED ARTIFACT — the physical file a fine-tuning
     // job mounts: q342's token-space packing materialized as (seq_id →
     // token_ids, loss_mask) JSONL shards. Token ids index the GPT-2-
@@ -1875,6 +1954,62 @@ object BpeQueries {
          |  t.n_tok - 1 AS span_len
          |FROM ts2 t JOIN pos p USING (conv_key)
          |WHERE t.role = 'assistant'""".stripMargin,
+    "q358_seq_fragmentation" ->
+      s"""WITH ${trainingCtes(NumMerges, bytesWordSql)},
+         |${SftQueries.turnsCte},
+         |tt AS (SELECT user_id * 1000000 + session_id AS conv_key,
+         |  len(${encodeExprBytesMulti(NumMerges,
+              Seq("<|user|>", "<|assistant|>"), "turn_text")})::BIGINT
+         |    AS n_tok
+         | FROM turns),
+         |ck AS (SELECT conv_key, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |       FROM tt GROUP BY 1),
+         |pk AS (SELECT conv_key, n_tokens,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY conv_key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS gstart FROM ck),
+         |sp AS (SELECT conv_key, gstart // 256 AS s0, gstart,
+         |  gstart + n_tokens - 1 AS gend,
+         |  (gstart + n_tokens - 1) // 256 AS s1 FROM pk),
+         |ex AS (SELECT u.seq_id, s0,
+         |  LEAST(gend, (u.seq_id + 1) * 256 - 1)
+         |    - GREATEST(gstart, u.seq_id * 256) + 1 AS tok_here
+         | FROM sp, UNNEST(generate_series(s0, s1)) AS u(seq_id))
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(sum(CASE WHEN seq_id = s0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_starts,
+         |  CAST(sum(CASE WHEN seq_id <> s0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_carry_in,
+         |  CAST(sum(CASE WHEN seq_id = s0 THEN tok_here ELSE 0 END)
+         |    AS BIGINT) AS fresh_tokens,
+         |  CAST(sum(CASE WHEN seq_id <> s0 THEN tok_here ELSE 0 END)
+         |    AS BIGINT) AS carry_tokens
+         |FROM ex GROUP BY seq_id""".stripMargin,
+    "q359_epoch_shuffle" ->
+      s"""WITH ${trainingCtes(NumMerges, bytesWordSql)},
+         |${SftQueries.turnsCte},
+         |tt AS (SELECT user_id * 1000000 + session_id AS conv_key,
+         |  len(${encodeExprBytesMulti(NumMerges,
+              Seq("<|user|>", "<|assistant|>"), "turn_text")})::BIGINT
+         |    AS n_tok
+         | FROM turns),
+         |ck AS (SELECT conv_key, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |       FROM tt GROUP BY 1),
+         |pk AS (SELECT conv_key,
+         |  CAST(COALESCE(sum(n_tokens) OVER (ORDER BY conv_key
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM ck),
+         |seqs AS (SELECT DISTINCT pstart // 256 AS seq_id FROM pk),
+         |e AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+         |k AS (SELECT e.epoch, s.seq_id,
+         |  ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':' ||
+         |    CAST(s.seq_id AS VARCHAR)), 1, 10))::BIGINT AS h
+         | FROM seqs s CROSS JOIN e)
+         |SELECT CAST(epoch AS BIGINT) AS epoch,
+         |  CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(row_number() OVER (PARTITION BY epoch
+         |    ORDER BY h, seq_id) - 1 AS BIGINT) AS rank
+         |FROM k""".stripMargin,
     // every byte of the packed artifact re-derived: vocabulary (256
     // base byte symbols + merge outputs + role tags, min-id on
     // duplicates), per-turn encode, conversation packing, in-sequence

@@ -546,6 +546,55 @@ object Lakehouse {
     (rowsBefore, rowsAfter, filesBefore, 1L)
   }
 
+  /** CHANGE DATA FEED between two versions: the row-level diff of
+    * two as-of states, MANIFEST-PRUNED. Copy-on-write makes data
+    * files immutable, so a bucket whose resolved (vdir, empty)
+    * pointer is identical at both versions is byte-identical — only
+    * buckets whose pointers DIFFER are read, from either side. The
+    * pointer comparison itself is a manifest-only scan (≤ buckets
+    * rows per side). Output: one row per differing key — (bucket,
+    * key, change ∈ added | removed | changed), where `changed`
+    * compares the full non-key payload. Read cost ∝ buckets touched
+    * between the versions, never the store (spec-pinned via task
+    * input metrics). */
+  def diffVersions(spark: SparkSession, path: String, v1: Long,
+                   v2: Long, key: String): DataFrame = {
+    require(v1 < v2, s"diff needs v1 < v2, got $v1, $v2")
+    val man = spark.read.parquet(s"$path/_manifest")
+      .localCheckpoint(true)
+    def ptr(v: Long) = man.filter(col("version") <= v)
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
+        col("empty").as("empty"))).as("__m"))
+      .select(col("bucket"), col("__m.vdir").as("vdir"),
+        col("__m.empty").as("empty"))
+    val changedBuckets = ptr(v1)
+      .withColumnRenamed("vdir", "v1d").withColumnRenamed("empty", "e1")
+      .join(ptr(v2)
+        .withColumnRenamed("vdir", "v2d").withColumnRenamed("empty", "e2"),
+        Seq("bucket"), "full_outer")
+      .filter(!(col("v1d") <=> col("v2d") && col("e1") <=> col("e2")))
+      .select(col("bucket").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val s1 = readVersioned(spark, path, v1, Some(changedBuckets))
+    val s2 = readVersioned(spark, path, v2, Some(changedBuckets))
+    val dataCols = s1.columns.filterNot(c => c == "bucket" || c == key)
+      .sorted.toSeq
+    def hashed(df: DataFrame, h: String) =
+      df.select(col("bucket").cast("long").as("bucket"), col(key),
+        // \u0001 separator: unambiguous field framing (the corpus
+        // contract keeps control chars out of payloads)
+        md5(concat_ws("\u0001", dataCols.map(col): _*)).as(h))
+    hashed(s1, "__h1")
+      .join(hashed(s2, "__h2"), Seq("bucket", key), "full_outer")
+      .select(col("bucket"), col(key),
+        when(col("__h1").isNull, lit("added"))
+          .when(col("__h2").isNull, lit("removed"))
+          .when(col("__h1") =!= col("__h2"), lit("changed"))
+          .as("change"))
+      .filter(col("change").isNotNull)
+  }
+
   /** Per-bucket content manifest of a store: row count, char mass,
     * and an order-pinned row hash — the read-back evidence a merge
     * gate compares against the pure-SQL expected final state. */

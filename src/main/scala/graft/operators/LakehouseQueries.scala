@@ -346,6 +346,22 @@ object LakehouseQueries {
           lit(ra).as("rows_after"), lit(fb).as("files_before"),
           lit(fa).as("files_after")))
     }),
+    // CHANGE DATA FEED — the row-level diff between two versions of
+    // the copy-on-write store, MANIFEST-PRUNED: immutable data files
+    // mean a bucket with identical pointers at both versions is
+    // byte-identical, so only pointer-differing buckets are read
+    // from either side (spec-pinned via task input metrics). Output:
+    // every key added / removed / changed between adjacent versions,
+    // re-derived by the oracle from the batch definitions alone.
+    "q360_version_diff" -> ((s, d) => {
+      val path = tmp("graft_vdiff_", d)
+      buildVersioned(s, d, path)
+      Seq((0L, 1L), (1L, 2L)).map { case (a, b) =>
+        Lakehouse.diffVersions(s, path, a, b, "doc_id")
+          .select(lit(a).as("from_v"), lit(b).as("to_v"),
+            col("doc_id"), col("change"))
+      }.reduce(_ unionByName _)
+    }),
     // MERGE CHANGELOG — the table's lineage: each merge classifies
     // its batch against the pre-merge store (updates vs inserts,
     // applied vs no-op deletes) and appends one audit row. Version 2
@@ -487,6 +503,15 @@ object LakehouseQueries {
         |    AS rows_md5
         |FROM al GROUP BY asof_ts, doc_id % 16""".stripMargin,
     "q355_versioned_changelog" -> changelogSql,
+    "q360_version_diff" ->
+      """SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v,
+        |  doc_id, 'changed' AS change
+        |FROM documents WHERE doc_id % 5 = 0
+        |UNION ALL
+        |SELECT 1, 2, doc_id, 'removed' FROM documents WHERE doc_id % 7 = 3
+        |UNION ALL
+        |SELECT 1, 2, doc_id + 10000, 'added' FROM documents
+        |WHERE doc_id % 11 = 0""".stripMargin,
     "q357_manifest_checkpoint" ->
       """WITH st AS (
         |  SELECT 1 AS version, doc_id, text, lang,

@@ -35,33 +35,19 @@ class LakehouseSpec extends AnyFunSuite {
     out.toMap
   }
 
-  /** Bytes of data files under `dir` matching `prefix` (e.g. a
-    * specific bucket dir) — the denominators of the read-pruning
-    * pins below. */
-  private def dirBytes(dir: String, prefix: String): Long = {
-    val base = Paths.get(dir)
-    var total = 0L
-    Files.walk(base).forEach { p =>
-      if (Files.isRegularFile(p) &&
-        base.relativize(p).toString.startsWith(prefix) &&
-        !p.getFileName.toString.startsWith("_") &&
-        !p.getFileName.toString.startsWith("."))
-        total += Files.size(p)
-    }
-    total
-  }
-
-  /** Task-level input bytes read across every Spark job `f` runs —
+  /** Task-level input ROWS read across every Spark job `f` runs —
     * the measured-I/O side of the candidate-bucket pruning contract.
-    * Tests run sequentially in the forked JVM, so the global listener
-    * sees only `f`'s tasks. */
-  private def bytesReadDuring(f: => Unit): Long = {
+    * (Row counts, not bytes: the vectorized parquet reader's column
+    * data bypasses `bytesRead` accounting in local mode, but every
+    * scanned row increments `recordsRead`.) Tests run sequentially in
+    * the forked JVM, so the global listener sees only `f`'s tasks. */
+  private def recordsReadDuring(f: => Unit): Long = {
     val acc = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(
           te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null)
-          acc.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+          acc.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -70,6 +56,17 @@ class LakehouseSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
     acc.get()
   }
+
+  /** Store rows for the pruning pins: buckets 0, 2, 3 hold 10k rows
+    * each (ids ≢ 1 mod 4 below 40000); bucket 1 — the candidate the
+    * 1-key batches target — holds only 100 (ids ≡ 1 mod 4 below
+    * 400). A full-store pass costs ≥ 30000 records; a pruned one a
+    * few hundred. */
+  private def prunePinRows =
+    ((0L until 40000L).filter(_ % 4 != 1) ++
+      (0L until 400L).filter(_ % 4 == 1))
+      .map(i => (i, s"text $i", "en", s"src${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
 
   test("mergeInto rewrites exactly the touched buckets: untouched " +
     "bucket files keep bytes and mtimes; emptied bucket dirs vanish; " +
@@ -329,70 +326,51 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.vacuumVersions(spark, path, 1L) == ((0L, 2L)))
   }
 
-  /** Fat incompressible payload (seeded alphanumeric — snappy cannot
-    * collapse it), so on-disk bucket sizes dominate footer noise and
-    * the read-pruning pins below have real denominators. */
-  private def fatText(seed: Long, n: Int): String =
-    new scala.util.Random(seed).alphanumeric.take(n).mkString
-
   test("mergeInto reads ONLY candidate bucket dirs: a 1-key batch " +
-    "against fat non-candidate buckets costs less input than one fat " +
-    "bucket; a batch keyed INTO the fat bucket reads it (negative " +
-    "control)") {
+    "against row-fat non-candidate buckets scans a few hundred " +
+    "records, not the store; a batch keyed INTO a fat bucket scans " +
+    "it (negative control)") {
     val path = freshDir("graft_mprune")
-    // bucket = id % 4; bucket-2 rows carry ~150 KB incompressible text
-    val rows = (0L until 16L).map { i =>
-      (i, if (i % 4 == 2) fatText(i, 150000) else s"text $i",
-        "en", s"src${i % 3}", 10L + i)
-    }
-    Lakehouse.writeStore(
-      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
-      "doc_id", path, buckets = 4)
-    val fatBytes = dirBytes(path, "bucket=2")
-    assert(fatBytes > 300000, s"fat bucket too small: $fatBytes")
+    Lakehouse.writeStore(prunePinRows, "doc_id", path, buckets = 4)
+    // accounting control: one full pass really costs >= 30000 records
+    assert(recordsReadDuring(spark.read.parquet(path).count())
+      >= 30000L)
     val b1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
       .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
-    val pruned = bytesReadDuring {
+    val pruned = recordsReadDuring {
       assert(Lakehouse.mergeInto(spark, path, b1, "doc_id", 4) ==
         ((1L, 1L)))
     }
-    assert(pruned < fatBytes / 2,
-      s"classification read is not bucket-pruned: read $pruned bytes " +
-        s"with a $fatBytes-byte non-candidate bucket standing")
-    // negative control: a key that LIVES in the fat bucket must read it
+    assert(pruned < 3000L,
+      s"classification read is not bucket-pruned: scanned $pruned " +
+        "records with 30000 standing in non-candidate buckets")
+    // negative control: a key that LIVES in a fat bucket must scan it
     val b2 = Seq((2L, "U", "tiny now", "en", "srcX", 8L))
       .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
-    val unpruned = bytesReadDuring {
+    val unpruned = recordsReadDuring {
       Lakehouse.mergeInto(spark, path, b2, "doc_id", 4)
     }
-    assert(unpruned > fatBytes / 2,
-      s"control should have read the fat bucket: $unpruned vs $fatBytes")
+    assert(unpruned > 10000L,
+      s"control should have scanned the fat bucket: $unpruned")
   }
 
   test("mergeVersioned + mergeVersionedLogged classify within " +
-    "candidate buckets only (measured input bytes), and the changelog " +
-    "row matches the batch's true classification") {
+    "candidate buckets only (measured input records), and the " +
+    "changelog row matches the batch's true classification") {
     val path = freshDir("graft_vprune")
     val logPath = freshDir("graft_vprune_log")
-    val rows = (0L until 16L).map { i =>
-      (i, if (i % 4 == 2) fatText(100 + i, 150000) else s"text $i",
-        "en", s"src${i % 3}", 10L + i)
-    }
-    Lakehouse.writeVersioned(
-      rows.toDF("doc_id", "text", "lang", "source", "n_chars"),
-      "doc_id", path, buckets = 4, commitTs = 10L)
-    val fatBytes = dirBytes(path + "/v0", "bucket=2")
-    assert(fatBytes > 300000)
-    // v1: update key 1 (bucket 1) + ghost-delete key 999 (bucket 3)
+    Lakehouse.writeVersioned(prunePinRows, "doc_id", path, buckets = 4,
+      commitTs = 10L)
+    // v1: update key 1 + ghost-delete key 997 (both bucket 1)
     val b1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L),
-      (999L, "D", "", "", "", 0L))
+      (997L, "D", "", "", "", 0L))
       .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
-    val pruned = bytesReadDuring {
+    val pruned = recordsReadDuring {
       Lakehouse.mergeVersionedLogged(spark, path, logPath, 1L, b1,
         "doc_id", 4, commitTs = 20L)
     }
-    assert(pruned < fatBytes / 2,
-      s"versioned classification not pruned: $pruned vs $fatBytes")
+    assert(pruned < 3000L,
+      s"versioned classification not pruned: scanned $pruned records")
     val log = spark.read.parquet(logPath)
       .select("version", "n_updates", "n_inserts", "n_deletes",
         "n_noop_deletes", "touched_buckets")
@@ -411,16 +389,18 @@ class LakehouseSpec extends AnyFunSuite {
   }
 
   test("bucket-scoped StreamingSft fold reads only the batch users' " +
-    "bucket dirs: a 1-user batch against another user's fat standing " +
-    "bucket costs less input than that bucket") {
+    "bucket dirs: a 1-user batch against another user's 20k-turn " +
+    "standing bucket scans a bounded record count, and that bucket's " +
+    "files stay byte- and mtime-identical") {
     import graft.streaming.StreamingSft
     val path = freshDir("graft_sftprune")
-    // user 2's standing history is fat: 60k events -> one huge merged
-    // turn (~850 KB of semi-random digits); user 1 is tiny.
+    // user 2's standing history is row-fat: 20k ALTERNATING-role
+    // events -> 20k merged turn rows in bucket 2; user 1 is tiny.
     // buckets = 16: u1 turn bucket 1, u2 turn bucket 2; u1 last-t 15,
     // u2 last-t 14; batch-1 ledger 15 -> candidates {1, 15} only.
-    val u2 = (0 until 60000).map { j =>
-      (1000L + j, j.toLong, 2L, "purchase",
+    val u2 = (0 until 20000).map { j =>
+      (1000L + j, j.toLong, 2L,
+        if (j % 2 == 0) "click" else "purchase",
         ((j * 2654435761L) % 99991L) / 100.0)
     }
     val b0rows = Seq((1L, 0L, 1L, "purchase", 1.0)) ++ u2
@@ -430,15 +410,17 @@ class LakehouseSpec extends AnyFunSuite {
           col("user_id"), col("event_type"), col("value"))
     StreamingSft.processSftBatchBucketed(ev(b0rows), 0L, path,
       buckets = 16)
-    val fatBytes = dirBytes(path, "bucket=2")
-    assert(fatBytes > 100000, s"fat bucket too small: $fatBytes")
+    // accounting control: a full-store pass really costs >= 20000
+    assert(recordsReadDuring(spark.read.parquet(path).count())
+      >= 20000L)
     val before = partFiles(path)
     val b1 = ev(Seq((50000L, 100000L, 1L, "purchase", 3.0)))
-    val pruned = bytesReadDuring {
+    val pruned = recordsReadDuring {
       StreamingSft.processSftBatchBucketed(b1, 1L, path, buckets = 16)
     }
-    assert(pruned < fatBytes / 2,
-      s"fold read is not bucket-pruned: $pruned vs $fatBytes")
+    assert(pruned < 4000L,
+      s"fold read is not bucket-pruned: scanned $pruned records " +
+        "with 20000 turns standing in another user's bucket")
     // user 2's standing files untouched byte-for-byte
     val u2files = before.keySet.filter(_.startsWith("bucket=2/"))
     assert(u2files.nonEmpty)
@@ -448,6 +430,44 @@ class LakehouseSpec extends AnyFunSuite {
     val turns = StreamingSft.readTurnsBucketed(spark, path)
       .filter(col("user_id") === 1L)
     assert(turns.count() == 2L)
+  }
+
+  test("diffVersions reads only pointer-differing buckets (measured " +
+    "input records; row-fat untouched buckets stay cold) and " +
+    "classifies added/removed/changed exactly") {
+    val path = freshDir("graft_vdiffspec")
+    Lakehouse.writeVersioned(prunePinRows, "doc_id", path, buckets = 4,
+      commitTs = 10L)
+    // v1: update key 1, delete key 5, insert key 401 (all bucket 1)
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L),
+      (5L, "D", "", "", "", 0L),
+      (401L, "U", "fresh", "en", "srcN", 5L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, m1, "doc_id", 4,
+      commitTs = 20L)
+    var diff: Seq[(Long, String)] = Nil
+    val pruned = recordsReadDuring {
+      diff = Lakehouse.diffVersions(spark, path, 0L, 1L, "doc_id")
+        .select("doc_id", "change").as[(Long, String)].collect()
+        .sortBy(_._1).toSeq
+    }
+    assert(diff == Seq((1L, "changed"), (5L, "removed"),
+      (401L, "added")))
+    assert(pruned < 3000L,
+      s"diff read is not manifest-pruned: scanned $pruned records")
+    // negative control: touch a fat bucket in v2, its diff scans it
+    // from BOTH sides
+    val m2 = Seq((2L, "U", "tiny", "en", "srcX", 4L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 2L, m2, "doc_id", 4,
+      commitTs = 30L)
+    val unpruned = recordsReadDuring {
+      assert(Lakehouse.diffVersions(spark, path, 1L, 2L, "doc_id")
+        .select("doc_id", "change").as[(Long, String)].collect()
+        .toSeq == Seq((2L, "changed")))
+    }
+    assert(unpruned > 10000L,
+      s"control should have scanned the fat bucket: $unpruned")
   }
 
   test("checkpointManifest collapses history at or below the floor " +
