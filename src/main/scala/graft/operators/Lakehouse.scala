@@ -333,10 +333,13 @@ object Lakehouse {
       return spark.read.parquet(s"$path/v${anyV.getLong(0)}")
         .filter(lit(false))
     }
+    // mergeSchema per dir + allowMissingColumns across dirs: a later
+    // version may carry columns older dirs lack (schema evolution —
+    // [[mergeVersioned]] widens on upsert); older rows read as null
     ptr.groupBy(_._2).map { case (vd, bks) =>
-      spark.read.parquet(s"$path/v$vd")
+      spark.read.option("mergeSchema", "true").parquet(s"$path/v$vd")
         .filter(col("bucket").isin(bks.map(_._1).toSeq: _*))
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Time travel BY TIMESTAMP: resolve the latest version whose
@@ -376,7 +379,12 @@ object Lakehouse {
     val cand = candidateBuckets(b)
     if (cand.isEmpty) return (0L, 0L)
     val cur = readVersioned(spark, path, version - 1, Some(cand))
-    val dataCols = cur.columns.filter(_ != "bucket").toSeq
+    val curCols = cur.columns.filter(_ != "bucket").toSeq
+    // schema EVOLUTION on upsert: batch-only payload columns widen
+    // the store (survivors read them as null via the allowMissing
+    // union; older version dirs read them as null via mergeSchema)
+    val upCols = batch.columns
+      .filterNot(c => c == "op" || c == "bucket").toSeq
     val batchKeys = b.select(col(key)).distinct()
     val existingTouched = cur.join(batchKeys, Seq(key), "left_semi")
       .select(col("bucket").cast("long")).distinct()
@@ -388,10 +396,11 @@ object Lakehouse {
     val survivors = cur
       .filter(col("bucket").isin(touched.toSeq: _*))
       .join(batchKeys, Seq(key), "left_anti")
-      .select(("bucket" +: dataCols).map(col): _*)
+      .select(("bucket" +: curCols).map(col): _*)
     val replacement = survivors.unionByName(
         b.filter(col("op") === "U")
-          .select(("bucket" +: dataCols).map(col): _*))
+          .select(("bucket" +: upCols).map(col): _*),
+        allowMissingColumns = true)
       .localCheckpoint(true)
     replacement.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))

@@ -346,6 +346,65 @@ object LakehouseQueries {
           lit(ra).as("rows_after"), lit(fb).as("files_before"),
           lit(fa).as("files_after")))
     }),
+    // STREAMING VERSIONED SINK — streaming upserts with time travel
+    // (the Delta streaming-sink semantics): each micro-batch commits
+    // as the next version with commit_ts = batchId, so the manifest
+    // IS the replay ledger (idempotent class — a redelivered batch
+    // short-circuits on its ledgered commit_ts). Batch 1 is
+    // REDELIVERED after batch 2: without the ledger it would commit
+    // a spurious v3 and the gated n_commits would flip. All three
+    // micro-batch boundaries stay queryable — the per-version
+    // manifests are q352's states exactly.
+    "q361_versioned_stream" -> ((s, d) => {
+      val path = tmp("graft_vstream_", d)
+      rmDir(s, path)
+      val base = docs(s, d)
+      val b0 = base.withColumn("op", lit("U"))
+        .select(col("doc_id"), col("op"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+      import graft.streaming.StreamingLakehouse.processVersionedBatch
+      processVersionedBatch(b0, 0L, path, "doc_id", 16)
+      processVersionedBatch(v1Batch(base), 1L, path, "doc_id", 16)
+      processVersionedBatch(v2Batch(base), 2L, path, "doc_id", 16)
+      processVersionedBatch(v1Batch(base), 1L, path, "doc_id", 16)
+      val nCommits = s.read.parquet(s"$path/_manifest")
+        .select(col("version")).distinct().count()
+      (0L to 2L).map { v =>
+        Lakehouse.storeManifest(Lakehouse.readVersioned(s, path, v),
+            "doc_id")
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .crossJoin(s.range(1).select(lit(nCommits).as("n_commits")))
+    }),
+    // SCHEMA EVOLUTION on the VERSIONED store: a later merge's batch
+    // carries a NEW column (quality); survivors and older version
+    // dirs read it as null (allowMissing union + mergeSchema), so
+    // BOTH the widened current state and the pre-evolution history
+    // stay readable — the gate pins the null boundary per version.
+    "q363_versioned_evolution" -> ((s, d) => {
+      val path = tmp("graft_vevolve_", d)
+      rmDir(s, path)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16,
+        commitTs = 100L)
+      val upds = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m1").as("source"), col("n_chars"),
+          (col("n_chars") % 5).as("quality"))
+      Lakehouse.mergeVersioned(s, path, 1L, upds, "doc_id", 16,
+        commitTs = 200L)
+      (0L to 1L).map { v =>
+        val st = Lakehouse.readVersioned(s, path, v)
+        val withQ = if (st.columns.contains("quality")) st
+          else st.withColumn("quality", lit(null).cast("long"))
+        withQ.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("quality")).as("n_with_quality"),
+            coalesce(sum(col("quality")), lit(0L)).cast("long")
+              .as("sum_quality"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+    }),
     // CHANGE DATA FEED — the row-level diff between two versions of
     // the copy-on-write store, MANIFEST-PRUNED: immutable data files
     // mean a bucket with identical pointers at both versions is
@@ -503,6 +562,41 @@ object LakehouseQueries {
         |    AS rows_md5
         |FROM al GROUP BY asof_ts, doc_id % 16""".stripMargin,
     "q355_versioned_changelog" -> changelogSql,
+    "q361_versioned_stream" ->
+      """WITH s0 AS (SELECT 0 AS version, doc_id, text, lang, source,
+        |  n_chars FROM documents),
+        |s1 AS (SELECT 1, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents),
+        |s2 AS (SELECT 2, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT 2, doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |al AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |       UNION ALL SELECT * FROM s2)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(3 AS BIGINT) AS n_commits
+        |FROM al GROUP BY version, doc_id % 16""".stripMargin,
+    "q363_versioned_evolution" ->
+      """WITH s0 AS (SELECT 0 AS version, source,
+        |  CAST(NULL AS BIGINT) AS quality FROM documents),
+        |s1 AS (SELECT 1,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars % 5 END
+        | FROM documents),
+        |al AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1)
+        |SELECT CAST(version AS BIGINT) AS version, source,
+        |  count(*)::BIGINT AS n_docs,
+        |  count(quality)::BIGINT AS n_with_quality,
+        |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
+        |FROM al GROUP BY version, source""".stripMargin,
     "q360_version_diff" ->
       """SELECT CAST(0 AS BIGINT) AS from_v, CAST(1 AS BIGINT) AS to_v,
         |  doc_id, 'changed' AS change

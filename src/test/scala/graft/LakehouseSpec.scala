@@ -538,6 +538,34 @@ class LakehouseSpec extends AnyFunSuite {
     assert(Lakehouse.readVersioned(spark, path, 0L).count() == 2L)
   }
 
+  test("StreamingLakehouse versioned sink: a redelivered batch id " +
+    "commits nothing (manifest and dirs byte-identical); a fresh id " +
+    "commits a new version (the negative control that proves the " +
+    "manifest-ledger is load-bearing)") {
+    import graft.streaming.StreamingLakehouse.processVersionedBatch
+    val path = freshDir("graft_vstream_spec")
+    val b0 = docsDf(0L until 8L).withColumn("op", lit("U"))
+      .select(col("doc_id"), col("op"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    processVersionedBatch(b0, 0L, path, "doc_id", 4)
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    processVersionedBatch(m1, 1L, path, "doc_id", 4)
+    val before = partFiles(path)
+    // redelivery of batch 1: the manifest-ledger short-circuits
+    processVersionedBatch(m1, 1L, path, "doc_id", 4)
+    assert(partFiles(path) == before)
+    // fresh id: the ledger CANNOT know -> a new version commits
+    processVersionedBatch(m1, 2L, path, "doc_id", 4)
+    assert(Files.exists(Paths.get(path, "v2")))
+    assert(spark.read.parquet(s"$path/_manifest")
+      .select("version").distinct().count() == 3L)
+    // and the state is still correct at every version
+    assert(Lakehouse.readVersioned(spark, path, 2L)
+      .filter(col("doc_id") === 1L).select("source").as[String].head()
+      == "srcX")
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
