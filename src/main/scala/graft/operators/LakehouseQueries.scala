@@ -381,7 +381,7 @@ object LakehouseQueries {
     // dirs read it as null (allowMissing union + mergeSchema), so
     // BOTH the widened current state and the pre-evolution history
     // stay readable — the gate pins the null boundary per version.
-    "q363_versioned_evolution" -> ((s, d) => {
+    "q362_versioned_evolution" -> ((s, d) => {
       val path = tmp("graft_vevolve_", d)
       rmDir(s, path)
       val base = docs(s, d)
@@ -584,7 +584,7 @@ object LakehouseQueries {
         |    AS rows_md5,
         |  CAST(3 AS BIGINT) AS n_commits
         |FROM al GROUP BY version, doc_id % 16""".stripMargin,
-    "q363_versioned_evolution" ->
+    "q362_versioned_evolution" ->
       """WITH s0 AS (SELECT 0 AS version, source,
         |  CAST(NULL AS BIGINT) AS quality FROM documents),
         |s1 AS (SELECT 1,
