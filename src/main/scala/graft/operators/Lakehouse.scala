@@ -498,6 +498,34 @@ object Lakehouse {
     logRow(spark, logPath, version, c, touched)
   }
 
+  /** [[mergeInto]] behind a declarative CONTRACT (the Delta CHECK-
+    * constraint / DLT-expectation semantics): upserts that violate
+    * `rule` never reach the table — they land in a quarantine store
+    * under `quarantinePath` (append-only, stamped with the merge
+    * version and a reason string) while the valid remainder of the
+    * batch merges normally. Deletes are exempt (removing a row needs
+    * no payload contract). Returns (n_valid_upserts, n_quarantined).
+    * Scale: the rule is one projection over the batch — no store
+    * read beyond the merge's own pruned classification. */
+  def mergeIntoChecked(spark: SparkSession, path: String,
+                       quarantinePath: String, version: Long,
+                       batch: DataFrame, key: String, buckets: Int,
+                       rule: org.apache.spark.sql.Column,
+                       reason: String): (Long, Long) = {
+    val ups = batch.filter(col("op") === "U")
+    val bad = ups.filter(!rule).localCheckpoint(true)
+    val good = ups.filter(rule)
+      .unionByName(batch.filter(col("op") === "D"))
+    val nBad = bad.count()
+    if (nBad > 0)
+      bad.drop("op")
+        .withColumn("version", lit(version))
+        .withColumn("reason", lit(reason))
+        .coalesce(1).write.mode(SaveMode.Append).parquet(quarantinePath)
+    mergeInto(spark, path, good, key, buckets)
+    (ups.count() - nBad, nBad)
+  }
+
   /** [[mergeVersioned]] routed through the changelog discipline: the
     * batch classifies against the RESOLVED pre-merge state (pruned to
     * candidate buckets), the versioned merge applies with `commitTs`
@@ -567,7 +595,18 @@ object Lakehouse {
     * between the versions, never the store (spec-pinned via task
     * input metrics). */
   def diffVersions(spark: SparkSession, path: String, v1: Long,
-                   v2: Long, key: String): DataFrame = {
+                   v2: Long, key: String): DataFrame =
+    diffVersionsFull(spark, path, v1, v2, key)
+      .select(col("bucket"), col(key), col("change"))
+
+  /** [[diffVersions]] carrying the POST-IMAGE payload (null columns
+    * for `removed` rows) — the full change-data-feed contract: the
+    * output of `diffVersionsFull(a, b)` applied as a merge batch
+    * (`removed -> op D`, else `op U`) replicates state `a` into
+    * state `b` exactly, which is what a downstream table subscriber
+    * does with it (gate-pinned by the replication query). */
+  def diffVersionsFull(spark: SparkSession, path: String, v1: Long,
+                       v2: Long, key: String): DataFrame = {
     require(v1 < v2, s"diff needs v1 < v2, got $v1, $v2")
     val man = spark.read.parquet(s"$path/_manifest")
       .localCheckpoint(true)
@@ -589,18 +628,20 @@ object Lakehouse {
     val s2 = readVersioned(spark, path, v2, Some(changedBuckets))
     val dataCols = s1.columns.filterNot(c => c == "bucket" || c == key)
       .sorted.toSeq
-    def hashed(df: DataFrame, h: String) =
-      df.select(col("bucket").cast("long").as("bucket"), col(key),
-        // \u0001 separator: unambiguous field framing (the corpus
-        // contract keeps control chars out of payloads)
-        md5(concat_ws("\u0001", dataCols.map(col): _*)).as(h))
-    hashed(s1, "__h1")
-      .join(hashed(s2, "__h2"), Seq("bucket", key), "full_outer")
-      .select(col("bucket"), col(key),
+    // \u0001 separator: unambiguous field framing (the corpus
+    // contract keeps control chars out of payloads)
+    def rowHash = md5(concat_ws("\u0001", dataCols.map(col): _*))
+    val a = s1.select(col("bucket").cast("long").as("bucket"),
+      col(key), rowHash.as("__h1"))
+    val b = s2.select(
+      Seq(col("bucket").cast("long").as("bucket"), col(key),
+        rowHash.as("__h2")) ++ dataCols.map(col): _*)
+    a.join(b, Seq("bucket", key), "full_outer")
+      .select(Seq(col("bucket"), col(key),
         when(col("__h1").isNull, lit("added"))
           .when(col("__h2").isNull, lit("removed"))
           .when(col("__h1") =!= col("__h2"), lit("changed"))
-          .as("change"))
+          .as("change")) ++ dataCols.map(col): _*)
       .filter(col("change").isNotNull)
   }
 

@@ -405,6 +405,74 @@ object LakehouseQueries {
           .withColumn("version", lit(v))
       }.reduce(_ unionByName _)
     }),
+    // CONTRACT-ENFORCED MERGE (CHECK constraint / expectation
+    // semantics): upserts violating the declarative rule
+    // (n_chars == length(text) — a third of the update slice is
+    // deliberately corrupted) never reach the table; they land in an
+    // append-only QUARANTINE store stamped with version + reason,
+    // while the valid remainder merges normally. The gated output is
+    // the final store manifest PLUS the quarantine read-back (count
+    // and id hash), so both sides of the split are hash-pinned.
+    "q363_merge_quarantine" -> ((s, d) => {
+      val path = tmp("graft_mquar_", d)
+      val qPath = tmp("graft_mquarq_", d)
+      rmDir(s, qPath)
+      val base = docs(s, d)
+      Lakehouse.writeStore(base, "doc_id", path, buckets = 16)
+      val upds = base.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("merged").as("source"),
+          // corrupt a deterministic third: the contract must catch it
+          when(col("doc_id") % 3 === 0, col("n_chars") + 7L)
+            .otherwise(col("n_chars")).as("n_chars"))
+      val dels = base.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      val (nValid, nQuar) = Lakehouse.mergeIntoChecked(s, path, qPath,
+        1L, upds.unionByName(dels).unionByName(ins), "doc_id", 16,
+        rule = col("n_chars") === length(col("text")),
+        reason = "n_chars_mismatch")
+      val qMd5 = s.read.parquet(qPath)
+        .agg(md5(array_join(transform(
+          sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("m"))
+        .head().getString(0)
+      Lakehouse.storeManifest(s.read.parquet(path), "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(nValid).as("n_valid_upserts"),
+          lit(nQuar).as("n_quarantined"),
+          lit(qMd5).as("quarantine_md5")))
+    }),
+    // CDF REPLICATION — the consumer contract of the change feed: a
+    // downstream replica that starts from the v0 snapshot and applies
+    // each diffVersionsFull(a, b) as a merge batch (removed -> D,
+    // else U with the post-image payload) must land EXACTLY on the
+    // v2 state — q335's final-state oracle verbatim. This is what
+    // subscribing a second table to a CDF means; the feed itself is
+    // manifest-pruned (q360) and the replica applies it with the
+    // bucket-pruned merge.
+    "q364_cdf_replicate" -> ((s, d) => {
+      val path = tmp("graft_cdfsrc_", d)
+      val replica = tmp("graft_cdfrep_", d)
+      buildVersioned(s, d, path)
+      Lakehouse.writeStore(
+        Lakehouse.readVersioned(s, path, 0L).drop("bucket"),
+        "doc_id", replica, buckets = 16)
+      Seq((0L, 1L), (1L, 2L)).foreach { case (a, b) =>
+        val cdf = Lakehouse.diffVersionsFull(s, path, a, b, "doc_id")
+        val mb = cdf.select(col("doc_id"),
+          when(col("change") === "removed", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+        Lakehouse.mergeInto(s, replica, mb, "doc_id", 16)
+      }
+      Lakehouse.storeManifest(s.read.parquet(replica), "doc_id")
+    }),
     // CHANGE DATA FEED — the row-level diff between two versions of
     // the copy-on-write store, MANIFEST-PRUNED: immutable data files
     // mean a bucket with identical pointers at both versions is
@@ -778,20 +846,62 @@ object LakehouseQueries {
         |  (SELECT t FROM tb) AS touched_buckets,
         |  (SELECT t FROM tb) AS rewritten_buckets
         |FROM final GROUP BY doc_id % 16""".stripMargin,
-    "q335_merge_chain" ->
-      """WITH final AS (
-        |  SELECT doc_id, text, lang,
-        |    CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
-        |    n_chars
-        |  FROM documents WHERE doc_id % 7 <> 3
-        |  UNION ALL
-        |  SELECT doc_id + 10000, text, 'xx', 'ingest', n_chars
-        |  FROM documents WHERE doc_id % 11 = 0)
+    "q335_merge_chain" -> finalStateSql,
+    // the CDF-fed replica must land on the same final state as the
+    // directly-merged chain
+    "q364_cdf_replicate" -> finalStateSql,
+    "q363_merge_quarantine" ->
+      """WITH gu AS (SELECT doc_id, text, lang, 'merged' AS source,
+        |  n_chars FROM documents
+        | WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3 AND doc_id % 3 <> 0),
+        |qr AS (SELECT doc_id FROM documents
+        |       WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3
+        |         AND doc_id % 3 = 0),
+        |ins AS (SELECT doc_id + 10000 AS doc_id, text, 'xx' AS lang,
+        |          'ingest' AS source, n_chars
+        |        FROM documents WHERE doc_id % 11 = 0),
+        |bk AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 3
+        |       UNION SELECT doc_id FROM gu
+        |       UNION SELECT doc_id FROM ins),
+        |final AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bk)
+        |  UNION ALL SELECT * FROM gu
+        |  UNION ALL SELECT * FROM ins),
+        |st AS (SELECT
+        |  ((SELECT count(*) FROM gu) + (SELECT count(*) FROM ins))
+        |    ::BIGINT AS n_valid_upserts,
+        |  (SELECT count(*) FROM qr)::BIGINT AS n_quarantined,
+        |  (SELECT md5(string_agg(CAST(doc_id AS VARCHAR), ','
+        |     ORDER BY doc_id)) FROM qr) AS quarantine_md5)
         |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
         |  count(*)::BIGINT AS n_rows,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
         |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
-        |    AS rows_md5
+        |    AS rows_md5,
+        |  (SELECT n_valid_upserts FROM st) AS n_valid_upserts,
+        |  (SELECT n_quarantined FROM st) AS n_quarantined,
+        |  (SELECT quarantine_md5 FROM st) AS quarantine_md5
         |FROM final GROUP BY doc_id % 16""".stripMargin)
+
+  /** q335's oracle — the composed final state of the standard merge
+    * chain; shared verbatim by q364 (the CDF-fed replica must land on
+    * the identical state). */
+  private lazy val finalStateSql: String =
+    """WITH final AS (
+      |  SELECT doc_id, text, lang,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+      |    n_chars
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text, 'xx', 'ingest', n_chars
+      |  FROM documents WHERE doc_id % 11 = 0)
+      |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+      |  count(*)::BIGINT AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+      |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+      |    AS rows_md5
+      |FROM final GROUP BY doc_id % 16""".stripMargin
 }
