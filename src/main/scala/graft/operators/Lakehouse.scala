@@ -211,7 +211,13 @@ object Lakehouse {
     // from the unpruned relation's footer discovery)
     val store = spark.read.parquet(path)
       .filter(col("bucket").isin(cand.toSeq: _*))
-    val dataCols = store.columns.filter(_ != "bucket").toSeq
+    val curCols = store.columns.filter(_ != "bucket").toSeq
+    // schema EVOLUTION on upsert (mirrors mergeVersioned): batch-only
+    // payload columns widen the touched buckets; survivors read them
+    // as null via the allowMissing union, and readers of a mixed-
+    // schema store use mergeSchema (the q343 read-time contract)
+    val upCols = batch.columns
+      .filterNot(c => c == "op" || c == "bucket").toSeq
     val batchKeys = b.select(col(key)).distinct()
     val existingTouched = store
       .join(batchKeys, Seq(key), "left_semi")
@@ -224,10 +230,11 @@ object Lakehouse {
     val survivors = store
       .filter(col("bucket").isin(touched.toSeq: _*))
       .join(batchKeys, Seq(key), "left_anti")
-      .select(("bucket" +: dataCols).map(col): _*)
+      .select(("bucket" +: curCols).map(col): _*)
     val replacement = survivors.unionByName(
         b.filter(col("op") === "U")
-          .select(("bucket" +: dataCols).map(col): _*))
+          .select(("bucket" +: upCols).map(col): _*),
+        allowMissingColumns = true)
       .localCheckpoint(true)
     replacement.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))

@@ -405,6 +405,28 @@ object LakehouseQueries {
           .withColumn("version", lit(v))
       }.reduce(_ unionByName _)
     }),
+    // SCHEMA EVOLUTION on MERGE (in-place store): the upsert batch
+    // carries a NEW column; touched buckets widen (survivors null at
+    // the boundary), untouched buckets keep their narrow files, and
+    // the mergeSchema read stitches the mixed-schema store — the
+    // merge-path twin of q343's append-path evolution and q362's
+    // versioned one.
+    "q365_merge_evolution" -> ((s, d) => {
+      val path = tmp("graft_mevo2_", d)
+      val base = docs(s, d)
+      Lakehouse.writeStore(base, "doc_id", path, buckets = 16)
+      val upds = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m1").as("source"), col("n_chars"),
+          (col("n_chars") % 5).as("quality"))
+      Lakehouse.mergeInto(s, path, upds, "doc_id", 16)
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("quality")).as("n_with_quality"),
+          coalesce(sum(col("quality")), lit(0L)).cast("long")
+            .as("sum_quality"))
+    }),
     // CONTRACT-ENFORCED MERGE (CHECK constraint / expectation
     // semantics): upserts violating the declarative rule
     // (n_chars == length(text) — a third of the update slice is
@@ -850,6 +872,15 @@ object LakehouseQueries {
     // the CDF-fed replica must land on the same final state as the
     // directly-merged chain
     "q364_cdf_replicate" -> finalStateSql,
+    "q365_merge_evolution" ->
+      """WITH q AS (SELECT
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars % 5 END AS quality
+        | FROM documents)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  count(quality)::BIGINT AS n_with_quality,
+        |  CAST(COALESCE(sum(quality), 0) AS BIGINT) AS sum_quality
+        |FROM q GROUP BY source""".stripMargin,
     "q363_merge_quarantine" ->
       """WITH gu AS (SELECT doc_id, text, lang, 'merged' AS source,
         |  n_chars FROM documents
