@@ -291,6 +291,80 @@ object SftQueries {
       renderOut(Sft.render(
         graft.streaming.StreamingSft.readTurnsBucketed(s, path)))
     }),
+    // SEALED-CONVERSATION WATERMARK — the invariant that makes SFT
+    // artifacts incrementally exportable: a conversation whose last
+    // event is at least one session-gap older than the ingest
+    // watermark is PROVABLY closed (any strictly-later event is > gap
+    // away, so the sessionizer must open a new session — it can
+    // neither extend nor renumber the sealed one). The query renders
+    // the sealed set from the OLD 80% alone; the oracle renders the
+    // same set from the FULL event log — hash-equal bytes prove
+    // later events cannot reach behind the watermark.
+    "q366_sealed_conversations" -> ((s, d) => {
+      val (old, _) = timeSplit(ev(s, d))
+      val wm = old.agg(max(expr("ts div 1000"))).head().getLong(0)
+      val turns = Sft.mergedTurns(old)
+      val lastT = Sft.rawTurns(old).groupBy(col("user_id"),
+          col("session_id"))
+        .agg(max(col("t")).as("last_t"))
+        .filter(col("last_t") <= wm - Sft.GapUs)
+        .select(col("user_id"), col("session_id"))
+      renderOut(Sft.render(
+        turns.join(lastT, Seq("user_id", "session_id"), "left_semi")))
+    }),
+    // INCREMENTAL SEALED EXPORT — q366's watermark invariant turned
+    // into the incremental training-data export pipeline: phase 1
+    // exports the conversations sealed at the old watermark as JSONL
+    // shards; after the late batch lands, phase 2 APPENDS only the
+    // newly sealed ones (byteOffset = landed total, the q333 hook).
+    // Sealed renders are immutable by the invariant, so phase 1's
+    // shards are never rewritten. The oracle rebuilds every byte of
+    // the phased layout from the FULL log alone — phase membership,
+    // line bytes, prefix-sum shard assignment, in-shard order.
+    "q367_sealed_export_incr" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_sexp_" +
+        math.abs(d.hashCode.toLong)
+      val e = ev(s, d)
+      val (old, _) = timeSplit(e)
+      def sealedKeys(src: DataFrame): DataFrame = {
+        val wm = src.agg(max(expr("ts div 1000"))).head().getLong(0)
+        Sft.rawTurns(src).groupBy(col("user_id"), col("session_id"))
+          .agg(max(col("t")).as("lt"))
+          .filter(col("lt") <= wm - Sft.GapUs)
+          .select(col("user_id"), col("session_id"))
+      }
+      val esc = (c: org.apache.spark.sql.Column) =>
+        regexp_replace(c, "([\"\\\\])", "\\\\$1")
+      def lines(src: DataFrame, keys: DataFrame): DataFrame =
+        Sft.render(Sft.mergedTurns(src))
+          .join(keys, Seq("user_id", "session_id"), "left_semi")
+          .select(
+            (col("user_id") * 1000000L + col("session_id")).as("ck"),
+            concat(lit("{\"ck\":"),
+              col("user_id") * 1000000L + col("session_id"),
+              lit(",\"render\":\""), esc(col("rendered")), lit("\"}"))
+              .as("line"))
+          .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
+      val k1 = sealedKeys(old).localCheckpoint(true)
+      val p1 = lines(old, k1)
+      Lakehouse.writeLines(p1, "ck", path, budgetBytes = 2048L)
+      val landed = p1.agg(sum(col("n_bytes"))).head().getLong(0)
+      val k2 = sealedKeys(e)
+        .join(k1, Seq("user_id", "session_id"), "left_anti")
+      Lakehouse.writeLines(lines(e, k2), "ck", path,
+        budgetBytes = 2048L, byteOffset = landed,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      s.read.text(path)
+        .select(col("shard").cast("long").as("shard_id"),
+          get_json_object(col("value"), "$.ck").cast("long").as("ck"),
+          col("value"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(length(col("value")) + 1L).cast("long").as("n_bytes"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("ck"), col("value")))),
+            x => x.getField("value")), "\n")).as("content_md5"))
+    }),
     // Padding-efficiency batch plan: fixed-size batches (B=8) under
     // arrival order vs length-sorted order, total pad tokens and
     // pad basis points per policy — the report that justifies
@@ -498,6 +572,59 @@ object SftQueries {
          |  t.n_events AS span_len
          |FROM ts2 t JOIN pos p USING (conv_key)
          |WHERE t.role = 'assistant'""".stripMargin,
+    // every byte of the phased layout re-derived from the full log:
+    // phase membership (sealed at wm1 vs only at wm2), line bytes,
+    // (phase, ck)-ordered prefix-sum shard assignment, in-shard order
+    "q367_sealed_export_incr" ->
+      s"""WITH $turnsCte,
+         |bounds AS (SELECT min(epoch_us(ts)) AS lo,
+         |  max(epoch_us(ts)) AS hi FROM events),
+         |wm1 AS (SELECT max(epoch_us(ts)) AS w FROM events
+         |  WHERE epoch_us(ts) <=
+         |    (SELECT lo + (hi - lo) * 4 // 5 FROM bounds)),
+         |sl AS (SELECT user_id, session_id, max(t) AS lt FROM sid
+         |       GROUP BY 1, 2),
+         |se AS (SELECT c.user_id, c.session_id, c.rendered, sl.lt
+         | FROM conv c JOIN sl USING (user_id, session_id)
+         | WHERE sl.lt <= (SELECT hi FROM bounds) - 1800000000),
+         |ph AS (SELECT user_id * 1000000 + session_id AS ck,
+         |  CASE WHEN lt <= (SELECT w FROM wm1) - 1800000000
+         |       THEN 0 ELSE 1 END AS phase,
+         |  '{"ck":' || CAST(user_id * 1000000 + session_id AS VARCHAR)
+         |    || ',"render":"'
+         |    || regexp_replace(rendered, '(["\\\\])', '\\\\\\1', 'g')
+         |    || '"}' AS line
+         | FROM se),
+         |b AS (SELECT ck, phase, line,
+         |  CAST(length(line) + 1 AS BIGINT) AS nb FROM ph),
+         |pk AS (SELECT ck, line, nb,
+         |  CAST(COALESCE(sum(nb) OVER (ORDER BY phase, ck
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM b)
+         |SELECT CAST(pstart // 2048 AS BIGINT) AS shard_id,
+         |  count(*)::BIGINT AS n_convs,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  md5(string_agg(line, chr(10) ORDER BY ck)) AS content_md5
+         |FROM pk GROUP BY 1""".stripMargin,
+    // the oracle renders the sealed set from the FULL log — equality
+    // proves the watermark really seals
+    "q366_sealed_conversations" ->
+      s"""WITH $turnsCte,
+         |bounds AS (SELECT min(epoch_us(ts)) AS lo,
+         |  max(epoch_us(ts)) AS hi FROM events),
+         |wm AS (SELECT max(epoch_us(ts)) AS w FROM events
+         |  WHERE epoch_us(ts) <=
+         |    (SELECT lo + (hi - lo) * 4 // 5 FROM bounds)),
+         |sl AS (SELECT user_id, session_id, max(t) AS lt FROM sid
+         |       GROUP BY 1, 2),
+         |sealed AS (SELECT user_id, session_id FROM sl
+         |  WHERE lt <= (SELECT w FROM wm) - 1800000000)
+         |SELECT c.user_id, c.session_id,
+         |  CAST(length(rendered) AS BIGINT) AS n_chars,
+         |  n_events + n_turns AS n_tokens,
+         |  md5(rendered) AS render_md5
+         |FROM conv c JOIN sealed USING (user_id, session_id)"""
+        .stripMargin,
     "q344_response_latency" ->
       s"""WITH $turnsCte,
          |lg AS (SELECT user_id, session_id, turn_id, role, t0,
