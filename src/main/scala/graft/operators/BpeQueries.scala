@@ -539,12 +539,15 @@ object BpeQueries {
           (sp, 256L + m.size + i) })
         .toDF("token", "id")
         .groupBy(col("token")).agg(min(col("id")).as("id"))
+      // sessionize + encode ONCE: both the packing (via conv totals)
+      // and the flatten consume this frame
       val turns = Sft.mergedTurns(t(s, d, "events"))
         .withColumn("toks", TextFunctions.bpeEncode(col("turn_text"), m,
           byteLevel = true, specials = specials))
         .withColumn("n_tok", size(col("toks")).cast("long"))
         .withColumn("conv_key",
           col("user_id") * 1000000L + col("session_id"))
+        .localCheckpoint(true)
       val conv = turns.groupBy(col("conv_key"))
         .agg(sum(col("n_tok")).as("n_tokens"))
       val packed = Packing.packWithOffsets(conv, "conv_key", "n_tokens",
@@ -580,7 +583,13 @@ object BpeQueries {
             lit(",\"ids\":\""), col("ids"),
             lit("\",\"mask\":\""), col("mask"), lit("\"}")).as("line"))
         .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
-      Lakehouse.writeLines(lines, "sid", path, budgetBytes = 4096L)
+        // materialize ONCE: writeLines evaluates its input twice
+        // (shard assignment + join back) — without this the whole
+        // encode->pack->vocab-join chain would run twice
+        .localCheckpoint(true)
+      Lakehouse.writeLines(lines, "sid", path, budgetBytes = 16384L)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(lines)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(turns)
       s.read.text(path)
         .select(col("shard").cast("long").as("shard_id"),
           get_json_object(col("value"), "$.seq_id").cast("long")
@@ -2071,7 +2080,7 @@ object BpeQueries {
          |  CAST(COALESCE(sum(nb) OVER (ORDER BY seq_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |    AS BIGINT) AS pstart FROM lb)
-         |SELECT CAST(pstart // 4096 AS BIGINT) AS shard_id,
+         |SELECT CAST(pstart // 16384 AS BIGINT) AS shard_id,
          |  count(*)::BIGINT AS n_seqs, CAST(sum(nb) AS BIGINT) AS n_bytes,
          |  md5(string_agg(line, chr(10) ORDER BY seq_id)) AS content_md5
          |FROM pk2 GROUP BY 1""".stripMargin,

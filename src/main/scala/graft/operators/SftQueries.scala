@@ -335,6 +335,9 @@ object SftQueries {
       }
       val esc = (c: org.apache.spark.sql.Column) =>
         regexp_replace(c, "([\"\\\\])", "\\\\$1")
+      // each phase's line frame materializes ONCE (writeLines
+      // evaluates its input twice, and phase 1 is read a third time
+      // for the landed byte total)
       def lines(src: DataFrame, keys: DataFrame): DataFrame =
         Sft.render(Sft.mergedTurns(src))
           .join(keys, Seq("user_id", "session_id"), "left_semi")
@@ -345,15 +348,19 @@ object SftQueries {
               lit(",\"render\":\""), esc(col("rendered")), lit("\"}"))
               .as("line"))
           .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
+          .localCheckpoint(true)
       val k1 = sealedKeys(old).localCheckpoint(true)
       val p1 = lines(old, k1)
-      Lakehouse.writeLines(p1, "ck", path, budgetBytes = 2048L)
+      Lakehouse.writeLines(p1, "ck", path, budgetBytes = 8192L)
       val landed = p1.agg(sum(col("n_bytes"))).head().getLong(0)
       val k2 = sealedKeys(e)
         .join(k1, Seq("user_id", "session_id"), "left_anti")
-      Lakehouse.writeLines(lines(e, k2), "ck", path,
-        budgetBytes = 2048L, byteOffset = landed,
+      val p2 = lines(e, k2)
+      Lakehouse.writeLines(p2, "ck", path,
+        budgetBytes = 8192L, byteOffset = landed,
         mode = org.apache.spark.sql.SaveMode.Append)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(p1)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(p2)
       s.read.text(path)
         .select(col("shard").cast("long").as("shard_id"),
           get_json_object(col("value"), "$.ck").cast("long").as("ck"),
@@ -601,7 +608,7 @@ object SftQueries {
          |  CAST(COALESCE(sum(nb) OVER (ORDER BY phase, ck
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |    AS BIGINT) AS pstart FROM b)
-         |SELECT CAST(pstart // 2048 AS BIGINT) AS shard_id,
+         |SELECT CAST(pstart // 8192 AS BIGINT) AS shard_id,
          |  count(*)::BIGINT AS n_convs,
          |  CAST(sum(nb) AS BIGINT) AS n_bytes,
          |  md5(string_agg(line, chr(10) ORDER BY ck)) AS content_md5
