@@ -215,7 +215,13 @@ object Lakehouse {
     // schema EVOLUTION on upsert (mirrors mergeVersioned): batch-only
     // payload columns widen the touched buckets; survivors read them
     // as null via the allowMissing union, and readers of a mixed-
-    // schema store use mergeSchema (the q343 read-time contract)
+    // schema store use mergeSchema (the q343 read-time contract).
+    // CAVEAT: this classification read itself samples one footer, so
+    // on an already-mixed store a FURTHER merge may resolve the
+    // narrow schema and drop the widened column from survivors —
+    // evolve once then rewrite (writeStore of the mergeSchema read),
+    // or use the versioned store, whose per-vdir schemas stay
+    // homogeneous by construction
     val upCols = batch.columns
       .filterNot(c => c == "op" || c == "bucket").toSeq
     val batchKeys = b.select(col(key)).distinct()
@@ -340,11 +346,14 @@ object Lakehouse {
       return spark.read.parquet(s"$path/v${anyV.getLong(0)}")
         .filter(lit(false))
     }
-    // mergeSchema per dir + allowMissingColumns across dirs: a later
-    // version may carry columns older dirs lack (schema evolution —
-    // [[mergeVersioned]] widens on upsert); older rows read as null
+    // Each version dir is schema-HOMOGENEOUS by construction (a merge
+    // writes one frame), so the default one-footer schema inference
+    // is exact per dir and the pruned read opens nothing extra; the
+    // allowMissingColumns union stitches dirs of different widths
+    // (schema evolution — [[mergeVersioned]] widens on upsert; older
+    // rows read the new columns as null).
     ptr.groupBy(_._2).map { case (vd, bks) =>
-      spark.read.option("mergeSchema", "true").parquet(s"$path/v$vd")
+      spark.read.parquet(s"$path/v$vd")
         .filter(col("bucket").isin(bks.map(_._1).toSeq: _*))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
