@@ -318,6 +318,16 @@ object Lakehouse {
   def readVersioned(spark: SparkSession, path: String, version: Long,
                     bucketSet: Option[Set[Long]] = None): DataFrame = {
     val man = spark.read.parquet(s"$path/_manifest")
+    // checkpoint floor marker (bucket = -1, written by
+    // [[checkpointManifest]]): pointer history below it has been
+    // collapsed away, so a sub-floor read would silently return a
+    // PARTIAL state — fail loudly instead
+    val floorRow = man.filter(col("bucket") === -1L)
+      .agg(max(col("version"))).head()
+    if (!floorRow.isNullAt(0) && version < floorRow.getLong(0))
+      throw new IllegalArgumentException(
+        s"version $version predates the checkpoint floor " +
+          s"${floorRow.getLong(0)} under $path")
     val upTo = man.filter(col("version") <= version)
     if (upTo.limit(1).collect().isEmpty)
       throw new IllegalArgumentException(
@@ -337,14 +347,24 @@ object Lakehouse {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     if (ptr.isEmpty) {
       // empty resolved view — surface it as an empty frame with the
-      // store schema (from any non-tombstone pointer's version dir;
-      // the max vdir is the latest commit's, never vacuumed)
-      val anyV = man.filter(!col("empty")).agg(max(col("vdir"))).head()
-      if (anyV.isNullAt(0))
-        throw new IllegalArgumentException(
-          s"versioned store at $path has never held a row")
-      return spark.read.parquet(s"$path/v${anyV.getLong(0)}")
-        .filter(lit(false))
+      // store schema, from a non-tombstone pointer's version dir that
+      // STILL EXISTS on disk (vacuum may have deleted older ones when
+      // the latest commit emptied the store). Candidate vdirs are
+      // bounded by commits — a metadata-sized scan.
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val vdirs = man.filter(!col("empty") && col("bucket") =!= -1L)
+        .select(col("vdir")).distinct()
+        .collect().map(_.getLong(0)).sorted.reverse
+      vdirs.find(v =>
+          fs.exists(new org.apache.hadoop.fs.Path(path, s"v$v"))) match {
+        case Some(v) =>
+          return spark.read.parquet(s"$path/v$v").filter(lit(false))
+        case None =>
+          throw new IllegalArgumentException(
+            s"versioned store at $path has never held a row (or every" +
+              " data dir was vacuumed)")
+      }
     }
     // Each version dir is schema-HOMOGENEOUS by construction (a merge
     // writes one frame), so the default one-footer schema inference
@@ -365,7 +385,7 @@ object Lakehouse {
   def readVersionedAsOf(spark: SparkSession, path: String,
                         ts: Long): DataFrame = {
     val v = spark.read.parquet(s"$path/_manifest")
-      .filter(col("commit_ts") <= ts)
+      .filter(col("bucket") =!= -1L && col("commit_ts") <= ts)
       .agg(max(col("version"))).head()
     if (v.isNullAt(0))
       throw new IllegalArgumentException(
@@ -387,10 +407,16 @@ object Lakehouse {
                      batch: DataFrame, key: String, buckets: Int,
                      commitTs: Long = -1L): (Long, Long) = {
     val cts = if (commitTs == -1L) version else commitTs
-    val maxV = spark.read.parquet(s"$path/_manifest")
-      .agg(max(col("version"))).head().getLong(0)
+    val maxRow = spark.read.parquet(s"$path/_manifest")
+      .agg(max(col("version")),
+        max(when(col("bucket") =!= -1L, col("commit_ts")))).head()
+    val maxV = maxRow.getLong(0)
     require(version == maxV + 1,
       s"version must be one past the last ($maxV), got $version")
+    // as-of-timestamp resolution assumes commit_ts is monotone in
+    // version — enforce it the same way the version sequence is
+    require(maxRow.isNullAt(1) || cts >= maxRow.getLong(1),
+      s"commitTs must be monotone: got $cts after ${maxRow.getLong(1)}")
     val b = bucketed(batch, key, buckets)
     val cand = candidateBuckets(b)
     if (cand.isEmpty) return (0L, 0L)
@@ -529,8 +555,11 @@ object Lakehouse {
                        rule: org.apache.spark.sql.Column,
                        reason: String): (Long, Long) = {
     val ups = batch.filter(col("op") === "U")
-    val bad = ups.filter(!rule).localCheckpoint(true)
-    val good = ups.filter(rule)
+    // null-safe split: a rule evaluating to NULL (e.g. a null payload
+    // column) is a VIOLATION — every upsert lands on exactly one side
+    val pass = coalesce(rule, lit(false))
+    val bad = ups.filter(!pass).localCheckpoint(true)
+    val good = ups.filter(pass)
       .unionByName(batch.filter(col("op") === "D"))
     val nBad = bad.count()
     if (nBad > 0)
@@ -558,7 +587,10 @@ object Lakehouse {
     val c = classifyBatch(keysInStore, batch, key)
     val (touched, _) =
       mergeVersioned(spark, path, version, batch, key, buckets, commitTs)
-    logRow(spark, logPath, version, c, touched)
+    // a no-op merge (empty batch / all-ghost deletes) commits NOTHING
+    // — the manifest never gains `version`, so logging it would put a
+    // phantom version in the lineage that the next real merge reuses
+    if (touched > 0) logRow(spark, logPath, version, c, touched)
   }
 
   /** Delta-style manifest CHECKPOINT: every bucket's pointer history
@@ -570,7 +602,10 @@ object Lakehouse {
     * ([[mergeVersioned]]'s `coalesce(1).mode(Append)`) without
     * surrendering any retained history — the natural companion of
     * [[vacuumVersions]], which drops the data dirs below the same
-    * floor. Returns (rows_before, rows_after, files_before,
+    * floor. A FLOOR MARKER row (bucket = -1, version = floor, empty)
+    * records what was collapsed, so a later sub-floor read fails
+    * loudly instead of returning the partial post-collapse state.
+    * Returns (rows_before, rows_after, files_before,
     * files_after = 1). */
   def checkpointManifest(spark: SparkSession, path: String,
                          floor: Long): (Long, Long, Long, Long) = {
@@ -579,10 +614,17 @@ object Lakehouse {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val filesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(mpath))
       .count(_.getPath.getName.startsWith("part-")).toLong
-    val man = spark.read.parquet(mpath).localCheckpoint(true)
-    val rowsBefore = man.count()
+    val man0 = spark.read.parquet(mpath).localCheckpoint(true)
+    val rowsBefore = man0.count()
+    // the floor can only rise: a lower re-checkpoint cannot restore
+    // history the earlier collapse already dropped
+    val oldFloor = man0.filter(col("bucket") === -1L)
+      .agg(max(col("version"))).head()
+    val newFloor =
+      if (oldFloor.isNullAt(0)) floor else math.max(floor, oldFloor.getLong(0))
+    val man = man0.filter(col("bucket") =!= -1L)
     val cols = Seq("version", "bucket", "vdir", "empty", "commit_ts")
-    val collapsed = man.filter(col("version") <= floor)
+    val collapsed = man.filter(col("version") <= newFloor)
       .groupBy(col("bucket"))
       .agg(max(struct(col("version").as("version"), col("vdir").as("vdir"),
         col("empty").as("empty"), col("commit_ts").as("commit_ts")))
@@ -591,8 +633,14 @@ object Lakehouse {
         col("__m.vdir").as("vdir"), col("__m.empty").as("empty"),
         col("__m.commit_ts").as("commit_ts"))
       .select(cols.map(col): _*)
+    val marker = spark.range(1).select(
+      lit(newFloor).as("version"), lit(-1L).as("bucket"),
+      lit(-1L).as("vdir"), lit(true).as("empty"),
+      lit(Long.MinValue).as("commit_ts"))
     val next = collapsed
-      .unionByName(man.filter(col("version") > floor).select(cols.map(col): _*))
+      .unionByName(man.filter(col("version") > newFloor)
+        .select(cols.map(col): _*))
+      .unionByName(marker.select(cols.map(col): _*))
       .localCheckpoint(true)
     val rowsAfter = next.count()
     next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(mpath)
@@ -642,14 +690,23 @@ object Lakehouse {
       .collect().map(_.getLong(0)).toSet
     val s1 = readVersioned(spark, path, v1, Some(changedBuckets))
     val s2 = readVersioned(spark, path, v2, Some(changedBuckets))
-    val dataCols = s1.columns.filterNot(c => c == "bucket" || c == key)
-      .sorted.toSeq
-    // \u0001 separator: unambiguous field framing (the corpus
-    // contract keeps control chars out of payloads)
-    def rowHash = md5(concat_ws("\u0001", dataCols.map(col): _*))
-    val a = s1.select(col("bucket").cast("long").as("bucket"),
+    // data columns are the UNION of both sides — schema evolution
+    // between the versions must be visible to the diff (a new
+    // column's values are changes; the post-image must carry it)
+    val dataCols = (s1.columns ++ s2.columns).distinct
+      .filterNot(c => c == "bucket" || c == key).sorted.toSeq
+    def aligned(df: DataFrame): DataFrame =
+      dataCols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast("string")))
+    // null-safe \u0001 framing: concat_ws DROPS nulls (rows differing
+    // only in WHICH column is null would hash equal), so every column
+    // coalesces to a \u0000 sentinel the corpus contract excludes
+    def rowHash = md5(concat_ws("\u0001", dataCols.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val a = aligned(s1).select(col("bucket").cast("long").as("bucket"),
       col(key), rowHash.as("__h1"))
-    val b = s2.select(
+    val b = aligned(s2).select(
       Seq(col("bucket").cast("long").as("bucket"), col(key),
         rowHash.as("__h2")) ++ dataCols.map(col): _*)
     a.join(b, Seq("bucket", key), "full_outer")

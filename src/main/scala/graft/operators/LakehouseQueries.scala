@@ -726,7 +726,8 @@ object LakehouseQueries {
         |    AS rows_md5,
         |  (SELECT n FROM b0) + (SELECT n FROM v1t) + (SELECT t FROM v2t)
         |    AS rows_before,
-        |  (SELECT n FROM b0) + (SELECT t FROM v2t) AS rows_after,
+        |  -- collapsed per-bucket rows + kept v2 rows + the floor marker
+        |  (SELECT n FROM b0) + (SELECT t FROM v2t) + 1 AS rows_after,
         |  CAST(3 AS BIGINT) AS files_before,
         |  CAST(1 AS BIGINT) AS files_after
         |FROM st CROSS JOIN modes

@@ -677,9 +677,11 @@ object SftQueries {
         |    ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rn
         | FROM events),
         |dec AS (
-        |  SELECT user_id, event_id, rn, vfp AS st FROM ev WHERE rn = 1
+        |  SELECT user_id, event_id, rn, GREATEST(vfp, 0) AS st
+        |  FROM ev WHERE rn = 1
         |  UNION ALL
-        |  SELECT e.user_id, e.event_id, e.rn, (d.st * 9) // 10 + e.vfp
+        |  SELECT e.user_id, e.event_id, e.rn,
+        |    (d.st * 9) // 10 + GREATEST(e.vfp, 0)
         |  FROM dec d JOIN ev e ON e.user_id = d.user_id
         |    AND e.rn = d.rn + 1)
         |SELECT user_id, event_id, CAST(st AS BIGINT) AS decayed_fp

@@ -49,16 +49,23 @@ object StreamingLakehouse {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifest)) {
       // first commit: v0 from the batch's upserts (a delete against
-      // an empty store is a no-op by definition)
-      Lakehouse.writeVersioned(
-        batch.filter(col("op") === "U").drop("op"),
-        key, path, buckets, commitTs = batchId)
+      // an empty store is a no-op by definition); a deletes-only
+      // first batch creates NOTHING — an empty v0 with a zero-row
+      // manifest would wedge every later commit's max(version) probe
+      val ups = batch.filter(col("op") === "U").drop("op")
+      if (ups.isEmpty) return
+      Lakehouse.writeVersioned(ups, key, path, buckets,
+        commitTs = batchId)
       return
     }
     val man = spark.read.parquet(s"$path/_manifest")
     if (man.filter(col("commit_ts") === batchId).head(1).nonEmpty)
       return // replayed batch: its commit is already in the manifest
-    val next = man.agg(max(col("version"))).head().getLong(0) + 1
+    val maxRow = man.agg(max(col("version"))).head()
+    if (maxRow.isNullAt(0))
+      throw new IllegalStateException(
+        s"manifest at $path exists but holds no commits")
+    val next = maxRow.getLong(0) + 1
     Lakehouse.mergeVersioned(spark, path, next, batch, key, buckets,
       commitTs = batchId)
     ()

@@ -184,6 +184,12 @@ object StreamingSft {
     * bucket dirs (spec-pinned via task input metrics). */
   private final class BucketIO(spark: SparkSession, path: String,
                                buckets: Int) extends SftStateIO {
+    // the candidate-bucket derivation (turn bucket ≡ user mod B)
+    // holds exactly when B divides the tkey component width — any
+    // other B would silently scatter a user's turns across buckets
+    // the fold never reads
+    require(1000000L % buckets == 0,
+      s"buckets must divide 10^6 (the tkey component width), got $buckets")
     private val B = buckets.toLong
     private val root = new org.apache.hadoop.fs.Path(path)
     private val fs =

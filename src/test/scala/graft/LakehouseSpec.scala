@@ -492,15 +492,22 @@ class LakehouseSpec extends AnyFunSuite {
     val (t25, t35) = (snapTs(25L), snapTs(35L))
     val (rb, ra, fb, fa) = Lakehouse.checkpointManifest(spark, path, 1L)
     // three appended files -> one; v0's 4 pointers + v1's 1 collapse
-    // to 4 resolved rows (bucket 1's v0 row superseded), v2 rows kept
+    // to 4 resolved rows (bucket 1's v0 row superseded), v2 rows kept,
+    // plus the floor-marker row
     assert(fb == 3L && fa == 1L)
-    assert(rb == 6L && ra == 5L)
+    assert(rb == 6L && ra == 6L)
     assert(Files.list(Paths.get(path, "_manifest")).toArray
       .map(p => Paths.get(p.toString).getFileName.toString)
       .count(_.startsWith("part-")) == 1)
     // read-equivalence at and above the floor, both resolution modes
     assert(snap(1L) == s1 && snap(2L) == s2)
     assert(snapTs(25L) == t25 && snapTs(35L) == t35)
+    // below the floor the partial post-collapse state must NOT leak —
+    // the floor marker turns it into a loud failure
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.readVersioned(spark, path, 0L)
+    }
+    assert(e.getMessage.contains("checkpoint floor"))
   }
 
   test("versioned-store guards: duplicate full write fails; " +
