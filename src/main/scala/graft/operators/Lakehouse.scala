@@ -182,6 +182,21 @@ object Lakehouse {
     (multi.size.toLong, multi.size.toLong)
   }
 
+  /** Point lookup (the SERVING path): fetch the rows for a bounded
+    * key set from a [[writeStore]] layout, opening only the keys'
+    * candidate bucket dirs — `bucket = pmod(key, buckets)` turns a
+    * multi-key GET into a partition-pruned scan with a pushed key
+    * filter. Misses simply return no row. `keys` is caller-bounded
+    * (a serving request, never data-sized). */
+  def lookupStore(spark: SparkSession, path: String, key: String,
+                  keys: Seq[Long], buckets: Int): DataFrame = {
+    if (keys.isEmpty)
+      return spark.read.parquet(path).filter(lit(false))
+    val cand = keys.map(k => Math.floorMod(k, buckets.toLong)).distinct
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(cand: _*) && col(key).isin(keys: _*))
+  }
+
   /** MERGE INTO: apply one batch of upserts (`op = 'U'`, full payload
     * columns) and deletes (`op = 'D'`) to a [[writeStore]] layout.
     * Only buckets that physically change are rewritten: a bucket is

@@ -405,6 +405,22 @@ object LakehouseQueries {
           .withColumn("version", lit(v))
       }.reduce(_ unionByName _)
     }),
+    // POINT LOOKUP — the serving path of the bucketed store: a
+    // bounded multi-key GET opens only the keys' candidate bucket
+    // dirs (partition filter) with the key predicate pushed to the
+    // scan; misses (+90000 ghosts) return no row. The oracle is the
+    // plain key-set SELECT.
+    "q368_point_lookup" -> ((s, d) => {
+      val path = tmp("graft_plookup_", d)
+      val base = docs(s, d)
+      Lakehouse.writeStore(base, "doc_id", path, buckets = 16)
+      val keys = base.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      Lakehouse.lookupStore(s, path, "doc_id",
+          keys ++ keys.map(_ + 90000L), buckets = 16)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }),
     // SCHEMA EVOLUTION on MERGE (in-place store): the upsert batch
     // carries a NEW column; touched buckets widen (survivors null at
     // the boundary), untouched buckets keep their narrow files, and
@@ -873,6 +889,9 @@ object LakehouseQueries {
     // the CDF-fed replica must land on the same final state as the
     // directly-merged chain
     "q364_cdf_replicate" -> finalStateSql,
+    "q368_point_lookup" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id % 97 = 0""".stripMargin,
     "q365_merge_evolution" ->
       """WITH q AS (SELECT
         |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,

@@ -573,6 +573,67 @@ class LakehouseSpec extends AnyFunSuite {
       == "srcX")
   }
 
+  test("versioned sink crash consistency: a torn commit (version dir " +
+    "written, manifest append lost) is invisible to readers, and the " +
+    "replayed batch overwrites the orphan and lands correctly") {
+    import graft.streaming.StreamingLakehouse.processVersionedBatch
+    val path = freshDir("graft_vcrash")
+    val b0 = docsDf(0L until 8L).withColumn("op", lit("U"))
+      .select(col("doc_id"), col("op"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    processVersionedBatch(b0, 0L, path, "doc_id", 4)
+    // simulate the crash window: run the commit, then roll the
+    // manifest back to its pre-commit bytes — v1's data dir remains
+    // as an orphan the manifest knows nothing about
+    val manifestDir = Paths.get(path, "_manifest")
+    val snapshot = Files.createTempDirectory("graft_mansnap")
+    Files.list(manifestDir).forEach { p =>
+      Files.copy(p, snapshot.resolve(p.getFileName.toString))
+    }
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    processVersionedBatch(m1, 1L, path, "doc_id", 4)
+    // roll back the manifest (delete everything, restore snapshot)
+    Files.list(manifestDir).forEach(p => Files.delete(p))
+    Files.list(snapshot).forEach { p =>
+      Files.copy(p, manifestDir.resolve(p.getFileName.toString))
+    }
+    assert(Files.exists(Paths.get(path, "v1"))) // the orphan
+    // readers resolve through the manifest alone: the orphan is
+    // invisible — even an as-of-1 read resolves every pointer to v0
+    assert(Lakehouse.readVersioned(spark, path, 0L)
+      .filter(col("doc_id") === 1L).select("source").as[String].head()
+      == "src1")
+    assert(Lakehouse.readVersioned(spark, path, 1L)
+      .filter(col("doc_id") === 1L).select("source").as[String].head()
+      == "src1")
+    // the replayed batch is NOT in the ledger (its append was lost),
+    // so it re-commits: the orphan dir is overwritten and v1 lands
+    processVersionedBatch(m1, 1L, path, "doc_id", 4)
+    assert(Lakehouse.readVersioned(spark, path, 1L)
+      .filter(col("doc_id") === 1L).select("source").as[String].head()
+      == "srcX")
+    // and a second redelivery is now ledger-skipped
+    val files = partFiles(path)
+    processVersionedBatch(m1, 1L, path, "doc_id", 4)
+    assert(partFiles(path) == files)
+  }
+
+  test("lookupStore opens only the keys' candidate bucket dirs " +
+    "(measured input records) and returns exactly the present keys") {
+    val path = freshDir("graft_plook")
+    Lakehouse.writeStore(prunePinRows, "doc_id", path, buckets = 4)
+    var got: Seq[Long] = Nil
+    val scanned = recordsReadDuring {
+      got = Lakehouse.lookupStore(spark, path, "doc_id",
+          Seq(1L, 5L, 997L), buckets = 4)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(got == Seq(1L, 5L)) // 997 is absent (bucket-1 ids < 400)
+    assert(scanned < 3000L,
+      s"lookup is not bucket-pruned: scanned $scanned records")
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
