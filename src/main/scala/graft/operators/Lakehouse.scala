@@ -333,20 +333,22 @@ object Lakehouse {
   def readVersioned(spark: SparkSession, path: String, version: Long,
                     bucketSet: Option[Set[Long]] = None): DataFrame = {
     val man = spark.read.parquet(s"$path/_manifest")
-    // checkpoint floor marker (bucket = -1, written by
-    // [[checkpointManifest]]): pointer history below it has been
-    // collapsed away, so a sub-floor read would silently return a
-    // PARTIAL state — fail loudly instead
-    val floorRow = man.filter(col("bucket") === -1L)
-      .agg(max(col("version"))).head()
-    if (!floorRow.isNullAt(0) && version < floorRow.getLong(0))
+    // ONE manifest pass for both read guards: the checkpoint floor
+    // marker (bucket = -1, written by [[checkpointManifest]] —
+    // pointer history below it is collapsed, so a sub-floor read
+    // would silently return a PARTIAL state) and the
+    // predates-first-commit check
+    val pre = man.agg(
+      max(when(col("bucket") === -1L, col("version"))).as("f"),
+      count(when(col("version") <= version, lit(1))).as("n")).head()
+    if (!pre.isNullAt(0) && version < pre.getLong(0))
       throw new IllegalArgumentException(
         s"version $version predates the checkpoint floor " +
-          s"${floorRow.getLong(0)} under $path")
-    val upTo = man.filter(col("version") <= version)
-    if (upTo.limit(1).collect().isEmpty)
+          s"${pre.getLong(0)} under $path")
+    if (pre.getLong(1) == 0L)
       throw new IllegalArgumentException(
         s"version $version predates the first commit under $path")
+    val upTo = man.filter(col("version") <= version)
     val scoped = bucketSet match {
       case Some(bs) if bs.isEmpty => upTo.filter(lit(false))
       case Some(bs) => upTo.filter(col("bucket").isin(bs.toSeq: _*))
