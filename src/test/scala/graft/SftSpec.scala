@@ -152,6 +152,58 @@ class SftSpec extends AnyFunSuite {
       r._5 == 2L && r._7.contains("purchase#200 error#300")))
   }
 
+  test("randomized weave drill: BOTH streaming sinks (whole-table and " +
+    "bucket-scoped) land on the from-scratch merged turns for " +
+    "arbitrary seeded event streams sliced into time batches") {
+    import graft.streaming.StreamingSft
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      // random walk over seconds with ~15% super-gap jumps, so the
+      // slices exercise every weave shape: turn extension, same-
+      // session new turn, attached vs fresh session, brand-new user,
+      // and (occasionally) an empty batch
+      var sec = 0L
+      val rows = (0 until 120).map { i =>
+        sec += (if (rnd.nextDouble() < 0.15) 2000L
+                else rnd.nextInt(600).toLong + 1L)
+        (i.toLong + 1L, sec, rnd.nextInt(4).toLong + 1L,
+          Seq("click", "view", "purchase", "error",
+            "signup")(rnd.nextInt(5)),
+          (rnd.nextInt(500) + 1) / 100.0)
+      }
+      val all = events(rows)
+      val hi = rows.map(_._2).max
+      def slice(b: Int) = events(rows.filter(r =>
+        r._2 > hi * b / 4 && r._2 <= hi * (b + 1) / 4))
+      val table = s"graft_sft_rand_$trial"
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val path = freshDir(s"graft_sft_randb_$trial")
+      (0 until 4).foreach { b =>
+        StreamingSft.processSftBatch(slice(b), b.toLong, table)
+        StreamingSft.processSftBatchBucketed(slice(b), b.toLong, path,
+          buckets = 16)
+      }
+      val cols = Seq("user_id", "session_id", "turn_id", "role",
+        "n_events", "value_fp", "turn_text")
+      def sorted(df: org.apache.spark.sql.DataFrame)
+          : Seq[(Long, Long, Long, String, Long, Long, String)] =
+        df.select(cols.map(col): _*)
+          .as[(Long, Long, Long, String, Long, Long, String)].collect()
+          .sortBy(r => (r._1, r._2, r._3)).toSeq
+      val exp = sorted(Sft.mergedTurns(all))
+      assert(sorted(StreamingSft.readTurns(spark.table(table))) == exp,
+        s"whole-table sink diverged on trial $trial")
+      assert(sorted(StreamingSft.readTurnsBucketed(spark, path)) == exp,
+        s"bucket-scoped sink diverged on trial $trial")
+    }
+  }
+
+  private def freshDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.delete(p)
+    p.toString
+  }
+
   test("DecayedSumFixed == the naive per-step truncating recurrence; " +
     "partitions are independent") {
     val rows = Seq((1L, 1L, 17L), (1L, 2L, 100L), (1L, 3L, 3L),
