@@ -3,6 +3,19 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** A versioned commit lost the optimistic-concurrency race: another
+  * writer holds (or already published) the commit slot for `version`
+  * under `path`. The correct reaction is to RE-RESOLVE the manifest
+  * and retry at the new head — [[Lakehouse.mergeVersionedConcurrent]]
+  * does exactly that. `holder` is the winning writer's token ("" when
+  * the marker was torn before its token landed). */
+final case class ConcurrentCommitException(path: String, version: Long,
+                                           holder: String)
+  extends RuntimeException(
+    s"versioned commit v$version at $path lost the race" +
+      (if (holder.isEmpty) "" else s" to writer '$holder'") +
+      " — re-resolve the manifest head and retry at the next version")
+
 /** Physical table maintenance the text family's shard writer does not
   * cover: (a) JSONL shard export — the interchange format training
   * stacks actually mount — with a byte-budget layout from the same
@@ -124,6 +137,24 @@ object Lakehouse {
     b.select(col("bucket").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSet
 
+  /** Upsert semantics here are WHOLE-ROW replacement, so a batch
+    * missing a standing payload column would silently write NULLs
+    * into every updated row — fail fast instead. Evolution only needs
+    * the other direction tolerated (batch-EXTRA columns widen the
+    * store); the allowMissingColumns union exists solely for the
+    * survivors' side of a widening merge. */
+  private def requireBatchCovers(curCols: Seq[String],
+                                 upCols: Seq[String],
+                                 path: String): Unit = {
+    val missing = curCols.filterNot(upCols.contains)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"merge batch for $path is missing standing payload column(s) " +
+          s"${missing.mkString(", ")} — whole-row upserts would null " +
+          "them; include the columns (or rewrite the store narrower " +
+          "first)")
+  }
+
   /** Materialize a keyed table as a bucketed store (`path/bucket=N`,
     * bucket = key mod buckets) — the layout [[mergeInto]] maintains. */
   def writeStore(df: DataFrame, key: String, path: String,
@@ -170,8 +201,14 @@ object Lakehouse {
       }
       .map(_.getPath.getName.stripPrefix("bucket=").toLong).toSet
     if (multi.isEmpty) return (0L, 0L)
-    val replacement = spark.read.parquet(path)
-      .filter(col("bucket").isin(multi.toSeq: _*))
+    // explicit fragmented-bucket roots + mergeSchema: only their
+    // files are opened, and a mixed-schema (evolved) bucket compacts
+    // under the UNION schema instead of whichever footer a plain
+    // read would sample — old rows carry explicit nulls afterwards,
+    // which is what every mergeSchema reader already saw
+    val replacement = spark.read.option("mergeSchema", "true")
+      .option("basePath", path)
+      .parquet(multi.toSeq.sorted.map(bk => s"$path/bucket=$bk"): _*)
       .localCheckpoint(true)
     replacement.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
@@ -192,9 +229,20 @@ object Lakehouse {
                   keys: Seq[Long], buckets: Int): DataFrame = {
     if (keys.isEmpty)
       return spark.read.parquet(path).filter(lit(false))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cand = keys.map(k => Math.floorMod(k, buckets.toLong)).distinct
-    spark.read.parquet(path)
-      .filter(col("bucket").isin(cand: _*) && col(key).isin(keys: _*))
+    // candidate dirs as explicit roots (misses drop out here for
+    // free) with the mergeSchema union over THEIR footers — the q343
+    // read-time contract holds on an evolved mixed store, and the
+    // schema can't depend on which footer a plain read would sample
+    val dirs = cand.sorted.map(bk => s"$path/bucket=$bk")
+      .filter(dc => fs.exists(new org.apache.hadoop.fs.Path(dc)))
+    if (dirs.isEmpty)
+      return spark.read.parquet(path).filter(lit(false))
+    spark.read.option("mergeSchema", "true").option("basePath", path)
+      .parquet(dirs: _*)
+      .filter(col(key).isin(keys: _*))
   }
 
   /** MERGE INTO: apply one batch of upserts (`op = 'U'`, full payload
@@ -221,24 +269,30 @@ object Lakehouse {
     val b = bucketed(batch, key, buckets)
     val cand = candidateBuckets(b)
     if (cand.isEmpty) return (0L, 0L)
-    // partition filter on the layout column: only candidate bucket
-    // dirs are listed/opened anywhere below (schema still resolves
-    // from the unpruned relation's footer discovery)
-    val store = spark.read.parquet(path)
-      .filter(col("bucket").isin(cand.toSeq: _*))
+    // the classification/survivor read: ONLY the candidate bucket
+    // dirs are listed or opened (they're passed as explicit roots —
+    // basePath keeps the partition column), and the schema is the
+    // mergeSchema UNION over those dirs' footers, so an already-mixed
+    // (evolved) store can never resolve its narrow schema and drop a
+    // widened column from survivors. Footer cost ∝ candidate buckets'
+    // files, never the store.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val candDirs = cand.toSeq.sorted.map(bk => s"$path/bucket=$bk")
+      .filter(dc => fs.exists(new org.apache.hadoop.fs.Path(dc)))
+    val store =
+      if (candDirs.isEmpty) // pure insert into brand-new buckets
+        spark.read.parquet(path).filter(lit(false))
+      else spark.read.option("mergeSchema", "true")
+        .option("basePath", path).parquet(candDirs: _*)
     val curCols = store.columns.filter(_ != "bucket").toSeq
     // schema EVOLUTION on upsert (mirrors mergeVersioned): batch-only
     // payload columns widen the touched buckets; survivors read them
     // as null via the allowMissing union, and readers of a mixed-
-    // schema store use mergeSchema (the q343 read-time contract).
-    // CAVEAT: this classification read itself samples one footer, so
-    // on an already-mixed store a FURTHER merge may resolve the
-    // narrow schema and drop the widened column from survivors —
-    // evolve once then rewrite (writeStore of the mergeSchema read),
-    // or use the versioned store, whose per-vdir schemas stay
-    // homogeneous by construction
+    // schema store use mergeSchema (the q343 read-time contract)
     val upCols = batch.columns
       .filterNot(c => c == "op" || c == "bucket").toSeq
+    requireBatchCovers(curCols, upCols, path)
     val batchKeys = b.select(col(key)).distinct()
     val existingTouched = store
       .join(batchKeys, Seq(key), "left_semi")
@@ -269,17 +323,115 @@ object Lakehouse {
     val written = replacement.select(col("bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
     val emptied = touched -- written
-    if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      emptied.foreach { bid =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, s"bucket=$bid"), true)
-      }
+    emptied.foreach { bid =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"bucket=$bid"), true)
     }
     (touched.size.toLong, (written.size + emptied.size).toLong)
   }
 
   // ------------------------------------- versioned (time travel)
+
+  private def hfs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Complete an interrupted [[checkpointManifest]] swap: if
+    * `_manifest` is absent but a COMPLETE `_manifest__next` (its
+    * `_SUCCESS` marker present) exists, rename it into place — the
+    * crash fell between the old manifest's delete and the new one's
+    * rename, and the collapsed manifest it left is fully valid. An
+    * INCOMPLETE `__next` next to a live `_manifest` is pre-swap
+    * garbage a future checkpoint clears; readers just ignore it.
+    * Every manifest access routes through here, so no crash point in
+    * the checkpoint protocol can leave the store unreadable. */
+  private[graft] def recoverManifest(spark: SparkSession,
+                                     path: String): Unit = {
+    val fs = hfs(spark, path)
+    val man = new org.apache.hadoop.fs.Path(path, "_manifest")
+    val next = new org.apache.hadoop.fs.Path(path, "_manifest__next")
+    if (!fs.exists(man) && fs.exists(next) &&
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+      if (!fs.rename(next, man))
+        throw new java.io.IOException(
+          s"manifest recovery failed: $next -> $man")
+    }
+  }
+
+  /** The store's manifest, behind crash recovery — the only way any
+    * code here opens `_manifest`. */
+  private def manifestDf(spark: SparkSession, path: String): DataFrame = {
+    recoverManifest(spark, path)
+    spark.read.parquet(s"$path/_manifest")
+  }
+
+  /** Crash-recovery-aware manifest read for external callers (the
+    * streaming sink's replay-ledger probe). */
+  private[graft] def readManifest(spark: SparkSession,
+                                  path: String): DataFrame =
+    manifestDf(spark, path)
+
+  /** True iff the versioned store at `path` exists (a readable
+    * manifest is present, completing any interrupted checkpoint swap
+    * first). */
+  private[graft] def manifestExists(spark: SparkSession,
+                                    path: String): Boolean = {
+    recoverManifest(spark, path)
+    hfs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(path, "_manifest"))
+  }
+
+  /** Optimistic-concurrency commit slot: put-if-absent on
+    * `_commits/v<version>` (the file's content is the writer token).
+    * Acquired BEFORE the version's data dir is written, so two racing
+    * writers can never clobber each other's `v<N>` files — exactly
+    * one proceeds past this point per version. A marker whose token
+    * equals `token` is RECLAIMED (same logical writer replaying after
+    * a crash between marker and manifest append — the streaming
+    * sink's redelivery path); a foreign or torn (empty) marker throws
+    * [[ConcurrentCommitException]]. Concurrent writers MUST use
+    * distinct tokens; the "solo" default is for single-writer
+    * deployments, where reclaim-on-replay is always safe. A marker
+    * orphaned by a DEAD foreign writer blocks its version until an
+    * operator breaks the lock ([[breakCommit]]) — the standard
+    * lease-less lock discipline. */
+  private def acquireCommit(spark: SparkSession, path: String,
+                            version: Long, token: String): Unit = {
+    val fs = hfs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_commits")
+    fs.mkdirs(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"v$version")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val holder = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      if (holder == token && token.nonEmpty) return // reclaim own slot
+      throw ConcurrentCommitException(path, version, holder)
+    }
+    try {
+      val out = fs.create(marker, false) // put-if-absent: the CAS
+      try out.write(token.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case _: java.io.IOException =>
+        throw ConcurrentCommitException(path, version, "")
+    }
+  }
+
+  /** Break an abandoned commit slot (a crashed FOREIGN writer's
+    * marker with no manifest rows behind it) — operator tooling, not
+    * part of any automatic path: refuses when the version actually
+    * committed, because deleting a real commit's marker would let a
+    * second writer corrupt it later. */
+  def breakCommit(spark: SparkSession, path: String,
+                  version: Long): Unit = {
+    val committed = manifestDf(spark, path)
+      .filter(col("version") === version && col("bucket") =!= -1L)
+      .head(1).nonEmpty
+    require(!committed,
+      s"v$version at $path is COMMITTED — its marker must stay")
+    hfs(spark, path).delete(
+      new org.apache.hadoop.fs.Path(path, s"_commits/v$version"), false)
+  }
 
   /** Copy-on-write VERSIONED store — the Delta/Iceberg core mechanic
     * in plain parquet: data files are IMMUTABLE under
@@ -299,13 +451,20 @@ object Lakehouse {
     * pointers and corrupt time travel — callers recreate by deleting
     * the path first). */
   def writeVersioned(df: DataFrame, key: String, path: String,
-                     buckets: Int, commitTs: Long = 0L): Unit = {
+                     buckets: Int, commitTs: Long = 0L,
+                     writerToken: String = "solo"): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val spark = df.sparkSession
+    recoverManifest(spark, path)
+    val fs = hfs(spark, path)
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_manifest")),
       s"versioned store already exists at $path — delete it first " +
         "(a duplicate v0 write would corrupt the manifest)")
+    // the v0 commit slot: two concurrent first writers would both
+    // pass the manifest-absence check and clobber v0's data files —
+    // the marker lets exactly one through (the same-token reclaim
+    // covers a crashed first write's replay)
+    acquireCommit(spark, path, 0L, writerToken)
     val b = bucketed(df, key, buckets).localCheckpoint(true)
     b.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
@@ -332,7 +491,7 @@ object Lakehouse {
     * caller error and throws descriptively. */
   def readVersioned(spark: SparkSession, path: String, version: Long,
                     bucketSet: Option[Set[Long]] = None): DataFrame = {
-    val man = spark.read.parquet(s"$path/_manifest")
+    val man = manifestDf(spark, path)
     // ONE manifest pass for both read guards: the checkpoint floor
     // marker (bucket = -1, written by [[checkpointManifest]] —
     // pointer history below it is collapsed, so a sub-floor read
@@ -401,13 +560,28 @@ object Lakehouse {
     * when `ts` predates the first commit. */
   def readVersionedAsOf(spark: SparkSession, path: String,
                         ts: Long): DataFrame = {
-    val v = spark.read.parquet(s"$path/_manifest")
+    val v = manifestDf(spark, path)
       .filter(col("bucket") =!= -1L && col("commit_ts") <= ts)
       .agg(max(col("version"))).head()
     if (v.isNullAt(0))
       throw new IllegalArgumentException(
         s"no commit at or before ts=$ts under $path")
     readVersioned(spark, path, v.getLong(0))
+  }
+
+  /** Point lookup on the VERSIONED store — [[lookupStore]]'s serving
+    * path with time travel: the manifest resolves pointers for ONLY
+    * the keys' candidate buckets at `version` (a metadata-sized
+    * scan), only those (vdir, bucket) dirs open, and the key
+    * predicate pushes into the pruned scan. Misses return no row;
+    * `keys` is caller-bounded (a serving request, never data-sized).
+    * Read cost ∝ candidate buckets, whatever the store holds. */
+  def lookupVersioned(spark: SparkSession, path: String, key: String,
+                      keys: Seq[Long], version: Long,
+                      buckets: Int): DataFrame = {
+    val cand = keys.map(k => Math.floorMod(k, buckets.toLong)).toSet
+    val view = readVersioned(spark, path, version, Some(cand))
+    if (keys.isEmpty) view else view.filter(col(key).isin(keys: _*))
   }
 
   /** Merge a batch as version `version` — REQUIRED to be exactly one
@@ -422,12 +596,18 @@ object Lakehouse {
     * (touched, rewritten) like [[mergeInto]]. */
   def mergeVersioned(spark: SparkSession, path: String, version: Long,
                      batch: DataFrame, key: String, buckets: Int,
-                     commitTs: Long = -1L): (Long, Long) = {
+                     commitTs: Long = -1L,
+                     writerToken: String = "solo"): (Long, Long) = {
     val cts = if (commitTs == -1L) version else commitTs
-    val maxRow = spark.read.parquet(s"$path/_manifest")
+    val maxRow = manifestDf(spark, path)
       .agg(max(col("version")),
         max(when(col("bucket") =!= -1L, col("commit_ts")))).head()
     val maxV = maxRow.getLong(0)
+    // a STALE head (another writer published this or a later version
+    // since the caller resolved) is the retryable OCC conflict; a
+    // version GAP is a plain caller error
+    if (version <= maxV)
+      throw ConcurrentCommitException(path, version, "")
     require(version == maxV + 1,
       s"version must be one past the last ($maxV), got $version")
     // as-of-timestamp resolution assumes commit_ts is monotone in
@@ -444,6 +624,7 @@ object Lakehouse {
     // union; older version dirs read them as null via mergeSchema)
     val upCols = batch.columns
       .filterNot(c => c == "op" || c == "bucket").toSeq
+    requireBatchCovers(curCols, upCols, path)
     val batchKeys = b.select(col(key)).distinct()
     val existingTouched = cur.join(batchKeys, Seq(key), "left_semi")
       .select(col("bucket").cast("long")).distinct()
@@ -451,7 +632,11 @@ object Lakehouse {
       .select(col("bucket").cast("long")).distinct()
     val touched = existingTouched.union(upsertTouched).distinct()
       .collect().map(_.getLong(0)).toSet
-    if (touched.isEmpty) return (0L, 0L)
+    if (touched.isEmpty) return (0L, 0L) // no-op: the slot stays free
+    // the OCC gate: past this point this writer owns v<version> —
+    // acquired before the data write so racing writers can never
+    // interleave files inside one version dir
+    acquireCommit(spark, path, version, writerToken)
     val survivors = cur
       .filter(col("bucket").isin(touched.toSeq: _*))
       .join(batchKeys, Seq(key), "left_anti")
@@ -479,28 +664,132 @@ object Lakehouse {
       (written.size + (touched -- written).size).toLong)
   }
 
+  /** [[mergeVersioned]] under optimistic concurrency: resolve the
+    * manifest head, attempt `head + 1`, and on a lost race
+    * ([[ConcurrentCommitException]] — another writer published or
+    * holds that slot) RE-RESOLVE and retry, exactly the Delta/Iceberg
+    * commit loop. Each retry re-reads the now-current state, so the
+    * losing batch re-classifies against everything the winner wrote —
+    * both batches land, history stays linear. Returns the committed
+    * version, or -1 for a no-op batch. Gives up after `maxAttempts`
+    * lost races (a FOREIGN abandoned marker never resolves by
+    * waiting — see [[breakCommit]]). `commitTs` defaults to the
+    * committed version number, preserving monotonicity across
+    * retries. */
+  def mergeVersionedConcurrent(spark: SparkSession, path: String,
+                               batch: DataFrame, key: String,
+                               buckets: Int, writerToken: String,
+                               commitTs: Long = -1L,
+                               maxAttempts: Int = 5): Long = {
+    require(writerToken.nonEmpty, "concurrent writers need a token")
+    var attempt = 0
+    var last: ConcurrentCommitException = null
+    while (attempt < maxAttempts) {
+      val head = manifestDf(spark, path)
+        .agg(max(col("version"))).head().getLong(0)
+      val v = head + 1
+      try {
+        val (touched, _) = mergeVersioned(spark, path, v, batch, key,
+          buckets, commitTs, writerToken)
+        return if (touched == 0L) -1L else v
+      } catch {
+        case e: ConcurrentCommitException => last = e; attempt += 1
+      }
+    }
+    throw last
+  }
+
+  /** RESTORE — make a retained historical version the CURRENT state
+    * again, as a new commit (the Delta `RESTORE TABLE … VERSION AS
+    * OF` semantics), and a MANIFEST-ONLY one: for every bucket whose
+    * resolved pointer differs between the head and `toVersion`, one
+    * pointer row appends at `asVersion` carrying the OLD vdir (or a
+    * tombstone where the target state held no rows); buckets already
+    * identical get nothing — the restore is pruned the same way the
+    * CDF is. ZERO data files move: copy-on-write left the old dirs
+    * intact, and [[vacuumVersions]]'s live-interval rule keeps them
+    * alive as long as any retained view resolves to them. The
+    * restore is a normal commit — OCC slot, monotone commit_ts, and
+    * time travel ACROSS it intact (`asVersion - 1` still reads the
+    * pre-restore head). `toVersion` must be at or above any
+    * checkpoint floor: collapsed history cannot be restored. Returns
+    * the pointer rows appended (0 = already at the target state;
+    * nothing commits, the version stays free). */
+  def restoreVersion(spark: SparkSession, path: String, toVersion: Long,
+                     asVersion: Long, commitTs: Long = -1L,
+                     writerToken: String = "solo"): Long = {
+    val cts = if (commitTs == -1L) asVersion else commitTs
+    val man = manifestDf(spark, path).localCheckpoint(true)
+    val head = man.agg(max(col("version")),
+      max(when(col("bucket") =!= -1L, col("commit_ts"))),
+      max(when(col("bucket") === -1L, col("version")))).head()
+    val maxV = head.getLong(0)
+    if (asVersion <= maxV)
+      throw ConcurrentCommitException(path, asVersion, "")
+    require(asVersion == maxV + 1,
+      s"version must be one past the last ($maxV), got $asVersion")
+    require(head.isNullAt(1) || cts >= head.getLong(1),
+      s"commitTs must be monotone: got $cts after ${head.getLong(1)}")
+    require(toVersion <= maxV,
+      s"cannot restore to $toVersion: head is $maxV")
+    if (!head.isNullAt(2) && toVersion < head.getLong(2))
+      throw new IllegalArgumentException(
+        s"version $toVersion predates the checkpoint floor " +
+          s"${head.getLong(2)} under $path")
+    def ptr(v: Long) = man
+      .filter(col("bucket") =!= -1L && col("version") <= v)
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
+        col("empty").as("empty"))).as("__m"))
+      .select(col("bucket"), col("__m.vdir").as("vdir"),
+        col("__m.empty").as("empty"))
+    val rows = ptr(toVersion)
+      .withColumnRenamed("vdir", "tvd").withColumnRenamed("empty", "te")
+      .join(ptr(maxV)
+        .withColumnRenamed("vdir", "cvd").withColumnRenamed("empty", "ce"),
+        Seq("bucket"), "full_outer")
+      .filter(!(col("tvd") <=> col("cvd") && col("te") <=> col("ce")))
+      .select(col("bucket").cast("long"),
+        coalesce(col("te"), lit(true)).as("te"), col("tvd"))
+      .collect().map { r =>
+        val tombstone = r.getBoolean(1)
+        (asVersion, r.getLong(0),
+          if (tombstone) asVersion else r.getLong(2), tombstone, cts)
+      }.toSeq.sortBy(_._2)
+    if (rows.isEmpty) return 0L
+    acquireCommit(spark, path, asVersion, writerToken)
+    import spark.implicits._
+    rows.toDF("version", "bucket", "vdir", "empty", "commit_ts")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$path/_manifest")
+    rows.size.toLong
+  }
+
   /** Retention GC (VACUUM) for the versioned store: every version
     * dir that NO as-of view at or above `floor` resolves to is
     * deleted — time travel below the floor is surrendered, the
     * retention contract every production table format ships with.
-    * The needed-set scan is per retained version a bounded
-    * pointer-resolution (≤ buckets rows each; versions are bounded
-    * by the retention window). Returns (deleted, retained) vdir
+    * The needed set is ONE window pass over the manifest: a pointer
+    * row is the live pointer for its bucket on `[version, next
+    * version for that bucket)`, so its vdir is needed iff it is
+    * non-empty and that interval reaches the retention window —
+    * `next > floor` (or no successor). O(manifest), not
+    * O(versions · manifest). Returns (deleted, retained) vdir
     * counts. */
   def vacuumVersions(spark: SparkSession, path: String,
                      floor: Long): (Long, Long) = {
-    val man = spark.read.parquet(s"$path/_manifest")
-      .localCheckpoint(true)
+    val man = manifestDf(spark, path).localCheckpoint(true)
     val maxV = man.agg(max(col("version"))).head().getLong(0)
-    val needed = (floor to maxV).flatMap { v =>
-      man.filter(col("version") <= v)
-        .groupBy(col("bucket"))
-        .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
-          col("empty").as("empty"))).as("__m"))
-        .filter(!col("__m.empty"))
-        .select(col("__m.vdir")).distinct()
-        .collect().map(_.getLong(0))
-    }.toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("version"))
+    val needed: Set[Long] =
+      if (floor > maxV) Set.empty // no as-of view in the window
+      else man.filter(col("bucket") =!= -1L)
+        .withColumn("__next", lead(col("version"), 1).over(w))
+        .filter(!col("empty") &&
+          (col("__next").isNull || col("__next") > floor))
+        .select(col("vdir")).distinct()
+        .collect().map(_.getLong(0)).toSet
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = fs.listStatus(root)
@@ -588,6 +877,34 @@ object Lakehouse {
     (ups.count() - nBad, nBad)
   }
 
+  /** QUARANTINE REPLAY — the other half of the [[mergeIntoChecked]]
+    * lifecycle: re-admit corrected rows. `corrected` carries the
+    * FIXED payload for quarantined keys (same payload columns, no
+    * `op`); rows passing `rule` NOW merge into the store as upserts
+    * (the pruned merge), rows still violating stay out. The
+    * quarantine store keeps its full audit trail: the original
+    * violation rows are never touched — one REPLAY row per
+    * re-admitted key appends, stamped (version = `replayVersion`,
+    * reason = "replayed"), so the read-back shows both the violation
+    * and its resolution. Returns (n_replayed, n_still_bad). Scale:
+    * rule + split are one projection over the (violation-sized)
+    * corrected frame; the merge is bucket-pruned as always. */
+  def replayQuarantine(spark: SparkSession, path: String,
+                       quarantinePath: String, replayVersion: Long,
+                       corrected: DataFrame, key: String, buckets: Int,
+                       rule: org.apache.spark.sql.Column): (Long, Long) = {
+    val pass = coalesce(rule, lit(false)) // NULL still violates
+    val good = corrected.filter(pass).localCheckpoint(true)
+    val nGood = good.count()
+    val nBad = corrected.count() - nGood
+    if (nGood == 0L) return (0L, nBad)
+    mergeInto(spark, path, good.withColumn("op", lit("U")), key, buckets)
+    good.withColumn("version", lit(replayVersion))
+      .withColumn("reason", lit("replayed"))
+      .coalesce(1).write.mode(SaveMode.Append).parquet(quarantinePath)
+    (nGood, nBad)
+  }
+
   /** [[mergeVersioned]] routed through the changelog discipline: the
     * batch classifies against the RESOLVED pre-merge state (pruned to
     * candidate buckets), the versioned merge applies with `commitTs`
@@ -629,9 +946,11 @@ object Lakehouse {
     val mpath = s"$path/_manifest"
     val fs = new org.apache.hadoop.fs.Path(mpath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nextPath = new org.apache.hadoop.fs.Path(s"${mpath}__next")
+    val man0 = manifestDf(spark, path).localCheckpoint(true)
+    fs.delete(nextPath, true) // clear any stale pre-swap leftover
     val filesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(mpath))
       .count(_.getPath.getName.startsWith("part-")).toLong
-    val man0 = spark.read.parquet(mpath).localCheckpoint(true)
     val rowsBefore = man0.count()
     // the floor can only rise: a lower re-checkpoint cannot restore
     // history the earlier collapse already dropped
@@ -660,7 +979,24 @@ object Lakehouse {
       .unionByName(marker.select(cols.map(col): _*))
       .localCheckpoint(true)
     val rowsAfter = next.count()
-    next.coalesce(1).write.mode(SaveMode.Overwrite).parquet(mpath)
+    // ATOMIC publish (the sidecar temp+rename discipline): the
+    // collapsed manifest lands COMPLETE (with its _SUCCESS) under
+    // `_manifest__next` while the live one still serves, then the
+    // delete→rename swap runs. Every crash point leaves a readable
+    // manifest: before the delete the old one is live (__next is
+    // ignored garbage); between delete and rename [[recoverManifest]]
+    // finds the complete __next and finishes the swap. An in-place
+    // Overwrite would instead have a window with NO manifest at all —
+    // every pointer in the store gone.
+    next.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(nextPath.toString)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"checkpoint staging incomplete (no _SUCCESS) at $nextPath")
+    fs.delete(new org.apache.hadoop.fs.Path(mpath), true)
+    if (!fs.rename(nextPath, new org.apache.hadoop.fs.Path(mpath)))
+      throw new java.io.IOException(
+        s"checkpoint swap failed: $nextPath -> $mpath")
     (rowsBefore, rowsAfter, filesBefore, 1L)
   }
 
@@ -689,8 +1025,7 @@ object Lakehouse {
   def diffVersionsFull(spark: SparkSession, path: String, v1: Long,
                        v2: Long, key: String): DataFrame = {
     require(v1 < v2, s"diff needs v1 < v2, got $v1, $v2")
-    val man = spark.read.parquet(s"$path/_manifest")
-      .localCheckpoint(true)
+    val man = manifestDf(spark, path).localCheckpoint(true)
     def ptr(v: Long) = man.filter(col("version") <= v)
       .groupBy(col("bucket"))
       .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),

@@ -352,7 +352,10 @@ object SftQueries {
       val k1 = sealedKeys(old).localCheckpoint(true)
       val p1 = lines(old, k1)
       Lakehouse.writeLines(p1, "ck", path, budgetBytes = 8192L)
-      val landed = p1.agg(sum(col("n_bytes"))).head().getLong(0)
+      // coalesce: an EMPTY phase-1 sealed set sums to NULL — the
+      // export must degrade to a from-scratch layout, not crash
+      val landed = p1.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+        .head().getLong(0)
       val k2 = sealedKeys(e)
         .join(k1, Seq("user_id", "session_id"), "left_anti")
       val p2 = lines(e, k2)

@@ -38,16 +38,17 @@ object StreamingLakehouse {
 
   /** One micro-batch's versioned commit (factored out for the gated
     * query). The first batch's upserts become v0; every later batch
-    * merges as `max(version) + 1`. */
+    * merges as `max(version) + 1`. The writer token is derived from
+    * the batch id, so a replay after a crash between the OCC marker
+    * and the manifest append RECLAIMS its own commit slot (same
+    * logical writer) instead of wedging on it. */
   def processVersionedBatch(batch: DataFrame, batchId: Long,
                             path: String, key: String,
                             buckets: Int): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
-    val manifest = new org.apache.hadoop.fs.Path(s"$path/_manifest")
-    val fs = manifest
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(manifest)) {
+    val token = s"batch-$batchId"
+    if (!Lakehouse.manifestExists(spark, path)) {
       // first commit: v0 from the batch's upserts (a delete against
       // an empty store is a no-op by definition); a deletes-only
       // first batch creates NOTHING — an empty v0 with a zero-row
@@ -55,10 +56,10 @@ object StreamingLakehouse {
       val ups = batch.filter(col("op") === "U").drop("op")
       if (ups.isEmpty) return
       Lakehouse.writeVersioned(ups, key, path, buckets,
-        commitTs = batchId)
+        commitTs = batchId, writerToken = token)
       return
     }
-    val man = spark.read.parquet(s"$path/_manifest")
+    val man = Lakehouse.readManifest(spark, path)
     if (man.filter(col("commit_ts") === batchId).head(1).nonEmpty)
       return // replayed batch: its commit is already in the manifest
     val maxRow = man.agg(max(col("version"))).head()
@@ -67,7 +68,7 @@ object StreamingLakehouse {
         s"manifest at $path exists but holds no commits")
     val next = maxRow.getLong(0) + 1
     Lakehouse.mergeVersioned(spark, path, next, batch, key, buckets,
-      commitTs = batchId)
+      commitTs = batchId, writerToken = token)
     ()
   }
 }
