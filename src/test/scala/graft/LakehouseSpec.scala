@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Graph, Lakehouse}
+import graft.operators.{ConcurrentCommitException, Graph, Lakehouse}
 
 /** [[Lakehouse]] physical contracts the SQL gate cannot see (bytes
   * and mtimes on disk), plus [[Graph.labelPropagation]] against the
@@ -632,6 +632,311 @@ class LakehouseSpec extends AnyFunSuite {
     assert(got == Seq(1L, 5L)) // 997 is absent (bucket-1 ids < 400)
     assert(scanned < 3000L,
       s"lookup is not bucket-pruned: scanned $scanned records")
+  }
+
+  test("re-merge on an EVOLVED mixed-schema store keeps the widened " +
+    "column (survivors rebuild under the mergeSchema union, never one " +
+    "sampled footer), a batch missing a standing column fails fast, " +
+    "and narrow regions stay mergeable narrow") {
+    val path = freshDir("graft_evomerge")
+    Lakehouse.writeStore(docsDf(0L until 8L), "doc_id", path, buckets = 4)
+    // merge 1 EVOLVES bucket 1: id 1 gains `quality`
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L, 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars",
+        "quality")
+    Lakehouse.mergeInto(spark, path, m1, "doc_id", 4)
+    // merge 2 — the r13 data-loss scenario: candidate set spans one
+    // WIDENED bucket (1: survivor id 1 carries quality=9) and one
+    // NARROW bucket (2); the old one-footer read could resolve the
+    // narrow schema and rewrite id 1 without its quality
+    val m2 = Seq(
+      (5L, "U", "text 5 v2", "en", "srcY", 55L, 3L),
+      (2L, "U", "text 2 v2", "en", "srcY", 22L, 4L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars",
+        "quality")
+    Lakehouse.mergeInto(spark, path, m2, "doc_id", 4)
+    val q = spark.read.option("mergeSchema", "true").parquet(path)
+      .select(col("doc_id"), col("quality")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(q(1L) == Some(9L), "widened survivor value LOST in re-merge")
+    assert(q(5L) == Some(3L) && q(2L) == Some(4L))
+    assert(q(6L).isEmpty && q(0L).isEmpty) // pre-evolution rows: null
+    // a batch MISSING the now-standing quality column in bucket 1
+    // fails fast instead of silently nulling id 1's value
+    val narrow1 = Seq((1L, "U", "x", "en", "s", 1L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      Lakehouse.mergeInto(spark, path, narrow1, "doc_id", 4)
+    }
+    assert(e.getMessage.contains("quality"))
+    // but bucket 3 never widened — the pruned schema union keeps
+    // narrow regions mergeable narrow
+    val narrow3 = Seq((3L, "U", "text 3 v2", "en", "srcZ", 33L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    assert(Lakehouse.mergeInto(spark, path, narrow3, "doc_id", 4) ==
+      ((1L, 1L)))
+  }
+
+  test("manifest checkpoint publishes ATOMICALLY: every crash point " +
+    "in the stage->delete->rename protocol leaves a readable " +
+    "manifest (old live, staged ignored, or swap completed on read)") {
+    val path = freshDir("graft_ckptcrash")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", path,
+      buckets = 4, commitTs = 10L)
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, m1, "doc_id", 4,
+      commitTs = 20L)
+    val m2 = Seq((2L, "D", "", "", "", 0L), (6L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 2L, m2, "doc_id", 4,
+      commitTs = 30L)
+    def snap(v: Long): Seq[(Long, String)] =
+      Lakehouse.readVersioned(spark, path, v)
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)].collect().sorted.toSeq
+    val s1 = snap(1L); val s2 = snap(2L)
+    def copyDir(from: String, to: String): Unit = {
+      Files.createDirectories(Paths.get(to))
+      Files.list(Paths.get(from)).forEach { p =>
+        Files.copy(p, Paths.get(to, p.getFileName.toString))
+      }
+    }
+    def clearDir(dir: String): Unit =
+      if (Files.exists(Paths.get(dir))) {
+        Files.walk(Paths.get(dir)).sorted(
+          java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+      }
+    val man = s"$path/_manifest"
+    val next = s"$path/_manifest__next"
+    val pre = freshDir("graft_ckpt_pre") // pre-checkpoint manifest
+    copyDir(man, pre)
+    assert(Lakehouse.checkpointManifest(spark, path, 1L)._4 == 1L)
+    val post = freshDir("graft_ckpt_post") // collapsed manifest
+    copyDir(man, post)
+    assert(!Files.exists(Paths.get(next))) // clean swap leaves no stage
+    // crash A: staged complete __next, old manifest still live — the
+    // old manifest serves; the stage is ignored garbage
+    clearDir(man); copyDir(pre, man); copyDir(post, next)
+    assert(snap(1L) == s1 && snap(2L) == s2)
+    assert(Lakehouse.readVersioned(spark, path, 0L).count() == 8L,
+      "pre-swap reads must still serve sub-floor history")
+    // ... and a re-run checkpoint clears the stale stage and lands
+    assert(Lakehouse.checkpointManifest(spark, path, 1L)._4 == 1L)
+    assert(!Files.exists(Paths.get(next)))
+    assert(snap(1L) == s1 && snap(2L) == s2)
+    // crash B: the fatal window of an in-place overwrite — manifest
+    // GONE, complete __next staged. Recovery completes the swap on
+    // the next read; no crash point loses the store.
+    clearDir(man); copyDir(post, next)
+    assert(snap(2L) == s2)
+    assert(Files.exists(Paths.get(man, "_SUCCESS")) &&
+      !Files.exists(Paths.get(next)), "recovery must finish the swap")
+    assert(snap(1L) == s1)
+    intercept[IllegalArgumentException] { // floor marker survived
+      Lakehouse.readVersioned(spark, path, 0L)
+    }
+    // crash C: INCOMPLETE stage (no _SUCCESS) next to a live
+    // manifest — ignored, never adopted
+    clearDir(next)
+    Files.createDirectories(Paths.get(next))
+    Files.write(Paths.get(next, "part-00000.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(snap(2L) == s2)
+    assert(Files.exists(Paths.get(next)), "a live manifest never " +
+      "adopts an incomplete stage")
+  }
+
+  test("optimistic concurrency: a stale writer loses the v-slot with " +
+    "ConcurrentCommitException and the retry loop re-lands it; an " +
+    "in-flight marker blocks pre-data; reclaim is same-token only; " +
+    "breakCommit refuses committed versions") {
+    val path = freshDir("graft_occ")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", path,
+      buckets = 4, commitTs = 10L, writerToken = "w0")
+    def upd(id: Long, src: String) = Seq(
+      (id, "U", s"text $id cc", "en", src, 100L + id))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    // writer A commits v1; writer B had ALSO resolved head=0 — its
+    // stale v1 attempt must lose, not corrupt
+    Lakehouse.mergeVersioned(spark, path, 1L, upd(1L, "srcA"),
+      "doc_id", 4, commitTs = 20L, writerToken = "writer-a")
+    intercept[ConcurrentCommitException] {
+      Lakehouse.mergeVersioned(spark, path, 1L, upd(2L, "srcB"),
+        "doc_id", 4, commitTs = 30L, writerToken = "writer-b")
+    }
+    // the commit loop re-resolves and lands B at v2: BOTH batches in
+    // a linear history, every intermediate state intact
+    assert(Lakehouse.mergeVersionedConcurrent(spark, path,
+      upd(2L, "srcB"), "doc_id", 4, "writer-b", commitTs = 30L) == 2L)
+    def src(v: Long, id: Long): String =
+      Lakehouse.readVersioned(spark, path, v)
+        .filter(col("doc_id") === id).select("source").as[String].head()
+    assert(src(1L, 1L) == "srcA" && src(1L, 2L) == "src2")
+    assert(src(2L, 1L) == "srcA" && src(2L, 2L) == "srcB")
+    // in-flight window: writer C holds the v3 marker but hasn't
+    // appended pointers — a foreign writer is blocked BEFORE any
+    // data write, and the store is untouched
+    Files.write(Paths.get(path, "_commits", "v3"),
+      "writer-c".getBytes("UTF-8"))
+    val e = intercept[ConcurrentCommitException] {
+      Lakehouse.mergeVersioned(spark, path, 3L, upd(3L, "srcD"),
+        "doc_id", 4, commitTs = 40L, writerToken = "writer-d")
+    }
+    assert(e.holder == "writer-c")
+    assert(!Files.exists(Paths.get(path, "v3")),
+      "the losing writer must never write the version dir")
+    // the lease-less recovery: break the dead writer's lock, commit
+    Lakehouse.breakCommit(spark, path, 3L)
+    Lakehouse.mergeVersioned(spark, path, 3L, upd(3L, "srcD"),
+      "doc_id", 4, commitTs = 40L, writerToken = "writer-d")
+    assert(src(3L, 3L) == "srcD")
+    // ... but a COMMITTED version's marker is protected
+    intercept[IllegalArgumentException] {
+      Lakehouse.breakCommit(spark, path, 3L)
+    }
+    // same-token reclaim: a writer that crashed between marker and
+    // manifest append replays INTO its own slot
+    Files.write(Paths.get(path, "_commits", "v4"),
+      "writer-e".getBytes("UTF-8"))
+    Lakehouse.mergeVersioned(spark, path, 4L, upd(4L, "srcE"),
+      "doc_id", 4, commitTs = 50L, writerToken = "writer-e")
+    assert(src(4L, 4L) == "srcE")
+    // two concurrent FIRST writers: the v0 slot arbitrates
+    val path2 = freshDir("graft_occ0")
+    Files.createDirectories(Paths.get(path2, "_commits"))
+    Files.write(Paths.get(path2, "_commits", "v0"),
+      "ghost".getBytes("UTF-8"))
+    intercept[ConcurrentCommitException] {
+      Lakehouse.writeVersioned(docsDf(0L until 4L), "doc_id", path2,
+        buckets = 4, commitTs = 10L, writerToken = "w1")
+    }
+  }
+
+  test("lookupVersioned opens only the keys' candidate bucket dirs " +
+    "at the resolved version (measured input records) and serves " +
+    "every retained historical state; fat non-candidate buckets " +
+    "scan in the negative control only") {
+    val path = freshDir("graft_vlook")
+    Lakehouse.writeVersioned(prunePinRows, "doc_id", path, buckets = 4,
+      commitTs = 10L)
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, m1, "doc_id", 4,
+      commitTs = 20L)
+    // accounting control: one full resolved pass costs >= 30000 rows
+    assert(recordsReadDuring(
+      Lakehouse.readVersioned(spark, path, 1L).count()) >= 30000L)
+    var got: Seq[(Long, String)] = Nil
+    val scanned = recordsReadDuring {
+      got = Lakehouse.lookupVersioned(spark, path, "doc_id",
+          Seq(1L, 5L, 997L), version = 1L, buckets = 4)
+        .select(col("doc_id"), col("source")).as[(Long, String)]
+        .collect().sorted.toSeq
+    }
+    assert(got == Seq((1L, "srcX"), (5L, "src2"))) // 997 absent
+    assert(scanned < 3000L,
+      s"versioned lookup not bucket-pruned: scanned $scanned records")
+    // time travel: the same GET against v0 serves the OLD row
+    assert(Lakehouse.lookupVersioned(spark, path, "doc_id", Seq(1L),
+        version = 0L, buckets = 4)
+      .select("source").as[String].head() == "src1")
+    // negative control: a key living in a fat bucket must scan it
+    val unpruned = recordsReadDuring {
+      Lakehouse.lookupVersioned(spark, path, "doc_id", Seq(2L),
+        version = 1L, buckets = 4).count()
+    }
+    assert(unpruned > 10000L,
+      s"control should have scanned the fat bucket: $unpruned")
+  }
+
+  test("restoreVersion is a MANIFEST-ONLY commit: zero data dirs " +
+    "move, the restored view equals the target, history across the " +
+    "restore stays intact, tombstones restore emptiness, a no-op " +
+    "restore commits nothing, and vacuum keeps restored-to dirs") {
+    val path = freshDir("graft_restore")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", path,
+      buckets = 4, commitTs = 10L)
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, m1, "doc_id", 4,
+      commitTs = 20L)
+    val m2 = Seq((2L, "D", "", "", "", 0L), (6L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 2L, m2, "doc_id", 4,
+      commitTs = 30L) // empties bucket 2
+    val filesBefore = partFiles(path)
+    // restore to v0: only buckets 1 (updated) and 2 (emptied) differ
+    assert(Lakehouse.restoreVersion(spark, path, toVersion = 0L,
+      asVersion = 3L, commitTs = 40L) == 2L)
+    assert(!Files.exists(Paths.get(path, "v3")), "restore moved data")
+    def ids(v: Long): Seq[Long] = Lakehouse.readVersioned(spark, path, v)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    def src(v: Long, id: Long): String =
+      Lakehouse.readVersioned(spark, path, v)
+        .filter(col("doc_id") === id).select("source").as[String].head()
+    assert(ids(3L) == (0L until 8L) && src(3L, 1L) == "src1")
+    assert(ids(2L) == Seq(0L, 1L, 3L, 4L, 5L, 7L), "history broke")
+    assert(Lakehouse.readVersionedAsOf(spark, path, 35L)
+      .count() == 6L) // between v2 and the restore
+    assert(Lakehouse.readVersionedAsOf(spark, path, 45L).count() == 8L)
+    // restore BACK to v2 from the restored-v0 head: bucket 2 must
+    // re-empty via a TOMBSTONE pointer, not a data write
+    assert(Lakehouse.restoreVersion(spark, path, toVersion = 2L,
+      asVersion = 4L, commitTs = 50L) == 2L)
+    assert(ids(4L) == Seq(0L, 1L, 3L, 4L, 5L, 7L) &&
+      src(4L, 1L) == "srcX")
+    // a restore to the state already current is a NO-OP: no commit,
+    // the version slot stays free
+    assert(Lakehouse.restoreVersion(spark, path, toVersion = 4L,
+      asVersion = 5L, commitTs = 60L) == 0L)
+    assert(Lakehouse.readVersioned(spark, path, 99L).count() == 6L)
+    // data files: NOTHING restored ever copied or rewrote a byte
+    assert(partFiles(path).filter(_._1.startsWith("v")) ==
+      filesBefore.filter(_._1.startsWith("v")))
+    // vacuum at floor 3 keeps v0 (the restored-to dirs) and v1
+    // (v4 = the v2 state points bucket 1 at vdir 1); only v2's
+    // never-referenced empty dir goes
+    assert(Lakehouse.vacuumVersions(spark, path, 3L) == ((1L, 2L)))
+    assert(ids(3L) == (0L until 8L))
+    assert(ids(4L) == Seq(0L, 1L, 3L, 4L, 5L, 7L))
+  }
+
+  test("replayQuarantine re-admits only now-valid corrected rows " +
+    "via the pruned merge and APPENDS replay stamps — the original " +
+    "violation rows stay as the audit trail") {
+    val path = freshDir("graft_replay")
+    val qPath = freshDir("graft_replayq")
+    Lakehouse.writeStore(docsDf(0L until 8L), "doc_id", path,
+      buckets = 4)
+    val rule = col("n_chars") >= lit(100L)
+    val batch = Seq(
+      (1L, "U", "text 1 v2", "en", "srcA", 150L), // valid
+      (2L, "U", "text 2 v2", "en", "srcB", 50L), // violates
+      (5L, "U", "text 5 v2", "en", "srcC", 60L)) // violates
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    assert(Lakehouse.mergeIntoChecked(spark, path, qPath, 1L, batch,
+      "doc_id", 4, rule, "too_small") == ((1L, 2L)))
+    // corrections: id 2 fixed, id 5 still violating
+    val corrected = Seq(
+      (2L, "text 2 v2", "en", "srcB", 200L),
+      (5L, "text 5 v2", "en", "srcC", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Lakehouse.replayQuarantine(spark, path, qPath, 2L,
+      corrected, "doc_id", 4, rule) == ((1L, 1L)))
+    val byId = spark.read.parquet(path)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(byId(1L) == ("srcA", 150L)) // the originally-valid upsert
+    assert(byId(2L) == ("srcB", 200L)) // re-admitted corrected row
+    assert(byId(5L) == ("src2", 15L)) // still-bad: original row stands
+    val audit = spark.read.parquet(qPath)
+      .select(col("doc_id"), col("version"), col("reason"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(audit == Seq((2L, 1L, "too_small"), (2L, 2L, "replayed"),
+      (5L, 1L, "too_small")))
   }
 
   test("labelPropagation == the naive synchronous recurrence; a " +
