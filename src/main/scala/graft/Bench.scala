@@ -142,7 +142,20 @@ object Bench {
       "q334_merge_into", "q335_merge_chain", "q338_jsonl_import",
       "q339_store_compact", "q340_sft_stream", "q343_schema_evolution",
       "q346_sft_stream_bucketed", "q347_sft_export",
-      "q349_merge_changelog", "q352_time_travel", "q353_version_vacuum")
+      "q349_merge_changelog", "q352_time_travel", "q353_version_vacuum",
+      // r13/r14 store- and artifact-writing families, reclassified
+      // into the write phase under the same hygiene rule they were
+      // carved out for (their churn was landing mid-compute-phase
+      // because the set predated them)
+      "q354_time_travel_asof", "q355_versioned_changelog",
+      "q356_trainer_artifact", "q357_manifest_checkpoint",
+      "q360_version_diff", "q361_versioned_stream",
+      "q362_versioned_evolution", "q363_merge_quarantine",
+      "q364_cdf_replicate", "q365_merge_evolution",
+      "q367_sealed_export_incr", "q368_point_lookup",
+      "q369_lookup_versioned", "q370_concurrent_merge",
+      "q371_quarantine_replay", "q372_sealed_stream",
+      "q373_version_restore")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -583,6 +583,154 @@ object LakehouseQueries {
           coalesce(sum(col("quality")), lit(0L)).cast("long")
             .as("sum_quality"))
     }),
+    // VERSIONED POINT LOOKUP — the q368 serving path with time
+    // travel: a bounded multi-key GET resolves manifest pointers for
+    // only the keys' candidate buckets at the requested version and
+    // opens only those (vdir, bucket) dirs (recordsRead-pinned in the
+    // spec). The same key set served at v1 and v2 returns the two
+    // HISTORICAL states: pre-delete rows still serve at v1, the
+    // re-keyed inserts only at v2; ghosts (+90000) never return.
+    "q369_lookup_versioned" -> ((s, d) => {
+      val path = tmp("graft_vplook_", d)
+      buildVersioned(s, d, path)
+      val base = docs(s, d)
+      val k1 = base.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+      val k10 = base.filter(col("doc_id") % 11 === 0 &&
+          col("doc_id") % 2 === 0)
+        .select(col("doc_id") + 10000L)
+        .collect().map(_.getLong(0)).toSeq
+      val keys = k1 ++ k10 ++ k1.map(_ + 90000L)
+      Seq(1L, 2L).map { v =>
+        Lakehouse.lookupVersioned(s, path, "doc_id", keys, v,
+            buckets = 16)
+          .select(lit(v).as("version"), col("doc_id"), col("text"),
+            col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+    }),
+    // OPTIMISTIC CONCURRENCY — two writers race the same version
+    // slot: A commits v1; B (which resolved the head BEFORE A's
+    // commit) attempts v1, LOSES with ConcurrentCommitException, and
+    // the commit loop re-resolves and lands B's batch at v2. Both
+    // batches land, history is linear, every intermediate state stays
+    // time-travelable — the gated output is all three per-version
+    // manifests plus the race evidence (loss observed, landing
+    // version, one commit slot per version).
+    "q370_concurrent_merge" -> ((s, d) => {
+      val path = tmp("graft_occq_", d)
+      rmDir(s, path)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16,
+        commitTs = 100L, writerToken = "writer-0")
+      Lakehouse.mergeVersioned(s, path, 1L, v1Batch(base), "doc_id",
+        16, commitTs = 200L, writerToken = "writer-a")
+      val lost =
+        try {
+          Lakehouse.mergeVersioned(s, path, 1L, v2Batch(base),
+            "doc_id", 16, commitTs = 300L, writerToken = "writer-b")
+          0L
+        } catch { case _: ConcurrentCommitException => 1L }
+      val landedAt = Lakehouse.mergeVersionedConcurrent(s, path,
+        v2Batch(base), "doc_id", 16, "writer-b", commitTs = 300L)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val slots = fs.listStatus(
+          new org.apache.hadoop.fs.Path(path, "_commits"))
+        .map(_.getPath.getName).sorted.mkString(",")
+      (0L to 2L).map { v =>
+        Lakehouse.storeManifest(Lakehouse.readVersioned(s, path, v),
+            "doc_id")
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .crossJoin(s.range(1).select(lit(lost).as("lost_races"),
+          lit(landedAt).as("landed_at"), lit(slots).as("commit_slots")))
+    }),
+    // QUARANTINE REPLAY — the q363 lifecycle closed: the corrupted
+    // third's quarantine rows are corrected (n_chars restored to the
+    // contract) and re-admitted through the pruned merge; the final
+    // store must equal the AS-IF-NEVER-CORRUPTED merge (q334's final
+    // state exactly), while the quarantine read-back shows BOTH the
+    // original violations and their replay stamps (append-only audit
+    // trail, id-hash-pinned on each side).
+    "q371_quarantine_replay" -> ((s, d) => {
+      val path = tmp("graft_qreplay_", d)
+      val qPath = tmp("graft_qreplayq_", d)
+      rmDir(s, qPath)
+      val base = docs(s, d)
+      Lakehouse.writeStore(base, "doc_id", path, buckets = 16)
+      val upds = base.filter(col("doc_id") % 5 === 0 &&
+          col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("merged").as("source"),
+          when(col("doc_id") % 3 === 0, col("n_chars") + 7L)
+            .otherwise(col("n_chars")).as("n_chars"))
+      val dels = base.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val ins = base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      val rule = col("n_chars") === length(col("text"))
+      Lakehouse.mergeIntoChecked(s, path, qPath, 1L,
+        upds.unionByName(dels).unionByName(ins), "doc_id", 16,
+        rule, "n_chars_mismatch")
+      // corrections derived from the quarantine READ-BACK: restore
+      // the contract column from the payload itself
+      val corrected = s.read.parquet(qPath)
+        .drop("version", "reason")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val (nRep, nBad) = Lakehouse.replayQuarantine(s, path, qPath,
+        2L, corrected, "doc_id", 16, rule)
+      val audit = s.read.parquet(qPath).groupBy(col("reason"))
+        .agg(count(lit(1)).as("n"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",")).as("m"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getString(2)))).toMap
+      Lakehouse.storeManifest(s.read.parquet(path), "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(nRep).as("n_replayed"), lit(nBad).as("n_still_bad"),
+          lit(audit("n_chars_mismatch")._1).as("n_violations"),
+          lit(audit("n_chars_mismatch")._2).as("violations_md5"),
+          lit(audit("replayed")._1).as("n_replay_stamps"),
+          lit(audit("replayed")._2).as("replayed_md5")))
+    }),
+    // RESTORE — a retained historical version becomes the current
+    // state again as a MANIFEST-ONLY commit: only pointer-differing
+    // buckets get a row at the new version (carrying the OLD vdir),
+    // zero data files move (n_data_dirs stays 3), and history ACROSS
+    // the restore stays intact: v2 still reads post-merge, as-of
+    // ts 350 resolves the pre-restore head, as-of 450 the restored
+    // state. restored_pointers == v2's touched-bucket count, the
+    // pointer-pruning evidence.
+    "q373_version_restore" -> ((s, d) => {
+      val path = tmp("graft_vrest_", d)
+      buildVersioned(s, d, path)
+      val nPtr = Lakehouse.restoreVersion(s, path, toVersion = 1L,
+        asVersion = 3L, commitTs = 400L)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val nDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.matches("v\\d+")).toLong
+      val byV = Seq(3L -> "v3", 2L -> "v2").map { case (v, lbl) =>
+        Lakehouse.storeManifest(Lakehouse.readVersioned(s, path, v),
+            "doc_id")
+          .withColumn("view", lit(lbl))
+      }
+      val byTs = Seq(350L -> "t350", 450L -> "t450").map {
+        case (ts, lbl) =>
+          Lakehouse.storeManifest(
+              Lakehouse.readVersionedAsOf(s, path, ts), "doc_id")
+            .withColumn("view", lit(lbl))
+      }
+      (byV ++ byTs).reduce(_ unionByName _)
+        .crossJoin(s.range(1).select(
+          lit(nPtr).as("restored_pointers"),
+          lit(nDirs).as("n_data_dirs")))
+    }),
     // MERGE INTO a keyed bucketed store: one batch of deletes +
     // updates + inserts; only buckets holding a batch key (or
     // receiving an upsert) rewrite — measured touched/rewritten
@@ -892,6 +1040,101 @@ object LakehouseQueries {
     "q368_point_lookup" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,
+    "q369_lookup_versioned" ->
+      """WITH k AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0
+        |           UNION SELECT doc_id + 10000 FROM documents
+        |           WHERE doc_id % 11 = 0 AND doc_id % 2 = 0),
+        |s1 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents),
+        |s2 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, doc_id, text, lang,
+        |  source, n_chars
+        |FROM s1 WHERE doc_id IN (SELECT doc_id FROM k)
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, text, lang, source, n_chars
+        |FROM s2 WHERE doc_id IN (SELECT doc_id FROM k)""".stripMargin,
+    "q370_concurrent_merge" ->
+      """WITH s0 AS (SELECT 0 AS version, doc_id, text, lang, source,
+        |  n_chars FROM documents),
+        |s1 AS (SELECT 1, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents),
+        |s2 AS (SELECT 2, doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END, n_chars
+        | FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT 2, doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |al AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+        |       UNION ALL SELECT * FROM s2)
+        |SELECT CAST(version AS BIGINT) AS version,
+        |  CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(1 AS BIGINT) AS lost_races,
+        |  CAST(2 AS BIGINT) AS landed_at,
+        |  'v0,v1,v2' AS commit_slots
+        |FROM al GROUP BY version, doc_id % 16""".stripMargin,
+    "q371_quarantine_replay" ->
+      """WITH qr AS (SELECT doc_id FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3 AND doc_id % 3 = 0),
+        |final AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'merged' ELSE source END
+        |      AS source, n_chars
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'xx', 'ingest', n_chars
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |st AS (SELECT count(*)::BIGINT AS n,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+        |    AS m FROM qr)
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT n FROM st) AS n_replayed,
+        |  CAST(0 AS BIGINT) AS n_still_bad,
+        |  (SELECT n FROM st) AS n_violations,
+        |  (SELECT m FROM st) AS violations_md5,
+        |  (SELECT n FROM st) AS n_replay_stamps,
+        |  (SELECT m FROM st) AS replayed_md5
+        |FROM final GROUP BY doc_id % 16""".stripMargin,
+    "q373_version_restore" ->
+      """WITH s1 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents),
+        |s2 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |al AS (SELECT 'v3' AS view, * FROM s1
+        |  UNION ALL SELECT 'v2', * FROM s2
+        |  UNION ALL SELECT 't350', * FROM s2
+        |  UNION ALL SELECT 't450', * FROM s1),
+        |v2t AS (SELECT count(DISTINCT b)::BIGINT AS t FROM (
+        |  SELECT doc_id % 16 AS b FROM documents WHERE doc_id % 7 = 3
+        |  UNION SELECT (doc_id + 10000) % 16 FROM documents
+        |  WHERE doc_id % 11 = 0))
+        |SELECT view, CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT t FROM v2t) AS restored_pointers,
+        |  CAST(3 AS BIGINT) AS n_data_dirs
+        |FROM al GROUP BY view, doc_id % 16""".stripMargin,
     "q365_merge_evolution" ->
       """WITH q AS (SELECT
         |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,

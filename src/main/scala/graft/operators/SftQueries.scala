@@ -375,6 +375,44 @@ object SftQueries {
             sort_array(collect_list(struct(col("ck"), col("value")))),
             x => x.getField("value")), "\n")).as("content_md5"))
     }),
+    // STREAMING SEALED EXPORT — q366's watermark invariant and
+    // q367's phased byte-append composed into a foreachBatch sink:
+    // each micro-batch lands its events, advances the watermark, and
+    // APPENDS only the conversations that advance newly sealed, at
+    // byteOffset = the landed total (sealed renders are immutable,
+    // so landed shards never rewrite). Batch 1 is REDELIVERED after
+    // batch 2 — the generation-state ledger skips it; a double
+    // append would flip every later shard hash. The oracle rebuilds
+    // the full three-phase layout from the complete log alone.
+    "q372_sealed_stream" -> ((s, d) => {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sstr_" +
+        math.abs(d.hashCode.toLong)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val e = ev(s, d).withColumn("__t", expr("ts div 1000"))
+      val mm = e.agg(min(col("__t")).as("a"), max(col("__t")).as("b"))
+        .head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val span = (hi - lo) / 3 + 1
+      def slice(b: Int) = e.filter(col("__t") >= lo + b * span &&
+        col("__t") < lo + (b + 1) * span).drop("__t")
+      import graft.streaming.StreamingSealed.processSealedBatch
+      (0 until 3).foreach { b =>
+        processSealedBatch(slice(b), b.toLong, root, 8192L)
+      }
+      processSealedBatch(slice(1), 1L, root, 8192L) // redelivery
+      s.read.text(s"$root/out")
+        .select(col("shard").cast("long").as("shard_id"),
+          get_json_object(col("value"), "$.ck").cast("long").as("ck"),
+          col("value"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_convs"),
+          sum(length(col("value")) + 1L).cast("long").as("n_bytes"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("ck"), col("value")))),
+            x => x.getField("value")), "\n")).as("content_md5"))
+    }),
     // Padding-efficiency batch plan: fixed-size batches (B=8) under
     // arrival order vs length-sorted order, total pad tokens and
     // pad basis points per policy — the report that justifies
@@ -607,6 +645,42 @@ object SftQueries {
          | FROM se),
          |b AS (SELECT ck, phase, line,
          |  CAST(length(line) + 1 AS BIGINT) AS nb FROM ph),
+         |pk AS (SELECT ck, line, nb,
+         |  CAST(COALESCE(sum(nb) OVER (ORDER BY phase, ck
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM b)
+         |SELECT CAST(pstart // 8192 AS BIGINT) AS shard_id,
+         |  count(*)::BIGINT AS n_convs,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  md5(string_agg(line, chr(10) ORDER BY ck)) AS content_md5
+         |FROM pk GROUP BY 1""".stripMargin,
+    // the full three-phase streamed layout re-derived from the
+    // complete log: phase = first batch watermark that seals the
+    // conversation, (phase, ck)-ordered prefix-sum shard assignment
+    "q372_sealed_stream" ->
+      s"""WITH $turnsCte,
+         |bounds AS (SELECT min(epoch_us(ts)) AS lo,
+         |  max(epoch_us(ts)) AS hi FROM events),
+         |sp AS (SELECT lo, hi, (hi - lo) // 3 + 1 AS span FROM bounds),
+         |w0 AS (SELECT max(epoch_us(ts)) AS w FROM events
+         |  WHERE epoch_us(ts) < (SELECT lo + span FROM sp)),
+         |w1 AS (SELECT max(epoch_us(ts)) AS w FROM events
+         |  WHERE epoch_us(ts) < (SELECT lo + 2 * span FROM sp)),
+         |sl AS (SELECT user_id, session_id, max(t) AS lt FROM sid
+         |       GROUP BY 1, 2),
+         |ph AS (SELECT c.user_id * 1000000 + c.session_id AS ck,
+         |  CASE WHEN sl.lt <= (SELECT w FROM w0) - 1800000000 THEN 0
+         |       WHEN sl.lt <= (SELECT w FROM w1) - 1800000000 THEN 1
+         |       WHEN sl.lt <= (SELECT hi FROM bounds) - 1800000000
+         |         THEN 2 END AS phase,
+         |  '{"ck":' || CAST(c.user_id * 1000000 + c.session_id
+         |    AS VARCHAR) || ',"render":"'
+         |    || regexp_replace(c.rendered, '(["\\\\])', '\\\\\\1', 'g')
+         |    || '"}' AS line
+         | FROM conv c JOIN sl USING (user_id, session_id)),
+         |b AS (SELECT ck, phase, line,
+         |  CAST(length(line) + 1 AS BIGINT) AS nb FROM ph
+         |  WHERE phase IS NOT NULL),
          |pk AS (SELECT ck, line, nb,
          |  CAST(COALESCE(sum(nb) OVER (ORDER BY phase, ck
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

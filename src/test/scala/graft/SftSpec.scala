@@ -204,6 +204,85 @@ class SftSpec extends AnyFunSuite {
     p.toString
   }
 
+  test("StreamingSealed: a drilled run (torn export healed by " +
+    "inventory diff, batch redelivered after a later one) lands " +
+    "byte-identical to a clean streamed run; only newly sealed " +
+    "conversations export per batch; unsealed ones never do") {
+    import java.nio.file.{Files, Paths}
+    import graft.streaming.StreamingSealed.processSealedBatch
+    // u1 sessions at sec 0-20, 5000-5020, 9100; u2 at 100-120, 6000,
+    // 12000; u3 at 9000. Slice watermarks seal exactly two new
+    // conversations per batch; u2's 12000 session never seals.
+    val rows = Seq(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "view", 1.0),
+      (3L, 20L, 1L, "purchase", 1.0),
+      (4L, 100L, 2L, "click", 1.0), (5L, 120L, 2L, "view", 1.0),
+      (6L, 5000L, 1L, "click", 1.0), (7L, 5020L, 1L, "error", 1.0),
+      (8L, 6000L, 2L, "signup", 1.0),
+      (9L, 9000L, 3L, "click", 1.0),
+      (10L, 9100L, 1L, "view", 1.0),
+      (11L, 12000L, 2L, "click", 1.0))
+    def slice(b: Int) = events(rows.filter { r =>
+      val cut0 = 5020L; val cut1 = 9100L
+      b match {
+        case 0 => r._2 <= cut0
+        case 1 => r._2 > cut0 && r._2 <= cut1
+        case _ => r._2 > cut1
+      }
+    })
+    def outLines(root: String): Seq[(Long, String)] =
+      spark.read.text(s"$root/out")
+        .select(col("shard").cast("long"), col("value"))
+        .as[(Long, String)].collect().sorted.toSeq
+    def listParts(root: String): Map[String, Long] = {
+      val base = Paths.get(root, "out")
+      val out = scala.collection.mutable.Map[String, Long]()
+      Files.walk(base).forEach { p =>
+        if (Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("part-"))
+          out += base.relativize(p).toString -> Files.size(p)
+      }
+      out.toMap
+    }
+    // clean reference run
+    val ref = freshDir("graft_sealed_ref")
+    (0 until 3).foreach(b =>
+      processSealedBatch(slice(b), b.toLong, ref, 512L))
+    val expected = outLines(ref)
+    // per-batch sealing: exactly conversations 1-2 then 3-4 then 5-6
+    // (cks u*1e6+session), and u2's open 12000 session NEVER exports
+    val cks = expected.map(l =>
+      l._2.split(",")(0).stripPrefix("{\"ck\":").toLong).sorted
+    assert(cks == Seq(1000001L, 1000002L, 1000003L, 2000001L,
+      2000002L, 3000001L))
+    // drilled run: batches 0, 1 land normally
+    val root = freshDir("graft_sealed_drill")
+    processSealedBatch(slice(0), 0L, root, 512L)
+    processSealedBatch(slice(1), 1L, root, 512L)
+    val gen1 = Paths.get(root, "_graft_sealed_state.b1")
+    val savedState = Files.readAllBytes(gen1)
+    val partsAfter1 = listParts(root)
+    // batch 2 lands fully, then the CRASH WINDOW is reconstructed:
+    // its appended lines are on disk but the state publish is rolled
+    // back to generation b1 — exactly what a kill between writeLines
+    // and writeState leaves
+    processSealedBatch(slice(2), 2L, root, 512L)
+    Files.delete(Paths.get(root, "_graft_sealed_state.b2"))
+    Files.write(gen1, savedState)
+    assert(listParts(root).keySet.size > partsAfter1.size,
+      "the torn attempt's stray files must exist for the drill")
+    // replay of batch 2: the inventory diff deletes the stray files,
+    // the re-append lands at the SAME byte offset — byte-identical
+    // to the clean run
+    processSealedBatch(slice(2), 2L, root, 512L)
+    assert(outLines(root) == expected)
+    // redelivery of batch 1 AFTER batch 2: ledger-skipped, nothing
+    // moves
+    val fp = listParts(root)
+    processSealedBatch(slice(1), 1L, root, 512L)
+    assert(listParts(root) == fp && outLines(root) == expected)
+  }
+
   test("DecayedSumFixed == the naive per-step truncating recurrence; " +
     "partitions are independent") {
     val rows = Seq((1L, 1L, 17L), (1L, 2L, 100L), (1L, 3L, 3L),
