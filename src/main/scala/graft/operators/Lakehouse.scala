@@ -532,10 +532,10 @@ object Lakehouse {
       val vdirs = man.filter(!col("empty") && col("bucket") =!= -1L)
         .select(col("vdir")).distinct()
         .collect().map(_.getLong(0)).sorted.reverse
-      vdirs.find(v =>
-          fs.exists(new org.apache.hadoop.fs.Path(path, s"v$v"))) match {
-        case Some(v) =>
-          return spark.read.parquet(s"$path/v$v").filter(lit(false))
+      vdirs.map(v => vdirPath(spark, path, v))
+        .find(dd => fs.exists(new org.apache.hadoop.fs.Path(dd))) match {
+        case Some(dd) =>
+          return spark.read.parquet(dd).filter(lit(false))
         case None =>
           throw new IllegalArgumentException(
             s"versioned store at $path has never held a row (or every" +
@@ -549,9 +549,78 @@ object Lakehouse {
     // (schema evolution — [[mergeVersioned]] widens on upsert; older
     // rows read the new columns as null).
     ptr.groupBy(_._2).map { case (vd, bks) =>
-      spark.read.parquet(s"$path/v$vd")
+      spark.read.parquet(vdirPath(spark, path, vd))
         .filter(col("bucket").isin(bks.map(_._1).toSeq: _*))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  // --------------------------------------- zero-copy branches
+
+  /** The store this one was SHALLOW-CLONED from ([[branchVersioned]]
+    * writes the `_base` pointer file), if any. */
+  private def baseOf(spark: SparkSession, path: String): Option[String] = {
+    val fs = hfs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, "_base")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
+
+  /** Resolve a manifest vdir to its DATA dir: the store's own
+    * `v<N>` if present, else up the `_base` chain — a branch's
+    * pre-fork pointers reference the base store's immutable dirs
+    * (that is the zero-copy contract), its post-fork commits live
+    * under its own path. Chain depth = clone-of-clone nesting,
+    * always small. */
+  private def vdirPath(spark: SparkSession, path: String,
+                       vdir: Long): String = {
+    if (hfs(spark, path).exists(
+        new org.apache.hadoop.fs.Path(path, s"v$vdir")))
+      return s"$path/v$vdir"
+    baseOf(spark, path) match {
+      case Some(b) => vdirPath(spark, b, vdir)
+      case None => s"$path/v$vdir" // absent: let the read fail loudly
+    }
+  }
+
+  /** BRANCH (Delta/Iceberg SHALLOW CLONE): fork a versioned store at
+    * its current head by copying ONLY the manifest — zero data files
+    * move. The branch records `_base` and resolves pre-fork vdirs
+    * against the base's immutable dirs; its own commits land under
+    * its own path (version numbers shared with the base NEVER
+    * collide on disk because resolution prefers the owning store's
+    * dir and each store's manifest only references versions it
+    * committed). Base and branch then diverge freely — merges on one
+    * are invisible to the other, full time travel on both, the
+    * branch's pre-fork history included. The standing hazard every
+    * shallow-clone implementation documents: [[vacuumVersions]] ON
+    * THE BASE can delete dirs the branch still references (the
+    * branch's own vacuum is safe — it only ever deletes dirs under
+    * its own path). Returns the fork version (the base head). */
+  def branchVersioned(spark: SparkSession, src: String,
+                      dst: String): Long = {
+    val fs = hfs(spark, dst)
+    recoverManifest(spark, src)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_manifest")),
+      s"versioned store already exists at $dst — delete it first")
+    val head = manifestDf(spark, src)
+      .agg(max(when(col("bucket") =!= -1L, col("version")))).head()
+    require(!head.isNullAt(0), s"cannot branch an empty store at $src")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
+    // a `_base` without a manifest is a crashed half-branch (the
+    // manifest-absence require above proved it) — clear and redo
+    fs.delete(new org.apache.hadoop.fs.Path(dst, "_base"), false)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dst, "_base"), false)
+    try out.write(src.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileUtil.copy(
+      hfs(spark, src), new org.apache.hadoop.fs.Path(src, "_manifest"),
+      fs, new org.apache.hadoop.fs.Path(dst, "_manifest"),
+      false, spark.sparkContext.hadoopConfiguration)
+    head.getLong(0)
   }
 
   /** Time travel BY TIMESTAMP: resolve the latest version whose

@@ -731,6 +731,47 @@ object LakehouseQueries {
           lit(nPtr).as("restored_pointers"),
           lit(nDirs).as("n_data_dirs")))
     }),
+    // ZERO-COPY BRANCH (shallow clone): fork the versioned store at
+    // v1 by copying ONLY the manifest, then DIVERGE — the branch
+    // applies the standard delete+insert wave as ITS v2 while the
+    // source applies a different edit as its own v2. Both lineages
+    // stay fully readable (the branch's pre-fork reads resolve the
+    // base's immutable dirs), the fork costs zero data movement
+    // (branch_own_dirs counts exactly its one post-fork commit), and
+    // neither side's v2 leaks into the other — all four states are
+    // hash-pinned.
+    "q374_branch" -> ((s, d) => {
+      val src = tmp("graft_brsrc_", d)
+      val br = tmp("graft_brdst_", d)
+      rmDir(s, src); rmDir(s, br)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", src, buckets = 16,
+        commitTs = 100L)
+      Lakehouse.mergeVersioned(s, src, 1L, v1Batch(base), "doc_id", 16,
+        commitTs = 200L)
+      val fork = Lakehouse.branchVersioned(s, src, br)
+      Lakehouse.mergeVersioned(s, br, 2L, v2Batch(base), "doc_id", 16,
+        commitTs = 300L)
+      val srcEdit = base.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m3").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, src, 2L, srcEdit, "doc_id", 16,
+        commitTs = 300L)
+      val fs = new org.apache.hadoop.fs.Path(br)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val ownDirs = fs.listStatus(new org.apache.hadoop.fs.Path(br))
+        .count(st => st.isDirectory &&
+          st.getPath.getName.matches("v\\d+")).toLong
+      Seq(("branch_v1", br, 1L), ("branch_v2", br, 2L),
+        ("source_v1", src, 1L), ("source_v2", src, 2L)).map {
+        case (lbl, p, v) =>
+          Lakehouse.storeManifest(Lakehouse.readVersioned(s, p, v),
+              "doc_id")
+            .withColumn("view", lit(lbl))
+      }.reduce(_ unionByName _)
+        .crossJoin(s.range(1).select(lit(fork).as("fork_version"),
+          lit(ownDirs).as("branch_own_dirs")))
+    }),
     // MERGE INTO a keyed bucketed store: one batch of deletes +
     // updates + inserts; only buckets holding a batch key (or
     // receiving an upsert) rewrite — measured touched/rewritten
@@ -1109,6 +1150,32 @@ object LakehouseQueries {
         |  (SELECT n FROM st) AS n_replay_stamps,
         |  (SELECT m FROM st) AS replayed_md5
         |FROM final GROUP BY doc_id % 16""".stripMargin,
+    "q374_branch" ->
+      """WITH s1 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents),
+        |bs2 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |ss2 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'm3'
+        |       WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents),
+        |al AS (SELECT 'branch_v1' AS view, * FROM s1
+        |  UNION ALL SELECT 'branch_v2', * FROM bs2
+        |  UNION ALL SELECT 'source_v1', * FROM s1
+        |  UNION ALL SELECT 'source_v2', * FROM ss2)
+        |SELECT view, CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(1 AS BIGINT) AS fork_version,
+        |  CAST(1 AS BIGINT) AS branch_own_dirs
+        |FROM al GROUP BY view, doc_id % 16""".stripMargin,
     "q373_version_restore" ->
       """WITH s1 AS (SELECT doc_id, text, lang,
         |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,

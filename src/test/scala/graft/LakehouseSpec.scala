@@ -903,6 +903,66 @@ class LakehouseSpec extends AnyFunSuite {
     assert(ids(4L) == Seq(0L, 1L, 3L, 4L, 5L, 7L))
   }
 
+  test("branchVersioned is a ZERO-COPY fork: pre-fork reads resolve " +
+    "the base's immutable dirs, divergent commits are invisible " +
+    "across the fork, a chained clone resolves through the base " +
+    "chain, and the branch's vacuum never touches base dirs") {
+    val src = freshDir("graft_brsrc")
+    val br = freshDir("graft_brdst")
+    val br2 = freshDir("graft_brdst2")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", src,
+      buckets = 4, commitTs = 10L)
+    val m1 = Seq((1L, "U", "text 1 v2", "en", "srcX", 111L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, src, 1L, m1, "doc_id", 4,
+      commitTs = 20L)
+    assert(Lakehouse.branchVersioned(spark, src, br) == 1L)
+    // zero copy: the branch holds NO data dirs at the fork
+    assert(!Files.list(Paths.get(br)).toArray.map(_.toString)
+      .exists(p => Paths.get(p).getFileName.toString.matches("v\\d+")))
+    def ids(path: String, v: Long): Seq[Long] =
+      Lakehouse.readVersioned(spark, path, v)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+    def src1(path: String, v: Long): String =
+      Lakehouse.readVersioned(spark, path, v)
+        .filter(col("doc_id") === 1L).select("source").as[String].head()
+    assert(ids(br, 0L) == ids(src, 0L) && ids(br, 1L) == ids(src, 1L))
+    assert(src1(br, 1L) == "srcX" && src1(br, 0L) == "src1")
+    // DIVERGE: branch deletes {2, 6}; source updates id 3 — each
+    // invisible to the other, and the branch commit leaves every
+    // source byte untouched
+    val srcFiles = partFiles(src)
+    val mBr = Seq((2L, "D", "", "", "", 0L), (6L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 2L, mBr, "doc_id", 4,
+      commitTs = 30L)
+    assert(partFiles(src) == srcFiles, "branch commit wrote into base")
+    val mSrc = Seq((3L, "U", "text 3 v2", "en", "srcZ", 133L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, src, 2L, mSrc, "doc_id", 4,
+      commitTs = 30L)
+    assert(ids(br, 2L) == Seq(0L, 1L, 3L, 4L, 5L, 7L))
+    assert(ids(src, 2L) == (0L until 8L).toSeq)
+    assert(Lakehouse.readVersioned(spark, br, 2L)
+      .filter(col("doc_id") === 3L).select("source").as[String].head()
+      == "src0", "source's divergent edit leaked into the branch")
+    assert(Lakehouse.readVersioned(spark, src, 2L)
+      .filter(col("doc_id") === 2L).count() == 1L,
+      "branch's divergent delete leaked into the source")
+    // chained clone: br2 forks br at 2; v0 resolves through the
+    // chain to the ROOT base's dir
+    assert(Lakehouse.branchVersioned(spark, br, br2) == 2L)
+    assert(ids(br2, 2L) == Seq(0L, 1L, 3L, 4L, 5L, 7L))
+    assert(ids(br2, 0L) == (0L until 8L).toSeq)
+    // the branch's vacuum deletes only dirs UNDER ITS OWN PATH (here
+    // its empty delete-commit dir); base dirs survive untouched even
+    // when unreferenced by the branch's retained views
+    assert(Lakehouse.vacuumVersions(spark, br, 2L) == ((1L, 2L)))
+    assert(ids(br, 2L) == Seq(0L, 1L, 3L, 4L, 5L, 7L))
+    assert(Files.exists(Paths.get(src, "v0")) &&
+      Files.exists(Paths.get(src, "v1")))
+  }
+
   test("replayQuarantine re-admits only now-valid corrected rows " +
     "via the pruned merge and APPENDS replay stamps — the original " +
     "violation rows stay as the audit trail") {
