@@ -155,7 +155,10 @@ object Bench {
       "q367_sealed_export_incr", "q368_point_lookup",
       "q369_lookup_versioned", "q370_concurrent_merge",
       "q371_quarantine_replay", "q372_sealed_stream",
-      "q373_version_restore", "q374_branch")
+      "q373_version_restore", "q374_branch",
+      "q375_stats_skipping", "q376_branch_diff",
+      "q377_branch_merge_back", "q378_ivm_partials",
+      "q379_cdf_subscriber")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

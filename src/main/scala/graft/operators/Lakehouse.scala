@@ -1085,6 +1085,36 @@ object Lakehouse {
     diffVersionsFull(spark, path, v1, v2, key)
       .select(col("bucket"), col(key), col("change"))
 
+  /** The buckets whose RESOLVED (vdir, empty) pointer differs between
+    * two versions — copy-on-write makes data files immutable, so this
+    * manifest-only comparison (≤ buckets rows per side) is exactly
+    * the set of buckets whose BYTES can differ. The primitive under
+    * the change data feed ([[diffVersionsFull]]) and the unit of work
+    * for any DOWNSTREAM incremental maintenance: a derived table
+    * keeping per-bucket partials refreshes only these buckets'
+    * contributions on each version step (the q378 pattern), so view
+    * maintenance costs ∝ churn, never the store. */
+  def changedBuckets(spark: SparkSession, path: String, v1: Long,
+                     v2: Long): Set[Long] = {
+    require(v1 < v2, s"diff needs v1 < v2, got $v1, $v2")
+    val man = manifestDf(spark, path).localCheckpoint(true)
+    def ptr(v: Long) = man.filter(col("version") <= v)
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
+        col("empty").as("empty"))).as("__m"))
+      .select(col("bucket"), col("__m.vdir").as("vdir"),
+        col("__m.empty").as("empty"))
+    ptr(v1)
+      .withColumnRenamed("vdir", "v1d").withColumnRenamed("empty", "e1")
+      .join(ptr(v2)
+        .withColumnRenamed("vdir", "v2d").withColumnRenamed("empty", "e2"),
+        Seq("bucket"), "full_outer")
+      .filter(!(col("v1d") <=> col("v2d") && col("e1") <=> col("e2")))
+      .filter(col("bucket") =!= -1L)
+      .select(col("bucket").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+  }
+
   /** [[diffVersions]] carrying the POST-IMAGE payload (null columns
     * for `removed` rows) — the full change-data-feed contract: the
     * output of `diffVersionsFull(a, b)` applied as a merge batch
@@ -1094,23 +1124,18 @@ object Lakehouse {
   def diffVersionsFull(spark: SparkSession, path: String, v1: Long,
                        v2: Long, key: String): DataFrame = {
     require(v1 < v2, s"diff needs v1 < v2, got $v1, $v2")
-    val man = manifestDf(spark, path).localCheckpoint(true)
-    def ptr(v: Long) = man.filter(col("version") <= v)
-      .groupBy(col("bucket"))
-      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
-        col("empty").as("empty"))).as("__m"))
-      .select(col("bucket"), col("__m.vdir").as("vdir"),
-        col("__m.empty").as("empty"))
-    val changedBuckets = ptr(v1)
-      .withColumnRenamed("vdir", "v1d").withColumnRenamed("empty", "e1")
-      .join(ptr(v2)
-        .withColumnRenamed("vdir", "v2d").withColumnRenamed("empty", "e2"),
-        Seq("bucket"), "full_outer")
-      .filter(!(col("v1d") <=> col("v2d") && col("e1") <=> col("e2")))
-      .select(col("bucket").cast("long"))
-      .collect().map(_.getLong(0)).toSet
-    val s1 = readVersioned(spark, path, v1, Some(changedBuckets))
-    val s2 = readVersioned(spark, path, v2, Some(changedBuckets))
+    val cb = changedBuckets(spark, path, v1, v2)
+    val s1 = readVersioned(spark, path, v1, Some(cb))
+    val s2 = readVersioned(spark, path, v2, Some(cb))
+    rowDiff(s1, s2, key)
+  }
+
+  /** Row-level diff of two (bucket-pruned) states: one row per key
+    * whose payload differs, change ∈ added | removed | changed,
+    * carrying the POST-IMAGE (s2) payload. Shared by the version CDF
+    * and the cross-store diff. */
+  private def rowDiff(s1: DataFrame, s2: DataFrame,
+                      key: String): DataFrame = {
     // data columns are the UNION of both sides — schema evolution
     // between the versions must be visible to the diff (a new
     // column's values are changes; the post-image must carry it)
@@ -1137,6 +1162,129 @@ object Lakehouse {
           .when(col("__h1") =!= col("__h2"), lit("changed"))
           .as("change")) ++ dataCols.map(col): _*)
       .filter(col("change").isNotNull)
+  }
+
+  /** Resolved (bucket -> (data dir or None-for-empty)) map of a store
+    * at `version` — pointers resolved through the manifest, vdirs
+    * resolved through the `_base` chain to the PHYSICAL data dir.
+    * Metadata-sized (≤ buckets entries). */
+  private def resolvedDirs(spark: SparkSession, path: String,
+                           version: Long): Map[Long, Option[String]] =
+    manifestDf(spark, path)
+      .filter(col("bucket") =!= -1L && col("version") <= version)
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
+        col("empty").as("empty"))).as("__m"))
+      .select(col("bucket"), col("__m.vdir").as("vdir"),
+        col("__m.empty").as("empty"))
+      .collect().map { r =>
+        r.getLong(0) -> (if (r.getBoolean(2)) None
+          else Some(vdirPath(spark, path, r.getLong(1))))
+      }.toMap
+
+  /** CROSS-STORE diff — [[diffVersionsFull]] generalized to two
+    * stores (the base-vs-branch comparison after a
+    * [[branchVersioned]] fork): a bucket whose pointers resolve to
+    * the SAME physical data dir in both stores is byte-identical by
+    * the zero-copy contract (a branch's pre-fork pointers reference
+    * the base's immutable dirs verbatim), so only buckets resolving
+    * differently are read, from either side. Against a fresh fork
+    * the diff reads NOTHING; after divergence it reads ∝ buckets
+    * either side touched since the fork. Output: [[rowDiff]]'s
+    * contract with `change` relative A -> B (added = in B only),
+    * post-image = the B side. */
+  def diffStores(spark: SparkSession, pathA: String, vA: Long,
+                 pathB: String, vB: Long, key: String): DataFrame = {
+    val da = resolvedDirs(spark, pathA, vA)
+    val db = resolvedDirs(spark, pathB, vB)
+    val cb = (da.keySet ++ db.keySet).filter { bk =>
+      da.getOrElse(bk, None) != db.getOrElse(bk, None)
+    }
+    val s1 = readVersioned(spark, pathA, vA, Some(cb))
+    val s2 = readVersioned(spark, pathB, vB, Some(cb))
+    rowDiff(s1, s2, key)
+  }
+
+  /** The bucket-level CONFLICT set between a base store and a branch
+    * forked from it at `forkVersion`: buckets BOTH sides' resolved
+    * pointers moved since the fork (each side's [[changedBuckets]]
+    * from the fork to its head — manifest-only on both sides). The
+    * merge-back guard: a conflicting bucket holds base commits a
+    * branch replay would overwrite. */
+  def branchConflicts(spark: SparkSession, base: String,
+                      branch: String, forkVersion: Long): Set[Long] = {
+    def headOf(p: String): Long = manifestDf(spark, p)
+      .agg(max(when(col("bucket") =!= -1L, col("version"))))
+      .head().getLong(0)
+    val baseMoved =
+      if (headOf(base) <= forkVersion) Set.empty[Long]
+      else changedBuckets(spark, base, forkVersion, headOf(base))
+    val brMoved =
+      if (headOf(branch) <= forkVersion) Set.empty[Long]
+      else changedBuckets(spark, branch, forkVersion, headOf(branch))
+    baseMoved.intersect(brMoved)
+  }
+
+  /** MERGE a branch BACK into its base (the other half of
+    * [[branchVersioned]]'s lifecycle): every bucket the branch moved
+    * since `forkVersion` lands on the base as ONE new commit at
+    * `asVersion` — the branch's head state for those buckets is read
+    * (bucket-pruned) and REWRITTEN under the base's own
+    * `v<asVersion>` (tombstones where the branch emptied a bucket),
+    * so the base never references the branch's dirs — the branch can
+    * be deleted the moment the merge commits. Buckets the BASE also
+    * moved since the fork are CONFLICTS — the merge refuses
+    * (fail-closed; resolve by editing the branch or re-forking)
+    * rather than silently overwriting base commits. A normal commit:
+    * OCC slot, monotone commit_ts, history across it intact. Data
+    * moved ∝ branch-touched buckets, never either store. Returns the
+    * pointer rows appended (0 = branch never diverged; nothing
+    * commits, the slot stays free). */
+  def mergeBranch(spark: SparkSession, base: String, branch: String,
+                  forkVersion: Long, asVersion: Long,
+                  commitTs: Long = -1L,
+                  writerToken: String = "solo"): Long = {
+    val cts = if (commitTs == -1L) asVersion else commitTs
+    val conflicts = branchConflicts(spark, base, branch, forkVersion)
+    if (conflicts.nonEmpty)
+      throw new IllegalStateException(
+        s"merge-back of $branch into $base conflicts on bucket(s) " +
+          s"${conflicts.toSeq.sorted.mkString(", ")} — both sides " +
+          s"moved them since fork v$forkVersion")
+    val head = manifestDf(spark, base).agg(max(col("version")),
+      max(when(col("bucket") =!= -1L, col("commit_ts")))).head()
+    val maxV = head.getLong(0)
+    if (asVersion <= maxV)
+      throw ConcurrentCommitException(base, asVersion, "")
+    require(asVersion == maxV + 1,
+      s"version must be one past the last ($maxV), got $asVersion")
+    require(head.isNullAt(1) || cts >= head.getLong(1),
+      s"commitTs must be monotone: got $cts after ${head.getLong(1)}")
+    val brHead = manifestDf(spark, branch)
+      .agg(max(when(col("bucket") =!= -1L, col("version"))))
+      .head().getLong(0)
+    val moved: Set[Long] =
+      if (brHead <= forkVersion) Set.empty
+      else changedBuckets(spark, branch, forkVersion, brHead)
+    if (moved.isEmpty) return 0L
+    acquireCommit(spark, base, asVersion, writerToken)
+    val state = readVersioned(spark, branch, brHead, Some(moved))
+      .localCheckpoint(true)
+    state.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$base/v$asVersion")
+    val written = state.select(col("bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val rows = moved.toSeq.sorted.map { bk =>
+      (asVersion, bk, asVersion, !written.contains(bk), cts)
+    }
+    import spark.implicits._
+    rows.toDF("version", "bucket", "vdir", "empty", "commit_ts")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$base/_manifest")
+    rows.size.toLong
   }
 
   /** Per-bucket content manifest of a store: row count, char mass,

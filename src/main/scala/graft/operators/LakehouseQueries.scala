@@ -100,7 +100,193 @@ object LakehouseQueries {
     dels.unionByName(upds).unionByName(ins)
   }
 
+  /** Build the shared divergent base+branch pair (q376/q377): src at
+    * v0 (ts 100) + the broad v1 update wave (ts 200), fork, then the
+    * branch edits ONLY bucket 3 (deletes %7=3, updates -> 'br2',
+    * inserts %13=0 re-keyed +10000 — 10000 ≡ 0 mod 16 keeps the
+    * bucket) while the source edits ONLY bucket 5 (-> 'm3'), both as
+    * their own v2 at ts 300. Disjoint buckets: merge-back applies
+    * cleanly. Returns the fork version. */
+  private def buildBranchPair(s: SparkSession, d: String,
+                              src: String, br: String): Long = {
+    rmDir(s, src); rmDir(s, br)
+    val base = docs(s, d)
+    Lakehouse.writeVersioned(base, "doc_id", src, buckets = 16,
+      commitTs = 100L)
+    Lakehouse.mergeVersioned(s, src, 1L, v1Batch(base), "doc_id", 16,
+      commitTs = 200L)
+    val fork = Lakehouse.branchVersioned(s, src, br)
+    val brDels = base.filter(col("doc_id") % 16 === 3 &&
+        col("doc_id") % 7 === 3)
+      .select(col("doc_id"), lit("D").as("op"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val brUpds = base.filter(col("doc_id") % 16 === 3 &&
+        col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"), lit("U").as("op"), col("text"),
+        col("lang"), lit("br2").as("source"), col("n_chars"))
+    val brIns = base.filter(col("doc_id") % 16 === 3 &&
+        col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), lit("U").as("op"),
+        col("text"), lit("xx").as("lang"), lit("ingest").as("source"),
+        col("n_chars"))
+    Lakehouse.mergeVersioned(s, br, 2L,
+      brDels.unionByName(brUpds).unionByName(brIns), "doc_id", 16,
+      commitTs = 300L)
+    val srcEdit = base.filter(col("doc_id") % 16 === 5)
+      .select(col("doc_id"), lit("U").as("op"), col("text"),
+        col("lang"), lit("m3").as("source"), col("n_chars"))
+    Lakehouse.mergeVersioned(s, src, 2L, srcEdit, "doc_id", 16,
+      commitTs = 300L)
+    fork
+  }
+
   val queries: Map[String, Q] = Map(
+    // STATS-SKIPPING SCAN (file-level column stats, the Delta/Iceberg
+    // data-skipping mechanic): five ingest batches of the events
+    // table land under batch=<i>/bucket=<k> with per-(batch, bucket)
+    // min/max ts stats recorded at write time; a 7-day range scan
+    // consults _stats first and opens ONLY the batches whose range
+    // intersects (2 of 5 here — arrival-correlated columns are where
+    // skipping pays, and n_batches_read rides INSIDE the hash against
+    // the oracle's SQL-derived batch count).
+    "q375_stats_skipping" -> ((s, d) => {
+      val path = tmp("graft_statstore_", d)
+      rmDir(s, path)
+      val ev = t(s, d, "events")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val per = maxId / 5 + 1
+      (0L to 4L).foreach { i =>
+        StatsStore.appendBatch(
+          ev.filter(expr(s"event_id div $per") === i),
+          "event_id", path, buckets = 8, batch = i,
+          statCols = Seq("ts"))
+      }
+      // events.ts arrives as LONG NANOS (the nanosAsLong session
+      // flag — see Tables.t), so the stat column is a plain long and
+      // the bounds are epoch nanos
+      val lo = 1705017600000000000L // 2024-01-12T00:00:00Z
+      val hi = 1705622399999999999L // 2024-01-18T23:59:59.999…Z
+      val nB = StatsStore.rangeBatches(s, path, "ts", lo, hi)
+        .size.toLong
+      StatsStore.readRange(s, path, "ts", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(nB).as("n_batches_read"),
+          lit(5L).as("n_batches_total")))
+    }),
+    // STREAMING CDF SUBSCRIBER — the pull half of the change feed: a
+    // replica tails the versioned store's manifest (a metadata-only
+    // head probe per tick) and applies each unapplied version's diff
+    // through the bucket-pruned merge. Tick 1 bootstraps from the v0
+    // snapshot and catches up v1+v2; tick 2 arrives with no new
+    // commits and applies NOTHING (applied_2 = 0 inside the hash —
+    // the idempotent-replay evidence); the replica's final manifest
+    // is q335's oracle verbatim.
+    "q379_cdf_subscriber" -> ((s, d) => {
+      val path = tmp("graft_cdfsub_", d)
+      val replica = tmp("graft_cdfsubr_", d)
+      rmDir(s, replica)
+      buildVersioned(s, d, path)
+      import graft.streaming.StreamingReplica.processTick
+      val a1 = processTick(s, path, replica, "doc_id", 16)
+      val a2 = processTick(s, path, replica, "doc_id", 16)
+      Lakehouse.storeManifest(s.read.parquet(replica), "doc_id")
+        .crossJoin(s.range(1).select(lit(a1).as("applied_1"),
+          lit(a2).as("applied_2")))
+    }),
+    // CROSS-STORE DIFF after a fork — zero-copy comparison: buckets
+    // whose pointers resolve to the SAME physical dir (everything
+    // pre-fork) are skipped unread; only the two post-fork buckets
+    // (branch: 3, source: 5) are read from either side. The diff is
+    // A -> B (source -> branch) with the branch-side post-image, and
+    // n_conflicts (buckets BOTH moved — none here) rides in the hash.
+    "q376_branch_diff" -> ((s, d) => {
+      val src = tmp("graft_bdifsrc_", d)
+      val br = tmp("graft_bdifbr_", d)
+      val fork = buildBranchPair(s, d, src, br)
+      val nConf = Lakehouse.branchConflicts(s, src, br, fork)
+        .size.toLong
+      Lakehouse.diffStores(s, src, 2L, br, 2L, "doc_id")
+        .select(col("bucket"), col("doc_id"), col("change"),
+          col("source").as("source_b"))
+        .crossJoin(s.range(1).select(lit(nConf).as("n_conflicts")))
+    }),
+    // BRANCH MERGE-BACK: the branch's post-fork changes (bucket 3)
+    // land on the base as one new commit — the base's own v3 dir, so
+    // the branch is deletable afterwards; the base's own post-fork
+    // edit (bucket 5, disjoint) survives untouched, and the
+    // pre-merge head (v2) stays readable across the merge commit.
+    // merged_pointers == the branch's touched-bucket count (1).
+    "q377_branch_merge_back" -> ((s, d) => {
+      val src = tmp("graft_bmbsrc_", d)
+      val br = tmp("graft_bmbbr_", d)
+      val fork = buildBranchPair(s, d, src, br)
+      val nPtr = Lakehouse.mergeBranch(s, src, br, forkVersion = fork,
+        asVersion = 3L, commitTs = 400L)
+      Seq(3L -> "v3", 2L -> "v2").map { case (v, lbl) =>
+        Lakehouse.storeManifest(Lakehouse.readVersioned(s, src, v),
+            "doc_id")
+          .withColumn("view", lit(lbl))
+      }.reduce(_ unionByName _)
+        .crossJoin(s.range(1).select(
+          lit(nPtr).as("merged_pointers")))
+    }),
+    // INCREMENTAL VIEW MAINTENANCE off the change feed: a derived
+    // per-source aggregate keeps per-(bucket, source) PARTIALS; each
+    // version step recomputes only [[Lakehouse.changedBuckets]]'
+    // partials (1 of 16 buckets per step here — the narrow waves) and
+    // the final roll-up equals the head state's direct aggregate.
+    // This is what "subscribe a materialized view to a table's CDF"
+    // costs: maintenance ∝ churn, never the store.
+    "q378_ivm_partials" -> ((s, d) => {
+      val path = tmp("graft_ivm_", d)
+      rmDir(s, path)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16,
+        commitTs = 100L)
+      val w1 = base.filter(col("doc_id") % 16 === 3)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m1").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 1L, w1, "doc_id", 16,
+        commitTs = 200L)
+      val w2d = base.filter(col("doc_id") % 16 === 5 &&
+          col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val w2i = base.filter(col("doc_id") % 16 === 5 &&
+          col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 2L, w2d.unionByName(w2i),
+        "doc_id", 16, commitTs = 300L)
+      def partialsOf(df: DataFrame): DataFrame =
+        df.groupBy(col("bucket").cast("long").as("bucket"),
+            col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+      var partials = partialsOf(Lakehouse.readVersioned(s, path, 0L))
+        .localCheckpoint(true)
+      val stepCounts = Seq((0L, 1L), (1L, 2L)).map { case (a, b) =>
+        val cb = Lakehouse.changedBuckets(s, path, a, b)
+        val np = partialsOf(
+          Lakehouse.readVersioned(s, path, b, Some(cb)))
+        partials = partials
+          .filter(!col("bucket").isin(cb.toSeq: _*))
+          .unionByName(np).localCheckpoint(true)
+        cb.size.toLong
+      }
+      partials.groupBy(col("source"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("sum_chars")).cast("long").as("sum_chars"))
+        .crossJoin(s.range(1).select(
+          lit(stepCounts.head).as("step1_buckets"),
+          lit(stepCounts(1)).as("step2_buckets")))
+    }),
     // JSONL SHARD EXPORT — the interchange layout trainers mount:
     // byte-budget shards from the two-phase prefix sum, one text file
     // per shard, lines in doc_id order. The gated output is the
@@ -834,6 +1020,78 @@ object LakehouseQueries {
       |SELECT * FROM v1 UNION ALL SELECT * FROM v2""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q375_stats_skipping" ->
+      """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
+        |r AS (SELECT * FROM events
+        | WHERE epoch_ns(ts) BETWEEN 1705017600000000000
+        |   AND 1705622399999999999),
+        |nb AS (SELECT count(*) AS n FROM (
+        |  SELECT event_id // (SELECT per FROM m) AS b,
+        |    min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |  FROM events GROUP BY 1)
+        | WHERE mx >= 1705017600000000000
+        |   AND mn <= 1705622399999999999)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  (SELECT n FROM nb)::BIGINT AS n_batches_read,
+        |  CAST(5 AS BIGINT) AS n_batches_total
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q376_branch_diff" ->
+      """SELECT *, CAST(0 AS BIGINT) AS n_conflicts FROM (
+        |  SELECT CAST(3 AS BIGINT) AS bucket, doc_id,
+        |    'removed' AS change, CAST(NULL AS VARCHAR) AS source_b
+        |  FROM documents WHERE doc_id % 16 = 3 AND doc_id % 7 = 3
+        |  UNION ALL
+        |  SELECT 3, doc_id, 'changed', 'br2' FROM documents
+        |  WHERE doc_id % 16 = 3 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT 3, doc_id + 10000, 'added', 'ingest' FROM documents
+        |  WHERE doc_id % 16 = 3 AND doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT 5, doc_id, 'changed',
+        |    CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END
+        |  FROM documents WHERE doc_id % 16 = 5)""".stripMargin,
+    "q377_branch_merge_back" ->
+      """WITH v2 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 16 = 5 THEN 'm3'
+        |       WHEN doc_id % 5 = 0 THEN 'm1'
+        |       ELSE source END AS source, n_chars
+        | FROM documents),
+        |v3 AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 16 = 3 THEN 'br2'
+        |         WHEN doc_id % 16 = 5 THEN 'm3'
+        |         WHEN doc_id % 5 = 0 THEN 'm1'
+        |         ELSE source END AS source, n_chars
+        |  FROM documents WHERE NOT (doc_id % 16 = 3 AND doc_id % 7 = 3)
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'xx', 'ingest', n_chars
+        |  FROM documents WHERE doc_id % 16 = 3 AND doc_id % 13 = 0),
+        |al AS (SELECT 'v2' AS view, * FROM v2
+        |       UNION ALL SELECT 'v3', * FROM v3)
+        |SELECT view, CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(1 AS BIGINT) AS merged_pointers
+        |FROM al GROUP BY view, doc_id % 16""".stripMargin,
+    "q378_ivm_partials" ->
+      """WITH fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 16 = 3 THEN 'm1' ELSE source END
+        |      AS source, n_chars
+        |  FROM documents WHERE NOT (doc_id % 16 = 5 AND doc_id % 7 = 3)
+        |  UNION ALL
+        |  SELECT doc_id + 10000, 'ingest', n_chars FROM documents
+        |  WHERE doc_id % 16 = 5 AND doc_id % 11 = 0)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(1 AS BIGINT) AS step1_buckets,
+        |  CAST(1 AS BIGINT) AS step2_buckets
+        |FROM fin GROUP BY source""".stripMargin,
     "q332_jsonl_export" -> jsonlSql,
     "q354_time_travel_asof" ->
       """WITH s0 AS (SELECT 150 AS asof_ts, doc_id, text, lang, source,
@@ -1078,6 +1336,23 @@ object LakehouseQueries {
     // the CDF-fed replica must land on the same final state as the
     // directly-merged chain
     "q364_cdf_replicate" -> finalStateSql,
+    "q379_cdf_subscriber" ->
+      """WITH final AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, 'xx', 'ingest', n_chars
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(2 AS BIGINT) AS applied_1, CAST(0 AS BIGINT) AS applied_2
+        |FROM final GROUP BY doc_id % 16""".stripMargin,
     "q368_point_lookup" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE doc_id % 97 = 0""".stripMargin,

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{ConcurrentCommitException, Graph, Lakehouse}
+import graft.operators.{ConcurrentCommitException, Graph, Lakehouse, StatsStore}
 
 /** [[Lakehouse]] physical contracts the SQL gate cannot see (bytes
   * and mtimes on disk), plus [[Graph.labelPropagation]] against the
@@ -997,6 +997,194 @@ class LakehouseSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().sorted.toSeq
     assert(audit == Seq((2L, 1L, "too_small"), (2L, 2L, "replayed"),
       (5L, 1L, "too_small")))
+  }
+
+  test("StatsStore range scan opens only batches whose stats " +
+    "intersect (measured recordsRead), with accounting and negative " +
+    "controls; stats rows land per (batch, bucket)") {
+    val path = freshDir("graft_stats")
+    // 4 ingest batches x 2500 rows with DISJOINT value bands — the
+    // arrival-correlated shape stats skipping exists for
+    (0L until 4L).foreach { b =>
+      val df = (0L until 2500L).map(i => (b * 2500L + i, b * 10000L + i))
+        .toDF("k", "v")
+      StatsStore.appendBatch(df, "k", path, buckets = 4, batch = b,
+        statCols = Seq("v"))
+    }
+    assert(spark.read.parquet(s"$path/_stats").count() == 16L)
+    // accounting control: a full pass costs >= 10000 records
+    assert(recordsReadDuring(spark.read.parquet(path).count())
+      >= 10000L)
+    // a range living entirely inside batch 1's band reads ~1 batch
+    val scanned = recordsReadDuring {
+      val got = StatsStore.readRange(spark, path, "v", 10000L, 12499L)
+      assert(got.count() == 2500L)
+    }
+    assert(scanned < 4000L,
+      s"stats-pruned range scan read $scanned rows (expected ~2500)")
+    // negative control: a range covering every band opens every batch
+    val full = recordsReadDuring {
+      assert(StatsStore.readRange(spark, path, "v", 0L, 40000L)
+        .count() == 10000L)
+    }
+    assert(full >= 10000L)
+    // a range no band covers reads no data rows at all
+    val miss = recordsReadDuring {
+      assert(StatsStore.readRange(spark, path, "v", 90000L, 99000L)
+        .count() == 0L)
+    }
+    assert(miss < 100L, s"missing-range scan read $miss rows")
+  }
+
+  test("diffStores on a fresh fork reads NOTHING (zero-copy pointer " +
+    "equality); after a narrow divergence it reads only the " +
+    "differing bucket") {
+    val src = freshDir("graft_dssrc")
+    val br = freshDir("graft_dsbr")
+    // bucket 1 holds 100 rows; buckets 0/2/3 hold 10k each
+    Lakehouse.writeVersioned(prunePinRows, "doc_id", src, buckets = 4)
+    Lakehouse.branchVersioned(spark, src, br)
+    val fresh = recordsReadDuring {
+      assert(Lakehouse.diffStores(spark, src, 0L, br, 0L, "doc_id")
+        .count() == 0L)
+    }
+    assert(fresh < 100L, s"fresh-fork diff read $fresh rows")
+    // branch edits one key in the SMALL bucket: the diff reads only
+    // that bucket from either side (~200 rows), never the 30k store
+    val batch = Seq((1L, "U", "text 1 v2", "en", "sX", 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 1L, batch, "doc_id", 4)
+    val scanned = recordsReadDuring {
+      val d = Lakehouse.diffStores(spark, src, 0L, br, 1L, "doc_id")
+        .collect()
+      assert(d.length == 1L && d.head.getAs[String]("change") ==
+        "changed")
+    }
+    assert(scanned < 1500L,
+      s"narrow cross-store diff read $scanned rows")
+  }
+
+  test("mergeBranch applies disjoint branch changes onto the base " +
+    "(tombstoning branch-emptied buckets), refuses on conflicts " +
+    "without committing anything") {
+    val src = freshDir("graft_mbsrc")
+    val br = freshDir("graft_mbbr")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", src,
+      buckets = 4)
+    val fork = Lakehouse.branchVersioned(spark, src, br)
+    assert(fork == 0L)
+    // branch: update doc 1 (bucket 1), delete ALL of bucket 2 (2, 6)
+    val brBatch = Seq(
+      (1L, "U", "text 1 v2", "en", "srcX", 111L),
+      (2L, "D", "", "", "", 0L), (6L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 1L, brBatch, "doc_id", 4)
+    // base: update doc 3 (bucket 3) — disjoint from the branch
+    val baseBatch = Seq((3L, "U", "text 3 v2", "en", "srcB", 33L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, src, 1L, baseBatch, "doc_id", 4)
+    assert(Lakehouse.branchConflicts(spark, src, br, fork).isEmpty)
+    val n = Lakehouse.mergeBranch(spark, src, br, forkVersion = fork,
+      asVersion = 2L)
+    assert(n == 2L) // branch moved buckets 1 and 2
+    val got = Lakehouse.readVersioned(spark, src, 2L)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "src0", 1L -> "srcX", 3L -> "srcB",
+      4L -> "src1", 5L -> "src2", 7L -> "src1"))
+    // the emptied bucket landed as a TOMBSTONE pointer (no data dir
+    // for bucket 2 under v2), and the base no longer references any
+    // branch dir: deleting the branch leaves every view readable
+    assert(!Files.exists(Paths.get(src, "v2", "bucket=2")))
+    val brPath = Paths.get(br)
+    org.apache.commons.io.FileUtils.deleteDirectory(brPath.toFile)
+    assert(Lakehouse.readVersioned(spark, src, 2L).count() == 6L)
+    assert(Lakehouse.readVersioned(spark, src, 1L).count() == 8L)
+    // CONFLICT drill on a fresh fork: both sides move bucket 3
+    val br2 = freshDir("graft_mbbr2")
+    val fork2 = Lakehouse.branchVersioned(spark, src, br2)
+    Lakehouse.mergeVersioned(spark, br2, 3L, baseBatch, "doc_id", 4)
+    val baseBatch2 = Seq((7L, "U", "text 7 v3", "en", "srcC", 77L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, src, 3L, baseBatch2, "doc_id", 4)
+    assert(Lakehouse.branchConflicts(spark, src, br2, fork2) ==
+      Set(3L))
+    val manBefore = spark.read.parquet(s"$src/_manifest").count()
+    val e = intercept[IllegalStateException] {
+      Lakehouse.mergeBranch(spark, src, br2, fork2, 4L)
+    }
+    assert(e.getMessage.contains("bucket(s) 3"))
+    // the refused merge committed NOTHING: manifest unchanged, the
+    // v4 slot still free (a later writer can take it)
+    assert(spark.read.parquet(s"$src/_manifest").count() == manBefore)
+    assert(!Files.exists(Paths.get(src, "_commits", "v4")))
+  }
+
+  test("changedBuckets-driven IVM step reads only the changed " +
+    "buckets (measured recordsRead)") {
+    val path = freshDir("graft_ivmspec")
+    Lakehouse.writeVersioned(prunePinRows, "doc_id", path, buckets = 4)
+    val batch = Seq((1L, "U", "text 1 v2", "en", "sX", 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, batch, "doc_id", 4)
+    assert(recordsReadDuring(
+      Lakehouse.readVersioned(spark, path, 1L).count()) >= 30000L)
+    val scanned = recordsReadDuring {
+      val cb = Lakehouse.changedBuckets(spark, path, 0L, 1L)
+      assert(cb == Set(1L))
+      Lakehouse.readVersioned(spark, path, 1L, Some(cb))
+        .groupBy(col("source")).count().collect()
+    }
+    assert(scanned < 1500L, s"IVM step read $scanned rows")
+  }
+
+  test("StreamingReplica: bootstrap + catch-up, quiet-tick no-op, " +
+    "marker loss re-applies idempotently, and the real stream lands " +
+    "the same state") {
+    import graft.streaming.StreamingReplica
+    val src = freshDir("graft_repsrc")
+    val rep = freshDir("graft_repdst")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", src,
+      buckets = 4)
+    val b1 = Seq(
+      (1L, "U", "text 1 v2", "en", "srcX", 111L),
+      (2L, "D", "", "", "", 0L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, src, 1L, b1, "doc_id", 4)
+    // tick 1: bootstrap from v0, apply v1
+    assert(StreamingReplica.processTick(spark, src, rep, "doc_id", 4)
+      == 1L)
+    def stateOf(p: String) = spark.read.parquet(p)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val expect1 = Map(0L -> "src0", 1L -> "srcX", 3L -> "src0",
+      4L -> "src1", 5L -> "src2", 6L -> "src0", 7L -> "src1")
+    assert(stateOf(rep) == expect1)
+    // quiet tick: nothing new, nothing applied
+    assert(StreamingReplica.processTick(spark, src, rep, "doc_id", 4)
+      == 0L)
+    // crash window: the v1 merge landed but its marker publish was
+    // lost — rewind the marker and re-tick; the re-applied diff is
+    // idempotent (replace-by-key), so the state is unchanged
+    val repFs = new org.apache.hadoop.fs.Path(rep)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mkOut = repFs.create(
+      new org.apache.hadoop.fs.Path(rep, "_graft_cdf_applied"), true)
+    mkOut.write("0".getBytes("UTF-8")); mkOut.close()
+    assert(StreamingReplica.processTick(spark, src, rep, "doc_id", 4)
+      == 1L)
+    assert(stateOf(rep) == expect1)
+    // a second source commit, then the REAL stream (a tick source
+    // driving subscriberSink) catches the replica up
+    val b2 = Seq((4L, "U", "text 4 v2", "en", "srcY", 44L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, src, 2L, b2, "doc_id", 4)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val q = StreamingReplica.subscriberSink(mem.toDF(), src, rep,
+      "doc_id", 4, freshDir("graft_repckpt"))
+    mem.addData(1L); q.processAllAvailable(); q.stop()
+    assert(stateOf(rep) == expect1 + (4L -> "srcY"))
+    assert(StreamingReplica.appliedVersion(spark, rep).contains(2L))
   }
 
   test("labelPropagation == the naive synchronous recurrence; a " +
