@@ -158,7 +158,9 @@ object Bench {
       "q373_version_restore", "q374_branch",
       "q375_stats_skipping", "q376_branch_diff",
       "q377_branch_merge_back", "q378_ivm_partials",
-      "q379_cdf_subscriber")
+      "q379_cdf_subscriber", "q380_stats_compact",
+      "q381_stats_expire", "q382_incr_retokenize",
+      "q383_stats_stream")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

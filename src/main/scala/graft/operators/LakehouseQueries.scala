@@ -140,6 +140,23 @@ object LakehouseQueries {
     fork
   }
 
+  /** Build the shared 5-batch stats store over the events table:
+    * batch i = the i-th contiguous fifth of event_id (arrival order ==
+    * ts order, so each batch is ~6 days of January), per-(batch,
+    * bucket) ts stats recorded at ingest. */
+  private def buildStatsStore(s: SparkSession, d: String,
+                              path: String): Unit = {
+    rmDir(s, path)
+    val ev = t(s, d, "events")
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+    val per = maxId / 5 + 1
+    (0L to 4L).foreach { i =>
+      StatsStore.appendBatch(
+        ev.filter(expr(s"event_id div $per") === i),
+        "event_id", path, buckets = 8, batch = i, statCols = Seq("ts"))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // STATS-SKIPPING SCAN (file-level column stats, the Delta/Iceberg
     // data-skipping mechanic): five ingest batches of the events
@@ -151,16 +168,7 @@ object LakehouseQueries {
     // the oracle's SQL-derived batch count).
     "q375_stats_skipping" -> ((s, d) => {
       val path = tmp("graft_statstore_", d)
-      rmDir(s, path)
-      val ev = t(s, d, "events")
-      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
-      val per = maxId / 5 + 1
-      (0L to 4L).foreach { i =>
-        StatsStore.appendBatch(
-          ev.filter(expr(s"event_id div $per") === i),
-          "event_id", path, buckets = 8, batch = i,
-          statCols = Seq("ts"))
-      }
+      buildStatsStore(s, d, path)
       // events.ts arrives as LONG NANOS (the nanosAsLong session
       // flag — see Tables.t), so the stat column is a plain long and
       // the bounds are epoch nanos
@@ -177,6 +185,154 @@ object LakehouseQueries {
         .crossJoin(s.range(1).select(
           lit(nB).as("n_batches_read"),
           lit(5L).as("n_batches_total")))
+    }),
+    // STREAMING STATS INGEST — the streaming-lakehouse ingest shape:
+    // micro-batches land as stats-ledgered ingest batches via the
+    // foreachBatch sink's core; batch 1 is REDELIVERED mid-sequence
+    // (with a poisoned payload that would corrupt the store if it
+    // landed — the short-circuit proof), and the final store answers
+    // the q375 range scan identically: same oracle, same skipping.
+    "q383_stats_stream" -> ((s, d) => {
+      val path = tmp("graft_statstrm_", d)
+      rmDir(s, path)
+      val ev = t(s, d, "events")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val per = maxId / 5 + 1
+      import graft.streaming.StreamingStats.processStatsBatch
+      (0L to 4L).foreach { i =>
+        processStatsBatch(ev.filter(expr(s"event_id div $per") === i),
+          i, path, "event_id", 8, Seq("ts"))
+        if (i == 2L) // redeliver a landed id with a poisoned payload
+          processStatsBatch(
+            ev.filter(expr(s"event_id div $per") === 1L)
+              .withColumn("event_type", lit("POISON")),
+            1L, path, "event_id", 8, Seq("ts"))
+      }
+      val lo = 1705017600000000000L
+      val hi = 1705622399999999999L
+      val nB = StatsStore.rangeBatches(s, path, "ts", lo, hi)
+        .size.toLong
+      StatsStore.readRange(s, path, "ts", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(nB).as("n_batches_read"),
+          lit(5L).as("n_batches_total")))
+    }),
+    // COMPACTION (OPTIMIZE) on the stats store: the first three ingest
+    // batches bin-pack into ONE fresh batch (stats re-merged from the
+    // ledger — min of mins, max of maxes — no data re-scan), published
+    // by the atomic _stats swap; superseded dirs GC as orphans. The
+    // store is lossless across it (full read == all events) and a
+    // late-January range still skips: it opens the two uncompacted
+    // tail batches, never the merged head.
+    "q380_stats_compact" -> ((s, d) => {
+      val path = tmp("graft_statcmp_", d)
+      buildStatsStore(s, d, path)
+      val into = StatsStore.compactBatches(s, path, "event_id",
+        Seq(0L, 1L, 2L))
+      val nLive = StatsStore.readStore(s, path)
+        .select(col("batch")).distinct().count()
+      val total = StatsStore.readStore(s, path).count()
+      val lo = 1705708800000000000L // 2024-01-20T00:00:00Z, ns
+      val hi = 1706313599999999999L // 2024-01-26T23:59:59.999…Z
+      val nB = StatsStore.rangeBatches(s, path, "ts", lo, hi)
+        .size.toLong
+      StatsStore.readRange(s, path, "ts", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(into).as("compacted_into"),
+          lit(nLive).as("n_batches_live"),
+          lit(total).as("total_rows"),
+          lit(nB).as("n_batches_read")))
+    }),
+    // VALUE-RANGE RETENTION (TTL): batches whose ledgered ts maximum
+    // falls below the cutoff expire as a METADATA decision — one
+    // _stats scan, an atomic swap, dirs GC'd as orphans; no data is
+    // read to decide. File-grain TTL semantics: a surviving batch
+    // keeps ALL its rows (even ones below the cutoff) — the oracle
+    // derives survivorship from the batch definitions, not a row
+    // filter.
+    "q381_stats_expire" -> ((s, d) => {
+      val path = tmp("graft_statexp_", d)
+      buildStatsStore(s, d, path)
+      val cutoff = 1705276800000000000L // 2024-01-15T00:00:00Z, ns
+      val expired = StatsStore.expireBatches(s, path, "ts", cutoff)
+      StatsStore.readStore(s, path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(expired.size.toLong).as("n_expired")))
+    }),
+    // INCREMENTAL RETOKENIZATION off the change feed — the derived
+    // FEATURE table pattern: a per-doc token-count store subscribes
+    // to the versioned corpus; each version step retokenizes ONLY the
+    // diff's changed/added docs (text edits in v1, inserts in v2) and
+    // applies removals as deletes through the pruned merge. Compute ∝
+    // churn: the per-step retokenization counts ride inside the hash
+    // against the oracle's batch-derived counts, and the final
+    // derived table equals a from-scratch tokenization of the head.
+    "q382_incr_retokenize" -> ((s, d) => {
+      val path = tmp("graft_rtk_", d)
+      val derived = tmp("graft_rtkd_", d)
+      rmDir(s, path); rmDir(s, derived)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16,
+        commitTs = 100L)
+      val w1 = base.filter(col("doc_id") % 16 === 3)
+        .select(col("doc_id"), lit("U").as("op"),
+          concat(col("text"), lit(" extra pad")).as("text"),
+          col("lang"), lit("m1").as("source"),
+          (length(col("text")) + 10L).cast("long").as("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 1L, w1, "doc_id", 16,
+        commitTs = 200L)
+      val w2d = base.filter(col("doc_id") % 16 === 5 &&
+          col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val w2i = base.filter(col("doc_id") % 16 === 5 &&
+          col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000L).as("doc_id"),
+          lit("U").as("op"), col("text"), lit("xx").as("lang"),
+          lit("ingest").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 2L, w2d.unionByName(w2i),
+        "doc_id", 16, commitTs = 300L)
+      def tok(c: org.apache.spark.sql.Column) =
+        size(split(c, " ")).cast("long")
+      Lakehouse.writeStore(
+        Lakehouse.readVersioned(s, path, 0L)
+          .select(col("doc_id"), tok(col("text")).as("n_tok")),
+        "doc_id", derived, buckets = 16)
+      val stepCounts = Seq((0L, 1L), (1L, 2L)).map { case (a, b) =>
+        val cdf = Lakehouse.diffVersionsFull(s, path, a, b, "doc_id")
+          .localCheckpoint(true)
+        val mb = cdf.select(col("doc_id"),
+          when(col("change") === "removed", lit("D"))
+            .otherwise(lit("U")).as("op"),
+          tok(col("text")).as("n_tok"))
+        Lakehouse.mergeInto(s, derived, mb, "doc_id", 16)
+        cdf.filter(col("change") =!= "removed").count()
+      }
+      s.read.parquet(derived)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("sum_tok"),
+          md5(array_join(transform(
+            sort_array(collect_list(struct(col("doc_id"),
+              concat_ws(":", col("doc_id"), col("n_tok")).as("s")))),
+            x => x.getField("s")), "\n")).as("rows_md5"))
+        .crossJoin(s.range(1).select(
+          lit(stepCounts.head).as("retok_1"),
+          lit(stepCounts(1)).as("retok_2")))
     }),
     // STREAMING CDF SUBSCRIBER — the pull half of the change feed: a
     // replica tails the versioned store's manifest (a metadata-only
@@ -1037,6 +1193,79 @@ object LakehouseQueries {
         |  (SELECT n FROM nb)::BIGINT AS n_batches_read,
         |  CAST(5 AS BIGINT) AS n_batches_total
         |FROM r GROUP BY event_type""".stripMargin,
+    "q383_stats_stream" ->
+      """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
+        |r AS (SELECT * FROM events
+        | WHERE epoch_ns(ts) BETWEEN 1705017600000000000
+        |   AND 1705622399999999999),
+        |nb AS (SELECT count(*) AS n FROM (
+        |  SELECT event_id // (SELECT per FROM m) AS b,
+        |    min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |  FROM events GROUP BY 1)
+        | WHERE mx >= 1705017600000000000
+        |   AND mn <= 1705622399999999999)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  (SELECT n FROM nb)::BIGINT AS n_batches_read,
+        |  CAST(5 AS BIGINT) AS n_batches_total
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q380_stats_compact" ->
+      """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
+        |nb AS (SELECT count(*) AS n FROM (
+        |  SELECT CASE WHEN event_id // (SELECT per FROM m) <= 2 THEN 5
+        |              ELSE event_id // (SELECT per FROM m) END AS b,
+        |    min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |  FROM events GROUP BY 1)
+        | WHERE mx >= 1705708800000000000
+        |   AND mn <= 1706313599999999999),
+        |r AS (SELECT * FROM events
+        | WHERE epoch_ns(ts) BETWEEN 1705708800000000000
+        |   AND 1706313599999999999)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  CAST(5 AS BIGINT) AS compacted_into,
+        |  CAST(3 AS BIGINT) AS n_batches_live,
+        |  (SELECT count(*) FROM events)::BIGINT AS total_rows,
+        |  (SELECT n FROM nb)::BIGINT AS n_batches_read
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q381_stats_expire" ->
+      """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
+        |bx AS (SELECT event_id // (SELECT per FROM m) AS b,
+        |    max(epoch_ns(ts)) AS mx
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT * FROM events
+        | WHERE event_id // (SELECT per FROM m) IN
+        |   (SELECT b FROM bx WHERE mx >= 1705276800000000000))
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  (SELECT count(*) FROM bx
+        |   WHERE mx < 1705276800000000000)::BIGINT AS n_expired
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q382_incr_retokenize" ->
+      """WITH fin AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 16 = 3
+        |    THEN text || ' extra pad' ELSE text END AS text
+        |  FROM documents WHERE NOT (doc_id % 16 = 5 AND doc_id % 7 = 3)
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text FROM documents
+        |  WHERE doc_id % 16 = 5 AND doc_id % 11 = 0),
+        |tk AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        | FROM fin)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' ||
+        |    CAST(n_tok AS VARCHAR), chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id % 16 = 3)::BIGINT AS retok_1,
+        |  (SELECT count(*) FROM documents
+        |   WHERE doc_id % 16 = 5 AND doc_id % 11 = 0)::BIGINT
+        |    AS retok_2
+        |FROM tk""".stripMargin,
     "q376_branch_diff" ->
       """SELECT *, CAST(0 AS BIGINT) AS n_conflicts FROM (
         |  SELECT CAST(3 AS BIGINT) AS bucket, doc_id,

@@ -7,14 +7,31 @@ import org.apache.spark.sql.types.TimestampType
 /** Ingest-batch store with FILE-LEVEL COLUMN STATS — the Delta/
   * Iceberg data-skipping mechanic in plain parquet. Each ingest batch
   * lands under `path/batch=<id>/bucket=<k>` (batch OUTER so batch
-  * pruning prunes whole top-level dirs) and appends one stats row per
-  * (batch, bucket, stat column) to `path/_stats`: min/max computed
+  * pruning prunes whole top-level dirs) with one stats row per
+  * (batch, bucket, stat column) in `path/_stats`: min/max computed
   * from the batch frame BEFORE it lands, so stats cost no re-read. A
   * range scan consults `_stats` first (metadata-sized: batches ×
   * buckets × columns rows) and opens only batches whose [min, max]
   * intersects the predicate.
   *
-  * Where this pays at 100 TB: columns CORRELATED WITH ARRIVAL —
+  * `_stats` is also the store's MANIFEST AND COMMIT LEDGER: readers
+  * ([[readStore]]/[[readRange]]) only open batches with stats rows, so
+  * a data dir without its stats rows is INVISIBLE — which makes every
+  * mutation here crash-consistent:
+  *   - ingest commits data first, stats second; a crash between
+  *     leaves an invisible orphan dir the replayed ingest OVERWRITES
+  *     (dynamic partition overwrite) before publishing stats once —
+  *     [[appendBatch]] is exactly-once under replay (a batch id
+  *     already in `_stats` short-circuits).
+  *   - [[compactBatches]] / [[expireBatches]] publish by ATOMIC
+  *     `_stats` swap (stage `_stats__next` complete, delete, rename —
+  *     the manifest-checkpoint discipline): every crash point leaves
+  *     a readable, consistent store; superseded dirs become orphans
+  *     the next maintenance pass GCs.
+  * Maintenance ops require the store's single-writer window (the same
+  * exclusivity every table format's OPTIMIZE demands).
+  *
+  * Where skipping pays at 100 TB: columns CORRELATED WITH ARRIVAL —
   * event timestamps, monotone ids, ingest days. A year of ingest
   * batches answers a one-day range by opening ~one batch's dirs; the
   * bucket-mod layout alone can never prune that (a key-mod bucket
@@ -24,9 +41,16 @@ import org.apache.spark.sql.types.TimestampType
   * on KEY identity, this prunes on VALUE ranges.
   *
   * Stats values are stored as LONG: numeric columns cast, timestamp
-  * columns as `unix_micros` (exact, no truncation ambiguity — and
-  * the cross-engine pair of DuckDB's `epoch_us`). */
+  * columns as `unix_micros` (exact — the cross-engine pair of
+  * DuckDB's `epoch_us`). Long-typed event-time columns (the
+  * nanos-as-long lab convention) are already longs. */
 object StatsStore {
+
+  private type Fs = org.apache.hadoop.fs.FileSystem
+
+  private def fsOf(spark: SparkSession, path: String): Fs =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def statLong(df: DataFrame, c: String): Column =
     df.schema(c).dataType match {
@@ -34,24 +58,102 @@ object StatsStore {
       case _ => col(c).cast("long")
     }
 
-  /** Land one ingest batch: rows under `path/batch=<id>/bucket=<k>`
-    * (one file per bucket — repartitioned on bucket, sorted by key
-    * within), stats rows appended to `path/_stats`. `batch` ids must
-    * be unique per ingest (the caller's ledger discipline — reusing
-    * one would interleave files inside a batch dir and double its
-    * stats rows). */
+  /** Complete an interrupted maintenance swap (the
+    * [[Lakehouse.checkpointManifest]] recovery discipline): `_stats`
+    * absent + a COMPLETE `_stats__next` ⇒ the crash fell between
+    * delete and rename — finish it. An incomplete `__next` beside a
+    * live `_stats` is pre-swap garbage the next maintenance clears. */
+  private def recoverStats(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val st = new org.apache.hadoop.fs.Path(path, "_stats")
+    val next = new org.apache.hadoop.fs.Path(path, "_stats__next")
+    if (!fs.exists(st) && fs.exists(next) &&
+        fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+      if (!fs.rename(next, st))
+        throw new java.io.IOException(
+          s"stats recovery failed: $next -> $st")
+    }
+  }
+
+  /** The stats table behind crash recovery — the only way code here
+    * opens `_stats`. */
+  private def statsDf(spark: SparkSession, path: String): DataFrame = {
+    recoverStats(spark, path)
+    spark.read.parquet(s"$path/_stats")
+  }
+
+  private def statsBatches(spark: SparkSession,
+                           path: String): Set[Long] =
+    statsDf(spark, path).select(col("batch")).distinct()
+      .collect().map(_.getLong(0)).toSet
+
+  /** Atomic `_stats` replacement: stage complete, delete live,
+    * rename. */
+  private def swapStats(spark: SparkSession, path: String,
+                        next: DataFrame): Unit = {
+    val fs = fsOf(spark, path)
+    val stPath = new org.apache.hadoop.fs.Path(path, "_stats")
+    val nextPath = new org.apache.hadoop.fs.Path(path, "_stats__next")
+    fs.delete(nextPath, true)
+    next.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(nextPath.toString)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"stats staging incomplete (no _SUCCESS) at $nextPath")
+    fs.delete(stPath, true)
+    if (!fs.rename(nextPath, stPath))
+      throw new java.io.IOException(
+        s"stats swap failed: $nextPath -> $stPath")
+  }
+
+  /** Delete data dirs whose batch id has no stats rows — crashed
+    * ingests' and completed maintenance's leftovers, invisible to
+    * readers by the ledger rule. Runs at the top of every maintenance
+    * op (single-writer window, so no in-flight ingest can be
+    * mistaken for an orphan). Returns the batch ids collected. */
+  private def gcOrphans(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val live = statsBatches(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    val orphans = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath.getName.stripPrefix("batch=").toLong)
+      .filterNot(live).toSeq.sorted
+    orphans.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, s"batch=$b"), true)
+    }
+    orphans
+  }
+
+  /** Land one ingest batch EXACTLY-ONCE: rows under
+    * `path/batch=<id>/bucket=<k>` (one file per bucket —
+    * repartitioned on bucket, sorted by key within) via dynamic
+    * partition overwrite (a replay of a crashed attempt overwrites
+    * its own partial files), then the stats rows — whose presence IS
+    * the commit. A batch id already in `_stats` short-circuits
+    * (fully landed); ids must be fresh per logical batch (the
+    * caller's sequence — a streaming sink's batchId, an ingest
+    * ledger). */
   def appendBatch(df: DataFrame, key: String, path: String,
                   buckets: Int, batch: Long,
                   statCols: Seq[String]): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(statCols.nonEmpty, "statCols must name at least one column")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_stats")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(path, "_stats__next"))) {
+      if (statsBatches(spark, path).contains(batch)) return // ledgered
+    }
     val b = df
       .withColumn("bucket", pmod(col(key), lit(buckets.toLong)))
       .withColumn("batch", lit(batch))
       .localCheckpoint(true) // one evaluation feeds write AND stats
     b.repartition(col("bucket"))
       .sortWithinPartitions(col("bucket"), col(key))
-      .write.mode(SaveMode.Append)
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "bucket")
       .parquet(path)
     statCols.map { c =>
@@ -67,6 +169,15 @@ object StatsStore {
       .parquet(s"$path/_stats")
   }
 
+  /** Full read THROUGH THE LEDGER: only batches with stats rows open
+    * (an orphan dir from a crashed ingest or a superseded compaction
+    * is invisible). */
+  def readStore(spark: SparkSession, path: String): DataFrame = {
+    val live = statsBatches(spark, path).toSeq.sorted
+    spark.read.parquet(path)
+      .filter(col("batch").isin(live: _*))
+  }
+
   /** The batches a `[lo, hi]` range on `statCol` can possibly hit:
     * batches with ANY (batch, bucket) stats row whose [min_v, max_v]
     * intersects the range. Metadata-only (reads `_stats`, never
@@ -74,7 +185,7 @@ object StatsStore {
     * scan. */
   def rangeBatches(spark: SparkSession, path: String, statCol: String,
                    lo: Long, hi: Long): Seq[Long] =
-    spark.read.parquet(s"$path/_stats")
+    statsDf(spark, path)
       .filter(col("col_name") === statCol &&
         col("max_v") >= lo && col("min_v") <= hi)
       .select(col("batch")).distinct()
@@ -89,7 +200,7 @@ object StatsStore {
     * negatives). */
   def readRange(spark: SparkSession, path: String, statCol: String,
                 lo: Long, hi: Long): DataFrame = {
-    val st = spark.read.parquet(s"$path/_stats")
+    val st = statsDf(spark, path)
       .filter(col("col_name") === statCol &&
         col("max_v") >= lo && col("min_v") <= hi)
       .select(col("batch"), col("bucket")).distinct()
@@ -111,5 +222,68 @@ object StatsStore {
       case _ => col(statCol).cast("long").between(lo, hi)
     }
     pruned.filter(rowPred)
+  }
+
+  /** Bin-pack COMPACTION (OPTIMIZE): rewrite the given batches as ONE
+    * fresh batch (id = max live id + 1 — ingest sequences and
+    * compaction outputs share the id space), stats re-merged per
+    * (bucket, column): min of mins, max of maxes, summed row counts —
+    * NO data re-scan for stats. Publish is the atomic `_stats` swap;
+    * the superseded dirs become invisible orphans GC'd here and by
+    * the next maintenance pass. Repays small-batch ingest debt: a
+    * day of minute-batches compacts to one dir, and range pruning
+    * granularity coarsens exactly as far as the compaction window
+    * (the knob the caller holds). Returns the new batch id. */
+  def compactBatches(spark: SparkSession, path: String, key: String,
+                     batchIds: Seq[Long]): Long = {
+    gcOrphans(spark, path)
+    val live = statsBatches(spark, path)
+    val ids = batchIds.distinct.sorted
+    require(ids.nonEmpty && ids.forall(live.contains),
+      s"compactBatches: ${ids.filterNot(live.contains).mkString(", ")}" +
+        " not live in the ledger")
+    val into = live.max + 1
+    val rows = spark.read.parquet(path)
+      .filter(col("batch").isin(ids: _*))
+      .withColumn("batch", lit(into))
+      .localCheckpoint(true)
+    rows.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col(key))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch", "bucket")
+      .parquet(path)
+    val old = statsDf(spark, path).localCheckpoint(true)
+    val merged = old.filter(col("batch").isin(ids: _*))
+      .groupBy(col("bucket"), col("col_name"))
+      .agg(min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        sum(col("n_rows")).cast("long").as("n_rows"))
+      .select(lit(into).as("batch"), col("bucket"), col("col_name"),
+        col("min_v"), col("max_v"), col("n_rows"))
+    swapStats(spark, path,
+      old.filter(!col("batch").isin(ids: _*)).unionByName(merged))
+    gcOrphans(spark, path)
+    into
+  }
+
+  /** Value-range RETENTION (TTL): drop every batch whose ledgered
+    * `statCol` maximum is below `cutoff` — expiry is a METADATA
+    * decision (one `_stats` scan), the atomic swap unpublishes the
+    * batches, and the dirs GC as orphans. The time-series retention
+    * story: "keep 90 days" is one call, no data read. Returns the
+    * expired batch ids. */
+  def expireBatches(spark: SparkSession, path: String, statCol: String,
+                    cutoff: Long): Seq[Long] = {
+    gcOrphans(spark, path)
+    val old = statsDf(spark, path).localCheckpoint(true)
+    val doomed = old.filter(col("col_name") === statCol)
+      .groupBy(col("batch"))
+      .agg(max(col("max_v")).as("mx"))
+      .filter(col("mx") < cutoff)
+      .select(col("batch")).collect().map(_.getLong(0)).toSeq.sorted
+    if (doomed.isEmpty) return Nil
+    swapStats(spark, path, old.filter(!col("batch").isin(doomed: _*)))
+    gcOrphans(spark, path)
+    doomed
   }
 }

@@ -1187,6 +1187,98 @@ class LakehouseSpec extends AnyFunSuite {
     assert(StreamingReplica.appliedVersion(spark, rep).contains(2L))
   }
 
+  test("StatsStore is ledgered: replayed appendBatch lands exactly " +
+    "once; an orphan dir is invisible and GC'd; compaction is " +
+    "lossless with merged stats behind an atomic swap a crash " +
+    "cannot tear; expiry is metadata-only") {
+    val path = freshDir("graft_statlife")
+    // batches 0..2 with disjoint value bands [b*1000, b*1000+99]
+    (0L until 3L).foreach { b =>
+      val df = (0L until 100L).map(i => (b * 100L + i, b * 1000L + i))
+        .toDF("k", "v")
+      StatsStore.appendBatch(df, "k", path, buckets = 2, batch = b,
+        statCols = Seq("v"))
+    }
+    assert(StatsStore.readStore(spark, path).count() == 300L)
+    // replay of a landed batch id short-circuits: no duplicate rows,
+    // no duplicate stats
+    StatsStore.appendBatch(
+      (0L until 100L).map(i => (i, i)).toDF("k", "v"),
+      "k", path, buckets = 2, batch = 0L, statCols = Seq("v"))
+    assert(StatsStore.readStore(spark, path).count() == 300L)
+    assert(spark.read.parquet(s"$path/_stats").count() == 6L)
+    // a crashed ingest's data dir (no stats rows) is INVISIBLE to
+    // ledger-routed readers...
+    (0L until 50L).map(i => (i, i)).toDF("k", "v")
+      .withColumn("bucket", pmod(col("k"), lit(2L)))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$path/batch=9")
+    assert(spark.read.parquet(path).count() == 350L) // raw sees it
+    assert(StatsStore.readStore(spark, path).count() == 300L)
+    // ...and the next maintenance GCs it
+    val into = StatsStore.compactBatches(spark, path, "k", Seq(0L, 1L))
+    assert(into == 3L)
+    assert(!Files.exists(Paths.get(path, "batch=9")))
+    assert(!Files.exists(Paths.get(path, "batch=0")))
+    // lossless across compaction; stats merged per bucket
+    assert(StatsStore.readStore(spark, path).count() == 300L)
+    val st = spark.read.parquet(s"$path/_stats")
+      .filter(col("batch") === 3L)
+      .agg(min(col("min_v")), max(col("max_v")), sum(col("n_rows")))
+      .head()
+    assert(st.getLong(0) == 0L && st.getLong(1) == 1099L &&
+      st.getLong(2) == 200L)
+    // a range inside old batch 0's band now opens the merged batch
+    assert(StatsStore.rangeBatches(spark, path, "v", 0L, 99L) ==
+      Seq(3L))
+    assert(StatsStore.readRange(spark, path, "v", 0L, 99L)
+      .count() == 100L)
+    // torn-swap drill: a COMPLETE staged _stats__next beside a
+    // deleted _stats (the crash window between delete and rename) —
+    // the next reader completes the swap
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(path, "_stats"), fs,
+      new org.apache.hadoop.fs.Path(path, "_stats__next"),
+      false, spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_stats"), true)
+    assert(StatsStore.readStore(spark, path).count() == 300L)
+    assert(Files.exists(Paths.get(path, "_stats")))
+    // expiry: cutoff 2000 drops the merged batch (max 1099), keeps
+    // batch 2 — and only its dirs remain
+    assert(StatsStore.expireBatches(spark, path, "v", 2000L) ==
+      Seq(3L))
+    assert(StatsStore.readStore(spark, path).count() == 100L)
+    assert(!Files.exists(Paths.get(path, "batch=3")))
+    assert(Files.exists(Paths.get(path, "batch=2")))
+    // idempotent: nothing left below the cutoff
+    assert(StatsStore.expireBatches(spark, path, "v", 2000L).isEmpty)
+  }
+
+  test("StreamingStats sink lands micro-batches exactly-once through " +
+    "the stats ledger (real stream), and range skipping serves the " +
+    "live store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingStats
+    implicit val sqlCtx = spark.sqlContext
+    val path = freshDir("graft_sstrm")
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingStats.statsSink(mem.toDF().toDF("k", "v"), path,
+      "k", 2, Seq("v"), freshDir("graft_sstrmck"))
+    mem.addData((0L until 100L).map(i => (i, i)): _*)
+    q.processAllAvailable()
+    mem.addData((100L until 200L).map(i => (i, 1000L + i)): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(StatsStore.readStore(spark, path).count() == 200L)
+    // each micro-batch is one ledgered ingest batch with its own band
+    assert(StatsStore.rangeBatches(spark, path, "v", 1100L, 1199L) ==
+      Seq(1L))
+    assert(StatsStore.readRange(spark, path, "v", 1100L, 1199L)
+      .count() == 100L)
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
