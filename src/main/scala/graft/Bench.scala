@@ -160,7 +160,8 @@ object Bench {
       "q377_branch_merge_back", "q378_ivm_partials",
       "q379_cdf_subscriber", "q380_stats_compact",
       "q381_stats_expire", "q382_incr_retokenize",
-      "q383_stats_stream")
+      "q383_stats_stream", "q384_branch_promote",
+      "q385_vacuum_branch_safe")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -846,12 +846,41 @@ object Lakehouse {
     * O(versions · manifest). Returns (deleted, retained) vdir
     * counts. */
   def vacuumVersions(spark: SparkSession, path: String,
-                     floor: Long): (Long, Long) = {
+                     floor: Long): (Long, Long) =
+    vacuumImpl(spark, path, floor, Set.empty)
+
+  /** BRANCH-AWARE vacuum — closes the standing shallow-clone hazard
+    * ([[branchVersioned]]'s scaladoc): a base vacuum can delete dirs
+    * a branch's pre-fork pointers still resolve to. This variant
+    * collects, per branch, every non-tombstone vdir the branch's
+    * manifest references that the branch does NOT own on disk (those
+    * resolve through the `_base` chain — i.e. they are the base's) —
+    * a manifest-only scan per branch — and retains them regardless of
+    * the base's own retention floor. Chained clones vacuum level by
+    * level: each store's vacuum takes ITS direct branches. */
+  def vacuumVersionsSafe(spark: SparkSession, path: String,
+                         floor: Long,
+                         branches: Seq[String]): (Long, Long) = {
+    val branchNeeds = branches.flatMap { b =>
+      val bfs = hfs(spark, b)
+      manifestDf(spark, b)
+        .filter(!col("empty") && col("bucket") =!= -1L)
+        .select(col("vdir")).distinct()
+        .collect().map(_.getLong(0))
+        .filterNot(v =>
+          bfs.exists(new org.apache.hadoop.fs.Path(b, s"v$v")))
+    }.toSet
+    vacuumImpl(spark, path, floor, branchNeeds)
+  }
+
+  private def vacuumImpl(spark: SparkSession, path: String,
+                         floor: Long,
+                         extraNeeded: Set[Long]): (Long, Long) = {
     val man = manifestDf(spark, path).localCheckpoint(true)
     val maxV = man.agg(max(col("version"))).head().getLong(0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("version"))
-    val needed: Set[Long] =
+    val live: Set[Long] =
       if (floor > maxV) Set.empty // no as-of view in the window
       else man.filter(col("bucket") =!= -1L)
         .withColumn("__next", lead(col("version"), 1).over(w))
@@ -859,6 +888,7 @@ object Lakehouse {
           (col("__next").isNull || col("__next") > floor))
         .select(col("vdir")).distinct()
         .collect().map(_.getLong(0)).toSet
+    val needed = live ++ extraNeeded
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = fs.listStatus(root)
@@ -868,7 +898,7 @@ object Lakehouse {
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"v$v"), true)
     }
-    (doomed.length.toLong, needed.size.toLong)
+    (doomed.length.toLong, needed.intersect(all.toSet).size.toLong)
   }
 
   /** Classify a merge batch against the pre-merge key set:

@@ -334,6 +334,88 @@ object LakehouseQueries {
           lit(stepCounts.head).as("retok_1"),
           lit(stepCounts(1)).as("retok_2")))
     }),
+    // CURATION-AS-BRANCH (stage -> audit -> promote): a curation
+    // policy (drop docs with n_chars % 9 == 0 — stand-in for any
+    // quality gate) runs on a BRANCH of the corpus, the cross-store
+    // diff AUDITS exactly what it would remove (all 'removed', zero
+    // collateral 'changed'/'added' — pinned), and only then does the
+    // merge-back PROMOTE it to the base as one commit. The data-eng
+    // workflow zero-copy branching exists for: the base serves
+    // unchanged until the promote, and the audit reads only moved
+    // buckets.
+    "q384_branch_promote" -> ((s, d) => {
+      val src = tmp("graft_bpsrc_", d)
+      val br = tmp("graft_bpbr_", d)
+      rmDir(s, src); rmDir(s, br)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", src, buckets = 16,
+        commitTs = 100L)
+      Lakehouse.mergeVersioned(s, src, 1L, v1Batch(base), "doc_id", 16,
+        commitTs = 200L)
+      val fork = Lakehouse.branchVersioned(s, src, br)
+      val policy = base.filter(col("n_chars") % 9 === 0)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, br, 2L, policy, "doc_id", 16,
+        commitTs = 300L)
+      val audit = Lakehouse.diffStores(s, src, 1L, br, 2L, "doc_id")
+        .groupBy(col("change")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nPtr = Lakehouse.mergeBranch(s, src, br, forkVersion = fork,
+        asVersion = 2L, commitTs = 400L)
+      Lakehouse.storeManifest(Lakehouse.readVersioned(s, src, 2L),
+          "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(audit.getOrElse("removed", 0L)).as("audit_removed"),
+          lit(audit.getOrElse("changed", 0L) +
+            audit.getOrElse("added", 0L)).as("audit_collateral"),
+          lit(nPtr).as("merged_pointers")))
+    }),
+    // BRANCH-AWARE VACUUM — the shallow-clone hazard closed: the
+    // base's retention pass retains every dir a branch's pre-fork
+    // pointers still resolve to (safe pass deletes nothing here:
+    // 0/3), and the SAME floor with no branch registered deletes the
+    // pre-fork dirs (2/1) — proving the branch references were the
+    // only thing retaining them. The branch is read (and pinned)
+    // between the two passes; the base head survives both.
+    "q385_vacuum_branch_safe" -> ((s, d) => {
+      val src = tmp("graft_vbsrc_", d)
+      val br = tmp("graft_vbbr_", d)
+      rmDir(s, src); rmDir(s, br)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", src, buckets = 16,
+        commitTs = 100L)
+      Lakehouse.mergeVersioned(s, src, 1L, v1Batch(base), "doc_id", 16,
+        commitTs = 200L)
+      Lakehouse.branchVersioned(s, src, br)
+      Lakehouse.mergeVersioned(s, br, 2L, v2Batch(base), "doc_id", 16,
+        commitTs = 300L)
+      // base rewrites EVERY bucket, so its floor-2 view needs only v2
+      val allEdit = base.select(col("doc_id"), lit("U").as("op"),
+        col("text"), col("lang"), lit("m3").as("source"),
+        col("n_chars"))
+      Lakehouse.mergeVersioned(s, src, 2L, allEdit, "doc_id", 16,
+        commitTs = 300L)
+      val (sDel, sKeep) =
+        Lakehouse.vacuumVersionsSafe(s, src, floor = 2L, Seq(br))
+      // materialize BEFORE the unsafe pass deletes the dirs this
+      // view resolves to (frames are lazy; the union would otherwise
+      // read after the delete)
+      val brView = Lakehouse.storeManifest(
+          Lakehouse.readVersioned(s, br, 2L), "doc_id")
+        .withColumn("view", lit("branch_v2"))
+        .localCheckpoint(true)
+      val (uDel, uKeep) =
+        Lakehouse.vacuumVersionsSafe(s, src, floor = 2L, Nil)
+      val baseView = Lakehouse.storeManifest(
+          Lakehouse.readVersioned(s, src, 2L), "doc_id")
+        .withColumn("view", lit("base_v2"))
+      brView.unionByName(baseView)
+        .crossJoin(s.range(1).select(
+          lit(sDel).as("safe_deleted"), lit(sKeep).as("safe_retained"),
+          lit(uDel).as("unsafe_deleted"),
+          lit(uKeep).as("unsafe_retained")))
+    }),
     // STREAMING CDF SUBSCRIBER — the pull half of the change feed: a
     // replica tails the versioned store's manifest (a metadata-only
     // head probe per tick) and applies each unapplied version's diff
@@ -1193,6 +1275,46 @@ object LakehouseQueries {
         |  (SELECT n FROM nb)::BIGINT AS n_batches_read,
         |  CAST(5 AS BIGINT) AS n_batches_total
         |FROM r GROUP BY event_type""".stripMargin,
+    "q384_branch_promote" ->
+      """WITH v1 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents),
+        |kept AS (SELECT * FROM v1 WHERE n_chars % 9 <> 0)
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  (SELECT count(*) FROM v1 WHERE n_chars % 9 = 0)::BIGINT
+        |    AS audit_removed,
+        |  CAST(0 AS BIGINT) AS audit_collateral,
+        |  (SELECT count(DISTINCT doc_id % 16) FROM v1
+        |   WHERE n_chars % 9 = 0)::BIGINT AS merged_pointers
+        |FROM kept GROUP BY doc_id % 16""".stripMargin,
+    "q385_vacuum_branch_safe" ->
+      """WITH v1 AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END AS source,
+        |  n_chars FROM documents),
+        |brv2 AS (SELECT doc_id, text, lang, source, n_chars FROM v1
+        | WHERE doc_id % 7 <> 3
+        | UNION ALL SELECT doc_id + 10000, text, 'xx', 'ingest',
+        |   n_chars FROM documents WHERE doc_id % 11 = 0),
+        |basev2 AS (SELECT doc_id, text, lang, 'm3' AS source, n_chars
+        | FROM documents),
+        |al AS (SELECT 'branch_v2' AS view, * FROM brv2
+        |  UNION ALL SELECT 'base_v2', * FROM basev2)
+        |SELECT view, CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(0 AS BIGINT) AS safe_deleted,
+        |  CAST(3 AS BIGINT) AS safe_retained,
+        |  CAST(2 AS BIGINT) AS unsafe_deleted,
+        |  CAST(1 AS BIGINT) AS unsafe_retained
+        |FROM al GROUP BY view, doc_id % 16""".stripMargin,
     "q383_stats_stream" ->
       """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
         |r AS (SELECT * FROM events
