@@ -898,7 +898,7 @@ object Lakehouse {
     doomed.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(path, s"v$v"), true)
     }
-    (doomed.length.toLong, needed.intersect(all.toSet).size.toLong)
+    (doomed.length.toLong, needed.size.toLong)
   }
 
   /** Classify a merge batch against the pre-merge key set:
