@@ -1128,6 +1128,15 @@ object Lakehouse {
                      v2: Long): Set[Long] = {
     require(v1 < v2, s"diff needs v1 < v2, got $v1, $v2")
     val man = manifestDf(spark, path).localCheckpoint(true)
+    // same loud guard as readVersioned: below a checkpoint floor the
+    // pointer history is collapsed, so resolution there would be
+    // silently PARTIAL — the worst failure mode for a diff
+    val fl = man.agg(max(when(col("bucket") === -1L, col("version"))))
+      .head()
+    if (!fl.isNullAt(0) && v1 < fl.getLong(0))
+      throw new IllegalArgumentException(
+        s"version $v1 predates the checkpoint floor ${fl.getLong(0)} " +
+          s"under $path")
     def ptr(v: Long) = man.filter(col("version") <= v)
       .groupBy(col("bucket"))
       .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
