@@ -1326,6 +1326,61 @@ object Lakehouse {
     rows.size.toLong
   }
 
+  /** BITEMPORAL (as-of) JOIN against the versioned store: each probe
+    * row joins the dimension state AS OF its own timestamp — the
+    * per-row generalization of [[readVersionedAsOf]] (which resolves
+    * ONE timestamp for a whole read). Mechanics: the manifest yields
+    * the commit timeline (version, commit_ts) — metadata-sized, so it
+    * BROADCASTS — and a range join stamps every probe with the
+    * version whose validity window `[commit_ts, next commit_ts)`
+    * covers its timestamp; probes are then joined to each stamped
+    * version's state, read bucket-pruned to THAT version's probe
+    * keys. Work ∝ distinct stamped versions (bounded by commits,
+    * never probes) × candidate buckets per version. Probes before the
+    * first commit get no match (left join, null payload) — the
+    * history simply doesn't cover them. Probe columns are preserved;
+    * dimension payload columns join on `key`. */
+  def asOfJoinVersioned(spark: SparkSession, probes: DataFrame,
+                        tsCol: String, path: String, key: String,
+                        buckets: Int): DataFrame = {
+    val timeline = manifestDf(spark, path)
+      .filter(col("bucket") =!= -1L)
+      .select(col("version"), col("commit_ts")).distinct()
+      .groupBy(col("version"))
+      .agg(max(col("commit_ts")).as("w_start"))
+    val windows = timeline
+      .withColumn("w_end", lead(col("w_start"), 1).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("version"))))
+      .withColumnRenamed("version", "__v")
+    val stamped = probes.join(
+      broadcast(windows),
+      col(tsCol) >= col("w_start") &&
+        (col("w_end").isNull || col(tsCol) < col("w_end")),
+      "left")
+      .drop("w_start", "w_end")
+    val versions = stamped.filter(col("__v").isNotNull)
+      .select(col("__v")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val unmatched = stamped.filter(col("__v").isNull)
+    val perVersion = versions.map { v =>
+      val pv = stamped.filter(col("__v") === v)
+      val cand = pv.select(pmod(col(key), lit(buckets.toLong))
+          .cast("long").as("b")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      pv.join(
+        readVersioned(spark, path, v, Some(cand)).drop("bucket"),
+        Seq(key), "left")
+    }
+    val joined = perVersion.reduceOption(
+      _.unionByName(_, allowMissingColumns = true))
+    val out = joined match {
+      case None => unmatched
+      case Some(j) =>
+        j.unionByName(unmatched, allowMissingColumns = true)
+    }
+    out.drop("__v")
+  }
+
   /** Per-bucket content manifest of a store: row count, char mass,
     * and an order-pinned row hash — the read-back evidence a merge
     * gate compares against the pure-SQL expected final state. */

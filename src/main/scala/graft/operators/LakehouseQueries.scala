@@ -416,6 +416,22 @@ object LakehouseQueries {
           lit(uDel).as("unsafe_deleted"),
           lit(uKeep).as("unsafe_retained")))
     }),
+    // BITEMPORAL (as-of) JOIN against the versioned dimension: every
+    // probe row joins the dimension state AS OF its own timestamp —
+    // probes at ts 50 predate history (null payload), 150 hits v0,
+    // 250 hits v1 (the 'm1' updates), 350 hits v2 (where the %7=3
+    // deletes are already gone: null payload again). The commit
+    // timeline broadcasts (metadata-sized) and each stamped version
+    // reads bucket-pruned to its own probes' keys.
+    "q386_asof_join_versioned" -> ((s, d) => {
+      val path = tmp("graft_asofv_", d)
+      buildVersioned(s, d, path)
+      val probes = docs(s, d).select(col("doc_id"),
+        (lit(50L) + (col("doc_id") % 4) * 100L).as("pts"))
+      Lakehouse.asOfJoinVersioned(s, probes, "pts", path, "doc_id", 16)
+        .select(col("doc_id"), col("pts"), col("source"),
+          col("n_chars"))
+    }),
     // STREAMING CDF SUBSCRIBER — the pull half of the change feed: a
     // replica tails the versioned store's manifest (a metadata-only
     // head probe per tick) and applies each unapplied version's diff
@@ -1315,6 +1331,20 @@ object LakehouseQueries {
         |  CAST(2 AS BIGINT) AS unsafe_deleted,
         |  CAST(1 AS BIGINT) AS unsafe_retained
         |FROM al GROUP BY view, doc_id % 16""".stripMargin,
+    "q386_asof_join_versioned" ->
+      """SELECT doc_id,
+        |  CAST(50 + (doc_id % 4) * 100 AS BIGINT) AS pts,
+        |  CASE WHEN doc_id % 4 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 1 THEN source
+        |       WHEN doc_id % 4 = 2 THEN
+        |         CASE WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END
+        |       ELSE CASE WHEN doc_id % 7 = 3 THEN NULL
+        |            WHEN doc_id % 5 = 0 THEN 'm1' ELSE source END
+        |  END AS source,
+        |  CASE WHEN doc_id % 4 = 0
+        |         OR (doc_id % 4 = 3 AND doc_id % 7 = 3) THEN NULL
+        |       ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
     "q383_stats_stream" ->
       """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
         |r AS (SELECT * FROM events

@@ -1279,6 +1279,31 @@ class LakehouseSpec extends AnyFunSuite {
       .count() == 100L)
   }
 
+  test("asOfJoinVersioned stamps probes with commit windows and " +
+    "reads only the stamped versions' candidate buckets (measured " +
+    "recordsRead)") {
+    val path = freshDir("graft_asofspec")
+    Lakehouse.writeVersioned(prunePinRows, "doc_id", path, buckets = 4,
+      commitTs = 100L)
+    val batch = Seq((1L, "U", "text 1 v2", "en", "sX", 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, path, 1L, batch, "doc_id", 4,
+      commitTs = 200L)
+    val probes = Seq((1L, 150L), (1L, 250L), (5L, 50L))
+      .toDF("doc_id", "pts")
+    val scanned = recordsReadDuring {
+      val got = Lakehouse.asOfJoinVersioned(spark, probes, "pts",
+          path, "doc_id", 4)
+        .select("doc_id", "pts", "source")
+        .as[(Long, Long, Option[String])].collect().toSet
+      assert(got == Set((1L, 150L, Some("src1")),
+        (1L, 250L, Some("sX")), (5L, 50L, None)))
+    }
+    // key 1 lives in the 100-row bucket; both stamped versions read
+    // only that bucket — the 30k fat buckets stay cold
+    assert(scanned < 1500L, s"as-of join read $scanned rows")
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
