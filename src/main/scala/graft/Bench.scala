@@ -161,7 +161,8 @@ object Bench {
       "q379_cdf_subscriber", "q380_stats_compact",
       "q381_stats_expire", "q382_incr_retokenize",
       "q383_stats_stream", "q384_branch_promote",
-      "q385_vacuum_branch_safe", "q386_asof_join_versioned")
+      "q385_vacuum_branch_safe", "q386_asof_join_versioned",
+      "q387_stats_range_multi", "q388_store_history")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

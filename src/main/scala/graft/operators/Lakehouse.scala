@@ -1381,6 +1381,33 @@ object Lakehouse {
     out.drop("__v")
   }
 
+  /** DESCRIBE HISTORY for the versioned store — the operational
+    * surface every table format ships: one row per commit, derived
+    * ENTIRELY from the manifest (metadata-sized, no data read):
+    * commit_ts, pointer count, tombstone count, and whether the
+    * commit rewrote data (vdir == version) or only re-pointed
+    * (RESTORE / merge-back tombstones). The checkpoint floor marker
+    * row is surfaced as its own `is_floor` row so collapsed history
+    * is visible, not silent. */
+  def storeHistory(spark: SparkSession, path: String): DataFrame =
+    manifestDf(spark, path)
+      .groupBy(col("version"))
+      .agg(
+        max(when(col("bucket") =!= -1L, col("commit_ts")))
+          .as("commit_ts"),
+        count(when(col("bucket") =!= -1L, lit(1))).as("n_pointers"),
+        count(when(col("bucket") =!= -1L && col("empty"), lit(1)))
+          .as("n_tombstones"),
+        max(when(col("bucket") =!= -1L && !col("empty"),
+          (col("vdir") =!= col("version")).cast("int")))
+          .as("__repointed"),
+        max((col("bucket") === -1L).cast("int")).as("__floor"))
+      .select(col("version"), col("commit_ts"), col("n_pointers"),
+        col("n_tombstones"),
+        (coalesce(col("__repointed"), lit(0)) === 1)
+          .as("repointed"),
+        (col("__floor") === 1).as("is_floor"))
+
   /** Per-bucket content manifest of a store: row count, char mass,
     * and an order-pinned row hash — the read-back evidence a merge
     * gate compares against the pure-SQL expected final state. */

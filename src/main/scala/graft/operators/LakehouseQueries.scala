@@ -153,7 +153,8 @@ object LakehouseQueries {
     (0L to 4L).foreach { i =>
       StatsStore.appendBatch(
         ev.filter(expr(s"event_id div $per") === i),
-        "event_id", path, buckets = 8, batch = i, statCols = Seq("ts"))
+        "event_id", path, buckets = 8, batch = i,
+        statCols = Seq("ts", "event_id"))
     }
   }
 
@@ -431,6 +432,49 @@ object LakehouseQueries {
       Lakehouse.asOfJoinVersioned(s, probes, "pts", path, "doc_id", 16)
         .select(col("doc_id"), col("pts"), col("source"),
           col("n_chars"))
+    }),
+    // MULTI-PREDICATE stats skipping: the conjunction of a ts range
+    // (hits batches 1-2) and an event_id range (hits batches 0-1)
+    // opens only their INTERSECTION (batch 1) — two arrival-
+    // correlated columns prune harder than either alone, and the
+    // batch count read rides inside the hash against the oracle's
+    // per-batch min/max derivation of BOTH columns.
+    "q387_stats_range_multi" -> ((s, d) => {
+      val path = tmp("graft_statmulti_", d)
+      buildStatsStore(s, d, path)
+      val ev = t(s, d, "events")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val per = maxId / 5 + 1
+      val lo = 1705017600000000000L // 2024-01-12T00:00:00Z, ns
+      val hi = 1705622399999999999L
+      val idHi = 2L * per - 1L
+      val preds = Seq(("ts", lo, hi), ("event_id", 0L, idHi))
+      val nB = preds.map { case (c, l, h) =>
+        StatsStore.rangeBatches(s, path, c, l, h).toSet
+      }.reduce(_ intersect _).size.toLong
+      StatsStore.readRangeMulti(s, path, preds)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(nB).as("n_batches_read"),
+          lit(5L).as("n_batches_total")))
+    }),
+    // DESCRIBE HISTORY — the versioned store's operational surface,
+    // derived entirely from the manifest (no data read): one row per
+    // commit with its timestamp, pointer/tombstone counts, and
+    // whether it REWROTE data (vdir == version) or only re-pointed —
+    // the restore at v3 is the re-point case, and its pointer count
+    // equals v2's (a restore undoes exactly the buckets the undone
+    // commit moved).
+    "q388_store_history" -> ((s, d) => {
+      val path = tmp("graft_history_", d)
+      buildVersioned(s, d, path)
+      Lakehouse.restoreVersion(s, path, toVersion = 1L,
+        asVersion = 3L, commitTs = 400L)
+      Lakehouse.storeHistory(s, path)
     }),
     // STREAMING CDF SUBSCRIBER — the pull half of the change feed: a
     // replica tails the versioned store's manifest (a metadata-only
@@ -1331,6 +1375,45 @@ object LakehouseQueries {
         |  CAST(2 AS BIGINT) AS unsafe_deleted,
         |  CAST(1 AS BIGINT) AS unsafe_retained
         |FROM al GROUP BY view, doc_id % 16""".stripMargin,
+    "q387_stats_range_multi" ->
+      """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
+        |bx AS (SELECT event_id // (SELECT per FROM m) AS b,
+        |    min(epoch_ns(ts)) AS mnt, max(epoch_ns(ts)) AS mxt,
+        |    min(event_id) AS mni, max(event_id) AS mxi
+        |  FROM events GROUP BY 1),
+        |nb AS (SELECT count(*) AS n FROM bx
+        | WHERE mxt >= 1705017600000000000
+        |   AND mnt <= 1705622399999999999
+        |   AND mxi >= 0 AND mni <= 2 * (SELECT per FROM m) - 1),
+        |r AS (SELECT * FROM events
+        | WHERE epoch_ns(ts) BETWEEN 1705017600000000000
+        |   AND 1705622399999999999
+        |   AND event_id BETWEEN 0 AND 2 * (SELECT per FROM m) - 1)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  (SELECT n FROM nb)::BIGINT AS n_batches_read,
+        |  CAST(5 AS BIGINT) AS n_batches_total
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q388_store_history" ->
+      """WITH v1b AS (SELECT count(DISTINCT doc_id % 16) AS n
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |v2b AS (SELECT count(DISTINCT b) AS n FROM (
+        |  SELECT doc_id % 16 AS b FROM documents WHERE doc_id % 7 = 3
+        |  UNION SELECT (doc_id + 10000) % 16 FROM documents
+        |  WHERE doc_id % 11 = 0))
+        |SELECT CAST(0 AS BIGINT) AS version,
+        |  CAST(100 AS BIGINT) AS commit_ts,
+        |  (SELECT count(DISTINCT doc_id % 16)
+        |   FROM documents)::BIGINT AS n_pointers,
+        |  CAST(0 AS BIGINT) AS n_tombstones,
+        |  false AS repointed, false AS is_floor
+        |UNION ALL SELECT 1, 200, (SELECT n FROM v1b)::BIGINT, 0,
+        |  false, false
+        |UNION ALL SELECT 2, 300, (SELECT n FROM v2b)::BIGINT, 0,
+        |  false, false
+        |UNION ALL SELECT 3, 400, (SELECT n FROM v2b)::BIGINT, 0,
+        |  true, false""".stripMargin,
     "q386_asof_join_versioned" ->
       """SELECT doc_id,
         |  CAST(50 + (doc_id % 4) * 100 AS BIGINT) AS pts,

@@ -178,6 +178,24 @@ object StatsStore {
       .filter(col("batch").isin(live: _*))
   }
 
+  /** Stats rows for one column, GUARDED: a live batch with no stats
+    * row for `statCol` would be silently invisible to a range scan —
+    * a false NEGATIVE, the one failure mode skipping must never have.
+    * Mis-specified columns die loudly instead. */
+  private def statsFor(spark: SparkSession, path: String,
+                       statCol: String): DataFrame = {
+    val st = statsDf(spark, path).localCheckpoint(true)
+    val missing = st.select(col("batch")).distinct()
+      .join(st.filter(col("col_name") === statCol)
+        .select(col("batch")).distinct(), Seq("batch"), "left_anti")
+      .collect().map(_.getLong(0))
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"no '$statCol' stats for batch(es) ${missing.sorted.mkString(", ")}" +
+          s" under $path — range reads on it would silently skip them")
+    st.filter(col("col_name") === statCol)
+  }
+
   /** The batches a `[lo, hi]` range on `statCol` can possibly hit:
     * batches with ANY (batch, bucket) stats row whose [min_v, max_v]
     * intersects the range. Metadata-only (reads `_stats`, never
@@ -185,9 +203,8 @@ object StatsStore {
     * scan. */
   def rangeBatches(spark: SparkSession, path: String, statCol: String,
                    lo: Long, hi: Long): Seq[Long] =
-    statsDf(spark, path)
-      .filter(col("col_name") === statCol &&
-        col("max_v") >= lo && col("min_v") <= hi)
+    statsFor(spark, path, statCol)
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
       .select(col("batch")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
 
@@ -200,9 +217,8 @@ object StatsStore {
     * negatives). */
   def readRange(spark: SparkSession, path: String, statCol: String,
                 lo: Long, hi: Long): DataFrame = {
-    val st = statsDf(spark, path)
-      .filter(col("col_name") === statCol &&
-        col("max_v") >= lo && col("min_v") <= hi)
+    val st = statsFor(spark, path, statCol)
+      .filter(col("max_v") >= lo && col("min_v") <= hi)
       .select(col("batch"), col("bucket")).distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val base = spark.read.parquet(path)
@@ -222,6 +238,40 @@ object StatsStore {
       case _ => col(statCol).cast("long").between(lo, hi)
     }
     pruned.filter(rowPred)
+  }
+
+  /** Multi-predicate range scan: the CONJUNCTION of several
+    * `[lo, hi]` ranges — the surviving batch set is the INTERSECTION
+    * of each predicate's [[rangeBatches]] set (a batch must possibly
+    * satisfy EVERY range to be read at all), so two arrival-
+    * correlated columns prune harder than either alone. Bucket
+    * pruning and row predicates compose per column the same way. */
+  def readRangeMulti(spark: SparkSession, path: String,
+                     preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "readRangeMulti needs at least one range")
+    val perPred = preds.map { case (c, lo, hi) =>
+      statsFor(spark, path, c)
+        .filter(col("max_v") >= lo && col("min_v") <= hi)
+        .select(col("batch"), col("bucket")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val pairs = perPred.reduce(_ intersect _)
+    val base = spark.read.parquet(path)
+    if (pairs.isEmpty) return base.filter(lit(false))
+    val batches = pairs.map(_._1).toSeq.distinct
+    val bks = pairs.map(_._2).toSeq.distinct
+    val pruned = base
+      .filter(col("batch").isin(batches: _*) &&
+        col("bucket").isin(bks: _*))
+    preds.foldLeft(pruned) { case (df, (c, lo, hi)) =>
+      val rowPred = df.schema(c).dataType match {
+        case TimestampType =>
+          col(c).between(timestamp_micros(lit(lo)),
+            timestamp_micros(lit(hi)))
+        case _ => col(c).cast("long").between(lo, hi)
+      }
+      df.filter(rowPred)
+    }
   }
 
   /** Bin-pack COMPACTION (OPTIMIZE): rewrite the given batches as ONE
