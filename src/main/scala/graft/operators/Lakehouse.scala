@@ -156,7 +156,18 @@ object Lakehouse {
   }
 
   /** Materialize a keyed table as a bucketed store (`path/bucket=N`,
-    * bucket = key mod buckets) — the layout [[mergeInto]] maintains. */
+    * bucket = key mod buckets) — the layout [[mergeInto]] maintains.
+    *
+    * CONCURRENCY CONTRACT for the plain store: [[writeStore]],
+    * [[mergeInto]], [[appendStore]] and [[compactStore]] mutate the
+    * layout IN PLACE and assume a SINGLE-WRITER window — two
+    * concurrent mutators can interleave dynamic-overwrite files
+    * inside one bucket dir (lost update), the same exclusivity every
+    * table format's in-place OPTIMIZE demands ([[StatsStore]]
+    * documents the identical rule for its maintenance ops). Writers
+    * that need real concurrency use the VERSIONED store: its
+    * `_commits/v<N>` put-if-absent slot ([[mergeVersionedConcurrent]])
+    * makes racing commits lose loudly and retry, never silently. */
   def writeStore(df: DataFrame, key: String, path: String,
                  buckets: Int): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
@@ -452,7 +463,8 @@ object Lakehouse {
     * the path first). */
   def writeVersioned(df: DataFrame, key: String, path: String,
                      buckets: Int, commitTs: Long = 0L,
-                     writerToken: String = "solo"): Unit = {
+                     writerToken: String = "solo",
+                     statCols: Seq[String] = Nil): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = df.sparkSession
     recoverManifest(spark, path)
@@ -471,6 +483,7 @@ object Lakehouse {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/v0")
+    appendVStats(b, path, 0L, statCols)
     b.select(col("bucket").cast("long")).distinct()
       .select(lit(0L).as("version"), col("bucket"),
         lit(0L).as("vdir"), lit(false).as("empty"),
@@ -491,37 +504,9 @@ object Lakehouse {
     * caller error and throws descriptively. */
   def readVersioned(spark: SparkSession, path: String, version: Long,
                     bucketSet: Option[Set[Long]] = None): DataFrame = {
-    val man = manifestDf(spark, path)
-    // ONE manifest pass for both read guards: the checkpoint floor
-    // marker (bucket = -1, written by [[checkpointManifest]] —
-    // pointer history below it is collapsed, so a sub-floor read
-    // would silently return a PARTIAL state) and the
-    // predates-first-commit check
-    val pre = man.agg(
-      max(when(col("bucket") === -1L, col("version"))).as("f"),
-      count(when(col("version") <= version, lit(1))).as("n")).head()
-    if (!pre.isNullAt(0) && version < pre.getLong(0))
-      throw new IllegalArgumentException(
-        s"version $version predates the checkpoint floor " +
-          s"${pre.getLong(0)} under $path")
-    if (pre.getLong(1) == 0L)
-      throw new IllegalArgumentException(
-        s"version $version predates the first commit under $path")
-    val upTo = man.filter(col("version") <= version)
-    val scoped = bucketSet match {
-      case Some(bs) if bs.isEmpty => upTo.filter(lit(false))
-      case Some(bs) => upTo.filter(col("bucket").isin(bs.toSeq: _*))
-      case None => upTo
-    }
-    val ptr = scoped
-      .groupBy(col("bucket"))
-      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
-        col("empty").as("empty"))).as("__m"))
-      .select(col("bucket"), col("__m.vdir").as("vdir"),
-        col("__m.empty").as("empty"))
-      .filter(!col("empty"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ptr = resolvePointers(spark, path, version, bucketSet)
     if (ptr.isEmpty) {
+      val man = manifestDf(spark, path)
       // empty resolved view — surface it as an empty frame with the
       // store schema, from a non-tombstone pointer's version dir that
       // STILL EXISTS on disk (vacuum may have deleted older ones when
@@ -552,6 +537,44 @@ object Lakehouse {
       spark.read.parquet(vdirPath(spark, path, vd))
         .filter(col("bucket").isin(bks.map(_._1).toSeq: _*))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** The live (bucket, vdir) pointer pairs AS OF `version` — the
+    * manifest resolution [[readVersioned]] reads through (latest
+    * non-tombstone pointer per bucket at or below `version`),
+    * factored out so the stats-skipping reads resolve identically.
+    * Carries both read guards: the checkpoint floor (history below
+    * it is collapsed — a sub-floor read would silently return a
+    * PARTIAL state) and the predates-first-commit check. */
+  private def resolvePointers(spark: SparkSession, path: String,
+                              version: Long,
+                              bucketSet: Option[Set[Long]])
+      : Array[(Long, Long)] = {
+    val man = manifestDf(spark, path)
+    val pre = man.agg(
+      max(when(col("bucket") === -1L, col("version"))).as("f"),
+      count(when(col("version") <= version, lit(1))).as("n")).head()
+    if (!pre.isNullAt(0) && version < pre.getLong(0))
+      throw new IllegalArgumentException(
+        s"version $version predates the checkpoint floor " +
+          s"${pre.getLong(0)} under $path")
+    if (pre.getLong(1) == 0L)
+      throw new IllegalArgumentException(
+        s"version $version predates the first commit under $path")
+    val upTo = man.filter(col("version") <= version)
+    val scoped = bucketSet match {
+      case Some(bs) if bs.isEmpty => upTo.filter(lit(false))
+      case Some(bs) => upTo.filter(col("bucket").isin(bs.toSeq: _*))
+      case None => upTo
+    }
+    scoped
+      .groupBy(col("bucket"))
+      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
+        col("empty").as("empty"))).as("__m"))
+      .select(col("bucket"), col("__m.vdir").as("vdir"),
+        col("__m.empty").as("empty"))
+      .filter(!col("empty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
   }
 
   // --------------------------------------- zero-copy branches
@@ -653,6 +676,127 @@ object Lakehouse {
     if (keys.isEmpty) view else view.filter(col(key).isin(keys: _*))
   }
 
+  // ------------------- per-dir column stats (value-range skipping)
+
+  private def statLongV(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+
+  /** Per-(vdir, bucket, column) min/max rows for a commit's freshly
+    * written dirs, appended to `path/_vstats` — Delta's per-file
+    * stats at this engine's dir grain, computed from the ALREADY
+    * CHECKPOINTED commit frame (stats cost no re-read). Append-only
+    * like the manifest, written BEFORE the manifest rows, so every
+    * published pointer has its stats; a crashed retry may append
+    * duplicate rows for the same dirs, but the rewrite is
+    * deterministic so readers dedupe by (vdir, bucket, column).
+    * Values as LONG (timestamps via `unix_micros` — exact). Stats for
+    * vacuumed dirs go stale harmlessly (nothing resolves to them).
+    * Only [[writeVersioned]]/[[mergeVersioned]] commits carry stats;
+    * [[mergeBranch]]'s rewrite does not — a merged-into base fails
+    * the coverage guard loudly rather than skipping silently. */
+  private def appendVStats(frame: DataFrame, path: String, vdir: Long,
+                           statCols: Seq[String]): Unit =
+    if (statCols.nonEmpty) {
+      statCols.map { c =>
+        frame.groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(min(statLongV(frame, c)).as("min_v"),
+            max(statLongV(frame, c)).as("max_v"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(vdir).as("vdir"), col("bucket"),
+            lit(c).as("col_name"), col("min_v"), col("max_v"),
+            col("n_rows"))
+      }.reduce(_ unionByName _)
+        .coalesce(1).write.mode(SaveMode.Append)
+        .parquet(s"$path/_vstats")
+    }
+
+  /** The stats table, resolved through the `_base` chain like the
+    * data dirs themselves — a branch's pre-fork pointers resolve to
+    * base dirs, whose stats live in the base's `_vstats`. */
+  private def vstatsDf(spark: SparkSession, path: String): DataFrame = {
+    val fs = hfs(spark, path)
+    val own =
+      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_vstats")))
+        Seq(spark.read.parquet(s"$path/_vstats"))
+      else Nil
+    val inherited = baseOf(spark, path).toSeq
+      .map(b => vstatsDf(spark, b))
+    require(own.nonEmpty || inherited.nonEmpty,
+      s"no _vstats under $path — the store was written without " +
+        "statCols; range reads on it cannot prove completeness")
+    (own ++ inherited).reduce(_ unionByName _)
+  }
+
+  /** The (vdir, bucket) dirs a `[lo, hi]` range on `statCol` can
+    * possibly hit AS OF `version`: pointer resolution picks each
+    * bucket's live dir, then its ledgered [min, max] decides — stats
+    * admit false positives, never false negatives, and a resolved
+    * dir with NO stats row for `statCol` dies loudly (silently
+    * skipping an unledgered dir is the one failure data skipping
+    * must never have). Metadata-only: one manifest pass + one
+    * `_vstats` pass, no data read — the pruning evidence a caller
+    * surfaces next to the scan. */
+  def versionedRangeDirs(spark: SparkSession, path: String,
+                         version: Long, statCol: String,
+                         lo: Long, hi: Long): Seq[(Long, Long)] = {
+    val ptr = resolvePointers(spark, path, version, None)
+    if (ptr.isEmpty) return Nil
+    val st = vstatsDf(spark, path)
+      .filter(col("col_name") === statCol)
+      .groupBy(col("vdir"), col("bucket"))
+      .agg(min(col("min_v")).as("mn"), max(col("max_v")).as("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val missing = ptr.filterNot { case (bk, vd) => st.contains((vd, bk)) }
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"no '$statCol' stats for resolved dir(s) " +
+          missing.sortBy(_._1).map { case (bk, vd) => s"v$vd/bucket=$bk" }
+            .mkString(", ") +
+          s" under $path — a range read would silently skip them")
+    ptr.toSeq.collect {
+      case (bk, vd) if st((vd, bk))._2 >= lo && st((vd, bk))._1 <= hi =>
+        (vd, bk)
+    }.sorted
+  }
+
+  /** Range scan over the versioned store WITH stats skipping — the
+    * [[StatsStore.readRange]] mechanic composed with time travel:
+    * only the dirs [[versionedRangeDirs]] admits are opened (their
+    * `v<N>/bucket=<k>` paths are the read roots — pair-level, so a
+    * surviving dir never drags a cold sibling in), the row predicate
+    * still applies on top, and `version` travels like any
+    * [[readVersioned]]. Skipping pays exactly when the store's KEY
+    * carries the queried dimension in its bucket bits (the tkey
+    * discipline — e.g. key = id·B + timeBucket makes `bucket` the
+    * time axis); a plain key-mod layout anti-clusters every
+    * key-correlated column and prunes nothing, the same truth
+    * [[StatsStore]] documents for its bucket axis. */
+  def readVersionedRange(spark: SparkSession, path: String,
+                         version: Long, statCol: String,
+                         lo: Long, hi: Long): DataFrame = {
+    val dirs = versionedRangeDirs(spark, path, version, statCol, lo, hi)
+    if (dirs.isEmpty)
+      return readVersioned(spark, path, version, Some(Set.empty))
+    val pruned = dirs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (vd, prs) =>
+        val base = vdirPath(spark, path, vd)
+        spark.read.option("basePath", base)
+          .parquet(prs.map(p => s"$base/bucket=${p._2}").sorted: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val rowPred = pruned.schema(statCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        col(statCol).between(timestamp_micros(lit(lo)),
+          timestamp_micros(lit(hi)))
+      case _ => col(statCol).cast("long").between(lo, hi)
+    }
+    pruned.filter(rowPred)
+  }
+
   /** Merge a batch as version `version` — REQUIRED to be exactly one
     * past the manifest's max (checked; an out-of-order or duplicate
     * version would append conflicting pointers and corrupt time
@@ -666,7 +810,8 @@ object Lakehouse {
   def mergeVersioned(spark: SparkSession, path: String, version: Long,
                      batch: DataFrame, key: String, buckets: Int,
                      commitTs: Long = -1L,
-                     writerToken: String = "solo"): (Long, Long) = {
+                     writerToken: String = "solo",
+                     statCols: Seq[String] = Nil): (Long, Long) = {
     val cts = if (commitTs == -1L) version else commitTs
     val maxRow = manifestDf(spark, path)
       .agg(max(col("version")),
@@ -720,6 +865,7 @@ object Lakehouse {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$path/v$version")
+    appendVStats(replacement, path, version, statCols)
     val written = replacement.select(col("bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
     val rows = touched.toSeq.sorted.map { bk =>
@@ -857,7 +1003,19 @@ object Lakehouse {
     * resolve through the `_base` chain — i.e. they are the base's) —
     * a manifest-only scan per branch — and retains them regardless of
     * the base's own retention floor. Chained clones vacuum level by
-    * level: each store's vacuum takes ITS direct branches. */
+    * level: each store's vacuum takes ITS direct branches.
+    *
+    * CAVEAT on the level-by-level contract: it relies on every
+    * intermediate branch's manifest still LISTING the base vdirs its
+    * own clones resolve through. [[checkpointManifest]] on a branch
+    * collapses pointer rows below the branch's floor — if a
+    * grandchild forked before that checkpoint, the collapse can drop
+    * base-vdir rows the grandchild's copied manifest still resolves
+    * to, and a base vacuum given only direct branches may then delete
+    * dirs the grandchild needs. Rule: either do not checkpoint a
+    * branch that has live clones of its own, or pass the TRANSITIVE
+    * clone set to this call (every store in the `_base` chains) so
+    * each clone's needs are collected from its own manifest. */
   def vacuumVersionsSafe(spark: SparkSession, path: String,
                          floor: Long,
                          branches: Seq[String]): (Long, Long) = {
@@ -1326,6 +1484,65 @@ object Lakehouse {
     rows.size.toLong
   }
 
+  /** REBASE a branch onto its base's CURRENT head (manifest-only):
+    * the branch's manifest is replaced by a fresh copy of the base's
+    * — the in-place equivalent of deleting the branch and re-forking
+    * — so a long-lived branch survives promote cycles. After
+    * [[mergeBranch]] lands a branch's edits on the base, the branch's
+    * conflict set vs the advanced base is spuriously non-empty (the
+    * base "moved" the very buckets the branch itself contributed); a
+    * rebase resets the fork floor to the base head, and the next
+    * round of edits merges back conflict-free. The branch's own
+    * post-fork HISTORY is surrendered: its local version dirs (and
+    * its `_vstats` rows, which describe only those dirs) are deleted
+    * — unreferenced once the manifest swaps, and left behind they
+    * would SHADOW base vdirs with the same numbers. Requires: the
+    * branch's pending edits are already merged (this is the
+    * post-promote step) and the branch has no clones of its own
+    * (their manifests reference the dirs this deletes). Crash-safe:
+    * the staged manifest copy is garbage until the delete→rename swap
+    * ([[recoverManifest]] completes a crash between them); a crash
+    * after the dir deletes but before the swap leaves the branch's
+    * own-version reads failing LOUDLY until the rebase re-runs —
+    * never silently wrong. Returns the new fork version (the base
+    * head). */
+  def rebaseBranch(spark: SparkSession, branch: String,
+                   base: String): Long = {
+    recoverManifest(spark, base)
+    recoverManifest(spark, branch)
+    require(baseOf(spark, branch).contains(base),
+      s"$branch is not a branch of $base (no matching _base pointer)")
+    val head = manifestDf(spark, base)
+      .agg(max(when(col("bucket") =!= -1L, col("version")))).head()
+    require(!head.isNullAt(0),
+      s"cannot rebase onto an empty store at $base")
+    val fs = hfs(spark, branch)
+    val broot = new org.apache.hadoop.fs.Path(branch)
+    val mpath = new org.apache.hadoop.fs.Path(branch, "_manifest")
+    val nextPath = new org.apache.hadoop.fs.Path(branch,
+      "_manifest__next")
+    fs.delete(nextPath, true)
+    org.apache.hadoop.fs.FileUtil.copy(hfs(spark, base),
+      new org.apache.hadoop.fs.Path(base, "_manifest"),
+      fs, nextPath, false, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(nextPath, "_SUCCESS")))
+      throw new java.io.IOException(
+        s"rebase staging incomplete (no _SUCCESS) at $nextPath")
+    // own dirs go before the swap: if the crash lands between, the
+    // branch's own-version reads fail loudly (dir missing) and the
+    // re-run completes — the other order would leave stale dirs
+    // silently shadowing base vdirs of the same number
+    fs.listStatus(broot)
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+      .foreach(s => fs.delete(s.getPath, true))
+    fs.delete(new org.apache.hadoop.fs.Path(branch, "_vstats"), true)
+    fs.delete(mpath, true)
+    if (!fs.rename(nextPath, mpath))
+      throw new java.io.IOException(
+        s"rebase swap failed: $nextPath -> $mpath")
+    head.getLong(0)
+  }
+
   /** BITEMPORAL (as-of) JOIN against the versioned store: each probe
     * row joins the dimension state AS OF its own timestamp — the
     * per-row generalization of [[readVersionedAsOf]] (which resolves
@@ -1339,7 +1556,15 @@ object Lakehouse {
     * never probes) × candidate buckets per version. Probes before the
     * first commit get no match (left join, null payload) — the
     * history simply doesn't cover them. Probe columns are preserved;
-    * dimension payload columns join on `key`. */
+    * dimension payload columns join on `key`.
+    *
+    * The PROBE side is scanned ONCE: the stamped frame is
+    * checkpointed before the version collect and the per-version
+    * loop — un-checkpointed, every per-version candidate collect and
+    * join would re-scan the probe source (V + 1 probe passes for V
+    * stamped versions). The returned frame is materialized
+    * (probe-sized) so the stamped checkpoint can be released here
+    * rather than leaking to the caller. */
   def asOfJoinVersioned(spark: SparkSession, probes: DataFrame,
                         tsCol: String, path: String, key: String,
                         buckets: Int): DataFrame = {
@@ -1358,27 +1583,32 @@ object Lakehouse {
         (col("w_end").isNull || col(tsCol) < col("w_end")),
       "left")
       .drop("w_start", "w_end")
-    val versions = stamped.filter(col("__v").isNotNull)
-      .select(col("__v")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val unmatched = stamped.filter(col("__v").isNull)
-    val perVersion = versions.map { v =>
-      val pv = stamped.filter(col("__v") === v)
-      val cand = pv.select(pmod(col(key), lit(buckets.toLong))
-          .cast("long").as("b")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      pv.join(
-        readVersioned(spark, path, v, Some(cand)).drop("bucket"),
-        Seq(key), "left")
+      .localCheckpoint(true)
+    try {
+      val versions = stamped.filter(col("__v").isNotNull)
+        .select(col("__v")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      val unmatched = stamped.filter(col("__v").isNull)
+      val perVersion = versions.map { v =>
+        val pv = stamped.filter(col("__v") === v)
+        val cand = pv.select(pmod(col(key), lit(buckets.toLong))
+            .cast("long").as("b")).distinct()
+          .collect().map(_.getLong(0)).toSet
+        pv.join(
+          readVersioned(spark, path, v, Some(cand)).drop("bucket"),
+          Seq(key), "left")
+      }
+      val joined = perVersion.reduceOption(
+        _.unionByName(_, allowMissingColumns = true))
+      val out = joined match {
+        case None => unmatched
+        case Some(j) =>
+          j.unionByName(unmatched, allowMissingColumns = true)
+      }
+      out.drop("__v").localCheckpoint(true)
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(stamped)
     }
-    val joined = perVersion.reduceOption(
-      _.unionByName(_, allowMissingColumns = true))
-    val out = joined match {
-      case None => unmatched
-      case Some(j) =>
-        j.unionByName(unmatched, allowMissingColumns = true)
-    }
-    out.drop("__v")
   }
 
   /** DESCRIBE HISTORY for the versioned store — the operational
@@ -1386,9 +1616,12 @@ object Lakehouse {
     * ENTIRELY from the manifest (metadata-sized, no data read):
     * commit_ts, pointer count, tombstone count, and whether the
     * commit rewrote data (vdir == version) or only re-pointed
-    * (RESTORE / merge-back tombstones). The checkpoint floor marker
-    * row is surfaced as its own `is_floor` row so collapsed history
-    * is visible, not silent. */
+    * (RESTORE / merge-back tombstones). A checkpoint's floor marker
+    * shares its version number with the commit the floor collapsed
+    * INTO, so it surfaces as `is_floor = true` ON that version's row
+    * (the pointer/tombstone counts there are the collapsed state's) —
+    * collapsed history is flagged, not silent, and not a separate
+    * row. */
   def storeHistory(spark: SparkSession, path: String): DataFrame =
     manifestDf(spark, path)
       .groupBy(col("version"))

@@ -372,6 +372,57 @@ object LakehouseQueries {
             audit.getOrElse("added", 0L)).as("audit_collateral"),
           lit(nPtr).as("merged_pointers")))
     }),
+    // BRANCH REBASE — the long-lived-branch story: after a
+    // merge-back promotes round-1 edits (bucket 3 -> 'br1'), the OLD
+    // fork floor sees the base's new commit as a conflict on the very
+    // bucket the branch itself contributed (conflicts_stale = 1, the
+    // spurious-conflict evidence); rebaseBranch re-points the branch
+    // to the base head (manifest-only — the fresh-fork equivalent,
+    // in place), after which round-2 edits ON THE SAME BUCKET merge
+    // back clean (conflicts_fresh = 0). Oracle = the final base
+    // state from the two edit rounds alone.
+    "q390_branch_rebase" -> ((s, d) => {
+      val src = tmp("graft_rbsrc_", d)
+      val br = tmp("graft_rbbr_", d)
+      rmDir(s, src); rmDir(s, br)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", src, buckets = 16,
+        commitTs = 100L)
+      val fork1 = Lakehouse.branchVersioned(s, src, br)
+      val r1 = base.filter(col("doc_id") % 16 === 3)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("br1").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, br, 1L, r1, "doc_id", 16,
+        commitTs = 200L)
+      val m1 = Lakehouse.mergeBranch(s, src, br, forkVersion = fork1,
+        asVersion = 1L, commitTs = 300L)
+      val confStale = Lakehouse.branchConflicts(s, src, br, fork1)
+        .size.toLong
+      val fork2 = Lakehouse.rebaseBranch(s, br, src)
+      val confFresh = Lakehouse.branchConflicts(s, src, br, fork2)
+        .size.toLong
+      // round 2 touches the SAME bucket the promote just moved — the
+      // exact shape the stale floor refuses
+      val r2d = base.filter(col("doc_id") % 16 === 3 &&
+          col("doc_id") % 7 === 3)
+        .select(col("doc_id"), lit("D").as("op"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      val r2u = base.filter(col("doc_id") % 16 === 3 &&
+          col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("br2").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, br, 2L, r2d.unionByName(r2u),
+        "doc_id", 16, commitTs = 400L)
+      val m2 = Lakehouse.mergeBranch(s, src, br, forkVersion = fork2,
+        asVersion = 2L, commitTs = 500L)
+      Lakehouse.storeManifest(Lakehouse.readVersioned(s, src, 2L),
+          "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(m1).as("merged_1"), lit(m2).as("merged_2"),
+          lit(confStale).as("conflicts_stale"),
+          lit(confFresh).as("conflicts_fresh"),
+          lit(fork2).as("refork_version")))
+    }),
     // BRANCH-AWARE VACUUM — the shallow-clone hazard closed: the
     // base's retention pass retains every dir a branch's pre-fork
     // pointers still resolve to (safe pass deletes nothing here:
@@ -461,6 +512,49 @@ object LakehouseQueries {
         .crossJoin(s.range(1).select(
           lit(nB).as("n_batches_read"),
           lit(5L).as("n_batches_total")))
+    }),
+    // STATS SKIPPING ON THE VERSIONED STORE — per-(vdir, bucket)
+    // min/max recorded at commit time, consulted through pointer
+    // resolution: the store's key carries the week index in its
+    // bucket bits (k = event_id·8 + week — the tkey discipline, the
+    // only layout where bucket stats are non-vacuous on time), v0
+    // lands weeks 0-2, v1 merges weeks 3-4 (a bucket-sparse commit,
+    // as time-ordered arrival always is). A week-3 range at the HEAD
+    // resolves 5 dirs but OPENS 1 (v1/bucket=3); the same range
+    // TIME-TRAVELED to v0 opens 0 — value-range pruning composed
+    // with time travel, both counts inside the hash against the
+    // oracle's per-week min/max derivation.
+    "q389_vrange_skipping" -> ((s, d) => {
+      val path = tmp("graft_vrs_", d)
+      rmDir(s, path)
+      val jan1 = 1704067200000000000L
+      val wk = 604800000000000L // 7 days in ns
+      val ev = t(s, d, "events").withColumn("wk",
+        least(lit(4L), greatest(lit(0L),
+          expr(s"(ts - $jan1) div $wk"))))
+        .withColumn("k", col("event_id") * 8L + col("wk"))
+      Lakehouse.writeVersioned(ev.filter(col("wk") <= 2L).drop("wk"),
+        "k", path, buckets = 8, commitTs = 100L,
+        statCols = Seq("ts"))
+      Lakehouse.mergeVersioned(s, path, 1L,
+        ev.filter(col("wk") >= 3L).drop("wk")
+          .withColumn("op", lit("U")),
+        "k", 8, commitTs = 200L, statCols = Seq("ts"))
+      val lo = jan1 + 3L * wk        // week 3 start
+      val hi = jan1 + 4L * wk - 1L   // week 3 end (inclusive)
+      val nHead = Lakehouse.versionedRangeDirs(s, path, 1L, "ts",
+        lo, hi).size.toLong
+      val nV0 = Lakehouse.versionedRangeDirs(s, path, 0L, "ts",
+        lo, hi).size.toLong
+      Lakehouse.readVersionedRange(s, path, 1L, "ts", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(nHead).as("n_dirs_read"),
+          lit(nV0).as("n_dirs_v0")))
     }),
     // DESCRIBE HISTORY — the versioned store's operational surface,
     // derived entirely from the manifest (no data read): one row per
@@ -1414,6 +1508,47 @@ object LakehouseQueries {
         |  false, false
         |UNION ALL SELECT 3, 400, (SELECT n FROM v2b)::BIGINT, 0,
         |  true, false""".stripMargin,
+    "q389_vrange_skipping" ->
+      """WITH e AS (SELECT *, least(4, greatest(0,
+        |    (epoch_ns(ts) - 1704067200000000000)
+        |      // 604800000000000)) AS wk
+        |  FROM events),
+        |nb AS (SELECT count(*) AS n FROM (
+        |  SELECT wk, min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |  FROM e GROUP BY wk)
+        | WHERE mx >= 1705881600000000000
+        |   AND mn <= 1706486399999999999),
+        |nb0 AS (SELECT count(*) AS n FROM (
+        |  SELECT wk, min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
+        |  FROM e WHERE wk <= 2 GROUP BY wk)
+        | WHERE mx >= 1705881600000000000
+        |   AND mn <= 1706486399999999999),
+        |r AS (SELECT * FROM e WHERE epoch_ns(ts)
+        |  BETWEEN 1705881600000000000 AND 1706486399999999999)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  (SELECT n FROM nb)::BIGINT AS n_dirs_read,
+        |  (SELECT n FROM nb0)::BIGINT AS n_dirs_v0
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q390_branch_rebase" ->
+      """WITH fin AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 16 = 3 THEN 'br2' ELSE source END
+        |      AS source, n_chars
+        |  FROM documents
+        |  WHERE NOT (doc_id % 16 = 3 AND doc_id % 7 = 3))
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(1 AS BIGINT) AS merged_1, CAST(1 AS BIGINT) AS merged_2,
+        |  CAST(1 AS BIGINT) AS conflicts_stale,
+        |  CAST(0 AS BIGINT) AS conflicts_fresh,
+        |  CAST(1 AS BIGINT) AS refork_version
+        |FROM fin GROUP BY doc_id % 16""".stripMargin,
     "q386_asof_join_versioned" ->
       """SELECT doc_id,
         |  CAST(50 + (doc_id % 4) * 100 AS BIGINT) AS pts,
@@ -1448,7 +1583,7 @@ object LakehouseQueries {
     "q380_stats_compact" ->
       """WITH m AS (SELECT max(event_id) // 5 + 1 AS per FROM events),
         |nb AS (SELECT count(*) AS n FROM (
-        |  SELECT CASE WHEN event_id // (SELECT per FROM m) <= 2 THEN 5
+        |  SELECT CASE WHEN event_id // (SELECT per FROM m) <= 2 THEN -1
         |              ELSE event_id // (SELECT per FROM m) END AS b,
         |    min(epoch_ns(ts)) AS mn, max(epoch_ns(ts)) AS mx
         |  FROM events GROUP BY 1)
@@ -1460,7 +1595,7 @@ object LakehouseQueries {
         |SELECT event_type, count(*)::BIGINT AS n_events,
         |  md5(string_agg(CAST(event_id AS VARCHAR), ','
         |    ORDER BY event_id)) AS ids_md5,
-        |  CAST(5 AS BIGINT) AS compacted_into,
+        |  CAST(-1 AS BIGINT) AS compacted_into,
         |  CAST(3 AS BIGINT) AS n_batches_live,
         |  (SELECT count(*) FROM events)::BIGINT AS total_rows,
         |  (SELECT n FROM nb)::BIGINT AS n_batches_read

@@ -58,6 +58,33 @@ object StatsStore {
       case _ => col(c).cast("long")
     }
 
+  /** Empty-but-typed store view for a store whose batches have all
+    * expired: the `_schema` sentinel (an empty parquet written at
+    * first ingest) carries the full read-back schema, so a fully
+    * drained store reads as zero rows instead of dying in parquet
+    * schema inference (no `batch=` dirs remain to infer from). */
+  private def emptyStore(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path, "_schema")
+    require(fsOf(spark, path).exists(p),
+      s"store at $path has no live batches and no _schema sentinel")
+    spark.read.parquet(p.toString).filter(lit(false))
+  }
+
+  /** Write the `_schema` sentinel once (first ingest): an empty frame
+    * in the exact shape a partitioned read of the store yields — the
+    * data columns, then `batch` and `bucket`. Idempotent: a complete
+    * sentinel (`_SUCCESS` present) is never rewritten; a crashed
+    * partial write is overwritten by the next ingest. */
+  private def ensureSchemaSentinel(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_schema")
+    if (fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))) return
+    df.limit(0)
+      .withColumn("batch", lit(0L)).withColumn("bucket", lit(0L))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir.toString)
+  }
+
   /** Complete an interrupted maintenance swap (the
     * [[Lakehouse.checkpointManifest]] recovery discipline): `_stats`
     * absent + a COMPLETE `_stats__next` ⇒ the crash fell between
@@ -140,12 +167,19 @@ object StatsStore {
                   statCols: Seq[String]): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(statCols.nonEmpty, "statCols must name at least one column")
+    require(batch >= 0L,
+      s"ingest batch ids are non-negative (got $batch): the negative " +
+        "range is the compaction-output namespace — disjoint so a " +
+        "compaction can never mint an id a later streaming micro-batch " +
+        "will present, which would silently drop that batch's data " +
+        "while its checkpoint advances")
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     if (fs.exists(new org.apache.hadoop.fs.Path(path, "_stats")) ||
         fs.exists(new org.apache.hadoop.fs.Path(path, "_stats__next"))) {
       if (statsBatches(spark, path).contains(batch)) return // ledgered
     }
+    ensureSchemaSentinel(df, path)
     val b = df
       .withColumn("bucket", pmod(col(key), lit(buckets.toLong)))
       .withColumn("batch", lit(batch))
@@ -174,9 +208,23 @@ object StatsStore {
     * is invisible). */
   def readStore(spark: SparkSession, path: String): DataFrame = {
     val live = statsBatches(spark, path).toSeq.sorted
+    if (live.isEmpty) return emptyStore(spark, path)
     spark.read.parquet(path)
       .filter(col("batch").isin(live: _*))
   }
+
+  /** Open EXACTLY the surviving `batch=<b>/bucket=<k>` dirs as read
+    * roots (`basePath` keeps the partition columns). A batch-set ×
+    * bucket-set `isin` pair would also admit the CROSS-PRODUCT dirs —
+    * batch A's cold buckets that only survived through batch B — so
+    * the roots are the pairs themselves. Every (batch, bucket) stats
+    * row has a dir: ingest writes stats only for buckets the batch
+    * landed, and compaction merges stats per bucket it rewrote. */
+  private def readPairs(spark: SparkSession, path: String,
+                        pairs: Seq[(Long, Long)]): DataFrame =
+    spark.read.option("basePath", path)
+      .parquet(pairs.sorted.map { case (b, k) =>
+        s"$path/batch=$b/bucket=$k" }: _*)
 
   /** Stats rows for one column, GUARDED: a live batch with no stats
     * row for `statCol` would be silently invisible to a range scan —
@@ -208,26 +256,21 @@ object StatsStore {
       .select(col("batch")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
 
-  /** Range scan with stats skipping: only batches [[rangeBatches]]
-    * admits are opened (a partition filter on the batch dir — dirs of
-    * skipped batches are never listed past the top level), buckets
-    * within a surviving batch prune the same way off the per-bucket
-    * stats rows, and the row-level range predicate still applies on
-    * top (stats admit false positives by design, never false
-    * negatives). */
+  /** Range scan with stats skipping: only the (batch, bucket) PAIRS
+    * whose stats intersect the range are opened — their dirs are the
+    * read roots ([[readPairs]]), so a surviving batch's cold buckets
+    * and a surviving bucket's cold batches are both skipped (a
+    * batch-set × bucket-set filter would read that cross product).
+    * The row-level range predicate still applies on top (stats admit
+    * false positives by design, never false negatives). */
   def readRange(spark: SparkSession, path: String, statCol: String,
                 lo: Long, hi: Long): DataFrame = {
     val st = statsFor(spark, path, statCol)
       .filter(col("max_v") >= lo && col("min_v") <= hi)
       .select(col("batch"), col("bucket")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val base = spark.read.parquet(path)
-    if (st.isEmpty) return base.filter(lit(false))
-    val batches = st.map(_._1).distinct.toSeq
-    val bks = st.map(_._2).distinct.toSeq
-    val pruned = base
-      .filter(col("batch").isin(batches: _*) &&
-        col("bucket").isin(bks: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    if (st.isEmpty) return emptyStore(spark, path)
+    val pruned = readPairs(spark, path, st)
     // the row predicate in the column's NATIVE type so it pushes into
     // the parquet scan (a unix_micros() wrapper would evaluate
     // post-scan); unix_micros is monotone, so the bounds map exactly
@@ -256,13 +299,8 @@ object StatsStore {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     }
     val pairs = perPred.reduce(_ intersect _)
-    val base = spark.read.parquet(path)
-    if (pairs.isEmpty) return base.filter(lit(false))
-    val batches = pairs.map(_._1).toSeq.distinct
-    val bks = pairs.map(_._2).toSeq.distinct
-    val pruned = base
-      .filter(col("batch").isin(batches: _*) &&
-        col("bucket").isin(bks: _*))
+    if (pairs.isEmpty) return emptyStore(spark, path)
+    val pruned = readPairs(spark, path, pairs.toSeq)
     preds.foldLeft(pruned) { case (df, (c, lo, hi)) =>
       val rowPred = df.schema(c).dataType match {
         case TimestampType =>
@@ -275,8 +313,13 @@ object StatsStore {
   }
 
   /** Bin-pack COMPACTION (OPTIMIZE): rewrite the given batches as ONE
-    * fresh batch (id = max live id + 1 — ingest sequences and
-    * compaction outputs share the id space), stats re-merged per
+    * fresh batch whose id comes from the NEGATIVE namespace (first
+    * compaction −1, then −2, …) — disjoint from ingest ids (≥ 0, see
+    * [[appendBatch]]), so a compaction can never mint an id a later
+    * streaming micro-batch presents: `live.max + 1` would land in the
+    * batchId sequence and make [[appendBatch]]'s ledger check silently
+    * swallow that real batch while its checkpoint advanced. Stats
+    * re-merged per
     * (bucket, column): min of mins, max of maxes, summed row counts —
     * NO data re-scan for stats. Publish is the atomic `_stats` swap;
     * the superseded dirs become invisible orphans GC'd here and by
@@ -292,7 +335,7 @@ object StatsStore {
     require(ids.nonEmpty && ids.forall(live.contains),
       s"compactBatches: ${ids.filterNot(live.contains).mkString(", ")}" +
         " not live in the ledger")
-    val into = live.max + 1
+    val into = live.filter(_ < 0L).foldLeft(0L)(math.min) - 1L
     val rows = spark.read.parquet(path)
       .filter(col("batch").isin(ids: _*))
       .withColumn("batch", lit(into))
@@ -326,6 +369,20 @@ object StatsStore {
                     cutoff: Long): Seq[Long] = {
     gcOrphans(spark, path)
     val old = statsDf(spark, path).localCheckpoint(true)
+    // the statsFor missing-column guard, on the retention path too: a
+    // live batch with no statCol rows (or a mis-spelled column) would
+    // otherwise be silently retained FOREVER — the loud-failure
+    // contract cuts both ways (reads must never skip an unledgered
+    // batch; expiry must never leak one)
+    val uncovered = old.select(col("batch")).distinct()
+      .join(old.filter(col("col_name") === statCol)
+        .select(col("batch")).distinct(), Seq("batch"), "left_anti")
+      .collect().map(_.getLong(0))
+    if (uncovered.nonEmpty)
+      throw new IllegalArgumentException(
+        s"no '$statCol' stats for batch(es) " +
+          s"${uncovered.sorted.mkString(", ")} under $path — expiry " +
+          "on it would silently retain them forever")
     val doomed = old.filter(col("col_name") === statCol)
       .groupBy(col("batch"))
       .agg(max(col("max_v")).as("mx"))

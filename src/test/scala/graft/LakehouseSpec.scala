@@ -1036,6 +1036,50 @@ class LakehouseSpec extends AnyFunSuite {
     assert(miss < 100L, s"missing-range scan read $miss rows")
   }
 
+  test("StatsStore range scan opens surviving (batch, bucket) PAIRS, " +
+    "not the batch-set x bucket-set cross product (measured " +
+    "recordsRead, with accounting and a negative control)") {
+    val path = freshDir("graft_statpair")
+    // 2 batches x 2 buckets, 5000 rows per dir; each batch has ONE
+    // hot bucket in the probe band [100, 5099] and one cold bucket —
+    // batch pruning alone keeps BOTH batches, so only pair-level
+    // roots can halve the read
+    (0L until 2L).foreach { b =>
+      val df = (0L until 10000L).map { i =>
+        val hot = (b == 0L && i % 2 == 1L) || (b == 1L && i % 2 == 0L)
+        val v = if (hot) 100L + i / 2
+                else 500000L + b * 200000L + i / 2
+        (b * 10000L + i, v) // k bands disjoint per batch
+      }.toDF("k", "v")
+      StatsStore.appendBatch(df, "k", path, buckets = 2, batch = b,
+        statCols = Seq("v", "k"))
+    }
+    // both batches survive the band — the cross product is all 4 dirs
+    assert(StatsStore.rangeBatches(spark, path, "v", 100L, 5099L) ==
+      Seq(0L, 1L))
+    // accounting control: a full pass costs >= 20000 records
+    assert(recordsReadDuring(
+      StatsStore.readStore(spark, path).count()) >= 20000L)
+    // the pruned scan reads ~the 2 hot dirs (10000 rows), never the
+    // 2 cold dirs the batch-set x bucket-set isin pair would admit
+    val scanned = recordsReadDuring {
+      val got = StatsStore.readRange(spark, path, "v", 100L, 5099L)
+      assert(got.count() == 10000L)
+    }
+    assert(scanned < 12000L,
+      s"pair-pruned range scan read $scanned rows (expected ~10000; " +
+        "20000 means the cross-product dirs were opened)")
+    // multi-predicate intersection prunes at the pair grain too: a k
+    // band covering only batch 0 intersected with the hot-v band
+    // leaves ONE dir (batch 0, bucket 1)
+    val multi = recordsReadDuring {
+      assert(StatsStore.readRangeMulti(spark, path,
+        Seq(("v", 100L, 5099L), ("k", 0L, 9999L))).count() == 5000L)
+    }
+    assert(multi < 7000L,
+      s"pair-pruned multi scan read $multi rows (expected ~5000)")
+  }
+
   test("diffStores on a fresh fork reads NOTHING (zero-copy pointer " +
     "equality); after a narrow divergence it reads only the " +
     "differing bucket") {
@@ -1217,20 +1261,23 @@ class LakehouseSpec extends AnyFunSuite {
     assert(StatsStore.readStore(spark, path).count() == 300L)
     // ...and the next maintenance GCs it
     val into = StatsStore.compactBatches(spark, path, "k", Seq(0L, 1L))
-    assert(into == 3L)
+    // compaction ids come from the negative namespace — disjoint from
+    // streaming batchIds, so a post-compaction micro-batch can never
+    // collide with a compaction output in the ledger
+    assert(into == -1L)
     assert(!Files.exists(Paths.get(path, "batch=9")))
     assert(!Files.exists(Paths.get(path, "batch=0")))
     // lossless across compaction; stats merged per bucket
     assert(StatsStore.readStore(spark, path).count() == 300L)
     val st = spark.read.parquet(s"$path/_stats")
-      .filter(col("batch") === 3L)
+      .filter(col("batch") === -1L)
       .agg(min(col("min_v")), max(col("max_v")), sum(col("n_rows")))
       .head()
     assert(st.getLong(0) == 0L && st.getLong(1) == 1099L &&
       st.getLong(2) == 200L)
     // a range inside old batch 0's band now opens the merged batch
     assert(StatsStore.rangeBatches(spark, path, "v", 0L, 99L) ==
-      Seq(3L))
+      Seq(-1L))
     assert(StatsStore.readRange(spark, path, "v", 0L, 99L)
       .count() == 100L)
     // torn-swap drill: a COMPLETE staged _stats__next beside a
@@ -1248,12 +1295,37 @@ class LakehouseSpec extends AnyFunSuite {
     // expiry: cutoff 2000 drops the merged batch (max 1099), keeps
     // batch 2 — and only its dirs remain
     assert(StatsStore.expireBatches(spark, path, "v", 2000L) ==
-      Seq(3L))
+      Seq(-1L))
     assert(StatsStore.readStore(spark, path).count() == 100L)
-    assert(!Files.exists(Paths.get(path, "batch=3")))
+    assert(!Files.exists(Paths.get(path, "batch=-1")))
     assert(Files.exists(Paths.get(path, "batch=2")))
     // idempotent: nothing left below the cutoff
     assert(StatsStore.expireBatches(spark, path, "v", 2000L).isEmpty)
+    // a FULLY-expired store stays readable (the _schema sentinel):
+    // zero rows, the store's own schema — not a parquet inference
+    // error over a dir with only metadata left
+    assert(StatsStore.expireBatches(spark, path, "v",
+      Long.MaxValue) == Seq(2L))
+    assert(StatsStore.readStore(spark, path).count() == 0L)
+    assert(StatsStore.readStore(spark, path).columns.toSeq ==
+      Seq("k", "v", "batch", "bucket"))
+    assert(StatsStore.readRange(spark, path, "v", 0L, 99L)
+      .count() == 0L)
+    // expiry on an unledgered column dies loudly instead of silently
+    // retaining batches forever (the retention-leak guard)
+    StatsStore.appendBatch(
+      (0L until 10L).map(i => (i, i)).toDF("k", "v"),
+      "k", path, buckets = 2, batch = 7L, statCols = Seq("v"))
+    val leak = intercept[IllegalArgumentException] {
+      StatsStore.expireBatches(spark, path, "nope", 0L)
+    }
+    assert(leak.getMessage.contains("nope"))
+    // ingest ids must stay out of the compaction namespace
+    intercept[IllegalArgumentException] {
+      StatsStore.appendBatch(
+        (0L until 10L).map(i => (i, i)).toDF("k", "v"),
+        "k", path, buckets = 2, batch = -5L, statCols = Seq("v"))
+    }
   }
 
   test("StreamingStats sink lands micro-batches exactly-once through " +
@@ -1302,6 +1374,139 @@ class LakehouseSpec extends AnyFunSuite {
     // key 1 lives in the 100-row bucket; both stamped versions read
     // only that bucket — the 30k fat buckets stay cold
     assert(scanned < 1500L, s"as-of join read $scanned rows")
+  }
+
+  test("asOfJoinVersioned evaluates the probe side ONCE, not once " +
+    "per stamped version (counted probe-scan evaluations, with " +
+    "accounting)") {
+    val path = freshDir("graft_asof1p")
+    def dim(src: String) = (0L until 8L)
+      .map(i => (i, s"text $i", "en", src, 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Lakehouse.writeVersioned(dim("s0"), "doc_id", path, buckets = 2,
+      commitTs = 100L)
+    Lakehouse.mergeVersioned(spark, path, 1L,
+      dim("s1").withColumn("op", lit("U")), "doc_id", 2,
+      commitTs = 200L)
+    Lakehouse.mergeVersioned(spark, path, 2L,
+      dim("s2").withColumn("op", lit("U")), "doc_id", 2,
+      commitTs = 300L)
+    // 200k probes spread over all three commit windows, tapped by an
+    // accumulator UDF: every EVALUATION of the probe subtree counts
+    // once per row, while re-reads of the stamped CHECKPOINT do not
+    // re-run it — exactly the one-pass contract (recordsRead can't
+    // make this distinction: cache-block rows count there too)
+    val acc = spark.sparkContext.longAccumulator("probe_evals")
+    val tap = udf { (x: Long) => acc.add(1L); x }
+    val probes = spark.range(200000L)
+      .select(tap((col("id") % 8L)).as("doc_id"),
+        (lit(150L) + col("id") % 3L * 100L).as("pts"))
+    val got = Lakehouse.asOfJoinVersioned(spark, probes, "pts", path,
+      "doc_id", 2)
+    assert(got.count() == 200000L)
+    // stamping spot-checks: each window resolves its own source
+    assert(got.filter(col("pts") === 150L &&
+      col("source") =!= "s0").count() == 0L)
+    assert(got.filter(col("pts") === 350L &&
+      col("source") =!= "s2").count() == 0L)
+    // accounting: the probe rows really flow through the tap...
+    assert(acc.value >= 200000L,
+      s"probe scan unaccounted: ${acc.value} evaluations")
+    // ...and only once — the un-checkpointed shape re-evaluated the
+    // probe source for the version collect AND once per stamped
+    // version (4x here)
+    assert(acc.value < 400000L,
+      s"probe side evaluated ${acc.value} times for 200000 rows — " +
+        "the stamped frame is being re-scanned per version")
+  }
+
+  test("versioned-store stats skipping opens only intersecting dirs " +
+    "(measured recordsRead), composes with time travel, and dies " +
+    "loudly on any resolved dir without stats") {
+    val path = freshDir("graft_vstat")
+    // the key carries the band in its bucket bits (k = id*4 + band —
+    // the tkey discipline), so each band owns one bucket and its v
+    // range [band*10000, band*10000+9999] is the dir's stats band
+    def rows(bands: Seq[Long]) = bands.flatMap { b =>
+      (0L until 10000L).map(i => (i * 4L + b, b * 10000L + i, s"p$b"))
+    }.toDF("k", "v", "src")
+    Lakehouse.writeVersioned(rows(Seq(0L, 1L)), "k", path, buckets = 4,
+      commitTs = 100L, statCols = Seq("v"))
+    Lakehouse.mergeVersioned(spark, path, 1L,
+      rows(Seq(2L, 3L)).withColumn("op", lit("U")), "k", 4,
+      commitTs = 200L, statCols = Seq("v"))
+    // head: a band-2 range resolves 4 dirs, admits exactly 1
+    assert(Lakehouse.versionedRangeDirs(spark, path, 1L, "v",
+      20000L, 29999L) == Seq((1L, 2L)))
+    // accounting control: the full head read costs all 40k rows
+    assert(recordsReadDuring(
+      Lakehouse.readVersioned(spark, path, 1L).count() : Unit)
+      >= 40000L)
+    val scanned = recordsReadDuring {
+      assert(Lakehouse.readVersionedRange(spark, path, 1L, "v",
+        20000L, 29999L).count() == 10000L)
+    }
+    assert(scanned < 12000L,
+      s"stats-pruned versioned range read $scanned rows " +
+        "(expected ~10000 — one dir of four)")
+    // time travel: the same range AS OF v0 admits nothing (bands 2-3
+    // had not arrived) and reads no data
+    assert(Lakehouse.versionedRangeDirs(spark, path, 0L, "v",
+      20000L, 29999L).isEmpty)
+    assert(Lakehouse.readVersionedRange(spark, path, 0L, "v",
+      20000L, 29999L).count() == 0L)
+    // false-negative guards: an unledgered column dies loudly...
+    val miss = intercept[IllegalArgumentException] {
+      Lakehouse.versionedRangeDirs(spark, path, 1L, "nope", 0L, 1L)
+    }
+    assert(miss.getMessage.contains("nope"))
+    // ...and so does a resolved dir committed WITHOUT stats — range
+    // reads refuse rather than silently skip it
+    Lakehouse.mergeVersioned(spark, path, 2L,
+      Seq((40001L, 99L, "x")).toDF("k", "v", "src")
+        .withColumn("op", lit("U")), "k", 4, commitTs = 300L)
+    val bare = intercept[IllegalArgumentException] {
+      Lakehouse.versionedRangeDirs(spark, path, 2L, "v", 0L, 1L)
+    }
+    assert(bare.getMessage.contains("v2/bucket=1"))
+  }
+
+  test("rebaseBranch resets the fork floor after a promote: the SAME " +
+    "bucket edits again and merges back clean; the branch's own dirs " +
+    "are surrendered and reads resolve through the base") {
+    val src = freshDir("graft_rbs")
+    val br = freshDir("graft_rbb")
+    Lakehouse.writeVersioned(prunePinRows, "doc_id", src, buckets = 4)
+    val fork1 = Lakehouse.branchVersioned(spark, src, br)
+    val e1 = Seq((1L, "U", "text 1 r1", "en", "r1", 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 1L, e1, "doc_id", 4)
+    assert(Lakehouse.mergeBranch(spark, src, br, fork1, 1L) == 1L)
+    // the stale fork floor sees the promote itself as a conflict on
+    // the very bucket the branch contributed
+    assert(Lakehouse.branchConflicts(spark, src, br, fork1) == Set(1L))
+    val fork2 = Lakehouse.rebaseBranch(spark, br, src)
+    assert(fork2 == 1L)
+    assert(Lakehouse.branchConflicts(spark, src, br, fork2).isEmpty)
+    // own dirs surrendered; the branch's v1 now resolves to the
+    // base's dir through the _base chain
+    assert(!Files.exists(Paths.get(br, "v1")))
+    assert(Lakehouse.readVersioned(spark, br, 1L)
+      .filter(col("doc_id") === 1L).select(col("source"))
+      .as[String].head() == "r1")
+    // round 2 edits the SAME bucket and merges back with zero
+    // conflicts — the long-lived-branch contract
+    val e2 = Seq((1L, "U", "text 1 r2", "en", "r2", 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 2L, e2, "doc_id", 4)
+    assert(Lakehouse.mergeBranch(spark, src, br, fork2, 2L) == 1L)
+    assert(Lakehouse.readVersioned(spark, src, 2L)
+      .filter(col("doc_id") === 1L).select(col("source"))
+      .as[String].head() == "r2")
+    // only a branch of `base` may rebase onto it
+    intercept[IllegalArgumentException] {
+      Lakehouse.rebaseBranch(spark, src, br)
+    }
   }
 
   test("labelPropagation == the naive synchronous recurrence; a " +

@@ -261,26 +261,110 @@ class SftSpec extends AnyFunSuite {
     processSealedBatch(slice(1), 1L, root, 512L)
     val gen1 = Paths.get(root, "_graft_sealed_state.b1")
     val savedState = Files.readAllBytes(gen1)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val hfs = new org.apache.hadoop.fs.Path(root).getFileSystem(hconf)
+    val act1 = new org.apache.hadoop.fs.Path(root, "_active/b1")
+    val actBak = new org.apache.hadoop.fs.Path(root, "_active_bak")
+    org.apache.hadoop.fs.FileUtil.copy(hfs, act1, hfs, actBak, false,
+      hconf)
     val partsAfter1 = listParts(root)
     // batch 2 lands fully, then the CRASH WINDOW is reconstructed:
     // its appended lines are on disk but the state publish is rolled
     // back to generation b1 — exactly what a kill between writeLines
-    // and writeState leaves
+    // and writeState leaves. At that crash point the b1 ACTIVE
+    // generation is still on disk (its GC runs only after the b2
+    // state file is durable), so it is restored too; the b2 active
+    // dir stays behind as the stray the heal must delete
     processSealedBatch(slice(2), 2L, root, 512L)
     Files.delete(Paths.get(root, "_graft_sealed_state.b2"))
     Files.write(gen1, savedState)
+    org.apache.hadoop.fs.FileUtil.copy(hfs, actBak, hfs, act1, false,
+      hconf)
     assert(listParts(root).keySet.size > partsAfter1.size,
       "the torn attempt's stray files must exist for the drill")
-    // replay of batch 2: the inventory diff deletes the stray files,
-    // the re-append lands at the SAME byte offset — byte-identical
-    // to the clean run
+    // replay of batch 2: the inventory diff deletes the stray files
+    // (and the stray active generation), the re-append lands at the
+    // SAME byte offset — byte-identical to the clean run
     processSealedBatch(slice(2), 2L, root, 512L)
     assert(outLines(root) == expected)
+    assert(!Files.exists(Paths.get(root, "_active/b1")) &&
+      Files.exists(Paths.get(root, "_active/b2")),
+      "publish must GC superseded active generations")
     // redelivery of batch 1 AFTER batch 2: ledger-skipped, nothing
     // moves
     val fp = listParts(root)
     processSealedBatch(slice(1), 1L, root, 512L)
     assert(listParts(root) == fp && outLines(root) == expected)
+  }
+
+  /** Task-level input ROWS read across every Spark job `f` runs (the
+    * LakehouseSpec pin helper): row counts, not bytes — the
+    * vectorized parquet reader bypasses `bytesRead` in local mode,
+    * but every scanned row increments `recordsRead`. LocalRelation
+    * inputs (the crafted batches here) read as zero, so the counter
+    * isolates the landed-log scans. */
+  private def recordsReadDuring(f: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          acc.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      org.apache.spark.sql.GraftSqlBridge.waitListeners(spark)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    acc.get()
+  }
+
+  test("StreamingSealed sealing scan is bucket-pruned to candidate " +
+    "users: a later batch never re-reads earlier batches' events " +
+    "once their users' sessions have sealed (measured recordsRead, " +
+    "with accounting and a negative control)") {
+    import graft.streaming.StreamingSealed.processSealedBatch
+    // users 4,5,6 land 3000 events in batch 0 (ub 0,1,2 at UB=4);
+    // user 7 (ub 3) trickles 10 events in each of batches 1 and 2
+    val bulk = (0L until 3000L).map { i =>
+      (i, (i % 100L), 4L + i % 3L, "click", 1.0)
+    }
+    val trickle1 = (0L until 10L).map { i =>
+      (10000L + i, 4000L + i, 7L, "view", 1.0)
+    }
+    val trickle2 = (0L until 10L).map { i =>
+      (20000L + i, 8000L + i, 7L, "view", 1.0)
+    }
+    val root = freshDir("graft_sealed_prune")
+    processSealedBatch(events(bulk), 0L, root, 1L << 20,
+      userBuckets = 4)
+    // batch 1 SEALS users 4,5,6 (wm 4009 puts their last events well
+    // past the gap): the accounting control — their history IS read
+    // when it is the newly sealed output
+    val sealRead = recordsReadDuring {
+      processSealedBatch(events(trickle1), 1L, root, 1L << 20,
+        userBuckets = 4)
+    }
+    assert(sealRead >= 3000L,
+      s"batch 1 must read the sealed users' history (read $sealRead)")
+    // batch 2's only candidate is user 7 (users 4,5,6 sealed and
+    // dropped from the active table): its sealing scan opens ONLY
+    // ub=3 dirs — the 3000 bulk events are never re-read. The old
+    // full-log shape would scan >= 3020 rows here.
+    val pruned = recordsReadDuring {
+      processSealedBatch(events(trickle2), 2L, root, 1L << 20,
+        userBuckets = 4)
+    }
+    assert(pruned < 500L,
+      s"batch 2's sealing scan read $pruned rows (expected ~20: user " +
+        "7's own dirs plus the active table — not the 3000-event log)")
+    // the output is still exactly right: users 4,5,6 sealed at batch
+    // 1; user 7's 4000s session sealed at batch 2; its 8000s session
+    // stays open
+    val cks = spark.read.text(s"$root/out")
+      .select(col("value")).as[String].collect()
+      .map(_.split(",")(0).stripPrefix("{\"ck\":").toLong).sorted.toSeq
+    assert(cks == Seq(4000001L, 5000001L, 6000001L, 7000001L))
   }
 
   test("DecayedSumFixed == the naive per-step truncating recurrence; " +
