@@ -694,9 +694,10 @@ object Lakehouse {
     * deterministic so readers dedupe by (vdir, bucket, column).
     * Values as LONG (timestamps via `unix_micros` — exact). Stats for
     * vacuumed dirs go stale harmlessly (nothing resolves to them).
-    * Only [[writeVersioned]]/[[mergeVersioned]] commits carry stats;
-    * [[mergeBranch]]'s rewrite does not — a merged-into base fails
-    * the coverage guard loudly rather than skipping silently. */
+    * [[writeVersioned]]/[[mergeVersioned]]/[[mergeBranch]] all take
+    * `statCols` — a commit that skips them leaves its dirs
+    * stats-less, and range reads then fail the coverage guard LOUDLY
+    * rather than skipping silently. */
   private def appendVStats(frame: DataFrame, path: String, vdir: Long,
                            statCols: Seq[String]): Unit =
     if (statCols.nonEmpty) {
@@ -1440,7 +1441,8 @@ object Lakehouse {
   def mergeBranch(spark: SparkSession, base: String, branch: String,
                   forkVersion: Long, asVersion: Long,
                   commitTs: Long = -1L,
-                  writerToken: String = "solo"): Long = {
+                  writerToken: String = "solo",
+                  statCols: Seq[String] = Nil): Long = {
     val cts = if (commitTs == -1L) asVersion else commitTs
     val conflicts = branchConflicts(spark, base, branch, forkVersion)
     if (conflicts.nonEmpty)
@@ -1472,6 +1474,7 @@ object Lakehouse {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$base/v$asVersion")
+    appendVStats(state, base, asVersion, statCols)
     val written = state.select(col("bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
     val rows = moved.toSeq.sorted.map { bk =>

@@ -65,10 +65,18 @@ object Sft {
     * n_events, value_fp sum, turn_text). Turn text is
     * `<|role|> c1 c2 …` with contents in (t, event_id) order —
     * whitespace tokens per turn = n_events + 1 (the role tag). */
-  def mergedTurns(events: DataFrame): DataFrame = {
+  def mergedTurns(events: DataFrame): DataFrame =
+    mergedTurnsOfRaw(rawTurns(events))
+
+  /** [[mergedTurns]] from an ALREADY-SESSIONIZED [[rawTurns]] frame —
+    * callers that need both the per-session tail facts AND the merged
+    * turns (the sealed-export sink) compute `rawTurns` once,
+    * checkpoint it, and feed both consumers, instead of paying the
+    * sessionization window cascade twice. */
+  def mergedTurnsOfRaw(raw: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col("session_id"))
       .orderBy(col("t"), col("event_id"))
-    rawTurns(events)
+    raw
       .withColumn("__rc",
         when(lag(col("role"), 1).over(w).isNull ||
           lag(col("role"), 1).over(w) =!= col("role"), 1L).otherwise(0L))

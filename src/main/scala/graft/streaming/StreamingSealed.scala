@@ -252,6 +252,11 @@ object StreamingSealed {
       if (!bm.isNullAt(0))
         batch.withColumn("bid", lit(batchId))
           .withColumn("ub", pmod(col("user_id"), lit(userBuckets.toLong)))
+          // one file per (bid, ub) dir: without the repartition every
+          // input task writes a sliver into every ub dir it touches —
+          // tasks × ub small files per batch, paid again on every
+          // candidate-history read
+          .repartition(userBuckets, col("ub"))
           .write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("bid", "ub").parquet(s"$root/_events")
@@ -288,32 +293,46 @@ object StreamingSealed {
       // the pruned sealing scan: candidate users' FULL history (their
       // ub dirs only — a partition filter — then a semi-join down to
       // exactly them); rawTurns over a user's complete history assigns
-      // the same session ids a whole-log recompute would
-      val hist = spark.read.parquet(s"$root/_events")
-        .filter(col("ub").isin(candUbs.toSeq: _*))
-        .join(merged.select(col("user_id")), Seq("user_id"), "left_semi")
-        .drop("bid", "ub")
-      val lastT = Sft.rawTurns(hist)
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(max(col("t")).as("lt"))
-      val newKeys = lastT
-        .filter(col("lt") <= wm - Sft.GapUs &&
-          (if (first) lit(true) else col("lt") > st.wm - Sft.GapUs))
-        .select(col("user_id"), col("session_id"))
-      val esc = (c: org.apache.spark.sql.Column) =>
-        regexp_replace(c, "([\"\\\\])", "\\\\$1")
-      // one materialization: writeLines evaluates its input twice and
-      // the byte total is read once more
-      val lines = Sft.render(Sft.mergedTurns(hist))
-        .join(newKeys, Seq("user_id", "session_id"), "left_semi")
-        .select(
-          (col("user_id") * 1000000L + col("session_id")).as("ck"),
-          concat(lit("{\"ck\":"),
-            col("user_id") * 1000000L + col("session_id"),
-            lit(",\"render\":\""), esc(col("rendered")), lit("\"}"))
-            .as("line"))
-        .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
+      // the same session ids a whole-log recompute would. Sessionized
+      // ONCE and checkpointed: the tail facts (newly sealed keys) and
+      // the render both consume it — un-checkpointed, each would pay
+      // the sessionization window cascade over the history again.
+      val raw = Sft.rawTurns(
+          spark.read.parquet(s"$root/_events")
+            .filter(col("ub").isin(candUbs.toSeq: _*))
+            .join(merged.select(col("user_id")), Seq("user_id"),
+              "left_semi")
+            .drop("bid", "ub"))
         .localCheckpoint(true)
+      val lines = try {
+        val newKeys = raw
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(max(col("t")).as("lt"))
+          .filter(col("lt") <= wm - Sft.GapUs &&
+            (if (first) lit(true) else col("lt") > st.wm - Sft.GapUs))
+          .select(col("user_id"), col("session_id"))
+        val esc = (c: org.apache.spark.sql.Column) =>
+          regexp_replace(c, "([\"\\\\])", "\\\\$1")
+        // the sealed-keys semi-join lands BELOW the merge/render
+        // windows: only newly sealed conversations' events flow
+        // through turn merging and templating (candidates that stay
+        // open render nothing this tick). One materialization:
+        // writeLines evaluates its input twice and the byte total is
+        // read once more.
+        Sft.render(Sft.mergedTurnsOfRaw(
+            raw.join(newKeys, Seq("user_id", "session_id"),
+              "left_semi")))
+          .select(
+            (col("user_id") * 1000000L + col("session_id")).as("ck"),
+            concat(lit("{\"ck\":"),
+              col("user_id") * 1000000L + col("session_id"),
+              lit(",\"render\":\""), esc(col("rendered")), lit("\"}"))
+              .as("line"))
+          .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
+          .localCheckpoint(true)
+      } finally {
+        org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(raw)
+      }
       try {
         Lakehouse.writeLines(lines, "ck", outPath, budgetBytes,
           byteOffset = st.landed, mode = SaveMode.Append)

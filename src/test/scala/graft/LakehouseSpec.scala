@@ -1469,6 +1469,31 @@ class LakehouseSpec extends AnyFunSuite {
       Lakehouse.versionedRangeDirs(spark, path, 2L, "v", 0L, 1L)
     }
     assert(bare.getMessage.contains("v2/bucket=1"))
+    // a branch PROMOTE carries stats too: fork, edit a band-0 row on
+    // the branch, merge back with statCols — the promoted dir is
+    // ledgered and the head range read still prunes (and the guard
+    // that just fired on v2 is silenced by its own statCols path:
+    // rewrite v2's key through the branch so every resolved dir has
+    // stats again)
+    val br = freshDir("graft_vstatbr")
+    Lakehouse.branchVersioned(spark, path, br)
+    Lakehouse.mergeVersioned(spark, br, 3L,
+      Seq((0L, 5L, "edited"), (40001L, 98L, "x2"))
+        .toDF("k", "v", "src").withColumn("op", lit("U")),
+      "k", 4, commitTs = 400L, statCols = Seq("v"))
+    Lakehouse.mergeBranch(spark, path, br, forkVersion = 2L,
+      asVersion = 3L, commitTs = 500L, statCols = Seq("v"))
+    // buckets 0 and 1 now resolve to the promoted v3 dirs (with
+    // stats) — the bare v2 dir is no longer resolved, so the guard is
+    // silenced; the band-2 range still opens exactly one dir, and a
+    // low-band range reads only the promoted bucket-0 dir (11 rows
+    // with v in [0, 10]: i = 1..10 plus the edited k=0 at v=5)
+    assert(Lakehouse.versionedRangeDirs(spark, path, 3L, "v",
+      20000L, 29999L) == Seq((1L, 2L)))
+    assert(Lakehouse.versionedRangeDirs(spark, path, 3L, "v",
+      0L, 10L) == Seq((3L, 0L)))
+    assert(Lakehouse.readVersionedRange(spark, path, 3L, "v", 0L, 10L)
+      .count() == 11L)
   }
 
   test("rebaseBranch resets the fork floor after a promote: the SAME " +
