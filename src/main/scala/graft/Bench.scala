@@ -163,7 +163,8 @@ object Bench {
       "q383_stats_stream", "q384_branch_promote",
       "q385_vacuum_branch_safe", "q386_asof_join_versioned",
       "q387_stats_range_multi", "q388_store_history",
-      "q389_vrange_skipping", "q390_branch_rebase")
+      "q389_vrange_skipping", "q390_branch_rebase",
+      "q391_versioned_optimize")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -880,6 +880,66 @@ object Lakehouse {
       (written.size + (touched -- written).size).toLong)
   }
 
+  /** OPTIMIZE (head compaction) for the versioned store: rewrite the
+    * RESOLVED head state as one fresh commit at `asVersion`, so every
+    * live bucket's pointer lands on a single vdir — reads at or above
+    * it open ONE version dir instead of one per historical commit
+    * that last touched each bucket, and every older dir falls out of
+    * the retention window the moment the floor passes `asVersion`
+    * ([[vacuumVersions]]). History below stays fully readable: this
+    * is a NORMAL commit (OCC slot, monotone commit_ts, nothing
+    * rewritten in place) — compact + [[checkpointManifest]] +
+    * [[vacuumVersions]] is the versioned store's complete
+    * OPTIMIZE/retention story, the triple every production table
+    * format ships. Tombstoned buckets stay tombstoned (no dir, no new
+    * pointer — the old tombstone keeps resolving). `statCols`
+    * re-ledgers per-(vdir, bucket) stats for the fresh dirs from the
+    * checkpointed state — no re-read, and post-compaction range
+    * reads keep pruning. Cost: one full head rewrite — the price
+    * every OPTIMIZE pays, repaid by every read after it. Returns the
+    * pointer rows appended (= live buckets; 0 = empty head, nothing
+    * commits and the slot stays free). */
+  def compactVersioned(spark: SparkSession, path: String,
+                       asVersion: Long, key: String,
+                       commitTs: Long = -1L,
+                       writerToken: String = "solo",
+                       statCols: Seq[String] = Nil): Long = {
+    val cts = if (commitTs == -1L) asVersion else commitTs
+    val head = manifestDf(spark, path).agg(
+      max(col("version")),
+      max(when(col("bucket") =!= -1L, col("commit_ts")))).head()
+    val maxV = head.getLong(0)
+    if (asVersion <= maxV)
+      throw ConcurrentCommitException(path, asVersion, "")
+    require(asVersion == maxV + 1,
+      s"version must be one past the last ($maxV), got $asVersion")
+    require(head.isNullAt(1) || cts >= head.getLong(1),
+      s"commitTs must be monotone: got $cts after ${head.getLong(1)}")
+    val state = readVersioned(spark, path, maxV).localCheckpoint(true)
+    try {
+      val written = state.select(col("bucket").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      if (written.isEmpty) return 0L // empty head: slot stays free
+      acquireCommit(spark, path, asVersion, writerToken)
+      state.repartition(col("bucket"))
+        .sortWithinPartitions(col("bucket"), col(key))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket")
+        .parquet(s"$path/v$asVersion")
+      appendVStats(state, path, asVersion, statCols)
+      val rows = written.toSeq.sorted.map { bk =>
+        (asVersion, bk, asVersion, false, cts)
+      }
+      import spark.implicits._
+      rows.toDF("version", "bucket", "vdir", "empty", "commit_ts")
+        .coalesce(1).write.mode(SaveMode.Append)
+        .parquet(s"$path/_manifest")
+      rows.size.toLong
+    } finally {
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(state)
+    }
+  }
+
   /** [[mergeVersioned]] under optimistic concurrency: resolve the
     * manifest head, attempt `head + 1`, and on a lost race
     * ([[ConcurrentCommitException]] — another writer published or
@@ -1539,6 +1599,12 @@ object Lakehouse {
       .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
       .foreach(s => fs.delete(s.getPath, true))
     fs.delete(new org.apache.hadoop.fs.Path(branch, "_vstats"), true)
+    // the branch's own commit-slot markers guard versions that no
+    // longer exist after the re-fork — left behind, a branch that had
+    // advanced past the base's head could never commit again (its
+    // next version number would collide with a stale marker and read
+    // as a foreign writer's slot)
+    fs.delete(new org.apache.hadoop.fs.Path(branch, "_commits"), true)
     fs.delete(mpath, true)
     if (!fs.rename(nextPath, mpath))
       throw new java.io.IOException(

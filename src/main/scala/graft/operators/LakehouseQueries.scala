@@ -423,6 +423,40 @@ object LakehouseQueries {
           lit(confFresh).as("conflicts_fresh"),
           lit(fork2).as("refork_version")))
     }),
+    // OPTIMIZE on the versioned store — the compact + checkpoint +
+    // vacuum triple: two narrow waves leave the head scattered over
+    // THREE vdirs (14 buckets on v0, one each on v1/v2);
+    // compactVersioned rewrites the resolved head as one commit, and
+    // the floor-3 vacuum then deletes all three old dirs (retaining
+    // exactly the compacted one) — dirs_deleted/dirs_retained ride in
+    // the hash as the evidence, and the state is lossless across the
+    // whole cycle (oracle = the two waves applied directly).
+    "q391_versioned_optimize" -> ((s, d) => {
+      val path = tmp("graft_vopt_", d)
+      rmDir(s, path)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", path, buckets = 16,
+        commitTs = 100L)
+      val w1 = base.filter(col("doc_id") % 16 === 3)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m1").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 1L, w1, "doc_id", 16,
+        commitTs = 200L)
+      val w2 = base.filter(col("doc_id") % 16 === 5)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("m2").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, path, 2L, w2, "doc_id", 16,
+        commitTs = 300L)
+      val nPtr = Lakehouse.compactVersioned(s, path, 3L, "doc_id",
+        commitTs = 400L)
+      val (del, kept) = Lakehouse.vacuumVersions(s, path, floor = 3L)
+      Lakehouse.storeManifest(Lakehouse.readVersioned(s, path, 3L),
+          "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(nPtr).as("compacted_pointers"),
+          lit(del).as("dirs_deleted"),
+          lit(kept).as("dirs_retained")))
+    }),
     // BRANCH-AWARE VACUUM — the shallow-clone hazard closed: the
     // base's retention pass retains every dir a branch's pre-fork
     // pointers still resolve to (safe pass deletes nothing here:
@@ -1508,6 +1542,23 @@ object LakehouseQueries {
         |  false, false
         |UNION ALL SELECT 3, 400, (SELECT n FROM v2b)::BIGINT, 0,
         |  true, false""".stripMargin,
+    "q391_versioned_optimize" ->
+      """WITH fin AS (
+        |  SELECT doc_id, text, lang,
+        |    CASE WHEN doc_id % 16 = 3 THEN 'm1'
+        |         WHEN doc_id % 16 = 5 THEN 'm2'
+        |         ELSE source END AS source, n_chars
+        |  FROM documents)
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(16 AS BIGINT) AS compacted_pointers,
+        |  CAST(3 AS BIGINT) AS dirs_deleted,
+        |  CAST(1 AS BIGINT) AS dirs_retained
+        |FROM fin GROUP BY doc_id % 16""".stripMargin,
     "q389_vrange_skipping" ->
       """WITH e AS (SELECT *, least(4, greatest(0,
         |    (epoch_ns(ts) - 1704067200000000000)

@@ -1496,6 +1496,37 @@ class LakehouseSpec extends AnyFunSuite {
       .count() == 11L)
   }
 
+  test("compactVersioned rewrites the head as ONE commit: reads above " +
+    "it resolve a single vdir, vacuum then reclaims every older dir, " +
+    "history below stays readable until the floor passes, and stats " +
+    "re-ledger so range pruning survives the rewrite") {
+    val path = freshDir("graft_vcompact")
+    def rows(bands: Seq[Long]) = bands.flatMap { b =>
+      (0L until 1000L).map(i => (i * 4L + b, b * 10000L + i, s"p$b"))
+    }.toDF("k", "v", "src")
+    Lakehouse.writeVersioned(rows(Seq(0L, 1L)), "k", path, buckets = 4,
+      commitTs = 100L, statCols = Seq("v"))
+    Lakehouse.mergeVersioned(spark, path, 1L,
+      rows(Seq(2L, 3L)).withColumn("op", lit("U")), "k", 4,
+      commitTs = 200L, statCols = Seq("v"))
+    assert(Lakehouse.compactVersioned(spark, path, 2L, "k",
+      commitTs = 300L, statCols = Seq("v")) == 4L)
+    // lossless, and the head resolves a SINGLE vdir
+    assert(Lakehouse.readVersioned(spark, path, 2L).count() == 4000L)
+    assert(Lakehouse.versionedRangeDirs(spark, path, 2L, "v",
+      0L, 40000L).map(_._1).toSet == Set(2L))
+    // the re-ledgered stats still prune (one dir for one band)
+    assert(Lakehouse.versionedRangeDirs(spark, path, 2L, "v",
+      20000L, 29999L) == Seq((2L, 2L)))
+    // history below the compaction stays readable until vacuumed...
+    assert(Lakehouse.readVersioned(spark, path, 0L).count() == 2000L)
+    val (del, kept) = Lakehouse.vacuumVersions(spark, path, floor = 2L)
+    assert(del == 2L && kept == 1L)
+    // ...after which the compacted head is all that remains
+    assert(Lakehouse.readVersioned(spark, path, 2L).count() == 4000L)
+    assert(!Files.exists(Paths.get(path, "v0")))
+  }
+
   test("rebaseBranch resets the fork floor after a promote: the SAME " +
     "bucket edits again and merges back clean; the branch's own dirs " +
     "are surrendered and reads resolve through the base") {
@@ -1506,6 +1537,14 @@ class LakehouseSpec extends AnyFunSuite {
     val e1 = Seq((1L, "U", "text 1 r1", "en", "r1", 9L))
       .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
     Lakehouse.mergeVersioned(spark, br, 1L, e1, "doc_id", 4)
+    // a second LOCAL commit before the promote: the branch's own
+    // version counter runs ahead of the base's — after the rebase its
+    // next commit RE-USES number 2, which must not collide with the
+    // stale _commits/v2 marker this commit leaves behind
+    val e1b = Seq((1L, "U", "text 1 r1b", "en", "r1", 10L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 2L, e1b, "doc_id", 4,
+      writerToken = "w1")
     assert(Lakehouse.mergeBranch(spark, src, br, fork1, 1L) == 1L)
     // the stale fork floor sees the promote itself as a conflict on
     // the very bucket the branch contributed
@@ -1520,10 +1559,14 @@ class LakehouseSpec extends AnyFunSuite {
       .filter(col("doc_id") === 1L).select(col("source"))
       .as[String].head() == "r1")
     // round 2 edits the SAME bucket and merges back with zero
-    // conflicts — the long-lived-branch contract
+    // conflicts — the long-lived-branch contract. The commit RE-USES
+    // version number 2 under a DIFFERENT writer token: the rebase
+    // must have cleared the branch's stale _commits/v2 marker, or
+    // this would read as a foreign writer's live slot and throw
     val e2 = Seq((1L, "U", "text 1 r2", "en", "r2", 9L))
       .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
-    Lakehouse.mergeVersioned(spark, br, 2L, e2, "doc_id", 4)
+    Lakehouse.mergeVersioned(spark, br, 2L, e2, "doc_id", 4,
+      writerToken = "w2")
     assert(Lakehouse.mergeBranch(spark, src, br, fork2, 2L) == 1L)
     assert(Lakehouse.readVersioned(spark, src, 2L)
       .filter(col("doc_id") === 1L).select(col("source"))
