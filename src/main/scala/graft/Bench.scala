@@ -164,7 +164,7 @@ object Bench {
       "q385_vacuum_branch_safe", "q386_asof_join_versioned",
       "q387_stats_range_multi", "q388_store_history",
       "q389_vrange_skipping", "q390_branch_rebase",
-      "q391_versioned_optimize")
+      "q391_versioned_optimize", "q392_vrange_multi")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

@@ -779,23 +779,46 @@ object Lakehouse {
     * [[StatsStore]] documents for its bucket axis. */
   def readVersionedRange(spark: SparkSession, path: String,
                          version: Long, statCol: String,
-                         lo: Long, hi: Long): DataFrame = {
-    val dirs = versionedRangeDirs(spark, path, version, statCol, lo, hi)
+                         lo: Long, hi: Long): DataFrame =
+    readVersionedRangeMulti(spark, path, version,
+      Seq((statCol, lo, hi)))
+
+  /** Conjunctive multi-range scan over the versioned store — the
+    * [[StatsStore.readRangeMulti]] mechanic with time travel: the
+    * surviving dir set is the INTERSECTION of each predicate's
+    * [[versionedRangeDirs]] set (a dir must possibly satisfy EVERY
+    * range to be read at all), so two correlated dimensions prune
+    * harder than either alone; each row predicate still applies on
+    * top. The per-predicate coverage guard fires for each column
+    * independently — one unledgered column poisons the whole
+    * conjunction loudly, never silently. */
+  def readVersionedRangeMulti(spark: SparkSession, path: String,
+                              version: Long,
+                              preds: Seq[(String, Long, Long)])
+      : DataFrame = {
+    require(preds.nonEmpty, "readVersionedRangeMulti needs a range")
+    val dirs = preds
+      .map { case (c, lo, hi) =>
+        versionedRangeDirs(spark, path, version, c, lo, hi).toSet
+      }.reduce(_ intersect _)
     if (dirs.isEmpty)
       return readVersioned(spark, path, version, Some(Set.empty))
     val pruned = dirs.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (vd, prs) =>
         val base = vdirPath(spark, path, vd)
         spark.read.option("basePath", base)
-          .parquet(prs.map(p => s"$base/bucket=${p._2}").sorted: _*)
+          .parquet(prs.map(p => s"$base/bucket=${p._2}")
+            .toSeq.sorted: _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val rowPred = pruned.schema(statCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType =>
-        col(statCol).between(timestamp_micros(lit(lo)),
-          timestamp_micros(lit(hi)))
-      case _ => col(statCol).cast("long").between(lo, hi)
+    preds.foldLeft(pruned) { case (df, (c, lo, hi)) =>
+      val rowPred = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          col(c).between(timestamp_micros(lit(lo)),
+            timestamp_micros(lit(hi)))
+        case _ => col(c).cast("long").between(lo, hi)
+      }
+      df.filter(rowPred)
     }
-    pruned.filter(rowPred)
   }
 
   /** Merge a batch as version `version` — REQUIRED to be exactly one

@@ -140,6 +140,33 @@ object LakehouseQueries {
     fork
   }
 
+  private val Jan1Ns = 1704067200000000000L // 2024-01-01T00:00:00Z
+  private val WeekNs = 604800000000000L // 7 days in ns
+
+  /** Build the shared week-keyed VERSIONED events store (q389/q392):
+    * the key carries the week index in its bucket bits (k =
+    * event_id·8 + week, clamped to 0..4 — bucket ≡ week, the only
+    * mod-bucket layout where per-dir stats are non-vacuous on
+    * arrival-correlated columns), v0 lands weeks 0-2 (ts 100), v1
+    * merges weeks 3-4 (ts 200) — the bucket-sparse commit shape
+    * time-ordered arrival always produces. Both commits ledger ts
+    * AND event_id stats. */
+  private def buildWeekKeyedStore(s: SparkSession, d: String,
+                                  path: String): Unit = {
+    rmDir(s, path)
+    val ev = t(s, d, "events").withColumn("wk",
+      least(lit(4L), greatest(lit(0L),
+        expr(s"(ts - $Jan1Ns) div $WeekNs"))))
+      .withColumn("k", col("event_id") * 8L + col("wk"))
+    Lakehouse.writeVersioned(ev.filter(col("wk") <= 2L).drop("wk"),
+      "k", path, buckets = 8, commitTs = 100L,
+      statCols = Seq("ts", "event_id"))
+    Lakehouse.mergeVersioned(s, path, 1L,
+      ev.filter(col("wk") >= 3L).drop("wk")
+        .withColumn("op", lit("U")),
+      "k", 8, commitTs = 200L, statCols = Seq("ts", "event_id"))
+  }
+
   /** Build the shared 5-batch stats store over the events table:
     * batch i = the i-th contiguous fifth of event_id (arrival order ==
     * ts order, so each batch is ~6 days of January), per-(batch,
@@ -560,22 +587,9 @@ object LakehouseQueries {
     // oracle's per-week min/max derivation.
     "q389_vrange_skipping" -> ((s, d) => {
       val path = tmp("graft_vrs_", d)
-      rmDir(s, path)
-      val jan1 = 1704067200000000000L
-      val wk = 604800000000000L // 7 days in ns
-      val ev = t(s, d, "events").withColumn("wk",
-        least(lit(4L), greatest(lit(0L),
-          expr(s"(ts - $jan1) div $wk"))))
-        .withColumn("k", col("event_id") * 8L + col("wk"))
-      Lakehouse.writeVersioned(ev.filter(col("wk") <= 2L).drop("wk"),
-        "k", path, buckets = 8, commitTs = 100L,
-        statCols = Seq("ts"))
-      Lakehouse.mergeVersioned(s, path, 1L,
-        ev.filter(col("wk") >= 3L).drop("wk")
-          .withColumn("op", lit("U")),
-        "k", 8, commitTs = 200L, statCols = Seq("ts"))
-      val lo = jan1 + 3L * wk        // week 3 start
-      val hi = jan1 + 4L * wk - 1L   // week 3 end (inclusive)
+      buildWeekKeyedStore(s, d, path)
+      val lo = Jan1Ns + 3L * WeekNs        // week 3 start
+      val hi = Jan1Ns + 4L * WeekNs - 1L   // week 3 end (inclusive)
       val nHead = Lakehouse.versionedRangeDirs(s, path, 1L, "ts",
         lo, hi).size.toLong
       val nV0 = Lakehouse.versionedRangeDirs(s, path, 0L, "ts",
@@ -589,6 +603,39 @@ object LakehouseQueries {
         .crossJoin(s.range(1).select(
           lit(nHead).as("n_dirs_read"),
           lit(nV0).as("n_dirs_v0")))
+    }),
+    // MULTI-PREDICATE range skipping on the VERSIONED store — q387's
+    // conjunction mechanic composed with pointer resolution: a ts
+    // range spanning weeks 2-3 admits two dirs, an event_id cap at
+    // 55% of the id space admits weeks 0-2 (arrival order makes id
+    // ranges week-bands too), and the conjunction opens only their
+    // INTERSECTION (week 2's dir) — n_dirs for both single predicates
+    // and the conjunction all ride inside the hash against the
+    // oracle's per-week min/max derivation of BOTH columns.
+    "q392_vrange_multi" -> ((s, d) => {
+      val path = tmp("graft_vrm_", d)
+      buildWeekKeyedStore(s, d, path)
+      val tsLo = Jan1Ns + 2L * WeekNs
+      val tsHi = Jan1Ns + 4L * WeekNs - 1L
+      val idHi = t(s, d, "events").agg(max(col("event_id")))
+        .head().getLong(0) * 11L / 20L
+      val nTs = Lakehouse.versionedRangeDirs(s, path, 1L, "ts",
+        tsLo, tsHi).size.toLong
+      val nId = Lakehouse.versionedRangeDirs(s, path, 1L, "event_id",
+        0L, idHi).size.toLong
+      val preds = Seq(("ts", tsLo, tsHi), ("event_id", 0L, idHi))
+      val nBoth = preds.map { case (c, l, h) =>
+        Lakehouse.versionedRangeDirs(s, path, 1L, c, l, h).toSet
+      }.reduce(_ intersect _).size.toLong
+      Lakehouse.readVersionedRangeMulti(s, path, 1L, preds)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(nTs).as("n_dirs_ts"), lit(nId).as("n_dirs_id"),
+          lit(nBoth).as("n_dirs_both")))
     }),
     // DESCRIBE HISTORY — the versioned store's operational surface,
     // derived entirely from the manifest (no data read): one row per
@@ -1559,6 +1606,36 @@ object LakehouseQueries {
         |  CAST(3 AS BIGINT) AS dirs_deleted,
         |  CAST(1 AS BIGINT) AS dirs_retained
         |FROM fin GROUP BY doc_id % 16""".stripMargin,
+    "q392_vrange_multi" ->
+      """WITH e AS (SELECT *, least(4, greatest(0,
+        |    (epoch_ns(ts) - 1704067200000000000)
+        |      // 604800000000000)) AS wk
+        |  FROM events),
+        |ih AS (SELECT max(event_id) * 11 // 20 AS v FROM events),
+        |st AS (SELECT wk, min(epoch_ns(ts)) AS tmn,
+        |    max(epoch_ns(ts)) AS tmx, min(event_id) AS imn,
+        |    max(event_id) AS imx
+        |  FROM e GROUP BY wk),
+        |nt AS (SELECT count(*) AS n FROM st
+        | WHERE tmx >= 1705276800000000000
+        |   AND tmn <= 1706486399999999999),
+        |ni AS (SELECT count(*) AS n FROM st
+        | WHERE imx >= 0 AND imn <= (SELECT v FROM ih)),
+        |nb AS (SELECT count(*) AS n FROM st
+        | WHERE tmx >= 1705276800000000000
+        |   AND tmn <= 1706486399999999999
+        |   AND imx >= 0 AND imn <= (SELECT v FROM ih)),
+        |r AS (SELECT * FROM e
+        | WHERE epoch_ns(ts) BETWEEN 1705276800000000000
+        |   AND 1706486399999999999
+        |   AND event_id BETWEEN 0 AND (SELECT v FROM ih))
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  (SELECT n FROM nt)::BIGINT AS n_dirs_ts,
+        |  (SELECT n FROM ni)::BIGINT AS n_dirs_id,
+        |  (SELECT n FROM nb)::BIGINT AS n_dirs_both
+        |FROM r GROUP BY event_type""".stripMargin,
     "q389_vrange_skipping" ->
       """WITH e AS (SELECT *, least(4, greatest(0,
         |    (epoch_ns(ts) - 1704067200000000000)
