@@ -28,6 +28,17 @@ object Bench {
     // second systemwide stalls (VM CPU steal) that made single-shot
     // numbers vary 3–40s run-to-run; the median discards one bad draw.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // The write-artifact phase runs ONCE by default (r16): its ~500 s
+    // of per-median store/drill lifecycles at 3 iterations pushed the
+    // whole suite's wall past the driver's bench timeout (BENCH_r15
+    // came back rc=124 with the kill landing mid-FileFormatWriter).
+    // Write-family numbers are churn-noisy at any iteration count —
+    // regressions there are adjudicated with focused ITERS=10 runs,
+    // not read off the suite — so the suite pays for robust COMPUTE
+    // medians and a single honest write sample. `write_iters` rides
+    // in the JSON so round-over-round readers know the definition.
+    val writeIters =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WRITE_ITERS", "1").toInt
 
     // Host-contention telemetry: this VM shows multi-second CPU-steal
     // storms (NOTES r2–r5) that forced manual adjudication runs for
@@ -71,8 +82,9 @@ object Bench {
         (b1 - b0).toDouble / (t1ticks - t0ticks),
         (w1 - w0).toDouble / (t1ticks - t0ticks))
     }
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Seq[(Double, Double, Double, Double)] =
-      (1 to iters).map(_ => once(fn))
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            n: Int): Seq[(Double, Double, Double, Double)] =
+      (1 to n).map(_ => once(fn))
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.sorted.apply((ok.size - 1) / 2)
@@ -164,19 +176,24 @@ object Bench {
       "q385_vacuum_branch_safe", "q386_asof_join_versioned",
       "q387_stats_range_multi", "q388_store_history",
       "q389_vrange_skipping", "q390_branch_rebase",
-      "q391_versioned_optimize", "q392_vrange_multi")
+      "q391_versioned_optimize", "q392_vrange_multi",
+      "q393_sealed_compact", "q394_vacuum_transitive",
+      "q395_rowgroup_range")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
 
     // Warm up every selected query once at the smallest SF: whole-stage
     // codegen compilation (janino) dominates first runs by seconds;
-    // measured numbers should reflect steady-state execution.
+    // measured numbers should reflect steady-state execution. Timed
+    // into the JSON — the warmup is part of the suite's wall budget.
+    val tWarm0 = System.nanoTime()
     selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val warmupSec = (System.nanoTime() - tWarm0) / 1e9
     // Drop warmup-SF cached intermediates so measurement starts clean.
     graft.operators.TextPipelineQueries.clearCache(spark)
     graft.multimodal.MultimodalQueries.clearCache(spark)
@@ -222,7 +239,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     })
 
-    val results = selected.map { case (name, fn) => name -> run(fn) }
+    val results = selected.map { case (name, fn) =>
+      name -> run(fn,
+        if (writeArtifact.contains(name)) writeIters else iters)
+    }
     val qs = results.map { case (k, v) => "\"" + k + f"\":${median(v.map(_._1))}%.3f" }
       .mkString("{", ",", "}")
     val spreads = results.map { case (k, v) =>
@@ -253,7 +273,7 @@ object Bench {
     // telemetry maps pushed it past ~20 KB. The full line — telemetry
     // included — goes to the SPARK_GRAFT_BENCH_OUT file only, where
     // adjudication reads it.
-    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"bpe_full_train_sec":$bpeTrainSec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs"""
+    val head = f""""metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"iters":$iters,"write_iters":$writeIters,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"bpe_full_train_sec":$bpeTrainSec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs"""
     val compact = s"""{$head,"sf":"$sfDir"}"""
     val full = s"""{$head,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
     // A ≤200-byte summary object with the headline numbers only —
@@ -263,7 +283,7 @@ object Bench {
     // outgrew the capture window; the full renderings still follow
     // for anyone reading the whole log, and the complete telemetry
     // goes to the SPARK_GRAFT_BENCH_OUT file).
-    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"n_queries":${results.size},"iters":$iters,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"sf":"$sfDir"}"""
+    val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"n_queries":${results.size},"iters":$iters,"write_iters":$writeIters,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
     try java.nio.file.Files.write(outPath, (full + "\n").getBytes("UTF-8"))

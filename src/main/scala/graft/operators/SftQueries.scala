@@ -384,35 +384,17 @@ object SftQueries {
     // batch 2 — the generation-state ledger skips it; a double
     // append would flip every later shard hash. The oracle rebuilds
     // the full three-phase layout from the complete log alone.
-    "q372_sealed_stream" -> ((s, d) => {
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_sstr_" +
-        math.abs(d.hashCode.toLong)
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(root), true)
-      val e = ev(s, d).withColumn("__t", expr("ts div 1000"))
-      val mm = e.agg(min(col("__t")).as("a"), max(col("__t")).as("b"))
-        .head()
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val span = (hi - lo) / 3 + 1
-      def slice(b: Int) = e.filter(col("__t") >= lo + b * span &&
-        col("__t") < lo + (b + 1) * span).drop("__t")
-      import graft.streaming.StreamingSealed.processSealedBatch
-      (0 until 3).foreach { b =>
-        processSealedBatch(slice(b), b.toLong, root, 8192L)
-      }
-      processSealedBatch(slice(1), 1L, root, 8192L) // redelivery
-      s.read.text(s"$root/out")
-        .select(col("shard").cast("long").as("shard_id"),
-          get_json_object(col("value"), "$.ck").cast("long").as("ck"),
-          col("value"))
-        .groupBy(col("shard_id"))
-        .agg(count(lit(1)).as("n_convs"),
-          sum(length(col("value")) + 1L).cast("long").as("n_bytes"),
-          md5(array_join(transform(
-            sort_array(collect_list(struct(col("ck"), col("value")))),
-            x => x.getField("value")), "\n")).as("content_md5"))
-    }),
+    "q372_sealed_stream" -> ((s, d) =>
+      sealedStreamRun(s, d, "sstr_", compactAfter = Set.empty)),
+    // SEALED STREAM + LANDING COMPACTION: the same three-tick run,
+    // but compactEvents folds the landed log into user-range
+    // segments after ticks 0 and 1 (the second fold re-compacts
+    // generation-1 segments into generation 2) — tick 1's and tick
+    // 2's sealing scans read range-selected segments plus the fresh
+    // landing, and the redelivered batch still short-circuits.
+    // q372's oracle VERBATIM: compaction must not move a byte.
+    "q393_sealed_compact" -> ((s, d) =>
+      sealedStreamRun(s, d, "sstrc_", compactAfter = Set(0, 1))),
     // Padding-efficiency batch plan: fixed-size batches (B=8) under
     // arrival order vs length-sorted order, total pad tokens and
     // pad basis points per policy — the report that justifies
@@ -482,6 +464,44 @@ object SftQueries {
 
   /** q322's oracle — shared verbatim by q351 (the pure-SQL surface
     * must assemble the identical conversation table). */
+  /** q372/q393 shared body: the sealed streaming sink driven over
+    * three time slices of the events table (batch 1 redelivered
+    * after batch 2 — the ledger must short-circuit it), optionally
+    * compacting the landing log after given ticks; returns the
+    * per-shard export summary the shared oracle rebuilds. */
+  private def sealedStreamRun(s: SparkSession, d: String, tag: String,
+                              compactAfter: Set[Int]): DataFrame = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_$tag" +
+      math.abs(d.hashCode.toLong)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val e = ev(s, d).withColumn("__t", expr("ts div 1000"))
+    val mm = e.agg(min(col("__t")).as("a"), max(col("__t")).as("b"))
+      .head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = (hi - lo) / 3 + 1
+    def slice(b: Int) = e.filter(col("__t") >= lo + b * span &&
+      col("__t") < lo + (b + 1) * span).drop("__t")
+    import graft.streaming.StreamingSealed.{processSealedBatch,
+      compactEvents}
+    (0 until 3).foreach { b =>
+      processSealedBatch(slice(b), b.toLong, root, 8192L)
+      if (compactAfter(b)) compactEvents(s, root, nSegments = 8)
+    }
+    processSealedBatch(slice(1), 1L, root, 8192L) // redelivery
+    s.read.text(s"$root/out")
+      .select(col("shard").cast("long").as("shard_id"),
+        get_json_object(col("value"), "$.ck").cast("long").as("ck"),
+        col("value"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_convs"),
+        sum(length(col("value")) + 1L).cast("long").as("n_bytes"),
+        md5(array_join(transform(
+          sort_array(collect_list(struct(col("ck"), col("value")))),
+          x => x.getField("value")), "\n")).as("content_md5"))
+  }
+
   private lazy val convStatsSql: String =
     s"""WITH $turnsCte
        |SELECT user_id, session_id, n_events, n_turns, first_role,
@@ -657,39 +677,10 @@ object SftQueries {
     // the full three-phase streamed layout re-derived from the
     // complete log: phase = first batch watermark that seals the
     // conversation, (phase, ck)-ordered prefix-sum shard assignment
-    "q372_sealed_stream" ->
-      s"""WITH $turnsCte,
-         |bounds AS (SELECT min(epoch_us(ts)) AS lo,
-         |  max(epoch_us(ts)) AS hi FROM events),
-         |sp AS (SELECT lo, hi, (hi - lo) // 3 + 1 AS span FROM bounds),
-         |w0 AS (SELECT max(epoch_us(ts)) AS w FROM events
-         |  WHERE epoch_us(ts) < (SELECT lo + span FROM sp)),
-         |w1 AS (SELECT max(epoch_us(ts)) AS w FROM events
-         |  WHERE epoch_us(ts) < (SELECT lo + 2 * span FROM sp)),
-         |sl AS (SELECT user_id, session_id, max(t) AS lt FROM sid
-         |       GROUP BY 1, 2),
-         |ph AS (SELECT c.user_id * 1000000 + c.session_id AS ck,
-         |  CASE WHEN sl.lt <= (SELECT w FROM w0) - 1800000000 THEN 0
-         |       WHEN sl.lt <= (SELECT w FROM w1) - 1800000000 THEN 1
-         |       WHEN sl.lt <= (SELECT hi FROM bounds) - 1800000000
-         |         THEN 2 END AS phase,
-         |  '{"ck":' || CAST(c.user_id * 1000000 + c.session_id
-         |    AS VARCHAR) || ',"render":"'
-         |    || regexp_replace(c.rendered, '(["\\\\])', '\\\\\\1', 'g')
-         |    || '"}' AS line
-         | FROM conv c JOIN sl USING (user_id, session_id)),
-         |b AS (SELECT ck, phase, line,
-         |  CAST(length(line) + 1 AS BIGINT) AS nb FROM ph
-         |  WHERE phase IS NOT NULL),
-         |pk AS (SELECT ck, line, nb,
-         |  CAST(COALESCE(sum(nb) OVER (ORDER BY phase, ck
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |    AS BIGINT) AS pstart FROM b)
-         |SELECT CAST(pstart // 8192 AS BIGINT) AS shard_id,
-         |  count(*)::BIGINT AS n_convs,
-         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
-         |  md5(string_agg(line, chr(10) ORDER BY ck)) AS content_md5
-         |FROM pk GROUP BY 1""".stripMargin,
+    "q372_sealed_stream" -> sealedStreamSql,
+    // same oracle VERBATIM: compacting the landing log between ticks
+    // must not move a single exported byte
+    "q393_sealed_compact" -> sealedStreamSql,
     // the oracle renders the sealed set from the FULL log — equality
     // proves the watermark really seals
     "q366_sealed_conversations" ->
@@ -763,4 +754,44 @@ object SftQueries {
         |    AND e.rn = d.rn + 1)
         |SELECT user_id, event_id, CAST(st AS BIGINT) AS decayed_fp
         |FROM dec""".stripMargin)
+
+  /** The q372/q393 shared oracle: the full three-phase streamed
+    * layout re-derived from the complete log — phase = first batch
+    * watermark that seals the conversation, (phase, ck)-ordered
+    * prefix-sum shard assignment. q393 interleaves
+    * [[graft.streaming.StreamingSealed.compactEvents]] between
+    * ticks, and the SAME oracle proves compaction moves no byte. */
+  private lazy val sealedStreamSql: String =
+      s"""WITH $turnsCte,
+         |bounds AS (SELECT min(epoch_us(ts)) AS lo,
+         |  max(epoch_us(ts)) AS hi FROM events),
+         |sp AS (SELECT lo, hi, (hi - lo) // 3 + 1 AS span FROM bounds),
+         |w0 AS (SELECT max(epoch_us(ts)) AS w FROM events
+         |  WHERE epoch_us(ts) < (SELECT lo + span FROM sp)),
+         |w1 AS (SELECT max(epoch_us(ts)) AS w FROM events
+         |  WHERE epoch_us(ts) < (SELECT lo + 2 * span FROM sp)),
+         |sl AS (SELECT user_id, session_id, max(t) AS lt FROM sid
+         |       GROUP BY 1, 2),
+         |ph AS (SELECT c.user_id * 1000000 + c.session_id AS ck,
+         |  CASE WHEN sl.lt <= (SELECT w FROM w0) - 1800000000 THEN 0
+         |       WHEN sl.lt <= (SELECT w FROM w1) - 1800000000 THEN 1
+         |       WHEN sl.lt <= (SELECT hi FROM bounds) - 1800000000
+         |         THEN 2 END AS phase,
+         |  '{"ck":' || CAST(c.user_id * 1000000 + c.session_id
+         |    AS VARCHAR) || ',"render":"'
+         |    || regexp_replace(c.rendered, '(["\\\\])', '\\\\\\1', 'g')
+         |    || '"}' AS line
+         | FROM conv c JOIN sl USING (user_id, session_id)),
+         |b AS (SELECT ck, phase, line,
+         |  CAST(length(line) + 1 AS BIGINT) AS nb FROM ph
+         |  WHERE phase IS NOT NULL),
+         |pk AS (SELECT ck, line, nb,
+         |  CAST(COALESCE(sum(nb) OVER (ORDER BY phase, ck
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS pstart FROM b)
+         |SELECT CAST(pstart // 8192 AS BIGINT) AS shard_id,
+         |  count(*)::BIGINT AS n_convs,
+         |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+         |  md5(string_agg(line, chr(10) ORDER BY ck)) AS content_md5
+         |FROM pk GROUP BY 1""".stripMargin
 }

@@ -20,65 +20,100 @@ import graft.operators.{Lakehouse, Sft}
   * (any strictly-later event is more than a session gap away and
   * must open a NEW session), so no landed shard is ever rewritten —
   * the final layout is byte-identical to a from-scratch phased
-  * export, which is exactly what the gate's oracle rebuilds.
+  * export over the landed log, which is exactly what the gate's
+  * oracle rebuilds.
   *
-  * The sealing scan is BOUNDED, never the log: an ACTIVE-USER state
-  * table (`_active/b<gen>`: user_id, last_t — rows kept only while
-  * `last_t > wm − gap`, so it is bounded by the session-gap window,
-  * not by users-ever-seen) names the only users who can own a newly
-  * sealed session this tick: a session with last event in
-  * `(prev wm − gap, wm − gap]` belongs to a user who was active at
-  * the previous watermark or who appears in this batch — nobody
-  * else. Those CANDIDATE users' history is read back bucket-pruned
-  * by the `ub` landing column (a partition filter — skipped buckets'
-  * files are never opened) and re-run through [[Sft.rawTurns]]:
+  * LATENESS CONTRACT: a row whose event time is ≤ prev wm − gap is
+  * REJECTED at landing. Such a row can never extend an open session
+  * (every open session's events are > prev wm − gap, a full gap
+  * away), but replayed through a per-user recompute it COULD insert
+  * a session boundary below already-sealed (exported, immutable)
+  * sessions and renumber every session id above it — silently
+  * divorcing the landed log from the export. Rejecting at the door
+  * keeps the two mutually consistent: the export is byte-identical
+  * to a from-scratch run over the landed log, unconditionally.
+  *
+  * The sealing scan is BOUNDED, never the log, and LEDGER-DRIVEN:
+  * (1) an ACTIVE-USER state table (`_active/b<gen>`: user_id, last_t
+  * — rows kept only while `last_t > wm − gap`, so it is bounded by
+  * the session-gap window, not by users-ever-seen) names the only
+  * users who can own a newly sealed session this tick: a session
+  * with last event in `(prev wm − gap, wm − gap]` belongs to a user
+  * who was active at the previous watermark or who appears in this
+  * batch — nobody else. (2) Every landed file carries a ledgered
+  * `user_id` min/max (an `e,` line in the state file — the `_vstats`
+  * discipline applied to the landing: stats publish in the SAME
+  * atomic state write that ledgers the batch, so a readable file
+  * without stats cannot exist), and the candidate-history read opens
+  * EXACTLY the files whose user range intersects the candidate set —
+  * never a directory listing of `_events`, never a partition-filter-
+  * then-scan. A fresh batch's per-`ub` file ranges are wide (one
+  * file per bucket), so fresh files prune only by bucket membership;
+  * [[compactEvents]] periodically folds ledgered files into
+  * user-RANGE-partitioned segments whose ranges are tight and
+  * disjoint, so k candidate users open O(k) segment files no matter
+  * how many `ub` buckets they hash into — the scan cost is
+  * candidate-proportional even when every bucket is hot, where a
+  * bucket-grain prune would degenerate to the whole log.
+  * Candidates' pruned history re-runs through [[Sft.rawTurns]]:
   * session numbering is a per-user cumulative count, so the pruned
   * per-user FULL-history recompute assigns exactly the session ids a
   * whole-log recompute would — no incremental session-id state to
   * drift under in-window disorder. A user whose sessions have all
-  * sealed drops out of the state table; if they return, they re-enter
-  * as a batch user and their history re-derives every old session id
-  * (already-exported sessions stay excluded by the `> prev wm − gap`
-  * lower bound). Per-batch read cost is therefore ∝ candidate users'
-  * history — output-proportional — while the old shape re-read and
-  * re-aggregated the ENTIRE landed log every tick (per-batch cost
-  * growing with stream lifetime, the unbounded-growth scale-killer).
+  * sealed drops out of the state table; if they return, they
+  * re-enter as a batch user and their history re-derives every old
+  * session id (already-exported sessions stay excluded by the
+  * `> prev wm − gap` lower bound, and the lateness contract
+  * guarantees no landed row can have renumbered them).
   *
   * Replay discipline (the ledger class): a GENERATION state file
-  * (`_graft_sealed_state.b<batchId>`, complete-or-absent via
+  * (`_graft_sealed_state.b<gen>`, complete-or-absent via
   * temp+rename; newest generation wins, older ones are GC'd after
   * publish) records the completed batch ids, the watermark, the
-  * landed byte total, and the landed part-file INVENTORY; the active
-  * table generation `_active/b<batchId>` publishes with it (written
-  * first — a crash between leaves a stray generation the next attempt
-  * deletes before rewriting). A redelivered batch short-circuits on
-  * the ledger; a batch that crashed between its line append and its
-  * state publish leaves stray part files the next attempt deletes by
-  * inventory diff before re-appending — a part file belongs to
-  * exactly one (batch, shard) append, so the diff is exact.
-  * Generations mean no crash point ever reads as "no state" once a
-  * batch has committed (the failure mode a single delete→rename
-  * sidecar would have — and under which an inventory heal would WIPE
-  * ledgered output). An inventory divergence that is not a
-  * stray-suffix tear dies loudly.
+  * landed byte total, the landed part-file INVENTORY, and the
+  * events-file stats ledger; the active table generation
+  * `_active/b<batchId>` publishes with it (written first — a crash
+  * between leaves a stray generation the next attempt deletes before
+  * rewriting). A redelivered batch short-circuits on the ledger; a
+  * batch that crashed between its line append and its state publish
+  * leaves stray part files the next attempt deletes by inventory
+  * diff before re-appending — a part file belongs to exactly one
+  * (batch, shard) append, so the diff is exact. Generations mean no
+  * crash point ever reads as "no state" once a batch has committed.
+  * An inventory divergence that is not a stray-suffix tear dies
+  * loudly. An `_events` dir landed by a crashed batch is simply
+  * never read (the ledger doesn't name it) until its redelivery
+  * overwrite-lands and publishes it.
   *
   * Scale: the per-batch OUTPUT work is ∝ newly sealed conversations;
-  * the inventory check is a directory listing (∝ shard files —
-  * metadata, never data); the state table is ∝ gap-window-active
-  * users; and the sealing scan is ∝ candidate users' history, pruned
-  * to their `ub` dirs. Nothing here scales with stream lifetime
-  * except the immutable landed log itself. */
+  * the inventory check is a directory listing of the out dir (∝
+  * shard files — metadata, never data); the state table and the
+  * collected candidate set are ∝ gap-window-active users (the same
+  * broadcast-bounded driver state the table itself is); the sealing
+  * scan opens only ledgered files whose user range intersects the
+  * candidates; and the stats ledger is ∝ live files — bounded by
+  * [[compactEvents]], which also keeps per-file ranges tight.
+  * Nothing per-tick scales with stream lifetime. */
 object StreamingSealed {
 
   private val StatePrefix = "_graft_sealed_state.b"
 
+  /** One ledgered events file: root-relative path + its `user_id`
+    * min/max (the pruning stats). */
+  private final case class EventsFile(path: String, minU: Long,
+                                      maxU: Long)
+
   private final case class State(batches: Seq[(Long, Long, Long)],
-                                 files: Map[String, Long]) {
+                                 files: Map[String, Long],
+                                 events: Seq[EventsFile]) {
     def ids: Set[Long] = batches.map(_._1).toSet
     def wm: Long =
       if (batches.isEmpty) Long.MinValue else batches.maxBy(_._1)._2
     def landed: Long =
       if (batches.isEmpty) 0L else batches.maxBy(_._1)._3
+    /** The newest ledgered batch id — the active-table generation. */
+    def activeGen: Option[Long] =
+      if (batches.isEmpty) None else Some(batches.maxBy(_._1)._1)
   }
 
   private type Fs = org.apache.hadoop.fs.FileSystem
@@ -91,35 +126,46 @@ object StreamingSealed {
       .map(_.stripPrefix(StatePrefix).toLong).toSeq.sorted
   }
 
-  /** Newest complete state generation; None only before the first
+  /** Newest complete state generation; empty only before the first
     * commit (a published generation is complete-or-absent, so there
     * is no torn-read case to guess about). */
   private def readState(fs: Fs, root: String): State = {
     val gens = stateGens(fs, root)
-    if (gens.isEmpty) return State(Nil, Map.empty)
+    if (gens.isEmpty) return State(Nil, Map.empty, Nil)
     val p = new org.apache.hadoop.fs.Path(root, StatePrefix + gens.max)
     val in = fs.open(p)
     val txt = try new String(
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     finally in.close()
-    val (bs, fl) = txt.linesIterator.filter(_.nonEmpty).toSeq
-      .partition(_.startsWith("b,"))
+    val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
     State(
-      bs.map { l =>
+      lines.filter(_.startsWith("b,")).map { l =>
         val Array(_, id, wm, landed) = l.split(",")
         (id.toLong, wm.toLong, landed.toLong)
       },
-      fl.map { l =>
+      lines.filter(_.startsWith("f,")).map { l =>
         val Array(_, path, size) = l.split(",")
         path -> size.toLong
-      }.toMap)
+      }.toMap,
+      lines.filter(_.startsWith("e,")).map { l =>
+        val Array(_, path, mn, mx) = l.split(",")
+        EventsFile(path, mn.toLong, mx.toLong)
+      })
   }
 
-  private def writeState(fs: Fs, root: String, gen: Long,
+  /** Publish a state generation: gen = max(genHint, newest + 1) —
+    * batch publishes keep their batch-id-named generation (ids are
+    * monotone under the streaming engine), while a batch-less
+    * publish ([[compactEvents]]) takes the next free number. */
+  private def writeState(fs: Fs, root: String, genHint: Long,
                          st: State): Unit = {
+    val gen = math.max(genHint,
+      stateGens(fs, root).maxOption.map(_ + 1).getOrElse(0L))
     val lines = st.batches.sortBy(_._1)
       .map { case (id, wm, landed) => s"b,$id,$wm,$landed" } ++
-      st.files.toSeq.sortBy(_._1).map { case (f, n) => s"f,$f,$n" }
+      st.files.toSeq.sortBy(_._1).map { case (f, n) => s"f,$f,$n" } ++
+      st.events.sortBy(_.path)
+        .map(e => s"e,${e.path},${e.minU},${e.maxU}")
     val p = new org.apache.hadoop.fs.Path(root, StatePrefix + gen)
     val tmp = new org.apache.hadoop.fs.Path(root, StatePrefix + gen + ".tmp")
     val out = fs.create(tmp, true)
@@ -132,7 +178,7 @@ object StreamingSealed {
       fs.delete(new org.apache.hadoop.fs.Path(root, StatePrefix + g),
         false)
     }
-    gcActiveGens(fs, root, keep = Some(gen))
+    gcActiveGens(fs, root, keep = st.activeGen)
   }
 
   // ------------------------------------------ active-user state table
@@ -159,16 +205,13 @@ object StreamingSealed {
     * bounded. Empty before the first commit. */
   private def readActive(spark: org.apache.spark.sql.SparkSession,
                          fs: Fs, root: String,
-                         st: State): DataFrame = {
-    val gen = if (st.batches.isEmpty) None
-              else Some(st.batches.maxBy(_._1)._1)
-    gen.filter(g => fs.exists(
+                         st: State): DataFrame =
+    st.activeGen.filter(g => fs.exists(
         new org.apache.hadoop.fs.Path(activeDir(root, g)))) match {
       case Some(g) => spark.read.parquet(activeDir(root, g))
       case None => spark.range(0)
         .select(col("id").as("user_id"), col("id").as("last_t"))
     }
-  }
 
   /** The landed part-file inventory: relative path -> size, a
     * recursive LISTING of the out dir (metadata only, no data
@@ -233,12 +276,16 @@ object StreamingSealed {
       throw new IllegalStateException(
         s"out dir at $outPath diverges from the ledgered inventory " +
           "beyond a crashed-suffix tear — refusing to repair")
-    gcActiveGens(fs, root,
-      keep = if (st.batches.isEmpty) None
-             else Some(st.batches.maxBy(_._1)._1))
-    // ONE pass over the (micro-batch-sized) batch: emptiness, the
-    // batch watermark, and per-user maxima together
-    val batchT = batch.select(col("user_id"),
+    gcActiveGens(fs, root, keep = st.activeGen)
+    // the lateness contract: rows at or below prev wm − gap are
+    // rejected (see the header) — landed, they could renumber
+    // already-exported sessions on a user's return
+    val admitted =
+      if (st.batches.isEmpty) batch
+      else batch.filter(expr("ts div 1000") > st.wm - Sft.GapUs)
+    // ONE pass over the (micro-batch-sized) admitted rows: emptiness,
+    // the batch watermark, and per-user maxima together
+    val batchT = admitted.select(col("user_id"),
         expr("ts div 1000").as("t"))
       .groupBy(col("user_id")).agg(max(col("t")).as("last_t"))
       .localCheckpoint(true)
@@ -246,24 +293,40 @@ object StreamingSealed {
       val bm = batchT.agg(max(col("last_t"))).head()
       if (bm.isNullAt(0) && st.batches.isEmpty)
         return // nothing ever landed: no watermark to advance
-      // land the batch's events idempotently under their own
-      // (bid, ub) dirs — ub makes the candidate-history read a
-      // partition-pruned scan
-      if (!bm.isNullAt(0))
-        batch.withColumn("bid", lit(batchId))
-          .withColumn("ub", pmod(col("user_id"), lit(userBuckets.toLong)))
-          // one file per (bid, ub) dir: without the repartition every
-          // input task writes a sliver into every ub dir it touches —
-          // tasks × ub small files per batch, paid again on every
-          // candidate-history read
-          .repartition(userBuckets, col("ub"))
-          .write.mode(SaveMode.Overwrite)
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("bid", "ub").parquet(s"$root/_events")
+      // land the admitted events idempotently under their own
+      // (bid, ub) dirs, and ledger each landed file's user_id
+      // min/max — the stats ride the SAME atomic state publish that
+      // ledgers the batch, so the candidate-history read can be
+      // ledger-driven with no unledgered-file case
+      val newFiles: Seq[EventsFile] =
+        if (bm.isNullAt(0)) Nil
+        else {
+          admitted.withColumn("bid", lit(batchId))
+            .withColumn("ub", pmod(col("user_id"), lit(userBuckets.toLong)))
+            // one file per (bid, ub) dir: without the repartition every
+            // input task writes a sliver into every ub dir it touches —
+            // tasks × ub small files per batch, paid again on every
+            // candidate-history read
+            .repartition(userBuckets, col("ub"))
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bid", "ub").parquet(s"$root/_events")
+          // per-(bid, ub) user range from the already-checkpointed
+          // per-user maxima — no second pass over the batch; one
+          // file per dir, so dir grain IS file grain
+          batchT.groupBy(
+              pmod(col("user_id"), lit(userBuckets.toLong)).as("ub"))
+            .agg(min(col("user_id")).as("mn"),
+              max(col("user_id")).as("mx"))
+            .collect().toSeq.map { r =>
+              EventsFile(s"_events/bid=$batchId/ub=${r.getLong(0)}",
+                r.getLong(1), r.getLong(2))
+            }
+        }
       val wm = if (bm.isNullAt(0)) st.wm
                else math.max(st.wm, bm.getLong(0))
       processSealedTail(spark, fs, root, outPath, batchId, st, batchT,
-        wm, budgetBytes, userBuckets)
+        newFiles, wm, budgetBytes)
     } finally {
       org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(batchT)
     }
@@ -273,85 +336,175 @@ object StreamingSealed {
   private def processSealedTail(spark: org.apache.spark.sql.SparkSession,
                                 fs: Fs, root: String, outPath: String,
                                 batchId: Long, st: State,
-                                batchT: DataFrame, wm: Long,
-                                budgetBytes: Long,
-                                userBuckets: Int): Unit = {
+                                batchT: DataFrame,
+                                newFiles: Seq[EventsFile], wm: Long,
+                                budgetBytes: Long): Unit = {
     val first = st.batches.isEmpty
     // candidates: every user who can own a session with last event in
     // (prev wm − gap, wm − gap] — the previously-active users plus
     // this batch's users; everyone else's sessions sealed (and
-    // exported, or were dropped as sub-watermark late data) earlier
+    // exported) earlier
     val merged = readActive(spark, fs, root, st)
       .unionByName(batchT)
       .groupBy(col("user_id")).agg(max(col("last_t")).as("last_t"))
       .filter(if (first) lit(true) else col("last_t") > st.wm - Sft.GapUs)
       .localCheckpoint(true)
     try {
-      val candUbs = merged
-        .select(pmod(col("user_id"), lit(userBuckets.toLong)).as("ub"))
-        .distinct().collect().map(_.getLong(0))
-      // the pruned sealing scan: candidate users' FULL history (their
-      // ub dirs only — a partition filter — then a semi-join down to
-      // exactly them); rawTurns over a user's complete history assigns
-      // the same session ids a whole-log recompute would. Sessionized
-      // ONCE and checkpointed: the tail facts (newly sealed keys) and
-      // the render both consume it — un-checkpointed, each would pay
-      // the sessionization window cascade over the history again.
-      val raw = Sft.rawTurns(
-          spark.read.parquet(s"$root/_events")
-            .filter(col("ub").isin(candUbs.toSeq: _*))
-            .join(merged.select(col("user_id")), Seq("user_id"),
-              "left_semi")
-            .drop("bid", "ub"))
-        .localCheckpoint(true)
-      val lines = try {
-        val newKeys = raw
-          .groupBy(col("user_id"), col("session_id"))
-          .agg(max(col("t")).as("lt"))
-          .filter(col("lt") <= wm - Sft.GapUs &&
-            (if (first) lit(true) else col("lt") > st.wm - Sft.GapUs))
-          .select(col("user_id"), col("session_id"))
-        val esc = (c: org.apache.spark.sql.Column) =>
-          regexp_replace(c, "([\"\\\\])", "\\\\$1")
-        // the sealed-keys semi-join lands BELOW the merge/render
-        // windows: only newly sealed conversations' events flow
-        // through turn merging and templating (candidates that stay
-        // open render nothing this tick). One materialization:
-        // writeLines evaluates its input twice and the byte total is
-        // read once more.
-        Sft.render(Sft.mergedTurnsOfRaw(
-            raw.join(newKeys, Seq("user_id", "session_id"),
-              "left_semi")))
-          .select(
-            (col("user_id") * 1000000L + col("session_id")).as("ck"),
-            concat(lit("{\"ck\":"),
-              col("user_id") * 1000000L + col("session_id"),
-              lit(",\"render\":\""), esc(col("rendered")), lit("\"}"))
-              .as("line"))
-          .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
-          .localCheckpoint(true)
-      } finally {
-        org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(raw)
+      // the candidate set is gap-window bounded — the same driver-
+      // sized state the _active table itself is (coalesce(1)); it
+      // drives FILE selection, which must happen at plan time
+      val cands: Array[Long] = merged.select(col("user_id"))
+        .collect().map(_.getLong(0)).sorted
+      def overlaps(mn: Long, mx: Long): Boolean = {
+        val i = java.util.Arrays.binarySearch(cands, mn)
+        val ins = if (i >= 0) i else -i - 1
+        ins < cands.length && cands(ins) <= mx
       }
-      try {
-        Lakehouse.writeLines(lines, "ck", outPath, budgetBytes,
-          byteOffset = st.landed, mode = SaveMode.Append)
-        val add = lines.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-          .head().getLong(0)
-        // publish: active table generation first (still unreferenced —
-        // a crash here leaves a stray the next attempt heals), then
-        // the state file that names it
-        merged.filter(col("last_t") > wm - Sft.GapUs)
-          .coalesce(1).write.mode(SaveMode.Overwrite)
-          .parquet(activeDir(root, batchId))
-        writeState(fs, root, batchId,
-          State(st.batches :+ ((batchId, wm, st.landed + add)),
-            listParts(fs, outPath)))
-      } finally {
-        org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(lines)
-      }
+      val ledger = st.events ++ newFiles
+      val sel = ledger.filter(e => overlaps(e.minU, e.maxU))
+      val add =
+        if (sel.isEmpty) 0L // no ledgered file holds a candidate row:
+                            // nothing can newly seal this tick
+        else {
+          // the pruned sealing scan: ONLY the selected files open
+          // (compacted segments have tight disjoint user ranges, so
+          // this is candidate-proportional even with every ub bucket
+          // hot); the semi-join then cuts range-overlap bycatch down
+          // to exactly the candidates. rawTurns over a user's
+          // complete history assigns the same session ids a
+          // whole-log recompute would. Sessionized ONCE and
+          // checkpointed: the tail facts (newly sealed keys) and the
+          // render both consume it.
+          val raw = Sft.rawTurns(
+              spark.read.parquet(sel.map(e => s"$root/${e.path}"): _*)
+                .join(merged.select(col("user_id")), Seq("user_id"),
+                  "left_semi")
+                .drop("bid", "ub"))
+            .localCheckpoint(true)
+          val lines = try {
+            val newKeys = raw
+              .groupBy(col("user_id"), col("session_id"))
+              .agg(max(col("t")).as("lt"))
+              .filter(col("lt") <= wm - Sft.GapUs &&
+                (if (first) lit(true) else col("lt") > st.wm - Sft.GapUs))
+              .select(col("user_id"), col("session_id"))
+            val esc = (c: org.apache.spark.sql.Column) =>
+              regexp_replace(c, "([\"\\\\])", "\\\\$1")
+            // the sealed-keys semi-join lands BELOW the merge/render
+            // windows: only newly sealed conversations' events flow
+            // through turn merging and templating (candidates that
+            // stay open render nothing this tick). One
+            // materialization: writeLines evaluates its input twice
+            // and the byte total is read once more.
+            Sft.render(Sft.mergedTurnsOfRaw(
+                raw.join(newKeys, Seq("user_id", "session_id"),
+                  "left_semi")))
+              .select(
+                (col("user_id") * 1000000L + col("session_id")).as("ck"),
+                concat(lit("{\"ck\":"),
+                  col("user_id") * 1000000L + col("session_id"),
+                  lit(",\"render\":\""), esc(col("rendered")), lit("\"}"))
+                  .as("line"))
+              .withColumn("n_bytes",
+                (length(col("line")) + 1L).cast("long"))
+              .localCheckpoint(true)
+          } finally {
+            org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(raw)
+          }
+          try {
+            Lakehouse.writeLines(lines, "ck", outPath, budgetBytes,
+              byteOffset = st.landed, mode = SaveMode.Append)
+            lines.agg(coalesce(sum(col("n_bytes")), lit(0L)))
+              .head().getLong(0)
+          } finally {
+            org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(lines)
+          }
+        }
+      // publish: active table generation first (still unreferenced —
+      // a crash here leaves a stray the next attempt heals), then
+      // the state file that names it
+      merged.filter(col("last_t") > wm - Sft.GapUs)
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(activeDir(root, batchId))
+      writeState(fs, root, batchId,
+        State(st.batches :+ ((batchId, wm, st.landed + add)),
+          listParts(fs, outPath), ledger))
     } finally {
       org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(merged)
+    }
+  }
+
+  /** Fold every ledgered events file into `nSegments` user-RANGE-
+    * partitioned, user-sorted segment files — the [[Lakehouse]]
+    * `compactVersioned` model applied to the landing log. After a
+    * compact, per-file user ranges are TIGHT and DISJOINT, so a
+    * sealing tick with k candidate users opens O(k) files no matter
+    * how many `ub` buckets the candidates hash into, and the stats
+    * ledger (and the per-tick planning cost that reads it) stops
+    * growing with batch count.
+    *
+    * One full rewrite of the landed log — the price every OPTIMIZE
+    * pays — plus one single-column (`user_id`) read-back of the
+    * fresh segments for their exact per-file ranges (parquet column
+    * pruning: the stats pass never touches the payload columns).
+    * Publish is the same complete-or-absent state-generation write
+    * the sink uses; the old dirs are deleted only AFTER the new
+    * state is durable, and a crash anywhere leaves either the old
+    * ledger fully live or the new one — stray unledgered dirs are
+    * never read and the next compact GCs them.
+    *
+    * Single-writer contract (same as the sink): never run
+    * concurrently with a sealing tick. */
+  def compactEvents(spark: org.apache.spark.sql.SparkSession,
+                    root: String, nSegments: Int): Unit = {
+    require(nSegments >= 1, s"nSegments must be >= 1, got $nSegments")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = readState(fs, root)
+    if (st.events.isEmpty) return
+    val SegGen = "_events_c/g(\\d+)/.*".r
+    val ledgeredGens = st.events.map(_.path).collect {
+      case SegGen(g) => g.toLong
+    }
+    // a crashed compact may have left a stray UNledgered generation
+    // dir: the next number must clear everything on disk too, or the
+    // fresh write would land among stale files
+    val cDir = new org.apache.hadoop.fs.Path(root, "_events_c")
+    val diskGens =
+      if (!fs.exists(cDir)) Nil
+      else fs.listStatus(cDir).map(_.getPath.getName)
+        .filter(_.startsWith("g")).map(_.stripPrefix("g").toLong).toSeq
+    val gen = (ledgeredGens ++ diskGens).maxOption.getOrElse(0L) + 1
+    val genDir = s"$root/_events_c/g$gen"
+    spark.read.parquet(st.events.map(e => s"$root/${e.path}"): _*)
+      .drop("bid", "ub")
+      .repartitionByRange(nSegments, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode(SaveMode.Overwrite).parquet(genDir)
+    // exact per-file ranges from the written segments: one pruned
+    // read of the user_id column alone. Segment files live flat in
+    // the generation dir, so the file NAME is the relative path.
+    val segFiles = spark.read.parquet(genDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"))
+      .collect().toSeq.map { r =>
+        val name = new org.apache.hadoop.fs.Path(r.getString(0)).getName
+        EventsFile(s"_events_c/g$gen/$name", r.getLong(1), r.getLong(2))
+      }
+    writeState(fs, root, genHint = 0L,
+      State(st.batches, st.files, segFiles))
+    // GC everything the new ledger no longer names: the whole bid=*
+    // landing area and every older segment generation. A crashed
+    // batch's unledgered landing dies here too — its redelivery
+    // re-lands it in full.
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_events"), true)
+    diskGens.filter(_ != gen).foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_events_c/g$g"),
+        true)
+    }
+    ledgeredGens.filter(_ != gen).distinct.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"_events_c/g$g"),
+        true)
     }
   }
 }

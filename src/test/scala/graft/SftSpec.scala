@@ -367,6 +367,112 @@ class SftSpec extends AnyFunSuite {
     assert(cks == Seq(4000001L, 5000001L, 6000001L, 7000001L))
   }
 
+  test("StreamingSealed + compactEvents: candidates hashing into " +
+    "EVERY ub bucket still scan only the segments covering them — " +
+    "far less than the landed log (measured recordsRead, with " +
+    "accounting control). A bucket-grain prune would degenerate to " +
+    "the full log here") {
+    import graft.streaming.StreamingSealed.{processSealedBatch,
+      compactEvents}
+    // 100 bulk users (0..99) x 60 events at secs 0..59 — one session
+    // each, spread over ALL 4 ub buckets; trickle users 1000..1003
+    // hit ub 0,1,2,3 — every bucket hot in the steady state
+    val bulk = for { u <- 0L until 100L; i <- 0L until 60L }
+      yield (u * 100L + i, i, u, "click", 1.0)
+    val trickle1 = (0L until 4L).map(i =>
+      (900000L + i, 10000L + i, 1000L + i, "view", 1.0))
+    val trickle2 = (0L until 4L).map(i =>
+      (910000L + i, 20000L + i, 1000L + i, "view", 1.0))
+    val root = freshDir("graft_sealed_allhot")
+    processSealedBatch(events(bulk), 0L, root, 1L << 20,
+      userBuckets = 4)
+    // batch 1 (wm 10003) SEALS all 100 bulk sessions: the accounting
+    // control — the sealing scan legitimately reads the whole log
+    // when the whole log is newly sealed output
+    val sealRead = recordsReadDuring {
+      processSealedBatch(events(trickle1), 1L, root, 1L << 20,
+        userBuckets = 4)
+    }
+    assert(sealRead >= 6000L,
+      s"batch 1 must read the sealed bulk history (read $sealRead)")
+    // fold the landing into user-range segments: per-file user
+    // ranges become tight and disjoint
+    compactEvents(spark, root, nSegments = 16)
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_events")),
+      "compact must GC the superseded bid=* landing dirs")
+    // batch 2's candidates are users 1000..1003 — one per ub bucket,
+    // so a bucket-grain prune keeps every bucket and re-reads all
+    // ~6000 landed rows. Range-selected segments open only the
+    // files covering those users: one ~400-row segment plus the
+    // active table and the checkpoint cache re-reads (recordsRead
+    // counts cache-block rows — the measured bound budgets the
+    // candidate frames twice, never the log)
+    val pruned = recordsReadDuring {
+      processSealedBatch(events(trickle2), 2L, root, 1L << 20,
+        userBuckets = 4)
+    }
+    assert(pruned < 2200L,
+      s"batch 2's sealing scan read $pruned rows with every bucket " +
+        "hot (expected one ~400-row segment, not the ~6000-row log)")
+    // output stays exactly right: 100 bulk sessions sealed at batch
+    // 1, the trickle users' first sessions sealed at batch 2, their
+    // 20000s sessions still open
+    val cks = spark.read.text(s"$root/out")
+      .select(col("value")).as[String].collect()
+      .map(_.split(",")(0).stripPrefix("{\"ck\":").toLong).sorted.toSeq
+    val expCks = ((0L until 100L) ++ (1000L until 1004L))
+      .map(_ * 1000000L + 1L).sorted
+    assert(cks == expCks)
+  }
+
+  test("StreamingSealed lateness contract: sub-watermark rows are " +
+    "rejected at landing, so a returning user's session numbering " +
+    "never shifts and the landed log never diverges from the export") {
+    import graft.streaming.StreamingSealed.processSealedBatch
+    val root = freshDir("graft_sealed_late")
+    // u1's first session at secs 0..20
+    processSealedBatch(events(Seq(
+      (1L, 0L, 1L, "click", 1.0), (2L, 10L, 1L, "view", 1.0),
+      (3L, 20L, 1L, "purchase", 1.0))), 0L, root, 1L << 20,
+      userBuckets = 4)
+    // batch 1: u2 at 10000 -> wm 10000 seals u1's session (ck 1000001)
+    processSealedBatch(events(Seq(
+      (4L, 10000L, 2L, "click", 1.0))), 1L, root, 1L << 20,
+      userBuckets = 4)
+    def cks(): Seq[Long] = spark.read.text(s"$root/out")
+      .select(col("value")).as[String].collect()
+      .map(_.split(",")(0).stripPrefix("{\"ck\":").toLong).sorted.toSeq
+    def landedRows(): Long =
+      spark.read.parquet(s"$root/_events").count()
+    assert(cks() == Seq(1000001L) && landedRows() == 4L)
+    // batch 2: u1 returns with ONLY sub-watermark rows (secs 5000,
+    // 5001 <= wm 10000 - gap 1800) — rejected at the door. Landed,
+    // they would insert a phantom session below u1's exported
+    // session on the next recompute and renumber everything above
+    processSealedBatch(events(Seq(
+      (5L, 5000L, 1L, "error", 1.0),
+      (6L, 5001L, 1L, "error", 1.0))), 2L, root, 1L << 20,
+      userBuckets = 4)
+    assert(cks() == Seq(1000001L) && landedRows() == 4L,
+      "a fully-late batch must land nothing and export nothing")
+    // redelivery of the late batch: ledger-skipped
+    processSealedBatch(events(Seq(
+      (5L, 5000L, 1L, "error", 1.0))), 2L, root, 1L << 20,
+      userBuckets = 4)
+    assert(landedRows() == 4L)
+    // batch 3: u1's genuine return at 30000; batch 4 (u3 at 50000)
+    // seals it as session 2 — the ck proves the rejected rows never
+    // entered the numbering (landed, they'd have made it session 3)
+    processSealedBatch(events(Seq(
+      (7L, 30000L, 1L, "signup", 1.0))), 3L, root, 1L << 20,
+      userBuckets = 4)
+    processSealedBatch(events(Seq(
+      (8L, 50000L, 3L, "click", 1.0))), 4L, root, 1L << 20,
+      userBuckets = 4)
+    assert(cks() == Seq(1000001L, 1000002L, 2000001L))
+  }
+
   test("DecayedSumFixed == the naive per-step truncating recurrence; " +
     "partitions are independent") {
     val rows = Seq((1L, 1L, 17L), (1L, 2L, 100L), (1L, 3L, 3L),
