@@ -478,11 +478,7 @@ object Lakehouse {
     // covers a crashed first write's replay)
     acquireCommit(spark, path, 0L, writerToken)
     val b = bucketed(df, key, buckets).localCheckpoint(true)
-    b.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(s"$path/v0")
+    writeVDir(b, statCols, Seq(key), s"$path/v0")
     appendVStats(b, path, 0L, statCols)
     b.select(col("bucket").cast("long")).distinct()
       .select(lit(0L).as("version"), col("bucket"),
@@ -593,6 +589,64 @@ object Lakehouse {
     }
   }
 
+  /** Register `dst` as a clone of `src` in `src/_clones` — the
+    * DOWNWARD pointer [[baseOf]]'s `_base` can't give (children know
+    * their parent; a vacuum needs the parent to know its children,
+    * transitively). One marker file per clone, named by the clone
+    * path's SHA-1 (idempotent — a re-run of a crashed branch rewrites
+    * the same marker), content the clone path. Written BEFORE the
+    * clone's manifest copy, so a READABLE clone is always registered;
+    * a registered clone that never completed (or was deleted, or
+    * re-pointed elsewhere) fails [[liveClones]]'s `_base` liveness
+    * check and is ignored. */
+  private def registerClone(spark: SparkSession, src: String,
+                            dst: String): Unit = {
+    val fs = hfs(spark, src)
+    val dir = new org.apache.hadoop.fs.Path(src, "_clones")
+    fs.mkdirs(dir)
+    val name = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(dst.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val marker = new org.apache.hadoop.fs.Path(dir, name)
+    fs.delete(marker, false)
+    val out = fs.create(marker, true)
+    try out.write(dst.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The LIVE clones registered under `path/_clones`: registered
+    * stores whose `_base` still points here. Metadata-only (one
+    * small-file read per registered clone); stale entries — a clone
+    * deleted from disk, or one whose `_base` was re-pointed — are
+    * skipped, not errors. */
+  def liveClones(spark: SparkSession, path: String): Seq[String] = {
+    val fs = hfs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path, "_clones")
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.filter(_.isFile).map { s =>
+      val in = fs.open(s.getPath)
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      finally in.close()
+    }.filter(c => baseOf(spark, c).contains(path)).sorted
+  }
+
+  /** The TRANSITIVE clone set of `path`: registry-discovered live
+    * clones, their clones, and so on — unioned with an
+    * explicitly-supplied set (each of which is also expanded). The
+    * closure a safe vacuum must consult: a grandchild's manifest can
+    * resolve to base dirs its INTERMEDIATE parent's checkpointed
+    * manifest no longer lists ([[vacuumVersionsSafe]]'s caveat), so
+    * level-by-level is not enough. Bounded by clone-graph size —
+    * metadata-only. */
+  def cloneClosure(spark: SparkSession, path: String,
+                   explicit: Seq[String] = Nil): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    def walk(p: String): Unit =
+      (liveClones(spark, p) ++ (if (p == path) explicit else Nil))
+        .foreach { c => if (seen.add(c)) walk(c) }
+    walk(path)
+    seen.toSeq
+  }
+
   /** Resolve a manifest vdir to its DATA dir: the store's own
     * `v<N>` if present, else up the `_base` chain — a branch's
     * pre-fork pointers reference the base store's immutable dirs
@@ -600,13 +654,25 @@ object Lakehouse {
     * under its own path. Chain depth = clone-of-clone nesting,
     * always small. */
   private def vdirPath(spark: SparkSession, path: String,
-                       vdir: Long): String = {
+                       vdir: Long): String =
+    s"${vdirOwner(spark, path, vdir)}/v$vdir"
+
+  /** The store that physically OWNS `v<vdir>`: this one if the dir
+    * exists locally, else the first ancestor up the `_base` chain
+    * that holds it. Falls back to `path` when absent everywhere (a
+    * vacuumed dir — the read fails loudly). Stats resolution uses
+    * the same walk: a branch's post-fork vdir N and the base's
+    * post-fork vdir N are DISTINCT dirs sharing a number, so stats
+    * must come from the owning store's `_vstats`, never a bare
+    * (vdir, bucket) union across the chain. */
+  private def vdirOwner(spark: SparkSession, path: String,
+                        vdir: Long): String = {
     if (hfs(spark, path).exists(
         new org.apache.hadoop.fs.Path(path, s"v$vdir")))
-      return s"$path/v$vdir"
+      return path
     baseOf(spark, path) match {
-      case Some(b) => vdirPath(spark, b, vdir)
-      case None => s"$path/v$vdir" // absent: let the read fail loudly
+      case Some(b) => vdirOwner(spark, b, vdir)
+      case None => path // absent: let the read fail loudly
     }
   }
 
@@ -634,6 +700,12 @@ object Lakehouse {
       .agg(max(when(col("bucket") =!= -1L, col("version")))).head()
     require(!head.isNullAt(0), s"cannot branch an empty store at $src")
     fs.mkdirs(new org.apache.hadoop.fs.Path(dst))
+    // register the clone under the BASE before anything makes it
+    // readable — [[vacuumVersionsSafe]] and [[rebaseBranch]] discover
+    // dependents through this registry, and a readable-but-
+    // unregistered clone is exactly the dangling reference they
+    // exist to prevent
+    registerClone(spark, src, dst)
     // a `_base` without a manifest is a crashed half-branch (the
     // manifest-absence require above proved it) — clear and redo
     fs.delete(new org.apache.hadoop.fs.Path(dst, "_base"), false)
@@ -698,6 +770,27 @@ object Lakehouse {
     * `statCols` — a commit that skips them leaves its dirs
     * stats-less, and range reads then fail the coverage guard LOUDLY
     * rather than skipping silently. */
+  /** Write a version dir in the standard layout: repartitioned by
+    * bucket, rows CLUSTERED within each bucket file by the stat
+    * columns first (then `tail` — the key, where the caller has
+    * one). Parquet records rowgroup min/max unconditionally, so
+    * stat-first clustering turns a pushed range predicate into
+    * ROWGROUP skips inside every dir the scan opens — the within-dir
+    * complement of `_vstats` dir-grain pruning. Dir-grain stats pay
+    * only under the tkey discipline (the key carries the queried
+    * dimension in its bucket bits); rowgroup clustering pays on ANY
+    * layout, plain mod-keyed included — the second pruning level a
+    * 100 TB scan needs, bought at write time inside a sort the
+    * write was already doing. */
+  private def writeVDir(frame: DataFrame, statCols: Seq[String],
+                        tail: Seq[String], dest: String): Unit =
+    frame.repartition(col("bucket"))
+      .sortWithinPartitions(
+        (("bucket" +: statCols) ++ tail).distinct.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(dest)
+
   private def appendVStats(frame: DataFrame, path: String, vdir: Long,
                            statCols: Seq[String]): Unit =
     if (statCols.nonEmpty) {
@@ -714,21 +807,30 @@ object Lakehouse {
         .parquet(s"$path/_vstats")
     }
 
-  /** The stats table, resolved through the `_base` chain like the
-    * data dirs themselves — a branch's pre-fork pointers resolve to
-    * base dirs, whose stats live in the base's `_vstats`. */
-  private def vstatsDf(spark: SparkSession, path: String): DataFrame = {
+  /** One store's OWN `_vstats` ranges for `statCol`, deduped by
+    * (vdir, bucket) with min/max widening (a crashed retry may have
+    * appended duplicate rows for the same deterministic rewrite).
+    * NO chain union: stats ownership follows data ownership
+    * ([[vdirOwner]]) — a branch's post-fork vdir N must never
+    * borrow the base's stats for ITS same-numbered vdir N, or a
+    * stats-less branch commit would pass the coverage guard on the
+    * base dir's ranges and be silently pruned (the false negative
+    * skipping must never have). Empty map when the store has no
+    * `_vstats` — the caller's per-dir guard turns that into a loud
+    * per-dir failure. */
+  private def ownVStatsRanges(spark: SparkSession, path: String,
+                              statCol: String)
+      : Map[(Long, Long), (Long, Long)] = {
     val fs = hfs(spark, path)
-    val own =
-      if (fs.exists(new org.apache.hadoop.fs.Path(path, "_vstats")))
-        Seq(spark.read.parquet(s"$path/_vstats"))
-      else Nil
-    val inherited = baseOf(spark, path).toSeq
-      .map(b => vstatsDf(spark, b))
-    require(own.nonEmpty || inherited.nonEmpty,
-      s"no _vstats under $path — the store was written without " +
-        "statCols; range reads on it cannot prove completeness")
-    (own ++ inherited).reduce(_ unionByName _)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path, "_vstats")))
+      Map.empty
+    else spark.read.parquet(s"$path/_vstats")
+      .filter(col("col_name") === statCol)
+      .groupBy(col("vdir"), col("bucket"))
+      .agg(min(col("min_v")).as("mn"), max(col("max_v")).as("mx"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
   }
 
   /** The (vdir, bucket) dirs a `[lo, hi]` range on `statCol` can
@@ -745,18 +847,31 @@ object Lakehouse {
                          lo: Long, hi: Long): Seq[(Long, Long)] = {
     val ptr = resolvePointers(spark, path, version, None)
     if (ptr.isEmpty) return Nil
-    val st = vstatsDf(spark, path)
-      .filter(col("col_name") === statCol)
-      .groupBy(col("vdir"), col("bucket"))
-      .agg(min(col("min_v")).as("mn"), max(col("max_v")).as("mx"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getLong(3)))).toMap
+    // stats ownership = data ownership: each resolved dir's ranges
+    // come from the store that physically holds v<vdir> (its own
+    // post-fork commits) or the ancestor it resolves through (its
+    // pre-fork pointers) — never a bare (vdir, bucket) union across
+    // the chain, which would let a base's same-numbered vdir vouch
+    // for a stats-less branch dir. One `_vstats` read per distinct
+    // owner (chain depth — bounded by clone nesting, metadata-only).
+    val owner: Map[(Long, Long), String] =
+      ptr.map { case (bk, vd) =>
+        (vd, bk) -> vdirOwner(spark, path, vd)
+      }.toMap
+    val ownerStats: Map[String, Map[(Long, Long), (Long, Long)]] =
+      owner.values.toSet.iterator
+        .map((op: String) => op -> ownVStatsRanges(spark, op, statCol))
+        .toMap
+    val st: Map[(Long, Long), (Long, Long)] =
+      owner.keysIterator.flatMap { k =>
+        ownerStats(owner(k)).get(k).map(k -> _)
+      }.toMap
     val missing = ptr.filterNot { case (bk, vd) => st.contains((vd, bk)) }
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"no '$statCol' stats for resolved dir(s) " +
-          missing.sortBy(_._1).map { case (bk, vd) => s"v$vd/bucket=$bk" }
+          missing.sortBy(_._1).map { case (bk, vd) =>
+            s"v$vd/bucket=$bk (owner ${owner((vd, bk))})" }
             .mkString(", ") +
           s" under $path — a range read would silently skip them")
     ptr.toSeq.collect {
@@ -884,11 +999,7 @@ object Lakehouse {
           .select(("bucket" +: upCols).map(col): _*),
         allowMissingColumns = true)
       .localCheckpoint(true)
-    replacement.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(s"$path/v$version")
+    writeVDir(replacement, statCols, Seq(key), s"$path/v$version")
     appendVStats(replacement, path, version, statCols)
     val written = replacement.select(col("bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
@@ -944,11 +1055,7 @@ object Lakehouse {
         .collect().map(_.getLong(0)).toSet
       if (written.isEmpty) return 0L // empty head: slot stays free
       acquireCommit(spark, path, asVersion, writerToken)
-      state.repartition(col("bucket"))
-        .sortWithinPartitions(col("bucket"), col(key))
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("bucket")
-        .parquet(s"$path/v$asVersion")
+      writeVDir(state, statCols, Seq(key), s"$path/v$asVersion")
       appendVStats(state, path, asVersion, statCols)
       val rows = written.toSeq.sorted.map { bk =>
         (asVersion, bk, asVersion, false, cts)
@@ -1089,28 +1196,34 @@ object Lakehouse {
     * the base's own retention floor. Chained clones vacuum level by
     * level: each store's vacuum takes ITS direct branches.
     *
-    * CAVEAT on the level-by-level contract: it relies on every
-    * intermediate branch's manifest still LISTING the base vdirs its
-    * own clones resolve through. [[checkpointManifest]] on a branch
-    * collapses pointer rows below the branch's floor — if a
-    * grandchild forked before that checkpoint, the collapse can drop
-    * base-vdir rows the grandchild's copied manifest still resolves
-    * to, and a base vacuum given only direct branches may then delete
-    * dirs the grandchild needs. Rule: either do not checkpoint a
-    * branch that has live clones of its own, or pass the TRANSITIVE
-    * clone set to this call (every store in the `_base` chains) so
-    * each clone's needs are collected from its own manifest. */
+    * The consulted set is the TRANSITIVE clone closure
+    * ([[cloneClosure]]): the `_clones` registry [[branchVersioned]]
+    * maintains is walked downward from this store — clones, their
+    * clones, and so on — and unioned with the explicitly-supplied
+    * `branches` (each also expanded). Transitivity matters because
+    * level-by-level is NOT enough: [[checkpointManifest]] on an
+    * intermediate branch collapses pointer rows below its floor, so
+    * a grandchild that forked before that checkpoint can resolve to
+    * base vdirs its parent's manifest no longer lists — each clone's
+    * needs must be collected from ITS OWN manifest. `branches` stays
+    * as the escape hatch for clones made before the registry existed
+    * (or registered under a path alias the liveness check can't
+    * match); `Nil` is the normal call now. */
   def vacuumVersionsSafe(spark: SparkSession, path: String,
                          floor: Long,
-                         branches: Seq[String]): (Long, Long) = {
-    val branchNeeds = branches.flatMap { b =>
-      val bfs = hfs(spark, b)
+                         branches: Seq[String] = Nil): (Long, Long) = {
+    val branchNeeds = cloneClosure(spark, path, branches).flatMap { b =>
+      // a clone's referenced vdir NUMBER may belong to an
+      // intermediate store in its `_base` chain, not to this base —
+      // resolve each to its owning store and retain only the ones
+      // that are genuinely OURS (dir numbers collide across stores
+      // by design; retaining a same-numbered stranger's need would
+      // silently over-retain)
       manifestDf(spark, b)
         .filter(!col("empty") && col("bucket") =!= -1L)
         .select(col("vdir")).distinct()
         .collect().map(_.getLong(0))
-        .filterNot(v =>
-          bfs.exists(new org.apache.hadoop.fs.Path(b, s"v$v")))
+        .filter(v => vdirOwner(spark, b, v) == path)
     }.toSet
     vacuumImpl(spark, path, floor, branchNeeds)
   }
@@ -1552,11 +1665,7 @@ object Lakehouse {
     acquireCommit(spark, base, asVersion, writerToken)
     val state = readVersioned(spark, branch, brHead, Some(moved))
       .localCheckpoint(true)
-    state.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
-      .parquet(s"$base/v$asVersion")
+    writeVDir(state, statCols, Nil, s"$base/v$asVersion")
     appendVStats(state, base, asVersion, statCols)
     val written = state.select(col("bucket").cast("long"))
       .distinct().collect().map(_.getLong(0)).toSet
@@ -1585,7 +1694,23 @@ object Lakehouse {
     * would SHADOW base vdirs with the same numbers. Requires: the
     * branch's pending edits are already merged (this is the
     * post-promote step) and the branch has no clones of its own
-    * (their manifests reference the dirs this deletes). Crash-safe:
+    * (their manifests reference the dirs this deletes). Both
+    * preconditions are now CHECKED from metadata, not just
+    * documented: (1) live clones of the branch (via the `_clones`
+    * registry) refuse unconditionally — rebase or delete the clone
+    * first; (2) an in-flight writer's commit slot (a `_commits`
+    * marker for a version with no manifest rows behind it) refuses
+    * unconditionally — rebase is single-writer admin; if the writer
+    * is dead, [[breakCommit]] clears the slot; (3) post-fork branch
+    * buckets the BASE has not advanced past the fork point are
+    * evidence of unmerged edits this rebase would destroy — refused
+    * unless `force = true`. Check 3 is a metadata PROXY (the base
+    * advancing on a bucket does not prove it absorbed the branch's
+    * edit, and a branch that vacuumed its own post-fork dirs can
+    * shift the inferred fork point) — it catches the mis-sequenced
+    * rebase-before-merge call loudly, which is the failure class
+    * that matters; `force` is the admit-data-loss override.
+    * Crash-safe:
     * the staged manifest copy is garbage until the delete→rename swap
     * ([[recoverManifest]] completes a crash between them); a crash
     * after the dir deletes but before the swap leaves the branch's
@@ -1593,7 +1718,7 @@ object Lakehouse {
     * never silently wrong. Returns the new fork version (the base
     * head). */
   def rebaseBranch(spark: SparkSession, branch: String,
-                   base: String): Long = {
+                   base: String, force: Boolean = false): Long = {
     recoverManifest(spark, base)
     recoverManifest(spark, branch)
     require(baseOf(spark, branch).contains(base),
@@ -1603,6 +1728,61 @@ object Lakehouse {
     require(!head.isNullAt(0),
       s"cannot rebase onto an empty store at $base")
     val fs = hfs(spark, branch)
+    // guard 1: a live clone's pre-fork pointers resolve through the
+    // very dirs this rebase deletes — never destructible from here
+    val clones = liveClones(spark, branch)
+    require(clones.isEmpty,
+      s"refusing to rebase $branch: live clone(s) " +
+        s"${clones.mkString(", ")} resolve through its dirs — " +
+        "rebase or delete them first")
+    // guard 2: a commit slot with no manifest rows behind it is a
+    // writer mid-commit (or a dead one — breakCommit clears it);
+    // rebase deletes _commits wholesale, which would hand the slot
+    // to a second writer
+    val committedVs = manifestDf(spark, branch)
+      .filter(col("bucket") =!= -1L)
+      .select(col("version")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val slotDir = new org.apache.hadoop.fs.Path(branch, "_commits")
+    val inflight =
+      if (!fs.exists(slotDir)) Array.empty[String]
+      else fs.listStatus(slotDir)
+        .map(_.getPath.getName).filter(_.matches("v\\d+"))
+        .filterNot(n => committedVs.contains(n.stripPrefix("v").toLong))
+    require(inflight.isEmpty,
+      s"refusing to rebase $branch: in-flight commit slot(s) " +
+        s"${inflight.sorted.mkString(", ")} — another writer is " +
+        "mid-commit (breakCommit clears a dead writer's slot)")
+    // guard 3 (metadata proxy, force-overridable): infer the fork
+    // point as the max version among manifest rows resolving to dirs
+    // the branch does NOT own; any bucket the branch moved past it
+    // that the base has NOT advanced past it is an unmerged edit
+    // this rebase would destroy
+    if (!force) {
+      val rows = manifestDf(spark, branch)
+        .filter(col("bucket") =!= -1L)
+        .select(col("version"), col("bucket"), col("vdir"))
+        .collect()
+      val ownsDir: Long => Boolean = v =>
+        fs.exists(new org.apache.hadoop.fs.Path(branch, s"v$v"))
+      val forkH = rows.filterNot(r => ownsDir(r.getLong(2)))
+        .map(_.getLong(0)).foldLeft(-1L)(math.max)
+      val moved = rows.filter(_.getLong(0) > forkH)
+        .map(_.getLong(1)).toSet
+      if (moved.nonEmpty) {
+        val baseLatest = manifestDf(spark, base)
+          .filter(col("bucket").isin(moved.toSeq: _*))
+          .groupBy(col("bucket")).agg(max(col("version")).as("v"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val unmerged = moved.toSeq
+          .filter(bk => baseLatest.getOrElse(bk, -1L) <= forkH).sorted
+        require(unmerged.isEmpty,
+          s"refusing to rebase $branch: post-fork edits on bucket(s) " +
+            s"${unmerged.mkString(", ")} are not reflected at $base's " +
+            s"head (no base commit past fork v$forkH) — mergeBranch " +
+            "first, or pass force=true to discard them")
+      }
+    }
     val broot = new org.apache.hadoop.fs.Path(branch)
     val mpath = new org.apache.hadoop.fs.Path(branch, "_manifest")
     val nextPath = new org.apache.hadoop.fs.Path(branch,

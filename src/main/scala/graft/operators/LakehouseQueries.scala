@@ -487,10 +487,14 @@ object LakehouseQueries {
     // BRANCH-AWARE VACUUM — the shallow-clone hazard closed: the
     // base's retention pass retains every dir a branch's pre-fork
     // pointers still resolve to (safe pass deletes nothing here:
-    // 0/3), and the SAME floor with no branch registered deletes the
-    // pre-fork dirs (2/1) — proving the branch references were the
-    // only thing retaining them. The branch is read (and pinned)
-    // between the two passes; the base head survives both.
+    // 0/3), and the SAME floor through the PLAIN clone-blind vacuum
+    // deletes the pre-fork dirs (2/1) — proving the branch
+    // references were the only thing retaining them. The branch is
+    // read (and pinned) between the two passes; the base head
+    // survives both. (The safe variant now discovers clones through
+    // the _clones registry on its own — q394 drills the transitive
+    // case — so the hazard half of this contrast needs the plain
+    // vacuum, the one that stays clone-blind by contract.)
     "q385_vacuum_branch_safe" -> ((s, d) => {
       val src = tmp("graft_vbsrc_", d)
       val br = tmp("graft_vbbr_", d)
@@ -519,7 +523,7 @@ object LakehouseQueries {
         .withColumn("view", lit("branch_v2"))
         .localCheckpoint(true)
       val (uDel, uKeep) =
-        Lakehouse.vacuumVersionsSafe(s, src, floor = 2L, Nil)
+        Lakehouse.vacuumVersions(s, src, floor = 2L)
       val baseView = Lakehouse.storeManifest(
           Lakehouse.readVersioned(s, src, 2L), "doc_id")
         .withColumn("view", lit("base_v2"))
@@ -636,6 +640,91 @@ object LakehouseQueries {
         .crossJoin(s.range(1).select(
           lit(nTs).as("n_dirs_ts"), lit(nId).as("n_dirs_id"),
           lit(nBoth).as("n_dirs_both")))
+    }),
+    // TRANSITIVE-CLONE VACUUM — the grandchild hazard closed: gc
+    // forks from br BEFORE br's all-bucket rewrite + manifest
+    // checkpoint, so br's collapsed manifest no longer lists the
+    // base v0 dirs gc's copied manifest still resolves to — exactly
+    // the caveat level-by-level discovery cannot see. The safe
+    // vacuum, given NO explicit branches, walks the _clones registry
+    // transitively (src -> br -> gc: closure 2 vs direct 1, both in
+    // the hash), collects gc's needs from gc's OWN manifest, and
+    // retains src/v0 while reclaiming src/v1 (nothing references it
+    // — needs are owner-resolved, so gc's pointer at br's
+    // same-NUMBERED v1 does not spuriously retain the base's v1).
+    // The gc head read AFTER the vacuum is the retention proof.
+    "q394_vacuum_transitive" -> ((s, d) => {
+      val src = tmp("graft_vtsrc_", d)
+      val br = tmp("graft_vtbr_", d)
+      val gc = tmp("graft_vtgc_", d)
+      rmDir(s, src); rmDir(s, br); rmDir(s, gc)
+      val base = docs(s, d)
+      Lakehouse.writeVersioned(base, "doc_id", src, buckets = 16,
+        commitTs = 100L)
+      Lakehouse.branchVersioned(s, src, br)
+      val brEdit = base.filter(col("doc_id") % 16 === 3)
+        .select(col("doc_id"), lit("U").as("op"), col("text"),
+          col("lang"), lit("g1").as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, br, 1L, brEdit, "doc_id", 16,
+        commitTs = 150L)
+      Lakehouse.branchVersioned(s, br, gc) // gc forks at br head 1
+      // br rewrites EVERY bucket and checkpoints: its manifest now
+      // references ONLY its own v2 — the v0 rows gc needs are gone
+      val brAll = base.select(col("doc_id"), lit("U").as("op"),
+        col("text"), col("lang"), lit("brx").as("source"),
+        col("n_chars"))
+      Lakehouse.mergeVersioned(s, br, 2L, brAll, "doc_id", 16,
+        commitTs = 160L)
+      Lakehouse.checkpointManifest(s, br, floor = 2L)
+      // the base advances independently: two full rewrite waves
+      def wave(srcName: String) = base.select(col("doc_id"),
+        lit("U").as("op"), col("text"), col("lang"),
+        lit(srcName).as("source"), col("n_chars"))
+      Lakehouse.mergeVersioned(s, src, 1L, wave("m3"), "doc_id", 16,
+        commitTs = 200L)
+      Lakehouse.mergeVersioned(s, src, 2L, wave("m4"), "doc_id", 16,
+        commitTs = 300L)
+      val nDirect = Lakehouse.liveClones(s, src).size.toLong
+      val nClosure = Lakehouse.cloneClosure(s, src).size.toLong
+      val (del, kept) =
+        Lakehouse.vacuumVersionsSafe(s, src, floor = 2L)
+      Lakehouse.storeManifest(Lakehouse.readVersioned(s, gc, 1L),
+          "doc_id")
+        .crossJoin(s.range(1).select(
+          lit(nDirect).as("n_clones_direct"),
+          lit(nClosure).as("n_clones_closure"),
+          lit(del).as("dirs_deleted"),
+          lit(kept).as("dirs_retained")))
+    }),
+    // ROWGROUP-GRAIN RANGE SCAN on a MOD-KEYED store — the layout
+    // where dir-grain stats are honest about their limit: event_id
+    // mod 8 anti-clusters ts, so every bucket spans the whole
+    // timeline and versionedRangeDirs admits ALL 8 dirs
+    // (n_dirs_admitted == n_dirs_total in the hash — dir stats prune
+    // nothing here, by design, not by bug). The write path's
+    // stat-first clustering (rows sorted by ts within each bucket
+    // file) is what makes the scan cheap anyway: parquet rowgroup
+    // min/max turn the pushed ts predicate into within-file skips —
+    // the physical pin (measured recordsRead, with an unclustered
+    // negative control) lives in LakehouseSpec.
+    "q395_rowgroup_range" -> ((s, d) => {
+      val path = tmp("graft_rg_", d)
+      rmDir(s, path)
+      Lakehouse.writeVersioned(t(s, d, "events"), "event_id", path,
+        buckets = 8, commitTs = 100L, statCols = Seq("ts"))
+      val lo = 1705017600000000000L // 2024-01-12T00:00:00Z, ns
+      val hi = 1705622399999999999L // 2024-01-18T23:59:59.999…Z
+      val nDirs = Lakehouse.versionedRangeDirs(s, path, 0L, "ts",
+        lo, hi).size.toLong
+      Lakehouse.readVersionedRange(s, path, 0L, "ts", lo, hi)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(array_join(transform(
+            sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",")).as("ids_md5"))
+        .crossJoin(s.range(1).select(
+          lit(nDirs).as("n_dirs_admitted"),
+          lit(8L).as("n_dirs_total")))
     }),
     // DESCRIBE HISTORY — the versioned store's operational surface,
     // derived entirely from the manifest (no data read): one row per
@@ -1635,6 +1724,31 @@ object LakehouseQueries {
         |  (SELECT n FROM nt)::BIGINT AS n_dirs_ts,
         |  (SELECT n FROM ni)::BIGINT AS n_dirs_id,
         |  (SELECT n FROM nb)::BIGINT AS n_dirs_both
+        |FROM r GROUP BY event_type""".stripMargin,
+    "q394_vacuum_transitive" ->
+      """WITH fin AS (SELECT doc_id, text, lang,
+        |  CASE WHEN doc_id % 16 = 3 THEN 'g1' ELSE source END
+        |    AS source, n_chars FROM documents)
+        |SELECT CAST(doc_id % 16 AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || md5(text)
+        |    || ':' || source || ':' || lang, chr(10) ORDER BY doc_id))
+        |    AS rows_md5,
+        |  CAST(1 AS BIGINT) AS n_clones_direct,
+        |  CAST(2 AS BIGINT) AS n_clones_closure,
+        |  CAST(1 AS BIGINT) AS dirs_deleted,
+        |  CAST(2 AS BIGINT) AS dirs_retained
+        |FROM fin GROUP BY doc_id % 16""".stripMargin,
+    "q395_rowgroup_range" ->
+      """WITH r AS (SELECT * FROM events
+        | WHERE epoch_ns(ts) BETWEEN 1705017600000000000
+        |   AND 1705622399999999999)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |    ORDER BY event_id)) AS ids_md5,
+        |  CAST(8 AS BIGINT) AS n_dirs_admitted,
+        |  CAST(8 AS BIGINT) AS n_dirs_total
         |FROM r GROUP BY event_type""".stripMargin,
     "q389_vrange_skipping" ->
       """WITH e AS (SELECT *, least(4, greatest(0,

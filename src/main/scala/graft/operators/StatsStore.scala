@@ -203,13 +203,26 @@ object StatsStore {
       .parquet(s"$path/_stats")
   }
 
+  /** Normalize the partition columns to LONG after a live read:
+    * Spark's partition-value inference types `batch=`/`bucket=` by
+    * value (IntegerType for small ids), while the `_schema` sentinel
+    * — and every ledger — carries them as LongType; without this a
+    * drained store and a live store would read with DIFFERENT
+    * schemas for the same table. The cast is on partition columns
+    * only (metadata values — no per-row work survives codegen, and
+    * partition pruning on the casted column still folds at plan
+    * time). */
+  private def normPartCols(df: DataFrame): DataFrame =
+    df.withColumn("batch", col("batch").cast("long"))
+      .withColumn("bucket", col("bucket").cast("long"))
+
   /** Full read THROUGH THE LEDGER: only batches with stats rows open
     * (an orphan dir from a crashed ingest or a superseded compaction
     * is invisible). */
   def readStore(spark: SparkSession, path: String): DataFrame = {
     val live = statsBatches(spark, path).toSeq.sorted
     if (live.isEmpty) return emptyStore(spark, path)
-    spark.read.parquet(path)
+    normPartCols(spark.read.parquet(path))
       .filter(col("batch").isin(live: _*))
   }
 
@@ -222,9 +235,9 @@ object StatsStore {
     * landed, and compaction merges stats per bucket it rewrote. */
   private def readPairs(spark: SparkSession, path: String,
                         pairs: Seq[(Long, Long)]): DataFrame =
-    spark.read.option("basePath", path)
+    normPartCols(spark.read.option("basePath", path)
       .parquet(pairs.sorted.map { case (b, k) =>
-        s"$path/batch=$b/bucket=$k" }: _*)
+        s"$path/batch=$b/bucket=$k" }: _*))
 
   /** Stats rows for one column, GUARDED: a live batch with no stats
     * row for `statCol` would be silently invisible to a range scan —

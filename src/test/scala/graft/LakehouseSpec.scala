@@ -1577,6 +1577,248 @@ class LakehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("vstats ownership follows data ownership: a branch's " +
+    "same-NUMBERED vdir never borrows the base's stats — stats-less " +
+    "branch commits die loudly, and pruning decisions use the " +
+    "owning store's ranges") {
+    val src = freshDir("graft_vown")
+    // v0: band 0 (bucket 0, v 0..9) + band 2 (bucket 2, v 20000..)
+    def band(b: Long, base: Long) =
+      (0L until 10L).map(i => (i * 4L + b, base + i, s"p$b"))
+        .toDF("k", "v", "src")
+    Lakehouse.writeVersioned(
+      band(0L, 0L).unionByName(band(2L, 20000L)), "k", src,
+      buckets = 4, commitTs = 100L, statCols = Seq("v"))
+    val br1 = freshDir("graft_vownb1")
+    val br2 = freshDir("graft_vownb2")
+    Lakehouse.branchVersioned(spark, src, br1)
+    Lakehouse.branchVersioned(spark, src, br2)
+    // the base's own v1: band-2 keys move to v 21000.. WITH stats —
+    // the same-numbered dir whose stats must never vouch for a branch
+    Lakehouse.mergeVersioned(spark, src, 1L,
+      band(2L, 21000L).withColumn("op", lit("U")), "k", 4,
+      commitTs = 200L, statCols = Seq("v"))
+    // br1's v1 touches the SAME bucket WITHOUT stats: a range read
+    // must refuse loudly — under bare-(vdir,bucket) stats union the
+    // base's v1 row would pass the coverage guard and br1's dir
+    // could be silently pruned (the false negative)
+    Lakehouse.mergeVersioned(spark, br1, 1L,
+      band(2L, 90000L).withColumn("op", lit("U")), "k", 4,
+      commitTs = 200L)
+    val err = intercept[IllegalArgumentException] {
+      Lakehouse.versionedRangeDirs(spark, br1, 1L, "v", 0L, 1L)
+    }
+    assert(err.getMessage.contains("v1/bucket=2"))
+    // br2's v1 touches the same bucket WITH stats but a DIFFERENT
+    // range (90000..) — the pruning decision must use br2's own
+    // ranges: the base's v1 range admits NOTHING on the branch...
+    Lakehouse.mergeVersioned(spark, br2, 1L,
+      band(2L, 90000L).withColumn("op", lit("U")), "k", 4,
+      commitTs = 200L, statCols = Seq("v"))
+    assert(Lakehouse.versionedRangeDirs(spark, br2, 1L, "v",
+      21000L, 21009L).isEmpty,
+      "base's same-numbered v1 stats leaked into the branch's pruning")
+    // ...the branch's own range admits exactly its dir...
+    assert(Lakehouse.versionedRangeDirs(spark, br2, 1L, "v",
+      90000L, 90009L) == Seq((1L, 2L)))
+    assert(Lakehouse.readVersionedRange(spark, br2, 1L, "v",
+      90000L, 90009L).count() == 10L)
+    // ...pre-fork pointers still resolve stats through the base...
+    assert(Lakehouse.versionedRangeDirs(spark, br2, 1L, "v",
+      0L, 9L) == Seq((0L, 0L)))
+    // ...and the base is untouched by either branch
+    assert(Lakehouse.versionedRangeDirs(spark, src, 1L, "v",
+      21000L, 21009L) == Seq((1L, 2L)))
+    assert(Lakehouse.versionedRangeDirs(spark, src, 1L, "v",
+      90000L, 90009L).isEmpty)
+  }
+
+  test("rebaseBranch guards: refuses on unmerged post-fork edits " +
+    "(force discards), on a live clone of the branch, and on an " +
+    "in-flight foreign commit slot") {
+    val src = freshDir("graft_rgsrc")
+    val br = freshDir("graft_rgbr")
+    Lakehouse.writeVersioned(docsDf(0L until 16L), "doc_id", src,
+      buckets = 4)
+    Lakehouse.branchVersioned(spark, src, br)
+    val edit = Seq((1L, "U", "edited 1", "en", "br", 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 1L, edit, "doc_id", 4)
+    // mis-sequenced rebase-before-merge: the branch's bucket-1 edit
+    // is not reflected at the base head — refused
+    val unmerged = intercept[IllegalArgumentException] {
+      Lakehouse.rebaseBranch(spark, br, src)
+    }
+    assert(unmerged.getMessage.contains("not reflected"))
+    Lakehouse.mergeBranch(spark, src, br, forkVersion = 0L,
+      asVersion = 1L)
+    // an in-flight FOREIGN slot (marker, no manifest rows) refuses —
+    // breakCommit clears a dead writer's slot, then rebase proceeds
+    val fs = new org.apache.hadoop.fs.Path(br)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(br, "_commits/v99")
+    val out = fs.create(marker, true)
+    out.write("other-writer".getBytes("UTF-8")); out.close()
+    val inflight = intercept[IllegalArgumentException] {
+      Lakehouse.rebaseBranch(spark, br, src)
+    }
+    assert(inflight.getMessage.contains("v99"))
+    Lakehouse.breakCommit(spark, br, 99L)
+    // a live GRANDCHILD clone resolves through the branch's own dirs
+    // — rebase refuses until it is gone
+    val gc = freshDir("graft_rggc")
+    Lakehouse.branchVersioned(spark, br, gc)
+    val cloned = intercept[IllegalArgumentException] {
+      Lakehouse.rebaseBranch(spark, br, src)
+    }
+    assert(cloned.getMessage.contains("live clone"))
+    fs.delete(new org.apache.hadoop.fs.Path(gc), true)
+    assert(Lakehouse.rebaseBranch(spark, br, src) == 1L)
+    // force: a genuinely unmerged edit is discardable on request
+    val src2 = freshDir("graft_rgsrc2")
+    val br2 = freshDir("graft_rgbr2")
+    Lakehouse.writeVersioned(docsDf(0L until 8L), "doc_id", src2,
+      buckets = 4)
+    Lakehouse.branchVersioned(spark, src2, br2)
+    Lakehouse.mergeVersioned(spark, br2, 1L, edit, "doc_id", 4)
+    assert(Lakehouse.rebaseBranch(spark, br2, src2, force = true)
+      == 0L)
+    assert(Lakehouse.readVersioned(spark, br2, 0L)
+      .filter(col("doc_id") === 1L).select(col("source"))
+      .as[String].head() != "br") // the edit is gone
+  }
+
+  test("vacuumVersionsSafe discovers the TRANSITIVE clone set: a " +
+    "grandchild's needs survive its parent's manifest checkpoint " +
+    "(the level-by-level hole), with owner-resolved needs so a " +
+    "same-numbered intermediate dir never over-retains") {
+    val src = freshDir("graft_tvsrc")
+    val br = freshDir("graft_tvbr")
+    val gc = freshDir("graft_tvgc")
+    Lakehouse.writeVersioned(docsDf(0L until 16L), "doc_id", src,
+      buckets = 4, commitTs = 100L)
+    Lakehouse.branchVersioned(spark, src, br)
+    val edit = Seq((1L, "U", "edited 1", "en", "g1", 9L))
+      .toDF("doc_id", "op", "text", "lang", "source", "n_chars")
+    Lakehouse.mergeVersioned(spark, br, 1L, edit, "doc_id", 4,
+      commitTs = 150L)
+    Lakehouse.branchVersioned(spark, br, gc) // forks BEFORE collapse
+    // br rewrites every bucket and checkpoints: its own manifest no
+    // longer lists vdir 0 — the premise of the hazard, asserted
+    val wave = docsDf(0L until 16L).select(col("doc_id"),
+      lit("U").as("op"), col("text"), col("lang"),
+      lit("brx").as("source"), col("n_chars"))
+    Lakehouse.mergeVersioned(spark, br, 2L, wave, "doc_id", 4,
+      commitTs = 160L)
+    Lakehouse.checkpointManifest(spark, br, floor = 2L)
+    assert(!spark.read.parquet(s"$br/_manifest")
+      .filter(!col("empty") && col("bucket") =!= -1L &&
+        col("vdir") === 0L)
+      .head(1).nonEmpty,
+      "premise broken: br still lists vdir 0 — direct discovery " +
+        "would have retained it anyway")
+    // src advances twice, then vacuums at floor 2 with NO explicit
+    // branch list: the registry walk (src -> br -> gc) retains v0
+    // for the grandchild; v1 is reclaimed (gc's pointer at br's
+    // same-numbered v1 is OWNED by br, not src)
+    def srcWave(tag: String) = docsDf(0L until 16L).select(
+      col("doc_id"), lit("U").as("op"), col("text"), col("lang"),
+      lit(tag).as("source"), col("n_chars"))
+    Lakehouse.mergeVersioned(spark, src, 1L, srcWave("m3"), "doc_id",
+      4, commitTs = 200L)
+    Lakehouse.mergeVersioned(spark, src, 2L, srcWave("m4"), "doc_id",
+      4, commitTs = 300L)
+    assert(Lakehouse.liveClones(spark, src) == Seq(br))
+    assert(Lakehouse.cloneClosure(spark, src).toSet == Set(br, gc))
+    assert(Lakehouse.vacuumVersionsSafe(spark, src, floor = 2L)
+      == ((1L, 2L)))
+    assert(Files.exists(Paths.get(src, "v0")))
+    assert(!Files.exists(Paths.get(src, "v1")))
+    assert(Files.exists(Paths.get(src, "v2")))
+    // the retention proof: the grandchild's head reads intact AFTER
+    // the base vacuum — doc 1 carries br's pre-collapse edit, the
+    // other 15 resolve through the retained src/v0
+    val gcHead = Lakehouse.readVersioned(spark, gc, 1L)
+    assert(gcHead.count() == 16L)
+    assert(gcHead.filter(col("doc_id") === 1L)
+      .select(col("source")).as[String].head() == "g1")
+    assert(gcHead.filter(col("source") === lit("g1")).count() == 1L)
+  }
+
+  test("stat-first clustering turns a pushed range predicate into " +
+    "rowgroup skips on a MOD-KEYED store (measured recordsRead, " +
+    "unclustered negative control)") {
+    // ts deliberately ANTI-correlated with the key: sorted-by-key
+    // files have full-span rowgroup ts ranges (no skips possible);
+    // stat-first clustering is the only thing that tightens them
+    val n = 100000L
+    val rows = spark.range(n).select(col("id").as("k"),
+      ((col("id") * 7919L) % n).as("ts"), lit("x").as("pay"))
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val clustered = freshDir("graft_rgc")
+    val control = freshDir("graft_rgu")
+    hconf.setInt("parquet.block.size", 16 * 1024)
+    hconf.setInt("parquet.page.size", 4 * 1024)
+    try {
+      Lakehouse.writeVersioned(rows, "k", clustered, buckets = 4,
+        commitTs = 100L, statCols = Seq("ts"))
+      Lakehouse.writeVersioned(rows, "k", control, buckets = 4,
+        commitTs = 100L)
+    } finally {
+      hconf.unset("parquet.block.size")
+      hconf.unset("parquet.page.size")
+    }
+    // dir grain is honest about its limit: every bucket spans the
+    // whole ts range, all 4 dirs admit
+    assert(Lakehouse.versionedRangeDirs(spark, clustered, 0L, "ts",
+      0L, 9999L).size == 4)
+    val scannedClustered = recordsReadDuring {
+      assert(Lakehouse.readVersionedRange(spark, clustered, 0L, "ts",
+        0L, 9999L).count() == 10000L)
+    }
+    val scannedControl = recordsReadDuring {
+      assert(Lakehouse.readVersioned(spark, control, 0L)
+        .filter(col("ts").between(0L, 9999L)).count() == 10000L)
+    }
+    assert(scannedControl >= n,
+      s"control read only $scannedControl rows — rowgroups are " +
+        "skipping without clustering; the pin proves nothing")
+    assert(scannedClustered < n / 3,
+      s"clustered range scan read $scannedClustered of $n rows — " +
+        "rowgroup pruning is not engaging")
+  }
+
+  test("StatsStore drained and live reads agree on schema: the " +
+    "_schema sentinel's partition-column types match a live " +
+    "partitioned read") {
+    val path = freshDir("graft_schagree")
+    val rows = (0L until 100L)
+      .map(i => (i, i * 1000L, s"t${i % 3}"))
+      .toDF("event_id", "ts", "event_type")
+    StatsStore.appendBatch(rows, "event_id", path, buckets = 4,
+      batch = 0L, statCols = Seq("ts"))
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.map(f => (f.name, f.dataType))
+    // capture the live shapes BEFORE expiry: the frames are lazy and
+    // expiry GCs the orphaned dirs they would re-read
+    val liveShape = shape(StatsStore.readStore(spark, path))
+    val rangeShape = shape(
+      StatsStore.readRange(spark, path, "ts", 0L, 1000L))
+    assert(StatsStore.expireBatches(spark, path, "ts",
+      cutoff = Long.MaxValue) == Seq(0L))
+    val drained = StatsStore.readStore(spark, path)
+    assert(drained.count() == 0L)
+    assert(shape(drained) == liveShape,
+      s"drained ${drained.schema.simpleString} != live $liveShape")
+    assert(shape(drained) == rangeShape)
+    // the union a caller would actually write must not die: a fresh
+    // live read against the drained-era frame
+    StatsStore.appendBatch(rows, "event_id", path, buckets = 4,
+      batch = 1L, statCols = Seq("ts"))
+    assert(StatsStore.readStore(spark, path).unionByName(drained)
+      .count() == 100L)
+  }
+
   test("labelPropagation == the naive synchronous recurrence; a " +
     "bridge edge does NOT fuse two triangles (unlike CC)") {
     // two triangles 1-2-3 and 10-11-12 joined by bridge 3-10
