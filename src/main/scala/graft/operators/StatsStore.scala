@@ -184,8 +184,15 @@ object StatsStore {
       .withColumn("bucket", pmod(col(key), lit(buckets.toLong)))
       .withColumn("batch", lit(batch))
       .localCheckpoint(true) // one evaluation feeds write AND stats
+    // stat-first clustering within each bucket file (then key):
+    // parquet records rowgroup min/max unconditionally, so rows
+    // inside an ADMITTED batch still skip at rowgroup grain — the
+    // within-dir complement of the `_stats` batch/bucket pruning,
+    // and the only pruning a value-correlated column gets when the
+    // key mod anti-clusters it (the Lakehouse.writeVDir discipline)
     b.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+      .sortWithinPartitions(
+        (("bucket" +: statCols) :+ key).distinct.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "bucket")
@@ -353,8 +360,17 @@ object StatsStore {
       .filter(col("batch").isin(ids: _*))
       .withColumn("batch", lit(into))
       .localCheckpoint(true)
+    // re-cluster the compacted file by the LEDGERED stat columns
+    // (then key) — compaction coarsens batch-grain pruning to the
+    // compaction window by design; rowgroup-grain skips inside the
+    // bigger file are what keep range scans cheap afterwards
+    val sCols = statsDf(spark, path)
+      .filter(col("batch").isin(ids: _*))
+      .select(col("col_name")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
     rows.repartition(col("bucket"))
-      .sortWithinPartitions(col("bucket"), col(key))
+      .sortWithinPartitions(
+        (("bucket" +: sCols) :+ key).distinct.map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch", "bucket")
