@@ -936,6 +936,152 @@ object Lakehouse {
     }
   }
 
+  // ----------------- per-dir bloom index (non-key point lookups)
+
+  /** Build a BLOOM INDEX over `col` for the store AS OF `version` —
+    * the Delta/Iceberg bloom-filter-index mechanic at this engine's
+    * dir grain: one bloom per resolved (vdir, bucket) dir, persisted
+    * under `path/_vbloom/col=<col>` as (vdir, bucket, n_items,
+    * bits). Equality/IN lookups on a NON-key column then open only
+    * the dirs whose bloom admits a probed value
+    * ([[versionedBloomDirs]]) — the membership complement of
+    * `_vstats` range skipping, which can do nothing for a
+    * high-cardinality column probed by identity (its min/max spans
+    * every dir). Value-range stats and blooms together cover the two
+    * lookup shapes a 100 TB store serves: ranges and points.
+    *
+    * Build cost: one column-pruned pass over the version's resolved
+    * dirs (the bucket column plus `col` — parquet reads nothing
+    * else), one Spark job per distinct vdir (bounded by commits).
+    * Each dir's values stream STRAIGHT into its bloom
+    * (`expectedItems` sizes the bitset; an overfull bloom degrades
+    * the false-positive rate, never correctness). The index
+    * describes exactly the dirs resolved at `version`: lookups at
+    * other versions whose resolution includes an unindexed dir die
+    * loudly (the [[versionedRangeDirs]] coverage discipline) —
+    * rebuild after commits, or look up at the indexed version.
+    * Timestamp columns index as `unix_micros` like the stats table.
+    * Returns the number of dir blooms written. */
+  def buildBloomIndex(spark: SparkSession, path: String, version: Long,
+                      colName: String, expectedItems: Long,
+                      fpp: Double = 1e-6): Long = {
+    require(expectedItems >= 1, "expectedItems must be >= 1")
+    val ptr = resolvePointers(spark, path, version, None)
+    if (ptr.isEmpty) return 0L
+    import spark.implicits._
+    val rows = ptr.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case (vd, prs) => // prs: (bucket, vdir) pairs of this vdir
+        val base = vdirPath(spark, path, vd)
+        val df = spark.read.option("basePath", base)
+          .parquet(prs.map(p => s"$base/bucket=${p._1}")
+            .toSeq.sorted: _*)
+        df.select(col("bucket").cast("long").as("bk"),
+            statLongV(df, colName).as("v")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (bk, it) =>
+            val bloom = org.apache.spark.util.sketch.BloomFilter
+              .create(expectedItems, fpp)
+            var n = 0L
+            it.foreach { kv => bloom.putLong(kv._2); n += 1 }
+            val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos)
+            (vd, bk, n, bos.toByteArray)
+          }.collect().toSeq
+          // collected rows are (dirs × bloom bits) — metadata-sized,
+          // like every pruning ledger here; the data pass itself ran
+          // distributed above
+    }
+    rows.toDF("vdir", "bucket", "n_items", "bits")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_vbloom/col=$colName")
+    rows.size.toLong
+  }
+
+  /** One store's OWN bloom rows for `colName` — ownership follows
+    * data ownership exactly like [[ownVStatsRanges]]: a branch's
+    * post-fork vdir N never borrows the base's same-numbered bloom.
+    * Empty when the store has no index for the column; the caller's
+    * per-dir guard turns that into a loud failure. */
+  private def ownVBlooms(spark: SparkSession, path: String,
+                         colName: String)
+      : Map[(Long, Long), org.apache.spark.util.sketch.BloomFilter] = {
+    val fs = hfs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(path, s"_vbloom/col=$colName")
+    if (!fs.exists(dir)) Map.empty
+    else spark.read.parquet(dir.toString)
+      .select(col("vdir"), col("bucket"), col("bits"))
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1)) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              r.getAs[Array[Byte]](2)))
+      }.toMap
+  }
+
+  /** The (vdir, bucket) dirs that can possibly hold ANY of `values`
+    * in `colName` AS OF `version`: pointer resolution picks each
+    * bucket's live dir, its owner's bloom decides — false positives
+    * at the index's fpp, never false negatives, and a resolved dir
+    * with no bloom dies loudly (the skipping discipline). Metadata-
+    * only: one manifest pass + one `_vbloom` read per distinct
+    * owner. `values` is caller-bounded (a serving request). */
+  def versionedBloomDirs(spark: SparkSession, path: String,
+                         version: Long, colName: String,
+                         values: Seq[Long]): Seq[(Long, Long)] = {
+    require(values.nonEmpty, "versionedBloomDirs needs probe values")
+    val ptr = resolvePointers(spark, path, version, None)
+    if (ptr.isEmpty) return Nil
+    val owner: Map[(Long, Long), String] =
+      ptr.map { case (bk, vd) =>
+        (vd, bk) -> vdirOwner(spark, path, vd)
+      }.toMap
+    val ownerBlooms = owner.values.toSet.iterator
+      .map((op: String) => op -> ownVBlooms(spark, op, colName))
+      .toMap
+    val missing = ptr.filterNot { case (bk, vd) =>
+      ownerBlooms(owner((vd, bk))).contains((vd, bk))
+    }
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"no '$colName' bloom for resolved dir(s) " +
+          missing.sortBy(_._1).map { case (bk, vd) =>
+            s"v$vd/bucket=$bk (owner ${owner((vd, bk))})" }
+            .mkString(", ") +
+          s" under $path — rebuild the index at this version")
+    ptr.toSeq.collect {
+      case (bk, vd) if values.exists(v =>
+          ownerBlooms(owner((vd, bk)))((vd, bk)).mightContainLong(v)) =>
+        (vd, bk)
+    }.sorted
+  }
+
+  /** Point/IN lookup on a NON-key column via the bloom index: only
+    * the dirs [[versionedBloomDirs]] admits open (pair-level roots),
+    * with the exact predicate on top — the serving path for "fetch
+    * these ids" when the id is not the bucketing key and key-bucket
+    * pruning ([[lookupVersioned]]) cannot apply. Timestamp columns
+    * probe as `unix_micros` values. */
+  def lookupVersionedByCol(spark: SparkSession, path: String,
+                           version: Long, colName: String,
+                           values: Seq[Long]): DataFrame = {
+    val dirs = versionedBloomDirs(spark, path, version, colName, values)
+    if (dirs.isEmpty)
+      return readVersioned(spark, path, version, Some(Set.empty))
+    val pruned = dirs.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (vd, prs) =>
+        val base = vdirPath(spark, path, vd)
+        spark.read.option("basePath", base)
+          .parquet(prs.map(p => s"$base/bucket=${p._2}")
+            .toSeq.sorted: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val probe = pruned.schema(colName).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        unix_micros(col(colName)).isin(values: _*)
+      case _ => col(colName).cast("long").isin(values: _*)
+    }
+    pruned.filter(probe)
+  }
+
   /** Merge a batch as version `version` — REQUIRED to be exactly one
     * past the manifest's max (checked; an out-of-order or duplicate
     * version would append conflicting pointers and corrupt time

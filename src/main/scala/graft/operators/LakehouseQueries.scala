@@ -726,6 +726,41 @@ object LakehouseQueries {
           lit(nDirs).as("n_dirs_admitted"),
           lit(8L).as("n_dirs_total")))
     }),
+    // BLOOM-INDEX POINT LOOKUP on a NON-key column — the membership
+    // complement of range skipping: the store buckets by user_id, so
+    // key-bucket pruning cannot serve "fetch these event_ids", and a
+    // high-cardinality id probed by identity defeats min/max stats
+    // (every dir's range spans it). One bloom per resolved (vdir,
+    // bucket) dir admits exactly the dirs that can hold a probed id;
+    // n_dirs_admitted rides in the hash against the oracle's EXACT
+    // containing-dir count — at fpp 1e-6 the bloom admits no
+    // spurious dir here, and the equality is itself the
+    // false-positive evidence.
+    "q396_bloom_lookup" -> ((s, d) => {
+      val path = tmp("graft_bloom_", d)
+      rmDir(s, path)
+      val ev = t(s, d, "events")
+      Lakehouse.writeVersioned(ev, "user_id", path, buckets = 16,
+        commitTs = 100L)
+      // a second commit so the index spans a multi-vdir resolution:
+      // users %7=3 re-land (idempotent rewrite — state unchanged,
+      // pointers move)
+      Lakehouse.mergeVersioned(s, path, 1L,
+        ev.filter(col("user_id") % 7 === 3)
+          .withColumn("op", lit("U")), "user_id", 16, commitTs = 200L)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val probes = Seq(maxId / 7, maxId / 3, maxId / 2, maxId - 1L)
+        .distinct
+      Lakehouse.buildBloomIndex(s, path, 1L, "event_id",
+        expectedItems = ev.count() / 16L + 1L)
+      val nDirs = Lakehouse.versionedBloomDirs(s, path, 1L,
+        "event_id", probes).size.toLong
+      Lakehouse.lookupVersionedByCol(s, path, 1L, "event_id", probes)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .crossJoin(s.range(1).select(
+          lit(nDirs).as("n_dirs_admitted"),
+          lit(16L).as("n_dirs_total")))
+    }),
     // DESCRIBE HISTORY — the versioned store's operational surface,
     // derived entirely from the manifest (no data read): one row per
     // commit with its timestamp, pointer/tombstone counts, and
@@ -1740,6 +1775,18 @@ object LakehouseQueries {
         |  CAST(1 AS BIGINT) AS dirs_deleted,
         |  CAST(2 AS BIGINT) AS dirs_retained
         |FROM fin GROUP BY doc_id % 16""".stripMargin,
+    "q396_bloom_lookup" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |p AS (SELECT DISTINCT v FROM (VALUES
+        |  ((SELECT mx FROM m) // 7), ((SELECT mx FROM m) // 3),
+        |  ((SELECT mx FROM m) // 2), ((SELECT mx FROM m) - 1)) t(v)),
+        |r AS (SELECT event_id, user_id, event_type FROM events
+        | WHERE event_id IN (SELECT v FROM p)),
+        |nd AS (SELECT count(DISTINCT user_id % 16) AS n FROM r)
+        |SELECT event_id, user_id, event_type,
+        |  (SELECT n FROM nd)::BIGINT AS n_dirs_admitted,
+        |  CAST(16 AS BIGINT) AS n_dirs_total
+        |FROM r""".stripMargin,
     "q395_rowgroup_range" ->
       """WITH r AS (SELECT * FROM events
         | WHERE epoch_ns(ts) BETWEEN 1705017600000000000

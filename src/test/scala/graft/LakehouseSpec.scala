@@ -1788,6 +1788,51 @@ class LakehouseSpec extends AnyFunSuite {
         "rowgroup pruning is not engaging")
   }
 
+  test("bloom index admits only the dirs holding a probed value " +
+    "(measured recordsRead), misses read nothing, and an unindexed " +
+    "resolved dir dies loudly") {
+    val path = freshDir("graft_vbloom")
+    // band-in-bucket layout: band b's dir holds v in [b*10^4, +9999],
+    // so a point v is in exactly one dir — the pruning ground truth
+    def rows(bands: Seq[Long]) = bands.flatMap { b =>
+      (0L until 10000L).map(i => (i * 4L + b, b * 10000L + i, s"p$b"))
+    }.toDF("k", "v", "src")
+    Lakehouse.writeVersioned(rows(Seq(0L, 1L)), "k", path, buckets = 4,
+      commitTs = 100L)
+    Lakehouse.mergeVersioned(spark, path, 1L,
+      rows(Seq(2L, 3L)).withColumn("op", lit("U")), "k", 4,
+      commitTs = 200L)
+    // no index yet: the lookup refuses rather than scanning blind
+    val bare = intercept[IllegalArgumentException] {
+      Lakehouse.versionedBloomDirs(spark, path, 1L, "v", Seq(25000L))
+    }
+    assert(bare.getMessage.contains("bloom"))
+    assert(Lakehouse.buildBloomIndex(spark, path, 1L, "v",
+      expectedItems = 10000L) == 4L)
+    assert(Lakehouse.versionedBloomDirs(spark, path, 1L, "v",
+      Seq(25000L)) == Seq((1L, 2L)))
+    // point lookup opens ONE dir of four (accounting control: the
+    // full head is 40k rows)
+    val scanned = recordsReadDuring {
+      assert(Lakehouse.lookupVersionedByCol(spark, path, 1L, "v",
+        Seq(25000L)).count() == 1L)
+    }
+    assert(scanned < 12000L,
+      s"bloom-pruned lookup read $scanned rows (expected ~10000)")
+    // a two-dir probe set opens exactly its two dirs
+    assert(Lakehouse.versionedBloomDirs(spark, path, 1L, "v",
+      Seq(5L, 25000L)) == Seq((0L, 0L), (1L, 2L)))
+    assert(Lakehouse.lookupVersionedByCol(spark, path, 1L, "v",
+      Seq(5L, 25000L)).count() == 2L)
+    // an absent value admits nothing and reads no data
+    val missScan = recordsReadDuring {
+      assert(Lakehouse.lookupVersionedByCol(spark, path, 1L, "v",
+        Seq(999999L)).count() == 0L)
+    }
+    assert(missScan < 1000L,
+      s"bloom miss still read $missScan rows")
+  }
+
   test("StatsStore drained and live reads agree on schema: the " +
     "_schema sentinel's partition-column types match a live " +
     "partitioned read") {
