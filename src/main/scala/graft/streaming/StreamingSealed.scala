@@ -118,88 +118,59 @@ object StreamingSealed {
 
   private type Fs = org.apache.hadoop.fs.FileSystem
 
-  private def stateGens(fs: Fs, root: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root)
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).map(_.getPath.getName)
-      .filter(n => n.startsWith(StatePrefix) && !n.endsWith(".tmp"))
-      .map(_.stripPrefix(StatePrefix).toLong).toSeq.sorted
-  }
+  /** Newest complete state generation ([[GenState.readNewest]] —
+    * complete-or-absent, so there is no torn-read case to guess
+    * about); empty only before the first commit. The line codec
+    * (`b,`/`f,`/`e,` rows) is this sink's own — the generation
+    * mechanics are the shared substrate. */
+  private def readState(fs: Fs, root: String): State =
+    GenState.readNewest(fs, root, StatePrefix) match {
+      case None => State(Nil, Map.empty, Nil)
+      case Some(txt) =>
+        val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
+        State(
+          lines.filter(_.startsWith("b,")).map { l =>
+            val Array(_, id, wm, landed) = l.split(",")
+            (id.toLong, wm.toLong, landed.toLong)
+          },
+          lines.filter(_.startsWith("f,")).map { l =>
+            val Array(_, path, size) = l.split(",")
+            path -> size.toLong
+          }.toMap,
+          lines.filter(_.startsWith("e,")).map { l =>
+            val Array(_, path, mn, mx) = l.split(",")
+            EventsFile(path, mn.toLong, mx.toLong)
+          })
+    }
 
-  /** Newest complete state generation; empty only before the first
-    * commit (a published generation is complete-or-absent, so there
-    * is no torn-read case to guess about). */
-  private def readState(fs: Fs, root: String): State = {
-    val gens = stateGens(fs, root)
-    if (gens.isEmpty) return State(Nil, Map.empty, Nil)
-    val p = new org.apache.hadoop.fs.Path(root, StatePrefix + gens.max)
-    val in = fs.open(p)
-    val txt = try new String(
-      org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
-    finally in.close()
-    val lines = txt.linesIterator.filter(_.nonEmpty).toSeq
-    State(
-      lines.filter(_.startsWith("b,")).map { l =>
-        val Array(_, id, wm, landed) = l.split(",")
-        (id.toLong, wm.toLong, landed.toLong)
-      },
-      lines.filter(_.startsWith("f,")).map { l =>
-        val Array(_, path, size) = l.split(",")
-        path -> size.toLong
-      }.toMap,
-      lines.filter(_.startsWith("e,")).map { l =>
-        val Array(_, path, mn, mx) = l.split(",")
-        EventsFile(path, mn.toLong, mx.toLong)
-      })
-  }
-
-  /** Publish a state generation: gen = max(genHint, newest + 1) —
-    * batch publishes keep their batch-id-named generation (ids are
+  /** Publish a state generation ([[GenState.publish]]): batch
+    * publishes keep their batch-id-named generation (ids are
     * monotone under the streaming engine), while a batch-less
-    * publish ([[compactEvents]]) takes the next free number. */
+    * publish ([[compactEvents]]) takes the next free number. The
+    * active-table generation the new state names survives the GC;
+    * strays die. */
   private def writeState(fs: Fs, root: String, genHint: Long,
                          st: State): Unit = {
-    val gen = math.max(genHint,
-      stateGens(fs, root).maxOption.map(_ + 1).getOrElse(0L))
     val lines = st.batches.sortBy(_._1)
       .map { case (id, wm, landed) => s"b,$id,$wm,$landed" } ++
       st.files.toSeq.sortBy(_._1).map { case (f, n) => s"f,$f,$n" } ++
       st.events.sortBy(_.path)
         .map(e => s"e,${e.path},${e.minU},${e.maxU}")
-    val p = new org.apache.hadoop.fs.Path(root, StatePrefix + gen)
-    val tmp = new org.apache.hadoop.fs.Path(root, StatePrefix + gen + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"state publish failed: $tmp -> $p")
-    // GC older generations — the new one is durably in place
-    stateGens(fs, root).filter(_ != gen).foreach { g =>
-      fs.delete(new org.apache.hadoop.fs.Path(root, StatePrefix + g),
-        false)
-    }
+    GenState.publish(fs, root, StatePrefix, genHint,
+      lines.mkString("", "\n", "\n"))
     gcActiveGens(fs, root, keep = st.activeGen)
   }
 
   // ------------------------------------------ active-user state table
 
-  private def activeDir(root: String, gen: Long) = s"$root/_active/b$gen"
-
-  private def activeGens(fs: Fs, root: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(root, "_active")
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("b"))
-      .map(_.stripPrefix("b").toLong).toSeq.sorted
-  }
+  private def activeDir(root: String, gen: Long) =
+    GenState.dirPath(root, "_active", gen)
 
   /** Delete active-table generations other than `keep` (the newest
     * ledgered one) — stray generations are a crashed attempt's. */
   private def gcActiveGens(fs: Fs, root: String,
                            keep: Option[Long]): Unit =
-    activeGens(fs, root).filterNot(keep.contains).foreach { g =>
-      fs.delete(new org.apache.hadoop.fs.Path(activeDir(root, g)), true)
-    }
+    GenState.gcDirGens(fs, root, "_active", keep)
 
   /** The ledgered active-user rows (user_id, last_t) — gap-window
     * bounded. Empty before the first commit. */
