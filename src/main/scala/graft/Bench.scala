@@ -178,7 +178,8 @@ object Bench {
       "q389_vrange_skipping", "q390_branch_rebase",
       "q391_versioned_optimize", "q392_vrange_multi",
       "q393_sealed_compact", "q394_vacuum_transitive",
-      "q395_rowgroup_range", "q396_bloom_lookup")
+      "q395_rowgroup_range", "q396_bloom_lookup",
+      "q397_bloom_incremental")
     def selected = (SparkEntry.queries.toSeq ++ extra)
       .sortBy { case (name, _) => (writeArtifact.contains(name), name) }
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }

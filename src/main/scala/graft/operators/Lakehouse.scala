@@ -997,6 +997,53 @@ object Lakehouse {
     rows.size.toLong
   }
 
+  /** INCREMENTALLY extend the bloom index to `version`: build blooms
+    * for only the resolved dirs that LACK one (after a commit,
+    * that's the commit's fresh dirs — never the standing store) and
+    * APPEND them. The sustain path a 100 TB store needs: per-commit
+    * index cost ∝ the commit's own dirs, exactly like `_vstats`;
+    * [[buildBloomIndex]] remains the bootstrap/repair full pass.
+    * Append-duplicate rows for the same (vdir, bucket) are harmless
+    * by construction — any bloom built FROM an immutable dir is a
+    * valid admitter for it whatever its sizing, so readers may pick
+    * either. Returns the number of blooms added (0 = fully
+    * covered). */
+  def extendBloomIndex(spark: SparkSession, path: String,
+                       version: Long, colName: String,
+                       expectedItems: Long,
+                       fpp: Double = 1e-6): Long = {
+    require(expectedItems >= 1, "expectedItems must be >= 1")
+    val ptr = resolvePointers(spark, path, version, None)
+    if (ptr.isEmpty) return 0L
+    val (_, missing0) = resolvedBlooms(spark, path, colName, ptr)
+    if (missing0.isEmpty) return 0L
+    val missing = missing0.map { case (bk, vd, _) => (bk, vd) }
+    import spark.implicits._
+    val rows = missing.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case (vd, prs) => // prs: (bucket, vdir) pairs of this vdir
+        val base = vdirPath(spark, path, vd)
+        val df = spark.read.option("basePath", base)
+          .parquet(prs.map(p => s"$base/bucket=${p._1}")
+            .toSeq.sorted: _*)
+        df.select(col("bucket").cast("long").as("bk"),
+            statLongV(df, colName).as("v")).as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapGroups { (bk, it) =>
+            val bloom = org.apache.spark.util.sketch.BloomFilter
+              .create(expectedItems, fpp)
+            var n = 0L
+            it.foreach { kv => bloom.putLong(kv._2); n += 1 }
+            val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos)
+            (vd, bk, n, bos.toByteArray)
+          }.collect().toSeq
+    }
+    rows.toDF("vdir", "bucket", "n_items", "bits")
+      .coalesce(1).write.mode(SaveMode.Append)
+      .parquet(s"$path/_vbloom/col=$colName")
+    rows.size.toLong
+  }
+
   /** One store's OWN bloom rows for `colName` — ownership follows
     * data ownership exactly like [[ownVStatsRanges]]: a branch's
     * post-fork vdir N never borrows the base's same-numbered bloom.
@@ -1018,39 +1065,64 @@ object Lakehouse {
       }.toMap
   }
 
+  /** Blooms for a set of resolved pointers, with the lookup rule:
+    * the READING store's own `_vbloom` first (a branch may extend
+    * coverage over inherited base dirs locally — the dir is
+    * immutable, so a reader-local bloom over it is as valid as the
+    * owner's, and a branch must never mutate its base), then the
+    * owning store's ([[vdirOwner]] — the vstats ownership rule).
+    * Returns (bloom per covered dir, uncovered dirs labeled with
+    * their owner). */
+  private def resolvedBlooms(spark: SparkSession, path: String,
+                             colName: String,
+                             ptr: Array[(Long, Long)])
+      : (Map[(Long, Long), org.apache.spark.util.sketch.BloomFilter],
+         Array[(Long, Long, String)]) = {
+    val owner: Map[(Long, Long), String] =
+      ptr.map { case (bk, vd) =>
+        (vd, bk) -> vdirOwner(spark, path, vd)
+      }.toMap
+    val local = ownVBlooms(spark, path, colName)
+    val ownerBlooms = (owner.values.toSet - path).iterator
+      .map((op: String) => op -> ownVBlooms(spark, op, colName))
+      .toMap + (path -> local)
+    val covered = ptr.flatMap { case (bk, vd) =>
+      local.get((vd, bk))
+        .orElse(ownerBlooms(owner((vd, bk))).get((vd, bk)))
+        .map((vd, bk) -> _)
+    }.toMap
+    val missing = ptr.collect {
+      case (bk, vd) if !covered.contains((vd, bk)) =>
+        (bk, vd, owner((vd, bk)))
+    }
+    (covered, missing)
+  }
+
   /** The (vdir, bucket) dirs that can possibly hold ANY of `values`
     * in `colName` AS OF `version`: pointer resolution picks each
-    * bucket's live dir, its owner's bloom decides — false positives
-    * at the index's fpp, never false negatives, and a resolved dir
-    * with no bloom dies loudly (the skipping discipline). Metadata-
-    * only: one manifest pass + one `_vbloom` read per distinct
-    * owner. `values` is caller-bounded (a serving request). */
+    * bucket's live dir, its bloom decides ([[resolvedBlooms]]'
+    * local-then-owner rule) — false positives at the index's fpp,
+    * never false negatives, and a resolved dir with no bloom dies
+    * loudly (the skipping discipline). Metadata-only: one manifest
+    * pass + one `_vbloom` read per distinct owner. `values` is
+    * caller-bounded (a serving request). */
   def versionedBloomDirs(spark: SparkSession, path: String,
                          version: Long, colName: String,
                          values: Seq[Long]): Seq[(Long, Long)] = {
     require(values.nonEmpty, "versionedBloomDirs needs probe values")
     val ptr = resolvePointers(spark, path, version, None)
     if (ptr.isEmpty) return Nil
-    val owner: Map[(Long, Long), String] =
-      ptr.map { case (bk, vd) =>
-        (vd, bk) -> vdirOwner(spark, path, vd)
-      }.toMap
-    val ownerBlooms = owner.values.toSet.iterator
-      .map((op: String) => op -> ownVBlooms(spark, op, colName))
-      .toMap
-    val missing = ptr.filterNot { case (bk, vd) =>
-      ownerBlooms(owner((vd, bk))).contains((vd, bk))
-    }
+    val (blooms, missing) = resolvedBlooms(spark, path, colName, ptr)
     if (missing.nonEmpty)
       throw new IllegalArgumentException(
         s"no '$colName' bloom for resolved dir(s) " +
-          missing.sortBy(_._1).map { case (bk, vd) =>
-            s"v$vd/bucket=$bk (owner ${owner((vd, bk))})" }
+          missing.sortBy(_._1).map { case (bk, vd, ow) =>
+            s"v$vd/bucket=$bk (owner $ow)" }
             .mkString(", ") +
-          s" under $path — rebuild the index at this version")
+          s" under $path — extend the index to this version")
     ptr.toSeq.collect {
       case (bk, vd) if values.exists(v =>
-          ownerBlooms(owner((vd, bk)))((vd, bk)).mightContainLong(v)) =>
+          blooms((vd, bk)).mightContainLong(v)) =>
         (vd, bk)
     }.sorted
   }

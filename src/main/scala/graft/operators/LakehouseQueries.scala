@@ -761,6 +761,43 @@ object LakehouseQueries {
           lit(nDirs).as("n_dirs_admitted"),
           lit(16L).as("n_dirs_total")))
     }),
+    // INCREMENTAL BLOOM MAINTENANCE — the sustain path q396's index
+    // needs at scale: after a commit, extendBloomIndex builds blooms
+    // for ONLY the fresh dirs (blooms_added == the commit's touched
+    // buckets, in the hash) and appends; a second extend adds ZERO
+    // (idempotent — also in the hash). Per-commit index cost is the
+    // commit's own dirs, like _vstats — never a full-store rebuild.
+    // The lookup then serves across mixed-age dirs: v0 blooms from
+    // the bootstrap build, v1 blooms from the extension.
+    "q397_bloom_incremental" -> ((s, d) => {
+      val path = tmp("graft_bloomi_", d)
+      rmDir(s, path)
+      val ev = t(s, d, "events")
+      Lakehouse.writeVersioned(ev, "user_id", path, buckets = 16,
+        commitTs = 100L)
+      val per = ev.count() / 16L + 1L
+      val built = Lakehouse.buildBloomIndex(s, path, 0L, "event_id",
+        expectedItems = per)
+      Lakehouse.mergeVersioned(s, path, 1L,
+        ev.filter(col("user_id") % 7 === 3)
+          .withColumn("op", lit("U")), "user_id", 16, commitTs = 200L)
+      val added = Lakehouse.extendBloomIndex(s, path, 1L, "event_id",
+        expectedItems = per)
+      val readded = Lakehouse.extendBloomIndex(s, path, 1L,
+        "event_id", expectedItems = per)
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val probes = Seq(maxId / 7, maxId / 3, maxId / 2, maxId - 1L)
+        .distinct
+      val nDirs = Lakehouse.versionedBloomDirs(s, path, 1L,
+        "event_id", probes).size.toLong
+      Lakehouse.lookupVersionedByCol(s, path, 1L, "event_id", probes)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .crossJoin(s.range(1).select(
+          lit(built).as("blooms_built"),
+          lit(added).as("blooms_added"),
+          lit(readded).as("blooms_readded"),
+          lit(nDirs).as("n_dirs_admitted")))
+    }),
     // DESCRIBE HISTORY — the versioned store's operational surface,
     // derived entirely from the manifest (no data read): one row per
     // commit with its timestamp, pointer/tombstone counts, and
@@ -1786,6 +1823,23 @@ object LakehouseQueries {
         |SELECT event_id, user_id, event_type,
         |  (SELECT n FROM nd)::BIGINT AS n_dirs_admitted,
         |  CAST(16 AS BIGINT) AS n_dirs_total
+        |FROM r""".stripMargin,
+    "q397_bloom_incremental" ->
+      """WITH m AS (SELECT max(event_id) AS mx FROM events),
+        |p AS (SELECT DISTINCT v FROM (VALUES
+        |  ((SELECT mx FROM m) // 7), ((SELECT mx FROM m) // 3),
+        |  ((SELECT mx FROM m) // 2), ((SELECT mx FROM m) - 1)) t(v)),
+        |r AS (SELECT event_id, user_id, event_type FROM events
+        | WHERE event_id IN (SELECT v FROM p)),
+        |nd AS (SELECT count(DISTINCT user_id % 16) AS n FROM r),
+        |ad AS (SELECT count(DISTINCT user_id % 16) AS n FROM events
+        | WHERE user_id % 7 = 3),
+        |bb AS (SELECT count(DISTINCT user_id % 16) AS n FROM events)
+        |SELECT event_id, user_id, event_type,
+        |  (SELECT n FROM bb)::BIGINT AS blooms_built,
+        |  (SELECT n FROM ad)::BIGINT AS blooms_added,
+        |  CAST(0 AS BIGINT) AS blooms_readded,
+        |  (SELECT n FROM nd)::BIGINT AS n_dirs_admitted
         |FROM r""".stripMargin,
     "q395_rowgroup_range" ->
       """WITH r AS (SELECT * FROM events

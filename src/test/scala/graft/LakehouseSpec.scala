@@ -1799,16 +1799,23 @@ class LakehouseSpec extends AnyFunSuite {
     }.toDF("k", "v", "src")
     Lakehouse.writeVersioned(rows(Seq(0L, 1L)), "k", path, buckets = 4,
       commitTs = 100L)
+    assert(Lakehouse.buildBloomIndex(spark, path, 0L, "v",
+      expectedItems = 10000L) == 2L)
     Lakehouse.mergeVersioned(spark, path, 1L,
       rows(Seq(2L, 3L)).withColumn("op", lit("U")), "k", 4,
       commitTs = 200L)
-    // no index yet: the lookup refuses rather than scanning blind
+    // the commit's fresh dirs lack blooms: a head lookup refuses
+    // rather than scanning blind — PARTIAL coverage is loud too
     val bare = intercept[IllegalArgumentException] {
       Lakehouse.versionedBloomDirs(spark, path, 1L, "v", Seq(25000L))
     }
-    assert(bare.getMessage.contains("bloom"))
-    assert(Lakehouse.buildBloomIndex(spark, path, 1L, "v",
-      expectedItems = 10000L) == 4L)
+    assert(bare.getMessage.contains("v1/bucket=2"))
+    // incremental extension builds ONLY the fresh dirs' blooms (the
+    // v0 dirs are never re-read), and a re-run adds nothing
+    assert(Lakehouse.extendBloomIndex(spark, path, 1L, "v",
+      expectedItems = 10000L) == 2L)
+    assert(Lakehouse.extendBloomIndex(spark, path, 1L, "v",
+      expectedItems = 10000L) == 0L)
     assert(Lakehouse.versionedBloomDirs(spark, path, 1L, "v",
       Seq(25000L)) == Seq((1L, 2L)))
     // point lookup opens ONE dir of four (accounting control: the
