@@ -1838,6 +1838,33 @@ class LakehouseSpec extends AnyFunSuite {
     }
     assert(missScan < 1000L,
       s"bloom miss still read $missScan rows")
+    // LOCAL-THEN-OWNER across a branch: the branch's own commit
+    // lacks a bloom (loud, named with the branch as owner), its
+    // extension lands in the BRANCH's _vbloom (the base is never
+    // written), and the lookup then serves across inherited
+    // (base-bloom) and own (local-bloom) dirs
+    val br = freshDir("graft_vbloombr")
+    Lakehouse.branchVersioned(spark, path, br)
+    Lakehouse.mergeVersioned(spark, br, 2L,
+      Seq((100000L * 4L + 2L, 77777L, "brx")).toDF("k", "v", "src")
+        .withColumn("op", lit("U")), "k", 4, commitTs = 300L)
+    val brBare = intercept[IllegalArgumentException] {
+      Lakehouse.versionedBloomDirs(spark, br, 2L, "v", Seq(77777L))
+    }
+    assert(brBare.getMessage.contains("v2/bucket=2") &&
+      brBare.getMessage.contains(br))
+    assert(Lakehouse.extendBloomIndex(spark, br, 2L, "v",
+      expectedItems = 10000L) == 1L)
+    assert(Files.exists(Paths.get(br, "_vbloom", "col=v"))) // own ledger...
+    assert(Lakehouse.versionedBloomDirs(spark, br, 2L, "v",
+      Seq(77777L)) == Seq((2L, 2L)))
+    assert(Lakehouse.versionedBloomDirs(spark, br, 2L, "v",
+      Seq(5L)) == Seq((0L, 0L))) // ...and inherits the base's
+    assert(Lakehouse.lookupVersionedByCol(spark, br, 2L, "v",
+      Seq(5L, 77777L)).count() == 2L)
+    // ...while the base's index is untouched by the branch ops
+    assert(Lakehouse.versionedBloomDirs(spark, path, 1L, "v",
+      Seq(77777L)).isEmpty)
   }
 
   test("StatsStore drained and live reads agree on schema: the " +
