@@ -496,8 +496,11 @@ object BpeQueries {
           col("user_id") * 1000000L + col("session_id"))
       val conv = turns.groupBy(col("conv_key"))
         .agg(sum(col("n_tok")).as("n_tokens"))
+      // the sequence set's lineage is the full turn-merge + byte-BPE
+      // encode chain — materialize it ONCE (seq-count-sized, one
+      // column) so the count and the ranking passes don't re-run it
       val seqs = Packing.packWithOffsets(conv, "conv_key", "n_tokens",
-        256L).select(col("seq_id")).distinct()
+        256L).select(col("seq_id")).distinct().localCheckpoint(true)
       val nSeqs = seqs.count()
       val epochs = s.range(3).select(col("id").as("epoch"))
       // 40-bit hash + 16-bit seq tie-break under an epoch-major
@@ -510,8 +513,8 @@ object BpeQueries {
         .withColumn("__key",
           col("epoch") * 72057594037927936L +
             col("h") * 65536L + col("seq_id"))
-      Packing.stableIds(keyed.select(col("__key")), "__key")
-        .join(keyed, Seq("__key"))
+      // rank attached in place (same row_id per key, no join-back)
+      Packing.withStableIds(keyed, "__key")
         .select(col("epoch"), col("seq_id"),
           (col("row_id") - col("epoch") * nSeqs).as("rank"))
     }),

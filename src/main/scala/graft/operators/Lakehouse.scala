@@ -79,10 +79,12 @@ object Lakehouse {
   def writeLines(lines: DataFrame, keyCol: String, path: String,
                  budgetBytes: Long, byteOffset: Long = 0L,
                  mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val sharded = Packing.packByBudget(lines, keyCol, "n_bytes",
+    // layout attached in place (packAttach): one bucket-window
+    // shuffle over the lines instead of rank-then-join-back — same
+    // shard per key, same within-file order, byte-identical output
+    val sharded = Packing.packAttach(lines, keyCol, "n_bytes",
         budgetBytes, byteOffset)
-      .select(col(keyCol), col("seq_id").as("shard"))
-      .join(lines, Seq(keyCol))
+      .withColumn("shard", col("seq_id"))
     sharded.repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(keyCol))
       .select(col("shard"), col("line"))

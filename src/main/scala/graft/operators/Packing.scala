@@ -517,4 +517,65 @@ object Packing {
   def stableIds(df: DataFrame, idCol: String): DataFrame =
     packByBudget(df.withColumn("__one", lit(1L)), idCol, "__one", 1L)
       .select(col(idCol), col("seq_id").as("row_id"))
+
+  /** [[prefixSums]] with the running total attached IN PLACE on the
+    * FULL rows: the same bucketing decision, per-bucket offsets, and
+    * within-bucket id order, but computed as ONE bucket-partitioned
+    * window over the payload-carrying frame instead of the
+    * rank-on-keys-then-join-back shape every attach site used to pay
+    * (phase2's key shuffle plus a full shuffle join of both sides —
+    * guide §2.4: two operations keyed the same way share one
+    * exchange). Numerically identical to [[prefixSums]]: any
+    * monotonic bucketing yields the same prefix sums, and this one
+    * REUSES [[bucketing]] verbatim. Output: every input column
+    * (idCol/tokenCol cast to long in place) + `__start`. */
+  private def prefixAttach(df: DataFrame, idCol: String,
+                           tokenCol: String,
+                           tokenOffset: Long): DataFrame = {
+    val typed = df.withColumn(idCol, col(idCol).cast("long"))
+      .withColumn(tokenCol, col(tokenCol).cast("long"))
+    val base = typed.withColumn("__id", col(idCol))
+      .withColumn("__tok", col(tokenCol))
+    val bounds = base.agg(min(col("__id")), max(col("__id")),
+      count(lit(1))).head()
+    if (bounds.isNullAt(0))
+      return typed.withColumn("__start", lit(0L)).limit(0)
+    val (bCol, nB, eqTotals) = bucketing(base, bounds.getLong(0),
+      bounds.getLong(1), bounds.getLong(2))
+    val withB = base.withColumn("__b", bCol)
+    val offsets = eqTotals.getOrElse {
+      withB.groupBy(col("__b")).agg(sum(col("__tok")).as("__t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val offArr = (0L until nB.toLong)
+      .map(b => offsets.getOrElse(b, 0L))
+      .scanLeft(tokenOffset)(_ + _).toArray
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("__b")).orderBy(col("__id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    withB.withColumn("__start",
+        element_at(array(offArr.take(nB).map(lit(_)).toIndexedSeq: _*),
+          col("__b").cast("int") + 1) +
+          coalesce(sum(col("__tok")).over(w), lit(0L)))
+      .drop("__id", "__tok", "__b")
+  }
+
+  /** [[packByBudget]] with the layout attached in place: every input
+    * column plus `seq_id`, one shuffle, no join-back. Same seq_id per
+    * id as packByBudget by construction. */
+  def packAttach(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long, tokenOffset: Long = 0L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    prefixAttach(df, idCol, tokenCol, tokenOffset)
+      .withColumn("seq_id", expr(s"__start div ${budget}L"))
+      .drop("__start")
+  }
+
+  /** [[stableIds]] with the rank attached in place (same row_id per
+    * key): every input column plus `row_id`, one shuffle, no
+    * join-back. `keyCol` must be unique, as for stableIds. */
+  def withStableIds(df: DataFrame, keyCol: String): DataFrame =
+    prefixAttach(df.withColumn("__one", lit(1L)), keyCol, "__one", 0L)
+      .withColumn("row_id", col("__start"))
+      .drop("__start", "__one")
 }

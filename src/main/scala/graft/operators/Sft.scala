@@ -225,8 +225,13 @@ object Sft {
   private def foldParts(oldTurns: DataFrame, tail: DataFrame,
                         batch: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val bt = mergedTurns(batch)
-    val first = rawTurns(batch).groupBy(col("user_id"))
+    // sessionize and merge the (micro-batch-sized) batch ONCE: bt
+    // feeds three subtrees (r1, the join, the fresh rows) and raw
+    // feeds two — un-checkpointed, every fold action re-ran the
+    // whole window cascade once per subtree
+    val raw = rawTurns(batch).localCheckpoint(true)
+    val bt = mergedTurnsOfRaw(raw).localCheckpoint(true)
+    val first = raw.groupBy(col("user_id"))
       .agg(min(col("t")).as("first_t"))
     val r1 = bt.filter(col("session_id") === 1L && col("turn_id") === 1L)
       .select(col("user_id"), col("role").as("__r1"))

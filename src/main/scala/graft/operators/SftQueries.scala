@@ -406,8 +406,8 @@ object SftQueries {
       val dd = docs(s, d).select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("tok"))
       def plan(keyed: DataFrame, policy: String): DataFrame = {
-        val ids = Packing.stableIds(keyed.select(col("__key")), "__key")
-        val b = keyed.join(ids, Seq("__key"))
+        // rank attached in place (same row_id per key, no join-back)
+        val b = Packing.withStableIds(keyed, "__key")
           .select(col("tok"), expr("row_id div 8").as("batch"))
           .groupBy(col("batch"))
           .agg(max(col("tok")).as("mx"), sum(col("tok")).as("st"),

@@ -233,12 +233,16 @@ object Surprisal {
     * shape stableIds' sampled range-bucketing fallback exists for.
     * Output: scored columns + bucket. */
   def refLmBuckets(scored: DataFrame, idCol: String): DataFrame = {
+    // the rank key's lineage is the whole reference-LM scoring
+    // pipeline — materialize it ONCE (docs-sized, narrow) so the
+    // ranking's bounds/histogram/window passes don't re-run it; rank
+    // attached in place (same row_id per key)
     val keyed = scored.withColumn("__key",
-      round(col("avg_nlp") * 10000, 0).cast("long") * (1L << 40) +
-        col(idCol))
+        round(col("avg_nlp") * 10000, 0).cast("long") * (1L << 40) +
+          col(idCol))
+      .localCheckpoint(true)
     val n = keyed.agg(count(lit(1)).as("__n"))
-    Packing.stableIds(keyed.select(col("__key")), "__key")
-      .join(keyed, Seq("__key"))
+    Packing.withStableIds(keyed, "__key")
       .crossJoin(broadcast(n))
       .withColumn("__t", expr("(row_id * 3) div __n")) // integer div —
       // Spark's `/` is double division even on longs

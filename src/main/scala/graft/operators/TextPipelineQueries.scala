@@ -2100,13 +2100,14 @@ object TextPipelineQueries {
           col("label").cast("long").as("label")), Seq("doc_id"))
       val keyed = j.withColumn("__key",
         col("label") * lit(1L << 40) + col("doc_id"))
-      val ranked = Packing.stableIds(keyed.select(col("__key")), "__key")
-      val withOrd = keyed.join(ranked, Seq("__key"))
-      Packing.packByBudget(
-          withOrd.select(col("row_id"), col("n_tokens")),
+      // rank and layout both attached in place (withStableIds /
+      // packAttach): two rank-then-join-back shapes collapse into two
+      // window passes — same row_id and seq_id per key
+      val withOrd = Packing.withStableIds(keyed, "__key")
+      Packing.packAttach(
+          withOrd.select(col("row_id"), col("n_tokens"), col("doc_id"),
+            col("label")),
           "row_id", "n_tokens", budget = 512L)
-        .join(withOrd.select(col("row_id"), col("doc_id"), col("label")),
-          Seq("row_id"))
         .select(col("doc_id"), col("label"), col("row_id").as("ord"),
           col("n_tokens"), col("seq_id"))
     }),
@@ -2117,11 +2118,15 @@ object TextPipelineQueries {
     // key (difficulty×10⁴ ≪ 40 | doc_id); no global sort anywhere.
     "q185_curriculum_order" -> ((s, d) => {
       val sur = Surprisal.bigramSurprisal(docs(s, d), minCount = 2L)
+      // the rank key's lineage is the whole surprisal pipeline —
+      // materialize it ONCE (docs-sized, narrow) so the ranking's
+      // bounds/histogram/window passes don't re-run it; rank attached
+      // in place (same row_id per key as rank-then-join-back)
       val keyed = sur.withColumn("__key",
-        round(col("avg_bigram_surprisal") * 10000, 0).cast("long") *
-          lit(1L << 40) + col("doc_id"))
-      val ranked = Packing.stableIds(keyed.select(col("__key")), "__key")
-      keyed.join(ranked, Seq("__key"))
+          round(col("avg_bigram_surprisal") * 10000, 0).cast("long") *
+            lit(1L << 40) + col("doc_id"))
+        .localCheckpoint(true)
+      Packing.withStableIds(keyed, "__key")
         .select(col("doc_id"),
           col("avg_bigram_surprisal").as("difficulty"),
           col("row_id").as("ord"))

@@ -76,9 +76,10 @@ object ZOrder {
     require(targetFiles >= 1)
     val withCk = df.withColumn("__ck", rankKey)
     val m = df.agg(count(lit(1)).as("__n"))
-    withCk.crossJoin(broadcast(m))
-      .join(Packing.stableIds(withCk.select(col("__ck")), "__ck"),
-        Seq("__ck"))
+    // rank attached in place (same row_id per key as the old
+    // rank-then-join-back): drops two exchanges per call
+    Packing.withStableIds(withCk, "__ck")
+      .crossJoin(broadcast(m))
       .withColumn("file_id",
         expr(s"row_id div ((__n + ${targetFiles - 1}) div $targetFiles)"))
       .drop("__ck", "__n", "row_id")
