@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's ONE-line JSON from stdout. sbt's
+// default for forked runs is LoggedOutput, which prefixes every line
+// of the child's stdout with "[info] " — no line starts with '{', so
+// the driver's parser failed every round (BENCH_r01..r16 all
+// `parsed: null` even when the complete JSON line sat inside the
+// captured tail). StdoutOutput passes the child's stdout through raw.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

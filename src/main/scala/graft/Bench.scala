@@ -284,13 +284,15 @@ object Bench {
     val head = f""""metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"iters":$iters,"write_iters":$writeIters,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"bpe_full_train_sec":$bpeTrainSec%.3f,"cache_build_sec":$cacheBuild%.3f,"cache_build_steal_sec":$cacheSteal%.2f,"queries":$qs"""
     val compact = s"""{$head,"sf":"$sfDir"}"""
     val full = s"""{$head,"queries_iters":$spreads,"queries_steal_sec":$steals,"queries_busy_frac":$busys,"queries_iowait_frac":$iowaits,"sf":"$sfDir"}"""
-    // A ≤200-byte summary object with the headline numbers only —
-    // printed FIRST and LAST so it survives the driver's stdout
-    // capture whichever end gets clipped (rounds 5-9 all came back
-    // `parsed: null` because the ~6 KB per-query medians line
-    // outgrew the capture window; the full renderings still follow
-    // for anyone reading the whole log, and the complete telemetry
-    // goes to the SPARK_GRAFT_BENCH_OUT file).
+    // A ≤200-byte summary object with the headline numbers only, for
+    // humans tailing the log — printed to STDERR before and after the
+    // contract line so stdout carries EXACTLY one JSON line. (Rounds
+    // 1-16 all came back `parsed: null`: sbt's LoggedOutput prefixed
+    // every stdout line with "[info] " — fixed in build.sbt via
+    // StdoutOutput — and the r16 layout additionally printed summary
+    // lines without a `queries` map to stdout, which a last-JSON-line
+    // parser could latch onto. Old per-query numbers are unchanged;
+    // only the rendering destination moved.)
     val summary = f"""{"metric":"total","value":$total%.3f,"unit":"sec","compute_sec":$computeTotal%.3f,"write_phase_sec":$writeTotal%.3f,"n_queries":${results.size},"iters":$iters,"write_iters":$writeIters,"warmup_sec":$warmupSec%.3f,"canary_sec":$canarySec%.3f,"canary_io_sec":$canaryIoSec%.3f,"sf":"$sfDir"}"""
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json"))
@@ -299,9 +301,9 @@ object Bench {
       case e: java.io.IOException =>
         System.err.println(s"WARN: bench telemetry not persisted to $outPath: $e")
     }
-    println(summary)
+    System.err.println(summary)
     println(compact)
-    println(summary)
+    System.err.println(summary)
     spark.stop()
   }
 }

@@ -80,9 +80,11 @@ object Packing {
     * column, bucket count, per-bucket token totals when the fast-path
     * histogram already computed them — the range path recomputes over
     * its own buckets). */
-  private def bucketing(base: DataFrame, minId: Long, maxId: Long, n: Long)
+  private def bucketing(base: DataFrame, minId: Long, maxId: Long, n: Long,
+                        nBucketsOpt: Option[Int] = None)
       : (Column, Int, Option[Map[Long, Long]]) = {
-    val nBuckets = base.sparkSession.sparkContext.defaultParallelism
+    val nBuckets = nBucketsOpt.getOrElse(
+      base.sparkSession.sparkContext.defaultParallelism)
     val span = math.max(1L, (maxId - minId) / nBuckets + 1)
     val eqB = ((col("__id") - minId) / span).cast("long")
     // phase 1: per-bucket (rows, tokens) BEFORE the shuffle — map-side
@@ -528,10 +530,16 @@ object Packing {
     * exchange). Numerically identical to [[prefixSums]]: any
     * monotonic bucketing yields the same prefix sums, and this one
     * REUSES [[bucketing]] verbatim. Output: every input column
-    * (idCol/tokenCol cast to long in place) + `__start`. */
+    * (idCol/tokenCol cast to long in place) + `__start`.
+    *
+    * Contract (same as [[prefixSums]]/[[stableIds]]): `idCol` values
+    * must be UNIQUE and NON-NULL. With duplicate ids the within-bucket
+    * running-sum tie order is nondeterministic; a null id would ride
+    * through as a null bucket/null `__start` instead of failing fast
+    * the way phase2's primitive Long encoder does. */
   private def prefixAttach(df: DataFrame, idCol: String,
-                           tokenCol: String,
-                           tokenOffset: Long): DataFrame = {
+                           tokenCol: String, tokenOffset: Long,
+                           nBucketsOpt: Option[Int] = None): DataFrame = {
     val typed = df.withColumn(idCol, col(idCol).cast("long"))
       .withColumn(tokenCol, col(tokenCol).cast("long"))
     val base = typed.withColumn("__id", col(idCol))
@@ -541,7 +549,7 @@ object Packing {
     if (bounds.isNullAt(0))
       return typed.withColumn("__start", lit(0L)).limit(0)
     val (bCol, nB, eqTotals) = bucketing(base, bounds.getLong(0),
-      bounds.getLong(1), bounds.getLong(2))
+      bounds.getLong(1), bounds.getLong(2), nBucketsOpt)
     val withB = base.withColumn("__b", bCol)
     val offsets = eqTotals.getOrElse {
       withB.groupBy(col("__b")).agg(sum(col("__tok")).as("__t"))
@@ -553,8 +561,15 @@ object Packing {
     val W = org.apache.spark.sql.expressions.Window
     val w = W.partitionBy(col("__b")).orderBy(col("__id"))
       .rowsBetween(W.unboundedPreceding, -1)
+    // Index the FULL nB+1-entry scanLeft array, exactly as phase2's
+    // offs(b) does: the equal-width bucket expression divides as
+    // DOUBLE, and at key spans near 2^57 the top key's quotient can
+    // round up to bucket nB — the scanLeft total in slot nB is the
+    // numerically correct offset for that spillover bucket. Truncating
+    // to nB entries made element_at throw under ANSI (the q359/r16
+    // regression); spec-pinned in PackingAttachSpec.
     withB.withColumn("__start",
-        element_at(array(offArr.take(nB).map(lit(_)).toIndexedSeq: _*),
+        element_at(array(offArr.map(lit(_)).toIndexedSeq: _*),
           col("__b").cast("int") + 1) +
           coalesce(sum(col("__tok")).over(w), lit(0L)))
       .drop("__id", "__tok", "__b")
@@ -562,7 +577,9 @@ object Packing {
 
   /** [[packByBudget]] with the layout attached in place: every input
     * column plus `seq_id`, one shuffle, no join-back. Same seq_id per
-    * id as packByBudget by construction. */
+    * id as packByBudget by construction. `idCol` must be unique and
+    * non-null ([[prefixAttach]]'s contract — ties would make seq_id
+    * assignment among duplicates nondeterministic run to run). */
   def packAttach(df: DataFrame, idCol: String, tokenCol: String,
                  budget: Long, tokenOffset: Long = 0L): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
@@ -578,4 +595,24 @@ object Packing {
     prefixAttach(df.withColumn("__one", lit(1L)), keyCol, "__one", 0L)
       .withColumn("row_id", col("__start"))
       .drop("__start", "__one")
+
+  /** Spec probe: [[withStableIds]] at a PINNED bucket count — the
+    * overflow-bucket edge (double-division rounding the top key into
+    * bucket nB at ~2^57 spans) is parallelism-dependent, so the
+    * regression spec exercises it at two bucket counts without
+    * needing two SparkContexts. Production callers never pin. */
+  private[graft] def withStableIdsAt(df: DataFrame, keyCol: String,
+                                     nBuckets: Int): DataFrame =
+    prefixAttach(df.withColumn("__one", lit(1L)), keyCol, "__one", 0L,
+        Some(nBuckets))
+      .withColumn("row_id", col("__start"))
+      .drop("__start", "__one")
+
+  /** Spec probe: [[packAttach]] at a pinned bucket count. */
+  private[graft] def packAttachAt(df: DataFrame, idCol: String,
+                                  tokenCol: String, budget: Long,
+                                  nBuckets: Int): DataFrame =
+    prefixAttach(df, idCol, tokenCol, 0L, Some(nBuckets))
+      .withColumn("seq_id", expr(s"__start div ${budget}L"))
+      .drop("__start")
 }
