@@ -871,10 +871,14 @@ object BpeQueries {
       val batch = ids.filter(col("doc_id") > thresh)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealinc_" +
         math.abs(d.hashCode.toLong)
+      // sealed layout attached in place (no join-back — §2.4/§3);
+      // explicit select keeps the historical on-disk column order
       Packing.writeByShardColumn(
-        Packing.packSealed(old.select(col("doc_id"), col("n_tokens")),
+        Packing.packSealedAttach(
+            old.select(col("doc_id"), col("n_tokens"), col("ids")),
             "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-          .join(old.select(col("doc_id"), col("ids")), Seq("doc_id")),
+          .select(col("doc_id"), col("n_tokens"), col("shard_id"),
+            col("seq_in_shard"), col("ids")),
         "doc_id", path)
       Packing.appendSealedShards(batch, "doc_id", "n_tokens", path,
         budget = PackBudget, seqsPerShard = 4L)
@@ -905,11 +909,12 @@ object BpeQueries {
     // (PackingSpec).
     "q139_shard_manifest" -> ((s, d) => {
       val ids = idsTable(s, d)
-      val layout = Packing.packByBudget(
-        ids.select(col("doc_id"), col("n_tokens")),
-        "doc_id", "n_tokens", budget = PackBudget)
-      val packed = layout.join(ids.select(col("doc_id"), col("ids")),
-        Seq("doc_id"))
+      // layout attached in place (packAttach, no join-back — §2.4/§3);
+      // select pins the historical on-disk column order
+      val packed = Packing.packAttach(
+          ids.select(col("doc_id"), col("n_tokens"), col("ids")),
+          "doc_id", "n_tokens", budget = PackBudget)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("ids"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
         math.abs(d.hashCode.toLong)
       Packing.writeShards(packed, "doc_id", path, seqsPerShard = 4L)
@@ -973,10 +978,11 @@ object BpeQueries {
       // the PRE-repair baseline is the same (augmented) corpus the
       // decontamination ran on, so `changed` isolates the removal
       val augIds = augIdsTable(s, d)
+      // layout attached in place (packAttach, no join-back — §2.4/§3)
       def manifestOf(ids: DataFrame) = Packing.shardManifest(
-        Packing.packByBudget(ids.select(col("doc_id"), col("n_tokens")),
+        Packing.packAttach(
+            ids.select(col("doc_id"), col("n_tokens"), col("ids")),
             "doc_id", "n_tokens", budget = PackBudget)
-          .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
           .withColumn("shard_id", (col("seq_id") / 4).cast("long")),
         shardRowContent)
       // FULL outer: removal SHRINKS the corpus, so trailing shards can
@@ -1003,10 +1009,13 @@ object BpeQueries {
     // engine for engine.
     "q168_sealed_manifest" -> ((s, d) => {
       val ids = idsTable(s, d)
-      val packed = Packing.packSealed(
-          ids.select(col("doc_id"), col("n_tokens")),
+      // sealed layout attached in place (no join-back — §2.4/§3);
+      // select pins the historical on-disk column order
+      val packed = Packing.packSealedAttach(
+          ids.select(col("doc_id"), col("n_tokens"), col("ids")),
           "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-        .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"),
+          col("seq_in_shard"), col("ids"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealed_" +
         math.abs(d.hashCode.toLong)
       Packing.writeByShardColumn(packed, "doc_id", path)
@@ -1028,10 +1037,12 @@ object BpeQueries {
     // recompacting variant is a from-scratch packSealed, q168).
     "q312_sealed_delete" -> ((s, d) => {
       val ids = idsTable(s, d)
-      val packed = Packing.packSealed(
-          ids.select(col("doc_id"), col("n_tokens")),
+      // sealed layout attached in place (no join-back — §2.4/§3)
+      val packed = Packing.packSealedAttach(
+          ids.select(col("doc_id"), col("n_tokens"), col("ids")),
           "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-        .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"),
+          col("seq_in_shard"), col("ids"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealdel_" +
         math.abs(d.hashCode.toLong)
       Packing.writeByShardColumn(packed, "doc_id", path)
@@ -1072,11 +1083,12 @@ object BpeQueries {
     "q169_sealed_repair" -> ((s, d) => {
       val m = merges(s, d)
       val aug = augIdsTable(s, d)
-      val sealedLayout = Packing.packSealed(
-        aug.select(col("doc_id"), col("n_tokens")),
-        "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-      val packed = sealedLayout
-        .join(aug.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      // sealed layout attached in place (no join-back — §2.4/§3)
+      val packed = Packing.packSealedAttach(
+          aug.select(col("doc_id"), col("n_tokens"), col("ids")),
+          "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"),
+          col("seq_in_shard"), col("ids"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealrep_" +
         math.abs(d.hashCode.toLong)
       Packing.writeByShardColumn(packed, "doc_id", path)
@@ -1175,10 +1187,14 @@ object BpeQueries {
       val batch = ids.filter(col("doc_id") > thresh)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_incr_" +
         math.abs(d.hashCode.toLong)
+      // layout attached in place (packAttach, no join-back — §2.4/§3);
+      // select pins the historical on-disk column order
       Packing.writeShards(
-        Packing.packByBudget(old.select(col("doc_id"), col("n_tokens")),
+        Packing.packAttach(
+            old.select(col("doc_id"), col("n_tokens"), col("ids")),
             "doc_id", "n_tokens", budget = PackBudget)
-          .join(old.select(col("doc_id"), col("ids")), Seq("doc_id")),
+          .select(col("doc_id"), col("n_tokens"), col("seq_id"),
+            col("ids")),
         "doc_id", path, seqsPerShard = 4L)
       Packing.appendShards(batch, "doc_id", "n_tokens", path,
         budget = PackBudget, seqsPerShard = 4L)
@@ -1204,13 +1220,14 @@ object BpeQueries {
       val ids = Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
           col("ids"))
-      val layout = Packing.packByBudget(
-        ids.select(col("doc_id"), col("n_tokens")),
-        "doc_id", "n_tokens", budget = PackBudget)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_v5_" +
         math.abs(d.hashCode.toLong)
+      // layout attached in place (packAttach, no join-back — §2.4/§3)
       Packing.writeShards(
-        layout.join(ids.select(col("doc_id"), col("ids")), Seq("doc_id")),
+        Packing.packAttach(ids, "doc_id", "n_tokens",
+            budget = PackBudget)
+          .select(col("doc_id"), col("n_tokens"), col("seq_id"),
+            col("ids")),
         "doc_id", path, seqsPerShard = 4L)
       Packing.shardManifest(s.read.parquet(path), shardRowContent)
     }),

@@ -69,26 +69,30 @@ object Lakehouse {
     * batches. */
   def writeJsonl(docs: DataFrame, path: String, budgetBytes: Long,
                  byteOffset: Long = 0L,
-                 mode: SaveMode = SaveMode.Overwrite): Unit =
+                 mode: SaveMode = SaveMode.Overwrite): Long =
     writeLines(jsonLines(docs), "doc_id", path, budgetBytes,
       byteOffset, mode)
 
   /** The generic text-shard writer under [[writeJsonl]]: any
     * (keyCol, line, n_bytes) frame lands as `path/shard=N` text files
-    * with the byte-budget prefix-sum layout, lines in key order. */
+    * with the byte-budget prefix-sum layout, lines in key order.
+    * Returns the TOTAL bytes landed (sum of n_bytes) — free from the
+    * layout's own bucket histogram, so append callers tracking the
+    * landed byte total skip a whole extra aggregation pass. */
   def writeLines(lines: DataFrame, keyCol: String, path: String,
                  budgetBytes: Long, byteOffset: Long = 0L,
-                 mode: SaveMode = SaveMode.Overwrite): Unit = {
+                 mode: SaveMode = SaveMode.Overwrite): Long = {
     // layout attached in place (packAttach): one bucket-window
     // shuffle over the lines instead of rank-then-join-back — same
     // shard per key, same within-file order, byte-identical output
-    val sharded = Packing.packAttach(lines, keyCol, "n_bytes",
-        budgetBytes, byteOffset)
-      .withColumn("shard", col("seq_id"))
-    sharded.repartition(col("shard"))
+    val (attached, total) = Packing.packAttachTotal(lines, keyCol,
+      "n_bytes", budgetBytes, byteOffset)
+    attached.withColumn("shard", col("seq_id"))
+      .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(keyCol))
       .select(col("shard"), col("line"))
       .write.mode(mode).partitionBy("shard").text(path)
+    total
   }
 
   /** Read a [[writeJsonl]] layout back and manifest it per shard:
@@ -548,31 +552,37 @@ object Lakehouse {
                               version: Long,
                               bucketSet: Option[Set[Long]])
       : Array[(Long, Long)] = {
-    val man = manifestDf(spark, path)
-    val pre = man.agg(
-      max(when(col("bucket") === -1L, col("version"))).as("f"),
-      count(when(col("version") <= version, lit(1))).as("n")).head()
-    if (!pre.isNullAt(0) && version < pre.getLong(0))
+    // The manifest is metadata-sized by construction (≤ commits ×
+    // touched buckets pointer rows), so it collects ONCE and the
+    // latest-pointer-per-bucket resolution runs on the driver — the
+    // old shape paid two Spark actions (a guard agg plus a grouped
+    // max-struct collect) with a shuffle, per resolution, and every
+    // versioned op resolves at least once (§5: fewer actions on the
+    // multi-action lifecycle paths). Semantics identical: checkpoint
+    // markers (bucket = -1) carry empty = true, so they fall out of
+    // the final filter exactly as before.
+    val rows = manifestDf(spark, path)
+      .select(col("version").cast("long"), col("bucket").cast("long"),
+        col("vdir").cast("long"), col("empty"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val floorOpt = rows.filter(_._2 == -1L).map(_._1).maxOption
+    if (floorOpt.exists(version < _))
       throw new IllegalArgumentException(
         s"version $version predates the checkpoint floor " +
-          s"${pre.getLong(0)} under $path")
-    if (pre.getLong(1) == 0L)
+          s"${floorOpt.get} under $path")
+    val upTo = rows.filter(_._1 <= version)
+    if (upTo.isEmpty)
       throw new IllegalArgumentException(
         s"version $version predates the first commit under $path")
-    val upTo = man.filter(col("version") <= version)
     val scoped = bucketSet match {
-      case Some(bs) if bs.isEmpty => upTo.filter(lit(false))
-      case Some(bs) => upTo.filter(col("bucket").isin(bs.toSeq: _*))
+      case Some(bs) => upTo.filter(r => bs.contains(r._2))
       case None => upTo
     }
-    scoped
-      .groupBy(col("bucket"))
-      .agg(max(struct(col("version").as("v"), col("vdir").as("vdir"),
-        col("empty").as("empty"))).as("__m"))
-      .select(col("bucket"), col("__m.vdir").as("vdir"),
-        col("__m.empty").as("empty"))
-      .filter(!col("empty"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    scoped.groupBy(_._2).valuesIterator
+      .map(_.maxBy(r => (r._1, r._3, r._4)))
+      .filter(!_._4)
+      .map(r => (r._2, r._3)).toArray
   }
 
   // --------------------------------------- zero-copy branches

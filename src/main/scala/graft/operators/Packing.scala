@@ -231,6 +231,30 @@ object Packing {
         expr(s"(__start - __s0) div ${budget}L").as("seq_in_shard"))
   }
 
+  /** [[packSealed]] with the sealed layout attached IN PLACE on the
+    * full payload rows: every input column plus (shard_id,
+    * seq_in_shard), via one [[prefixAttach]] pass plus the same
+    * shard-partitioned window packSealed pays — instead of the
+    * layout-then-join-back shape (packSealed keyed on ids joined
+    * against the payload frame: one extra exchange of each side plus
+    * the join itself — guide §2.4/§3, a join eliminated outright).
+    * Same (shard_id, seq_in_shard) per id as packSealed by
+    * construction; `idCol` must be unique and non-null
+    * ([[prefixAttach]]'s contract). */
+  def packSealedAttach(df: DataFrame, idCol: String, tokenCol: String,
+                       budget: Long, seqsPerShard: Long): DataFrame = {
+    require(budget >= 1 && seqsPerShard >= 1,
+      s"budget/seqsPerShard must be >= 1, got $budget/$seqsPerShard")
+    val cap = budget * seqsPerShard
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard_id"))
+    prefixAttach(df, idCol, tokenCol, 0L)
+      .withColumn("shard_id", expr(s"__start div ${cap}L"))
+      .withColumn("__s0", min(col("__start")).over(w))
+      .withColumn("seq_in_shard",
+        expr(s"(__start - __s0) div ${budget}L"))
+      .drop("__start", "__s0")
+  }
+
   /** Materialize a packed corpus as deterministic training SHARDS —
     * the physical artifact a trainer actually reads, and the last
     * step after [[packByBudget]] computes the layout. Input: the
@@ -327,10 +351,12 @@ object Packing {
     require(minNew > maxOldId,
       s"appendShards is append-only: batch min id $minNew must follow " +
         s"existing max id $maxOldId (re-shard from scratch otherwise)")
-    val layout = packByBudget(batch.select(col(idCol), col(tokenCol)),
-      idCol, tokenCol, budget, tokenOffset = oldTokens)
-    val packed = layout
-      .join(batch.drop(tokenCol), Seq(idCol))
+    // layout attached in place (packAttach — guide §2.4/§3): one
+    // bucket-window pass over the payload-carrying batch instead of
+    // rank-on-keys-then-join-back; same seq_id per id by construction
+    val packed = packAttach(batch, idCol, tokenCol, budget,
+        tokenOffset = oldTokens)
+      .withColumnRenamed(tokenCol, "n_tokens")
       .withColumn("shard_id", (col("seq_id") / seqsPerShard).cast("long"))
     val touched = packed.select(col("shard_id")).distinct()
       .collect().map(_.getLong(0)).toSet
@@ -402,11 +428,12 @@ object Packing {
     require(minNew > maxOldId,
       s"appendSealedShards is append-only: batch min id $minNew must " +
         s"follow existing max id $maxOldId (re-shard from scratch otherwise)")
-    val placed = prefixSums(batch.select(col(idCol), col(tokenCol)),
-        idCol, tokenCol, oldTokens)
+    // shard assignment attached in place (prefixAttach — §2.4/§3):
+    // no rank-then-join-back of the payload rows
+    val placed = prefixAttach(batch, idCol, tokenCol, oldTokens)
       .withColumn("shard_id", expr(s"__start div ${cap}L"))
-      .select(col(idCol), col("n_tokens"), col("shard_id"))
-      .join(batch.drop(tokenCol), Seq(idCol))
+      .drop("__start")
+      .withColumnRenamed(tokenCol, "n_tokens")
     val touched = placed.select(col("shard_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     val rewrite = old
@@ -539,7 +566,18 @@ object Packing {
     * the way phase2's primitive Long encoder does. */
   private def prefixAttach(df: DataFrame, idCol: String,
                            tokenCol: String, tokenOffset: Long,
-                           nBucketsOpt: Option[Int] = None): DataFrame = {
+                           nBucketsOpt: Option[Int] = None): DataFrame =
+    prefixAttachTotal(df, idCol, tokenCol, tokenOffset, nBucketsOpt)._1
+
+  /** [[prefixAttach]] plus the frame's TOTAL token count — free at
+    * call time (the per-bucket histogram the layout already collects
+    * sums to it), so a caller that needs "how much landed" skips a
+    * whole extra aggregation action over the frame (§5: fewer driver
+    * actions on a multi-action lifecycle path). */
+  private def prefixAttachTotal(df: DataFrame, idCol: String,
+                                tokenCol: String, tokenOffset: Long,
+                                nBucketsOpt: Option[Int] = None)
+      : (DataFrame, Long) = {
     val typed = df.withColumn(idCol, col(idCol).cast("long"))
       .withColumn(tokenCol, col(tokenCol).cast("long"))
     val base = typed.withColumn("__id", col(idCol))
@@ -547,7 +585,7 @@ object Packing {
     val bounds = base.agg(min(col("__id")), max(col("__id")),
       count(lit(1))).head()
     if (bounds.isNullAt(0))
-      return typed.withColumn("__start", lit(0L)).limit(0)
+      return (typed.withColumn("__start", lit(0L)).limit(0), 0L)
     val (bCol, nB, eqTotals) = bucketing(base, bounds.getLong(0),
       bounds.getLong(1), bounds.getLong(2), nBucketsOpt)
     val withB = base.withColumn("__b", bCol)
@@ -568,11 +606,15 @@ object Packing {
     // numerically correct offset for that spillover bucket. Truncating
     // to nB entries made element_at throw under ANSI (the q359/r16
     // regression); spec-pinned in PackingAttachSpec.
-    withB.withColumn("__start",
+    (withB.withColumn("__start",
         element_at(array(offArr.map(lit(_)).toIndexedSeq: _*),
           col("__b").cast("int") + 1) +
           coalesce(sum(col("__tok")).over(w), lit(0L)))
-      .drop("__id", "__tok", "__b")
+      .drop("__id", "__tok", "__b"),
+      // the full histogram sum, NOT offArr.last: a spillover bucket
+      // (the 2^57 rounding edge) is in the map but outside offArr's
+      // 0..nB-1 slots
+      offsets.valuesIterator.sum)
   }
 
   /** [[packByBudget]] with the layout attached in place: every input
@@ -581,11 +623,21 @@ object Packing {
     * non-null ([[prefixAttach]]'s contract — ties would make seq_id
     * assignment among duplicates nondeterministic run to run). */
   def packAttach(df: DataFrame, idCol: String, tokenCol: String,
-                 budget: Long, tokenOffset: Long = 0L): DataFrame = {
+                 budget: Long, tokenOffset: Long = 0L): DataFrame =
+    packAttachTotal(df, idCol, tokenCol, budget, tokenOffset)._1
+
+  /** [[packAttach]] plus the frame's total token/byte count — free at
+    * call time from the layout's own bucket histogram, so callers
+    * that need "how much landed" (the sealed byte-append paths) skip
+    * one whole aggregation action over the frame. */
+  def packAttachTotal(df: DataFrame, idCol: String, tokenCol: String,
+                      budget: Long, tokenOffset: Long = 0L)
+      : (DataFrame, Long) = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    prefixAttach(df, idCol, tokenCol, tokenOffset)
-      .withColumn("seq_id", expr(s"__start div ${budget}L"))
-      .drop("__start")
+    val (attached, total) =
+      prefixAttachTotal(df, idCol, tokenCol, tokenOffset)
+    (attached.withColumn("seq_id", expr(s"__start div ${budget}L"))
+      .drop("__start"), total)
   }
 
   /** [[stableIds]] with the rank attached in place (same row_id per

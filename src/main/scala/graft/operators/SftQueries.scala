@@ -326,9 +326,17 @@ object SftQueries {
         math.abs(d.hashCode.toLong)
       val e = ev(s, d)
       val (old, _) = timeSplit(e)
-      def sealedKeys(src: DataFrame): DataFrame = {
-        val wm = src.agg(max(expr("ts div 1000"))).head().getLong(0)
-        Sft.rawTurns(src).groupBy(col("user_id"), col("session_id"))
+      // Each phase sessionizes its source ONCE (checkpointed): the
+      // watermark, the sealed-key set, and the render all derive from
+      // the same rawTurns pass — previously sealedKeys ran its own
+      // sessionization window cascade on top of the one inside
+      // lines(), i.e. the whole-corpus windows ran twice per phase
+      // (§2.4: operations keyed the same way share one pass).
+      def rawOf(src: DataFrame): DataFrame =
+        Sft.rawTurns(src).localCheckpoint(true)
+      def sealedKeys(raw: DataFrame): DataFrame = {
+        val wm = raw.agg(max(col("t"))).head().getLong(0)
+        raw.groupBy(col("user_id"), col("session_id"))
           .agg(max(col("t")).as("lt"))
           .filter(col("lt") <= wm - Sft.GapUs)
           .select(col("user_id"), col("session_id"))
@@ -336,11 +344,14 @@ object SftQueries {
       val esc = (c: org.apache.spark.sql.Column) =>
         regexp_replace(c, "([\"\\\\])", "\\\\$1")
       // each phase's line frame materializes ONCE (writeLines
-      // evaluates its input twice, and phase 1 is read a third time
-      // for the landed byte total)
-      def lines(src: DataFrame, keys: DataFrame): DataFrame =
-        Sft.render(Sft.mergedTurns(src))
-          .join(keys, Seq("user_id", "session_id"), "left_semi")
+      // evaluates its input twice). The sealed-keys semi-join lands
+      // BELOW the merge/render windows: only sealed conversations'
+      // events flow through turn merging and templating — dropping
+      // whole (user, session) groups commutes with the per-group
+      // merge/render (the StreamingSealed sink's shape).
+      def lines(raw: DataFrame, keys: DataFrame): DataFrame =
+        Sft.render(Sft.mergedTurnsOfRaw(
+            raw.join(keys, Seq("user_id", "session_id"), "left_semi")))
           .select(
             (col("user_id") * 1000000L + col("session_id")).as("ck"),
             concat(lit("{\"ck\":"),
@@ -349,19 +360,25 @@ object SftQueries {
               .as("line"))
           .withColumn("n_bytes", (length(col("line")) + 1L).cast("long"))
           .localCheckpoint(true)
-      val k1 = sealedKeys(old).localCheckpoint(true)
-      val p1 = lines(old, k1)
-      Lakehouse.writeLines(p1, "ck", path, budgetBytes = 8192L)
-      // coalesce: an EMPTY phase-1 sealed set sums to NULL — the
-      // export must degrade to a from-scratch layout, not crash
-      val landed = p1.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-        .head().getLong(0)
-      val k2 = sealedKeys(e)
+      val raw1 = rawOf(old)
+      val k1 = sealedKeys(raw1).localCheckpoint(true)
+      val p1 = lines(raw1, k1)
+      // writeLines returns the landed byte total from its own layout
+      // histogram — no separate aggregation pass over p1 (§5); an
+      // empty phase-1 sealed set returns 0 and the export degrades to
+      // a from-scratch layout as before
+      val landed = Lakehouse.writeLines(p1, "ck", path,
+        budgetBytes = 8192L)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(raw1)
+      val rawAll = rawOf(e)
+      val k2 = sealedKeys(rawAll)
         .join(k1, Seq("user_id", "session_id"), "left_anti")
-      val p2 = lines(e, k2)
+      val p2 = lines(rawAll, k2)
       Lakehouse.writeLines(p2, "ck", path,
         budgetBytes = 8192L, byteOffset = landed,
         mode = org.apache.spark.sql.SaveMode.Append)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(rawAll)
+      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(k1)
       org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(p1)
       org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(p2)
       s.read.text(path)

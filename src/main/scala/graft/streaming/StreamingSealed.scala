@@ -261,8 +261,18 @@ object StreamingSealed {
       .groupBy(col("user_id")).agg(max(col("t")).as("last_t"))
       .localCheckpoint(true)
     try {
-      val bm = batchT.agg(max(col("last_t"))).head()
-      if (bm.isNullAt(0) && st.batches.isEmpty)
+      // ONE collect over the (already-checkpointed, user-count-sized)
+      // per-user maxima: batch emptiness, the watermark advance, AND
+      // the per-(bid, ub) stats ledger all derive from it — this was
+      // two separate driver actions (a max() agg plus a per-ub
+      // min/max collect) before; §5, fewer actions on a multi-action
+      // lifecycle path
+      val ubStats = batchT.groupBy(
+          pmod(col("user_id"), lit(userBuckets.toLong)).as("ub"))
+        .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"),
+          max(col("last_t")).as("mt"))
+        .collect().toSeq
+      if (ubStats.isEmpty && st.batches.isEmpty)
         return // nothing ever landed: no watermark to advance
       // land the admitted events idempotently under their own
       // (bid, ub) dirs, and ledger each landed file's user_id
@@ -270,7 +280,7 @@ object StreamingSealed {
       // ledgers the batch, so the candidate-history read can be
       // ledger-driven with no unledgered-file case
       val newFiles: Seq[EventsFile] =
-        if (bm.isNullAt(0)) Nil
+        if (ubStats.isEmpty) Nil
         else {
           admitted.withColumn("bid", lit(batchId))
             .withColumn("ub", pmod(col("user_id"), lit(userBuckets.toLong)))
@@ -282,20 +292,15 @@ object StreamingSealed {
             .write.mode(SaveMode.Overwrite)
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bid", "ub").parquet(s"$root/_events")
-          // per-(bid, ub) user range from the already-checkpointed
-          // per-user maxima — no second pass over the batch; one
-          // file per dir, so dir grain IS file grain
-          batchT.groupBy(
-              pmod(col("user_id"), lit(userBuckets.toLong)).as("ub"))
-            .agg(min(col("user_id")).as("mn"),
-              max(col("user_id")).as("mx"))
-            .collect().toSeq.map { r =>
-              EventsFile(s"_events/bid=$batchId/ub=${r.getLong(0)}",
-                r.getLong(1), r.getLong(2))
-            }
+          // per-(bid, ub) user range from the same collect; one file
+          // per dir, so dir grain IS file grain
+          ubStats.map { r =>
+            EventsFile(s"_events/bid=$batchId/ub=${r.getLong(0)}",
+              r.getLong(1), r.getLong(2))
+          }
         }
-      val wm = if (bm.isNullAt(0)) st.wm
-               else math.max(st.wm, bm.getLong(0))
+      val wm = if (ubStats.isEmpty) st.wm
+               else math.max(st.wm, ubStats.map(_.getLong(3)).max)
       processSealedTail(spark, fs, root, outPath, batchId, st, batchT,
         newFiles, wm, budgetBytes)
     } finally {
@@ -314,18 +319,20 @@ object StreamingSealed {
     // candidates: every user who can own a session with last event in
     // (prev wm − gap, wm − gap] — the previously-active users plus
     // this batch's users; everyone else's sessions sealed (and
-    // exported) earlier
-    val merged = readActive(spark, fs, root, st)
+    // exported) earlier. The set is gap-window bounded — the same
+    // driver-sized state the _active table itself is — so it is
+    // collected ONCE as (user, last_t) pairs: candidate file
+    // selection, the sealing semi-join, and the next active-table
+    // generation all derive from this one action (previously a
+    // localCheckpoint + a collect + a re-scan for the table write —
+    // §5, the driver state was already driver-sized by contract)
+    val mrows: Array[(Long, Long)] = readActive(spark, fs, root, st)
       .unionByName(batchT)
       .groupBy(col("user_id")).agg(max(col("last_t")).as("last_t"))
       .filter(if (first) lit(true) else col("last_t") > st.wm - Sft.GapUs)
-      .localCheckpoint(true)
-    try {
-      // the candidate set is gap-window bounded — the same driver-
-      // sized state the _active table itself is (coalesce(1)); it
-      // drives FILE selection, which must happen at plan time
-      val cands: Array[Long] = merged.select(col("user_id"))
-        .collect().map(_.getLong(0)).sorted
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    locally {
+      val cands: Array[Long] = mrows.map(_._1).sorted
       def overlaps(mn: Long, mx: Long): Boolean = {
         val i = java.util.Arrays.binarySearch(cands, mn)
         val ins = if (i >= 0) i else -i - 1
@@ -346,10 +353,14 @@ object StreamingSealed {
           // whole-log recompute would. Sessionized ONCE and
           // checkpointed: the tail facts (newly sealed keys) and the
           // render both consume it.
+          // candidate restriction via a broadcast semi-join against a
+          // LOCAL relation built from the collected candidate set —
+          // no job materializes the probe side
+          val candDf = spark.createDataFrame(
+            mrows.toSeq.map(u => Tuple1(u._1))).toDF("user_id")
           val raw = Sft.rawTurns(
               spark.read.parquet(sel.map(e => s"$root/${e.path}"): _*)
-                .join(merged.select(col("user_id")), Seq("user_id"),
-                  "left_semi")
+                .join(broadcast(candDf), Seq("user_id"), "left_semi")
                 .drop("bid", "ub"))
             .localCheckpoint(true)
           val lines = try {
@@ -382,26 +393,25 @@ object StreamingSealed {
           } finally {
             org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(raw)
           }
-          try {
-            Lakehouse.writeLines(lines, "ck", outPath, budgetBytes,
-              byteOffset = st.landed, mode = SaveMode.Append)
-            lines.agg(coalesce(sum(col("n_bytes")), lit(0L)))
-              .head().getLong(0)
-          } finally {
+          // writeLines returns the landed byte total from its own
+          // layout histogram — no separate aggregation pass (§5)
+          try Lakehouse.writeLines(lines, "ck", outPath, budgetBytes,
+            byteOffset = st.landed, mode = SaveMode.Append)
+          finally {
             org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(lines)
           }
         }
       // publish: active table generation first (still unreferenced —
       // a crash here leaves a stray the next attempt heals), then
-      // the state file that names it
-      merged.filter(col("last_t") > wm - Sft.GapUs)
+      // the state file that names it. The rows come from the already-
+      // collected candidate pairs — a local-relation write, no re-scan
+      val actRows = mrows.filter(_._2 > wm - Sft.GapUs).toSeq
+      spark.createDataFrame(actRows).toDF("user_id", "last_t")
         .coalesce(1).write.mode(SaveMode.Overwrite)
         .parquet(activeDir(root, batchId))
       writeState(fs, root, batchId,
         State(st.batches :+ ((batchId, wm, st.landed + add)),
           listParts(fs, outPath), ledger))
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(merged)
     }
   }
 

@@ -143,10 +143,12 @@ object StreamingShards {
       : org.apache.spark.sql.streaming.StreamingQuery =
     sink(docs, path, idCol, checkpointDir,
       writeFull = batch => {
-        val packed = Packing.packByBudget(
-            batch.select(col(idCol), col(tokenCol)),
-            idCol, tokenCol, budget)
-          .join(batch.drop(tokenCol), Seq(idCol))
+        // layout attached in place (packAttach, no join-back —
+        // §2.4/§3); select pins the historical on-disk column order
+        val rest = batch.columns.filter(c => c != idCol && c != tokenCol)
+        val packed = Packing.packAttach(batch, idCol, tokenCol, budget)
+          .withColumnRenamed(tokenCol, "n_tokens")
+          .select((Seq(idCol, "n_tokens", "seq_id") ++ rest).map(col): _*)
         Packing.writeShards(packed, idCol, path, seqsPerShard)
       },
       append = (batch, totals) =>

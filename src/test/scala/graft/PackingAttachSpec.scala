@@ -82,6 +82,21 @@ class PackingAttachSpec extends AnyFunSuite {
     }
   }
 
+  test("packSealedAttach == packSealed + join (shard_id and seq_in_shard)") {
+    val rows = (0L until 300L).map(i => (i * 7L, i % 9 + 1, s"pay$i"))
+    val df = spark.createDataFrame(rows).toDF("key", "tok", "payload")
+    val expected = Packing.packSealed(df.select("key", "tok"),
+        "key", "tok", budget = 16L, seqsPerShard = 4L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val got = Packing.packSealedAttach(df, "key", "tok",
+        budget = 16L, seqsPerShard = 4L)
+      .select(col("key"), col("shard_id"), col("seq_in_shard"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == expected)
+  }
+
   test("packAttach == packByBudget + join, incl. the sampled-range path") {
     // dominant point cluster (label 0 holds 240 of 300 rows at a
     // point-width 2^40 offset) forces the sampled-range fallback;
