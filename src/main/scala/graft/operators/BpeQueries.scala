@@ -871,14 +871,16 @@ object BpeQueries {
       val batch = ids.filter(col("doc_id") > thresh)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealinc_" +
         math.abs(d.hashCode.toLong)
-      // sealed layout attached in place (no join-back — §2.4/§3);
-      // explicit select keeps the historical on-disk column order
+      // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+      // measurement): `ids` is persisted, so the layout ranks cached
+      // narrow rows and the join-back broadcasts — the attach-in-place
+      // variant (packSealedAttach) shuffles the persisted payload an
+      // extra time by bucket and adjudicated 20% slower at sf0.1
+      // (BENCH_ADJ_r17_touched vs BENCH_ADJ_r17_reverted)
       Packing.writeByShardColumn(
-        Packing.packSealedAttach(
-            old.select(col("doc_id"), col("n_tokens"), col("ids")),
+        Packing.packSealed(old.select(col("doc_id"), col("n_tokens")),
             "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-          .select(col("doc_id"), col("n_tokens"), col("shard_id"),
-            col("seq_in_shard"), col("ids")),
+          .join(old.select(col("doc_id"), col("ids")), Seq("doc_id")),
         "doc_id", path)
       Packing.appendSealedShards(batch, "doc_id", "n_tokens", path,
         budget = PackBudget, seqsPerShard = 4L)
@@ -909,12 +911,16 @@ object BpeQueries {
     // (PackingSpec).
     "q139_shard_manifest" -> ((s, d) => {
       val ids = idsTable(s, d)
-      // layout attached in place (packAttach, no join-back — §2.4/§3);
-      // select pins the historical on-disk column order
-      val packed = Packing.packAttach(
-          ids.select(col("doc_id"), col("n_tokens"), col("ids")),
-          "doc_id", "n_tokens", budget = PackBudget)
-        .select(col("doc_id"), col("n_tokens"), col("seq_id"), col("ids"))
+      // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+      // measurement): `ids` is persisted, so the join-back broadcasts
+      // against a cached probe — packAttach shuffles the persisted
+      // payload an extra time by bucket and adjudicated 20% slower at
+      // sf0.1 (BENCH_ADJ_r17_touched vs BENCH_ADJ_r17_reverted)
+      val layout = Packing.packByBudget(
+        ids.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
+      val packed = layout.join(ids.select(col("doc_id"), col("ids")),
+        Seq("doc_id"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
         math.abs(d.hashCode.toLong)
       Packing.writeShards(packed, "doc_id", path, seqsPerShard = 4L)
@@ -1009,13 +1015,13 @@ object BpeQueries {
     // engine for engine.
     "q168_sealed_manifest" -> ((s, d) => {
       val ids = idsTable(s, d)
-      // sealed layout attached in place (no join-back — §2.4/§3);
-      // select pins the historical on-disk column order
-      val packed = Packing.packSealedAttach(
-          ids.select(col("doc_id"), col("n_tokens"), col("ids")),
+      // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+      // measurement — see q139): `ids` is persisted, the join-back
+      // broadcasts; attach-in-place adjudicated slower at sf0.1
+      val packed = Packing.packSealed(
+          ids.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-        .select(col("doc_id"), col("n_tokens"), col("shard_id"),
-          col("seq_in_shard"), col("ids"))
+        .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealed_" +
         math.abs(d.hashCode.toLong)
       Packing.writeByShardColumn(packed, "doc_id", path)
@@ -1037,12 +1043,13 @@ object BpeQueries {
     // recompacting variant is a from-scratch packSealed, q168).
     "q312_sealed_delete" -> ((s, d) => {
       val ids = idsTable(s, d)
-      // sealed layout attached in place (no join-back — §2.4/§3)
-      val packed = Packing.packSealedAttach(
-          ids.select(col("doc_id"), col("n_tokens"), col("ids")),
+      // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+      // measurement — see q139): `ids` is persisted, the join-back
+      // broadcasts; attach-in-place adjudicated 13% slower at sf0.1
+      val packed = Packing.packSealed(
+          ids.select(col("doc_id"), col("n_tokens")),
           "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-        .select(col("doc_id"), col("n_tokens"), col("shard_id"),
-          col("seq_in_shard"), col("ids"))
+        .join(ids.select(col("doc_id"), col("ids")), Seq("doc_id"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealdel_" +
         math.abs(d.hashCode.toLong)
       Packing.writeByShardColumn(packed, "doc_id", path)
@@ -1083,12 +1090,14 @@ object BpeQueries {
     "q169_sealed_repair" -> ((s, d) => {
       val m = merges(s, d)
       val aug = augIdsTable(s, d)
-      // sealed layout attached in place (no join-back — §2.4/§3)
-      val packed = Packing.packSealedAttach(
-          aug.select(col("doc_id"), col("n_tokens"), col("ids")),
-          "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
-        .select(col("doc_id"), col("n_tokens"), col("shard_id"),
-          col("seq_in_shard"), col("ids"))
+      // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+      // measurement — see q139): `aug` is persisted, the join-back
+      // broadcasts; attach-in-place adjudicated slower at sf0.1
+      val sealedLayout = Packing.packSealed(
+        aug.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget, seqsPerShard = 4L)
+      val packed = sealedLayout
+        .join(aug.select(col("doc_id"), col("ids")), Seq("doc_id"))
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_sealrep_" +
         math.abs(d.hashCode.toLong)
       Packing.writeByShardColumn(packed, "doc_id", path)
@@ -1187,14 +1196,14 @@ object BpeQueries {
       val batch = ids.filter(col("doc_id") > thresh)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_incr_" +
         math.abs(d.hashCode.toLong)
-      // layout attached in place (packAttach, no join-back — §2.4/§3);
-      // select pins the historical on-disk column order
+      // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+      // measurement — see q139): `old` derives from the persisted id
+      // table, the join-back broadcasts; attach-in-place adjudicated
+      // 14% slower at sf0.1
       Packing.writeShards(
-        Packing.packAttach(
-            old.select(col("doc_id"), col("n_tokens"), col("ids")),
+        Packing.packByBudget(old.select(col("doc_id"), col("n_tokens")),
             "doc_id", "n_tokens", budget = PackBudget)
-          .select(col("doc_id"), col("n_tokens"), col("seq_id"),
-            col("ids")),
+          .join(old.select(col("doc_id"), col("ids")), Seq("doc_id")),
         "doc_id", path, seqsPerShard = 4L)
       Packing.appendShards(batch, "doc_id", "n_tokens", path,
         budget = PackBudget, seqsPerShard = 4L)
@@ -1220,14 +1229,17 @@ object BpeQueries {
       val ids = Curation.tokenizeToIds(bpeText, "doc_id", "text", vocab)
         .select(col("doc_id"), col("n_tok").cast("long").as("n_tokens"),
           col("ids"))
+      val layout = Packing.packByBudget(
+        ids.select(col("doc_id"), col("n_tokens")),
+        "doc_id", "n_tokens", budget = PackBudget)
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_shards_v5_" +
         math.abs(d.hashCode.toLong)
-      // layout attached in place (packAttach, no join-back — §2.4/§3)
+      // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+      // measurement — see q139): attach-in-place adjudicated 13%
+      // slower at sf0.1 (the tokenize chain here is cheap enough that
+      // the broadcast join-back beats an extra payload shuffle)
       Packing.writeShards(
-        Packing.packAttach(ids, "doc_id", "n_tokens",
-            budget = PackBudget)
-          .select(col("doc_id"), col("n_tokens"), col("seq_id"),
-            col("ids")),
+        layout.join(ids.select(col("doc_id"), col("ids")), Seq("doc_id")),
         "doc_id", path, seqsPerShard = 4L)
       Packing.shardManifest(s.read.parquet(path), shardRowContent)
     }),

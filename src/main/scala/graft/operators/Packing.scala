@@ -351,12 +351,16 @@ object Packing {
     require(minNew > maxOldId,
       s"appendShards is append-only: batch min id $minNew must follow " +
         s"existing max id $maxOldId (re-shard from scratch otherwise)")
-    // layout attached in place (packAttach — guide §2.4/§3): one
-    // bucket-window pass over the payload-carrying batch instead of
-    // rank-on-keys-then-join-back; same seq_id per id by construction
-    val packed = packAttach(batch, idCol, tokenCol, budget,
-        tokenOffset = oldTokens)
-      .withColumnRenamed(tokenCol, "n_tokens")
+    // layout-then-join-back, kept DELIBERATELY (§3, strategy by
+    // measurement): the batch is micro-batch/cached-table sized, so
+    // the rank runs on narrow rows and the join-back broadcasts —
+    // packAttach's bucket window shuffles the payload an extra time
+    // and adjudicated 14-20% slower at sf0.1 on q144/q177
+    // (BENCH_ADJ_r17_touched vs BENCH_ADJ_r17_reverted)
+    val layout = packByBudget(batch.select(col(idCol), col(tokenCol)),
+      idCol, tokenCol, budget, tokenOffset = oldTokens)
+    val packed = layout
+      .join(batch.drop(tokenCol), Seq(idCol))
       .withColumn("shard_id", (col("seq_id") / seqsPerShard).cast("long"))
     val touched = packed.select(col("shard_id")).distinct()
       .collect().map(_.getLong(0)).toSet
@@ -428,12 +432,15 @@ object Packing {
     require(minNew > maxOldId,
       s"appendSealedShards is append-only: batch min id $minNew must " +
         s"follow existing max id $maxOldId (re-shard from scratch otherwise)")
-    // shard assignment attached in place (prefixAttach — §2.4/§3):
-    // no rank-then-join-back of the payload rows
-    val placed = prefixAttach(batch, idCol, tokenCol, oldTokens)
+    // rank-then-join-back, kept DELIBERATELY (§3, strategy by
+    // measurement): the batch is micro-batch sized, so the join-back
+    // broadcasts — prefixAttach's bucket window shuffles the payload
+    // an extra time and adjudicated slower at sf0.1 (see appendShards)
+    val placed = prefixSums(batch.select(col(idCol), col(tokenCol)),
+        idCol, tokenCol, oldTokens)
       .withColumn("shard_id", expr(s"__start div ${cap}L"))
-      .drop("__start")
-      .withColumnRenamed(tokenCol, "n_tokens")
+      .select(col(idCol), col("n_tokens"), col("shard_id"))
+      .join(batch.drop(tokenCol), Seq(idCol))
     val touched = placed.select(col("shard_id")).distinct()
       .collect().map(_.getLong(0)).toSet
     val rewrite = old

@@ -65,28 +65,18 @@ object StreamingSft {
   }
 
   /** The shared sink loop: empty guard → init-if-absent →
-    * ledger-replay skip → fold+commit. Both layouts run THIS.
-    * `batchT` (per-user last event time) is materialized ONCE and the
-    * empty guard reads it instead of running a separate isEmpty scan
-    * of the batch — the guard, the init/fold's tail union, and the
-    * bucket layout's candidate derivation all reuse the one pass
-    * (§5: fewer driver actions per micro-batch). */
+    * ledger-replay skip → fold+commit. Both layouts run THIS. */
   private def runSftBatch(batch: DataFrame, batchId: Long,
                           io: SftStateIO): Unit = {
+    if (batch.isEmpty) return
     val batchT = Sft.rawTurns(batch).groupBy(col("user_id"))
       .agg(max(col("t")).as("last_t"))
-      .localCheckpoint(true)
-    try {
-      if (batchT.isEmpty) return // empty batch: nothing to fold
-      if (!io.exists()) {
-        io.init(Sft.mergedTurns(batch), batchT, batchId)
-        return
-      }
-      if (io.landed(batchId)) return
-      io.fold(batch, batchT, batchId)
-    } finally {
-      org.apache.spark.sql.GraftSqlBridge.unpersistBackingRdds(batchT)
+    if (!io.exists()) {
+      io.init(Sft.mergedTurns(batch), batchT, batchId)
+      return
     }
+    if (io.landed(batchId)) return
+    io.fold(batch, batchT, batchId)
   }
 
   // ------------------------------------------- whole-table layout
@@ -224,21 +214,18 @@ object StreamingSft {
 
     def fold(batch: DataFrame, batchT: DataFrame, batchId: Long): Unit = {
       // candidate dirs from the BATCH alone: turn buckets ∪ last-t
-      // buckets of the batch's users (≤ 2·B values, layout-bounded).
-      // batchT is checkpointed and already one row per batch user, so
-      // ONE collect of its users feeds both the bucket derivation and
-      // the standing-row restriction — no extra scan of the raw batch
-      val users = batchT.select(col("user_id"))
-        .collect().map(_.getLong(0))
-      val cand = (users.map(u => Math.floorMod(u, B)) ++
-        users.map(u => Math.floorMod(TKeyLastT - u, B))).toSet
+      // buckets of the batch's users (≤ 2·B values, layout-bounded)
+      val cand = batch
+        .select(pmod(col("user_id"), lit(B)).cast("long").as("b"))
+        .union(batch.select(
+          pmod(lit(TKeyLastT) - col("user_id"), lit(B)).cast("long")))
+        .distinct().collect().map(_.getLong(0)).toSet
       val st = spark.read.parquet(path)
         .filter(col("bucket").isin(cand.toSeq: _*))
       // restrict standing rows to the batch's users: the fold's old
       // side can only match them, and other users sharing a bucket
       // would only inflate the tail/anti-join shuffles
-      val batchUsers = broadcast(spark.createDataFrame(
-        users.toSeq.map(Tuple1(_))).toDF("user_id"))
+      val batchUsers = batch.select(col("user_id")).distinct()
       val turns = st.filter(col("tkey") >= 0L)
         .join(batchUsers, Seq("user_id"), "left_semi")
         .select(col("user_id"), col("session_id"), col("turn_id"),
